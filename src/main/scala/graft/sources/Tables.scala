@@ -1,0 +1,38 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-provided parquet tables (TESTDATA.md).
+  *
+  * The reference is schemaless (documents decomposed to EAV rows,
+  * crux-core/src/crux/kv/index_store.clj:936-963); our SQL/DataFrame surface
+  * is schema-per-table, exactly like crux-sql's schema documents
+  * (crux-sql/src/crux/calcite.clj:456-465). Each parquet file is one table.
+  *
+  * Scale notes: these are plain parquet scans — Catalyst pushes filters and
+  * prunes columns into the scan, so downstream operators should NOT cache or
+  * materialize these eagerly. On a real cluster the same code reads
+  * partitioned object-store layouts unchanged.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS) which the vectorized reader
+      // rejects; read it as a long and downcast to micro-precision NTZ
+      // (truncation — same as DuckDB's ns→µs cast, keeping oracle parity).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+      import org.apache.spark.sql.functions._
+      raw.withColumn("ts",
+        expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)"))
+    } else spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  /** Register every table as a temp view (idempotent) and return the dir. */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    all.foreach { n => load(spark, sfDir, n).createOrReplaceTempView(n) }
+}
