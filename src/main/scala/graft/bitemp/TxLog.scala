@@ -1,0 +1,174 @@
+package graft.bitemp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Transactional ingest: put/delete (with valid-time ranges), match/cas,
+  * evict — the batch re-expression of the reference's sequential indexer
+  * (crux-core/src/crux/tx.clj:59-227, SURVEY §2.9).
+  *
+  * State schema (`versions`): eid, vt, tt, tx_id, content_hash (null ⇒
+  * tombstone, mirroring the nil-id tombstone of crux.tx:81), tombstone.
+  *
+  * Ops schema: op ('put'|'delete'|'match'|'cas'|'evict'), eid,
+  * content_hash (new doc hash; null for delete), start_vt, end_vt,
+  * at_vt (match/cas basis), expected_hash (match/cas), seq (intra-tx order).
+  *
+  * Txs apply strictly in order (`applyBatch` folds `applyTx`), matching the
+  * reference's single-writer fold; within a tx, ops are vectorized against
+  * the pre-tx snapshot with last-op-wins per (eid, vt) — the one documented
+  * deviation (the reference applies intra-tx ops sequentially).
+  *
+  * Scale: a batch of plain puts/deletes reduces to a pure `unionByName`
+  * (no shuffle, no driver loop); only valid-RANGE ops and match/cas need
+  * joins against resolved history. In Structured Streaming this is the
+  * `foreachBatch` body with tx_id = batch watermark (SURVEY §2.9).
+  */
+object TxLog {
+
+  val versionSchema: StructType = StructType(Seq(
+    StructField("eid", StringType),
+    StructField("vt", TimestampNTZType),
+    StructField("tt", TimestampNTZType),
+    StructField("tx_id", LongType),
+    StructField("content_hash", StringType),
+    StructField("tombstone", BooleanType)))
+
+  val opSchema: StructType = StructType(Seq(
+    StructField("op", StringType),
+    StructField("eid", StringType),
+    StructField("content_hash", StringType),
+    StructField("start_vt", TimestampNTZType),
+    StructField("end_vt", TimestampNTZType),
+    StructField("at_vt", TimestampNTZType),
+    StructField("expected_hash", StringType),
+    StructField("seq", IntegerType)))
+
+  def emptyState(spark: SparkSession): DataFrame =
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), versionSchema)
+
+  /** Resolved history: latest correction per (eid, vt) — tombstones kept
+    * (they are history entries; only `asOf` hides them). */
+  def resolvedHistory(state: DataFrame): DataFrame =
+    state.groupBy(col("eid"), col("vt"))
+      .agg(max_by(struct(state.columns.map(col): _*), col("tx_id")).as("_r"))
+      .select("_r.*")
+
+  /** Apply one transaction. Returns (newState, aborted). */
+  def applyTx(state: DataFrame, ops: DataFrame, txId: Long,
+      txTime: java.time.LocalDateTime): (DataFrame, Boolean) = {
+    val txTs = lit(txTime)
+    val resolved = resolvedHistory(state).cache()
+    try {
+      // --- match / cas precondition: resolved hash at basis must equal
+      // expected (null-safe; nil==nil matches), tx.clj:100-130
+      val checks = ops.filter(col("op").isin("match", "cas"))
+        .select(col("eid"), coalesce(col("at_vt"), col("start_vt"), txTs).as("basis_vt"),
+          col("expected_hash"))
+      val aborted = if (checks.isEmpty) false else {
+        val visible = checks.as("c")
+          .join(resolved.as("h"), col("c.eid") === col("h.eid") && col("h.vt") <= col("basis_vt"), "left")
+          .groupBy(col("c.eid"), col("basis_vt"), col("expected_hash"))
+          .agg(max_by(col("h.content_hash"), struct(col("h.vt"), col("h.tx_id"))).as("visible_hash"))
+        visible.filter(!(col("expected_hash") <=> col("visible_hash"))).limit(1).count() > 0
+      }
+      if (aborted) return (state, true)
+
+      // --- evict: hard-delete every version of the entity
+      // (tx.clj:135-147, index_store.clj:993-1047)
+      val evictEids = ops.filter(col("op") === "evict").select(col("eid"))
+      val kept = state.join(broadcast(evictEids), Seq("eid"), "left_anti")
+
+      // cas becomes a put at its basis valid-time (no end)
+      val writes = ops.filter(col("op").isin("put", "delete", "cas"))
+        .withColumn("start_vt",
+          when(col("op") === "cas", coalesce(col("at_vt"), col("start_vt"), txTs))
+            .otherwise(coalesce(col("start_vt"), txTs)))
+        .withColumn("content_hash", when(col("op") === "delete", lit(null: String)).otherwise(col("content_hash")))
+        .select(col("eid"), col("content_hash"), col("start_vt"), col("end_vt"), col("seq"))
+
+      val noEnd = writes.filter(col("end_vt").isNull)
+      val withEnd = writes.filter(col("end_vt").isNotNull && col("end_vt") =!= col("start_vt"))
+
+      // --- rows for ops without end-vt (put-delete-etxs, no-end branch):
+      // the start row, plus overwrite of the contiguous future run of
+      // versions identical to the one visible at start-vt
+      val startRowsNoEnd = noEnd.select(col("eid"), col("start_vt").as("vt"), col("content_hash"), col("seq"))
+
+      val futureNoEnd = noEnd.as("w")
+        .join(resolved.as("h"), col("w.eid") === col("h.eid"), "inner")
+        .select(col("w.eid").as("eid"), col("w.start_vt").as("start_vt"),
+          col("w.content_hash").as("new_hash"), col("w.seq").as("seq"),
+          col("h.vt").as("hvt"), col("h.tt").as("htt"), col("h.tx_id").as("htx"),
+          col("h.content_hash").as("hhash"))
+      val visibleAtStart = futureNoEnd.filter(col("hvt") <= col("start_vt"))
+        .groupBy(col("eid"), col("start_vt"), col("seq"))
+        .agg(max_by(struct(col("htt"), col("htx"), col("hhash")), struct(col("hvt"), col("htx"))).as("_v"))
+        .select(col("eid"), col("start_vt"), col("seq"),
+          col("_v.htt").as("vtt"), col("_v.htx").as("vtx"), col("_v.hhash").as("vhash"))
+      val overwriteNoEnd = futureNoEnd.filter(col("hvt") > col("start_vt"))
+        .join(visibleAtStart, Seq("eid", "start_vt", "seq"), "inner")
+        .withColumn("_same",
+          col("htt") <=> col("vtt") && col("htx") <=> col("vtx") && col("hhash") <=> col("vhash"))
+        .withColumn("_stop", min(when(!col("_same"), col("hvt")))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy(col("eid"), col("start_vt"), col("seq"))))
+        .filter(col("_same") && (col("_stop").isNull || col("hvt") < col("_stop")))
+        .select(col("eid"), col("hvt").as("vt"), col("new_hash").as("content_hash"), col("seq"))
+
+      // --- rows for ops with end-vt (put-delete-etxs, end branch):
+      // new content at start plus every existing vt in (start, end), and a
+      // restore row at end-vt copying the version visible there (original
+      // tt/tx_id/hash preserved!), or a tombstone if none existed
+      val startRowsEnd = withEnd.select(col("eid"), col("start_vt").as("vt"), col("content_hash"), col("seq"))
+      val histForEnd = withEnd.as("w")
+        .join(resolved.as("h"), col("w.eid") === col("h.eid"), "left")
+        .select(col("w.eid").as("eid"), col("w.start_vt").as("start_vt"), col("w.end_vt").as("end_vt"),
+          col("w.content_hash").as("new_hash"), col("w.seq").as("seq"),
+          col("h.vt").as("hvt"), col("h.tt").as("htt"), col("h.tx_id").as("htx"),
+          col("h.content_hash").as("hhash"), col("h.tombstone").as("htomb"))
+      val overwriteEnd = histForEnd
+        .filter(col("hvt") > col("start_vt") && col("hvt") < col("end_vt"))
+        .select(col("eid"), col("hvt").as("vt"), col("new_hash").as("content_hash"), col("seq"))
+      val restoreEnd = histForEnd.filter(col("hvt") <= col("end_vt"))
+        .groupBy(col("eid"), col("end_vt"), col("seq"))
+        .agg(max_by(struct(col("htt"), col("htx"), col("hhash"), col("htomb")),
+          struct(col("hvt"), col("htx"))).as("_v"))
+        .select(col("eid"), col("end_vt").as("vt"), col("seq"),
+          col("_v.htt").as("r_tt"), col("_v.htx").as("r_tx"),
+          col("_v.hhash").as("r_hash"), col("_v.htomb").as("r_tomb"))
+      val noRestoreSource = withEnd.join(restoreEnd,
+          withEnd("eid") === restoreEnd("eid") && restoreEnd("vt") === withEnd("end_vt"), "left_anti")
+        .select(col("eid"), col("end_vt").as("vt"), lit(null: String).as("content_hash"), col("seq"))
+
+      // assemble: current-tx rows get (txTime, txId); restore rows keep
+      // their original (tt, tx_id)
+      val curRows = startRowsNoEnd.unionByName(overwriteNoEnd)
+        .unionByName(startRowsEnd).unionByName(overwriteEnd).unionByName(noRestoreSource)
+        .select(col("eid"), col("vt"), txTs.as("tt"), lit(txId).as("tx_id"),
+          col("content_hash"), col("content_hash").isNull.as("tombstone"), col("seq"))
+      val restRows = restoreEnd
+        .select(col("eid"), col("vt"), col("r_tt").as("tt"), col("r_tx").as("tx_id"),
+          col("r_hash").as("content_hash"), col("r_tomb").as("tombstone"), col("seq"))
+
+      // last op in the tx wins per (eid, vt)
+      val newRows = curRows.unionByName(restRows)
+        .groupBy(col("eid"), col("vt"))
+        .agg(max_by(struct(col("tt"), col("tx_id"), col("content_hash"), col("tombstone")), col("seq")).as("_r"))
+        .select(col("eid"), col("vt"), col("_r.tt").as("tt"), col("_r.tx_id").as("tx_id"),
+          col("_r.content_hash").as("content_hash"), col("_r.tombstone").as("tombstone"))
+
+      (kept.unionByName(newRows), false)
+    } finally resolved.unpersist()
+  }
+
+  /** Fold a sequence of txs in order; aborted txs leave state unchanged
+    * (the reference's commit/abort, tx.clj:266-391). Each step is
+    * localCheckpoint-ed so lineage doesn't grow unboundedly across txs. */
+  def applyBatch(state: DataFrame,
+      txs: Seq[(Long, java.time.LocalDateTime, DataFrame)]): DataFrame =
+    txs.foldLeft(state) { case (st, (txId, txTime, ops)) =>
+      val (next, _) = applyTx(st, ops, txId, txTime)
+      next.localCheckpoint(true)
+    }
+}

@@ -1,0 +1,218 @@
+package graft
+
+import java.time.LocalDateTime
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.bitemp.{Bitemp, TxLog}
+
+/** Ports the reference's bitemporal golden corpus —
+  * crux-test/test/crux/tx_test.clj:389-498 `test-put-delete-range-semantics`
+  * (all 10 scenarios) plus match/cas/evict and as-of resolution semantics.
+  */
+class BitempSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def d(s: String): LocalDateTime = LocalDateTime.parse(s + "T00:00:00")
+
+  /** One tx = one op: (value | null=delete, start-vt, end-vt?). */
+  private def runScenario(txs: Seq[(Option[String], String, Option[String])]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val state = txs.zipWithIndex.foldLeft(TxLog.emptyState(spark)) {
+      case (st, ((value, startVt, endVt), idx)) =>
+        val op = Row(
+          if (value.isDefined) "put" else "delete",
+          "ivan", value.orNull, d(startVt), endVt.map(d).orNull, null, null, 0)
+        val ops = spark.createDataFrame(List(op).asJava, TxLog.opSchema)
+        val (next, aborted) = TxLog.applyTx(st, ops, idx.toLong, d("2020-01-01").plusMinutes(idx.toLong))
+        assert(!aborted)
+        next.localCheckpoint(true)
+    }
+    state
+  }
+
+  private def history(state: DataFrame): Seq[(String, Long, Option[String])] =
+    TxLog.resolvedHistory(state).orderBy("vt").collect().toSeq.map { r =>
+      (r.getAs[LocalDateTime]("vt").toLocalDate.toString,
+        r.getAs[Long]("tx_id"), Option(r.getAs[String]("content_hash")))
+    }
+
+  private def check(
+      txs: Seq[(Option[String], String, Option[String])],
+      expected: Seq[(String, Long, Option[String])]): Unit =
+    assert(history(runScenario(txs)) == expected)
+
+  test("put with range writes start and end tombstone") {
+    check(
+      Seq((Some("26"), "2019-11-26", Some("2019-11-29"))),
+      Seq(("2019-11-26", 0L, Some("26")), ("2019-11-29", 0L, None)))
+  }
+
+  test("re-instates the previous value at the end of the range") {
+    check(
+      Seq((Some("25"), "2019-11-25", None), (Some("26"), "2019-11-26", Some("2019-11-29"))),
+      Seq(("2019-11-25", 0L, Some("25")), ("2019-11-26", 1L, Some("26")),
+        ("2019-11-29", 0L, Some("25"))))
+  }
+
+  test("delete a range") {
+    check(
+      Seq((Some("25"), "2019-11-25", None), (None, "2019-11-26", Some("2019-11-29"))),
+      Seq(("2019-11-25", 0L, Some("25")), ("2019-11-26", 1L, None),
+        ("2019-11-29", 0L, Some("25"))))
+  }
+
+  test("override a range") {
+    check(
+      Seq((Some("25"), "2019-11-25", Some("2019-11-27")),
+        (None, "2019-11-25", Some("2019-11-27")),
+        (Some("26"), "2019-11-26", Some("2019-11-29"))),
+      Seq(("2019-11-25", 1L, None), ("2019-11-26", 2L, Some("26")),
+        ("2019-11-27", 2L, Some("26")), ("2019-11-29", 0L, None)))
+  }
+
+  test("merge a range") {
+    check(
+      Seq((Some("25"), "2019-11-25", Some("2019-11-27")),
+        (Some("26"), "2019-11-26", Some("2019-11-29"))),
+      Seq(("2019-11-25", 0L, Some("25")), ("2019-11-26", 1L, Some("26")),
+        ("2019-11-27", 1L, Some("26")), ("2019-11-29", 0L, None)))
+  }
+
+  test("shouldn't override the value at end-vt if there's one there") {
+    check(
+      Seq((Some("25"), "2019-11-25", None), (Some("29"), "2019-11-29", None),
+        (Some("26"), "2019-11-26", Some("2019-11-29"))),
+      Seq(("2019-11-25", 0L, Some("25")), ("2019-11-26", 2L, Some("26")),
+        ("2019-11-29", 1L, Some("29"))))
+  }
+
+  test("should re-instate 28 at the end of the range") {
+    check(
+      Seq((Some("25"), "2019-11-25", None), (Some("28"), "2019-11-28", None),
+        (Some("26"), "2019-11-26", Some("2019-11-29"))),
+      Seq(("2019-11-25", 0L, Some("25")), ("2019-11-26", 2L, Some("26")),
+        ("2019-11-28", 2L, Some("26")), ("2019-11-29", 1L, Some("28"))))
+  }
+
+  test("26.1 should overwrite the full range") {
+    check(
+      Seq((Some("28"), "2019-11-28", None),
+        (Some("26"), "2019-11-26", Some("2019-11-29")),
+        (Some("26.1"), "2019-11-26", None)),
+      Seq(("2019-11-26", 2L, Some("26.1")), ("2019-11-28", 2L, Some("26.1")),
+        ("2019-11-29", 0L, Some("28"))))
+  }
+
+  test("27 should override the latter half of the range") {
+    check(
+      Seq((Some("25"), "2019-11-25", None),
+        (Some("26"), "2019-11-26", Some("2019-11-29")),
+        (Some("27"), "2019-11-27", None)),
+      Seq(("2019-11-25", 0L, Some("25")), ("2019-11-26", 1L, Some("26")),
+        ("2019-11-27", 2L, Some("27")), ("2019-11-29", 0L, Some("25"))))
+  }
+
+  test("27 should still override the latter half of the range") {
+    check(
+      Seq((Some("25"), "2019-11-25", None), (Some("28"), "2019-11-28", None),
+        (Some("26"), "2019-11-26", Some("2019-11-29")),
+        (Some("27"), "2019-11-27", None)),
+      Seq(("2019-11-25", 0L, Some("25")), ("2019-11-26", 2L, Some("26")),
+        ("2019-11-27", 3L, Some("27")), ("2019-11-28", 3L, Some("27")),
+        ("2019-11-29", 1L, Some("28"))))
+  }
+
+  // --- asOf resolution semantics (index_store.clj:746-795) ---
+
+  test("asOf picks latest (vt, tx) <= basis and hides tombstones") {
+    val st = runScenario(Seq(
+      (Some("25"), "2019-11-25", None),
+      (Some("26"), "2019-11-26", None),
+      (None, "2019-11-27", None)))
+    def liveAt(vt: String, tx: Long): Seq[String] =
+      Bitemp.asOf(st, lit(d(vt)), lit(tx)).collect().toSeq.map(_.getAs[String]("content_hash"))
+    assert(liveAt("2019-11-25", 10) == Seq("25"))
+    assert(liveAt("2019-11-26", 10) == Seq("26"))
+    assert(liveAt("2019-11-28", 10) == Seq())          // deleted
+    assert(liveAt("2019-11-28", 1) == Seq("26"))       // tx basis before delete
+    assert(liveAt("2019-11-24", 10) == Seq())          // before any fact
+    assert(liveAt("2019-11-26", 0) == Seq("25"))       // tx basis before correction
+  }
+
+  test("corrections: same vt, later tx wins") {
+    val st = runScenario(Seq(
+      (Some("a"), "2019-11-25", None),
+      (Some("b"), "2019-11-25", None)))
+    val live = Bitemp.asOf(st, lit(d("2019-11-26")), lit(99L))
+      .collect().toSeq.map(_.getAs[String]("content_hash"))
+    assert(live == Seq("b"))
+    // history without corrections collapses to one row per vt
+    assert(history(st) == Seq(("2019-11-25", 1L, Some("b"))))
+  }
+
+  // --- match / cas / evict (tx.clj:100-147) ---
+
+  test("match aborts tx when hash differs, commits when equal") {
+    import scala.jdk.CollectionConverters._
+    val st0 = runScenario(Seq((Some("v1"), "2019-11-25", None)))
+    def tx(ops: Seq[Row], id: Long): (DataFrame, Boolean) =
+      TxLog.applyTx(st0, spark.createDataFrame(ops.asJava, TxLog.opSchema), id, d("2020-02-01"))
+    // match expecting wrong hash + a put => aborted, state unchanged
+    val (st1, aborted1) = tx(Seq(
+      Row("match", "ivan", null, null, null, d("2020-01-15"), "WRONG", 0),
+      Row("put", "ivan", "v2", d("2020-01-15"), null, null, null, 1)), 10L)
+    assert(aborted1 && history(st1) == history(st0))
+    // match expecting the right hash => put lands
+    val (st2, aborted2) = tx(Seq(
+      Row("match", "ivan", null, null, null, d("2020-01-15"), "v1", 0),
+      Row("put", "ivan", "v2", d("2020-01-15"), null, null, null, 1)), 11L)
+    assert(!aborted2)
+    assert(history(st2).contains(("2020-01-15", 11L, Some("v2"))))
+    // match on a non-existent entity expecting nil => passes (nil==nil)
+    val (_, aborted3) = tx(Seq(
+      Row("match", "ghost", null, null, null, d("2020-01-15"), null, 0),
+      Row("put", "ghost", "g1", d("2020-01-15"), null, null, null, 1)), 12L)
+    assert(!aborted3)
+  }
+
+  test("cas puts new value only when current matches expected") {
+    import scala.jdk.CollectionConverters._
+    val st0 = runScenario(Seq((Some("v1"), "2019-11-25", None)))
+    val (st1, ab1) = TxLog.applyTx(st0, spark.createDataFrame(List(
+      Row("cas", "ivan", "v2", null, null, null, "v1", 0)).asJava, TxLog.opSchema),
+      20L, d("2020-02-01"))
+    assert(!ab1)
+    val live = Bitemp.asOf(st1, lit(d("2020-03-01")), lit(99L))
+      .collect().toSeq.map(_.getAs[String]("content_hash"))
+    assert(live == Seq("v2"))
+    val (st2, ab2) = TxLog.applyTx(st0, spark.createDataFrame(List(
+      Row("cas", "ivan", "v3", null, null, null, "NOPE", 0)).asJava, TxLog.opSchema),
+      21L, d("2020-02-01"))
+    assert(ab2 && history(st2) == history(st0))
+  }
+
+  test("evict removes every version of the entity") {
+    import scala.jdk.CollectionConverters._
+    val st0 = runScenario(Seq(
+      (Some("v1"), "2019-11-25", None), (Some("v2"), "2019-11-26", None)))
+    val (st1, _) = TxLog.applyTx(st0, spark.createDataFrame(List(
+      Row("evict", "ivan", null, null, null, null, null, 0)).asJava, TxLog.opSchema),
+      30L, d("2020-02-01"))
+    assert(st1.count() == 0)
+  }
+
+  test("speculative rows are visible only through the forked basis") {
+    import scala.jdk.CollectionConverters._
+    val st = runScenario(Seq((Some("v1"), "2019-11-25", None)))
+    val spec = spark.createDataFrame(List(
+      Row("ivan", d("2019-11-26"), d("2020-06-01"), 100L, "v-spec", false)).asJava,
+      TxLog.versionSchema)
+    val forked = Bitemp.withSpeculative(st, spec)
+    val liveForked = Bitemp.asOf(forked, lit(d("2019-11-27")), lit(100L))
+      .collect().toSeq.map(_.getAs[String]("content_hash"))
+    val liveBase = Bitemp.asOf(st, lit(d("2019-11-27")), lit(100L))
+      .collect().toSeq.map(_.getAs[String]("content_hash"))
+    assert(liveForked == Seq("v-spec") && liveBase == Seq("v1"))
+  }
+}
