@@ -1,0 +1,182 @@
+package graft.datalog
+
+import Edn._
+
+/** Datalog query AST + parser from EDN, mirroring the reference's query spec
+  * (crux-core/src/crux/query.clj:53-166): triple patterns, predicate clauses
+  * (with return bindings), not/not-join, or/or-join, rule invocations,
+  * :find aggregates, :in bindings, :order-by/:limit/:offset, :keys, :rules.
+  */
+object Ast {
+
+  sealed trait Term
+  final case class V(name: String) extends Term           // logic var
+  final case class C(value: Edn.Val) extends Term         // constant
+  case object Blank extends Term                          // _
+
+  sealed trait Binding
+  final case class BindScalar(v: V) extends Binding       // ?x
+  final case class BindColl(v: V) extends Binding         // [?x ...]
+  final case class BindTuple(vs: List[V]) extends Binding // [?x ?y]
+  final case class BindRel(vs: List[V]) extends Binding   // [[?x ?y]]
+
+  sealed trait Clause
+  final case class Triple(e: Term, a: String, v: Term) extends Clause
+  final case class Pred(fn: String, args: List[Term], binding: Option[Binding]) extends Clause
+  final case class GetAttr(e: Term, a: String, default: Option[Edn.Val], binding: Binding) extends Clause
+  final case class Not(joinVars: Option[List[V]], clauses: List[Clause]) extends Clause
+  final case class Or(joinVars: Option[List[V]], branches: List[List[Clause]]) extends Clause
+  final case class RuleCall(name: String, args: List[Term]) extends Clause
+
+  sealed trait FindElem
+  final case class FindVar(v: V) extends FindElem
+  final case class FindAgg(fn: String, n: Option[Long], v: V) extends FindElem
+
+  final case class RuleDef(name: String, args: List[V], clauses: List[Clause])
+
+  final case class InBind(binding: Binding)
+
+  final case class Query(
+      find: List[FindElem],
+      keys: Option[List[String]],
+      where: List[Clause],
+      in: List[InBind],
+      rules: List[RuleDef],
+      orderBy: List[(FindElem, Boolean)], // (elem, ascending)
+      limit: Option[Long],
+      offset: Option[Long])
+
+  def parse(edn: String): Query = fromEdn(Edn.parse(edn))
+
+  def fromEdn(v: Edn.Val): Query = {
+    val entries: List[(Edn.Val, Edn.Val)] = v match {
+      case MapV(es) => es
+      // vector form [:find ... :where ...]; sections may be written either
+      // bracketed (map style, ":where [[e :a v] ...]") or flat
+      // (":where [e :a v] [e :b w]") — disambiguated per section below
+      case Vec(items) =>
+        val buf = scala.collection.mutable.ListBuffer[(Edn.Val, Edn.Val)]()
+        var cur: Option[(Kw, scala.collection.mutable.ListBuffer[Edn.Val])] = None
+        items.foreach {
+          case k: Kw =>
+            cur.foreach { case (kw, vs) => buf += kw -> Vec(vs.toList) }
+            cur = Some((k, scala.collection.mutable.ListBuffer[Edn.Val]()))
+          case item => cur.get._2 += item
+        }
+        cur.foreach { case (kw, vs) => buf += kw -> Vec(vs.toList) }
+        buf.toList.map {
+          case (k @ Kw(kn), Vec(List(single))) if kn == "limit" || kn == "offset" =>
+            (k, single)
+          case (k @ Kw(kn), Vec(List(v2: Vec))) if kn == "find" || kn == "in" ||
+              kn == "rules" || kn == "keys" || kn == "strs" || kn == "syms" =>
+            (k, v2) // bracketed section
+          case (k @ Kw("where"), Vec(List(v2 @ Vec(inner))))
+              if inner.forall { case _: Vec | _: Lst => true; case _ => false } =>
+            (k, v2) // bracketed clause list (a flat clause has sym/kw items)
+          case (k @ Kw("order-by"), Vec(List(v2 @ Vec(inner))))
+              if inner.nonEmpty && inner.forall { case _: Vec => true; case _ => false } =>
+            (k, v2)
+          case kv => kv
+        }
+      case other => throw new IllegalArgumentException(s"bad query form: $other")
+    }
+    val m = entries.map { case (k: Kw, value) => k.name -> value
+                          case (k, _) => throw new IllegalArgumentException(s"non-keyword query key $k") }.toMap
+
+    val find = m.getOrElse("find", throw new IllegalArgumentException("missing :find")) match {
+      case Vec(items) => items.map(parseFindElem)
+      case other => throw new IllegalArgumentException(s"bad :find $other")
+    }
+    val keys = m.get("keys").orElse(m.get("strs")).orElse(m.get("syms")).map {
+      case Vec(items) => items.map { case Sym(n) => n; case Str(n2) => n2; case Kw(n3) => n3
+                                     case o => throw new IllegalArgumentException(s"bad key $o") }
+      case o => throw new IllegalArgumentException(s"bad :keys $o")
+    }
+    val where = m.get("where").map { case Vec(items) => items.map(parseClause); case o => throw new IllegalArgumentException(s"bad :where $o") }.getOrElse(Nil)
+    val in = m.get("in").map { case Vec(items) => items.filter { case Sym("$") => false; case _ => true }.map(i => InBind(parseBinding(i))); case o => throw new IllegalArgumentException(s"bad :in $o") }.getOrElse(Nil)
+    val rules = m.get("rules").map { case Vec(items) => items.map(parseRuleDef); case o => throw new IllegalArgumentException(s"bad :rules $o") }.getOrElse(Nil)
+    val orderBy = m.get("order-by").map {
+      case Vec(items) => items.map {
+        case Vec(List(fe, Kw(dir))) => (parseFindElem(fe), dir == "asc")
+        case Vec(List(fe)) => (parseFindElem(fe), true)
+        case o => throw new IllegalArgumentException(s"bad :order-by elem $o")
+      }
+      case o => throw new IllegalArgumentException(s"bad :order-by $o")
+    }.getOrElse(Nil)
+    val limit = m.get("limit").map { case Lng(n) => n; case o => throw new IllegalArgumentException(s"bad :limit $o") }
+    val offset = m.get("offset").map { case Lng(n) => n; case o => throw new IllegalArgumentException(s"bad :offset $o") }
+    Query(find, keys, where, in, rules, orderBy, limit, offset)
+  }
+
+  def varName(s: String): String = if (s.startsWith("?")) s.drop(1) else s
+
+  private def parseTerm(v: Edn.Val): Term = v match {
+    case Sym("_") => Blank
+    case Sym(n) => V(varName(n))
+    case other => C(other)
+  }
+
+  private def parseFindElem(v: Edn.Val): FindElem = v match {
+    case Sym(n) => FindVar(V(varName(n)))
+    case Lst(List(Sym(fn), Sym(arg))) => FindAgg(fn, None, V(varName(arg)))
+    case Lst(List(Sym(fn), Lng(n), Sym(arg))) => FindAgg(fn, Some(n), V(varName(arg)))
+    case other => throw new IllegalArgumentException(s"unsupported find element $other")
+  }
+
+  private def parseBinding(v: Edn.Val): Binding = v match {
+    case Sym(n) => BindScalar(V(varName(n)))
+    case Vec(List(Sym(n), Sym("..."))) => BindColl(V(varName(n)))
+    case Vec(List(Vec(items))) => BindRel(items.map { case Sym(n) => V(varName(n)); case o => throw new IllegalArgumentException(s"bad rel binding $o") })
+    case Vec(items) => BindTuple(items.map { case Sym(n) => V(varName(n)); case o => throw new IllegalArgumentException(s"bad tuple binding $o") })
+    case other => throw new IllegalArgumentException(s"bad binding $other")
+  }
+
+  def parseClause(v: Edn.Val): Clause = v match {
+    // [e :attr v] triple (2- and 3-element forms; blank v when omitted)
+    case Vec(List(e, Kw(a))) => Triple(parseTerm(e), a, Blank)
+    case Vec(List(e, Kw(a), value)) => Triple(parseTerm(e), a, parseTerm(value))
+    // [(pred args...)] and [(f args...) bind...]
+    case Vec((l: Lst) :: rest) =>
+      l.items match {
+        case Sym("get-attr") :: e :: Kw(a) :: defaultRest =>
+          val binding = rest match {
+            case List(b) => parseBinding(b)
+            case _ => throw new IllegalArgumentException("get-attr needs a binding")
+          }
+          GetAttr(parseTerm(e), a, defaultRest.headOption, binding)
+        case Sym(fn) :: args =>
+          val binding = rest match {
+            case Nil => None
+            case List(b) => Some(parseBinding(b))
+            case o => throw new IllegalArgumentException(s"bad pred binding $o")
+          }
+          Pred(fn, args.map(parseTerm), binding)
+        case o => throw new IllegalArgumentException(s"bad pred clause $o")
+      }
+    case Lst(Sym("not") :: clauses) => Not(None, clauses.map(parseClause))
+    case Lst(Sym("not-join") :: Vec(vars) :: clauses) =>
+      Not(Some(vars.map { case Sym(n) => V(varName(n)); case o => throw new IllegalArgumentException(s"bad not-join var $o") }), clauses.map(parseClause))
+    case Lst(Sym("or") :: branches) => Or(None, branches.map(parseBranch))
+    case Lst(Sym("or-join") :: Vec(vars) :: branches) =>
+      Or(Some(vars.map { case Sym(n) => V(varName(n)); case Vec(_) => throw new IllegalArgumentException("bound or-join vars unsupported"); case o => throw new IllegalArgumentException(s"bad or-join var $o") }),
+        branches.map(parseBranch))
+    case Lst(Sym(rule) :: args) => RuleCall(rule, args.map(parseTerm))
+    case other => throw new IllegalArgumentException(s"unsupported clause $other")
+  }
+
+  private def parseBranch(v: Edn.Val): List[Clause] = v match {
+    case Lst(Sym("and") :: clauses) => clauses.map(parseClause)
+    case other => List(parseClause(other))
+  }
+
+  private def parseRuleDef(v: Edn.Val): RuleDef = v match {
+    case Vec(Lst(Sym(name) :: args) :: clauses) =>
+      val argVars = args.flatMap {
+        case Sym(n) => List(V(varName(n)))
+        case Vec(bound) => bound.map { case Sym(n) => V(varName(n)); case o => throw new IllegalArgumentException(s"bad rule arg $o") }
+        case o => throw new IllegalArgumentException(s"bad rule arg $o")
+      }
+      RuleDef(name, argVars, clauses.map(parseClause))
+    case other => throw new IllegalArgumentException(s"bad rule def $other")
+  }
+}

@@ -1,0 +1,103 @@
+package graft.datalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.ArrayType
+
+/** Where triple patterns get their rows. Two shapes, mirroring SURVEY §1.2's
+  * mapping decision:
+  *
+  *  - [[QuadSource]]: a schemaless EAV quad table (e, a, v_str/v_num/...)
+  *    with a per-attribute type registry — the reference's content indexes
+  *    (crux-core/src/crux/kv/index_store.clj:936-963) as a DataFrame.
+  *  - [[TableSource]]: schema-per-table parquet (crux-sql style,
+  *    crux-sql/src/crux/calcite.clj:456-465): attribute = column, entity =
+  *    row. `entityScan` serves N attributes of one entity var from a single
+  *    scan — the scale-critical path (no self-joins per attribute).
+  *
+  * Multi-valued (array) columns are exploded to one row per element,
+  * matching the reference's index semantics (codec.clj:822-828).
+  */
+trait FactSource {
+  def attrs: Set[String]
+  /** DataFrame with columns (eid, value) for one attribute. */
+  def attr(a: String): DataFrame
+  /** Single-scan multi-attribute entity projection: (eid, a1..an), arrays
+    * exploded. None if this source can't (planner falls back to joins). */
+  def entityScan(as: Seq[String]): Option[DataFrame] = None
+}
+
+/** Quad-table source. `df` columns: e plus one value column per type family
+  * (any subset of: v_str, v_num, v_dbl, v_ts, v_bool). `attrTypes` names
+  * each attribute's value column. */
+final class QuadSource(df: DataFrame, attrTypes: Map[String, String]) extends FactSource {
+  def attrs: Set[String] = attrTypes.keySet
+  def attr(a: String): DataFrame = {
+    val vcol = attrTypes.getOrElse(a, throw new IllegalArgumentException(s"unknown attribute :$a"))
+    df.filter(col("a") === a).select(col("e").as("eid"), col(vcol).as("value"))
+      .filter(col("value").isNotNull)
+  }
+}
+
+/** Typed-table source over the parquet catalog: one table per "document
+  * type", attribute = column name (unique across tables in TPC-H style). */
+final class TableSource(spark: SparkSession, load: String => DataFrame,
+    tables: Map[String, TableSpec]) extends FactSource {
+
+  private val attrToTable: Map[String, String] =
+    tables.flatMap { case (t, spec) => spec.cols.map(_ -> t) }
+
+  def attrs: Set[String] = attrToTable.keySet
+
+  def attr(a: String): DataFrame = {
+    val df = tableFor(a)
+    explodeArrays(df.select(col("_eid").as("eid"), col(a).as("value")), Seq("value"))
+      .filter(col("value").isNotNull)
+  }
+
+  override def entityScan(as: Seq[String]): Option[DataFrame] = {
+    val ts = as.map(attrToTable.get).distinct
+    if (ts.size != 1 || ts.head.isEmpty) None
+    else {
+      val df = tableFor(as.head)
+      val sel = df.select((col("_eid").as("eid") +: as.distinct.map(col)): _*)
+      Some(explodeArrays(sel, as.distinct))
+    }
+  }
+
+  private def tableFor(a: String): DataFrame = {
+    val t = attrToTable.getOrElse(a, throw new IllegalArgumentException(s"unknown attribute :$a"))
+    val spec = tables(t)
+    val df = load(t)
+    df.withColumn("_eid", spec.key.map(col).reduceLeft((x, y) => concat(x.cast("string"), lit("|"), y.cast("string"))))
+  }
+
+  private def explodeArrays(df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.foldLeft(df) { (d, c) =>
+      d.schema(c).dataType match {
+        case _: ArrayType => d.withColumn(c, explode(col(c)))
+        case _ => d
+      }
+    }
+}
+
+final case class TableSpec(key: Seq[String], cols: Set[String])
+
+object TableSource {
+  /** Catalog for the driver's TPC-H-ish parquet tables (FIXTURES.md §1). */
+  def tpch(spark: SparkSession, dir: String): TableSource = {
+    val specs = Map(
+      "region" -> TableSpec(Seq("r_regionkey"), Set("r_regionkey", "r_name")),
+      "nation" -> TableSpec(Seq("n_nationkey"), Set("n_nationkey", "n_name", "n_regionkey")),
+      "customer" -> TableSpec(Seq("c_custkey"), Set("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")),
+      "supplier" -> TableSpec(Seq("s_suppkey"), Set("s_suppkey", "s_name", "s_nationkey", "s_acctbal")),
+      "part" -> TableSpec(Seq("p_partkey"), Set("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")),
+      "orders" -> TableSpec(Seq("o_orderkey"), Set("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")),
+      "lineitem" -> TableSpec(Seq("l_orderkey", "l_linenumber"),
+        Set("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity", "l_extendedprice",
+          "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate")),
+      "documents" -> TableSpec(Seq("doc_id"), Set("doc_id", "text", "lang", "source", "n_chars")),
+      "events" -> TableSpec(Seq("event_id"), Set("event_id", "ts", "user_id", "event_type", "value", "props")))
+    new TableSource(spark, name => graft.sources.Tables.load(spark, dir, name), specs)
+  }
+}

@@ -1,0 +1,565 @@
+package graft.datalog
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Ast._
+
+/** Datalog → DataFrame planner (SURVEY §3.1 steps 2-3 re-imagined for
+  * Catalyst; §7.1 module 4).
+  *
+  * Design:
+  *  - A *relation* is a DataFrame whose columns are logic-var names.
+  *  - Triple clauses are grouped by entity var; each group becomes ONE
+  *    entity scan when the source supports it (TableSource) — N attributes
+  *    of a var cost one parquet scan, not N self-joins. This replaces the
+  *    reference's leapfrog join (crux-core/src/crux/index.clj:188-252) with
+  *    equi-join DAGs that Catalyst/AQE reorders (SURVEY §2.3: "delegated to
+  *    Catalyst CBO/AQE").
+  *  - not → left_anti, or → union-distinct relation (≡ semi-join once the
+  *    join vars are bound), preds → filters/withColumns, rules → naive
+  *    fixpoint with localCheckpoint per iteration (SURVEY §4: driver-side
+  *    recursion, not a Catalyst Rule).
+  *  - Result semantics follow crux-core/src/crux/query.clj:1715-1726, 1783:
+  *    aggregate → order-by → offset → limit → project; set-dedup unless
+  *    ordered/limited; aggregation groups over DISTINCT full var tuples.
+  */
+object Planner {
+
+  final case class Rel(df: DataFrame, distinctSure: Boolean) {
+    def vars: Set[String] = df.columns.toSet
+  }
+
+  def q(spark: SparkSession, source: FactSource, query: String, args: Any*): DataFrame =
+    qAst(spark, source, Ast.parse(query), args: _*)
+
+  def qAst(spark: SparkSession, source: FactSource, query: Query, args: Any*): DataFrame = {
+    val p = new Planner(spark, source, query.rules.groupBy(_.name))
+    val inRels = query.in.zip(args).map { case (InBind(b), arg) => p.inRel(b, arg) }
+    val joined = p.planConjunction(query.where, inRels.toList)
+    p.finalize(query, joined)
+  }
+
+  private val aggDefault: Set[String] = Set(
+    "count", "count-distinct", "sum", "avg", "median", "variance", "stddev",
+    "distinct", "min", "max", "rand", "sample")
+  def isAggFn(fn: String): Boolean = aggDefault.contains(fn)
+}
+
+private final class Planner(spark: SparkSession, source: FactSource,
+    rules: Map[String, List[RuleDef]]) {
+  import Planner._
+
+  private var gensymCounter = 0
+  private def gensym(base: String): String = { gensymCounter += 1; s"${base}__$gensymCounter" }
+
+  // ---------------------------------------------------------------- literals
+
+  private def litOf(v: Edn.Val): Column = v match {
+    case Edn.Str(s) => lit(s)
+    case Edn.Lng(l) => lit(l)
+    case Edn.Dbl(d) => lit(d)
+    case Edn.Bool(b) => lit(b)
+    case Edn.Kw(n) => lit(":" + n) // canonical keyword form (SURVEY §1.2)
+    case Edn.Inst(t) => lit(t)
+    case Edn.NilV => lit(null)
+    case other => throw new IllegalArgumentException(s"unsupported literal $other")
+  }
+
+  private def scalaVal(v: Edn.Val): Any = v match {
+    case Edn.Str(s) => s
+    case Edn.Lng(l) => l
+    case Edn.Dbl(d) => d
+    case Edn.Bool(b) => b
+    case Edn.Kw(n) => ":" + n
+    case Edn.Inst(t) => t
+    case Edn.NilV => null
+    case other => throw new IllegalArgumentException(s"unsupported literal $other")
+  }
+
+  private def sparkTypeOf(x: Any): DataType = x match {
+    case _: String => StringType
+    case _: Long | _: Int => LongType
+    case _: Double | _: Float => DoubleType
+    case _: Boolean => BooleanType
+    case _: java.time.LocalDateTime => TimestampNTZType
+    case _: java.sql.Timestamp => TimestampType
+    case null => StringType
+    case other => throw new IllegalArgumentException(s"unsupported arg type ${other.getClass}")
+  }
+
+  private def norm(x: Any): Any = x match {
+    case i: Int => i.toLong
+    case f: Float => f.toDouble
+    case v: Edn.Val => scalaVal(v)
+    case other => other
+  }
+
+  def litDf(cols: Seq[String], rows: Seq[Seq[Any]]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val normed = rows.map(_.map(norm))
+    val fields = cols.zipWithIndex.map { case (c, i) =>
+      val sample = normed.iterator.map(_(i)).find(_ != null).getOrElse(null)
+      StructField(c, sparkTypeOf(sample), nullable = true)
+    }
+    spark.createDataFrame(normed.map(r => Row(r: _*)).asJava, StructType(fields))
+  }
+
+  def inRel(b: Binding, arg: Any): Rel = b match {
+    case BindScalar(v) => Rel(litDf(Seq(v.name), Seq(Seq(arg))), distinctSure = true)
+    case BindColl(v) =>
+      Rel(litDf(Seq(v.name), arg.asInstanceOf[Seq[Any]].map(Seq(_))).distinct(), distinctSure = true)
+    case BindTuple(vs) =>
+      Rel(litDf(vs.map(_.name), Seq(arg.asInstanceOf[Seq[Any]])), distinctSure = true)
+    case BindRel(vs) =>
+      Rel(litDf(vs.map(_.name), arg.asInstanceOf[Seq[Seq[Any]]]).distinct(), distinctSure = true)
+  }
+
+  // ------------------------------------------------------------ triple scans
+
+  /** Group triples by entity term; one relation per group. */
+  private def tripleRels(triples: List[Triple]): List[Rel] = {
+    val byEntity = triples.zipWithIndex.groupBy(_._1.e)
+    byEntity.toList.sortBy(_._2.head._2).map { case (eTerm, withIdx) =>
+      val group = withIdx.map(_._1)
+      entityRel(eTerm, group)
+    }
+  }
+
+  private def entityRel(e: Term, group: List[Triple]): Rel = {
+    val attrs = group.map(_.a)
+    source.entityScan(attrs) match {
+      case Some(scan) => projectEntityScan(e, group, scan)
+      case None =>
+        // fall back: join per-attribute frames on eid
+        val parts = group.map { t =>
+          val df = source.attr(t.a)
+          (t, df)
+        }
+        val joined = parts.map { case (t, df) =>
+          df.select(col("eid"), col("value").as(gensym(t.a)))
+        }.zip(parts.map(_._1)) match {
+          case (first, _) :: rest =>
+            rest.foldLeft(first) { case (acc, (df, _)) => acc.join(df, "eid") }
+          case Nil => throw new IllegalStateException("empty triple group")
+        }
+        // joined has eid + one gensym col per clause, in group order
+        val renamed = joined.columns.toSeq.drop(1).zip(group)
+        bindValueCols(e, renamed, joined)
+    }
+  }
+
+  /** Entity scan: one column per attribute; bind clause terms to columns. */
+  private def projectEntityScan(e: Term, group: List[Triple], scan: DataFrame): Rel = {
+    // duplicate same-attr clauses share the single scan column
+    var df = scan
+    val colFor = scala.collection.mutable.Map[String, String]() // attr -> temp col
+    val pairs = group.map { t =>
+      val tmp = colFor.getOrElseUpdate(t.a, {
+        val g = gensym(t.a); df = df.withColumn(g, col(t.a)); g
+      })
+      (tmp, t)
+    }
+    df = df.select((col("eid") +: pairs.map(_._1).distinct.map(col)): _*)
+    bindValueCols(e, pairs.map { case (c2, t) => (c2, t) }, df)
+  }
+
+  /** Shared binding of (tempCol, clause) pairs: literals filter, vars
+    * rename (with unification when a var appears twice), blanks require
+    * presence. Returns the projected relation. */
+  private def bindValueCols(e: Term, pairs: Seq[(String, Triple)], df0: DataFrame): Rel = {
+    var df = df0
+    val keep = scala.collection.mutable.LinkedHashMap[String, String]() // out col -> source col
+    e match {
+      case V(n) => keep(n) = "eid"
+      case C(value) => df = df.filter(col("eid") === litOf(value))
+      case Blank => ()
+    }
+    pairs.foreach { case (tmp, t) =>
+      t.v match {
+        case V(n) if keep.contains(n) => // unification [e :a v][e :b v] or [e :a e]
+          df = df.filter(col(keep(n)) === col(tmp))
+        case V(n) => keep(n) = tmp
+        case C(value) => df = df.filter(col(tmp) === litOf(value))
+        case Blank => df = df.filter(col(tmp).isNotNull)
+      }
+    }
+    val outCols = keep.toSeq.map { case (out, src) => col(src).as(out) }
+    val out =
+      if (outCols.isEmpty) df.select(lit(1).as(gensym("dummy"))).limit(1)
+      else df.select(outCols: _*)
+    // one row per entity scan with eid kept => tuples already distinct;
+    // exploded arrays or dropped eid lose that guarantee
+    val hasEid = e match { case V(_) => true; case _ => false }
+    Rel(out, distinctSure = hasEid)
+  }
+
+  // ------------------------------------------------------------ conjunction
+
+  def planConjunction(clauses: List[Clause], seed: List[Rel]): Rel = {
+    val triples = clauses.collect { case t: Triple => t }
+    val preds = clauses.collect { case p: Pred => p }
+    val getattrs = clauses.collect { case g: GetAttr => g }
+    val nots = clauses.collect { case n: Not => n }
+    val ors = clauses.collect { case o: Or => o }
+    val ruleCalls = clauses.collect { case r: RuleCall => r }
+
+    var rels: List[Rel] = seed ++ tripleRels(triples) ++
+      ors.map(planOr) ++ ruleCalls.map(planRuleCall)
+    require(rels.nonEmpty, "nothing to join (no data clauses)")
+
+    // merge: prefer pairs sharing vars; cross join only when disconnected
+    var current = rels.head
+    var rest = rels.tail
+    var pendingPreds = preds
+    var pendingGetattrs = getattrs
+    while (rest.nonEmpty) {
+      val (sharing, other) = rest.partition(r => (r.vars & current.vars).nonEmpty)
+      val next = if (sharing.nonEmpty) sharing.head else other.head
+      val shared = (next.vars & current.vars).toSeq
+      val joinedDf =
+        if (shared.nonEmpty) current.df.join(next.df, shared)
+        else current.df.crossJoin(next.df)
+      current = Rel(joinedDf, current.distinctSure && next.distinctSure && shared.nonEmpty)
+      rest = (if (sharing.nonEmpty) sharing.tail ++ other else other.tail)
+      // apply any predicates/get-attrs that have just become applicable —
+      // keeps filters close to the scans for pushdown
+      val (ready, notReady) = pendingPreds.partition(p => predVars(p).subsetOf(current.vars))
+      ready.foreach { p => current = applyPred(current, p) }
+      pendingPreds = notReady
+      val (gaReady, gaNot) = pendingGetattrs.partition(g => termVars(g.e).subsetOf(current.vars))
+      gaReady.foreach { g => current = applyGetAttr(current, g) }
+      pendingGetattrs = gaNot
+    }
+    // fixpoint for preds with binding-dependencies
+    var remaining = pendingPreds
+    var progress = true
+    while (remaining.nonEmpty && progress) {
+      val (ready, notReady) = remaining.partition(p => predVars(p).subsetOf(current.vars))
+      progress = ready.nonEmpty
+      ready.foreach { p => current = applyPred(current, p) }
+      remaining = notReady
+    }
+    require(remaining.isEmpty, s"unresolvable predicate args: $remaining")
+    pendingGetattrs.foreach { g => current = applyGetAttr(current, g) }
+
+    nots.foreach { n => current = applyNot(current, n) }
+    current
+  }
+
+  private def termVars(t: Term): Set[String] = t match {
+    case V(n) => Set(n); case _ => Set.empty
+  }
+  private def predVars(p: Pred): Set[String] = p.args.flatMap(termVars).toSet
+
+  // ------------------------------------------------------------- predicates
+
+  private def argCol(rel: Rel, t: Term): Column = t match {
+    case V(n) =>
+      require(rel.vars.contains(n), s"unbound var $n in predicate")
+      col(n)
+    case C(v) => litOf(v)
+    case Blank => throw new IllegalArgumentException("_ not allowed in predicate args")
+  }
+
+  private def applyPred(rel: Rel, p: Pred): Rel = {
+    // regex preds need the pattern as a Scala string (literal-only)
+    (p.fn, p.binding) match {
+      case ("re-find" | "re-matches", None) =>
+        val pat = p.args.head match {
+          case C(Edn.Str(s)) => s
+          case o => throw new IllegalArgumentException(s"regex pattern must be a string literal, got $o")
+        }
+        val target = argCol(rel, p.args(1))
+        val rx = if (p.fn == "re-matches") "^(?:" + pat + ")$" else pat
+        return Rel(rel.df.filter(target.rlike(rx)), rel.distinctSure)
+      case _ => ()
+    }
+    val args = p.args.map(argCol(rel, _))
+    p.binding match {
+      case None =>
+        Rel(rel.df.filter(predicateCol(p.fn, args)), rel.distinctSure)
+      case Some(BindScalar(v)) =>
+        Rel(rel.df.withColumn(v.name, functionCol(p.fn, args)), rel.distinctSure)
+      case Some(BindTuple(vs)) =>
+        val s = functionCol(p.fn, args) // struct-returning fn
+        val df = vs.zipWithIndex.foldLeft(rel.df) { case (d, (vv, i)) =>
+          d.withColumn(vv.name, s.getField(s"col$i"))
+        }
+        Rel(df, rel.distinctSure)
+      case Some(BindColl(v)) =>
+        Rel(rel.df.withColumn(v.name, explode(functionCol(p.fn, args))), distinctSure = false)
+      case Some(BindRel(_)) =>
+        throw new IllegalArgumentException("relation-returning predicates unsupported")
+    }
+  }
+
+  private def applyGetAttr(rel: Rel, g: GetAttr): Rel = {
+    // (get-attr e :a default?) — per-entity attribute lookup without a join
+    // level (query.clj:954-971); left join + coalesce here
+    val eCol = g.e match {
+      case V(n) => n
+      case _ => throw new IllegalArgumentException("get-attr needs an entity var")
+    }
+    val bindVar = g.binding match {
+      case BindScalar(v) => v.name
+      case BindColl(v) => v.name
+      case o => throw new IllegalArgumentException(s"bad get-attr binding $o")
+    }
+    val attrDf = source.attr(g.a).select(col("eid").as(eCol), col("value").as(bindVar))
+    g.default match {
+      case None => Rel(rel.df.join(attrDf, Seq(eCol), "inner"), distinctSure = false)
+      case Some(d) =>
+        val joined = rel.df.join(attrDf, Seq(eCol), "left")
+          .withColumn(bindVar, coalesce(col(bindVar), litOf(d)))
+        Rel(joined, distinctSure = false)
+    }
+  }
+
+  /** Predicate in filter position: false/nil drops the row. */
+  private def predicateCol(fn: String, args: Seq[Column]): Column = fn match {
+    case "=" | "==" => args.reduceLeft(_ === _)
+    case "!=" | "not=" => args.head =!= args(1)
+    case "<" => args.head < args(1)
+    case "<=" => args.head <= args(1)
+    case ">" => args.head > args(1)
+    case ">=" => args.head >= args(1)
+    case "even?" => args.head % 2 === 0
+    case "odd?" => args.head % 2 =!= 0
+    case "nil?" => args.head.isNull
+    case "some?" => args.head.isNotNull
+    case "zero?" => args.head === 0
+    case "pos?" => args.head > 0
+    case "neg?" => args.head < 0
+    case "starts-with?" => args.head.startsWith(args(1))
+    case "ends-with?" => args.head.endsWith(args(1))
+    case "includes?" => args.head.contains(args(1))
+    case "contains?" => array_contains(args.head, args(1))
+    case "boolean" => args.head.cast(BooleanType)
+    case other =>
+      // value-returning fn in filter position: truthy = not null/false
+      val c = functionCol(other, args)
+      c.isNotNull && (c =!= lit(false))
+  }
+
+  /** Value-returning function (predicate with return binding). */
+  private def functionCol(fn: String, args: Seq[Column]): Column = fn match {
+    case "+" => args.reduceLeft(_ + _)
+    case "-" => if (args.size == 1) -args.head else args.reduceLeft(_ - _)
+    case "*" => args.reduceLeft(_ * _)
+    case "/" => args.reduceLeft(_ / _)
+    case "quot" => (args.head / args(1)).cast(LongType)
+    case "rem" => args.head % args(1)
+    case "mod" => pmod(args.head, args(1))
+    case "inc" => args.head + 1
+    case "dec" => args.head - 1
+    case "min" => least(args: _*)
+    case "max" => greatest(args: _*)
+    case "abs" => abs(args.head)
+    case "str" => concat(args.map(_.cast(StringType)): _*)
+    case "subs" =>
+      if (args.size == 2) args.head.substr(args(1) + 1, length(args.head))
+      else args.head.substr(args(1) + 1, args(2) - args(1))
+    case "count" => length(args.head)
+    case "lower-case" => lower(args.head)
+    case "upper-case" => upper(args.head)
+    case "trim" => trim(args.head)
+    case "identity" => args.head
+    case "keyword" => concat(lit(":"), args.head.cast(StringType))
+    case "name" => regexp_replace(args.head.cast(StringType), "^:([^/]+/)?", "")
+    case "get" => element_at(args.head, args(1) + 1)
+    case "range" => sequence(args.head, args(1) - 1) // [start, end)
+    case other => throw new IllegalArgumentException(s"unsupported function $other")
+  }
+
+  // ----------------------------------------------------------------- not/or
+
+  private def applyNot(rel: Rel, n: Not): Rel = {
+    val sub = planConjunction(n.clauses, Nil)
+    val joinVars = n.joinVars.map(_.map(_.name).toSet)
+      .getOrElse(sub.vars & rel.vars)
+    require(joinVars.nonEmpty, "not-clause shares no vars with the outer query")
+    val subProj = sub.df.select(joinVars.toSeq.map(col): _*)
+    Rel(rel.df.join(subProj, joinVars.toSeq, "left_anti"), rel.distinctSure)
+  }
+
+  private def planOr(o: Or): Rel = {
+    val branchRels = o.branches.map(b => planConjunction(b, Nil))
+    val exportVars = o.joinVars.map(_.map(_.name))
+      .getOrElse {
+        val common = branchRels.map(_.vars).reduce(_ & _)
+        require(common.nonEmpty, "or-branches share no vars")
+        common.toSeq.sorted
+      }
+    val unioned = branchRels.map(_.df.select(exportVars.map(col): _*))
+      .reduce(_ unionByName _)
+      .distinct()
+    Rel(unioned, distinctSure = true)
+  }
+
+  // ------------------------------------------------------------------ rules
+
+  private val ruleCache = scala.collection.mutable.Map[String, Rel]()
+
+  private def planRuleCall(rc: RuleCall): Rel = {
+    val ruleRel = ruleCache.getOrElseUpdate(rc.name, planRule(rc.name))
+    val defs = rules(rc.name)
+    val argNames = defs.head.args.map(_.name)
+    require(rc.args.size == argNames.size, s"arity mismatch calling rule ${rc.name}")
+    var df = ruleRel.df
+    val keep = scala.collection.mutable.LinkedHashMap[String, String]()
+    rc.args.zip(argNames).foreach { case (term, argN) =>
+      term match {
+        case V(n) if keep.valuesIterator.contains(n) => ()
+        case V(n) => keep(argN) = n
+        case C(v) => df = df.filter(col(argN) === litOf(v))
+        case Blank => ()
+      }
+    }
+    val out = df.select(keep.toSeq.map { case (src, dst) => col(src).as(dst) }: _*)
+    Rel(out, distinctSure = false)
+  }
+
+  /** Naive fixpoint evaluation of a (possibly self-recursive) rule: start
+    * from the non-recursive branches, re-derive until no new tuples
+    * (recursion guard semantics of query.clj:1079-1086 — but as a driver
+    * loop, SURVEY §4). */
+  private def planRule(name: String): Rel = {
+    val defs = rules.getOrElse(name, throw new IllegalArgumentException(s"unknown rule $name"))
+    val argNames = defs.head.args.map(_.name)
+    require(defs.forall(_.args.map(_.name) == argNames) || defs.forall(_.args.size == argNames.size),
+      s"rule $name: inconsistent arity")
+
+    def isRecursive(cs: List[Clause]): Boolean = cs.exists {
+      case RuleCall(`name`, _) => true
+      case Not(_, sub) => isRecursive(sub)
+      case Or(_, bs) => bs.exists(isRecursive)
+      case _ => false
+    }
+
+    def planBranch(d: RuleDef, recRel: Option[Rel]): Rel = {
+      // α-rename: map def arg vars -> canonical arg names, internals -> fresh
+      val suffix = gensym("r")
+      val argMap = d.args.map(_.name).zip(argNames).toMap
+      def rn(n: String): String = argMap.getOrElse(n, s"${n}__$suffix")
+      def rnTerm(t: Term): Term = t match { case V(n) => V(rn(n)); case o => o }
+      def rnClause(c: Clause): Clause = c match {
+        case Triple(e, a, v) => Triple(rnTerm(e), a, rnTerm(v))
+        case Pred(fn, as, b) => Pred(fn, as.map(rnTerm), b.map(rnBinding))
+        case GetAttr(e, a, dflt, b) => GetAttr(rnTerm(e), a, dflt, rnBinding(b))
+        case Not(jv, cs) => Not(jv.map(_.map(v => V(rn(v.name)))), cs.map(rnClause))
+        case Or(jv, bs) => Or(jv.map(_.map(v => V(rn(v.name)))), bs.map(_.map(rnClause)))
+        case RuleCall(rname, as) => RuleCall(rname, as.map(rnTerm))
+      }
+      def rnBinding(b: Binding): Binding = b match {
+        case BindScalar(v) => BindScalar(V(rn(v.name)))
+        case BindColl(v) => BindColl(V(rn(v.name)))
+        case BindTuple(vs) => BindTuple(vs.map(v => V(rn(v.name))))
+        case BindRel(vs) => BindRel(vs.map(v => V(rn(v.name))))
+      }
+      val renamed = d.clauses.map(rnClause)
+      // replace self-recursive calls with the current iterate
+      val (selfCalls, others) = renamed.partition {
+        case RuleCall(`name`, _) => true; case _ => false
+      }
+      val seedRels = selfCalls.map {
+        case RuleCall(_, as) =>
+          val r = recRel.getOrElse(throw new IllegalStateException("recursive call without iterate"))
+          var df = r.df
+          val keep = scala.collection.mutable.LinkedHashMap[String, String]()
+          as.zip(argNames).foreach { case (term, argN) =>
+            term match {
+              case V(n) => keep(argN) = n
+              case C(v) => df = df.filter(col(argN) === litOf(v))
+              case Blank => ()
+            }
+          }
+          Rel(df.select(keep.toSeq.map { case (s, dst) => col(s).as(dst) }: _*), distinctSure = false)
+        case _ => throw new IllegalStateException("unreachable")
+      }
+      val body = planConjunction(others, seedRels)
+      Rel(body.df.select(argNames.map(col): _*), distinctSure = false)
+    }
+
+    val (recDefs, baseDefs) = defs.partition(d => isRecursive(d.clauses))
+    require(baseDefs.nonEmpty, s"rule $name has no non-recursive branch")
+    var acc = baseDefs.map(planBranch(_, None)).map(_.df).reduce(_ unionByName _)
+      .distinct().localCheckpoint(true)
+    if (recDefs.nonEmpty) {
+      var lastCount = acc.count()
+      var grew = true
+      while (grew) {
+        val rec = recDefs.map(planBranch(_, Some(Rel(acc, distinctSure = true))))
+          .map(_.df).reduce(_ unionByName _)
+        val next = acc.unionByName(rec).distinct().localCheckpoint(true)
+        val n = next.count()
+        grew = n > lastCount
+        lastCount = n
+        acc = next
+      }
+    }
+    Rel(acc, distinctSure = true)
+  }
+
+  // -------------------------------------------------------------- finalize
+
+  def finalize(query: Query, joined: Rel): DataFrame = {
+    val aggs = query.find.collect { case a: FindAgg => a }
+    val vars = query.find.collect { case v: FindVar => v }
+
+    def outName(fe: FindElem): String = fe match {
+      case FindVar(v) => v.name
+      case FindAgg(fn, n, v) =>
+        (fn + n.map("_" + _).getOrElse("") + "_" + v.name).replace('-', '_')
+    }
+
+    var df = joined.df
+    if (aggs.nonEmpty) {
+      // aggregation over DISTINCT full var tuples (the reference's layered
+      // join enumerates distinct tuples; query.clj:1612-1643 folds them)
+      if (!joined.distinctSure) df = df.distinct()
+      val groupCols = vars.map(_.v.name).map(col)
+      val aggCols = aggs.map(a => aggCol(a).as(outName(a)))
+      df = (if (groupCols.isEmpty) df.groupBy() else df.groupBy(groupCols: _*))
+        .agg(aggCols.head, aggCols.tail: _*)
+      df = df.select(query.find.map(fe => col(outName(fe))): _*)
+    } else {
+      df = df.select(query.find.map(fe => col(outName(fe))): _*)
+      // set semantics unless ordered/limited (query.clj:1783)
+      if (query.orderBy.isEmpty && query.limit.isEmpty && query.offset.isEmpty)
+        df = df.distinct()
+    }
+    if (query.orderBy.nonEmpty) {
+      val sortCols = query.orderBy.map { case (fe, asc) =>
+        if (asc) col(outName(fe)).asc else col(outName(fe)).desc
+      }
+      df = df.orderBy(sortCols: _*)
+    }
+    query.offset.foreach(n => df = df.offset(n.toInt))
+    query.limit.foreach(n => df = df.limit(n.toInt))
+    query.keys.foreach(ks => df = df.toDF(ks: _*))
+    df
+  }
+
+  /** Aggregate registry (SURVEY §2.4, crux-core/src/crux/query.clj:275-408). */
+  private def aggCol(a: FindAgg): Column = {
+    val c = col(a.v.name)
+    (a.fn, a.n) match {
+      case ("count", None) => count(c)
+      case ("count-distinct", None) => countDistinct(c)
+      case ("sum", None) => sum(c)
+      case ("avg", None) => avg(c) // ratio→double (query.clj:279-282)
+      case ("median", None) => median(c) // exact, interpolating (query.clj:311-322)
+      case ("variance", None) => var_pop(c) // population /n (query.clj:324-335)
+      case ("stddev", None) => stddev_pop(c)
+      case ("distinct", None) => array_sort(collect_set(c))
+      case ("min", None) => min(c)
+      case ("max", None) => max(c)
+      case ("min", Some(n)) => slice(array_sort(collect_set(c)), 1, n.toInt)
+      case ("max", Some(n)) => slice(reverse(array_sort(collect_set(c))), 1, n.toInt)
+      case ("rand", Some(n)) => slice(shuffle(collect_list(c)), 1, n.toInt)
+      case ("sample", Some(n)) => slice(shuffle(collect_set(c)), 1, n.toInt)
+      case (fn, n) => throw new IllegalArgumentException(s"unsupported aggregate ($fn $n)")
+    }
+  }
+}

@@ -1,0 +1,164 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.datalog.{Planner, TableSource}
+
+/** Correctness-gate queries for the Datalog surface (SURVEY §2.2/§2.3/§2.4/
+  * §2.6): each runs an EDN Datalog query through the planner against the
+  * typed TableSource and must hash-match the DuckDB SQL in [[DatalogSql]].
+  *
+  * Aggregate choice note: sums/avgs here run over integral-valued doubles
+  * (l_quantity) or exact types — order-independent in IEEE arithmetic — so
+  * no decimal bridging is needed for oracle parity.
+  */
+object DatalogQueries {
+
+  private def dl(q: String, args: Any*)(s: SparkSession, dir: String): DataFrame =
+    Planner.q(s, TableSource.tpch(s, dir), q, args: _*)
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // scan + range preds + computed binding + agg (TPC-H Q6 as Datalog,
+    // the reference's minimum end-to-end slice, fixtures/tpch.clj:243-254)
+    "dl_q6_shape" -> dl("""
+      {:find [(count ?l) (sum ?q)]
+       :keys [n sum_qty]
+       :where [[?l :l_shipdate ?sd] [?l :l_discount ?d]
+               [?l :l_quantity ?q] [?l :l_extendedprice ?p]
+               [(>= ?sd #inst "1997-01-01")] [(< ?sd #inst "1998-01-01")]
+               [(>= ?d 0.05)] [(<= ?d 0.07)] [(< ?q 24)]]}""") _,
+
+    // multi-hop value joins across four entity vars + implicit grouping
+    "dl_join_regions" -> dl("""
+      {:find [?rname (count ?c)]
+       :keys [r_name numcust]
+       :where [[?c :c_nationkey ?nk] [?n :n_nationkey ?nk]
+               [?n :n_regionkey ?rk] [?r :r_regionkey ?rk]
+               [?r :r_name ?rname]]}""") _,
+
+    // aggregates incl. count-distinct and exact median over a group key
+    "dl_agg_lineitem" -> dl("""
+      {:find [?rf (sum ?q) (avg ?q) (median ?q) (count-distinct ?ok) (min ?q) (max ?q)]
+       :keys [l_returnflag sum_qty avg_qty median_qty n_orders min_qty max_qty]
+       :where [[?l :l_returnflag ?rf] [?l :l_quantity ?q] [?l :l_orderkey ?ok]]}""") _,
+
+    // not-join (anti): BUILDING customers with no orders
+    "dl_not_join" -> dl("""
+      {:find [?ck]
+       :keys [c_custkey]
+       :where [[?c :c_custkey ?ck] [?c :c_mktsegment "BUILDING"]
+               (not-join [?ck] [?o :o_custkey ?ck])]}""") _,
+
+    // or (union) + grouping
+    "dl_or_types" -> dl("""
+      {:find [?b (count ?p)]
+       :keys [p_brand n]
+       :where [[?p :p_brand ?b]
+               (or [?p :p_type "PROMO"] [?p :p_type "ECONOMY"])]}""") _,
+
+    // self-join with theta predicate: nation pairs within a region
+    "dl_theta_pairs" -> dl("""
+      {:find [?n1name ?n2name]
+       :keys [n1 n2]
+       :where [[?n1 :n_regionkey ?rk] [?n2 :n_regionkey ?rk]
+               [?n1 :n_nationkey ?k1] [?n2 :n_nationkey ?k2]
+               [(< ?k1 ?k2)]
+               [?n1 :n_name ?n1name] [?n2 :n_name ?n2name]]}""") _,
+
+    // rule expansion (non-recursive): region membership as a rule
+    "dl_rule_region" -> dl("""
+      {:find [?ck]
+       :keys [c_custkey]
+       :where [(in-region ?c "ASIA") [?c :c_custkey ?ck]]
+       :rules [[(in-region ?c ?rn)
+                [?c :c_nationkey ?nk] [?n :n_nationkey ?nk]
+                [?n :n_regionkey ?rk] [?r :r_regionkey ?rk]
+                [?r :r_name ?rn]]]}""") _,
+
+    // :in collection binding
+    "dl_in_coll" -> dl("""
+      {:find [?seg (count ?c)]
+       :keys [c_mktsegment n]
+       :in [[?seg ...]]
+       :where [[?c :c_mktsegment ?seg]]}""",
+      Seq("BUILDING", "AUTOMOBILE")) _,
+
+    // order-by / limit (top-k)
+    "dl_topk_balance" -> dl("""
+      {:find [?ck ?ab]
+       :keys [c_custkey c_acctbal]
+       :where [[?c :c_custkey ?ck] [?c :c_acctbal ?ab]]
+       :order-by [[?ab :desc] [?ck :asc]]
+       :limit 5}""") _,
+
+    // predicate return binding as a computed column
+    "dl_pred_binding" -> dl("""
+      {:find [?ok ?fee]
+       :keys [o_orderkey fee]
+       :where [[?o :o_orderkey ?ok] [?o :o_totalprice ?tp]
+               [(> ?tp 400000)] [(* ?tp 0.05) ?fee]]}""") _)
+}
+
+object DatalogSql {
+  val all: Map[String, String] = Map(
+    "dl_q6_shape" -> """
+      SELECT COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""",
+
+    "dl_join_regions" -> """
+      SELECT r_name, COUNT(*) AS numcust
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name""",
+
+    "dl_agg_lineitem" -> """
+      SELECT l_returnflag, SUM(l_quantity) AS sum_qty, AVG(l_quantity) AS avg_qty,
+             MEDIAN(l_quantity) AS median_qty, COUNT(DISTINCT l_orderkey) AS n_orders,
+             MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
+      FROM lineitem
+      GROUP BY l_returnflag""",
+
+    "dl_not_join" -> """
+      SELECT DISTINCT c_custkey
+      FROM customer
+      WHERE c_mktsegment = 'BUILDING'
+        AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+
+    "dl_or_types" -> """
+      SELECT p_brand, COUNT(*) AS n
+      FROM part
+      WHERE p_type = 'PROMO' OR p_type = 'ECONOMY'
+      GROUP BY p_brand""",
+
+    "dl_theta_pairs" -> """
+      SELECT DISTINCT n1.n_name AS n1, n2.n_name AS n2
+      FROM nation n1
+      JOIN nation n2 ON n1.n_regionkey = n2.n_regionkey
+        AND n1.n_nationkey < n2.n_nationkey""",
+
+    "dl_rule_region" -> """
+      SELECT DISTINCT c_custkey
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'""",
+
+    "dl_in_coll" -> """
+      SELECT c_mktsegment, COUNT(*) AS n
+      FROM customer
+      WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+      GROUP BY c_mktsegment""",
+
+    "dl_topk_balance" -> """
+      SELECT c_custkey, c_acctbal
+      FROM customer
+      ORDER BY c_acctbal DESC, c_custkey
+      LIMIT 5""",
+
+    "dl_pred_binding" -> """
+      SELECT DISTINCT o_orderkey, o_totalprice * 0.05 AS fee
+      FROM orders
+      WHERE o_totalprice > 400000""")
+}

@@ -1,0 +1,217 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.datalog.{Planner, QuadSource}
+
+/** Ports of the reference's Datalog e2e corpus
+  * (crux-test/test/crux/query_test.clj — basic patterns, joins, preds,
+  * not/or, in-bindings, aggregates, rules with recursion) against a
+  * schemaless quad source.
+  */
+class DatalogSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  /** Quad fixture: people docs (query_test.clj:20-24 style) + follows graph. */
+  private lazy val source: QuadSource = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types._
+    val facts: Seq[(String, String, Any)] = Seq(
+      ("ivan", "name", "Ivan"), ("ivan", "last-name", "Ivanov"),
+      ("ivan", "age", 30L), ("ivan", "sex", ":male"),
+      ("petr", "name", "Petr"), ("petr", "last-name", "Petrov"),
+      ("petr", "age", 35L), ("petr", "sex", ":male"),
+      ("smith", "name", "Smith"), ("smith", "last-name", "Smith"),
+      ("smith", "age", 30L), ("smith", "sex", ":male"),
+      ("anna", "name", "Anna"), ("anna", "age", 25L), ("anna", "sex", ":female"),
+      // follows graph for rules (query_test.clj:2368)
+      ("i1", "follows", "i2"), ("i2", "follows", "i3"), ("i3", "follows", "i4"),
+      // multi-valued attribute (set semantics, FIXTURES §2)
+      ("bond1", "vehicles", "aston"), ("bond1", "vehicles", "lotus"),
+      ("bond2", "vehicles", "aston"))
+    val rows = facts.map { case (e, a, v) =>
+      v match {
+        case s: String => Row(e, a, s, null)
+        case l: Long => Row(e, a, null, l)
+      }
+    }
+    val schema = StructType(Seq(
+      StructField("e", StringType), StructField("a", StringType),
+      StructField("v_str", StringType), StructField("v_num", LongType)))
+    val df = spark.createDataFrame(rows.asJava, schema)
+    new QuadSource(df, Map(
+      "name" -> "v_str", "last-name" -> "v_str", "sex" -> "v_str",
+      "age" -> "v_num", "follows" -> "v_str", "vehicles" -> "v_str"))
+  }
+
+  private def run(q: String, args: Any*): Set[Seq[Any]] =
+    Planner.q(spark, source, q, args: _*).collect().toSet[Row].map(_.toSeq)
+
+  private def runList(q: String, args: Any*): Seq[Seq[Any]] =
+    Planner.q(spark, source, q, args: _*).collect().toSeq.map(_.toSeq)
+
+  test("basic entity lookup by attribute value") {
+    assert(run("[:find ?e :where [[?e :name \"Ivan\"]]]") == Set(Seq("ivan")))
+  }
+
+  test("project multiple attributes of one entity (single scan group)") {
+    assert(run("[:find ?n ?l :where [[?e :name ?n] [?e :last-name ?l]]]") ==
+      Set(Seq("Ivan", "Ivanov"), Seq("Petr", "Petrov"), Seq("Smith", "Smith")))
+  }
+
+  test("join across entities on shared value var") {
+    // people sharing last-name == name (smith/smith)
+    assert(run("[:find ?e :where [[?e :name ?n] [?e :last-name ?n]]]") == Set(Seq("smith")))
+  }
+
+  test("graph join through refs") {
+    assert(run("[:find ?x ?y :where [[?x :follows ?z] [?z :follows ?y]]]") ==
+      Set(Seq("i1", "i3"), Seq("i2", "i4")))
+  }
+
+  test("range predicates (query.clj:870-920)") {
+    assert(run("[:find ?e :where [[?e :age ?a] [(> ?a 30)]]]") == Set(Seq("petr")))
+    assert(run("[:find ?e :where [[?e :age ?a] [(>= ?a 30)]]]") ==
+      Set(Seq("ivan"), Seq("petr"), Seq("smith")))
+    assert(run("[:find ?e :where [[?e :age ?a] [(< ?a 30)]]]") == Set(Seq("anna")))
+  }
+
+  test("var-var range predicate (theta join)") {
+    assert(run("[:find ?e1 ?e2 :where [[?e1 :age ?a1] [?e2 :age ?a2] [(< ?a1 ?a2)] [(= ?a1 25)]]]") ==
+      Set(Seq("anna", "ivan"), Seq("anna", "petr"), Seq("anna", "smith")))
+  }
+
+  test("predicate with return binding (query.clj:933-952)") {
+    assert(run("[:find ?e ?b :where [[?e :age ?a] [(+ ?a 10) ?b] [(> ?b 42)]]]") ==
+      Set(Seq("petr", 45L)))
+  }
+
+  test("unification == and !=") {
+    assert(run("[:find ?e :where [[?e :name ?n] [?e :last-name ?l] [(== ?n ?l)]]]") ==
+      Set(Seq("smith")))
+    assert(run("[:find ?e :where [[?e :name ?n] [?e :last-name ?l] [(!= ?n ?l)]]]") ==
+      Set(Seq("ivan"), Seq("petr")))
+  }
+
+  test("not constraint (anti join, query.clj:1146-1167)") {
+    assert(run("[:find ?e :where [[?e :name ?n] (not [?e :age 30])]]") ==
+      Set(Seq("petr"), Seq("anna")))
+  }
+
+  test("not-join with explicit vars") {
+    assert(run("[:find ?e :where [[?e :age ?a] (not-join [?e] [?e :last-name \"Ivanov\"])]]") ==
+      Set(Seq("petr"), Seq("smith"), Seq("anna")))
+  }
+
+  test("or of literals (union, query.clj:1087-1144)") {
+    assert(run("[:find ?e :where [(or [?e :name \"Ivan\"] [?e :name \"Petr\"])]]") ==
+      Set(Seq("ivan"), Seq("petr")))
+  }
+
+  test("or with and-branch") {
+    assert(run(
+      "[:find ?e :where [(or [?e :name \"Anna\"] (and [?e :age 30] [?e :last-name \"Smith\"]))]]") ==
+      Set(Seq("anna"), Seq("smith")))
+  }
+
+  test("or-join binds a new var from either branch") {
+    assert(run(
+      "[:find ?e ?v :where [[?e :name \"Ivan\"] (or-join [?e ?v] [?e :last-name ?v] [?e :name ?v])]]") ==
+      Set(Seq("ivan", "Ivanov"), Seq("ivan", "Ivan")))
+  }
+
+  test("in-binding: scalar") {
+    assert(run("[:find ?e :in [?n] :where [[?e :name ?n]]]", "Ivan") == Set(Seq("ivan")))
+  }
+
+  test("in-binding: collection") {
+    assert(run("[:find ?e :in [[?n ...]] :where [[?e :name ?n]]]", Seq("Ivan", "Petr")) ==
+      Set(Seq("ivan"), Seq("petr")))
+  }
+
+  test("in-binding: tuple") {
+    assert(run("[:find ?e :in [[?n ?a]] :where [[?e :name ?n] [?e :age ?a]]]",
+      Seq("Ivan", 30L)) == Set(Seq("ivan")))
+  }
+
+  test("in-binding: relation") {
+    assert(run("[:find ?e :in [[[?n ?a]]] :where [[?e :name ?n] [?e :age ?a]]]",
+      Seq(Seq("Ivan", 30L), Seq("Petr", 35L))) == Set(Seq("ivan"), Seq("petr")))
+  }
+
+  test("aggregates (datascript corpus, query_test.clj:2735)") {
+    val r = runList("[:find (sum ?a) (min ?a) (max ?a) (count ?a) (count-distinct ?a) (avg ?a) :where [[?e :age ?a]]]")
+    assert(r.size == 1)
+    assert(r.head(0) == 120L && r.head(1) == 25L && r.head(2) == 35L &&
+      r.head(3) == 4L && r.head(4) == 3L && r.head(5) == 30.0)
+  }
+
+  test("implicit grouping: every non-aggregate find element is a key") {
+    assert(run("[:find ?s (count ?e) :where [[?e :sex ?s] [?e :age ?a]]]") ==
+      Set(Seq(":male", 3L), Seq(":female", 1L)))
+  }
+
+  test("median / variance / stddev (query.clj:311-343)") {
+    val r = runList("[:find (median ?a) (variance ?a) (stddev ?a) :where [[?e :age ?a]]]")
+    assert(r.head(0) == 30.0)
+    assert(math.abs(r.head(1).asInstanceOf[Double] - 12.5) < 1e-9)
+  }
+
+  test("distinct and min-N/max-N aggregates") {
+    val r = runList("[:find (distinct ?a) (min 2 ?a) (max 2 ?a) :where [[?e :age ?a]]]")
+    def seq(x: Any): List[Long] = x.asInstanceOf[scala.collection.Seq[Long]].toList
+    assert(seq(r.head(0)) == List(25L, 30L, 35L))
+    assert(seq(r.head(1)) == List(25L, 30L))
+    assert(seq(r.head(2)) == List(35L, 30L))
+  }
+
+  test("order-by + limit + offset (query.clj:1710-1726)") {
+    assert(runList("[:find ?n ?a :where [[?e :name ?n] [?e :age ?a]] :order-by [[?a :desc] [?n :asc]] :limit 2]") ==
+      Seq(Seq("Petr", 35L), Seq("Ivan", 30L)))
+    assert(runList("[:find ?n ?a :where [[?e :name ?n] [?e :age ?a]] :order-by [[?a :desc] [?n :asc]] :offset 2 :limit 2]") ==
+      Seq(Seq("Smith", 30L), Seq("Anna", 25L)))
+  }
+
+  test("set semantics: unordered results dedupe (query.clj:1783)") {
+    // two bond1 vehicles + one bond2 => values dedupe to two rows
+    assert(run("[:find ?v :where [[?e :vehicles ?v]]]") == Set(Seq("aston"), Seq("lotus")))
+  }
+
+  test("multi-valued attribute join") {
+    assert(run("[:find ?e :where [[?e :vehicles \"aston\"]]]") ==
+      Set(Seq("bond1"), Seq("bond2")))
+  }
+
+  test("get-attr with default (query.clj:954-971)") {
+    assert(run("[:find ?e ?l :where [[?e :name ?n] [(= ?n \"Anna\")] [(get-attr ?e :last-name \"n/a\") ?l]]]") ==
+      Set(Seq("anna", "n/a")))
+  }
+
+  test("rules: non-recursive") {
+    assert(run(
+      """[:find ?y :where [(follow "i1" ?y)]
+         :rules [[(follow ?x ?y) [?x :follows ?y]]]]""") == Set(Seq("i2")))
+  }
+
+  test("rules with recursion (query_test.clj:2368)") {
+    assert(run(
+      """[:find ?x ?y :where [(follow ?x ?y)]
+         :rules [[(follow ?x ?y) [?x :follows ?y]]
+                 [(follow ?x ?y) [?x :follows ?z] (follow ?z ?y)]]]""") ==
+      Set(Seq("i1", "i2"), Seq("i1", "i3"), Seq("i1", "i4"),
+        Seq("i2", "i3"), Seq("i2", "i4"), Seq("i3", "i4")))
+  }
+
+  test("keys rename output columns") {
+    val df = Planner.q(spark, source,
+      "[:find ?n ?a :keys [name age] :where [[?e :name ?n] [?e :age ?a]]]")
+    assert(df.columns.toSeq == Seq("name", "age"))
+  }
+
+  test("string predicates") {
+    assert(run("[:find ?e :where [[?e :name ?n] [(starts-with? ?n \"Iv\")]]]") == Set(Seq("ivan")))
+    assert(run("[:find ?e :where [[?e :name ?n] [(re-find \"mit\" ?n)]]]") == Set(Seq("smith")))
+    assert(run("[:find ?u :where [[?e :name ?n] [(= ?n \"Ivan\")] [(upper-case ?n) ?u]]]") ==
+      Set(Seq("IVAN")))
+  }
+}
