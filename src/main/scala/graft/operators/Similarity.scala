@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  *  - [[bruteForceTopK]] is the exact baseline: broadcast the (small) query
+  *    set against the corpus, rank per query. One pass over the corpus, no
+  *    shuffle of the big side — the right shape even at 100 TB when the
+  *    query set fits in a broadcast.
+  *  - [[hyperplaneLsh]] buckets vectors by sign patterns against
+  *    deterministic pseudo-random hyperplanes (seeded xxhash64 ±1 entries):
+  *    candidate generation becomes an equi-join on bucket id.
+  *  - [[ivfTopK]] is an IVF-style coarse quantizer: centroids per partition
+  *    key, query probes only its nearest centroid's partition.
+  *
+  * Dot products are `zip_with` + `aggregate` folds in double — sequential,
+  * order-fixed, hence engine-reproducible.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two array<double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
+
+  /** Exact top-k cosine neighbors for each query vector (self excluded). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("cid"), col(vecCol).cast("array<double>").as("cv"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"),
+        round(cosine(col("qv"), col("cv")), 6).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplane entries: ±1 from seeded
+    * xxhash64(plane, dim). */
+  private def planeEntry(plane: Int, d: Int): Column =
+    when(xxhash64(lit(plane), lit(d)).bitwiseAND(1) === 0, lit(1.0)).otherwise(lit(-1.0))
+
+  /** Bucket id: `planes` sign bits of hyperplane dot products. */
+  def lshBucket(vec: Column, planes: Int, dims: Int): Column =
+    (0 until planes).map { p =>
+      val d = (0 until dims).map(i => element_at(vec, i + 1) * planeEntry(p, i)).reduce(_ + _)
+      when(d >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed ANN: candidates share a bucket; rank within candidates.
+    * Recall < 1 by construction (the scale path — bucket join, no cross). */
+  def hyperplaneLsh(corpus: DataFrame, queries: DataFrame, k: Int, planes: Int = 8,
+      dims: Int = 64, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("cid"), col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("bucket", lshBucket(col("cv"), planes, dims))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("bucket", lshBucket(col("qv"), planes, dims))
+    val scored = c.join(broadcast(q), "bucket")
+      .filter(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"), round(cosine(col("qv"), col("cv")), 6).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** IVF-style search with a provided coarse partition (here: `label`):
+    * centroid per cell, probe the query's nearest centroid cell only. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      cellCol: String = "label", idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("cid"), col(cellCol).as("cell"),
+      col(vecCol).cast("array<double>").as("cv"))
+    // centroid per cell: element-wise mean (aggregate of zip_with sums)
+    val dims = 64
+    val sums = (0 until dims).map(i => sum(element_at(col("cv"), i + 1)).as(s"s$i"))
+    val centroids = c.groupBy(col("cell")).agg(sums.head, sums.tail: _*)
+    val counts = c.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+    val cent = centroids.join(counts, "cell")
+      .select(col("cell"), array((0 until dims).map(i => col(s"s$i") / col("n")): _*).as("centroid"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
+    // probe: nearest centroid per query
+    val probe = q.crossJoin(broadcast(cent))
+      .withColumn("cdist", cosine(col("qv"), col("centroid")))
+    val w0 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cdist").desc, col("cell").asc)
+    val best = probe.withColumn("r", row_number().over(w0)).filter(col("r") === 1)
+      .select(col("qid"), col("qv"), col("cell"))
+    val scored = c.join(broadcast(best), "cell")
+      .filter(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"), round(cosine(col("qv"), col("cv")), 6).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,199 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.sources.Tables
+
+/** Correctness-gate queries for the training-data pipeline operators
+  * (dedup family, ANN, text analysis, multimodal plumbing) over the
+  * `documents` and `embeddings` tables. Oracles in [[TrainSql]]; the
+  * LSH/IVF approximate variants are oracle-checked against the EXACT
+  * answer where recall is provably ~1 on this data, rows-only otherwise.
+  */
+object TrainQueries {
+
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
+
+    "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(docs(s, dir), 0.5)),
+
+    // LSH + exact verification: equals the exhaustive answer w.p.
+    // 1-(1-J^4)^16 (J≈0.99 on the planted dups ⇒ miss < 1e-20), so the
+    // brute-force oracle applies
+    "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLshPairs(docs(s, dir), 0.5)),
+
+    "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir), 3)),
+
+    "dedup_embedding" -> ((s, dir) => Dedup.embeddingCosinePairs(emb(s, dir), 0.45)),
+
+    "ann_topk_brute" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5), 10)
+        .select(col("qid"), col("cid"), col("cosine"), col("rank"))
+    }),
+
+    // approximate variants: recall < 1 by design → rows-only check
+    "ann_topk_lsh" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.hyperplaneLsh(e, e.filter(col("vec_id") < 20), 10)
+        .select(col("qid"), col("cid"), col("cosine"), col("rank"))
+    }),
+
+    "ann_topk_ivf" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 5), 10)
+        .select(col("qid"), col("cid"), col("cosine"), col("rank"))
+    }),
+
+    "text_lang_id" -> ((s, dir) =>
+      TextAnalysis.langId(docs(s, dir))
+        .select(col("doc_id"), col("predicted"), col("lang"),
+          col("score_en"), col("score_de"), col("score_es"), col("score_fr"))),
+
+    "text_quality" -> ((s, dir) =>
+      TextAnalysis.qualityScore(docs(s, dir))
+        .select(col("doc_id"), col("n_tokens"), col("n_alpha"),
+          col("avg_token_len"), col("stop_ratio"), col("quality"))),
+
+    "text_fingerprint" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextAnalysis.fingerprint(col("text")).as("fingerprint"))),
+
+    "mm_decode" -> ((s, dir) =>
+      Multimodal.decodeStub(s, Multimodal.mediaFromDocuments(docs(s, dir)))),
+
+    "mm_frames" -> ((s, dir) =>
+      Multimodal.frameSample(Multimodal.mediaFromDocuments(docs(s, dir)))))
+}
+
+object TrainSql {
+  private val toks =
+    "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+
+  private val shingleCtes = s"""
+    docs AS (SELECT doc_id, $toks AS t FROM documents),
+    sh0 AS (SELECT doc_id, unnest(list_transform(range(len(t)-2),
+              i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingle
+            FROM docs WHERE len(t) >= 3),
+    sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)"""
+
+  private val jaccardSql = s"""
+    WITH $shingleCtes
+    SELECT d1, d2, CAST(c AS DOUBLE) / (s1.sz + s2.sz - c) AS jaccard
+    FROM pairs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+    WHERE CAST(c AS DOUBLE) / (s1.sz + s2.sz - c) >= 0.5"""
+
+  private val simhashSql: String = {
+    val bits = 60
+    val bitSums = (0 until bits)
+      .map(i => s"SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS s$i").mkString(", ")
+    val hashExpr = (0 until bits)
+      .map(i => s"CASE WHEN s$i > 0 THEN (CAST(1 AS BIGINT) << $i) ELSE 0 END").mkString(" + ")
+    s"""
+    WITH toksrc AS (SELECT doc_id, unnest($toks) AS tok FROM documents),
+    h AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM toksrc),
+    bits AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id),
+    sig AS (SELECT doc_id, $hashExpr AS simhash FROM bits),
+    chunks AS (SELECT doc_id, simhash, j, (simhash >> (j * 15)) & 32767 AS chunk
+               FROM sig, (SELECT unnest([0, 1, 2, 3]) AS j)),
+    cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+                    a.simhash AS h1, b.simhash AS h2
+             FROM chunks a JOIN chunks b
+               ON a.j = b.j AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+    SELECT d1, d2, bit_count(xor(h1, h2)) AS hamming
+    FROM cand WHERE bit_count(xor(h1, h2)) <= 3"""
+  }
+
+  val all: Map[String, String] = Map(
+    "dedup_exact" -> """
+      SELECT md5(lower(text)) AS content_hash, MIN(doc_id) AS keep_id,
+             COUNT(*) AS n_copies
+      FROM documents GROUP BY 1""",
+
+    "dedup_ngram_jaccard" -> jaccardSql,
+    "dedup_minhash_lsh" -> jaccardSql,
+    "dedup_simhash" -> simhashSql,
+
+    "dedup_embedding" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      SELECT a.vec_id AS v1, b.vec_id AS v2,
+             ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.45""",
+
+    "ann_topk_brute" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+      scored AS (
+        SELECT qid, e.vec_id AS cid, ROUND(list_cosine_similarity(qv, e.v), 6) AS cosine
+        FROM e CROSS JOIN q WHERE e.vec_id <> qid),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rank
+        FROM scored)
+      SELECT qid, cid, cosine, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 10""",
+
+    "text_lang_id" -> s"""
+      WITH t AS (SELECT doc_id, lang, $toks AS tk FROM documents),
+      scored AS (SELECT doc_id, lang,
+        len(list_filter(tk, x -> list_contains(['the','a','of','and','to','is','in'], x))) AS score_en,
+        len(list_filter(tk, x -> list_contains(['der','die','und','ist','das','ein'], x))) AS score_de,
+        len(list_filter(tk, x -> list_contains(['el','la','de','y','que','los'], x))) AS score_es,
+        len(list_filter(tk, x -> list_contains(['le','la','et','les','des','un'], x))) AS score_fr,
+        len(list_filter(tk, x -> list_contains(['的','是','在','了'], x))) AS score_zh
+        FROM t)
+      SELECT doc_id,
+        CASE WHEN score_en = GREATEST(score_en, score_de, score_es, score_fr, score_zh) THEN 'en'
+             WHEN score_de = GREATEST(score_en, score_de, score_es, score_fr, score_zh) THEN 'de'
+             WHEN score_es = GREATEST(score_en, score_de, score_es, score_fr, score_zh) THEN 'es'
+             WHEN score_fr = GREATEST(score_en, score_de, score_es, score_fr, score_zh) THEN 'fr'
+             ELSE 'zh' END AS predicted,
+        lang, CAST(score_en AS INT) AS score_en, CAST(score_de AS INT) AS score_de,
+        CAST(score_es AS INT) AS score_es, CAST(score_fr AS INT) AS score_fr
+      FROM scored""",
+
+    "text_quality" -> s"""
+      WITH t AS (SELECT doc_id, text, $toks AS tk FROM documents)
+      SELECT doc_id,
+        CAST(len(tk) AS BIGINT) AS n_tokens,
+        CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS n_alpha,
+        CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / len(tk) AS avg_token_len,
+        CAST(len(list_filter(tk, x -> list_contains(['the','a','of','and','to','is','in'], x))) AS DOUBLE)
+          / len(tk) AS stop_ratio,
+        LEAST(CAST(len(tk) AS DOUBLE) / 100.0, 1.0) * 0.5 +
+          LEAST(CAST(len(list_filter(tk, x -> list_contains(['the','a','of','and','to','is','in'], x))) AS DOUBLE)
+            / len(tk) * 5.0, 1.0) * 0.5 AS quality
+      FROM t""",
+
+    "text_fingerprint" -> s"""
+      SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens,
+             md5(lower(text)) AS fingerprint
+      FROM documents""",
+
+    "mm_decode" -> """
+      SELECT doc_id AS media_id,
+        CASE WHEN doc_id % 3 = 0 THEN 'image'
+             WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        md5(text) AS payload_md5,
+        octet_length(encode(text)) % 640 AS width,
+        octet_length(encode(text)) % 480 AS height
+      FROM documents""",
+
+    "mm_frames" -> """
+      WITH v AS (
+        SELECT doc_id AS media_id, text,
+               LEAST(CAST(CEIL(octet_length(encode(text)) / 256.0) AS BIGINT), 5) AS n_frames
+        FROM documents WHERE doc_id % 3 = 2)
+      SELECT media_id, unnest(range(n_frames)) AS frame_idx, n_frames,
+             md5(substr(text, CAST(unnest(range(n_frames)) * 256 + 1 AS BIGINT), 256)) AS frame_md5
+      FROM v""")
+}

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.sources.Tables
+
+/** Semantics tests for the training-pipeline operators at sf0.001 (value
+  * parity with DuckDB is the driver gate's job; these pin algorithmic
+  * properties: LSH recall vs exact, candidate completeness, stub shape). */
+class OperatorsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+  private def docs = Tables.load(spark, dir, "documents")
+  private def emb = Tables.load(spark, dir, "embeddings")
+
+  test("minhash LSH finds exactly the exact-jaccard pairs on planted dups") {
+    val exact = Dedup.ngramJaccardPairs(docs, 0.5).select("d1", "d2").collect().toSet
+    val lsh = Dedup.minhashLshPairs(docs, 0.5).select("d1", "d2").collect().toSet
+    assert(lsh == exact)
+    assert(exact.nonEmpty) // planted near-dups exist at every sf
+  }
+
+  test("exact dedup keeps one id per content hash") {
+    val d = Dedup.exact(docs)
+    assert(d.count() == d.select("content_hash").distinct().count())
+  }
+
+  test("simhash of near-duplicate docs is close, distinct docs far") {
+    val pairs = Dedup.simhashPairs(docs, 3).collect()
+    // every reported pair respects the hamming bound
+    assert(pairs.forall(_.getAs[Int]("hamming") <= 3))
+  }
+
+  test("LSH ANN results are a subset of brute-force candidates per query") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val brute = Similarity.bruteForceTopK(emb, queries, 500)
+      .select("qid", "cid").collect().toSet
+    val lsh = Similarity.hyperplaneLsh(emb, queries, 10)
+      .select("qid", "cid").collect().toSet
+    assert(lsh.subsetOf(brute))
+    assert(lsh.nonEmpty)
+  }
+
+  test("brute-force top-k ranks by cosine descending") {
+    val r = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") === 0), 10).collect()
+    val byRank = r.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cosine"))
+    assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    assert(r.length == 10)
+  }
+
+  test("IVF probes a single cell and returns ranked neighbors") {
+    val r = Similarity.ivfTopK(emb, emb.filter(col("vec_id") === 1), 5).collect()
+    assert(r.length <= 5 && r.nonEmpty)
+    assert(r.map(_.getAs[Int]("rank")).toSet == (1 to r.length).toSet)
+  }
+
+  test("language id picks the language with most marker hits") {
+    val r = TextAnalysis.langId(docs).select("doc_id", "predicted").collect()
+    assert(r.nonEmpty)
+    assert(r.forall(row => Set("en", "de", "es", "fr", "zh", "unknown")
+      .contains(row.getAs[String]("predicted"))))
+  }
+
+  test("quality score stays in [0, 1]") {
+    val r = TextAnalysis.qualityScore(docs).select("quality").collect()
+    assert(r.forall { row => val q = row.getDouble(0); q >= 0.0 && q <= 1.0 })
+  }
+
+  test("multimodal decode stub preserves batch shape and determinism") {
+    val media = Multimodal.mediaFromDocuments(docs)
+    val d1 = Multimodal.decodeStub(spark, media).orderBy("media_id").collect()
+    val d2 = Multimodal.decodeStub(spark, media).orderBy("media_id").collect()
+    assert(d1.sameElements(d2)) // deterministic
+    assert(d1.length == media.count())
+  }
+
+  test("frame sampling respects frame size and max frames") {
+    val frames = Multimodal.frameSample(Multimodal.mediaFromDocuments(docs))
+    val perDoc = frames.groupBy("media_id").agg(count(lit(1)).as("n"),
+      max("n_frames").as("nf")).collect()
+    assert(perDoc.forall(r => r.getAs[Long]("n") == r.getAs[Long]("nf")))
+    assert(perDoc.forall(_.getAs[Long]("nf") <= 5))
+  }
+}
