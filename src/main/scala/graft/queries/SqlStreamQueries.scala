@@ -1,0 +1,210 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.bitemp.TxLog
+import graft.sources.Tables
+import graft.sql.SqlSurface
+import graft.streaming.IngestStream
+
+/** Gate queries for the SQL surface (§2.8: spark.sql over the registered
+  * catalog, temporal-prefix basis, scalar-function parity §2.7) and the
+  * ingestion side (§2.9: ordered tx batches, single-writer streaming
+  * ingest, windowed stream aggregation).
+  */
+object SqlStreamQueries {
+
+  /** events → tx ops in three valid-time buckets (each tx strictly later
+    * than the previous — keeps crux put semantics union-shaped). */
+  private def opsByBucket(s: SparkSession, dir: String): Seq[DataFrame] = {
+    val ev = Tables.load(s, dir, "events")
+    def bucket(lo: String, hi: String): DataFrame =
+      ev.filter(col("ts") >= lit(java.time.LocalDateTime.parse(lo)) &&
+          col("ts") < lit(java.time.LocalDateTime.parse(hi)))
+        .select(
+          when(col("event_type") === "error", "delete").otherwise("put").as("op"),
+          col("user_id").cast("string").as("eid"),
+          when(col("event_type") === "error", lit(null).cast("string"))
+            .otherwise(col("event_type")).as("content_hash"),
+          col("ts").as("start_vt"),
+          lit(null).cast("timestamp_ntz").as("end_vt"),
+          lit(null).cast("timestamp_ntz").as("at_vt"),
+          lit(null).cast("string").as("expected_hash"),
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("event_id"))).cast("int").as("seq"))
+    Seq(
+      bucket("2024-01-01T00:00", "2024-01-11T00:00"),
+      bucket("2024-01-11T00:00", "2024-01-21T00:00"),
+      bucket("2024-01-21T00:00", "2099-01-01T00:00"))
+  }
+
+  /** Ordered tx-batch ingest (put/delete/evict) then snapshot. */
+  def ingestBatch(s: SparkSession, dir: String): DataFrame = {
+    val txs = opsByBucket(s, dir).zipWithIndex.map { case (ops, i) =>
+      (i.toLong, java.time.LocalDateTime.parse("2024-02-01T00:00").plusHours(i.toLong), ops)
+    }
+    // final tx: evict two entities (GDPR hard delete, tx.clj:135-147)
+    import scala.jdk.CollectionConverters._
+    val evict = s.createDataFrame(List(
+      Row("evict", "11", null, null, null, null, null, 1),
+      Row("evict", "12", null, null, null, null, null, 2)).asJava, TxLog.opSchema)
+    val all = txs :+ ((3L, java.time.LocalDateTime.parse("2024-02-02T00:00"), evict))
+    val state = TxLog.applyBatch(TxLog.emptyState(s), all)
+    state.select(col("eid"), col("vt"), col("tx_id"),
+      col("content_hash").as("event_type"), col("tombstone"))
+  }
+
+  /** Single-writer streaming ingest via foreachBatch; same ops, delivered
+    * as parquet files picked up by a file stream. Output excludes tx_id/tt
+    * (batch-order dependent); the surviving (eid, vt, hash) set is
+    * batch-order INVARIANT because buckets carry distinct tx times. */
+  def ingestStream(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    val opsDir = s"$base/ops"; val stateDir = s"$base/state"; val ckDir = s"$base/ck"
+    new java.io.File(opsDir).mkdirs()
+    opsByBucket(s, dir).zipWithIndex.foreach { case (ops, i) =>
+      val stage = s"$base/stage$i"
+      ops.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$opsDir/b$i.parquet"))
+    }
+    val stream = s.readStream.schema(TxLog.opSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(opsDir)
+    val q = IngestStream.start(s, stream, stateDir, ckDir,
+      txTime = id => java.time.LocalDateTime.parse("2024-02-01T00:00").plusHours(id))
+    q.awaitTermination()
+    IngestStream.loadState(s, stateDir)
+      .select(col("eid"), col("vt"), col("content_hash").as("event_type"), col("tombstone"))
+  }
+
+  /** Windowed streaming aggregation (tumbling day windows, complete mode). */
+  def streamWindow(s: SparkSession, dir: String): DataFrame =
+    IngestStream.windowedCounts(s, s"$dir/events.parquet")
+
+  /** Plain SQL through the registered catalog. */
+  def sqlBasic(s: SparkSession, dir: String): DataFrame =
+    SqlSurface.query(s, dir, """
+      SELECT n_name,
+        CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4)) * CAST(1 - l_discount AS DECIMAL(8,4))) AS DECIMAL(24,6)) AS DOUBLE) AS revenue,
+        COUNT(*) AS n
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY n_name""")
+
+  /** Temporal-prefix SQL: snapshot basis applied to events_current. */
+  def sqlTemporal(s: SparkSession, dir: String): DataFrame =
+    SqlSurface.query(s, dir,
+      "VALIDTIME ('2024-01-15T00:00:00') TRANSACTIONTIME ('2024-01-15T00:00:00') " +
+        "SELECT eid, content_hash AS event_type, value FROM events_current")
+
+  /** Scalar-function parity (§2.7 string/number set). */
+  def sqlScalarFns(s: SparkSession, dir: String): DataFrame =
+    SqlSurface.query(s, dir, """
+      SELECT c_custkey,
+        lower(c_name) AS lo, upper(c_mktsegment) AS up,
+        initcap(lower(c_mktsegment)) AS ini,
+        concat(c_name, '-', c_mktsegment) AS cat,
+        char_length(c_name) AS len,
+        substring(c_name, 3, 5) AS sub,
+        replace(c_mktsegment, 'BUILD', 'B') AS rep,
+        trim(c_name) AS tr,
+        CAST(ceil(c_acctbal) AS BIGINT) AS ce,
+        CAST(floor(c_acctbal) AS BIGINT) AS fl,
+        floor(c_acctbal * 100) / 100 AS trunc2
+      FROM customer WHERE c_custkey <= 100""")
+
+  /** Date/time scalar functions (§2.7 temporal set). Date-typed results
+    * are cast back to TIMESTAMP_NTZ: parquet DATE → pandas object vs
+    * DuckDB datetime64 dtype-mismatches in the gate's frame compare. */
+  def sqlDateFns(s: SparkSession, dir: String): DataFrame =
+    SqlSurface.query(s, dir, """
+      SELECT o_orderkey,
+        CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP_NTZ) AS d,
+        CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP_NTZ) AS ld,
+        CAST(year(o_orderdate) AS BIGINT) AS y,
+        CAST(month(o_orderdate) AS BIGINT) AS m,
+        CAST(day(o_orderdate) AS BIGINT) AS dd,
+        CAST(date_trunc('month', o_orderdate) AS TIMESTAMP_NTZ) AS mstart
+      FROM orders WHERE o_orderkey <= 100""")
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ingest_batch" -> ingestBatch _,
+    "ingest_stream" -> ingestStream _,
+    "stream_window" -> streamWindow _,
+    "sql_basic" -> sqlBasic _,
+    "sql_temporal" -> sqlTemporal _,
+    "sql_scalar_fns" -> sqlScalarFns _,
+    "sql_date_fns" -> sqlDateFns _)
+}
+
+object SqlStreamSql {
+  val all: Map[String, String] = Map(
+    "ingest_batch" -> """
+      SELECT CAST(user_id AS VARCHAR) AS eid, CAST(ts AS TIMESTAMP) AS vt,
+        CASE WHEN ts < TIMESTAMP '2024-01-11' THEN 0
+             WHEN ts < TIMESTAMP '2024-01-21' THEN 1 ELSE 2 END AS tx_id,
+        CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS event_type,
+        (event_type = 'error') AS tombstone
+      FROM events
+      WHERE user_id NOT IN (11, 12)""",
+
+    "ingest_stream" -> """
+      SELECT CAST(user_id AS VARCHAR) AS eid, CAST(ts AS TIMESTAMP) AS vt,
+        CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS event_type,
+        (event_type = 'error') AS tombstone
+      FROM events""",
+
+    "stream_window" -> """
+      SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS w_start, event_type,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+      FROM events GROUP BY 1, 2""",
+
+    "sql_basic" -> """
+      SELECT n_name,
+        CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4)) * CAST(1 - l_discount AS DECIMAL(8,4))) AS DECIMAL(24,6)) AS DOUBLE) AS revenue,
+        COUNT(*) AS n
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY n_name""",
+
+    "sql_temporal" -> """
+      WITH versions AS (
+        SELECT CAST(user_id AS VARCHAR) AS eid, CAST(ts AS TIMESTAMP) AS vt,
+               event_id AS tx_id, event_type, value,
+               (event_type = 'error') AS tombstone
+        FROM events),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY eid ORDER BY vt DESC, tx_id DESC) AS rn
+        FROM versions WHERE vt <= TIMESTAMP '2024-01-15 00:00:00')
+      SELECT eid, event_type, value FROM ranked WHERE rn = 1 AND NOT tombstone""",
+
+    "sql_scalar_fns" -> """
+      SELECT c_custkey,
+        lower(c_name) AS lo, upper(c_mktsegment) AS up,
+        upper(substr(lower(c_mktsegment), 1, 1)) || lower(substr(lower(c_mktsegment), 2)) AS ini,
+        concat(c_name, '-', c_mktsegment) AS cat,
+        CAST(length(c_name) AS INT) AS len,
+        substring(c_name, 3, 5) AS sub,
+        replace(c_mktsegment, 'BUILD', 'B') AS rep,
+        trim(c_name) AS tr,
+        CAST(ceil(c_acctbal) AS BIGINT) AS ce,
+        CAST(floor(c_acctbal) AS BIGINT) AS fl,
+        floor(c_acctbal * 100) / 100 AS trunc2
+      FROM customer WHERE c_custkey <= 100""",
+
+    "sql_date_fns" -> """
+      SELECT o_orderkey,
+        CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS d,
+        CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS ld,
+        CAST(year(o_orderdate) AS BIGINT) AS y,
+        CAST(month(o_orderdate) AS BIGINT) AS m,
+        CAST(day(o_orderdate) AS BIGINT) AS dd,
+        CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mstart
+      FROM orders WHERE o_orderkey <= 100""")
+}

@@ -23,7 +23,13 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         elif df[c].dtype.kind == "f":
             df[c] = df[c].astype("float64")
         elif df[c].dtype == object:
-            df[c] = df[c].map(lambda v: str(v) if v is not None else None)
+            # datetime.date objects (Spark DATE via parquet) → datetime64
+            import datetime as _dt
+            sample = next((v for v in df[c] if v is not None), None)
+            if isinstance(sample, _dt.date) and not isinstance(sample, _dt.datetime):
+                df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+            else:
+                df[c] = df[c].map(lambda v: str(v) if v is not None else None)
     df = df.sort_values(by=list(df.columns), kind="mergesort", na_position="last")
     return df.reset_index(drop=True)
 
