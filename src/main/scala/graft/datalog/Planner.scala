@@ -198,13 +198,20 @@ private final class Planner(spark: SparkSession, source: FactSource,
 
   def planConjunction(clauses: List[Clause], seed: List[Rel]): Rel = {
     val triples = clauses.collect { case t: Triple => t }
-    val preds = clauses.collect { case p: Pred => p }
+    // text-search is relation-GENERATING (crux-lucene/src/crux/lucene.clj:
+    // 156-162: [e v] relation from a full-text query), not a filter —
+    // pull it out of the pred list and seed it as a scan (rlike over the
+    // attribute frame stands in for the Lucene index; pushdown-friendly).
+    val (textSearches, preds0) = clauses.collect { case p: Pred => p }
+      .partition(p => p.fn == "text-search")
+    val preds = preds0
     val getattrs = clauses.collect { case g: GetAttr => g }
     val nots = clauses.collect { case n: Not => n }
     val ors = clauses.collect { case o: Or => o }
     val ruleCalls = clauses.collect { case r: RuleCall => r }
 
     var rels: List[Rel] = seed ++ tripleRels(triples) ++
+      textSearches.map(planTextSearch) ++
       ors.map(planOr) ++ ruleCalls.map(planRuleCall)
     require(rels.nonEmpty, "nothing to join (no data clauses)")
 
@@ -370,6 +377,26 @@ private final class Planner(spark: SparkSession, source: FactSource,
     case "get" => element_at(args.head, args(1) + 1)
     case "range" => sequence(args.head, args(1) - 1) // [start, end)
     case other => throw new IllegalArgumentException(s"unsupported function $other")
+  }
+
+  /** `[(text-search :attr "regex") [[?e ?v]]]` → (e, v) relation of
+    * matching attribute rows (crux-lucene/src/crux/lucene.clj:156-162;
+    * regex instead of Lucene syntax, score-less per SURVEY §2.2). */
+  private def planTextSearch(p: Pred): Rel = {
+    val (attr, pat) = p.args match {
+      case List(C(Edn.Kw(a)), C(Edn.Str(rx))) => (a, rx)
+      case o => throw new IllegalArgumentException(
+        s"text-search needs (:attr \"pattern\") literals, got $o")
+    }
+    val vars = p.binding match {
+      case Some(BindRel(vs)) => vs
+      case Some(BindTuple(vs)) => vs
+      case o => throw new IllegalArgumentException(s"text-search needs [[?e ?v]] binding, got $o")
+    }
+    require(vars.size == 2, "text-search binds exactly [[?e ?v]]")
+    val df = source.attr(attr).filter(col("value").rlike(pat))
+      .select(col("eid").as(vars(0).name), col("value").as(vars(1).name))
+    Rel(df, distinctSure = false)
   }
 
   // ----------------------------------------------------------------- not/or

@@ -1,0 +1,221 @@
+package graft.pull
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.datalog.Edn
+
+/** EQL pull compiler (SURVEY §7.1 module 6; reference:
+  * crux-core/src/crux/pull.clj, ported DataScript pull suite at
+  * crux-core/test/crux/datascript_pull_test.clj).
+  *
+  * The reference resolves a pull pattern per result row with batched doc
+  * fetches (pull.clj:191-193, batch 100). Spark-first re-expression: the
+  * whole pattern compiles to ONE DataFrame plan — forward joins become
+  * left joins against the target table's pulled struct, reverse joins
+  * become groupBy + sort_array(collect_list(struct)) aggregations, and the
+  * nested result is a single struct column. No per-row driver work, no
+  * collect; the plan scales with Catalyst joins.
+  *
+  * Supported pattern grammar (pull.clj props/joins/reverse
+  * joins/limits/defaults/wildcard/bounded recursion):
+  *
+  * {{{
+  *   [:attr ...]                      props
+  *   [[:attr {:as :alias}]]          rename
+  *   [[:attr {:default v}]]          default when null
+  *   [*]                              wildcard (all columns)
+  *   [{:fk [...]}]                    forward join (fk → target entity)
+  *   [{:_fk [...]}]                   reverse join (entities pointing here),
+  *                                    deterministic order by child key
+  *   [{[:_fk {:limit n}] [...]}]      reverse-join limit
+  *   [{:fk 3}] / [{:fk ...}]          bounded recursion (depth; "..." = 8)
+  * }}}
+  */
+object Pull {
+
+  /** One pullable table: single logical pk expression, its columns, and
+    * fk column → target table (the "join attr" registry). */
+  final case class PullTable(pk: Seq[String], cols: Seq[String], refs: Map[String, String])
+
+  final class Catalog(val load: String => DataFrame, val tables: Map[String, PullTable]) {
+    /** table that owns an attribute (attr names unique across tables). */
+    val attrTable: Map[String, String] =
+      tables.flatMap { case (t, spec) => spec.cols.map(_ -> t) }
+    def pkCol(t: String): Column = {
+      val ks = tables(t).pk
+      if (ks.size == 1) col(ks.head)
+      else concat_ws("|", ks.map(c => col(c).cast("string")): _*)
+    }
+  }
+
+  /** TPC-H-ish catalog over the driver parquet (FIXTURES.md §1). */
+  def tpch(spark: SparkSession, dir: String): Catalog = new Catalog(
+    name => graft.sources.Tables.load(spark, dir, name),
+    Map(
+      "region" -> PullTable(Seq("r_regionkey"), Seq("r_regionkey", "r_name"), Map.empty),
+      "nation" -> PullTable(Seq("n_nationkey"), Seq("n_nationkey", "n_name", "n_regionkey"),
+        Map("n_regionkey" -> "region")),
+      "customer" -> PullTable(Seq("c_custkey"),
+        Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
+        Map("c_nationkey" -> "nation")),
+      "supplier" -> PullTable(Seq("s_suppkey"),
+        Seq("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+        Map("s_nationkey" -> "nation")),
+      "part" -> PullTable(Seq("p_partkey"),
+        Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"), Map.empty),
+      "orders" -> PullTable(Seq("o_orderkey"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"),
+        Map("o_custkey" -> "customer")),
+      "lineitem" -> PullTable(Seq("l_orderkey", "l_linenumber"),
+        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+          "l_extendedprice", "l_discount", "l_returnflag"),
+        Map("l_orderkey" -> "orders", "l_partkey" -> "part", "l_suppkey" -> "supplier"))))
+
+  // ------------------------------------------------------------------- AST
+
+  sealed trait Spec
+  final case class Prop(attr: String, as: String, default: Option[Edn.Val]) extends Spec
+  case object Wildcard extends Spec
+  final case class FwdJoin(attr: String, as: String, pattern: List[Spec]) extends Spec
+  /** reverse join: child entities whose `attr` points at this entity. */
+  final case class RevJoin(attr: String, as: String, pattern: List[Spec],
+      limit: Option[Int]) extends Spec
+  /** recursion marker, expanded before compile. */
+  final case class Recur(attr: String, as: String, depth: Int) extends Spec
+
+  def parsePattern(edn: String): List[Spec] = Edn.parse(edn) match {
+    case Edn.Vec(items) => items.map(parseSpec)
+    case other => throw new IllegalArgumentException(s"pull pattern must be a vector, got $other")
+  }
+
+  private def optStr(v: Edn.Val): String = v match {
+    case Edn.Kw(n) => n
+    case Edn.Sym(n) => n
+    case Edn.Str(s) => s
+    case other => throw new IllegalArgumentException(s"bad name $other")
+  }
+
+  private def parseSpec(v: Edn.Val): Spec = v match {
+    case Edn.Sym("*") => Wildcard
+    case Edn.Kw(a) => Prop(a, a, None)
+    case Edn.Vec(Edn.Kw(a) :: rest) =>
+      val opts = rest match {
+        case List(Edn.MapV(es)) => es.map { case (k: Edn.Kw, ov) => k.name -> ov
+                                            case (k, _) => throw new IllegalArgumentException(s"bad opt key $k") }.toMap
+        case Nil => Map.empty[String, Edn.Val]
+        case o => throw new IllegalArgumentException(s"bad prop opts $o")
+      }
+      Prop(a, opts.get("as").map(optStr).getOrElse(a), opts.get("default"))
+    case Edn.MapV(List((k, pat))) =>
+      val (attr, opts) = k match {
+        case Edn.Kw(a) => (a, Map.empty[String, Edn.Val])
+        case Edn.Vec(List(Edn.Kw(a), Edn.MapV(es))) =>
+          (a, es.map { case (ok: Edn.Kw, ov) => ok.name -> ov
+                       case (ok, _) => throw new IllegalArgumentException(s"bad opt key $ok") }.toMap)
+        case o => throw new IllegalArgumentException(s"bad join key $o")
+      }
+      val as = opts.get("as").map(optStr).getOrElse(attr)
+      val limit = opts.get("limit").map { case Edn.Lng(n) => n.toInt
+                                          case o => throw new IllegalArgumentException(s"bad :limit $o") }
+      pat match {
+        case Edn.Vec(items) =>
+          if (attr.startsWith("_")) RevJoin(attr.drop(1), as, items.map(parseSpec), limit)
+          else FwdJoin(attr, as, items.map(parseSpec))
+        case Edn.Lng(n) => Recur(attr, as, n.toInt)
+        case Edn.Sym("...") => Recur(attr, as, 8)
+        case o => throw new IllegalArgumentException(s"bad join pattern $o")
+      }
+    case other => throw new IllegalArgumentException(s"unsupported pull spec $other")
+  }
+
+  /** Expand recursion markers: `{:fk N}` re-nests the ENCLOSING pattern N
+    * levels down the fk (pull.clj `...`/depth semantics); the innermost
+    * level keeps only the non-recursive specs. */
+  private def expand(pattern: List[Spec]): List[Spec] = {
+    def expandIn(specs: List[Spec], whole: List[Spec]): List[Spec] = specs.flatMap {
+      case Recur(attr, as, depth) =>
+        if (depth <= 0) Nil
+        else {
+          val inner = whole.map {
+            case r @ Recur(a2, as2, d2) if a2 == attr => Recur(a2, as2, d2 - 1)
+            case s => s
+          }
+          val sub = expandIn(inner, inner)
+          if (attr.startsWith("_")) List(RevJoin(attr.drop(1), as, sub, None))
+          else List(FwdJoin(attr, as, sub))
+        }
+      case FwdJoin(a, as, p) => List(FwdJoin(a, as, expandIn(p, p)))
+      case RevJoin(a, as, p, l) => List(RevJoin(a, as, expandIn(p, p), l))
+      case s => List(s)
+    }
+    expandIn(pattern, pattern)
+  }
+
+  // --------------------------------------------------------------- compile
+
+  private var uniq = 0
+  private def fresh(base: String): String = synchronized { uniq += 1; s"__${base}_$uniq" }
+
+  /** Compile: every row of `table`, with one `pulled` struct column shaped
+    * by the pattern. Join `_id` (the pk value) back to your query result. */
+  def pull(cat: Catalog, table: String, patternEdn: String): DataFrame = {
+    val pattern = expand(parsePattern(patternEdn))
+    build(cat, table, pattern)
+  }
+
+  private def build(cat: Catalog, table: String, pattern: List[Spec]): DataFrame = {
+    val spec = cat.tables(table)
+    var df = cat.load(table)
+
+    // pre-compute join columns; field list assembled in pattern order
+    val fields = scala.collection.mutable.ListBuffer[(String, Column)]()
+    pattern.foreach {
+      case Wildcard =>
+        spec.cols.foreach(c => fields += c -> col(c))
+      case Prop(a, as, dflt) =>
+        require(spec.cols.contains(a), s"unknown attribute :$a on $table")
+        val base = col(a)
+        fields += as -> dflt.map(d => coalesce(base, ednLit(d))).getOrElse(base)
+      case FwdJoin(attr, as, pat) =>
+        val target = spec.refs.getOrElse(attr,
+          throw new IllegalArgumentException(s":$attr is not a join attribute of $table"))
+        val u = fresh(attr)
+        val sub = build(cat, target, pat)
+          .select(col("_id").as(s"${u}_id"), col("pulled").as(s"${u}_p"))
+        df = df.join(sub, col(attr) === col(s"${u}_id"), "left")
+        fields += as -> col(s"${u}_p")
+      case RevJoin(attr, as, pat, limit) =>
+        val childTable = cat.attrTable.getOrElse(attr,
+          throw new IllegalArgumentException(s"unknown reverse attribute :_$attr"))
+        require(cat.tables(childTable).refs.get(attr).contains(table),
+          s":_$attr does not point at $table")
+        val u = fresh(attr)
+        val childSub = build(cat, childTable, pat)
+        val keyed = cat.load(childTable)
+          .select(col(attr).as(s"${u}_k"), cat.pkCol(childTable).as(s"${u}_cid"))
+          .join(childSub, col(s"${u}_cid") === col("_id"))
+        // deterministic child order: sort by child pk, then strip the key
+        val grouped = keyed.groupBy(col(s"${u}_k"))
+          .agg(sort_array(collect_list(struct(col(s"${u}_cid").as("k"),
+            col("pulled").as("v")))).as(s"${u}_arr"))
+          .select(col(s"${u}_k"),
+            transform(col(s"${u}_arr"), x => x.getField("v")).as(s"${u}_arr"))
+        val arrType = grouped.schema(s"${u}_arr").dataType
+        df = df.join(grouped, cat.pkCol(table) === col(s"${u}_k"), "left")
+        val arr0 = coalesce(col(s"${u}_arr"), array().cast(arrType))
+        fields += as -> limit.map(n => slice(arr0, 1, n)).getOrElse(arr0)
+      case r: Recur => throw new IllegalStateException(s"unexpanded recursion $r")
+    }
+    df.select(cat.pkCol(table).as("_id"),
+      struct(fields.toSeq.map { case (n, c) => c.as(n) }: _*).as("pulled"))
+  }
+
+  private def ednLit(v: Edn.Val): Column = v match {
+    case Edn.Str(s) => lit(s)
+    case Edn.Lng(l) => lit(l)
+    case Edn.Dbl(d) => lit(d)
+    case Edn.Bool(b) => lit(b)
+    case Edn.Kw(n) => lit(":" + n)
+    case other => throw new IllegalArgumentException(s"bad default $other")
+  }
+}

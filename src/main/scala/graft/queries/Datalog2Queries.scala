@@ -1,0 +1,115 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.datalog.{Planner, TableSource}
+
+/** Second datalog gate batch: recursion, or-join, get-attr, unification,
+  * text-search, and the long-tail aggregate set (SURVEY §2.2-2.4) — the
+  * planner features the first batch left unexercised.
+  */
+object Datalog2Queries {
+
+  private def dl(q: String, args: Any*)(s: SparkSession, dir: String): DataFrame =
+    Planner.q(s, TableSource.tpch(s, dir), q, args: _*)
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // recursive rule: transitive closure of the "next nation in region"
+    // edge (semi-naive fixpoint driver loop, query.clj:1079-1086 guard
+    // semantics; SURVEY §4 "driver-side fixpoint")
+    "dl_rule_recursive" -> dl("""
+      {:find [?a ?b]
+       :keys [a b]
+       :where [(reach ?a ?b)]
+       :rules [[(reach ?a ?b) (edge ?a ?b)]
+               [(reach ?a ?b) (edge ?a ?c) (reach ?c ?b)]
+               [(edge ?a ?b)
+                [?x :n_nationkey ?a] [?x :n_regionkey ?rk]
+                [?y :n_nationkey ?b] [?y :n_regionkey ?rk]
+                [(+ ?a 5) ?b2] [(== ?b ?b2)]]]}""") _,
+
+    // get-attr with default (leaf-var lookup, query.clj:954-971)
+    "dl_get_attr" -> dl("""
+      {:find [?ck ?seg]
+       :keys [c_custkey seg]
+       :where [[?c :c_custkey ?ck]
+               [(get-attr ?c :c_mktsegment "NONE") ?seg]]}""") _,
+
+    // or-join: branches with private vars, unified on ?ck only
+    "dl_or_join" -> dl("""
+      {:find [?ck]
+       :keys [c_custkey]
+       :where [[?c :c_custkey ?ck]
+               (or-join [?ck]
+                 (and [?o :o_custkey ?ck] [?o :o_totalprice ?tp] [(> ?tp 450000)])
+                 (and [?c2 :c_custkey ?ck] [?c2 :c_acctbal ?ab] [(> ?ab 9900)]))]}""") _,
+
+    // != unification between two clause-bound vars (query.clj:988-1005)
+    "dl_unify_neq" -> dl("""
+      {:find [?s ?c]
+       :keys [s_name c_name]
+       :where [[?sup :s_nationkey ?nk] [?sup :s_name ?s]
+               [?cus :c_nationkey ?nk] [?cus :c_name ?c]
+               [?cus :c_acctbal ?ab] [(> ?ab 9800)]
+               [(!= ?s ?c)]]}""") _,
+
+    // text-search relation (crux-lucene semantics, regex stand-in)
+    "dl_text_search" -> dl("""
+      {:find [?pk ?v]
+       :keys [p_partkey p_name]
+       :where [[(text-search :p_name "blue") [[?p ?v]]]
+               [?p :p_partkey ?pk]]}""") _,
+
+    // long-tail aggregates: variance/stddev (population), min-N/max-N
+    // top-k sets, distinct set (query.clj:324-408)
+    "dl_agg_stats" -> ((s: SparkSession, dir: String) => {
+      dl("""
+        {:find [?rf (variance ?q) (stddev ?q) (min 3 ?q) (max 2 ?q) (distinct ?ls)]
+         :keys [l_returnflag var_q std_q min3_q max2_q statuses]
+         :where [[?l :l_returnflag ?rf] [?l :l_quantity ?q] [?l :l_linestatus ?ls]]}""")(s, dir)
+        .withColumn("min3_q", concat_ws(",", col("min3_q")))
+        .withColumn("max2_q", concat_ws(",", col("max2_q")))
+        .withColumn("statuses", concat_ws(",", col("statuses")))
+    }))
+}
+
+object Datalog2Sql {
+  val all: Map[String, String] = Map(
+    "dl_rule_recursive" -> """
+      WITH RECURSIVE edge AS (
+        SELECT x.n_nationkey AS a, y.n_nationkey AS b
+        FROM nation x JOIN nation y
+          ON x.n_regionkey = y.n_regionkey AND y.n_nationkey = x.n_nationkey + 5),
+      reach AS (
+        SELECT a, b FROM edge
+        UNION
+        SELECT e.a, r.b FROM edge e JOIN reach r ON r.a = e.b)
+      SELECT a, b FROM reach""",
+
+    "dl_get_attr" -> """
+      SELECT DISTINCT c_custkey, COALESCE(c_mktsegment, 'NONE') AS seg
+      FROM customer""",
+
+    "dl_or_join" -> """
+      SELECT DISTINCT c_custkey FROM customer
+      WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 450000)
+         OR c_acctbal > 9900""",
+
+    "dl_unify_neq" -> """
+      SELECT DISTINCT s_name, c_name
+      FROM supplier JOIN customer ON s_nationkey = c_nationkey
+      WHERE c_acctbal > 9800 AND s_name <> c_name""",
+
+    "dl_text_search" -> """
+      SELECT DISTINCT p_partkey, p_name FROM part
+      WHERE regexp_matches(p_name, 'blue')""",
+
+    "dl_agg_stats" -> """
+      SELECT l_returnflag,
+        var_pop(l_quantity) AS var_q,
+        stddev_pop(l_quantity) AS std_q,
+        array_to_string(list_sort(list(DISTINCT l_quantity))[1:3], ',') AS min3_q,
+        array_to_string(list_reverse_sort(list(DISTINCT l_quantity))[1:2], ',') AS max2_q,
+        array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses
+      FROM lineitem GROUP BY l_returnflag""")
+}
