@@ -1,0 +1,129 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.bitemp.{Bitemp, TxLog}
+import graft.datalog.{Planner, QuadSource}
+import graft.sources.{Rdf, Tables}
+
+/** Gate queries for the RDF loader (§2.1), match/cas tx semantics (§2.9),
+  * and set operations (§2.6). */
+object RdfSetQueries {
+
+  /** nation → N-Triples text → distributed parse → quads → Datalog. */
+  def rdfLoad(s: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.load(s, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    val out = java.nio.file.Files.createTempDirectory("graft_rdf").toString + "/nt"
+    Rdf.toNTriples(nation, "http://graft.test", "n_nationkey")
+      .write.mode("overwrite").text(out)
+    val quads = Rdf.loadNTriples(s, out)
+    val source = new QuadSource(quads,
+      Map("n_name" -> "v_str", "n_regionkey" -> "v_num"))
+    Planner.q(s, source, """
+      {:find [?name ?rk]
+       :keys [n_name n_regionkey]
+       :where [[?n :n_name ?name] [?n :n_regionkey ?rk]]}""")
+  }
+
+  /** cas success + match-failure abort (tx.clj:100-130). Initial state =
+    * first-bucket events; tx 1 cas-bumps users 1-10 (expected hash taken
+    * from the resolved snapshot, so it matches); tx 2 carries a wrong
+    * match and must abort atomically, discarding its piggybacked put. */
+  def ingestCas(s: SparkSession, dir: String): DataFrame = {
+    val t0 = java.time.LocalDateTime.parse("2024-02-01T00:00")
+    val ev = Tables.load(s, dir, "events")
+      .filter(col("ts") < lit(java.time.LocalDateTime.parse("2024-01-11T00:00")))
+    val puts = ev.select(
+      lit("put").as("op"), col("user_id").cast("string").as("eid"),
+      col("event_type").as("content_hash"), col("ts").as("start_vt"),
+      lit(null).cast("timestamp_ntz").as("end_vt"),
+      lit(null).cast("timestamp_ntz").as("at_vt"),
+      lit(null).cast("string").as("expected_hash"),
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("event_id"))).cast("int").as("seq"))
+    val (st1, ab1) = TxLog.applyTx(TxLog.emptyState(s), puts, 0L, t0)
+    require(!ab1, "seed tx must commit")
+    val state1 = st1.localCheckpoint(true)
+
+    val snap = Bitemp.asOfTime(state1,
+      lit(java.time.LocalDateTime.parse("2024-03-01T00:00")),
+      lit(java.time.LocalDateTime.parse("2024-03-01T00:00")))
+    // tx 1: self-consistent cas for users 1-10 → commits
+    val casOps = snap.filter(col("eid").cast("long") <= 10)
+      .select(lit("cas").as("op"), col("eid"),
+        concat(col("content_hash"), lit("_v2")).as("content_hash"),
+        lit(null).cast("timestamp_ntz").as("start_vt"),
+        lit(null).cast("timestamp_ntz").as("end_vt"),
+        lit(null).cast("timestamp_ntz").as("at_vt"),
+        col("content_hash").as("expected_hash"),
+        col("eid").cast("long").cast("int").as("seq"))
+    val (st2, ab2) = TxLog.applyTx(state1, casOps, 1L, t0.plusHours(1))
+    require(!ab2, "cas tx must commit")
+    val state2 = st2.localCheckpoint(true)
+
+    // tx 2: wrong match + a put that must be discarded with the abort
+    import scala.jdk.CollectionConverters._
+    val badTx = s.createDataFrame(List(
+      org.apache.spark.sql.Row("match", "11", null, null, null, null, "WRONG_HASH", 1),
+      org.apache.spark.sql.Row("put", "999", "SHOULD_NOT_APPEAR",
+        java.sql.Timestamp.valueOf("2024-02-01 00:00:00").toLocalDateTime, null, null, null, 2)).asJava,
+      TxLog.opSchema)
+    val (st3, ab3) = TxLog.applyTx(state2, badTx, 2L, t0.plusHours(2))
+    require(ab3, "match with wrong hash must abort")
+
+    Bitemp.asOfTime(st3,
+        lit(java.time.LocalDateTime.parse("2024-03-01T00:00")),
+        lit(java.time.LocalDateTime.parse("2024-03-01T00:00")))
+      .select(col("eid"), col("content_hash"))
+  }
+
+  def setIntersect(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val o = Tables.load(s, dir, "orders").select(col("o_custkey").as("c_custkey"))
+    c.intersect(o)
+  }
+
+  def setExcept(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(s, dir, "customer").select(col("c_custkey"))
+    val o = Tables.load(s, dir, "orders")
+      .filter(col("o_totalprice") > 300000)
+      .select(col("o_custkey").as("c_custkey"))
+    c.except(o)
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rdf_load" -> rdfLoad _,
+    "ingest_cas" -> ingestCas _,
+    "set_intersect" -> setIntersect _,
+    "set_except" -> setExcept _)
+}
+
+object RdfSetSql {
+  val all: Map[String, String] = Map(
+    "rdf_load" -> """
+      SELECT DISTINCT n_name, CAST(n_regionkey AS BIGINT) AS n_regionkey
+      FROM nation""",
+
+    "ingest_cas" -> """
+      WITH ranked AS (
+        SELECT CAST(user_id AS VARCHAR) AS eid, user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts < TIMESTAMP '2024-01-11')
+      SELECT eid,
+        CASE WHEN user_id <= 10 THEN event_type || '_v2' ELSE event_type END
+          AS content_hash
+      FROM ranked WHERE rn = 1""",
+
+    "set_intersect" -> """
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      INTERSECT
+      SELECT o_custkey FROM orders""",
+
+    "set_except" -> """
+      SELECT c_custkey FROM customer
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE o_totalprice > 300000""")
+}

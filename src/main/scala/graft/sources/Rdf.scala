@@ -1,0 +1,72 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** RDF N-Triples source (SURVEY §2.1; reference:
+  * labs/crux-rdf/src/crux/rdf.clj — bulk triple load for the LUBM/WatDiv
+  * suites, maps `<subject>` IRIs to entity ids and predicate IRIs to
+  * keyword attributes).
+  *
+  * Spark-first: `spark.read.text` + codegen'd `regexp_extract` line
+  * parsing — no per-line driver work, scales linearly with input splits.
+  * Typed literals are split into per-type value columns compatible with
+  * [[graft.datalog.QuadSource]] (the §1.2 "one typed column per type-tag
+  * family" decision).
+  */
+object Rdf {
+
+  /** literal or IRI object term, with optional ^^datatype / @lang. */
+  private val ObjLit = """^"(.*)"(?:\^\^<([^>]*)>|@[A-Za-z-]+)?\s*$"""
+  private val ObjIri = """^<([^>]*)>\s*$"""
+
+  /** Parse an N-Triples text file/dir into quads
+    * (e, a, v_str, v_num, v_dbl): IRIs shortened to their local name
+    * (fragment or last path segment, rdf.clj's keyword mapping). */
+  def loadNTriples(spark: SparkSession, path: String): DataFrame = {
+    val lines = spark.read.text(path)
+      .filter(length(trim(col("value"))) > 0 && !col("value").startsWith("#"))
+    val parts = lines.select(
+      regexp_extract(col("value"), """^<([^>]*)>""", 1).as("s_iri"),
+      regexp_extract(col("value"), """^<[^>]*>\s+<([^>]*)>""", 1).as("p_iri"),
+      regexp_extract(col("value"), """^<[^>]*>\s+<[^>]*>\s+(.*?)\s*\.\s*$""", 1).as("obj"))
+    def localName(c: org.apache.spark.sql.Column) =
+      regexp_extract(c, """([^/#]+)$""", 1)
+    parts
+      .filter(col("s_iri") =!= "" && col("p_iri") =!= "")
+      .select(
+        localName(col("s_iri")).as("e"),
+        localName(col("p_iri")).as("a"),
+        regexp_extract(col("obj"), ObjLit, 1).as("lex"),
+        regexp_extract(col("obj"), ObjLit, 2).as("dtype"),
+        regexp_extract(col("obj"), ObjIri, 1).as("o_iri"))
+      .select(col("e"), col("a"),
+        when(col("o_iri") =!= "", localName(col("o_iri")))
+          .when(col("dtype") === "" || col("dtype").endsWith("string"), nullif(col("lex"), lit("")))
+          .otherwise(lit(null)).as("v_str"),
+        when(col("dtype").endsWith("integer") || col("dtype").endsWith("long") ||
+             col("dtype").endsWith("int"), col("lex").cast("long")).as("v_num"),
+        when(col("dtype").endsWith("double") || col("dtype").endsWith("decimal") ||
+             col("dtype").endsWith("float"), col("lex").cast("double")).as("v_dbl"))
+  }
+
+  /** Serialize (entity-id, attr → value) rows to N-Triples lines under
+    * `ns`. Longs/doubles become typed literals, strings plain literals. */
+  def toNTriples(df: DataFrame, ns: String, idCol: String): DataFrame = {
+    val valueCols = df.columns.filterNot(_ == idCol)
+    val lines = valueCols.map { c =>
+      val obj = df.schema(c).dataType match {
+        case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType =>
+          concat(lit("\""), col(c).cast("string"),
+            lit("\"^^<http://www.w3.org/2001/XMLSchema#long>"))
+        case org.apache.spark.sql.types.DoubleType | org.apache.spark.sql.types.FloatType =>
+          concat(lit("\""), col(c).cast("string"),
+            lit("\"^^<http://www.w3.org/2001/XMLSchema#double>"))
+        case _ => concat(lit("\""), col(c).cast("string"), lit("\""))
+      }
+      df.filter(col(c).isNotNull).select(concat(
+        lit(s"<$ns/e/"), col(idCol).cast("string"), lit(s"> <$ns/$c> "), obj, lit(" .")).as("value"))
+    }
+    lines.reduce(_ unionByName _)
+  }
+}
