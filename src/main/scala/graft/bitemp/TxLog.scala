@@ -43,7 +43,7 @@ object TxLog {
     StructField("end_vt", TimestampNTZType),
     StructField("at_vt", TimestampNTZType),
     StructField("expected_hash", StringType),
-    StructField("seq", IntegerType)))
+    StructField("seq", LongType)))
 
   def emptyState(spark: SparkSession): DataFrame =
     spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), versionSchema)

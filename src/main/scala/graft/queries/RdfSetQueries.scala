@@ -40,8 +40,7 @@ object RdfSetQueries {
       lit(null).cast("timestamp_ntz").as("end_vt"),
       lit(null).cast("timestamp_ntz").as("at_vt"),
       lit(null).cast("string").as("expected_hash"),
-      row_number().over(org.apache.spark.sql.expressions.Window
-        .orderBy(col("event_id"))).cast("int").as("seq"))
+      col("event_id").as("seq"))
     val (st1, ab1) = TxLog.applyTx(TxLog.emptyState(s), puts, 0L, t0)
     require(!ab1, "seed tx must commit")
     val state1 = st1.localCheckpoint(true)
@@ -57,7 +56,7 @@ object RdfSetQueries {
         lit(null).cast("timestamp_ntz").as("end_vt"),
         lit(null).cast("timestamp_ntz").as("at_vt"),
         col("content_hash").as("expected_hash"),
-        col("eid").cast("long").cast("int").as("seq"))
+        col("eid").cast("long").as("seq"))
     val (st2, ab2) = TxLog.applyTx(state1, casOps, 1L, t0.plusHours(1))
     require(!ab2, "cas tx must commit")
     val state2 = st2.localCheckpoint(true)
@@ -65,9 +64,9 @@ object RdfSetQueries {
     // tx 2: wrong match + a put that must be discarded with the abort
     import scala.jdk.CollectionConverters._
     val badTx = s.createDataFrame(List(
-      org.apache.spark.sql.Row("match", "11", null, null, null, null, "WRONG_HASH", 1),
+      org.apache.spark.sql.Row("match", "11", null, null, null, null, "WRONG_HASH", 1L),
       org.apache.spark.sql.Row("put", "999", "SHOULD_NOT_APPEAR",
-        java.sql.Timestamp.valueOf("2024-02-01 00:00:00").toLocalDateTime, null, null, null, 2)).asJava,
+        java.sql.Timestamp.valueOf("2024-02-01 00:00:00").toLocalDateTime, null, null, null, 2L)).asJava,
       TxLog.opSchema)
     val (st3, ab3) = TxLog.applyTx(state2, badTx, 2L, t0.plusHours(2))
     require(ab3, "match with wrong hash must abort")

@@ -30,8 +30,7 @@ object SqlStreamQueries {
           lit(null).cast("timestamp_ntz").as("end_vt"),
           lit(null).cast("timestamp_ntz").as("at_vt"),
           lit(null).cast("string").as("expected_hash"),
-          row_number().over(org.apache.spark.sql.expressions.Window
-            .orderBy(col("event_id"))).cast("int").as("seq"))
+          col("event_id").as("seq"))
     Seq(
       bucket("2024-01-01T00:00", "2024-01-11T00:00"),
       bucket("2024-01-11T00:00", "2024-01-21T00:00"),
@@ -46,8 +45,8 @@ object SqlStreamQueries {
     // final tx: evict two entities (GDPR hard delete, tx.clj:135-147)
     import scala.jdk.CollectionConverters._
     val evict = s.createDataFrame(List(
-      Row("evict", "11", null, null, null, null, null, 1),
-      Row("evict", "12", null, null, null, null, null, 2)).asJava, TxLog.opSchema)
+      Row("evict", "11", null, null, null, null, null, 1L),
+      Row("evict", "12", null, null, null, null, null, 2L)).asJava, TxLog.opSchema)
     val all = txs :+ ((3L, java.time.LocalDateTime.parse("2024-02-02T00:00"), evict))
     val state = TxLog.applyBatch(TxLog.emptyState(s), all)
     state.select(col("eid"), col("vt"), col("tx_id"),

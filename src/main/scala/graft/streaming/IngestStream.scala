@@ -20,8 +20,8 @@ import graft.bitemp.TxLog
 object IngestStream {
 
   /** Start the single-writer ingest: `opsStream` rows follow
-    * [[TxLog.opSchema]] (minus seq, added here); each micro-batch commits
-    * as one transaction. */
+    * [[TxLog.opSchema]] (including intra-tx seq); each micro-batch
+    * commits as one transaction. */
   def start(spark: SparkSession, opsStream: DataFrame, stateDir: String,
       checkpointDir: String,
       txTime: Long => java.time.LocalDateTime =
@@ -33,10 +33,9 @@ object IngestStream {
       .foreachBatch { (ops: DataFrame, batchId: Long) =>
         val sp = ops.sparkSession
         val current = loadState(sp, stateDir)
-        val withSeq = ops.withColumn("seq",
-          row_number().over(org.apache.spark.sql.expressions.Window
-            .orderBy(col("eid"))).cast("int"))
-        val (next, _) = TxLog.applyTx(current, withSeq, batchId, txTime(batchId))
+        // ops carry their own intra-tx seq (opSchema) — no global-window
+        // renumbering; a single unpartitioned sort would serialize at scale
+        val (next, _) = TxLog.applyTx(current, ops, batchId, txTime(batchId))
         // copy-on-write snapshot commit (single writer => safe)
         val tmp = stateDir + ".tmp"
         next.write.mode("overwrite").parquet(tmp)

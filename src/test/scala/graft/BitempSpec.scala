@@ -22,7 +22,7 @@ class BitempSpec extends AnyFunSuite {
       case (st, ((value, startVt, endVt), idx)) =>
         val op = Row(
           if (value.isDefined) "put" else "delete",
-          "ivan", value.orNull, d(startVt), endVt.map(d).orNull, null, null, 0)
+          "ivan", value.orNull, d(startVt), endVt.map(d).orNull, null, null, 0L)
         val ops = spark.createDataFrame(List(op).asJava, TxLog.opSchema)
         val (next, aborted) = TxLog.applyTx(st, ops, idx.toLong, d("2020-01-01").plusMinutes(idx.toLong))
         assert(!aborted)
@@ -160,19 +160,19 @@ class BitempSpec extends AnyFunSuite {
       TxLog.applyTx(st0, spark.createDataFrame(ops.asJava, TxLog.opSchema), id, d("2020-02-01"))
     // match expecting wrong hash + a put => aborted, state unchanged
     val (st1, aborted1) = tx(Seq(
-      Row("match", "ivan", null, null, null, d("2020-01-15"), "WRONG", 0),
-      Row("put", "ivan", "v2", d("2020-01-15"), null, null, null, 1)), 10L)
+      Row("match", "ivan", null, null, null, d("2020-01-15"), "WRONG", 0L),
+      Row("put", "ivan", "v2", d("2020-01-15"), null, null, null, 1L)), 10L)
     assert(aborted1 && history(st1) == history(st0))
     // match expecting the right hash => put lands
     val (st2, aborted2) = tx(Seq(
-      Row("match", "ivan", null, null, null, d("2020-01-15"), "v1", 0),
-      Row("put", "ivan", "v2", d("2020-01-15"), null, null, null, 1)), 11L)
+      Row("match", "ivan", null, null, null, d("2020-01-15"), "v1", 0L),
+      Row("put", "ivan", "v2", d("2020-01-15"), null, null, null, 1L)), 11L)
     assert(!aborted2)
     assert(history(st2).contains(("2020-01-15", 11L, Some("v2"))))
     // match on a non-existent entity expecting nil => passes (nil==nil)
     val (_, aborted3) = tx(Seq(
-      Row("match", "ghost", null, null, null, d("2020-01-15"), null, 0),
-      Row("put", "ghost", "g1", d("2020-01-15"), null, null, null, 1)), 12L)
+      Row("match", "ghost", null, null, null, d("2020-01-15"), null, 0L),
+      Row("put", "ghost", "g1", d("2020-01-15"), null, null, null, 1L)), 12L)
     assert(!aborted3)
   }
 
@@ -180,14 +180,14 @@ class BitempSpec extends AnyFunSuite {
     import scala.jdk.CollectionConverters._
     val st0 = runScenario(Seq((Some("v1"), "2019-11-25", None)))
     val (st1, ab1) = TxLog.applyTx(st0, spark.createDataFrame(List(
-      Row("cas", "ivan", "v2", null, null, null, "v1", 0)).asJava, TxLog.opSchema),
+      Row("cas", "ivan", "v2", null, null, null, "v1", 0L)).asJava, TxLog.opSchema),
       20L, d("2020-02-01"))
     assert(!ab1)
     val live = Bitemp.asOf(st1, lit(d("2020-03-01")), lit(99L))
       .collect().toSeq.map(_.getAs[String]("content_hash"))
     assert(live == Seq("v2"))
     val (st2, ab2) = TxLog.applyTx(st0, spark.createDataFrame(List(
-      Row("cas", "ivan", "v3", null, null, null, "NOPE", 0)).asJava, TxLog.opSchema),
+      Row("cas", "ivan", "v3", null, null, null, "NOPE", 0L)).asJava, TxLog.opSchema),
       21L, d("2020-02-01"))
     assert(ab2 && history(st2) == history(st0))
   }
@@ -197,7 +197,7 @@ class BitempSpec extends AnyFunSuite {
     val st0 = runScenario(Seq(
       (Some("v1"), "2019-11-25", None), (Some("v2"), "2019-11-26", None)))
     val (st1, _) = TxLog.applyTx(st0, spark.createDataFrame(List(
-      Row("evict", "ivan", null, null, null, null, null, 0)).asJava, TxLog.opSchema),
+      Row("evict", "ivan", null, null, null, null, null, 0L)).asJava, TxLog.opSchema),
       30L, d("2020-02-01"))
     assert(st1.count() == 0)
   }
