@@ -171,4 +171,35 @@ object TxLog {
       val (next, _) = applyTx(st, ops, txId, txTime)
       next.localCheckpoint(true)
     }
+
+  /** A transaction function (tx.clj:149-227): runs against the in-flight
+    * resolved snapshot (latest non-tombstone fact per entity as of the tx)
+    * and returns op rows to splice in at the fn op's position. The fn body
+    * is a Scala closure registered by name — the re-expression of the
+    * reference's stored-Clojure `:crux.db/fn` docs (SURVEY §2.10). */
+  type TxFn = (DataFrame, String) => DataFrame
+
+  /** Apply a tx whose ops may include ("fn", fnName, argString in
+    * content_hash/expected_hash columns): each fn op expands against the
+    * snapshot BEFORE this tx (reference semantics: fns see the in-flight
+    * DB, and all emitted ops commit atomically with the tx). Emitted ops
+    * inherit the fn op's seq (sub-ordered by their own seq scaled in). */
+  def applyTxWithFns(state: DataFrame, ops: DataFrame, txId: Long,
+      txTime: java.time.LocalDateTime, fns: Map[String, TxFn]): (DataFrame, Boolean) = {
+    val fnOps = ops.filter(col("op") === "fn")
+      .select(col("eid"), col("content_hash"), col("seq")).collect()
+    if (fnOps.isEmpty) return applyTx(state, ops, txId, txTime)
+    val snapshot = Bitemp.asOfTime(resolvedHistory(state), lit(txTime), lit(txTime))
+    val expanded = fnOps.toSeq.map { r =>
+      val fnName = r.getString(0); val arg = r.getString(1); val seq = r.getLong(2)
+      val fn = fns.getOrElse(fnName,
+        throw new IllegalArgumentException(s"unknown tx fn $fnName"))
+      // splice emitted ops at the fn's position: seq * 1e6 + sub-seq
+      fn(snapshot, arg).withColumn("seq", lit(seq) * 1000000L + col("seq"))
+    }
+    val direct = ops.filter(col("op") =!= "fn")
+      .withColumn("seq", col("seq") * 1000000L)
+    val allOps = expanded.foldLeft(direct)(_ unionByName _)
+    applyTx(state, allOps, txId, txTime)
+  }
 }

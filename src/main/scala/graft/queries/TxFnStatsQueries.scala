@@ -1,0 +1,88 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.bitemp.{Bitemp, TxLog}
+import graft.operators.Stats
+import graft.sources.Tables
+
+/** Gate queries for transaction functions (§2.9/§2.10 tx fn) and the
+  * attribute-stats job (§2.9 stats maintenance). */
+object TxFnStatsQueries {
+
+  /** tx function: seed events as puts, then one fn op whose closure reads
+    * the in-flight snapshot and emits suffix-bump puts for users 1-8 —
+    * all committed atomically with the enclosing tx (tx.clj:149-227). */
+  def txFn(s: SparkSession, dir: String): DataFrame = {
+    val t0 = java.time.LocalDateTime.parse("2024-02-01T00:00")
+    val ev = Tables.load(s, dir, "events")
+      .filter(col("ts") < lit(java.time.LocalDateTime.parse("2024-01-11T00:00")))
+    val puts = ev.select(
+      lit("put").as("op"), col("user_id").cast("string").as("eid"),
+      col("event_type").as("content_hash"), col("ts").as("start_vt"),
+      lit(null).cast("timestamp_ntz").as("end_vt"),
+      lit(null).cast("timestamp_ntz").as("at_vt"),
+      lit(null).cast("string").as("expected_hash"),
+      col("event_id").as("seq"))
+    val (st1, _) = TxLog.applyTx(TxLog.emptyState(s), puts, 0L, t0)
+    val state1 = st1.localCheckpoint(true)
+
+    val fns: Map[String, TxLog.TxFn] = Map(
+      "bump" -> ((snapshot: DataFrame, arg: String) =>
+        snapshot.filter(col("eid").cast("long") <= 8)
+          .select(lit("put").as("op"), col("eid"),
+            concat(col("content_hash"), lit("_"), lit(arg)).as("content_hash"),
+            lit(null).cast("timestamp_ntz").as("start_vt"), // defaults to txTime
+            lit(null).cast("timestamp_ntz").as("end_vt"),
+            lit(null).cast("timestamp_ntz").as("at_vt"),
+            lit(null).cast("string").as("expected_hash"),
+            col("eid").cast("long").as("seq"))))
+
+    import scala.jdk.CollectionConverters._
+    val fnOp = s.createDataFrame(List(
+      org.apache.spark.sql.Row("fn", "bump", "V9", null, null, null, null, 1L)).asJava,
+      TxLog.opSchema)
+    val (st2, ab) = TxLog.applyTxWithFns(state1, fnOp, 1L, t0.plusHours(1), fns)
+    require(!ab, "fn tx must commit")
+
+    Bitemp.asOfTime(st2,
+        lit(java.time.LocalDateTime.parse("2024-03-01T00:00")),
+        lit(java.time.LocalDateTime.parse("2024-03-01T00:00")))
+      .select(col("eid"), col("content_hash"))
+  }
+
+  /** single-pass per-attribute stats over customer (exact side gated;
+    * the approx_count_distinct sketch is exercised in StatsSpec). */
+  def statsAttrs(s: SparkSession, dir: String): DataFrame =
+    Stats.attrStats(Tables.load(s, dir, "customer"),
+        Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment"))
+      .select(col("attr"), col("n_docs"), col("n_distinct"))
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_fn" -> txFn _,
+    "stats_attrs" -> statsAttrs _)
+}
+
+object TxFnStatsSql {
+  val all: Map[String, String] = Map(
+    "tx_fn" -> """
+      WITH ranked AS (
+        SELECT CAST(user_id AS VARCHAR) AS eid, user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts < TIMESTAMP '2024-01-11')
+      SELECT eid,
+        CASE WHEN user_id <= 8 THEN event_type || '_V9' ELSE event_type END
+          AS content_hash
+      FROM ranked WHERE rn = 1""",
+
+    "stats_attrs" -> """
+      SELECT 'c_custkey' AS attr, COUNT(c_custkey) AS n_docs,
+             COUNT(DISTINCT c_custkey) AS n_distinct FROM customer
+      UNION ALL
+      SELECT 'c_name', COUNT(c_name), COUNT(DISTINCT c_name) FROM customer
+      UNION ALL
+      SELECT 'c_nationkey', COUNT(c_nationkey), COUNT(DISTINCT c_nationkey) FROM customer
+      UNION ALL
+      SELECT 'c_mktsegment', COUNT(c_mktsegment), COUNT(DISTINCT c_mktsegment) FROM customer""")
+}
