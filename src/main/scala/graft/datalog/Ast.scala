@@ -31,6 +31,8 @@ object Ast {
   sealed trait FindElem
   final case class FindVar(v: V) extends FindElem
   final case class FindAgg(fn: String, n: Option[Long], v: V) extends FindElem
+  /** `(pull ?e [pattern…])` in :find (query.clj:118-125, crux pull). */
+  final case class FindPull(v: V, pattern: Edn.Val) extends FindElem
 
   final case class RuleDef(name: String, args: List[V], clauses: List[Clause])
 
@@ -118,6 +120,7 @@ object Ast {
 
   private def parseFindElem(v: Edn.Val): FindElem = v match {
     case Sym(n) => FindVar(V(varName(n)))
+    case Lst(List(Sym("pull"), Sym(e), pat: Vec)) => FindPull(V(varName(e)), pat)
     case Lst(List(Sym(fn), Sym(arg))) => FindAgg(fn, None, V(varName(arg)))
     case Lst(List(Sym(fn), Lng(n), Sym(arg))) => FindAgg(fn, Some(n), V(varName(arg)))
     case other => throw new IllegalArgumentException(s"unsupported find element $other")

@@ -25,6 +25,10 @@ trait FactSource {
   /** Single-scan multi-attribute entity projection: (eid, a1..an), arrays
     * exploded. None if this source can't (planner falls back to joins). */
   def entityScan(as: Seq[String]): Option[DataFrame] = None
+  /** Pull support for `(pull ?e [...])` find elements: the catalog plus
+    * attr → owning table. None if the source can't pull. */
+  def pullCatalog: Option[graft.pull.Pull.Catalog] = None
+  def tableOf(a: String): Option[String] = None
 }
 
 /** Quad-table source. `df` columns: e plus one value column per type family
@@ -42,10 +46,14 @@ final class QuadSource(df: DataFrame, attrTypes: Map[String, String]) extends Fa
 /** Typed-table source over the parquet catalog: one table per "document
   * type", attribute = column name (unique across tables in TPC-H style). */
 final class TableSource(spark: SparkSession, load: String => DataFrame,
-    tables: Map[String, TableSpec]) extends FactSource {
+    tables: Map[String, TableSpec],
+    pullCat: Option[graft.pull.Pull.Catalog] = None) extends FactSource {
 
   private val attrToTable: Map[String, String] =
     tables.flatMap { case (t, spec) => spec.cols.map(_ -> t) }
+
+  override def pullCatalog: Option[graft.pull.Pull.Catalog] = pullCat
+  override def tableOf(a: String): Option[String] = attrToTable.get(a)
 
   def attrs: Set[String] = attrToTable.keySet
 
@@ -98,6 +106,7 @@ object TableSource {
           "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate")),
       "documents" -> TableSpec(Seq("doc_id"), Set("doc_id", "text", "lang", "source", "n_chars")),
       "events" -> TableSpec(Seq("event_id"), Set("event_id", "ts", "user_id", "event_type", "value", "props")))
-    new TableSource(spark, name => graft.sources.Tables.load(spark, dir, name), specs)
+    new TableSource(spark, name => graft.sources.Tables.load(spark, dir, name), specs,
+      pullCat = Some(graft.pull.Pull.tpch(spark, dir)))
   }
 }

@@ -533,14 +533,35 @@ private final class Planner(spark: SparkSession, source: FactSource,
   def finalize(query: Query, joined: Rel): DataFrame = {
     val aggs = query.find.collect { case a: FindAgg => a }
     val vars = query.find.collect { case v: FindVar => v }
+    val pulls = query.find.collect { case p: FindPull => p }
 
     def outName(fe: FindElem): String = fe match {
       case FindVar(v) => v.name
       case FindAgg(fn, n, v) =>
         (fn + n.map("_" + _).getOrElse("") + "_" + v.name).replace('-', '_')
+      case FindPull(v, _) => v.name + "_pull"
     }
 
     var df = joined.df
+    // (pull ?e [...]) projections: resolve ?e's table from its triple
+    // clauses, compile the pattern once (pull/Pull), left-join the pulled
+    // struct on the entity id (query.clj:1715-1726 runs pull in the
+    // finalize stage too)
+    if (pulls.nonEmpty) {
+      require(aggs.isEmpty, "(pull …) with aggregates is unsupported")
+      val cat = source.pullCatalog.getOrElse(
+        throw new IllegalArgumentException("this source does not support pull"))
+      def attrOfVar(v: V): String = query.where.collectFirst {
+        case Triple(V(n), a, _) if n == v.name => a
+      }.getOrElse(throw new IllegalArgumentException(s"pull var ?${v.name} not bound by a triple"))
+      pulls.foreach { p =>
+        val table = source.tableOf(attrOfVar(p.v)).get
+        val pdf = graft.pull.Pull.pullSpecs(cat, table,
+            graft.pull.Pull.patternFromEdn(p.pattern))
+          .select(col("_id").cast("string").as(p.v.name), col("pulled").as(outName(p)))
+        df = df.join(pdf, Seq(p.v.name), "left")
+      }
+    }
     if (aggs.nonEmpty) {
       // aggregation over DISTINCT full var tuples (the reference's layered
       // join enumerates distinct tuples; query.clj:1612-1643 folds them)

@@ -83,7 +83,9 @@ object Pull {
   /** recursion marker, expanded before compile. */
   final case class Recur(attr: String, as: String, depth: Int) extends Spec
 
-  def parsePattern(edn: String): List[Spec] = Edn.parse(edn) match {
+  def parsePattern(edn: String): List[Spec] = patternFromEdn(Edn.parse(edn))
+
+  def patternFromEdn(v: Edn.Val): List[Spec] = v match {
     case Edn.Vec(items) => items.map(parseSpec)
     case other => throw new IllegalArgumentException(s"pull pattern must be a vector, got $other")
   }
@@ -158,10 +160,11 @@ object Pull {
 
   /** Compile: every row of `table`, with one `pulled` struct column shaped
     * by the pattern. Join `_id` (the pk value) back to your query result. */
-  def pull(cat: Catalog, table: String, patternEdn: String): DataFrame = {
-    val pattern = expand(parsePattern(patternEdn))
-    build(cat, table, pattern)
-  }
+  def pull(cat: Catalog, table: String, patternEdn: String): DataFrame =
+    pullSpecs(cat, table, parsePattern(patternEdn))
+
+  def pullSpecs(cat: Catalog, table: String, pattern: List[Spec]): DataFrame =
+    build(cat, table, expand(pattern))
 
   private def build(cat: Catalog, table: String, pattern: List[Spec]): DataFrame = {
     val spec = cat.tables(table)

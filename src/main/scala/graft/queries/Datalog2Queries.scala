@@ -60,6 +60,16 @@ object Datalog2Queries {
        :where [[(text-search :p_name "blue") [[?p ?v]]]
                [?p :p_partkey ?pk]]}""") _,
 
+    // (pull ?e [...]) in :find — props + forward join, serialized to
+    // compact JSON for the oracle compare
+    "dl_pull" -> ((s: SparkSession, dir: String) => {
+      dl("""
+        {:find [?ck (pull ?c [:c_name :c_mktsegment {:c_nationkey [:n_name]}])]
+         :keys [c_custkey pulled]
+         :where [[?c :c_custkey ?ck] [(<= ?ck 100)]]}""")(s, dir)
+        .withColumn("pulled", to_json(col("pulled"), Map("ignoreNullFields" -> "false")))
+    }),
+
     // long-tail aggregates: variance/stddev (population), min-N/max-N
     // top-k sets, distinct set (query.clj:324-408)
     "dl_agg_stats" -> ((s: SparkSession, dir: String) => {
@@ -103,6 +113,13 @@ object Datalog2Sql {
     "dl_text_search" -> """
       SELECT DISTINCT p_partkey, p_name FROM part
       WHERE regexp_matches(p_name, 'blue')""",
+
+    "dl_pull" -> """
+      SELECT DISTINCT c_custkey,
+        to_json(struct_pack(c_name := c_name, c_mktsegment := c_mktsegment,
+          c_nationkey := struct_pack(n_name := n_name))) AS pulled
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      WHERE c_custkey <= 100""",
 
     "dl_agg_stats" -> """
       SELECT l_returnflag,
