@@ -428,6 +428,27 @@ private final class Planner(spark: SparkSession, source: FactSource,
 
   private val ruleCache = scala.collection.mutable.Map[String, Rel]()
 
+  /** rule names directly referenced by a clause list. */
+  private def calledRules(cs: List[Clause]): Set[String] = cs.flatMap {
+    case RuleCall(n, _) if rules.contains(n) => List(n)
+    case Not(_, sub) => calledRules(sub)
+    case Or(_, bs) => bs.flatMap(calledRules)
+    case _ => Nil
+  }.toSet
+
+  /** The mutually-recursive component of `name`: rules reachable from it
+    * that can also reach back (even/odd-style mutual recursion evaluates
+    * as ONE fixpoint; the reference expands rules with a cycle guard,
+    * query.clj:1209-1270 + 1079-1086). */
+  private def component(name: String): Set[String] = {
+    def reach(from: String, seen: Set[String]): Set[String] = {
+      val next = rules(from).flatMap(d => calledRules(d.clauses)).toSet -- seen
+      next.foldLeft(seen ++ next)((s, n) => reach(n, s))
+    }
+    val fwd = reach(name, Set(name))
+    fwd.filter(n => n == name || reach(n, Set(n)).contains(name))
+  }
+
   private def planRuleCall(rc: RuleCall): Rel = {
     val ruleRel = ruleCache.getOrElseUpdate(rc.name, planRule(rc.name))
     val defs = rules(rc.name)
@@ -447,24 +468,24 @@ private final class Planner(spark: SparkSession, source: FactSource,
     Rel(out, distinctSure = false)
   }
 
-  /** Naive fixpoint evaluation of a (possibly self-recursive) rule: start
-    * from the non-recursive branches, re-derive until no new tuples
-    * (recursion guard semantics of query.clj:1079-1086 — but as a driver
-    * loop, SURVEY §4). */
+  /** Naive fixpoint evaluation of a rule together with its mutual-
+    * recursion component: start from branches with no in-component calls,
+    * re-derive every member until no new tuples anywhere (recursion guard
+    * semantics of query.clj:1079-1086 — but as a driver loop, SURVEY §4).
+    * Populates the cache for the whole component; returns `name`'s Rel. */
   private def planRule(name: String): Rel = {
-    val defs = rules.getOrElse(name, throw new IllegalArgumentException(s"unknown rule $name"))
-    val argNames = defs.head.args.map(_.name)
-    require(defs.forall(_.args.map(_.name) == argNames) || defs.forall(_.args.size == argNames.size),
-      s"rule $name: inconsistent arity")
+    require(rules.contains(name), s"unknown rule $name")
+    val comp = component(name)
+    val argNamesOf: Map[String, List[String]] = comp.map { rn =>
+      val defs = rules(rn)
+      val ns = defs.head.args.map(_.name)
+      require(defs.forall(_.args.size == ns.size), s"rule $rn: inconsistent arity")
+      rn -> ns
+    }.toMap
 
-    def isRecursive(cs: List[Clause]): Boolean = cs.exists {
-      case RuleCall(`name`, _) => true
-      case Not(_, sub) => isRecursive(sub)
-      case Or(_, bs) => bs.exists(isRecursive)
-      case _ => false
-    }
-
-    def planBranch(d: RuleDef, recRel: Option[Rel]): Rel = {
+    def planBranch(rname: String, d: RuleDef,
+        iterates: Map[String, DataFrame]): Rel = {
+      val argNames = argNamesOf(rname)
       // α-rename: map def arg vars -> canonical arg names, internals -> fresh
       val suffix = gensym("r")
       val argMap = d.args.map(_.name).zip(argNames).toMap
@@ -485,16 +506,16 @@ private final class Planner(spark: SparkSession, source: FactSource,
         case BindRel(vs) => BindRel(vs.map(v => V(rn(v.name))))
       }
       val renamed = d.clauses.map(rnClause)
-      // replace self-recursive calls with the current iterate
-      val (selfCalls, others) = renamed.partition {
-        case RuleCall(`name`, _) => true; case _ => false
+      // replace in-component calls with the current iterate for that rule
+      val (compCalls, others) = renamed.partition {
+        case RuleCall(cn, _) if comp.contains(cn) => true; case _ => false
       }
-      val seedRels = selfCalls.map {
-        case RuleCall(_, as) =>
-          val r = recRel.getOrElse(throw new IllegalStateException("recursive call without iterate"))
-          var df = r.df
+      val seedRels = compCalls.map {
+        case RuleCall(cn, as) =>
+          var df = iterates(cn)
+          val calleeArgs = argNamesOf(cn)
           val keep = scala.collection.mutable.LinkedHashMap[String, String]()
-          as.zip(argNames).foreach { case (term, argN) =>
+          as.zip(calleeArgs).foreach { case (term, argN) =>
             term match {
               case V(n) => keep(argN) = n
               case C(v) => df = df.filter(col(argN) === litOf(v))
@@ -508,24 +529,31 @@ private final class Planner(spark: SparkSession, source: FactSource,
       Rel(body.df.select(argNames.map(col): _*), distinctSure = false)
     }
 
-    val (recDefs, baseDefs) = defs.partition(d => isRecursive(d.clauses))
-    require(baseDefs.nonEmpty, s"rule $name has no non-recursive branch")
-    var acc = baseDefs.map(planBranch(_, None)).map(_.df).reduce(_ unionByName _)
-      .distinct().localCheckpoint(true)
-    if (recDefs.nonEmpty) {
-      var lastCount = acc.count()
-      var grew = true
-      while (grew) {
-        val rec = recDefs.map(planBranch(_, Some(Rel(acc, distinctSure = true))))
-          .map(_.df).reduce(_ unionByName _)
-        val next = acc.unionByName(rec).distinct().localCheckpoint(true)
-        val n = next.count()
-        grew = n > lastCount
-        lastCount = n
-        acc = next
+    // joint fixpoint: a branch is runnable once every in-component rule it
+    // calls has an iterate; rules seeded by base branches come up first
+    var acc = scala.collection.mutable.Map[String, DataFrame]()
+    var counts = scala.collection.mutable.Map[String, Long]().withDefaultValue(-1L)
+    var grew = true
+    while (grew) {
+      grew = false
+      comp.toSeq.sorted.foreach { rn =>
+        val runnable = rules(rn).filter(d =>
+          (calledRules(d.clauses) & comp).forall(acc.contains))
+        if (runnable.nonEmpty) {
+          val derived = runnable.map(planBranch(rn, _, acc.toMap)).map(_.df)
+            .reduce(_ unionByName _)
+          val next = acc.get(rn).map(_.unionByName(derived)).getOrElse(derived)
+            .distinct().localCheckpoint(true)
+          val n = next.count()
+          if (n != counts(rn)) { grew = true; counts(rn) = n; acc(rn) = next }
+        }
       }
     }
-    Rel(acc, distinctSure = true)
+    require(acc.contains(name),
+      s"rule $name never became derivable (no reachable non-recursive branch)")
+    comp.foreach(rn => acc.get(rn).foreach(df =>
+      ruleCache.update(rn, Rel(df, distinctSure = true))))
+    Rel(acc(name), distinctSure = true)
   }
 
   // -------------------------------------------------------------- finalize

@@ -202,6 +202,17 @@ class DatalogSpec extends AnyFunSuite {
         Seq("i2", "i3"), Seq("i2", "i4"), Seq("i3", "i4")))
   }
 
+  test("mutually recursive rules evaluate as one fixpoint (query.clj:1209-1270)") {
+    // hop-odd = odd-length follow paths, hop-even = even-length; on the
+    // chain i1->i2->i3->i4 the even-length pairs are (i1,i3),(i2,i4).
+    assert(run(
+      """[:find ?x ?y :where [(hop-even ?x ?y)]
+         :rules [[(hop-odd ?x ?y) [?x :follows ?y]]
+                 [(hop-odd ?x ?y) [?x :follows ?z] (hop-even ?z ?y)]
+                 [(hop-even ?x ?y) [?x :follows ?z] (hop-odd ?z ?y)]]]""") ==
+      Set(Seq("i1", "i3"), Seq("i2", "i4")))
+  }
+
   test("keys rename output columns") {
     val df = Planner.q(spark, source,
       "[:find ?n ?a :keys [name age] :where [[?e :name ?n] [?e :age ?a]]]")
