@@ -20,6 +20,9 @@ import org.apache.spark.sql.types.ArrayType
   */
 trait FactSource {
   def attrs: Set[String]
+  /** Attributes holding string values — the search space of
+    * `wildcard-text-search` (crux-lucene/src/crux/lucene.clj:184-189). */
+  def stringAttrs: Set[String] = attrs
   /** DataFrame with columns (eid, value) for one attribute. */
   def attr(a: String): DataFrame
   /** Single-scan multi-attribute entity projection: (eid, a1..an), arrays
@@ -36,6 +39,8 @@ trait FactSource {
   * each attribute's value column. */
 final class QuadSource(df: DataFrame, attrTypes: Map[String, String]) extends FactSource {
   def attrs: Set[String] = attrTypes.keySet
+  override def stringAttrs: Set[String] =
+    attrTypes.collect { case (a, "v_str") => a }.toSet
   def attr(a: String): DataFrame = {
     val vcol = attrTypes.getOrElse(a, throw new IllegalArgumentException(s"unknown attribute :$a"))
     df.filter(col("a") === a).select(col("e").as("eid"), col(vcol).as("value"))
@@ -57,6 +62,17 @@ final class TableSource(spark: SparkSession, load: String => DataFrame,
 
   def attrs: Set[String] = attrToTable.keySet
 
+  override lazy val stringAttrs: Set[String] = tables.keysIterator.flatMap { t =>
+    val schema = load(t).schema
+    tables(t).cols.filter { c =>
+      schema(c).dataType match {
+        case org.apache.spark.sql.types.StringType => true
+        case ArrayType(org.apache.spark.sql.types.StringType, _) => true
+        case _ => false
+      }
+    }
+  }.toSet
+
   def attr(a: String): DataFrame = {
     val df = tableFor(a)
     explodeArrays(df.select(col("_eid").as("eid"), col(a).as("value")), Seq("value"))
@@ -77,7 +93,10 @@ final class TableSource(spark: SparkSession, load: String => DataFrame,
     val t = attrToTable.getOrElse(a, throw new IllegalArgumentException(s"unknown attribute :$a"))
     val spec = tables(t)
     val df = load(t)
-    df.withColumn("_eid", spec.key.map(col).reduceLeft((x, y) => concat(x.cast("string"), lit("|"), y.cast("string"))))
+    // eids are uniformly strings (crux ids are opaque, codec.clj:540-608);
+    // single-key tables must not leak the raw column type
+    df.withColumn("_eid",
+      spec.key.map(col(_).cast("string")).reduceLeft((x, y) => concat(x, lit("|"), y)))
   }
 
   private def explodeArrays(df: DataFrame, cols: Seq[String]): DataFrame =

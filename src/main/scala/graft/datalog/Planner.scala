@@ -203,7 +203,7 @@ private final class Planner(spark: SparkSession, source: FactSource,
     // pull it out of the pred list and seed it as a scan (rlike over the
     // attribute frame stands in for the Lucene index; pushdown-friendly).
     val (textSearches, preds0) = clauses.collect { case p: Pred => p }
-      .partition(p => p.fn == "text-search")
+      .partition(p => p.fn == "text-search" || p.fn == "wildcard-text-search")
     val preds = preds0
     val getattrs = clauses.collect { case g: GetAttr => g }
     val nots = clauses.collect { case n: Not => n }
@@ -211,8 +211,13 @@ private final class Planner(spark: SparkSession, source: FactSource,
     val ruleCalls = clauses.collect { case r: RuleCall => r }
 
     var rels: List[Rel] = seed ++ tripleRels(triples) ++
-      textSearches.map(planTextSearch) ++
+      textSearches.map(p =>
+        if (p.fn == "text-search") planTextSearch(p) else planWildcardTextSearch(p)) ++
       ors.map(planOr) ++ ruleCalls.map(planRuleCall)
+    // a lone `(q …)` subquery clause has no scan to hang off: seed a unit
+    // relation and let applySubquery cross-join its result in
+    if (rels.isEmpty && preds.exists(_.fn == "q"))
+      rels = List(Rel(spark.range(1).toDF().select(), distinctSure = true))
     require(rels.nonEmpty, "nothing to join (no data clauses)")
 
     // merge: prefer pairs sharing vars; cross join only when disconnected
@@ -270,6 +275,7 @@ private final class Planner(spark: SparkSession, source: FactSource,
   }
 
   private def applyPred(rel: Rel, p: Pred): Rel = {
+    if (p.fn == "q") return applySubquery(rel, p)
     // regex preds need the pattern as a Scala string (literal-only)
     (p.fn, p.binding) match {
       case ("re-find" | "re-matches", None) =>
@@ -299,6 +305,103 @@ private final class Planner(spark: SparkSession, source: FactSource,
       case Some(BindRel(_)) =>
         throw new IllegalArgumentException("relation-returning predicates unsupported")
     }
+  }
+
+  /** `[(q {subquery} args…) binding]` — nested query as a predicate
+    * (crux-core/src/crux/query.clj:973-986; spec 161-166). The reference
+    * re-executes the subquery per outer binding; here it is DECORRELATED:
+    * each V arg becomes a join column (the subquery's matching :in var is
+    * renamed to the outer var and left free), and aggregates group per
+    * outer binding tuple — the scale-correct rewrite (SURVEY §2.3
+    * "correlated → rewrite to join+groupBy"; one shuffle instead of a
+    * per-row re-execution). C args are seeded as literal relations. */
+  private def applySubquery(rel: Rel, p: Pred): Rel = {
+    val sub = p.args.headOption match {
+      case Some(C(m)) => Ast.fromEdn(m)
+      case o => throw new IllegalArgumentException(s"q needs a literal query form, got $o")
+    }
+    val callArgs = p.args.tail
+    require(sub.in.size == callArgs.size,
+      s"subquery arity mismatch: ${sub.in.size} in-bindings vs ${callArgs.size} args")
+    require(sub.orderBy.isEmpty && sub.limit.isEmpty && sub.offset.isEmpty,
+      "ordered/limited subqueries unsupported under decorrelated evaluation")
+
+    val suffix = gensym("sq")
+    val ren = scala.collection.mutable.Map[String, String]()
+    val corr = scala.collection.mutable.ListBuffer[String]()
+    val seeds = scala.collection.mutable.ListBuffer[Rel]()
+    sub.in.zip(callArgs).foreach { case (InBind(b), arg) =>
+      (b, arg) match {
+        case (BindScalar(v), V(outer)) =>
+          require(rel.vars.contains(outer), s"unbound subquery arg ?$outer")
+          ren(v.name) = outer; corr += outer
+        case (BindScalar(v), C(value)) =>
+          val n = s"${v.name}__$suffix"; ren(v.name) = n
+          seeds += Rel(litDf(Seq(n), Seq(Seq(scalaVal(value)))), distinctSure = true)
+        case (o, _) => throw new IllegalArgumentException(s"unsupported subquery in-binding $o")
+      }
+    }
+    def rn(n: String): String = ren.getOrElseUpdate(n, s"${n}__$suffix")
+    val renamedWhere = sub.where.map(renameClause(rn))
+    val nested = new Planner(spark, source, rules ++ sub.rules.groupBy(_.name))
+    val body = nested.planConjunction(renamedWhere, seeds.toList)
+
+    val corrCols = corr.distinct.toList
+    val outNames = sub.find.indices.map(i => s"q${i}__$suffix").toList
+    val aggs = sub.find.collect { case a: FindAgg => a }
+    var subDf = body.df
+    if (aggs.nonEmpty) {
+      // distinct-tuple fold per outer binding (query.clj:1612-1643 + §2.4)
+      if (!body.distinctSure) subDf = subDf.distinct()
+      val groupVars =
+        (corrCols ++ sub.find.collect { case FindVar(v) => rn(v.name) }).distinct
+      val aggCols = sub.find.zipWithIndex.collect { case (a: FindAgg, i) =>
+        aggCol(FindAgg(a.fn, a.n, V(rn(a.v.name)))).as(outNames(i))
+      }
+      subDf = (if (groupVars.isEmpty) subDf.groupBy()
+               else subDf.groupBy(groupVars.map(col): _*))
+        .agg(aggCols.head, aggCols.tail: _*)
+      subDf = subDf.select((corrCols.map(col) ++ sub.find.zipWithIndex.map {
+        case (FindVar(v), i) => col(rn(v.name)).as(outNames(i))
+        case (_, i) => col(outNames(i))
+      }): _*)
+    } else {
+      subDf = subDf.select((corrCols.map(col) ++ sub.find.zipWithIndex.map {
+        case (FindVar(v), i) => col(rn(v.name)).as(outNames(i))
+        case (fe, _) => throw new IllegalArgumentException(s"unsupported subquery find element $fe")
+      }): _*).distinct() // subquery results are set-semantic (query.clj:1783)
+    }
+
+    // existence-only subquery: semi-join on the correlation columns
+    if (p.binding.isEmpty) {
+      val out =
+        if (corrCols.nonEmpty)
+          rel.df.join(subDf.select(corrCols.map(col): _*), corrCols, "left_semi")
+        else rel.df.crossJoin(subDf.limit(1).select())
+      return Rel(out, rel.distinctSure)
+    }
+
+    val bindNames: List[String] = p.binding.get match {
+      case BindScalar(v) =>
+        require(sub.find.size == 1, "scalar binding needs a 1-element :find"); List(v.name)
+      case BindColl(v) =>
+        require(sub.find.size == 1, "collection binding needs a 1-element :find"); List(v.name)
+      case BindTuple(vs) =>
+        require(vs.size == sub.find.size, "tuple binding arity mismatch"); vs.map(_.name)
+      case BindRel(vs) =>
+        require(vs.size == sub.find.size, "relation binding arity mismatch"); vs.map(_.name)
+    }
+    // fresh binding vars rename in place; already-bound vars unify post-join
+    val unify = scala.collection.mutable.ListBuffer[(String, String)]()
+    bindNames.zip(outNames).foreach { case (n, o) =>
+      if (rel.vars.contains(n)) unify += ((n, o))
+      else subDf = subDf.withColumnRenamed(o, n)
+    }
+    var joined =
+      if (corrCols.nonEmpty) rel.df.join(subDf, corrCols, "inner")
+      else rel.df.crossJoin(subDf)
+    unify.foreach { case (n, o) => joined = joined.filter(col(n) === col(o)).drop(o) }
+    Rel(joined, distinctSure = false)
   }
 
   private def applyGetAttr(rel: Rel, g: GetAttr): Rel = {
@@ -399,6 +502,33 @@ private final class Planner(spark: SparkSession, source: FactSource,
     Rel(df, distinctSure = false)
   }
 
+  /** `[(wildcard-text-search "regex") [[?e ?v ?a]]]` — match across ALL
+    * string attributes, yielding (entity, value, attr) tuples
+    * (crux-lucene/src/crux/lucene.clj:184-189; regex for Lucene syntax,
+    * score-less, per SURVEY §2.2). Union of per-attribute scans — each
+    * prunes to (key, attr) columns, so the fan-out stays scan-parallel. */
+  private def planWildcardTextSearch(p: Pred): Rel = {
+    val pat = p.args match {
+      case List(C(Edn.Str(rx))) => rx
+      case o => throw new IllegalArgumentException(
+        s"wildcard-text-search needs a single string-literal pattern, got $o")
+    }
+    val vars = p.binding match {
+      case Some(BindRel(vs)) => vs
+      case Some(BindTuple(vs)) => vs
+      case o => throw new IllegalArgumentException(
+        s"wildcard-text-search needs [[?e ?v ?a]] binding, got $o")
+    }
+    require(vars.size == 3, "wildcard-text-search binds exactly [[?e ?v ?a]]")
+    val frames = source.stringAttrs.toSeq.sorted.map { a =>
+      source.attr(a).filter(col("value").rlike(pat))
+        .select(col("eid").as(vars(0).name), col("value").as(vars(1).name),
+          lit(":" + a).as(vars(2).name)) // canonical keyword form (SURVEY §1.2)
+    }
+    require(frames.nonEmpty, "source has no string attributes")
+    Rel(frames.reduce(_ unionByName _), distinctSure = false)
+  }
+
   // ----------------------------------------------------------------- not/or
 
   private def applyNot(rel: Rel, n: Not): Rel = {
@@ -425,6 +555,28 @@ private final class Planner(spark: SparkSession, source: FactSource,
   }
 
   // ------------------------------------------------------------------ rules
+
+  /** α-rename every var in a clause tree (rule-branch and subquery scoping;
+    * the reference gensyms on rule expansion, query.clj:1209-1270). Constants
+    * — including nested `(q {…})` query literals, which scope their own vars
+    * — are untouched. */
+  private def renameClause(rn: String => String)(c: Clause): Clause = {
+    def rnTerm(t: Term): Term = t match { case V(n) => V(rn(n)); case o => o }
+    def rnBinding(b: Binding): Binding = b match {
+      case BindScalar(v) => BindScalar(V(rn(v.name)))
+      case BindColl(v) => BindColl(V(rn(v.name)))
+      case BindTuple(vs) => BindTuple(vs.map(v => V(rn(v.name))))
+      case BindRel(vs) => BindRel(vs.map(v => V(rn(v.name))))
+    }
+    c match {
+      case Triple(e, a, v) => Triple(rnTerm(e), a, rnTerm(v))
+      case Pred(fn, as, b) => Pred(fn, as.map(rnTerm), b.map(rnBinding))
+      case GetAttr(e, a, dflt, b) => GetAttr(rnTerm(e), a, dflt, rnBinding(b))
+      case Not(jv, cs) => Not(jv.map(_.map(v => V(rn(v.name)))), cs.map(renameClause(rn)))
+      case Or(jv, bs) => Or(jv.map(_.map(v => V(rn(v.name)))), bs.map(_.map(renameClause(rn))))
+      case RuleCall(name, as) => RuleCall(name, as.map(rnTerm))
+    }
+  }
 
   private val ruleCache = scala.collection.mutable.Map[String, Rel]()
 
@@ -489,23 +641,7 @@ private final class Planner(spark: SparkSession, source: FactSource,
       // α-rename: map def arg vars -> canonical arg names, internals -> fresh
       val suffix = gensym("r")
       val argMap = d.args.map(_.name).zip(argNames).toMap
-      def rn(n: String): String = argMap.getOrElse(n, s"${n}__$suffix")
-      def rnTerm(t: Term): Term = t match { case V(n) => V(rn(n)); case o => o }
-      def rnClause(c: Clause): Clause = c match {
-        case Triple(e, a, v) => Triple(rnTerm(e), a, rnTerm(v))
-        case Pred(fn, as, b) => Pred(fn, as.map(rnTerm), b.map(rnBinding))
-        case GetAttr(e, a, dflt, b) => GetAttr(rnTerm(e), a, dflt, rnBinding(b))
-        case Not(jv, cs) => Not(jv.map(_.map(v => V(rn(v.name)))), cs.map(rnClause))
-        case Or(jv, bs) => Or(jv.map(_.map(v => V(rn(v.name)))), bs.map(_.map(rnClause)))
-        case RuleCall(rname, as) => RuleCall(rname, as.map(rnTerm))
-      }
-      def rnBinding(b: Binding): Binding = b match {
-        case BindScalar(v) => BindScalar(V(rn(v.name)))
-        case BindColl(v) => BindColl(V(rn(v.name)))
-        case BindTuple(vs) => BindTuple(vs.map(v => V(rn(v.name))))
-        case BindRel(vs) => BindRel(vs.map(v => V(rn(v.name))))
-      }
-      val renamed = d.clauses.map(rnClause)
+      val renamed = d.clauses.map(renameClause(n => argMap.getOrElse(n, s"${n}__$suffix")))
       // replace in-component calls with the current iterate for that rule
       val (compCalls, others) = renamed.partition {
         case RuleCall(cn, _) if comp.contains(cn) => true; case _ => false

@@ -70,6 +70,24 @@ object Datalog2Queries {
         .withColumn("pulled", to_json(col("pulled"), Map("ignoreNullFields" -> "false")))
     }),
 
+    // wildcard-text-search: regex across ALL string attributes, yielding
+    // (entity, value, attr) tuples (crux-lucene/src/crux/lucene.clj:184-189)
+    "dl_wildcard_search" -> dl("""
+      {:find [?e ?v ?a]
+       :keys [e v a]
+       :where [[(wildcard-text-search "MEDIUM") [[?e ?v ?a]]]]}""") _,
+
+    // correlated aggregate subquery (query.clj:973-986), decorrelated to
+    // join+groupBy: customers at their nation's max account balance
+    "dl_subquery" -> dl("""
+      {:find [?ck ?ab]
+       :keys [c_custkey c_acctbal]
+       :where [[?c :c_custkey ?ck] [?c :c_nationkey ?nk] [?c :c_acctbal ?ab]
+               [(q {:find [(max ?x)]
+                    :in [?nk2]
+                    :where [[?c2 :c_nationkey ?nk2] [?c2 :c_acctbal ?x]]} ?nk) ?mab]
+               [(= ?ab ?mab)]]}""") _,
+
     // long-tail aggregates: variance/stddev (population), min-N/max-N
     // top-k sets, distinct set (query.clj:324-408)
     "dl_agg_stats" -> ((s: SparkSession, dir: String) => {
@@ -120,6 +138,18 @@ object Datalog2Sql {
           c_nationkey := struct_pack(n_name := n_name))) AS pulled
       FROM customer JOIN nation ON c_nationkey = n_nationkey
       WHERE c_custkey <= 100""",
+
+    "dl_wildcard_search" -> """
+      SELECT CAST(p_partkey AS VARCHAR) AS e, p_type AS v, ':p_type' AS a
+      FROM part WHERE regexp_matches(p_type, 'MEDIUM')
+      UNION
+      SELECT CAST(o_orderkey AS VARCHAR), o_orderpriority, ':o_orderpriority'
+      FROM orders WHERE regexp_matches(o_orderpriority, 'MEDIUM')""",
+
+    "dl_subquery" -> """
+      SELECT DISTINCT c_custkey, c_acctbal FROM customer c
+      WHERE c_acctbal = (SELECT max(c_acctbal) FROM customer c2
+                         WHERE c2.c_nationkey = c.c_nationkey)""",
 
     "dl_agg_stats" -> """
       SELECT l_returnflag,

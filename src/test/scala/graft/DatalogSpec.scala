@@ -213,6 +213,33 @@ class DatalogSpec extends AnyFunSuite {
       Set(Seq("i1", "i3"), Seq("i2", "i4")))
   }
 
+  test("wildcard-text-search across all string attrs (lucene.clj:184-189)") {
+    assert(run("[:find ?e ?v ?a :where [[(wildcard-text-search \"Iva\") [[?e ?v ?a]]]]]") ==
+      Set(Seq("ivan", "Ivan", ":name"), Seq("ivan", "Ivanov", ":last-name")))
+  }
+
+  test("uncorrelated scalar subquery (query.clj:973-986)") {
+    assert(run(
+      """[:find ?e :where [[?e :age ?a]
+           [(q {:find [(max ?x)] :where [[?e2 :age ?x]]}) ?ma]
+           [(= ?a ?ma)]]]""") == Set(Seq("petr")))
+  }
+
+  test("correlated aggregate subquery decorrelates to join+groupBy") {
+    // oldest person per sex (TPC-H Q2 min-per-group pattern, tpch.clj:155-168)
+    assert(run(
+      """[:find ?e :where [[?e :sex ?s] [?e :age ?a]
+           [(q {:find [(max ?x)] :in [?s2] :where [[?e2 :sex ?s2] [?e2 :age ?x]]} ?s) ?ma]
+           [(= ?a ?ma)]]]""") == Set(Seq("petr"), Seq("anna")))
+  }
+
+  test("relation-binding subquery joins its result tuples") {
+    assert(run(
+      """[:find ?n ?a :where [[(q {:find [?e ?x] :where [[?e :age ?x] [(> ?x 29)]]}) [[?e2 ?a]]]
+           [?e2 :name ?n]]]""") ==
+      Set(Seq("Ivan", 30L), Seq("Petr", 35L), Seq("Smith", 30L)))
+  }
+
   test("keys rename output columns") {
     val df = Planner.q(spark, source,
       "[:find ?n ?a :keys [name age] :where [[?e :name ?n] [?e :age ?a]]]")
