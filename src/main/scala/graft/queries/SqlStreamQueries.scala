@@ -134,6 +134,8 @@ object SqlStreamQueries {
     "ingest_batch" -> ingestBatch _,
     "ingest_stream" -> ingestStream _,
     "stream_window" -> streamWindow _,
+    "stream_sessions" -> ((s: SparkSession, dir: String) =>
+      IngestStream.sessions(s, s"$dir/events.parquet", gapMinutes = 30)),
     "sql_basic" -> sqlBasic _,
     "sql_temporal" -> sqlTemporal _,
     "sql_scalar_fns" -> sqlScalarFns _,
@@ -162,6 +164,19 @@ object SqlStreamSql {
         COUNT(*) AS n,
         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
       FROM events GROUP BY 1, 2""",
+
+    "stream_sessions" -> """
+      WITH e AS (
+        SELECT user_id, ts, CAST(value AS DECIMAL(18,4)) AS v,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        FROM events),
+      m AS (SELECT *, CASE WHEN prev IS NULL OR ts > prev + INTERVAL 30 MINUTE
+                           THEN 1 ELSE 0 END AS brk FROM e),
+      s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM m)
+      SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+             COUNT(*) AS n_events, CAST(SUM(v) AS DOUBLE) AS total
+      FROM s GROUP BY user_id, sid""",
 
     "sql_basic" -> """
       SELECT n_name,

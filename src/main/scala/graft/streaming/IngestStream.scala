@@ -2,8 +2,13 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import graft.bitemp.TxLog
+
+/** Typed rows for [[IngestStream.sessions]] (flatMapGroupsWithState). */
+final case class SessionEvent(user_id: Long, tst: java.sql.Timestamp, ts_us: Long, v_scaled: Long)
+final case class SessionState(start_us: Long, end_us: Long, n: Long, total_scaled: Long)
+final case class SessionRow(user_id: Long, start_us: Long, end_us: Long, n_events: Long, total_scaled: Long)
 
 /** Streaming ingestion (SURVEY §2.9): the reference's sequential indexer —
   * a strictly ordered fold of tx events into index state
@@ -93,5 +98,106 @@ object IngestStream {
     q.stop()
     spark.table(name)
       .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("total"))
+  }
+
+  /** Event-time sessionization with custom state: per-user sessions split
+    * at a `gapMinutes` inactivity gap, via `KeyValueGroupedDataset
+    * .flatMapGroupsWithState` + event-time timeout — the custom-state
+    * stream operator Spark adds over the reference's ingest-only streaming
+    * model (SURVEY §2.9: crux has no stream-query operators).
+    *
+    * Mechanics: the watermark (0s delay) advances per micro-batch; open
+    * sessions set a timeout at session-end + gap and flush when the
+    * watermark passes it. Two far-future sentinel files are staged after
+    * the real data (one file per micro-batch) so a finite input drains
+    * every open session deterministically. Money-style sums ride scaled
+    * longs (decimal(18,4) × 10⁴) so results are exact and order-free.
+    */
+  def sessions(spark: SparkSession, eventsPath: String, gapMinutes: Int = 30): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val gapUs = gapMinutes * 60000000L
+
+    // stage dir: real file first (old mtime), then two sentinel batches
+    val d = java.nio.file.Files.createTempDirectory("graft_sessions_src")
+    val src = new java.io.File(eventsPath)
+    java.nio.file.Files.createSymbolicLink(
+      d.resolve("0_" + src.getName), src.toPath.toAbsolutePath)
+    def stageSentinel(name: String, tsNanos: Long, mtime: Long): Unit = {
+      val tmp = d.resolve(name + "_tmp").toString
+      Seq((-1L, tsNanos, -1L, "sentinel", 0.0, ""))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(d.toFile, name)
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(mtime); ()
+    }
+    val now = System.currentTimeMillis()
+    val farFutureNs = 4102444800L * 1000000000L // 2100-01-01
+    stageSentinel("1_sentinel.parquet", farFutureNs, now)
+    stageSentinel("2_sentinel.parquet", farFutureNs + 3600L * 1000000000L, now + 60000)
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").option("latestFirst", "false")
+      .parquet(d.toString)
+      .withColumn("tst", expr("timestamp_micros(ts DIV 1000)"))
+      .withWatermark("tst", "0 seconds")
+      .select(col("user_id"), col("tst"), expr("ts DIV 1000").as("ts_us"),
+        (col("value").cast("decimal(18,4)") * 10000).cast("long").as("v_scaled"))
+      .as[SessionEvent]
+
+    val out = stream.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get; state.remove()
+            Iterator(SessionRow(uid, s.start_us, s.end_us, s.n, s.total_scaled))
+          } else {
+            val evs = it.toArray.sortBy(_.ts_us)
+            val closed = scala.collection.mutable.ListBuffer[SessionRow]()
+            var cur = state.getOption
+            evs.foreach { e =>
+              cur match {
+                case Some(s) if e.ts_us <= s.end_us + gapUs =>
+                  cur = Some(SessionState(s.start_us, math.max(s.end_us, e.ts_us),
+                    s.n + 1, s.total_scaled + e.v_scaled))
+                case Some(s) =>
+                  closed += SessionRow(uid, s.start_us, s.end_us, s.n, s.total_scaled)
+                  cur = Some(SessionState(e.ts_us, e.ts_us, 1, e.v_scaled))
+                case None =>
+                  cur = Some(SessionState(e.ts_us, e.ts_us, 1, e.v_scaled))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end_us / 1000 + gapMinutes * 60000L + 1000)
+            }
+            closed.iterator
+          }
+      }
+
+    val name = "sessions_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name).filter(col("user_id") >= 0)
+      .select(col("user_id"),
+        expr("CAST(timestamp_micros(start_us) AS TIMESTAMP_NTZ)").as("session_start"),
+        expr("CAST(timestamp_micros(end_us) AS TIMESTAMP_NTZ)").as("session_end"),
+        col("n_events"),
+        (col("total_scaled").cast("decimal(38,4)") / 10000).cast("double").as("total"))
   }
 }
