@@ -79,6 +79,30 @@ object SqlStreamQueries {
       .select(col("eid"), col("vt"), col("content_hash").as("event_type"), col("tombstone"))
   }
 
+  /** Checkpoint sink round-trip (SURVEY §2.1, checkpoint.clj semantics):
+    * ingest, save two snapshots with keep=1 (older pruned), restore the
+    * latest and emit the same projection as `ingest_batch` — proving a
+    * node could start from the snapshot instead of replaying the log. */
+  def checkpointRestore(s: SparkSession, dir: String): DataFrame = {
+    import graft.bitemp.Checkpoint
+    val txs = opsByBucket(s, dir).zipWithIndex.map { case (ops, i) =>
+      (i.toLong, java.time.LocalDateTime.parse("2024-02-01T00:00").plusHours(i.toLong), ops)
+    }
+    import scala.jdk.CollectionConverters._
+    val evict = s.createDataFrame(List(
+      Row("evict", "11", null, null, null, null, null, 1L),
+      Row("evict", "12", null, null, null, null, null, 2L)).asJava, TxLog.opSchema)
+    val store = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val mid = TxLog.applyBatch(TxLog.emptyState(s), txs)
+    Checkpoint.save(mid, store, txId = 2L, keep = 1)
+    val fin = TxLog.applyBatch(mid, Seq((3L, java.time.LocalDateTime.parse("2024-02-02T00:00"), evict)))
+    Checkpoint.save(fin, store, txId = 3L, keep = 1)
+    assert(Checkpoint.completed(store).size == 1, "retention must prune the older checkpoint")
+    Checkpoint.restore(s, store).get
+      .select(col("eid"), col("vt"), col("tx_id"),
+        col("content_hash").as("event_type"), col("tombstone"))
+  }
+
   /** Windowed streaming aggregation (tumbling day windows, complete mode). */
   def streamWindow(s: SparkSession, dir: String): DataFrame =
     IngestStream.windowedCounts(s, s"$dir/events.parquet")
@@ -132,6 +156,7 @@ object SqlStreamQueries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ingest_batch" -> ingestBatch _,
+    "checkpoint_restore" -> checkpointRestore _,
     "ingest_stream" -> ingestStream _,
     "stream_window" -> streamWindow _,
     "stream_sessions" -> ((s: SparkSession, dir: String) =>
@@ -145,6 +170,15 @@ object SqlStreamQueries {
 object SqlStreamSql {
   val all: Map[String, String] = Map(
     "ingest_batch" -> """
+      SELECT CAST(user_id AS VARCHAR) AS eid, CAST(ts AS TIMESTAMP) AS vt,
+        CASE WHEN ts < TIMESTAMP '2024-01-11' THEN 0
+             WHEN ts < TIMESTAMP '2024-01-21' THEN 1 ELSE 2 END AS tx_id,
+        CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS event_type,
+        (event_type = 'error') AS tombstone
+      FROM events
+      WHERE user_id NOT IN (11, 12)""",
+
+    "checkpoint_restore" -> """
       SELECT CAST(user_id AS VARCHAR) AS eid, CAST(ts AS TIMESTAMP) AS vt,
         CASE WHEN ts < TIMESTAMP '2024-01-11' THEN 0
              WHEN ts < TIMESTAMP '2024-01-21' THEN 1 ELSE 2 END AS tx_id,

@@ -202,6 +202,21 @@ class BitempSpec extends AnyFunSuite {
     assert(st1.count() == 0)
   }
 
+  test("checkpoint: retention prunes, torn snapshots ignored, restore round-trips") {
+    import graft.bitemp.Checkpoint
+    val st = runScenario(Seq((Some("v1"), "2019-11-25", None), (Some("v2"), "2019-11-27", None)))
+    val store = java.nio.file.Files.createTempDirectory("graft_ckpt_spec").toString
+    Checkpoint.save(st, store, txId = 1L, keep = 2)
+    Checkpoint.save(st, store, txId = 2L, keep = 2)
+    Checkpoint.save(st, store, txId = 3L, keep = 2)
+    assert(Checkpoint.completed(store).map(_.txId).sorted == Seq(2L, 3L)) // keep=2 pruned tx 1
+    // torn checkpoint: directory without _COMPLETE must be invisible
+    new java.io.File(s"$store/checkpoint-9-123").mkdirs()
+    assert(Checkpoint.latest(store).get.txId == 3L)
+    val restored = Checkpoint.restore(spark, store).get
+    assert(restored.collect().toSet == st.collect().toSet)
+  }
+
   test("speculative rows are visible only through the forked basis") {
     import scala.jdk.CollectionConverters._
     val st = runScenario(Seq((Some("v1"), "2019-11-25", None)))
