@@ -207,7 +207,12 @@ private final class Planner(spark: SparkSession, source: FactSource,
     val preds = preds0
     val getattrs = clauses.collect { case g: GetAttr => g }
     val nots = clauses.collect { case n: Not => n }
-    val ors = clauses.collect { case o: Or => o }
+    // an `or` whose branches are all pure predicate conjunctions is a
+    // disjunctive FILTER over already-bound vars (OR branches "grounded
+    // with identity bindings", calcite.clj:266-272 / SQL `x=1 OR y=2`),
+    // not a relation-producing union
+    val (filterOrs, ors) = clauses.collect { case o: Or => o }.partition(_.branches.forall(
+      _.forall { case Pred(fn, _, None) if fn != "q" => true; case _ => false }))
     val ruleCalls = clauses.collect { case r: RuleCall => r }
 
     var rels: List[Rel] = seed ++ tripleRels(triples) ++
@@ -225,6 +230,22 @@ private final class Planner(spark: SparkSession, source: FactSource,
     var rest = rels.tail
     var pendingPreds = preds
     var pendingGetattrs = getattrs
+    var pendingFilterOrs = filterOrs
+    def orVars(o: Or): Set[String] = o.branches.flatten.collect {
+      case p: Pred => predVars(p) }.flatten.toSet
+    def applyFilterOr(rel: Rel, o: Or): Rel = {
+      val cond = o.branches.map(_.map { case p: Pred =>
+        predicateCol(p.fn, p.args.map(argCol(rel, _)))
+      case c => throw new IllegalStateException(s"non-pred clause $c in filter-or")
+      }.reduce(_ && _)).reduce(_ || _)
+      Rel(rel.df.filter(cond), rel.distinctSure)
+    }
+    def drainFilterOrs(): Unit = {
+      val (ready, notReady) = pendingFilterOrs.partition(o => orVars(o).subsetOf(current.vars))
+      ready.foreach { o => current = applyFilterOr(current, o) }
+      pendingFilterOrs = notReady
+    }
+    drainFilterOrs()
     while (rest.nonEmpty) {
       val (sharing, other) = rest.partition(r => (r.vars & current.vars).nonEmpty)
       val next = if (sharing.nonEmpty) sharing.head else other.head
@@ -242,6 +263,7 @@ private final class Planner(spark: SparkSession, source: FactSource,
       val (gaReady, gaNot) = pendingGetattrs.partition(g => termVars(g.e).subsetOf(current.vars))
       gaReady.foreach { g => current = applyGetAttr(current, g) }
       pendingGetattrs = gaNot
+      drainFilterOrs()
     }
     // fixpoint for preds with binding-dependencies
     var remaining = pendingPreds
@@ -254,6 +276,8 @@ private final class Planner(spark: SparkSession, source: FactSource,
     }
     require(remaining.isEmpty, s"unresolvable predicate args: $remaining")
     pendingGetattrs.foreach { g => current = applyGetAttr(current, g) }
+    drainFilterOrs()
+    require(pendingFilterOrs.isEmpty, s"unresolvable or-filter vars: $pendingFilterOrs")
 
     nots.foreach { n => current = applyNot(current, n) }
     current
@@ -556,27 +580,36 @@ private final class Planner(spark: SparkSession, source: FactSource,
 
   // ------------------------------------------------------------------ rules
 
-  /** α-rename every var in a clause tree (rule-branch and subquery scoping;
-    * the reference gensyms on rule expansion, query.clj:1209-1270). Constants
-    * — including nested `(q {…})` query literals, which scope their own vars
-    * — are untouched. */
-  private def renameClause(rn: String => String)(c: Clause): Clause = {
-    def rnTerm(t: Term): Term = t match { case V(n) => V(rn(n)); case o => o }
-    def rnBinding(b: Binding): Binding = b match {
-      case BindScalar(v) => BindScalar(V(rn(v.name)))
-      case BindColl(v) => BindColl(V(rn(v.name)))
-      case BindTuple(vs) => BindTuple(vs.map(v => V(rn(v.name))))
-      case BindRel(vs) => BindRel(vs.map(v => V(rn(v.name))))
+  /** Substitute every var in a clause tree: α-renaming (rule-branch and
+    * subquery scoping) or grounding with call-site constants — the
+    * reference's rule expansion does both at once (query.clj:1209-1270).
+    * Nested `(q {…})` query literals scope their own vars and are
+    * untouched. Binding positions must stay vars. */
+  private def substClause(sub: String => Term)(c: Clause): Clause = {
+    def st(t: Term): Term = t match { case V(n) => sub(n); case o => o }
+    def sv(v: V): V = sub(v.name) match {
+      case V(n) => V(n)
+      case o => throw new IllegalArgumentException(
+        s"binding position ?${v.name} cannot take non-var $o")
+    }
+    def sb(b: Binding): Binding = b match {
+      case BindScalar(v) => BindScalar(sv(v))
+      case BindColl(v) => BindColl(sv(v))
+      case BindTuple(vs) => BindTuple(vs.map(sv))
+      case BindRel(vs) => BindRel(vs.map(sv))
     }
     c match {
-      case Triple(e, a, v) => Triple(rnTerm(e), a, rnTerm(v))
-      case Pred(fn, as, b) => Pred(fn, as.map(rnTerm), b.map(rnBinding))
-      case GetAttr(e, a, dflt, b) => GetAttr(rnTerm(e), a, dflt, rnBinding(b))
-      case Not(jv, cs) => Not(jv.map(_.map(v => V(rn(v.name)))), cs.map(renameClause(rn)))
-      case Or(jv, bs) => Or(jv.map(_.map(v => V(rn(v.name)))), bs.map(_.map(renameClause(rn))))
-      case RuleCall(name, as) => RuleCall(name, as.map(rnTerm))
+      case Triple(e, a, v) => Triple(st(e), a, st(v))
+      case Pred(fn, as, b) => Pred(fn, as.map(st), b.map(sb))
+      case GetAttr(e, a, dflt, b) => GetAttr(st(e), a, dflt, sb(b))
+      case Not(jv, cs) => Not(jv.map(_.map(sv)), cs.map(substClause(sub)))
+      case Or(jv, bs) => Or(jv.map(_.map(sv)), bs.map(_.map(substClause(sub))))
+      case RuleCall(name, as) => RuleCall(name, as.map(st))
     }
   }
+
+  private def renameClause(rn: String => String)(c: Clause): Clause =
+    substClause(n => V(rn(n)))(c)
 
   private val ruleCache = scala.collection.mutable.Map[String, Rel]()
 
@@ -601,7 +634,39 @@ private final class Planner(spark: SparkSession, source: FactSource,
     fwd.filter(n => n == name || reach(n, Set(n)).contains(name))
   }
 
+  /** Non-recursive rules expand INLINE at the call site with call-arg
+    * substitution (exactly the reference's rule expansion,
+    * query.clj:1209-1270) — so args bound only by the caller (constants,
+    * predicate-only limits) ground the body. Recursive components take the
+    * fixpoint path below. */
+  private def inlineRuleCall(rc: RuleCall): Rel = {
+    val defs = rules(rc.name)
+    require(rc.args.size == defs.head.args.size, s"arity mismatch calling rule ${rc.name}")
+    val branches = defs.map { d =>
+      val suffix = gensym("ri")
+      val argSub: Map[String, Term] = d.args.map(_.name).zip(rc.args).toMap
+      val grounded = d.clauses.map(substClause { n =>
+        argSub.getOrElse(n, V(s"${n}__$suffix")) match {
+          case Blank => V(s"_blank_${n}__$suffix") // wildcard call arg: fresh unused var
+          case t => t
+        }
+      })
+      planConjunction(grounded, Nil)
+    }
+    val outVars = rc.args.collect { case V(n) => n }.distinct
+    if (outVars.isEmpty) // all-constant call: pure existence check
+      Rel(branches.map(_.df.select().limit(1)).reduce(_ unionByName _).limit(1),
+        distinctSure = true)
+    else
+      Rel(branches.map(_.df.select(outVars.map(col): _*)).reduce(_ unionByName _),
+        distinctSure = false)
+  }
+
   private def planRuleCall(rc: RuleCall): Rel = {
+    val comp = component(rc.name)
+    val recursive = comp.exists(rn =>
+      (calledRules(rules(rn).flatMap(_.clauses)) & comp).nonEmpty)
+    if (!recursive) return inlineRuleCall(rc)
     val ruleRel = ruleCache.getOrElseUpdate(rc.name, planRule(rc.name))
     val defs = rules(rc.name)
     val argNames = defs.head.args.map(_.name)

@@ -28,7 +28,9 @@ class DatalogSpec extends AnyFunSuite {
       ("i1", "follows", "i2"), ("i2", "follows", "i3"), ("i3", "follows", "i4"),
       // multi-valued attribute (set semantics, FIXTURES §2)
       ("bond1", "vehicles", "aston"), ("bond1", "vehicles", "lotus"),
-      ("bond2", "vehicles", "aston"))
+      ("bond2", "vehicles", "aston"),
+      // self-referencing triple (self-join rewrite, query.clj:443-448)
+      ("narc", "likes", "narc"), ("fan", "likes", "star"))
     val rows = facts.map { case (e, a, v) =>
       v match {
         case s: String => Row(e, a, s, null)
@@ -41,7 +43,8 @@ class DatalogSpec extends AnyFunSuite {
     val df = spark.createDataFrame(rows.asJava, schema)
     new QuadSource(df, Map(
       "name" -> "v_str", "last-name" -> "v_str", "sex" -> "v_str",
-      "age" -> "v_num", "follows" -> "v_str", "vehicles" -> "v_str"))
+      "age" -> "v_num", "follows" -> "v_str", "vehicles" -> "v_str",
+      "likes" -> "v_str"))
   }
 
   private def run(q: String, args: Any*): Set[Seq[Any]] =
@@ -238,6 +241,47 @@ class DatalogSpec extends AnyFunSuite {
       """[:find ?n ?a :where [[(q {:find [?e ?x] :where [[?e :age ?x] [(> ?x 29)]]}) [[?e2 ?a]]]
            [?e2 :name ?n]]]""") ==
       Set(Seq("Ivan", 30L), Seq("Petr", 35L), Seq("Smith", 30L)))
+  }
+
+  test("or over pure predicate branches is a disjunctive filter (calcite.clj:266-272)") {
+    assert(run(
+      "[:find ?e :where [[?e :age ?a] (or [(= ?a 25)] [(= ?a 35)])]]") ==
+      Set(Seq("anna"), Seq("petr")))
+    // and-branch of preds inside the or
+    assert(run(
+      "[:find ?e :where [[?e :age ?a] (or (and [(> ?a 24)] [(< ?a 26)]) [(= ?a 35)])]]") ==
+      Set(Seq("anna"), Seq("petr")))
+  }
+
+  test("self-referencing triple pattern [e :a e] (query.clj:443-448)") {
+    assert(run("[:find ?e :where [[?e :likes ?e]]]") == Set(Seq("narc")))
+  }
+
+  test("rule with constant argument at the call site") {
+    assert(run(
+      """[:find ?e :where [(aged ?e 30)]
+         :rules [[(aged ?e ?a) [?e :age ?a]]]]""") ==
+      Set(Seq("ivan"), Seq("smith")))
+  }
+
+  test("rule with bound-args signature (query_test.clj bound rule args)") {
+    assert(run(
+      """[:find ?e :where [(older-than ?e 29)]
+         :rules [[(older-than [?e] ?lim) [?e :age ?a] [(> ?a ?lim)]]]]""") ==
+      Set(Seq("ivan"), Seq("petr"), Seq("smith")))
+  }
+
+  test("non-recursive rule calling another rule") {
+    assert(run(
+      """[:find ?y :where [(two-hop "i1" ?y)]
+         :rules [[(hop ?x ?y) [?x :follows ?y]]
+                 [(two-hop ?x ?y) (hop ?x ?z) (hop ?z ?y)]]]""") == Set(Seq("i3")))
+  }
+
+  test("not containing or (nested negation, query_test.clj not/or corpus)") {
+    assert(run(
+      "[:find ?e :where [[?e :age ?a] (not (or [?e :name \"Ivan\"] [?e :name \"Petr\"]))]]") ==
+      Set(Seq("smith"), Seq("anna")))
   }
 
   test("keys rename output columns") {
