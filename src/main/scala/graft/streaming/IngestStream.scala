@@ -26,11 +26,18 @@ object IngestStream {
 
   /** Start the single-writer ingest: `opsStream` rows follow
     * [[TxLog.opSchema]] (including intra-tx seq); each micro-batch
-    * commits as one transaction. */
+    * commits as one transaction.
+    *
+    * @param secondarySinks replayed per committed tx with (ops, txId) —
+    *   the reference's secondary-index hook (crux-core/src/crux/tx.clj:
+    *   400-410; the Lucene module plugs in exactly here,
+    *   crux-lucene/src/crux/lucene.clj:193-260)
+    */
   def start(spark: SparkSession, opsStream: DataFrame, stateDir: String,
       checkpointDir: String,
       txTime: Long => java.time.LocalDateTime =
-        _ => java.time.LocalDateTime.now(java.time.Clock.systemUTC())): StreamingQuery = {
+        _ => java.time.LocalDateTime.now(java.time.Clock.systemUTC()),
+      secondarySinks: Seq[(DataFrame, Long) => Unit] = Nil): StreamingQuery = {
     opsStream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -47,9 +54,30 @@ object IngestStream {
         val fs = new java.io.File(stateDir)
         deleteRec(fs)
         new java.io.File(tmp).renameTo(fs)
+        secondarySinks.foreach(sink => sink(ops, batchId))
+        // commit marker: the highest indexed tx, for awaitTx/sync
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(stateDir + ".txid"), batchId.toString)
         ()
       }
       .start()
+  }
+
+  /** Block until the indexer has committed `txId` (the reference's
+    * `await-tx`/`sync`, crux-core/src/crux/api.clj:24-91 — re-expressed as
+    * commit-marker polling, SURVEY §2.9). Returns the latest committed tx.
+    * Throws on timeout. */
+  def awaitTx(stateDir: String, txId: Long, timeoutMs: Long = 60000): Long = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    val marker = java.nio.file.Paths.get(stateDir + ".txid")
+    while (System.currentTimeMillis() < deadline) {
+      if (java.nio.file.Files.exists(marker)) {
+        val latest = java.nio.file.Files.readString(marker).trim.toLong
+        if (latest >= txId) return latest
+      }
+      Thread.sleep(50)
+    }
+    throw new java.util.concurrent.TimeoutException(s"tx $txId not indexed within ${timeoutMs}ms")
   }
 
   def loadState(spark: SparkSession, stateDir: String): DataFrame =
