@@ -638,13 +638,55 @@ private final class Planner(spark: SparkSession, source: FactSource,
     * substitution (exactly the reference's rule expansion,
     * query.clj:1209-1270) — so args bound only by the caller (constants,
     * predicate-only limits) ground the body. Recursive components take the
-    * fixpoint path below. */
+    * fixpoint path below.
+    *
+    * Repeated calls with the same shape (same constants, any var names) are
+    * planned once; from the second use the shared relation is
+    * localCheckpoint-ed so e.g. a fixpoint loop over a rule that calls a
+    * non-recursive edge rule materializes the edge ONCE, not per iteration.
+    * A single-use call stays un-checkpointed so Catalyst can push outer
+    * filters through the rule body. */
+  private val inlineUses = scala.collection.mutable.Map[(String, List[Term]), Int]()
+  private val inlineCache = scala.collection.mutable.Map[(String, List[Term]), Rel]()
+
   private def inlineRuleCall(rc: RuleCall): Rel = {
-    val defs = rules(rc.name)
-    require(rc.args.size == defs.head.args.size, s"arity mismatch calling rule ${rc.name}")
+    // canonical shape: var args → positional names (constants stay)
+    val shape: List[Term] = rc.args.zipWithIndex.map {
+      case (V(_), i) => V(s"_arg$i"); case (t, _) => t
+    }
+    val key = (rc.name, shape)
+    val uses = inlineUses.getOrElse(key, 0) + 1
+    inlineUses(key) = uses
+    val canonical =
+      if (uses == 1) planInline(rc.name, shape)
+      else inlineCache.getOrElseUpdate(key, {
+        val r = planInline(rc.name, shape)
+        Rel(r.df.localCheckpoint(), r.distinctSure)
+      })
+    // map positional columns back to this call's vars (repeated vars unify)
+    var df = canonical.df
+    val keep = scala.collection.mutable.LinkedHashMap[String, String]() // pos col -> var
+    rc.args.zipWithIndex.foreach {
+      case (V(n), i) =>
+        keep.find(_._2 == n) match {
+          case Some((pos0, _)) => df = df.filter(col(pos0) === col(s"_arg$i"))
+          case None => keep(s"_arg$i") = n
+        }
+      case _ => ()
+    }
+    if (keep.isEmpty) // all-constant call: pure existence check
+      Rel(df.select().limit(1), distinctSure = true)
+    else
+      Rel(df.select(keep.toSeq.map { case (pos, n) => col(pos).as(n) }: _*),
+        canonical.distinctSure && keep.size == canonical.df.columns.length)
+  }
+
+  private def planInline(name: String, args: List[Term]): Rel = {
+    val defs = rules(name)
+    require(args.size == defs.head.args.size, s"arity mismatch calling rule $name")
     val branches = defs.map { d =>
       val suffix = gensym("ri")
-      val argSub: Map[String, Term] = d.args.map(_.name).zip(rc.args).toMap
+      val argSub: Map[String, Term] = d.args.map(_.name).zip(args).toMap
       val grounded = d.clauses.map(substClause { n =>
         argSub.getOrElse(n, V(s"${n}__$suffix")) match {
           case Blank => V(s"_blank_${n}__$suffix") // wildcard call arg: fresh unused var
@@ -653,8 +695,8 @@ private final class Planner(spark: SparkSession, source: FactSource,
       })
       planConjunction(grounded, Nil)
     }
-    val outVars = rc.args.collect { case V(n) => n }.distinct
-    if (outVars.isEmpty) // all-constant call: pure existence check
+    val outVars = args.collect { case V(n) => n }.distinct
+    if (outVars.isEmpty)
       Rel(branches.map(_.df.select().limit(1)).reduce(_ unionByName _).limit(1),
         distinctSure = true)
     else
