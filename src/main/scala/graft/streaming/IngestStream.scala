@@ -141,10 +141,16 @@ object IngestStream {
     * every open session deterministically. Money-style sums ride scaled
     * longs (decimal(18,4) × 10⁴) so results are exact and order-free.
     */
-  def sessions(spark: SparkSession, eventsPath: String, gapMinutes: Int = 30): DataFrame = {
+  /** @param statePartitions number of state-store partitions for the
+    *   stateful query — size to active-key cardinality (the state store
+    *   pays per-partition-per-batch file overhead; 8 suits the test
+    *   corpus's 150 users, a 100 TB run sizes up). */
+  def sessions(spark: SparkSession, eventsPath: String, gapMinutes: Int = 30,
+      statePartitions: Int = 8): DataFrame = {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val gapUs = gapMinutes * 60000000L
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
 
     // stage dir: real file first (old mtime), then two sentinel batches
     val d = java.nio.file.Files.createTempDirectory("graft_sessions_src")
@@ -215,12 +221,15 @@ object IngestStream {
       }
 
     val name = "sessions_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = out.writeStream.outputMode("append")
-      .format("memory").queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.processAllAvailable()
-    q.stop()
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
+    try {
+      val q = out.writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     spark.table(name).filter(col("user_id") >= 0)
       .select(col("user_id"),
         expr("CAST(timestamp_micros(start_us) AS TIMESTAMP_NTZ)").as("session_start"),
