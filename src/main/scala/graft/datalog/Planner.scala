@@ -727,10 +727,18 @@ private final class Planner(spark: SparkSession, source: FactSource,
     Rel(out, distinctSure = false)
   }
 
-  /** Naive fixpoint evaluation of a rule together with its mutual-
-    * recursion component: start from branches with no in-component calls,
-    * re-derive every member until no new tuples anywhere (recursion guard
-    * semantics of query.clj:1079-1086 — but as a driver loop, SURVEY §4).
+  /** SEMI-NAIVE fixpoint evaluation of a rule together with its mutual-
+    * recursion component (recursion-guard semantics of query.clj:1079-1086
+    * as a driver loop, SURVEY §4 — upgraded from naive iteration: each
+    * round joins only the PREVIOUS ROUND'S DELTA against the base
+    * relations, so late rounds don't re-derive the whole closure; the
+    * scale property that matters for deep graphs).
+    *
+    * Round 0 runs base branches (no in-component calls). Round r>0 runs
+    * each recursive branch once per in-component call position i, with
+    * call i bound to delta and the other calls bound to the full
+    * accumulator (which already contains their last delta — so
+    * delta×delta combinations are covered). New tuples = derived ∖ acc.
     * Populates the cache for the whole component; returns `name`'s Rel. */
   private def planRule(name: String): Rel = {
     require(rules.contains(name), s"unknown rule $name")
@@ -742,20 +750,34 @@ private final class Planner(spark: SparkSession, source: FactSource,
       rn -> ns
     }.toMap
 
-    def planBranch(rname: String, d: RuleDef,
-        iterates: Map[String, DataFrame]): Rel = {
+    /** Top-level in-component calls of a branch, in clause order. A
+      * recursive call nested under not/or would re-enter planRuleCall and
+      * diverge — reject it loudly (the reference's stratification limits
+      * are comparable, query.clj:1146-1167). */
+    def compCallNames(d: RuleDef): List[String] = {
+      val top = d.clauses.collect { case RuleCall(cn, _) if comp.contains(cn) => cn }
+      val nested = d.clauses.collect {
+        case Not(_, cs) => calledRules(cs) & comp
+        case Or(_, bs) => bs.flatMap(b => calledRules(b) & comp).toSet
+      }.flatten
+      require(nested.isEmpty,
+        s"recursive call to ${nested.mkString(",")} nested under not/or is unsupported")
+      top
+    }
+
+    /** Plan one branch with in-component call #i taken from `assign(i)`. */
+    def planBranch(rname: String, d: RuleDef, assign: Int => DataFrame): Rel = {
       val argNames = argNamesOf(rname)
       // α-rename: map def arg vars -> canonical arg names, internals -> fresh
       val suffix = gensym("r")
       val argMap = d.args.map(_.name).zip(argNames).toMap
       val renamed = d.clauses.map(renameClause(n => argMap.getOrElse(n, s"${n}__$suffix")))
-      // replace in-component calls with the current iterate for that rule
       val (compCalls, others) = renamed.partition {
         case RuleCall(cn, _) if comp.contains(cn) => true; case _ => false
       }
-      val seedRels = compCalls.map {
-        case RuleCall(cn, as) =>
-          var df = iterates(cn)
+      val seedRels = compCalls.zipWithIndex.map {
+        case (RuleCall(cn, as), i) =>
+          var df = assign(i)
           val calleeArgs = argNamesOf(cn)
           val keep = scala.collection.mutable.LinkedHashMap[String, String]()
           as.zip(calleeArgs).foreach { case (term, argN) =>
@@ -772,25 +794,39 @@ private final class Planner(spark: SparkSession, source: FactSource,
       Rel(body.df.select(argNames.map(col): _*), distinctSure = false)
     }
 
-    // joint fixpoint: a branch is runnable once every in-component rule it
-    // calls has an iterate; rules seeded by base branches come up first
-    var acc = scala.collection.mutable.Map[String, DataFrame]()
-    var counts = scala.collection.mutable.Map[String, Long]().withDefaultValue(-1L)
-    var grew = true
-    while (grew) {
-      grew = false
+    val acc = scala.collection.mutable.Map[String, DataFrame]()
+    var delta = Map[String, DataFrame]()
+    var changed = true
+    while (changed) {
+      changed = false
+      val newDelta = scala.collection.mutable.Map[String, DataFrame]()
       comp.toSeq.sorted.foreach { rn =>
-        val runnable = rules(rn).filter(d =>
-          (calledRules(d.clauses) & comp).forall(acc.contains))
-        if (runnable.nonEmpty) {
-          val derived = runnable.map(planBranch(rn, _, acc.toMap)).map(_.df)
-            .reduce(_ unionByName _)
-          val next = acc.get(rn).map(_.unionByName(derived)).getOrElse(derived)
-            .distinct().localCheckpoint(true)
-          val n = next.count()
-          if (n != counts(rn)) { grew = true; counts(rn) = n; acc(rn) = next }
+        val parts = scala.collection.mutable.ListBuffer[DataFrame]()
+        rules(rn).foreach { d =>
+          val calls = compCallNames(d)
+          if (calls.isEmpty) {
+            if (!acc.contains(rn)) parts += planBranch(rn, d, _ => null).df // base, once
+          } else if (calls.forall(acc.contains) && calls.exists(delta.contains)) {
+            calls.zipWithIndex.foreach { case (cn, i) =>
+              if (delta.contains(cn))
+                parts += planBranch(rn, d,
+                  j => if (j == i) delta(calls(j)) else acc(calls(j))).df
+            }
+          }
+        }
+        if (parts.nonEmpty) {
+          val derived = parts.reduce(_ unionByName _).distinct()
+          val fresh = acc.get(rn).map(derived.except).getOrElse(derived)
+            .localCheckpoint(true)
+          if (fresh.count() > 0) {
+            newDelta(rn) = fresh
+            acc(rn) = acc.get(rn)
+              .map(_.unionByName(fresh).localCheckpoint(true)).getOrElse(fresh)
+            changed = true
+          } else if (!acc.contains(rn)) acc(rn) = fresh // derivable but empty
         }
       }
+      delta = newDelta.toMap
     }
     require(acc.contains(name),
       s"rule $name never became derivable (no reachable non-recursive branch)")
