@@ -284,6 +284,28 @@ class DatalogSpec extends AnyFunSuite {
       Set(Seq("smith"), Seq("anna")))
   }
 
+  test("recursive closure terminates on cycles and deep chains") {
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    // 3-cycle a->b->c->a plus a 10-node chain n0->...->n9
+    val cyc = Seq(("a", "b"), ("b", "c"), ("c", "a"))
+    val chain = (0 until 9).map(i => (s"n$i", s"n${i + 1}"))
+    val rows = (cyc ++ chain).map { case (x, y) => Row(x, "next", y, null: java.lang.Long) }
+    val schema = StructType(Seq(
+      StructField("e", StringType), StructField("a", StringType),
+      StructField("v_str", StringType), StructField("v_num", LongType)))
+    val src = new QuadSource(spark.createDataFrame(rows.asJava, schema), Map("next" -> "v_str"))
+    val res = Planner.q(spark, src,
+      """[:find ?x ?y :where [(reach ?x ?y)]
+         :rules [[(reach ?x ?y) [?x :next ?y]]
+                 [(reach ?x ?y) [?x :next ?z] (reach ?z ?y)]]]""")
+      .collect().toSet[Row].map(_.toSeq)
+    // cycle: every node reaches every node (incl itself) = 9 pairs;
+    // chain: n_i reaches n_j for i<j = 45 pairs
+    assert(res.count(p => Set("a", "b", "c").contains(p.head.toString)) == 9)
+    assert(res.size == 9 + 45)
+  }
+
   test("keys rename output columns") {
     val df = Planner.q(spark, source,
       "[:find ?n ?a :keys [name age] :where [[?e :name ?n] [?e :age ?a]]]")
