@@ -1,6 +1,7 @@
 package graft.bitemp
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.hadoop.fs.{FileSystem, Path}
 
 /** Checkpoint sink (SURVEY §2.1): periodic snapshots of the index state so
   * a new node starts from the latest snapshot instead of replaying the whole
@@ -13,6 +14,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (readers ignore unmarked dirs, mirroring the reference's
   * upload-then-write-metadata ordering at checkpoint.clj:94-113).
   *
+  * All filesystem access goes through the Hadoop `FileSystem` resolved from
+  * the store path, so the store may live on HDFS/S3/local alike — the same
+  * FS the parquet writes target.
+  *
   * Scale: a snapshot is one parquet write of the versions table — columnar,
   * partition-parallel, no driver materialization; restore is a plain scan.
   */
@@ -22,41 +27,42 @@ object Checkpoint {
 
   private val Dir = "checkpoint-(-?\\d+)-(\\d+)".r
 
+  private def fs(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+
   /** Write a completed checkpoint of `state` at `txId`; prune to the
     * `keep` newest completed checkpoints (checkpoint.clj retention,
     * `::cp/keep-count`). Returns the new checkpoint's metadata. */
   def save(state: DataFrame, storeDir: String, txId: Long, keep: Int = 2): Meta = {
+    val spark = state.sparkSession
     val millis = System.currentTimeMillis()
     val path = s"$storeDir/checkpoint-$txId-$millis"
     state.write.mode("overwrite").parquet(path)
-    java.nio.file.Files.createFile(java.nio.file.Paths.get(path, "_COMPLETE"))
-    val all = completed(storeDir).sortBy(m => (m.txId, m.millis))
-    all.dropRight(keep).foreach(m => deleteRec(new java.io.File(m.path)))
+    fs(spark, storeDir).createNewFile(new Path(path, "_COMPLETE"))
+    val all = completed(spark, storeDir).sortBy(m => (m.txId, m.millis))
+    all.dropRight(keep).foreach(m =>
+      fs(spark, storeDir).delete(new Path(m.path), true))
     Meta(txId, millis, path)
   }
 
   /** All completed checkpoints (unmarked dirs are in-flight or torn). */
-  def completed(storeDir: String): Seq[Meta] = {
-    val root = new java.io.File(storeDir)
-    if (!root.isDirectory) return Nil
-    root.listFiles().toSeq.flatMap { f =>
-      f.getName match {
-        case Dir(tx, ms) if new java.io.File(f, "_COMPLETE").isFile =>
-          Some(Meta(tx.toLong, ms.toLong, f.getPath))
+  def completed(spark: SparkSession, storeDir: String): Seq[Meta] = {
+    val f = fs(spark, storeDir)
+    val root = new Path(storeDir)
+    if (!f.exists(root)) return Nil
+    f.listStatus(root).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case Dir(tx, ms) if f.exists(new Path(st.getPath, "_COMPLETE")) =>
+          Some(Meta(tx.toLong, ms.toLong, st.getPath.toString))
         case _ => None
       }
     }
   }
 
-  def latest(storeDir: String): Option[Meta] =
-    completed(storeDir).sortBy(m => (m.txId, m.millis)).lastOption
+  def latest(spark: SparkSession, storeDir: String): Option[Meta] =
+    completed(spark, storeDir).sortBy(m => (m.txId, m.millis)).lastOption
 
   /** Load the latest completed snapshot, if any. */
   def restore(spark: SparkSession, storeDir: String): Option[DataFrame] =
-    latest(storeDir).map(m => spark.read.schema(TxLog.versionSchema).parquet(m.path))
-
-  private def deleteRec(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteRec)
-    f.delete(); ()
-  }
+    latest(spark, storeDir).map(m => spark.read.schema(TxLog.versionSchema).parquet(m.path))
 }

@@ -21,8 +21,10 @@ import org.apache.spark.sql.types.ArrayType
 trait FactSource {
   def attrs: Set[String]
   /** Attributes holding string values — the search space of
-    * `wildcard-text-search` (crux-lucene/src/crux/lucene.clj:184-189). */
-  def stringAttrs: Set[String] = attrs
+    * `wildcard-text-search` (crux-lucene/src/crux/lucene.clj:184-189).
+    * Abstract on purpose: defaulting to `attrs` would rlike/union over
+    * non-string value columns. */
+  def stringAttrs: Set[String]
   /** DataFrame with columns (eid, value) for one attribute. */
   def attr(a: String): DataFrame
   /** Single-scan multi-attribute entity projection: (eid, a1..an), arrays

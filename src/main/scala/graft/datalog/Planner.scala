@@ -235,7 +235,7 @@ private final class Planner(spark: SparkSession, source: FactSource,
       case p: Pred => predVars(p) }.flatten.toSet
     def applyFilterOr(rel: Rel, o: Or): Rel = {
       val cond = o.branches.map(_.map { case p: Pred =>
-        predicateCol(p.fn, p.args.map(argCol(rel, _)))
+        filterCondition(rel, p)
       case c => throw new IllegalStateException(s"non-pred clause $c in filter-or")
       }.reduce(_ && _)).reduce(_ || _)
       Rel(rel.df.filter(cond), rel.distinctSure)
@@ -298,20 +298,23 @@ private final class Planner(spark: SparkSession, source: FactSource,
     case Blank => throw new IllegalArgumentException("_ not allowed in predicate args")
   }
 
+  /** Condition for a binding-less predicate clause; regex preds need their
+    * pattern as a Scala string (literal-only) so they're handled here. */
+  private def filterCondition(rel: Rel, p: Pred): Column = p.fn match {
+    case "re-find" | "re-matches" =>
+      val pat = p.args.head match {
+        case C(Edn.Str(s)) => s
+        case o => throw new IllegalArgumentException(s"regex pattern must be a string literal, got $o")
+      }
+      val target = argCol(rel, p.args(1))
+      target.rlike(if (p.fn == "re-matches") "^(?:" + pat + ")$" else pat)
+    case fn => predicateCol(fn, p.args.map(argCol(rel, _)))
+  }
+
   private def applyPred(rel: Rel, p: Pred): Rel = {
     if (p.fn == "q") return applySubquery(rel, p)
-    // regex preds need the pattern as a Scala string (literal-only)
-    (p.fn, p.binding) match {
-      case ("re-find" | "re-matches", None) =>
-        val pat = p.args.head match {
-          case C(Edn.Str(s)) => s
-          case o => throw new IllegalArgumentException(s"regex pattern must be a string literal, got $o")
-        }
-        val target = argCol(rel, p.args(1))
-        val rx = if (p.fn == "re-matches") "^(?:" + pat + ")$" else pat
-        return Rel(rel.df.filter(target.rlike(rx)), rel.distinctSure)
-      case _ => ()
-    }
+    if (p.binding.isEmpty)
+      return Rel(rel.df.filter(filterCondition(rel, p)), rel.distinctSure)
     val args = p.args.map(argCol(rel, _))
     p.binding match {
       case None =>
@@ -611,6 +614,13 @@ private final class Planner(spark: SparkSession, source: FactSource,
   private def renameClause(rn: String => String)(c: Clause): Clause =
     substClause(n => V(rn(n)))(c)
 
+  private def bindingVarNames(b: Binding): List[String] = b match {
+    case BindScalar(v) => List(v.name)
+    case BindColl(v) => List(v.name)
+    case BindTuple(vs) => vs.map(_.name)
+    case BindRel(vs) => vs.map(_.name)
+  }
+
   private val ruleCache = scala.collection.mutable.Map[String, Rel]()
 
   /** rule names directly referenced by a clause list. */
@@ -648,6 +658,7 @@ private final class Planner(spark: SparkSession, source: FactSource,
     * filters through the rule body. */
   private val inlineUses = scala.collection.mutable.Map[(String, List[Term]), Int]()
   private val inlineCache = scala.collection.mutable.Map[(String, List[Term]), Rel]()
+  private val firstPlans = scala.collection.mutable.Map[(String, List[Term]), Rel]()
 
   private def inlineRuleCall(rc: RuleCall): Rel = {
     // canonical shape: var args → positional names (constants stay)
@@ -658,9 +669,9 @@ private final class Planner(spark: SparkSession, source: FactSource,
     val uses = inlineUses.getOrElse(key, 0) + 1
     inlineUses(key) = uses
     val canonical =
-      if (uses == 1) planInline(rc.name, shape)
+      if (uses == 1) { val r = planInline(rc.name, shape); firstPlans(key) = r; r }
       else inlineCache.getOrElseUpdate(key, {
-        val r = planInline(rc.name, shape)
+        val r = firstPlans.getOrElse(key, planInline(rc.name, shape))
         Rel(r.df.localCheckpoint(), r.distinctSure)
       })
     // map positional columns back to this call's vars (repeated vars unify)
@@ -684,16 +695,33 @@ private final class Planner(spark: SparkSession, source: FactSource,
   private def planInline(name: String, args: List[Term]): Rel = {
     val defs = rules(name)
     require(args.size == defs.head.args.size, s"arity mismatch calling rule $name")
+    // def-arg vars that sit in positions where only a var is legal (pred
+    // return bindings, not-join/or-join var lists) — a constant call arg
+    // for these grounds via fresh var + post-binding equality filter;
+    // everywhere else constants substitute directly (scan-level filters)
+    def bindingVars(cs: List[Clause]): Set[String] = cs.flatMap {
+      case Pred(_, _, Some(b)) => bindingVarNames(b)
+      case GetAttr(_, _, _, b) => bindingVarNames(b)
+      case Not(jv, sub) => jv.toList.flatten.map(_.name) ++ bindingVars(sub)
+      case Or(jv, bs) => jv.toList.flatten.map(_.name) ++ bs.flatMap(bindingVars)
+      case _ => Nil
+    }.toSet
     val branches = defs.map { d =>
       val suffix = gensym("ri")
-      val argSub: Map[String, Term] = d.args.map(_.name).zip(args).toMap
-      val grounded = d.clauses.map(substClause { n =>
-        argSub.getOrElse(n, V(s"${n}__$suffix")) match {
-          case Blank => V(s"_blank_${n}__$suffix") // wildcard call arg: fresh unused var
-          case t => t
-        }
-      })
-      planConjunction(grounded, Nil)
+      val varOnly = bindingVars(d.clauses)
+      val eqFilters = scala.collection.mutable.ListBuffer[Clause]()
+      val argSub: Map[String, Term] = d.args.map(_.name).zip(args).map {
+        case (dn, V(n)) => dn -> V(n)
+        case (dn, C(v)) if varOnly.contains(dn) =>
+          val f = s"_c_${dn}__$suffix"
+          eqFilters += Pred("=", List(V(f), C(v)), None)
+          dn -> V(f)
+        case (dn, c: C) => dn -> c
+        case (dn, Blank) => dn -> V(s"_blank_${dn}__$suffix")
+      }.toMap
+      val grounded = d.clauses.map(substClause(n =>
+        argSub.getOrElse(n, V(s"${n}__$suffix"))))
+      planConjunction(grounded ++ eqFilters, Nil)
     }
     val outVars = args.collect { case V(n) => n }.distinct
     if (outVars.isEmpty)
@@ -717,14 +745,21 @@ private final class Planner(spark: SparkSession, source: FactSource,
     val keep = scala.collection.mutable.LinkedHashMap[String, String]()
     rc.args.zip(argNames).foreach { case (term, argN) =>
       term match {
-        case V(n) if keep.valuesIterator.contains(n) => ()
-        case V(n) => keep(argN) = n
+        case V(n) =>
+          keep.find(_._2 == n) match {
+            case Some((argN0, _)) => // repeated var: unify positions
+              df = df.filter(col(argN0) === col(argN))
+            case None => keep(argN) = n
+          }
         case C(v) => df = df.filter(col(argN) === litOf(v))
         case Blank => ()
       }
     }
-    val out = df.select(keep.toSeq.map { case (src, dst) => col(src).as(dst) }: _*)
-    Rel(out, distinctSure = false)
+    if (keep.isEmpty) // all-constant/blank call: pure existence check
+      Rel(df.select().limit(1), distinctSure = true)
+    else
+      Rel(df.select(keep.toSeq.map { case (src, dst) => col(src).as(dst) }: _*),
+        distinctSure = false)
   }
 
   /** SEMI-NAIVE fixpoint evaluation of a rule together with its mutual-
@@ -782,7 +817,11 @@ private final class Planner(spark: SparkSession, source: FactSource,
           val keep = scala.collection.mutable.LinkedHashMap[String, String]()
           as.zip(calleeArgs).foreach { case (term, argN) =>
             term match {
-              case V(n) => keep(argN) = n
+              case V(n) =>
+                keep.find(_._2 == n) match {
+                  case Some((argN0, _)) => df = df.filter(col(argN0) === col(argN))
+                  case None => keep(argN) = n
+                }
               case C(v) => df = df.filter(col(argN) === litOf(v))
               case Blank => ()
             }

@@ -97,7 +97,7 @@ object SqlStreamQueries {
     Checkpoint.save(mid, store, txId = 2L, keep = 1)
     val fin = TxLog.applyBatch(mid, Seq((3L, java.time.LocalDateTime.parse("2024-02-02T00:00"), evict)))
     Checkpoint.save(fin, store, txId = 3L, keep = 1)
-    assert(Checkpoint.completed(store).size == 1, "retention must prune the older checkpoint")
+    assert(Checkpoint.completed(s, store).size == 1, "retention must prune the older checkpoint")
     Checkpoint.restore(s, store).get
       .select(col("eid"), col("vt"), col("tx_id"),
         col("content_hash").as("event_type"), col("tombstone"))

@@ -55,9 +55,15 @@ object IngestStream {
         deleteRec(fs)
         new java.io.File(tmp).renameTo(fs)
         secondarySinks.foreach(sink => sink(ops, batchId))
-        // commit marker: the highest indexed tx, for awaitTx/sync
-        java.nio.file.Files.writeString(
-          java.nio.file.Paths.get(stateDir + ".txid"), batchId.toString)
+        // commit marker: the highest indexed tx, for awaitTx/sync.
+        // write-to-temp + atomic move — awaitTx polls concurrently and must
+        // never observe a truncated file
+        val marker = java.nio.file.Paths.get(stateDir + ".txid")
+        val mtmp = java.nio.file.Paths.get(stateDir + ".txid.tmp")
+        java.nio.file.Files.writeString(mtmp, batchId.toString)
+        java.nio.file.Files.move(mtmp, marker,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         ()
       }
       .start()

@@ -209,10 +209,10 @@ class BitempSpec extends AnyFunSuite {
     Checkpoint.save(st, store, txId = 1L, keep = 2)
     Checkpoint.save(st, store, txId = 2L, keep = 2)
     Checkpoint.save(st, store, txId = 3L, keep = 2)
-    assert(Checkpoint.completed(store).map(_.txId).sorted == Seq(2L, 3L)) // keep=2 pruned tx 1
+    assert(Checkpoint.completed(spark, store).map(_.txId).sorted == Seq(2L, 3L)) // keep=2 pruned tx 1
     // torn checkpoint: directory without _COMPLETE must be invisible
     new java.io.File(s"$store/checkpoint-9-123").mkdirs()
-    assert(Checkpoint.latest(store).get.txId == 3L)
+    assert(Checkpoint.latest(spark, store).get.txId == 3L)
     val restored = Checkpoint.restore(spark, store).get
     assert(restored.collect().toSet == st.collect().toSet)
   }

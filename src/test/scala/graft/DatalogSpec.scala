@@ -304,6 +304,27 @@ class DatalogSpec extends AnyFunSuite {
     // chain: n_i reaches n_j for i<j = 45 pairs
     assert(res.count(p => Set("a", "b", "c").contains(p.head.toString)) == 9)
     assert(res.size == 9 + 45)
+    // repeated var in a recursive call unifies: only cycle members reach themselves
+    val selfReach = Planner.q(spark, src,
+      """[:find ?x :where [(reach ?x ?x)]
+         :rules [[(reach ?x ?y) [?x :next ?y]]
+                 [(reach ?x ?y) [?x :next ?z] (reach ?z ?y)]]]""")
+      .collect().toSet[Row].map(_.getString(0))
+    assert(selfReach == Set("a", "b", "c"))
+  }
+
+  test("rule arg grounded by a constant in a predicate-binding position") {
+    // ?b is only produced by a pred binding; the call grounds it to 31
+    assert(run(
+      """[:find ?e :where [(aged2 ?e 31)]
+         :rules [[(aged2 ?e ?b) [?e :age ?a] [(+ ?a 1) ?b]]]]""") ==
+      Set(Seq("ivan"), Seq("smith")))
+  }
+
+  test("regex predicates inside a filter-or branch") {
+    assert(run(
+      "[:find ?e :where [[?e :name ?n] (or [(re-find \"mit\" ?n)] [(= ?n \"Anna\")])]]") ==
+      Set(Seq("smith"), Seq("anna")))
   }
 
   test("keys rename output columns") {
