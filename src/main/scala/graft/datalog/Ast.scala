@@ -161,8 +161,13 @@ object Ast {
       Not(Some(vars.map { case Sym(n) => V(varName(n)); case o => throw new IllegalArgumentException(s"bad not-join var $o") }), clauses.map(parseClause))
     case Lst(Sym("or") :: branches) => Or(None, branches.map(parseBranch))
     case Lst(Sym("or-join") :: Vec(vars) :: branches) =>
-      Or(Some(vars.map { case Sym(n) => V(varName(n)); case Vec(_) => throw new IllegalArgumentException("bound or-join vars unsupported"); case o => throw new IllegalArgumentException(s"bad or-join var $o") }),
-        branches.map(parseBranch))
+      // `[[?bound] ?free]` destructuring: boundness is an execution hint in
+      // the reference (query.clj:1087-1144); relationally both are join vars
+      Or(Some(vars.flatMap {
+        case Sym(n) => List(V(varName(n)))
+        case Vec(bound) => bound.map { case Sym(n) => V(varName(n)); case o => throw new IllegalArgumentException(s"bad or-join var $o") }
+        case o => throw new IllegalArgumentException(s"bad or-join var $o")
+      }), branches.map(parseBranch))
     case Lst(Sym(rule) :: args) => RuleCall(rule, args.map(parseTerm))
     case other => throw new IllegalArgumentException(s"unsupported clause $other")
   }

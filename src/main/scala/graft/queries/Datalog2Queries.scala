@@ -88,6 +88,46 @@ object Datalog2Queries {
                     :where [[?c2 :c_nationkey ?nk2] [?c2 :c_acctbal ?x]]} ?nk) ?mab]
                [(= ?ab ?mab)]]}""") _,
 
+    // the full crux story end-to-end: tx-log fold → bitemporal index →
+    // as-of snapshot → DATALOG over the schemaless snapshot (quads), i.e.
+    // `(q db ...)` against `(db node vt tt)` in reference terms
+    "dl_asof_snapshot" -> ((s: SparkSession, dir: String) => {
+      import graft.bitemp.{Bitemp, TxLog}
+      val ev = graft.sources.Tables.load(s, dir, "events")
+      val ops = ev.select(
+        when(col("event_type") === "error", "delete").otherwise("put").as("op"),
+        col("user_id").cast("string").as("eid"),
+        when(col("event_type") === "error", lit(null).cast("string"))
+          .otherwise(col("event_type")).as("content_hash"),
+        col("ts").as("start_vt"),
+        lit(null).cast("timestamp_ntz").as("end_vt"),
+        lit(null).cast("timestamp_ntz").as("at_vt"),
+        lit(null).cast("string").as("expected_hash"),
+        col("event_id").as("seq"))
+      val state = TxLog.applyBatch(TxLog.emptyState(s),
+        Seq((0L, java.time.LocalDateTime.parse("2024-02-01T00:00"), ops)))
+      val snap = Bitemp.asOf(state,
+        lit(java.time.LocalDateTime.parse("2024-01-15T00:00")), lit(0L))
+      val quads = snap.select(col("eid").as("e"), lit("event-type").as("a"),
+        col("content_hash").as("v_str"))
+      val src = new graft.datalog.QuadSource(quads, Map("event-type" -> "v_str"))
+      graft.datalog.Planner.q(s, src, """
+        {:find [?t (count ?e)]
+         :keys [event_type n]
+         :where [[?e :event-type ?t]]}""")
+    }),
+
+    // rand/sample aggregates (query.clj:351-366) are nondeterministic —
+    // no oracle; the driver records a rows-only check
+    "dl_agg_rand" -> ((s: SparkSession, dir: String) => {
+      dl("""
+        {:find [?rf (rand 3 ?q) (sample 2 ?q)]
+         :keys [l_returnflag rand3 sample2]
+         :where [[?l :l_returnflag ?rf] [?l :l_quantity ?q]]}""")(s, dir)
+        .withColumn("rand3", concat_ws(",", col("rand3")))
+        .withColumn("sample2", concat_ws(",", col("sample2")))
+    }),
+
     // long-tail aggregates: variance/stddev (population), min-N/max-N
     // top-k sets, distinct set (query.clj:324-408)
     "dl_agg_stats" -> ((s: SparkSession, dir: String) => {
@@ -150,6 +190,16 @@ object Datalog2Sql {
       SELECT DISTINCT c_custkey, c_acctbal FROM customer c
       WHERE c_acctbal = (SELECT max(c_acctbal) FROM customer c2
                          WHERE c2.c_nationkey = c.c_nationkey)""",
+
+    "dl_asof_snapshot" -> """
+      WITH latest AS (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts <= TIMESTAMP '2024-01-15')
+      SELECT event_type, COUNT(*) AS n FROM latest
+      WHERE rn = 1 AND event_type <> 'error'
+      GROUP BY event_type""",
 
     "dl_agg_stats" -> """
       SELECT l_returnflag,

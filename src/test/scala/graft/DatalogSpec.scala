@@ -123,6 +123,12 @@ class DatalogSpec extends AnyFunSuite {
       Set(Seq("ivan", "Ivanov"), Seq("ivan", "Ivan")))
   }
 
+  test("or-join with bound-vars destructuring form") {
+    assert(run(
+      "[:find ?e ?v :where [[?e :name \"Ivan\"] (or-join [[?e] ?v] [?e :last-name ?v] [?e :name ?v])]]") ==
+      Set(Seq("ivan", "Ivanov"), Seq("ivan", "Ivan")))
+  }
+
   test("in-binding: scalar") {
     assert(run("[:find ?e :in [?n] :where [[?e :name ?n]]]", "Ivan") == Set(Seq("ivan")))
   }
