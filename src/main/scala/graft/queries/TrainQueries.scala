@@ -36,6 +36,19 @@ object TrainQueries {
         .select(col("qid"), col("cid"), col("cosine"), col("rank"))
     }),
 
+    // same top-k through the native Catalyst Expression (codegen'd
+    // cosine_sim, functions/CosineSimilarity.scala) — the relational path
+    "ann_topk_expr" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      emb(s, dir).createOrReplaceTempView("emb_expr")
+      s.sql("""
+        SELECT e.vec_id, ROUND(cosine_sim(e.embedding, q.embedding), 6) AS cos
+        FROM emb_expr e CROSS JOIN
+          (SELECT embedding FROM emb_expr WHERE vec_id = 0) q
+        WHERE e.vec_id <> 0
+        ORDER BY cos DESC, e.vec_id LIMIT 20""")
+    }),
+
     // approximate variants: recall < 1 by design → rows-only check
     "ann_topk_lsh" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -140,6 +153,13 @@ object TrainSql {
         SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rank
         FROM scored)
       SELECT qid, cid, cosine, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 10""",
+
+    "ann_topk_expr" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+      SELECT e.vec_id, ROUND(list_cosine_similarity(e.v, qv), 6) AS cos
+      FROM e CROSS JOIN q WHERE e.vec_id <> 0
+      ORDER BY cos DESC, e.vec_id LIMIT 20""",
 
     "text_lang_id" -> s"""
       WITH t AS (SELECT doc_id, lang, $toks AS tk FROM documents),
