@@ -124,6 +124,12 @@ object SqlStreamQueries {
       "VALIDTIME ('2024-01-15T00:00:00') TRANSACTIONTIME ('2024-01-15T00:00:00') " +
         "SELECT eid, content_hash AS event_type, value FROM events_current")
 
+  /** TRANSACTIONID basis form (calcite.clj:51-72): snapshot at a tx id. */
+  def sqlTxId(s: SparkSession, dir: String): DataFrame =
+    SqlSurface.query(s, dir,
+      "VALIDTIME ('2024-01-15T00:00:00') TRANSACTIONID (5000) " +
+        "SELECT eid, content_hash AS event_type, value FROM events_current")
+
   /** Scalar-function parity (§2.7 string/number set). */
   def sqlScalarFns(s: SparkSession, dir: String): DataFrame =
     SqlSurface.query(s, dir, """
@@ -163,6 +169,7 @@ object SqlStreamQueries {
       IngestStream.sessions(s, s"$dir/events.parquet", gapMinutes = 30)),
     "sql_basic" -> sqlBasic _,
     "sql_temporal" -> sqlTemporal _,
+    "sql_txid" -> sqlTxId _,
     "sql_scalar_fns" -> sqlScalarFns _,
     "sql_date_fns" -> sqlDateFns _)
 }
@@ -230,6 +237,18 @@ object SqlStreamSql {
       ranked AS (
         SELECT *, row_number() OVER (PARTITION BY eid ORDER BY vt DESC, tx_id DESC) AS rn
         FROM versions WHERE vt <= TIMESTAMP '2024-01-15 00:00:00')
+      SELECT eid, event_type, value FROM ranked WHERE rn = 1 AND NOT tombstone""",
+
+    "sql_txid" -> """
+      WITH versions AS (
+        SELECT CAST(user_id AS VARCHAR) AS eid, CAST(ts AS TIMESTAMP) AS vt,
+               event_id AS tx_id, event_type, value,
+               (event_type = 'error') AS tombstone
+        FROM events),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY eid ORDER BY vt DESC, tx_id DESC) AS rn
+        FROM versions
+        WHERE vt <= TIMESTAMP '2024-01-15 00:00:00' AND tx_id <= 5000)
       SELECT eid, event_type, value FROM ranked WHERE rn = 1 AND NOT tombstone""",
 
     "sql_scalar_fns" -> """

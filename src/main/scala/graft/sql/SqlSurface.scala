@@ -20,29 +20,36 @@ import graft.sources.Tables
 object SqlSurface {
 
   private val TemporalPrefix =
-    """(?is)\s*VALIDTIME\s*\('([^']+)'\)(?:\s*TRANSACTIONTIME\s*\('([^']+)'\))?\s*(.*)""".r
+    """(?is)\s*VALIDTIME\s*\('([^']+)'\)(?:\s*TRANSACTIONTIME\s*\('([^']+)'\))?(?:\s*TRANSACTIONID\s*\((\d+)\))?\s*(.*)""".r
 
   /** Register all parquet tables plus the bitemporal `events_current` view
-    * resolved at (vt, tt), then run the SQL. */
+    * resolved at (vt, tt | tx-id), then run the SQL. All three prefix
+    * forms of calcite.clj:51-72 are accepted:
+    * `VALIDTIME ('…') [TRANSACTIONTIME ('…')] [TRANSACTIONID (n)]`. */
   def query(spark: SparkSession, dir: String, sql: String): DataFrame = {
     Tables.registerAll(spark, dir)
     sql match {
-      case TemporalPrefix(vt, tt, rest) =>
+      case TemporalPrefix(vt, tt, txId, rest) =>
         registerCurrent(spark, dir,
           java.time.LocalDateTime.parse(vt),
-          Option(tt).map(java.time.LocalDateTime.parse))
+          Option(tt).map(java.time.LocalDateTime.parse),
+          Option(txId).map(_.toLong))
         spark.sql(rest)
       case _ =>
-        registerCurrent(spark, dir, java.time.LocalDateTime.parse("9999-01-01T00:00"), None)
+        registerCurrent(spark, dir, java.time.LocalDateTime.parse("9999-01-01T00:00"), None, None)
         spark.sql(sql)
     }
   }
 
   private def registerCurrent(spark: SparkSession, dir: String,
-      vt: java.time.LocalDateTime, tt: Option[java.time.LocalDateTime]): Unit = {
+      vt: java.time.LocalDateTime, tt: Option[java.time.LocalDateTime],
+      txId: Option[Long]): Unit = {
     val versions = graft.queries.BitempQueries.versionsFromEvents(spark, dir)
-    val snap = Bitemp.asOfTime(versions, lit(vt),
-      lit(tt.getOrElse(java.time.LocalDateTime.parse("9999-01-01T00:00"))))
+    val snap = txId match {
+      case Some(id) => Bitemp.asOf(versions, lit(vt), lit(id))
+      case None => Bitemp.asOfTime(versions, lit(vt),
+        lit(tt.getOrElse(java.time.LocalDateTime.parse("9999-01-01T00:00"))))
+    }
     snap.createOrReplaceTempView("events_current")
   }
 }
