@@ -62,7 +62,10 @@ object Checkpoint {
   def latest(spark: SparkSession, storeDir: String): Option[Meta] =
     completed(spark, storeDir).sortBy(m => (m.txId, m.millis)).lastOption
 
-  /** Load the latest completed snapshot, if any. */
+  /** Load the latest completed snapshot, if any. Schema comes from the
+    * snapshot itself — a versions table may carry inline payload columns
+    * beyond [[TxLog.versionSchema]], and pinning the schema here would
+    * silently drop them on the recovery path. */
   def restore(spark: SparkSession, storeDir: String): Option[DataFrame] =
-    latest(spark, storeDir).map(m => spark.read.schema(TxLog.versionSchema).parquet(m.path))
+    latest(spark, storeDir).map(m => spark.read.parquet(m.path))
 }

@@ -183,23 +183,40 @@ object TxLog {
     * content_hash/expected_hash columns): each fn op expands against the
     * snapshot BEFORE this tx (reference semantics: fns see the in-flight
     * DB, and all emitted ops commit atomically with the tx). Emitted ops
-    * inherit the fn op's seq (sub-ordered by their own seq scaled in). */
+    * inherit the fn op's seq (sub-ordered by their own seq scaled in).
+    * Fns may emit further fn ops (legal in the reference, tx.clj:198-200):
+    * expansion repeats to a depth cap. An unknown fn name, a nesting
+    * overflow, or a throwing fn body ABORTS the tx (tx.clj:149-227 —
+    * errors abort, they don't kill the indexer). */
   def applyTxWithFns(state: DataFrame, ops: DataFrame, txId: Long,
-      txTime: java.time.LocalDateTime, fns: Map[String, TxFn]): (DataFrame, Boolean) = {
-    val fnOps = ops.filter(col("op") === "fn")
-      .select(col("eid"), col("content_hash"), col("seq")).collect()
-    if (fnOps.isEmpty) return applyTx(state, ops, txId, txTime)
-    val snapshot = Bitemp.asOfTime(resolvedHistory(state), lit(txTime), lit(txTime))
-    val expanded = fnOps.toSeq.map { r =>
-      val fnName = r.getString(0); val arg = r.getString(1); val seq = r.getLong(2)
-      val fn = fns.getOrElse(fnName,
-        throw new IllegalArgumentException(s"unknown tx fn $fnName"))
-      // splice emitted ops at the fn's position: seq * 1e6 + sub-seq
-      fn(snapshot, arg).withColumn("seq", lit(seq) * 1000000L + col("seq"))
+      txTime: java.time.LocalDateTime, fns: Map[String, TxFn],
+      maxFnDepth: Int = 10): (DataFrame, Boolean) = {
+    var current = ops
+    var depth = 0
+    try {
+      var fnOps = current.filter(col("op") === "fn")
+        .select(col("eid"), col("content_hash"), col("seq")).collect()
+      if (fnOps.isEmpty) return applyTx(state, current, txId, txTime)
+      val snapshot = Bitemp.asOfTime(resolvedHistory(state), lit(txTime), lit(txTime))
+      while (fnOps.nonEmpty) {
+        if (depth >= maxFnDepth) return (state, true) // runaway nesting: abort
+        val expanded = fnOps.toSeq.map { r =>
+          val fnName = r.getString(0); val arg = r.getString(1); val seq = r.getLong(2)
+          val fn = fns.getOrElse(fnName,
+            throw new IllegalArgumentException(s"unknown tx fn $fnName"))
+          // splice emitted ops at the fn's position: seq * 1e6 + sub-seq
+          fn(snapshot, arg).withColumn("seq", lit(seq) * 1000000L + col("seq"))
+        }
+        val direct = current.filter(col("op") =!= "fn")
+          .withColumn("seq", col("seq") * 1000000L)
+        current = expanded.foldLeft(direct)(_ unionByName _)
+        depth += 1
+        fnOps = current.filter(col("op") === "fn")
+          .select(col("eid"), col("content_hash"), col("seq")).collect()
+      }
+      applyTx(state, current, txId, txTime)
+    } catch {
+      case _: Exception => (state, true) // fn failure aborts this tx only
     }
-    val direct = ops.filter(col("op") =!= "fn")
-      .withColumn("seq", col("seq") * 1000000L)
-    val allOps = expanded.foldLeft(direct)(_ unionByName _)
-    applyTx(state, allOps, txId, txTime)
   }
 }

@@ -50,7 +50,9 @@ object Dedup {
     * ONE self-join on shingle → pair counts c = |A∩B| directly (no
     * separate candidate pass), then J = c/(|A|+|B|-c). */
   def ngramJaccardPairs(docs: DataFrame, tau: Double, k: Int = 3): DataFrame = {
-    val sh = shingles(docs, k)
+    // persist: the tokenize/shingle explode feeds both self-join sides plus
+    // the size aggregation (same reasoning as minhashLshPairs)
+    val sh = shingles(docs, k).persist()
     val counts = sh.as("a")
       .join(sh.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))

@@ -65,6 +65,9 @@ object Multimodal {
     media.filter(col("media_type") === "video")
       .withColumn("n_frames",
         least(ceil(length(col("payload")).cast("double") / frameBytes).cast("long"), lit(maxFrames.toLong)))
+      // zero-byte payloads have no frames: sequence(0, -1) would yield
+      // [0, -1] (inferred step -1), not an empty array
+      .filter(col("n_frames") > 0)
       .select(col("media_id"), col("n_frames"), col("payload"),
         explode(sequence(lit(0L), col("n_frames") - 1)).as("frame_idx"))
       .withColumn("frame_md5",

@@ -43,15 +43,24 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / sqrt(dot(a, a) * dot(b, b))
 
+  /** Cosine from precomputed self-norms: each side's dot(v,v) is computed
+    * once per ROW before the pair join, not once per PAIR — 3× less kernel
+    * work on an N×Q pair relation (sqrt(qn*cn) multiplies the same doubles,
+    * so values are bit-identical to [[cosine]]). */
+  private def cosinePre(a: Column, b: Column, an: Column, bn: Column): Column =
+    dot(a, b) / sqrt(an * bn)
+
   /** Exact top-k cosine neighbors for each query vector (self excluded). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val c = corpus.select(col(idCol).as("cid"), col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("cn", dot(col("cv"), col("cv")))
     val q = queries.select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn", dot(col("qv"), col("qv")))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("cid") =!= col("qid"))
       .select(col("qid"), col("cid"),
-        round(cosine(col("qv"), col("cv")), 6).as("cosine"))
+        round(cosinePre(col("qv"), col("cv"), col("qn"), col("cn")), 6).as("cosine"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -75,11 +84,14 @@ object Similarity {
       dims: Int = 64, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val c = corpus.select(col(idCol).as("cid"), col(vecCol).cast("array<double>").as("cv"))
       .withColumn("bucket", lshBucket(col("cv"), planes, dims))
+      .withColumn("cn", dot(col("cv"), col("cv")))
     val q = queries.select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
       .withColumn("bucket", lshBucket(col("qv"), planes, dims))
+      .withColumn("qn", dot(col("qv"), col("qv")))
     val scored = c.join(broadcast(q), "bucket")
       .filter(col("cid") =!= col("qid"))
-      .select(col("qid"), col("cid"), round(cosine(col("qv"), col("cv")), 6).as("cosine"))
+      .select(col("qid"), col("cid"),
+        round(cosinePre(col("qv"), col("cv"), col("qn"), col("cn")), 6).as("cosine"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -88,11 +100,11 @@ object Similarity {
   /** IVF-style search with a provided coarse partition (here: `label`):
     * centroid per cell, probe the query's nearest centroid cell only. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      cellCol: String = "label", idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      cellCol: String = "label", idCol: String = "vec_id", vecCol: String = "embedding",
+      dims: Int = 64): DataFrame = {
     val c = corpus.select(col(idCol).as("cid"), col(cellCol).as("cell"),
       col(vecCol).cast("array<double>").as("cv"))
     // centroid per cell: element-wise mean (aggregate of zip_with sums)
-    val dims = 64
     val sums = (0 until dims).map(i => sum(element_at(col("cv"), i + 1)).as(s"s$i"))
     val centroids = c.groupBy(col("cell")).agg(sums.head, sums.tail: _*)
     val counts = c.groupBy(col("cell")).agg(count(lit(1)).as("n"))
@@ -106,9 +118,11 @@ object Similarity {
       .partitionBy(col("qid")).orderBy(col("cdist").desc, col("cell").asc)
     val best = probe.withColumn("r", row_number().over(w0)).filter(col("r") === 1)
       .select(col("qid"), col("qv"), col("cell"))
-    val scored = c.join(broadcast(best), "cell")
+    val scored = c.withColumn("cn", dot(col("cv"), col("cv")))
+      .join(broadcast(best.withColumn("qn", dot(col("qv"), col("qv")))), "cell")
       .filter(col("cid") =!= col("qid"))
-      .select(col("qid"), col("cid"), round(cosine(col("qv"), col("cv")), 6).as("cosine"))
+      .select(col("qid"), col("cid"),
+        round(cosinePre(col("qv"), col("cv"), col("qn"), col("cn")), 6).as("cosine"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

@@ -194,12 +194,18 @@ object Pull {
           s":_$attr does not point at $table")
         val u = fresh(attr)
         val childSub = build(cat, childTable, pat)
+        // sort key = the TYPED pk columns as a struct (numeric order);
+        // the string-concat pkCol would order composite keys
+        // lexicographically ("100|1" < "99|1")
+        val childPk = cat.tables(childTable).pk
         val keyed = cat.load(childTable)
-          .select(col(attr).as(s"${u}_k"), cat.pkCol(childTable).as(s"${u}_cid"))
+          .select(col(attr).as(s"${u}_k"),
+            struct(childPk.map(col): _*).as(s"${u}_ck"),
+            cat.pkCol(childTable).as(s"${u}_cid"))
           .join(childSub, col(s"${u}_cid") === col("_id"))
         // deterministic child order: sort by child pk, then strip the key
         val grouped = keyed.groupBy(col(s"${u}_k"))
-          .agg(sort_array(collect_list(struct(col(s"${u}_cid").as("k"),
+          .agg(sort_array(collect_list(struct(col(s"${u}_ck").as("k"),
             col("pulled").as("v")))).as(s"${u}_arr"))
           .select(col(s"${u}_k"),
             transform(col(s"${u}_arr"), x => x.getField("v")).as(s"${u}_arr"))

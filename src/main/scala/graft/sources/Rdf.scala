@@ -16,6 +16,23 @@ import org.apache.spark.sql.functions._
   */
 object Rdf {
 
+  /** N-Triples string-literal escaping (\\ \" \n \r \t). */
+  private def escapeLit(c: org.apache.spark.sql.Column) = {
+    val e1 = regexp_replace(c, "\\\\", "\\\\\\\\")
+    val e2 = regexp_replace(e1, "\"", "\\\\\"")
+    val e3 = regexp_replace(e2, "\n", "\\\\n")
+    val e4 = regexp_replace(e3, "\r", "\\\\r")
+    regexp_replace(e4, "\t", "\\\\t")
+  }
+
+  private def unescapeLit(c: org.apache.spark.sql.Column) = {
+    val u1 = regexp_replace(c, "\\\\n", "\n")
+    val u2 = regexp_replace(u1, "\\\\r", "\r")
+    val u3 = regexp_replace(u2, "\\\\t", "\t")
+    val u4 = regexp_replace(u3, "\\\\\"", "\"")
+    regexp_replace(u4, "\\\\\\\\", "\\\\")
+  }
+
   /** literal or IRI object term, with optional ^^datatype / @lang. */
   private val ObjLit = """^"(.*)"(?:\^\^<([^>]*)>|@[A-Za-z-]+)?\s*$"""
   private val ObjIri = """^<([^>]*)>\s*$"""
@@ -42,7 +59,8 @@ object Rdf {
         regexp_extract(col("obj"), ObjIri, 1).as("o_iri"))
       .select(col("e"), col("a"),
         when(col("o_iri") =!= "", localName(col("o_iri")))
-          .when(col("dtype") === "" || col("dtype").endsWith("string"), nullif(col("lex"), lit("")))
+          .when(col("dtype") === "" || col("dtype").endsWith("string"),
+            nullif(unescapeLit(col("lex")), lit("")))
           .otherwise(lit(null)).as("v_str"),
         when(col("dtype").endsWith("integer") || col("dtype").endsWith("long") ||
              col("dtype").endsWith("int"), col("lex").cast("long")).as("v_num"),
@@ -62,7 +80,7 @@ object Rdf {
         case org.apache.spark.sql.types.DoubleType | org.apache.spark.sql.types.FloatType =>
           concat(lit("\""), col(c).cast("string"),
             lit("\"^^<http://www.w3.org/2001/XMLSchema#double>"))
-        case _ => concat(lit("\""), col(c).cast("string"), lit("\""))
+        case _ => concat(lit("\""), escapeLit(col(c).cast("string")), lit("\""))
       }
       df.filter(col(c).isNotNull).select(concat(
         lit(s"<$ns/e/"), col(idCol).cast("string"), lit(s"> <$ns/$c> "), obj, lit(" .")).as("value"))

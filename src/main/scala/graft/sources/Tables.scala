@@ -24,6 +24,10 @@ object Tables {
       // events.ts is parquet TIMESTAMP(NANOS) which the vectorized reader
       // rejects; read it as a long and downcast to micro-precision NTZ
       // (truncation — same as DuckDB's ns→µs cast, keeping oracle parity).
+      // The conf is session-global BY DESIGN: reads are lazy, so a
+      // set/restore scope would race plan execution, and the conf only
+      // changes behavior for TIMESTAMP(NANOS) columns — which Spark
+      // otherwise refuses to read at all.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$sfDir/$name.parquet")
       import org.apache.spark.sql.functions._

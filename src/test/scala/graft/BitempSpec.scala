@@ -202,6 +202,36 @@ class BitempSpec extends AnyFunSuite {
     assert(st1.count() == 0)
   }
 
+  test("tx fn: unknown name or throwing body aborts the tx, not the indexer") {
+    import scala.jdk.CollectionConverters._
+    val st = runScenario(Seq((Some("v1"), "2019-11-25", None)))
+    val fnOp = spark.createDataFrame(List(
+      Row("fn", "no-such-fn", "arg", null, null, null, null, 0L)).asJava, TxLog.opSchema)
+    val (st1, aborted1) = TxLog.applyTxWithFns(st, fnOp, 10L, d("2020-01-01"), Map.empty)
+    assert(aborted1 && st1.collect().toSet == st.collect().toSet)
+    val boom: TxLog.TxFn = (_, _) => throw new RuntimeException("boom")
+    val fnOp2 = spark.createDataFrame(List(
+      Row("fn", "boom", "arg", null, null, null, null, 0L)).asJava, TxLog.opSchema)
+    val (st2, aborted2) = TxLog.applyTxWithFns(st, fnOp2, 11L, d("2020-01-01"), Map("boom" -> boom))
+    assert(aborted2 && st2.collect().toSet == st.collect().toSet)
+  }
+
+  test("tx fn emitting a nested fn op expands recursively") {
+    import scala.jdk.CollectionConverters._
+    val st = runScenario(Seq((Some("v1"), "2019-11-25", None)))
+    val inner: TxLog.TxFn = (_, arg) => spark.createDataFrame(List(
+      Row("put", "child", arg, d("2020-01-02"), null, null, null, 0L)).asJava, TxLog.opSchema)
+    val outer: TxLog.TxFn = (_, arg) => spark.createDataFrame(List(
+      Row("fn", "inner", arg, null, null, null, null, 0L)).asJava, TxLog.opSchema)
+    val fnOp = spark.createDataFrame(List(
+      Row("fn", "outer", "payload", null, null, null, null, 0L)).asJava, TxLog.opSchema)
+    val (st1, aborted) = TxLog.applyTxWithFns(st, fnOp, 12L, d("2020-01-03"),
+      Map("outer" -> outer, "inner" -> inner))
+    assert(!aborted)
+    val child = st1.filter(col("eid") === "child").collect()
+    assert(child.length == 1 && child.head.getAs[String]("content_hash") == "payload")
+  }
+
   test("checkpoint: retention prunes, torn snapshots ignored, restore round-trips") {
     import graft.bitemp.Checkpoint
     val st = runScenario(Seq((Some("v1"), "2019-11-25", None), (Some("v2"), "2019-11-27", None)))
