@@ -71,22 +71,51 @@ object Similarity {
   private def planeEntry(plane: Int, d: Int): Column =
     when(xxhash64(lit(plane), lit(d)).bitwiseAND(1) === 0, lit(1.0)).otherwise(lit(-1.0))
 
-  /** Bucket id: `planes` sign bits of hyperplane dot products. */
+  /** Bucket id: `planes` sign bits of hyperplane dot products.
+    * Kept as a Column recipe for documentation/parity; the hot path below
+    * materializes the same ±1 matrix once and runs a JIT'd kernel — the
+    * planes×dims `element_at` expression tree (512 nodes at 8×64) costs
+    * more to evaluate per row than the arithmetic it encodes. */
   def lshBucket(vec: Column, planes: Int, dims: Int): Column =
     (0 until planes).map { p =>
       val d = (0 until dims).map(i => element_at(vec, i + 1) * planeEntry(p, i)).reduce(_ + _)
       when(d >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** The same bucket as [[lshBucket]] via a broadcast ±1 matrix + kernel
+    * (identical seeded entries, identical left-to-right fold). */
+  private def bucketUdfFor(spark: org.apache.spark.sql.SparkSession,
+      planes: Int, dims: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val row = spark.range(1).select(
+      (for (p <- 0 until planes; i <- 0 until dims) yield planeEntry(p, i)): _*
+    ).collect().head
+    val mat = Array.tabulate(planes, dims)((p, i) => row.getDouble(p * dims + i))
+    udf { (v: Seq[Double]) =>
+      var b = 0L
+      var p = 0
+      while (p < mat.length) {
+        val r = mat(p)
+        var dsum = 0.0
+        var i = 0
+        val n = math.min(r.length, v.length)
+        while (i < n) { dsum += v(i) * r(i); i += 1 }
+        if (dsum >= 0) b += (1L << p)
+        p += 1
+      }
+      b
+    }
+  }
+
   /** LSH-bucketed ANN: candidates share a bucket; rank within candidates.
     * Recall < 1 by construction (the scale path — bucket join, no cross). */
   def hyperplaneLsh(corpus: DataFrame, queries: DataFrame, k: Int, planes: Int = 8,
       dims: Int = 64, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val bucketUdf = bucketUdfFor(corpus.sparkSession, planes, dims)
     val c = corpus.select(col(idCol).as("cid"), col(vecCol).cast("array<double>").as("cv"))
-      .withColumn("bucket", lshBucket(col("cv"), planes, dims))
+      .withColumn("bucket", bucketUdf(col("cv")))
       .withColumn("cn", dot(col("cv"), col("cv")))
     val q = queries.select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
-      .withColumn("bucket", lshBucket(col("qv"), planes, dims))
+      .withColumn("bucket", bucketUdf(col("qv")))
       .withColumn("qn", dot(col("qv"), col("qv")))
     val scored = c.join(broadcast(q), "bucket")
       .filter(col("cid") =!= col("qid"))
