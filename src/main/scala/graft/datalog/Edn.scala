@@ -108,12 +108,17 @@ object Edn {
           case "inst" =>
             skipWs()
             val str = readString()
-            // RFC3339; normalize to LocalDateTime (UTC wall clock)
-            val norm = str.stripSuffix("Z")
+            // RFC3339; normalize to LocalDateTime in UTC. Offset forms
+            // ("…-05:00", "…Z") convert to the UTC instant's wall clock.
             val t =
-              if (norm.contains("T")) java.time.LocalDateTime.parse(
-                if (norm.length == 10 + 6) norm + ":00" else norm)
-              else java.time.LocalDate.parse(norm).atStartOfDay()
+              if (!str.contains("T"))
+                java.time.LocalDate.parse(str).atStartOfDay()
+              else if (str.endsWith("Z") || str.lastIndexOf('+') > str.indexOf('T') ||
+                  str.lastIndexOf('-') > str.indexOf('T'))
+                java.time.OffsetDateTime.parse(str)
+                  .withOffsetSameInstant(java.time.ZoneOffset.UTC).toLocalDateTime
+              else java.time.LocalDateTime.parse(
+                if (str.length == 10 + 6) str + ":00" else str)
             Inst(t)
           case other => throw new IllegalArgumentException(s"unsupported tag #$other")
         }

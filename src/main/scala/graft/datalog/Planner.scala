@@ -196,7 +196,16 @@ private final class Planner(spark: SparkSession, source: FactSource,
 
   // ------------------------------------------------------------ conjunction
 
-  def planConjunction(clauses: List[Clause], seed: List[Rel]): Rel = {
+  def planConjunction(clauses0: List[Clause], seed: List[Rel]): Rel = {
+    // A list-form clause whose head is not a defined rule is a predicate:
+    // the flat vector form `:where [(> ?x 5)]` parses ambiguously as a
+    // rule call (the same surface syntax), and only the rule set can
+    // disambiguate (the reference conforms against its rule names too,
+    // query.clj:53-55)
+    val clauses = clauses0.map {
+      case RuleCall(n, args) if !rules.contains(n) => Pred(n, args, None)
+      case c => c
+    }
     val triples = clauses.collect { case t: Triple => t }
     // text-search is relation-GENERATING (crux-lucene/src/crux/lucene.clj:
     // 156-162: [e v] relation from a full-text query), not a filter —

@@ -48,16 +48,22 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName everywhere: two cosine_sim calls may share one codegen
+      // scope, and fixed locals would redeclare
+      val n = ctx.freshName("n"); val dot = ctx.freshName("dot")
+      val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val i = ctx.freshName("i"); val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv"); val denom = ctx.freshName("denom")
       s"""
-        int n = java.lang.Math.min($a.numElements(), $b.numElements());
-        double dot = 0.0, nx = 0.0, ny = 0.0;
-        for (int i = 0; i < n; i++) {
-          double xv = $a.getDouble(i);
-          double yv = $b.getDouble(i);
-          dot += xv * yv; nx += xv * xv; ny += yv * yv;
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          double $xv = $a.getDouble($i);
+          double $yv = $b.getDouble($i);
+          $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
         }
-        double denom = java.lang.Math.sqrt(nx * ny);
-        if (denom == 0.0) { ${ev.isNull} = true; } else { ${ev.value} = dot / denom; }
+        double $denom = java.lang.Math.sqrt($nx * $ny);
+        if ($denom == 0.0) { ${ev.isNull} = true; } else { ${ev.value} = $dot / $denom; }
       """
     })
 
@@ -67,7 +73,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
 }
 
 object GraftFunctions {
-  private val entries: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+  /** Single source of truth for both registration paths (live session and
+    * SparkSessionExtensions) — the builder's arity check and the
+    * cast-to-array<double> wrapping must never diverge between them. */
+  val entries: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (children: Seq[Expression]) => {
@@ -89,11 +98,5 @@ object GraftFunctions {
   * SparkSessionExtensions registration path for cluster deployments. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction((FunctionIdentifier("cosine_sim"),
-      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      (children: Seq[Expression]) => {
-        require(children.size == 2, "cosine_sim takes exactly 2 arguments")
-        CosineSimilarity(Cast(children.head, ArrayType(DoubleType)),
-          Cast(children(1), ArrayType(DoubleType)))
-      }))
+    GraftFunctions.entries.foreach(ext.injectFunction)
 }

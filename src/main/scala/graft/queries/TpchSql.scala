@@ -5,9 +5,8 @@ package graft.queries
   * [[graft.functions.Exact]]) so hashes match bit-for-bit.
   */
 object TpchSql {
-  private val vol = "CAST(l_extendedprice AS DECIMAL(14,4)) * CAST(1 - l_discount AS DECIMAL(8,4))"
-  private def dsum(e: String) = s"CAST(CAST(SUM($e) AS DECIMAL(24,6)) AS DOUBLE)"
-  private def m(e: String) = s"CAST($e AS DECIMAL(14,4))"
+  import graft.functions.Exact.{sqlDsum => dsum, sqlMoney => m, sqlRate}
+  private val vol = s"${m("l_extendedprice")} * ${sqlRate("1 - l_discount")}"
 
   val all: Map[String, String] = Map(
     "q1" -> s"""

@@ -80,6 +80,9 @@ object TrainQueries {
     "mm_decode" -> ((s, dir) =>
       Multimodal.decodeStub(s, Multimodal.mediaFromDocuments(docs(s, dir)))),
 
+    // NOTE: the DuckDB oracle slices frames with char-based substr (DuckDB
+    // 1.0 cannot slice BLOBs); byte windows == char windows only because
+    // the documents fixture is pure ASCII. The Spark side is byte-correct.
     "mm_frames" -> ((s, dir) =>
       Multimodal.frameSample(Multimodal.mediaFromDocuments(docs(s, dir)))))
 }

@@ -44,29 +44,45 @@ object IngestStream {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (ops: DataFrame, batchId: Long) =>
         val sp = ops.sparkSession
-        val current = loadState(sp, stateDir)
-        // ops carry their own intra-tx seq (opSchema) — no global-window
-        // renumbering; a single unpartitioned sort would serialize at scale
-        val (next, _) = TxLog.applyTx(current, ops, batchId, txTime(batchId))
-        // copy-on-write snapshot commit (single writer => safe)
-        val tmp = stateDir + ".tmp"
-        next.write.mode("overwrite").parquet(tmp)
-        val fs = new java.io.File(stateDir)
-        deleteRec(fs)
-        new java.io.File(tmp).renameTo(fs)
-        secondarySinks.foreach(sink => sink(ops, batchId))
-        // commit marker: the highest indexed tx, for awaitTx/sync.
-        // write-to-temp + atomic move — awaitTx polls concurrently and must
-        // never observe a truncated file
-        val marker = java.nio.file.Paths.get(stateDir + ".txid")
-        val mtmp = java.nio.file.Paths.get(stateDir + ".txid.tmp")
-        java.nio.file.Files.writeString(mtmp, batchId.toString)
-        java.nio.file.Files.move(mtmp, marker,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        ()
+        // replay guard: if the commit marker already covers this batch (we
+        // crashed between the state swap and Spark's checkpoint commit),
+        // re-applying would duplicate version rows — idempotent skip
+        if (committedTx(stateDir).exists(_ >= batchId)) ()
+        else {
+          val current = loadState(sp, stateDir)
+          // ops carry their own intra-tx seq (opSchema) — no global-window
+          // renumbering; a single unpartitioned sort would serialize at scale
+          val (next, _) = TxLog.applyTx(current, ops, batchId, txTime(batchId))
+          // copy-on-write snapshot commit (single writer => safe); any swap
+          // failure must surface, not silently drop the index state
+          val tmp = stateDir + ".tmp"
+          next.write.mode("overwrite").parquet(tmp)
+          val fs = new java.io.File(stateDir)
+          deleteRec(fs)
+          require(new java.io.File(tmp).renameTo(fs),
+            s"state swap failed: could not rename $tmp over $stateDir")
+          secondarySinks.foreach(sink => sink(ops, batchId))
+          // commit marker: the highest indexed tx, for awaitTx/sync AND the
+          // replay guard above. write-to-temp + atomic move — awaitTx polls
+          // concurrently and must never observe a truncated file
+          val marker = java.nio.file.Paths.get(stateDir + ".txid")
+          val mtmp = java.nio.file.Paths.get(stateDir + ".txid.tmp")
+          java.nio.file.Files.writeString(mtmp, batchId.toString)
+          java.nio.file.Files.move(mtmp, marker,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          ()
+        }
       }
       .start()
+  }
+
+  /** Highest committed tx id per the marker, if any. */
+  def committedTx(stateDir: String): Option[Long] = {
+    val marker = java.nio.file.Paths.get(stateDir + ".txid")
+    if (java.nio.file.Files.exists(marker))
+      java.nio.file.Files.readString(marker).trim.toLongOption
+    else None
   }
 
   /** Block until the indexer has committed `txId` (the reference's
@@ -75,11 +91,10 @@ object IngestStream {
     * Throws on timeout. */
   def awaitTx(stateDir: String, txId: Long, timeoutMs: Long = 60000): Long = {
     val deadline = System.currentTimeMillis() + timeoutMs
-    val marker = java.nio.file.Paths.get(stateDir + ".txid")
     while (System.currentTimeMillis() < deadline) {
-      if (java.nio.file.Files.exists(marker)) {
-        val latest = java.nio.file.Files.readString(marker).trim.toLong
-        if (latest >= txId) return latest
+      committedTx(stateDir) match {
+        case Some(latest) if latest >= txId => return latest
+        case _ => ()
       }
       Thread.sleep(50)
     }

@@ -339,6 +339,22 @@ class DatalogSpec extends AnyFunSuite {
     assert(df.columns.toSeq == Seq("name", "age"))
   }
 
+  test("flat vector-form where with a lone predicate clause (rule/pred ambiguity)") {
+    assert(run("[:find ?e :where [?e :age ?a] [(> ?a 30)]]") == Set(Seq("petr")))
+    assert(run("[:find ?e :in [?lim] :where [[?e :age ?a] [(> ?a ?lim)]]]", 30L) ==
+      Set(Seq("petr")))
+  }
+
+  test("#inst literals incl. RFC3339 offset forms parse") {
+    import graft.datalog.Edn
+    assert(Edn.parse("#inst \"2024-01-01T05:00:00-05:00\"") ==
+      Edn.Inst(java.time.LocalDateTime.parse("2024-01-01T10:00:00")))
+    assert(Edn.parse("#inst \"2024-01-01T10:00:00Z\"") ==
+      Edn.Inst(java.time.LocalDateTime.parse("2024-01-01T10:00:00")))
+    assert(Edn.parse("#inst \"2024-01-01\"") ==
+      Edn.Inst(java.time.LocalDateTime.parse("2024-01-01T00:00:00")))
+  }
+
   test("string predicates") {
     assert(run("[:find ?e :where [[?e :name ?n] [(starts-with? ?n \"Iv\")]]]") == Set(Seq("ivan")))
     assert(run("[:find ?e :where [[?e :name ?n] [(re-find \"mit\" ?n)]]]") == Set(Seq("smith")))

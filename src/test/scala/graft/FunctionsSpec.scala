@@ -21,6 +21,15 @@ class FunctionsSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(3) - 1.0) < 1e-12)
   }
 
+  test("two cosine_sim calls share one codegen scope without local collisions") {
+    GraftFunctions.register(spark)
+    val df = spark.range(2)
+      .selectExpr("array(CAST(id + 1 AS DOUBLE), 2.0D) AS a",
+        "array(2.0D, 1.0D) AS b", "array(1.0D, 1.0D) AS c")
+      .selectExpr("cosine_sim(a, b) AS x", "cosine_sim(a, c) AS y")
+    assert(df.collect().length == 2) // would throw on Janino redeclaration
+  }
+
   test("cosine_sim stays inside whole-stage codegen") {
     GraftFunctions.register(spark)
     // non-local source so the expression isn't constant-folded away
