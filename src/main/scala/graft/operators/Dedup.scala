@@ -27,23 +27,40 @@ object Dedup {
     docs.groupBy(md5(lower(col(textCol))).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Distinct word k-shingles per doc: (doc_id, shingle). */
+  /** Distinct word k-shingles per doc: (doc_id, shingle).
+    *
+    * Kernel UDF, not `transform(sequence(...))`: Catalyst evaluates
+    * higher-order functions interpreted per element, and the tokenize/
+    * shingle explode dominates every dedup pipeline. Semantics are
+    * byte-identical to the DuckDB oracle's CTE (lowercase, split on \s+,
+    * drop empties, k-grams joined by ' ', distinct). */
   def shingles(docs: DataFrame, k: Int = 3, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val toks = TextAnalysis.tokens(col(textCol))
-    // element_at concat instead of slice+concat_ws: ~2× cheaper in the
-    // interpreted HOF evaluator, same output
-    val parts = (0 until k).map(j => if (j == 0) s"toks[i+$j]" else s"' ', toks[i+$j]").mkString(", ")
+    val shingleUdf = udf { (text: String) =>
+      val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (toks.length < k) Array.empty[String]
+      else {
+        val seen = new java.util.LinkedHashSet[String]()
+        var i = 0
+        val sb = new java.lang.StringBuilder()
+        while (i + k <= toks.length) {
+          sb.setLength(0)
+          var j = 0
+          while (j < k) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+          seen.add(sb.toString); i += 1
+        }
+        val out = new Array[String](seen.size)
+        seen.toArray(out)
+        out
+      }
+    }
     // small parquet inputs arrive as one partition; spread the rows so the
-    // tokenize/shingle expressions evaluate in parallel (on a real 100 TB
+    // tokenize/shingle kernel evaluates in parallel (on a real 100 TB
     // layout the scan is already many-partition and this is ~free)
     val spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism,
       col(idCol))
-    spread.select(col(idCol).as("doc_id"), toks.as("toks"))
-      .filter(size(col("toks")) >= k)
-      .select(col("doc_id"), explode(expr(
-        s"array_distinct(transform(sequence(0, size(toks)-$k), i -> concat($parts)))"))
-        .as("shingle"))
+    spread.select(col(idCol).as("doc_id"),
+        explode(shingleUdf(col(textCol))).as("shingle"))
   }
 
   /** Exact n-gram Jaccard pairs ≥ tau via the inverted-index identity:
