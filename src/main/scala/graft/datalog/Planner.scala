@@ -178,7 +178,10 @@ private final class Planner(spark: SparkSession, source: FactSource,
     pairs.foreach { case (tmp, t) =>
       t.v match {
         case V(n) if keep.contains(n) => // unification [e :a v][e :b v] or [e :a e]
-          df = df.filter(col(keep(n)) === col(tmp))
+          df =
+            if (tagOf(df.schema(keep(n)).dataType) != tagOf(df.schema(tmp).dataType))
+              df.filter(lit(false)) // cross-family: never unifies
+            else df.filter(col(keep(n)) === col(tmp))
         case V(n) => keep(n) = tmp
         case C(value) => df = df.filter(col(tmp) === litOf(value))
         case Blank => df = df.filter(col(tmp).isNotNull)
@@ -259,9 +262,14 @@ private final class Planner(spark: SparkSession, source: FactSource,
       val (sharing, other) = rest.partition(r => (r.vars & current.vars).nonEmpty)
       val next = if (sharing.nonEmpty) sharing.head else other.head
       val shared = (next.vars & current.vars).toSeq
+      // cross-family unification is statically empty (type-tag semantics)
+      val famMismatch = shared.exists(v =>
+        tagOf(current.df.schema(v).dataType) != tagOf(next.df.schema(v).dataType))
       val joinedDf =
-        if (shared.nonEmpty) current.df.join(next.df, shared)
-        else current.df.crossJoin(next.df)
+        if (shared.isEmpty) current.df.crossJoin(next.df)
+        else if (famMismatch)
+          current.df.filter(lit(false)).join(next.df.filter(lit(false)), shared)
+        else current.df.join(next.df, shared)
       current = Rel(joinedDf, current.distinctSure && next.distinctSure && shared.nonEmpty)
       rest = (if (sharing.nonEmpty) sharing.tail ++ other else other.tail)
       // apply any predicates/get-attrs that have just become applicable —
@@ -297,6 +305,50 @@ private final class Planner(spark: SparkSession, source: FactSource,
   }
   private def predVars(p: Pred): Set[String] = p.args.flatMap(termVars).toSet
 
+  // -------------------------------------------------- type-tag comparisons
+
+  /** crux type-tag family (codec.clj:81-99): values of different families
+    * NEVER unify, and order as bool(4) < numbers(5) < dates(7) <
+    * strings(8). Cross-family comparisons therefore resolve STATICALLY —
+    * which also keeps ANSI mode from throwing on e.g. `[(< ?name 10)]`.
+    * (Deviation: the long/double tags are merged into one numeric family
+    * with numeric comparison — the reference's Clojure predicates compare
+    * numerics numerically too.) */
+  private def tagOf(dt: DataType): Int = dt match {
+    case BooleanType => 4
+    case _: NumericType => 5
+    case DateType | TimestampType | TimestampNTZType => 7
+    case StringType => 8
+    case _ => 10
+  }
+
+  private def termTag(rel: Rel, t: Term): Int = t match {
+    case V(n) => tagOf(rel.df.schema(n).dataType)
+    case C(v) => scalaVal(v) match {
+      case _: Boolean => 4
+      case _: Long | _: Int | _: Double | _: Float => 5
+      case _: java.time.LocalDateTime | _: java.sql.Timestamp => 7
+      case _: String => 8
+      case null => 3
+      case _ => 10
+    }
+    case Blank => 10
+  }
+
+  /** Static verdict for a cross-family comparison, None if same family. */
+  private def crossFamily(rel: Rel, fn: String, args: List[Term]): Option[Column] = {
+    if (args.size != 2) return None
+    val (tl, tr) = (termTag(rel, args.head), termTag(rel, args(1)))
+    if (tl == tr) None
+    else fn match {
+      case "=" | "==" => Some(lit(false))
+      case "!=" | "not=" => Some(lit(true))
+      case "<" | "<=" => Some(lit(tl < tr))
+      case ">" | ">=" => Some(lit(tl > tr))
+      case _ => None
+    }
+  }
+
   // ------------------------------------------------------------- predicates
 
   private def argCol(rel: Rel, t: Term): Column = t match {
@@ -310,6 +362,9 @@ private final class Planner(spark: SparkSession, source: FactSource,
   /** Condition for a binding-less predicate clause; regex preds need their
     * pattern as a Scala string (literal-only) so they're handled here. */
   private def filterCondition(rel: Rel, p: Pred): Column = p.fn match {
+    case fn @ ("=" | "==" | "!=" | "not=" | "<" | "<=" | ">" | ">=")
+        if crossFamily(rel, fn, p.args).isDefined =>
+      crossFamily(rel, fn, p.args).get
     case "re-find" | "re-matches" =>
       val pat = p.args.head match {
         case C(Edn.Str(s)) => s
