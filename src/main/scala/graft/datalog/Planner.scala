@@ -627,6 +627,12 @@ private final class Planner(spark: SparkSession, source: FactSource,
     val joinVars = n.joinVars.map(_.map(_.name).toSet)
       .getOrElse(sub.vars & rel.vars)
     require(joinVars.nonEmpty, "not-clause shares no vars with the outer query")
+    // cross-family join var ⇒ the sub-query can never match ⇒ `not` keeps
+    // every row (type-tag semantics; also avoids an ANSI cast error in the
+    // anti-join condition)
+    if (joinVars.exists(v =>
+        tagOf(rel.df.schema(v).dataType) != tagOf(sub.df.schema(v).dataType)))
+      return rel
     val subProj = sub.df.select(joinVars.toSeq.map(col): _*)
     Rel(rel.df.join(subProj, joinVars.toSeq, "left_anti"), rel.distinctSure)
   }

@@ -86,17 +86,25 @@ class DatalogModelSpec extends AnyFunSuite {
       (v, ops(rnd.nextInt(ops.size)), 20L + 10L * rnd.nextInt(3))
     }
 
+    // optional not-clause over vars the positive triples bind
+    val boundVars = triples.flatMap(t => Seq(t.e, t.v)).distinct
+    val notClause = if (rnd.nextBoolean()) Some(TripleC(
+      boundVars(rnd.nextInt(boundVars.size)), attrs(rnd.nextInt(attrs.size)),
+      boundVars(rnd.nextInt(boundVars.size)))) else None
+
     // model evaluation
     var bs: Set[Binding] = Set(Map.empty)
     triples.foreach(t => bs = evalTriple(bs, t.e, t.a, t.v))
     rangePred.foreach { case (v, op, l) => bs = evalRange(bs, v, op, l) }
+    notClause.foreach(t => bs = bs.filter(b => evalTriple(Set(b), t.e, t.a, t.v).isEmpty))
 
     val findVars = (triples.flatMap(t => Seq(t.e, t.v)) ++ rangePred.map(_._1)).distinct
     val expected = bs.map(b => findVars.map(b))
 
     // planner evaluation
     val where = (triples.map(t => s"[?${t.e} :${t.a} ?${t.v}]") ++
-      rangePred.map { case (v, op, l) => s"[($op ?$v $l)]" }).mkString(" ")
+      rangePred.map { case (v, op, l) => s"[($op ?$v $l)]" } ++
+      notClause.map(t => s"(not [?${t.e} :${t.a} ?${t.v}])")).mkString(" ")
     val q = s"[:find ${findVars.map("?" + _).mkString(" ")} :where [$where]]"
     val actual = Planner.q(spark, source, q).collect().toSet[Row].map(_.toSeq)
     assert(actual == expected, s"seed=$seed query=$q\nexpected=$expected\nactual=$actual")
