@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+import graft.datalog.{Planner, QuadSource}
+
+/** Ports of the reference's rules corpus
+  * (crux-test/test/crux/query_test.clj:2287-2449 — test-rules,
+  * test-rules-with-recursion-1/2, test-mutually-recursive-rules,
+  * datascript-test-rules-false-arguments). Numeric entity ids, as in the
+  * reference (refs unify with eids; `even?` applies to them).
+  * Not ported: function-valued rule args (?pred/?fn closures) — no Spark
+  * analogue for shipping opaque Clojure fns.
+  */
+class RulesSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  import org.apache.spark.sql.types._
+  import scala.jdk.CollectionConverters._
+
+  private def quadSource(facts: Seq[(Long, String, Any)], types: Map[String, String]): QuadSource = {
+    val rows = facts.map {
+      case (e, a, v: Long) => Row(e, a, null, v, null)
+      case (e, a, v: String) => Row(e, a, v, null, null)
+      case (e, a, v: Boolean) => Row(e, a, null, null, v)
+      case x => throw new IllegalStateException(x.toString)
+    }
+    val schema = StructType(Seq(
+      StructField("e", LongType), StructField("a", StringType),
+      StructField("v_str", StringType), StructField("v_num", LongType),
+      StructField("v_bool", BooleanType)))
+    new QuadSource(spark.createDataFrame(rows.asJava, schema), types)
+  }
+
+  private lazy val followSource = quadSource(
+    Seq((5L, "follow", 3L), (1L, "follow", 2L), (2L, "follow", 3L),
+      (2L, "follow", 4L), (3L, "follow", 4L), (4L, "follow", 6L)),
+    Map("follow" -> "v_num"))
+
+  private def run(src: QuadSource, q: String, args: Any*): Set[Seq[Any]] =
+    Planner.q(spark, src, q, args: _*).collect().toSet[Row].map(_.toSeq)
+
+  test("basic rule expansion (query_test.clj:2293)") {
+    assert(run(followSource,
+      """[:find ?e1 ?e2 :where [(follow ?e1 ?e2)]
+         :rules [[(follow ?x ?y) [?x :follow ?y]]]]""") ==
+      Set(Seq(1L, 2L), Seq(2L, 3L), Seq(3L, 4L), Seq(2L, 4L), Seq(5L, 3L), Seq(4L, 6L)))
+  }
+
+  test("joining regular clauses with rule (query_test.clj:2303)") {
+    assert(run(followSource,
+      """[:find ?y ?x :where [[_ :follow ?x] (rule ?x ?y) [(even? ?x)]]
+         :rules [[(rule ?a ?b) [?a :follow ?b]]]]""") ==
+      Set(Seq(3L, 2L), Seq(6L, 4L), Seq(4L, 2L)))
+  }
+
+  test("rule with branches, swapped head args (query_test.clj:2322)") {
+    assert(run(followSource,
+      """[:find ?e2 :in [?e1] :where [(follow ?e1 ?e2)]
+         :rules [[(follow ?e2 ?e1) [?e2 :follow ?e1]]
+                 [(follow ?e2 ?e1) [?e2 :follow ?t] [?t :follow ?e1]]]]""", 1L) ==
+      Set(Seq(2L), Seq(3L), Seq(4L)))
+  }
+
+  test("recursive rule from a bound start (query_test.clj:2334)") {
+    assert(run(followSource,
+      """[:find ?e2 :in [?e1] :where [(follow ?e1 ?e2)]
+         :rules [[(follow ?e1 ?e2) [?e1 :follow ?e2]]
+                 [(follow ?e1 ?e2) [?e1 :follow ?t] (follow ?t ?e2)]]]""", 1L) ==
+      Set(Seq(2L), Seq(3L), Seq(4L), Seq(6L)))
+  }
+
+  test("built-ins inside rule body (query_test.clj:2358)") {
+    assert(run(followSource,
+      """[:find ?x ?y :where [(match ?x ?y)]
+         :rules [[(match ?e ?e2) [?e :follow ?e2] [(even? ?e)] [(even? ?e2)]]]]""") ==
+      Set(Seq(4L, 6L), Seq(2L, 4L)))
+  }
+
+  test("recursion over a cycle with a swap branch (query_test.clj:2368)") {
+    val src = quadSource(
+      Seq((1L, "follow", 2L), (2L, "follow", 3L), (3L, "follow", 1L)),
+      Map("follow" -> "v_num"))
+    assert(run(src,
+      """[:find ?e1 ?e2 :where [(follow ?e1 ?e2)]
+         :rules [[(follow ?e1 ?e2) [?e1 :follow ?e2]]
+                 [(follow ?e1 ?e2) (follow ?e2 ?e1)]]]""") ==
+      Set(Seq(1L, 2L), Seq(2L, 3L), Seq(3L, 1L), Seq(2L, 1L), Seq(3L, 2L), Seq(1L, 3L)))
+  }
+
+  test("swap branch on a chain adds only reversals (query_test.clj:2380)") {
+    val src = quadSource(Seq((1L, "follow", 2L), (2L, "follow", 3L)),
+      Map("follow" -> "v_num"))
+    assert(run(src,
+      """[:find ?e1 ?e2 :where [(follow ?e1 ?e2)]
+         :rules [[(follow ?e1 ?e2) [?e1 :follow ?e2]]
+                 [(follow ?e1 ?e2) (follow ?e2 ?e1)]]]""") ==
+      Set(Seq(1L, 2L), Seq(2L, 3L), Seq(2L, 1L), Seq(3L, 2L)))
+  }
+
+  test("mutually recursive f1/f2 rules (query_test.clj:2405)") {
+    val src = quadSource(
+      Seq((0L, "f1", 1L), (1L, "f2", 2L), (2L, "f1", 3L),
+        (3L, "f2", 4L), (4L, "f1", 5L), (5L, "f2", 6L)),
+      Map("f1" -> "v_num", "f2" -> "v_num"))
+    assert(run(src,
+      """[:find ?e1 ?e2 :where [(f1 ?e1 ?e2)]
+         :rules [[(f1 ?e1 ?e2) [?e1 :f1 ?e2]]
+                 [(f1 ?e1 ?e2) [?t :f1 ?e2] (f2 ?e1 ?t)]
+                 [(f2 ?e1 ?e2) [?e1 :f2 ?e2]]
+                 [(f2 ?e1 ?e2) [?t :f2 ?e2] (f1 ?e1 ?t)]]]""") ==
+      Set(Seq(0L, 1L), Seq(0L, 3L), Seq(0L, 5L), Seq(1L, 3L), Seq(1L, 5L),
+        Seq(2L, 3L), Seq(2L, 5L), Seq(3L, 5L), Seq(4L, 5L)))
+  }
+
+  test("rules called with boolean false arguments (datascript #218)") {
+    val src = quadSource(Seq((1L, "attr", true), (2L, "attr", false)),
+      Map("attr" -> "v_bool"))
+    val rules = """:rules [[(is ?id ?val) [?id :attr ?val]]]"""
+    assert(run(src, s"[:find ?id :where [(is ?id true)] $rules]") == Set(Seq(1L)))
+    assert(run(src, s"[:find ?id :where [(is ?id false)] $rules]") == Set(Seq(2L)))
+  }
+}
