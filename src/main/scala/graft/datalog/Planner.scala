@@ -231,9 +231,9 @@ private final class Planner(spark: SparkSession, source: FactSource,
       textSearches.map(p =>
         if (p.fn == "text-search") planTextSearch(p) else planWildcardTextSearch(p)) ++
       ors.map(planOr) ++ ruleCalls.map(planRuleCall)
-    // a lone `(q …)` subquery clause has no scan to hang off: seed a unit
-    // relation and let applySubquery cross-join its result in
-    if (rels.isEmpty && preds.exists(_.fn == "q"))
+    // a lone `(q …)` subquery or literal-relation clause has no scan to
+    // hang off: seed a unit relation for the pred to cross-join against
+    if (rels.isEmpty && preds.nonEmpty)
       rels = List(Rel(spark.range(1).toDF().select(), distinctSure = true))
     require(rels.nonEmpty, "nothing to join (no data clauses)")
 
@@ -375,8 +375,27 @@ private final class Planner(spark: SparkSession, source: FactSource,
     case fn => predicateCol(fn, p.args.map(argCol(rel, _)))
   }
 
+  /** Edn value → Scala value tree (vectors become Seqs) for in-binding
+    * style literal relations. */
+  private def ednToScala(v: Edn.Val): Any = v match {
+    case Edn.Vec(items) => items.map(ednToScala)
+    case other => scalaVal(other)
+  }
+
   private def applyPred(rel: Rel, p: Pred): Rel = {
     if (p.fn == "q") return applySubquery(rel, p)
+    // literal-collection binding `[(identity [...]) [[?a ?b]]]` — the
+    // datascript-corpus idiom for inline relations (query_test.clj:2735);
+    // same binding semantics as :in, so reuse inRel
+    (p.fn, p.args, p.binding) match {
+      case ("identity", List(C(v: Edn.Vec)),
+          Some(b @ (BindColl(_) | BindRel(_) | BindTuple(_)))) =>
+        val seed = inRel(b, ednToScala(v))
+        require((seed.vars & rel.vars).isEmpty,
+          "literal-relation binding vars must be fresh")
+        return Rel(rel.df.crossJoin(seed.df), rel.distinctSure && seed.distinctSure)
+      case _ => ()
+    }
     if (p.binding.isEmpty)
       return Rel(rel.df.filter(filterCondition(rel, p)), rel.distinctSure)
     val args = p.args.map(argCol(rel, _))

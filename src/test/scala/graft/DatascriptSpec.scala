@@ -98,6 +98,36 @@ class DatascriptSpec extends AnyFunSuite {
       Set("1", "5", "4"))
   }
 
+  test("datascript aggregates over literal relations (query_test.clj:2735)") {
+    def one(q: String): Seq[Any] =
+      Planner.q(spark, source, q).collect().toSeq.map(_.toSeq).head
+    // multiple aggregates; grouping folds DISTINCT tuples first
+    assert(one("""[:find (sum ?heads) (min ?heads) (max ?heads) (count ?heads) (count-distinct ?heads)
+                  :where [[(identity [["Cerberus" 3] ["Medusa" 1] ["Cyclops" 1] ["Chimera" 1]]) [[?monster ?heads]]]]]""") ==
+      Seq(6L, 1L, 3L, 4L, 2L))
+    // grouping
+    assert(Planner.q(spark, source,
+      """[:find ?color (max ?x) (min ?x)
+         :where [[(identity [["red" 1] ["red" 2] ["red" 3] ["red" 4] ["red" 5]
+                             ["blue" 7] ["blue" 8]]) [[?color ?x]]]]]""")
+      .collect().toSet[Row].map(_.toSeq) ==
+      Set(Seq("red", 5L, 1L), Seq("blue", 8L, 7L)))
+    // grouping with min-N / max-N
+    val grouped = Planner.q(spark, source,
+      """[:find ?color (max 3 ?x) (min 3 ?x)
+         :where [[(identity [["red" 1] ["red" 2] ["red" 3] ["red" 4] ["red" 5]
+                             ["blue" 7] ["blue" 8]]) [[?color ?x]]]]]""")
+      .collect().toSet[Row].map(r => (r.getString(0),
+        r.getSeq[Long](1).toList, r.getSeq[Long](2).toList))
+    assert(grouped == Set(("red", List(5L, 4L, 3L), List(1L, 2L, 3L)),
+      ("blue", List(8L, 7L), List(7L, 8L))))
+    // avg / median over a collection binding
+    assert(one("""[:find (avg ?x) :where [[(identity [10 15 20 35 75]) [?x ...]]]]""") ==
+      Seq(31.0))
+    assert(one("""[:find (median ?x) :where [[(identity [10 15 20 35 75]) [?x ...]]]]""") ==
+      Seq(20.0))
+  }
+
   test("datascript or-join (query_test.clj:2255)") {
     assert(q1("""(or-join [?e] [?e :name ?n] (and [?e :age ?a] [?e :name ?n]))""") ==
       Set("1", "2", "3", "4", "5", "6"))
