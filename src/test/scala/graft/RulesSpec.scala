@@ -113,6 +113,33 @@ class RulesSpec extends AnyFunSuite {
         Seq(2L, 3L), Seq(2L, 5L), Seq(3L, 5L), Seq(4L, 5L)))
   }
 
+  test("stratified datalog paper strata (query_test.clj:3258)") {
+    // d(a,b), d(b,c), d(e,e); keyword ids in canonical string form
+    val rows = Seq((":a", ":b"), (":b", ":c"), (":e", ":e")).map {
+      case (e, v) => Row(e, "d", v, null, null)
+    }
+    val schema = StructType(Seq(
+      StructField("e", StringType), StructField("a", StringType),
+      StructField("v_str", StringType), StructField("v_num", LongType),
+      StructField("v_bool", BooleanType)))
+    val kwSrc = new QuadSource(spark.createDataFrame(rows.asJava, schema), Map("d" -> "v_str"))
+    val rules =
+      """:rules [[(p x y) (not (q x y)) (s x y)]
+                 [(q x y) (q x z) (q z y)]
+                 [(q x y) [x :d y] (not (r x y))]
+                 [(r x y) [y :d x]]
+                 [(s x y) (q x z) (q y t) [(!= x y)]]]"""
+    // stratum 1: r = inverse of d
+    assert(run(kwSrc, s"[:find x y :where [(r x y)] $rules]") ==
+      Set(Seq(":b", ":a"), Seq(":c", ":b"), Seq(":e", ":e")))
+    // stratum 2: q ∪ s
+    assert(run(kwSrc, s"[:find x y :where [(or (q x y) (s x y))] $rules]") ==
+      Set(Seq(":a", ":b"), Seq(":b", ":c"), Seq(":a", ":c"), Seq(":b", ":a")))
+    // stratum 3: p = s ∖ q
+    assert(run(kwSrc, s"[:find x y :where [(p x y)] $rules]") ==
+      Set(Seq(":b", ":a")))
+  }
+
   test("rules called with boolean false arguments (datascript #218)") {
     val src = quadSource(Seq((1L, "attr", true), (2L, "attr", false)),
       Map("attr" -> "v_bool"))
