@@ -262,14 +262,19 @@ private final class Planner(spark: SparkSession, source: FactSource,
       val (sharing, other) = rest.partition(r => (r.vars & current.vars).nonEmpty)
       val next = if (sharing.nonEmpty) sharing.head else other.head
       val shared = (next.vars & current.vars).toSeq
-      // cross-family unification is statically empty (type-tag semantics)
+      // cross-family unification is statically empty (type-tag semantics).
+      // Build the empty result WITHOUT an equi-join: comparing incompatible
+      // columns throws at analysis (BOOLEAN=BIGINT) or constant-folds into
+      // a runtime cast error — shared vars keep `current`'s typing
       val famMismatch = shared.exists(v =>
         tagOf(current.df.schema(v).dataType) != tagOf(next.df.schema(v).dataType))
       val joinedDf =
         if (shared.isEmpty) current.df.crossJoin(next.df)
-        else if (famMismatch)
-          current.df.filter(lit(false)).join(next.df.filter(lit(false)), shared)
-        else current.df.join(next.df, shared)
+        else if (famMismatch) {
+          val rest = next.df.columns.filterNot(shared.toSet)
+          current.df.filter(lit(false))
+            .crossJoin(next.df.select(rest.map(col).toSeq: _*).filter(lit(false)))
+        } else current.df.join(next.df, shared)
       current = Rel(joinedDf, current.distinctSure && next.distinctSure && shared.nonEmpty)
       rest = (if (sharing.nonEmpty) sharing.tail ++ other else other.tail)
       // apply any predicates/get-attrs that have just become applicable —
@@ -282,17 +287,23 @@ private final class Planner(spark: SparkSession, source: FactSource,
       pendingGetattrs = gaNot
       drainFilterOrs()
     }
-    // fixpoint for preds with binding-dependencies
-    var remaining = pendingPreds
+    // joint fixpoint for leftover preds and get-attrs: either may bind
+    // vars the other needs (e.g. a pred over a get-attr binding when the
+    // query has a single relation and the merge loop never ran)
     var progress = true
-    while (remaining.nonEmpty && progress) {
-      val (ready, notReady) = remaining.partition(p => predVars(p).subsetOf(current.vars))
-      progress = ready.nonEmpty
+    while ((pendingPreds.nonEmpty || pendingGetattrs.nonEmpty) && progress) {
+      progress = false
+      val (ready, notReady) = pendingPreds.partition(p => predVars(p).subsetOf(current.vars))
+      if (ready.nonEmpty) progress = true
       ready.foreach { p => current = applyPred(current, p) }
-      remaining = notReady
+      pendingPreds = notReady
+      val (gaReady, gaNot) = pendingGetattrs.partition(g => termVars(g.e).subsetOf(current.vars))
+      if (gaReady.nonEmpty) progress = true
+      gaReady.foreach { g => current = applyGetAttr(current, g) }
+      pendingGetattrs = gaNot
     }
-    require(remaining.isEmpty, s"unresolvable predicate args: $remaining")
-    pendingGetattrs.foreach { g => current = applyGetAttr(current, g) }
+    require(pendingPreds.isEmpty, s"unresolvable predicate args: $pendingPreds")
+    require(pendingGetattrs.isEmpty, s"unresolvable get-attr entity vars: $pendingGetattrs")
     drainFilterOrs()
     require(pendingFilterOrs.isEmpty, s"unresolvable or-filter vars: $pendingFilterOrs")
 
@@ -335,11 +346,14 @@ private final class Planner(spark: SparkSession, source: FactSource,
     case Blank => 10
   }
 
-  /** Static verdict for a cross-family comparison, None if same family. */
+  /** Static verdict for a cross-family comparison, None if same family.
+    * nil operands are NOT statically decidable (null-ness is per-row, not
+    * a schema property) — they fall through to the null-safe runtime
+    * comparison. */
   private def crossFamily(rel: Rel, fn: String, args: List[Term]): Option[Column] = {
     if (args.size != 2) return None
     val (tl, tr) = (termTag(rel, args.head), termTag(rel, args(1)))
-    if (tl == tr) None
+    if (tl == tr || tl == 3 || tr == 3) None
     else fn match {
       case "=" | "==" => Some(lit(false))
       case "!=" | "not=" => Some(lit(true))
@@ -362,9 +376,9 @@ private final class Planner(spark: SparkSession, source: FactSource,
   /** Condition for a binding-less predicate clause; regex preds need their
     * pattern as a Scala string (literal-only) so they're handled here. */
   private def filterCondition(rel: Rel, p: Pred): Column = p.fn match {
-    case fn @ ("=" | "==" | "!=" | "not=" | "<" | "<=" | ">" | ">=")
-        if crossFamily(rel, fn, p.args).isDefined =>
-      crossFamily(rel, fn, p.args).get
+    case fn @ ("=" | "==" | "!=" | "not=" | "<" | "<=" | ">" | ">=") =>
+      crossFamily(rel, fn, p.args)
+        .getOrElse(predicateCol(fn, p.args.map(argCol(rel, _))))
     case "re-find" | "re-matches" =>
       val pat = p.args.head match {
         case C(Edn.Str(s)) => s
@@ -391,9 +405,15 @@ private final class Planner(spark: SparkSession, source: FactSource,
       case ("identity", List(C(v: Edn.Vec)),
           Some(b @ (BindColl(_) | BindRel(_) | BindTuple(_)))) =>
         val seed = inRel(b, ednToScala(v))
-        require((seed.vars & rel.vars).isEmpty,
-          "literal-relation binding vars must be fresh")
-        return Rel(rel.df.crossJoin(seed.df), rel.distinctSure && seed.distinctSure)
+        // already-bound binding vars UNIFY (reference semantics), fresh
+        // ones just extend the relation
+        val collide = (seed.vars & rel.vars).toSeq
+        var sdf = seed.df
+        val renames = collide.map(v0 => v0 -> gensym(v0))
+        renames.foreach { case (v0, g) => sdf = sdf.withColumnRenamed(v0, g) }
+        var out = rel.df.crossJoin(sdf)
+        renames.foreach { case (v0, g) => out = out.filter(col(v0) === col(g)).drop(g) }
+        return Rel(out, distinctSure = false)
       case _ => ()
     }
     if (p.binding.isEmpty)
@@ -538,8 +558,11 @@ private final class Planner(spark: SparkSession, source: FactSource,
 
   /** Predicate in filter position: false/nil drops the row. */
   private def predicateCol(fn: String, args: Seq[Column]): Column = fn match {
-    case "=" | "==" => args.reduceLeft(_ === _)
-    case "!=" | "not=" => args.head =!= args(1)
+    // null-safe pairwise equality: Clojure's (= nil nil) is true,
+    // (not= nil x) is true — and chained (= a b c) compares PAIRWISE,
+    // never the boolean of the previous comparison
+    case "=" | "==" => args.sliding(2).map { case Seq(a, b) => a <=> b }.reduce(_ && _)
+    case "!=" | "not=" => !(args.head <=> args(1))
     case "<" => args.head < args(1)
     case "<=" => args.head <= args(1)
     case ">" => args.head > args(1)

@@ -37,7 +37,11 @@ object Dedup {
   def shingles(docs: DataFrame, k: Int = 3, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val shingleUdf = udf { (text: String) =>
-      val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      // Locale.ROOT: must lowercase exactly like Spark's lower() / the
+      // DuckDB oracle regardless of the JVM default locale (tr/az dotless-i)
+      val toks =
+        if (text == null) Array.empty[String]
+        else text.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
       if (toks.length < k) Array.empty[String]
       else {
         val seen = new java.util.LinkedHashSet[String]()

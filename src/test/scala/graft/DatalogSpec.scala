@@ -355,6 +355,22 @@ class DatalogSpec extends AnyFunSuite {
       Edn.Inst(java.time.LocalDateTime.parse("2024-01-01T00:00:00")))
   }
 
+  test("nil equality is null-safe per row, never static (Clojure = semantics)") {
+    // ?l is null for anna (no last-name); (= ?l nil) keeps exactly her
+    assert(run(
+      "[:find ?e :where [[?e :name ?n] [(get-attr ?e :last-name nil) ?l] [(= ?l nil)]]]") ==
+      Set(Seq("anna")))
+    assert(run(
+      "[:find ?e :where [[?e :name ?n] [(get-attr ?e :last-name nil) ?l] [(!= ?l nil)]]]") ==
+      Set(Seq("ivan"), Seq("petr"), Seq("smith")))
+  }
+
+  test("rebinding an existing var via a literal relation unifies") {
+    assert(run(
+      "[:find ?e ?a :where [[?e :age ?a] [(identity [[30] [25]]) [[?a]]]]]") ==
+      Set(Seq("ivan", 30L), Seq("smith", 30L), Seq("anna", 25L)))
+  }
+
   test("string predicates") {
     assert(run("[:find ?e :where [[?e :name ?n] [(starts-with? ?n \"Iv\")]]]") == Set(Seq("ivan")))
     assert(run("[:find ?e :where [[?e :name ?n] [(re-find \"mit\" ?n)]]]") == Set(Seq("smith")))

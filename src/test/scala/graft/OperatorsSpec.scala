@@ -21,6 +21,12 @@ class OperatorsSpec extends AnyFunSuite {
     assert(exact.nonEmpty) // planted near-dups exist at every sf
   }
 
+  test("shingles skip null text rows") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d"), (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    assert(graft.operators.Dedup.shingles(docs, 3).collect().length == 2) // a b c, b c d
+  }
+
   test("exact dedup keeps one id per content hash") {
     val d = Dedup.exact(docs)
     assert(d.count() == d.select("content_hash").distinct().count())

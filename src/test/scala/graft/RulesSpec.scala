@@ -140,6 +140,14 @@ class RulesSpec extends AnyFunSuite {
       Set(Seq(":b", ":a")))
   }
 
+  test("cross-family shared var (bool vs num) yields empty, not an analysis error") {
+    val src = quadSource(
+      Seq((1L, "flag", true), (2L, "follow", 3L)),
+      Map("flag" -> "v_bool", "follow" -> "v_num"))
+    assert(run(src, "[:find ?e :where [[?e :flag ?v] [?e2 :follow ?v]]]") ==
+      Set.empty[Seq[Any]])
+  }
+
   test("rules called with boolean false arguments (datascript #218)") {
     val src = quadSource(Seq((1L, "attr", true), (2L, "attr", false)),
       Map("attr" -> "v_bool"))
