@@ -202,6 +202,58 @@ class BitempSpec extends AnyFunSuite {
     assert(st1.count() == 0)
   }
 
+  test("bitemp paper scenario (query_test.clj:1963, indexing-temporal-data paper)") {
+    import scala.jdk.CollectionConverters._
+    // doc content encoded as "entryPt|arrival|departure"
+    def put(eid: String, doc: String, vt: String, seq: Long) =
+      Row("put", eid, doc, d(vt), null, null, null, seq)
+    val days: Seq[(Long, String, Seq[Row])] = Seq(
+      (0L, "2018-12-31", Seq(
+        put("p2", "SFO|2018-12-31|na", "2018-12-31", 0L),
+        put("p3", "LA|2018-12-31|na", "2018-12-31", 1L))),
+      (2L, "2019-01-02", Seq(put("p4", "NY|2019-01-02|na", "2019-01-02", 0L))),
+      (3L, "2019-01-03", Seq(put("p4", "NY|2019-01-02|2019-01-03", "2019-01-03", 0L))),
+      (4L, "2019-01-04", Seq(
+        put("p1", "NY|2018-12-31|na", "2018-12-31", 0L),
+        put("p1", "NY|2018-12-31|2019-01-03", "2019-01-03", 1L),
+        put("p1", "LA|2019-01-04|na", "2019-01-04", 2L),
+        put("p3", "LA|2018-12-31|2019-01-04", "2019-01-04", 3L))),
+      (5L, "2019-01-05", Seq(put("p2", "SFO|2018-12-31|2018-12-31", "2019-01-05", 0L))),
+      (7L, "2019-01-07", Seq(
+        put("p3", "LA|2018-12-31|na", "2019-01-04", 0L),
+        put("p3", "LA|2018-12-31|2019-01-07", "2019-01-07", 1L))),
+      (8L, "2019-01-08", Seq(
+        put("p3", "SFO|2019-01-08|na", "2019-01-08", 0L),
+        put("p4", "LA|2019-01-08|na", "2019-01-08", 1L))),
+      (9L, "2019-01-09", Seq(put("p3", "SFO|2019-01-08|2019-01-08", "2019-01-09", 0L))),
+      (10L, "2019-01-10", Seq(put("p5", "LA|2019-01-10|na", "2019-01-10", 0L))),
+      (11L, "2019-01-11", Seq(put("p7", "NY|2019-01-11|na", "2019-01-11", 0L))),
+      (12L, "2019-01-12", Seq(put("p6", "NY|2019-01-12|na", "2019-01-12", 0L))))
+    val state = TxLog.applyBatch(TxLog.emptyState(spark),
+      days.map { case (id, day, rows) =>
+        (id, d(day), spark.createDataFrame(rows.asJava, TxLog.opSchema))
+      })
+    // the paper's query: VT = day 2, TT = day 3's tx — p4 shows its
+    // PRE-correction doc, the day-3 rewrite is future-valid-time
+    val visible = Bitemp.asOfTime(state, lit(d("2019-01-02")), lit(d("2019-01-03")))
+      .collect().toSet[Row].map(r => (r.getAs[String]("eid"), r.getAs[String]("content_hash")))
+    assert(visible == Set(
+      ("p2", "SFO|2018-12-31|na"),
+      ("p3", "LA|2018-12-31|na"),
+      ("p4", "NY|2019-01-02|na")))
+    // current basis after day 12: corrections + later arrivals all land
+    val now = Bitemp.asOfTime(state, lit(d("2019-01-12")), lit(d("2019-01-12")))
+      .collect().toSet[Row].map(r => (r.getAs[String]("eid"), r.getAs[String]("content_hash")))
+    assert(now == Set(
+      ("p1", "LA|2019-01-04|na"),
+      ("p2", "SFO|2018-12-31|2018-12-31"),
+      ("p3", "SFO|2019-01-08|2019-01-08"),
+      ("p4", "LA|2019-01-08|na"),
+      ("p5", "LA|2019-01-10|na"),
+      ("p6", "NY|2019-01-12|na"),
+      ("p7", "NY|2019-01-11|na")))
+  }
+
   test("tx fn: unknown name or throwing body aborts the tx, not the indexer") {
     import scala.jdk.CollectionConverters._
     val st = runScenario(Seq((Some("v1"), "2019-11-25", None)))
