@@ -207,6 +207,17 @@ private final class Planner(spark: SparkSession, source: FactSource,
     // query.clj:53-55)
     val clauses = clauses0.map {
       case RuleCall(n, args) if !rules.contains(n) => Pred(n, args, None)
+      // a rule whose every branch is pure binding-less predicates is a
+      // FILTER over the caller's bindings, not a relation — expand it to a
+      // disjunctive filter-or (e.g. `[(is-odd? x) [(odd? x)]]`)
+      case RuleCall(n, args) if rules(n).forall(d => d.clauses.nonEmpty && d.clauses.forall {
+        case Pred(f, _, None) if f != "q" => true; case _ => false
+      }) =>
+        Or(None, rules(n).map { d =>
+          val suffix = gensym("rf")
+          val argSub = d.args.map(_.name).zip(args).toMap
+          d.clauses.map(substClause(nm => argSub.getOrElse(nm, V(s"${nm}__$suffix"))))
+        })
       case c => c
     }
     val triples = clauses.collect { case t: Triple => t }
@@ -447,7 +458,8 @@ private final class Planner(spark: SparkSession, source: FactSource,
     * per-row re-execution). C args are seeded as literal relations. */
   private def applySubquery(rel: Rel, p: Pred): Rel = {
     val sub = p.args.headOption match {
-      case Some(C(m)) => Ast.fromEdn(m)
+      case Some(C(Edn.Str(s))) => Ast.parse(s) // string sub-query form
+      case Some(C(m)) => Ast.fromEdn(m) // map/vector forms
       case o => throw new IllegalArgumentException(s"q needs a literal query form, got $o")
     }
     val callArgs = p.args.tail
@@ -473,10 +485,25 @@ private final class Planner(spark: SparkSession, source: FactSource,
     }
     def rn(n: String): String = ren.getOrElseUpdate(n, s"${n}__$suffix")
     val renamedWhere = sub.where.map(renameClause(rn))
+    // existence subquery over a pure predicate body (`[(q {:find [x] :in
+    // [$ x] :where [[(even? x)]]} ?x)]`): the body binds nothing — it IS a
+    // filter over the outer relation (the reference evaluates per binding;
+    // same result, zero extra plan)
+    if (p.binding.isEmpty && seeds.isEmpty &&
+        renamedWhere.forall { case Pred(f, _, None) if f != "q" => true; case _ => false } &&
+        renamedWhere.nonEmpty) {
+      val cond = renamedWhere.map { case p2: Pred => filterCondition(rel, p2)
+        case _ => throw new IllegalStateException("unreachable") }.reduce(_ && _)
+      return Rel(rel.df.filter(cond), rel.distinctSure)
+    }
+    // decorrelation seed: the DISTINCT correlation-key domain from the
+    // outer relation (the "magic set") — the body can then compute
+    // expressions over corr vars even when no data clause binds them
+    val corrCols = corr.distinct.toList
+    if (corrCols.nonEmpty)
+      seeds += Rel(rel.df.select(corrCols.map(col): _*).distinct(), distinctSure = true)
     val nested = new Planner(spark, source, rules ++ sub.rules.groupBy(_.name))
     val body = nested.planConjunction(renamedWhere, seeds.toList)
-
-    val corrCols = corr.distinct.toList
     val outNames = sub.find.indices.map(i => s"q${i}__$suffix").toList
     val aggs = sub.find.collect { case a: FindAgg => a }
     var subDf = body.df

@@ -333,6 +333,46 @@ class DatalogSpec extends AnyFunSuite {
       Set(Seq("smith"), Seq("anna")))
   }
 
+  test("sub-query corpus (query_test.clj:1303; supported forms)") {
+    // lone subquery, relation binding
+    assert(run("""[:find ?x :where [[(q {:find [?y] :where [[(identity 2) ?x] [(+ ?x 2) ?y]]}) [[?x]]]]]""") ==
+      Set(Seq(4L)))
+    // empty result via a failing filter
+    assert(run("""[:find ?x :where [[(q {:find [?y] :where [[(identity 2) ?x] [(+ ?x 2) ?y] [(odd? ?y)]]}) [[?x]]]]]""") ==
+      Set.empty[Seq[Any]])
+    // constant argument, multi-var find incl. the in-var
+    assert(run("""[:find ?x ?y ?z :where [[(q {:find [?x ?y ?z] :in [$ ?x]
+                    :where [[(identity 2) ?y] [(+ ?x ?y) ?z]]} 1) [[?x ?y ?z]]]]]""") ==
+      Set(Seq(1L, 2L, 3L)))
+    // correlated argument feeding a later computation
+    assert(run("""[:find ?x ?y ?z :where [[(identity 1) ?x]
+                    [(q {:find [?z] :in [$ ?x] :where [[(+ ?x 2) ?z]]} ?x) [[?y]]]
+                    [(+ ?x ?y) ?z]]]""") ==
+      Set(Seq(1L, 3L, 4L)))
+    // vector and string sub-query forms
+    assert(run("""[:find ?x :where [[(q [:find ?y :where [(identity 2) ?y]]) [[?x]]]]]""") ==
+      Set(Seq(2L)))
+    assert(run("""[:find ?x :where [[(q "[:find ?y :where [(identity 2) ?y]]") [[?x]]]]]""") ==
+      Set(Seq(2L)))
+    // inherits rules from the parent query
+    assert(run("""[:find ?x :where [[(q {:find [?y] :where [[(identity 2) ?x] [(+ ?x 2) ?y] (is-odd? ?y)]}) [[?x]]]]
+                   :rules [[(is-odd? ?x) [(odd? ?x)]]]]""") ==
+      Set.empty[Seq[Any]])
+    // subquery as a pure existence predicate
+    assert(run("""[:find ?x :where [[(identity 2) ?x]
+                    [(q {:find [?x] :in [$ ?x] :where [[(even? ?x)]]} ?x)]]]""") ==
+      Set(Seq(2L)))
+    assert(run("""[:find ?x :where [[(identity 2) ?x]
+                    [(q {:find [?y] :in [$ ?y] :where [[(odd? ?y)]]} ?x)]]]""") ==
+      Set.empty[Seq[Any]])
+  }
+
+  test("pure-predicate rules act as filters over caller bindings") {
+    assert(run("""[:find ?e :where [[?e :age ?a] (adult ?a)]
+                   :rules [[(adult ?x) [(>= ?x 30)]]]]""") ==
+      Set(Seq("ivan"), Seq("petr"), Seq("smith")))
+  }
+
   test("keys rename output columns") {
     val df = Planner.q(spark, source,
       "[:find ?n ?a :keys [name age] :where [[?e :name ?n] [?e :age ?a]]]")

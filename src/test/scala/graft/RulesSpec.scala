@@ -140,6 +140,31 @@ class RulesSpec extends AnyFunSuite {
       Set(Seq(":b", ":a")))
   }
 
+  test("datalog paper same-generation-cousins (query_test.clj:3220)") {
+    import org.apache.spark.sql.types._
+    val people = Seq("ann", "bertrand", "charles", "dorothy", "evelyn", "fred", "george", "hilary")
+    val parents = Seq("ann" -> "dorothy", "ann" -> "hilary", "bertrand" -> "dorothy",
+      "charles" -> "evelyn", "dorothy" -> "george", "evelyn" -> "george")
+    val rows = people.map(p => Row(p, "id", p, null, null)) ++
+      parents.map { case (c, p) => Row(c, "parent", p, null, null) }
+    val schema = StructType(Seq(
+      StructField("e", StringType), StructField("a", StringType),
+      StructField("v_str", StringType), StructField("v_num", LongType),
+      StructField("v_bool", BooleanType)))
+    val src = new QuadSource(spark.createDataFrame(rows.asJava, schema),
+      Map("id" -> "v_str", "parent" -> "v_str"))
+    val res = run(src,
+      """[:find x y :where [(sgc x y)]
+         :rules [[(sgc x y) [x :id y]]
+                 [(sgc x y) [x :parent x1] (sgc x1 y1) [y :parent y1]]]]""")
+    val expected = people.map(p => Seq[Any](p, p)).toSet ++ Set(
+      Seq[Any]("dorothy", "evelyn"), Seq[Any]("evelyn", "dorothy"),
+      Seq[Any]("charles", "ann"), Seq[Any]("ann", "charles"),
+      Seq[Any]("ann", "bertrand"), Seq[Any]("bertrand", "ann"),
+      Seq[Any]("charles", "bertrand"), Seq[Any]("bertrand", "charles"))
+    assert(res == expected)
+  }
+
   test("cross-family shared var (bool vs num) yields empty, not an analysis error") {
     val src = quadSource(
       Seq((1L, "flag", true), (2L, "follow", 3L)),
