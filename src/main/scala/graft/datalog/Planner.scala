@@ -110,9 +110,23 @@ private final class Planner(spark: SparkSession, source: FactSource,
     case BindColl(v) =>
       Rel(litDf(Seq(v.name), arg.asInstanceOf[Seq[Any]].map(Seq(_))).distinct(), distinctSure = true)
     case BindTuple(vs) =>
-      Rel(litDf(vs.map(_.name), Seq(arg.asInstanceOf[Seq[Any]])), distinctSure = true)
+      tupleRel(vs, Seq(arg.asInstanceOf[Seq[Any]]))
     case BindRel(vs) =>
-      Rel(litDf(vs.map(_.name), arg.asInstanceOf[Seq[Seq[Any]]]).distinct(), distinctSure = true)
+      tupleRel(vs, arg.asInstanceOf[Seq[Seq[Any]]])
+  }
+
+  /** Tuple/relation binding semantics (query.clj:933-952): `_` positions
+    * are dropped, short rows pad trailing vars with nil, long rows bind
+    * the prefix; bound vars must be distinct. */
+  private def tupleRel(vs: List[V], rows: Seq[Seq[Any]]): Rel = {
+    val named = vs.filter(_.name != "_")
+    require(named.map(_.name).distinct.size == named.size,
+      s"Return variables not distinct: ${vs.map(_.name)}")
+    val tmp = vs.indices.map(i => s"_t$i")
+    val fitted = rows.map(r => r.take(vs.size).padTo(vs.size, null))
+    val df = litDf(tmp, fitted)
+    val sel = vs.zip(tmp).collect { case (v, t) if v.name != "_" => col(t).as(v.name) }
+    Rel(df.select(sel: _*).distinct(), distinctSure = true)
   }
 
   // ------------------------------------------------------------ triple scans
@@ -172,6 +186,9 @@ private final class Planner(spark: SparkSession, source: FactSource,
     val keep = scala.collection.mutable.LinkedHashMap[String, String]() // out col -> source col
     e match {
       case V(n) => keep(n) = "eid"
+      case C(Edn.SetV(items)) => // set literal: match ANY member (query_test.clj:1153)
+        df = if (items.isEmpty) df.filter(lit(false))
+             else df.filter(col("eid").isin(items.map(scalaVal): _*))
       case C(value) => df = df.filter(col("eid") === litOf(value))
       case Blank => ()
     }
@@ -183,6 +200,9 @@ private final class Planner(spark: SparkSession, source: FactSource,
               df.filter(lit(false)) // cross-family: never unifies
             else df.filter(col(keep(n)) === col(tmp))
         case V(n) => keep(n) = tmp
+        case C(Edn.SetV(items)) => // set literal: match ANY member
+          df = if (items.isEmpty) df.filter(lit(false))
+               else df.filter(col(tmp).isin(items.map(scalaVal): _*))
         case C(value) => df = df.filter(col(tmp) === litOf(value))
         case Blank => df = df.filter(col(tmp).isNotNull)
       }
@@ -404,6 +424,7 @@ private final class Planner(spark: SparkSession, source: FactSource,
     * style literal relations. */
   private def ednToScala(v: Edn.Val): Any = v match {
     case Edn.Vec(items) => items.map(ednToScala)
+    case Edn.SetV(items) => items.map(ednToScala)
     case other => scalaVal(other)
   }
 
@@ -413,7 +434,7 @@ private final class Planner(spark: SparkSession, source: FactSource,
     // datascript-corpus idiom for inline relations (query_test.clj:2735);
     // same binding semantics as :in, so reuse inRel
     (p.fn, p.args, p.binding) match {
-      case ("identity", List(C(v: Edn.Vec)),
+      case ("identity", List(C(v @ (Edn.Vec(_) | Edn.SetV(_)))),
           Some(b @ (BindColl(_) | BindRel(_) | BindTuple(_)))) =>
         val seed = inRel(b, ednToScala(v))
         // already-bound binding vars UNIFY (reference semantics), fresh
@@ -638,6 +659,8 @@ private final class Planner(spark: SparkSession, source: FactSource,
     case "keyword" => concat(lit(":"), args.head.cast(StringType))
     case "name" => regexp_replace(args.head.cast(StringType), "^:([^/]+/)?", "")
     case "get" => element_at(args.head, args(1) + 1)
+    case "vector" | "list" => array(args: _*)
+    case "sorted-set" | "hash-set" => sort_array(array_distinct(array(args: _*)))
     case "range" => sequence(args.head, args(1) - 1) // [start, end)
     case other => throw new IllegalArgumentException(s"unsupported function $other")
   }

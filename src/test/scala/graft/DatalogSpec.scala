@@ -373,6 +373,51 @@ class DatalogSpec extends AnyFunSuite {
       Set(Seq("ivan"), Seq("petr"), Seq("smith")))
   }
 
+  test("set literals match any member (query_test.clj:1153)") {
+    assert(run("[:find ?e :where [[?e :name #{}]]]") == Set.empty[Seq[Any]])
+    assert(run("[:find ?e :where [[?e :name #{\"Oleg\"}]]]") == Set.empty[Seq[Any]])
+    assert(run("[:find ?e :where [[?e :name #{\"Ivan\" \"Oleg\"}]]]") == Set(Seq("ivan")))
+    assert(run("[:find ?e :where [[?e :name #{\"Ivan\" \"Petr\"}]]]") ==
+      Set(Seq("ivan"), Seq("petr")))
+    // multi-valued attribute position
+    assert(run("[:find ?e :where [[?e :vehicles #{\"lotus\" \"amc\"}]]]") == Set(Seq("bond1")))
+    // entity position
+    assert(run("[:find ?n :where [[#{} :name ?n]]]") == Set.empty[Seq[Any]])
+    assert(run("[:find ?n :where [[#{\"ivan\" \"nosuch\"} :name ?n]]]") == Set(Seq("Ivan")))
+    assert(run("[:find ?n :where [[#{\"ivan\" \"petr\"} :name ?n]]]") ==
+      Set(Seq("Ivan"), Seq("Petr")))
+  }
+
+  test("collection returns (query_test.clj:1200)") {
+    assert(run("[:find ?x :where [[(vector 1 2) [?x ...]]]]") == Set(Seq(1L), Seq(2L)))
+    assert(run("[:find ?x :where [[(vector) [?x ...]]]]") == Set.empty[Seq[Any]])
+    assert(run("[:find ?x :where [[(sorted-set 2 1 2) [?x ...]]]]") == Set(Seq(1L), Seq(2L)))
+  }
+
+  test("tuple returns with blanks and nil padding (query_test.clj:1238)") {
+    assert(run("[:find ?x ?y :where [[(identity [1 2]) [?x ?y]]]]") == Set(Seq(1L, 2L)))
+    assert(run("[:find ?x :where [[(identity [1 2]) [_ ?x]]]]") == Set(Seq(2L)))
+    assert(run("[:find ?x :where [[(identity [1 2]) [?x]]]]") == Set(Seq(1L)))
+    assert(run("[:find ?x ?y :where [[(identity []) [?x ?y]]]]") == Set(Seq(null, null)))
+  }
+
+  test("relation returns: sets, dedup, sub-tuples (query_test.clj:1255)") {
+    assert(run("[:find ?x ?y :where [[(identity #{[1 2] [3 4]}) [[?x ?y]]]]]") ==
+      Set(Seq(1L, 2L), Seq(3L, 4L)))
+    assert(run("[:find ?x ?y :where [[(identity #{}) [[?x ?y]]]]]") == Set.empty[Seq[Any]])
+    assert(run("[:find ?x ?y :where [[(identity [[1 2] [1 2]]) [[?x ?y]]]]]") ==
+      Set(Seq(1L, 2L)))
+    assert(run("[:find ?x :where [[(identity #{[1 2] [3 4]}) [[?x]]]]]") ==
+      Set(Seq(1L), Seq(3L)))
+    assert(run("[:find ?x :where [[(identity #{[1 2] [3 4]}) [[_ ?x]]]]]") ==
+      Set(Seq(2L), Seq(4L)))
+    assert(run("""[:find ?x :where [[(identity #{[1 2] [3 4]}) [[_ ?x]]]
+                                    [(identity #{[4 2]}) [[?x _]]]]]""") == Set(Seq(4L)))
+    intercept[IllegalArgumentException] {
+      run("[:find ?x :where [[(identity #{[1 2] [3 4]}) [[?x ?x]]]]]")
+    }
+  }
+
   test("keys rename output columns") {
     val df = Planner.q(spark, source,
       "[:find ?n ?a :keys [name age] :where [[?e :name ?n] [?e :age ?a]]]")
