@@ -455,7 +455,11 @@ private final class Planner(spark: SparkSession, source: FactSource,
       case None =>
         Rel(rel.df.filter(predicateCol(p.fn, args)), rel.distinctSure)
       case Some(BindScalar(v)) =>
-        Rel(rel.df.withColumn(v.name, functionCol(p.fn, args)), rel.distinctSure)
+        // rebinding an existing var UNIFIES, never overwrites
+        // (`[(identity 1) ?n] [(identity 2) ?n]` is empty, query_test.clj:2558)
+        if (rel.vars.contains(v.name))
+          Rel(rel.df.filter(col(v.name) === functionCol(p.fn, args)), rel.distinctSure)
+        else Rel(rel.df.withColumn(v.name, functionCol(p.fn, args)), rel.distinctSure)
       case Some(BindTuple(vs)) =>
         val s = functionCol(p.fn, args) // struct-returning fn
         val df = vs.zipWithIndex.foldLeft(rel.df) { case (d, (vv, i)) =>
@@ -611,10 +615,11 @@ private final class Planner(spark: SparkSession, source: FactSource,
     // never the boolean of the previous comparison
     case "=" | "==" => args.sliding(2).map { case Seq(a, b) => a <=> b }.reduce(_ && _)
     case "!=" | "not=" => !(args.head <=> args(1))
-    case "<" => args.head < args(1)
-    case "<=" => args.head <= args(1)
-    case ">" => args.head > args(1)
-    case ">=" => args.head >= args(1)
+    // comparison chains are PAIRWISE like Clojure: (< a 18 b) = a<18 && 18<b
+    case "<" => args.sliding(2).map { case Seq(a, b) => a < b }.reduce(_ && _)
+    case "<=" => args.sliding(2).map { case Seq(a, b) => a <= b }.reduce(_ && _)
+    case ">" => args.sliding(2).map { case Seq(a, b) => a > b }.reduce(_ && _)
+    case ">=" => args.sliding(2).map { case Seq(a, b) => a >= b }.reduce(_ && _)
     case "even?" => args.head % 2 === 0
     case "odd?" => args.head % 2 =!= 0
     case "nil?" => args.head.isNull

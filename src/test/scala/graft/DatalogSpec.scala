@@ -418,6 +418,21 @@ class DatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("query-fns corpus: chained comparisons, unifying rebinds (query_test.clj:2454)") {
+    // (< ?a1 30 ?a2) is pairwise: a1 < 30 AND 30 < a2
+    assert(run("[:find ?e1 ?e2 :where [[?e1 :age ?a1] [?e2 :age ?a2] [(< ?a1 30 ?a2)]]]") ==
+      Set(Seq("anna", "petr")))
+    // conflicting scalar bindings unify to empty
+    assert(run("[:find ?n :where [[(identity 1) ?n] [(identity 2) ?n]]]") ==
+      Set.empty[Seq[Any]])
+    // agreeing rebind survives
+    assert(run("[:find ?n :where [[(identity 1) ?n] [(identity 1) ?n]]]") == Set(Seq(1L)))
+    // function composition feeding equality across entities
+    assert(run("""[:find ?e1 ?e2 :where [[?e1 :age ?a1] [?e2 :age ?a2]
+                   [(+ ?a1 5) ?s] [(= ?s ?a2)]]]""") ==
+      Set(Seq("ivan", "petr"), Seq("smith", "petr"), Seq("anna", "ivan"), Seq("anna", "smith")))
+  }
+
   test("keys rename output columns") {
     val df = Planner.q(spark, source,
       "[:find ?n ?a :keys [name age] :where [[?e :name ?n] [?e :age ?a]]]")
