@@ -433,6 +433,21 @@ class DatalogSpec extends AnyFunSuite {
       Set(Seq("ivan", "petr"), Seq("smith", "petr"), Seq("anna", "ivan"), Seq("anna", "smith")))
   }
 
+  test("circular pred dependencies unify (query_test.clj:400)") {
+    assert(run("[:find ?bah :in [?bah] :where [[(+ 1 ?bah) ?bah]]]", 1L) ==
+      Set.empty[Seq[Any]])
+    assert(run("[:find ?bah :in [?bah] :where [[(identity ?bah) ?bah]]]", 1L) ==
+      Set(Seq(1L)))
+    assert(run("[:find ?bar :in [[[?bar ?foo]]] :where [[(identity ?foo) ?bar] [(identity ?bar) ?foo]]]",
+      Seq(Seq(1L, 1L), Seq(1L, 2L))) == Set(Seq(1L)))
+    assert(run("[:find ?bar ?foo :in [[[?bar ?foo]]] :where [[(+ 1 ?bar) ?foo] [(- ?foo 1) ?bar]]]",
+      Seq(Seq(0L, 1L), Seq(1L, 2L), Seq(1L, 3L))) ==
+      Set(Seq(0L, 1L), Seq(1L, 2L)))
+    assert(run("[:find ?bar ?foo :in [[[?bar ?foo]]] :where [[(+ 1 ?foo) ?bar] [(- ?bar 1) ?foo]]]",
+      Seq(Seq(1L, 0L), Seq(2L, 1L), Seq(3L, 1L))) ==
+      Set(Seq(1L, 0L), Seq(2L, 1L)))
+  }
+
   test("keys rename output columns") {
     val df = Planner.q(spark, source,
       "[:find ?n ?a :keys [name age] :where [[?e :name ?n] [?e :age ?a]]]")

@@ -165,6 +165,28 @@ class RulesSpec extends AnyFunSuite {
     assert(res == expected)
   }
 
+  test("racket datalog bidipath over a cycle (query_test.clj:3082)") {
+    val src = quadSource(
+      Seq((1L, "edge", 2L), (2L, "edge", 3L), (3L, "edge", 4L), (4L, "edge", 1L)),
+      Map("edge" -> "v_num"))
+    val res = run(src,
+      """[:find x y :where [(path x y)]
+         :rules [[(path x y) [x :edge y]]
+                 [(path x y) (path x z) [z :edge y]]]]""")
+    // full closure of a 4-cycle: every ordered pair incl. self
+    assert(res == (for (a <- 1L to 4L; b <- 1L to 4L) yield Seq[Any](a, b)).toSet)
+  }
+
+  test("racket datalog sym: permutations via != in a rule (query_test.clj:3121)") {
+    val src = quadSource(
+      Seq((1L, "id", 1L), (2L, "id", 2L), (3L, "id", 3L)),
+      Map("id" -> "v_num"))
+    val res = run(src,
+      """[:find x y :where [(perm x y)]
+         :rules [[(perm x y) [x :id] [y :id] [(!= x y)]]]]""")
+    assert(res == (for (a <- 1L to 3L; b <- 1L to 3L if a != b) yield Seq[Any](a, b)).toSet)
+  }
+
   test("cross-family shared var (bool vs num) yields empty, not an analysis error") {
     val src = quadSource(
       Seq((1L, "flag", true), (2L, "follow", 3L)),
