@@ -15,8 +15,9 @@ import org.apache.spark.sql.functions._
   *    equal the exhaustive answer with probability 1-(1-J^r)^b;
   *  - SimHash pairs use the pigeonhole band trick (hamming ≤ k ⇒ some
   *    chunk equal) to stay equi-join shaped;
-  *  - embedding near-dup is exact cosine over candidate pairs (LSH
-  *    bucketing for scale lives in [[Similarity]]).
+  *  - embedding near-dup generates candidates with banded hyperplane LSH
+  *    (equi-join on band keys) and verifies with exact cosine; a broadcast
+  *    brute path exists below a row-count threshold.
   *
   * All hashes are engine-replayable (md5 / xxhash64 with literal seeds).
   */
@@ -67,18 +68,33 @@ object Dedup {
         explode(shingleUdf(col(textCol))).as("shingle"))
   }
 
-  /** Exact n-gram Jaccard pairs ≥ tau via the inverted-index identity:
-    * ONE self-join on shingle → pair counts c = |A∩B| directly (no
-    * separate candidate pass), then J = c/(|A|+|B|-c). */
-  def ngramJaccardPairs(docs: DataFrame, tau: Double, k: Int = 3): DataFrame = {
-    // persist: the tokenize/shingle explode feeds both self-join sides plus
-    // the size aggregation (same reasoning as minhashLshPairs)
+  /** N-gram Jaccard pairs ≥ tau, skew-safe: candidate pairs come from a
+    * self-join restricted to shingles with document frequency ≤
+    * `maxShingleDf` (PPJoin-style frequency filtering), then the exact
+    * Jaccard is verified over the FULL shingle sets.
+    *
+    * Why the cap: at web scale one hot shingle ("of the and") appears in
+    * millions of docs and an uncapped self-join on it produces a quadratic
+    * pair explosion on a single shuffle key. Dropping high-df shingles
+    * from CANDIDATE GENERATION only bounds every join key at maxShingleDf
+    * rows while verification still counts hot shingles in |A∩B|, so any
+    * pair sharing ≥1 sub-threshold shingle gets its exact Jaccard. The
+    * result is exact whenever maxShingleDf ≥ the corpus max df (true for
+    * the gate corpus, max df = 7), and misses only pairs whose overlap is
+    * exclusively hot shingles — the pairs a dedup pipeline deliberately
+    * does not want (boilerplate-only overlap). */
+  def ngramJaccardPairs(docs: DataFrame, tau: Double, k: Int = 3,
+      maxShingleDf: Int = 1000): DataFrame = {
+    // persist: the tokenize/shingle explode feeds the df agg, both
+    // candidate sides, and verification (same reasoning as minhashLshPairs)
     val sh = shingles(docs, k).persist()
-    val counts = sh.as("a")
-      .join(sh.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(count(lit(1)).as("c"))
-    jaccardFromCounts(sh, counts, tau)
+    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val rare = sh.join(dfreq.filter(col("df") <= maxShingleDf), Seq("shingle"))
+      .select(col("doc_id"), col("shingle"))
+    val cand = rare.as("a")
+      .join(rare.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
+    jaccardOfPairs(sh, cand, tau)
   }
 
   private def jaccardFromCounts(sh: DataFrame, counts: DataFrame, tau: Double): DataFrame = {
@@ -168,53 +184,73 @@ object Dedup {
       .select(col("d1"), col("d2"), col("hamming"))
   }
 
-  /** Exact embedding cosine near-dup pairs ≥ tau.
+  /** Embedding cosine near-dup pairs ≥ tau.
     *
-    * Brute force done the Spark way: broadcast the (normalized) vector
-    * matrix, stream the corpus once, primitive-array dot kernel per
-    * partition — no 12.5M-row joined relation ever materializes, and the
-    * kernel is JIT-compiled (measured ~20× over expression-tree dots).
-    * Requires the matrix to fit in a broadcast (~0.5 GB per 1M×64 floats);
-    * beyond that use [[Similarity.hyperplaneLsh]] bucketing — that is the
+    * Routes by corpus size: below `bruteMaxRows` it runs the exact
+    * broadcast brute path (one pass over the corpus against a broadcast of
+    * the vector matrix — the big side never shuffles and nothing is
+    * collected to the driver); above it, delegates to
+    * [[embeddingLshPairs]] — banded LSH candidates + exact verify, the
     * 100 TB path.
     *
     * Arithmetic is the same left-to-right double fold as the DuckDB
-    * oracle; rounding matches Spark's round() (HALF_UP).
-    */
+    * oracle (compiled kernel in [[Similarity.dot]]); rounding is Spark's
+    * round() (HALF_UP). */
   def embeddingCosinePairs(emb: DataFrame, tau: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      bruteMaxRows: Long = 200000L): DataFrame = {
+    val e = emb.select(col(idCol).cast("long").as("vec_id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("n2", Similarity.dot(col("v"), col("v")))
+    // cheap bounded existence probe, not a full count
+    val small = e.limit((bruteMaxRows + 1).toInt).count() <= bruteMaxRows
+    if (!small) return embeddingLshPairs(emb, tau, idCol = idCol, vecCol = vecCol)
+    e.as("a").join(broadcast(e.as("b")), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
+        round(Similarity.dot(col("a.v"), col("b.v")) / sqrt(col("a.n2") * col("b.n2")), 6)
+          .as("cosine"))
+      .filter(col("cosine") >= tau)
+  }
+
+  /** Bands b such that a qualifying pair's miss probability (1-p^r)^b ≤
+    * `miss`, where p = 1-acos(tau)/π is the per-hyperplane collision
+    * probability at cosine = tau (Charikar's sign-LSH bound). */
+  def bandsFor(tau: Double, rowsPerBand: Int, miss: Double = 1e-7): Int = {
+    val p = 1.0 - math.acos(math.min(tau, 1.0)) / math.Pi
+    val pr = math.pow(p, rowsPerBand)
+    if (pr >= 1.0) 1
+    else math.max(1, math.ceil(math.log(miss) / math.log(1.0 - pr)).toInt)
+  }
+
+  /** All-pairs embedding near-dup ≥ tau via banded hyperplane LSH +
+    * exact cosine verification — no driver collect, no cross join.
+    *
+    * Candidates are pairs sharing a sign-bucket in ≥1 of `bands` bands of
+    * `rowsPerBand` hyperplanes (equi-join on the packed band key), then
+    * the exact cosine is computed for candidates only. With the default
+    * rowsPerBand=3 and bands = [[bandsFor]](tau, 3) the probability of
+    * missing a pair at exactly cosine = tau is ≤ 1e-7 (higher-cosine
+    * pairs miss even less), so the exact brute-force oracle applies on
+    * any realistic corpus. Every stage is an equi-join / aggregation —
+    * survives a 1000-executor 100 TB layout. */
+  def embeddingLshPairs(emb: DataFrame, tau: Double, rowsPerBand: Int = 3,
+      bandsOverride: Int = 0, dims: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
-    val vecs = emb.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
-      .as[(Long, Seq[Double])]
-    val local: Array[(Long, Array[Double])] =
-      vecs.collect().map { case (id, v) => (id, v.toArray) }.sortBy(_._1)
-    val bc = spark.sparkContext.broadcast(local)
-
-    def dotArr(a: Array[Double], b: Array[Double]): Double = {
-      val n = math.min(a.length, b.length)
-      var acc = 0.0; var i = 0
-      while (i < n) { acc += a(i) * b(i); i += 1 }
-      acc
-    }
-    def round6(x: Double): Double =
-      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-
-    vecs.flatMap { case (id, v) =>
-      val a = v.toArray
-      val n2a = dotArr(a, a)
-      val all = bc.value
-      val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
-      var j = 0
-      while (j < all.length) {
-        val (bid, b) = all(j)
-        if (bid > id) {
-          val cos = round6(dotArr(a, b) / math.sqrt(n2a * dotArr(b, b)))
-          if (cos >= tau) out += ((id, bid, cos))
-        }
-        j += 1
-      }
-      out
-    }.toDF("v1", "v2", "cosine")
+    val bands = if (bandsOverride > 0) bandsOverride else bandsFor(tau, rowsPerBand)
+    val keysUdf = Similarity.bandKeysUdf(emb.sparkSession, bands, rowsPerBand, dims)
+    val e = emb.select(col(idCol).cast("long").as("vec_id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("n2", Similarity.dot(col("v"), col("v")))
+      .persist()
+    val keys = e.select(col("vec_id"), explode(keysUdf(col("v"))).as("bk"))
+    val cand = keys.as("a")
+      .join(keys.as("b"), col("a.bk") === col("b.bk") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2")).distinct()
+    cand
+      .join(e.select(col("vec_id").as("v1"), col("v").as("va"), col("n2").as("na")), Seq("v1"))
+      .join(e.select(col("vec_id").as("v2"), col("v").as("vb"), col("n2").as("nb")), Seq("v2"))
+      .select(col("v1"), col("v2"),
+        round(Similarity.dot(col("va"), col("vb")) / sqrt(col("na") * col("nb")), 6).as("cosine"))
+      .filter(col("cosine") >= tau)
   }
 }

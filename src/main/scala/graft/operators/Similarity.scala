@@ -82,14 +82,23 @@ object Similarity {
       when(d >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** The ±1 hyperplane matrix for `planes` planes, materialized once from
+    * the same seeded constant expressions as [[lshBucket]]. Constant-size
+    * (planes×dims doubles) — this is plan-constant metadata, not a collect
+    * of data. */
+  private[operators] def planeMatrix(spark: org.apache.spark.sql.SparkSession,
+      planes: Int, dims: Int): Array[Array[Double]] = {
+    val row = spark.range(1).select(
+      (for (p <- 0 until planes; i <- 0 until dims) yield planeEntry(p, i)): _*
+    ).collect().head
+    Array.tabulate(planes, dims)((p, i) => row.getDouble(p * dims + i))
+  }
+
   /** The same bucket as [[lshBucket]] via a broadcast ±1 matrix + kernel
     * (identical seeded entries, identical left-to-right fold). */
   private def bucketUdfFor(spark: org.apache.spark.sql.SparkSession,
       planes: Int, dims: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
-    val row = spark.range(1).select(
-      (for (p <- 0 until planes; i <- 0 until dims) yield planeEntry(p, i)): _*
-    ).collect().head
-    val mat = Array.tabulate(planes, dims)((p, i) => row.getDouble(p * dims + i))
+    val mat = planeMatrix(spark, planes, dims)
     udf { (v: Seq[Double]) =>
       var b = 0L
       var p = 0
@@ -103,6 +112,36 @@ object Similarity {
         p += 1
       }
       b
+    }
+  }
+
+  /** Banded sign-bucket keys: `bands` independent buckets of `rowsPerBand`
+    * hyperplanes each (global plane index = band·rowsPerBand + j, same
+    * seeding as [[lshBucket]]). The band id is packed into the key's high
+    * bits so different bands never equi-join. Used by
+    * [[Dedup.embeddingLshPairs]] for all-pairs near-dup search. */
+  private[operators] def bandKeysUdf(spark: org.apache.spark.sql.SparkSession,
+      bands: Int, rowsPerBand: Int, dims: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val mat = planeMatrix(spark, bands * rowsPerBand, dims)
+    udf { (v: Seq[Double]) =>
+      val out = new Array[Long](bands)
+      var t = 0
+      while (t < bands) {
+        var key = 0L
+        var j = 0
+        while (j < rowsPerBand) {
+          val r = mat(t * rowsPerBand + j)
+          var dsum = 0.0
+          var i = 0
+          val n = math.min(r.length, v.length)
+          while (i < n) { dsum += v(i) * r(i); i += 1 }
+          if (dsum >= 0) key |= (1L << j)
+          j += 1
+        }
+        out(t) = (t.toLong << 32) | key
+        t += 1
+      }
+      out
     }
   }
 

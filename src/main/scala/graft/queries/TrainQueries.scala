@@ -30,6 +30,11 @@ object TrainQueries {
 
     "dedup_embedding" -> ((s, dir) => Dedup.embeddingCosinePairs(emb(s, dir), 0.45)),
 
+    // banded LSH candidates + exact verify: with r=3, b=bandsFor(0.45,3)=51
+    // the miss probability per qualifying pair is ≤1e-7 (pairs above tau
+    // miss even less), so the exact brute-force oracle applies
+    "dedup_embedding_lsh" -> ((s, dir) => Dedup.embeddingLshPairs(emb(s, dir), 0.45)),
+
     "ann_topk_brute" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5), 10)
@@ -137,6 +142,12 @@ object TrainSql {
 
     "dedup_ngram_jaccard" -> jaccardSql,
     "dedup_minhash_lsh" -> jaccardSql,
+    "dedup_embedding_lsh" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      SELECT a.vec_id AS v1, b.vec_id AS v2,
+             ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.45""",
     "dedup_simhash" -> simhashSql,
 
     "dedup_embedding" -> """

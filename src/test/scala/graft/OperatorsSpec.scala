@@ -21,6 +21,51 @@ class OperatorsSpec extends AnyFunSuite {
     assert(exact.nonEmpty) // planted near-dups exist at every sf
   }
 
+  test("embedding LSH pairs equal the broadcast brute pairs (recall ~1)") {
+    val brute = Dedup.embeddingCosinePairs(emb, 0.4).select("v1", "v2", "cosine")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = Dedup.embeddingLshPairs(emb, 0.4).select("v1", "v2", "cosine")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(lsh == brute)
+    assert(brute.nonEmpty)
+  }
+
+  test("embedding dedup routes to LSH above the brute threshold") {
+    // force the LSH path by setting the threshold below the corpus size;
+    // results must still equal the exact answer
+    val viaLsh = Dedup.embeddingCosinePairs(emb, 0.4, bruteMaxRows = 1L)
+      .select("v1", "v2").collect().toSet
+    val brute = Dedup.embeddingCosinePairs(emb, 0.4)
+      .select("v1", "v2").collect().toSet
+    assert(viaLsh == brute)
+  }
+
+  test("hot-shingle df cap bounds candidate generation, exact verify intact") {
+    import spark.implicits._
+    // 40 docs all sharing one hot boilerplate phrase; two true near-dups
+    val boiler = "terms of service apply here"
+    val rows = (0L until 40L).map { i =>
+      if (i == 38) (i, s"$boiler unique duplicate content payload $i")
+      else if (i == 39) (i, s"$boiler unique duplicate content payload 38")
+      else (i, s"$boiler totally distinct body number$i alpha$i beta$i gamma$i")
+    }
+    val d = rows.toDF("doc_id", "text")
+    // cap below the boilerplate df (40): boilerplate-only overlap pairs are
+    // dropped, but the planted near-dup pair survives via its rare shingles
+    val pairs = Dedup.ngramJaccardPairs(d, 0.5, maxShingleDf = 10)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((38L, 39L)))
+    // and the Jaccard of the surviving pair counts hot shingles too (exact
+    // verify over full sets): equals the uncapped Jaccard for that pair
+    val uncapped = Dedup.ngramJaccardPairs(d, 0.5)
+      .filter(col("d1") === 38 && col("d2") === 39)
+      .select("jaccard").collect().head.getDouble(0)
+    val capped = Dedup.ngramJaccardPairs(d, 0.5, maxShingleDf = 10)
+      .filter(col("d1") === 38 && col("d2") === 39)
+      .select("jaccard").collect().head.getDouble(0)
+    assert(capped == uncapped)
+  }
+
   test("shingles skip null text rows") {
     import spark.implicits._
     val docs = Seq((1L, "a b c d"), (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
