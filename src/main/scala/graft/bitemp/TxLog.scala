@@ -188,6 +188,13 @@ object TxLog {
     * expansion repeats to a depth cap. An unknown fn name, a nesting
     * overflow, or a throwing fn body ABORTS the tx (tx.clj:149-227 —
     * errors abort, they don't kill the indexer). */
+  /** Control-flow marker for EXPECTED tx-fn failures (unknown fn name,
+    * throwing fn body): these abort the tx. Infrastructure errors (Spark,
+    * IO) propagate — the reference's indexer aborts the tx on fn errors
+    * but does not swallow engine failures (tx.clj:149-227). */
+  private final class TxFnAbort(msg: String, cause: Throwable = null)
+    extends RuntimeException(msg, cause)
+
   def applyTxWithFns(state: DataFrame, ops: DataFrame, txId: Long,
       txTime: java.time.LocalDateTime, fns: Map[String, TxFn],
       maxFnDepth: Int = 10): (DataFrame, Boolean) = {
@@ -200,23 +207,35 @@ object TxLog {
       val snapshot = Bitemp.asOfTime(resolvedHistory(state), lit(txTime), lit(txTime))
       while (fnOps.nonEmpty) {
         if (depth >= maxFnDepth) return (state, true) // runaway nesting: abort
+        // splice emitted ops at the fn's position, sub-ordered by their own
+        // seq, then DENSELY RENUMBER — a (outer, inner) sort + row_number,
+        // never multiplicative scaling (which overflows Long at nesting
+        // depth ≥ 3 and corrupts last-op-wins ordering)
         val expanded = fnOps.toSeq.map { r =>
           val fnName = r.getString(0); val arg = r.getString(1); val seq = r.getLong(2)
           val fn = fns.getOrElse(fnName,
-            throw new IllegalArgumentException(s"unknown tx fn $fnName"))
-          // splice emitted ops at the fn's position: seq * 1e6 + sub-seq
-          fn(snapshot, arg).withColumn("seq", lit(seq) * 1000000L + col("seq"))
+            throw new TxFnAbort(s"unknown tx fn $fnName"))
+          val emitted =
+            try fn(snapshot, arg)
+            catch { case scala.util.control.NonFatal(e) =>
+              throw new TxFnAbort(s"tx fn $fnName threw", e) }
+          emitted.withColumn("_outer", lit(seq)).withColumn("_inner", col("seq"))
         }
         val direct = current.filter(col("op") =!= "fn")
-          .withColumn("seq", col("seq") * 1000000L)
-        current = expanded.foldLeft(direct)(_ unionByName _)
+          .withColumn("_outer", col("seq")).withColumn("_inner", lit(Long.MinValue))
+        val combined = expanded.foldLeft(direct)(_ unionByName _)
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("_outer"), col("_inner"))
+        current = combined
+          .withColumn("seq", row_number().over(w).cast(LongType))
+          .drop("_outer", "_inner")
         depth += 1
         fnOps = current.filter(col("op") === "fn")
           .select(col("eid"), col("content_hash"), col("seq")).collect()
       }
       applyTx(state, current, txId, txTime)
     } catch {
-      case _: Exception => (state, true) // fn failure aborts this tx only
+      case _: TxFnAbort => (state, true) // expected fn failure aborts this tx only
     }
   }
 }

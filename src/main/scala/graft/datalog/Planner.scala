@@ -199,7 +199,13 @@ private final class Planner(spark: SparkSession, source: FactSource,
             if (tagOf(df.schema(keep(n)).dataType) != tagOf(df.schema(tmp).dataType))
               df.filter(lit(false)) // cross-family: never unifies
             else df.filter(col(keep(n)) === col(tmp))
-        case V(n) => keep(n) = tmp
+        case V(n) =>
+          // EAV semantics: an entity lacking the attribute has NO fact row.
+          // The wide entity scan represents absence as NULL — drop it so
+          // this path matches FactSource.attr (which filters
+          // value.isNotNull) and the reference's index scan
+          df = df.filter(col(tmp).isNotNull)
+          keep(n) = tmp
         case C(Edn.SetV(items)) => // set literal: match ANY member
           df = if (items.isEmpty) df.filter(lit(false))
                else df.filter(col(tmp).isin(items.map(scalaVal): _*))
@@ -404,20 +410,28 @@ private final class Planner(spark: SparkSession, source: FactSource,
     case Blank => throw new IllegalArgumentException("_ not allowed in predicate args")
   }
 
-  /** Condition for a binding-less predicate clause; regex preds need their
-    * pattern as a Scala string (literal-only) so they're handled here. */
+  /** Condition for a binding-less predicate clause; regex preds prefer a
+    * literal pattern (constant-folded rlike) but accept a var pattern
+    * (from `re-pattern`) via per-row regexp_like. */
   private def filterCondition(rel: Rel, p: Pred): Column = p.fn match {
     case fn @ ("=" | "==" | "!=" | "not=" | "<" | "<=" | ">" | ">=") =>
       crossFamily(rel, fn, p.args)
-        .getOrElse(predicateCol(fn, p.args.map(argCol(rel, _))))
+        .getOrElse(predicateCol(fn, p.args.map(argCol(rel, _)),
+          p.args.map(termType(rel, _)), p.args))
     case "re-find" | "re-matches" =>
-      val pat = p.args.head match {
-        case C(Edn.Str(s)) => s
-        case o => throw new IllegalArgumentException(s"regex pattern must be a string literal, got $o")
-      }
       val target = argCol(rel, p.args(1))
-      target.rlike(if (p.fn == "re-matches") "^(?:" + pat + ")$" else pat)
-    case fn => predicateCol(fn, p.args.map(argCol(rel, _)))
+      p.args.head match {
+        case C(Edn.Str(s)) =>
+          target.rlike(if (p.fn == "re-matches") "^(?:" + s + ")$" else s)
+        case V(_) =>
+          val pc = argCol(rel, p.args.head)
+          if (p.fn == "re-matches")
+            regexp_like(target, concat(lit("^(?:"), pc, lit(")$")))
+          else regexp_like(target, pc)
+        case o => throw new IllegalArgumentException(s"bad regex pattern arg $o")
+      }
+    case fn => predicateCol(fn, p.args.map(argCol(rel, _)),
+      p.args.map(termType(rel, _)), p.args)
   }
 
   /** Edn value → Scala value tree (vectors become Seqs) for in-binding
@@ -451,25 +465,49 @@ private final class Planner(spark: SparkSession, source: FactSource,
     if (p.binding.isEmpty)
       return Rel(rel.df.filter(filterCondition(rel, p)), rel.distinctSure)
     val args = p.args.map(argCol(rel, _))
+    val types = p.args.map(termType(rel, _))
+    def fnCol: Column = functionCol(p.fn, args, types, p.args)
+    // bind one tuple position: already-bound vars UNIFY, fresh ones extend
+    def bindPos(df: DataFrame, vv: V, c: Column): DataFrame =
+      if (vv.name == "_") df
+      else if (rel.vars.contains(vv.name)) df.filter(col(vv.name) === c)
+      else df.withColumn(vv.name, c)
+    // positional access into a tuple value (struct from subqueries/zip-style
+    // fns, array from vector/list)
+    def posCol(base: Column, t: DataType, i: Int): Column = t match {
+      case s: StructType => base.getField(s.fields(i).name)
+      case _: ArrayType => get(base, lit(i))
+      case other => throw new IllegalArgumentException(s"tuple binding over non-tuple type $other")
+    }
     p.binding match {
       case None =>
-        Rel(rel.df.filter(predicateCol(p.fn, args)), rel.distinctSure)
+        Rel(rel.df.filter(predicateCol(p.fn, args, types, p.args)), rel.distinctSure)
       case Some(BindScalar(v)) =>
         // rebinding an existing var UNIFIES, never overwrites
         // (`[(identity 1) ?n] [(identity 2) ?n]` is empty, query_test.clj:2558)
         if (rel.vars.contains(v.name))
-          Rel(rel.df.filter(col(v.name) === functionCol(p.fn, args)), rel.distinctSure)
-        else Rel(rel.df.withColumn(v.name, functionCol(p.fn, args)), rel.distinctSure)
+          Rel(rel.df.filter(col(v.name) === fnCol), rel.distinctSure)
+        else Rel(rel.df.withColumn(v.name, fnCol), rel.distinctSure)
       case Some(BindTuple(vs)) =>
-        val s = functionCol(p.fn, args) // struct-returning fn
-        val df = vs.zipWithIndex.foldLeft(rel.df) { case (d, (vv, i)) =>
-          d.withColumn(vv.name, s.getField(s"col$i"))
-        }
-        Rel(df, rel.distinctSure)
+        val g = gensym("tup")
+        var df = rel.df.withColumn(g, fnCol)
+        val t = df.schema(g).dataType
+        vs.zipWithIndex.foreach { case (vv, i) => df = bindPos(df, vv, posCol(col(g), t, i)) }
+        Rel(df.drop(g), rel.distinctSure)
       case Some(BindColl(v)) =>
-        Rel(rel.df.withColumn(v.name, explode(functionCol(p.fn, args))), distinctSure = false)
-      case Some(BindRel(_)) =>
-        throw new IllegalArgumentException("relation-returning predicates unsupported")
+        if (rel.vars.contains(v.name)) {
+          val g = gensym(v.name)
+          Rel(rel.df.withColumn(g, explode(fnCol)).filter(col(g) === col(v.name)).drop(g),
+            distinctSure = false)
+        } else Rel(rel.df.withColumn(v.name, explode(fnCol)), distinctSure = false)
+      case Some(BindRel(vs)) =>
+        // relation-returning predicate (query.clj:933-952): the fn result
+        // is a collection of tuples — explode to rows, bind each position
+        val g = gensym("relb")
+        var df = rel.df.withColumn(g, explode(fnCol))
+        val elemT = df.schema(g).dataType
+        vs.zipWithIndex.foreach { case (vv, i) => df = bindPos(df, vv, posCol(col(g), elemT, i)) }
+        Rel(df.drop(g), distinctSure = false)
     }
   }
 
@@ -490,8 +528,8 @@ private final class Planner(spark: SparkSession, source: FactSource,
     val callArgs = p.args.tail
     require(sub.in.size == callArgs.size,
       s"subquery arity mismatch: ${sub.in.size} in-bindings vs ${callArgs.size} args")
-    require(sub.orderBy.isEmpty && sub.limit.isEmpty && sub.offset.isEmpty,
-      "ordered/limited subqueries unsupported under decorrelated evaluation")
+    require(sub.limit.isEmpty && sub.offset.isEmpty || sub.orderBy.nonEmpty,
+      "limited/offset subqueries need :order-by (unordered take is nondeterministic)")
 
     val suffix = gensym("sq")
     val ren = scala.collection.mutable.Map[String, String]()
@@ -551,7 +589,32 @@ private final class Planner(spark: SparkSession, source: FactSource,
       subDf = subDf.select((corrCols.map(col) ++ sub.find.zipWithIndex.map {
         case (FindVar(v), i) => col(rn(v.name)).as(outNames(i))
         case (fe, _) => throw new IllegalArgumentException(s"unsupported subquery find element $fe")
-      }): _*).distinct() // subquery results are set-semantic (query.clj:1783)
+      }): _*)
+      // subquery results are set-semantic UNLESS ordered/limited
+      // (query.clj:1783 result-coll-fn: set vs vec)
+      if (sub.orderBy.isEmpty && sub.limit.isEmpty && sub.offset.isEmpty)
+        subDf = subDf.distinct()
+    }
+
+    // ordered/limited subquery: the reference sorts then drops/takes the
+    // nested result per outer binding (query.clj:973-986 runs the full
+    // nested pipeline). Decorrelated equivalent: row_number over the
+    // correlation key, with the remaining out columns as tiebreakers so
+    // the per-group cut is deterministic
+    if (sub.orderBy.nonEmpty && (sub.limit.nonEmpty || sub.offset.nonEmpty)) {
+      val findIdx = sub.find.zipWithIndex.toMap
+      val sortCols = sub.orderBy.map { case (fe, asc) =>
+        val i = findIdx.getOrElse(fe, throw new IllegalArgumentException(
+          s"subquery :order-by element $fe is not a :find element"))
+        if (asc) col(outNames(i)).asc else col(outNames(i)).desc
+      } ++ outNames.map(col(_).asc)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(corrCols.map(col): _*).orderBy(sortCols: _*)
+      val rnCol = gensym("rn")
+      val lo = sub.offset.getOrElse(0L)
+      var cut = subDf.withColumn(rnCol, row_number().over(w)).filter(col(rnCol) > lo)
+      sub.limit.foreach(n => cut = cut.filter(col(rnCol) <= lo + n))
+      subDf = cut.drop(rnCol)
     }
 
     // existence-only subquery: semi-join on the correlation columns
@@ -608,8 +671,40 @@ private final class Planner(spark: SparkSession, source: FactSource,
     }
   }
 
+  /** Bare fn name: strips clojure namespace prefixes so allowlist names
+    * like `clojure.string/split` and `str/join` dispatch uniformly
+    * (crux-core/resources/query-allowlist.edn lists both forms). */
+  private def normFn(fn: String): String = {
+    if (fn == "/") fn
+    else { val i = fn.lastIndexOf('/'); if (i < 0) fn else fn.substring(i + 1) }
+  }
+
+  /** Static Spark type of a predicate argument (for string-vs-array
+    * dispatch of count/nth/first/… and type-test predicates). */
+  private def termType(rel: Rel, t: Term): DataType = t match {
+    case V(n) if rel.vars.contains(n) => rel.df.schema(n).dataType
+    case C(v) =>
+      try sparkTypeOf(scalaVal(v))
+      catch { case _: IllegalArgumentException => NullType }
+    case _ => NullType
+  }
+
+  /** Clojure truthiness: nil and false are falsy, everything else truthy. */
+  private def truthy(c: Column, t: DataType): Column = t match {
+    case BooleanType => c.isNotNull && c
+    case _ => c.isNotNull
+  }
+
+  /** Literal string arg (for fns whose Spark form needs a Scala string:
+    * split regex, join separator, format pattern). */
+  private def rawStr(raw: Seq[Term], i: Int, what: String): String = raw.lift(i) match {
+    case Some(C(Edn.Str(s))) => s
+    case o => throw new IllegalArgumentException(s"$what must be a string literal, got $o")
+  }
+
   /** Predicate in filter position: false/nil drops the row. */
-  private def predicateCol(fn: String, args: Seq[Column]): Column = fn match {
+  private def predicateCol(fn0: String, args: Seq[Column], types: Seq[DataType],
+      raw: Seq[Term] = Nil): Column = normFn(fn0) match {
     // null-safe pairwise equality: Clojure's (= nil nil) is true,
     // (not= nil x) is true — and chained (= a b c) compares PAIRWISE,
     // never the boolean of the previous comparison
@@ -632,14 +727,63 @@ private final class Planner(spark: SparkSession, source: FactSource,
     case "includes?" => args.head.contains(args(1))
     case "contains?" => array_contains(args.head, args(1))
     case "boolean" => args.head.cast(BooleanType)
+    // boolean combinators over Clojure truthiness (allowlist `not and or`)
+    case "not" => !truthy(args.head, types.head)
+    case "and" => args.zip(types).map { case (c, t) => truthy(c, t) }.reduce(_ && _)
+    case "or" => args.zip(types).map { case (c, t) => truthy(c, t) }.reduce(_ || _)
+    case "true?" =>
+      types.head match { case BooleanType => args.head <=> lit(true); case _ => lit(false) }
+    case "false?" =>
+      types.head match { case BooleanType => args.head <=> lit(false); case _ => lit(false) }
+    case "empty?" => types.head match {
+      case _: ArrayType => size(args.head) === 0
+      case _ => length(args.head) === 0
+    }
+    case "blank?" => args.head.isNull || trim(args.head) === ""
+    // type tests: statically decided from the column type, nil is never a
+    // member of any type (keyword canonical form is a ":"-prefixed string,
+    // SURVEY §1.2 — string?/keyword? split on that prefix)
+    case "string?" => types.head match {
+      case StringType => args.head.isNotNull && !args.head.startsWith(":")
+      case _ => lit(false)
+    }
+    case "keyword?" => types.head match {
+      case StringType => args.head.isNotNull && args.head.startsWith(":")
+      case _ => lit(false)
+    }
+    case "int?" | "integer?" => types.head match {
+      case LongType | IntegerType | ShortType | ByteType => args.head.isNotNull
+      case _ => lit(false)
+    }
+    case "nat-int?" => types.head match {
+      case LongType | IntegerType => args.head.isNotNull && args.head >= 0
+      case _ => lit(false)
+    }
+    case "number?" => types.head match {
+      case _: NumericType => args.head.isNotNull
+      case _ => lit(false)
+    }
+    case "float?" | "double?" => types.head match {
+      case DoubleType | FloatType => args.head.isNotNull
+      case _ => lit(false)
+    }
+    case "boolean?" =>
+      types.head match { case BooleanType => args.head.isNotNull; case _ => lit(false) }
+    case "inst?" => types.head match {
+      case TimestampType | TimestampNTZType | DateType => args.head.isNotNull
+      case _ => lit(false)
+    }
+    case "coll?" | "vector?" | "seq?" | "sequential?" =>
+      types.head match { case _: ArrayType => args.head.isNotNull; case _ => lit(false) }
     case other =>
       // value-returning fn in filter position: truthy = not null/false
-      val c = functionCol(other, args)
+      val c = functionCol(other, args, types, raw)
       c.isNotNull && (c =!= lit(false))
   }
 
   /** Value-returning function (predicate with return binding). */
-  private def functionCol(fn: String, args: Seq[Column]): Column = fn match {
+  private def functionCol(fn0: String, args: Seq[Column], types: Seq[DataType],
+      raw: Seq[Term] = Nil): Column = normFn(fn0) match {
     case "+" => args.reduceLeft(_ + _)
     case "-" => if (args.size == 1) -args.head else args.reduceLeft(_ - _)
     case "*" => args.reduceLeft(_ * _)
@@ -656,17 +800,82 @@ private final class Planner(spark: SparkSession, source: FactSource,
     case "subs" =>
       if (args.size == 2) args.head.substr(args(1) + 1, length(args.head))
       else args.head.substr(args(1) + 1, args(2) - args(1))
-    case "count" => length(args.head)
+    case "count" => types.head match {
+      // Clojure count is collection size; on strings it is char count
+      // (long-typed, like all Clojure integers)
+      case _: ArrayType => size(args.head).cast(LongType)
+      case _ => length(args.head).cast(LongType)
+    }
     case "lower-case" => lower(args.head)
     case "upper-case" => upper(args.head)
+    case "capitalize" =>
+      concat(upper(args.head.substr(lit(1), lit(1))),
+        lower(args.head.substr(lit(2), length(args.head))))
     case "trim" => trim(args.head)
+    case "triml" => ltrim(args.head)
+    case "trimr" => rtrim(args.head)
+    case "trim-newline" => regexp_replace(args.head, "[\n\r]+$", "")
     case "identity" => args.head
     case "keyword" => concat(lit(":"), args.head.cast(StringType))
     case "name" => regexp_replace(args.head.cast(StringType), "^:([^/]+/)?", "")
-    case "get" => element_at(args.head, args(1) + 1)
+    case "namespace" =>
+      when(args.head.rlike("^:[^/]+/"),
+        regexp_extract(args.head.cast(StringType), "^:([^/]+)/", 1))
+    case "symbol" => args.head.cast(StringType)
+    // string/collection structural fns — string-vs-array dispatch on the
+    // static arg type; `get` is 0-based and nil-safe like Clojure's
+    case "get" => get(args.head, args(1).cast(IntegerType))
+    case "nth" => types.head match {
+      case _: ArrayType => get(args.head, args(1).cast(IntegerType))
+      case _ => args.head.substr(args(1).cast(IntegerType) + 1, lit(1))
+    }
+    case "first" => types.head match {
+      case _: ArrayType => get(args.head, lit(0))
+      case _ => when(length(args.head) > 0, args.head.substr(lit(1), lit(1)))
+    }
+    case "second" => get(args.head, lit(1))
+    case "last" => types.head match {
+      case _: ArrayType => get(args.head, size(args.head) - 1)
+      case _ => when(length(args.head) > 0, args.head.substr(length(args.head), lit(1)))
+    }
+    case "rest" => slice(args.head, lit(2), greatest(size(args.head) - 1, lit(0)))
+    case "butlast" => slice(args.head, lit(1), greatest(size(args.head) - 1, lit(0)))
+    case "take" => slice(args(1), lit(1), greatest(args.head.cast(IntegerType), lit(0)))
+    case "drop" => slice(args(1), args.head.cast(IntegerType) + 1,
+      greatest(size(args(1)) - args.head.cast(IntegerType), lit(0)))
+    case "distinct" => array_distinct(args.head)
+    case "sort" => sort_array(args.head)
+    case "reverse" => reverse(args.head) // string or array
+    case "conj" => concat(args.head, array(args.tail: _*))
+    case "cons" => concat(array(args.head), args(1))
+    case "vec" => args.head
+    case "set" => array_distinct(args.head)
+    case "seq" => types.head match {
+      // (seq x) is x when non-empty, nil when empty — truthiness carrier
+      case _: ArrayType => when(size(args.head) > 0, args.head)
+      case _ => when(length(args.head) > 0, args.head)
+    }
+    // string fns whose Spark form needs a literal (regex / separator / fmt)
+    case "split" => split(args.head, rawStr(raw, 1, "split pattern"))
+    case "join" =>
+      if (args.size == 1) array_join(args.head, "")
+      else array_join(args(1), rawStr(raw, 0, "join separator"))
+    case "replace" => replace(args.head, args(1), args(2))
+    case "format" => format_string(rawStr(raw, 0, "format pattern"), args.tail: _*)
+    // regex as values: patterns are plain strings; re-find returns the
+    // match or nil, re-matches the whole string on a full match
+    case "re-pattern" => args.head
+    case "re-find" => regexp_substr(args(1), args.head)
+    case "re-matches" =>
+      when(regexp_like(args(1), concat(lit("^(?:"), args.head, lit(")$"))), args(1))
     case "vector" | "list" => array(args: _*)
     case "sorted-set" | "hash-set" => sort_array(array_distinct(array(args: _*)))
-    case "range" => sequence(args.head, args(1) - 1) // [start, end)
+    case "range" =>
+      // Clojure (range s e) is EMPTY when e <= s; sequence() would flip to
+      // a descending step instead — build ascending, slice to max(e-s, 0)
+      val (start, end) = if (args.size == 1) (lit(0L), args.head) else (args.head, args(1))
+      slice(sequence(start, greatest(end - 1, start)), lit(1),
+        greatest((end - start).cast(IntegerType), lit(0)))
     case other => throw new IllegalArgumentException(s"unsupported function $other")
   }
 
@@ -1118,7 +1327,13 @@ private final class Planner(spark: SparkSession, source: FactSource,
       case ("max", None) => max(c)
       case ("min", Some(n)) => slice(array_sort(collect_set(c)), 1, n.toInt)
       case ("max", Some(n)) => slice(reverse(array_sort(collect_set(c))), 1, n.toInt)
-      case ("rand", Some(n)) => slice(shuffle(collect_list(c)), 1, n.toInt)
+      case ("rand", Some(n)) =>
+        // N samples WITH replacement (query.clj:351-360): cycle the
+        // shuffled list up to length ≥ n, then slice — exactly n values
+        // even when the group has fewer distinct source values
+        val sh = shuffle(collect_list(c))
+        val reps = (lit(n.toInt) / greatest(size(sh), lit(1))).cast(IntegerType) + 1
+        when(size(sh) === 0, sh).otherwise(slice(flatten(array_repeat(sh, reps)), 1, n.toInt))
       case ("sample", Some(n)) => slice(shuffle(collect_set(c)), 1, n.toInt)
       case (fn, n) => throw new IllegalArgumentException(s"unsupported aggregate ($fn $n)")
     }

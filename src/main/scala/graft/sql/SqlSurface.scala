@@ -19,26 +19,36 @@ import graft.sources.Tables
   */
 object SqlSurface {
 
-  private val TemporalPrefix =
-    """(?is)\s*VALIDTIME\s*\('([^']+)'\)(?:\s*TRANSACTIONTIME\s*\('([^']+)'\))?(?:\s*TRANSACTIONID\s*\((\d+)\))?\s*(.*)""".r
+  // one temporal-prefix token: keyword + ('literal') or (number), rest
+  private val PrefixToken =
+    """(?is)^\s*(VALIDTIME|TRANSACTIONTIME|TRANSACTIONID)\s*\(\s*(?:'([^']*)'|(\d+))\s*\)\s*(.*)$""".r
 
   /** Register all parquet tables plus the bitemporal `events_current` view
-    * resolved at (vt, tt | tx-id), then run the SQL. All three prefix
-    * forms of calcite.clj:51-72 are accepted:
-    * `VALIDTIME ('…') [TRANSACTIONTIME ('…')] [TRANSACTIONID (n)]`. */
+    * resolved at (vt, tt | tx-id), then run the SQL. Like the reference's
+    * prepare-sql (calcite.clj:51-72), the prefix keywords `VALIDTIME ('…')`
+    * / `TRANSACTIONTIME ('…')` / `TRANSACTIONID (n)` are parsed in a loop:
+    * any order, any subset. The no-prefix default basis is the CURRENT
+    * time on both axes (future-valid-dated facts are not visible by
+    * default, matching the reference). */
   def query(spark: SparkSession, dir: String, sql: String): DataFrame = {
     Tables.registerAll(spark, dir)
-    sql match {
-      case TemporalPrefix(vt, tt, txId, rest) =>
-        registerCurrent(spark, dir,
-          java.time.LocalDateTime.parse(vt),
-          Option(tt).map(java.time.LocalDateTime.parse),
-          Option(txId).map(_.toLong))
-        spark.sql(rest)
-      case _ =>
-        registerCurrent(spark, dir, java.time.LocalDateTime.parse("9999-01-01T00:00"), None, None)
-        spark.sql(sql)
+    var rest = sql
+    var vt: Option[java.time.LocalDateTime] = None
+    var tt: Option[java.time.LocalDateTime] = None
+    var txId: Option[Long] = None
+    var more = true
+    while (more) rest match {
+      case PrefixToken(kw, str, num, tail) =>
+        kw.toUpperCase(java.util.Locale.ROOT) match {
+          case "VALIDTIME" => vt = Some(java.time.LocalDateTime.parse(str))
+          case "TRANSACTIONTIME" => tt = Some(java.time.LocalDateTime.parse(str))
+          case "TRANSACTIONID" => txId = Some(Option(num).getOrElse(str).toLong)
+        }
+        rest = tail
+      case _ => more = false
     }
+    registerCurrent(spark, dir, vt.getOrElse(java.time.LocalDateTime.now()), tt, txId)
+    spark.sql(rest)
   }
 
   private def registerCurrent(spark: SparkSession, dir: String,
@@ -48,7 +58,7 @@ object SqlSurface {
     val snap = txId match {
       case Some(id) => Bitemp.asOf(versions, lit(vt), lit(id))
       case None => Bitemp.asOfTime(versions, lit(vt),
-        lit(tt.getOrElse(java.time.LocalDateTime.parse("9999-01-01T00:00"))))
+        lit(tt.getOrElse(java.time.LocalDateTime.now())))
     }
     snap.createOrReplaceTempView("events_current")
   }

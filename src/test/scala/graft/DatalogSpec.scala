@@ -492,4 +492,104 @@ class DatalogSpec extends AnyFunSuite {
     assert(run("[:find ?u :where [[?e :name ?n] [(= ?n \"Ivan\")] [(upper-case ?n) ?u]]]") ==
       Set(Seq("IVAN")))
   }
+
+  // --- broadened predicate-fn registry (allowlist port, VERDICT item 3) ---
+
+  test("clojure.string fns: split / join / replace / blank? / capitalize") {
+    assert(run("""[:find ?x :where [[?e :name "Ivan"] [(clojure.string/split ?n "v") ?parts]
+                   [(nth ?parts 1) ?x] [?e :name ?n]]]""") == Set(Seq("an")))
+    assert(run("""[:find ?j :where [[?e :name "Ivan"] [?e :name ?n]
+                   [(clojure.string/split ?n "v") ?parts]
+                   [(clojure.string/join "-" ?parts) ?j]]]""") == Set(Seq("I-an")))
+    assert(run("""[:find ?r :where [[?e :name "Ivan"] [?e :name ?n]
+                   [(clojure.string/replace ?n "an" "AN") ?r]]]""") == Set(Seq("IvAN")))
+    assert(run("""[:find ?e :where [[?e :name ?n] [(clojure.string/blank? ?n)]]]""") == Set())
+    assert(run("""[:find ?c :where [[?e :name "Ivan"] [?e :name ?n]
+                   [(capitalize ?n) ?c]]]""") == Set(Seq("Ivan")))
+  }
+
+  test("format builds strings like Java format (allowlist `format`)") {
+    assert(run("""[:find ?s :where [[?e :name "Ivan"] [?e :name ?n] [?e :age ?a]
+                   [(format "%s is %d" ?n ?a) ?s]]]""") == Set(Seq("Ivan is 30")))
+  }
+
+  test("seq fns on strings and arrays: first/last/nth/count/reverse") {
+    assert(run("""[:find ?f ?l :where [[?e :name "Ivan"] [?e :name ?n]
+                   [(first ?n) ?f] [(last ?n) ?l]]]""") == Set(Seq("I", "n")))
+    assert(run("""[:find ?r :where [[?e :name "Ivan"] [?e :name ?n]
+                   [(reverse ?n) ?r]]]""") == Set(Seq("navI")))
+    assert(run("""[:find ?c ?f :where [[?e :name "Ivan"] [?e :name ?n]
+                   [(clojure.string/split ?n "") ?chars]
+                   [(count ?chars) ?c] [(first ?chars) ?f]]]""") == Set(Seq(4L, "I")))
+  }
+
+  test("range is empty when end <= start (Clojure semantics, not sequence())") {
+    assert(run("""[:find ?c :where [[?e :name "Ivan"] [(range 5 3) ?r] [(count ?r) ?c]]]""") ==
+      Set(Seq(0L)))
+    assert(run("""[:find ?x :where [[?e :name "Ivan"] [(range 3 6) ?r] [(nth ?r 2) ?x]]]""") ==
+      Set(Seq(5L)))
+    assert(run("""[:find ?c :where [[?e :name "Ivan"] [(range 3) ?r] [(count ?r) ?c]]]""") ==
+      Set(Seq(3L)))
+  }
+
+  test("type-test predicates dispatch on static column type") {
+    assert(run("""[:find ?e :where [[?e :age ?a] [(int? ?a)] [(= ?e "ivan")]]]""") ==
+      Set(Seq("ivan")))
+    assert(run("""[:find ?e :where [[?e :age ?a] [(string? ?a)]]]""") == Set())
+    assert(run("""[:find ?e :where [[?e :sex ?s] [(keyword? ?s)] [(= ?e "anna")]]]""") ==
+      Set(Seq("anna")))
+    assert(run("""[:find ?e :where [[?e :name ?n] [(string? ?n)] [(= ?e "anna")]]]""") ==
+      Set(Seq("anna")))
+    assert(run("""[:find ?e :where [[?e :name ?n] [(keyword? ?n)]]]""") == Set())
+  }
+
+  test("not / and / or as predicate fns over Clojure truthiness") {
+    assert(run("""[:find ?e :where [[?e :name "Ivan"] [(identity false) ?f] [(not ?f)]]]""") ==
+      Set(Seq("ivan")))
+    assert(run("""[:find ?e :where [[?e :name "Ivan"] [(not "truthy-string")]]]""") == Set())
+    assert(run("""[:find ?e :where [[?e :age ?a] [(and ?a ?e)] [(= ?e "anna")]]]""") ==
+      Set(Seq("anna")))
+    assert(run("""[:find ?e :where [[?e :name "Ivan"] [(identity false) ?f]
+                   [(or ?f ?e)]]]""") == Set(Seq("ivan")))
+  }
+
+  test("dynamic regex via re-pattern value (allowlist re-pattern)") {
+    assert(run("""[:find ?e :where [[?e :name ?n] [(re-pattern "Iv.n") ?p]
+                   [(re-find ?p ?n)]]]""") == Set(Seq("ivan")))
+    // scalar bindings KEEP nil results (bind-binding :scalar returns true
+    // unconditionally, query.clj:933-952) — non-matching names bind ?m=nil
+    assert(run("""[:find ?m :where [[?e :name ?n] [(re-find "Iv.n" ?n) ?m]]]""") ==
+      Set(Seq("Ivan"), Seq(null)))
+    assert(run("""[:find ?m :where [[?e :name ?n] [(re-matches "Iv.n" ?n) ?m]]]""") ==
+      Set(Seq("Ivan"), Seq(null)))
+  }
+
+  test("relation-returning predicate binding (query.clj:933-952)") {
+    // general (non-literal) relation: array-of-arrays exploded to tuples
+    assert(run("""[:find ?x ?y :where [[?e :name "Ivan"] [?e :age ?a]
+                   [(vector ?a 99) ?t1] [(vector ?a 42) ?t2]
+                   [(vector ?t1 ?t2) [[?x ?y]]]]]""") ==
+      Set(Seq(30L, 99L), Seq(30L, 42L)))
+    // blanks drop positions; bound vars unify
+    assert(run("""[:find ?x :where [[?e :name "Ivan"] [?e :age ?a]
+                   [(vector ?a 99) ?t1] [(vector ?a 42) ?t2]
+                   [(vector ?t1 ?t2) [[?x _]]]]]""") == Set(Seq(30L)))
+  }
+
+  test("collection binding unifies with an already-bound var") {
+    assert(run("""[:find ?a :where [[?e :age ?a] [(vector 30 99) [?a ...]]]]""") ==
+      Set(Seq(30L)))
+  }
+
+  test("ordered + limited subquery (top-N per correlation key)") {
+    // for each person: the smallest age strictly greater than theirs
+    assert(run("""[:find ?e ?m :where [[?e :age ?a]
+                   [(q {:find [?a2] :in [?lo] :order-by [[?a2 :asc]] :limit 1
+                        :where [[?e2 :age ?a2] [(> ?a2 ?lo)]]} ?a) ?m]]]""") ==
+      Set(Seq("anna", 30L), Seq("ivan", 35L), Seq("smith", 35L)))
+    // offset skips within the ordered nested result
+    assert(run("""[:find ?m :where [[?e :name "Ivan"]
+                   [(q {:find [?a2] :order-by [[?a2 :desc]] :limit 1 :offset 1
+                        :where [[?e2 :age ?a2]]}) ?m]]]""") == Set(Seq(30L)))
+  }
 }
