@@ -58,6 +58,21 @@ object TxLog {
   /** Apply one transaction. Returns (newState, aborted). */
   def applyTx(state: DataFrame, ops: DataFrame, txId: Long,
       txTime: java.time.LocalDateTime): (DataFrame, Boolean) = {
+    val (newRows, evictEids, aborted) = applyTxParts(state, ops, txId, txTime)
+    if (aborted) (state, true)
+    else (state.join(broadcast(evictEids), Seq("eid"), "left_anti")
+      .unionByName(newRows), false)
+  }
+
+  /** Like [[applyTx]] but returns the tx's effect as parts instead of a
+    * rebuilt state: (newRows delta, evicted eids, aborted). The state is
+    * APPEND-ONLY outside eviction — `resolvedHistory` picks the max-tx_id
+    * row per (eid, vt), so appending the delta supersedes without
+    * rewriting — which is what lets the streaming indexer commit a delta
+    * directory per batch instead of rewriting the whole versions table
+    * (crux appends to its KV indexes the same way, tx.clj:266-391). */
+  def applyTxParts(state: DataFrame, ops: DataFrame, txId: Long,
+      txTime: java.time.LocalDateTime): (DataFrame, DataFrame, Boolean) = {
     val txTs = lit(txTime)
     val resolved = resolvedHistory(state).cache()
     try {
@@ -73,12 +88,13 @@ object TxLog {
           .agg(max_by(col("h.content_hash"), struct(col("h.vt"), col("h.tx_id"))).as("visible_hash"))
         visible.filter(!(col("expected_hash") <=> col("visible_hash"))).limit(1).count() > 0
       }
-      if (aborted) return (state, true)
+      if (aborted)
+        return (emptyState(state.sparkSession),
+          emptyState(state.sparkSession).select("eid"), true)
 
       // --- evict: hard-delete every version of the entity
       // (tx.clj:135-147, index_store.clj:993-1047)
       val evictEids = ops.filter(col("op") === "evict").select(col("eid"))
-      val kept = state.join(broadcast(evictEids), Seq("eid"), "left_anti")
 
       // cas becomes a put at its basis valid-time (no end)
       val writes = ops.filter(col("op").isin("put", "delete", "cas"))
@@ -158,19 +174,109 @@ object TxLog {
         .select(col("eid"), col("vt"), col("_r.tt").as("tt"), col("_r.tx_id").as("tx_id"),
           col("_r.content_hash").as("content_hash"), col("_r.tombstone").as("tombstone"))
 
-      (kept.unionByName(newRows), false)
+      (newRows, evictEids, false)
     } finally resolved.unpersist()
   }
 
   /** Fold a sequence of txs in order; aborted txs leave state unchanged
-    * (the reference's commit/abort, tx.clj:266-391). Each step is
-    * localCheckpoint-ed so lineage doesn't grow unboundedly across txs. */
+    * (the reference's commit/abort, tx.clj:266-391).
+    *
+    * Scale shape: maximal runs of consecutive put/delete/evict-only txs
+    * (which can never abort) are applied in ONE distributed pass by
+    * [[applyPutDeleteTxs]] — a per-entity fold behind a single groupByKey
+    * shuffle of the touched entities' history, so a 1000-tx batch of puts
+    * costs one shuffle, not 1000 sequential full-history aggregations.
+    * Only txs carrying match/cas (whose abort decision is global to the
+    * tx) take the sequential per-tx path. Each segment is
+    * localCheckpoint-ed so lineage doesn't grow unboundedly. */
   def applyBatch(state: DataFrame,
+      txs: Seq[(Long, java.time.LocalDateTime, DataFrame)]): DataFrame = {
+    if (txs.isEmpty) return state
+    // classify each tx by the op kinds it contains (one tiny distinct job
+    // per tx — the op column has <= 6 values)
+    val kinds = txs.map { case (_, _, ops) =>
+      ops.select("op").distinct().collect().map(_.getString(0)).toSet }
+    val fast = kinds.map(k => !(k.contains("match") || k.contains("cas")))
+    // fold maximal fast runs in one pass each; sequential path otherwise
+    var st = state
+    var i = 0
+    while (i < txs.length) {
+      if (fast(i)) {
+        var j = i
+        while (j < txs.length && fast(j)) j += 1
+        val run = txs.slice(i, j)
+        val (newRows, evictEids) = applyPutDeleteTxs(st, run)
+        val hasEvict = (i until j).exists(k => kinds(k).contains("evict"))
+        val kept =
+          if (hasEvict) st.join(broadcast(evictEids), Seq("eid"), "left_anti")
+          else st
+        st = kept.unionByName(newRows).localCheckpoint(true)
+        i = j
+      } else {
+        val (txId, txTime, ops) = txs(i)
+        val (next, _) = applyTx(st, ops, txId, txTime)
+        st = next.localCheckpoint(true)
+        i += 1
+      }
+    }
+    st
+  }
+
+  /** The round-1 sequential fold (one applyTx + localCheckpoint per tx),
+    * kept as the differential-test oracle for [[applyBatch]]'s fast path. */
+  private[graft] def applyBatchSeq(state: DataFrame,
       txs: Seq[(Long, java.time.LocalDateTime, DataFrame)]): DataFrame =
     txs.foldLeft(state) { case (st, (txId, txTime, ops)) =>
       val (next, _) = applyTx(st, ops, txId, txTime)
       next.localCheckpoint(true)
     }
+
+  /** Apply a run of put/delete/evict-only txs in ONE distributed pass.
+    * Returns (newRows delta, evicted eids); the caller composes
+    * `state.antiJoin(evicted) union newRows`.
+    *
+    * Mechanics: the touched entities' history rows (left_semi on the ops'
+    * eids — untouched entities never shuffle) and the op rows groupByKey
+    * on eid; [[TxLogFold.foldEntity]] replays the txs per entity in
+    * memory with semantics identical to [[applyTxParts]] (verified by the
+    * differential spec): per tx, op rows are computed against the pre-tx
+    * resolved snapshot with last-op-wins per vt, then merged. Per-entity
+    * memory is bounded by that entity's version count — the same bound
+    * the reference's entity-history index carries (index_store.clj). */
+  def applyPutDeleteTxs(state: DataFrame,
+      txs: Seq[(Long, java.time.LocalDateTime, DataFrame)]): (DataFrame, DataFrame) = {
+    val spark = state.sparkSession
+    import spark.implicits._
+    val opsAll = txs.map { case (txId, txTime, ops) =>
+      ops.filter(col("op").isin("put", "delete", "evict"))
+        .select(
+          col("eid"), lit(1).as("kind"),
+          when(col("op") === "evict", lit(null).cast(TimestampNTZType))
+            .otherwise(coalesce(col("start_vt"), lit(txTime))).as("vt"),
+          lit(txTime).cast(TimestampNTZType).as("tt"),
+          lit(txId).as("txId"),
+          when(col("op") === "delete", lit(null: String))
+            .otherwise(col("content_hash")).as("hash"),
+          lit(false).as("tomb"),
+          col("op"),
+          col("end_vt").as("endVt"),
+          col("seq"))
+    }.reduce(_ unionByName _)
+    val touched = opsAll.select("eid").distinct()
+    val hist = state.join(touched, Seq("eid"), "left_semi")
+      .select(col("eid"), lit(0).as("kind"), col("vt"), col("tt"),
+        col("tx_id").as("txId"), col("content_hash").as("hash"),
+        col("tombstone").as("tomb"), lit("").as("op"),
+        lit(null).cast(TimestampNTZType).as("endVt"), lit(0L).as("seq"))
+    val newRows = hist.unionByName(opsAll).as[FoldIn]
+      .groupByKey(_.eid)
+      .flatMapGroups((_: String, it: Iterator[FoldIn]) => TxLogFold.foldEntity(it))
+      .toDF()
+      .select(col("eid"), col("vt"), col("tt"), col("txId").as("tx_id"),
+        col("hash").as("content_hash"), col("tomb").as("tombstone"))
+    val evictEids = opsAll.filter(col("op") === "evict").select("eid").distinct()
+    (newRows, evictEids)
+  }
 
   /** A transaction function (tx.clj:149-227): runs against the in-flight
     * resolved snapshot (latest non-tombstone fact per entity as of the tx)
@@ -237,5 +343,120 @@ object TxLog {
     } catch {
       case _: TxFnAbort => (state, true) // expected fn failure aborts this tx only
     }
+  }
+}
+
+/** One fold-input row for [[TxLog.applyPutDeleteTxs]]: an existing history
+  * row (kind=0; vt/tt/txId/hash/tomb populated) or a tx op row (kind=1;
+  * vt=coalesced start_vt, tt=txTime, txId=tx id, hash=content hash —
+  * already nulled for deletes — plus op/endVt/seq). Timestamps ride as
+  * LocalDateTime ⇔ TIMESTAMP_NTZ via the product encoder. */
+private[graft] final case class FoldIn(
+    eid: String, kind: Int,
+    vt: Option[java.time.LocalDateTime],
+    tt: Option[java.time.LocalDateTime],
+    txId: Long,
+    hash: Option[String],
+    tomb: Boolean,
+    op: String,
+    endVt: Option[java.time.LocalDateTime],
+    seq: Long)
+
+/** One new version row emitted by the fold (the delta). */
+private[graft] final case class FoldOut(
+    eid: String, vt: java.time.LocalDateTime, tt: java.time.LocalDateTime,
+    txId: Long, hash: Option[String], tomb: Boolean)
+
+private[graft] object TxLogFold {
+  import java.time.LocalDateTime
+
+  private final case class Ver(tt: LocalDateTime, txId: Long,
+      hash: Option[String], tomb: Boolean)
+
+  private implicit val ldtOrd: Ordering[LocalDateTime] = _ compareTo _
+
+  /** Replay one entity's ops (all txs of a put/delete/evict segment) over
+    * its resolved history, in memory. Semantics mirror
+    * [[TxLog.applyTxParts]] exactly — per tx: every op's rows are computed
+    * against the PRE-tx resolved snapshot (crux's put-delete-etxs,
+    * tx.clj:59-227), combined last-op-wins per vt by seq, then merged;
+    * evict clears all earlier rows but not the same tx's writes (applyTx
+    * computes newRows before the anti-join). The differential spec checks
+    * this against the sequential applyTx fold on randomized op programs. */
+  def foldEntity(rows: Iterator[FoldIn]): Iterator[FoldOut] = {
+    val all = rows.toArray
+    val eid = all.head.eid
+    // resolved snapshot: latest correction (max tx_id) per vt
+    val resolved = scala.collection.mutable.TreeMap.empty[LocalDateTime, Ver]
+    all.filter(_.kind == 0).groupBy(_.vt.get).foreach { case (vt, rs) =>
+      val w = rs.maxBy(_.txId)
+      resolved(vt) = Ver(w.tt.get, w.txId, w.hash, w.tomb)
+    }
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[FoldOut]
+    val ops = all.filter(_.kind == 1).sortBy(r => (r.txId, r.seq))
+    var i = 0
+    while (i < ops.length) {
+      val txId = ops(i).txId
+      var j = i
+      while (j < ops.length && ops(j).txId == txId) j += 1
+      val txOps = ops.slice(i, j)
+      i = j
+      var evicted = false
+      // this tx's rows keyed by vt; processing in seq order = last-op-wins
+      val rowsByVt = scala.collection.mutable.LinkedHashMap.empty[LocalDateTime, FoldOut]
+      def visibleAt(v: LocalDateTime): Option[Ver] =
+        resolved.rangeTo(v).lastOption.map(_._2)
+      txOps.foreach { o =>
+        o.op match {
+          case "evict" => evicted = true
+          case "put" | "delete" =>
+            val s = o.vt.get
+            val txTt = o.tt.get
+            val h = o.hash
+            o.endVt match {
+              case None =>
+                // start row + overwrite of the contiguous future run of
+                // versions identical to the one visible at start
+                rowsByVt(s) = FoldOut(eid, s, txTt, txId, h, h.isEmpty)
+                visibleAt(s).foreach { vis =>
+                  var stop = false
+                  resolved.rangeFrom(s).iterator
+                    .filter(_._1.compareTo(s) > 0)
+                    .foreach { case (hvt, hv) =>
+                      if (!stop) {
+                        if (hv.tt == vis.tt && hv.txId == vis.txId && hv.hash == vis.hash)
+                          rowsByVt(hvt) = FoldOut(eid, hvt, txTt, txId, h, h.isEmpty)
+                        else stop = true
+                      }
+                    }
+                }
+              case Some(e) if e != s =>
+                // start row, overwrite of existing vts in (s, e), restore
+                // at e copying the visible version (original provenance)
+                rowsByVt(s) = FoldOut(eid, s, txTt, txId, h, h.isEmpty)
+                resolved.range(s, e).iterator
+                  .filter(_._1.compareTo(s) > 0)
+                  .foreach { case (hvt, _) =>
+                    rowsByVt(hvt) = FoldOut(eid, hvt, txTt, txId, h, h.isEmpty)
+                  }
+                visibleAt(e) match {
+                  case Some(vis) =>
+                    rowsByVt(e) = FoldOut(eid, e, vis.tt, vis.txId, vis.hash, vis.tomb)
+                  case None =>
+                    rowsByVt(e) = FoldOut(eid, e, txTt, txId, None, true)
+                }
+              case _ => () // end == start: contributes nothing (applyTx filters it)
+            }
+          case _ => () // match/cas/fn never reach the fold
+        }
+      }
+      if (evicted) { emitted.clear(); resolved.clear() }
+      rowsByVt.values.foreach { r =>
+        emitted += r
+        if (resolved.get(r.vt).forall(_.txId <= r.txId))
+          resolved(r.vt) = Ver(r.tt, r.txId, r.hash, r.tomb)
+      }
+    }
+    emitted.iterator
   }
 }

@@ -38,8 +38,16 @@ trait FactSource {
 
 /** Quad-table source. `df` columns: e plus one value column per type family
   * (any subset of: v_str, v_num, v_dbl, v_ts, v_bool). `attrTypes` names
-  * each attribute's value column. */
-final class QuadSource(df: DataFrame, attrTypes: Map[String, String]) extends FactSource {
+  * each attribute's value column.
+  *
+  * @param refAttrs attributes whose values are entity ids — the pull
+  *   join attributes (the reference marks these in doc refs; pull.clj
+  *   follows any value that resolves to an entity). Pull over a quad
+  *   source pivots the quads into one wide "entity" frame (single
+  *   groupBy, map-side partial agg) and reuses the table compiler —
+  *   schemaless pull without per-row driver fetches. */
+final class QuadSource(df: DataFrame, attrTypes: Map[String, String],
+    refAttrs: Set[String] = Set.empty) extends FactSource {
   def attrs: Set[String] = attrTypes.keySet
   override def stringAttrs: Set[String] =
     attrTypes.collect { case (a, "v_str") => a }.toSet
@@ -48,6 +56,24 @@ final class QuadSource(df: DataFrame, attrTypes: Map[String, String]) extends Fa
     df.filter(col("a") === a).select(col("e").as("eid"), col(vcol).as("value"))
       .filter(col("value").isNotNull)
   }
+
+  /** One row per entity, one column per attribute (scalar per (e, a):
+    * latest/greatest value wins — crux docs are maps, index_store quads
+    * here are a projection of them). */
+  lazy val entityTable: DataFrame = {
+    val as = attrTypes.toSeq.sortBy(_._1)
+    val aggs = as.map { case (a, vcol) => max(when(col("a") === a, col(vcol))).as(a) }
+    df.groupBy(col("e")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  override def pullCatalog: Option[graft.pull.Pull.Catalog] =
+    Some(new graft.pull.Pull.Catalog(
+      _ => entityTable,
+      Map("entity" -> graft.pull.Pull.PullTable(Seq("e"),
+        attrTypes.keys.toSeq.sorted,
+        refAttrs.map(_ -> "entity").toMap))))
+  override def tableOf(a: String): Option[String] =
+    if (attrTypes.contains(a)) Some("entity") else None
 }
 
 /** Typed-table source over the parquet catalog: one table per "document

@@ -879,9 +879,18 @@ private final class Planner(spark: SparkSession, source: FactSource,
     case other => throw new IllegalArgumentException(s"unsupported function $other")
   }
 
-  /** `[(text-search :attr "regex") [[?e ?v]]]` → (e, v) relation of
-    * matching attribute rows (crux-lucene/src/crux/lucene.clj:156-162;
-    * regex instead of Lucene syntax, score-less per SURVEY §2.2). */
+  /** Relevance score for regex text search: matched-term occurrences over
+    * whitespace token count — a deterministic, oracle-computable stand-in
+    * for the Lucene score the reference binds (lucene.clj:156-162 yields
+    * [e v score] with BM25; the ranking ORDER over a corpus agrees for
+    * single-term queries, the absolute values differ — SURVEY §2.2). */
+  private def textScore(pat: String) =
+    regexp_count(col("value"), lit(pat)).cast(DoubleType) /
+      size(split(col("value"), "\\s+"))
+
+  /** `[(text-search :attr "regex") [[?e ?v]]]` (or `[[?e ?v ?score]]`,
+    * lucene.clj:156-162) → (e, v[, score]) relation of matching attribute
+    * rows; regex instead of Lucene syntax per SURVEY §2.2. */
   private def planTextSearch(p: Pred): Rel = {
     val (attr, pat) = p.args match {
       case List(C(Edn.Kw(a)), C(Edn.Str(rx))) => (a, rx)
@@ -893,10 +902,12 @@ private final class Planner(spark: SparkSession, source: FactSource,
       case Some(BindTuple(vs)) => vs
       case o => throw new IllegalArgumentException(s"text-search needs [[?e ?v]] binding, got $o")
     }
-    require(vars.size == 2, "text-search binds exactly [[?e ?v]]")
-    val df = source.attr(attr).filter(col("value").rlike(pat))
-      .select(col("eid").as(vars(0).name), col("value").as(vars(1).name))
-    Rel(df, distinctSure = false)
+    require(vars.size == 2 || vars.size == 3,
+      "text-search binds [[?e ?v]] or [[?e ?v ?score]]")
+    val base = source.attr(attr).filter(col("value").rlike(pat))
+    val cols = Seq(col("eid").as(vars(0).name), col("value").as(vars(1).name)) ++
+      (if (vars.size == 3) Seq(textScore(pat).as(vars(2).name)) else Nil)
+    Rel(base.select(cols: _*), distinctSure = false)
   }
 
   /** `[(wildcard-text-search "regex") [[?e ?v ?a]]]` — match across ALL
@@ -916,11 +927,13 @@ private final class Planner(spark: SparkSession, source: FactSource,
       case o => throw new IllegalArgumentException(
         s"wildcard-text-search needs [[?e ?v ?a]] binding, got $o")
     }
-    require(vars.size == 3, "wildcard-text-search binds exactly [[?e ?v ?a]]")
+    require(vars.size == 3 || vars.size == 4,
+      "wildcard-text-search binds [[?e ?v ?a]] or [[?e ?v ?a ?score]]")
     val frames = source.stringAttrs.toSeq.sorted.map { a =>
-      source.attr(a).filter(col("value").rlike(pat))
-        .select(col("eid").as(vars(0).name), col("value").as(vars(1).name),
-          lit(":" + a).as(vars(2).name)) // canonical keyword form (SURVEY §1.2)
+      val cols = Seq(col("eid").as(vars(0).name), col("value").as(vars(1).name),
+        lit(":" + a).as(vars(2).name)) ++ // canonical keyword form (SURVEY §1.2)
+        (if (vars.size == 4) Seq(textScore(pat).as(vars(3).name)) else Nil)
+      source.attr(a).filter(col("value").rlike(pat)).select(cols: _*)
     }
     require(frames.nonEmpty, "source has no string attributes")
     Rel(frames.reduce(_ unionByName _), distinctSure = false)
@@ -1268,32 +1281,35 @@ private final class Planner(spark: SparkSession, source: FactSource,
     // (pull ?e [...]) projections: resolve ?e's table from its triple
     // clauses, compile the pattern once (pull/Pull), left-join the pulled
     // struct on the entity id (query.clj:1715-1726 runs pull in the
-    // finalize stage too)
-    if (pulls.nonEmpty) {
-      require(aggs.isEmpty, "(pull …) with aggregates is unsupported")
+    // finalize stage too). Alongside aggregates, the pull var is a
+    // grouping var and the struct joins AFTER the fold — one struct per
+    // aggregated row, never inside the aggregation shuffle.
+    lazy val pullFrames: Seq[(FindPull, DataFrame)] = {
       val cat = source.pullCatalog.getOrElse(
         throw new IllegalArgumentException("this source does not support pull"))
       def attrOfVar(v: V): String = query.where.collectFirst {
         case Triple(V(n), a, _) if n == v.name => a
       }.getOrElse(throw new IllegalArgumentException(s"pull var ?${v.name} not bound by a triple"))
-      pulls.foreach { p =>
+      pulls.map { p =>
         val table = source.tableOf(attrOfVar(p.v)).get
         val pdf = graft.pull.Pull.pullSpecs(cat, table,
             graft.pull.Pull.patternFromEdn(p.pattern))
           .select(col("_id").cast("string").as(p.v.name), col("pulled").as(outName(p)))
-        df = df.join(pdf, Seq(p.v.name), "left")
+        (p, pdf)
       }
     }
     if (aggs.nonEmpty) {
       // aggregation over DISTINCT full var tuples (the reference's layered
       // join enumerates distinct tuples; query.clj:1612-1643 folds them)
       if (!joined.distinctSure) df = df.distinct()
-      val groupCols = vars.map(_.v.name).map(col)
+      val groupNames = (vars.map(_.v.name) ++ pulls.map(_.v.name)).distinct
       val aggCols = aggs.map(a => aggCol(a).as(outName(a)))
-      df = (if (groupCols.isEmpty) df.groupBy() else df.groupBy(groupCols: _*))
+      df = (if (groupNames.isEmpty) df.groupBy() else df.groupBy(groupNames.map(col): _*))
         .agg(aggCols.head, aggCols.tail: _*)
+      pullFrames.foreach { case (p, pdf) => df = df.join(pdf, Seq(p.v.name), "left") }
       df = df.select(query.find.map(fe => col(outName(fe))): _*)
     } else {
+      pullFrames.foreach { case (p, pdf) => df = df.join(pdf, Seq(p.v.name), "left") }
       df = df.select(query.find.map(fe => col(outName(fe))): _*)
       // set semantics unless ordered/limited (query.clj:1783)
       if (query.orderBy.isEmpty && query.limit.isEmpty && query.offset.isEmpty)

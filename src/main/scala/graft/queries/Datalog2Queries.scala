@@ -60,6 +60,16 @@ object Datalog2Queries {
        :where [[(text-search :p_name "blue") [[?p ?v]]]
                [?p :p_partkey ?pk]]}""") _,
 
+    // scored text-search: binds [e v score] like the reference
+    // (lucene.clj:156-162); score = term hits / token count, ranked
+    "dl_text_search_scored" -> dl("""
+      {:find [?pk ?v ?score]
+       :keys [p_partkey p_name score]
+       :order-by [[?score :desc] [?pk :asc]]
+       :limit 50
+       :where [[(text-search :p_name "s") [[?p ?v ?score]]]
+               [?p :p_partkey ?pk]]}""") _,
+
     // (pull ?e [...]) in :find — props + forward join, serialized to
     // compact JSON for the oracle compare
     "dl_pull" -> ((s: SparkSession, dir: String) => {
@@ -67,6 +77,39 @@ object Datalog2Queries {
         {:find [?ck (pull ?c [:c_name :c_mktsegment {:c_nationkey [:n_name]}])]
          :keys [c_custkey pulled]
          :where [[?c :c_custkey ?ck] [(<= ?ck 100)]]}""")(s, dir)
+        .withColumn("pulled", to_json(col("pulled"), Map("ignoreNullFields" -> "false")))
+    }),
+
+    // (pull ?e [...]) alongside an aggregate (query.clj:1715-1726 allows
+    // pull + aggs in one :find): the pull var groups, the struct joins
+    // after the fold
+    "dl_pull_agg" -> ((s: SparkSession, dir: String) => {
+      dl("""
+        {:find [?nk (pull ?n [:n_name {:n_regionkey [:r_name]}]) (count ?c)]
+         :keys [n_nationkey pulled n_customers]
+         :where [[?n :n_nationkey ?nk] [?c :c_nationkey ?nk]]}""")(s, dir)
+        .withColumn("pulled", to_json(col("pulled"), Map("ignoreNullFields" -> "false")))
+    }),
+
+    // pull over a schemaless QuadSource (crux pulls over any entity,
+    // pull.clj — no table catalog required): quads pivot to an entity
+    // frame, ref attrs drive the joins
+    "dl_pull_quad" -> ((s: SparkSession, dir: String) => {
+      val cust = graft.sources.Tables.load(s, dir, "customer")
+      val nat = graft.sources.Tables.load(s, dir, "nation")
+      val quads =
+        cust.select(concat(lit("c"), col("c_custkey")).as("e"), lit("cust_name").as("a"), col("c_name").as("v_str"))
+          .unionByName(cust.select(concat(lit("c"), col("c_custkey")).as("e"),
+            lit("nation_ref").as("a"), concat(lit("n"), col("c_nationkey")).as("v_str")))
+          .unionByName(nat.select(concat(lit("n"), col("n_nationkey")).as("e"),
+            lit("nation_name").as("a"), col("n_name").as("v_str")))
+      val src = new graft.datalog.QuadSource(quads,
+        Map("cust_name" -> "v_str", "nation_ref" -> "v_str", "nation_name" -> "v_str"),
+        refAttrs = Set("nation_ref"))
+      graft.datalog.Planner.q(s, src, """
+        {:find [?e (pull ?e [:cust_name {:nation_ref [:nation_name]}])]
+         :keys [e pulled]
+         :where [[?e :cust_name ?nm]]}""")
         .withColumn("pulled", to_json(col("pulled"), Map("ignoreNullFields" -> "false")))
     }),
 
@@ -172,12 +215,34 @@ object Datalog2Sql {
       SELECT DISTINCT p_partkey, p_name FROM part
       WHERE regexp_matches(p_name, 'blue')""",
 
+    "dl_text_search_scored" -> """
+      SELECT p_partkey, p_name,
+        CAST(len(regexp_extract_all(p_name, 's')) AS DOUBLE)
+          / len(regexp_split_to_array(p_name, '\s+')) AS score
+      FROM part WHERE regexp_matches(p_name, 's')
+      ORDER BY score DESC, p_partkey ASC LIMIT 50""",
+
     "dl_pull" -> """
       SELECT DISTINCT c_custkey,
         to_json(struct_pack(c_name := c_name, c_mktsegment := c_mktsegment,
           c_nationkey := struct_pack(n_name := n_name))) AS pulled
       FROM customer JOIN nation ON c_nationkey = n_nationkey
       WHERE c_custkey <= 100""",
+
+    "dl_pull_agg" -> """
+      SELECT n_nationkey,
+        to_json(struct_pack(n_name := n_name,
+          n_regionkey := struct_pack(r_name := r_name))) AS pulled,
+        COUNT(DISTINCT c_custkey) AS n_customers
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+      JOIN customer ON c_nationkey = n_nationkey
+      GROUP BY n_nationkey, n_name, r_name""",
+
+    "dl_pull_quad" -> """
+      SELECT 'c' || c_custkey AS e,
+        to_json(struct_pack(cust_name := c_name,
+          nation_ref := struct_pack(nation_name := n_name))) AS pulled
+      FROM customer JOIN nation ON c_nationkey = n_nationkey""",
 
     "dl_wildcard_search" -> """
       SELECT CAST(p_partkey AS VARCHAR) AS e, p_type AS v, ':p_type' AS a

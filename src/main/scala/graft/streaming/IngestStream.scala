@@ -14,15 +14,36 @@ final case class SessionRow(user_id: Long, start_us: Long, end_us: Long, n_event
   * a strictly ordered fold of tx events into index state
   * (crux-core/src/crux/tx.clj:266-391) — re-expressed as Structured
   * Streaming `foreachBatch` with ONE writer: micro-batch id = tx id, ops
-  * within a batch applied through [[TxLog.applyTx]] in batch order.
+  * within a batch applied through [[TxLog.applyTxParts]] in batch order.
   *
-  * State lives in a parquet "index store" directory, rewritten per batch
-  * (copy-on-write snapshot — the checkpoint-sink shape of
-  * crux-core/src/crux/checkpoint.clj). At scale the same foreachBatch body
-  * targets a table format with MERGE/append instead of full rewrite; the
-  * single-writer total order is what preserves the reference's semantics.
+  * State is a versioned parquet "index store": `base-<tx>/` full
+  * snapshots plus `delta-<tx>/` per-batch appends, named by `commit-<tx>`
+  * manifest files (highest id = current). A batch appends ONLY its delta
+  * (the versions table is append-only outside eviction —
+  * `TxLog.resolvedHistory` supersedes by max tx_id), so the per-batch
+  * write cost is O(batch), not O(total history). Every `compactEvery`
+  * batches — and on any evict — the store compacts into a fresh base dir.
+  *
+  * Crash safety follows the reference's checkpoint protocol
+  * (crux-core/src/crux/checkpoint.clj:94-113, same shape as
+  * [[graft.bitemp.Checkpoint]]): data dirs land first, then the manifest
+  * is moved into place atomically; the live state is NEVER deleted before
+  * its replacement's manifest is committed, and stale dirs are pruned
+  * only after commit. All filesystem access goes through the Hadoop
+  * `FileSystem` of the state path, so the store may live on HDFS/S3/local
+  * alike.
   */
 object IngestStream {
+
+  /** What a commit manifest names: the base snapshot dir (if any) and the
+    * delta dirs layered over it, in tx order. */
+  final case class StateManifest(txId: Long, base: Option[String], deltas: Seq[String])
+
+  private val CommitFile = "commit-(\\d+)".r
+
+  private def hfs(dir: String, conf: org.apache.hadoop.conf.Configuration =
+      new org.apache.hadoop.conf.Configuration()): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
 
   /** Start the single-writer ingest: `opsStream` rows follow
     * [[TxLog.opSchema]] (including intra-tx seq); each micro-batch
@@ -32,58 +53,151 @@ object IngestStream {
     *   the reference's secondary-index hook (crux-core/src/crux/tx.clj:
     *   400-410; the Lucene module plugs in exactly here,
     *   crux-lucene/src/crux/lucene.clj:193-260)
+    * @param compactEvery fold the delta stack into a fresh base snapshot
+    *   once it reaches this many layers (readers union base + deltas, so
+    *   the stack depth is a scan-fanout knob, not a correctness one)
     */
   def start(spark: SparkSession, opsStream: DataFrame, stateDir: String,
       checkpointDir: String,
       txTime: Long => java.time.LocalDateTime =
         _ => java.time.LocalDateTime.now(java.time.Clock.systemUTC()),
-      secondarySinks: Seq[(DataFrame, Long) => Unit] = Nil): StreamingQuery = {
+      secondarySinks: Seq[(DataFrame, Long) => Unit] = Nil,
+      compactEvery: Int = 16): StreamingQuery = {
     opsStream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (ops: DataFrame, batchId: Long) =>
         val sp = ops.sparkSession
-        // replay guard: if the commit marker already covers this batch (we
-        // crashed between the state swap and Spark's checkpoint commit),
+        // replay guard: if a commit manifest already covers this batch (we
+        // crashed between the state commit and Spark's checkpoint commit),
         // re-applying would duplicate version rows — idempotent skip
         if (committedTx(stateDir).exists(_ >= batchId)) ()
         else {
+          val conf = sp.sessionState.newHadoopConf()
+          val fs = hfs(stateDir, conf)
+          val cur = currentManifest(stateDir, conf)
           val current = loadState(sp, stateDir)
           // ops carry their own intra-tx seq (opSchema) — no global-window
           // renumbering; a single unpartitioned sort would serialize at scale
-          val (next, _) = TxLog.applyTx(current, ops, batchId, txTime(batchId))
-          // copy-on-write snapshot commit (single writer => safe); any swap
-          // failure must surface, not silently drop the index state
-          val tmp = stateDir + ".tmp"
-          next.write.mode("overwrite").parquet(tmp)
-          val fs = new java.io.File(stateDir)
-          deleteRec(fs)
-          require(new java.io.File(tmp).renameTo(fs),
-            s"state swap failed: could not rename $tmp over $stateDir")
+          val (delta, evictEids, aborted) =
+            TxLog.applyTxParts(current, ops, batchId, txTime(batchId))
+          val next: StateManifest =
+            if (aborted) // advance the tx id over the same data dirs
+              StateManifest(batchId, cur.flatMap(_.base), cur.toSeq.flatMap(_.deltas))
+            else {
+              val evicts = evictEids.cache()
+              val mustCompact =
+                !evicts.isEmpty || cur.exists(_.deltas.size + 1 >= compactEvery)
+              if (mustCompact) {
+                // evict is the one destructive op — it (and stack-depth
+                // maintenance) rewrites into a fresh base dir; the old
+                // dirs stay live until the manifest below commits
+                val baseName = s"base-$batchId"
+                val full = current.join(broadcast(evicts), Seq("eid"), "left_anti")
+                  .unionByName(delta)
+                  .dropDuplicates("eid", "vt", "tx_id") // restore-row dups
+                full.write.mode("overwrite").parquet(s"$stateDir/$baseName")
+                evicts.unpersist()
+                StateManifest(batchId, Some(baseName), Nil)
+              } else {
+                evicts.unpersist()
+                val deltaName = s"delta-$batchId"
+                delta.write.mode("overwrite").parquet(s"$stateDir/$deltaName")
+                StateManifest(batchId, cur.flatMap(_.base),
+                  cur.toSeq.flatMap(_.deltas) :+ deltaName)
+              }
+            }
+          commitManifest(stateDir, next, conf)
           secondarySinks.foreach(sink => sink(ops, batchId))
-          // commit marker: the highest indexed tx, for awaitTx/sync AND the
-          // replay guard above. write-to-temp + atomic move — awaitTx polls
-          // concurrently and must never observe a truncated file
-          val marker = java.nio.file.Paths.get(stateDir + ".txid")
-          val mtmp = java.nio.file.Paths.get(stateDir + ".txid.tmp")
-          java.nio.file.Files.writeString(mtmp, batchId.toString)
-          java.nio.file.Files.move(mtmp, marker,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          ()
+          pruneStale(fs, stateDir, conf)
         }
       }
       .start()
   }
 
-  /** Highest committed tx id per the marker, if any. */
-  def committedTx(stateDir: String): Option[Long] = {
-    val marker = java.nio.file.Paths.get(stateDir + ".txid")
-    if (java.nio.file.Files.exists(marker))
-      java.nio.file.Files.readString(marker).trim.toLongOption
-    else None
+  /** Write `commit-<tx>` naming the state's dirs; the rename is the
+    * atomic commit point (data dirs already landed; old manifests and
+    * dirs are untouched until [[pruneStale]] runs AFTER this returns). */
+  private def commitManifest(stateDir: String, m: StateManifest,
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = hfs(stateDir, conf)
+    fs.mkdirs(new Path(stateDir))
+    val tmp = new Path(stateDir, s"commit-${m.txId}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(
+      s"base=${m.base.getOrElse("")}\ndeltas=${m.deltas.mkString(",")}\n"
+        .getBytes("UTF-8"))
+    finally out.close()
+    val dst = new Path(stateDir, s"commit-${m.txId}")
+    require(fs.rename(tmp, dst), s"state commit failed: rename $tmp -> $dst")
   }
+
+  /** Drop manifests older than the 2 newest, and any data dir none of the
+    * surviving manifests reference. Runs only after a successful commit;
+    * a crash here just leaves garbage for the next prune. */
+  private def pruneStale(fs: org.apache.hadoop.fs.FileSystem, stateDir: String,
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(stateDir)
+    if (!fs.exists(root)) return
+    val entries = fs.listStatus(root).toSeq
+    val commits = entries.flatMap(_.getPath.getName match {
+      case CommitFile(id) => Some(id.toLong); case _ => None
+    }).sorted
+    val keepIds = commits.takeRight(2).toSet
+    val live: Set[String] = keepIds.flatMap(id =>
+      readManifest(stateDir, id, conf).toSeq.flatMap(m => m.base.toSeq ++ m.deltas))
+    entries.foreach { st =>
+      val n = st.getPath.getName
+      n match {
+        case CommitFile(id) if !keepIds.contains(id.toLong) =>
+          fs.delete(st.getPath, false); ()
+        case _ if (n.startsWith("base-") || n.startsWith("delta-")) && !live.contains(n) =>
+          fs.delete(st.getPath, true); ()
+        case _ if n.startsWith("commit-") && n.endsWith(".tmp") =>
+          fs.delete(st.getPath, false); () // torn manifest from a crash
+        case _ => ()
+      }
+    }
+  }
+
+  private def readManifest(stateDir: String, txId: Long,
+      conf: org.apache.hadoop.conf.Configuration): Option[StateManifest] = {
+    import org.apache.hadoop.fs.Path
+    val fs = hfs(stateDir, conf)
+    val p = new Path(stateDir, s"commit-$txId")
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val kv = text.linesIterator.flatMap { line =>
+      line.split("=", 2) match {
+        case Array(k, v) => Some(k -> v); case _ => None
+      }
+    }.toMap
+    Some(StateManifest(txId,
+      kv.get("base").filter(_.nonEmpty),
+      kv.get("deltas").toSeq.flatMap(_.split(",")).filter(_.nonEmpty)))
+  }
+
+  /** The newest committed manifest, if any. */
+  def currentManifest(stateDir: String,
+      conf: org.apache.hadoop.conf.Configuration =
+        new org.apache.hadoop.conf.Configuration()): Option[StateManifest] = {
+    import org.apache.hadoop.fs.Path
+    val fs = hfs(stateDir, conf)
+    val root = new Path(stateDir)
+    if (!fs.exists(root)) return None
+    val ids = fs.listStatus(root).flatMap(_.getPath.getName match {
+      case CommitFile(id) => Some(id.toLong); case _ => None
+    })
+    if (ids.isEmpty) None else readManifest(stateDir, ids.max, conf)
+  }
+
+  /** Highest committed tx id per the manifest, if any. */
+  def committedTx(stateDir: String): Option[Long] =
+    currentManifest(stateDir).map(_.txId)
 
   /** Block until the indexer has committed `txId` (the reference's
     * `await-tx`/`sync`, crux-core/src/crux/api.clj:24-91 — re-expressed as
@@ -101,15 +215,17 @@ object IngestStream {
     throw new java.util.concurrent.TimeoutException(s"tx $txId not indexed within ${timeoutMs}ms")
   }
 
+  /** The committed versions table: the manifest's base + delta dirs read
+    * as one parquet scan ([[TxLog.resolvedHistory]] tolerates the
+    * superseded rows across layers by design). */
   def loadState(spark: SparkSession, stateDir: String): DataFrame =
-    if (new java.io.File(stateDir).isDirectory)
-      spark.read.schema(TxLog.versionSchema).parquet(stateDir)
-    else TxLog.emptyState(spark)
-
-  private def deleteRec(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteRec)
-    f.delete(); ()
-  }
+    currentManifest(stateDir, spark.sessionState.newHadoopConf()) match {
+      case Some(m) =>
+        val dirs = (m.base.toSeq ++ m.deltas).map(d => s"$stateDir/$d")
+        if (dirs.isEmpty) TxLog.emptyState(spark)
+        else spark.read.schema(TxLog.versionSchema).parquet(dirs: _*)
+      case None => TxLog.emptyState(spark)
+    }
 
   /** Windowed streaming aggregation over the events stream (the stream-
     * query side Spark adds on top of the reference's ingest-only model):

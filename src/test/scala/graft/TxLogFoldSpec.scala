@@ -1,0 +1,82 @@
+package graft
+
+import java.time.LocalDateTime
+import org.apache.spark.sql.{DataFrame, Row}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.bitemp.TxLog
+
+/** Differential test for the one-pass tx fold: `applyBatch` (per-entity
+  * groupByKey fold for put/delete/evict runs + sequential match/cas
+  * segments) must produce state identical to the round-1 sequential
+  * applyTx fold (`applyBatchSeq`) on randomized op programs covering
+  * puts with/without valid-time ranges, deletes, evicts, and cas/match
+  * preconditions (crux tx semantics, tx.clj:59-227). */
+class TxLogFoldSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private val vts = (1 to 6).map(i => LocalDateTime.parse(f"2020-01-0$i%dT00:00:00"))
+
+  private def stateRows(df: DataFrame): Set[Seq[Any]] =
+    df.dropDuplicates("eid", "vt", "tx_id") // restore rows may duplicate exactly
+      .collect().toSet[Row].map(_.toSeq)
+
+  private def randomTxs(rnd: scala.util.Random, nTxs: Int, withCas: Boolean)
+      : Seq[(Long, LocalDateTime, DataFrame)] = {
+    import scala.jdk.CollectionConverters._
+    val eids = Seq("a", "b", "c")
+    (0 until nTxs).map { txId =>
+      val rows = (0 until 1 + rnd.nextInt(3)).map { s =>
+        val eid = eids(rnd.nextInt(eids.size))
+        val roll = rnd.nextInt(20)
+        if (roll == 0)
+          Row("evict", eid, null, null, null, null, null, s.toLong)
+        else if (withCas && roll <= 2) {
+          // cas/match with an expected hash that only sometimes matches —
+          // exercises both the abort path and the segmentation glue
+          val op = if (roll == 1) "cas" else "match"
+          val expected = if (rnd.nextBoolean()) null else s"v${rnd.nextInt(3)}-0"
+          val newHash = if (op == "cas") s"v$txId-$s" else null
+          Row(op, eid, newHash, null, null, vts(rnd.nextInt(vts.size)), expected, s.toLong)
+        } else {
+          val op = if (roll <= 15) "put" else "delete"
+          val start = vts(rnd.nextInt(vts.size))
+          val end = if (rnd.nextBoolean()) null else vts(rnd.nextInt(vts.size))
+          val hash = if (op == "put") s"v$txId-$s" else null
+          Row(op, eid, hash, start, end, null, null, s.toLong)
+        }
+      }
+      (txId.toLong, LocalDateTime.parse("2021-01-01T00:00:00").plusHours(txId.toLong),
+        spark.createDataFrame(rows.asJava, TxLog.opSchema))
+    }
+  }
+
+  test("randomized put/delete/evict programs: one-pass fold == sequential fold") {
+    (1 to 4).foreach { trial =>
+      val rnd = new scala.util.Random(1000 + trial)
+      val txs = randomTxs(rnd, nTxs = 8, withCas = false)
+      val fast = TxLog.applyBatch(TxLog.emptyState(spark), txs)
+      val seq = TxLog.applyBatchSeq(TxLog.emptyState(spark), txs)
+      assert(stateRows(fast) == stateRows(seq), s"trial $trial diverged")
+    }
+  }
+
+  test("randomized programs with cas/match segments: segmented batch == sequential fold") {
+    (1 to 4).foreach { trial =>
+      val rnd = new scala.util.Random(2000 + trial)
+      val txs = randomTxs(rnd, nTxs = 8, withCas = true)
+      val fast = TxLog.applyBatch(TxLog.emptyState(spark), txs)
+      val seq = TxLog.applyBatchSeq(TxLog.emptyState(spark), txs)
+      assert(stateRows(fast) == stateRows(seq), s"trial $trial diverged")
+    }
+  }
+
+  test("fold on existing state: later batch sees earlier batch's corrections") {
+    val rnd = new scala.util.Random(7)
+    val first = randomTxs(rnd, nTxs = 4, withCas = false)
+    val second = randomTxs(rnd, nTxs = 4, withCas = false)
+      .map { case (id, tt, ops) => (id + 4, tt.plusDays(1), ops) }
+    val fast = TxLog.applyBatch(TxLog.applyBatch(TxLog.emptyState(spark), first), second)
+    val seq = TxLog.applyBatchSeq(TxLog.applyBatchSeq(TxLog.emptyState(spark), first), second)
+    assert(stateRows(fast) == stateRows(seq))
+  }
+}
