@@ -329,18 +329,30 @@ object Tpch {
       .orderBy($"s_name")
   }
 
-  /** Q21: suppliers in multi-supplier failed orders with no returned line —
-    * semi + anti joins with inequality conjuncts. */
+  /** Q21: suppliers in multi-supplier failed orders with no returned line.
+    *
+    * Single-scan shape (r1 VERDICT plan audit): instead of re-scanning
+    * lineitem for the semi (other supplier exists) and anti (other
+    * supplier returned) sides, fold both EXISTS tests into one per-order
+    * supplier profile — `exists l2 (supp≠self)` ⟺ the order has ≥2
+    * distinct suppliers; `not exists l3 (R, supp≠self)` ⟺ no supplier
+    * returned, or the only returning supplier is self. Two cascaded
+    * aggregations (per (order, supp), then per order) keep partial
+    * aggregation and avoid an Expand from multi-distinct; at 100× this
+    * halves lineitem scan + shuffle volume vs the three-scan plan. */
   def q21(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val li = t(s, dir, "lineitem")
-    val l2 = li.select($"l_orderkey".as("l2_orderkey"), $"l_suppkey".as("l2_suppkey"))
-    val l3 = li.filter($"l_returnflag" === "R")
-      .select($"l_orderkey".as("l3_orderkey"), $"l_suppkey".as("l3_suppkey"))
+    val perSupp = li.groupBy($"l_orderkey".as("po_orderkey"), $"l_suppkey".as("po_suppkey"))
+      .agg(max(when($"l_returnflag" === "R", 1).otherwise(0)).as("has_r"))
+    val perOrder = perSupp.groupBy($"po_orderkey")
+      .agg(count(lit(1)).as("nsupp"), sum($"has_r").as("nrsupp"),
+        max(when($"has_r" === 1, $"po_suppkey")).as("rsupp"))
     li.join(t(s, dir, "orders").filter($"o_orderstatus" === "F"), $"l_orderkey" === $"o_orderkey")
       .join(broadcast(t(s, dir, "supplier")), $"l_suppkey" === $"s_suppkey")
-      .join(l2, $"l_orderkey" === $"l2_orderkey" && $"l_suppkey" =!= $"l2_suppkey", "left_semi")
-      .join(l3, $"l_orderkey" === $"l3_orderkey" && $"l_suppkey" =!= $"l3_suppkey", "left_anti")
+      .join(perOrder, $"l_orderkey" === $"po_orderkey")
+      .filter($"nsupp" >= 2 &&
+        ($"nrsupp" === 0 || ($"nrsupp" === 1 && $"rsupp" === $"l_suppkey")))
       .groupBy($"s_name")
       .agg(count(lit(1)).as("numwait"))
       .orderBy($"numwait".desc, $"s_name")

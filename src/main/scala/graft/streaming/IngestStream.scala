@@ -45,6 +45,44 @@ object IngestStream {
       new org.apache.hadoop.conf.Configuration()): org.apache.hadoop.fs.FileSystem =
     new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
 
+  /** Decode a Kafka-shaped frame (the columns `readStream.format("kafka")`
+    * yields: binary key/value + topic/partition/offset/timestamp) into
+    * [[TxLog.opSchema]] op rows. The record value is a JSON op document —
+    * the reference serializes tx ops onto its Kafka tx-log the same way
+    * (nippy-encoded there; crux-kafka/src/crux/kafka.clj:170-190) — and
+    * the Kafka offset supplies the intra-tx seq when the document carries
+    * none, preserving in-partition submit order. */
+  def decodeKafkaOps(kafka: DataFrame): DataFrame =
+    kafka.select(
+        from_json(col("value").cast("string"), TxLog.opSchema).as("o"),
+        col("offset"))
+      .select(col("o.op"), col("o.eid"), col("o.content_hash"),
+        col("o.start_vt"), col("o.end_vt"), col("o.at_vt"),
+        col("o.expected_hash"),
+        coalesce(col("o.seq"), col("offset")).as("seq"))
+
+  /** Kafka tx-log constructor behind the same API as [[start]] — the
+    * reference's primary tx-log transport (crux-kafka/src/crux/kafka.clj:
+    * 219-247 creates the single-partition tx-topic; one partition == one
+    * total order, which is exactly the single-writer contract [[start]]
+    * assumes). No broker exists in this sandbox, so the decode plan is
+    * exercised by StreamingSpec over a Kafka-shaped frame; against a real
+    * cluster this is `readStream.format("kafka")` verbatim. */
+  def startKafka(spark: SparkSession, brokers: String, topic: String,
+      stateDir: String, checkpointDir: String,
+      txTime: Long => java.time.LocalDateTime =
+        _ => java.time.LocalDateTime.now(java.time.Clock.systemUTC()),
+      secondarySinks: Seq[(DataFrame, Long) => Unit] = Nil,
+      compactEvery: Int = 16): StreamingQuery = {
+    val kafka = spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .load()
+    start(spark, decodeKafkaOps(kafka), stateDir, checkpointDir,
+      txTime, secondarySinks, compactEvery)
+  }
+
   /** Start the single-writer ingest: `opsStream` rows follow
     * [[TxLog.opSchema]] (including intra-tx seq); each micro-batch
     * commits as one transaction.

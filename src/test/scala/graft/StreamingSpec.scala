@@ -46,4 +46,37 @@ class StreamingSpec extends AnyFunSuite {
       IngestStream.awaitTx(stateDir, 99L, timeoutMs = 300)
     }
   }
+
+  test("decodeKafkaOps turns Kafka-shaped records into opSchema rows") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types._
+    // the exact column set readStream.format("kafka") yields
+    val kafkaSchema = StructType(Seq(
+      StructField("key", BinaryType), StructField("value", BinaryType),
+      StructField("topic", StringType), StructField("partition", IntegerType),
+      StructField("offset", LongType), StructField("timestamp", TimestampType),
+      StructField("timestampType", IntegerType)))
+    def rec(json: String, offset: Long) =
+      Row(null, json.getBytes("UTF-8"), "tx-log", 0, offset,
+        java.sql.Timestamp.valueOf("2020-01-01 00:00:00"), 0)
+    val kafka = spark.createDataFrame(List(
+      rec("""{"op":"put","eid":"a","content_hash":"v1","start_vt":"2020-01-01T00:00:00","seq":7}""", 0L),
+      rec("""{"op":"delete","eid":"b","start_vt":"2020-01-02T00:00:00"}""", 1L),
+      rec("""{"op":"cas","eid":"a","content_hash":"v2","at_vt":"2020-01-03T00:00:00","expected_hash":"v1"}""", 2L)
+    ).asJava, kafkaSchema)
+
+    val ops = IngestStream.decodeKafkaOps(kafka)
+    assert(ops.schema == TxLog.opSchema)
+    val byEidOp = ops.collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(byEidOp(("put", "a")).getLong(7) == 7L)      // explicit seq wins
+    assert(byEidOp(("delete", "b")).getLong(7) == 1L)   // offset fills in
+    assert(byEidOp(("cas", "a")).getString(6) == "v1")  // expected_hash rides
+    assert(byEidOp(("put", "a")).getAs[LocalDateTime]("start_vt") ==
+      LocalDateTime.parse("2020-01-01T00:00"))
+
+    // decoded ops apply through the same TxLog path as any other source
+    val (st, aborted) = TxLog.applyTx(TxLog.emptyState(spark),
+      ops.filter(ops("op") === "put"), 0L, LocalDateTime.parse("2020-06-01T00:00"))
+    assert(!aborted && st.count() == 1)
+  }
 }
