@@ -192,10 +192,17 @@ object TxLog {
   def applyBatch(state: DataFrame,
       txs: Seq[(Long, java.time.LocalDateTime, DataFrame)]): DataFrame = {
     if (txs.isEmpty) return state
-    // classify each tx by the op kinds it contains (one tiny distinct job
-    // per tx — the op column has <= 6 values)
-    val kinds = txs.map { case (_, _, ops) =>
-      ops.select("op").distinct().collect().map(_.getString(0)).toSet }
+    // classify each tx by the op kinds it contains — ONE distinct job over
+    // the union of (txIdx, op), not one job per tx (a 1000-tx batch would
+    // otherwise pay 1000 scheduler round-trips before any work)
+    val kindPairs = txs.zipWithIndex
+      .map { case ((_, _, ops), i) => ops.select(lit(i).as("i"), col("op")) }
+      .reduce(_ unionByName _)
+      .distinct().collect().map(r => (r.getInt(0), r.getString(1)))
+    val kinds: IndexedSeq[Set[String]] = {
+      val grouped = kindPairs.groupBy(_._1)
+      (0 until txs.length).map(i => grouped.getOrElse(i, Array.empty).map(_._2).toSet)
+    }
     val fast = kinds.map(k => !(k.contains("match") || k.contains("cas")))
     // fold maximal fast runs in one pass each; sequential path otherwise
     var st = state

@@ -89,12 +89,29 @@ object Dedup {
     // candidate sides, and verification (same reasoning as minhashLshPairs)
     val sh = shingles(docs, k).persist()
     val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    val rare = sh.join(dfreq.filter(col("df") <= maxShingleDf), Seq("shingle"))
-      .select(col("doc_id"), col("shingle"))
-    val cand = rare.as("a")
-      .join(rare.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
-    jaccardOfPairs(sh, cand, tau)
+    val tagged = sh.join(dfreq, Seq("shingle"))
+    val rare = tagged.filter(col("df") <= maxShingleDf).select(col("doc_id"), col("shingle"))
+    val hot = tagged.filter(col("df") > maxShingleDf).select(col("doc_id"), col("shingle"))
+    // inverted-index identity over the capped postings: ONE self-join on
+    // shingle (both sides exit the df join hash-partitioned on shingle, so
+    // this adds no shuffle) yields c_rare = |A∩B restricted to rare| AND
+    // the candidate pairs in the same pass — no distinct + re-join pass
+    val cRare = rare.as("a")
+      .join(rare.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("c_rare"))
+    // exact hot-shingle overlap, computed only for pairs already found
+    // via a rare shingle — the hot postings join a SMALL pair relation,
+    // never themselves (empty and ~free when no shingle exceeds the cap)
+    val cHot = cRare.select(col("d1"), col("d2"))
+      .join(hot.select(col("doc_id").as("d1"), col("shingle")), Seq("d1"))
+      .join(hot.select(col("doc_id").as("d2"), col("shingle")), Seq("d2", "shingle"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("c_hot"))
+    val counts = cRare.join(cHot, Seq("d1", "d2"), "left")
+      .select(col("d1"), col("d2"),
+        (col("c_rare") + coalesce(col("c_hot"), lit(0L))).as("c"))
+    jaccardFromCounts(sh, counts, tau)
   }
 
   private def jaccardFromCounts(sh: DataFrame, counts: DataFrame, tau: Double): DataFrame = {
@@ -129,8 +146,13 @@ object Dedup {
       struct(lit(b).as("band"),
         xxhash64((lit(1000 + b) +: (0 until rows).map(r => col(s"m${b * rows + r}"))): _*).as("key"))
     }
+    // pin the join-key partitioning: pair OUTPUT is quadratic per bucket
+    // while the keys relation is small, so AQE would otherwise coalesce
+    // the shuffle and single-thread pair generation (see embeddingLshPairs)
     val exploded = sig.select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .repartition(sig.sparkSession.sparkContext.defaultParallelism,
+        col("band"), col("key"))
     exploded.as("a")
       .join(exploded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -199,16 +221,20 @@ object Dedup {
   def embeddingCosinePairs(emb: DataFrame, tau: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
       bruteMaxRows: Long = 200000L): DataFrame = {
+    val spark = emb.sparkSession
     val e = emb.select(col(idCol).cast("long").as("vec_id"),
-        col(vecCol).cast("array<double>").as("v"))
-      .withColumn("n2", Similarity.dot(col("v"), col("v")))
+      col(vecCol).cast("array<double>").as("v"))
     // cheap bounded existence probe, not a full count
     val small = e.limit((bruteMaxRows + 1).toInt).count() <= bruteMaxRows
     if (!small) return embeddingLshPairs(emb, tau, idCol = idCol, vecCol = vecCol)
-    e.as("a").join(broadcast(e.as("b")), col("a.vec_id") < col("b.vec_id"))
+    // small-file inputs arrive as one partition; spread the stream side so
+    // the O(N²) scoring loop parallelizes (a real 100 TB scan is already
+    // many-partition and skips this)
+    val par = spark.sparkContext.defaultParallelism
+    val stream = if (e.rdd.getNumPartitions < par) e.repartition(par) else e
+    stream.as("a").join(broadcast(e.as("b")), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
-        round(Similarity.dot(col("a.v"), col("b.v")) / sqrt(col("a.n2") * col("b.n2")), 6)
-          .as("cosine"))
+        round(Similarity.nativeCosine(spark, col("a.v"), col("b.v")), 6).as("cosine"))
       .filter(col("cosine") >= tau)
   }
 
@@ -237,20 +263,27 @@ object Dedup {
       bandsOverride: Int = 0, dims: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val bands = if (bandsOverride > 0) bandsOverride else bandsFor(tau, rowsPerBand)
-    val keysUdf = Similarity.bandKeysUdf(emb.sparkSession, bands, rowsPerBand, dims)
+    val spark = emb.sparkSession
+    val keysUdf = Similarity.bandKeysUdf(spark, bands, rowsPerBand, dims)
     val e = emb.select(col(idCol).cast("long").as("vec_id"),
         col(vecCol).cast("array<double>").as("v"))
-      .withColumn("n2", Similarity.dot(col("v"), col("v")))
       .persist()
+    // repartition ON the join key: the keys relation is tiny relative to
+    // the join's OUTPUT (each bucket of m vectors emits m(m-1)/2 pairs),
+    // so AQE would coalesce the small shuffle to ~1 partition and generate
+    // millions of pairs single-threaded; pinning the partitioning keeps
+    // pair generation spread across the bucket space
+    val par = spark.sparkContext.defaultParallelism
     val keys = e.select(col("vec_id"), explode(keysUdf(col("v"))).as("bk"))
+      .repartition(par, col("bk"))
     val cand = keys.as("a")
       .join(keys.as("b"), col("a.bk") === col("b.bk") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2")).distinct()
     cand
-      .join(e.select(col("vec_id").as("v1"), col("v").as("va"), col("n2").as("na")), Seq("v1"))
-      .join(e.select(col("vec_id").as("v2"), col("v").as("vb"), col("n2").as("nb")), Seq("v2"))
+      .join(e.select(col("vec_id").as("v1"), col("v").as("va")), Seq("v1"))
+      .join(e.select(col("vec_id").as("v2"), col("v").as("vb")), Seq("v2"))
       .select(col("v1"), col("v2"),
-        round(Similarity.dot(col("va"), col("vb")) / sqrt(col("na") * col("nb")), 6).as("cosine"))
+        round(Similarity.nativeCosine(spark, col("va"), col("vb")), 6).as("cosine"))
       .filter(col("cosine") >= tau)
   }
 }

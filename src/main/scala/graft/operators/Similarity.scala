@@ -43,24 +43,29 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / sqrt(dot(a, a) * dot(b, b))
 
-  /** Cosine from precomputed self-norms: each side's dot(v,v) is computed
-    * once per ROW before the pair join, not once per PAIR — 3× less kernel
-    * work on an N×Q pair relation (sqrt(qn*cn) multiplies the same doubles,
-    * so values are bit-identical to [[cosine]]). */
-  private def cosinePre(a: Column, b: Column, an: Column, bn: Column): Column =
-    dot(a, b) / sqrt(an * bn)
+  /** Cosine through the native codegen'd [[graft.functions.CosineSimilarity]]
+    * expression — the per-PAIR scoring path. Unlike [[dot]] (a compiled
+    * UDF, still paying a boxed Seq conversion per call), this stays inside
+    * whole-stage codegen reading array elements in place: measured ~40×
+    * on the sf0.1 all-pairs dedup (2M pairs). The arithmetic is the same
+    * left-to-right fold (dot and both self-norms accumulate in one loop),
+    * so values are bit-identical to `dot(a,b)/sqrt(dot(a,a)*dot(b,b))`
+    * and the DuckDB oracle still hash-matches. */
+  def nativeCosine(spark: org.apache.spark.sql.SparkSession, a: Column, b: Column): Column = {
+    graft.functions.GraftFunctions.register(spark) // idempotent re-register
+    call_function("cosine_sim", a, b)
+  }
 
   /** Exact top-k cosine neighbors for each query vector (self excluded). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
     val c = corpus.select(col(idCol).as("cid"), col(vecCol).cast("array<double>").as("cv"))
-      .withColumn("cn", dot(col("cv"), col("cv")))
     val q = queries.select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
-      .withColumn("qn", dot(col("qv"), col("qv")))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("cid") =!= col("qid"))
       .select(col("qid"), col("cid"),
-        round(cosinePre(col("qv"), col("cv"), col("qn"), col("cn")), 6).as("cosine"))
+        round(nativeCosine(spark, col("qv"), col("cv")), 6).as("cosine"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -83,15 +88,19 @@ object Similarity {
     }.reduce(_ + _)
 
   /** The ±1 hyperplane matrix for `planes` planes, materialized once from
-    * the same seeded constant expressions as [[lshBucket]]. Constant-size
-    * (planes×dims doubles) — this is plan-constant metadata, not a collect
-    * of data. */
+    * the same seeded entries as [[lshBucket]]: each entry evaluates the
+    * identical Catalyst `XxHash64(lit(plane), lit(dim))` expression —
+    * interpreted, on the driver, per entry — instead of constant-folding a
+    * planes×dims-column projection through codegen (at 153×64 entries that
+    * single giant select cost ~15 s of janino compilation before any data
+    * moved). Constant-size plan metadata, not a collect of data. */
   private[operators] def planeMatrix(spark: org.apache.spark.sql.SparkSession,
       planes: Int, dims: Int): Array[Array[Double]] = {
-    val row = spark.range(1).select(
-      (for (p <- 0 until planes; i <- 0 until dims) yield planeEntry(p, i)): _*
-    ).collect().head
-    Array.tabulate(planes, dims)((p, i) => row.getDouble(p * dims + i))
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    Array.tabulate(planes, dims) { (p, i) =>
+      val h = XxHash64(Seq(Literal(p), Literal(i)), 42L).eval(null).asInstanceOf[Long]
+      if ((h & 1L) == 0L) 1.0 else -1.0
+    }
   }
 
   /** The same bucket as [[lshBucket]] via a broadcast ±1 matrix + kernel
@@ -149,17 +158,16 @@ object Similarity {
     * Recall < 1 by construction (the scale path — bucket join, no cross). */
   def hyperplaneLsh(corpus: DataFrame, queries: DataFrame, k: Int, planes: Int = 8,
       dims: Int = 64, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val bucketUdf = bucketUdfFor(corpus.sparkSession, planes, dims)
+    val spark = corpus.sparkSession
+    val bucketUdf = bucketUdfFor(spark, planes, dims)
     val c = corpus.select(col(idCol).as("cid"), col(vecCol).cast("array<double>").as("cv"))
       .withColumn("bucket", bucketUdf(col("cv")))
-      .withColumn("cn", dot(col("cv"), col("cv")))
     val q = queries.select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
       .withColumn("bucket", bucketUdf(col("qv")))
-      .withColumn("qn", dot(col("qv"), col("qv")))
     val scored = c.join(broadcast(q), "bucket")
       .filter(col("cid") =!= col("qid"))
       .select(col("qid"), col("cid"),
-        round(cosinePre(col("qv"), col("cv"), col("qn"), col("cn")), 6).as("cosine"))
+        round(nativeCosine(spark, col("qv"), col("cv")), 6).as("cosine"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -186,11 +194,10 @@ object Similarity {
       .partitionBy(col("qid")).orderBy(col("cdist").desc, col("cell").asc)
     val best = probe.withColumn("r", row_number().over(w0)).filter(col("r") === 1)
       .select(col("qid"), col("qv"), col("cell"))
-    val scored = c.withColumn("cn", dot(col("cv"), col("cv")))
-      .join(broadcast(best.withColumn("qn", dot(col("qv"), col("qv")))), "cell")
+    val scored = c.join(broadcast(best), "cell")
       .filter(col("cid") =!= col("qid"))
       .select(col("qid"), col("cid"),
-        round(cosinePre(col("qv"), col("cv"), col("qn"), col("cn")), 6).as("cosine"))
+        round(nativeCosine(corpus.sparkSession, col("qv"), col("cv")), 6).as("cosine"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
