@@ -773,8 +773,29 @@ private final class Planner(spark: SparkSession, source: FactSource,
       case TimestampType | TimestampNTZType | DateType => args.head.isNotNull
       case _ => lit(false)
     }
-    case "coll?" | "vector?" | "seq?" | "sequential?" =>
+    case "coll?" | "vector?" | "seq?" | "sequential?" | "indexed?" =>
       types.head match { case _: ArrayType => args.head.isNotNull; case _ => lit(false) }
+    case "decimal?" => types.head match {
+      case _: DecimalType => args.head.isNotNull; case _ => lit(false)
+    }
+    case "pos-int?" => types.head match {
+      case LongType | IntegerType | ShortType | ByteType => args.head.isNotNull && args.head > 0
+      case _ => lit(false)
+    }
+    case "neg-int?" => types.head match {
+      case LongType | IntegerType | ShortType | ByteType => args.head.isNotNull && args.head < 0
+      case _ => lit(false)
+    }
+    case "any?" => lit(true) // clojure.core/any? is constantly true
+    case "distinct?" => // all args pairwise distinct; cross-family pairs
+      // can never be equal (codec tag order, §1.2) — statically true
+      (for (i <- args.indices; j <- args.indices if i < j) yield {
+        if (tagOf(types(i)) != tagOf(types(j))) lit(true)
+        else !(args(i) <=> args(j))
+      }).reduce(_ && _)
+    case "bit-test" => // ((x >> n) & 1) == 1
+      call_function("shiftright", args.head.cast(LongType), args(1))
+        .bitwiseAND(lit(1L)) === 1L
     case other =>
       // value-returning fn in filter position: truthy = not null/false
       val c = functionCol(other, args, types, raw)
@@ -876,6 +897,48 @@ private final class Planner(spark: SparkSession, source: FactSource,
       val (start, end) = if (args.size == 1) (lit(0L), args.head) else (args.head, args(1))
       slice(sequence(start, greatest(end - 1, start)), lit(1),
         greatest((end - start).cast(IntegerType), lit(0)))
+    // bitwise (allowlist bit-*): Clojure ints are longs
+    case "bit-and" => args.map(_.cast(LongType)).reduceLeft(_ bitwiseAND _)
+    case "bit-or" => args.map(_.cast(LongType)).reduceLeft(_ bitwiseOR _)
+    case "bit-xor" => args.map(_.cast(LongType)).reduceLeft(_ bitwiseXOR _)
+    case "bit-not" => bitwise_not(args.head.cast(LongType))
+    case "bit-and-not" =>
+      args.head.cast(LongType).bitwiseAND(bitwise_not(args(1).cast(LongType)))
+    case "bit-shift-left" => call_function("shiftleft", args.head.cast(LongType), args(1))
+    case "bit-shift-right" => call_function("shiftright", args.head.cast(LongType), args(1))
+    case "unsigned-bit-shift-right" =>
+      call_function("shiftrightunsigned", args.head.cast(LongType), args(1))
+    // numeric casts: double/float → double; the integer family → long
+    // (every Clojure integer is a long); bigdec/bigint → decimal
+    case "double" | "float" => args.head.cast(DoubleType)
+    case "long" | "int" | "short" | "byte" => args.head.cast(LongType)
+    case "bigdec" => args.head.cast(DecimalType(38, 18))
+    case "bigint" | "biginteger" => args.head.cast(DecimalType(38, 0))
+    case "num" => args.head
+    case "compare" =>
+      when(args.head <=> args(1), lit(0L))
+        .when(args.head < args(1), lit(-1L)).otherwise(lit(1L))
+    case "not-empty" => types.head match {
+      case _: ArrayType => when(size(args.head) > 0, args.head)
+      case _ => when(length(args.head) > 0, args.head)
+    }
+    case "bounded-count" => types.head match { // (bounded-count n coll)
+      case _ => least(args.head.cast(LongType), size(args(1)).cast(LongType))
+    }
+    case "take-last" =>
+      when(args.head > 0, slice(args(1),
+        greatest(size(args(1)) - args.head.cast(IntegerType) + 1, lit(1)),
+        least(args.head.cast(IntegerType), size(args(1)))))
+    case "drop-last" =>
+      val (n, arr) = if (args.size == 1) (lit(1), args.head) else (args.head.cast(IntegerType), args(1))
+      slice(arr, lit(1), greatest(size(arr) - n, lit(0)))
+    case "subvec" =>
+      val end = if (args.size >= 3) args(2).cast(IntegerType) else size(args.head)
+      slice(args.head, args(1).cast(IntegerType) + 1, end - args(1).cast(IntegerType))
+    case "peek" => get(args.head, size(args.head) - 1) // vector semantics
+    case "pop" => slice(args.head, lit(1), greatest(size(args.head) - 1, lit(0)))
+    case "index-of" => // clojure.string/index-of: 0-based or nil
+      when(instr(args.head, args(1)) > 0, (instr(args.head, args(1)) - 1).cast(LongType))
     case other => throw new IllegalArgumentException(s"unsupported function $other")
   }
 

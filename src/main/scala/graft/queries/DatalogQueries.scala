@@ -111,6 +111,22 @@ object DatalogQueries {
                [(lower-case ?seg) ?ls]
                [(format "%s/%s" ?num ?ls) ?fmt]]}""") _,
 
+    // registry breadth round 2: bitwise ops, numeric casts, compare,
+    // string index-of, vector peek — allowlist fns beyond dl_fns_corpus
+    "dl_fns_corpus2" -> dl("""
+      {:find [?ck ?band ?shl ?bx ?dbl ?cmp ?idx ?pk]
+       :keys [c_custkey band shl bx dbl cmp idx pk]
+       :where [[?c :c_custkey ?ck] [?c :c_name ?nm]
+               [(< ?ck 200)] [(bit-test ?ck 0)]
+               [(bit-and ?ck 255) ?band]
+               [(bit-shift-left ?ck 2) ?shl]
+               [(bit-xor ?ck 5) ?bx]
+               [(double ?ck) ?dbl]
+               [(compare ?ck 100) ?cmp]
+               [(clojure.string/index-of ?nm "#") ?idx]
+               [(clojure.string/split ?nm "#") ?parts]
+               [(peek ?parts) ?pk]]}""") _,
+
     // ordered + limited subquery: top-2 customer balances per nation via a
     // relation-bound nested query (VERDICT round-1 item 4)
     "dl_subquery_topn" -> dl("""
@@ -194,6 +210,17 @@ object DatalogSql {
              string_split(c_name, '#')[-1] || '/' || lower(c_mktsegment) AS fmt
       FROM customer
       WHERE c_custkey < 100""",
+
+    "dl_fns_corpus2" -> """
+      SELECT DISTINCT c_custkey,
+        c_custkey & 255 AS band,
+        c_custkey << 2 AS shl,
+        xor(c_custkey, 5) AS bx,
+        CAST(c_custkey AS DOUBLE) AS dbl,
+        CASE WHEN c_custkey = 100 THEN 0 WHEN c_custkey < 100 THEN -1 ELSE 1 END AS cmp,
+        strpos(c_name, '#') - 1 AS idx,
+        string_split(c_name, '#')[-1] AS pk
+      FROM customer WHERE c_custkey < 200 AND (c_custkey & 1) = 1""",
 
     "dl_subquery_topn" -> """
       WITH ranked AS (

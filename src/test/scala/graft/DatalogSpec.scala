@@ -523,6 +523,50 @@ class DatalogSpec extends AnyFunSuite {
                    [(count ?chars) ?c] [(first ?chars) ?f]]]""") == Set(Seq(4L, "I")))
   }
 
+  test("bitwise fns, numeric casts, compare (allowlist round 2)") {
+    assert(run("""[:find ?a ?o ?x :where [[?e :age 30] [?e :age ?v]
+                   [(bit-and ?v 12) ?a] [(bit-or ?v 1) ?o] [(bit-xor ?v 6) ?x]]]""") ==
+      Set(Seq(12L, 31L, 24L)))
+    assert(run("""[:find ?l ?r ?u :where [[?e :age 30] [?e :age ?v]
+                   [(bit-shift-left ?v 2) ?l] [(bit-shift-right ?v 3) ?r]
+                   [(unsigned-bit-shift-right ?v 1) ?u]]]""") ==
+      Set(Seq(120L, 3L, 15L)))
+    assert(run("""[:find ?d ?c1 ?c2 ?c3 :where [[?e :age 30] [?e :age ?v]
+                   [(double ?v) ?d] [(compare ?v 30) ?c1]
+                   [(compare ?v 99) ?c2] [(compare ?v 7) ?c3]]]""") ==
+      Set(Seq(30.0, 0L, -1L, 1L)))
+    // bit-test in filter position: age 30 = 0b11110 — bit 0 clear, bit 1 set
+    assert(run("""[:find ?e :where [[?e :age 30] [?e :age ?v] [(bit-test ?v 0)]]]""") ==
+      Set.empty[Seq[Any]])
+    assert(run("""[:find ?e :where [[?e :name "Smith"] [?e :age ?v] [(bit-test ?v 1)]]]""") ==
+      Set(Seq("smith")))
+  }
+
+  test("vector tail fns: subvec/take-last/drop-last/peek/pop/not-empty") {
+    val chars = """[?e :name "Ivan"] [?e :name ?n] [(clojure.string/split ?n "") ?cs]"""
+    assert(run(s"""[:find ?s :where [$chars [(subvec ?cs 1 3) ?sv] [(clojure.string/join "" ?sv) ?s]]]""") ==
+      Set(Seq("va")))
+    assert(run(s"""[:find ?s :where [$chars [(take-last 2 ?cs) ?tl] [(clojure.string/join "" ?tl) ?s]]]""") ==
+      Set(Seq("an")))
+    assert(run(s"""[:find ?s :where [$chars [(drop-last ?cs) ?dl] [(clojure.string/join "" ?dl) ?s]]]""") ==
+      Set(Seq("Iva")))
+    assert(run(s"""[:find ?p ?q :where [$chars [(peek ?cs) ?p] [(pop ?cs) ?r] [(count ?r) ?q]]]""") ==
+      Set(Seq("n", 3L)))
+    assert(run(s"""[:find ?c :where [$chars [(bounded-count 2 ?cs) ?c]]]""") ==
+      Set(Seq(2L)))
+  }
+
+  test("distinct? / pos-int? / index-of predicates and fns") {
+    assert(run("""[:find ?e :where [[?e :name "Ivan"] [?e :age ?a] [?e :name ?n]
+                   [(distinct? ?a ?n)]]]""") == Set(Seq("ivan")))
+    assert(run("""[:find ?e :where [[?e :name "Smith"] [?e :last-name ?l] [?e :name ?n]
+                   [(distinct? ?l ?n)]]]""") == Set.empty[Seq[Any]])
+    assert(run("""[:find ?e :where [[?e :name "Ivan"] [?e :age ?a] [(pos-int? ?a)]]]""") ==
+      Set(Seq("ivan")))
+    assert(run("""[:find ?i :where [[?e :name "Ivan"] [?e :name ?n]
+                   [(clojure.string/index-of ?n "va") ?i]]]""") == Set(Seq(1L)))
+  }
+
   test("range is empty when end <= start (Clojure semantics, not sequence())") {
     assert(run("""[:find ?c :where [[?e :name "Ivan"] [(range 5 3) ?r] [(count ?r) ?c]]]""") ==
       Set(Seq(0L)))
