@@ -86,6 +86,21 @@ object LubmQueries {
                [?a :emailAddress ?c]
                [?a :type "UndergraduateStudent"]
                [?b :subOrganizationOf "www.University0.edu"]
+               [?b :type "Department"]]}""") _,
+
+    // LUBM Q6: single-class scan, large input low selectivity (explicit
+    // type only — no subClassOf inference, per the EmptyHeaded subset)
+    "lubm_q6" -> dl("""
+      {:find [?x] :keys [x]
+       :where [[?x :type "UndergraduateStudent"]]}""") _,
+
+    // LUBM Q12: professors heading departments of University0 — the
+    // worksFor/subOrganizationOf chain with two class checks
+    "lubm_q12" -> dl("""
+      {:find [?a ?b] :keys [prof dept]
+       :where [[?a :worksFor ?b]
+               [?a :type "FullProfessor"]
+               [?b :subOrganizationOf "www.University0.edu"]
                [?b :type "Department"]]}""") _)
 }
 
@@ -142,5 +157,15 @@ object LubmSql {
       JOIN nt dty ON dty.e = m.v AND dty.a='type' AND dty.v='Department'
       JOIN nt sty ON sty.e = m.e AND sty.a='type' AND sty.v='UndergraduateStudent'
       JOIN nt em ON em.e = m.e AND em.a='emailAddress'
-      WHERE m.a='memberOf'""")
+      WHERE m.a='memberOf'""",
+
+    "lubm_q6" -> raw"""$nt
+      SELECT DISTINCT e AS x FROM nt WHERE a='type' AND v='UndergraduateStudent'""",
+
+    "lubm_q12" -> raw"""$nt
+      SELECT DISTINCT w.e AS prof, w.v AS dept FROM nt w
+      JOIN nt ty ON ty.e = w.e AND ty.a='type' AND ty.v='FullProfessor'
+      JOIN nt so ON so.e = w.v AND so.a='subOrganizationOf' AND so.v='www.University0.edu'
+      JOIN nt dty ON dty.e = w.v AND dty.a='type' AND dty.v='Department'
+      WHERE w.a='worksFor'""")
 }

@@ -37,4 +37,14 @@ class LubmSpec extends AnyFunSuite {
     assert(rows.length == 532)
     assert(rows.forall(_.getString(1) == "www.Department0.University0.edu"))
   }
+
+  test("lubm q6: single-class scan") {
+    assert(run("lubm_q6").count() == 532)
+  }
+
+  test("lubm q12: worksFor chain with two class checks") {
+    val rows = run("lubm_q12").collect()
+    assert(rows.length == 10)
+    assert(rows.forall(_.getString(0).startsWith("FullProfessor")))
+  }
 }
