@@ -43,7 +43,91 @@ object Planner {
   private val aggDefault: Set[String] = Set(
     "count", "count-distinct", "sum", "avg", "median", "variance", "stddev",
     "distinct", "min", "max", "rand", "sample")
-  def isAggFn(fn: String): Boolean = aggDefault.contains(fn)
+  def isAggFn(fn: String): Boolean =
+    aggDefault.contains(fn) || customAggs.contains(fn)
+
+  /** User-pluggable aggregate registry — the reference's
+    * `crux.query/aggregate` multimethod extension point
+    * (crux-core/src/crux/query.clj:275-286: third parties add aggregates
+    * by extending the defmulti; here by registering a Spark aggregate
+    * Column builder). The impl receives the aggregated var's column and
+    * the optional numeric modifier from `(fn N ?var)` and must return an
+    * aggregate expression (partial-agg friendly builders — built-ins or
+    * a Spark `Aggregator` UDAF — keep map-side combine). */
+  private val customAggs =
+    new scala.collection.concurrent.TrieMap[String, (Column, Option[Long]) => Column]()
+  def registerAggregate(name: String)(impl: (Column, Option[Long]) => Column): Unit = {
+    customAggs.put(name, impl); ()
+  }
+  private[datalog] def customAgg(fn: String): Option[(Column, Option[Long]) => Column] =
+    customAggs.get(fn)
+
+  /** Index-aware relation-generating predicate registry — the reference's
+    * `pred-constraint` defmethod (crux-core/src/crux/query.clj:1019-1034),
+    * the hook crux-lucene uses to plug its full-text index scans into the
+    * planner (crux-lucene/src/crux/lucene.clj:193-260). A registered impl
+    * sees the fact source, the predicate's raw argument terms, and the
+    * output column names from the `[[?a ?b …]]` binding, and returns a
+    * DataFrame with exactly those columns — it is seeded into the join
+    * DAG as a scan, so Catalyst orders it like any other relation.
+    * `text-search` / `wildcard-text-search` are registered through this
+    * same hook below. */
+  private val predConstraints = new scala.collection.concurrent.TrieMap[
+    String, (FactSource, Seq[Term], Seq[String]) => DataFrame]()
+  def registerPredConstraint(name: String)(
+      impl: (FactSource, Seq[Term], Seq[String]) => DataFrame): Unit = {
+    predConstraints.put(name, impl); ()
+  }
+  def hasPredConstraint(name: String): Boolean = predConstraints.contains(name)
+  private[datalog] def predConstraint(fn: String): (FactSource, Seq[Term], Seq[String]) => DataFrame =
+    predConstraints(fn)
+
+  /** Relevance score for regex text search: matched-term occurrences over
+    * whitespace token count — a deterministic, oracle-computable stand-in
+    * for the Lucene score the reference binds (lucene.clj:156-162 yields
+    * [e v score] with BM25; the ranking ORDER over a corpus agrees for
+    * single-term queries, the absolute values differ — SURVEY §2.2). */
+  private def textScore(pat: String) =
+    regexp_count(col("value"), lit(pat)).cast(DoubleType) /
+      size(split(col("value"), "\\s+"))
+
+  // `[(text-search :attr "regex") [[?e ?v]]]` (or `[[?e ?v ?score]]`,
+  // lucene.clj:156-162) → (e, v[, score]) relation of matching attribute
+  // rows; regex instead of Lucene syntax per SURVEY §2.2.
+  registerPredConstraint("text-search") { (source, args, out) =>
+    val (attr, pat) = args match {
+      case List(C(Edn.Kw(a)), C(Edn.Str(rx))) => (a, rx)
+      case o => throw new IllegalArgumentException(
+        s"text-search needs (:attr \"pattern\") literals, got $o")
+    }
+    require(out.size == 2 || out.size == 3,
+      "text-search binds [[?e ?v]] or [[?e ?v ?score]]")
+    val base = source.attr(attr).filter(col("value").rlike(pat))
+    val cols = Seq(col("eid").as(out(0)), col("value").as(out(1))) ++
+      (if (out.size == 3) Seq(textScore(pat).as(out(2))) else Nil)
+    base.select(cols: _*)
+  }
+
+  // `[(wildcard-text-search "regex") [[?e ?v ?a]]]` — match across ALL
+  // string attributes (lucene.clj:184-189). Union of per-attribute scans —
+  // each prunes to (key, attr) columns, so the fan-out stays scan-parallel.
+  registerPredConstraint("wildcard-text-search") { (source, args, out) =>
+    val pat = args match {
+      case List(C(Edn.Str(rx))) => rx
+      case o => throw new IllegalArgumentException(
+        s"wildcard-text-search needs a single string-literal pattern, got $o")
+    }
+    require(out.size == 3 || out.size == 4,
+      "wildcard-text-search binds [[?e ?v ?a]] or [[?e ?v ?a ?score]]")
+    val frames = source.stringAttrs.toSeq.sorted.map { a =>
+      val cols = Seq(col("eid").as(out(0)), col("value").as(out(1)),
+        lit(":" + a).as(out(2))) ++ // canonical keyword form (SURVEY §1.2)
+        (if (out.size == 4) Seq(textScore(pat).as(out(3))) else Nil)
+      source.attr(a).filter(col("value").rlike(pat)).select(cols: _*)
+    }
+    require(frames.nonEmpty, "source has no string attributes")
+    frames.reduce(_ unionByName _)
+  }
 }
 
 private final class Planner(spark: SparkSession, source: FactSource,
@@ -247,12 +331,12 @@ private final class Planner(spark: SparkSession, source: FactSource,
       case c => c
     }
     val triples = clauses.collect { case t: Triple => t }
-    // text-search is relation-GENERATING (crux-lucene/src/crux/lucene.clj:
-    // 156-162: [e v] relation from a full-text query), not a filter —
-    // pull it out of the pred list and seed it as a scan (rlike over the
-    // attribute frame stands in for the Lucene index; pushdown-friendly).
+    // pred-constraints (text-search and any user-registered index-aware
+    // predicate) are relation-GENERATING (lucene.clj:156-162: [e v]
+    // relation from a full-text query), not filters — pull them out of
+    // the pred list and seed each as a scan.
     val (textSearches, preds0) = clauses.collect { case p: Pred => p }
-      .partition(p => p.fn == "text-search" || p.fn == "wildcard-text-search")
+      .partition(p => Planner.hasPredConstraint(p.fn))
     val preds = preds0
     val getattrs = clauses.collect { case g: GetAttr => g }
     val nots = clauses.collect { case n: Not => n }
@@ -265,8 +349,7 @@ private final class Planner(spark: SparkSession, source: FactSource,
     val ruleCalls = clauses.collect { case r: RuleCall => r }
 
     var rels: List[Rel] = seed ++ tripleRels(triples) ++
-      textSearches.map(p =>
-        if (p.fn == "text-search") planTextSearch(p) else planWildcardTextSearch(p)) ++
+      textSearches.map(planPredConstraint) ++
       ors.map(planOr) ++ ruleCalls.map(planRuleCall)
     // a lone `(q …)` subquery or literal-relation clause has no scan to
     // hang off: seed a unit relation for the pred to cross-join against
@@ -942,64 +1025,19 @@ private final class Planner(spark: SparkSession, source: FactSource,
     case other => throw new IllegalArgumentException(s"unsupported function $other")
   }
 
-  /** Relevance score for regex text search: matched-term occurrences over
-    * whitespace token count — a deterministic, oracle-computable stand-in
-    * for the Lucene score the reference binds (lucene.clj:156-162 yields
-    * [e v score] with BM25; the ranking ORDER over a corpus agrees for
-    * single-term queries, the absolute values differ — SURVEY §2.2). */
-  private def textScore(pat: String) =
-    regexp_count(col("value"), lit(pat)).cast(DoubleType) /
-      size(split(col("value"), "\\s+"))
-
-  /** `[(text-search :attr "regex") [[?e ?v]]]` (or `[[?e ?v ?score]]`,
-    * lucene.clj:156-162) → (e, v[, score]) relation of matching attribute
-    * rows; regex instead of Lucene syntax per SURVEY §2.2. */
-  private def planTextSearch(p: Pred): Rel = {
-    val (attr, pat) = p.args match {
-      case List(C(Edn.Kw(a)), C(Edn.Str(rx))) => (a, rx)
-      case o => throw new IllegalArgumentException(
-        s"text-search needs (:attr \"pattern\") literals, got $o")
-    }
-    val vars = p.binding match {
-      case Some(BindRel(vs)) => vs
-      case Some(BindTuple(vs)) => vs
-      case o => throw new IllegalArgumentException(s"text-search needs [[?e ?v]] binding, got $o")
-    }
-    require(vars.size == 2 || vars.size == 3,
-      "text-search binds [[?e ?v]] or [[?e ?v ?score]]")
-    val base = source.attr(attr).filter(col("value").rlike(pat))
-    val cols = Seq(col("eid").as(vars(0).name), col("value").as(vars(1).name)) ++
-      (if (vars.size == 3) Seq(textScore(pat).as(vars(2).name)) else Nil)
-    Rel(base.select(cols: _*), distinctSure = false)
-  }
-
-  /** `[(wildcard-text-search "regex") [[?e ?v ?a]]]` — match across ALL
-    * string attributes, yielding (entity, value, attr) tuples
-    * (crux-lucene/src/crux/lucene.clj:184-189; regex for Lucene syntax,
-    * score-less, per SURVEY §2.2). Union of per-attribute scans — each
-    * prunes to (key, attr) columns, so the fan-out stays scan-parallel. */
-  private def planWildcardTextSearch(p: Pred): Rel = {
-    val pat = p.args match {
-      case List(C(Edn.Str(rx))) => rx
-      case o => throw new IllegalArgumentException(
-        s"wildcard-text-search needs a single string-literal pattern, got $o")
-    }
+  /** A registered pred-constraint clause (text-search, wildcard, or any
+    * user-plugged index-aware predicate — companion-object registry):
+    * resolve the binding vars, hand the impl the source + raw args, seed
+    * the returned frame as a relation in the join DAG. */
+  private def planPredConstraint(p: Pred): Rel = {
     val vars = p.binding match {
       case Some(BindRel(vs)) => vs
       case Some(BindTuple(vs)) => vs
       case o => throw new IllegalArgumentException(
-        s"wildcard-text-search needs [[?e ?v ?a]] binding, got $o")
+        s"${p.fn} needs a relation binding [[?a ?b …]], got $o")
     }
-    require(vars.size == 3 || vars.size == 4,
-      "wildcard-text-search binds [[?e ?v ?a]] or [[?e ?v ?a ?score]]")
-    val frames = source.stringAttrs.toSeq.sorted.map { a =>
-      val cols = Seq(col("eid").as(vars(0).name), col("value").as(vars(1).name),
-        lit(":" + a).as(vars(2).name)) ++ // canonical keyword form (SURVEY §1.2)
-        (if (vars.size == 4) Seq(textScore(pat).as(vars(3).name)) else Nil)
-      source.attr(a).filter(col("value").rlike(pat)).select(cols: _*)
-    }
-    require(frames.nonEmpty, "source has no string attributes")
-    Rel(frames.reduce(_ unionByName _), distinctSure = false)
+    Rel(Planner.predConstraint(p.fn)(source, p.args, vars.map(_.name)),
+      distinctSure = false)
   }
 
   // ----------------------------------------------------------------- not/or
@@ -1414,7 +1452,10 @@ private final class Planner(spark: SparkSession, source: FactSource,
         val reps = (lit(n.toInt) / greatest(size(sh), lit(1))).cast(IntegerType) + 1
         when(size(sh) === 0, sh).otherwise(slice(flatten(array_repeat(sh, reps)), 1, n.toInt))
       case ("sample", Some(n)) => slice(shuffle(collect_set(c)), 1, n.toInt)
-      case (fn, n) => throw new IllegalArgumentException(s"unsupported aggregate ($fn $n)")
+      case (fn, n) => Planner.customAgg(fn) match {
+        case Some(impl) => impl(c, n) // user-registered (query.clj:275-286)
+        case None => throw new IllegalArgumentException(s"unsupported aggregate ($fn $n)")
+      }
     }
   }
 }

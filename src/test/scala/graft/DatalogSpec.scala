@@ -625,6 +625,32 @@ class DatalogSpec extends AnyFunSuite {
       Set(Seq(30L)))
   }
 
+  test("user-registered custom aggregate (crux.query/aggregate extension point)") {
+    import org.apache.spark.sql.functions._
+    // geometric mean as a third party would add it: exp(avg(ln x))
+    Planner.registerAggregate("geomean")((c, _) => exp(avg(log(c))))
+    val r = run("""[:find ?s (geomean ?a) :where [[?e :sex ?s] [?e :age ?a]]]""")
+    val males = r.collect { case Seq(":male", g: Double) => g }
+    assert(males.size == 1 && math.abs(males.head - math.pow(30.0 * 35 * 30, 1.0 / 3)) < 1e-9)
+  }
+
+  test("user-registered pred-constraint seeds an index-aware relation (query.clj:1019-1034)") {
+    import org.apache.spark.sql.functions.{col, upper}
+    import graft.datalog.Ast
+    // a third-party "index": prefix search over one attribute, returning
+    // (entity, UPPER(value)) — the crux-lucene plug-in shape
+    Planner.registerPredConstraint("prefix-search") { (src, args, out) =>
+      val (attr, prefix) = args match {
+        case List(Ast.C(graft.datalog.Edn.Kw(a)), Ast.C(graft.datalog.Edn.Str(p))) => (a, p)
+        case o => fail(s"bad args $o")
+      }
+      src.attr(attr).filter(col("value").startsWith(prefix))
+        .select(col("eid").as(out(0)), upper(col("value")).as(out(1)))
+    }
+    assert(run("""[:find ?e ?u :where [[(prefix-search :name "Iv") [[?e ?u]]]
+                   [?e :age 30]]]""") == Set(Seq("ivan", "IVAN")))
+  }
+
   test("ordered + limited subquery (top-N per correlation key)") {
     // for each person: the smallest age strictly greater than theirs
     assert(run("""[:find ?e ?m :where [[?e :age ?a]
