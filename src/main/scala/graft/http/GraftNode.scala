@@ -1,0 +1,235 @@
+package graft.http
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.json4s._
+import graft.bitemp.{Bitemp, TxLog}
+import graft.datalog.{FactSource, Planner}
+
+/** The node behind the HTTP surface: a content-addressed document store +
+  * bitemporal version index + Datalog source, i.e. the pieces
+  * `crux.api/ICruxAPI` ties together for `crux-http-server`
+  * (crux-http-server/src/crux/http_server.clj:447-451 builds the handler
+  * around a started node).
+  *
+  * State is two DataFrames, exactly the reference's split
+  * (doc-store + tx-log/index, SURVEY §1.1):
+  *
+  *  - `versions` — eid/vt/tt/tx_id/content_hash/tombstone (TxLog schema)
+  *  - `docs` — content_hash → canonical doc JSON
+  *
+  * Writes go through [[TxLog.applyTx]] — the same single-writer fold as
+  * batch/stream ingest, so HTTP `submit-tx` has identical semantics to the
+  * other two ingest paths. Tx metadata (id, time, committed) is driver-side
+  * bookkeeping, like the reference's tx-log consumer position.
+  *
+  * Reads never collect whole tables to the driver: entity resolution
+  * filters to one eid before resolving; query results stream out through
+  * `toLocalIterator` in the server (crux's open-q cursor re-expressed).
+  */
+final class GraftNode(val spark: SparkSession, val source: FactSource) {
+
+  @volatile private var versions: DataFrame = TxLog.emptyState(spark)
+  @volatile private var docs: DataFrame = spark.createDataFrame(
+    new java.util.ArrayList[Row](),
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("content_hash", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("doc", org.apache.spark.sql.types.StringType))))
+
+  final case class TxInfo(txId: Long, txTime: java.time.LocalDateTime, committed: Boolean)
+  private val txs = new java.util.concurrent.CopyOnWriteArrayList[TxInfo]()
+  private val txIdGen = new java.util.concurrent.atomic.AtomicLong(0L)
+  /** ops rows kept per tx for /tx-log?with-ops=true (the reference reads
+    * these back off the log itself, kafka.clj/standalone). */
+  private val txOps = new java.util.concurrent.ConcurrentHashMap[Long, JValue]()
+
+  /** Pre-load the version index + doc store (e.g. from parquet) — the
+    * "node started over an existing tx-log" case. */
+  def loadState(v: DataFrame, d: DataFrame): Unit = synchronized {
+    versions = v
+    docs = d
+    val top = v.agg(max("tx_id"), max("tt")).head()
+    if (!top.isNullAt(0)) {
+      txIdGen.set(top.getLong(0))
+      txs.add(TxInfo(top.getLong(0), top.getAs[java.time.LocalDateTime](1), committed = true))
+    }
+  }
+
+  def currentVersions: DataFrame = versions
+
+  // ------------------------------------------------------------------ tx
+
+  /** Submit a transaction: ops as parsed JSON
+    * `[["put", {"crux.db/id": …, …}, valid-time?, end-valid-time?], …]`
+    * (crux-http-server/src/crux/http_server.clj:75-92 JSON decoder;
+    * op conformance crux-core/src/crux/tx/conform.clj). Applies
+    * synchronously — `await-tx` is then trivially satisfied, matching the
+    * reference's single-node behavior where submit+await is the common
+    * pattern. Returns (txId, txTime, committed). */
+  def submitTx(ops: List[JValue]): TxInfo = synchronized {
+    val txId = txIdGen.incrementAndGet()
+    val txTime = java.time.LocalDateTime.now(java.time.ZoneOffset.UTC)
+    val parsed = ops.zipWithIndex.map { case (op, seq) => parseOp(op, seq) }
+    val newDocs = parsed.collect { case (_, Some((hash, doc))) => (hash, doc) }.distinct
+    if (newDocs.nonEmpty) {
+      import spark.implicits._
+      docs = docs.unionByName(newDocs.toDF("content_hash", "doc")).distinct()
+        .localCheckpoint(true)
+    }
+    val opRows = spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(parsed.map(_._1)).asJava, TxLog.opSchema)
+    val (next, aborted) = TxLog.applyTx(versions, opRows, txId, txTime)
+    if (!aborted) versions = next.localCheckpoint(true)
+    val info = TxInfo(txId, txTime, committed = !aborted)
+    txs.add(info)
+    txOps.put(txId, JArray(ops))
+    info
+  }
+
+  /** One tx op → (TxLog op row, optional new doc). */
+  private def parseOp(op: JValue, seq: Int): (Row, Option[(String, String)]) = {
+    def ts(j: JValue): java.time.LocalDateTime = j match {
+      case JString(s) => java.time.LocalDateTime.parse(s)
+      case other => throw new IllegalArgumentException(s"expected timestamp string, got $other")
+    }
+    op match {
+      case JArray(JString("put") :: (doc: JObject) :: rest) =>
+        val eid = eidOf(doc)
+        val json = Json.render(canonical(doc))
+        val hash = sha256(json)
+        val (svt, evt) = rest match {
+          case Nil => (null, null)
+          case vt :: Nil => (ts(vt), null)
+          case vt :: end :: Nil => (ts(vt), ts(end))
+          case o => throw new IllegalArgumentException(s"put takes at most 2 valid-times, got $o")
+        }
+        (Row("put", eid, hash, svt, evt, null, null, seq.toLong), Some(hash -> json))
+      case JArray(JString("delete") :: eid :: rest) =>
+        val (svt, evt) = rest match {
+          case Nil => (null, null)
+          case vt :: Nil => (ts(vt), null)
+          case vt :: end :: Nil => (ts(vt), ts(end))
+          case o => throw new IllegalArgumentException(s"delete takes at most 2 valid-times, got $o")
+        }
+        (Row("delete", eidStr(eid), null, svt, evt, null, null, seq.toLong), None)
+      case JArray(JString("match") :: eid :: rest) =>
+        // ["match", eid, doc-or-null, at-valid-time?]
+        val (expected, atVt) = rest match {
+          case (doc: JObject) :: Nil => (Some(doc), null)
+          case (doc: JObject) :: vt :: Nil => (Some(doc), ts(vt))
+          case JNull :: Nil => (None, null)
+          case JNull :: vt :: Nil => (None, ts(vt))
+          case o => throw new IllegalArgumentException(s"match needs doc-or-null [at-vt], got $o")
+        }
+        val hash = expected.map(d => sha256(Json.render(canonical(d)))).orNull
+        (Row("match", eidStr(eid), null, null, null, atVt, hash, seq.toLong), None)
+      case JArray(JString("cas") :: eid :: oldDoc :: (newDoc: JObject) :: rest) =>
+        val atVt = rest match { case Nil => null; case vt :: Nil => ts(vt)
+          case o => throw new IllegalArgumentException(s"cas takes one at-vt, got $o") }
+        val expHash = oldDoc match {
+          case d: JObject => sha256(Json.render(canonical(d)))
+          case JNull => null
+          case o => throw new IllegalArgumentException(s"cas old-doc must be doc or null, got $o")
+        }
+        val json = Json.render(canonical(newDoc))
+        (Row("cas", eidStr(eid), sha256(json), null, null, atVt, expHash, seq.toLong),
+          Some(sha256(json) -> json))
+      case JArray(JString("evict") :: eid :: Nil) =>
+        (Row("evict", eidStr(eid), null, null, null, null, null, seq.toLong), None)
+      case other => throw new IllegalArgumentException(s"unsupported tx-op $other")
+    }
+  }
+
+  private def eidOf(doc: JObject): String =
+    doc.obj.collectFirst { case ("crux.db/id", v) => eidStr(v) }
+      .getOrElse(throw new IllegalArgumentException("put doc needs crux.db/id"))
+  private def eidStr(j: JValue): String = j match {
+    case JString(s) => s
+    case JLong(l) => l.toString
+    case JInt(i) => i.toString
+    case other => throw new IllegalArgumentException(s"bad eid $other")
+  }
+  /** Canonical doc form: sorted keys, so content hashes are stable
+    * (the reference hashes the Nippy bytes of the sorted doc map). */
+  private def canonical(doc: JObject): JObject =
+    JObject(doc.obj.sortBy(_._1).map { case (k, v) => k -> (v match {
+      case o: JObject => canonical(o)
+      case other => other
+    })})
+  private def sha256(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  def latestCompletedTx: Option[TxInfo] = {
+    val it = txs.iterator(); var last: Option[TxInfo] = None
+    while (it.hasNext) { val t = it.next(); if (t.committed) last = Some(t) }
+    last
+  }
+  def latestSubmittedTx: Option[TxInfo] =
+    if (txs.isEmpty) None else Some(txs.get(txs.size - 1))
+  def txCommitted(txId: Long): Option[Boolean] = {
+    val it = txs.iterator()
+    while (it.hasNext) { val t = it.next(); if (t.txId == txId) return Some(t.committed) }
+    None
+  }
+  def txLogEntries: Seq[(TxInfo, Option[JValue])] = {
+    val it = txs.iterator()
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(TxInfo, Option[JValue])]
+    while (it.hasNext) { val t = it.next(); buf += ((t, Option(txOps.get(t.txId)))) }
+    buf.toSeq
+  }
+
+  // ---------------------------------------------------------------- reads
+
+  /** Resolve one entity's doc at a (valid-time, tx-time/tx-id) basis —
+    * crux.api/entity: entity-tx resolution + doc-store fetch. */
+  def entityTx(eid: String, validTime: Option[java.time.LocalDateTime],
+      txTime: Option[java.time.LocalDateTime], txId: Option[Long]): Option[Row] = {
+    val now = java.time.LocalDateTime.now(java.time.ZoneOffset.UTC)
+    val vt = lit(validTime.getOrElse(now))
+    val one = versions.filter(col("eid") === eid)
+    val resolved = (txTime, txId) match {
+      case (_, Some(id)) => Bitemp.asOf(one, vt, lit(id))
+      case (Some(tt), _) => Bitemp.asOfTime(one, vt, lit(tt))
+      case _ => Bitemp.asOf(one, vt, lit(Long.MaxValue))
+    }
+    resolved.limit(1).collect().headOption
+  }
+
+  def entityDoc(eid: String, validTime: Option[java.time.LocalDateTime],
+      txTime: Option[java.time.LocalDateTime], txId: Option[Long]): Option[JValue] =
+    entityTx(eid, validTime, txTime, txId).flatMap { row =>
+      val hash = row.getAs[String]("content_hash")
+      docs.filter(col("content_hash") === hash).limit(1).collect().headOption
+        .map(r => Json.parse(r.getAs[String]("doc")))
+    }
+
+  /** Entity history rows (+docs when asked) — crux.api/entity-history. */
+  def entityHistory(eid: String, sortAsc: Boolean, withCorrections: Boolean,
+      withDocs: Boolean,
+      startVt: Option[java.time.LocalDateTime], endVt: Option[java.time.LocalDateTime]): DataFrame = {
+    val h = Bitemp.history(versions.filter(col("eid") === eid),
+      sortAsc = sortAsc, withCorrections = withCorrections,
+      vtStart = startVt.map(lit(_)), vtEnd = endVt.map(lit(_)))
+    if (withDocs) h.join(docs, Seq("content_hash"), "left")
+      .select((Bitemp.metaCols.map(col) :+ col("doc")): _*)
+      .orderBy(col("vt").asc, col("tx_id").asc)
+    else h
+  }
+
+  /** Datalog query → DataFrame (find-var column names preserved). */
+  def query(edn: String, args: Seq[Any]): DataFrame =
+    Planner.q(spark, source, edn, args: _*)
+
+  /** attr → rough count of values indexed, crux.api/attribute-stats
+    * (the reference keeps these as index meta; here one aggregation over
+    * the source's attribute frames — see operators/Stats for the HLL
+    * variant used at scale). */
+  def attributeStats(attrs: Seq[String]): Map[String, Long] = {
+    if (attrs.isEmpty) return Map.empty
+    val counted = attrs.map(a => source.attr(a).agg(count(lit(1)).as("n"))
+      .select(lit(a).as("a"), col("n")))
+      .reduce(_ unionByName _)
+    counted.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+}

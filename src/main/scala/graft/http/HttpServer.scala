@@ -1,0 +1,280 @@
+package graft.http
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer => JdkHttpServer}
+import org.json4s._
+import org.json4s.JsonDSL._
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** HTTP query/ingest surface — the `crux-http-server` routes
+  * (crux-http-server/src/crux/http_server.clj:328-424) re-expressed over
+  * [[GraftNode]], on the JDK's built-in `HttpServer` (no extra deps; the
+  * reference runs Jetty). JSON only (the reference also speaks EDN and
+  * transit via muuntaja; CSV/TSV are kept for `/query.csv|.tsv`).
+  *
+  * Routes (all under /_crux, as in the reference):
+  *   GET  /status, /db, /entity, /entity-tx, /attribute-stats,
+  *        /sync, /await-tx, /await-tx-time, /tx-log, /tx-committed,
+  *        /latest-completed-tx, /latest-submitted-tx,
+  *        /active-queries, /recent-queries, /slowest-queries,
+  *        /query (+ .csv/.tsv)
+  *   POST /query, /submit-tx
+  *
+  * Scale: query results are streamed to the socket via `toLocalIterator`
+  * over a chunked response — the open-q cursor (query.clj:1816-1835)
+  * re-expressed; the driver never holds the whole result set.
+  */
+final class HttpServer(node: GraftNode, port: Int = 0) {
+
+  private val server = JdkHttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+
+  /** Query monitoring ring buffers (crux.query tracks these through bus
+    * events, crux-core/src/crux/query.clj:2000-2031; same data here). */
+  private val active = java.util.concurrent.ConcurrentHashMap.newKeySet[JValue]()
+  private val recent = new java.util.concurrent.ConcurrentLinkedDeque[JValue]()
+  private val slowest = new java.util.concurrent.atomic.AtomicReference[List[(Double, JValue)]](Nil)
+  private val maxRecent = 20
+
+  def boundPort: Int = server.getAddress.getPort
+  def start(): HttpServer = { server.start(); this }
+  def stop(): Unit = server.stop(0)
+
+  // ------------------------------------------------------------- routing
+
+  private def route(path: String, ex: HttpExchange, qp: Map[String, String]): (Int, String, String) = {
+    val json = "application/json"
+    path match {
+      case "/_crux/status" =>
+        (200, json, Json.render(
+          ("crux.version/version" -> "graft-spark") ~
+          ("crux.index/index-version" -> 1) ~
+          ("crux.tx-log/consumer-state" -> JNull) ~
+          ("size" -> node.currentVersions.count())))
+
+      case "/_crux/db" =>
+        val vt = qp.get("valid-time").getOrElse(java.time.LocalDateTime.now(java.time.ZoneOffset.UTC).toString)
+        (200, json, Json.render(
+          ("crux.db/valid-time" -> vt) ~
+          ("crux.tx/tx-time" -> node.latestCompletedTx.map(_.txTime.toString)) ~
+          ("crux.tx/tx-id" -> node.latestCompletedTx.map(_.txId))))
+
+      case "/_crux/entity" if qp.get("history").contains("true") =>
+        val eid = qp.getOrElse("eid", return (400, json, err("eid required")))
+        val sortAsc = !qp.get("sort-order").contains("desc")
+        val df = node.entityHistory(eid,
+          sortAsc = sortAsc,
+          withCorrections = qp.get("with-corrections").contains("true"),
+          withDocs = qp.get("with-docs").contains("true"),
+          startVt = qp.get("start-valid-time").map(java.time.LocalDateTime.parse),
+          endVt = qp.get("end-valid-time").map(java.time.LocalDateTime.parse))
+        val rows = df.collect().toList.map(Json.toJValue)
+        (200, json, Json.render("entity-history" -> JArray(rows)))
+
+      case "/_crux/entity" =>
+        val eid = qp.getOrElse("eid", return (400, json, err("eid required")))
+        node.entityDoc(eid, qp.get("valid-time").map(java.time.LocalDateTime.parse),
+            qp.get("tx-time").map(java.time.LocalDateTime.parse), qp.get("tx-id").map(_.toLong)) match {
+          case Some(doc) => (200, json, Json.render(doc))
+          case None => (404, json, err(s"$eid entity not found"))
+        }
+
+      case "/_crux/entity-tx" =>
+        val eid = qp.getOrElse("eid", return (400, json, err("eid required")))
+        node.entityTx(eid, qp.get("valid-time").map(java.time.LocalDateTime.parse),
+            qp.get("tx-time").map(java.time.LocalDateTime.parse), qp.get("tx-id").map(_.toLong)) match {
+          case Some(row) => (200, json, Json.render(Json.toJValue(row)))
+          case None => (404, json, err(s"$eid entity-tx not found"))
+        }
+
+      case "/_crux/attribute-stats" =>
+        val attrs = qp.get("attrs").map(_.split(",").toSeq)
+          .getOrElse(node.source.attrs.toSeq.sorted)
+        val stats = node.attributeStats(attrs)
+        (200, json, Json.render(JObject(stats.toList.sortBy(_._1).map {
+          case (a, n) => (":" + a) -> JLong(n) })))
+
+      case "/_crux/sync" | "/_crux/await-tx" | "/_crux/await-tx-time" =>
+        // txs apply synchronously in this node (GraftNode.submitTx), so
+        // sync/await are immediately satisfied — same contract, trivial wait
+        node.latestCompletedTx match {
+          case Some(t) => (200, json, Json.render(
+            ("crux.tx/tx-id" -> t.txId) ~ ("crux.tx/tx-time" -> t.txTime.toString)))
+          case None => (200, json, Json.render(("crux.tx/tx-time" -> JNull): JObject))
+        }
+
+      case "/_crux/tx-log" =>
+        val after = qp.get("after-tx-id").map(_.toLong).getOrElse(-1L)
+        val withOps = qp.get("with-ops").contains("true")
+        val entries = node.txLogEntries.filter(_._1.txId > after).map { case (t, ops) =>
+          val base: JObject = ("crux.tx/tx-id" -> t.txId) ~
+            ("crux.tx/tx-time" -> t.txTime.toString) ~ ("committed" -> t.committed)
+          if (withOps) base ~ ("crux.api/tx-ops" -> ops.getOrElse(JNull)) else base
+        }
+        (200, json, Json.render("results" -> JArray(entries.toList)))
+
+      case "/_crux/submit-tx" =>
+        if (ex.getRequestMethod != "POST") return (405, json, err("POST required"))
+        val body = Json.parse(new String(ex.getRequestBody.readAllBytes(), UTF_8))
+        val ops = body \ "tx-ops" match {
+          case JArray(xs) => xs
+          case o => return (400, json, err(s"body needs tx-ops array, got $o"))
+        }
+        val info = node.submitTx(ops)
+        (202, json, Json.render(
+          ("crux.tx/tx-id" -> info.txId) ~ ("crux.tx/tx-time" -> info.txTime.toString)))
+
+      case "/_crux/tx-committed" =>
+        val txId = qp.getOrElse("tx-id", return (400, json, err("tx-id required"))).toLong
+        node.txCommitted(txId) match {
+          case Some(c) => (200, json, Json.render("tx-committed?" -> c))
+          case None => (400, json, err(s"tx-id $txId not found"))
+        }
+
+      case "/_crux/latest-completed-tx" => txInfo(node.latestCompletedTx, "No latest-completed-tx found.")
+      case "/_crux/latest-submitted-tx" => txInfo(node.latestSubmittedTx, "No latest-submitted-tx found.")
+
+      case "/_crux/active-queries" =>
+        (200, json, Json.render(JArray(
+          scala.jdk.CollectionConverters.SetHasAsScala(active).asScala.toList)))
+      case "/_crux/recent-queries" =>
+        (200, json, Json.render(JArray(
+          scala.jdk.CollectionConverters.IteratorHasAsScala(recent.iterator()).asScala.toList)))
+      case "/_crux/slowest-queries" =>
+        (200, json, Json.render(JArray(slowest.get().map(_._2))))
+
+      case _ => (404, json, err(s"unknown route $path"))
+    }
+  }
+
+  private def txInfo(t: Option[GraftNode#TxInfo], notFound: String): (Int, String, String) =
+    t match {
+      case Some(tx) => (200, "application/json", Json.render(
+        ("crux.tx/tx-id" -> tx.txId) ~ ("crux.tx/tx-time" -> tx.txTime.toString)))
+      case None => (404, "application/json", err(notFound))
+    }
+
+  /** `in-args-edn` — only the literal subset the Planner's `:in` coercion
+    * takes (scalars + collections), parsed with the repo's EDN reader. */
+  private def parseInArgs(edn: String): Seq[Any] =
+    graft.datalog.Edn.parse(edn) match {
+      case graft.datalog.Edn.Vec(items) => items.map(ednToArg)
+      case other => Seq(ednToArg(other))
+    }
+  private def ednToArg(v: graft.datalog.Edn.Val): Any = v match {
+    case graft.datalog.Edn.Str(s) => s
+    case graft.datalog.Edn.Lng(n) => n
+    case graft.datalog.Edn.Dbl(d) => d
+    case graft.datalog.Edn.Bool(b) => b
+    case graft.datalog.Edn.Kw(k) => ":" + k
+    case graft.datalog.Edn.Inst(t) => t
+    case graft.datalog.Edn.Vec(items) => items.map(ednToArg)
+    case other => throw new IllegalArgumentException(s"unsupported in-arg $other")
+  }
+
+  /** `/query` paths stream the result set row-by-row over a chunked
+    * response via `toLocalIterator` — the reference's open-q cursor
+    * (query.clj:1816-1835) re-expressed: the driver holds one partition
+    * at a time, never the whole result. */
+  private def handleQuery(path: String, ex: HttpExchange, qp: Map[String, String]): Unit = {
+    val (edn, inArgs) =
+      if (ex.getRequestMethod == "POST") {
+        val body = Json.parse(new String(ex.getRequestBody.readAllBytes(), UTF_8))
+        val q = body \ "query" match {
+          case JString(s) => s
+          case o => return respond(ex, 400, "application/json", err(s"POST body needs string 'query', got $o"))
+        }
+        val args = body \ "in-args" match {
+          case JArray(xs) => xs.map(Json.fromJValue)
+          case _ => Nil
+        }
+        (q, args)
+      } else (qp.getOrElse("query-edn",
+          return respond(ex, 400, "application/json", err("query-edn parameter required"))),
+        qp.get("in-args-edn").map(parseInArgs).getOrElse(Nil))
+
+    val started = System.nanoTime()
+    val qinfo: JObject = ("query" -> edn) ~
+      ("started-at" -> java.time.Instant.now().toString)
+    active.add(qinfo)
+    try {
+      val df = node.query(edn, inArgs)
+      val cols = df.columns.toList
+      val ctype = path match {
+        case "/_crux/query.csv" => "text/csv"
+        case "/_crux/query.tsv" => "text/tsv"
+        case _ => "application/json"
+      }
+      ex.getResponseHeaders.set("Content-Type", ctype)
+      ex.sendResponseHeaders(200, 0L) // 0 ⇒ chunked transfer encoding
+      val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(ex.getResponseBody, UTF_8))
+      val it = df.toLocalIterator()
+      path match {
+        case "/_crux/query.csv" | "/_crux/query.tsv" =>
+          val d = if (path.endsWith(".csv")) "," else "\t"
+          out.write(cols.mkString(d)); out.write("\n")
+          while (it.hasNext) {
+            val r = it.next()
+            out.write(cols.indices.map(i => Option(r.get(i)).map(_.toString).getOrElse("")).mkString(d))
+            out.write("\n")
+          }
+        case _ =>
+          out.write("""{"find":""" + Json.render(JArray(cols.map(JString(_)))) + ""","results":[""")
+          var first = true
+          while (it.hasNext) {
+            val r = it.next()
+            if (!first) out.write(",")
+            first = false
+            out.write(Json.render(JArray(cols.indices.map(i => Json.toJValue(r.get(i))).toList)))
+          }
+          out.write("]}")
+      }
+      out.flush()
+      ex.close()
+      val tookMs = (System.nanoTime() - started) / 1e6
+      val done: JObject = qinfo ~ ("finished-at" -> java.time.Instant.now().toString) ~
+        ("took-ms" -> tookMs) ~ ("status" -> "completed")
+      recent.addFirst(done)
+      while (recent.size > maxRecent) recent.removeLast()
+      slowest.updateAndGet(l => ((tookMs, done) :: l).sortBy(-_._1).take(maxRecent))
+    } catch {
+      case e: IllegalArgumentException =>
+        respond(ex, 400, "application/json", err(e.getMessage))
+        val done: JObject = qinfo ~ ("status" -> "failed") ~ ("error" -> e.getMessage)
+        recent.addFirst(done)
+        while (recent.size > maxRecent) recent.removeLast()
+    } finally active.remove(qinfo)
+  }
+
+  private def respond(ex: HttpExchange, status: Int, ctype: String, body: String): Unit = {
+    val bytes = body.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", ctype)
+    ex.sendResponseHeaders(status, bytes.length.toLong)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  private def err(msg: String): String = Json.render("error" -> msg)
+
+  server.createContext("/", (ex: HttpExchange) => {
+    val qp = Option(ex.getRequestURI.getRawQuery).map(_.split("&").toSeq).getOrElse(Nil)
+      .filter(_.nonEmpty).map { kv =>
+        val i = kv.indexOf('=')
+        if (i < 0) kv -> ""
+        else java.net.URLDecoder.decode(kv.take(i), UTF_8) ->
+          java.net.URLDecoder.decode(kv.drop(i + 1), UTF_8)
+      }.toMap
+    val path = ex.getRequestURI.getPath
+    try {
+      if (path == "/_crux/query" || path == "/_crux/query.csv" || path == "/_crux/query.tsv")
+        handleQuery(path, ex, qp)
+      else {
+        val (status, ctype, body) = route(path, ex, qp)
+        respond(ex, status, ctype, body)
+      }
+    } catch {
+      case e: IllegalArgumentException => respond(ex, 400, "application/json", err(e.getMessage))
+      case scala.util.control.NonFatal(e) => respond(ex, 500, "application/json", err(e.toString))
+    }
+  })
+}
