@@ -875,7 +875,7 @@ private final class Planner(spark: SparkSession, source: FactSource,
       (for (i <- args.indices; j <- args.indices if i < j) yield {
         if (tagOf(types(i)) != tagOf(types(j))) lit(true)
         else !(args(i) <=> args(j))
-      }).reduce(_ && _)
+      }).reduceOption(_ && _).getOrElse(lit(true)) // (distinct? x) is true
     case "bit-test" => // ((x >> n) & 1) == 1
       call_function("shiftright", args.head.cast(LongType), args(1))
         .bitwiseAND(lit(1L)) === 1L

@@ -27,7 +27,8 @@ import java.nio.charset.StandardCharsets.UTF_8
 final class HttpServer(node: GraftNode, port: Int = 0) {
 
   private val server = JdkHttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
-  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+  server.setExecutor(pool)
 
   /** Query monitoring ring buffers (crux.query tracks these through bus
     * events, crux-core/src/crux/query.clj:2000-2031; same data here). */
@@ -38,7 +39,7 @@ final class HttpServer(node: GraftNode, port: Int = 0) {
 
   def boundPort: Int = server.getAddress.getPort
   def start(): HttpServer = { server.start(); this }
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = { server.stop(0); pool.shutdown() } // non-daemon workers must die or the JVM can't exit
 
   // ------------------------------------------------------------- routing
 
@@ -197,6 +198,9 @@ final class HttpServer(node: GraftNode, port: Int = 0) {
     val qinfo: JObject = ("query" -> edn) ~
       ("started-at" -> java.time.Instant.now().toString)
     active.add(qinfo)
+    // once 200 + chunked headers are on the wire we can no longer send an
+    // error status; a mid-stream failure then only gets a truncated body
+    var headersSent = false
     try {
       val df = node.query(edn, inArgs)
       val cols = df.columns.toList
@@ -207,15 +211,24 @@ final class HttpServer(node: GraftNode, port: Int = 0) {
       }
       ex.getResponseHeaders.set("Content-Type", ctype)
       ex.sendResponseHeaders(200, 0L) // 0 ⇒ chunked transfer encoding
+      headersSent = true
       val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(ex.getResponseBody, UTF_8))
       val it = df.toLocalIterator()
       path match {
         case "/_crux/query.csv" | "/_crux/query.tsv" =>
           val d = if (path.endsWith(".csv")) "," else "\t"
-          out.write(cols.mkString(d)); out.write("\n")
+          // RFC 4180: quote any field containing the delimiter, a quote,
+          // or a newline; double embedded quotes (the reference emits
+          // proper CSV via clojure.data.csv)
+          def field(s: String): String =
+            if (s.contains(d) || s.contains("\"") || s.contains("\n") || s.contains("\r"))
+              "\"" + s.replace("\"", "\"\"") + "\""
+            else s
+          out.write(cols.map(field).mkString(d)); out.write("\n")
           while (it.hasNext) {
             val r = it.next()
-            out.write(cols.indices.map(i => Option(r.get(i)).map(_.toString).getOrElse("")).mkString(d))
+            out.write(cols.indices.map(i =>
+              field(Option(r.get(i)).map(_.toString).getOrElse(""))).mkString(d))
             out.write("\n")
           }
         case _ =>
@@ -238,9 +251,15 @@ final class HttpServer(node: GraftNode, port: Int = 0) {
       while (recent.size > maxRecent) recent.removeLast()
       slowest.updateAndGet(l => ((tookMs, done) :: l).sortBy(-_._1).take(maxRecent))
     } catch {
-      case e: IllegalArgumentException =>
-        respond(ex, 400, "application/json", err(e.getMessage))
-        val done: JObject = qinfo ~ ("status" -> "failed") ~ ("error" -> e.getMessage)
+      case scala.util.control.NonFatal(e) =>
+        val status = e match {
+          case _: IllegalArgumentException => 400
+          case _ => 500
+        }
+        val msg = Option(e.getMessage).getOrElse(e.toString)
+        if (!headersSent) respond(ex, status, "application/json", err(msg))
+        else ex.close() // truncated chunked body signals the failure to the client
+        val done: JObject = qinfo ~ ("status" -> "failed") ~ ("error" -> msg)
         recent.addFirst(done)
         while (recent.size > maxRecent) recent.removeLast()
     } finally active.remove(qinfo)

@@ -107,12 +107,14 @@ object IngestStream {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (ops: DataFrame, batchId: Long) =>
         val sp = ops.sparkSession
+        // all state IO rides the session Hadoop conf (incl. this replay
+        // guard) so HDFS/S3 credentials configured on the session apply
+        val conf = sp.sessionState.newHadoopConf()
         // replay guard: if a commit manifest already covers this batch (we
         // crashed between the state commit and Spark's checkpoint commit),
         // re-applying would duplicate version rows — idempotent skip
-        if (committedTx(stateDir).exists(_ >= batchId)) ()
+        if (committedTx(stateDir, conf).exists(_ >= batchId)) ()
         else {
-          val conf = sp.sessionState.newHadoopConf()
           val fs = hfs(stateDir, conf)
           val cur = currentManifest(stateDir, conf)
           val current = loadState(sp, stateDir)
@@ -146,8 +148,13 @@ object IngestStream {
                   cur.toSeq.flatMap(_.deltas) :+ deltaName)
               }
             }
-          commitManifest(stateDir, next, conf)
+          // sinks run BEFORE the manifest commit: the commit marker is the
+          // replay guard, so a crash between the two replays the batch into
+          // the (idempotent) sinks — at-least-once delivery, matching the
+          // reference's secondary-index contract (tx.clj:400-410 indexes
+          // secondaries inside the same tx before the tx is marked done)
           secondarySinks.foreach(sink => sink(ops, batchId))
+          commitManifest(stateDir, next, conf)
           pruneStale(fs, stateDir, conf)
         }
       }
@@ -234,17 +241,21 @@ object IngestStream {
   }
 
   /** Highest committed tx id per the manifest, if any. */
-  def committedTx(stateDir: String): Option[Long] =
-    currentManifest(stateDir).map(_.txId)
+  def committedTx(stateDir: String,
+      conf: org.apache.hadoop.conf.Configuration =
+        new org.apache.hadoop.conf.Configuration()): Option[Long] =
+    currentManifest(stateDir, conf).map(_.txId)
 
   /** Block until the indexer has committed `txId` (the reference's
     * `await-tx`/`sync`, crux-core/src/crux/api.clj:24-91 — re-expressed as
     * commit-marker polling, SURVEY §2.9). Returns the latest committed tx.
     * Throws on timeout. */
-  def awaitTx(stateDir: String, txId: Long, timeoutMs: Long = 60000): Long = {
+  def awaitTx(stateDir: String, txId: Long, timeoutMs: Long = 60000,
+      conf: org.apache.hadoop.conf.Configuration =
+        new org.apache.hadoop.conf.Configuration()): Long = {
     val deadline = System.currentTimeMillis() + timeoutMs
     while (System.currentTimeMillis() < deadline) {
-      committedTx(stateDir) match {
+      committedTx(stateDir, conf) match {
         case Some(latest) if latest >= txId => return latest
         case _ => ()
       }
