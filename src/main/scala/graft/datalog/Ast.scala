@@ -118,6 +118,21 @@ object Ast {
     case other => C(other)
   }
 
+  /** Higher-order registry fns whose FIRST arg is a fn value
+    * (`(map inc ?xs)`, `(max-key count ?a ?b)`). Only there is a bare
+    * symbol kept as a constant for the planner's registry dispatch —
+    * everywhere else (triples, rule bodies, other pred args) bare symbols
+    * stay vars (datascript/racket-datalog var naming). */
+  private val hofFns = Set(
+    "map", "mapv", "keep", "filter", "filterv", "remove", "every?", "some",
+    "not-any?", "not-every?", "take-while", "drop-while", "max-key",
+    "min-key", "apply", "sort-by")
+
+  private def parsePredArg(fn: String, i: Int)(v: Edn.Val): Term = v match {
+    case s @ Sym(n) if i == 0 && hofFns(fn) && !n.startsWith("?") => C(s)
+    case other => parseTerm(other)
+  }
+
   private def parseFindElem(v: Edn.Val): FindElem = v match {
     case Sym(n) => FindVar(V(varName(n)))
     case Lst(List(Sym("pull"), Sym(e), pat: Vec)) => FindPull(V(varName(e)), pat)
@@ -153,7 +168,7 @@ object Ast {
             case List(b) => Some(parseBinding(b))
             case o => throw new IllegalArgumentException(s"bad pred binding $o")
           }
-          Pred(fn, args.map(parseTerm), binding)
+          Pred(fn, args.zipWithIndex.map { case (a, i) => parsePredArg(fn, i)(a) }, binding)
         case o => throw new IllegalArgumentException(s"bad pred clause $o")
       }
     case Lst(Sym("not") :: clauses) => Not(None, clauses.map(parseClause))

@@ -489,6 +489,9 @@ private final class Planner(spark: SparkSession, source: FactSource,
     case V(n) =>
       require(rel.vars.contains(n), s"unbound var $n in predicate")
       col(n)
+    // fn-symbol arg to a higher-order fn (map/filter/max-key/apply/…):
+    // consumed via the raw term list, never evaluated as a value
+    case C(Edn.Sym(_)) => lit(null)
     case C(v) => litOf(v)
     case Blank => throw new IllegalArgumentException("_ not allowed in predicate args")
   }
@@ -709,15 +712,54 @@ private final class Planner(spark: SparkSession, source: FactSource,
       return Rel(out, rel.distinctSure)
     }
 
+    // rel-as-value bindings (query_test.clj:1303 "can bind resulting
+    // relation as scalar/tuple"; bind-binding query.clj:933-952): scalar
+    // binds the WHOLE nested result as one value; tuple positions
+    // destructure its ROWS (nil-padded). Rows are arrays when the :find
+    // columns share one type (the reference's row vectors), structs
+    // otherwise. Row order is the sorted set order — the reference's
+    // sorted virtual index — and an empty relation binds nil.
+    p.binding.get match {
+      case BindScalar(_) | BindTuple(_) =>
+        val outTypes = outNames.map(n => subDf.schema(n).dataType)
+        val rowCol =
+          if (outTypes.distinct.size == 1) array(outNames.map(col): _*)
+          else struct(outNames.zipWithIndex.map { case (n, i) => col(n).as(s"f$i") }: _*)
+        val gname = gensym("relv")
+        val aggDf =
+          (if (corrCols.nonEmpty) subDf.groupBy(corrCols.map(col): _*)
+           else subDf.groupBy())
+            .agg(sort_array(collect_list(rowCol)).as(gname))
+        var joined =
+          if (corrCols.nonEmpty) rel.df.join(aggDf, corrCols, "left")
+          else rel.df.crossJoin(aggDf)
+        joined = joined.withColumn(gname,
+          when(size(col(gname)) > 0, col(gname))) // empty relation → nil
+        p.binding.get match {
+          case BindScalar(v) =>
+            if (rel.vars.contains(v.name))
+              joined = joined.filter(col(v.name) === col(gname)).drop(gname)
+            else joined = joined.withColumnRenamed(gname, v.name)
+          case BindTuple(vs) =>
+            vs.zipWithIndex.foreach { case (vv, i) =>
+              if (vv.name == "_") ()
+              else if (rel.vars.contains(vv.name))
+                joined = joined.filter(col(vv.name) === get(col(gname), lit(i)))
+              else joined = joined.withColumn(vv.name, get(col(gname), lit(i)))
+            }
+            joined = joined.drop(gname)
+          case _ => throw new IllegalStateException("unreachable")
+        }
+        return Rel(joined, distinctSure = false)
+      case _ => ()
+    }
+
     val bindNames: List[String] = p.binding.get match {
-      case BindScalar(v) =>
-        require(sub.find.size == 1, "scalar binding needs a 1-element :find"); List(v.name)
       case BindColl(v) =>
         require(sub.find.size == 1, "collection binding needs a 1-element :find"); List(v.name)
-      case BindTuple(vs) =>
-        require(vs.size == sub.find.size, "tuple binding arity mismatch"); vs.map(_.name)
       case BindRel(vs) =>
         require(vs.size == sub.find.size, "relation binding arity mismatch"); vs.map(_.name)
+      case b => throw new IllegalStateException(s"unreachable binding $b")
     }
     // fresh binding vars rename in place; already-bound vars unify post-join
     val unify = scala.collection.mutable.ListBuffer[(String, String)]()
@@ -783,6 +825,21 @@ private final class Planner(spark: SparkSession, source: FactSource,
   private def rawStr(raw: Seq[Term], i: Int, what: String): String = raw.lift(i) match {
     case Some(C(Edn.Str(s))) => s
     case o => throw new IllegalArgumentException(s"$what must be a string literal, got $o")
+  }
+
+  /** Literal fn-symbol arg of a higher-order fn — dispatched back through
+    * this same registry (the reference's allowlist admits the fn VALUES
+    * map/filter/max-key/…, crux-core/resources/query-allowlist.edn; fn
+    * arguments there are whatever vars resolve to — here they must be
+    * literal symbols naming registry fns, since columns can't hold fns). */
+  private def rawSym(raw: Seq[Term], i: Int, what: String): String = raw.lift(i) match {
+    case Some(C(Edn.Sym(s))) => s
+    case o => throw new IllegalArgumentException(s"$what must be a function symbol, got $o")
+  }
+
+  private def elemTypeOf(t: DataType): DataType = t match {
+    case ArrayType(et, _) => et
+    case _ => NullType
   }
 
   /** Predicate in filter position: false/nil drops the row. */
@@ -852,6 +909,8 @@ private final class Planner(spark: SparkSession, source: FactSource,
     }
     case "boolean?" =>
       types.head match { case BooleanType => args.head.isNotNull; case _ => lit(false) }
+    case "char?" => lit(false) // no char type on flat columnar schemas
+    case "map?" => lit(false)  // map values are excluded (flat schemas)
     case "inst?" => types.head match {
       case TimestampType | TimestampNTZType | DateType => args.head.isNotNull
       case _ => lit(false)
@@ -994,7 +1053,11 @@ private final class Planner(spark: SparkSession, source: FactSource,
     // numeric casts: double/float → double; the integer family → long
     // (every Clojure integer is a long); bigdec/bigint → decimal
     case "double" | "float" => args.head.cast(DoubleType)
-    case "long" | "int" | "short" | "byte" => args.head.cast(LongType)
+    case "long" | "int" | "short" | "byte" => types.head match {
+      // (int \a) — chars surface as 1-char strings; int yields the code point
+      case StringType => ascii(args.head).cast(LongType)
+      case _ => args.head.cast(LongType)
+    }
     case "bigdec" => args.head.cast(DecimalType(38, 18))
     case "bigint" | "biginteger" => args.head.cast(DecimalType(38, 0))
     case "num" => args.head
@@ -1022,6 +1085,101 @@ private final class Planner(spark: SparkSession, source: FactSource,
     case "pop" => slice(args.head, lit(1), greatest(size(args.head) - 1, lit(0)))
     case "index-of" => // clojure.string/index-of: 0-based or nil
       when(instr(args.head, args(1)) > 0, (instr(args.head, args(1)) - 1).cast(LongType))
+    case "re-seq" => // all matches, nil when none (Clojure returns nil, not ())
+      val ms = call_function("regexp_extract_all", args(1), args.head, lit(0))
+      when(size(ms) > 0, ms)
+    case "char" => call_function("char", args.head) // code point → 1-char string
+    case "concat" => concat(args: _*) // arrays (or strings) end-to-end
+    case "flatten" => // Clojure flatten is deep — unroll by the static type
+      def fl(c: Column, t: DataType): Column = t match {
+        case ArrayType(inner: ArrayType, _) => fl(flatten(c), inner)
+        case _ => c
+      }
+      fl(args.head, types.head)
+    case "repeat" => array_repeat(args(1), args.head.cast(IntegerType))
+    case "interleave" => // stops at the shortest input, like Clojure
+      val n = args.map(size).reduceLeft(least(_, _))
+      when(n > 0, flatten(transform(sequence(lit(0), n - 1),
+          i => array(args.map(a => get(a, i)): _*))))
+        .otherwise(slice(args.head, lit(1), lit(0)))
+    case "interpose" => // same-family separator only (typed arrays)
+      val c = args(1)
+      slice(flatten(transform(c, x => array(args.head, x))), lit(2),
+        greatest(size(c) * 2 - 1, lit(0)))
+    case "frequencies" =>
+      // map-valued in Clojure; flat schemas carry maps as sorted
+      // (item, n) struct arrays (same convention as the stats operators)
+      val c = args.head
+      transform(array_distinct(sort_array(c)), x =>
+        struct(x.as("item"), size(filter(c, y => y <=> x)).cast(LongType).as("n")))
+    case "split-at" => // [take drop] pair, binds as a tuple
+      val n = args.head.cast(IntegerType)
+      val c = args(1)
+      array(slice(c, lit(1), least(n, size(c))),
+        slice(c, least(n, size(c)) + 1, greatest(size(c) - n, lit(0))))
+    // --- higher-order fns: the fn argument is a literal symbol dispatched
+    // back through this registry (allowlist map/filter/remove/every?/some/
+    // keep/take-while/drop-while/max-key/min-key/apply). Map-valued fns
+    // (assoc/merge/keys/vals/zipmap/group-by/update) stay unsupported:
+    // flat columnar schemas have no map values to thread through.
+    case "map" | "mapv" =>
+      val f = rawSym(raw, 0, "map fn")
+      transform(args(1), x => functionCol(f, Seq(x), Seq(elemTypeOf(types(1)))))
+    case "keep" =>
+      val f = rawSym(raw, 0, "keep fn")
+      filter(transform(args(1), x => functionCol(f, Seq(x), Seq(elemTypeOf(types(1))))),
+        _.isNotNull)
+    case "filter" | "filterv" =>
+      val f = rawSym(raw, 0, "filter pred")
+      filter(args(1), x => predicateCol(f, Seq(x), Seq(elemTypeOf(types(1)))))
+    case "remove" =>
+      val f = rawSym(raw, 0, "remove pred")
+      filter(args(1), x => !predicateCol(f, Seq(x), Seq(elemTypeOf(types(1)))))
+    case "every?" =>
+      val f = rawSym(raw, 0, "every? pred")
+      forall(args(1), x => predicateCol(f, Seq(x), Seq(elemTypeOf(types(1)))))
+    case "not-every?" =>
+      val f = rawSym(raw, 0, "not-every? pred")
+      !forall(args(1), x => predicateCol(f, Seq(x), Seq(elemTypeOf(types(1)))))
+    case "not-any?" =>
+      val f = rawSym(raw, 0, "not-any? pred")
+      !exists(args(1), x => predicateCol(f, Seq(x), Seq(elemTypeOf(types(1)))))
+    case "some" => // first logical-true of (pred x): true or nil for bool preds
+      val f = rawSym(raw, 0, "some pred")
+      when(exists(args(1), x => predicateCol(f, Seq(x), Seq(elemTypeOf(types(1))))), lit(true))
+    case tw @ ("take-while" | "drop-while") =>
+      val f = rawSym(raw, 0, s"$tw pred")
+      val c = args(1)
+      val et = elemTypeOf(types(1))
+      // index of the first element failing the pred; size(c) when none does
+      val firstFail = coalesce(
+        get(filter(transform(c, (x, i) => when(!predicateCol(f, Seq(x), Seq(et)), i)),
+          _.isNotNull), lit(0)),
+        size(c))
+      if (tw == "take-while") slice(c, lit(1), firstFail)
+      else slice(c, firstFail + 1, greatest(size(c) - firstFail, lit(0)))
+    case mk @ ("max-key" | "min-key") =>
+      val f = rawSym(raw, 0, "key fn")
+      val keyed = args.tail.zip(types.tail).map { case (c, t) =>
+        (c, functionCol(f, Seq(c), Seq(t))) }
+      // Clojure returns the LAST argument on key ties
+      keyed.reduceLeft[(Column, Column)] { case ((av, ak), (bv, bk)) =>
+        val takeB = if (mk == "max-key") bk >= ak else bk <= ak
+        (when(takeB, bv).otherwise(av), when(takeB, bk).otherwise(ak))
+      }._1
+    case "apply" => // (apply f coll) for the reducible registry fns
+      val c = args.last
+      val et = elemTypeOf(types.last)
+      rawSym(raw, 0, "apply fn") match {
+        case "max" => array_max(c)
+        case "min" => array_min(c)
+        case "+" => aggregate(c, lit(0).cast(et), (acc, x) => acc + x)
+        case "*" => aggregate(c, lit(1).cast(et), (acc, x) => acc * x)
+        case "str" => array_join(c.cast(ArrayType(StringType)), "")
+        case "concat" => flatten(c)
+        case f => throw new IllegalArgumentException(
+          s"(apply $f …) unsupported — reducible fns: + * max min str concat")
+      }
     case other => throw new IllegalArgumentException(s"unsupported function $other")
   }
 

@@ -128,7 +128,7 @@ object Datalog2Queries {
        :where [[?c :c_custkey ?ck] [?c :c_nationkey ?nk] [?c :c_acctbal ?ab]
                [(q {:find [(max ?x)]
                     :in [?nk2]
-                    :where [[?c2 :c_nationkey ?nk2] [?c2 :c_acctbal ?x]]} ?nk) ?mab]
+                    :where [[?c2 :c_nationkey ?nk2] [?c2 :c_acctbal ?x]]} ?nk) [[?mab]]]
                [(= ?ab ?mab)]]}""") _,
 
     // the full crux story end-to-end: tx-log fold → bitemporal index →

@@ -127,6 +127,29 @@ object DatalogQueries {
                [(clojure.string/split ?nm "#") ?parts]
                [(peek ?parts) ?pk]]}""") _,
 
+    // registry breadth round 3: re-seq, char/code-point fns, higher-order
+    // fns over literal fn symbols (map/filter/every?/some/apply/max-key),
+    // interleave/interpose, frequencies as sorted (item, n) struct array
+    "dl_fns_corpus3" -> dl("""
+      {:find [?ck ?rs ?chr ?cp ?mk ?il ?ip ?fr ?tot ?linc ?lodd ?ev ?sm]
+       :keys [c_custkey rs chr cp mk il ip fr tot linc lodd ev sm]
+       :where [[?c :c_custkey ?ck] [?c :c_name ?nm] [?c :c_mktsegment ?seg]
+               [(< ?ck 100)]
+               [(re-seq "[0-9]+" ?nm) ?rs]
+               [(mod ?ck 26) ?m26] [(+ 65 ?m26) ?c65] [(char ?c65) ?chr]
+               [(first ?nm) ?f1] [(int ?f1) ?cp]
+               [(max-key count ?nm ?seg) ?mk]
+               [(clojure.string/split ?nm "0") ?parts]
+               [(interleave ?parts ?parts) ?il]
+               [(interpose "-" ?parts) ?ip]
+               [(frequencies ?il) ?fr]
+               [(map count ?parts) ?lens]
+               [(apply + ?lens) ?tot]
+               [(map inc ?lens) ?linc]
+               [(filter odd? ?lens) ?lodd]
+               [(every? pos? ?lens) ?ev]
+               [(some even? ?lens) ?sm]]}""") _,
+
     // ordered + limited subquery: top-2 customer balances per nation via a
     // relation-bound nested query (VERDICT round-1 item 4)
     "dl_subquery_topn" -> dl("""
@@ -228,5 +251,31 @@ object DatalogSql {
                row_number() OVER (PARTITION BY c_nationkey
                                   ORDER BY c_acctbal DESC) AS rn
         FROM customer JOIN nation ON c_nationkey = n_nationkey)
-      SELECT DISTINCT n_name, c_acctbal AS top_bal FROM ranked WHERE rn <= 2""")
+      SELECT DISTINCT n_name, c_acctbal AS top_bal FROM ranked WHERE rn <= 2""",
+
+    "dl_fns_corpus3" -> """
+      WITH base AS (
+        SELECT c_custkey, c_name, c_mktsegment,
+               string_split(c_name, '0') AS parts
+        FROM customer WHERE c_custkey < 100),
+      mid AS (
+        SELECT *,
+               flatten(list_transform(parts, x -> [x, x])) AS il,
+               list_transform(parts, x -> CAST(len(x) AS BIGINT)) AS lens
+        FROM base)
+      SELECT DISTINCT c_custkey,
+        regexp_extract_all(c_name, '[0-9]+') AS rs,
+        chr(CAST(65 + (c_custkey % 26) AS INTEGER)) AS chr,
+        CAST(ascii(substr(c_name, 1, 1)) AS BIGINT) AS cp,
+        CASE WHEN len(c_mktsegment) >= len(c_name) THEN c_mktsegment ELSE c_name END AS mk,
+        il,
+        flatten(list_transform(parts, x -> ['-', x]))[2:] AS ip,
+        list_transform(list_sort(list_distinct(il)),
+          x -> {'item': x, 'n': CAST(len(list_filter(il, y -> y = x)) AS BIGINT)}) AS fr,
+        CAST(list_aggregate(lens, 'sum') AS BIGINT) AS tot,
+        list_transform(lens, x -> x + 1) AS linc,
+        list_filter(lens, x -> x % 2 <> 0) AS lodd,
+        len(list_filter(lens, x -> NOT (x > 0))) = 0 AS ev,
+        CASE WHEN len(list_filter(lens, x -> x % 2 = 0)) > 0 THEN true ELSE NULL END AS sm
+      FROM mid""")
 }

@@ -230,7 +230,7 @@ class DatalogSpec extends AnyFunSuite {
   test("uncorrelated scalar subquery (query.clj:973-986)") {
     assert(run(
       """[:find ?e :where [[?e :age ?a]
-           [(q {:find [(max ?x)] :where [[?e2 :age ?x]]}) ?ma]
+           [(q {:find [(max ?x)] :where [[?e2 :age ?x]]}) [[?ma]]]
            [(= ?a ?ma)]]]""") == Set(Seq("petr")))
   }
 
@@ -238,7 +238,7 @@ class DatalogSpec extends AnyFunSuite {
     // oldest person per sex (TPC-H Q2 min-per-group pattern, tpch.clj:155-168)
     assert(run(
       """[:find ?e :where [[?e :sex ?s] [?e :age ?a]
-           [(q {:find [(max ?x)] :in [?s2] :where [[?e2 :sex ?s2] [?e2 :age ?x]]} ?s) ?ma]
+           [(q {:find [(max ?x)] :in [?s2] :where [[?e2 :sex ?s2] [?e2 :age ?x]]} ?s) [[?ma]]]
            [(= ?a ?ma)]]]""") == Set(Seq("petr"), Seq("anna")))
   }
 
@@ -655,11 +655,90 @@ class DatalogSpec extends AnyFunSuite {
     // for each person: the smallest age strictly greater than theirs
     assert(run("""[:find ?e ?m :where [[?e :age ?a]
                    [(q {:find [?a2] :in [?lo] :order-by [[?a2 :asc]] :limit 1
-                        :where [[?e2 :age ?a2] [(> ?a2 ?lo)]]} ?a) ?m]]]""") ==
+                        :where [[?e2 :age ?a2] [(> ?a2 ?lo)]]} ?a) [[?m]]]]]""") ==
       Set(Seq("anna", 30L), Seq("ivan", 35L), Seq("smith", 35L)))
     // offset skips within the ordered nested result
     assert(run("""[:find ?m :where [[?e :name "Ivan"]
                    [(q {:find [?a2] :order-by [[?a2 :desc]] :limit 1 :offset 1
-                        :where [[?e2 :age ?a2]]}) ?m]]]""") == Set(Seq(30L)))
+                        :where [[?e2 :age ?a2]]}) [[?m]]]]]""") == Set(Seq(30L)))
+  }
+
+  test("rel-as-value subquery bindings (query_test.clj:1303 test-sub-queries)") {
+    // "can bind resulting relation as scalar": the WHOLE result is one
+    // value — #{[[[4]]]} in the reference; array-of-rows here
+    assert(run("""[:find ?x :where [[(q {:find [?y] :where [[(identity 2) ?x]
+                   [(+ ?x 2) ?y]]}) ?x]]]""") == Set(Seq(Seq(Seq(4L)))))
+    // "can bind empty resulting relation as scalar" → nil
+    assert(run("""[:find ?e ?x :where [[?e :name "Ivan"]
+                   [(q {:find [?y] :where [[?e2 :age ?y] [(> ?y 100)]]}) ?x]]]""") ==
+      Set(Seq("ivan", null)))
+    // "can bind resulting relation as tuple": positions are result ROWS
+    assert(run("""[:find ?x :where [[(q {:find [?y] :where [[(identity 2) ?x]
+                   [(+ ?x 2) ?y]]}) [?x]]]]""") == Set(Seq(Seq(4L))))
+    // multi-row: first and second rows, sorted set order
+    assert(run("""[:find ?r1 ?r2 :where [[?e :name "Ivan"]
+                   [(q {:find [?y] :where [[?e2 :age ?y]]}) [?r1 ?r2]]]]""") ==
+      Set(Seq(Seq(25L), Seq(30L))))
+    // excess tuple positions bind nil
+    assert(run("""[:find ?r2 :where [[?e :name "Ivan"]
+                   [(q {:find [?y] :where [[?e2 :name "Petr"] [?e2 :age ?y]]})
+                    [?r1 ?r2]]]]""") == Set(Seq(null)))
+    // correlated rel-as-scalar: per-sex age rows as one value
+    assert(run("""[:find ?e ?c :where [[?e :name "Anna"] [?e :sex ?s]
+                   [(q {:find [?y] :in [?s2] :where [[?e2 :sex ?s2] [?e2 :age ?y]]} ?s) ?rel]
+                   [(count ?rel) ?c]]]""") == Set(Seq("anna", 1L)))
+  }
+
+  test("allowlist tranche 3: re-seq / char fns / interpose / split-at") {
+    assert(run("""[:find ?m :where [[?e :name "Ivan"]
+                   [(re-seq "[aeiou]" ?n) ?vs] [?e :name ?n]
+                   [(count ?vs) ?m]]]""") == Set(Seq(1L))) // only the 'a'
+    // re-seq with no match binds nil — the row survives (bind-binding
+    // :scalar returns true unconditionally, query.clj:933-936), and the
+    // nil is observable downstream via nil?
+    assert(run("""[:find ?e :where [[?e :name "Ivan"]
+                   [?e :name ?n] [(re-seq "[0-9]+" ?n) ?xs] [(nil? ?xs)]]]""") ==
+      Set(Seq("ivan")))
+    assert(run("""[:find ?c :where [[?e :name "Ivan"] [(char 97) ?c]]]""") ==
+      Set(Seq("a")))
+    assert(run("""[:find ?i :where [[?e :name "Ivan"] [?e :name ?n]
+                   [(first ?n) ?f] [(int ?f) ?i]]]""") == Set(Seq(73L))) // 'I'
+    assert(run("""[:find ?j :where [[?e :name "Ivan"] [(vector "a" "b" "c") ?v]
+                   [(interpose "-" ?v) ?iv] [(join ?iv) ?j]]]""") ==
+      Set(Seq("a-b-c")))
+    assert(run("""[:find ?t ?d :where [[?e :name "Ivan"] [(range 5) ?r]
+                   [(split-at 2 ?r) [?tk ?dp]]
+                   [(count ?tk) ?t] [(count ?dp) ?d]]]""") == Set(Seq(2L, 3L)))
+  }
+
+  test("allowlist tranche 3: higher-order fns over literal fn symbols") {
+    assert(run("""[:find ?s :where [[?e :name "Ivan"] [(range 1 5) ?r]
+                   [(map inc ?r) ?ri] [(apply + ?ri) ?s]]]""") ==
+      Set(Seq(14L))) // (2 3 4 5)
+    assert(run("""[:find ?c :where [[?e :name "Ivan"] [(range 10) ?r]
+                   [(filter odd? ?r) ?o] [(count ?o) ?c]]]""") == Set(Seq(5L)))
+    assert(run("""[:find ?c :where [[?e :name "Ivan"] [(range 10) ?r]
+                   [(remove odd? ?r) ?o] [(count ?o) ?c]]]""") == Set(Seq(5L)))
+    // take-while stops at the first failure; drop-while keeps the rest
+    assert(run("""[:find ?c :where [[?e :name "Ivan"] [(vector 1 2 9 1) ?v]
+                   [(take-while pos? ?v) ?t] [(count ?t) ?c]]]""") == Set(Seq(4L)))
+    assert(run("""[:find ?x :where [[?e :name "Ivan"] [(vector 2 4 5 6) ?v]
+                   [(drop-while even? ?v) ?d] [(first ?d) ?x]]]""") == Set(Seq(5L)))
+    assert(run("""[:find ?e :where [[?e :name "Ivan"] [(vector 2 4 6) ?v]
+                   [(every? even? ?v)]]]""") == Set(Seq("ivan")))
+    assert(run("""[:find ?e :where [[?e :name "Ivan"] [(vector 1 3 5) ?v]
+                   [(some even? ?v)]]]""") == Set()) // nil is falsy
+    assert(run("""[:find ?e :where [[?e :name "Ivan"] [(vector 1 3 5) ?v]
+                   [(not-any? even? ?v)]]]""") == Set(Seq("ivan")))
+    // max-key/min-key return the LAST arg on ties (Clojure semantics)
+    assert(run("""[:find ?m :where [[?e :name "Ivan"] [?e :name ?n]
+                   [?e :last-name ?l] [(max-key count ?n ?l) ?m]]]""") ==
+      Set(Seq("Ivanov")))
+    assert(run("""[:find ?m :where [[?e :name "Smith"] [?e :name ?n]
+                   [?e :last-name ?l] [(min-key count ?n ?l) ?m]]]""") ==
+      Set(Seq("Smith"))) // equal keys → last wins
+    assert(run("""[:find ?it ?f :where [[?e :name "Ivan"] [(vector 1 2 2 3 2) ?v]
+                   [(frequencies ?v) ?fr] [(nth ?fr 1) [?it ?f]]]]""") ==
+      Set(Seq(2L, 3L))) // item 2 occurs 3×
   }
 }
