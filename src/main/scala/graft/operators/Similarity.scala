@@ -173,11 +173,74 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Deterministic distributed Lloyd (k-means) coarse quantizer: returns
+    * the corpus with a `cell` column assigning each vector to its nearest
+    * of `nlist` centroids by cosine, for [[ivfTopK]]'s `cellCol`.
+    *
+    * Shape per iteration (the standard scalable k-means loop, e.g. Spark
+    * MLlib's KMeans): centroids live on the driver (nlist×dims doubles —
+    * tiny) and broadcast into a compiled assignment UDF, so each Lloyd
+    * step is ONE map pass over the corpus plus an nlist-group aggregate.
+    * Nothing corpus-sized is ever collected.
+    *
+    * Determinism: seeds are the `nlist` lowest-id vectors; the centroid
+    * update sums per-dimension in decimal ([[graft.functions.Exact]] —
+    * order-independent across partitionings); argmax ties break to the
+    * lowest cell id. Same data in ⇒ same cells out, on any cluster. */
+  def kmeansAssign(corpus: DataFrame, nlist: Int = 8, iters: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      dims: Int = 64): DataFrame = {
+    val e = corpus.select(col(idCol).as("kid"),
+      col(vecCol).cast("array<double>").as("kv"))
+    val norm = sqrt(dot(col("kv"), col("kv")))
+    val nv = e.withColumn("nv", transform(col("kv"), x => x / norm))
+      .select(col("kid"), col("nv"))
+    def renorm(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) v else v.map(_ / n)
+    }
+    var centroids: Array[Array[Double]] = nv.orderBy(col("kid")).limit(nlist)
+      .collect().map(_.getSeq[Double](1).toArray).map(renorm)
+    def assignUdf(cents: Array[Array[Double]]) = udf { (v: Seq[Double]) =>
+      var best = 0; var bestDot = Double.NegativeInfinity
+      var c = 0
+      while (c < cents.length) {
+        val ct = cents(c); var d = 0.0; var i = 0
+        val n = math.min(ct.length, v.length)
+        while (i < n) { d += ct(i) * v(i); i += 1 }
+        if (d > bestDot) { bestDot = d; best = c }
+        c += 1
+      }
+      best
+    }
+    for (_ <- 0 until iters) {
+      val asg = nv.withColumn("cell", assignUdf(centroids)(col("nv")))
+      val sums = (0 until dims).map(i =>
+        graft.functions.Exact.dsum(
+          element_at(col("nv"), i + 1).cast(org.apache.spark.sql.types.DecimalType(24, 18))
+        ).as(s"s$i")) :+ count(lit(1)).as("n")
+      val upd = asg.groupBy(col("cell")).agg(sums.head, sums.tail: _*).collect()
+      val next = centroids.map(_.clone())
+      upd.foreach { r =>
+        val cell = r.getInt(0); val n = r.getLong(dims + 1).toDouble
+        next(cell) = renorm((0 until dims).map(i => r.getDouble(i + 1) / n).toArray)
+      }
+      centroids = next
+    }
+    corpus.withColumn("cell",
+      assignUdf(centroids)(col(vecCol).cast("array<double>")))
+  }
+
   /** IVF-style search with a provided coarse partition (here: `label`):
-    * centroid per cell, probe the query's nearest centroid cell only. */
+    * centroid per cell, probe the query's `nprobe` nearest centroid cells
+    * (nprobe=1 is classic coarse-quantizer search; raising it trades one
+    * more bucket-join probe per query for recall — the standard IVF
+    * recall knob). Cells are disjoint so probed candidates never repeat;
+    * the candidate set stays ~nprobe/cells of the corpus and the big side
+    * still only shuffles on the cell key. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       cellCol: String = "label", idCol: String = "vec_id", vecCol: String = "embedding",
-      dims: Int = 64): DataFrame = {
+      dims: Int = 64, nprobe: Int = 1): DataFrame = {
     val c = corpus.select(col(idCol).as("cid"), col(cellCol).as("cell"),
       col(vecCol).cast("array<double>").as("cv"))
     // centroid per cell: element-wise mean (aggregate of zip_with sums)
@@ -192,7 +255,7 @@ object Similarity {
       .withColumn("cdist", cosine(col("qv"), col("centroid")))
     val w0 = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("cdist").desc, col("cell").asc)
-    val best = probe.withColumn("r", row_number().over(w0)).filter(col("r") === 1)
+    val best = probe.withColumn("r", row_number().over(w0)).filter(col("r") <= nprobe)
       .select(col("qid"), col("qv"), col("cell"))
     val scored = c.join(broadcast(best), "cell")
       .filter(col("cid") =!= col("qid"))

@@ -106,6 +106,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r.map(_.getAs[Int]("rank")).toSet == (1 to r.length).toSet)
   }
 
+  test("IVF candidate set grows monotonically with nprobe") {
+    val q = emb.filter(col("vec_id") === 1)
+    def ids(np: Int) = Similarity.ivfTopK(emb, q, 50, nprobe = np)
+      .select("cid").collect().map(_.getLong(0)).toSet
+    val (one, two) = (ids(1), ids(2))
+    assert(two.size >= one.size)
+  }
+
+  test("kmeans quantizer is deterministic and exhaustive probe equals brute") {
+    val cells = Similarity.kmeansAssign(emb, nlist = 4, iters = 3)
+    val a1 = cells.select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val a2 = Similarity.kmeansAssign(emb, nlist = 4, iters = 3)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a1 == a2)
+    assert(a1.values.toSet.size > 1) // a real partition, not one blob
+    val q = emb.filter(col("vec_id") < 3)
+    val brute = Similarity.bruteForceTopK(emb, q, 5)
+      .select("qid", "cid", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val ivf = Similarity.ivfTopK(cells, q, 5, cellCol = "cell", nprobe = 4)
+      .select("qid", "cid", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(ivf == brute)
+  }
+
   test("language id picks the language with most marker hits") {
     val r = TextAnalysis.langId(docs).select("doc_id", "predicted").collect()
     assert(r.nonEmpty)
