@@ -1,6 +1,6 @@
 package graft.datalog
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.ArrayType
 
@@ -53,8 +53,13 @@ final class QuadSource(df: DataFrame, attrTypes: Map[String, String],
     attrTypes.collect { case (a, "v_str") => a }.toSet
   def attr(a: String): DataFrame = {
     val vcol = attrTypes.getOrElse(a, throw new IllegalArgumentException(s"unknown attribute :$a"))
-    df.filter(col("a") === a).select(col("e").as("eid"), col(vcol).as("value"))
-      .filter(col("value").isNotNull)
+    if (vcol == QuadSource.Mixed) {
+      val tagged = QuadSource.taggedValue(df)
+      df.filter(col("a") === a).select(col("e").as("eid"), tagged.as("value"))
+        .filter(col("value").getField("t").isNotNull)
+    } else
+      df.filter(col("a") === a).select(col("e").as("eid"), col(vcol).as("value"))
+        .filter(col("value").isNotNull)
   }
 
   /** One row per entity, one column per attribute (scalar per (e, a):
@@ -62,7 +67,10 @@ final class QuadSource(df: DataFrame, attrTypes: Map[String, String],
     * here are a projection of them). */
   lazy val entityTable: DataFrame = {
     val as = attrTypes.toSeq.sortBy(_._1)
-    val aggs = as.map { case (a, vcol) => max(when(col("a") === a, col(vcol))).as(a) }
+    val aggs = as.map { case (a, vcol) =>
+      val v = if (vcol == QuadSource.Mixed) QuadSource.taggedValue(df) else col(vcol)
+      max(when(col("a") === a, v)).as(a)
+    }
     df.groupBy(col("e")).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -134,6 +142,31 @@ final class TableSource(spark: SparkSession, load: String => DataFrame,
         case _ => d
       }
     }
+}
+
+object QuadSource {
+  /** `attrTypes` marker for an attribute whose values span type FAMILIES
+    * (crux is schemaless: `:foo 1` and `:foo "x"` can coexist across
+    * docs). Such attrs bind a TAGGED struct value `(t, b, n, d, s)` whose
+    * leading tag follows the codec's value-type-id order — bool(4) <
+    * number(5) < date(7) < string(8), codec.clj:81-99 — so Spark's native
+    * struct ordering/comparison reproduces the reference's cross-family
+    * index order (codec_test.clj:94 `test-ordering-of-values`) with the
+    * long/double families merged (SURVEY §2.2 deviation). */
+  val Mixed = "mixed"
+
+  private[datalog] def taggedValue(df: DataFrame): Column = {
+    def f(name: String, t: org.apache.spark.sql.types.DataType): Column =
+      if (df.columns.contains(name)) col(name).cast(t) else lit(null).cast(t)
+    import org.apache.spark.sql.types._
+    val b = f("v_bool", BooleanType)
+    val n = coalesce(f("v_num", DoubleType), f("v_dbl", DoubleType))
+    val d = f("v_ts", TimestampType)
+    val s = f("v_str", StringType)
+    val t = when(b.isNotNull, 4).when(n.isNotNull, 5)
+      .when(d.isNotNull, 7).when(s.isNotNull, 8).cast(IntegerType)
+    struct(t.as("t"), b.as("b"), n.as("n"), d.as("d"), s.as("s"))
+  }
 }
 
 final case class TableSpec(key: Seq[String], cols: Set[String])

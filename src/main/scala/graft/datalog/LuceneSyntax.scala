@@ -1,0 +1,290 @@
+package graft.datalog
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Lucene classic-QueryParser subset, compiled to Catalyst columns.
+  *
+  * The reference's `text-search` / `wildcard-text-search` parse their
+  * pattern with Lucene's `QueryParser` over a `StandardAnalyzer`
+  * (crux-lucene/src/crux/lucene.clj:135-144, 176-182), and the multi-field
+  * module's `lucene-text-search` parses full `field:term` query strings
+  * (crux-lucene/src/crux/lucene/multi_field.clj:39-43). This object
+  * re-implements the commonly-used slice of that syntax:
+  *
+  *   - analyzed terms (`Ivan` — lowercased, matched against tokens)
+  *   - wildcards (`Iv*n`, `Iv?n` — normalized, matched per-token; like
+  *     Lucene, a pure wildcard query contributes a CONSTANT score 1.0,
+  *     see lucene_test.clj "Scores": `ivan*` yields score 1.0)
+  *   - phrases (`"hello world"` — consecutive analyzed tokens)
+  *   - boolean operators `AND`/`OR`/`NOT`/`&&`/`||`, `+`/`-` prefixes,
+  *     parenthesised groups (classic QueryParser occur semantics:
+  *     MUST / SHOULD / MUST_NOT, default operator OR)
+  *   - `field:term` / `field:"a phrase"` (multi-field module only; an
+  *     unfielded term there parses against the empty default field and
+  *     matches nothing, multi_field_test.clj "firstname Fred")
+  *   - `\` escapes (`person\/surname:Smith`)
+  *
+  * Deviation (SURVEY §2.2): scores are deterministic token-frequency
+  * ratios (term leaves) or constants (wildcard leaves), not BM25 — rank
+  * order agrees for single-term queries, absolute values differ.
+  *
+  * Tokenization mirrors StandardAnalyzer on the data this engine targets:
+  * lowercase, split on any non-alphanumeric run.
+  */
+object LuceneSyntax {
+
+  sealed trait Occur
+  case object Must extends Occur
+  case object Should extends Occur
+  case object MustNot extends Occur
+
+  sealed trait Node
+  /** `text` is analyzer-normalized (lowercased) but keeps `*`/`?`. */
+  final case class TermQ(field: Option[String], text: String) extends Node
+  final case class PhraseQ(field: Option[String], words: Seq[String]) extends Node
+  final case class BoolQ(clauses: Seq[(Occur, Node)]) extends Node
+
+  // ------------------------------------------------------------------ lexer
+
+  private sealed trait Tok
+  private case object LParen extends Tok
+  private case object RParen extends Tok
+  private case object AndOp extends Tok
+  private case object OrOp extends Tok
+  private case object NotOp extends Tok // NOT / ! / leading '-'
+  private case object PlusOp extends Tok
+  private final case class FieldTok(name: String) extends Tok // `name:`
+  private final case class TermTok(text: String) extends Tok
+  private final case class PhraseTok(words: Seq[String]) extends Tok
+
+  private def fail(q: String, why: String): Nothing =
+    throw new IllegalArgumentException(s"Cannot parse '$q': $why")
+
+  /** Chars that end a bare term (QueryParser syntax chars; `+`/`-` are
+    * operators only at a clause boundary, so mid-term they stay term
+    * chars — `3-MEDIUM` is one term). */
+  private def isTermEnd(c: Char): Boolean =
+    c.isWhitespace || "()\":!&|^~[]{}".indexOf(c) >= 0
+
+  private def lex(q: String): List[Tok] = {
+    val toks = scala.collection.mutable.ListBuffer[Tok]()
+    var i = 0
+    val n = q.length
+    while (i < n) {
+      val c = q.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '(') { toks += LParen; i += 1 }
+      else if (c == ')') { toks += RParen; i += 1 }
+      else if (c == '!') { toks += NotOp; i += 1 }
+      else if (c == '+') { toks += PlusOp; i += 1 }
+      else if (c == '-') { toks += NotOp; i += 1 }
+      else if (c == '&' && i + 1 < n && q.charAt(i + 1) == '&') { toks += AndOp; i += 2 }
+      else if (c == '|' && i + 1 < n && q.charAt(i + 1) == '|') { toks += OrOp; i += 2 }
+      else if (c == '"') {
+        val end = q.indexOf('"', i + 1)
+        if (end < 0) fail(q, "unterminated phrase")
+        toks += PhraseTok(analyze(q.substring(i + 1, end)))
+        i = end + 1
+      } else if (c == '^' || c == '~' || c == '[' || c == '{') {
+        fail(q, s"unsupported operator '$c'") // boost/fuzzy/range not ported
+      } else {
+        // bare term, with \ escapes; may be a field prefix if it ends at ':'
+        val sb = new StringBuilder
+        while (i < n && !isTermEnd(q.charAt(i))) {
+          val ch = q.charAt(i)
+          if (ch == '\\') {
+            if (i + 1 >= n) fail(q, "dangling escape")
+            sb.append(q.charAt(i + 1)); i += 2
+          } else if (ch == '^' || ch == '~') fail(q, s"unsupported operator '$ch'")
+          else { sb.append(ch); i += 1 }
+        }
+        val text = sb.toString
+        if (text.isEmpty) fail(q, s"unexpected character '${q.charAt(i)}'")
+        if (i < n && q.charAt(i) == ':') { toks += FieldTok(text); i += 1 }
+        else text match {
+          case "AND" => toks += AndOp
+          case "OR" => toks += OrOp
+          case "NOT" => toks += NotOp
+          case t => toks += TermTok(t)
+        }
+      }
+    }
+    toks.toList
+  }
+
+  // ----------------------------------------------------------------- parser
+
+  /** StandardAnalyzer-ish: lowercase, split on non-alphanumeric runs. */
+  def analyze(s: String): Seq[String] =
+    s.toLowerCase.split("[^\\p{L}\\p{N}]+").toSeq.filter(_.nonEmpty)
+
+  /** Analyzer `normalize` for wildcard terms: lowercase, keep `*`/`?`. */
+  private def normalizeWildcard(s: String): String = s.toLowerCase
+
+  def parse(q: String): Node = {
+    val toks = lex(q)
+    if (toks.isEmpty) fail(q, "empty query")
+    val (node, rest) = parseBool(q, toks)
+    if (rest.nonEmpty) fail(q, s"unexpected trailing input")
+    node
+  }
+
+  /** Classic QueryParser clause-list semantics: default occur SHOULD;
+    * `AND` promotes both neighbours to MUST, `OR` leaves SHOULD,
+    * `+`/`-`/`NOT` pin the next clause's occur explicitly. */
+  private def parseBool(q: String, toks0: List[Tok]): (Node, List[Tok]) = {
+    var toks = toks0
+    val clauses = scala.collection.mutable.ListBuffer[(Occur, Node)]()
+    var pending: Option[Occur] = None // from +/-/NOT
+    var fromOp: Option[Occur] = None // from AND/OR conjunction
+    var progressed = false
+    while (toks.nonEmpty && toks.head != RParen) {
+      toks.head match {
+        case AndOp =>
+          if (clauses.isEmpty) fail(q, "AND with no left operand")
+          if (clauses.last._1 == Should) clauses(clauses.size - 1) = (Must, clauses.last._2)
+          fromOp = Some(Must); toks = toks.tail
+        case OrOp =>
+          if (clauses.isEmpty) fail(q, "OR with no left operand")
+          fromOp = Some(Should); toks = toks.tail
+        case NotOp => pending = Some(MustNot); toks = toks.tail
+        case PlusOp => pending = Some(Must); toks = toks.tail
+        case _ =>
+          val (node, rest) = parsePrimary(q, toks)
+          clauses += ((pending.orElse(fromOp).getOrElse(Should), node))
+          pending = None; fromOp = None; toks = rest; progressed = true
+      }
+    }
+    if (pending.nonEmpty || fromOp.nonEmpty) fail(q, "dangling operator")
+    if (!progressed || clauses.isEmpty) fail(q, "no clauses")
+    (if (clauses.size == 1 && clauses.head._1 == Should) clauses.head._2
+     else BoolQ(clauses.toList), toks)
+  }
+
+  private def parsePrimary(q: String, toks: List[Tok]): (Node, List[Tok]) = toks match {
+    case LParen :: rest =>
+      val (node, rest2) = parseBool(q, rest)
+      rest2 match {
+        case RParen :: tail => (node, tail)
+        case _ => fail(q, "unbalanced parenthesis")
+      }
+    case FieldTok(f) :: TermTok(t) :: rest => (TermQ(Some(f), normalizeWildcard(t)), rest)
+    case FieldTok(f) :: PhraseTok(ws) :: rest => (PhraseQ(Some(f), ws), rest)
+    case FieldTok(_) :: _ => fail(q, "field with no term")
+    case TermTok(t) :: rest => (TermQ(None, normalizeWildcard(t)), rest)
+    case PhraseTok(ws) :: rest => (PhraseQ(None, ws), rest)
+    case other => fail(q, s"unexpected token $other")
+  }
+
+  /** All field names referenced by fielded leaves. */
+  def fields(node: Node): Set[String] = node match {
+    case TermQ(f, _) => f.toSet
+    case PhraseQ(f, _) => f.toSet
+    case BoolQ(cs) => cs.flatMap(c => fields(c._2)).toSet
+  }
+
+  // --------------------------------------------------------------- compiler
+
+  final case class Compiled(matches: Column, score: Column)
+
+  private def hasWildcard(t: String): Boolean = t.exists(c => c == '*' || c == '?')
+
+  private[graft] def wildcardRegex(t: String): String = {
+    val sb = new StringBuilder("^")
+    t.foreach {
+      case '*' => sb.append(".*")
+      case '?' => sb.append('.')
+      case c if "\\.[]{}()^$|+".indexOf(c) >= 0 => sb.append('\\').append(c)
+      case c => sb.append(c)
+    }
+    sb.append('$').toString
+  }
+
+  /** Analyzed token array of a string value column. */
+  def tokens(value: Column): Column =
+    filter(split(lower(value), "[^\\p{L}\\p{N}]+"), t => t =!= "")
+
+  /** Leaf match + score over a pre-computed token array column.
+    * Score: term = tf ratio; wildcard = constant 1.0 (Lucene
+    * MultiTermQuery constant-score rewrite); phrase = occurrence ratio. */
+  private def leaf(node: Node, toks: Column): Compiled = node match {
+    case TermQ(_, t) if hasWildcard(t) =>
+      val re = wildcardRegex(t)
+      Compiled(exists(toks, _.rlike(re)), lit(1.0))
+    case TermQ(_, t) =>
+      Compiled(
+        array_contains(toks, t),
+        size(filter(toks, _ === lit(t))).cast("double") /
+          greatest(size(toks), lit(1)).cast("double"))
+    case PhraseQ(_, ws) =>
+      val joined = concat(lit(" "), array_join(toks, " "), lit(" "))
+      val needle = " " + ws.mkString(" ") + " "
+      Compiled(
+        joined.contains(needle),
+        (regexp_count(joined, lit(java.util.regex.Pattern.quote(needle))))
+          .cast("double") / greatest(size(toks), lit(1)).cast("double"))
+    case b: BoolQ => compileBool(b, n => leaf(n, toks))
+  }
+
+  /** BooleanQuery match: all MUSTs, no MUST_NOTs, and (a MUST exists or
+    * some SHOULD matches). Score: sum of matching positive leaves. */
+  private def compileBool(b: BoolQ, leafC: Node => Compiled): Compiled = {
+    val compiled = b.clauses.map { case (o, n) => (o, leafC(n)) }
+    val musts = compiled.collect { case (Must, c) => c }
+    val shoulds = compiled.collect { case (Should, c) => c }
+    val nots = compiled.collect { case (MustNot, c) => c }
+    val mustOk = musts.map(_.matches).reduceOption(_ && _).getOrElse(lit(true))
+    val notOk = nots.map(!_.matches).reduceOption(_ && _).getOrElse(lit(true))
+    val shouldOk =
+      if (musts.nonEmpty) lit(true)
+      else shoulds.map(_.matches).reduceOption(_ || _).getOrElse(lit(false))
+    val positives = musts ++ shoulds
+    val score = positives
+      .map(c => when(c.matches, c.score).otherwise(lit(0.0)))
+      .reduceOption(_ + _).getOrElse(lit(0.0))
+    Compiled(mustOk && notOk && shouldOk, score)
+  }
+
+  /** Single-value compile (core-module `text-search`): the query's default
+    * field is the given attribute; a fielded leaf naming any OTHER field
+    * can never match this attribute's (a, v) docs. */
+  def compileValue(node: Node, value: Column, defaultField: String): Compiled = {
+    val toks = tokens(value)
+    def c(n: Node): Compiled = n match {
+      case TermQ(Some(f), _) if f != defaultField => Compiled(lit(false), lit(0.0))
+      case PhraseQ(Some(f), _) if f != defaultField => Compiled(lit(false), lit(0.0))
+      case b: BoolQ => compileBool(b, c)
+      case other => leaf(other, toks)
+    }
+    c(node)
+  }
+
+  /** Entity-level compile (multi-field `lucene-text-search`): each field's
+    * values are a collected array column; an unfielded leaf parses against
+    * the empty default field and matches nothing
+    * (multi_field_test.clj "firstname Fred" => no results). */
+  def compileEntity(node: Node, fieldVals: Map[String, Column]): Compiled = {
+    def c(n: Node): Compiled = n match {
+      case b: BoolQ => compileBool(b, c)
+      case TermQ(None, _) | PhraseQ(None, _) => Compiled(lit(false), lit(0.0))
+      case lf =>
+        val f = (lf match {
+          case TermQ(Some(ff), _) => ff
+          case PhraseQ(Some(ff), _) => ff
+          case _ => throw new IllegalStateException
+        })
+        fieldVals.get(f) match {
+          case None => Compiled(lit(false), lit(0.0))
+          case Some(vals) =>
+            val m = exists(vals, v => leaf(lf, tokens(v)).matches)
+            val s = aggregate(vals, lit(0.0), (acc, v) => {
+              val lc = leaf(lf, tokens(v))
+              acc + when(lc.matches, lc.score).otherwise(lit(0.0))
+            })
+            Compiled(coalesce(m, lit(false)), coalesce(s, lit(0.0)))
+        }
+    }
+    c(node)
+  }
+}

@@ -36,8 +36,37 @@ object Planner {
   def qAst(spark: SparkSession, source: FactSource, query: Query, args: Any*): DataFrame = {
     val p = new Planner(spark, source, query.rules.groupBy(_.name))
     val inRels = query.in.zip(args).map { case (InBind(b), arg) => p.inRel(b, arg) }
-    val joined = p.planConjunction(query.where, inRels.toList)
+    // Pred-constraint relations (text-search & co) are built from LITERAL
+    // args before the join DAG exists, so a var arg bound by a scalar :in
+    // param is resolved by substitution here (the reference resolves such
+    // args per-tuple inside the constraint, lucene_test.clj:395-405 binds
+    // the query string from :in; scalar params are the supported slice).
+    val scalarSubs: Map[String, Edn.Val] = query.in.zip(args).collect {
+      case (InBind(BindScalar(v)), arg) => ednOf(arg).map(v.name -> _)
+    }.flatten.toMap
+    val where =
+      if (scalarSubs.isEmpty) query.where
+      else query.where.map(substConstraintArgs(scalarSubs))
+    val joined = p.planConjunction(where, inRels.toList)
     p.finalize(query, joined)
+  }
+
+  private def ednOf(x: Any): Option[Edn.Val] = x match {
+    case s: String => Some(Edn.Str(s))
+    case l: Long => Some(Edn.Lng(l))
+    case i: Int => Some(Edn.Lng(i.toLong))
+    case d: Double => Some(Edn.Dbl(d))
+    case f: Float => Some(Edn.Dbl(f.toDouble))
+    case b: Boolean => Some(Edn.Bool(b))
+    case _ => None
+  }
+
+  private def substConstraintArgs(subs: Map[String, Edn.Val])(c: Clause): Clause = c match {
+    case p @ Pred(fn, as, _) if hasPredConstraint(fn) =>
+      p.copy(args = as.map { case V(n) if subs.contains(n) => C(subs(n)); case t => t })
+    case Not(jv, cs) => Not(jv, cs.map(substConstraintArgs(subs)))
+    case Or(jv, bs) => Or(jv, bs.map(_.map(substConstraintArgs(subs))))
+    case other => other
   }
 
   private val aggDefault: Set[String] = Set(
@@ -82,51 +111,124 @@ object Planner {
   private[datalog] def predConstraint(fn: String): (FactSource, Seq[Term], Seq[String]) => DataFrame =
     predConstraints(fn)
 
-  /** Relevance score for regex text search: matched-term occurrences over
-    * whitespace token count — a deterministic, oracle-computable stand-in
-    * for the Lucene score the reference binds (lucene.clj:156-162 yields
-    * [e v score] with BM25; the ranking ORDER over a corpus agrees for
-    * single-term queries, the absolute values differ — SURVEY §2.2). */
-  private def textScore(pat: String) =
-    regexp_count(col("value"), lit(pat)).cast(DoubleType) /
-      size(split(col("value"), "\\s+"))
+  /** Empty (e, v[, score]) relation — for text-search against an attribute
+    * the source doesn't know (lucene_test.clj "no match against a
+    * non-existant field" expects {} not an error). */
+  /** The binding positions of a text-search relation are a PREFIX of
+    * (e, v[, a], score) — lucene_test.clj binds anything from `[[?e]]`
+    * to `[[?e ?v ?a ?score]]`. */
+  private def textRelTypes(out: Seq[String], withAttr: Boolean): Seq[(String, DataType)] = {
+    val full = Seq(StringType, StringType) ++
+      (if (withAttr) Seq(StringType) else Nil) ++ Seq(DoubleType)
+    out.zip(full)
+  }
 
-  // `[(text-search :attr "regex") [[?e ?v]]]` (or `[[?e ?v ?score]]`,
+  private def emptyTextRel(out: Seq[String], withAttr: Boolean): DataFrame =
+    SparkSession.active.createDataFrame(new java.util.ArrayList[Row](),
+      StructType(textRelTypes(out, withAttr).map { case (n, t) => StructField(n, t) }))
+
+  /** (matching rows of `attr`, Lucene-subset query) → (e[, v[, score]]).
+    * Non-string attributes are absent from the Lucene index by
+    * construction (lucene.clj:200-207 indexes only string values). */
+  private def textSearchRel(source: FactSource, attr: String, query: String,
+      out: Seq[String]): DataFrame = {
+    if (!source.attrs.contains(attr)) return emptyTextRel(out, withAttr = false)
+    val base = source.attr(attr)
+    if (base.schema("value").dataType != StringType)
+      return emptyTextRel(out, withAttr = false)
+    val c = LuceneSyntax.compileValue(LuceneSyntax.parse(query), col("value"), attr)
+    val avail = Seq(col("eid"), col("value"), c.score)
+    val cols = out.zip(avail).map { case (n, cc) => cc.as(n) }
+    base.filter(c.matches).select(cols: _*)
+  }
+
+  // `[(text-search :attr "query") [[?e ?v]]]` (or `[[?e ?v ?score]]`,
   // lucene.clj:156-162) → (e, v[, score]) relation of matching attribute
-  // rows; regex instead of Lucene syntax per SURVEY §2.2.
+  // rows. The query string is Lucene QueryParser syntax with the attr as
+  // default field (lucene.clj:135-144); see LuceneSyntax for the
+  // supported subset and the deterministic-score deviation.
   registerPredConstraint("text-search") { (source, args, out) =>
     val (attr, pat) = args match {
       case List(C(Edn.Kw(a)), C(Edn.Str(rx))) => (a, rx)
+      case List(C(Edn.Kw(_)), C(o)) => throw new IllegalArgumentException(
+        s"Lucene text search values must be String, got $o")
       case o => throw new IllegalArgumentException(
-        s"text-search needs (:attr \"pattern\") literals, got $o")
+        s"text-search needs (:attr \"query\") literals, got $o")
     }
-    require(out.size == 2 || out.size == 3,
-      "text-search binds [[?e ?v]] or [[?e ?v ?score]]")
-    val base = source.attr(attr).filter(col("value").rlike(pat))
-    val cols = Seq(col("eid").as(out(0)), col("value").as(out(1))) ++
-      (if (out.size == 3) Seq(textScore(pat).as(out(2))) else Nil)
-    base.select(cols: _*)
+    require(out.nonEmpty && out.size <= 3,
+      "text-search binds a prefix of [[?e ?v ?score]]")
+    textSearchRel(source, attr, pat, out)
   }
 
-  // `[(wildcard-text-search "regex") [[?e ?v ?a]]]` — match across ALL
-  // string attributes (lucene.clj:184-189). Union of per-attribute scans —
-  // each prunes to (key, attr) columns, so the fan-out stays scan-parallel.
+  // `[(wildcard-text-search "query") [[?e ?v ?a]]]` — match across ALL
+  // string attributes (lucene.clj:184-189: the default field is the
+  // shared _crux_val field, so every string (a, v) competes). Union of
+  // per-attribute scans — each prunes to (key, attr) columns, so the
+  // fan-out stays scan-parallel.
   registerPredConstraint("wildcard-text-search") { (source, args, out) =>
     val pat = args match {
       case List(C(Edn.Str(rx))) => rx
       case o => throw new IllegalArgumentException(
-        s"wildcard-text-search needs a single string-literal pattern, got $o")
+        s"wildcard-text-search needs a single string-literal query, got $o")
     }
-    require(out.size == 3 || out.size == 4,
-      "wildcard-text-search binds [[?e ?v ?a]] or [[?e ?v ?a ?score]]")
+    require(out.nonEmpty && out.size <= 4,
+      "wildcard-text-search binds a prefix of [[?e ?v ?a ?score]]")
+    val node = LuceneSyntax.parse(pat)
     val frames = source.stringAttrs.toSeq.sorted.map { a =>
-      val cols = Seq(col("eid").as(out(0)), col("value").as(out(1)),
-        lit(":" + a).as(out(2))) ++ // canonical keyword form (SURVEY §1.2)
-        (if (out.size == 4) Seq(textScore(pat).as(out(3))) else Nil)
-      source.attr(a).filter(col("value").rlike(pat)).select(cols: _*)
+      val c = LuceneSyntax.compileValue(node, col("value"), a)
+      // canonical keyword form for the attr column (SURVEY §1.2)
+      val avail = Seq(col("eid"), col("value"), lit(":" + a), c.score)
+      val cols = out.zip(avail).map { case (n, cc) => cc.as(n) }
+      source.attr(a).filter(c.matches).select(cols: _*)
     }
-    require(frames.nonEmpty, "source has no string attributes")
-    frames.reduce(_ unionByName _)
+    if (frames.isEmpty) emptyTextRel(out, withAttr = true)
+    else frames.reduce(_ unionByName _)
+  }
+
+  // `[(lucene-text-search "field: %s ..." args...) [[?e]]]` (or
+  // `[[?e ?score]]`) — the multi-field module's full query-string search
+  // (crux-lucene/src/crux/lucene/multi_field.clj:39-63): every leaf names
+  // its field, `%s` placeholders take the trailing args (String/format),
+  // and matching is ENTITY-level (one Lucene doc per entity, all string
+  // attrs as fields). Spark shape: one collect_list per referenced field
+  // (map-side partial agg), outer-joined on eid — fields are few, so the
+  // join fan-in is bounded by the query, not the data.
+  registerPredConstraint("lucene-text-search") { (source, args, out) =>
+    val (fmt, fmtArgs) = args match {
+      case C(Edn.Str(s)) :: rest => (s, rest.map {
+        case C(Edn.Str(v)) => v: AnyRef
+        case C(Edn.Lng(v)) => Long.box(v)
+        case C(Edn.Dbl(v)) => Double.box(v)
+        case C(Edn.Kw(v)) => v: AnyRef // field names arrive as keywords
+        case o => throw new IllegalArgumentException(s"unresolved lucene-text-search arg $o")
+      })
+      case o => throw new IllegalArgumentException(
+        s"lucene-text-search query must be String, got $o")
+    }
+    require(out.size == 1 || out.size == 2,
+      "lucene-text-search binds [[?e]] or [[?e ?score]]")
+    val query = if (fmtArgs.isEmpty) fmt else fmt.format(fmtArgs: _*)
+    val node = LuceneSyntax.parse(query)
+    val known = LuceneSyntax.fields(node).toSeq.sorted.filter { f =>
+      source.attrs.contains(f) &&
+        source.attr(f).schema("value").dataType == StringType
+    }
+    if (known.isEmpty) {
+      val fieldsSchema = StructType(Seq(StructField(out(0), StringType)) ++
+        (if (out.size == 2) Seq(StructField(out(1), DoubleType)) else Nil))
+      SparkSession.active.createDataFrame(new java.util.ArrayList[Row](), fieldsSchema)
+    } else {
+      val perField = known.map { f =>
+        f -> source.attr(f).groupBy(col("eid"))
+          .agg(collect_list(col("value")).as(s"__lv_$f"))
+      }
+      val joined = perField.map(_._2).reduce(_.join(_, Seq("eid"), "full_outer"))
+      val c = LuceneSyntax.compileEntity(node,
+        known.map(f => f -> col(s"__lv_$f")).toMap)
+      val cols = Seq(col("eid").as(out(0))) ++
+        (if (out.size == 2) Seq(c.score.as(out(1))) else Nil)
+      joined.filter(c.matches).select(cols: _*)
+    }
   }
 }
 
@@ -279,8 +381,14 @@ private final class Planner(spark: SparkSession, source: FactSource,
     pairs.foreach { case (tmp, t) =>
       t.v match {
         case V(n) if keep.contains(n) => // unification [e :a v][e :b v] or [e :a e]
+          val (lt, rt) = (df.schema(keep(n)).dataType, df.schema(tmp).dataType)
           df =
-            if (tagOf(df.schema(keep(n)).dataType) != tagOf(df.schema(tmp).dataType))
+            if (isTagged(lt) || isTagged(rt)) {
+              // lift the single-family side: unify in tag+value space
+              val l = if (isTagged(lt)) col(keep(n)) else taggedOf(col(keep(n)), lt)
+              val r = if (isTagged(rt)) col(tmp) else taggedOf(col(tmp), rt)
+              df.filter(l === r)
+            } else if (tagOf(lt) != tagOf(rt))
               df.filter(lit(false)) // cross-family: never unifies
             else df.filter(col(keep(n)) === col(tmp))
         case V(n) =>
@@ -291,9 +399,16 @@ private final class Planner(spark: SparkSession, source: FactSource,
           df = df.filter(col(tmp).isNotNull)
           keep(n) = tmp
         case C(Edn.SetV(items)) => // set literal: match ANY member
-          df = if (items.isEmpty) df.filter(lit(false))
-               else df.filter(col(tmp).isin(items.map(scalaVal): _*))
-        case C(value) => df = df.filter(col(tmp) === litOf(value))
+          df =
+            if (items.isEmpty) df.filter(lit(false))
+            else if (isTagged(df.schema(tmp).dataType))
+              df.filter(items.map(i => col(tmp) === taggedLit(i)).reduce(_ || _))
+            else df.filter(col(tmp).isin(items.map(scalaVal): _*))
+        case C(value) =>
+          df =
+            if (isTagged(df.schema(tmp).dataType))
+              df.filter(col(tmp) === taggedLit(value))
+            else df.filter(col(tmp) === litOf(value))
         case Blank => df = df.filter(col(tmp).isNotNull)
       }
     }
@@ -453,6 +568,38 @@ private final class Planner(spark: SparkSession, source: FactSource,
     case _ => 10
   }
 
+  /** Tagged mixed-family value (QuadSource.Mixed): a struct whose field
+    * order (t, b, n, d, s) makes Spark's NATIVE struct comparison and
+    * ordering reproduce the codec's cross-family value order
+    * (codec.clj:81-99; codec_test.clj:94). */
+  private def isTagged(dt: DataType): Boolean = dt match {
+    case st: StructType => st.fieldNames.sameElements(Array("t", "b", "n", "d", "s"))
+    case _ => false
+  }
+
+  /** Lift a single-family column into the tagged representation so it can
+    * compare/unify/order against a mixed-family var. */
+  private def taggedOf(c: Column, dt: DataType): Column = {
+    val nb = lit(null).cast(BooleanType)
+    val nn = lit(null).cast(DoubleType)
+    val nd = lit(null).cast(TimestampType)
+    val ns = lit(null).cast(StringType)
+    val (t, b, n, d, s) = dt match {
+      case BooleanType => (4, c, nn, nd, ns)
+      case _: NumericType => (5, nb, c.cast(DoubleType), nd, ns)
+      case DateType | TimestampType | TimestampNTZType =>
+        (7, nb, nn, c.cast(TimestampType), ns)
+      case StringType => (8, nb, nn, nd, c)
+      case other => throw new IllegalArgumentException(
+        s"cannot lift $other into a mixed-family tagged value")
+    }
+    struct(when(c.isNotNull, lit(t)).cast(IntegerType).as("t"),
+      b.as("b"), n.as("n"), d.as("d"), s.as("s"))
+  }
+
+  private def taggedLit(v: Edn.Val): Column =
+    taggedOf(litOf(v), sparkTypeOf(scalaVal(v)))
+
   private def termTag(rel: Rel, t: Term): Int = t match {
     case V(n) => tagOf(rel.df.schema(n).dataType)
     case C(v) => scalaVal(v) match {
@@ -472,6 +619,8 @@ private final class Planner(spark: SparkSession, source: FactSource,
     * comparison. */
   private def crossFamily(rel: Rel, fn: String, args: List[Term]): Option[Column] = {
     if (args.size != 2) return None
+    // a mixed-family tagged var's family is per-row — never static
+    if (args.exists(t => isTagged(termType(rel, t)))) return None
     val (tl, tr) = (termTag(rel, args.head), termTag(rel, args(1)))
     if (tl == tr || tl == 3 || tr == 3) None
     else fn match {
@@ -501,9 +650,19 @@ private final class Planner(spark: SparkSession, source: FactSource,
     * (from `re-pattern`) via per-row regexp_like. */
   private def filterCondition(rel: Rel, p: Pred): Column = p.fn match {
     case fn @ ("=" | "==" | "!=" | "not=" | "<" | "<=" | ">" | ">=") =>
-      crossFamily(rel, fn, p.args)
-        .getOrElse(predicateCol(fn, p.args.map(argCol(rel, _)),
-          p.args.map(termType(rel, _)), p.args))
+      crossFamily(rel, fn, p.args).getOrElse {
+        val types = p.args.map(termType(rel, _))
+        // if any side is a mixed-family tagged value, lift every side so
+        // the comparison runs in tag-then-value (codec) order
+        val (cols, tys) =
+          if (types.exists(isTagged))
+            (p.args.zip(types).map {
+              case (t, ty) if isTagged(ty) => argCol(rel, t)
+              case (t, ty) => taggedOf(argCol(rel, t), ty)
+            }, types.map(_ => NullType))
+          else (p.args.map(argCol(rel, _)), types)
+        predicateCol(fn, cols, tys, p.args)
+      }
     case "re-find" | "re-matches" =>
       val target = argCol(rel, p.args(1))
       p.args.head match {

@@ -53,7 +53,8 @@ object Datalog2Queries {
                [?cus :c_acctbal ?ab] [(> ?ab 9800)]
                [(!= ?s ?c)]]}""") _,
 
-    // text-search relation (crux-lucene semantics, regex stand-in)
+    // text-search relation — Lucene QueryParser syntax, analyzed term
+    // match (lucene.clj:135-144; LuceneSyntax for the ported subset)
     "dl_text_search" -> dl("""
       {:find [?pk ?v]
        :keys [p_partkey p_name]
@@ -61,14 +62,37 @@ object Datalog2Queries {
                [?p :p_partkey ?pk]]}""") _,
 
     // scored text-search: binds [e v score] like the reference
-    // (lucene.clj:156-162); score = term hits / token count, ranked
+    // (lucene.clj:156-162); score = term tf / token count (BM25
+    // deviation, SURVEY §2.2), ranked
     "dl_text_search_scored" -> dl("""
       {:find [?pk ?v ?score]
        :keys [p_partkey p_name score]
        :order-by [[?score :desc] [?pk :asc]]
        :limit 50
-       :where [[(text-search :p_name "s") [[?p ?v ?score]]]
+       :where [[(text-search :p_name "red") [[?p ?v ?score]]]
                [?p :p_partkey ?pk]]}""") _,
+
+    // Lucene boolean operators: MUST + MUST_NOT over one attribute
+    // (QueryParser occur semantics, lucene.clj:135-144)
+    "dl_lucene_bool" -> dl("""
+      {:find [?pk ?v]
+       :keys [p_partkey p_name]
+       :where [[(text-search :p_name "red AND NOT widget") [[?p ?v]]]
+               [?p :p_partkey ?pk]]}""") _,
+
+    // Lucene phrase query: consecutive analyzed tokens
+    "dl_lucene_phrase" -> dl("""
+      {:find [?pk ?v]
+       :keys [p_partkey p_name]
+       :where [[(text-search :p_name "\"red widget\"") [[?p ?v]]]
+               [?p :p_partkey ?pk]]}""") _,
+
+    // multi-field lucene-text-search: field-qualified query string,
+    // ENTITY-level match (multi_field.clj:39-63)
+    "dl_lucene_multifield" -> dl("""
+      {:find [?e]
+       :keys [e]
+       :where [[(lucene-text-search "p_name:red OR p_type:promo") [[?e]]]]}""") _,
 
     // (pull ?e [...]) in :find — props + forward join, serialized to
     // compact JSON for the oracle compare
@@ -211,16 +235,42 @@ object Datalog2Sql {
       FROM supplier JOIN customer ON s_nationkey = c_nationkey
       WHERE c_acctbal > 9800 AND s_name <> c_name""",
 
+    // Lucene term match = analyzed-token containment; p_name is already
+    // lowercase space-separated words, so tokens = string_split_regex
     "dl_text_search" -> """
       SELECT DISTINCT p_partkey, p_name FROM part
-      WHERE regexp_matches(p_name, 'blue')""",
+      WHERE list_contains(
+        list_filter(string_split_regex(lower(p_name), '[^a-z0-9]+'), t -> t <> ''),
+        'blue')""",
 
     "dl_text_search_scored" -> """
+      WITH toks AS (
+        SELECT p_partkey, p_name,
+          list_filter(string_split_regex(lower(p_name), '[^a-z0-9]+'), t -> t <> '') AS ts
+        FROM part)
       SELECT p_partkey, p_name,
-        CAST(len(regexp_extract_all(p_name, 's')) AS DOUBLE)
-          / len(regexp_split_to_array(p_name, '\s+')) AS score
-      FROM part WHERE regexp_matches(p_name, 's')
+        CAST(len(list_filter(ts, t -> t = 'red')) AS DOUBLE) / len(ts) AS score
+      FROM toks WHERE list_contains(ts, 'red')
       ORDER BY score DESC, p_partkey ASC LIMIT 50""",
+
+    "dl_lucene_bool" -> """
+      WITH toks AS (
+        SELECT p_partkey, p_name,
+          list_filter(string_split_regex(lower(p_name), '[^a-z0-9]+'), t -> t <> '') AS ts
+        FROM part)
+      SELECT DISTINCT p_partkey, p_name FROM toks
+      WHERE list_contains(ts, 'red') AND NOT list_contains(ts, 'widget')""",
+
+    "dl_lucene_phrase" -> """
+      SELECT DISTINCT p_partkey, p_name FROM part
+      WHERE (' ' || lower(p_name) || ' ') LIKE '% red widget %'""",
+
+    "dl_lucene_multifield" -> """
+      SELECT DISTINCT CAST(p_partkey AS VARCHAR) AS e FROM part
+      WHERE list_contains(
+          list_filter(string_split_regex(lower(p_name), '[^a-z0-9]+'), t -> t <> ''), 'red')
+        OR list_contains(
+          list_filter(string_split_regex(lower(p_type), '[^a-z0-9]+'), t -> t <> ''), 'promo')""",
 
     "dl_pull" -> """
       SELECT DISTINCT c_custkey,
@@ -244,12 +294,17 @@ object Datalog2Sql {
           nation_ref := struct_pack(nation_name := n_name))) AS pulled
       FROM customer JOIN nation ON c_nationkey = n_nationkey""",
 
+    // analyzed token 'medium' occurs ONLY in p_type and o_orderpriority
+    // across the fixture's string attributes (verified at sf0.01) — the
+    // Spark side unions every string attr, the oracle the matching two
     "dl_wildcard_search" -> """
       SELECT CAST(p_partkey AS VARCHAR) AS e, p_type AS v, ':p_type' AS a
-      FROM part WHERE regexp_matches(p_type, 'MEDIUM')
+      FROM part WHERE list_contains(
+        list_filter(string_split_regex(lower(p_type), '[^a-z0-9]+'), t -> t <> ''), 'medium')
       UNION
       SELECT CAST(o_orderkey AS VARCHAR), o_orderpriority, ':o_orderpriority'
-      FROM orders WHERE regexp_matches(o_orderpriority, 'MEDIUM')""",
+      FROM orders WHERE list_contains(
+        list_filter(string_split_regex(lower(o_orderpriority), '[^a-z0-9]+'), t -> t <> ''), 'medium')""",
 
     "dl_subquery" -> """
       SELECT DISTINCT c_custkey, c_acctbal FROM customer c

@@ -223,7 +223,7 @@ class DatalogSpec extends AnyFunSuite {
   }
 
   test("wildcard-text-search across all string attrs (lucene.clj:184-189)") {
-    assert(run("[:find ?e ?v ?a :where [[(wildcard-text-search \"Iva\") [[?e ?v ?a]]]]]") ==
+    assert(run("[:find ?e ?v ?a :where [[(wildcard-text-search \"Iva*\") [[?e ?v ?a]]]]]") ==
       Set(Seq("ivan", "Ivan", ":name"), Seq("ivan", "Ivanov", ":last-name")))
   }
 

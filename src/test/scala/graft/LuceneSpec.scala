@@ -1,0 +1,227 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+import graft.datalog.{LuceneSyntax, Planner, QuadSource}
+
+/** Ports of the reference's Lucene full-text module tests —
+  * crux-lucene/test/crux/lucene_test.clj (core `text-search` /
+  * `wildcard-text-search`) and
+  * crux-lucene/test/crux/lucene/multi_field_test.clj
+  * (`lucene-text-search` field-qualified query strings).
+  *
+  * Deviation under test (SURVEY §2.2): scores are deterministic token
+  * ratios / constants rather than BM25; every asserted score below is a
+  * case where Lucene's own value is also deterministic (constant-score
+  * wildcard rewrites yield exactly 1.0 in lucene_test.clj "Scores").
+  */
+class LuceneSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def quadSource(facts: Seq[(String, String, String)]): QuadSource = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("e", StringType), StructField("a", StringType),
+      StructField("v_str", StringType)))
+    val rows = facts.map { case (e, a, v) => Row(e, a, v) }
+    val df = spark.createDataFrame(rows.asJava, schema)
+    new QuadSource(df, facts.map(_._2).distinct.map(_ -> "v_str").toMap)
+  }
+
+  private def run(src: QuadSource, q: String, args: Any*): Set[Seq[Any]] =
+    Planner.q(spark, src, q, args: _*).collect().toSet[Row].map(_.toSeq)
+
+  private lazy val ivanSrc = quadSource(Seq(("ivan", "name", "Ivan")))
+
+  // ------------------------------------------------------------ lucene_test
+
+  test("empty database returns empty (lucene_test.clj:25-27)") {
+    import org.apache.spark.sql.types._
+    val empty = new QuadSource(
+      spark.createDataFrame(new java.util.ArrayList[Row](),
+        StructType(Seq(StructField("e", StringType), StructField("a", StringType),
+          StructField("v_str", StringType)))),
+      Map("name" -> "v_str"))
+    assert(run(empty, """[:find ?e :where [[(text-search :name "Ivan") [[?e]]]]]""").isEmpty)
+  }
+
+  test("can search string (lucene_test.clj:29-52)") {
+    assert(run(ivanSrc, """[:find ?e :where [[(text-search :name "Ivan") [[?e]]]]]""") ==
+      Set(Seq("ivan")))
+    // bad spec: attr position must be a keyword
+    assertThrows[IllegalArgumentException] {
+      run(ivanSrc, """[:find ?e :where [[(text-search "Wot" "Ivan") [[?e]]]]]""")
+    }
+    // fuzzy (prefix wildcard)
+    assert(run(ivanSrc, """[:find ?e :where [[(text-search :name "Iv*") [[?e]]]]]""") ==
+      Set(Seq("ivan")))
+  }
+
+  test("single-char wildcard Iv?n (lucene_test.clj:54-60)") {
+    val src = quadSource(Seq(("ivan", "name", "Ivan"), ("ivan2", "name", "Ivbn")))
+    assert(run(src, """[:find ?e :where [[(text-search :name "Iv?n") [[?e]]]]]""") ==
+      Set(Seq("ivan"), Seq("ivan2")))
+  }
+
+  test("wildcard scores are constant 1.0 (lucene_test.clj:84-96 'Scores')") {
+    val src = quadSource(Seq(
+      ("test0", "name", "ivon"), ("test1", "name", "ivan"),
+      ("test2", "name", "testivantest"), ("test3", "name", "testing"),
+      ("test4", "name", "ivanpost")))
+    assert(run(src,
+      """[:find ?e ?v ?score :where [[(text-search :name "ivan*") [[?e ?v ?score]]]]]""") ==
+      Set(Seq("test1", "ivan", 1.0), Seq("test4", "ivanpost", 1.0)))
+  }
+
+  test("cardinality many (lucene_test.clj:98-110)") {
+    val src = quadSource(Seq(
+      ("ivan", "foo", "atar"), ("ivan", "foo", "abar"), ("ivan", "foo", "nomatch")))
+    assert(run(src, """[:find ?e ?v :where [[(text-search :foo "atar") [[?e ?v]]]]]""") ==
+      Set(Seq("ivan", "atar")))
+    assert(run(src, """[:find ?e ?v :where [[(text-search :foo "a?ar") [[?e ?v]]]]]""") ==
+      Set(Seq("ivan", "atar"), Seq("ivan", "abar")))
+  }
+
+  test("search across attributes + non-existent field (lucene_test.clj:112-139)") {
+    assert(run(ivanSrc,
+      """[:find ?e ?v ?a :where [[(wildcard-text-search "Ivan") [[?e ?v ?a]]]]]""") ==
+      Set(Seq("ivan", "Ivan", ":name")))
+    // no match against a non-existent field: {} not an error
+    assert(run(ivanSrc,
+      """[:find ?e ?v :where [[(text-search :non-field "Ivan") [[?e ?v]]]]]""").isEmpty)
+    // multiple a/vs, trailing _ binding ignored
+    val two = quadSource(Seq(("ivan", "name", "Ivan"), ("ivan", "surname", "Ivan")))
+    assert(run(two,
+      """[:find ?e ?v ?a :where [[(wildcard-text-search "Ivan") [[?e ?v ?a _]]]]]""") ==
+      Set(Seq("ivan", "Ivan", ":name"), Seq("ivan", "Ivan", ":surname")))
+  }
+
+  test("multiple entities with same a/v (lucene_test.clj:141-163, bug 1428)") {
+    val src = quadSource(Seq(
+      ("ivan1", "name", "Ivan"), ("ivan2", "name", "Ivan"), ("ivan3", "name", "Ivan1")))
+    assert(run(src, """[:find ?e :where [[(text-search :name "Iv*") [[?e]]]]]""") ==
+      Set(Seq("ivan1"), Seq("ivan2"), Seq("ivan3")))
+    assert(run(src, """[:find ?e :where [[(wildcard-text-search "Iv*") [[?e]]]]]""") ==
+      Set(Seq("ivan1"), Seq("ivan2"), Seq("ivan3")))
+  }
+
+  test("namespaced attributes (lucene_test.clj:222-227)") {
+    val src = quadSource(Seq(("real-ivan-2", "myns/name", "Ivan")))
+    assert(run(src,
+      """[:find ?e ?v :where [[(text-search :myns/name "Ivan") [[?e ?v]]]]]""") ==
+      Set(Seq("real-ivan-2", "Ivan")))
+  }
+
+  test("analyzed terms are case-insensitive token matches") {
+    val src = quadSource(Seq(("e1", "name", "Ivan Bob"), ("e2", "name", "bob")))
+    // "Ivan Bob" tokenizes to [ivan, bob]; term Bob matches both entities
+    assert(run(src, """[:find ?e :where [[(text-search :name "Bob") [[?e]]]]]""") ==
+      Set(Seq("e1"), Seq("e2")))
+    // token match, not substring: "van" matches nothing
+    assert(run(src, """[:find ?e :where [[(text-search :name "van") [[?e]]]]]""").isEmpty)
+  }
+
+  // ------------------------------------------------- boolean operators / phrases
+
+  private lazy val boolSrc = quadSource(Seq(
+    ("fred", "firstname", "Fred"), ("fred", "surname", "Smith"),
+    ("ivan", "firstname", "Ivan"), ("ivan", "surname", "Smith"),
+    ("derek", "firstname", "Derek"), ("derek", "surname", "Jones"),
+    ("doc1", "body", "hello wide world"), ("doc2", "body", "world hello")))
+
+  test("AND / OR / NOT over one attribute (QueryParser occur semantics)") {
+    assert(run(boolSrc, """[:find ?e :where [[(text-search :body "hello AND world") [[?e]]]]]""") ==
+      Set(Seq("doc1"), Seq("doc2")))
+    assert(run(boolSrc, """[:find ?e :where [[(text-search :body "wide OR missing") [[?e]]]]]""") ==
+      Set(Seq("doc1")))
+    assert(run(boolSrc, """[:find ?e :where [[(text-search :body "hello AND NOT wide") [[?e]]]]]""") ==
+      Set(Seq("doc2")))
+    // default operator is OR
+    assert(run(boolSrc, """[:find ?e :where [[(text-search :body "wide missing") [[?e]]]]]""") ==
+      Set(Seq("doc1")))
+    // +required -prohibited
+    assert(run(boolSrc, """[:find ?e :where [[(text-search :body "+hello -wide") [[?e]]]]]""") ==
+      Set(Seq("doc2")))
+  }
+
+  test("phrase query matches consecutive analyzed tokens") {
+    assert(run(boolSrc, """[:find ?e :where [[(text-search :body "\"hello wide\"") [[?e]]]]]""") ==
+      Set(Seq("doc1")))
+    assert(run(boolSrc, """[:find ?e :where [[(text-search :body "\"hello world\"") [[?e]]]]]""").isEmpty)
+  }
+
+  // -------------------------------------------------------- multi_field_test
+
+  test("multi-field lucene queries (multi_field_test.clj:13-24)") {
+    assert(run(boolSrc,
+      """[:find ?e :where [[(lucene-text-search "firstname: Fred") [[?e]]]]]""") ==
+      Set(Seq("fred")))
+    assert(run(boolSrc,
+      """[:find ?e :where [[(lucene-text-search "firstname:James OR surname:smith") [[?e]]]]]""") ==
+      Set(Seq("fred"), Seq("ivan")))
+    assert(run(boolSrc,
+      """[:find ?e :where [[(lucene-text-search "firstname:James OR surname:preston") [[?e]]]]]""").isEmpty)
+  }
+
+  test("format-arg bindings (multi_field_test.clj:26-39)") {
+    assert(run(boolSrc,
+      """[:find ?e :in [?surname] :where [[(lucene-text-search "surname: %s" ?surname) [[?e]]]]]""",
+      "Smith") == Set(Seq("fred"), Seq("ivan")))
+    assert(run(boolSrc,
+      """[:find ?e :in [?surname ?firstname]
+         :where [[(lucene-text-search "surname: %s AND firstname: %s" ?surname ?firstname) [[?e]]]]]""",
+      "Smith", "Fred") == Set(Seq("fred")))
+  }
+
+  test("namespaced keywords via escape (multi_field_test.clj:41-48)") {
+    val src = quadSource(Seq(("ivan", "person/surname", "Smith")))
+    assert(run(src,
+      """[:find ?e :where [[(lucene-text-search "person\\/surname: Smith") [[?e]]]]]""") ==
+      Set(Seq("ivan")))
+  }
+
+  test("malformed query throws Cannot parse (multi_field_test.clj:70-74)") {
+    val ex = intercept[IllegalArgumentException] {
+      run(boolSrc, """[:find ?e :where [[(lucene-text-search "+12!") [[?e]]]]]""")
+    }
+    assert(ex.getMessage.contains("Cannot parse"))
+  }
+
+  test("query string from :in; unfielded terms match nothing (multi_field_test.clj:76-100)") {
+    assert(run(boolSrc,
+      """[:find ?e :in [?s] :where [[(lucene-text-search ?s) [[?e]]]]]""",
+      "firstname: Fred") == Set(Seq("fred")))
+    // "firstname Fred" parses as two default-field terms -> no match
+    assert(run(boolSrc,
+      """[:find ?e :in [?s] :where [[(lucene-text-search ?s) [[?e]]]]]""",
+      "firstname Fred").isEmpty)
+    assert(run(boolSrc,
+      """[:find ?e :in [?s] :where [[(lucene-text-search ?s) [[?e]]]]]""",
+      "firstname:James OR surname:smith") == Set(Seq("fred"), Seq("ivan")))
+    // non-string query value
+    val ex = intercept[IllegalArgumentException] {
+      run(boolSrc, """[:find ?e :in [?s] :where [[(lucene-text-search ?s) [[?e]]]]]""",
+        Long.box(1L))
+    }
+    assert(ex.getMessage.contains("must be String"))
+  }
+
+  test("dynamically-constructed OR fields (multi_field_test.clj:102-117)") {
+    val q = Seq("firstname", "surname").map(f => s"$f:Fre*").mkString(" OR ")
+    assert(run(boolSrc,
+      """[:find ?e :in [?s] :where [[(lucene-text-search ?s) [[?e]]]]]""", q) ==
+      Set(Seq("fred")))
+  }
+
+  // ------------------------------------------------------------- parser unit
+
+  test("parser rejects dangling operators and unbalanced syntax") {
+    for (bad <- Seq("name AND", "OR x", "(a b", "\"unterminated", "a ~2", "f:"))
+      assertThrows[IllegalArgumentException](LuceneSyntax.parse(bad))
+  }
+
+  test("wildcard regex translation escapes regex metachars") {
+    assert(LuceneSyntax.wildcardRegex("a.b*c?") == "^a\\.b.*c.$")
+  }
+}
