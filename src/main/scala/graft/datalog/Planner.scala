@@ -495,8 +495,17 @@ private final class Planner(spark: SparkSession, source: FactSource,
     drainFilterOrs()
     while (rest.nonEmpty) {
       val (sharing, other) = rest.partition(r => (r.vars & current.vars).nonEmpty)
-      val next = if (sharing.nonEmpty) sharing.head else other.head
+      var next = if (sharing.nonEmpty) sharing.head else other.head
       val shared = (next.vars & current.vars).toSeq
+      // a shared var that is mixed-family tagged on ONE side joins in tag
+      // space: lift the single-family side before the equi-join
+      shared.foreach { v =>
+        val (ct, nt) = (current.df.schema(v).dataType, next.df.schema(v).dataType)
+        if (isTagged(ct) && !isTagged(nt))
+          next = Rel(next.df.withColumn(v, taggedOf(col(v), nt)), next.distinctSure)
+        else if (!isTagged(ct) && isTagged(nt))
+          current = Rel(current.df.withColumn(v, taggedOf(col(v), ct)), current.distinctSure)
+      }
       // cross-family unification is statically empty (type-tag semantics).
       // Build the empty result WITHOUT an equi-join: comparing incompatible
       // columns throws at analysis (BOOLEAN=BIGINT) or constant-folds into
