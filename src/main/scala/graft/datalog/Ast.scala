@@ -130,6 +130,11 @@ object Ast {
 
   private def parsePredArg(fn: String, i: Int)(v: Edn.Val): Term = v match {
     case s @ Sym(n) if i == 0 && hofFns(fn) && !n.startsWith("?") => C(s)
+    // fn-symbol in non-leading position: (subseq coll test key),
+    // (update m k f)
+    case s @ Sym(n) if !n.startsWith("?") &&
+        (((fn == "subseq" || fn == "rsubseq") && i == 1) ||
+          ((fn == "update" || fn == "update-in") && i == 2)) => C(s)
     case other => parseTerm(other)
   }
 

@@ -249,6 +249,7 @@ private final class Planner(spark: SparkSession, source: FactSource,
     case Edn.Kw(n) => lit(":" + n) // canonical keyword form (SURVEY §1.2)
     case Edn.Inst(t) => lit(t)
     case Edn.NilV => lit(null)
+    case Edn.Vec(items) => array(items.map(litOf): _*) // homogeneous vector literal
     case other => throw new IllegalArgumentException(s"unsupported literal $other")
   }
 
@@ -260,6 +261,7 @@ private final class Planner(spark: SparkSession, source: FactSource,
     case Edn.Kw(n) => ":" + n
     case Edn.Inst(t) => t
     case Edn.NilV => null
+    case Edn.Vec(items) => items.map(scalaVal)
     case other => throw new IllegalArgumentException(s"unsupported literal $other")
   }
 
@@ -270,6 +272,7 @@ private final class Planner(spark: SparkSession, source: FactSource,
     case _: Boolean => BooleanType
     case _: java.time.LocalDateTime => TimestampNTZType
     case _: java.sql.Timestamp => TimestampType
+    case s: Seq[_] if s.nonEmpty => ArrayType(sparkTypeOf(s.head))
     case null => StringType
     case other => throw new IllegalArgumentException(s"unsupported arg type ${other.getClass}")
   }
@@ -1033,7 +1036,10 @@ private final class Planner(spark: SparkSession, source: FactSource,
     case "starts-with?" => args.head.startsWith(args(1))
     case "ends-with?" => args.head.endsWith(args(1))
     case "includes?" => args.head.contains(args(1))
-    case "contains?" => array_contains(args.head, args(1))
+    case "contains?" => types.head match { // map: key membership
+      case _: MapType => map_contains_key(args.head, args(1))
+      case _ => array_contains(args.head, args(1))
+    }
     case "boolean" => args.head.cast(BooleanType)
     // boolean combinators over Clojure truthiness (allowlist `not and or`)
     case "not" => !truthy(args.head, types.head)
@@ -1044,7 +1050,7 @@ private final class Planner(spark: SparkSession, source: FactSource,
     case "false?" =>
       types.head match { case BooleanType => args.head <=> lit(false); case _ => lit(false) }
     case "empty?" => types.head match {
-      case _: ArrayType => size(args.head) === 0
+      case _: ArrayType | _: MapType => size(args.head) === 0
       case _ => length(args.head) === 0
     }
     case "blank?" => args.head.isNull || trim(args.head) === ""
@@ -1078,7 +1084,53 @@ private final class Planner(spark: SparkSession, source: FactSource,
     case "boolean?" =>
       types.head match { case BooleanType => args.head.isNotNull; case _ => lit(false) }
     case "char?" => lit(false) // no char type on flat columnar schemas
-    case "map?" => lit(false)  // map values are excluded (flat schemas)
+    case "map?" => types.head match { // map values surface as Spark MapType
+      case _: MapType => args.head.isNotNull; case _ => lit(false)
+    }
+    // arrays double as lists/seqs on flat schemas; sets/sorted colls and
+    // symbols have no distinct runtime type (SURVEY §1.2) — statically false
+    case "list?" | "seqable?" | "counted?" | "reversible?" =>
+      types.head match {
+        case _: ArrayType | _: MapType => args.head.isNotNull; case _ => lit(false)
+      }
+    case "set?" | "sorted?" => lit(false)
+    case "associative?" => types.head match {
+      case _: ArrayType | _: MapType => args.head.isNotNull; case _ => lit(false)
+    }
+    case "symbol?" | "simple-symbol?" | "qualified-symbol?" | "ratio?" => lit(false)
+    case "ident?" => types.head match { // keywords only (no symbol values)
+      case StringType => args.head.isNotNull && args.head.startsWith(":")
+      case _ => lit(false)
+    }
+    case "simple-keyword?" | "simple-ident?" => types.head match {
+      case StringType => args.head.isNotNull && args.head.startsWith(":") &&
+        !args.head.contains("/")
+      case _ => lit(false)
+    }
+    case "qualified-keyword?" | "qualified-ident?" => types.head match {
+      case StringType => args.head.isNotNull && args.head.startsWith(":") &&
+        args.head.contains("/")
+      case _ => lit(false)
+    }
+    case "bytes?" => types.head match {
+      case BinaryType => args.head.isNotNull; case _ => lit(false)
+    }
+    case "uuid?" => types.head match { // UUIDs surface as canonical strings
+      case StringType => args.head
+        .rlike("^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$")
+      case _ => lit(false)
+    }
+    case "uri?" => types.head match { // URIs surface as scheme-prefixed strings
+      case StringType => args.head.rlike("^[A-Za-z][A-Za-z0-9+.-]*:")
+      case _ => lit(false)
+    }
+    // primitives and interned values: identity coincides with equality
+    case "identical?" => args.head <=> args(1)
+    case "rational?" => types.head match { // doubles are never rational in Clojure
+      case LongType | IntegerType | ShortType | ByteType | _: DecimalType =>
+        args.head.isNotNull
+      case _ => lit(false)
+    }
     case "inst?" => types.head match {
       case TimestampType | TimestampNTZType | DateType => args.head.isNotNull
       case _ => lit(false)
@@ -1134,7 +1186,7 @@ private final class Planner(spark: SparkSession, source: FactSource,
     case "count" => types.head match {
       // Clojure count is collection size; on strings it is char count
       // (long-typed, like all Clojure integers)
-      case _: ArrayType => size(args.head).cast(LongType)
+      case _: ArrayType | _: MapType => size(args.head).cast(LongType)
       case _ => length(args.head).cast(LongType)
     }
     case "lower-case" => lower(args.head)
@@ -1155,7 +1207,10 @@ private final class Planner(spark: SparkSession, source: FactSource,
     case "symbol" => args.head.cast(StringType)
     // string/collection structural fns — string-vs-array dispatch on the
     // static arg type; `get` is 0-based and nil-safe like Clojure's
-    case "get" => get(args.head, args(1).cast(IntegerType))
+    case "get" => types.head match {
+      case _: MapType => try_element_at(args.head, args(1))
+      case _ => get(args.head, args(1).cast(IntegerType))
+    }
     case "nth" => types.head match {
       case _: ArrayType => get(args.head, args(1).cast(IntegerType))
       case _ => args.head.substr(args(1).cast(IntegerType) + 1, lit(1))
@@ -1280,6 +1335,159 @@ private final class Planner(spark: SparkSession, source: FactSource,
       val c = args.head
       transform(array_distinct(sort_array(c)), x =>
         struct(x.as("item"), size(filter(c, y => y <=> x)).cast(LongType).as("n")))
+    // seq-tail family: next/nnext return nil (not ()) when exhausted
+    case "next" =>
+      when(size(args.head) > 1,
+        slice(args.head, lit(2), greatest(size(args.head) - 1, lit(0))))
+    case "nnext" =>
+      when(size(args.head) > 2,
+        slice(args.head, lit(3), greatest(size(args.head) - 2, lit(0))))
+    case "ffirst" => get(get(args.head, lit(0)), lit(0))
+    case "fnext" => get(args.head, lit(1))
+    case "nfirst" =>
+      val f = get(args.head, lit(0))
+      when(size(f) > 1, slice(f, lit(2), greatest(size(f) - 1, lit(0))))
+    case "nthrest" => // always a seq, possibly empty
+      slice(args.head, args(1).cast(IntegerType) + 1,
+        greatest(size(args.head) - args(1).cast(IntegerType), lit(0)))
+    case "nthnext" => // nil when exhausted
+      when(size(args.head) > args(1),
+        slice(args.head, args(1).cast(IntegerType) + 1,
+          greatest(size(args.head) - args(1).cast(IntegerType), lit(0))))
+    case "take-nth" =>
+      val n = args.head.cast(IntegerType)
+      filter(args(1), (_, i) => pmod(i, n) === 0)
+    case pt @ ("partition" | "partition-all") =>
+      // (partition n coll): complete groups only; partition-all keeps the
+      // ragged tail (slice truncates it naturally)
+      require(args.size == 2, s"($pt n step coll) strides are unsupported")
+      val n = args.head.cast(IntegerType)
+      val c = args(1)
+      val groups =
+        if (pt == "partition") (size(c) / n).cast(IntegerType)
+        else ((size(c) + n - 1) / n).cast(IntegerType)
+      val emptyNested = slice(transform(c, x => array(x)), lit(1), lit(0))
+      when(groups > 0,
+        transform(sequence(lit(0), greatest(groups - 1, lit(0))),
+          g => slice(c, g * n + 1, n))).otherwise(emptyNested)
+    case "dedupe" => // drop CONSECUTIVE duplicates
+      val c = args.head
+      filter(c, (x, i) => (i === 0) || !(x <=> get(c, i - 1)))
+    case "empty" => slice(args.head, lit(1), lit(0))
+    case "rseq" => reverse(args.head)
+    case "list*" => // (list* a b coll): prefix elements onto the final seq
+      if (args.size == 1) args.head
+      else concat(array(args.init: _*), args.last)
+    case "vector-of" => array(args.tail: _*) // (vector-of :type x y z)
+    // primitive-array casts
+    case "doubles" | "floats" => args.head.cast(ArrayType(DoubleType))
+    case "longs" | "ints" | "shorts" => args.head.cast(ArrayType(LongType))
+    case "booleans" => args.head.cast(ArrayType(BooleanType))
+    // sorted-collection range selection: (subseq coll test key) — our
+    // sorted-set is an ascending array, so a filter preserves its order
+    case "subseq" =>
+      val f = rawSym(raw, 1, "subseq test")
+      filter(args.head, x => predicateCol(f, Seq(x, args(2)),
+        Seq(elemTypeOf(types.head), types(2))))
+    case "rsubseq" =>
+      val f = rawSym(raw, 1, "rsubseq test")
+      reverse(filter(args.head, x => predicateCol(f, Seq(x, args(2)),
+        Seq(elemTypeOf(types.head), types(2)))))
+    // nondeterministic (rows-only gates, like the rand/sample aggregates)
+    case "rand" => if (args.isEmpty) rand() else rand() * args.head
+    case "rand-int" => floor(rand() * args.head).cast(LongType)
+    case "rand-nth" => get(args.head, floor(rand() * size(args.head)).cast(IntegerType))
+    case "shuffle" => shuffle(args.head)
+    // arbitrary-precision aliases: Spark longs/doubles don't promote, the
+    // arithmetic itself is identical
+    case "+'" => args.reduceLeft(_ + _)
+    case "-'" => if (args.size == 1) -args.head else args.reduceLeft(_ - _)
+    case "*'" => args.reduceLeft(_ * _)
+    case "inc'" => args.head + 1
+    case "dec'" => args.head - 1
+    case "bit-set" =>
+      args.head.cast(LongType)
+        .bitwiseOR(call_function("shiftleft", lit(1L), args(1)))
+    case "bit-clear" =>
+      args.head.cast(LongType)
+        .bitwiseAND(bitwise_not(call_function("shiftleft", lit(1L), args(1))))
+    case "bit-flip" =>
+      args.head.cast(LongType)
+        .bitwiseXOR(call_function("shiftleft", lit(1L), args(1)))
+    case "rationalize" => types.head match { // no Ratio family: decimal stand-in
+      case DoubleType | FloatType => args.head.cast(DecimalType(38, 18))
+      case _ => args.head
+    }
+    // --- map values (Spark MapType; the reference's doc maps, §1.2).
+    // assoc/merge re-build via map_filter + map_concat so duplicate keys
+    // never reach the ANSI map constructor (EXCEPTION dedup policy).
+    case "hash-map" | "array-map" => map(args: _*)
+    case "zipmap" => map_from_arrays(args.head, args(1))
+    case "keys" => when(size(args.head) > 0, map_keys(args.head))
+    case "vals" => when(size(args.head) > 0, map_values(args.head))
+    case "assoc" =>
+      args.tail.grouped(2).foldLeft(args.head) { case (m, kv) =>
+        require(kv.size == 2, "(assoc m k v ...) needs key-value pairs")
+        map_concat(map_filter(m, (k, _) => !(k <=> kv.head)), map(kv.head, kv(1)))
+      }
+    case "dissoc" =>
+      map_filter(args.head, (k, _) => args.tail.map(a => !(k <=> a)).reduce(_ && _))
+    case "merge" => // right-most wins, like Clojure
+      args.reduceLeft((m1, m2) =>
+        map_concat(map_filter(m1, (k, _) => !map_contains_key(m2, k)), m2))
+    case "select-keys" =>
+      map_filter(args.head, (k, _) => array_contains(args(1), k))
+    case "find" => // map entry as a (key, val) struct, nil when absent
+      when(map_contains_key(args.head, args(1)),
+        struct(args(1).as("key"), try_element_at(args.head, args(1)).as("val")))
+    case "update" => // (update m k f): f from the fn-symbol registry
+      val f = rawSym(raw, 2, "update fn")
+      val vt = types.head.asInstanceOf[MapType].valueType
+      map_concat(map_filter(args.head, (k, _) => !(k <=> args(1))),
+        map(args(1), functionCol(f, Seq(try_element_at(args.head, args(1))), Seq(vt))))
+    case "disj" => array_remove(args.head, args(1)) // sets are sorted arrays
+    case "random-sample" => // (random-sample prob coll)
+      filter(args(1), _ => rand() < args.head)
+    case ai @ ("assoc-in" | "update-in") =>
+      // literal key path over nested maps: rebuilt inside-out
+      val path = raw.lift(1) match {
+        case Some(C(Edn.Vec(items))) => items
+        case o => throw new IllegalArgumentException(
+          s"($ai m path ...) needs a literal vector path, got $o")
+      }
+      def rebuild(m: Column, t: DataType, ks: List[Edn.Val]): Column = ks match {
+        case Nil => throw new IllegalArgumentException(s"($ai m [] ...) empty path")
+        case k :: Nil =>
+          val mt = t.asInstanceOf[MapType]
+          val leaf =
+            if (ai == "assoc-in") args(2)
+            else functionCol(rawSym(raw, 2, "update-in fn"),
+              Seq(try_element_at(m, litOf(k))), Seq(mt.valueType))
+          map_concat(map_filter(m, (mk, _) => !(mk <=> litOf(k))), map(litOf(k), leaf))
+        case k :: rest =>
+          val mt = t.asInstanceOf[MapType]
+          map_concat(map_filter(m, (mk, _) => !(mk <=> litOf(k))),
+            map(litOf(k), rebuild(try_element_at(m, litOf(k)), mt.valueType, rest)))
+      }
+      rebuild(args.head, types.head, path)
+    case "get-in" => // literal key path only (the path drives static typing)
+      val path = raw.lift(1) match {
+        case Some(C(Edn.Vec(items))) => items
+        case o => throw new IllegalArgumentException(
+          s"(get-in m path) needs a literal vector path, got $o")
+      }
+      path.foldLeft((args.head, types.head)) { case ((c, t), k) =>
+        t match {
+          case mt: MapType => (try_element_at(c, litOf(k)), mt.valueType)
+          case at: ArrayType =>
+            (get(c, lit(scalaVal(k).asInstanceOf[Long].toInt)), at.elementType)
+          case st: StructType =>
+            val fname = scalaVal(k).toString.stripPrefix(":")
+            (c.getField(fname), st(fname).dataType)
+          case other => throw new IllegalArgumentException(
+            s"(get-in) cannot traverse $other")
+        }
+      }._1
     case "split-at" => // [take drop] pair, binds as a tuple
       val n = args.head.cast(IntegerType)
       val c = args(1)
@@ -1287,9 +1495,7 @@ private final class Planner(spark: SparkSession, source: FactSource,
         slice(c, least(n, size(c)) + 1, greatest(size(c) - n, lit(0))))
     // --- higher-order fns: the fn argument is a literal symbol dispatched
     // back through this registry (allowlist map/filter/remove/every?/some/
-    // keep/take-while/drop-while/max-key/min-key/apply). Map-valued fns
-    // (assoc/merge/keys/vals/zipmap/group-by/update) stay unsupported:
-    // flat columnar schemas have no map values to thread through.
+    // keep/take-while/drop-while/max-key/min-key/apply/update/subseq).
     case "map" | "mapv" =>
       val f = rawSym(raw, 0, "map fn")
       transform(args(1), x => functionCol(f, Seq(x), Seq(elemTypeOf(types(1)))))

@@ -150,6 +150,47 @@ object DatalogQueries {
                [(every? pos? ?lens) ?ev]
                [(some even? ?lens) ?sm]]}""") _,
 
+    // registry breadth round 4: map values (zipmap/assoc/merge/keys/vals/
+    // get/select-keys/get-in as Spark MapType, JSON-serialized for the
+    // oracle), seq-tail fns (next/take-nth/partition-all/dedupe/ffirst),
+    // bit-set/clear/flip, sorted-set + subseq, qualified-keyword?
+    "dl_fns_corpus4" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions.{col, to_json}
+      dl("""
+        {:find [?ck ?zm ?asx ?mg ?ks ?vs ?gv ?sk ?gi ?nx ?tn ?pa ?ff ?dd ?bs ?bc ?bf ?sq]
+         :keys [c_custkey zm asx mg ks vs gv sk gi nx tn pa ff dd bs bc bf sq]
+         :order-by [[?ck :asc]]
+         :limit 200
+         :where [[?c :c_custkey ?ck] [?c :c_name ?nm] [?c :c_mktsegment ?seg]
+                 [(< ?ck 100)]
+                 [(vector "name" "seg") ?mks]
+                 [(vector ?nm ?seg) ?mvs]
+                 [(zipmap ?mks ?mvs) ?zm]
+                 [(assoc ?zm "seg" "X") ?asx]
+                 [(hash-map "extra" "Y") ?m2]
+                 [(merge ?zm ?m2) ?mg]
+                 [(keys ?zm) ?ks] [(vals ?zm) ?vs]
+                 [(get ?zm "name") ?gv]
+                 [(select-keys ?zm ["seg"]) ?sk]
+                 [(get-in ?zm ["seg"]) ?gi]
+                 [(clojure.string/split ?nm "0") ?parts]
+                 [(next ?parts) ?nx]
+                 [(take-nth 2 ?parts) ?tn]
+                 [(partition-all 2 ?parts) ?pa]
+                 [(ffirst ?pa) ?ff]
+                 [(map count ?parts) ?lens]
+                 [(dedupe ?lens) ?dd]
+                 [(bit-set ?ck 10) ?bs]
+                 [(bit-clear ?ck 0) ?bc]
+                 [(bit-flip ?ck 1) ?bf]
+                 [(sorted-set 3 1 2 3) ?ss]
+                 [(subseq ?ss >= 2) ?sq]]}""")(s, dir)
+        .withColumn("zm", to_json(col("zm")))
+        .withColumn("asx", to_json(col("asx")))
+        .withColumn("mg", to_json(col("mg")))
+        .withColumn("sk", to_json(col("sk")))
+    }),
+
     // ordered + limited subquery: top-2 customer balances per nation via a
     // relation-bound nested query (VERDICT round-1 item 4)
     "dl_subquery_topn" -> dl("""
@@ -252,6 +293,35 @@ object DatalogSql {
                                   ORDER BY c_acctbal DESC) AS rn
         FROM customer JOIN nation ON c_nationkey = n_nationkey)
       SELECT DISTINCT n_name, c_acctbal AS top_bal FROM ranked WHERE rn <= 2""",
+
+    "dl_fns_corpus4" -> """
+      WITH base AS (
+        SELECT c_custkey, c_name, c_mktsegment,
+               string_split(c_name, '0') AS parts
+        FROM customer WHERE c_custkey < 100),
+      mid AS (
+        SELECT *, list_transform(parts, x -> CAST(len(x) AS BIGINT)) AS lens
+        FROM base)
+      SELECT c_custkey,
+        to_json(MAP(['name','seg'], [c_name, c_mktsegment])) AS zm,
+        to_json(MAP(['name','seg'], [c_name, 'X'])) AS asx,
+        to_json(MAP(['name','seg','extra'], [c_name, c_mktsegment, 'Y'])) AS mg,
+        ['name','seg'] AS ks,
+        [c_name, c_mktsegment] AS vs,
+        c_name AS gv,
+        to_json(MAP(['seg'], [c_mktsegment])) AS sk,
+        c_mktsegment AS gi,
+        CASE WHEN len(parts) > 1 THEN parts[2:] END AS nx,
+        list_filter(parts, (x, i) -> (i - 1) % 2 = 0) AS tn,
+        list_transform(range(CAST(ceil(len(parts) / 2.0) AS BIGINT)),
+          g -> parts[(g*2+1):(g*2+2)]) AS pa,
+        parts[1] AS ff,
+        list_filter(lens, (x, i) -> i = 1 OR x <> lens[i-1]) AS dd,
+        (c_custkey | 1024) AS bs,
+        (c_custkey & ~1) AS bc,
+        xor(c_custkey, 2) AS bf,
+        [CAST(2 AS BIGINT), 3] AS sq
+      FROM mid ORDER BY c_custkey LIMIT 200""",
 
     "dl_fns_corpus3" -> """
       WITH base AS (

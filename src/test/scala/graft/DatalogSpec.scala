@@ -741,4 +741,96 @@ class DatalogSpec extends AnyFunSuite {
                    [(frequencies ?v) ?fr] [(nth ?fr 1) [?it ?f]]]]""") ==
       Set(Seq(2L, 3L))) // item 2 occurs 3×
   }
+
+  test("allowlist tranche 4: map values via Spark MapType") {
+    assert(run("""[:find ?v :where [[?e :name "Ivan"]
+                   [(hash-map "a" 1 "b" 2) ?m] [(get ?m "b") ?v]]]""") ==
+      Set(Seq(2L)))
+    // assoc replaces, merge right-most wins, dissoc drops
+    assert(run("""[:find ?v :where [[?e :name "Ivan"]
+                   [(hash-map "a" 1) ?m] [(assoc ?m "a" 9) ?m2]
+                   [(get ?m2 "a") ?v]]]""") == Set(Seq(9L)))
+    assert(run("""[:find ?v ?n :where [[?e :name "Ivan"]
+                   [(hash-map "a" 1 "b" 2) ?m] [(hash-map "b" 7) ?m2]
+                   [(merge ?m ?m2) ?m3] [(get ?m3 "b") ?v] [(count ?m3) ?n]]]""") ==
+      Set(Seq(7L, 2L)))
+    assert(run("""[:find ?n :where [[?e :name "Ivan"]
+                   [(hash-map "a" 1 "b" 2) ?m] [(dissoc ?m "a") ?m2]
+                   [(count ?m2) ?n]]]""") == Set(Seq(1L)))
+    // keys/vals/contains?/find/update/get-in/zipmap/select-keys
+    assert(run("""[:find ?ks ?vs :where [[?e :name "Ivan"]
+                   [(zipmap ["x" "y"] [10 20]) ?m]
+                   [(keys ?m) ?ks] [(vals ?m) ?vs]]]""") ==
+      Set(Seq(Seq("x", "y"), Seq(10L, 20L))))
+    assert(run("""[:find ?e :where [[?e :name "Ivan"]
+                   [(hash-map "a" 1) ?m] [(contains? ?m "a")]]]""") ==
+      Set(Seq("ivan")))
+    assert(run("""[:find ?v :where [[?e :name "Ivan"]
+                   [(hash-map "a" 5) ?m] [(update ?m "a" inc) ?m2]
+                   [(get ?m2 "a") ?v]]]""") == Set(Seq(6L)))
+    assert(run("""[:find ?v :where [[?e :name "Ivan"]
+                   [(hash-map "a" 1 "b" 2) ?m] [(select-keys ?m ["b"]) ?m2]
+                   [(vals ?m2) ?vsx] [(first ?vsx) ?v]]]""") == Set(Seq(2L)))
+    // (keys {}) is nil, not ()
+    assert(run("""[:find ?e :where [[?e :name "Ivan"]
+                   [(hash-map "a" 1) ?m] [(dissoc ?m "a") ?m2]
+                   [(keys ?m2) ?ks] [(nil? ?ks)]]]""") == Set(Seq("ivan")))
+    // nested literal-path rebuilds
+    assert(run("""[:find ?v :where [[?e :name "Ivan"]
+                   [(hash-map "inner" 1) ?i] [(hash-map "a" ?i) ?m]
+                   [(assoc-in ?m ["a" "inner"] 9) ?m2]
+                   [(get-in ?m2 ["a" "inner"]) ?v]]]""") == Set(Seq(9L)))
+    assert(run("""[:find ?v :where [[?e :name "Ivan"]
+                   [(hash-map "inner" 1) ?i] [(hash-map "a" ?i) ?m]
+                   [(update-in ?m ["a" "inner"] inc) ?m2]
+                   [(get-in ?m2 ["a" "inner"]) ?v]]]""") == Set(Seq(2L)))
+    assert(run("""[:find ?s :where [[?e :name "Ivan"] [(sorted-set 1 2 3) ?ss]
+                   [(disj ?ss 2) ?s]]]""") == Set(Seq(Seq(1L, 3L))))
+    assert(run("""[:find ?e :where [[?e :name "Ivan"] [(range 20) ?r]
+                   [(random-sample 0.5 ?r) ?s] [(count ?s) ?n]
+                   [(<= ?n 20)]]]""") == Set(Seq("ivan")))
+  }
+
+  test("allowlist tranche 4: seq tails, partition, dedupe, subseq, bit fns") {
+    assert(run("""[:find ?n :where [[?e :name "Ivan"] [(vector 1) ?v]
+                   [(next ?v) ?nx] [(nil? ?nx)] [(count ?v) ?n]]]""") ==
+      Set(Seq(1L))) // (next [1]) is nil
+    assert(run("""[:find ?x :where [[?e :name "Ivan"] [(range 10) ?r]
+                   [(take-nth 3 ?r) ?t] [(nth ?t 2) ?x]]]""") == Set(Seq(6L)))
+    // partition drops the ragged tail, partition-all keeps it
+    assert(run("""[:find ?np ?na :where [[?e :name "Ivan"] [(range 5) ?r]
+                   [(partition 2 ?r) ?p] [(count ?p) ?np]
+                   [(partition-all 2 ?r) ?pa] [(count ?pa) ?na]]]""") ==
+      Set(Seq(2L, 3L)))
+    assert(run("""[:find ?d :where [[?e :name "Ivan"] [(vector 1 1 2 2 1) ?v]
+                   [(dedupe ?v) ?d]]]""") == Set(Seq(Seq(1L, 2L, 1L))))
+    assert(run("""[:find ?s :where [[?e :name "Ivan"] [(sorted-set 5 1 3) ?ss]
+                   [(subseq ?ss >= 3) ?s]]]""") == Set(Seq(Seq(3L, 5L))))
+    assert(run("""[:find ?s :where [[?e :name "Ivan"] [(sorted-set 5 1 3) ?ss]
+                   [(rsubseq ?ss < 5) ?s]]]""") == Set(Seq(Seq(3L, 1L))))
+    assert(run("""[:find ?a ?b ?c :where [[?e :name "Ivan"]
+                   [(bit-set 8 0) ?a] [(bit-clear 9 0) ?b] [(bit-flip 8 1) ?c]]]""") ==
+      Set(Seq(9L, 8L, 10L)))
+    assert(run("""[:find ?x :where [[?e :name "Ivan"] [(vector [1 2] [3]) ?v]
+                   [(ffirst ?v) ?x]]]""") == Set(Seq(1L)))
+  }
+
+  test("allowlist tranche 4: identity-adjacent type predicates") {
+    assert(run("""[:find ?e :where [[?e :name "Ivan"]
+                   [(qualified-keyword? :a/b)] [(simple-keyword? :a)]
+                   [(identical? "x" "x")] [(rational? 3)]]]""") ==
+      Set(Seq("ivan")))
+    assert(run("""[:find ?e :where [[?e :name "Ivan"] [(rational? 2.5)]]]""") ==
+      Set())
+    assert(run("""[:find ?e :where [[?e :name "Ivan"]
+                   [(uuid? "123e4567-e89b-12d3-a456-426614174000")]
+                   [(uri? "https://example.com/x")]]]""") == Set(Seq("ivan")))
+    assert(run("""[:find ?e :where [[?e :name "Ivan"] [?e :name ?n] [(uuid? ?n)]]]""") ==
+      Set())
+    // nondeterministic fns: assert bounds, not values
+    assert(run("""[:find ?e :where [[?e :name "Ivan"] [(rand-int 10) ?r]
+                   [(>= ?r 0)] [(< ?r 10)]]]""") == Set(Seq("ivan")))
+    assert(run("""[:find ?n :where [[?e :name "Ivan"] [(range 6) ?r]
+                   [(shuffle ?r) ?s] [(count ?s) ?n]]]""") == Set(Seq(6L)))
+  }
 }
