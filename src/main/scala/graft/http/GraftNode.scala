@@ -27,7 +27,8 @@ import graft.datalog.{FactSource, Planner}
   * filters to one eid before resolving; query results stream out through
   * `toLocalIterator` in the server (crux's open-q cursor re-expressed).
   */
-final class GraftNode(val spark: SparkSession, val source: FactSource) {
+final class GraftNode(val spark: SparkSession, val source: FactSource,
+    sqlDir: Option[String] = None) {
 
   @volatile private var versions: DataFrame = TxLog.emptyState(spark)
   @volatile private var docs: DataFrame = spark.createDataFrame(
@@ -220,6 +221,19 @@ final class GraftNode(val spark: SparkSession, val source: FactSource) {
   /** Datalog query → DataFrame (find-var column names preserved). */
   def query(edn: String, args: Seq[Any]): DataFrame =
     Planner.q(spark, source, edn, args: _*)
+
+  /** SQL query → DataFrame — the SQL-over-wire surface. The reference
+    * serves SQL via crux-sql's Calcite/Avatica JDBC server
+    * (crux-sql/src/crux/calcite.clj:495-527); here the same catalog that
+    * backs [[graft.sql.SqlSurface]] (incl. the VALIDTIME/TRANSACTIONTIME/
+    * TRANSACTIONID prefixes) is exposed over HTTP. Like the reference
+    * when the SQL module isn't on the classpath, a node constructed
+    * without a SQL catalog rejects the request. */
+  def sql(sqlText: String): DataFrame = sqlDir match {
+    case Some(dir) => graft.sql.SqlSurface.query(spark, dir, sqlText)
+    case None => throw new IllegalArgumentException(
+      "SQL module not configured on this node")
+  }
 
   /** attr → rough count of values indexed, crux.api/attribute-stats
     * (the reference keeps these as index meta; here one aggregation over

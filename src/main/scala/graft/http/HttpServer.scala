@@ -17,8 +17,10 @@ import java.nio.charset.StandardCharsets.UTF_8
   *        /sync, /await-tx, /await-tx-time, /tx-log, /tx-committed,
   *        /latest-completed-tx, /latest-submitted-tx,
   *        /active-queries, /recent-queries, /slowest-queries,
-  *        /query (+ .csv/.tsv)
-  *   POST /query, /submit-tx
+  *        /query (+ .csv/.tsv), /sql (+ .csv/.tsv — the SQL-over-wire
+  *        surface; the reference serves SQL via Calcite/Avatica JDBC,
+  *        crux-sql/src/crux/calcite.clj:495-527)
+  *   POST /query, /sql, /submit-tx
   *
   * Scale: query results are streamed to the socket via `toLocalIterator`
   * over a chunked response — the open-q cursor (query.clj:1816-1835)
@@ -178,6 +180,7 @@ final class HttpServer(node: GraftNode, port: Int = 0) {
     * (query.clj:1816-1835) re-expressed: the driver holds one partition
     * at a time, never the whole result. */
   private def handleQuery(path: String, ex: HttpExchange, qp: Map[String, String]): Unit = {
+    val isSql = path.startsWith("/_crux/sql")
     val (edn, inArgs) =
       if (ex.getRequestMethod == "POST") {
         val body = Json.parse(new String(ex.getRequestBody.readAllBytes(), UTF_8))
@@ -190,7 +193,10 @@ final class HttpServer(node: GraftNode, port: Int = 0) {
           case _ => Nil
         }
         (q, args)
-      } else (qp.getOrElse("query-edn",
+      } else if (isSql)
+        (qp.getOrElse("q",
+          return respond(ex, 400, "application/json", err("q parameter required"))), Nil)
+      else (qp.getOrElse("query-edn",
           return respond(ex, 400, "application/json", err("query-edn parameter required"))),
         qp.get("in-args-edn").map(parseInArgs).getOrElse(Nil))
 
@@ -202,11 +208,11 @@ final class HttpServer(node: GraftNode, port: Int = 0) {
     // error status; a mid-stream failure then only gets a truncated body
     var headersSent = false
     try {
-      val df = node.query(edn, inArgs)
+      val df = if (isSql) node.sql(edn) else node.query(edn, inArgs)
       val cols = df.columns.toList
       val ctype = path match {
-        case "/_crux/query.csv" => "text/csv"
-        case "/_crux/query.tsv" => "text/tsv"
+        case "/_crux/query.csv" | "/_crux/sql.csv" => "text/csv"
+        case "/_crux/query.tsv" | "/_crux/sql.tsv" => "text/tsv"
         case _ => "application/json"
       }
       ex.getResponseHeaders.set("Content-Type", ctype)
@@ -215,7 +221,7 @@ final class HttpServer(node: GraftNode, port: Int = 0) {
       val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(ex.getResponseBody, UTF_8))
       val it = df.toLocalIterator()
       path match {
-        case "/_crux/query.csv" | "/_crux/query.tsv" =>
+        case "/_crux/query.csv" | "/_crux/query.tsv" | "/_crux/sql.csv" | "/_crux/sql.tsv" =>
           val d = if (path.endsWith(".csv")) "," else "\t"
           // RFC 4180: quote any field containing the delimiter, a quote,
           // or a newline; double embedded quotes (the reference emits
@@ -285,7 +291,8 @@ final class HttpServer(node: GraftNode, port: Int = 0) {
       }.toMap
     val path = ex.getRequestURI.getPath
     try {
-      if (path == "/_crux/query" || path == "/_crux/query.csv" || path == "/_crux/query.tsv")
+      if (path == "/_crux/query" || path == "/_crux/query.csv" || path == "/_crux/query.tsv" ||
+          path == "/_crux/sql" || path == "/_crux/sql.csv" || path == "/_crux/sql.tsv")
         handleQuery(path, ex, qp)
       else {
         val (status, ctype, body) = route(path, ex, qp)

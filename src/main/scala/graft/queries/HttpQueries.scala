@@ -28,7 +28,7 @@ object HttpQueries {
     StructField("r_name", StringType), StructField("numcust", LongType)))
 
   private def withServer[A](s: SparkSession, dir: String)(f: (java.net.http.HttpClient, Int) => A): A = {
-    val node = new GraftNode(s, TableSource.tpch(s, dir))
+    val node = new GraftNode(s, TableSource.tpch(s, dir), sqlDir = Some(dir))
     val server = new HttpServer(node).start()
     try f(java.net.http.HttpClient.newHttpClient(), server.boundPort)
     finally server.stop()
@@ -93,9 +93,28 @@ object HttpQueries {
     out.toSeq
   }
 
+  /** GET /_crux/sql (JSON): the SQL-over-wire surface — same result shape
+    * as /query, produced by `spark.sql` behind the endpoint. */
+  def httpSql(s: SparkSession, dir: String): DataFrame = withServer(s, dir) { (client, port) =>
+    val sqlText =
+      "SELECT r_name, COUNT(*) AS numcust FROM customer " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"
+    val body = Json.parse(get(client, port, s"/_crux/sql?q=${enc(sqlText)}"))
+    val cols = (body \ "find").asInstanceOf[JArray].arr.collect { case JString(c) => c }
+    require(cols == List("r_name", "numcust"), s"unexpected find cols $cols")
+    val rows = (body \ "results").asInstanceOf[JArray].arr.map {
+      case JArray(List(name, n)) =>
+        Row(Json.fromJValue(name), Json.fromJValue(n))
+      case other => throw new IllegalStateException(s"bad result row $other")
+    }
+    s.createDataFrame(scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, schema)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "http_query" -> (httpQueryJson _),
-    "http_query_csv" -> (httpQueryCsv _))
+    "http_query_csv" -> (httpQueryCsv _),
+    "http_sql" -> (httpSql _))
 }
 
 object HttpSql {
@@ -107,5 +126,6 @@ object HttpSql {
       GROUP BY r_name"""
   val all: Map[String, String] = Map(
     "http_query" -> sql,
-    "http_query_csv" -> sql)
+    "http_query_csv" -> sql,
+    "http_sql" -> sql)
 }

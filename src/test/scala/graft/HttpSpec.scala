@@ -204,6 +204,47 @@ class HttpSpec extends AnyFunSuite {
     }
   }
 
+  test("GET /sql runs SQL-over-wire; unconfigured nodes reject it") {
+    // node WITHOUT a SQL catalog: 400, like the reference without crux-sql
+    withNode { (_, port) =>
+      val (code, body) = get(port, s"/_crux/sql?q=${enc("SELECT 1 AS one")}")
+      assert(code == 400, body)
+      assert(body.contains("SQL module not configured"))
+    }
+    // node WITH the catalog: rows match spark.sql directly, and the
+    // temporal prefix routes through SqlSurface
+    val node = new GraftNode(spark, TableSource.tpch(spark, dir), sqlDir = Some(dir))
+    val server = new HttpServer(node).start()
+    try {
+      val port = server.boundPort
+      val sql = "SELECT n_name FROM nation WHERE n_regionkey = 0 ORDER BY n_name"
+      val (code, body) = get(port, s"/_crux/sql?q=${enc(sql)}")
+      assert(code == 200, body)
+      val j = Json.parse(body)
+      assert((j \ "find") == JArray(List(JString("n_name"))))
+      val got = (j \ "results").asInstanceOf[JArray].arr.collect {
+        case JArray(List(JString(n))) => n
+      }
+      val want = node.sql(sql).collect().map(_.getString(0)).toSeq
+      assert(got == want && got.nonEmpty)
+
+      // POST body form + csv stream
+      val (pc, pbody) = post(port, "/_crux/sql", Json.render("query" ->
+        "SELECT COUNT(*) AS n FROM region"))
+      assert(pc == 200, pbody)
+      assert((Json.parse(pbody) \ "results") == JArray(List(JArray(List(JInt(5))))) ||
+        (Json.parse(pbody) \ "results") == JArray(List(JArray(List(JLong(5L))))))
+      val (cc, cbody) = get(port, s"/_crux/sql.csv?q=${enc("SELECT r_regionkey FROM region ORDER BY r_regionkey")}")
+      assert(cc == 200 && cbody.startsWith("r_regionkey\n0\n1\n2"), cbody)
+
+      // VALIDTIME temporal prefix parses over the wire (events_current view)
+      val (tc, tbody) = get(port, s"/_crux/sql?q=${enc(
+        "VALIDTIME ('2024-01-15T00:00:00') SELECT COUNT(*) AS n FROM events_current")}")
+      assert(tc == 200, tbody)
+      assert((Json.parse(tbody) \ "results").asInstanceOf[JArray].arr.nonEmpty)
+    } finally server.stop()
+  }
+
   test("query.csv quotes per RFC 4180") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{StringType, StructField, StructType}
