@@ -291,4 +291,57 @@ object Dedup {
         round(Similarity.nativeCosine(spark, col("va"), col("vb")), 6).as("cosine"))
       .filter(col("cosine") >= tau)
   }
+
+  /** Connected components over a near-dup pair list → (id, cluster), where
+    * cluster is the component's minimum id.
+    *
+    * Iterative min-label propagation ("hash-min"): each round every vertex
+    * takes the min label among itself and its neighbours; rounds needed =
+    * the largest component's diameter — near-dup graphs are cliques and
+    * short chains, so a handful. Each round is ONE shuffle (groupBy id);
+    * lineage is cut per round with localCheckpoint so the plan stays flat
+    * (the rules-fixpoint device). No driver-side state: the labels frame
+    * is two columns over the docs that appear in any pair, and the
+    * convergence probe is a `limit(1).count()` on changed labels — O(1)
+    * result rows regardless of corpus size. This is the assignment step a
+    * pairwise dedup output needs before canonical-doc selection at 100 TB
+    * (pairs alone don't tell you which docs to keep). */
+  def connectedComponents(pairs: DataFrame, aCol: String = "d1",
+      bCol: String = "d2", maxIter: Int = 30): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val msgs = edges.join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("label"))
+      val next = msgs.unionByName(labels)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint(true)
+      converged = next.as("n").join(labels.as("o"), "id")
+        .filter(col("n.label") =!= col("o.label")).limit(1).count() == 0L
+      labels = next
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Full-corpus duplicate-cluster assignment: every doc gets a cluster id
+    * (its component's min doc id; singletons cluster with themselves) and
+    * an `is_canonical` flag — the doc a training pipeline keeps. One
+    * left join against the component labels. */
+  def clusterAssign(docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id", aCol: String = "d1", bCol: String = "d2"): DataFrame = {
+    val cc = connectedComponents(pairs, aCol, bCol)
+    docs.select(col(idCol).as("doc_id"))
+      .join(cc, col("doc_id") === cc("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster"))
+      .withColumn("is_canonical", col("cluster") === col("doc_id"))
+  }
 }

@@ -193,8 +193,11 @@ object Similarity {
     val e = corpus.select(col(idCol).as("kid"),
       col(vecCol).cast("array<double>").as("kv"))
     val norm = sqrt(dot(col("kv"), col("kv")))
+    // persisted: every Lloyd iteration re-reads this frame (assignment +
+    // 64-dim centroid update), and without the cache each pass re-scans
+    // the parquet AND re-runs the interpreted normalize HOF
     val nv = e.withColumn("nv", transform(col("kv"), x => x / norm))
-      .select(col("kid"), col("nv"))
+      .select(col("kid"), col("nv")).persist()
     def renorm(v: Array[Double]): Array[Double] = {
       val n = math.sqrt(v.map(x => x * x).sum)
       if (n == 0.0) v else v.map(_ / n)
@@ -227,6 +230,7 @@ object Similarity {
       }
       centroids = next
     }
+    nv.unpersist()
     corpus.withColumn("cell",
       assignUdf(centroids)(col(vecCol).cast("array<double>")))
   }

@@ -28,6 +28,12 @@ object TrainQueries {
 
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir), 3)),
 
+    // pairs → connected components → canonical-doc assignment (the step a
+    // training pipeline actually consumes; min-label propagation, one
+    // shuffle per round). Pairs come from the oracle-equal LSH path.
+    "dedup_clusters" -> ((s, dir) =>
+      Dedup.clusterAssign(docs(s, dir), Dedup.minhashLshPairs(docs(s, dir), 0.5))),
+
     "dedup_embedding" -> ((s, dir) => Dedup.embeddingCosinePairs(emb(s, dir), 0.45)),
 
     // banded LSH candidates + exact verify: with r=3, b=bandsFor(0.45,3)=51
@@ -180,6 +186,23 @@ object TrainSql {
 
     "dedup_ngram_jaccard" -> jaccardSql,
     "dedup_minhash_lsh" -> jaccardSql,
+
+    // transitive closure of the jaccard-pair graph (tiny at oracle scale;
+    // the Spark side is iterative min-label propagation instead)
+    "dedup_clusters" -> s"""
+      WITH RECURSIVE $shingleCtes,
+      jp AS (
+        SELECT d1, d2
+        FROM pairs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+        WHERE CAST(c AS DOUBLE) / (s1.sz + s2.sz - c) >= 0.5),
+      edges AS (SELECT d1 AS a, d2 AS b FROM jp UNION SELECT d2, d1 FROM jp),
+      reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+      SELECT src AS doc_id, min(dst) AS cluster,
+             (min(dst) = src) AS is_canonical
+      FROM reach GROUP BY src""",
     "dedup_embedding_lsh" -> """
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
       SELECT a.vec_id AS v1, b.vec_id AS v2,

@@ -30,7 +30,11 @@ object SqlSurface {
     * any order, any subset. The no-prefix default basis is the CURRENT
     * time on both axes (future-valid-dated facts are not visible by
     * default, matching the reference). */
-  def query(spark: SparkSession, dir: String, sql: String): DataFrame = {
+  /** @param args positional `?` parameters — the JDBC prepared-statement
+    *   surface (crux-sql/test/crux/calcite_test.clj:422-427); Spark's
+    *   parameterized-SQL binding does the substitution. */
+  def query(spark: SparkSession, dir: String, sql: String,
+      args: Array[Any] = Array.empty): DataFrame = {
     Tables.registerAll(spark, dir)
     var rest = sql
     var vt: Option[java.time.LocalDateTime] = None
@@ -48,7 +52,7 @@ object SqlSurface {
       case _ => more = false
     }
     registerCurrent(spark, dir, vt.getOrElse(java.time.LocalDateTime.now()), tt, txId)
-    spark.sql(rest)
+    if (args.isEmpty) spark.sql(rest) else spark.sql(rest, args)
   }
 
   private def registerCurrent(spark: SparkSession, dir: String,

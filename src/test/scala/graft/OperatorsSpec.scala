@@ -14,6 +14,25 @@ class OperatorsSpec extends AnyFunSuite {
   private def docs = Tables.load(spark, dir, "documents")
   private def emb = Tables.load(spark, dir, "embeddings")
 
+  test("connected components: chain + clique + singleton, min-label clusters") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3 — needs >1 round), clique {10,11,12},
+    // isolated pair {20,21}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L),
+      (11L, 12L), (20L, 21L)).toDF("d1", "d2")
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    // full-corpus assignment: docs absent from pairs cluster alone
+    val corpus = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L, 21L, 99L).toDF("doc_id")
+    val assigned = Dedup.clusterAssign(corpus, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(assigned.toSet.contains((99L, 99L, true)))
+    assert(assigned.count(_._3) == 4) // canonical docs: 1, 10, 20, 99
+    assert(assigned.length == 10)
+  }
+
   test("minhash LSH finds exactly the exact-jaccard pairs on planted dups") {
     val exact = Dedup.ngramJaccardPairs(docs, 0.5).select("d1", "d2").collect().toSet
     val lsh = Dedup.minhashLshPairs(docs, 0.5).select("d1", "d2").collect().toSet

@@ -1,0 +1,271 @@
+package graft
+
+import org.apache.spark.sql.{AnalysisException, DataFrame, Row}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sql.SqlSurface
+
+/** Ports of the reference's SQL-surface corpus —
+  * crux-sql/test/crux/calcite_test.clj. The reference maps schema docs
+  * (`:crux.sql.table/query` datalog + `:crux.sql.table/columns`) onto
+  * Calcite tables; here the analogous mapping is a Spark temp view (for a
+  * query-backed table, literally a datalog-planned DataFrame registered as
+  * the view). Queries run through [[SqlSurface.query]], so table
+  * registration, temporal-prefix parsing, and positional `?` parameters
+  * all take the production path.
+  *
+  * Deviations: Calcite's JDBC `{fn CONCAT(...)}` escape syntax and
+  * `TRUNCATE(x, d)` are not in Spark's dialect (plain CONCAT is);
+  * error texts differ (Spark's UNRESOLVED_COLUMN vs Calcite's
+  * "Column not found"), asserted by column name instead.
+  */
+class SqlSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def q(sql: String, args: Array[Any] = Array.empty): DataFrame =
+    SqlSurface.query(spark, dir, sql, args)
+
+  private def rows(sql: String): Seq[Seq[Any]] =
+    q(sql).collect().toSeq.map(_.toSeq)
+
+  private def registerPerson(): Unit = {
+    import spark.implicits._
+    Seq(
+      (":ivan", "Ivan", "Earth", 21L, true),
+      (":malcolm", "Malcolm", "Mars", 25L, false))
+      .toDF("id", "name", "homeworld", "age", "alive")
+      .createOrReplaceTempView("person")
+  }
+
+  test("count / projection / case-insensitive identifiers (calcite_test.clj:139-157)") {
+    registerPerson()
+    assert(rows("SELECT count(*) as N FROM PERSON") == Seq(Seq(2L)))
+    assert(rows("SELECT PERSON.NAME FROM PERSON").toSet ==
+      Set(Seq("Ivan"), Seq("Malcolm")))
+    assert(rows("select person.name from person").toSet ==
+      Set(Seq("Ivan"), Seq("Malcolm")))
+  }
+
+  test("order by / multiple and wildcard columns (calcite_test.clj:171-200)") {
+    registerPerson()
+    assert(rows("SELECT PERSON.NAME FROM PERSON ORDER BY NAME DESC") ==
+      Seq(Seq("Malcolm"), Seq("Ivan")))
+    assert(rows("SELECT PERSON.NAME,PERSON.HOMEWORLD FROM PERSON").toSet ==
+      Set(Seq("Ivan", "Earth"), Seq("Malcolm", "Mars")))
+    val wild = q("SELECT * FROM PERSON")
+    assert(wild.columns.toSeq == Seq("id", "name", "homeworld", "age", "alive"))
+    assert(wild.collect().toSet == Set(
+      Row(":ivan", "Ivan", "Earth", 21L, true),
+      Row(":malcolm", "Malcolm", "Mars", 25L, false)))
+  }
+
+  test("equals / in / and / or operands (calcite_test.clj:192-221)") {
+    registerPerson()
+    assert(rows("SELECT NAME FROM PERSON WHERE NAME = 'Ivan'") == Seq(Seq("Ivan")))
+    assert(rows("SELECT NAME FROM PERSON WHERE NAME <> 'Ivan'") == Seq(Seq("Malcolm")))
+    assert(rows("SELECT NAME FROM PERSON WHERE 'Ivan' = NAME") == Seq(Seq("Ivan")))
+    assert(rows("SELECT NAME FROM PERSON WHERE 'Ivan' = 'Ivan'").size == 2)
+    assert(rows("SELECT NAME FROM PERSON WHERE NAME in ('Ivan')") == Seq(Seq("Ivan")))
+    assert(rows("SELECT NAME FROM PERSON WHERE NAME = 'Ivan' AND HOMEWORLD = 'Earth'") ==
+      Seq(Seq("Ivan")))
+    assert(rows("SELECT NAME FROM PERSON WHERE NAME = 'Ivan' OR AGE = 25").toSet ==
+      Set(Seq("Ivan"), Seq("Malcolm")))
+  }
+
+  test("numeric ranges and order-by-age (calcite_test.clj:223-244)") {
+    registerPerson()
+    assert(rows("SELECT PERSON.NAME,PERSON.AGE FROM PERSON WHERE AGE = 21") ==
+      Seq(Seq("Ivan", 21L)))
+    assert(rows("SELECT NAME FROM PERSON WHERE AGE > 21") == Seq(Seq("Malcolm")))
+    assert(rows("SELECT NAME FROM PERSON WHERE 23 > AGE") == Seq(Seq("Ivan")))
+    assert(rows("SELECT NAME FROM PERSON WHERE AGE >= 21").size == 2)
+    assert(rows("SELECT NAME FROM PERSON WHERE AGE < 22") == Seq(Seq("Ivan")))
+    assert(rows("SELECT NAME FROM PERSON WHERE AGE <= 21") == Seq(Seq("Ivan")))
+    assert(rows("SELECT PERSON.NAME FROM PERSON ORDER BY AGE ASC") ==
+      Seq(Seq("Ivan"), Seq("Malcolm")))
+  }
+
+  test("like / substring / unknown column (calcite_test.clj:246-256)") {
+    registerPerson()
+    assert(rows("SELECT NAME FROM PERSON WHERE NAME LIKE 'Iva%'") == Seq(Seq("Ivan")))
+    assert(rows("SELECT NAME FROM PERSON WHERE NAME LIKE 'Iva%' OR NAME LIKE 'Mal%'").size == 2)
+    assert(rows("SELECT SUBSTRING(NAME,1,3) AS NAME FROM PERSON WHERE NAME = 'Ivan'") ==
+      Seq(Seq("Iva")))
+    val ex = intercept[AnalysisException](q("SELECT NOCNOLUMN FROM PERSON").collect())
+    assert(ex.getMessage.contains("NOCNOLUMN"))
+  }
+
+  test("booleans (calcite_test.clj:258-266)") {
+    registerPerson()
+    assert(rows("SELECT NAME FROM PERSON WHERE ALIVE = TRUE") == Seq(Seq("Ivan")))
+    assert(rows("SELECT NAME FROM PERSON WHERE ALIVE = FALSE") == Seq(Seq("Malcolm")))
+    assert(rows("SELECT NAME FROM PERSON WHERE NAME IS NOT NULL OR ALIVE = TRUE").size == 2)
+  }
+
+  test("filter calcs, nested arithmetic (calcite_test.clj:268-298)") {
+    import spark.implicits._
+    Seq((":ivan", "Ivan", 42L, 21L), (":malcolm", "Malcolm", 22L, 10L))
+      .toDF("id", "name", "age", "years_worked").createOrReplaceTempView("person")
+    assert(rows("SELECT PERSON.NAME,PERSON.AGE FROM PERSON WHERE AGE = (YEARS_WORKED * 2)")
+      .map(_.head) == Seq("Ivan"))
+    assert(rows("SELECT PERSON.NAME,PERSON.AGE FROM PERSON WHERE AGE = (2 + (YEARS_WORKED * 2))")
+      .map(_.head) == Seq("Malcolm"))
+  }
+
+  test("column equality / null semantics (calcite_test.clj:355-368)") {
+    import spark.implicits._
+    Seq((":ivan", "Ivan", Some("Ivan"), 21L), (":malcolm", "Malcolm", Some("Mars"), 25L))
+      .toDF("id", "name", "homeworld", "age").createOrReplaceTempView("person")
+    assert(rows("SELECT PERSON.NAME FROM PERSON WHERE NAME = HOMEWORLD") == Seq(Seq("Ivan")))
+    Seq((":ivan", "Ivan", None: Option[String], 21L), (":malcolm", "Malcolm", Some("Mars"), 25L))
+      .toDF("id", "name", "homeworld", "age").createOrReplaceTempView("person")
+    assert(rows("SELECT PERSON.NAME FROM PERSON WHERE HOMEWORLD IS NULL") == Seq(Seq("Ivan")))
+    assert(rows("SELECT PERSON.NAME FROM PERSON WHERE HOMEWORLD IS NOT NULL") == Seq(Seq("Malcolm")))
+    assert(rows("SELECT PERSON.NAME FROM PERSON WHERE 'FOO' IS NOT NULL").size == 2)
+  }
+
+  test("cardinality-many column explodes to rows (calcite_test.clj:370-393)") {
+    import spark.implicits._
+    // the reference's index yields one row per (e, a, v): a set-valued
+    // homeworld surfaces as multiple rows — model with explode
+    Seq((":ivan", "Ivan", Seq("Earth"), 21L), (":malcolm", "Malcolm", Seq("Mars", "Earth"), 25L))
+      .toDF("id", "name", "homeworld", "age")
+      .select(org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.col("name"),
+        org.apache.spark.sql.functions.explode($"homeworld").as("homeworld"),
+        org.apache.spark.sql.functions.col("age"))
+      .createOrReplaceTempView("person")
+    assert(rows("SELECT * FROM PERSON WHERE HOMEWORLD = 'Earth'")
+      .map(_(1).toString).sorted == Seq("Ivan", "Malcolm"))
+    assert(rows("SELECT * FROM PERSON").map(_(1).toString).sorted ==
+      Seq("Ivan", "Malcolm", "Malcolm"))
+  }
+
+  test("limit and offset (calcite_test.clj:395-420)") {
+    import spark.implicits._
+    (0 until 20).map(i => (s":ivan$i", "Ivan", 21L))
+      .toDF("id", "name", "age").createOrReplaceTempView("person")
+    assert(rows("SELECT * FROM PERSON WHERE NAME='Ivan'").size == 20)
+    assert(rows("SELECT * FROM PERSON WHERE NAME='Ivan' LIMIT 10").size == 10)
+    assert(rows("SELECT * FROM PERSON WHERE NAME='Ivan' LIMIT 10 OFFSET 15").size == 5)
+  }
+
+  test("prepared statements with positional params (calcite_test.clj:422-427)") {
+    import spark.implicits._
+    Seq((":ivan", "Ivan", "Earth", 21L), (":malcolm", " Malcolm", "Mars", 25L))
+      .toDF("id", "name", "homeworld", "age").createOrReplaceTempView("person")
+    assert(rows("SELECT HOMEWORLD FROM PERSON WHERE NAME = 'Ivan'") == Seq(Seq("Earth")))
+    assert(q("SELECT HOMEWORLD FROM PERSON WHERE NAME = ?", Array("Ivan"))
+      .collect().toSeq == Seq(Row("Earth")))
+    assert(q("SELECT HOMEWORLD FROM PERSON WHERE TRIM(NAME) = ?", Array("Ivan"))
+      .collect().toSeq == Seq(Row("Earth")))
+    assert(q("SELECT NAME FROM PERSON WHERE AGE > ?", Array(23))
+      .collect().toSeq == Seq(Row(" Malcolm")))
+  }
+
+  test("multi-key sort (calcite_test.clj:429-449)") {
+    import spark.implicits._
+    Seq((":ivan", "Ivan", "Earth", 21L), (":malcolm", "Malcolm", "Mars", 25L),
+      (":fred", "Fred", "Mars", 90L))
+      .toDF("id", "name", "homeworld", "age").createOrReplaceTempView("person")
+    assert(rows("SELECT NAME FROM PERSON ORDER BY NAME").map(_.head) ==
+      Seq("Fred", "Ivan", "Malcolm"))
+    assert(rows("SELECT NAME FROM PERSON ORDER BY NAME DESC").map(_.head) ==
+      Seq("Malcolm", "Ivan", "Fred"))
+    assert(rows("SELECT NAME FROM PERSON ORDER BY HOMEWORLD DESC, AGE").map(_.head) ==
+      Seq("Malcolm", "Fred", "Ivan"))
+    assert(rows("SELECT NAME FROM PERSON ORDER BY HOMEWORLD DESC, AGE DESC").map(_.head) ==
+      Seq("Fred", "Malcolm", "Ivan"))
+  }
+
+  test("timestamp / float / decimal columns (calcite_test.clj:451-468)") {
+    import spark.implicits._
+    val born = java.sql.Timestamp.valueOf("2010-07-01 00:00:00")
+    Seq((":human/ivan", "Ivan", born, 1.0f, BigDecimal("1.3")))
+      .toDF("id", "name", "born", "afloat", "adecimal")
+      .createOrReplaceTempView("person")
+    val r = q("SELECT * FROM PERSON").collect()
+    assert(r.length == 1 && r(0).getAs[String]("id") == ":human/ivan" &&
+      r(0).getAs[java.sql.Timestamp]("born") == born)
+    assert(rows("SELECT NAME FROM PERSON WHERE ADECIMAL = 1.3") == Seq(Seq("Ivan")))
+    assert(rows("SELECT NAME FROM PERSON WHERE BORN = TIMESTAMP '2010-07-01 00:00:00'") ==
+      Seq(Seq("Ivan")))
+  }
+
+  test("inner / projected / triple / calc / left-outer joins (calcite_test.clj:487-600)") {
+    import spark.implicits._
+    Seq((":person/ivan", "Ivan", "earth", 25L), (":person/malcolm", "Malcolm", "mars", 21L))
+      .toDF("id", "name", "planet", "age").createOrReplaceTempView("person")
+    Seq((":planet/earth", "earth", "Hot", 42L))
+      .toDF("id", "name", "climate", "age").createOrReplaceTempView("planet")
+    Seq((":ship/enterprise", "enterprise", "Ivan", 13L))
+      .toDF("id", "name", "captain", "decks").createOrReplaceTempView("ship")
+
+    assert(rows("SELECT * FROM PERSON INNER JOIN PLANET ON PERSON.PLANET = PLANET.NAME") ==
+      Seq(Seq(":person/ivan", "Ivan", "earth", 25L, ":planet/earth", "earth", "Hot", 42L)))
+    assert(rows("SELECT PERSON.ID, PERSON.NAME AS PERSON, PLANET.NAME AS PLANET " +
+      "FROM PERSON INNER JOIN PLANET ON PERSON.PLANET = PLANET.NAME") ==
+      Seq(Seq(":person/ivan", "Ivan", "earth")))
+    assert(rows("SELECT * FROM PERSON " +
+      "INNER JOIN PLANET ON PERSON.PLANET = PLANET.NAME " +
+      "INNER JOIN SHIP ON SHIP.CAPTAIN = PERSON.NAME") ==
+      Seq(Seq(":person/ivan", "Ivan", "earth", 25L, ":planet/earth", "earth", "Hot", 42L,
+        ":ship/enterprise", "enterprise", "Ivan", 13L)))
+    assert(rows("SELECT * FROM PERSON INNER JOIN PLANET ON PLANET.AGE = (2 * PERSON.AGE)")
+      .map(_(1)) == Seq("Malcolm"))
+    assert(rows("SELECT PERSON.NAME FROM PERSON LEFT OUTER JOIN PLANET " +
+      "ON PERSON.PLANET = PLANET.NAME").map(_.head.toString).sorted == Seq("Ivan", "Malcolm"))
+  }
+
+  test("datalog-query-backed table (calcite_test.clj:602-614)") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types._
+    // the schema doc's :crux.sql.table/query IS a datalog query — here
+    // planned by the datalog planner and registered as the view
+    val quads = spark.createDataFrame(Seq(
+      Row(":person/ivan", "name", "Ivan"), Row(":person/ivan", "planet", "earth"),
+      Row(":person/igor", "name", "Igor"), Row(":person/igor", "planet", "not-earth")).asJava,
+      StructType(Seq(StructField("e", StringType), StructField("a", StringType),
+        StructField("v_str", StringType))))
+    val src = new graft.datalog.QuadSource(quads, Map("name" -> "v_str", "planet" -> "v_str"))
+    graft.datalog.Planner.q(spark, src,
+      """{:find [?id ?name ?planet]
+          :keys [id name planet]
+          :where [[?id :name ?name] [?id :planet ?planet] [?id :planet "earth"]]}""")
+      .createOrReplaceTempView("person")
+    assert(rows("SELECT * FROM PERSON").toSet ==
+      Set(Seq(":person/ivan", "Ivan", "earth")))
+  }
+
+  test("arithmetic and built-in fns (calcite_test.clj:616-655)") {
+    import spark.implicits._
+    Seq((":human/ivan", " Ivan ", "earth", 21L))
+      .toDF("id", "name", "homeworld", "age").createOrReplaceTempView("person")
+    assert(rows("SELECT (AGE / 2) AS AGE FROM PERSON").head.head.toString.toDouble == 10.5 ||
+      rows("SELECT (AGE DIV 2) AS AGE FROM PERSON") == Seq(Seq(10L)))
+    assert(rows("SELECT (AGE * 2) AS AGE FROM PERSON") == Seq(Seq(42L)))
+    assert(rows("SELECT (AGE + 2) AS AGE FROM PERSON") == Seq(Seq(23L)))
+    assert(rows("SELECT (AGE - 2) AS AGE FROM PERSON") == Seq(Seq(19L)))
+    assert(rows("SELECT mod(AGE, 6) AS AGE FROM PERSON") == Seq(Seq(3L)))
+    assert(rows("SELECT mod((AGE + 2), 6) AS AGE FROM PERSON") == Seq(Seq(5L)))
+    assert(rows("SELECT LOWER(NAME) AS LNAME FROM PERSON") == Seq(Seq(" ivan ")))
+    assert(rows("SELECT UPPER(NAME) AS LNAME FROM PERSON") == Seq(Seq(" IVAN ")))
+    assert(rows("SELECT INITCAP(HOMEWORLD) AS PLANET FROM PERSON") == Seq(Seq("Earth")))
+    assert(rows("SELECT LOWER(' IVAN ') AS LNAME FROM PERSON") == Seq(Seq(" ivan ")))
+    assert(rows("SELECT INITCAP(LOWER(HOMEWORLD)) AS PLANET FROM PERSON") == Seq(Seq("Earth")))
+    assert(rows("SELECT TRIM(NAME) AS NAME2 FROM PERSON") == Seq(Seq("Ivan")))
+    // plain CONCAT (Calcite's {fn CONCAT} JDBC escape is not in the dialect)
+    assert(rows("SELECT TRIM(CONCAT(NAME, 'qs')) AS NAME2 FROM PERSON") == Seq(Seq("Ivan qs")))
+    assert(rows("SELECT CEIL(AGE) AS AGE FROM PERSON") == Seq(Seq(21L)))
+    assert(rows("SELECT NAME FROM PERSON WHERE CEIL(AGE) = 21").nonEmpty)
+    assert(rows("SELECT CEIL(1.1) FROM PERSON").head.head.toString.toDouble == 2.0)
+    assert(rows("SELECT FLOOR(1.1) FROM PERSON").head.head.toString.toDouble == 1.0)
+  }
+
+  test("temporal prefix composes with the parameterized surface") {
+    // VALIDTIME prefix + positional param through one call
+    val r = q("VALIDTIME ('2024-01-15T00:00:00') " +
+      "SELECT COUNT(*) AS n FROM events_current WHERE tx_id > ?", Array(0))
+    assert(r.collect().length == 1)
+  }
+}
