@@ -144,6 +144,40 @@ final class TableSource(spark: SparkSession, load: String => DataFrame,
     }
 }
 
+/** Tagged mixed-family value helpers — the codec's value-type-id order
+  * (codec.clj:81-99) as a struct whose field order (t, b, n, d, s) makes
+  * Spark's NATIVE struct comparison and ordering reproduce the
+  * cross-family index order. Shared by the planner ([[Planner]] lifts
+  * single-family sides of joins/comparisons) and the SPARQL front-end
+  * (OPTIONAL binds `:crux.sparql/optional` alongside typed values). */
+object Tagged {
+  import org.apache.spark.sql.types._
+
+  def isTagged(dt: DataType): Boolean = dt match {
+    case st: StructType => st.fieldNames.sameElements(Array("t", "b", "n", "d", "s"))
+    case _ => false
+  }
+
+  /** Lift a single-family column into the tagged representation. */
+  def lift(c: Column, dt: DataType): Column = {
+    val nb = lit(null).cast(BooleanType)
+    val nn = lit(null).cast(DoubleType)
+    val nd = lit(null).cast(TimestampType)
+    val ns = lit(null).cast(StringType)
+    val (t, b, n, d, s) = dt match {
+      case BooleanType => (4, c, nn, nd, ns)
+      case _: NumericType => (5, nb, c.cast(DoubleType), nd, ns)
+      case DateType | TimestampType | TimestampNTZType =>
+        (7, nb, nn, c.cast(TimestampType), ns)
+      case StringType => (8, nb, nn, nd, c)
+      case other => throw new IllegalArgumentException(
+        s"cannot lift $other into a mixed-family tagged value")
+    }
+    struct(when(c.isNotNull, lit(t)).cast(IntegerType).as("t"),
+      b.as("b"), n.as("n"), d.as("d"), s.as("s"))
+  }
+}
+
 object QuadSource {
   /** `attrTypes` marker for an attribute whose values span type FAMILIES
     * (crux is schemaless: `:foo 1` and `:foo "x"` can coexist across

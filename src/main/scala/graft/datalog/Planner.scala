@@ -580,34 +580,13 @@ private final class Planner(spark: SparkSession, source: FactSource,
     case _ => 10
   }
 
-  /** Tagged mixed-family value (QuadSource.Mixed): a struct whose field
-    * order (t, b, n, d, s) makes Spark's NATIVE struct comparison and
-    * ordering reproduce the codec's cross-family value order
-    * (codec.clj:81-99; codec_test.clj:94). */
-  private def isTagged(dt: DataType): Boolean = dt match {
-    case st: StructType => st.fieldNames.sameElements(Array("t", "b", "n", "d", "s"))
-    case _ => false
-  }
+  /** Tagged mixed-family value (QuadSource.Mixed; [[Tagged]] for the
+    * struct layout and codec.clj provenance). */
+  private def isTagged(dt: DataType): Boolean = Tagged.isTagged(dt)
 
   /** Lift a single-family column into the tagged representation so it can
     * compare/unify/order against a mixed-family var. */
-  private def taggedOf(c: Column, dt: DataType): Column = {
-    val nb = lit(null).cast(BooleanType)
-    val nn = lit(null).cast(DoubleType)
-    val nd = lit(null).cast(TimestampType)
-    val ns = lit(null).cast(StringType)
-    val (t, b, n, d, s) = dt match {
-      case BooleanType => (4, c, nn, nd, ns)
-      case _: NumericType => (5, nb, c.cast(DoubleType), nd, ns)
-      case DateType | TimestampType | TimestampNTZType =>
-        (7, nb, nn, c.cast(TimestampType), ns)
-      case StringType => (8, nb, nn, nd, c)
-      case other => throw new IllegalArgumentException(
-        s"cannot lift $other into a mixed-family tagged value")
-    }
-    struct(when(c.isNotNull, lit(t)).cast(IntegerType).as("t"),
-      b.as("b"), n.as("n"), d.as("d"), s.as("s"))
-  }
+  private def taggedOf(c: Column, dt: DataType): Column = Tagged.lift(c, dt)
 
   private def taggedLit(v: Edn.Val): Column =
     taggedOf(litOf(v), sparkTypeOf(scalaVal(v)))

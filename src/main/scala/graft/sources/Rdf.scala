@@ -43,22 +43,28 @@ object Rdf {
   def loadNTriples(spark: SparkSession, path: String): DataFrame = {
     val lines = spark.read.text(path)
       .filter(length(trim(col("value"))) > 0 && !col("value").startsWith("#"))
+    // subject: IRI or blank node (`_:b0` — vc-db-1.nt style); blank-node
+    // labels pass through as entity ids (rdf.clj keeps them distinct too)
+    val TripleLine = """^\s*(<[^>]*>|_:\S+)\s+<([^>]*)>\s+(.*?)\s*\.\s*$"""
     val parts = lines.select(
-      regexp_extract(col("value"), """^<([^>]*)>""", 1).as("s_iri"),
-      regexp_extract(col("value"), """^<[^>]*>\s+<([^>]*)>""", 1).as("p_iri"),
-      regexp_extract(col("value"), """^<[^>]*>\s+<[^>]*>\s+(.*?)\s*\.\s*$""", 1).as("obj"))
+      regexp_extract(col("value"), TripleLine, 1).as("s_tok"),
+      regexp_extract(col("value"), TripleLine, 2).as("p_iri"),
+      regexp_extract(col("value"), TripleLine, 3).as("obj"))
     def localName(c: org.apache.spark.sql.Column) =
-      regexp_extract(c, """([^/#]+)$""", 1)
+      regexp_extract(regexp_replace(c, "/+$", ""), """([^/#]+)$""", 1)
     parts
-      .filter(col("s_iri") =!= "" && col("p_iri") =!= "")
+      .filter(col("s_tok") =!= "" && col("p_iri") =!= "")
       .select(
-        localName(col("s_iri")).as("e"),
+        when(col("s_tok").startsWith("_:"), col("s_tok"))
+          .otherwise(localName(regexp_replace(col("s_tok"), "^<|>$", ""))).as("e"),
         localName(col("p_iri")).as("a"),
         regexp_extract(col("obj"), ObjLit, 1).as("lex"),
         regexp_extract(col("obj"), ObjLit, 2).as("dtype"),
-        regexp_extract(col("obj"), ObjIri, 1).as("o_iri"))
+        regexp_extract(col("obj"), ObjIri, 1).as("o_iri"),
+        col("obj"))
       .select(col("e"), col("a"),
         when(col("o_iri") =!= "", localName(col("o_iri")))
+          .when(col("obj").rlike("^_:\\S+$"), col("obj")) // blank-node object
           .when(col("dtype") === "" || col("dtype").endsWith("string"),
             nullif(unescapeLit(col("lex")), lit("")))
           .otherwise(lit(null)).as("v_str"),

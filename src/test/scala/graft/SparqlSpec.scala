@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+import graft.datalog.QuadSource
+import graft.sparql.Sparql
+import graft.sources.Rdf
+
+/** Ports of the reference's SPARQL suite —
+  * crux-test/test/crux/sparql_test.clj (the Apache Jena ARQ tutorial
+  * queries over vc-db-1.nt), run through [[Sparql.query]] over the
+  * N-Triples loader + QuadSource.
+  *
+  * Entity ids / IRI values are local names (Rdf.loadNTriples mapping)
+  * where the reference keywordizes full IRIs — same rows, shorter ids.
+  * Unmatched OPTIONAL vars bind `:crux.sparql/optional` exactly like
+  * sparql.clj:119-145; heterogeneous (long | keyword) optionals surface
+  * in the tagged mixed-family representation and are unwrapped here.
+  */
+class SparqlSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private lazy val source: QuadSource = {
+    val quads = Rdf.loadNTriples(spark, "/root/reference/crux-test/test/crux/vc-db-1.nt")
+    val attrs = quads.select("a").distinct().collect().map(_.getString(0))
+    val types = attrs.map { a =>
+      a -> (if (a == "age") "v_num" else "v_str")
+    }.toMap
+    new QuadSource(quads, types)
+  }
+
+  /** Unwrap tagged mixed-family structs to their plain value. */
+  private def unwrap(x: Any): Any = x match {
+    case r: Row if r.length == 5 =>
+      Seq(r.get(1), r.get(2), r.get(3), r.get(4)).find(_ != null).orNull match {
+        case d: Double if d.isWhole => d.toLong // numeric family is double-backed
+        case v => v
+      }
+    case v => v
+  }
+
+  private def run(q: String): Set[Seq[Any]] =
+    Sparql.query(spark, source, q).collect().toSet[Row].map(_.toSeq.map(unwrap))
+
+  test("plain and variable object patterns (sparql_test.clj:16-33)") {
+    assert(run("""
+      SELECT ?x
+      WHERE { ?x  <http://www.w3.org/2001/vcard-rdf/3.0#FN>  "John Smith" }""") ==
+      Set(Seq("JohnSmith")))
+    assert(run("""
+      SELECT ?x ?fname
+      WHERE {?x  <http://www.w3.org/2001/vcard-rdf/3.0#FN>  ?fname}""") ==
+      Set(Seq("RebeccaSmith", "Becky Smith"), Seq("SarahJones", "Sarah Jones"),
+        Seq("JohnSmith", "John Smith"), Seq("MattJones", "Matt Jones")))
+  }
+
+  test("join through a blank node (sparql_test.clj:35-43)") {
+    assert(run("""
+      SELECT ?givenName
+      WHERE
+        { ?y  <http://www.w3.org/2001/vcard-rdf/3.0#Family>  "Smith" .
+          ?y  <http://www.w3.org/2001/vcard-rdf/3.0#Given>  ?givenName .
+        }""") == Set(Seq("John"), Seq("Rebecca")))
+  }
+
+  test("FILTER regex with flags (sparql_test.clj:45-55)") {
+    assert(run("""
+      PREFIX vcard: <http://www.w3.org/2001/vcard-rdf/3.0#>
+      SELECT ?g
+      WHERE
+      { ?y vcard:Given ?g .
+        FILTER regex(?g, "r", "i") }""") == Set(Seq("Rebecca"), Seq("Sarah")))
+  }
+
+  test("FILTER numeric comparison (sparql_test.clj:57-67)") {
+    assert(run("""
+      PREFIX info: <http://somewhere/peopleInfo#>
+      SELECT ?resource
+      WHERE
+        {
+          ?resource info:age ?age .
+          FILTER (?age >= 24)
+        }""") == Set(Seq("JohnSmith")))
+  }
+
+  test("OPTIONAL binds the marker for unmatched rows (sparql_test.clj:69-84)") {
+    assert(run("""
+      PREFIX info:    <http://somewhere/peopleInfo#>
+      PREFIX vcard:   <http://www.w3.org/2001/vcard-rdf/3.0#>
+      SELECT ?name ?age
+      WHERE
+      {
+          ?person vcard:FN  ?name .
+          OPTIONAL { ?person info:age ?age }
+      }""") == Set(
+      Seq("Becky Smith", 23L), Seq("Sarah Jones", Sparql.OptionalMarker),
+      Seq("John Smith", 25L), Seq("Matt Jones", Sparql.OptionalMarker)))
+  }
+
+  test("required join drops rows without the attribute (sparql_test.clj:86-100)") {
+    assert(run("""
+      PREFIX info:   <http://somewhere/peopleInfo#>
+      PREFIX vcard:  <http://www.w3.org/2001/vcard-rdf/3.0#>
+      SELECT ?name ?age
+      WHERE
+      {
+          ?person vcard:FN  ?name .
+          ?person info:age  ?age .
+      }""") == Set(Seq("Becky Smith", 23L), Seq("John Smith", 25L)))
+  }
+
+  test("OPTIONAL with local FILTER (sparql_test.clj:102-116)") {
+    assert(run("""
+      PREFIX info:        <http://somewhere/peopleInfo#>
+      PREFIX vcard:      <http://www.w3.org/2001/vcard-rdf/3.0#>
+      SELECT ?name ?age
+      WHERE
+      {
+          ?person vcard:FN  ?name .
+          OPTIONAL { ?person info:age ?age . FILTER ( ?age > 24 ) }
+      }""") == Set(
+      Seq("Sarah Jones", Sparql.OptionalMarker), Seq("John Smith", 25L),
+      Seq("Matt Jones", Sparql.OptionalMarker),
+      Seq("Becky Smith", Sparql.OptionalMarker)))
+  }
+
+  test("ORDER BY / LIMIT / OFFSET") {
+    val df = Sparql.query(spark, source, """
+      PREFIX vcard: <http://www.w3.org/2001/vcard-rdf/3.0#>
+      SELECT ?fname WHERE { ?x vcard:FN ?fname } ORDER BY ?fname LIMIT 2 OFFSET 1""")
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("John Smith", "Matt Jones"))
+  }
+
+  test("SELECT * projects all pattern vars in order") {
+    val df = Sparql.query(spark, source, """
+      PREFIX vcard: <http://www.w3.org/2001/vcard-rdf/3.0#>
+      SELECT * WHERE { ?y vcard:Family "Jones" . ?y vcard:Given ?g }""")
+    assert(df.columns.toSeq == Seq("y", "g"))
+    assert(df.collect().map(_.getString(1)).toSet == Set("Matthew", "Sarah"))
+  }
+
+  test("unsupported syntax fails loudly") {
+    for (bad <- Seq(
+      "SELECT ?x WHERE { ?x ?p ?o }", // variable predicate (sparql.clj throws too)
+      "ASK { ?x <http://a#b> ?y }",
+      "SELECT ?x WHERE { ?x <http://a#b> ?y . FILTER bound(?y) }"))
+      assertThrows[IllegalArgumentException](
+        Sparql.query(spark, source, bad).collect())
+  }
+}
