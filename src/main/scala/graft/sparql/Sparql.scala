@@ -35,7 +35,11 @@ object Sparql {
 
   // -------------------------------------------------------------- parsing
 
-  private final case class Pattern(s: String, p: String, o: String)
+  /** `plus` marks an arbitrary-length path `<p>+` — compiled to the same
+    * recursive rule pair the reference generates
+    * (sparql.clj:282-307 `collect-arbritrary-path-rules`; `<p>*`'s
+    * zero-length marker semantics are not ported). */
+  private final case class Pattern(s: String, p: String, o: String, plus: Boolean = false)
   private final case class Opt(patterns: Seq[Pattern], filters: Seq[String])
   private final case class Parsed(
       selectVars: Seq[String], distinct: Boolean,
@@ -59,7 +63,11 @@ object Sparql {
       } else if (c == '<') {
         val e = q.indexOf('>', i)
         if (e < 0) fail("unterminated IRI")
-        toks += q.substring(i, e + 1); i = e + 1
+        var tok = q.substring(i, e + 1)
+        i = e + 1
+        // property-path modifier sticks to the IRI token
+        if (i < n && (q.charAt(i) == '+' || q.charAt(i) == '*')) { tok += q.charAt(i); i += 1 }
+        toks += tok
       } else if (c == '"') {
         val sb = new StringBuilder("\"")
         i += 1
@@ -183,7 +191,9 @@ object Sparql {
           optionals += Opt(ps.toList, fs.toList)
         case s :: p :: o :: rest =>
           val subj = if (s.startsWith("?")) s else term(s)
-          addP(Pattern(subj, localName(p), term(o)))
+          if (p.endsWith("*")) fail("zero-length property paths (<p>*) unsupported")
+          val plus = p.endsWith("+")
+          addP(Pattern(subj, localName(if (plus) p.dropRight(1) else p), term(o), plus))
           toks = rest
         case other => fail(s"unexpected tokens: ${other.take(4).mkString(" ")}")
       }
@@ -225,8 +235,15 @@ object Sparql {
 
   private def datalogFor(patterns: Seq[Pattern], filters: Seq[String],
       find: Seq[String]): String = {
-    val clauses = patterns.map(p => s"[${p.s} :${p.p} ${p.o}]") ++ filters
-    s"{:find [${find.mkString(" ")}]\n :keys [${find.map(varName).mkString(" ")}]\n :where [${clauses.mkString("\n          ")}]}"
+    val clauses = patterns.map { p =>
+      if (p.plus) s"(${p.p}-PLUS ${p.s} ${p.o})" else s"[${p.s} :${p.p} ${p.o}]"
+    } ++ filters
+    // the reference's PLUS rule pair, verbatim (sparql.clj:293-298)
+    val rules = patterns.filter(_.plus).map(_.p).distinct.flatMap(a => Seq(
+      s"[(${a}-PLUS ?s ?o) [?s :$a ?o]]",
+      s"[(${a}-PLUS ?s ?o) [?s :$a ?t] (${a}-PLUS ?t ?o)]"))
+    val rulesPart = if (rules.isEmpty) "" else s"\n :rules [${rules.mkString("\n          ")}]"
+    s"{:find [${find.mkString(" ")}]\n :keys [${find.map(varName).mkString(" ")}]$rulesPart\n :where [${clauses.mkString("\n          ")}]}"
   }
 
   /** Marker value the reference binds for unmatched OPTIONALs

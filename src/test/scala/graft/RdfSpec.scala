@@ -28,4 +28,24 @@ class RdfSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1))).toMap
     assert(nums == Map("1" -> 10L, "2" -> 20L, "3" -> 30L))
   }
+
+  test("dbpedia entities load and query (dbpedia_test.clj:13-30)") {
+    import org.apache.spark.sql.functions.col
+    val quads = Rdf.loadNTriples(spark,
+        "/root/reference/crux-test/test/crux/Pablo_Picasso.ntriples")
+      .unionByName(Rdf.loadNTriples(spark,
+        "/root/reference/crux-test/test/crux/Guernica_(Picasso).ntriples"))
+    val strAttrs = quads.filter(col("v_str").isNotNull)
+      .select("a").distinct().collect().map(_.getString(0))
+    val src = new graft.datalog.QuadSource(quads, strAttrs.map(_ -> "v_str").toMap)
+    def q(query: String): Set[Seq[Any]] =
+      graft.datalog.Planner.q(spark, src, query).collect()
+        .toSet[org.apache.spark.sql.Row].map(_.toSeq)
+    // the reference keywordizes full IRIs; the loader's local names carry
+    // the same identity (dbpedia resource names are unique local names)
+    assert(q("""[:find ?e :where [[?e :givenName "Pablo"]]]""") ==
+      Set(Seq("Pablo_Picasso")))
+    assert(q("""[:find ?g :where [[?p :givenName "Pablo"] [?g :author ?p]]]""") ==
+      Set(Seq("Guernica_(Picasso)")))
+  }
 }

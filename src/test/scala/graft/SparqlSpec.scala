@@ -139,6 +139,26 @@ class SparqlSpec extends AnyFunSuite {
     assert(df.collect().map(_.getString(1)).toSet == Set("Matthew", "Sarah"))
   }
 
+  test("arbitrary-length property path <p>+ (sparql.clj:282-307 rule pair)") {
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val quads = spark.createDataFrame(Seq(
+      Row("a", "follows", "b"), Row("b", "follows", "c"), Row("c", "follows", "d")).asJava,
+      StructType(Seq(StructField("e", StringType), StructField("a", StringType),
+        StructField("v_str", StringType))))
+    val src = new QuadSource(quads, Map("follows" -> "v_str"))
+    assert(run2(src, """
+      SELECT ?y WHERE { ?x <http://g/follows>+ ?y . ?x <http://g/follows> "b" }
+      """) == Set(Seq("b"), Seq("c"), Seq("d")))
+    // the ?x above is pinned to "a" by the second pattern; transitive
+    // closure reaches b, c and d
+    assertThrows[IllegalArgumentException](
+      Sparql.query(spark, src, """SELECT ?y WHERE { ?x <http://g/follows>* ?y }"""))
+  }
+
+  private def run2(src: QuadSource, q: String): Set[Seq[Any]] =
+    Sparql.query(spark, src, q).collect().toSet[Row].map(_.toSeq.map(unwrap))
+
   test("unsupported syntax fails loudly") {
     for (bad <- Seq(
       "SELECT ?x WHERE { ?x ?p ?o }", // variable predicate (sparql.clj throws too)
