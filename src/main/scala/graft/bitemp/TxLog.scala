@@ -16,9 +16,12 @@ import org.apache.spark.sql.types._
   * at_vt (match/cas basis), expected_hash (match/cas), seq (intra-tx order).
   *
   * Txs apply strictly in order (`applyBatch` folds `applyTx`), matching the
-  * reference's single-writer fold; within a tx, ops are vectorized against
-  * the pre-tx snapshot with last-op-wins per (eid, vt) — the one documented
-  * deviation (the reference applies intra-tx ops sequentially).
+  * reference's single-writer fold; within a tx, ops are vectorized with
+  * last-op-wins per (eid, vt), and each op's valid-range cap/overwrite also
+  * sees the CONTENT rows of earlier same-tx ops (sequential semantics for
+  * range interactions — space_tutorial's retroactive corrections). The one
+  * remaining documented deviation: a cap never reads another op's cap row,
+  * and no-end overwrite runs anchor on the pre-tx snapshot only.
   *
   * Scale: a batch of plain puts/deletes reduces to a pure `unionByName`
   * (no shuffle, no driver loop); only valid-RANGE ops and match/cas need
@@ -135,21 +138,39 @@ object TxLog {
       // --- rows for ops with end-vt (put-delete-etxs, end branch):
       // new content at start plus every existing vt in (start, end), and a
       // restore row at end-vt copying the version visible there (original
-      // tt/tx_id/hash preserved!), or a tombstone if none existed
+      // tt/tx_id/hash preserved!), or a tombstone if none existed.
+      // Restore/overwrite candidates include the CONTENT rows written by
+      // EARLIER ops of this same tx (cand_seq < seq): ops apply
+      // sequentially in the reference, so a range ending where an earlier
+      // op's range starts must restore that op's doc, not pre-tx history
+      // (space_tutorial_test.clj's neptune corrections exercise this).
+      // Caps that would need to read another op's CAP row (cascaded
+      // overlapping ranges within one tx) remain unsupported — documented.
       val startRowsEnd = withEnd.select(col("eid"), col("start_vt").as("vt"), col("content_hash"), col("seq"))
+      val txContentRows = startRowsNoEnd.unionByName(overwriteNoEnd).unionByName(startRowsEnd)
+      val restoreCands = resolved
+        .select(col("eid"), col("vt"), col("tt"), col("tx_id"),
+          col("content_hash"), col("tombstone"), lit(-1L).as("cand_seq"))
+        .unionByName(txContentRows.select(col("eid"), col("vt"), txTs.as("tt"),
+          lit(txId).as("tx_id"), col("content_hash"),
+          col("content_hash").isNull.as("tombstone"), col("seq").as("cand_seq")))
       val histForEnd = withEnd.as("w")
-        .join(resolved.as("h"), col("w.eid") === col("h.eid"), "left")
+        .join(restoreCands.as("h"),
+          col("w.eid") === col("h.eid") && col("h.cand_seq") < col("w.seq"), "left")
         .select(col("w.eid").as("eid"), col("w.start_vt").as("start_vt"), col("w.end_vt").as("end_vt"),
           col("w.content_hash").as("new_hash"), col("w.seq").as("seq"),
           col("h.vt").as("hvt"), col("h.tt").as("htt"), col("h.tx_id").as("htx"),
-          col("h.content_hash").as("hhash"), col("h.tombstone").as("htomb"))
+          col("h.content_hash").as("hhash"), col("h.tombstone").as("htomb"),
+          col("h.cand_seq").as("cand_seq"))
       val overwriteEnd = histForEnd
         .filter(col("hvt") > col("start_vt") && col("hvt") < col("end_vt"))
         .select(col("eid"), col("hvt").as("vt"), col("new_hash").as("content_hash"), col("seq"))
       val restoreEnd = histForEnd.filter(col("hvt") <= col("end_vt"))
         .groupBy(col("eid"), col("end_vt"), col("seq"))
+        // same-vt tie order: (vt, tx_id, op-seq) — this tx's rows carry the
+        // highest tx_id, and among them the latest earlier op wins
         .agg(max_by(struct(col("htt"), col("htx"), col("hhash"), col("htomb")),
-          struct(col("hvt"), col("htx"))).as("_v"))
+          struct(col("hvt"), col("htx"), col("cand_seq"))).as("_v"))
         .select(col("eid"), col("end_vt").as("vt"), col("seq"),
           col("_v.htt").as("r_tt"), col("_v.htx").as("r_tx"),
           col("_v.hhash").as("r_hash"), col("_v.htomb").as("r_tomb"))
@@ -392,11 +413,23 @@ private[graft] object TxLogFold {
 
   private implicit val ldtOrd: Ordering[LocalDateTime] = _ compareTo _
 
+  /** Row kinds within an in-flight tx: CONTENT rows (start rows and
+    * no-end run overwrites) are visible to later ops of the same tx —
+    * a range ending where an earlier op's range starts restores that
+    * op's doc (sequential op semantics, tx.clj:59-227;
+    * space_tutorial_test.clj neptune). Range-overwrite and cap rows are
+    * provenance copies, NOT new writes — later ops never read them
+    * (mirrored by `restoreCands` in [[TxLog.applyTxParts]]). */
+  private final val KContent = 0
+  private final val KRangeOverwrite = 1
+  private final val KCap = 2
+
   /** Replay one entity's ops (all txs of a put/delete/evict segment) over
     * its resolved history, in memory. Semantics mirror
-    * [[TxLog.applyTxParts]] exactly — per tx: every op's rows are computed
-    * against the PRE-tx resolved snapshot (crux's put-delete-etxs,
-    * tx.clj:59-227), combined last-op-wins per vt by seq, then merged;
+    * [[TxLog.applyTxParts]] exactly — per tx: op rows are computed
+    * against the pre-tx resolved snapshot PLUS earlier same-tx CONTENT
+    * rows (crux applies ops sequentially), combined last-op-wins per vt
+    * by seq, then merged;
     * evict clears all earlier rows but not the same tx's writes (applyTx
     * computes newRows before the anti-join). The differential spec checks
     * this against the sequential applyTx fold on randomized op programs. */
@@ -419,10 +452,26 @@ private[graft] object TxLogFold {
       val txOps = ops.slice(i, j)
       i = j
       var evicted = false
-      // this tx's rows keyed by vt; processing in seq order = last-op-wins
-      val rowsByVt = scala.collection.mutable.LinkedHashMap.empty[LocalDateTime, FoldOut]
-      def visibleAt(v: LocalDateTime): Option[Ver] =
+      // this tx's rows keyed by vt with their kind; processing in seq
+      // order = last-op-wins
+      val rowsByVt = scala.collection.mutable.LinkedHashMap.empty[LocalDateTime, (FoldOut, Int)]
+      def preAt(v: LocalDateTime): Option[Ver] =
         resolved.rangeTo(v).lastOption.map(_._2)
+      /** version a cap at `v` restores: pre-tx history overlaid with this
+        * tx's CONTENT rows (same-vt tie → the tx's row wins). */
+      def capVisibleAt(v: LocalDateTime): Option[Ver] = {
+        val cur = rowsByVt.iterator
+          .filter { case (vt, (_, k)) => k == KContent && vt.compareTo(v) <= 0 }
+          .map(_._1).maxOption
+          .map(vt => rowsByVt(vt)._1)
+        (resolved.rangeTo(v).lastOption, cur) match {
+          case (Some((pvt, p)), Some(c)) =>
+            if (c.vt.compareTo(pvt) >= 0) Some(Ver(c.tt, c.txId, c.hash, c.tomb))
+            else Some(p)
+          case (None, Some(c)) => Some(Ver(c.tt, c.txId, c.hash, c.tomb))
+          case (p, None) => p.map(_._2)
+        }
+      }
       txOps.foreach { o =>
         o.op match {
           case "evict" => evicted = true
@@ -434,33 +483,43 @@ private[graft] object TxLogFold {
               case None =>
                 // start row + overwrite of the contiguous future run of
                 // versions identical to the one visible at start
-                rowsByVt(s) = FoldOut(eid, s, txTt, txId, h, h.isEmpty)
-                visibleAt(s).foreach { vis =>
+                rowsByVt(s) = (FoldOut(eid, s, txTt, txId, h, h.isEmpty), KContent)
+                preAt(s).foreach { vis =>
                   var stop = false
                   resolved.rangeFrom(s).iterator
                     .filter(_._1.compareTo(s) > 0)
                     .foreach { case (hvt, hv) =>
                       if (!stop) {
                         if (hv.tt == vis.tt && hv.txId == vis.txId && hv.hash == vis.hash)
-                          rowsByVt(hvt) = FoldOut(eid, hvt, txTt, txId, h, h.isEmpty)
+                          rowsByVt(hvt) = (FoldOut(eid, hvt, txTt, txId, h, h.isEmpty), KContent)
                         else stop = true
                       }
                     }
                 }
               case Some(e) if e != s =>
-                // start row, overwrite of existing vts in (s, e), restore
-                // at e copying the visible version (original provenance)
-                rowsByVt(s) = FoldOut(eid, s, txTt, txId, h, h.isEmpty)
+                // start row, overwrite of vts in (s, e) — existing history
+                // AND earlier same-tx content rows — and a restore at e
+                // copying the visible version (original provenance).
+                // The cap resolves BEFORE this op's own rows land (crux
+                // reads history once per op, then writes).
+                val capVer = capVisibleAt(e)
+                rowsByVt(s) = (FoldOut(eid, s, txTt, txId, h, h.isEmpty), KContent)
                 resolved.range(s, e).iterator
                   .filter(_._1.compareTo(s) > 0)
                   .foreach { case (hvt, _) =>
-                    rowsByVt(hvt) = FoldOut(eid, hvt, txTt, txId, h, h.isEmpty)
+                    rowsByVt(hvt) = (FoldOut(eid, hvt, txTt, txId, h, h.isEmpty), KRangeOverwrite)
                   }
-                visibleAt(e) match {
+                rowsByVt.keys.toArray
+                  .filter(k => k.compareTo(s) > 0 && k.compareTo(e) < 0 &&
+                    rowsByVt(k)._2 == KContent && !resolved.contains(k))
+                  .foreach { k =>
+                    rowsByVt(k) = (FoldOut(eid, k, txTt, txId, h, h.isEmpty), KRangeOverwrite)
+                  }
+                capVer match {
                   case Some(vis) =>
-                    rowsByVt(e) = FoldOut(eid, e, vis.tt, vis.txId, vis.hash, vis.tomb)
+                    rowsByVt(e) = (FoldOut(eid, e, vis.tt, vis.txId, vis.hash, vis.tomb), KCap)
                   case None =>
-                    rowsByVt(e) = FoldOut(eid, e, txTt, txId, None, true)
+                    rowsByVt(e) = (FoldOut(eid, e, txTt, txId, None, true), KCap)
                 }
               case _ => () // end == start: contributes nothing (applyTx filters it)
             }
@@ -468,7 +527,7 @@ private[graft] object TxLogFold {
         }
       }
       if (evicted) { emitted.clear(); resolved.clear() }
-      rowsByVt.values.foreach { r =>
+      rowsByVt.values.foreach { case (r, _) =>
         emitted += r
         if (resolved.get(r.vt).forall(_.txId <= r.txId))
           resolved(r.vt) = Ver(r.tt, r.txId, r.hash, r.tomb)
