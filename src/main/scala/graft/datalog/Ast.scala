@@ -46,7 +46,11 @@ object Ast {
       rules: List[RuleDef],
       orderBy: List[(FindElem, Boolean)], // (elem, ascending)
       limit: Option[Long],
-      offset: Option[Long])
+      offset: Option[Long],
+      /** Legacy `:args [{:x 1} …]` relation (query.clj:150-155 normalizes
+        * arg maps into an extra `:in` relation over the first map's keys;
+        * ported queries use both). None when absent or empty. */
+      argsRel: Option[(List[V], List[List[Edn.Val]])] = None)
 
   def parse(edn: String): Query = fromEdn(Edn.parse(edn))
 
@@ -107,10 +111,38 @@ object Ast {
     }.getOrElse(Nil)
     val limit = m.get("limit").map { case Lng(n) => n; case o => throw new IllegalArgumentException(s"bad :limit $o") }
     val offset = m.get("offset").map { case Lng(n) => n; case o => throw new IllegalArgumentException(s"bad :offset $o") }
-    Query(find, keys, where, in, rules, orderBy, limit, offset)
+    val argsRel = m.get("args").flatMap {
+      case Vec(Nil) => None // `:args []` constrains nothing
+      case Vec(maps) =>
+        val entries = maps.map {
+          case MapV(es) => es.map {
+            case (Kw(n), av) => n -> av
+            case (Sym(n), av) => varName(n) -> av
+            case (k, _) => throw new IllegalArgumentException(s"bad :args key $k")
+          }.toMap
+          case o => throw new IllegalArgumentException(s"bad :args element $o")
+        }
+        // the first map's keys define the bound vars (query.clj:150-155)
+        val vars = maps.head match {
+          case MapV(es) => es.map {
+            case (Kw(n), _) => V(varName(n))
+            case (Sym(n), _) => V(varName(n))
+            case (k, _) => throw new IllegalArgumentException(s"bad :args key $k")
+          }
+          case o => throw new IllegalArgumentException(s"bad :args element $o")
+        }
+        val rows = entries.map(e => vars.map(v => e.getOrElse(v.name,
+          throw new IllegalArgumentException(s"arg map missing key ${v.name}"))))
+        if (vars.isEmpty) None // `:args [{}]` binds nothing (issue 314)
+        else Some((vars, rows))
+      case o => throw new IllegalArgumentException(s"bad :args $o")
+    }
+    Query(find, keys, where, in, rules, orderBy, limit, offset, argsRel)
   }
 
   def varName(s: String): String = if (s.startsWith("?")) s.drop(1) else s
+
+  private val gaCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
   private def parseTerm(v: Edn.Val): Term = v match {
     case Sym("_") => Blank
@@ -164,6 +196,10 @@ object Ast {
         case Sym("get-attr") :: e :: Kw(a) :: defaultRest =>
           val binding = rest match {
             case List(b) => parseBinding(b)
+            // binding-less `[(get-attr e :a)]` is an existence predicate
+            // (query_test.clj:1100) — bind a throwaway var; set semantics
+            // at :find projection discard it
+            case Nil => BindColl(V(s"__ga_exists_${a}_${gaCounter.incrementAndGet()}"))
             case _ => throw new IllegalArgumentException("get-attr needs a binding")
           }
           GetAttr(parseTerm(e), a, defaultRest.headOption, binding)

@@ -102,6 +102,9 @@ object Edn {
       pos += 1
       require(!eof, "dangling #")
       if (cur == '{') { pos += 1; SetV(readSeq('}')) }
+      // regex literal #"..." — carried as its pattern string (re-find &
+      // co take the pattern positionally, query_test.clj:766)
+      else if (cur == '"') Str(readString())
       else {
         val tag = readToken()
         tag match {

@@ -51,15 +51,18 @@ final class QuadSource(df: DataFrame, attrTypes: Map[String, String],
   def attrs: Set[String] = attrTypes.keySet
   override def stringAttrs: Set[String] =
     attrTypes.collect { case (a, "v_str") => a }.toSet
+  /** A quad ROW with a null value is a nil-valued FACT (`{:foo nil}` is a
+    * real document entry the reference matches with `[e :foo nil]` and
+    * binds through vars, query_test.clj:3713 issue 1487 / :3497 issue
+    * 885) — absence is no row at all, so nulls are kept here, unlike
+    * [[TableSource.attr]] where NULL encodes absence. */
   def attr(a: String): DataFrame = {
     val vcol = attrTypes.getOrElse(a, throw new IllegalArgumentException(s"unknown attribute :$a"))
     if (vcol == QuadSource.Mixed) {
       val tagged = QuadSource.taggedValue(df)
       df.filter(col("a") === a).select(col("e").as("eid"), tagged.as("value"))
-        .filter(col("value").getField("t").isNotNull)
     } else
       df.filter(col("a") === a).select(col("e").as("eid"), col(vcol).as("value"))
-        .filter(col("value").isNotNull)
   }
 
   /** One row per entity, one column per attribute (scalar per (e, a):

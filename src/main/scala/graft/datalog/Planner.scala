@@ -35,7 +35,13 @@ object Planner {
 
   def qAst(spark: SparkSession, source: FactSource, query: Query, args: Any*): DataFrame = {
     val p = new Planner(spark, source, query.rules.groupBy(_.name))
-    val inRels = query.in.zip(args).map { case (InBind(b), arg) => p.inRel(b, arg) }
+    // legacy :args maps = one more in-relation over the maps' keys; it
+    // UNIFIES with any :in binding of the same vars (both are just seed
+    // relations joined on shared columns)
+    val argsRels = query.argsRel.toList.map { case (vs, rows) =>
+      p.inRel(BindRel(vs), rows: Seq[Seq[Any]])
+    }
+    val inRels = argsRels ++ query.in.zip(args).map { case (InBind(b), arg) => p.inRel(b, arg) }
     // Pred-constraint relations (text-search & co) are built from LITERAL
     // args before the join DAG exists, so a var arg bound by a scalar :in
     // param is resolved by substitution here (the reference resolves such
@@ -348,7 +354,7 @@ private final class Planner(spark: SparkSession, source: FactSource,
         }
         // joined has eid + one gensym col per clause, in group order
         val renamed = joined.columns.toSeq.drop(1).zip(group)
-        bindValueCols(e, renamed, joined)
+        bindValueCols(e, renamed, joined, absentAsNull = false)
     }
   }
 
@@ -364,13 +370,23 @@ private final class Planner(spark: SparkSession, source: FactSource,
       (tmp, t)
     }
     df = df.select((col("eid") +: pairs.map(_._1).distinct.map(col)): _*)
-    bindValueCols(e, pairs.map { case (c2, t) => (c2, t) }, df)
+    bindValueCols(e, pairs.map { case (c2, t) => (c2, t) }, df, absentAsNull = true)
   }
 
   /** Shared binding of (tempCol, clause) pairs: literals filter, vars
     * rename (with unification when a var appears twice), blanks require
-    * presence. Returns the projected relation. */
-  private def bindValueCols(e: Term, pairs: Seq[(String, Triple)], df0: DataFrame): Rel = {
+    * presence. Returns the projected relation.
+    *
+    * `absentAsNull` distinguishes the two row models feeding this:
+    *  - wide entity scans (TableSource) encode a MISSING attribute as
+    *    NULL, so vars/blanks must drop nulls and a literal `nil` can
+    *    never match (no nil facts exist in a typed table);
+    *  - per-attribute quad frames have a row per FACT, so a null value
+    *    is a real nil-valued fact (`{:foo nil}`, issue 1487): vars bind
+    *    it, blanks match it, literal `nil` selects exactly it, and
+    *    repeated-var unification is null-safe. */
+  private def bindValueCols(e: Term, pairs: Seq[(String, Triple)], df0: DataFrame,
+      absentAsNull: Boolean): Rel = {
     var df = df0
     val keep = scala.collection.mutable.LinkedHashMap[String, String]() // out col -> source col
     e match {
@@ -390,29 +406,45 @@ private final class Planner(spark: SparkSession, source: FactSource,
               // lift the single-family side: unify in tag+value space
               val l = if (isTagged(lt)) col(keep(n)) else taggedOf(col(keep(n)), lt)
               val r = if (isTagged(rt)) col(tmp) else taggedOf(col(tmp), rt)
-              df.filter(l === r)
+              df.filter(if (absentAsNull) l === r else l <=> r)
             } else if (tagOf(lt) != tagOf(rt))
               df.filter(lit(false)) // cross-family: never unifies
-            else df.filter(col(keep(n)) === col(tmp))
+            else df.filter(
+              if (absentAsNull) col(keep(n)) === col(tmp)
+              else col(keep(n)) <=> col(tmp)) // nil unifies with nil
         case V(n) =>
-          // EAV semantics: an entity lacking the attribute has NO fact row.
-          // The wide entity scan represents absence as NULL — drop it so
-          // this path matches FactSource.attr (which filters
-          // value.isNotNull) and the reference's index scan
-          df = df.filter(col(tmp).isNotNull)
+          // wide entity scan: absence is NULL — drop it so this path
+          // matches the reference's index scan (no fact row, no binding);
+          // quad frames: the row IS the fact, nil value and all
+          if (absentAsNull) df = df.filter(col(tmp).isNotNull)
           keep(n) = tmp
-        case C(Edn.SetV(items)) => // set literal: match ANY member
+        case C(Edn.NilV) => // literal nil matches only nil-valued facts
           df =
-            if (items.isEmpty) df.filter(lit(false))
+            if (absentAsNull) df.filter(lit(false))
             else if (isTagged(df.schema(tmp).dataType))
-              df.filter(items.map(i => col(tmp) === taggedLit(i)).reduce(_ || _))
-            else df.filter(col(tmp).isin(items.map(scalaVal): _*))
+              df.filter(col(tmp).getField("t").isNull)
+            else df.filter(col(tmp).isNull)
+        case C(Edn.SetV(items)) => // set literal: match ANY member
+          val (nils, rest) = items.partition(_ == Edn.NilV)
+          val nilCond =
+            if (nils.isEmpty || absentAsNull) lit(false)
+            else if (isTagged(df.schema(tmp).dataType)) col(tmp).getField("t").isNull
+            else col(tmp).isNull
+          val restCond =
+            if (rest.isEmpty) lit(false)
+            else if (isTagged(df.schema(tmp).dataType))
+              rest.map(i => col(tmp) === taggedLit(i)).reduce(_ || _)
+            else col(tmp).isin(rest.map(scalaVal): _*)
+          df = df.filter(nilCond || restCond)
         case C(value) =>
           df =
             if (isTagged(df.schema(tmp).dataType))
               df.filter(col(tmp) === taggedLit(value))
             else df.filter(col(tmp) === litOf(value))
-        case Blank => df = df.filter(col(tmp).isNotNull)
+        case Blank =>
+          // `[e :a]` / `[e :a _]` assert the FACT exists; a nil-valued
+          // fact exists (issue 1487), an absent attribute doesn't
+          if (absentAsNull) df = df.filter(col(tmp).isNotNull)
       }
     }
     val outCols = keep.toSeq.map { case (out, src) => col(src).as(out) }
@@ -466,9 +498,29 @@ private final class Planner(spark: SparkSession, source: FactSource,
       _.forall { case Pred(fn, _, None) if fn != "q" => true; case _ => false }))
     val ruleCalls = clauses.collect { case r: RuleCall => r }
 
+    // An or-branch may reference vars bound only OUTSIDE the or (pure
+    // predicates over outer vars, `(and [(identity e)] …)` default
+    // branches, nots over outer bindings — query_test.clj:581,665). Such
+    // branches can't plan standalone; defer them and re-plan correlated
+    // with the outer relation once it exists. Self-contained ors stay
+    // eagerly-planned seed relations (they can FEED the join DAG).
+    var deferredOrs: List[Or] = Nil
+    val orRels = ors.flatMap { o =>
+      try Some(planOr(o))
+      catch {
+        case _: IllegalArgumentException if {
+          val outerBound = clauses.flatMap {
+            case c if c.isInstanceOf[Or] => Nil
+            case c => clauseVars(c)
+          }.toSet ++ seed.flatMap(_.vars)
+          o.branches.flatten.flatMap(clauseVars).exists(outerBound)
+        } =>
+          deferredOrs ::= o; None
+      }
+    }
     var rels: List[Rel] = seed ++ tripleRels(triples) ++
       textSearches.map(planPredConstraint) ++
-      ors.map(planOr) ++ ruleCalls.map(planRuleCall)
+      orRels ++ ruleCalls.map(planRuleCall)
     // a lone `(q …)` subquery or literal-relation clause has no scan to
     // hang off: seed a unit relation for the pred to cross-join against
     if (rels.isEmpty && preds.nonEmpty)
@@ -521,7 +573,20 @@ private final class Planner(spark: SparkSession, source: FactSource,
           val rest = next.df.columns.filterNot(shared.toSet)
           current.df.filter(lit(false))
             .crossJoin(next.df.select(rest.map(col).toSeq: _*).filter(lit(false)))
-        } else current.df.join(next.df, shared)
+        } else {
+          // null-safe equi-join: a var bound to a nil-valued fact (quad
+          // rows with null value, issue 1487/885) unifies with nil on the
+          // other side, exactly like the reference's value unification.
+          // EqualNullSafe is still a hashable join key, so the physical
+          // plan (broadcast/shuffled hash) is unchanged; for non-nullable
+          // inputs Catalyst simplifies it back to plain equality.
+          val l = current.df.alias("__jl")
+          val r = next.df.alias("__jr")
+          val cond = shared.map(v => col(s"__jl.$v") <=> col(s"__jr.$v")).reduce(_ && _)
+          val keepCols = current.df.columns.map(c => col(s"__jl.$c").as(c)) ++
+            next.df.columns.filterNot(shared.toSet).map(c => col(s"__jr.$c").as(c))
+          l.join(r, cond).select(keepCols.toSeq: _*)
+        }
       current = Rel(joinedDf, current.distinctSure && next.distinctSure && shared.nonEmpty)
       rest = (if (sharing.nonEmpty) sharing.tail ++ other else other.tail)
       // apply any predicates/get-attrs that have just become applicable —
@@ -554,6 +619,7 @@ private final class Planner(spark: SparkSession, source: FactSource,
     drainFilterOrs()
     require(pendingFilterOrs.isEmpty, s"unresolvable or-filter vars: $pendingFilterOrs")
 
+    deferredOrs.reverse.foreach { o => current = applyOr(current, o) }
     nots.foreach { n => current = applyNot(current, n) }
     current
   }
@@ -639,9 +705,42 @@ private final class Planner(spark: SparkSession, source: FactSource,
   /** Condition for a binding-less predicate clause; regex preds prefer a
     * literal pattern (constant-folded rlike) but accept a var pattern
     * (from `re-pattern`) via per-row regexp_like. */
+  /** Equality/unification against a SET literal is membership — `[(== n
+    * #{"a" "b"})]` matches either, `#{}` matches nothing, and `!=`
+    * negates (query_test.clj:1034-1052; nil in the set matches nil facts,
+    * :3713). Items of a different type family than the column never
+    * match. */
+  private def setMembership(rel: Rel, fn: String, args: List[Term]): Option[Column] = {
+    if (args.size != 2 || !Set("=", "==", "!=", "not=").contains(fn)) return None
+    val (setArgs, others) = args.partition { case C(_: Edn.SetV) => true; case _ => false }
+    if (setArgs.size != 1) return None
+    val items = setArgs.head.asInstanceOf[C].value.asInstanceOf[Edn.SetV].items
+    val other = others.head
+    val c = argCol(rel, other)
+    val ty = termType(rel, other)
+    val memb =
+      if (items.isEmpty) lit(false)
+      else if (isTagged(ty)) items.map {
+        case Edn.NilV => c.getField("t").isNull
+        case i => c === taggedLit(i)
+      }.reduce(_ || _)
+      else {
+        val colTag = tagOf(ty)
+        val (nils, rest0) = items.partition(_ == Edn.NilV)
+        val rest = rest0.filter(i => termTag(rel, C(i)) == colTag)
+        val nilC = if (nils.isEmpty) lit(false) else c.isNull
+        val restC =
+          if (rest.isEmpty) lit(false)
+          else rest.map(i => c <=> litOf(i)).reduce(_ || _)
+        nilC || restC
+      }
+    Some(if (fn == "!=" || fn == "not=") !coalesce(memb, lit(false)) else memb)
+  }
+
   private def filterCondition(rel: Rel, p: Pred): Column = p.fn match {
     case fn @ ("=" | "==" | "!=" | "not=" | "<" | "<=" | ">" | ">=") =>
-      crossFamily(rel, fn, p.args).getOrElse {
+      setMembership(rel, fn, p.args).orElse(
+        crossFamily(rel, fn, p.args)).getOrElse {
         val types = p.args.map(termType(rel, _))
         // if any side is a mixed-family tagged value, lift every side so
         // the comparison runs in tag-then-value (codec) order
@@ -667,8 +766,14 @@ private final class Planner(spark: SparkSession, source: FactSource,
         case o => throw new IllegalArgumentException(s"bad regex pattern arg $o")
       }
     case fn => predicateCol(fn, p.args.map(argCol(rel, _)),
-      p.args.map(termType(rel, _)), p.args)
+      p.args.map(termType(rel, _)), p.args, probeType(rel))
   }
+
+  /** Resolve an expression's output type against a relation (analysis
+    * only — no job) so truthiness checks never cast a non-boolean
+    * (ANSI would throw on e.g. a string entity id in `[(identity e)]`). */
+  private def probeType(rel: Rel)(c: Column): Option[DataType] =
+    scala.util.Try(rel.df.select(c.as("__probe")).schema.head.dataType).toOption
 
   /** Edn value → Scala value tree (vectors become Seqs) for in-binding
     * style literal relations. */
@@ -936,7 +1041,17 @@ private final class Planner(spark: SparkSession, source: FactSource,
       case BindColl(v) => v.name
       case o => throw new IllegalArgumentException(s"bad get-attr binding $o")
     }
-    val attrDf = source.attr(g.a).select(col("eid").as(eCol), col("value").as(bindVar))
+    // an attribute the source has never seen behaves as universally
+    // absent (query_test.clj:1083 "unknown attribute"), not an error
+    val attrDf =
+      if (source.attrs.contains(g.a))
+        source.attr(g.a).select(col("eid").as(eCol), col("value").as(bindVar))
+      else {
+        val vt = g.default.map(d => sparkTypeOf(scalaVal(d))).getOrElse(StringType)
+        spark.createDataFrame(new java.util.ArrayList[Row](), StructType(Seq(
+          StructField(eCol, rel.df.schema(eCol).dataType),
+          StructField(bindVar, vt))))
+      }
     g.default match {
       case None => Rel(rel.df.join(attrDf, Seq(eCol), "inner"), distinctSure = false)
       case Some(d) =>
@@ -994,7 +1109,7 @@ private final class Planner(spark: SparkSession, source: FactSource,
 
   /** Predicate in filter position: false/nil drops the row. */
   private def predicateCol(fn0: String, args: Seq[Column], types: Seq[DataType],
-      raw: Seq[Term] = Nil): Column = normFn(fn0) match {
+      raw: Seq[Term] = Nil, probe: Column => Option[DataType] = _ => None): Column = normFn(fn0) match {
     // null-safe pairwise equality: Clojure's (= nil nil) is true,
     // (not= nil x) is true — and chained (= a b c) compares PAIRWISE,
     // never the boolean of the previous comparison
@@ -1138,9 +1253,15 @@ private final class Planner(spark: SparkSession, source: FactSource,
       call_function("shiftright", args.head.cast(LongType), args(1))
         .bitwiseAND(lit(1L)) === 1L
     case other =>
-      // value-returning fn in filter position: truthy = not null/false
+      // value-returning fn in filter position: truthy = not null/false.
+      // When the caller can type-probe the expression, a non-boolean
+      // result only needs a null check (comparing it to `false` would
+      // insert an ANSI-throwing cast)
       val c = functionCol(other, args, types, raw)
-      c.isNotNull && (c =!= lit(false))
+      probe(c) match {
+        case Some(dt) => truthy(c, dt)
+        case None => c.isNotNull && (c =!= lit(false))
+      }
   }
 
   /** Value-returning function (predicate with return binding). */
@@ -1553,8 +1674,29 @@ private final class Planner(spark: SparkSession, source: FactSource,
 
   // ----------------------------------------------------------------- not/or
 
+  /** Vars a clause mentions (for correlating sub-plans with the outer
+    * relation; transitive through nested not/or). */
+  private def clauseVars(c: Clause): Set[String] = c match {
+    case Triple(e, _, v) => termVars(e) ++ termVars(v)
+    case p: Pred => predVars(p)
+    case g: GetAttr => termVars(g.e)
+    case Not(_, cs) => cs.flatMap(clauseVars).toSet
+    case Or(_, bs) => bs.flatten.flatMap(clauseVars).toSet
+    case RuleCall(_, as) => as.flatMap(termVars).toSet
+  }
+
   private def applyNot(rel: Rel, n: Not): Rel = {
-    val sub = planConjunction(n.clauses, Nil)
+    // The reference evaluates a not-branch against the current outer
+    // tuple (query.clj:1103-1118 builds the sub-solver over the caller's
+    // bindings) — seed the body with the outer relation restricted to the
+    // vars the body mentions, so bodies that are pure predicates over
+    // outer vars (query_test.clj:489) correlate instead of failing as
+    // unresolvable.
+    val seedVars = (n.clauses.flatMap(clauseVars).toSet & rel.vars).toSeq.sorted
+    val seed =
+      if (seedVars.isEmpty) Nil
+      else List(Rel(rel.df.select(seedVars.map(col): _*).distinct(), distinctSure = true))
+    val sub = planConjunction(n.clauses, seed)
     val joinVars = n.joinVars.map(_.map(_.name).toSet)
       .getOrElse(sub.vars & rel.vars)
     require(joinVars.nonEmpty, "not-clause shares no vars with the outer query")
@@ -1570,16 +1712,59 @@ private final class Planner(spark: SparkSession, source: FactSource,
 
   private def planOr(o: Or): Rel = {
     val branchRels = o.branches.map(b => planConjunction(b, Nil))
+    Rel(unionBranches(o, branchRels), distinctSure = true)
+  }
+
+  /** Correlated `or`: branches see the outer bindings (the reference
+    * grounds or-branches against the calling tuple, query.clj:1069-1101)
+    * — planned with the outer relation's relevant vars as a seed, then
+    * the disjunctive union joins back on whatever it shares. */
+  private def applyOr(rel: Rel, o: Or): Rel = {
+    val seedVars = (o.branches.flatten.flatMap(clauseVars).toSet & rel.vars).toSeq.sorted
+    val seed =
+      if (seedVars.isEmpty) Nil
+      else List(Rel(rel.df.select(seedVars.map(col): _*).distinct(), distinctSure = true))
+    val branchRels = o.branches.map(b => planConjunction(b, seed))
+    val unioned = unionBranches(o, branchRels)
+    val orRel = Rel(unioned, distinctSure = true)
+    val shared = (orRel.vars & rel.vars).toSeq.sorted
+    val joined =
+      if (shared.isEmpty) rel.df.crossJoin(unioned)
+      else {
+        val l = rel.df.alias("__jl")
+        val r = unioned.alias("__jr")
+        val cond = shared.map(v => col(s"__jl.$v") <=> col(s"__jr.$v")).reduce(_ && _)
+        val keepCols = rel.df.columns.map(c => col(s"__jl.$c").as(c)) ++
+          unioned.columns.filterNot(shared.toSet).map(c => col(s"__jr.$c").as(c))
+        l.join(r, cond).select(keepCols.toSeq: _*)
+      }
+    Rel(joined, rel.distinctSure && shared.nonEmpty)
+  }
+
+  /** Union or-branches on the export vars; a var whose branches bind
+    * DIFFERENT type families (string default vs date value,
+    * query_test.clj:1761 issue 146) is lifted to the tagged mixed-family
+    * struct so the union types align in codec order. */
+  private def unionBranches(o: Or, branchRels: List[Rel]): DataFrame = {
     val exportVars = o.joinVars.map(_.map(_.name))
       .getOrElse {
         val common = branchRels.map(_.vars).reduce(_ & _)
-        require(common.nonEmpty, "or-branches share no vars")
+        require(common.nonEmpty, "Or requires same logic variables in all branches")
         common.toSeq.sorted
       }
-    val unioned = branchRels.map(_.df.select(exportVars.map(col): _*))
-      .reduce(_ unionByName _)
-      .distinct()
-    Rel(unioned, distinctSure = true)
+    exportVars.foreach(v => require(branchRels.forall(_.vars.contains(v)),
+      s"Or join variable never used: $v"))
+    val needsTag: Set[String] = exportVars.filter { v =>
+      branchRels.map(r => tagOf(r.df.schema(v).dataType)).distinct.size > 1 ||
+        branchRels.exists(r => isTagged(r.df.schema(v).dataType))
+    }.toSet
+    branchRels.map { r =>
+      val cols = exportVars.map { v =>
+        val dt = r.df.schema(v).dataType
+        if (needsTag(v) && !isTagged(dt)) taggedOf(col(v), dt).as(v) else col(v).as(v)
+      }
+      r.df.select(cols: _*)
+    }.reduce(_ unionByName _).distinct()
   }
 
   // ------------------------------------------------------------------ rules
@@ -1881,6 +2066,10 @@ private final class Planner(spark: SparkSession, source: FactSource,
     val aggs = query.find.collect { case a: FindAgg => a }
     val vars = query.find.collect { case v: FindVar => v }
     val pulls = query.find.collect { case p: FindPull => p }
+    (vars.map(_.v) ++ aggs.map(_.v) ++ pulls.map(_.v)).foreach { v =>
+      require(joined.vars.contains(v.name),
+        s"Find refers to unknown variable: ${v.name}")
+    }
 
     def outName(fe: FindElem): String = fe match {
       case FindVar(v) => v.name
@@ -1935,7 +2124,11 @@ private final class Planner(spark: SparkSession, source: FactSource,
     }
     query.offset.foreach(n => df = df.offset(n.toInt))
     query.limit.foreach(n => df = df.limit(n.toInt))
-    query.keys.foreach(ks => df = df.toDF(ks: _*))
+    query.keys.foreach { ks =>
+      require(ks.size == query.find.size,
+        s"Clause refers to unknown return arity: :keys has ${ks.size} names for ${query.find.size} find elements")
+      df = df.toDF(ks: _*)
+    }
     df
   }
 
