@@ -116,7 +116,7 @@ object Ast {
       case Vec(maps) =>
         val entries = maps.map {
           case MapV(es) => es.map {
-            case (Kw(n), av) => n -> av
+            case (Kw(n), av) => varName(n) -> av
             case (Sym(n), av) => varName(n) -> av
             case (k, _) => throw new IllegalArgumentException(s"bad :args key $k")
           }.toMap

@@ -115,7 +115,13 @@ object Edn {
             // ("…-05:00", "…Z") convert to the UTC instant's wall clock.
             val t =
               if (!str.contains("T"))
-                java.time.LocalDate.parse(str).atStartOfDay()
+                // date-only, incl. abbreviated "#inst \"2019\"" /
+                // "#inst \"2019-02\"" (RFC3339 lets crux abbreviate)
+                java.time.LocalDate.parse(str.length match {
+                  case 4 => str + "-01-01"
+                  case 7 => str + "-01"
+                  case _ => str
+                }).atStartOfDay()
               else if (str.endsWith("Z") || str.lastIndexOf('+') > str.indexOf('T') ||
                   str.lastIndexOf('-') > str.indexOf('T'))
                 java.time.OffsetDateTime.parse(str)

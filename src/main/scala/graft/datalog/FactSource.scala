@@ -168,6 +168,9 @@ object Tagged {
     val nd = lit(null).cast(TimestampType)
     val ns = lit(null).cast(StringType)
     val (t, b, n, d, s) = dt match {
+      case NullType => // all-null binding column: nil in every family
+        return struct(lit(null).cast(IntegerType).as("t"),
+          nb.as("b"), nn.as("n"), nd.as("d"), ns.as("s"))
       case BooleanType => (4, c, nn, nd, ns)
       case _: NumericType => (5, nb, c.cast(DoubleType), nd, ns)
       case DateType | TimestampType | TimestampNTZType =>

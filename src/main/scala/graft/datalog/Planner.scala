@@ -243,7 +243,11 @@ private final class Planner(spark: SparkSession, source: FactSource,
   import Planner._
 
   private var gensymCounter = 0
-  private def gensym(base: String): String = { gensymCounter += 1; s"${base}__$gensymCounter" }
+  private def gensym(base: String): String = {
+    gensymCounter += 1
+    // dots would parse as struct-field access in col("...") references
+    s"${base.replace('.', '_')}__$gensymCounter"
+  }
 
   // ---------------------------------------------------------------- literals
 
@@ -295,7 +299,10 @@ private final class Planner(spark: SparkSession, source: FactSource,
     val normed = rows.map(_.map(norm))
     val fields = cols.zipWithIndex.map { case (c, i) =>
       val sample = normed.iterator.map(_(i)).find(_ != null).getOrElse(null)
-      StructField(c, sparkTypeOf(sample), nullable = true)
+      // an all-null binding column stays NullType: nil unifies with any
+      // family's nil fact (issue 885), so no family may be pinned
+      val dt = if (sample == null) NullType else sparkTypeOf(sample)
+      StructField(c, dt, nullable = true)
     }
     spark.createDataFrame(normed.map(r => Row(r: _*)).asJava, StructType(fields))
   }
@@ -340,9 +347,15 @@ private final class Planner(spark: SparkSession, source: FactSource,
     source.entityScan(attrs) match {
       case Some(scan) => projectEntityScan(e, group, scan)
       case None =>
-        // fall back: join per-attribute frames on eid
+        // fall back: join per-attribute frames on eid. An attribute the
+        // source has never seen is schemaless-empty (the reference's
+        // index just has no rows for it), not an error.
         val parts = group.map { t =>
-          val df = source.attr(t.a)
+          val df =
+            if (source.attrs.contains(t.a)) source.attr(t.a)
+            else spark.createDataFrame(new java.util.ArrayList[Row](),
+              StructType(Seq(StructField("eid", StringType),
+                StructField("value", StringType))))
           (t, df)
         }
         val joined = parts.map { case (t, df) =>
@@ -465,14 +478,26 @@ private final class Planner(spark: SparkSession, source: FactSource,
     // rule call (the same surface syntax), and only the rule set can
     // disambiguate (the reference conforms against its rule names too,
     // query.clj:53-55)
+    // a clause is "filterish" when it consumes bindings without producing
+    // any: binding-less predicates, nots/ors over filterish bodies, and
+    // calls to rules whose every branch is filterish (transitively — the
+    // reference's `is-truthy?` idiom builds truthiness from nots over
+    // nil?/false? helper rules, query_test.clj:3646)
+    def filterish(c: Clause, seen: Set[String]): Boolean = c match {
+      case Pred(f, _, None) if f != "q" => true
+      case Not(_, cs) => cs.forall(filterish(_, seen))
+      case Or(_, bs) => bs.forall(_.forall(filterish(_, seen)))
+      case RuleCall(n, _) if !seen(n) => rules.get(n).exists(_.forall(d =>
+        d.clauses.nonEmpty && d.clauses.forall(filterish(_, seen + n))))
+      case _ => false
+    }
     val clauses = clauses0.map {
       case RuleCall(n, args) if !rules.contains(n) => Pred(n, args, None)
-      // a rule whose every branch is pure binding-less predicates is a
-      // FILTER over the caller's bindings, not a relation — expand it to a
-      // disjunctive filter-or (e.g. `[(is-odd? x) [(odd? x)]]`)
-      case RuleCall(n, args) if rules(n).forall(d => d.clauses.nonEmpty && d.clauses.forall {
-        case Pred(f, _, None) if f != "q" => true; case _ => false
-      }) =>
+      // a rule whose every branch is filterish is a FILTER over the
+      // caller's bindings, not a relation — expand it to a disjunctive
+      // filter-or (e.g. `[(is-odd? x) [(odd? x)]]`)
+      case RuleCall(n, args) if rules(n).forall(d => d.clauses.nonEmpty &&
+          d.clauses.forall(filterish(_, Set(n)))) =>
         Or(None, rules(n).map { d =>
           val suffix = gensym("rf")
           val argSub = d.args.map(_.name).zip(args).toMap
@@ -565,8 +590,10 @@ private final class Planner(spark: SparkSession, source: FactSource,
       // Build the empty result WITHOUT an equi-join: comparing incompatible
       // columns throws at analysis (BOOLEAN=BIGINT) or constant-folds into
       // a runtime cast error — shared vars keep `current`'s typing
-      val famMismatch = shared.exists(v =>
-        tagOf(current.df.schema(v).dataType) != tagOf(next.df.schema(v).dataType))
+      val famMismatch = shared.exists { v =>
+        val (tl, tr) = (tagOf(current.df.schema(v).dataType), tagOf(next.df.schema(v).dataType))
+        tl != tr && tl != 3 && tr != 3 // NullType (tag 3) joins any family
+      }
       val joinedDf =
         if (shared.isEmpty) current.df.crossJoin(next.df)
         else if (famMismatch) {
@@ -639,6 +666,7 @@ private final class Planner(spark: SparkSession, source: FactSource,
     * with numeric comparison — the reference's Clojure predicates compare
     * numerics numerically too.) */
   private def tagOf(dt: DataType): Int = dt match {
+    case NullType => 3 // nil: family-less, unifies with any family's nil
     case BooleanType => 4
     case _: NumericType => 5
     case DateType | TimestampType | TimestampNTZType => 7
@@ -2118,6 +2146,8 @@ private final class Planner(spark: SparkSession, source: FactSource,
     }
     if (query.orderBy.nonEmpty) {
       val sortCols = query.orderBy.map { case (fe, asc) =>
+        require(query.find.contains(fe),
+          s"Order by requires an element from :find. unreturned element: $fe")
         if (asc) col(outName(fe)).asc else col(outName(fe)).desc
       }
       df = df.orderBy(sortCols: _*)

@@ -297,7 +297,11 @@ class HttpSpec extends AnyFunSuite {
       assert(get(port, "/_crux/entity?eid=nobody")._1 == 404)   // not found
       assert(get(port, "/_crux/nope")._1 == 404)                // unknown route
       assert(get(port, "/_crux/query")._1 == 400)               // query-edn required
-      val (qc, qbody) = get(port, s"/_crux/query?query-edn=${enc("{:find [?x] :where [[?x :no_such_attr ?y]]}")}")
+      // unknown attribute is schemaless-EMPTY (the reference's index has
+      // no rows for it), not an error
+      val (qc0, qbody0) = get(port, s"/_crux/query?query-edn=${enc("{:find [?x] :where [[?x :no_such_attr ?y]]}")}")
+      assert(qc0 == 200 && qbody0.contains("\"results\":[]"), qbody0)
+      val (qc, qbody) = get(port, s"/_crux/query?query-edn=${enc("{:find [?x ?missing] :where [[?x :no_such_attr ?y]]}")}")
       assert(qc == 400, qbody)                                  // planner rejects pre-stream
       assert(post(port, "/_crux/submit-tx", """{"tx-ops": [["frobnicate", 1]]}""")._1 == 400)
       assert(get(port, "/_crux/tx-committed?tx-id=999")._1 == 400)
