@@ -80,15 +80,34 @@ object TxLog {
     val resolved = resolvedHistory(state).cache()
     try {
       // --- match / cas precondition: resolved hash at basis must equal
-      // expected (null-safe; nil==nil matches), tx.clj:100-130
+      // expected (null-safe; nil==nil matches), tx.clj:100-130. Ops apply
+      // sequentially in the reference, so a match mid-tx sees the CONTENT
+      // rows of EARLIER same-tx ops (query_test.clj:1912 "match sees
+      // interim state through the transaction") — same candidate model as
+      // the range-restore path below (cap/overwrite rows stay invisible).
       val checks = ops.filter(col("op").isin("match", "cas"))
         .select(col("eid"), coalesce(col("at_vt"), col("start_vt"), txTs).as("basis_vt"),
-          col("expected_hash"))
+          col("expected_hash"), col("seq"))
       val aborted = if (checks.isEmpty) false else {
+        val txWrites = ops.filter(col("op").isin("put", "delete", "cas"))
+          .select(col("eid"),
+            when(col("op") === "cas", coalesce(col("at_vt"), col("start_vt"), txTs))
+              .otherwise(coalesce(col("start_vt"), txTs)).as("vt"),
+            lit(txId).as("tx_id"),
+            when(col("op") === "delete", lit(null: String))
+              .otherwise(col("content_hash")).as("content_hash"),
+            col("seq").as("cand_seq"))
+        val cands = resolved
+          .select(col("eid"), col("vt"), col("tx_id"), col("content_hash"),
+            lit(-1L).as("cand_seq"))
+          .unionByName(txWrites)
         val visible = checks.as("c")
-          .join(resolved.as("h"), col("c.eid") === col("h.eid") && col("h.vt") <= col("basis_vt"), "left")
-          .groupBy(col("c.eid"), col("basis_vt"), col("expected_hash"))
-          .agg(max_by(col("h.content_hash"), struct(col("h.vt"), col("h.tx_id"))).as("visible_hash"))
+          .join(cands.as("h"), col("c.eid") === col("h.eid") &&
+            col("h.vt") <= col("basis_vt") && col("h.cand_seq") < col("c.seq"), "left")
+          .groupBy(col("c.eid"), col("basis_vt"), col("c.seq"), col("expected_hash"))
+          .agg(max_by(struct(col("h.content_hash").as("ch")),
+            struct(col("h.vt"), col("h.tx_id"), col("h.cand_seq"))).as("_v"))
+          .select(col("expected_hash"), col("_v.ch").as("visible_hash"))
         visible.filter(!(col("expected_hash") <=> col("visible_hash"))).limit(1).count() > 0
       }
       if (aborted)

@@ -222,6 +222,79 @@ final class GraftNode(val spark: SparkSession, val source: FactSource,
   def query(edn: String, args: Seq[Any]): DataFrame =
     Planner.q(spark, source, edn, args: _*)
 
+  /** Datalog source over this node's OWN document store at a bitemporal
+    * snapshot — the reference's `(api/db node vt tt)` handle that `api/q`
+    * runs against (crux-core/src/crux/api.clj:24-110): resolve the
+    * version index as-of, join the content-addressed docs, explode the
+    * doc JSON into EAV quads (arrays become one fact per element — crux
+    * cardinality-many; JSON null is a nil-valued fact; nested objects are
+    * carried as their canonical JSON string, an opaque value). Attribute
+    * type families come from one small aggregate over the quads (the
+    * analogue of the reference's attribute stats); an attribute holding
+    * several families binds tagged/Mixed.
+    *
+    * Scale: doc→quad explosion is a distributed flatMap over the resolved
+    * snapshot (never a driver collect); only the per-ATTRIBUTE family
+    * summary (#attrs rows) reaches the driver. */
+  def db(validTime: Option[java.time.LocalDateTime] = None,
+      txTime: Option[java.time.LocalDateTime] = None,
+      txId: Option[Long] = None): graft.datalog.FactSource = {
+    import spark.implicits._
+    import graft.datalog.QuadSource
+    val now = java.time.LocalDateTime.now(java.time.ZoneOffset.UTC)
+    val vt = lit(validTime.getOrElse(now))
+    val resolved = (txTime, txId) match {
+      case (_, Some(id)) => Bitemp.asOf(versions, vt, lit(id))
+      case (Some(tt), _) => Bitemp.asOfTime(versions, vt, lit(tt))
+      case _ => Bitemp.asOf(versions, vt, lit(Long.MaxValue))
+    }
+    val withDocs = resolved.filter(!col("tombstone"))
+      .select(col("eid"), col("content_hash"))
+      .join(docs, Seq("content_hash"))
+      .select(col("eid"), col("doc")).as[(String, String)]
+    val quads = withDocs.flatMap { case (eid, doc) =>
+      def rows(a: String, v: JValue): Seq[(String, String, String, Option[Long], Option[Double], Option[Boolean])] =
+        v match {
+          case JArray(items) => items.flatMap(rows(a, _))
+          case JString(s) => Seq((eid, a, s, None, None, None))
+          case JInt(n) => Seq((eid, a, null, Some(n.toLong), None, None))
+          case JLong(n) => Seq((eid, a, null, Some(n), None, None))
+          case JDouble(d) => Seq((eid, a, null, None, Some(d), None))
+          case JDecimal(d) => Seq((eid, a, null, None, Some(d.toDouble), None))
+          case JBool(b) => Seq((eid, a, null, None, None, Some(b)))
+          case JNull | JNothing => Seq((eid, a, null, None, None, None))
+          case other: JObject => Seq((eid, a, Json.render(other), None, None, None))
+          case other => Seq((eid, a, Json.render(other), None, None, None))
+        }
+      Json.parse(doc) match {
+        case JObject(fields) => fields.flatMap { case (a, v) => rows(a, v) }
+        case _ => Nil
+      }
+    }.toDF("e", "a", "v_str", "v_num", "v_dbl", "v_bool")
+    val fams = quads.groupBy("a").agg(
+      count(col("v_str")).as("ns"), count(col("v_num")).as("nn"),
+      count(col("v_dbl")).as("nd"), count(col("v_bool")).as("nb")).collect()
+    val attrTypes = fams.map { r =>
+      val present = Seq("v_str" -> r.getLong(1), "v_num" -> r.getLong(2),
+        "v_dbl" -> r.getLong(3), "v_bool" -> r.getLong(4))
+        .filter(_._2 > 0).map(_._1)
+      r.getString(0) -> (present match {
+        case Seq(one) => one
+        case Seq() => "v_str" // nil-only facts
+        case _ => QuadSource.Mixed
+      })
+    }.toMap
+    new QuadSource(quads, attrTypes)
+  }
+
+  /** `api/q` against [[db]] — query the node's ingested documents at a
+    * bitemporal snapshot. */
+  def queryAt(edn: String, args: Seq[Any] = Nil,
+      validTime: Option[java.time.LocalDateTime] = None,
+      txTime: Option[java.time.LocalDateTime] = None,
+      txId: Option[Long] = None): DataFrame =
+    Planner.q(spark, db(validTime, txTime, txId), edn, args: _*)
+
   /** SQL query → DataFrame — the SQL-over-wire surface. The reference
     * serves SQL via crux-sql's Calcite/Avatica JDBC server
     * (crux-sql/src/crux/calcite.clj:495-527); here the same catalog that

@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+import org.json4s._
+import org.json4s.JsonDSL._
+import graft.datalog.TableSource
+import graft.http.GraftNode
+
+/** `api/db` + `api/q` over a live node — Datalog queries against the
+  * node's OWN ingested documents at bitemporal snapshots, via
+  * [[GraftNode.db]]/[[GraftNode.queryAt]]. Ports the reference deftests
+  * that need tx state under the query (query_test.clj): the Racket
+  * Datalog tutorial incl. delete + querying the previous database
+  * (:2903), query-at-valid-time (:321), doc resurrection #1127 (:3625),
+  * match-guarded puts with interim state (:1869), and entity reads
+  * against an earlier db (:3312).
+  */
+class NodeQuerySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def newNode() = new GraftNode(spark, TableSource.tpch(spark, "/root/testdata/sf0.001"))
+
+  private def put(doc: JObject, times: String*): JValue =
+    JArray(JString("put") :: doc :: times.toList.map(JString(_)))
+  private def delete(eid: String): JValue =
+    JArray(List(JString("delete"), JString(eid)))
+  private def matchOp(eid: String, doc: JValue): JValue =
+    JArray(List(JString("match"), JString(eid), doc))
+
+  private def q(node: GraftNode, edn: String, txId: Option[Long] = None): Set[Seq[Any]] =
+    node.queryAt(edn, txId = txId).collect().toSet[Row].map(_.toSeq)
+
+  test("racket datalog tutorial over a live node (query_test.clj:2903)") {
+    val node = newNode()
+    node.submitTx(List(put(("crux.db/id" -> ":john") ~ ("parent" -> ":douglas"))))
+    // parent(john, douglas)?
+    assert(q(node, """{:find [found] :where [[:john :parent :douglas] [(identity true) found]]}""") ==
+      Set(Seq(true)))
+    // parent(john, ebbon)?
+    assert(q(node, """{:find [found] :where [[:john :parent :ebbon] [(identity true) found]]}""").isEmpty)
+
+    node.submitTx(List(
+      put(("crux.db/id" -> ":bob") ~ ("parent" -> ":john")),
+      put(("crux.db/id" -> ":ebbon") ~ ("parent" -> ":bob"))))
+    assert(q(node, """{:find [a b] :where [[a :parent b]]}""") ==
+      Set(Seq(":john", ":douglas"), Seq(":bob", ":john"), Seq(":ebbon", ":bob")))
+    assert(q(node, """{:find [b] :where [[:john :parent b]]}""") == Set(Seq(":douglas")))
+    assert(q(node, """{:find [a] :where [[a :parent a]]}""").isEmpty)
+
+    val ancestorRules =
+      """:rules [[(ancestor a b) [a :parent b]]
+                 [(ancestor a b) [a :parent c] (ancestor c b)]]"""
+    assert(q(node, s"""{:find [a b] :where [(ancestor a b)] $ancestorRules}""") ==
+      Set(Seq(":ebbon", ":bob"), Seq(":bob", ":john"), Seq(":john", ":douglas"),
+        Seq(":bob", ":douglas"), Seq(":ebbon", ":john"), Seq(":ebbon", ":douglas")))
+    assert(q(node, s"""{:find [x] :where [(ancestor x :john)] $ancestorRules}""") ==
+      Set(Seq(":bob"), Seq(":ebbon")))
+
+    // parent(bob, john)- : delete, then query current AND previous state
+    val before = node.latestCompletedTx.get
+    node.submitTx(List(delete(":bob")))
+    assert(q(node, """{:find [a b] :where [[a :parent b]]}""") ==
+      Set(Seq(":john", ":douglas"), Seq(":ebbon", ":bob")))
+    assert(q(node, s"""{:find [a b] :where [(ancestor a b)] $ancestorRules}""") ==
+      Set(Seq(":ebbon", ":bob"), Seq(":john", ":douglas")))
+    // can query previous state (db-before snapshot by tx id)
+    assert(q(node, s"""{:find [a b] :where [(ancestor a b)] $ancestorRules}""",
+      txId = Some(before.txId)) ==
+      Set(Seq(":ebbon", ":bob"), Seq(":bob", ":john"), Seq(":john", ":douglas"),
+        Seq(":bob", ":douglas"), Seq(":ebbon", ":john"), Seq(":ebbon", ":douglas")))
+  }
+
+  test("query at valid time (query_test.clj:321)") {
+    val node = newNode()
+    node.submitTx(List(put(
+      ("crux.db/id" -> ":malcolm") ~ ("name" -> "Malcolm") ~ ("last-name" -> "Sparks"),
+      "1986-10-22T00:00:00")))
+    node.submitTx(List(put(
+      ("crux.db/id" -> ":malcolm") ~ ("name" -> "Malcolma") ~ ("last-name" -> "Sparks"),
+      "1986-10-24T00:00:00")))
+    val query = """{:find [e] :where [[e :name "Malcolma"] [e :last-name "Sparks"]]}"""
+    assert(node.queryAt(query,
+      validTime = Some(java.time.LocalDateTime.parse("1986-10-23T00:00:00")))
+      .collect().isEmpty)
+    assert(node.queryAt(query).collect().toSet[Row].map(_.toSeq) == Set(Seq(":malcolm")))
+  }
+
+  test("resurrecting doc, bug #1127 (query_test.clj:3625)") {
+    val node = newNode()
+    val query = """{:find [n] :where [[n :name "hello"] [n :age 17]]}"""
+    node.submitTx(List(put(("crux.db/id" -> ":my-id") ~ ("name" -> "hello") ~ ("age" -> 17))))
+    assert(q(node, query) == Set(Seq(":my-id")))
+    node.submitTx(List(delete(":my-id")))
+    assert(q(node, query).isEmpty)
+  }
+
+  test("query and match (query_test.clj:1869)") {
+    val node = newNode()
+    val nameQ = """{:find [n] :where [[:ivan :name n]]}"""
+
+    // can create new user (match on absence)
+    val tx1 = node.submitTx(List(
+      matchOp(":ivan", JNull),
+      put(("crux.db/id" -> ":ivan") ~ ("name" -> "Ivan 1st"))))
+    assert(tx1.committed)
+    assert(q(node, nameQ, txId = Some(tx1.txId)) == Set(Seq("Ivan 1st")))
+    assert(node.entityTx(":ivan", None, None, Some(tx1.txId))
+      .exists(_.getAs[Long]("tx_id") == tx1.txId))
+
+    // cannot create existing user
+    val tx2 = node.submitTx(List(
+      matchOp(":ivan", JNull),
+      put(("crux.db/id" -> ":ivan") ~ ("name" -> "Ivan 2nd"))))
+    assert(!tx2.committed)
+    assert(q(node, nameQ, txId = Some(tx2.txId)) == Set(Seq("Ivan 1st")))
+
+    // can update existing user when the match doc agrees
+    val tx3 = node.submitTx(List(
+      matchOp(":ivan", ("crux.db/id" -> ":ivan") ~ ("name" -> "Ivan 1st")),
+      put(("crux.db/id" -> ":ivan") ~ ("name" -> "Ivan 2nd"))))
+    assert(tx3.committed)
+    assert(q(node, nameQ, txId = Some(tx3.txId)) == Set(Seq("Ivan 2nd")))
+
+    // match sees interim state through the transaction
+    val tx4 = node.submitTx(List(
+      matchOp(":ivan", ("crux.db/id" -> ":ivan") ~ ("name" -> "Ivan 2nd")),
+      put(("crux.db/id" -> ":ivan") ~ ("name" -> "Ivan 3rd")),
+      matchOp(":ivan", ("crux.db/id" -> ":ivan") ~ ("name" -> "Ivan 3rd")),
+      put(("crux.db/id" -> ":ivan") ~ ("name" -> "Ivan 4th"))))
+    assert(tx4.committed)
+    assert(q(node, nameQ, txId = Some(tx4.txId)) == Set(Seq("Ivan 4th")))
+
+    // normal put works after match; earlier txs stay checkable
+    val tx5 = node.submitTx(List(put(("crux.db/id" -> ":ivan") ~ ("name" -> "Ivan 5th"))))
+    assert(tx5.committed)
+    assert(q(node, nameQ, txId = Some(tx5.txId)) == Set(Seq("Ivan 5th")))
+    assert(node.txCommitted(tx3.txId).contains(true))
+    assert(node.txCommitted(tx2.txId).contains(false))
+  }
+
+  test("entity against an earlier empty db (query_test.clj:3312)") {
+    val node = newNode()
+    val before = node.latestCompletedTx // None — nothing ingested yet
+    assert(node.entityDoc(":a", None, None, None).isEmpty)
+    node.submitTx(List(put(
+      ("crux.db/id" -> ":a") ~ ("arbitrary-key" -> List("an untyped value", "123")) ~
+        ("nested-map" -> (("and values" -> ":can-be-arbitrarily-nested"): JObject)))))
+    // the pre-ingest snapshot still sees nothing (tx-id 0 = empty log)
+    assert(node.entityDoc(":a", None, None, Some(before.map(_.txId).getOrElse(0L))).isEmpty)
+    assert(node.entityDoc(":a", None, None, None).nonEmpty)
+    // nested values come back verbatim through the quad view as opaque JSON
+    assert(q(node, """{:find [v] :where [[:a :arbitrary-key v]]}""") ==
+      Set(Seq("an untyped value"), Seq("123")))
+  }
+}
