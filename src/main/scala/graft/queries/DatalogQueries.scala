@@ -82,6 +82,13 @@ object DatalogQueries {
        :where [[?c :c_mktsegment ?seg]]}""",
       Seq("BUILDING", "AUTOMOBILE")) _,
 
+    // legacy :args arg-map relation (query.clj:150-155, r3)
+    "dl_args" -> dl("""
+      {:find [?seg (count ?c)]
+       :keys [c_mktsegment n]
+       :where [[?c :c_mktsegment ?seg]]
+       :args [{:?seg "BUILDING"} {:?seg "AUTOMOBILE"}]}""") _,
+
     // order-by / limit (top-k)
     "dl_topk_balance" -> dl("""
       {:find [?ck ?ab]
@@ -250,6 +257,12 @@ object DatalogSql {
       WHERE r_name = 'ASIA'""",
 
     "dl_in_coll" -> """
+      SELECT c_mktsegment, COUNT(*) AS n
+      FROM customer
+      WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+      GROUP BY c_mktsegment""",
+
+    "dl_args" -> """
       SELECT c_mktsegment, COUNT(*) AS n
       FROM customer
       WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')

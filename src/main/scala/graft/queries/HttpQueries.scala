@@ -111,10 +111,36 @@ object HttpQueries {
     s.createDataFrame(scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, schema)
   }
 
+  /** `api/db` over the node's OWN ingested documents ([[GraftNode.db]],
+    * r3): put the first customers as JSON docs through submit-tx, then
+    * run a Datalog query against the doc-store snapshot — the full
+    * ingest → bitemporal resolve → doc→quad explode → plan path,
+    * oracle-checked against the same rows straight off the parquet. */
+  def nodeDbQuery(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val node = new GraftNode(s, TableSource.tpch(s, dir))
+    val rows = graft.sources.Tables.load(s, dir, "customer")
+      .filter(col("c_custkey") < 40)
+      .select("c_custkey", "c_name", "c_acctbal").collect()
+    val ops = rows.map { r =>
+      JArray(List(JString("put"), JObject(List(
+        "crux.db/id" -> JString("c" + r.getLong(0)),
+        "custkey" -> JLong(r.getLong(0)),
+        "name" -> JString(r.getString(1)),
+        "acctbal" -> JDouble(r.getDouble(2))))))
+    }.toList
+    node.submitTx(ops)
+    node.queryAt(
+      """{:find [?ck ?n ?ab]
+         :keys [c_custkey c_name c_acctbal]
+         :where [[?e :custkey ?ck] [?e :name ?n] [?e :acctbal ?ab]]}""")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "http_query" -> (httpQueryJson _),
     "http_query_csv" -> (httpQueryCsv _),
-    "http_sql" -> (httpSql _))
+    "http_sql" -> (httpSql _),
+    "node_db_query" -> (nodeDbQuery _))
 }
 
 object HttpSql {
@@ -127,5 +153,9 @@ object HttpSql {
   val all: Map[String, String] = Map(
     "http_query" -> sql,
     "http_query_csv" -> sql,
-    "http_sql" -> sql)
+    "http_sql" -> sql,
+    "node_db_query" -> """
+      SELECT DISTINCT c_custkey, c_name, c_acctbal
+      FROM customer
+      WHERE c_custkey < 40""")
 }
