@@ -111,7 +111,12 @@ object Ast {
     }.getOrElse(Nil)
     val limit = m.get("limit").map { case Lng(n) => n; case o => throw new IllegalArgumentException(s"bad :limit $o") }
     val offset = m.get("offset").map { case Lng(n) => n; case o => throw new IllegalArgumentException(s"bad :offset $o") }
-    val argsRel = m.get("args").flatMap {
+    val argsRel = m.get("args").map {
+      // single-map form `:args {ids #{…}}` (bitemporal_tale_test.clj:204)
+      // = a one-row relation
+      case mv: MapV => Vec(List(mv))
+      case other => other
+    }.flatMap {
       case Vec(Nil) => None // `:args []` constrains nothing
       case Vec(maps) =>
         val entries = maps.map {

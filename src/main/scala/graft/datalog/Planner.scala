@@ -272,6 +272,7 @@ private final class Planner(spark: SparkSession, source: FactSource,
     case Edn.Inst(t) => t
     case Edn.NilV => null
     case Edn.Vec(items) => items.map(scalaVal)
+    case Edn.SetV(items) => items.map(scalaVal) // set VALUE (e.g. :args) → array
     case other => throw new IllegalArgumentException(s"unsupported literal $other")
   }
 

@@ -205,17 +205,28 @@ final class GraftNode(val spark: SparkSession, val source: FactSource,
         .map(r => Json.parse(r.getAs[String]("doc")))
     }
 
-  /** Entity history rows (+docs when asked) — crux.api/entity-history. */
+  /** Entity history rows (+docs when asked) — crux.api/entity-history.
+    * An optional tx basis (id or time) restricts to versions KNOWN at
+    * that point on the transaction axis (api_test.clj:292 queries
+    * history at earlier db bases). */
   def entityHistory(eid: String, sortAsc: Boolean, withCorrections: Boolean,
       withDocs: Boolean,
-      startVt: Option[java.time.LocalDateTime], endVt: Option[java.time.LocalDateTime]): DataFrame = {
-    val h = Bitemp.history(versions.filter(col("eid") === eid),
+      startVt: Option[java.time.LocalDateTime], endVt: Option[java.time.LocalDateTime],
+      txTime: Option[java.time.LocalDateTime] = None, txId: Option[Long] = None): DataFrame = {
+    var base = versions.filter(col("eid") === eid)
+    txId.foreach(id => base = base.filter(col("tx_id") <= id))
+    txTime.foreach(tt => base = base.filter(col("tt") <= tt))
+    val h = Bitemp.history(base,
       sortAsc = sortAsc, withCorrections = withCorrections,
       vtStart = startVt.map(lit(_)), vtEnd = endVt.map(lit(_)))
-    if (withDocs) h.join(docs, Seq("content_hash"), "left")
-      .select((Bitemp.metaCols.map(col) :+ col("doc")): _*)
-      .orderBy(col("vt").asc, col("tx_id").asc)
-    else h
+    if (withDocs) {
+      val sort =
+        if (sortAsc) Seq(col("vt").asc, col("tx_id").asc)
+        else Seq(col("vt").desc, col("tx_id").desc)
+      h.join(docs, Seq("content_hash"), "left")
+        .select((Bitemp.metaCols.map(col) :+ col("doc")): _*)
+        .orderBy(sort: _*)
+    } else h
   }
 
   /** Datalog query → DataFrame (find-var column names preserved). */

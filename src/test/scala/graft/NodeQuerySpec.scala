@@ -139,6 +139,66 @@ class NodeQuerySpec extends AnyFunSuite {
     assert(node.txCommitted(tx2.txId).contains(false))
   }
 
+  test("adding back an evicted document (api_test.clj:205)") {
+    val node = newNode()
+    node.submitTx(List(put(("crux.db/id" -> ":foo") ~ ("v" -> 1))))
+    assert(node.entityDoc(":foo", None, None, None).nonEmpty)
+    node.submitTx(List(JArray(List(JString("evict"), JString(":foo")))))
+    assert(node.entityDoc(":foo", None, None, None).isEmpty)
+    node.submitTx(List(put(("crux.db/id" -> ":foo") ~ ("v" -> 1))))
+    assert(node.entityDoc(":foo", None, None, None).nonEmpty)
+  }
+
+  test("db handles are snapshots (api_test.clj:364)") {
+    val node = newNode()
+    node.submitTx(List(put(("crux.db/id" -> ":foo") ~ ("count" -> 0))))
+    val db = node.db() // capture the snapshot BEFORE the second put
+    node.submitTx(List(put(("crux.db/id" -> ":foo") ~ ("count" -> 1))))
+    assert(graft.datalog.Planner.q(spark, db,
+      """{:find [?c] :where [[:foo :count ?c]]}""").collect().toSeq.map(_.getLong(0)) == Seq(0L))
+    assert(q(node, """{:find [?c] :where [[:foo :count ?c]]}""") == Set(Seq(1L)))
+  }
+
+  test("entity history with corrections at vt/tt bases (api_test.clj:292)") {
+    val node = newNode()
+    def putIvan(version: Int, corrected: Boolean, vt: String) = {
+      val doc0: JObject = ("crux.db/id" -> ":ivan") ~ ("name" -> "Ivan") ~ ("version" -> version)
+      val doc = if (corrected) doc0 ~ ("corrected?" -> true) else doc0
+      node.submitTx(List(put(doc, vt)))
+    }
+    putIvan(1, corrected = false, "2019-02-01T00:00:00")
+    val v2 = putIvan(2, corrected = false, "2019-02-02T00:00:00")
+    putIvan(3, corrected = false, "2019-02-03T00:00:00")
+    putIvan(2, corrected = true, "2019-02-02T00:00:00")
+
+    def versionsOf(hist: org.apache.spark.sql.DataFrame): Seq[Long] =
+      hist.collect().toSeq.map { r =>
+        graft.http.Json.parse(r.getAs[String]("doc")) \ "version" match {
+          case JInt(n) => n.toLong
+          case JLong(n) => n
+          case o => fail(s"bad version $o")
+        }
+      }
+    def hist(asc: Boolean, endVt: Option[String] = None, txId: Option[Long] = None) =
+      versionsOf(node.entityHistory(":ivan", sortAsc = asc, withCorrections = false,
+        withDocs = true, None, endVt.map(java.time.LocalDateTime.parse), txId = txId))
+
+    // visible history (latest correction wins per vt)
+    assert(hist(asc = true) == Seq(1L, 2L, 3L))
+    assert(hist(asc = false) == Seq(3L, 2L, 1L))
+    // valid-time bounded
+    assert(hist(asc = true, endVt = Some("2019-02-02T00:00:01")) == Seq(1L, 2L))
+    // before any history
+    assert(hist(asc = true, endVt = Some("2019-01-31T00:00:00")).isEmpty)
+    // tx basis: as of v2's tx, the correction and v3 don't exist yet
+    assert(hist(asc = true, txId = Some(v2.txId)) == Seq(1L, 2L))
+    // corrected doc carries the marker at the corrected version
+    val corrected = node.entityHistory(":ivan", sortAsc = true, withCorrections = false,
+      withDocs = true, None, None).collect()
+      .map(r => graft.http.Json.parse(r.getAs[String]("doc")) \ "corrected?")
+    assert(corrected.count(_ == JBool(true)) == 1)
+  }
+
   test("entity against an earlier empty db (query_test.clj:3312)") {
     val node = newNode()
     val before = node.latestCompletedTx // None — nothing ingested yet
