@@ -67,7 +67,13 @@ final class GraftNode(val spark: SparkSession, val source: FactSource,
     * synchronously — `await-tx` is then trivially satisfied, matching the
     * reference's single-node behavior where submit+await is the common
     * pattern. Returns (txId, txTime, committed). */
-  def submitTx(ops: List[JValue]): TxInfo = synchronized {
+  def submitTx(ops: List[JValue]): TxInfo = submitTxAt(ops, None)
+
+  /** [[submitTx]] with a default valid-time for ops that don't carry one
+    * — speculative forks inherit the forked db's valid-time basis
+    * (fork_test.clj:91: a with-tx put on a future db lands at the db's
+    * valid time, not "now"). */
+  def submitTxAt(ops: List[JValue], defaultVt: Option[java.time.LocalDateTime]): TxInfo = synchronized {
     val txId = txIdGen.incrementAndGet()
     val txTime = java.time.LocalDateTime.now(java.time.ZoneOffset.UTC)
     val parsed = ops.zipWithIndex.map { case (op, seq) => parseOp(op, seq) }
@@ -77,14 +83,40 @@ final class GraftNode(val spark: SparkSession, val source: FactSource,
       docs = docs.unionByName(newDocs.toDF("content_hash", "doc")).distinct()
         .localCheckpoint(true)
     }
-    val opRows = spark.createDataFrame(
+    var opRows = spark.createDataFrame(
       scala.jdk.CollectionConverters.SeqHasAsJava(parsed.map(_._1)).asJava, TxLog.opSchema)
+    defaultVt.foreach { vt =>
+      opRows = opRows
+        .withColumn("start_vt", coalesce(col("start_vt"), lit(vt)))
+        .withColumn("at_vt", coalesce(col("at_vt"), lit(vt)))
+    }
     val (next, aborted) = TxLog.applyTx(versions, opRows, txId, txTime)
     if (!aborted) versions = next.localCheckpoint(true)
     val info = TxInfo(txId, txTime, committed = !aborted)
     txs.add(info)
     txOps.put(txId, JArray(ops))
     info
+  }
+
+  /** Speculative fork — the reference's `crux/with-tx`
+    * (crux-core/src/crux/fork.clj): apply ops to a COPY of this node's
+    * state at an optional (tx-time/tx-id) basis and return the forked
+    * node, leaving this node untouched. Returns None when the speculative
+    * tx aborts (failed match — with-tx returns nil, fork_test.clj:42).
+    * `validTime` is the forked db's valid-time basis: ops without an
+    * explicit valid time land there. State DataFrames are immutable, so
+    * the fork is O(1) — no data copy. */
+  def withTx(ops: List[JValue],
+      validTime: Option[java.time.LocalDateTime] = None,
+      txTime: Option[java.time.LocalDateTime] = None,
+      txId: Option[Long] = None): Option[GraftNode] = {
+    var base = versions
+    txId.foreach(id => base = base.filter(col("tx_id") <= id))
+    txTime.foreach(tt => base = base.filter(col("tt") <= tt))
+    val fork = new GraftNode(spark, source, sqlDir)
+    fork.loadState(base, docs)
+    val info = fork.submitTxAt(ops, validTime)
+    if (info.committed) Some(fork) else None
   }
 
   /** One tx op → (TxLog op row, optional new doc). */
