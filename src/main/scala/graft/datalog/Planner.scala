@@ -499,6 +499,10 @@ private final class Planner(spark: SparkSession, source: FactSource,
       // filter-or (e.g. `[(is-odd? x) [(odd? x)]]`)
       case RuleCall(n, args) if rules(n).forall(d => d.clauses.nonEmpty &&
           d.clauses.forall(filterish(_, Set(n)))) =>
+        require(rules(n).map(_.args.size).distinct.size == 1,
+          s"Rule definitions require same arity: $n")
+        require(args.size == rules(n).head.args.size,
+          s"Rule invocation has wrong arity, expected: ${rules(n).head.args.size} ($n)")
         Or(None, rules(n).map { d =>
           val suffix = gensym("rf")
           val argSub = d.args.map(_.name).zip(args).toMap
@@ -1909,7 +1913,10 @@ private final class Planner(spark: SparkSession, source: FactSource,
 
   private def planInline(name: String, args: List[Term]): Rel = {
     val defs = rules(name)
-    require(args.size == defs.head.args.size, s"arity mismatch calling rule $name")
+    require(defs.map(_.args.size).distinct.size == 1,
+      s"Rule definitions require same arity: $name")
+    require(args.size == defs.head.args.size,
+      s"Rule invocation has wrong arity, expected: ${defs.head.args.size} ($name)")
     // def-arg vars that sit in positions where only a var is legal (pred
     // return bindings, not-join/or-join var lists) — a constant call arg
     // for these grounds via fresh var + post-binding equality filter;

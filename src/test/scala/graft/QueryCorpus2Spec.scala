@@ -395,6 +395,106 @@ class QueryCorpus2Spec extends AnyFunSuite {
       Set(Seq(":b"), Seq(":c")))
   }
 
+  test("basic rules: args, bound args, nesting, branches, arity errors (query_test.clj:1513)") {
+    val s = src(":ivan" -> Map("name" -> "Ivan", "last-name" -> "Ivanov", "age" -> 21L),
+      ":petr" -> Map("name" -> "Petr", "last-name" -> "Petrov", "age" -> 18L))
+    val over21 = """:rules [[(over-twenty-one? age) [(>= age 21)]]]"""
+    assert(run(s, s"""{:find [i] :where [[i :age age] (over-twenty-one? age)] $over21}""") ==
+      Set(Seq(":ivan")))
+    // rules directly on :args
+    assert(run(s, s"""{:find [age] :where [(over-twenty-one? age)] :args [{:age 21}] $over21}""") ==
+      Set(Seq(21L)))
+    assert(run(s, s"""{:find [age] :where [(over-twenty-one? age)] :args [{:age 20}] $over21}""").isEmpty)
+    // required-bound args
+    assert(run(s, """{:find [i] :where [[i :age age] (over-twenty-one? age)]
+      :rules [[(over-twenty-one? [age]) [(>= age 21)]]]}""") == Set(Seq(":ivan")))
+    // different variable name from body
+    assert(run(s, """{:find [i] :where [[i :age age] (over-twenty-one? age)]
+      :rules [[(over-twenty-one? x) [(>= x 21)]]]}""") == Set(Seq(":ivan")))
+    // nested rules
+    assert(run(s, """{:find [i] :where [[i :age age] (over-twenty-one? age)]
+      :rules [[(over-twenty-one? x) (over-twenty-one-internal? x)]
+              [(over-twenty-one-internal? y) [(>= y 21)]]]}""") == Set(Seq(":ivan")))
+    // multiple arguments
+    assert(run(s, """{:find [i] :where [[i :age age] (over-age? age 21)]
+      :rules [[(over-age? [age] required-age) [(>= age required-age)]]]}""") ==
+      Set(Seq(":ivan")))
+    // multiple branches + not over a rule
+    assert(run(s, """{:find [i] :where [(is-ivan-or-bob? i)]
+      :rules [[(is-ivan-or-bob? i) [i :name "Ivan"] [i :last-name "Ivanov"]]
+              [(is-ivan-or-bob? i) [i :name "Bob"]]]}""") == Set(Seq(":ivan")))
+    assert(run(s, """{:find [name] :where [[i :name name] (not (is-ivan-or-bob? i))]
+      :rules [[(is-ivan-or-bob? i) [i :name "Ivan"]]
+              [(is-ivan-or-bob? i) [i :name "Bob"]]]}""") == Set(Seq("Petr")))
+    assert(run(s, """{:find [i] :where [(is-ivan-or-petr? i)]
+      :rules [[(is-ivan-or-petr? i) [i :name "Ivan"]]
+              [(is-ivan-or-petr? i) [i :name "Petr"]]]}""") ==
+      Set(Seq(":ivan"), Seq(":petr")))
+    // wrong arity is an error
+    assertThrows[IllegalArgumentException] {
+      run(s, """{:find [i] :where [[i :age age] (over-twenty-one? i age)]
+        :rules [[(over-twenty-one? x) [(>= x 21)]]]}""")
+    }
+    // mismatched arities across branches is an error
+    assertThrows[IllegalArgumentException] {
+      run(s, """{:find [i] :where [[i :age age] (is-ivan-or-petr? i name)]
+        :rules [[(is-ivan-or-petr? i name) [i :name "Ivan"]]
+                [(is-ivan-or-petr? i) [i :name "Petr"]]]}""")
+    }
+  }
+
+  test("lookup by value among many, bug #70 (query_test.clj:1640)") {
+    val docs = (":ivan" -> Map[String, Any]("name" -> "Ivan", "last-name" -> "Ivanov",
+      "age" -> 30L)) +: (0 until 1000).map(i => s":p$i" -> Map[String, Any]("age" -> 20L))
+    val s = src(docs: _*)
+    assert(run(s, """{:find [i] :where [[i :age 30]]}""") == Set(Seq(":ivan")))
+    assert(Planner.q(spark, s, """{:find [i] :where [[i :age 20]] :limit 1}""").count() == 1)
+  }
+
+  test("range + join over small and large sets, bug #348 (query_test.clj:1662)") {
+    val docs = (0 until 100).map(n => s":ivan-$n" -> Map[String, Any](
+      "name" -> "Ivan", "name1" -> "Ivan", "number-1" -> n.toLong)) ++
+      (0 until 2000).map(n => s":oleg-$n" -> Map[String, Any](
+        "name" -> "Oleg", "name1" -> "Oleg", "number-2" -> n.toLong))
+    val s = src(docs: _*)
+    assert(run(s, """{:find [e] :where [[e :number-1 a] [e :name n] [(<= a 50)] [(>= a 50)]]}""") ==
+      Set(Seq(":ivan-50")))
+    assert(run(s, """{:find [e] :where [[e :number-2 a] [e :name n] [(<= a 500)] [(>= a 500)]]}""") ==
+      Set(Seq(":oleg-500")))
+  }
+
+  test("range constraint via args, bug #906 (query_test.clj:1701)") {
+    val s = src((0 until 2000).map(n => s":oleg-$n" -> Map[String, Any](
+      "name" -> "Oleg", "number" -> n.toLong)): _*)
+    assert(run(s, """{:find [e] :where [[e :number a] [e :name n] [(>= a 1999)]]}""") ==
+      Set(Seq(":oleg-1999")))
+    assert(run(s, """{:find [e] :where [[e :number a] [e :name n] [(>= a b)]]
+      :args [{:b 1999}]}""") == Set(Seq(":oleg-1999")))
+  }
+
+  test("range constraints over an offer table, bug #505 (query_test.clj:1798)") {
+    // the reference's bare `:limit 1` relies on index iteration order;
+    // over an unordered relation that row is arbitrary, so each case
+    // pins the expected row with an extra equality
+    val s = src((0 until 500).map(i => s":id-$i" -> Map[String, Any]("offer" -> i.toLong)): _*)
+    val cases: Seq[(Set[Seq[Any]], String)] = Seq(
+      (Set(Seq(2L)), """{:find [i] :where [[_ :offer i] [(= i 2)]] :limit 1}"""),
+      (Set(Seq(0L)), """{:find [i] :where [[_ :offer i] [(< i 10)] [(= i 0)]] :limit 1}"""),
+      (Set.empty[Seq[Any]], """{:find [i] :where [[_ :offer i] [(< i -100)]] :limit 1}"""),
+      (Set(Seq(50L)), """{:find [i] :where [[_ :offer i] [(>= i 50)] [(= i 50)]] :limit 1}"""),
+      (Set(Seq(0L)), """{:find [i] :where [[_ :offer i] [(<= i 5)] [(= i 0)]] :limit 1}"""),
+      (Set(Seq(0L)), """{:find [i] :where [[_ :offer i] [(> i -100)] [(= i 0)]] :limit 1}"""))
+    for ((expected, query) <- cases)
+      assert(run(s, query) == expected, query)
+  }
+
+  test("primary vs secondary attribute lookup, bug #287 (query_test.clj:1841)") {
+    val s = src((0 until 500).map(n => s":ivan-$n" -> Map[String, Any](
+      "name" -> "Ivan", "id" -> n.toLong)): _*)
+    assert(run(s, """{:find [e] :where [[e :crux.db/id :ivan-1]]}""") == Set(Seq(":ivan-1")))
+    assert(run(s, """{:find [e] :where [[e :id 3]]}""") == Set(Seq(":ivan-3")))
+  }
+
   test("circular deps through identity rebinding, bug #1523 (query_test.clj:3863)") {
     val s = src(":ivan" -> Map("name" -> "Ivan", "foo" -> ":foo"),
       ":foo" -> Map("bar" -> ":bar"))
