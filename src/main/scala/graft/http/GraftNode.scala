@@ -57,6 +57,7 @@ final class GraftNode(val spark: SparkSession, val source: FactSource,
   }
 
   def currentVersions: DataFrame = versions
+  def currentDocs: DataFrame = docs
 
   // ------------------------------------------------------------------ tx
 
@@ -314,6 +315,11 @@ final class GraftNode(val spark: SparkSession, val source: FactSource,
         case _ => Nil
       }
     }.toDF("e", "a", "v_str", "v_num", "v_dbl", "v_bool")
+      // materialize the snapshot once: every attribute frame of every
+      // query against this db handle scans the checkpointed quads
+      // instead of re-running resolve + JSON parse per frame (the
+      // reference's db is likewise a handle over materialized indexes)
+      .localCheckpoint(true)
     val fams = quads.groupBy("a").agg(
       count(col("v_str")).as("ns"), count(col("v_num")).as("nn"),
       count(col("v_dbl")).as("nd"), count(col("v_bool")).as("nb")).collect()

@@ -199,6 +199,26 @@ class NodeQuerySpec extends AnyFunSuite {
     assert(corrected.count(_ == JBool(true)) == 1)
   }
 
+  test("node state round-trips through parquet — replayable log (replay_test.clj/compaction_test.clj analogue)") {
+    val node = newNode()
+    node.submitTx(List(put(("crux.db/id" -> ":foo") ~ ("v" -> 1))))
+    val tx2 = node.submitTx(List(put(("crux.db/id" -> ":foo") ~ ("v" -> 2))))
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-replay").toString
+    node.currentVersions.write.parquet(s"$dir/versions")
+    node.currentDocs.write.parquet(s"$dir/docs")
+
+    val node2 = newNode()
+    node2.loadState(spark.read.parquet(s"$dir/versions"), spark.read.parquet(s"$dir/docs"))
+    assert(node2.latestCompletedTx.exists(_.txId == tx2.txId))
+    assert(node2.entityHistory(":foo", sortAsc = true, withCorrections = true,
+      withDocs = false, None, None).count() == 2)
+    assert((graft.http.Json.parse(node2.entityDoc(":foo", None, None, None)
+      .map(graft.http.Json.render).get) \ "v") == JInt(2))
+    // and the restored node keeps accepting writes
+    assert(node2.submitTx(List(put(("crux.db/id" -> ":bar") ~ ("v" -> 1)))).txId == tx2.txId + 1)
+  }
+
   test("entity against an earlier empty db (query_test.clj:3312)") {
     val node = newNode()
     val before = node.latestCompletedTx // None — nothing ingested yet
