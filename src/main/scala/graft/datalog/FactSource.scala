@@ -47,7 +47,11 @@ trait FactSource {
   *   groupBy, map-side partial agg) and reuses the table compiler —
   *   schemaless pull without per-row driver fetches. */
 final class QuadSource(df: DataFrame, attrTypes: Map[String, String],
-    refAttrs: Set[String] = Set.empty) extends FactSource {
+    refAttrs: Set[String] = Set.empty,
+    /** cardinality-many attributes: the entity pivot aggregates these as
+      * sorted value ARRAYS (one quad row per element stays the scan/join
+      * representation) so pull returns every element, not max-one. */
+    multiAttrs: Set[String] = Set.empty) extends FactSource {
   def attrs: Set[String] = attrTypes.keySet
   override def stringAttrs: Set[String] =
     attrTypes.collect { case (a, "v_str") => a }.toSet
@@ -72,7 +76,9 @@ final class QuadSource(df: DataFrame, attrTypes: Map[String, String],
     val as = attrTypes.toSeq.sortBy(_._1)
     val aggs = as.map { case (a, vcol) =>
       val v = if (vcol == QuadSource.Mixed) QuadSource.taggedValue(df) else col(vcol)
-      max(when(col("a") === a, v)).as(a)
+      if (multiAttrs(a))
+        sort_array(collect_set(when(col("a") === a, v))).as(a)
+      else max(when(col("a") === a, v)).as(a)
     }
     df.groupBy(col("e")).agg(aggs.head, aggs.tail: _*)
   }

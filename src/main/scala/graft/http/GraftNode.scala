@@ -320,9 +320,14 @@ final class GraftNode(val spark: SparkSession, val source: FactSource,
       // instead of re-running resolve + JSON parse per frame (the
       // reference's db is likewise a handle over materialized indexes)
       .localCheckpoint(true)
-    val fams = quads.groupBy("a").agg(
+    val perEA = quads.groupBy("a", "e").agg(
       count(col("v_str")).as("ns"), count(col("v_num")).as("nn"),
-      count(col("v_dbl")).as("nd"), count(col("v_bool")).as("nb")).collect()
+      count(col("v_dbl")).as("nd"), count(col("v_bool")).as("nb"),
+      count(when(col("v_str").startsWith(":"), 1)).as("nkw"),
+      count(lit(1)).as("npe"))
+    val fams = perEA.groupBy("a").agg(
+      sum("ns").as("ns"), sum("nn").as("nn"), sum("nd").as("nd"),
+      sum("nb").as("nb"), sum("nkw").as("nkw"), max("npe").as("maxPerE")).collect()
     val attrTypes = fams.map { r =>
       val present = Seq("v_str" -> r.getLong(1), "v_num" -> r.getLong(2),
         "v_dbl" -> r.getLong(3), "v_bool" -> r.getLong(4))
@@ -333,7 +338,15 @@ final class GraftNode(val spark: SparkSession, val source: FactSource,
         case _ => QuadSource.Mixed
       })
     }.toMap
-    new QuadSource(quads, attrTypes)
+    // an attribute whose every value is a keyword MAY reference entities —
+    // the reference follows any pull-join value that resolves to an
+    // entity (pull.clj); joins on non-entity keywords simply find nothing
+    val refAttrs = fams.collect { case r if r.getLong(5) > 0 &&
+      r.getLong(5) == r.getLong(1) && r.getLong(2) + r.getLong(3) + r.getLong(4) == 0 =>
+      r.getString(0)
+    }.toSet
+    val multiAttrs = fams.collect { case r if r.getLong(6) > 1 => r.getString(0) }.toSet
+    new QuadSource(quads, attrTypes, refAttrs = refAttrs, multiAttrs = multiAttrs)
   }
 
   /** `api/q` against [[db]] — query the node's ingested documents at a

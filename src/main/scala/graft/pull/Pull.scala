@@ -43,10 +43,14 @@ object Pull {
       tables.flatMap { case (t, spec) => spec.cols.map(_ -> t) }
     def pkCol(t: String): Column = {
       val ks = tables(t).pk
-      if (ks.size == 1) col(ks.head)
-      else concat_ws("|", ks.map(c => col(c).cast("string")): _*)
+      if (ks.size == 1) fcol(ks.head)
+      else concat_ws("|", ks.map(c => fcol(c).cast("string")): _*)
     }
   }
+
+  /** Column reference that survives dotted attribute names
+    * (`crux.db/id` would otherwise parse as a struct path). */
+  private def fcol(n: String): Column = if (n.contains(".")) col(s"`$n`") else col(n)
 
   /** TPC-H-ish catalog over the driver parquet (FIXTURES.md §1). */
   def tpch(spark: SparkSession, dir: String): Catalog = new Catalog(
@@ -74,9 +78,11 @@ object Pull {
   // ------------------------------------------------------------------- AST
 
   sealed trait Spec
-  final case class Prop(attr: String, as: String, default: Option[Edn.Val]) extends Spec
+  final case class Prop(attr: String, as: String, default: Option[Edn.Val],
+      limit: Option[Int] = None) extends Spec
   case object Wildcard extends Spec
-  final case class FwdJoin(attr: String, as: String, pattern: List[Spec]) extends Spec
+  final case class FwdJoin(attr: String, as: String, pattern: List[Spec],
+      limit: Option[Int] = None) extends Spec
   /** reverse join: child entities whose `attr` points at this entity. */
   final case class RevJoin(attr: String, as: String, pattern: List[Spec],
       limit: Option[Int]) extends Spec
@@ -100,20 +106,15 @@ object Pull {
   private def parseSpec(v: Edn.Val): Spec = v match {
     case Edn.Sym("*") => Wildcard
     case Edn.Kw(a) => Prop(a, a, None)
-    case Edn.Vec(Edn.Kw(a) :: rest) =>
-      val opts = rest match {
-        case List(Edn.MapV(es)) => es.map { case (k: Edn.Kw, ov) => k.name -> ov
-                                            case (k, _) => throw new IllegalArgumentException(s"bad opt key $k") }.toMap
-        case Nil => Map.empty[String, Edn.Val]
-        case o => throw new IllegalArgumentException(s"bad prop opts $o")
-      }
-      Prop(a, opts.get("as").map(optStr).getOrElse(a), opts.get("default"))
+    // `[:attr {opts}]` / `(:attr {opts})` — both bracketings appear in
+    // the reference corpus (pull_test.clj uses the list form)
+    case Edn.Vec(Edn.Kw(a) :: rest) => propWithOpts(a, rest)
+    case Edn.Lst(Edn.Kw(a) :: rest) => propWithOpts(a, rest)
     case Edn.MapV(List((k, pat))) =>
       val (attr, opts) = k match {
         case Edn.Kw(a) => (a, Map.empty[String, Edn.Val])
-        case Edn.Vec(List(Edn.Kw(a), Edn.MapV(es))) =>
-          (a, es.map { case (ok: Edn.Kw, ov) => ok.name -> ov
-                       case (ok, _) => throw new IllegalArgumentException(s"bad opt key $ok") }.toMap)
+        case Edn.Vec(List(Edn.Kw(a), Edn.MapV(es))) => (a, optMap(es))
+        case Edn.Lst(List(Edn.Kw(a), Edn.MapV(es))) => (a, optMap(es))
         case o => throw new IllegalArgumentException(s"bad join key $o")
       }
       val as = opts.get("as").map(optStr).getOrElse(attr)
@@ -121,13 +122,38 @@ object Pull {
                                           case o => throw new IllegalArgumentException(s"bad :limit $o") }
       pat match {
         case Edn.Vec(items) =>
-          if (attr.startsWith("_")) RevJoin(attr.drop(1), as, items.map(parseSpec), limit)
-          else FwdJoin(attr, as, items.map(parseSpec))
+          reverseOf(attr) match {
+            case Some(fwd) => RevJoin(fwd, as, items.map(parseSpec), limit)
+            case None => FwdJoin(attr, as, items.map(parseSpec), limit)
+          }
         case Edn.Lng(n) => Recur(attr, as, n.toInt)
         case Edn.Sym("...") => Recur(attr, as, 8)
         case o => throw new IllegalArgumentException(s"bad join pattern $o")
       }
     case other => throw new IllegalArgumentException(s"unsupported pull spec $other")
+  }
+
+  /** `:film/_bond` ⇒ reverse join over `:film/bond` — the `_` marks the
+    * NAME segment (namespaced or not, pull.clj reverse-attr syntax). */
+  private def reverseOf(attr: String): Option[String] = {
+    val i = attr.lastIndexOf('/')
+    val nm = attr.substring(i + 1)
+    if (nm.startsWith("_")) Some(attr.substring(0, i + 1) + nm.drop(1)) else None
+  }
+
+  private def optMap(es: List[(Edn.Val, Edn.Val)]): Map[String, Edn.Val] =
+    es.map { case (k: Edn.Kw, ov) => k.name -> ov
+             case (k, _) => throw new IllegalArgumentException(s"bad opt key $k") }.toMap
+
+  private def propWithOpts(a: String, rest: List[Edn.Val]): Prop = {
+    val opts = rest match {
+      case List(Edn.MapV(es)) => optMap(es)
+      case Nil => Map.empty[String, Edn.Val]
+      case o => throw new IllegalArgumentException(s"bad prop opts $o")
+    }
+    Prop(a, opts.get("as").map(optStr).getOrElse(a), opts.get("default"),
+      opts.get("limit").map { case Edn.Lng(n) => n.toInt
+                              case o => throw new IllegalArgumentException(s"bad :limit $o") })
   }
 
   /** Expand recursion markers: `{:fk N}` re-nests the ENCLOSING pattern N
@@ -143,10 +169,12 @@ object Pull {
             case s => s
           }
           val sub = expandIn(inner, inner)
-          if (attr.startsWith("_")) List(RevJoin(attr.drop(1), as, sub, None))
-          else List(FwdJoin(attr, as, sub))
+          reverseOf(attr) match {
+            case Some(fwd) => List(RevJoin(fwd, as, sub, None))
+            case None => List(FwdJoin(attr, as, sub))
+          }
         }
-      case FwdJoin(a, as, p) => List(FwdJoin(a, as, expandIn(p, p)))
+      case FwdJoin(a, as, p, l) => List(FwdJoin(a, as, expandIn(p, p), l))
       case RevJoin(a, as, p, l) => List(RevJoin(a, as, expandIn(p, p), l))
       case s => List(s)
     }
@@ -174,19 +202,45 @@ object Pull {
     val fields = scala.collection.mutable.ListBuffer[(String, Column)]()
     pattern.foreach {
       case Wildcard =>
-        spec.cols.foreach(c => fields += c -> col(c))
-      case Prop(a, as, dflt) =>
+        spec.cols.foreach(c => fields += c -> fcol(c))
+      case Prop(a, as, dflt, limit) =>
         require(spec.cols.contains(a), s"unknown attribute :$a on $table")
-        val base = col(a)
+        val base0 = fcol(a)
+        // :limit on an array-valued prop slices the (sorted) value array
+        // (pull.clj cardinality-many limits; element order here is the
+        // sorted-array order, not the reference's doc order)
+        val base = limit match {
+          case Some(n) if df.schema(a).dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] =>
+            slice(base0, 1, n)
+          case _ => base0
+        }
         fields += as -> dflt.map(d => coalesce(base, ednLit(d))).getOrElse(base)
-      case FwdJoin(attr, as, pat) =>
+      case FwdJoin(attr, as, pat, limit) =>
         val target = spec.refs.getOrElse(attr,
           throw new IllegalArgumentException(s":$attr is not a join attribute of $table"))
         val u = fresh(attr)
         val sub = build(cat, target, pat)
           .select(col("_id").as(s"${u}_id"), col("pulled").as(s"${u}_p"))
-        df = df.join(sub, col(attr) === col(s"${u}_id"), "left")
-        fields += as -> col(s"${u}_p")
+        df.schema(attr).dataType match {
+          case _: org.apache.spark.sql.types.ArrayType =>
+            // cardinality-many fk: explode → join targets → regroup into a
+            // pk-ordered struct array (same shape as a reverse join)
+            val pk = cat.pkCol(table)
+            val exploded = df.select(pk.as(s"${u}_src"), explode(fcol(attr)).as(s"${u}_fk"))
+              .join(sub, col(s"${u}_fk") === col(s"${u}_id"))
+            val grouped = exploded.groupBy(col(s"${u}_src"))
+              .agg(sort_array(collect_list(struct(col(s"${u}_id").as("k"),
+                col(s"${u}_p").as("v")))).as(s"${u}_arr"))
+              .select(col(s"${u}_src"),
+                transform(col(s"${u}_arr"), x => x.getField("v")).as(s"${u}_arr"))
+            val arrType = grouped.schema(s"${u}_arr").dataType
+            df = df.join(grouped, pk === col(s"${u}_src"), "left")
+            val arr0 = coalesce(col(s"${u}_arr"), array().cast(arrType))
+            fields += as -> limit.map(n => slice(arr0, 1, n)).getOrElse(arr0)
+          case _ =>
+            df = df.join(sub, fcol(attr) === col(s"${u}_id"), "left")
+            fields += as -> col(s"${u}_p")
+        }
       case RevJoin(attr, as, pat, limit) =>
         val childTable = cat.attrTable.getOrElse(attr,
           throw new IllegalArgumentException(s"unknown reverse attribute :_$attr"))
@@ -199,7 +253,7 @@ object Pull {
         // lexicographically ("100|1" < "99|1")
         val childPk = cat.tables(childTable).pk
         val keyed = cat.load(childTable)
-          .select(col(attr).as(s"${u}_k"),
+          .select(fcol(attr).as(s"${u}_k"),
             struct(childPk.map(col): _*).as(s"${u}_ck"),
             cat.pkCol(childTable).as(s"${u}_cid"))
           .join(childSub, col(s"${u}_cid") === col("_id"))

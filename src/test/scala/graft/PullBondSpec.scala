@@ -1,0 +1,157 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+import org.json4s._
+import graft.datalog.{Edn, TableSource}
+import graft.http.GraftNode
+
+/** Pull over a live node's document store, driven by the reference's
+  * james-bond corpus — ports crux-core/test/crux/pull_test.clj
+  * (test-pull/test-limit) through [[GraftNode.db]]: the EDN docs are
+  * ingested via submit-tx, ref attributes (keyword-valued) and
+  * cardinality-many attributes are auto-detected, and `(pull ?e [...])`
+  * patterns run against the doc-store snapshot.
+  *
+  * Adaptations: collections come back as pk-SORTED arrays (`{:into #{}}`
+  * compares as sets; limits slice the sorted order, not the reference's
+  * doc order); wildcard over the schemaless pivot returns every corpus
+  * attribute with nulls for the absent ones (asserted on the non-null
+  * fields).
+  */
+class PullBondSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def ednToJson(v: Edn.Val): JValue = v match {
+    case Edn.Str(s) => JString(s)
+    case Edn.Kw(n) => JString(":" + n)
+    case Edn.Lng(l) => JLong(l)
+    case Edn.Dbl(d) => JDouble(d)
+    case Edn.Bool(b) => JBool(b)
+    case Edn.SetV(items) => JArray(items.map(ednToJson))
+    case Edn.Vec(items) => JArray(items.map(ednToJson))
+    case Edn.NilV => JNull
+    case other => throw new IllegalStateException(s"unexpected edn $other")
+  }
+
+  private lazy val node: GraftNode = {
+    val node = new GraftNode(spark, TableSource.tpch(spark, "/root/testdata/sf0.001"))
+    val edn = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      "/root/reference/crux-test/resources/data/james-bond.edn")), "UTF-8")
+    val docs = Edn.parse(edn) match {
+      case Edn.Vec(items) => items.map {
+        case Edn.MapV(es) => JObject(es.map { case (Edn.Kw(k), v) => k -> ednToJson(v)
+                                              case (k, _) => fail(s"bad key $k") })
+        case o => fail(s"bad doc $o")
+      }
+      case o => fail(s"bad corpus $o")
+    }
+    node.submitTx(docs.map(d => JArray(List(JString("put"), d))))
+    node
+  }
+
+  /** struct Row → Map of non-null leaf values (nested rows recurse;
+    * arrays of rows map elementwise). */
+  private def structMap(r: Row): Map[String, Any] =
+    r.schema.fieldNames.zipWithIndex.flatMap { case (f, i) =>
+      (r.get(i) match {
+        case null => None
+        case nested: Row => Some(structMap(nested))
+        case seq: scala.collection.Seq[_] =>
+          Some(seq.map { case rr: Row => structMap(rr); case x => x })
+        case x => Some(x)
+      }).map(f -> _)
+    }.toMap
+
+  private def pullOne(edn: String): Map[String, Any] = {
+    val rows = node.queryAt(edn).collect()
+    assert(rows.length == 1, s"expected 1 row, got ${rows.length}")
+    structMap(rows.head.getStruct(0))
+  }
+
+  private def pullAll(edn: String): Set[Map[String, Any]] =
+    node.queryAt(edn).collect().toSet[Row].map(r => structMap(r.getStruct(0)))
+
+  test("simple props (pull_test.clj:31)") {
+    assert(pullAll(
+      """{:find [(pull ?v [:vehicle/brand :vehicle/model])]
+         :where [[?v :vehicle/brand "Aston Martin"]]}""") ==
+      Set("DB5", "DB10", "DBS", "DBS V12", "V8 Vantage Volante", "V12 Vanquish")
+        .map(m => Map[String, Any]("vehicle/brand" -> "Aston Martin", "vehicle/model" -> m)))
+  }
+
+  test("renames via (:attr {:as ...}) (pull_test.clj:52)") {
+    assert(pullAll(
+      """{:find [(pull ?v [(:vehicle/brand {:as :brand}) (:vehicle/model {:as :model})])]
+         :where [[?v :vehicle/brand "Aston Martin"]]}""")
+      .map(_("model")) ==
+      Set("DB5", "DB10", "DBS", "DBS V12", "V8 Vantage Volante", "V12 Vanquish"))
+  }
+
+  test("forward joins incl. cardinality-many vehicles (pull_test.clj:64)") {
+    val m = pullOne(
+      """{:find [(pull ?f [{:film/bond [:person/name]}
+                           {:film/director [:person/name]}
+                           {:film/vehicles [:vehicle/brand :vehicle/model]}
+                           :film/name :film/year])]
+         :where [[?f :film/name "Die Another Day"]]}""")
+    assert(m("film/name") == "Die Another Day" && m("film/year") == "2002")
+    assert(m("film/bond") == Map("person/name" -> "Pierce Brosnan"))
+    assert(m("film/director") == Map("person/name" -> "Lee Tamahori"))
+    assert(m("film/vehicles").asInstanceOf[scala.collection.Seq[Any]].toSet == Set(
+      Map("vehicle/brand" -> "Jaguar", "vehicle/model" -> "XKR"),
+      Map("vehicle/brand" -> "Aston Martin", "vehicle/model" -> "V12 Vanquish"),
+      Map("vehicle/brand" -> "Ford", "vehicle/model" -> "Thunderbird"),
+      Map("vehicle/brand" -> "Ford", "vehicle/model" -> "Fairlane")))
+  }
+
+  test("reverse joins (pull_test.clj:82)") {
+    val m = pullOne(
+      """{:find [(pull ?dc [:person/name {:film/_bond [:film/name :film/year]}])]
+         :where [[?dc :person/name "Daniel Craig"]]}""")
+    assert(m("person/name") == "Daniel Craig")
+    assert(m("film/_bond").asInstanceOf[scala.collection.Seq[Any]].toSet == Set(
+      Map("film/name" -> "Skyfall", "film/year" -> "2012"),
+      Map("film/name" -> "Spectre", "film/year" -> "2015"),
+      Map("film/name" -> "Casino Royale", "film/year" -> "2006"),
+      Map("film/name" -> "Quantum of Solace", "film/year" -> "2008")))
+  }
+
+  test("reverse join rename (pull_test.clj:95)") {
+    val m = pullOne(
+      """{:find [(pull ?dc [:person/name {(:film/_bond {:as :films}) [:film/name :film/year]}])]
+         :where [[?dc :person/name "Daniel Craig"]]}""")
+    assert(m("films").asInstanceOf[scala.collection.Seq[Any]].size == 4)
+  }
+
+  test("pull * (pull_test.clj:105)") {
+    val m = pullOne(
+      """{:find [(pull ?dc [*])] :where [[?dc :person/name "Daniel Craig"]]}""")
+    assert(m("crux.db/id") == ":daniel-craig")
+    assert(m("person/name") == "Daniel Craig")
+    assert(m("type") == ":person")
+  }
+
+  test("limits on props, forward and reverse joins (pull_test.clj:135)") {
+    // sorted-array order: fairlane < thunderbird < v12-vanquish < xkr
+    val props = pullOne(
+      """{:find [(pull ?f [:film/name (:film/vehicles {:limit 2})])]
+         :where [[?f :film/name "Die Another Day"]]}""")
+    assert(props("film/vehicles").asInstanceOf[scala.collection.Seq[Any]].toSet ==
+      Set(":fairlane", ":thunderbird"))
+
+    val fwd = pullOne(
+      """{:find [(pull ?f [{(:film/vehicles {:limit 2}) [:vehicle/brand :vehicle/model]}
+                           :film/name])]
+         :where [[?f :film/name "Die Another Day"]]}""")
+    assert(fwd("film/vehicles").asInstanceOf[scala.collection.Seq[Any]].toSet == Set(
+      Map("vehicle/brand" -> "Ford", "vehicle/model" -> "Fairlane"),
+      Map("vehicle/brand" -> "Ford", "vehicle/model" -> "Thunderbird")))
+
+    val rev = pullOne(
+      """{:find [(pull ?dc [:person/name {(:film/_bond {:limit 2}) [:film/name]}])]
+         :where [[?dc :person/name "Daniel Craig"]]}""")
+    assert(rev("film/_bond").asInstanceOf[scala.collection.Seq[Any]].toSet == Set(
+      Map("film/name" -> "Casino Royale"), Map("film/name" -> "Quantum of Solace")))
+  }
+}
