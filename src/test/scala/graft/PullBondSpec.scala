@@ -132,6 +132,50 @@ class PullBondSpec extends AnyFunSuite {
     assert(m("type") == ":person")
   }
 
+  test("recursive pull over a parent tree (pull_test.clj:188)") {
+    val n = new GraftNode(spark, TableSource.tpch(spark, "/root/testdata/sf0.001"))
+    val tree = Seq(":root" -> None, ":a" -> Some(":root"), ":b" -> Some(":root"),
+      ":aa" -> Some(":a"), ":ab" -> Some(":a"), ":aba" -> Some(":ab"), ":abb" -> Some(":ab"))
+    n.submitTx(tree.toList.map { case (id, parent) =>
+      JArray(List(JString("put"), JObject(
+        ("crux.db/id" -> JString(id)) :: parent.toList.map("parent" -> JString(_)))))
+    })
+    def one(edn: String): Map[String, Any] = {
+      val rows = n.queryAt(edn).collect()
+      assert(rows.length == 1); structMap(rows.head.getStruct(0))
+    }
+    // forward recursion ("..." = bounded at depth 8, ample for this tree)
+    val fwd = one("""{:find [(pull ?aba [:crux.db/id {:parent ...}])]
+                     :where [[?aba :crux.db/id :aba]]}""")
+    assert(fwd == Map("crux.db/id" -> ":aba", "parent" -> Map(
+      "crux.db/id" -> ":ab", "parent" -> Map(
+        "crux.db/id" -> ":a", "parent" -> Map("crux.db/id" -> ":root")))))
+    // forward bounded recursion
+    val fwd2 = one("""{:find [(pull ?aba [:crux.db/id {:parent 2}])]
+                      :where [[?aba :crux.db/id :aba]]}""")
+    assert(fwd2 == Map("crux.db/id" -> ":aba", "parent" -> Map(
+      "crux.db/id" -> ":ab", "parent" -> Map("crux.db/id" -> ":a"))))
+    // reverse bounded recursion
+    val rev = one("""{:find [(pull ?root [:crux.db/id {:_parent 2}])]
+                     :where [[?root :crux.db/id :root]]}""")
+    def kids(m: Map[String, Any]): scala.collection.Seq[Map[String, Any]] =
+      m.getOrElse("_parent", scala.collection.Seq.empty[Map[String, Any]])
+        .asInstanceOf[scala.collection.Seq[Map[String, Any]]]
+    assert(rev("crux.db/id") == ":root")
+    assert(kids(rev).map(_("crux.db/id")).toSet == Set(":a", ":b"))
+    val a = kids(rev).find(_("crux.db/id") == ":a").get
+    assert(kids(a).map(_("crux.db/id")).toSet == Set(":aa", ":ab"))
+  }
+
+  test("pull over a speculative doc store (pull_test.clj:250)") {
+    val n = new GraftNode(spark, TableSource.tpch(spark, "/root/testdata/sf0.001"))
+    val fork = n.withTx(List(JArray(List(JString("put"),
+      JObject(List("crux.db/id" -> JString(":foo"), "v" -> JInt(1))))))).get
+    val rows = fork.queryAt("""{:find [(pull ?e [*])] :where [[?e :crux.db/id :foo]]}""").collect()
+    assert(rows.length == 1)
+    assert(structMap(rows.head.getStruct(0)) == Map("crux.db/id" -> ":foo", "v" -> 1L))
+  }
+
   test("limits on props, forward and reverse joins (pull_test.clj:135)") {
     // sorted-array order: fairlane < thunderbird < v12-vanquish < xkr
     val props = pullOne(
