@@ -88,6 +88,10 @@ object Pull {
       limit: Option[Int]) extends Spec
   /** recursion marker, expanded before compile. */
   final case class Recur(attr: String, as: String, depth: Int) extends Spec
+  /** union pattern `{:attr {:val1 [...], :val2 [...]}}` — the branch
+    * whose value matches the entity's `attr` decides which fields pull
+    * (pull.clj union semantics, pull_test.clj:170). */
+  final case class UnionJoin(attr: String, branches: List[(Edn.Val, List[Spec])]) extends Spec
 
   def parsePattern(edn: String): List[Spec] = patternFromEdn(Edn.parse(edn))
 
@@ -126,6 +130,11 @@ object Pull {
             case Some(fwd) => RevJoin(fwd, as, items.map(parseSpec), limit)
             case None => FwdJoin(attr, as, items.map(parseSpec), limit)
           }
+        case Edn.MapV(branches) =>
+          UnionJoin(attr, branches.map {
+            case (bv, Edn.Vec(items)) => (bv, items.map(parseSpec))
+            case (bv, o) => throw new IllegalArgumentException(s"bad union branch $bv -> $o")
+          })
         case Edn.Lng(n) => Recur(attr, as, n.toInt)
         case Edn.Sym("...") => Recur(attr, as, 8)
         case o => throw new IllegalArgumentException(s"bad join pattern $o")
@@ -176,6 +185,7 @@ object Pull {
         }
       case FwdJoin(a, as, p, l) => List(FwdJoin(a, as, expandIn(p, p), l))
       case RevJoin(a, as, p, l) => List(RevJoin(a, as, expandIn(p, p), l))
+      case UnionJoin(a, bs) => List(UnionJoin(a, bs.map { case (v, p) => (v, expandIn(p, p)) }))
       case s => List(s)
     }
     expandIn(pattern, pattern)
@@ -198,11 +208,15 @@ object Pull {
     val spec = cat.tables(table)
     var df = cat.load(table)
 
-    // pre-compute join columns; field list assembled in pattern order
+    // pre-compute join columns; field list assembled in pattern order.
+    // `guard` (union branches) nulls a field out when its branch doesn't
+    // apply to the row; the underlying joins stay unconditional.
     val fields = scala.collection.mutable.ListBuffer[(String, Column)]()
-    pattern.foreach {
+    def emit(as: String, c: Column, guard: Option[Column]): Unit =
+      fields += as -> guard.map(g => when(g, c)).getOrElse(c)
+    def addSpec(s: Spec, guard: Option[Column]): Unit = s match {
       case Wildcard =>
-        spec.cols.foreach(c => fields += c -> fcol(c))
+        spec.cols.foreach(c => emit(c, fcol(c), guard))
       case Prop(a, as, dflt, limit) =>
         require(spec.cols.contains(a), s"unknown attribute :$a on $table")
         val base0 = fcol(a)
@@ -214,7 +228,7 @@ object Pull {
             slice(base0, 1, n)
           case _ => base0
         }
-        fields += as -> dflt.map(d => coalesce(base, ednLit(d))).getOrElse(base)
+        emit(as, dflt.map(d => coalesce(base, ednLit(d))).getOrElse(base), guard)
       case FwdJoin(attr, as, pat, limit) =>
         val target = spec.refs.getOrElse(attr,
           throw new IllegalArgumentException(s":$attr is not a join attribute of $table"))
@@ -236,10 +250,10 @@ object Pull {
             val arrType = grouped.schema(s"${u}_arr").dataType
             df = df.join(grouped, pk === col(s"${u}_src"), "left")
             val arr0 = coalesce(col(s"${u}_arr"), array().cast(arrType))
-            fields += as -> limit.map(n => slice(arr0, 1, n)).getOrElse(arr0)
+            emit(as, limit.map(n => slice(arr0, 1, n)).getOrElse(arr0), guard)
           case _ =>
             df = df.join(sub, fcol(attr) === col(s"${u}_id"), "left")
-            fields += as -> col(s"${u}_p")
+            emit(as, col(s"${u}_p"), guard)
         }
       case RevJoin(attr, as, pat, limit) =>
         val childTable = cat.attrTable.getOrElse(attr,
@@ -266,11 +280,25 @@ object Pull {
         val arrType = grouped.schema(s"${u}_arr").dataType
         df = df.join(grouped, cat.pkCol(table) === col(s"${u}_k"), "left")
         val arr0 = coalesce(col(s"${u}_arr"), array().cast(arrType))
-        fields += as -> limit.map(n => slice(arr0, 1, n)).getOrElse(arr0)
+        emit(as, limit.map(n => slice(arr0, 1, n)).getOrElse(arr0), guard)
+      case UnionJoin(attr, branches) =>
+        require(spec.cols.contains(attr), s"unknown union attribute :$attr on $table")
+        branches.foreach { case (bv, specs) =>
+          val g = fcol(attr) === ednLit(bv)
+          specs.foreach(addSpec(_, Some(guard.map(_ && g).getOrElse(g))))
+        }
       case r: Recur => throw new IllegalStateException(s"unexpanded recursion $r")
     }
+    pattern.foreach(addSpec(_, None))
+    // union branches may emit the SAME field name under different guards —
+    // merge duplicates by first-non-null, keeping first-occurrence order
+    val merged = fields.toSeq.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val ordered = fields.toSeq.map(_._1).distinct
     df.select(cat.pkCol(table).as("_id"),
-      struct(fields.toSeq.map { case (n, c) => c.as(n) }: _*).as("pulled"))
+      struct(ordered.map { n =>
+        val cs = merged(n)
+        (if (cs.size == 1) cs.head else coalesce(cs: _*)).as(n)
+      }: _*).as("pulled"))
   }
 
   private def ednLit(v: Edn.Val): Column = v match {

@@ -56,6 +56,16 @@ class PullBondSpec extends AnyFunSuite {
     r.schema.fieldNames.zipWithIndex.flatMap { case (f, i) =>
       (r.get(i) match {
         case null => None
+        case nested: Row if nested.schema != null &&
+            nested.schema.fieldNames.sameElements(Array("t", "b", "n", "d", "s")) =>
+          // tagged mixed-family value → its decoded member
+          (nested.getAs[Integer]("t"): Any) match {
+            case null => None
+            case 4 => Option(nested.get(1))
+            case 5 => Option(nested.get(2)).map { case d: Double if d.isWhole => d.toLong; case x => x }
+            case 7 => Option(nested.get(3))
+            case 8 => Option(nested.get(4))
+          }
         case nested: Row => Some(structMap(nested))
         case seq: scala.collection.Seq[_] =>
           Some(seq.map { case rr: Row => structMap(rr); case x => x })
@@ -165,6 +175,23 @@ class PullBondSpec extends AnyFunSuite {
     assert(kids(rev).map(_("crux.db/id")).toSet == Set(":a", ":b"))
     val a = kids(rev).find(_("crux.db/id") == ":a").get
     assert(kids(a).map(_("crux.db/id")).toSet == Set(":aa", ":ab"))
+  }
+
+  test("union pattern dispatches fields on the :type value (pull_test.clj:170)") {
+    val n = new GraftNode(spark, TableSource.tpch(spark, "/root/testdata/sf0.001"))
+    n.submitTx(List(
+      JArray(List(JString("put"), JObject(List("crux.db/id" -> JString(":foo"),
+        "type" -> JString(":a"), "x" -> JInt(2), "y" -> JString("this"),
+        "z" -> JString(":not-this"))))),
+      JArray(List(JString("put"), JObject(List("crux.db/id" -> JString(":bar"),
+        "type" -> JString(":b"), "y" -> JString("not this"), "z" -> JInt(5)))))))
+    val res = n.queryAt(
+      """{:find [(pull ?it [{:type {:a [:x :y], :b [:z]}} :crux.db/id])]
+         :where [[?it :crux.db/id]]}""").collect()
+      .toSet[Row].map(r => structMap(r.getStruct(0)))
+    assert(res == Set(
+      Map("crux.db/id" -> ":foo", "x" -> 2L, "y" -> "this"),
+      Map("crux.db/id" -> ":bar", "z" -> 5L)))
   }
 
   test("pull over a speculative doc store (pull_test.clj:250)") {
