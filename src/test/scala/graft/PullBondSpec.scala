@@ -194,6 +194,21 @@ class PullBondSpec extends AnyFunSuite {
       Map("crux.db/id" -> ":bar", "z" -> 5L)))
   }
 
+  test("forward join to a missing target (pull_test.clj:257)") {
+    // the reference keeps an empty map for the missing :baz; here missing
+    // targets are omitted from the joined array (documented deviation)
+    val n = new GraftNode(spark, TableSource.tpch(spark, "/root/testdata/sf0.001"))
+    n.submitTx(List(
+      JArray(List(JString("put"), JObject(List("crux.db/id" -> JString(":foo"),
+        "ref" -> JArray(List(JString(":bar"), JString(":baz"))))))),
+      JArray(List(JString("put"), JObject(List("crux.db/id" -> JString(":bar")))))))
+    val rows = n.queryAt(
+      """{:find [(pull ?it [{:ref [:crux.db/id]}])] :where [[?it :crux.db/id :foo]]}""").collect()
+    assert(rows.length == 1)
+    assert(structMap(rows.head.getStruct(0)) ==
+      Map("ref" -> scala.collection.Seq(Map("crux.db/id" -> ":bar"))))
+  }
+
   test("pull over a speculative doc store (pull_test.clj:250)") {
     val n = new GraftNode(spark, TableSource.tpch(spark, "/root/testdata/sf0.001"))
     val fork = n.withTx(List(JArray(List(JString("put"),
