@@ -136,26 +136,34 @@ object DatalogQueries {
 
     // registry breadth round 3: re-seq, char/code-point fns, higher-order
     // fns over literal fn symbols (map/filter/every?/some/apply/max-key),
-    // interleave/interpose, frequencies as sorted (item, n) struct array
-    "dl_fns_corpus3" -> dl("""
-      {:find [?ck ?rs ?chr ?cp ?mk ?il ?ip ?fr ?tot ?linc ?lodd ?ev ?sm]
-       :keys [c_custkey rs chr cp mk il ip fr tot linc lodd ev sm]
-       :where [[?c :c_custkey ?ck] [?c :c_name ?nm] [?c :c_mktsegment ?seg]
-               [(< ?ck 100)]
-               [(re-seq "[0-9]+" ?nm) ?rs]
-               [(mod ?ck 26) ?m26] [(+ 65 ?m26) ?c65] [(char ?c65) ?chr]
-               [(first ?nm) ?f1] [(int ?f1) ?cp]
-               [(max-key count ?nm ?seg) ?mk]
-               [(clojure.string/split ?nm "0") ?parts]
-               [(interleave ?parts ?parts) ?il]
-               [(interpose "-" ?parts) ?ip]
-               [(frequencies ?il) ?fr]
-               [(map count ?parts) ?lens]
-               [(apply + ?lens) ?tot]
-               [(map inc ?lens) ?linc]
-               [(filter odd? ?lens) ?lodd]
-               [(every? pos? ?lens) ?ev]
-               [(some even? ?lens) ?sm]]}""") _,
+    // interleave/interpose, frequencies as sorted (item, n) struct array.
+    // Array-typed columns are JSON-serialized on both sides — the driver's
+    // checker hashes scalar cells only (r3 verdict: pandas can't sort
+    // ndarray cells), so gates must emit flat columns.
+    "dl_fns_corpus3" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions.{col, to_json}
+      val df = dl("""
+        {:find [?ck ?rs ?chr ?cp ?mk ?il ?ip ?fr ?tot ?linc ?lodd ?ev ?sm]
+         :keys [c_custkey rs chr cp mk il ip fr tot linc lodd ev sm]
+         :where [[?c :c_custkey ?ck] [?c :c_name ?nm] [?c :c_mktsegment ?seg]
+                 [(< ?ck 100)]
+                 [(re-seq "[0-9]+" ?nm) ?rs]
+                 [(mod ?ck 26) ?m26] [(+ 65 ?m26) ?c65] [(char ?c65) ?chr]
+                 [(first ?nm) ?f1] [(int ?f1) ?cp]
+                 [(max-key count ?nm ?seg) ?mk]
+                 [(clojure.string/split ?nm "0") ?parts]
+                 [(interleave ?parts ?parts) ?il]
+                 [(interpose "-" ?parts) ?ip]
+                 [(frequencies ?il) ?fr]
+                 [(map count ?parts) ?lens]
+                 [(apply + ?lens) ?tot]
+                 [(map inc ?lens) ?linc]
+                 [(filter odd? ?lens) ?lodd]
+                 [(every? pos? ?lens) ?ev]
+                 [(some even? ?lens) ?sm]]}""")(s, dir)
+      Seq("rs", "il", "ip", "fr", "linc", "lodd")
+        .foldLeft(df)((d, c) => d.withColumn(c, to_json(col(c))))
+    }),
 
     // registry breadth round 4: map values (zipmap/assoc/merge/keys/vals/
     // get/select-keys/get-in as Spark MapType, JSON-serialized for the
@@ -196,6 +204,14 @@ object DatalogQueries {
         .withColumn("asx", to_json(col("asx")))
         .withColumn("mg", to_json(col("mg")))
         .withColumn("sk", to_json(col("sk")))
+        // array columns JSON-flattened for the driver's scalar-only checker
+        .withColumn("ks", to_json(col("ks")))
+        .withColumn("vs", to_json(col("vs")))
+        .withColumn("nx", to_json(col("nx")))
+        .withColumn("tn", to_json(col("tn")))
+        .withColumn("pa", to_json(col("pa")))
+        .withColumn("dd", to_json(col("dd")))
+        .withColumn("sq", to_json(col("sq")))
     }),
 
     // ordered + limited subquery: top-2 customer balances per nation via a
@@ -319,21 +335,21 @@ object DatalogSql {
         to_json(MAP(['name','seg'], [c_name, c_mktsegment])) AS zm,
         to_json(MAP(['name','seg'], [c_name, 'X'])) AS asx,
         to_json(MAP(['name','seg','extra'], [c_name, c_mktsegment, 'Y'])) AS mg,
-        ['name','seg'] AS ks,
-        [c_name, c_mktsegment] AS vs,
+        to_json(['name','seg']) AS ks,
+        to_json([c_name, c_mktsegment]) AS vs,
         c_name AS gv,
         to_json(MAP(['seg'], [c_mktsegment])) AS sk,
         c_mktsegment AS gi,
-        CASE WHEN len(parts) > 1 THEN parts[2:] END AS nx,
-        list_filter(parts, (x, i) -> (i - 1) % 2 = 0) AS tn,
-        list_transform(range(CAST(ceil(len(parts) / 2.0) AS BIGINT)),
-          g -> parts[(g*2+1):(g*2+2)]) AS pa,
+        to_json(CASE WHEN len(parts) > 1 THEN parts[2:] END) AS nx,
+        to_json(list_filter(parts, (x, i) -> (i - 1) % 2 = 0)) AS tn,
+        to_json(list_transform(range(CAST(ceil(len(parts) / 2.0) AS BIGINT)),
+          g -> parts[(g*2+1):(g*2+2)])) AS pa,
         parts[1] AS ff,
-        list_filter(lens, (x, i) -> i = 1 OR x <> lens[i-1]) AS dd,
+        to_json(list_filter(lens, (x, i) -> i = 1 OR x <> lens[i-1])) AS dd,
         (c_custkey | 1024) AS bs,
         (c_custkey & ~1) AS bc,
         xor(c_custkey, 2) AS bf,
-        [CAST(2 AS BIGINT), 3] AS sq
+        to_json([CAST(2 AS BIGINT), 3]) AS sq
       FROM mid ORDER BY c_custkey LIMIT 200""",
 
     "dl_fns_corpus3" -> """
@@ -347,17 +363,17 @@ object DatalogSql {
                list_transform(parts, x -> CAST(len(x) AS BIGINT)) AS lens
         FROM base)
       SELECT DISTINCT c_custkey,
-        regexp_extract_all(c_name, '[0-9]+') AS rs,
+        to_json(regexp_extract_all(c_name, '[0-9]+')) AS rs,
         chr(CAST(65 + (c_custkey % 26) AS INTEGER)) AS chr,
         CAST(ascii(substr(c_name, 1, 1)) AS BIGINT) AS cp,
         CASE WHEN len(c_mktsegment) >= len(c_name) THEN c_mktsegment ELSE c_name END AS mk,
-        il,
-        flatten(list_transform(parts, x -> ['-', x]))[2:] AS ip,
-        list_transform(list_sort(list_distinct(il)),
-          x -> {'item': x, 'n': CAST(len(list_filter(il, y -> y = x)) AS BIGINT)}) AS fr,
+        to_json(il) AS il,
+        to_json(flatten(list_transform(parts, x -> ['-', x]))[2:]) AS ip,
+        to_json(list_transform(list_sort(list_distinct(il)),
+          x -> {'item': x, 'n': CAST(len(list_filter(il, y -> y = x)) AS BIGINT)})) AS fr,
         CAST(list_aggregate(lens, 'sum') AS BIGINT) AS tot,
-        list_transform(lens, x -> x + 1) AS linc,
-        list_filter(lens, x -> x % 2 <> 0) AS lodd,
+        to_json(list_transform(lens, x -> x + 1)) AS linc,
+        to_json(list_filter(lens, x -> x % 2 <> 0)) AS lodd,
         len(list_filter(lens, x -> NOT (x > 0))) = 0 AS ev,
         CASE WHEN len(list_filter(lens, x -> x % 2 = 0)) > 0 THEN true ELSE NULL END AS sm
       FROM mid""")

@@ -25,7 +25,13 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         elif df[c].dtype == object:
             # datetime.date objects (Spark DATE via parquet) → datetime64
             import datetime as _dt
+            import numpy as _np
             sample = next((v for v in df[c] if v is not None), None)
+            if isinstance(sample, (list, dict, _np.ndarray)):
+                # The driver's checker crashes on non-scalar cells
+                # (pandas sort_values → unhashable ndarray). Refuse here
+                # so gates must JSON-serialize array/struct columns.
+                raise ValueError(f"non-scalar column {c!r}: gate must to_json it")
             if isinstance(sample, _dt.date) and not isinstance(sample, _dt.datetime):
                 df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
             else:
