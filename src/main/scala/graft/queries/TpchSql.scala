@@ -139,7 +139,7 @@ object TpchSql {
         FROM per_part)
       SELECT l_partkey, part_value
       FROM per_part, total
-      WHERE part_value > total_value * 0.001
+      WHERE part_value > total_value * 0.0005
       ORDER BY part_value DESC, l_partkey""",
 
     "q12" -> """
@@ -226,7 +226,7 @@ object TpchSql {
       SELECT s_name, s_acctbal
       FROM supplier
       JOIN nation ON s_nationkey = n_nationkey
-      WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+      WHERE n_name IN ('NATION_6', 'NATION_7', 'NATION_11')
         AND s_suppkey IN (
           SELECT l_suppkey
           FROM lineitem
@@ -258,7 +258,8 @@ object TpchSql {
       SELECT c_mktsegment, COUNT(*) AS numcust, ${dsum(m("c_acctbal"))} AS totacctbal
       FROM customer, avg_bal
       WHERE c_acctbal > avg_bal
-        AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '1998-01-01')
       GROUP BY c_mktsegment
       ORDER BY c_mktsegment""")
 }
