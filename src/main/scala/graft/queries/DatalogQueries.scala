@@ -214,6 +214,27 @@ object DatalogQueries {
         .withColumn("sq", to_json(col("sq")))
     }),
 
+    // rel-as-value subquery bindings (query_test.clj:1303 test-sub-queries;
+    // bind-binding query.clj:933-952): the nested relation binds WHOLE as
+    // one sorted array-of-rows value (scalar form), and tuple positions
+    // destructure its rows. Array column JSON-flattened for the checker.
+    "dl_subquery_rel" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions.{col, to_json}
+      dl("""
+        {:find [?rname ?cnt ?rel ?f1]
+         :keys [r_name n_nations nations first_row]
+         :where [[?r :r_name ?rname] [?r :r_regionkey ?rk]
+                 [(q {:find [?nn] :in [?rk2]
+                      :where [[?n :n_regionkey ?rk2] [?n :n_name ?nn]]} ?rk)
+                  ?rel]
+                 [(count ?rel) ?cnt]
+                 [(q {:find [?nn2] :in [?rk3]
+                      :where [[?n2 :n_regionkey ?rk3] [?n2 :n_name ?nn2]]} ?rk)
+                  [?fr ?_]]
+                 [(first ?fr) ?f1]]}""")(s, dir)
+        .withColumn("nations", to_json(col("nations")))
+    }),
+
     // ordered + limited subquery: top-2 customer balances per nation via a
     // relation-bound nested query (VERDICT round-1 item 4)
     "dl_subquery_topn" -> dl("""
@@ -314,6 +335,17 @@ object DatalogSql {
         strpos(c_name, '#') - 1 AS idx,
         string_split(c_name, '#')[-1] AS pk
       FROM customer WHERE c_custkey < 200 AND (c_custkey & 1) = 1""",
+
+    "dl_subquery_rel" -> """
+      WITH per_region AS (
+        SELECT r_name, count(*) AS n, list_sort(list(n_name)) AS names
+        FROM region JOIN nation ON r_regionkey = n_regionkey
+        GROUP BY r_name, r_regionkey)
+      SELECT r_name,
+        CAST(n AS BIGINT) AS n_nations,
+        to_json(list_transform(names, x -> [x])) AS nations,
+        names[1] AS first_row
+      FROM per_region""",
 
     "dl_subquery_topn" -> """
       WITH ranked AS (
