@@ -1,17 +1,24 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing: image/audio/video as opaque binary columns
   * with typed metadata, processed by partition-batched functions.
   *
-  * The actual codec step is a STUB (image/audio libraries are not in this
-  * container): `decodeStub` derives deterministic fake features from the
-  * bytes. The Spark-side plumbing — binary schema, mapPartitions batch
-  * shape (the Scala analogue of `mapInPandas` Arrow batches), partitioning,
-  * frame explode — is real and oracle-checked on the byte-level parts.
+  * The codec step is REAL (r4): image payloads are true PNG bytes decoded
+  * with `javax.imageio.ImageIO`, audio payloads are true WAV (PCM) bytes
+  * decoded with `javax.sound.sampled.AudioSystem` — both ship in the JDK.
+  * Payload generation is deterministic from `media_id`, so the decoded
+  * features (width/height/corner pixel, sample-rate/frame-count/duration)
+  * are independently predictable by the SQL oracle: a hash match proves
+  * the encode→decode round trip, not just plumbing.
+  *
+  * Scale shape: generation and decode both run inside `mapPartitions`
+  * (the Scala analogue of `mapInPandas` Arrow batches) with per-partition
+  * codec setup and no driver collect; video stays an opaque byte stream
+  * consumed by the partition-preserving frame sampler.
   */
 object Multimodal {
 
@@ -21,38 +28,109 @@ object Multimodal {
     StructField("payload", BinaryType),
     StructField("meta_source", StringType)))
 
-  /** Build a media table from the documents fixture: payload = utf-8 bytes
-    * of the text (a stand-in for real image/audio bytes). */
-  def mediaFromDocuments(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id").as("media_id"),
-      when(col("doc_id") % 3 === 0, "image")
-        .when(col("doc_id") % 3 === 1, "audio").otherwise("video").as("media_type"),
-      encode(col("text"), "UTF-8").as("payload"),
-      col("source").as("meta_source"))
+  /** Deterministic image geometry/color for a media id (mirrored by the
+    * oracle SQL in TrainSql.mm_decode). */
+  private[operators] def imgWidth(id: Long): Int = 4 + (id % 29).toInt
+  private[operators] def imgHeight(id: Long): Int = 4 + (id * 7 % 23).toInt
+  private[operators] def imgRgb(id: Long): Int = ((id * 2654435761L) & 0xFFFFFF).toInt
+  /** Deterministic audio shape: 8 kHz 8-bit mono PCM, 0.1–0.3 s. */
+  private[operators] val sampleRate = 8000
+  private[operators] def audioFrames(id: Long): Int = 800 + (id % 1600).toInt
 
-  /** Decoded-features row produced by the stubbed codec. */
-  final case class Decoded(media_id: Long, media_type: String, n_bytes: Long,
-      payload_md5: String, width: Long, height: Long)
+  private case class MediaRow(media_id: Long, media_type: String,
+      payload: Array[Byte], meta_source: String)
 
-  /** Partition-batched "decode": iterates each partition once (the batch
-    * shape a real Arrow/pandas decode would use) and emits per-item
-    * features. Deterministic stub: md5 + byte-derived dimensions stand in
-    * for ??? (real image decode — no codec libs in this container). */
-  def decodeStub(spark: SparkSession, media: DataFrame): DataFrame = {
+  /** Build a media table from the documents fixture: image rows carry real
+    * PNG bytes, audio rows real WAV bytes (both generated per partition
+    * from the media id), video rows the utf-8 text bytes (an opaque stream
+    * for the frame sampler). */
+  def mediaFromDocuments(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text"), col("source"))
+      .as[(Long, String, String)]
+      .mapPartitions { batch =>
+        // per-partition codec setup; no ImageIO disk cache on executors
+        javax.imageio.ImageIO.setUseCache(false)
+        batch.map { case (id, text, source) =>
+          id % 3 match {
+            case 0 => MediaRow(id, "image", pngBytes(id), source)
+            case 1 => MediaRow(id, "audio", wavBytes(id), source)
+            case _ => MediaRow(id, "video", text.getBytes("UTF-8"), source)
+          }
+        }
+      }.toDF()
+  }
+
+  private def pngBytes(id: Long): Array[Byte] = {
+    val (w, h, rgb) = (imgWidth(id), imgHeight(id), imgRgb(id))
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  private def wavBytes(id: Long): Array[Byte] = {
+    import javax.sound.sampled._
+    val n = audioFrames(id)
+    val pcm = new Array[Byte](n)
+    var i = 0
+    while (i < n) { pcm(i) = (((id + i) * 31) & 0xFF).toByte; i += 1 }
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_UNSIGNED,
+      sampleRate.toFloat, 8, 1, 1, sampleRate.toFloat, false)
+    val stream = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(stream, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Decoded-features row. Image fields null for audio/video, audio fields
+    * null for image/video; video is pass-through (opaque bytes). */
+  final case class Decoded(media_id: Long, media_type: String,
+      width: Option[Long], height: Option[Long], rgb0: Option[Long],
+      sample_rate: Option[Long], n_audio_frames: Option[Long],
+      duration_ms: Option[Double])
+
+  /** Partition-batched REAL decode: one pass per partition, `ImageIO` for
+    * PNG (true width/height + top-left pixel), `AudioSystem` for WAV
+    * (format sample-rate, frame count, duration). */
+  def decode(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
     val ds: Dataset[Decoded] = media
       .select(col("media_id"), col("media_type"), col("payload"))
       .as[(Long, String, Array[Byte])]
       .mapPartitions { batch =>
-        // one MessageDigest per partition — the "load model once per
-        // batch" pattern of real decoders
-        val md = java.security.MessageDigest.getInstance("MD5")
+        javax.imageio.ImageIO.setUseCache(false)
         batch.map { case (id, typ, bytes) =>
-          md.reset()
-          val hex = md.digest(bytes).map("%02x".format(_)).mkString
-          Decoded(id, typ, bytes.length.toLong, hex,
-            width = bytes.length.toLong % 640, height = bytes.length.toLong % 480)
+          typ match {
+            case "image" =>
+              val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+              Decoded(id, typ,
+                width = Some(img.getWidth.toLong),
+                height = Some(img.getHeight.toLong),
+                rgb0 = Some((img.getRGB(0, 0) & 0xFFFFFF).toLong),
+                sample_rate = None, n_audio_frames = None, duration_ms = None)
+            case "audio" =>
+              val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(bytes))
+              try {
+                val frames = in.getFrameLength
+                val rate = in.getFormat.getSampleRate.toLong
+                Decoded(id, typ, None, None, None,
+                  sample_rate = Some(rate),
+                  n_audio_frames = Some(frames),
+                  duration_ms = Some(frames * 1000.0 / rate))
+              } finally in.close()
+            case _ =>
+              Decoded(id, typ, None, None, None, None, None, None)
+          }
         }
       }
     ds.toDF()

@@ -126,14 +126,17 @@ object TrainQueries {
         TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
         TextAnalysis.fingerprint(col("text")).as("fingerprint"))),
 
+    // REAL decode (r4): payloads are true PNG/WAV bytes; the oracle
+    // recomputes the expected decoded features from media_id arithmetic,
+    // so a hash match proves the ImageIO/AudioSystem round trip
     "mm_decode" -> ((s, dir) =>
-      Multimodal.decodeStub(s, Multimodal.mediaFromDocuments(docs(s, dir)))),
+      Multimodal.decode(s, Multimodal.mediaFromDocuments(s, docs(s, dir)))),
 
     // NOTE: the DuckDB oracle slices frames with char-based substr (DuckDB
     // 1.0 cannot slice BLOBs); byte windows == char windows only because
     // the documents fixture is pure ASCII. The Spark side is byte-correct.
     "mm_frames" -> ((s, dir) =>
-      Multimodal.frameSample(Multimodal.mediaFromDocuments(docs(s, dir)))))
+      Multimodal.frameSample(Multimodal.mediaFromDocuments(s, docs(s, dir)))))
 }
 
 object TrainSql {
@@ -295,10 +298,13 @@ object TrainSql {
       SELECT doc_id AS media_id,
         CASE WHEN doc_id % 3 = 0 THEN 'image'
              WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
-        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        md5(text) AS payload_md5,
-        octet_length(encode(text)) % 640 AS width,
-        octet_length(encode(text)) % 480 AS height
+        CASE WHEN doc_id % 3 = 0 THEN 4 + doc_id % 29 END AS width,
+        CASE WHEN doc_id % 3 = 0 THEN 4 + (doc_id * 7) % 23 END AS height,
+        CASE WHEN doc_id % 3 = 0 THEN (doc_id * 2654435761) & 16777215 END AS rgb0,
+        CASE WHEN doc_id % 3 = 1 THEN 8000 END AS sample_rate,
+        CASE WHEN doc_id % 3 = 1 THEN 800 + doc_id % 1600 END AS n_audio_frames,
+        CASE WHEN doc_id % 3 = 1
+             THEN (800 + doc_id % 1600) * 1000.0 / 8000 END AS duration_ms
       FROM documents""",
 
     "mm_frames" -> """

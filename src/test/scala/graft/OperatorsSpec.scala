@@ -164,16 +164,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r.forall { row => val q = row.getDouble(0); q >= 0.0 && q <= 1.0 })
   }
 
-  test("multimodal decode stub preserves batch shape and determinism") {
-    val media = Multimodal.mediaFromDocuments(docs)
-    val d1 = Multimodal.decodeStub(spark, media).orderBy("media_id").collect()
-    val d2 = Multimodal.decodeStub(spark, media).orderBy("media_id").collect()
-    assert(d1.sameElements(d2)) // deterministic
-    assert(d1.length == media.count())
+  test("multimodal decode reads real PNG and WAV payloads") {
+    val media = Multimodal.mediaFromDocuments(spark, docs)
+    val d = Multimodal.decode(spark, media).orderBy("media_id").collect()
+    assert(d.length == media.count())
+    val images = d.filter(_.getAs[String]("media_type") == "image")
+    val audios = d.filter(_.getAs[String]("media_type") == "audio")
+    assert(images.nonEmpty && audios.nonEmpty)
+    // decoded features must equal the generation-side arithmetic: the PNG
+    // and WAV round trips preserve geometry, pixel color, rate and frames
+    images.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      assert(r.getAs[Long]("width") == 4 + id % 29)
+      assert(r.getAs[Long]("height") == 4 + (id * 7) % 23)
+      assert(r.getAs[Long]("rgb0") == ((id * 2654435761L) & 0xFFFFFF))
+      assert(r.isNullAt(r.fieldIndex("sample_rate")))
+    }
+    audios.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      assert(r.getAs[Long]("sample_rate") == 8000L)
+      assert(r.getAs[Long]("n_audio_frames") == 800 + id % 1600)
+      assert(r.isNullAt(r.fieldIndex("width")))
+    }
   }
 
   test("frame sampling respects frame size and max frames") {
-    val frames = Multimodal.frameSample(Multimodal.mediaFromDocuments(docs))
+    val frames = Multimodal.frameSample(Multimodal.mediaFromDocuments(spark, docs))
     val perDoc = frames.groupBy("media_id").agg(count(lit(1)).as("n"),
       max("n_frames").as("nf")).collect()
     assert(perDoc.forall(r => r.getAs[Long]("n") == r.getAs[Long]("nf")))
