@@ -25,9 +25,16 @@ import org.apache.spark.sql.functions._
   *     matches nothing, multi_field_test.clj "firstname Fred")
   *   - `\` escapes (`person\/surname:Smith`)
   *
-  * Deviation (SURVEY §2.2): scores are deterministic token-frequency
-  * ratios (term leaves) or constants (wildcard leaves), not BM25 — rank
-  * order agrees for single-term queries, absolute values differ.
+  * Scoring (r4): term and phrase leaves score with Lucene's BM25
+  * formula (BM25Similarity, k1=1.2 b=0.75):
+  * `ln(1 + (N - df + 0.5)/(df + 0.5)) * tf / (tf + k1*(1 - b + b*dl/avgdl))`
+  * over corpus stats (N, avgdl, per-leaf df) the planner aggregates from
+  * the same attribute corpus Lucene would have indexed; wildcard leaves
+  * contribute a constant 1.0 (MultiTermQuery constant-score rewrite),
+  * and a BooleanQuery sums its matching positive clauses. Deviation
+  * (SURVEY §2.2): dl is the exact token count — Lucene quantizes it
+  * through a one-byte norm, so absolute values can differ in the third
+  * decimal; rank order agrees.
   *
   * Tokenization mirrors StandardAnalyzer on the data this engine targets:
   * lowercase, split on any non-alphanumeric run.
@@ -188,7 +195,66 @@ object LuceneSyntax {
 
   final case class Compiled(matches: Column, score: Column)
 
+  /** BM25 corpus statistics: doc count, average doc length (tokens), and
+    * per-scored-leaf document frequency keyed by [[leafKey]]. */
+  final case class Bm25Stats(ndocs: Column, avgdl: Column, df: Map[String, Column])
+
+  private val K1 = 1.2
+  private val B = 0.75
+
   private def hasWildcard(t: String): Boolean = t.exists(c => c == '*' || c == '?')
+
+  /** Stable key for a scored (non-wildcard term / phrase) leaf. Includes
+    * the field so entity-level (per-field) df stats never collide across
+    * fields sharing a term. */
+  def leafKey(n: Node): Option[String] = n match {
+    case TermQ(f, t) if !hasWildcard(t) => Some("t " + f.getOrElse("") + " " + t)
+    case PhraseQ(f, ws) => Some("p " + f.getOrElse("") + " " + ws.mkString(" "))
+    case _ => None
+  }
+
+  /** Distinct scored leaves of a query, keyed — the df aggregation the
+    * planner runs is one sum per entry. */
+  def statLeaves(node: Node): Seq[(String, Node)] = {
+    val buf = scala.collection.mutable.LinkedHashMap[String, Node]()
+    def walk(n: Node): Unit = n match {
+      case BoolQ(cs) => cs.foreach(c => walk(c._2))
+      case lf => leafKey(lf).foreach(k => if (!buf.contains(k)) buf(k) = lf)
+    }
+    walk(node)
+    buf.toSeq
+  }
+
+  /** "This doc contains the leaf" — the df term of the stats aggregation,
+    * over a token array column. */
+  def leafContains(n: Node, toks: Column): Column = n match {
+    case TermQ(_, t) => array_contains(toks, t)
+    case PhraseQ(_, ws) =>
+      concat(lit(" "), array_join(toks, " "), lit(" "))
+        .contains(" " + ws.mkString(" ") + " ")
+    case _: BoolQ => throw new IllegalArgumentException("leafContains over BoolQ")
+  }
+
+  /** Raw term frequency of a leaf within a token array. */
+  private def leafTf(n: Node, toks: Column): Column = n match {
+    case TermQ(_, t) => size(filter(toks, _ === lit(t))).cast("double")
+    case PhraseQ(_, ws) =>
+      val needle = " " + ws.mkString(" ") + " "
+      regexp_count(concat(lit(" "), array_join(toks, " "), lit(" ")),
+        lit(java.util.regex.Pattern.quote(needle))).cast("double")
+    case _: BoolQ => throw new IllegalArgumentException("leafTf over BoolQ")
+  }
+
+  /** Lucene BM25Similarity: idf * tf / (tf + k1*(1 - b + b*dl/avgdl)). */
+  private def bm25(key: String, tf: Column, dl: Column, stats: Bm25Stats): Column = {
+    val df = stats.df.getOrElse(key,
+      throw new IllegalStateException(s"no df stat for leaf $key"))
+    val idf = log(lit(1.0) +
+      (stats.ndocs.cast("double") - df.cast("double") + lit(0.5)) /
+        (df.cast("double") + lit(0.5)))
+    val avgdl = greatest(coalesce(stats.avgdl.cast("double"), lit(1.0)), lit(1e-9))
+    idf * tf / (tf + lit(K1) * (lit(1.0 - B) + lit(B) * dl.cast("double") / avgdl))
+  }
 
   private[graft] def wildcardRegex(t: String): String = {
     val sb = new StringBuilder("^")
@@ -206,25 +272,18 @@ object LuceneSyntax {
     filter(split(lower(value), "[^\\p{L}\\p{N}]+"), t => t =!= "")
 
   /** Leaf match + score over a pre-computed token array column.
-    * Score: term = tf ratio; wildcard = constant 1.0 (Lucene
-    * MultiTermQuery constant-score rewrite); phrase = occurrence ratio. */
-  private def leaf(node: Node, toks: Column): Compiled = node match {
+    * Score: term/phrase = BM25 against the supplied corpus stats;
+    * wildcard = constant 1.0 (Lucene MultiTermQuery constant-score
+    * rewrite). */
+  private def leaf(node: Node, toks: Column, stats: Bm25Stats): Compiled = node match {
     case TermQ(_, t) if hasWildcard(t) =>
       val re = wildcardRegex(t)
       Compiled(exists(toks, _.rlike(re)), lit(1.0))
-    case TermQ(_, t) =>
-      Compiled(
-        array_contains(toks, t),
-        size(filter(toks, _ === lit(t))).cast("double") /
-          greatest(size(toks), lit(1)).cast("double"))
-    case PhraseQ(_, ws) =>
-      val joined = concat(lit(" "), array_join(toks, " "), lit(" "))
-      val needle = " " + ws.mkString(" ") + " "
-      Compiled(
-        joined.contains(needle),
-        (regexp_count(joined, lit(java.util.regex.Pattern.quote(needle))))
-          .cast("double") / greatest(size(toks), lit(1)).cast("double"))
-    case b: BoolQ => compileBool(b, n => leaf(n, toks))
+    case lf @ (TermQ(_, _) | PhraseQ(_, _)) =>
+      val key = leafKey(lf).get
+      Compiled(leafContains(lf, toks),
+        bm25(key, leafTf(lf, toks), size(toks), stats))
+    case b: BoolQ => compileBool(b, n => leaf(n, toks, stats))
   }
 
   /** BooleanQuery match: all MUSTs, no MUST_NOTs, and (a MUST exists or
@@ -248,14 +307,16 @@ object LuceneSyntax {
 
   /** Single-value compile (core-module `text-search`): the query's default
     * field is the given attribute; a fielded leaf naming any OTHER field
-    * can never match this attribute's (a, v) docs. */
-  def compileValue(node: Node, value: Column, defaultField: String): Compiled = {
-    val toks = tokens(value)
+    * can never match this attribute's (a, v) docs. `toks` is the
+    * pre-analyzed token array of the value (the planner reuses it in the
+    * stats aggregation); `stats` carries the corpus BM25 statistics. */
+  def compileValue(node: Node, toks: Column, defaultField: String,
+      stats: Bm25Stats): Compiled = {
     def c(n: Node): Compiled = n match {
       case TermQ(Some(f), _) if f != defaultField => Compiled(lit(false), lit(0.0))
       case PhraseQ(Some(f), _) if f != defaultField => Compiled(lit(false), lit(0.0))
       case b: BoolQ => compileBool(b, c)
-      case other => leaf(other, toks)
+      case other => leaf(other, toks, stats)
     }
     c(node)
   }
@@ -263,8 +324,12 @@ object LuceneSyntax {
   /** Entity-level compile (multi-field `lucene-text-search`): each field's
     * values are a collected array column; an unfielded leaf parses against
     * the empty default field and matches nothing
-    * (multi_field_test.clj "firstname Fred" => no results). */
-  def compileEntity(node: Node, fieldVals: Map[String, Column]): Compiled = {
+    * (multi_field_test.clj "firstname Fred" => no results). BM25 per
+    * field: tf sums over the entity's values, dl is the entity's total
+    * token count for the field (Lucene concatenates multi-valued fields;
+    * phrases still match within one value — no cross-value positions). */
+  def compileEntity(node: Node, fieldVals: Map[String, Column],
+      stats: Map[String, Bm25Stats]): Compiled = {
     def c(n: Node): Compiled = n match {
       case b: BoolQ => compileBool(b, c)
       case TermQ(None, _) | PhraseQ(None, _) => Compiled(lit(false), lit(0.0))
@@ -277,14 +342,35 @@ object LuceneSyntax {
         fieldVals.get(f) match {
           case None => Compiled(lit(false), lit(0.0))
           case Some(vals) =>
-            val m = exists(vals, v => leaf(lf, tokens(v)).matches)
-            val s = aggregate(vals, lit(0.0), (acc, v) => {
-              val lc = leaf(lf, tokens(v))
-              acc + when(lc.matches, lc.score).otherwise(lit(0.0))
-            })
-            Compiled(coalesce(m, lit(false)), coalesce(s, lit(0.0)))
+            val isWild = lf match {
+              case TermQ(_, t) => hasWildcard(t)
+              case _ => false
+            }
+            if (isWild) {
+              val m = exists(vals, v => leaf(lf, tokens(v), stats(f)).matches)
+              Compiled(coalesce(m, lit(false)), lit(1.0))
+            } else {
+              val key = leafKey(lf).get
+              val m = exists(vals, v => leafContains(lf, tokens(v)))
+              val tf = aggregate(vals, lit(0.0),
+                (acc, v) => acc + leafTf(lf, tokens(v)))
+              val dl = aggregate(vals, lit(0L),
+                (acc, v) => acc + size(tokens(v)).cast("long"))
+              Compiled(coalesce(m, lit(false)),
+                coalesce(bm25(key, tf, dl, stats(f)), lit(0.0)))
+            }
         }
     }
     c(node)
   }
+
+  /** Per-entity total token count of a multi-valued field — the dl used
+    * by the entity-level stats aggregation (must mirror compileEntity). */
+  def entityFieldDl(vals: Column): Column =
+    aggregate(vals, lit(0L), (acc, v) => acc + size(tokens(v)).cast("long"))
+
+  /** Per-entity "any value contains leaf" — the df term of the
+    * entity-level stats aggregation. */
+  def entityLeafContains(n: Node, vals: Column): Column =
+    coalesce(exists(vals, v => leafContains(n, tokens(v))), lit(false))
 }

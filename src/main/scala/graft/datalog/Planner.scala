@@ -133,6 +133,24 @@ object Planner {
     SparkSession.active.createDataFrame(new java.util.ArrayList[Row](),
       StructType(textRelTypes(out, withAttr).map { case (n, t) => StructField(n, t) }))
 
+  /** One-row BM25 stats aggregation over a token-array column: doc count,
+    * avg doc length, and one df sum per scored leaf. The resulting 1-row
+    * frame is broadcast-cross-joined into the scan — the Spark analogue
+    * of Lucene reading (N, avgdl, df) from its index; one extra
+    * aggregation pass over the corpus, partial-agg'd map-side. */
+  private def bm25StatsRow(toksDf: DataFrame, toks: Column,
+      leaves: Seq[(String, LuceneSyntax.Node)]): DataFrame = {
+    val dfAggs = leaves.zipWithIndex.map { case ((_, n), i) =>
+      sum(when(LuceneSyntax.leafContains(n, toks), 1L).otherwise(0L)).as(s"__df_$i")
+    }
+    val aggs = Seq(avg(size(toks)).as("__avgdl")) ++ dfAggs
+    toksDf.agg(count(lit(1)).as("__n"), aggs: _*)
+  }
+
+  private def bm25Stats(leaves: Seq[(String, LuceneSyntax.Node)]): LuceneSyntax.Bm25Stats =
+    LuceneSyntax.Bm25Stats(col("__n"), col("__avgdl"),
+      leaves.zipWithIndex.map { case ((k, _), i) => k -> col(s"__df_$i") }.toMap)
+
   /** (matching rows of `attr`, Lucene-subset query) → (e[, v[, score]]).
     * Non-string attributes are absent from the Lucene index by
     * construction (lucene.clj:200-207 indexes only string values). */
@@ -142,10 +160,17 @@ object Planner {
     val base = source.attr(attr)
     if (base.schema("value").dataType != StringType)
       return emptyTextRel(out, withAttr = false)
-    val c = LuceneSyntax.compileValue(LuceneSyntax.parse(query), col("value"), attr)
+    val node = LuceneSyntax.parse(query)
+    val withT = base.withColumn("__toks", LuceneSyntax.tokens(col("value")))
+    val leaves = LuceneSyntax.statLeaves(node)
+    // wildcard-only queries score a constant — skip the stats pass
+    val joined =
+      if (leaves.isEmpty) withT
+      else withT.crossJoin(broadcast(bm25StatsRow(withT, col("__toks"), leaves)))
+    val c = LuceneSyntax.compileValue(node, col("__toks"), attr, bm25Stats(leaves))
     val avail = Seq(col("eid"), col("value"), c.score)
     val cols = out.zip(avail).map { case (n, cc) => cc.as(n) }
-    base.filter(c.matches).select(cols: _*)
+    joined.filter(c.matches).select(cols: _*)
   }
 
   // `[(text-search :attr "query") [[?e ?v]]]` (or `[[?e ?v ?score]]`,
@@ -180,12 +205,26 @@ object Planner {
     require(out.nonEmpty && out.size <= 4,
       "wildcard-text-search binds a prefix of [[?e ?v ?a ?score]]")
     val node = LuceneSyntax.parse(pat)
-    val frames = source.stringAttrs.toSeq.sorted.map { a =>
-      val c = LuceneSyntax.compileValue(node, col("value"), a)
+    val attrs = source.stringAttrs.toSeq.sorted
+    val leaves = LuceneSyntax.statLeaves(node)
+    // BM25 corpus = ALL string (a, v) docs (lucene.clj:184-189: one shared
+    // _crux_val field) — one global stats row shared by every branch
+    val statsRow =
+      if (leaves.isEmpty || attrs.isEmpty) None
+      else {
+        val allToks = attrs.map(a => source.attr(a)
+            .select(LuceneSyntax.tokens(col("value")).as("__toks")))
+          .reduce(_ unionByName _)
+        Some(broadcast(bm25StatsRow(allToks, col("__toks"), leaves)))
+      }
+    val frames = attrs.map { a =>
+      val withT = source.attr(a).withColumn("__toks", LuceneSyntax.tokens(col("value")))
+      val joined = statsRow.fold(withT)(withT.crossJoin)
+      val c = LuceneSyntax.compileValue(node, col("__toks"), a, bm25Stats(leaves))
       // canonical keyword form for the attr column (SURVEY §1.2)
       val avail = Seq(col("eid"), col("value"), lit(":" + a), c.score)
       val cols = out.zip(avail).map { case (n, cc) => cc.as(n) }
-      source.attr(a).filter(c.matches).select(cols: _*)
+      joined.filter(c.matches).select(cols: _*)
     }
     if (frames.isEmpty) emptyTextRel(out, withAttr = true)
     else frames.reduce(_ unionByName _)
@@ -228,9 +267,38 @@ object Planner {
         f -> source.attr(f).groupBy(col("eid"))
           .agg(collect_list(col("value")).as(s"__lv_$f"))
       }
-      val joined = perField.map(_._2).reduce(_.join(_, Seq("eid"), "full_outer"))
+      // per-field BM25 stats (Lucene keeps per-field N/avgdl/df): one
+      // 1-row aggregate per referenced field, broadcast in
+      val allLeaves = LuceneSyntax.statLeaves(node)
+      def leafField(n: LuceneSyntax.Node): Option[String] = n match {
+        case LuceneSyntax.TermQ(ff, _) => ff
+        case LuceneSyntax.PhraseQ(ff, _) => ff
+        case _ => None
+      }
+      val emptyStats = LuceneSyntax.Bm25Stats(lit(0L), lit(1.0), Map.empty)
+      val statsFor = perField.zipWithIndex.map { case ((f, g), fi) =>
+        val fLeaves = allLeaves.filter { case (_, n) => leafField(n).contains(f) }
+        val lv = col(s"__lv_$f")
+        if (fLeaves.isEmpty) (f, None, emptyStats)
+        else {
+          val dfAggs = fLeaves.zipWithIndex.map { case ((_, n), i) =>
+            sum(when(LuceneSyntax.entityLeafContains(n, lv), 1L).otherwise(0L))
+              .as(s"__df_${fi}_$i")
+          }
+          val aggs = Seq(avg(LuceneSyntax.entityFieldDl(lv)).as(s"__avgdl_$fi")) ++ dfAggs
+          val row = g.agg(count(lit(1)).as(s"__n_$fi"), aggs: _*)
+          (f, Some(row), LuceneSyntax.Bm25Stats(
+            col(s"__n_$fi"), col(s"__avgdl_$fi"),
+            fLeaves.zipWithIndex.map { case ((k, _), i) => k -> col(s"__df_${fi}_$i") }.toMap))
+        }
+      }
+      var joined = perField.map(_._2).reduce(_.join(_, Seq("eid"), "full_outer"))
+      statsFor.foreach { case (_, row, _) =>
+        row.foreach(r => joined = joined.crossJoin(broadcast(r)))
+      }
       val c = LuceneSyntax.compileEntity(node,
-        known.map(f => f -> col(s"__lv_$f")).toMap)
+        known.map(f => f -> col(s"__lv_$f")).toMap,
+        statsFor.map { case (f, _, st) => f -> st }.toMap)
       val cols = Seq(col("eid").as(out(0))) ++
         (if (out.size == 2) Seq(c.score.as(out(1))) else Nil)
       joined.filter(c.matches).select(cols: _*)

@@ -62,15 +62,21 @@ object Datalog2Queries {
                [?p :p_partkey ?pk]]}""") _,
 
     // scored text-search: binds [e v score] like the reference
-    // (lucene.clj:156-162); score = term tf / token count (BM25
-    // deviation, SURVEY §2.2), ranked
-    "dl_text_search_scored" -> dl("""
-      {:find [?pk ?v ?score]
-       :keys [p_partkey p_name score]
-       :order-by [[?score :desc] [?pk :asc]]
-       :limit 50
-       :where [[(text-search :p_name "red") [[?p ?v ?score]]]
-               [?p :p_partkey ?pk]]}""") _,
+    // (lucene.clj:156-162); scores are BM25 (r4) over a multi-term
+    // SHOULD query, so docs matching both terms outrank single-term
+    // matches. Rounded to 6 decimals AFTER the ordered cut — ln() can
+    // differ from DuckDB's libm in the last ulp.
+    "dl_text_search_scored" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions.{col, round}
+      dl("""
+        {:find [?pk ?v ?score]
+         :keys [p_partkey p_name score]
+         :order-by [[?score :desc] [?pk :asc]]
+         :limit 50
+         :where [[(text-search :p_name "red green") [[?p ?v ?score]]]
+                 [?p :p_partkey ?pk]]}""")(s, dir)
+        .withColumn("score", round(col("score"), 6))
+    }),
 
     // Lucene boolean operators: MUST + MUST_NOT over one attribute
     // (QueryParser occur semantics, lucene.clj:135-144)
@@ -247,11 +253,28 @@ object Datalog2Sql {
       WITH toks AS (
         SELECT p_partkey, p_name,
           list_filter(string_split_regex(lower(p_name), '[^a-z0-9]+'), t -> t <> '') AS ts
-        FROM part)
-      SELECT p_partkey, p_name,
-        CAST(len(list_filter(ts, t -> t = 'red')) AS DOUBLE) / len(ts) AS score
-      FROM toks WHERE list_contains(ts, 'red')
-      ORDER BY score DESC, p_partkey ASC LIMIT 50""",
+        FROM part),
+      stats AS (
+        SELECT count(*) AS n, avg(len(ts)) AS avgdl,
+          sum(CASE WHEN list_contains(ts, 'red') THEN 1 ELSE 0 END) AS df_r,
+          sum(CASE WHEN list_contains(ts, 'green') THEN 1 ELSE 0 END) AS df_g
+        FROM toks),
+      scored AS (
+        SELECT p_partkey, p_name,
+          CAST(len(list_filter(ts, t -> t = 'red')) AS DOUBLE) AS tf_r,
+          CAST(len(list_filter(ts, t -> t = 'green')) AS DOUBLE) AS tf_g,
+          CAST(len(ts) AS DOUBLE) AS dl, n, avgdl, df_r, df_g
+        FROM toks, stats
+        WHERE list_contains(ts, 'red') OR list_contains(ts, 'green')),
+      bm AS (
+        SELECT p_partkey, p_name,
+          (CASE WHEN tf_r > 0 THEN ln(1 + (n - df_r + 0.5)/(df_r + 0.5))
+             * tf_r / (tf_r + 1.2*(0.25 + 0.75*dl/avgdl)) ELSE 0 END) +
+          (CASE WHEN tf_g > 0 THEN ln(1 + (n - df_g + 0.5)/(df_g + 0.5))
+             * tf_g / (tf_g + 1.2*(0.25 + 0.75*dl/avgdl)) ELSE 0 END) AS score
+        FROM scored)
+      SELECT p_partkey, p_name, round(score, 6) AS score
+      FROM bm ORDER BY score DESC, p_partkey ASC LIMIT 50""",
 
     "dl_lucene_bool" -> """
       WITH toks AS (
