@@ -594,7 +594,24 @@ private final class Planner(spark: SparkSession, source: FactSource,
     // not a relation-producing union
     val (filterOrs, ors) = clauses.collect { case o: Or => o }.partition(_.branches.forall(
       _.forall { case Pred(fn, _, None) if fn != "q" => true; case _ => false }))
-    val ruleCalls = clauses.collect { case r: RuleCall => r }
+    val ruleCalls0 = clauses.collect { case r: RuleCall => r }
+    // computational recursive rules evaluate TOP-DOWN per binding (racket
+    // fib): immediately when their inputs are the call's constants,
+    // deferred and correlated when an arg var is bound by other clauses
+    val (tdCalls, ruleCalls) = ruleCalls0.partition(isTopDownCall)
+    // vars a clause can BIND — unlike clauseVars this includes pred /
+    // get-attr binding vars, which is what decides whether a top-down
+    // call's input will be available from the outer relation
+    def boundableVars(c: Clause): Set[String] = clauseVars(c) ++ (c match {
+      case Pred(_, _, Some(b)) => bindingVarNames(b).toSet
+      case GetAttr(_, _, _, b) => bindingVarNames(b).toSet
+      case _ => Set.empty[String]
+    })
+    val (immediateTd, deferredTd) = tdCalls.partition { rc =>
+      val bound = clauses.filterNot(_ eq rc).flatMap(boundableVars).toSet ++
+        seed.flatMap(_.vars)
+      !rc.args.exists { case V(n) => bound(n); case _ => false }
+    }
 
     // An or-branch may reference vars bound only OUTSIDE the or (pure
     // predicates over outer vars, `(and [(identity e)] …)` default
@@ -618,7 +635,7 @@ private final class Planner(spark: SparkSession, source: FactSource,
     }
     var rels: List[Rel] = seed ++ tripleRels(triples) ++
       textSearches.map(planPredConstraint) ++
-      orRels ++ ruleCalls.map(planRuleCall)
+      orRels ++ ruleCalls.map(planRuleCall) ++ immediateTd.map(planTopDownCall)
     // a lone `(q …)` subquery or literal-relation clause has no scan to
     // hang off: seed a unit relation for the pred to cross-join against
     if (rels.isEmpty && preds.nonEmpty)
@@ -699,11 +716,13 @@ private final class Planner(spark: SparkSession, source: FactSource,
       pendingGetattrs = gaNot
       drainFilterOrs()
     }
-    // joint fixpoint for leftover preds and get-attrs: either may bind
-    // vars the other needs (e.g. a pred over a get-attr binding when the
-    // query has a single relation and the merge loop never ran)
+    // joint fixpoint for leftover preds, get-attrs and deferred top-down
+    // rule calls: any of the three may bind vars the others need (a
+    // correlated fib call binds f, which [(+ f 1) g] then consumes)
+    var pendingTd = deferredTd
     var progress = true
-    while ((pendingPreds.nonEmpty || pendingGetattrs.nonEmpty) && progress) {
+    while ((pendingPreds.nonEmpty || pendingGetattrs.nonEmpty || pendingTd.nonEmpty)
+        && progress) {
       progress = false
       val (ready, notReady) = pendingPreds.partition(p => predVars(p).subsetOf(current.vars))
       if (ready.nonEmpty) progress = true
@@ -713,7 +732,13 @@ private final class Planner(spark: SparkSession, source: FactSource,
       if (gaReady.nonEmpty) progress = true
       gaReady.foreach { g => current = applyGetAttr(current, g) }
       pendingGetattrs = gaNot
+      val (tdReady, tdNot) = pendingTd.partition(rc =>
+        rc.args.exists { case V(n) => current.vars.contains(n); case _ => false })
+      if (tdReady.nonEmpty) progress = true
+      tdReady.foreach { rc => current = applyTopDownCall(current, rc) }
+      pendingTd = tdNot
     }
+    require(pendingTd.isEmpty, s"unresolvable top-down rule calls: $pendingTd")
     require(pendingPreds.isEmpty, s"unresolvable predicate args: $pendingPreds")
     require(pendingGetattrs.isEmpty, s"unresolvable get-attr entity vars: $pendingGetattrs")
     drainFilterOrs()
@@ -2020,6 +2045,171 @@ private final class Planner(spark: SparkSession, source: FactSource,
     else
       Rel(branches.map(_.df.select(outVars.map(col): _*)).reduce(_ unionByName _),
         distinctSure = false)
+  }
+
+  // ---------------------------------------------- top-down computational rules
+
+  /** A mutual-recursion component is "computational" when every branch
+    * body is pure computation — predicate clauses and in-component rule
+    * calls only, no data patterns. Bottom-up semi-naive evaluation cannot
+    * seed such recursion (there are no grounding facts); the reference
+    * evaluates these per binding, top-down (racket fib,
+    * crux-test/test/crux/query_test.clj:3181). */
+  private def computationalComp(comp: Set[String]): Boolean =
+    comp.forall(rn => rules.get(rn).exists(_.forall { d =>
+      d.clauses.nonEmpty && d.clauses.forall {
+        case Pred(f, _, _) if f != "q" && !Planner.hasPredConstraint(f) => true
+        case RuleCall(cn, _) => comp.contains(cn)
+        case _ => false
+      }
+    }))
+
+  private[datalog] def isTopDownCall(rc: RuleCall): Boolean =
+    rules.contains(rc.name) && {
+      val comp = component(rc.name)
+      comp.exists(rn => (calledRules(rules(rn).flatMap(_.clauses)) & comp).nonEmpty) &&
+        computationalComp(comp)
+    }
+
+  private val topDownMemo =
+    scala.collection.mutable.Map[(String, List[Option[Any]]), Set[List[Any]]]()
+  private val topDownStack =
+    scala.collection.mutable.Set[(String, List[Option[Any]])]()
+  /** Hard cap on the intermediate relation of one top-down branch — these
+    * are scalar computations (a handful of rows); beyond this the query
+    * is using the wrong tool and should fail loudly. */
+  private val topDownMaxRows = 10000
+
+  /** Per-binding, memoized, top-down evaluation of a computational rule:
+    * returns the full arg tuples consistent with `bound` (None = free).
+    * Driver-side BY DESIGN — there is no data relation to distribute;
+    * each step evaluates registered predicate fns through tiny local
+    * DataFrames so the whole fn registry keeps working. Cycle re-entry
+    * yields {} (the reference's recursion guard, query.clj:1079-1086). */
+  private def evalTopDown(name: String, bound: List[Option[Any]]): Set[List[Any]] = {
+    val key = (name, bound)
+    topDownMemo.get(key) match { case Some(r) => return r; case None => () }
+    if (!topDownStack.add(key)) return Set.empty
+    try {
+      val out = scala.collection.mutable.Set[List[Any]]()
+      rules(name).foreach { d =>
+        require(d.args.size == bound.size, s"arity mismatch calling rule $name")
+        val suffix = gensym("td")
+        val argVars = d.args.map(a => s"${a.name}__$suffix")
+        val renamed = d.clauses.map(renameClause(n => s"${n}__$suffix"))
+        val boundCols = argVars.zip(bound).collect { case (v, Some(x)) => (v, x) }
+        var rel: Rel =
+          if (boundCols.isEmpty) Rel(spark.range(1).toDF().select(), distinctSure = true)
+          else Rel(litDf(boundCols.map(_._1), Seq(boundCols.map(_._2))), distinctSure = true)
+        renamed.foreach {
+          case p: Pred => rel = applyPred(rel, p)
+          case rc: RuleCall =>
+            val cols = rel.df.columns.toSeq
+            val colIdx = cols.zipWithIndex.toMap
+            val rows = rel.df.collect()
+            require(rows.length <= topDownMaxRows,
+              s"top-down rule $name: intermediate relation exceeds $topDownMaxRows rows")
+            // vars this call newly binds, in first-occurrence order
+            val newVars = rc.args.collect {
+              case V(n) if !colIdx.contains(n) && n != "_" => n
+            }.distinct
+            val newRows = scala.collection.mutable.ListBuffer[Seq[Any]]()
+            rows.foreach { row =>
+              val boundArgs: List[Option[Any]] = rc.args.map {
+                case C(v) => Some(norm(scalaVal(v)))
+                case V(n) if colIdx.contains(n) => Some(norm(row.get(colIdx(n))))
+                case _ => None
+              }
+              evalTopDown(rc.name, boundArgs).foreach { tup =>
+                // repeated fresh vars must agree across positions
+                val bindings = scala.collection.mutable.Map[String, Any]()
+                val ok = rc.args.zipWithIndex.forall {
+                  case (V(n), i) if newVars.contains(n) =>
+                    bindings.get(n) match {
+                      case Some(prev) => prev == tup(i)
+                      case None => bindings(n) = tup(i); true
+                    }
+                  case _ => true
+                }
+                if (ok) newRows += row.toSeq.map(norm) ++ newVars.map(bindings(_))
+              }
+            }
+            rel = Rel(litDf(cols ++ newVars, newRows.toSeq), distinctSure = false)
+          case c => throw new IllegalStateException(s"non-computational clause $c")
+        }
+        val fIdx = rel.df.columns.zipWithIndex.toMap
+        rel.df.collect().foreach { r =>
+          val tup = argVars.zip(bound).map {
+            case (v, _) if fIdx.contains(v) => norm(r.get(fIdx(v)))
+            case (_, Some(x)) => norm(x)
+            case (v, None) => throw new IllegalArgumentException(
+              s"rule $name: arg $v neither bound by the call nor by the body")
+          }
+          out += tup
+        }
+      }
+      val res = out.toSet
+      topDownMemo(key) = res
+      res
+    } finally { topDownStack.remove(key); () }
+  }
+
+  /** Materialize a set of full arg tuples as the call's relation: var
+    * positions become columns (repeated vars unify), constants are
+    * already satisfied by evalTopDown, blanks drop. */
+  private def topDownRel(rc: RuleCall, tuples: Set[List[Any]]): Rel = {
+    val varPos = scala.collection.mutable.LinkedHashMap[String, Int]()
+    rc.args.zipWithIndex.foreach {
+      case (V(n), i) if n != "_" && !varPos.contains(n) => varPos(n) = i
+      case _ => ()
+    }
+    val consistent = tuples.toSeq.filter { tup =>
+      rc.args.zipWithIndex.forall {
+        case (V(n), i) => tup(varPos(n)) == tup(i)
+        case _ => true
+      }
+    }
+    if (varPos.isEmpty)
+      Rel(litDf(Seq("__exists"), consistent.take(1).map(_ => Seq(1L)))
+        .select(), distinctSure = true)
+    else
+      Rel(litDf(varPos.keys.toSeq,
+        consistent.map(tup => varPos.values.toSeq.map(tup(_)))).distinct(),
+        distinctSure = true)
+  }
+
+  /** Immediate top-down call: inputs are the constant args only. */
+  private[datalog] def planTopDownCall(rc: RuleCall): Rel = {
+    val boundArgs = rc.args.map {
+      case C(v) => Some(norm(scalaVal(v)))
+      case _ => None
+    }
+    topDownRel(rc, evalTopDown(rc.name, boundArgs))
+  }
+
+  /** Correlated top-down call: evaluate per distinct combination of the
+    * outer-bound arg vars (the reference's per-binding re-execution,
+    * memoized), then join back. */
+  private[datalog] def applyTopDownCall(current: Rel, rc: RuleCall): Rel = {
+    val boundVars = rc.args.collect {
+      case V(n) if current.vars.contains(n) => n
+    }.distinct
+    val combos = current.df.select(boundVars.map(col): _*).distinct().collect()
+    require(combos.length <= topDownMaxRows,
+      s"top-down rule ${rc.name}: more than $topDownMaxRows distinct outer bindings")
+    val allTuples = combos.iterator.flatMap { row =>
+      val bv = boundVars.zip(row.toSeq.map(norm)).toMap
+      val boundArgs = rc.args.map {
+        case C(v) => Some(norm(scalaVal(v)))
+        case V(n) => bv.get(n)
+        case Blank => None
+      }
+      evalTopDown(rc.name, boundArgs)
+    }.toSet
+    val rel = topDownRel(rc, allTuples)
+    val shared = (rel.vars & current.vars).toSeq
+    if (shared.isEmpty) Rel(current.df.crossJoin(rel.df), distinctSure = false)
+    else Rel(current.df.join(rel.df, shared, "inner"), distinctSure = false)
   }
 
   private def planRuleCall(rc: RuleCall): Rel = {

@@ -214,6 +214,20 @@ object DatalogQueries {
         .withColumn("sq", to_json(col("sq")))
     }),
 
+    // top-down computational recursion (racket fib, query_test.clj:3181,
+    // r4): groundless recursive rules evaluate per binding on the driver;
+    // joined against a data clause so the gate exercises the correlated
+    // (deferred) path too
+    "dl_rule_fib" -> dl("""
+      {:find [?rk ?f]
+       :keys [r_regionkey fib]
+       :where [[?r :r_regionkey ?rk] [(+ ?rk 10) ?n] (fib ?n ?f)]
+       :rules [[(fib n f) [(<= n 1)] [(identity n) f]]
+               [(fib n f) [(> n 1)]
+                [(- n 1) n1] [(- n 2) n2]
+                (fib n1 f1) (fib n2 f2)
+                [(+ f1 f2) f]]]}""") _,
+
     // rel-as-value subquery bindings (query_test.clj:1303 test-sub-queries;
     // bind-binding query.clj:933-952): the nested relation binds WHOLE as
     // one sorted array-of-rows value (scalar form), and tuple positions
@@ -335,6 +349,14 @@ object DatalogSql {
         strpos(c_name, '#') - 1 AS idx,
         string_split(c_name, '#')[-1] AS pk
       FROM customer WHERE c_custkey < 200 AND (c_custkey & 1) = 1""",
+
+    "dl_rule_fib" -> """
+      WITH RECURSIVE fib(n, a, b) AS (
+        SELECT 0, CAST(0 AS BIGINT), CAST(1 AS BIGINT)
+        UNION ALL
+        SELECT n + 1, b, a + b FROM fib WHERE n < 15)
+      SELECT r_regionkey, a AS fib
+      FROM region JOIN fib ON n = r_regionkey + 10""",
 
     "dl_subquery_rel" -> """
       WITH per_region AS (

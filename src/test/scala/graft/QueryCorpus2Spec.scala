@@ -8,11 +8,12 @@ import graft.datalog.{Planner, QuadSource}
   * GitHub-issue regression deftests and the remaining Racket-Datalog
   * examples from crux-test/test/crux/query_test.clj.
   *
+  * `test-racket-datalog-fib` is ported below (r4): pure-computation
+  * recursive rules evaluate per binding, top-down and memoized
+  * (Planner.evalTopDown), exactly the reference's execution model for
+  * rules with no data clauses.
+  *
   * Not ported (documented deviations):
-  *  - `test-racket-datalog-fib` / pure-computation recursion: rules are
-  *    evaluated as a bottom-up semi-naive fixpoint over base facts; a
-  *    rule whose branches ground no facts (fib) needs the reference's
-  *    per-binding top-down evaluation.
   *  - `datascript-test-issue-180` (`[(?pred ?a)]` var in fn position):
   *    predicate symbols are compile-time here.
   *  - `hashing-quoted-lists-1197`: list VALUES are exploded to
@@ -503,5 +504,35 @@ class QueryCorpus2Spec extends AnyFunSuite {
          :where [[?a :name ?a-name] [?a :foo ?foo-val]
                  [(identity ?foo-val) ?foo] [?foo :bar ?bar]]}""") ==
       Set(Seq("Ivan", ":bar")))
+  }
+
+  test("racket datalog fib: top-down computational recursion (query_test.clj:3181)") {
+    val s = src(":x" -> Map("name" -> "x"))
+    val fibRules = """
+      :rules [[(fib n f) [(<= n 1)] [(identity n) f]]
+              [(fib n f) [(> n 1)]
+               [(- n 1) n1] [(- n 2) n2]
+               (fib n1 f1) (fib n2 f2)
+               [(+ f1 f2) f]]]"""
+    // constant input: (fib 10 f) => 55
+    assert(run(s, s"""{:find [f] :where [(fib 10 f)] $fibRules}""") == Set(Seq(55L)))
+    // input bound via :args (per-binding top-down over the outer domain)
+    assert(run(s, s"""{:find [f] :where [(fib n f)] :args [{:n 10}] $fibRules}""") ==
+      Set(Seq(55L)))
+    // both args constant: pure existence check
+    assert(run(s, s"""{:find [?nm] :where [[?e :name ?nm] (fib 6 8)] $fibRules}""") ==
+      Set(Seq("x")))
+    assert(run(s, s"""{:find [?nm] :where [[?e :name ?nm] (fib 6 9)] $fibRules}""").isEmpty)
+  }
+
+  test("top-down rules: mutual recursion over pure computation (even/odd)") {
+    val s = src(":x" -> Map("name" -> "x"))
+    val rules = """
+      :rules [[(is-even n) [(= n 0)]]
+              [(is-even n) [(> n 0)] [(- n 1) m] (is-odd m)]
+              [(is-odd n) [(> n 0)] [(- n 1) m] (is-even m)]]"""
+    assert(run(s, s"""{:find [?nm] :where [[?e :name ?nm] (is-even 10)] $rules}""") ==
+      Set(Seq("x")))
+    assert(run(s, s"""{:find [?nm] :where [[?e :name ?nm] (is-even 7)] $rules}""").isEmpty)
   }
 }
