@@ -199,6 +199,10 @@ object Planner {
   registerPredConstraint("wildcard-text-search") { (source, args, out) =>
     val pat = args match {
       case List(C(Edn.Str(rx))) => rx
+      // reference error contract for a non-string query value
+      // (lucene_test.clj:403-407 passes `1` via :in)
+      case List(C(o)) => throw new IllegalArgumentException(
+        s"Lucene text search values must be String, got $o")
       case o => throw new IllegalArgumentException(
         s"wildcard-text-search needs a single string-literal query, got $o")
     }
@@ -582,9 +586,14 @@ private final class Planner(spark: SparkSession, source: FactSource,
     // pred-constraints (text-search and any user-registered index-aware
     // predicate) are relation-GENERATING (lucene.clj:156-162: [e v]
     // relation from a full-text query), not filters — pull them out of
-    // the pred list and seed each as a scan.
-    val (textSearches, preds0) = clauses.collect { case p: Pred => p }
+    // the pred list and seed each as a scan. A constraint whose arg is a
+    // VAR bound by other clauses defers and evaluates per distinct
+    // binding (lucene_test.clj:395-405 computes the query string in a
+    // predicate clause).
+    val (textSearches0, preds0) = clauses.collect { case p: Pred => p }
       .partition(p => Planner.hasPredConstraint(p.fn))
+    val (deferredTs, textSearches) =
+      textSearches0.partition(_.args.exists(_.isInstanceOf[V]))
     val preds = preds0
     val getattrs = clauses.collect { case g: GetAttr => g }
     val nots = clauses.collect { case n: Not => n }
@@ -716,14 +725,22 @@ private final class Planner(spark: SparkSession, source: FactSource,
       pendingGetattrs = gaNot
       drainFilterOrs()
     }
-    // joint fixpoint for leftover preds, get-attrs and deferred top-down
-    // rule calls: any of the three may bind vars the others need (a
-    // correlated fib call binds f, which [(+ f 1) g] then consumes)
+    // joint fixpoint for leftover preds, get-attrs, deferred top-down
+    // rule calls and deferred pred-constraints: any of these may bind
+    // vars the others need (a correlated fib call binds f, which
+    // [(+ f 1) g] then consumes; a pred computes the query string a
+    // text-search consumes)
     var pendingTd = deferredTd
+    var pendingTs = deferredTs
     var progress = true
-    while ((pendingPreds.nonEmpty || pendingGetattrs.nonEmpty || pendingTd.nonEmpty)
-        && progress) {
+    while ((pendingPreds.nonEmpty || pendingGetattrs.nonEmpty || pendingTd.nonEmpty ||
+        pendingTs.nonEmpty) && progress) {
       progress = false
+      val (tsReady, tsNot) = pendingTs.partition(p =>
+        p.args.collect { case V(n) => n }.toSet.subsetOf(current.vars))
+      if (tsReady.nonEmpty) progress = true
+      tsReady.foreach { p => current = applyPredConstraintPerBinding(current, p) }
+      pendingTs = tsNot
       val (ready, notReady) = pendingPreds.partition(p => predVars(p).subsetOf(current.vars))
       if (ready.nonEmpty) progress = true
       ready.foreach { p => current = applyPred(current, p) }
@@ -739,6 +756,7 @@ private final class Planner(spark: SparkSession, source: FactSource,
       pendingTd = tdNot
     }
     require(pendingTd.isEmpty, s"unresolvable top-down rule calls: $pendingTd")
+    require(pendingTs.isEmpty, s"unresolvable pred-constraint args: $pendingTs")
     require(pendingPreds.isEmpty, s"unresolvable predicate args: $pendingPreds")
     require(pendingGetattrs.isEmpty, s"unresolvable get-attr entity vars: $pendingGetattrs")
     drainFilterOrs()
@@ -1787,15 +1805,52 @@ private final class Planner(spark: SparkSession, source: FactSource,
     * user-plugged index-aware predicate — companion-object registry):
     * resolve the binding vars, hand the impl the source + raw args, seed
     * the returned frame as a relation in the join DAG. */
-  private def planPredConstraint(p: Pred): Rel = {
-    val vars = p.binding match {
-      case Some(BindRel(vs)) => vs
-      case Some(BindTuple(vs)) => vs
-      case o => throw new IllegalArgumentException(
-        s"${p.fn} needs a relation binding [[?a ?b …]], got $o")
-    }
-    Rel(Planner.predConstraint(p.fn)(source, p.args, vars.map(_.name)),
+  private def constraintBindingNames(p: Pred): List[String] = (p.binding match {
+    case Some(BindRel(vs)) => vs
+    case Some(BindTuple(vs)) => vs
+    case o => throw new IllegalArgumentException(
+      s"${p.fn} needs a relation binding [[?a ?b …]], got $o")
+  }).map(_.name)
+
+  private def planPredConstraint(p: Pred): Rel =
+    Rel(Planner.predConstraint(p.fn)(source, p.args, constraintBindingNames(p)),
       distinctSure = false)
+
+  /** Pred-constraint whose args come from other clauses' bindings
+    * (lucene_test.clj:395-405 binds the query string per tuple): evaluate
+    * the constraint once per DISTINCT binding of the arg vars — the
+    * reference's per-tuple re-execution, dedup'd — union the per-binding
+    * relations tagged with their binding values, and join back. Driver
+    * loop bounded by the distinct query-string domain, which is small by
+    * construction (it is a human-written search-pattern column). */
+  private def applyPredConstraintPerBinding(current: Rel, p: Pred): Rel = {
+    val argVars = p.args.collect { case V(n) => n }.distinct
+    val outNames = constraintBindingNames(p)
+    val combos = current.df.select(argVars.map(col): _*).distinct().collect()
+    require(combos.length <= 1000,
+      s"${p.fn}: more than 1000 distinct bindings for args $argVars")
+    val frames = combos.toSeq.map { row =>
+      val sub = argVars.zip(row.toSeq.map(norm)).toMap
+      val substArgs = p.args.map {
+        case V(n) => C(Planner.ednOf(sub(n)).getOrElse(
+          throw new IllegalArgumentException(
+            s"${p.fn}: unsupported arg value ${sub(n)}")))
+        case t => t
+      }
+      var df = Planner.predConstraint(p.fn)(source, substArgs, outNames)
+      argVars.foreach { n => df = df.withColumn(n, lit(sub(n))) }
+      df
+    }
+    val rel =
+      if (frames.isEmpty) {
+        // outer relation is empty: empty result, null-typed binding cols
+        var df = current.df.limit(0).select(argVars.map(col): _*)
+        outNames.foreach { n => df = df.withColumn(n, lit(null)) }
+        Rel(df, distinctSure = true)
+      } else Rel(frames.reduce(_ unionByName _), distinctSure = false)
+    val shared = (rel.vars & current.vars).toSeq
+    if (shared.isEmpty) Rel(current.df.crossJoin(rel.df), distinctSure = false)
+    else Rel(current.df.join(rel.df, shared, "inner"), distinctSure = false)
   }
 
   // ----------------------------------------------------------------- not/or

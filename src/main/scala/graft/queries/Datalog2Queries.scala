@@ -78,6 +78,15 @@ object Datalog2Queries {
         .withColumn("score", round(col("score"), 6))
     }),
 
+    // per-tuple pred-constraint args (lucene_test.clj:395-405, r4): the
+    // search string is bound by a TRIPLE clause (part 1's type), not :in —
+    // the constraint evaluates per distinct binding and joins back
+    "dl_text_search_bound" -> dl("""
+      {:find [?pt2 (count ?p2)]
+       :keys [p_type n]
+       :where [[?p1 :p_partkey 1] [?p1 :p_type ?pt]
+               [(text-search :p_type ?pt) [[?p2 ?pt2]]]]}""") _,
+
     // Lucene boolean operators: MUST + MUST_NOT over one attribute
     // (QueryParser occur semantics, lucene.clj:135-144)
     "dl_lucene_bool" -> dl("""
@@ -275,6 +284,14 @@ object Datalog2Sql {
         FROM scored)
       SELECT p_partkey, p_name, round(score, 6) AS score
       FROM bm ORDER BY score DESC, p_partkey ASC LIMIT 50""",
+
+    "dl_text_search_bound" -> """
+      WITH q AS (SELECT lower(p_type) AS t FROM part WHERE p_partkey = 1)
+      SELECT p_type, count(*) AS n
+      FROM part, q
+      WHERE list_contains(
+        list_filter(string_split_regex(lower(p_type), '[^a-z0-9]+'), x -> x <> ''), t)
+      GROUP BY p_type""",
 
     "dl_lucene_bool" -> """
       WITH toks AS (

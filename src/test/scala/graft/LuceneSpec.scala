@@ -257,6 +257,28 @@ class LuceneSpec extends AnyFunSuite {
 
   // ------------------------------------------------------------- parser unit
 
+  test("query string from clause bindings, per-tuple (lucene_test.clj:390-407)") {
+    val src = quadSource(Seq(
+      ("fred", "firstname", "Fred"), ("fred", "surname", "Smith"),
+      ("james", "firstname", "James"), ("james", "escape-text", "firstname:James")))
+    // search string computed by a predicate clause from :in
+    assert(run(src,
+      """[:find ?e :in ?s :where [[(str ?s "e*") ?s2]
+          [(wildcard-text-search ?s2) [[?e]]]]]""", "Fr") == Set(Seq("fred")))
+    // search string bound by a TRIPLE clause (per-tuple evaluation)
+    assert(run(src,
+      """[:find ?e ?v :where [[?x :firstname ?q]
+          [(text-search :firstname ?q) [[?e ?v]]]]]""") ==
+      Set(Seq("fred", "Fred"), Seq("james", "James")))
+    // non-string search value: reference error contract
+    val err = intercept[IllegalArgumentException] {
+      run(src,
+        """[:find ?v :in ?input :where [[(wildcard-text-search ?input) [[?e ?v]]]]]""",
+        1L)
+    }
+    assert(err.getMessage.contains("Lucene text search values must be String"))
+  }
+
   test("parser rejects dangling operators and unbalanced syntax") {
     for (bad <- Seq("name AND", "OR x", "(a b", "\"unterminated", "a ~2", "f:"))
       assertThrows[IllegalArgumentException](LuceneSyntax.parse(bad))
