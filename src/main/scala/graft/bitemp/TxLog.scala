@@ -85,6 +85,14 @@ object TxLog {
       // rows of EARLIER same-tx ops (query_test.clj:1912 "match sees
       // interim state through the transaction") — same candidate model as
       // the range-restore path below (cap/overwrite rows stay invisible).
+      // DOCUMENTED DEVIATION: the candidates carry each earlier op's
+      // START-vt content row only, not the row a range op's end-vt cap
+      // restores — a match whose basis_vt falls at/after an earlier
+      // same-tx range op's end_vt sees that op's NEW content, where the
+      // reference's sequential apply would see the pre-op version the cap
+      // restores. Range-put followed by a same-tx match at/after its end
+      // is a vanishingly rare shape; pinned by "match after same-tx
+      // range put" in BitempSpec so a behavior change is deliberate.
       val checks = ops.filter(col("op").isin("match", "cas"))
         .select(col("eid"), coalesce(col("at_vt"), col("start_vt"), txTs).as("basis_vt"),
           col("expected_hash"), col("seq"))

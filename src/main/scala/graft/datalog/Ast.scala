@@ -203,8 +203,11 @@ object Ast {
             case List(b) => parseBinding(b)
             // binding-less `[(get-attr e :a)]` is an existence predicate
             // (query_test.clj:1100) — bind a throwaway var; set semantics
-            // at :find projection discard it
-            case Nil => BindColl(V(s"__ga_exists_${a}_${gaCounter.incrementAndGet()}"))
+            // at :find projection discard it. Dots in the attr would
+            // parse as struct-field access in col() downstream — sanitize
+            // like Planner.gensym does.
+            case Nil => BindColl(V(
+              s"__ga_exists_${a.replace('.', '_')}_${gaCounter.incrementAndGet()}"))
             case _ => throw new IllegalArgumentException("get-attr needs a binding")
           }
           GetAttr(parseTerm(e), a, defaultRest.headOption, binding)

@@ -54,7 +54,12 @@ final class QuadSource(df: DataFrame, attrTypes: Map[String, String],
     multiAttrs: Set[String] = Set.empty) extends FactSource {
   def attrs: Set[String] = attrTypes.keySet
   override def stringAttrs: Set[String] =
-    attrTypes.collect { case (a, "v_str") => a }.toSet
+    // mixed-family attrs hold string-family rows too — searchable via
+    // their tagged struct's `s` field (Planner.stringValues)
+    attrTypes.collect {
+      case (a, "v_str") => a
+      case (a, t) if t == QuadSource.Mixed => a
+    }.toSet
   /** A quad ROW with a null value is a nil-valued FACT (`{:foo nil}` is a
     * real document entry the reference matches with `[e :foo nil]` and
     * binds through vars, query_test.clj:3713 issue 1487 / :3497 issue

@@ -151,15 +151,30 @@ object Planner {
     LuceneSyntax.Bm25Stats(col("__n"), col("__avgdl"),
       leaves.zipWithIndex.map { case ((k, _), i) => k -> col(s"__df_$i") }.toMap)
 
-  /** (matching rows of `attr`, Lucene-subset query) → (e[, v[, score]]).
-    * Non-string attributes are absent from the Lucene index by
-    * construction (lucene.clj:200-207 indexes only string values). */
+  /** The string (a, v) rows of an attribute — what the reference's Lucene
+    * index holds for it (lucene.clj:200-207 indexes only string values).
+    * A mixed-family tagged attr projects its `s` (string family) field:
+    * strings under a mixed attr ARE in the Lucene index. None for
+    * attributes with no string representation at all. */
+  private def stringValues(source: FactSource, attr: String): Option[DataFrame] = {
+    if (!source.attrs.contains(attr)) return None
+    val base = source.attr(attr)
+    base.schema("value").dataType match {
+      case StringType => Some(base)
+      case dt if Tagged.isTagged(dt) =>
+        Some(base.select(col("eid"), col("value.s").as("value"))
+          .filter(col("value").isNotNull))
+      case _ => None
+    }
+  }
+
+  /** (matching rows of `attr`, Lucene-subset query) → (e[, v[, score]]). */
   private def textSearchRel(source: FactSource, attr: String, query: String,
       out: Seq[String]): DataFrame = {
-    if (!source.attrs.contains(attr)) return emptyTextRel(out, withAttr = false)
-    val base = source.attr(attr)
-    if (base.schema("value").dataType != StringType)
-      return emptyTextRel(out, withAttr = false)
+    val base = stringValues(source, attr) match {
+      case Some(b) => b
+      case None => return emptyTextRel(out, withAttr = false)
+    }
     val node = LuceneSyntax.parse(query)
     val withT = base.withColumn("__toks", LuceneSyntax.tokens(col("value")))
     val leaves = LuceneSyntax.statLeaves(node)
@@ -209,20 +224,22 @@ object Planner {
     require(out.nonEmpty && out.size <= 4,
       "wildcard-text-search binds a prefix of [[?e ?v ?a ?score]]")
     val node = LuceneSyntax.parse(pat)
-    val attrs = source.stringAttrs.toSeq.sorted
+    val attrBases = source.stringAttrs.toSeq.sorted
+      .flatMap(a => stringValues(source, a).map(a -> _))
+    val attrs = attrBases.map(_._1)
     val leaves = LuceneSyntax.statLeaves(node)
     // BM25 corpus = ALL string (a, v) docs (lucene.clj:184-189: one shared
     // _crux_val field) — one global stats row shared by every branch
     val statsRow =
       if (leaves.isEmpty || attrs.isEmpty) None
       else {
-        val allToks = attrs.map(a => source.attr(a)
-            .select(LuceneSyntax.tokens(col("value")).as("__toks")))
-          .reduce(_ unionByName _)
+        val allToks = attrBases.map { case (_, b) =>
+          b.select(LuceneSyntax.tokens(col("value")).as("__toks"))
+        }.reduce(_ unionByName _)
         Some(broadcast(bm25StatsRow(allToks, col("__toks"), leaves)))
       }
-    val frames = attrs.map { a =>
-      val withT = source.attr(a).withColumn("__toks", LuceneSyntax.tokens(col("value")))
+    val frames = attrBases.map { case (a, b) =>
+      val withT = b.withColumn("__toks", LuceneSyntax.tokens(col("value")))
       val joined = statsRow.fold(withT)(withT.crossJoin)
       val c = LuceneSyntax.compileValue(node, col("__toks"), a, bm25Stats(leaves))
       // canonical keyword form for the attr column (SURVEY §1.2)
@@ -258,17 +275,16 @@ object Planner {
       "lucene-text-search binds [[?e]] or [[?e ?score]]")
     val query = if (fmtArgs.isEmpty) fmt else fmt.format(fmtArgs: _*)
     val node = LuceneSyntax.parse(query)
-    val known = LuceneSyntax.fields(node).toSeq.sorted.filter { f =>
-      source.attrs.contains(f) &&
-        source.attr(f).schema("value").dataType == StringType
-    }
+    val knownBases = LuceneSyntax.fields(node).toSeq.sorted
+      .flatMap(f => stringValues(source, f).map(f -> _))
+    val known = knownBases.map(_._1)
     if (known.isEmpty) {
       val fieldsSchema = StructType(Seq(StructField(out(0), StringType)) ++
         (if (out.size == 2) Seq(StructField(out(1), DoubleType)) else Nil))
       SparkSession.active.createDataFrame(new java.util.ArrayList[Row](), fieldsSchema)
     } else {
-      val perField = known.map { f =>
-        f -> source.attr(f).groupBy(col("eid"))
+      val perField = knownBases.map { case (f, b) =>
+        f -> b.groupBy(col("eid"))
           .agg(collect_list(col("value")).as(s"__lv_$f"))
       }
       // per-field BM25 stats (Lucene keeps per-field N/avgdl/df): one

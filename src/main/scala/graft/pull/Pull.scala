@@ -283,8 +283,15 @@ object Pull {
         emit(as, limit.map(n => slice(arr0, 1, n)).getOrElse(arr0), guard)
       case UnionJoin(attr, branches) =>
         require(spec.cols.contains(attr), s"unknown union attribute :$attr on $table")
+        // the reference vectorizes the dispatch value and matches ANY
+        // element (pull.clj union-child-fns) — a cardinality-many
+        // dispatch attr is an array column here, so branch on membership
+        val isArr =
+          df.schema(attr).dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]
         branches.foreach { case (bv, specs) =>
-          val g = fcol(attr) === ednLit(bv)
+          val g =
+            if (isArr) array_contains(fcol(attr), ednLit(bv))
+            else fcol(attr) === ednLit(bv)
           specs.foreach(addSpec(_, Some(guard.map(_ && g).getOrElse(g))))
         }
       case r: Recur => throw new IllegalStateException(s"unexpanded recursion $r")

@@ -176,6 +176,31 @@ class BitempSpec extends AnyFunSuite {
     assert(!aborted3)
   }
 
+  test("match after same-tx range put (documented deviation, r4 advice)") {
+    import scala.jdk.CollectionConverters._
+    val st0 = runScenario(Seq((Some("v1"), "2019-11-25", None)))
+    def tx(ops: Seq[Row], id: Long): (DataFrame, Boolean) =
+      TxLog.applyTx(st0, spark.createDataFrame(ops.asJava, TxLog.opSchema), id, d("2020-02-01"))
+    // op0 writes v2 over [2020-01-01, 2020-02-01); op1 matches at a basis
+    // AFTER the range's end. The reference's sequential apply would see
+    // the version the end-vt cap restores (v1); this engine's candidate
+    // model carries only start-vt content rows, so the match sees v2.
+    // Pinned so a change in this shape is deliberate (TxLog doc comment).
+    val (_, abortedNew) = tx(Seq(
+      Row("put", "ivan", "v2", d("2020-01-01"), d("2020-02-01"), null, null, 0L),
+      Row("match", "ivan", null, null, null, d("2020-03-01"), "v2", 1L)), 30L)
+    assert(!abortedNew) // deviation: reference would abort here
+    val (_, abortedOld) = tx(Seq(
+      Row("put", "ivan", "v2", d("2020-01-01"), d("2020-02-01"), null, null, 0L),
+      Row("match", "ivan", null, null, null, d("2020-03-01"), "v1", 1L)), 31L)
+    assert(abortedOld) // deviation: reference would commit here
+    // INSIDE the range both agree: the new content is visible
+    val (_, abortedIn) = tx(Seq(
+      Row("put", "ivan", "v2", d("2020-01-01"), d("2020-02-01"), null, null, 0L),
+      Row("match", "ivan", null, null, null, d("2020-01-15"), "v2", 1L)), 32L)
+    assert(!abortedIn)
+  }
+
   test("cas puts new value only when current matches expected") {
     import scala.jdk.CollectionConverters._
     val st0 = runScenario(Seq((Some("v1"), "2019-11-25", None)))

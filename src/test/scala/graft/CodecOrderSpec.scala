@@ -112,4 +112,19 @@ class CodecOrderSpec extends AnyFunSuite {
     assert(mx.getAs[String]("s") == "zzz") // greatest family present: string
     assert(mn.getAs[Boolean]("b") == false) // least family present: bool
   }
+
+  test("text-search over a mixed-family attr matches its string values (r4 advice)") {
+    // strings under a mixed attr ARE in the reference's Lucene index
+    // (lucene.clj:200-207 indexes every string value) — the tagged
+    // struct's `s` field is the searchable projection
+    def run(q: String): Set[Seq[Any]] =
+      Planner.q(spark, source, q).collect().toSet[Row].map(_.toSeq)
+    assert(run("""[:find ?e ?v :where [[(text-search :val "zzz") [[?e ?v]]]]]""") ==
+      Set(Seq("e-zzz", "zzz")))
+    assert(run("""[:find ?e :where [[(text-search :val "a*") [[?e]]]]]""") ==
+      Set(Seq("e-aaa")))
+    // wildcard-text-search scans mixed attrs alongside plain string attrs
+    assert(run("""[:find ?e ?v ?a :where [[(wildcard-text-search "aaa") [[?e ?v ?a]]]]]""") ==
+      Set(Seq("e-aaa", "aaa", ":val"), Seq("n1", "aaa", ":name")))
+  }
 }

@@ -194,6 +194,25 @@ class PullBondSpec extends AnyFunSuite {
       Map("crux.db/id" -> ":bar", "z" -> 5L)))
   }
 
+  test("union pattern over a cardinality-many dispatch attribute (r4 advice)") {
+    // the reference vectorizes the dispatch value and matches ANY element
+    // (pull.clj union-child-fns) — :type here is a SET of keywords
+    val n = new GraftNode(spark, TableSource.tpch(spark, "/root/testdata/sf0.001"))
+    n.submitTx(List(
+      JArray(List(JString("put"), JObject(List("crux.db/id" -> JString(":foo"),
+        "type" -> JArray(List(JString(":a"), JString(":other"))),
+        "x" -> JInt(2), "z" -> JString(":not-this"))))),
+      JArray(List(JString("put"), JObject(List("crux.db/id" -> JString(":bar"),
+        "type" -> JArray(List(JString(":b"))), "z" -> JInt(5)))))))
+    val res = n.queryAt(
+      """{:find [(pull ?it [{:type {:a [:x], :b [:z]}} :crux.db/id])]
+         :where [[?it :crux.db/id]]}""").collect()
+      .toSet[Row].map(r => structMap(r.getStruct(0)))
+    assert(res == Set(
+      Map("crux.db/id" -> ":foo", "x" -> 2L),
+      Map("crux.db/id" -> ":bar", "z" -> 5L)))
+  }
+
   test("forward join to a missing target (pull_test.clj:257)") {
     // the reference keeps an empty map for the missing :baz; here missing
     // targets are omitted from the joined array (documented deviation)
