@@ -2,7 +2,7 @@ package graft.datalog
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.ArrayType
+import org.apache.spark.sql.types.{ArrayType, StringType}
 
 /** Where triple patterns get their rows. Two shapes, mirroring SURVEY §1.2's
   * mapping decision:
@@ -25,6 +25,11 @@ trait FactSource {
     * Abstract on purpose: defaulting to `attrs` would rlike/union over
     * non-string value columns. */
   def stringAttrs: Set[String]
+  /** All string (eid, a, value) facts in as few scans as the source can
+    * manage — one per TABLE for TableSource instead of one per attribute
+    * — the whole-corpus scan wildcard-text-search needs. None = caller
+    * falls back to unioning per-attribute scans. */
+  def stringQuads: Option[DataFrame] = None
   /** DataFrame with columns (eid, value) for one attribute. */
   def attr(a: String): DataFrame
   /** Single-scan multi-attribute entity projection: (eid, a1..an), arrays
@@ -73,6 +78,14 @@ final class QuadSource(df: DataFrame, attrTypes: Map[String, String],
     } else
       df.filter(col("a") === a).select(col("e").as("eid"), col(vcol).as("value"))
   }
+
+  /** Single scan: string-family rows live in v_str regardless of whether
+    * the attr is declared plain-string or mixed. */
+  override lazy val stringQuads: Option[DataFrame] =
+    if (!df.columns.contains("v_str") || stringAttrs.isEmpty) None
+    else Some(df
+      .filter(col("a").isin(stringAttrs.toSeq: _*) && col("v_str").isNotNull)
+      .select(col("e").as("eid"), col("a"), col("v_str").as("value")))
 
   /** One row per entity, one column per attribute (scalar per (e, a):
     * latest/greatest value wins — crux docs are maps, index_store quads
@@ -129,6 +142,40 @@ final class TableSource(spark: SparkSession, load: String => DataFrame,
       .filter(col("value").isNotNull)
   }
 
+  /** ONE scan per table (not per attribute): each table's string columns
+    * explode into (eid, a, value) rows via an inline array-of-structs —
+    * a whole-corpus search touches every table exactly once. */
+  override lazy val stringQuads: Option[DataFrame] = {
+    val parts = tables.keysIterator.toSeq.sorted.flatMap { t =>
+      val schema = load(t).schema
+      val strCols = tables(t).cols
+        .filter(c => schema(c).dataType == StringType).toSeq.sorted
+      val arrCols = tables(t).cols.filter { c =>
+        schema(c).dataType match {
+          case ArrayType(StringType, _) => true
+          case _ => false
+        }
+      }.toSeq.sorted
+      if (strCols.isEmpty && arrCols.isEmpty) Nil
+      else {
+        val df = keyed(t)
+        val scalar =
+          if (strCols.isEmpty) Nil
+          else Seq(df
+            .select(col("_eid").as("eid"),
+              explode(array(strCols.map(c =>
+                struct(lit(c).as("a"), col(c).as("value"))): _*)).as("__av"))
+            .select(col("eid"), col("__av.a").as("a"), col("__av.value").as("value"))
+            .filter(col("value").isNotNull))
+        val arrays = arrCols.map(c => df
+          .select(col("_eid").as("eid"), lit(c).as("a"), explode(col(c)).as("value"))
+          .filter(col("value").isNotNull))
+        scalar ++ arrays
+      }
+    }
+    parts.reduceOption(_ unionByName _)
+  }
+
   override def entityScan(as: Seq[String]): Option[DataFrame] = {
     val ts = as.map(attrToTable.get).distinct
     if (ts.size != 1 || ts.head.isEmpty) None
@@ -139,8 +186,11 @@ final class TableSource(spark: SparkSession, load: String => DataFrame,
     }
   }
 
-  private def tableFor(a: String): DataFrame = {
-    val t = attrToTable.getOrElse(a, throw new IllegalArgumentException(s"unknown attribute :$a"))
+  private def tableFor(a: String): DataFrame =
+    keyed(attrToTable.getOrElse(a,
+      throw new IllegalArgumentException(s"unknown attribute :$a")))
+
+  private def keyed(t: String): DataFrame = {
     val spec = tables(t)
     val df = load(t)
     // eids are uniformly strings (crux ids are opaque, codec.clj:540-608);

@@ -204,6 +204,13 @@ object LuceneSyntax {
 
   private def hasWildcard(t: String): Boolean = t.exists(c => c == '*' || c == '?')
 
+  /** Maximal literal (wildcard-free) runs of a wildcard pattern, longest
+    * first — cheap `contains` prefilters that run before the verifying
+    * regex (the inverted-prefilter idea: most tokens fail a substring
+    * test far faster than a regex). `?` breaks a run like `*` does. */
+  private[graft] def literalRuns(t: String): Seq[String] =
+    t.split("[*?]+").toSeq.filter(_.length >= 2).sortBy(-_.length)
+
   /** Stable key for a scored (non-wildcard term / phrase) leaf. Includes
     * the field so entity-level (per-field) df stats never collide across
     * fields sharing a term. */
@@ -245,10 +252,12 @@ object LuceneSyntax {
     case _: BoolQ => throw new IllegalArgumentException("leafTf over BoolQ")
   }
 
-  /** Lucene BM25Similarity: idf * tf / (tf + k1*(1 - b + b*dl/avgdl)). */
+  /** Lucene BM25Similarity: idf * tf / (tf + k1*(1 - b + b*dl/avgdl)).
+    * A leaf with no df stat falls back to df=0 — this only happens when
+    * the caller skipped the stats pass because the score is unbound, so
+    * the expression is never evaluated. */
   private def bm25(key: String, tf: Column, dl: Column, stats: Bm25Stats): Column = {
-    val df = stats.df.getOrElse(key,
-      throw new IllegalStateException(s"no df stat for leaf $key"))
+    val df = stats.df.getOrElse(key, lit(0L))
     val idf = log(lit(1.0) +
       (stats.ndocs.cast("double") - df.cast("double") + lit(0.5)) /
         (df.cast("double") + lit(0.5)))
@@ -271,6 +280,34 @@ object LuceneSyntax {
   def tokens(value: Column): Column =
     filter(split(lower(value), "[^\\p{L}\\p{N}]+"), t => t =!= "")
 
+  /** Conservative raw-value prefilter: `matches(value)` implies
+    * `prefilter(value)`. Every analyzed token is a substring of the
+    * lowercased value, so a term/phrase-word/wildcard-literal-run match
+    * implies a cheap `contains` hit — applied as a filter BEFORE the
+    * tokenizing scan, it short-circuits the split+array work for the
+    * vast majority of non-matching rows (the inverted-prefilter shape;
+    * MUST_NOT clauses contribute nothing, staying conservative). */
+  def prefilter(node: Node, value: Column, defaultField: String): Column = {
+    // lower()+contains measured faster than (?i)-literal rlike here
+    // (UTF8String.toLowerCase is cheap; Java regex case-folding is not)
+    val lv = lower(value)
+    def p(n: Node): Column = n match {
+      case TermQ(Some(f), _) if f != defaultField => lit(false)
+      case PhraseQ(Some(f), _) if f != defaultField => lit(false)
+      case TermQ(_, t) if hasWildcard(t) =>
+        literalRuns(t).map(lv.contains(_)).reduceOption(_ && _).getOrElse(lit(true))
+      case TermQ(_, t) => lv.contains(t)
+      case PhraseQ(_, ws) =>
+        ws.map(lv.contains(_)).reduceOption(_ && _).getOrElse(lit(true))
+      case BoolQ(cs) =>
+        val musts = cs.collect { case (Must, n2) => p(n2) }
+        val shoulds = cs.collect { case (Should, n2) => p(n2) }
+        if (musts.nonEmpty) musts.reduce(_ && _)
+        else shoulds.reduceOption(_ || _).getOrElse(lit(true))
+    }
+    p(node)
+  }
+
   /** Leaf match + score over a pre-computed token array column.
     * Score: term/phrase = BM25 against the supplied corpus stats;
     * wildcard = constant 1.0 (Lucene MultiTermQuery constant-score
@@ -278,7 +315,12 @@ object LuceneSyntax {
   private def leaf(node: Node, toks: Column, stats: Bm25Stats): Compiled = node match {
     case TermQ(_, t) if hasWildcard(t) =>
       val re = wildcardRegex(t)
-      Compiled(exists(toks, _.rlike(re)), lit(1.0))
+      val runs = literalRuns(t)
+      // substring prefilter short-circuits the regex for most tokens
+      // (codegen And evaluates the right side only when the left is true)
+      val m = exists(toks, tok =>
+        runs.foldRight(tok.rlike(re))((r, acc) => tok.contains(r) && acc))
+      Compiled(m, lit(1.0))
     case lf @ (TermQ(_, _) | PhraseQ(_, _)) =>
       val key = leafKey(lf).get
       Compiled(leafContains(lf, toks),

@@ -176,12 +176,23 @@ object Planner {
       case None => return emptyTextRel(out, withAttr = false)
     }
     val node = LuceneSyntax.parse(query)
-    val withT = base.withColumn("__toks", LuceneSyntax.tokens(col("value")))
+    // contains-prefilter BEFORE the tokenizing projection: rows that
+    // cannot match never pay the split (identical results — see
+    // LuceneSyntax.prefilter). Stats (below) still scan the full corpus.
+    val withT = base
+      .filter(LuceneSyntax.prefilter(node, col("value"), attr))
+      .withColumn("__toks", LuceneSyntax.tokens(col("value")))
     val leaves = LuceneSyntax.statLeaves(node)
-    // wildcard-only queries score a constant — skip the stats pass
+    // the stats pass is an extra corpus scan — run it only when the
+    // binding actually asks for the score (out = prefix of (e, v, score));
+    // wildcard-only queries score a constant and never need it
+    val needScore = out.size == 3
     val joined =
-      if (leaves.isEmpty) withT
-      else withT.crossJoin(broadcast(bm25StatsRow(withT, col("__toks"), leaves)))
+      if (leaves.isEmpty || !needScore) withT
+      else {
+        val full = base.withColumn("__toks", LuceneSyntax.tokens(col("value")))
+        withT.crossJoin(broadcast(bm25StatsRow(full, col("__toks"), leaves)))
+      }
     val c = LuceneSyntax.compileValue(node, col("__toks"), attr, bm25Stats(leaves))
     val avail = Seq(col("eid"), col("value"), c.score)
     val cols = out.zip(avail).map { case (n, cc) => cc.as(n) }
@@ -224,14 +235,43 @@ object Planner {
     require(out.nonEmpty && out.size <= 4,
       "wildcard-text-search binds a prefix of [[?e ?v ?a ?score]]")
     val node = LuceneSyntax.parse(pat)
+    // single-pass path: an unfielded query needs no per-attribute field
+    // dispatch, so it runs over source.stringQuads — ONE scan per table
+    // instead of one per attribute (the per-attr union re-read lineitem
+    // once per string column)
+    val singlePass =
+      if (LuceneSyntax.fields(node).nonEmpty) None
+      else source.stringQuads.map { sq =>
+        val needScore = out.size == 4
+        val leaves = LuceneSyntax.statLeaves(node)
+        val withT = sq
+          .filter(LuceneSyntax.prefilter(node, col("value"), ""))
+          .withColumn("__toks", LuceneSyntax.tokens(col("value")))
+        val joined =
+          if (leaves.isEmpty || !needScore) withT
+          else {
+            val full = sq.withColumn("__toks", LuceneSyntax.tokens(col("value")))
+            withT.crossJoin(broadcast(bm25StatsRow(full, col("__toks"), leaves)))
+          }
+        val c = LuceneSyntax.compileValue(node, col("__toks"), "", bm25Stats(leaves))
+        val avail = Seq(col("eid"), col("value"),
+          concat(lit(":"), col("a")), c.score)
+        val cols = out.zip(avail).map { case (n, cc) => cc.as(n) }
+        joined.filter(c.matches).select(cols: _*)
+      }
+    if (singlePass.isDefined) singlePass.get
+    else {
     val attrBases = source.stringAttrs.toSeq.sorted
       .flatMap(a => stringValues(source, a).map(a -> _))
     val attrs = attrBases.map(_._1)
     val leaves = LuceneSyntax.statLeaves(node)
     // BM25 corpus = ALL string (a, v) docs (lucene.clj:184-189: one shared
-    // _crux_val field) — one global stats row shared by every branch
+    // _crux_val field) — one global stats row shared by every branch.
+    // Skipped entirely unless the binding asks for the score (position 4):
+    // the stats pass is a second full corpus scan.
+    val needScore = out.size == 4
     val statsRow =
-      if (leaves.isEmpty || attrs.isEmpty) None
+      if (leaves.isEmpty || attrs.isEmpty || !needScore) None
       else {
         val allToks = attrBases.map { case (_, b) =>
           b.select(LuceneSyntax.tokens(col("value")).as("__toks"))
@@ -239,7 +279,9 @@ object Planner {
         Some(broadcast(bm25StatsRow(allToks, col("__toks"), leaves)))
       }
     val frames = attrBases.map { case (a, b) =>
-      val withT = b.withColumn("__toks", LuceneSyntax.tokens(col("value")))
+      val withT = b
+        .filter(LuceneSyntax.prefilter(node, col("value"), a))
+        .withColumn("__toks", LuceneSyntax.tokens(col("value")))
       val joined = statsRow.fold(withT)(withT.crossJoin)
       val c = LuceneSyntax.compileValue(node, col("__toks"), a, bm25Stats(leaves))
       // canonical keyword form for the attr column (SURVEY §1.2)
@@ -249,6 +291,7 @@ object Planner {
     }
     if (frames.isEmpty) emptyTextRel(out, withAttr = true)
     else frames.reduce(_ unionByName _)
+    }
   }
 
   // `[(lucene-text-search "field: %s ..." args...) [[?e]]]` (or
@@ -296,10 +339,11 @@ object Planner {
         case _ => None
       }
       val emptyStats = LuceneSyntax.Bm25Stats(lit(0L), lit(1.0), Map.empty)
+      val needScore = out.size == 2
       val statsFor = perField.zipWithIndex.map { case ((f, g), fi) =>
         val fLeaves = allLeaves.filter { case (_, n) => leafField(n).contains(f) }
         val lv = col(s"__lv_$f")
-        if (fLeaves.isEmpty) (f, None, emptyStats)
+        if (fLeaves.isEmpty || !needScore) (f, None, emptyStats)
         else {
           val dfAggs = fLeaves.zipWithIndex.map { case ((_, n), i) =>
             sum(when(LuceneSyntax.entityLeafContains(n, lv), 1L).otherwise(0L))

@@ -19,7 +19,16 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+  /** Memo of analyzed frames per (session, dir, table): a DataFrame is an
+    * immutable logical plan, and re-reading costs a parquet footer/schema
+    * round trip per call — which every gate pays several times over. */
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), DataFrame]()
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    cache.computeIfAbsent((spark, sfDir, name), _ => doLoad(spark, sfDir, name))
+
+  private def doLoad(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS) which the vectorized reader
       // rejects; read it as a long and downcast to micro-precision NTZ
