@@ -16,7 +16,8 @@ import java.nio.charset.StandardCharsets.UTF_8
   *   GET  /status, /db, /entity, /entity-tx, /attribute-stats,
   *        /sync, /await-tx, /await-tx-time, /tx-log, /tx-committed,
   *        /latest-completed-tx, /latest-submitted-tx,
-  *        /active-queries, /recent-queries, /slowest-queries,
+  *        /active-queries, /recent-queries, /slowest-queries, /metrics
+  *        (crux-metrics analogue: query gauges + indexer meters as JSON),
   *        /query (+ .csv/.tsv), /sql (+ .csv/.tsv — the SQL-over-wire
   *        surface; the reference serves SQL via Calcite/Avatica JDBC,
   *        crux-sql/src/crux/calcite.clj:495-527)
@@ -38,6 +39,13 @@ final class HttpServer(node: GraftNode, port: Int = 0) {
   private val recent = new java.util.concurrent.ConcurrentLinkedDeque[JValue]()
   private val slowest = new java.util.concurrent.atomic.AtomicReference[List[(Double, JValue)]](Nil)
   private val maxRecent = 20
+  /** Node-level counters — the crux-metrics analogue (crux-metrics/src/
+    * crux/metrics/query.clj gauges + indexer meters), exported on
+    * /_crux/metrics instead of dropwizard registries. */
+  private val queriesCompleted = new java.util.concurrent.atomic.AtomicLong()
+  private val queriesFailed = new java.util.concurrent.atomic.AtomicLong()
+  private val queryMsTotal = new java.util.concurrent.atomic.DoubleAdder()
+  private val queryMsMax = new java.util.concurrent.atomic.AtomicLong() // ms, rounded up
 
   def boundPort: Int = server.getAddress.getPort
   def start(): HttpServer = { server.start(); this }
@@ -145,6 +153,28 @@ final class HttpServer(node: GraftNode, port: Int = 0) {
           scala.jdk.CollectionConverters.IteratorHasAsScala(recent.iterator()).asScala.toList)))
       case "/_crux/slowest-queries" =>
         (200, json, Json.render(JArray(slowest.get().map(_._2))))
+
+      case "/_crux/metrics" =>
+        // crux-metrics analogue: query gauges/timers + indexer meters
+        // (crux-metrics/src/crux/metrics/query.clj, indexer.clj) as one
+        // JSON document instead of a dropwizard registry
+        val completed = queriesCompleted.get()
+        val totalMs = queryMsTotal.sum()
+        val txs = node.txLogEntries
+        (200, json, Json.render(
+          ("crux.metrics.query/active" -> JLong(active.size().toLong)) ~
+          ("crux.metrics.query/completed" -> JLong(completed)) ~
+          ("crux.metrics.query/failed" -> JLong(queriesFailed.get())) ~
+          ("crux.metrics.query/total-ms" -> JDouble(totalMs)) ~
+          ("crux.metrics.query/avg-ms" ->
+            JDouble(if (completed == 0) 0.0 else totalMs / completed)) ~
+          ("crux.metrics.query/max-ms" -> JLong(queryMsMax.get())) ~
+          ("crux.metrics.indexer/submitted-tx-count" -> JLong(txs.size.toLong)) ~
+          ("crux.metrics.indexer/latest-completed-tx-id" ->
+            node.latestCompletedTx.map(t => JLong(t.txId)).getOrElse(JNull: JValue)) ~
+          ("crux.metrics.indexer/latest-completed-tx-time" ->
+            node.latestCompletedTx.map(t => JString(t.txTime.toString))
+              .getOrElse(JNull: JValue))))
 
       case _ => (404, json, err(s"unknown route $path"))
     }
@@ -256,6 +286,9 @@ final class HttpServer(node: GraftNode, port: Int = 0) {
       recent.addFirst(done)
       while (recent.size > maxRecent) recent.removeLast()
       slowest.updateAndGet(l => ((tookMs, done) :: l).sortBy(-_._1).take(maxRecent))
+      queriesCompleted.incrementAndGet()
+      queryMsTotal.add(tookMs)
+      queryMsMax.updateAndGet(m => math.max(m, math.ceil(tookMs).toLong))
     } catch {
       case scala.util.control.NonFatal(e) =>
         val status = e match {
@@ -268,6 +301,7 @@ final class HttpServer(node: GraftNode, port: Int = 0) {
         val done: JObject = qinfo ~ ("status" -> "failed") ~ ("error" -> msg)
         recent.addFirst(done)
         while (recent.size > maxRecent) recent.removeLast()
+        queriesFailed.incrementAndGet()
     } finally active.remove(qinfo)
   }
 

@@ -291,6 +291,30 @@ class HttpSpec extends AnyFunSuite {
     }
   }
 
+  test("/_crux/metrics counters move after submit-tx and queries (r4)") {
+    withNode { (_, port) =>
+      def metrics(): JValue = { val (c, b) = get(port, "/_crux/metrics"); assert(c == 200, b); Json.parse(b) }
+      val m0 = metrics()
+      assert(num(m0 \ "crux.metrics.query/completed") == 0L)
+      assert(num(m0 \ "crux.metrics.indexer/submitted-tx-count") == 0L)
+      submit(port, """[["put", {"crux.db/id": "m1", "v": 1}]]""")
+      val (qc, _) = get(port, "/_crux/query?query-edn=" +
+        enc("""{:find [?e] :where [[?e :crux.db/id "m1"]]}"""))
+      assert(qc == 200)
+      // a failing query increments the failed counter
+      get(port, "/_crux/query?query-edn=" + enc("""{:find [?e] :where [[?e"""))
+      val m1 = metrics()
+      assert(num(m1 \ "crux.metrics.indexer/submitted-tx-count") == 1L)
+      assert(num(m1 \ "crux.metrics.query/completed") >= 1L)
+      assert(num(m1 \ "crux.metrics.query/failed") >= 1L)
+      assert(num(m1 \ "crux.metrics.indexer/latest-completed-tx-id") >= 0L)
+      (m1 \ "crux.metrics.query/total-ms") match {
+        case JDouble(d) => assert(d > 0.0)
+        case o => fail(s"total-ms not a double: $o")
+      }
+    }
+  }
+
   test("error contract: 400 on bad input, 404 on unknown route/entity") {
     withNode { (_, port) =>
       assert(get(port, "/_crux/entity")._1 == 400)              // eid required
