@@ -24,6 +24,13 @@ import org.apache.spark.sql.functions._
   *     unfielded term there parses against the empty default field and
   *     matches nothing, multi_field_test.clj "firstname Fred")
   *   - `\` escapes (`person\/surname:Smith`)
+  *   - fuzzy `term~` / `term~N` (r4: Levenshtein ≤ N, AUTO edits from
+  *     term length like FuzzyQuery; transpositions count as two edits —
+  *     documented deviation from Damerau-Levenshtein)
+  *   - ranges `[a TO b]` / `{a TO b}` (r4: lexicographic over analyzed
+  *     tokens, `*` endpoints open; constant-score like Lucene's default
+  *     TermRangeQuery rewrite)
+  *   - boosts `expr^2.5` (r4: score multiplier on the preceding clause)
   *
   * Scoring (r4): term and phrase leaves score with Lucene's BM25
   * formula (BM25Similarity, k1=1.2 b=0.75):
@@ -51,6 +58,16 @@ object LuceneSyntax {
   final case class TermQ(field: Option[String], text: String) extends Node
   final case class PhraseQ(field: Option[String], words: Seq[String]) extends Node
   final case class BoolQ(clauses: Seq[(Occur, Node)]) extends Node
+  /** `term~` / `term~N` (r4): Levenshtein distance ≤ maxEdits. Like
+    * Lucene's FuzzyQuery AUTO mode, a bare `~` maps the edit budget to
+    * the term length (0 for <3 chars, 1 for 3-5, 2 beyond). */
+  final case class FuzzyQ(field: Option[String], text: String, maxEdits: Int) extends Node
+  /** `field:[a TO b]` / `{a TO b}` (r4): lexicographic token range;
+    * `*` as an endpoint means open. */
+  final case class RangeQ(field: Option[String], lo: Option[String],
+      hi: Option[String], incLo: Boolean, incHi: Boolean) extends Node
+  /** `expr^2.5` (r4): score multiplier, matching unchanged. */
+  final case class BoostQ(node: Node, boost: Double) extends Node
 
   // ------------------------------------------------------------------ lexer
 
@@ -64,6 +81,10 @@ object LuceneSyntax {
   private final case class FieldTok(name: String) extends Tok // `name:`
   private final case class TermTok(text: String) extends Tok
   private final case class PhraseTok(words: Seq[String]) extends Tok
+  private final case class FuzzyTok(text: String, maxEdits: Int) extends Tok
+  private final case class RangeTok(lo: Option[String], hi: Option[String],
+      incLo: Boolean, incHi: Boolean) extends Tok
+  private final case class BoostTok(boost: Double) extends Tok // binds to previous clause
 
   private def fail(q: String, why: String): Nothing =
     throw new IllegalArgumentException(s"Cannot parse '$q': $why")
@@ -93,8 +114,29 @@ object LuceneSyntax {
         if (end < 0) fail(q, "unterminated phrase")
         toks += PhraseTok(analyze(q.substring(i + 1, end)))
         i = end + 1
-      } else if (c == '^' || c == '~' || c == '[' || c == '{') {
-        fail(q, s"unsupported operator '$c'") // boost/fuzzy/range not ported
+      } else if (c == '[' || c == '{') {
+        // range query `[a TO b]` / `{a TO b}` (endpoints analyzed; * = open)
+        val close = if (c == '[') ']' else '}'
+        val endIdx = math.max(q.indexOf(']', i + 1), q.indexOf('}', i + 1))
+        if (endIdx < 0) fail(q, "unterminated range")
+        val incLo = c == '['
+        val incHi = q.charAt(endIdx) == ']'
+        val body = q.substring(i + 1, endIdx).trim.split("\\s+TO\\s+")
+        if (body.length != 2) fail(q, "range needs 'lo TO hi'")
+        def endpoint(s: String): Option[String] =
+          if (s == "*") None else Some(normalizeWildcard(s))
+        toks += RangeTok(endpoint(body(0)), endpoint(body(1)), incLo, incHi)
+        i = endIdx + 1
+        val _ = close // inclusivity comes from the actual closing char
+      } else if (c == '^') {
+        // boost: `^2`, `^0.5` — applies to the preceding clause
+        var j = i + 1
+        while (j < n && (q.charAt(j).isDigit || q.charAt(j) == '.')) j += 1
+        if (j == i + 1) fail(q, "boost needs a number")
+        toks += BoostTok(q.substring(i + 1, j).toDouble)
+        i = j
+      } else if (c == '~') {
+        fail(q, "fuzzy operator needs a preceding term")
       } else {
         // bare term, with \ escapes; may be a field prefix if it ends at ':'
         val sb = new StringBuilder
@@ -103,13 +145,24 @@ object LuceneSyntax {
           if (ch == '\\') {
             if (i + 1 >= n) fail(q, "dangling escape")
             sb.append(q.charAt(i + 1)); i += 2
-          } else if (ch == '^' || ch == '~') fail(q, s"unsupported operator '$ch'")
-          else { sb.append(ch); i += 1 }
+          } else { sb.append(ch); i += 1 }
         }
         val text = sb.toString
         if (text.isEmpty) fail(q, s"unexpected character '${q.charAt(i)}'")
         if (i < n && q.charAt(i) == ':') { toks += FieldTok(text); i += 1 }
-        else text match {
+        else if (i < n && q.charAt(i) == '~') {
+          // fuzzy: `term~` (AUTO edits from length) or `term~N`
+          var j = i + 1
+          while (j < n && q.charAt(j).isDigit) j += 1
+          val edits =
+            if (j == i + 1) { // AUTO: FuzzyQuery.defaultMaxEdits by length
+              val len = text.length
+              if (len < 3) 0 else if (len <= 5) 1 else 2
+            } else q.substring(i + 1, j).toInt
+          if (edits > 2) fail(q, "fuzzy supports at most 2 edits")
+          toks += FuzzyTok(normalizeWildcard(text), edits)
+          i = j
+        } else text match {
           case "AND" => toks += AndOp
           case "OR" => toks += OrOp
           case "NOT" => toks += NotOp
@@ -157,6 +210,11 @@ object LuceneSyntax {
           fromOp = Some(Should); toks = toks.tail
         case NotOp => pending = Some(MustNot); toks = toks.tail
         case PlusOp => pending = Some(Must); toks = toks.tail
+        case BoostTok(b) =>
+          if (clauses.isEmpty) fail(q, "boost with no preceding clause")
+          clauses(clauses.size - 1) =
+            (clauses.last._1, BoostQ(clauses.last._2, b))
+          toks = toks.tail
         case _ =>
           val (node, rest) = parsePrimary(q, toks)
           clauses += ((pending.orElse(fromOp).getOrElse(Should), node))
@@ -178,9 +236,13 @@ object LuceneSyntax {
       }
     case FieldTok(f) :: TermTok(t) :: rest => (TermQ(Some(f), normalizeWildcard(t)), rest)
     case FieldTok(f) :: PhraseTok(ws) :: rest => (PhraseQ(Some(f), ws), rest)
+    case FieldTok(f) :: FuzzyTok(t, e) :: rest => (FuzzyQ(Some(f), t, e), rest)
+    case FieldTok(f) :: RangeTok(lo, hi, il, ih) :: rest => (RangeQ(Some(f), lo, hi, il, ih), rest)
     case FieldTok(_) :: _ => fail(q, "field with no term")
     case TermTok(t) :: rest => (TermQ(None, normalizeWildcard(t)), rest)
     case PhraseTok(ws) :: rest => (PhraseQ(None, ws), rest)
+    case FuzzyTok(t, e) :: rest => (FuzzyQ(None, t, e), rest)
+    case RangeTok(lo, hi, il, ih) :: rest => (RangeQ(None, lo, hi, il, ih), rest)
     case other => fail(q, s"unexpected token $other")
   }
 
@@ -188,6 +250,9 @@ object LuceneSyntax {
   def fields(node: Node): Set[String] = node match {
     case TermQ(f, _) => f.toSet
     case PhraseQ(f, _) => f.toSet
+    case FuzzyQ(f, _, _) => f.toSet
+    case RangeQ(f, _, _, _, _) => f.toSet
+    case BoostQ(n, _) => fields(n)
     case BoolQ(cs) => cs.flatMap(c => fields(c._2)).toSet
   }
 
@@ -226,6 +291,7 @@ object LuceneSyntax {
     val buf = scala.collection.mutable.LinkedHashMap[String, Node]()
     def walk(n: Node): Unit = n match {
       case BoolQ(cs) => cs.foreach(c => walk(c._2))
+      case BoostQ(inner, _) => walk(inner)
       case lf => leafKey(lf).foreach(k => if (!buf.contains(k)) buf(k) = lf)
     }
     walk(node)
@@ -299,6 +365,8 @@ object LuceneSyntax {
       case TermQ(_, t) => lv.contains(t)
       case PhraseQ(_, ws) =>
         ws.map(lv.contains(_)).reduceOption(_ && _).getOrElse(lit(true))
+      case BoostQ(inner, _) => p(inner)
+      case _: FuzzyQ | _: RangeQ => lit(true) // no cheap containment test
       case BoolQ(cs) =>
         val musts = cs.collect { case (Must, n2) => p(n2) }
         val shoulds = cs.collect { case (Should, n2) => p(n2) }
@@ -321,6 +389,23 @@ object LuceneSyntax {
       val m = exists(toks, tok =>
         runs.foldRight(tok.rlike(re))((r, acc) => tok.contains(r) && acc))
       Compiled(m, lit(1.0))
+    case FuzzyQ(_, t, maxEdits) =>
+      // constant score, like every MultiTermQuery under constant-score
+      // rewrite; plain Levenshtein (Lucene counts transpositions as one
+      // edit — documented deviation)
+      Compiled(exists(toks, tok => levenshtein(tok, lit(t)) <= maxEdits), lit(1.0))
+    case RangeQ(_, lo, hi, incLo, incHi) =>
+      val inRange = (tok: Column) => {
+        val loOk = lo.map(l => if (incLo) tok >= lit(l) else tok > lit(l))
+          .getOrElse(lit(true))
+        val hiOk = hi.map(h => if (incHi) tok <= lit(h) else tok < lit(h))
+          .getOrElse(lit(true))
+        loOk && hiOk
+      }
+      Compiled(exists(toks, inRange), lit(1.0))
+    case BoostQ(inner, b) =>
+      val c = leaf(inner, toks, stats)
+      Compiled(c.matches, c.score * lit(b))
     case lf @ (TermQ(_, _) | PhraseQ(_, _)) =>
       val key = leafKey(lf).get
       Compiled(leafContains(lf, toks),
@@ -354,9 +439,16 @@ object LuceneSyntax {
     * stats aggregation); `stats` carries the corpus BM25 statistics. */
   def compileValue(node: Node, toks: Column, defaultField: String,
       stats: Bm25Stats): Compiled = {
+    def wrongField(n: Node): Boolean = n match {
+      case TermQ(Some(f), _) => f != defaultField
+      case PhraseQ(Some(f), _) => f != defaultField
+      case FuzzyQ(Some(f), _, _) => f != defaultField
+      case RangeQ(Some(f), _, _, _, _) => f != defaultField
+      case _ => false
+    }
     def c(n: Node): Compiled = n match {
-      case TermQ(Some(f), _) if f != defaultField => Compiled(lit(false), lit(0.0))
-      case PhraseQ(Some(f), _) if f != defaultField => Compiled(lit(false), lit(0.0))
+      case lf if wrongField(lf) => Compiled(lit(false), lit(0.0))
+      case BoostQ(inner, _) if wrongField(inner) => Compiled(lit(false), lit(0.0))
       case b: BoolQ => compileBool(b, c)
       case other => leaf(other, toks, stats)
     }
@@ -374,22 +466,30 @@ object LuceneSyntax {
       stats: Map[String, Bm25Stats]): Compiled = {
     def c(n: Node): Compiled = n match {
       case b: BoolQ => compileBool(b, c)
-      case TermQ(None, _) | PhraseQ(None, _) => Compiled(lit(false), lit(0.0))
+      case BoostQ(inner, bst) =>
+        val inC = c(inner)
+        Compiled(inC.matches, inC.score * lit(bst))
+      case TermQ(None, _) | PhraseQ(None, _) | FuzzyQ(None, _, _) |
+          RangeQ(None, _, _, _, _) => Compiled(lit(false), lit(0.0))
       case lf =>
         val f = (lf match {
           case TermQ(Some(ff), _) => ff
           case PhraseQ(Some(ff), _) => ff
+          case FuzzyQ(Some(ff), _, _) => ff
+          case RangeQ(Some(ff), _, _, _, _) => ff
           case _ => throw new IllegalStateException
         })
         fieldVals.get(f) match {
           case None => Compiled(lit(false), lit(0.0))
           case Some(vals) =>
-            val isWild = lf match {
+            val constScore = lf match {
               case TermQ(_, t) => hasWildcard(t)
+              case _: FuzzyQ | _: RangeQ => true
               case _ => false
             }
-            if (isWild) {
-              val m = exists(vals, v => leaf(lf, tokens(v), stats(f)).matches)
+            if (constScore) {
+              val st = stats.getOrElse(f, Bm25Stats(lit(0L), lit(1.0), Map.empty))
+              val m = exists(vals, v => leaf(lf, tokens(v), st).matches)
               Compiled(coalesce(m, lit(false)), lit(1.0))
             } else {
               val key = leafKey(lf).get

@@ -87,6 +87,20 @@ object Datalog2Queries {
        :where [[?p1 :p_partkey 1] [?p1 :p_type ?pt]
                [(text-search :p_type ?pt) [[?p2 ?pt2]]]]}""") _,
 
+    // fuzzy syntax (r4): Levenshtein <= 1 against analyzed tokens
+    "dl_lucene_fuzzy" -> dl("""
+      {:find [?pk ?v]
+       :keys [p_partkey p_type]
+       :where [[(text-search :p_type "promo~1") [[?p ?v]]]
+               [?p :p_partkey ?pk]]}""") _,
+
+    // range syntax (r4): lexicographic token range, constant-score
+    "dl_lucene_range" -> dl("""
+      {:find [?pk ?v]
+       :keys [p_partkey p_brand]
+       :where [[(text-search :p_brand "[1 TO 3]") [[?p ?v]]]
+               [?p :p_partkey ?pk]]}""") _,
+
     // Lucene boolean operators: MUST + MUST_NOT over one attribute
     // (QueryParser occur semantics, lucene.clj:135-144)
     "dl_lucene_bool" -> dl("""
@@ -292,6 +306,22 @@ object Datalog2Sql {
       WHERE list_contains(
         list_filter(string_split_regex(lower(p_type), '[^a-z0-9]+'), x -> x <> ''), t)
       GROUP BY p_type""",
+
+    "dl_lucene_fuzzy" -> """
+      WITH toks AS (
+        SELECT p_partkey, p_type,
+          list_filter(string_split_regex(lower(p_type), '[^a-z0-9]+'), t -> t <> '') AS ts
+        FROM part)
+      SELECT DISTINCT p_partkey, p_type FROM toks
+      WHERE len(list_filter(ts, t -> levenshtein(t, 'promo') <= 1)) > 0""",
+
+    "dl_lucene_range" -> """
+      WITH toks AS (
+        SELECT p_partkey, p_brand,
+          list_filter(string_split_regex(lower(p_brand), '[^a-z0-9]+'), t -> t <> '') AS ts
+        FROM part)
+      SELECT DISTINCT p_partkey, p_brand FROM toks
+      WHERE len(list_filter(ts, t -> t >= '1' AND t <= '3')) > 0""",
 
     "dl_lucene_bool" -> """
       WITH toks AS (

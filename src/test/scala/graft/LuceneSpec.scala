@@ -279,6 +279,38 @@ class LuceneSpec extends AnyFunSuite {
     assert(err.getMessage.contains("Lucene text search values must be String"))
   }
 
+  test("fuzzy, range and boost syntax (r4)") {
+    val src = quadSource(Seq(
+      ("ivan", "name", "ivan"), ("ivon", "name", "ivon"),
+      ("bob", "name", "bob"), ("dmitri", "name", "dmitri")))
+    // explicit edit budget: ivan~1 matches ivan + ivon
+    assert(run(src, """[:find ?e :where [[(text-search :name "ivan~1") [[?e]]]]]""") ==
+      Set(Seq("ivan"), Seq("ivon")))
+    // AUTO edits: 4-char term => 1 edit
+    assert(run(src, """[:find ?e :where [[(text-search :name "ivan~") [[?e]]]]]""") ==
+      Set(Seq("ivan"), Seq("ivon")))
+    // bob~ is 3 chars => 1 edit, no 1-edit neighbours here except itself
+    assert(run(src, """[:find ?e :where [[(text-search :name "bob~") [[?e]]]]]""") ==
+      Set(Seq("bob")))
+    // lexicographic range over analyzed tokens, inclusive/exclusive ends
+    assert(run(src, """[:find ?e :where [[(text-search :name "[bob TO ivan]") [[?e]]]]]""") ==
+      Set(Seq("bob"), Seq("dmitri"), Seq("ivan")))
+    assert(run(src, """[:find ?e :where [[(text-search :name "{bob TO ivan}") [[?e]]]]]""") ==
+      Set(Seq("dmitri")))
+    assert(run(src, """[:find ?e :where [[(text-search :name "[i TO *]") [[?e]]]]]""") ==
+      Set(Seq("ivan"), Seq("ivon")))
+    // boost scales the matching clause's score; wildcard leaf scores 1.0
+    val scored = run(src,
+      """[:find ?e ?s :where [[(text-search :name "iv*^3") [[?e ?v ?s]]]]]""")
+      .map { case Seq(e, s) => e.toString -> s.asInstanceOf[Double] }.toMap
+    assert(scored == Map("ivan" -> 3.0, "ivon" -> 3.0))
+    // boosted term still outranks unboosted term in a SHOULD list
+    val both = run(src,
+      """[:find ?e ?s :where [[(text-search :name "ivan^5 bob") [[?e ?v ?s]]]]]""")
+      .map { case Seq(e, s) => e.toString -> s.asInstanceOf[Double] }.toMap
+    assert(both("ivan") > both("bob"))
+  }
+
   test("parser rejects dangling operators and unbalanced syntax") {
     for (bad <- Seq("name AND", "OR x", "(a b", "\"unterminated", "a ~2", "f:"))
       assertThrows[IllegalArgumentException](LuceneSyntax.parse(bad))
