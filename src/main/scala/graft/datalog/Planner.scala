@@ -94,6 +94,19 @@ object Planner {
   def registerAggregate(name: String)(impl: (Column, Option[Long]) => Column): Unit = {
     customAggs.put(name, impl); ()
   }
+
+  /** User scalar-fn registry — the open fn-resolution extension the
+    * reference gets from allowlisting any resolvable symbol
+    * (query.clj:1272-1283, datascript-test-symbol-resolution calls an
+    * arbitrary namespaced fn). Register a Column builder under the
+    * (namespace-stripped) fn name; it is consulted after the built-ins. */
+  private val customFnsReg =
+    new scala.collection.concurrent.TrieMap[String, Seq[Column] => Column]()
+  def registerFunction(name: String)(impl: Seq[Column] => Column): Unit = {
+    customFnsReg.put(name, impl); ()
+  }
+  private[datalog] def customFn(name: String): Option[Seq[Column] => Column] =
+    customFnsReg.get(name)
   private[datalog] def customAgg(fn: String): Option[(Column, Option[Long]) => Column] =
     customAggs.get(fn)
 
@@ -1858,7 +1871,11 @@ private final class Planner(spark: SparkSession, source: FactSource,
         case f => throw new IllegalArgumentException(
           s"(apply $f …) unsupported — reducible fns: + * max min str concat")
       }
-    case other => throw new IllegalArgumentException(s"unsupported function $other")
+    case other => Planner.customFn(other) match {
+      case Some(impl) => impl(args)
+      case None =>
+        throw new IllegalArgumentException(s"unsupported function $other")
+    }
   }
 
   /** A registered pred-constraint clause (text-search, wildcard, or any
