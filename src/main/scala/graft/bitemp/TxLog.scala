@@ -341,14 +341,17 @@ object TxLog {
   type TxFn = (DataFrame, String) => DataFrame
 
   /** Apply a tx whose ops may include ("fn", fnName, argString in
-    * content_hash/expected_hash columns): each fn op expands against the
-    * snapshot BEFORE this tx (reference semantics: fns see the in-flight
-    * DB, and all emitted ops commit atomically with the tx). Emitted ops
-    * inherit the fn op's seq (sub-ordered by their own seq scaled in).
-    * Fns may emit further fn ops (legal in the reference, tx.clj:198-200):
-    * expansion repeats to a depth cap. An unknown fn name, a nesting
-    * overflow, or a throwing fn body ABORTS the tx (tx.clj:149-227 —
-    * errors abort, they don't kill the indexer). */
+    * content_hash/expected_hash columns): fn ops evaluate SEQUENTIALLY in
+    * op order, and each sees the in-flight state — the pre-tx snapshot
+    * plus the content rows of every earlier op in this tx (reference
+    * semantics: the fn's db comes from the InFlightTx that already
+    * indexed prior same-tx events, tx.clj:200-202 +
+    * tx_test.clj:713 `tx-fn-sees-in-tx-query-results`). Emitted ops
+    * splice in at the fn op's position, sub-ordered by their own seq.
+    * Fns may emit further fn ops (legal in the reference,
+    * tx.clj:198-200): expansion repeats to a round cap. An unknown fn
+    * name, a nesting overflow, or a throwing fn body ABORTS the tx
+    * (tx.clj:149-227 — errors abort, they don't kill the indexer). */
   /** Control-flow marker for EXPECTED tx-fn failures (unknown fn name,
     * throwing fn body): these abort the tx. Infrastructure errors (Spark,
     * IO) propagate — the reference's indexer aborts the tx on fn errors
@@ -362,27 +365,50 @@ object TxLog {
     var current = ops
     var depth = 0
     try {
-      var fnOps = current.filter(col("op") === "fn")
+      def remainingFnOps() = current.filter(col("op") === "fn")
         .select(col("eid"), col("content_hash"), col("seq")).collect()
+        .sortBy(_.getLong(2))
+      var fnOps = remainingFnOps()
       if (fnOps.isEmpty) return applyTx(state, current, txId, txTime)
-      val snapshot = Bitemp.asOfTime(resolvedHistory(state), lit(txTime), lit(txTime))
+      val txTs = lit(txTime)
+      // rounds: one per fn op, plus maxFnDepth headroom for nesting
+      val maxRounds = fnOps.length + maxFnDepth
+      // in-flight state visible to the fn at `beforeSeq`: pre-tx history
+      // plus earlier same-tx content rows (the same start-vt candidate
+      // model the match precondition uses)
+      def interimSnapshot(beforeSeq: Long): DataFrame = {
+        val writes = current
+          .filter(col("op").isin("put", "delete", "cas") && col("seq") < beforeSeq)
+          .select(col("eid"),
+            when(col("op") === "cas", coalesce(col("at_vt"), col("start_vt"), txTs))
+              .otherwise(coalesce(col("start_vt"), txTs)).as("vt"),
+            txTs.as("tt"), lit(txId).as("tx_id"),
+            when(col("op") === "delete", lit(null: String))
+              .otherwise(col("content_hash")).as("content_hash"),
+            (col("op") === "delete").as("tombstone"))
+        Bitemp.asOfTime(resolvedHistory(state.unionByName(writes)), txTs, txTs)
+      }
       while (fnOps.nonEmpty) {
-        if (depth >= maxFnDepth) return (state, true) // runaway nesting: abort
-        // splice emitted ops at the fn's position, sub-ordered by their own
-        // seq, then DENSELY RENUMBER — a (outer, inner) sort + row_number,
-        // never multiplicative scaling (which overflows Long at nesting
-        // depth ≥ 3 and corrupts last-op-wins ordering)
-        val expanded = fnOps.toSeq.map { r =>
+        if (depth >= maxRounds) return (state, true) // runaway nesting: abort
+        // evaluate the LOWEST-seq fn only, so later fns (and this fn's
+        // emitted ops) see its effects next round; splice emitted ops at
+        // the fn's position, sub-ordered by their own seq, then DENSELY
+        // RENUMBER — a (outer, inner) sort + row_number, never
+        // multiplicative scaling (which overflows Long at nesting depth
+        // ≥ 3 and corrupts last-op-wins ordering)
+        val r = fnOps.head
+        val expanded = {
           val fnName = r.getString(0); val arg = r.getString(1); val seq = r.getLong(2)
           val fn = fns.getOrElse(fnName,
             throw new TxFnAbort(s"unknown tx fn $fnName"))
           val emitted =
-            try fn(snapshot, arg)
+            try fn(interimSnapshot(seq), arg)
             catch { case scala.util.control.NonFatal(e) =>
               throw new TxFnAbort(s"tx fn $fnName threw", e) }
-          emitted.withColumn("_outer", lit(seq)).withColumn("_inner", col("seq"))
+          Seq(emitted.withColumn("_outer", lit(seq)).withColumn("_inner", col("seq")))
         }
-        val direct = current.filter(col("op") =!= "fn")
+        val direct = current
+          .filter(col("op") =!= "fn" || col("seq") =!= r.getLong(2))
           .withColumn("_outer", col("seq")).withColumn("_inner", lit(Long.MinValue))
         val combined = expanded.foldLeft(direct)(_ unionByName _)
         // renumber on the driver: the combined op list is bounded by one
@@ -401,8 +427,7 @@ object TxLog {
           .createDataFrame(java.util.Arrays.asList(renumbered: _*), schema)
           .drop("_outer", "_inner")
         depth += 1
-        fnOps = current.filter(col("op") === "fn")
-          .select(col("eid"), col("content_hash"), col("seq")).collect()
+        fnOps = remainingFnOps()
       }
       applyTx(state, current, txId, txTime)
     } catch {

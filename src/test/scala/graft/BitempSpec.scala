@@ -309,6 +309,69 @@ class BitempSpec extends AnyFunSuite {
     assert(child.length == 1 && child.head.getAs[String]("content_hash") == "payload")
   }
 
+  test("tx fn sees earlier same-tx ops (tx_test.clj:713 tx-fn-sees-in-tx-query-results)") {
+    import scala.jdk.CollectionConverters._
+    // pre-tx: ivan = "1". Tx: put ivan = "2" (seq 0), then a doubling fn
+    // (seq 1) that reads ivan from ITS snapshot and emits twice the value.
+    // The reference's fn runs over the in-flight tx (sees "2" -> "22");
+    // a fn over the pre-tx snapshot would see "1" -> "11".
+    val st = runScenario(Seq((Some("1"), "2019-11-25", None)))
+    val doubler: TxLog.TxFn = (snapshot, _) => {
+      val v = snapshot.filter(col("eid") === "ivan")
+        .select(col("content_hash")).collect().head.getString(0)
+      spark.createDataFrame(List(
+        Row("put", "ivan", v + v, d("2020-01-02"), null, null, null, 0L)).asJava,
+        TxLog.opSchema)
+    }
+    val ops = spark.createDataFrame(List(
+      Row("put", "ivan", "2", d("2020-01-01"), null, null, null, 0L),
+      Row("fn", "doubler", null, null, null, null, null, 1L)).asJava, TxLog.opSchema)
+    val (st1, aborted) = TxLog.applyTxWithFns(st, ops, 13L, d("2020-01-05"),
+      Map("doubler" -> doubler))
+    assert(!aborted)
+    val live = Bitemp.asOf(st1, lit(d("2020-06-01")), lit(99L))
+      .filter(col("eid") === "ivan").collect()
+    assert(live.map(_.getAs[String]("content_hash")).toSeq == Seq("22"))
+    // a later fn also sees a PRIOR fn's emitted ops (sequential rounds)
+    val appender: TxLog.TxFn = (snapshot, _) => {
+      val v = snapshot.filter(col("eid") === "ivan")
+        .select(col("content_hash")).collect().head.getString(0)
+      spark.createDataFrame(List(
+        Row("put", "ivan", v + "x", d("2020-01-03"), null, null, null, 0L)).asJava,
+        TxLog.opSchema)
+    }
+    val ops2 = spark.createDataFrame(List(
+      Row("put", "ivan", "2", d("2020-01-01"), null, null, null, 0L),
+      Row("fn", "doubler", null, null, null, null, null, 1L),
+      Row("fn", "appender", null, null, null, null, null, 2L)).asJava, TxLog.opSchema)
+    val (st2, aborted2) = TxLog.applyTxWithFns(st, ops2, 14L, d("2020-01-05"),
+      Map("doubler" -> doubler, "appender" -> appender))
+    assert(!aborted2)
+    val live2 = Bitemp.asOf(st2, lit(d("2020-06-01")), lit(99L))
+      .filter(col("eid") === "ivan").collect()
+    assert(live2.map(_.getAs[String]("content_hash")).toSeq == Seq("22x"))
+  }
+
+  test("two txs at the same tx-time resolve by tx-id (tx_test.clj:307 bug 441)") {
+    import scala.jdk.CollectionConverters._
+    val t = d("2019-11-29")
+    def put(v: String) = spark.createDataFrame(List(
+      Row("put", "ivan", v, t, null, null, null, 0L)).asJava, TxLog.opSchema)
+    val (st1, _) = TxLog.applyTx(TxLog.emptyState(spark), put("1"), 1L, t)
+    val (st2, _) = TxLog.applyTx(st1, put("2"), 2L, t)
+    // as-of at the shared instant: the higher tx id wins
+    assert(Bitemp.asOf(st2, lit(t), lit(2L)).collect()
+      .map(_.getAs[String]("content_hash")).toSeq == Seq("2"))
+    // tx basis pinned to the first tx still sees the first value
+    assert(Bitemp.asOf(st2, lit(t), lit(1L)).collect()
+      .map(_.getAs[String]("content_hash")).toSeq == Seq("1"))
+    // history WITH corrections keeps both rows, tx-id ordered
+    val hist = Bitemp.history(st2, withCorrections = true)
+      .orderBy(col("tx_id").desc).collect()
+      .map(r => (r.getAs[Long]("tx_id"), r.getAs[String]("content_hash"))).toSeq
+    assert(hist == Seq((2L, "2"), (1L, "1")))
+  }
+
   test("checkpoint: retention prunes, torn snapshots ignored, restore round-trips") {
     import graft.bitemp.Checkpoint
     val st = runScenario(Seq((Some("v1"), "2019-11-25", None), (Some("v2"), "2019-11-27", None)))
