@@ -238,11 +238,29 @@ final class HttpServer(node: GraftNode, port: Int = 0) {
     // error status; a mid-stream failure then only gets a truncated body
     var headersSent = false
     try {
-      val df = if (isSql) node.sql(edn) else node.query(edn, inArgs)
+      // the reference's /query runs against the node's document db at an
+      // optional bitemporal basis; this node ALSO serves its table
+      // catalog (the crux-sql-style schema surface), so: temporal params
+      // or db=docs → doc store (queryAt), otherwise the catalog
+      val useDocs = qp.contains("valid-time") || qp.contains("tx-time") ||
+        qp.contains("tx-id") || qp.get("db").contains("docs")
+      def t(p: String) = qp.get(p).map(java.time.LocalDateTime.parse)
+      val df =
+        if (isSql) node.sql(edn)
+        else if (useDocs) node.queryAt(edn, inArgs,
+          validTime = t("valid-time"), txTime = t("tx-time"),
+          txId = qp.get("tx-id").map(_.toLong))
+        else node.query(edn, inArgs)
       val cols = df.columns.toList
+      // EDN wire format (the reference's native content type, muuntaja-
+      // negotiated in crux-http-server): ?as=edn or Accept: application/edn
+      val wantsEdn = qp.get("as").contains("edn") ||
+        Option(ex.getRequestHeaders.getFirst("Accept"))
+          .exists(_.contains("application/edn"))
       val ctype = path match {
         case "/_crux/query.csv" | "/_crux/sql.csv" => "text/csv"
         case "/_crux/query.tsv" | "/_crux/sql.tsv" => "text/tsv"
+        case _ if wantsEdn => "application/edn"
         case _ => "application/json"
       }
       ex.getResponseHeaders.set("Content-Type", ctype)
@@ -267,6 +285,16 @@ final class HttpServer(node: GraftNode, port: Int = 0) {
               field(Option(r.get(i)).map(_.toString).getOrElse(""))).mkString(d))
             out.write("\n")
           }
+        case _ if wantsEdn =>
+          out.write("{:find [" + cols.map(":" + _).mkString(" ") + "] :results [")
+          var first = true
+          while (it.hasNext) {
+            val r = it.next()
+            if (!first) out.write(" ")
+            first = false
+            out.write(cols.indices.map(i => ednStr(r.get(i))).mkString("[", " ", "]"))
+          }
+          out.write("]}")
         case _ =>
           out.write("""{"find":""" + Json.render(JArray(cols.map(JString(_)))) + ""","results":[""")
           var first = true
@@ -303,6 +331,30 @@ final class HttpServer(node: GraftNode, port: Int = 0) {
         while (recent.size > maxRecent) recent.removeLast()
         queriesFailed.incrementAndGet()
     } finally active.remove(qinfo)
+  }
+
+  /** EDN rendering of a result cell. Canonical ":kw" strings render back
+    * as keywords (the inverse of this engine's keyword encoding,
+    * SURVEY §1.2); timestamps as #inst; arrays/structs as vectors. */
+  private def ednStr(v: Any): String = v match {
+    case null => "nil"
+    case s: String if s.startsWith(":") && s.length > 1 && !s.exists(_.isWhitespace) => s
+    case s: String =>
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case '\n' => "\\n"
+        case '\r' => "\\r"
+        case '\t' => "\\t"
+        case c => c.toString
+      } + "\""
+    case b: Boolean => b.toString
+    case n: java.lang.Number => n.toString
+    case t: java.time.LocalDateTime => "#inst \"" + t.toString + "\""
+    case t: java.sql.Timestamp => "#inst \"" + t.toLocalDateTime.toString + "\""
+    case seq: scala.collection.Seq[_] => seq.map(ednStr).mkString("[", " ", "]")
+    case r: org.apache.spark.sql.Row => r.toSeq.map(ednStr).mkString("[", " ", "]")
+    case other => ednStr(other.toString)
   }
 
   private def respond(ex: HttpExchange, status: Int, ctype: String, body: String): Unit = {

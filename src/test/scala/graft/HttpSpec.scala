@@ -291,6 +291,28 @@ class HttpSpec extends AnyFunSuite {
     }
   }
 
+  test("EDN wire format on /query (r4: ?as=edn / Accept: application/edn)") {
+    withNode { (_, port) =>
+      submit(port, """[["put", {"crux.db/id": ":e1", "name": "Ivan", "age": 30}]]""")
+      val q = enc("""{:find [?e ?n ?a] :where [[?e :crux.db/id :e1]
+                     [?e :name ?n] [?e :age ?a]]}""")
+      val (code, body) = get(port, s"/_crux/query?query-edn=$q&as=edn&db=docs")
+      assert(code == 200, body)
+      // parse the EDN back with the engine's own reader
+      val parsed = graft.datalog.Edn.parse(body)
+      import graft.datalog.Edn._
+      parsed match {
+        case MapV(entries) =>
+          val m = entries.toMap
+          // planner columns strip the ? sigil
+          assert(m(Kw("find")) == Vec(List(Kw("e"), Kw("n"), Kw("a"))))
+          assert(m(Kw("results")) == Vec(List(Vec(List(
+            Kw("e1"), Str("Ivan"), Lng(30))))))
+        case o => fail(s"not an EDN map: $o")
+      }
+    }
+  }
+
   test("/_crux/metrics counters move after submit-tx and queries (r4)") {
     withNode { (_, port) =>
       def metrics(): JValue = { val (c, b) = get(port, "/_crux/metrics"); assert(c == 200, b); Json.parse(b) }
