@@ -285,6 +285,23 @@ final class GraftNode(val spark: SparkSession, val source: FactSource,
       txId: Option[Long] = None): graft.datalog.FactSource = {
     import spark.implicits._
     import graft.datalog.QuadSource
+    // NodeOutOfSyncException analogue (api_test.clj:359, issue 546): a
+    // tx basis past the last INDEXED tx cannot be served consistently.
+    // Aborted txs still advance the index (the reference's await-tx
+    // completes on them), so the bound is the last submitted-and-indexed
+    // tx, not the last committed one (test-query-and-match queries at an
+    // aborted tx's basis).
+    val latest = latestSubmittedTx
+    txTime.foreach { tt =>
+      require(latest.exists(!_.txTime.isBefore(tt)),
+        s"node out of sync: requested tx-time $tt is after " +
+          s"latest completed ${latest.map(_.txTime).getOrElse("none")}")
+    }
+    txId.foreach { id =>
+      require(latest.exists(_.txId >= id),
+        s"node out of sync: requested tx-id $id is after " +
+          s"latest completed ${latest.map(_.txId).getOrElse("none")}")
+    }
     val now = java.time.LocalDateTime.now(java.time.ZoneOffset.UTC)
     val vt = lit(validTime.getOrElse(now))
     val resolved = (txTime, txId) match {

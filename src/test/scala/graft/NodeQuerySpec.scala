@@ -233,4 +233,22 @@ class NodeQuerySpec extends AnyFunSuite {
     assert(q(node, """{:find [v] :where [[:a :arbitrary-key v]]}""") ==
       Set(Seq("an untyped value"), Seq("123")))
   }
+
+  test("db with a future tx basis throws (api_test.clj:359, issue 546)") {
+    val node = newNode()
+    node.submitTx(List(put(("crux.db/id" -> ":foo"): JObject)))
+    val latest = node.latestCompletedTx.get
+    val futureT = latest.txTime.plusSeconds(10)
+    val e1 = intercept[IllegalArgumentException] {
+      node.db(txTime = Some(futureT))
+    }
+    assert(e1.getMessage.contains("node out of sync"))
+    val e2 = intercept[IllegalArgumentException] {
+      node.db(txId = Some(latest.txId + 1))
+    }
+    assert(e2.getMessage.contains("node out of sync"))
+    // the latest completed basis itself is fine
+    node.db(txTime = Some(latest.txTime), txId = Some(latest.txId))
+    ()
+  }
 }
