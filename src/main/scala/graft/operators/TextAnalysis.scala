@@ -16,6 +16,21 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** GPT-2-style BPE pre-tokenization pattern: English contractions,
+    * optionally space-prefixed letter / digit / punctuation runs.
+    * Restricted to the regex subset where Java (Spark executors) and
+    * RE2 (the DuckDB oracle) agree exactly — leftmost-first alternation,
+    * ASCII classes, no lookahead — so counts match bit-for-bit.
+    */
+  val bpePattern: String = "'(s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+"
+
+  /** BPE-ish sub-word-boundary tokens (pre-merge); codegen'd, no UDF. */
+  def bpeTokens(text: Column): Column = regexp_extract_all(text, lit(bpePattern), lit(0))
+
+  /** Number of BPE-ish pre-tokens — the scale-relevant "how many tokens
+    * is this corpus" estimator (one regex pass, no materialized array). */
+  def bpeTokenCount(text: Column): Column = regexp_count(text, lit(bpePattern))
+
   /** Marker words per language for the n-gram/stopword language heuristic. */
   val langMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and", "to", "is", "in"),

@@ -126,6 +126,18 @@ object TrainQueries {
         TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
         TextAnalysis.fingerprint(col("text")).as("fingerprint"))),
 
+    // whitespace vs BPE-ish token counts; the fixture text is plain
+    // space-separated words, so decorate it deterministically with
+    // contractions / digits / punctuation to exercise every pattern branch
+    "text_token_count" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("_dec", concat(col("text"), lit(" it's "),
+          col("doc_id").cast("string"), lit("-x! #"), col("doc_id").cast("string")))
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("ws_tokens"),
+          TextAnalysis.bpeTokenCount(col("_dec")).cast("long").as("bpe_tokens"),
+          length(col("_dec")).cast("long").as("n_chars"))),
+
     // REAL decode (r4): payloads are true PNG/WAV bytes; the oracle
     // recomputes the expected decoded features from media_id arithmetic,
     // so a hash match proves the ImageIO/AudioSystem round trip
@@ -293,6 +305,17 @@ object TrainSql {
       SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens,
              md5(lower(text)) AS fingerprint
       FROM documents""",
+
+    "text_token_count" -> s"""
+      WITH d AS (SELECT doc_id, text,
+        text || ' it''s ' || CAST(doc_id AS VARCHAR) || '-x! #' || CAST(doc_id AS VARCHAR) AS dtext
+        FROM documents)
+      SELECT doc_id,
+        CAST(len($toks) AS BIGINT) AS ws_tokens,
+        CAST(len(regexp_extract_all(dtext,
+          '''(s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+')) AS BIGINT) AS bpe_tokens,
+        CAST(length(dtext) AS BIGINT) AS n_chars
+      FROM d""",
 
     "mm_decode" -> """
       SELECT doc_id AS media_id,

@@ -159,6 +159,23 @@ class OperatorsSpec extends AnyFunSuite {
       .contains(row.getAs[String]("predicted"))))
   }
 
+  test("BPE-ish pre-tokenizer splits contractions, digit runs and punctuation") {
+    import spark.implicits._
+    val d = Seq(
+      ("it's 2026-ready! #5", 8), // it|'s| 2026|-|ready|!| #|5
+      ("we'll ship 100 units", 5), // we|'ll| ship| 100| units
+      ("plain words only", 3),
+      ("", 0)).toDF("t", "expect")
+    val got = d.select(col("expect"),
+      TextAnalysis.bpeTokenCount(col("t")).as("n"),
+      TextAnalysis.bpeTokens(col("t")).as("toks")).collect()
+    for (r <- got) assert(r.getInt(0) == r.getInt(1), r.getSeq[String](2).mkString("|"))
+    // exact token boundaries on the branch-heavy case
+    val toks = d.filter(col("expect") === 8)
+      .select(TextAnalysis.bpeTokens(col("t"))).head.getSeq[String](0)
+    assert(toks == Seq("it", "'s", " 2026", "-", "ready", "!", " #", "5"))
+  }
+
   test("quality score stays in [0, 1]") {
     val r = TextAnalysis.qualityScore(docs).select("quality").collect()
     assert(r.forall { row => val q = row.getDouble(0); q >= 0.0 && q <= 1.0 })
