@@ -247,11 +247,12 @@ object Similarity {
       dims: Int = 64, nprobe: Int = 1): DataFrame = {
     val c = corpus.select(col(idCol).as("cid"), col(cellCol).as("cell"),
       col(vecCol).cast("array<double>").as("cv"))
-    // centroid per cell: element-wise mean (aggregate of zip_with sums)
-    val sums = (0 until dims).map(i => sum(element_at(col("cv"), i + 1)).as(s"s$i"))
-    val centroids = c.groupBy(col("cell")).agg(sums.head, sums.tail: _*)
-    val counts = c.groupBy(col("cell")).agg(count(lit(1)).as("n"))
-    val cent = centroids.join(counts, "cell")
+    // centroid per cell: element-wise mean — sums and count in ONE
+    // aggregation pass (a second groupBy + join would shuffle the corpus
+    // twice for the same nlist-row result)
+    val sums = (0 until dims).map(i => sum(element_at(col("cv"), i + 1)).as(s"s$i")) :+
+      count(lit(1)).as("n")
+    val cent = c.groupBy(col("cell")).agg(sums.head, sums.tail: _*)
       .select(col("cell"), array((0 until dims).map(i => col(s"s$i") / col("n")): _*).as("centroid"))
     val q = queries.select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
     // probe: nearest centroid per query
