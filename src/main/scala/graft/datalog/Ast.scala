@@ -50,7 +50,10 @@ object Ast {
       /** Legacy `:args [{:x 1} …]` relation (query.clj:150-155 normalizes
         * arg maps into an extra `:in` relation over the first map's keys;
         * ported queries use both). None when absent or empty. */
-      argsRel: Option[(List[V], List[List[Edn.Val]])] = None)
+      argsRel: Option[(List[V], List[List[Edn.Val]])] = None,
+      /** `:timeout` ms — honored by eager executors ([[graft.http.GraftNode.q]]),
+        * query.clj's `:timeout`/with-timeout (query_test.clj:3384). */
+      timeoutMs: Option[Long] = None)
 
   def parse(edn: String): Query = fromEdn(Edn.parse(edn))
 
@@ -71,7 +74,8 @@ object Ast {
         }
         cur.foreach { case (kw, vs) => buf += kw -> Vec(vs.toList) }
         buf.toList.map {
-          case (k @ Kw(kn), Vec(List(single))) if kn == "limit" || kn == "offset" =>
+          case (k @ Kw(kn), Vec(List(single)))
+              if kn == "limit" || kn == "offset" || kn == "timeout" =>
             (k, single)
           case (k @ Kw(kn), Vec(List(v2: Vec))) if kn == "find" || kn == "in" ||
               kn == "rules" || kn == "keys" || kn == "strs" || kn == "syms" =>
@@ -142,7 +146,9 @@ object Ast {
         else Some((vars, rows))
       case o => throw new IllegalArgumentException(s"bad :args $o")
     }
-    Query(find, keys, where, in, rules, orderBy, limit, offset, argsRel)
+    val timeoutMs = m.get("timeout").map {
+      case Lng(n) => n; case o => throw new IllegalArgumentException(s"bad :timeout $o") }
+    Query(find, keys, where, in, rules, orderBy, limit, offset, argsRel, timeoutMs)
   }
 
   def varName(s: String): String = if (s.startsWith("?")) s.drop(1) else s

@@ -266,6 +266,62 @@ final class GraftNode(val spark: SparkSession, val source: FactSource,
   def query(edn: String, args: Seq[Any]): DataFrame =
     Planner.q(spark, source, edn, args: _*)
 
+  // ------------------------------------------------- eager q + lifecycle
+  private val jobGroup = s"graft-node-${GraftNode.nodeIds.incrementAndGet()}"
+  @volatile private var closed = false
+
+  /** Eager `api/q` analogue: plans via [[query]], runs the collect inside
+    * this node's Spark job group on a worker thread, and
+    *
+    *  - honors the query map's `:timeout` ms by cancelling the group and
+    *    throwing `TimeoutException` (query.clj's `q` timeout,
+    *    query_test.clj:3384 test-query-with-timeout-419);
+    *  - aborts with `InterruptedException` when [[close]] cancels the
+    *    group mid-flight (query_test.clj:3671
+    *    closing-node-interrupts-open-snapshots).
+    *
+    * Cancellation is Spark-native (`cancelJobGroup` with
+    * interruptOnCancel), so at cluster scale a timed-out query releases
+    * its executors instead of running to completion unobserved. */
+  def q(edn: String, args: Any*): Array[Row] = {
+    if (closed) throw new IllegalStateException("node is closed")
+    val timeoutMs = graft.datalog.Ast.parse(edn).timeoutMs
+    val df = query(edn, args)
+    val sc = spark.sparkContext
+    val done = new java.util.concurrent.CompletableFuture[Array[Row]]()
+    val t = new Thread(() => {
+      sc.setJobGroup(jobGroup, s"graft q", interruptOnCancel = true)
+      try done.complete(df.collect())
+      catch { case e: Throwable => done.completeExceptionally(e) }
+      finally sc.clearJobGroup()
+    }, s"$jobGroup-q")
+    t.setDaemon(true)
+    t.start()
+    try timeoutMs match {
+      case Some(ms) => done.get(ms, java.util.concurrent.TimeUnit.MILLISECONDS)
+      case None => done.get()
+    } catch {
+      case _: java.util.concurrent.TimeoutException =>
+        sc.cancelJobGroup(jobGroup)
+        throw new java.util.concurrent.TimeoutException(
+          s"query timed out after ${timeoutMs.get} ms")
+      case e: java.util.concurrent.ExecutionException =>
+        if (closed) throw new InterruptedException("node closed during query")
+        throw e.getCause
+    }
+  }
+
+  /** Close the node: reject new queries and cancel this node's in-flight
+    * Spark jobs (open cursors/snapshots abort, as the reference's
+    * node-close interrupts open snapshots). The shared SparkSession is
+    * NOT stopped — nodes are tenants of it. */
+  def close(): Unit = {
+    closed = true
+    // ...AndFutureJobs: a query between planning and its first job
+    // submission must still die, not sneak in after close
+    spark.sparkContext.cancelJobGroupAndFutureJobs(jobGroup)
+  }
+
   /** Datalog source over this node's OWN document store at a bitemporal
     * snapshot — the reference's `(api/db node vt tt)` handle that `api/q`
     * runs against (crux-core/src/crux/api.clj:24-110): resolve the
@@ -398,4 +454,8 @@ final class GraftNode(val spark: SparkSession, val source: FactSource,
       .reduce(_ unionByName _)
     counted.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
   }
+}
+
+object GraftNode {
+  private val nodeIds = new java.util.concurrent.atomic.AtomicLong(0L)
 }

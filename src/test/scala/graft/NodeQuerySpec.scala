@@ -251,4 +251,50 @@ class NodeQuerySpec extends AnyFunSuite {
     node.db(txTime = Some(latest.txTime), txId = Some(latest.txId))
     ()
   }
+
+  // a per-row sleeping scalar fn (through the r4 user registry) stands in
+  // for the reference's with-redefs'd slowed index iterator
+  private def registerSlowIdent(sleepMs: Long): Unit =
+    graft.datalog.Planner.registerFunction("slow-ident") { args =>
+      val f = org.apache.spark.sql.functions.udf { (x: String) =>
+        Thread.sleep(sleepMs); x
+      }
+      f(args.head)
+    }
+
+  private val slowEdn =
+    """{:find [f sf] :where [[e :l_returnflag f] [(slow-ident f) sf]]"""
+
+  test("query :timeout cancels the plan's Spark jobs (query_test.clj:3384)") {
+    val node = newNode()
+    // generous timeout: completes normally
+    registerSlowIdent(0)
+    assert(node.q(slowEdn + " :timeout 60000}").nonEmpty)
+    // ~6k lineitem rows × 20 ms / 32 threads ≈ 3.8 s ≫ 250 ms
+    registerSlowIdent(20)
+    val t0 = System.nanoTime()
+    intercept[java.util.concurrent.TimeoutException] {
+      node.q(slowEdn + " :timeout 250}")
+    }
+    assert((System.nanoTime() - t0) / 1e9 < 3.0, "timeout did not cut the run short")
+  }
+
+  test("closing a node interrupts in-flight queries (query_test.clj:3671)") {
+    val node = newNode()
+    registerSlowIdent(20)
+    val thrown = new java.util.concurrent.CompletableFuture[Throwable]()
+    val t = new Thread(() => {
+      try { node.q(slowEdn + "}"); thrown.complete(null) }
+      catch { case e: Throwable => thrown.complete(e) }
+    })
+    t.start()
+    Thread.sleep(500) // let the query reach its Spark jobs
+    node.close()
+    val e = thrown.get(30, java.util.concurrent.TimeUnit.SECONDS)
+    assert(e.isInstanceOf[InterruptedException], s"expected interrupt, got $e")
+    // a closed node rejects new queries outright
+    intercept[IllegalStateException] {
+      node.q("""{:find [n] :where [[e :r_name n]]}""")
+    }
+  }
 }
