@@ -222,7 +222,13 @@ object TxLog {
         .select(col("eid"), col("vt"), col("_r.tt").as("tt"), col("_r.tx_id").as("tx_id"),
           col("_r.content_hash").as("content_hash"), col("_r.tombstone").as("tombstone"))
 
-      (newRows, evictEids, false)
+      // evict wins over the SAME tx's writes regardless of op order
+      // (tx_test.clj:1235 test-put-evict-in-same-transaction-1337; the
+      // reference's evict drops every version of the eid including ones
+      // written by this very tx — even a later re-put, its known #1337
+      // wart, which we match)
+      val kept = newRows.join(broadcast(evictEids), Seq("eid"), "left_anti")
+      (kept, evictEids, false)
     } finally resolved.unpersist()
   }
 
@@ -482,9 +488,10 @@ private[graft] object TxLogFold {
     * against the pre-tx resolved snapshot PLUS earlier same-tx CONTENT
     * rows (crux applies ops sequentially), combined last-op-wins per vt
     * by seq, then merged;
-    * evict clears all earlier rows but not the same tx's writes (applyTx
-    * computes newRows before the anti-join). The differential spec checks
-    * this against the sequential applyTx fold on randomized op programs. */
+    * evict clears all earlier rows AND the same tx's writes regardless of
+    * op order (tx_test.clj:1235 #1337 — matching applyTxParts' anti-join
+    * of the tx's own delta). The differential spec checks this against
+    * the sequential applyTx fold on randomized op programs. */
   def foldEntity(rows: Iterator[FoldIn]): Iterator[FoldOut] = {
     val all = rows.toArray
     val eid = all.head.eid
@@ -578,7 +585,7 @@ private[graft] object TxLogFold {
           case _ => () // match/cas/fn never reach the fold
         }
       }
-      if (evicted) { emitted.clear(); resolved.clear() }
+      if (evicted) { emitted.clear(); resolved.clear(); rowsByVt.clear() }
       rowsByVt.values.foreach { case (r, _) =>
         emitted += r
         if (resolved.get(r.vt).forall(_.txId <= r.txId))

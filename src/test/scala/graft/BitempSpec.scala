@@ -400,4 +400,58 @@ class BitempSpec extends AnyFunSuite {
       .collect().toSeq.map(_.getAs[String]("content_hash"))
     assert(liveForked == Seq("v-spec") && liveBase == Seq("v1"))
   }
+
+  test("evict wins over same-tx puts regardless of op order (tx_test.clj:1235, #1337)") {
+    import scala.jdk.CollectionConverters._
+    def put(eid: String, v: String, seq: Long) =
+      Row("put", eid, v, null, null, null, null, seq)
+    def evict(eid: String, seq: Long) =
+      Row("evict", eid, null, null, null, null, null, seq)
+    def tx(st: DataFrame, txId: Long, ops: Seq[Row]): DataFrame = {
+      val (next, aborted) = TxLog.applyTx(st,
+        spark.createDataFrame(ops.asJava, TxLog.opSchema), txId,
+        d("2020-01-01").plusMinutes(txId))
+      assert(!aborted)
+      next.localCheckpoint(true)
+    }
+    def eids(st: DataFrame): Set[String] =
+      TxLog.resolvedHistory(st).select("eid").collect().map(_.getString(0)).toSet
+    // put then evict in one tx: b never existed; a untouched
+    var st = tx(TxLog.emptyState(spark), 0L, Seq(put("a", "va", 0L)))
+    st = tx(st, 1L, Seq(put("b", "vb", 0L), evict("b", 1L)))
+    assert(eids(st) == Set("a"))
+    // evict then re-put in one tx: still gone (the reference's known
+    // #1337 wart — evict drops the tx's own later writes too; matched)
+    st = tx(st, 2L, Seq(evict("a", 0L), put("a", "va2", 1L)))
+    assert(eids(st).isEmpty)
+    // a LATER tx re-adds normally
+    st = tx(st, 3L, Seq(put("a", "va3", 0L)))
+    assert(eids(st) == Set("a"))
+    // the one-pass fold path agrees tx-for-tx
+    def df(rows: Row*) = spark.createDataFrame(rows.asJava, TxLog.opSchema)
+    val batched = TxLog.applyBatch(TxLog.emptyState(spark), Seq(
+      (0L, d("2020-01-01"), df(put("a", "va", 0L))),
+      (1L, d("2020-01-02"), df(put("b", "vb", 0L), evict("b", 1L))),
+      (2L, d("2020-01-03"), df(evict("a", 0L), put("a", "va2", 1L))),
+      (3L, d("2020-01-04"), df(put("a", "va3", 0L)))))
+    val rows = TxLog.resolvedHistory(batched).collect()
+    assert(rows.map(_.getAs[String]("eid")).toSet == Set("a"))
+    assert(rows.map(_.getAs[String]("content_hash")).toSet == Set("va3"))
+  }
+
+  test("tx fn returning no ops leaves the rest of the tx intact (tx_test.clj:760, #457)") {
+    import scala.jdk.CollectionConverters._
+    val st = runScenario(Seq((Some("v1"), "2019-11-25", None)))
+    val nilFn: TxLog.TxFn = (_, _) =>
+      spark.createDataFrame(new java.util.ArrayList[Row](), TxLog.opSchema)
+    val ops = spark.createDataFrame(List(
+      Row("fn", "nil-fn", "arg", null, null, null, null, 0L),
+      Row("put", "foo", "vfoo", d("2020-01-01"), null, null, null, 1L)).asJava,
+      TxLog.opSchema)
+    val (st1, aborted) = TxLog.applyTxWithFns(st, ops, 20L, d("2020-01-02"),
+      Map("nil-fn" -> nilFn))
+    assert(!aborted)
+    val foo = st1.filter(col("eid") === "foo").collect()
+    assert(foo.length == 1 && foo.head.getAs[String]("content_hash") == "vfoo")
+  }
 }

@@ -265,6 +265,16 @@ class NodeQuerySpec extends AnyFunSuite {
   private val slowEdn =
     """{:find [f sf] :where [[e :l_returnflag f] [(slow-ident f) sf]]"""
 
+  test("empty tx commits and advances the log (tx_test.clj:1327, #1519)") {
+    val node = newNode()
+    val info = node.submitTx(Nil)
+    assert(info.committed)
+    assert(node.latestSubmittedTx.exists(_.txId == info.txId))
+    // and the next real tx lands on top of it
+    node.submitTx(List(put(("crux.db/id" -> ":after-empty") ~ ("ok" -> true))))
+    assert(q(node, """{:find [e] :where [[e :ok true]]}""") == Set(Seq(":after-empty")))
+  }
+
   test("query :timeout cancels the plan's Spark jobs (query_test.clj:3384)") {
     val node = newNode()
     // generous timeout: completes normally
