@@ -177,10 +177,17 @@ final class GraftNode(val spark: SparkSession, val source: FactSource,
   private def eidOf(doc: JObject): String =
     doc.obj.collectFirst { case ("crux.db/id", v) => eidStr(v) }
       .getOrElse(throw new IllegalArgumentException("put doc needs crux.db/id"))
+  /** Canonical eid key. Integral ids normalize to the same key whatever
+    * their width — (int 10), (short 10) and (long 10) are one entity
+    * (tx_test.clj:1202 #1043, :828 #1398: the codec coerces int/short/byte
+    * ids to long) — while a floating id keeps its point ("10.0" ≠ "10",
+    * as Clojure's = distinguishes 10 and 10.0). */
   private def eidStr(j: JValue): String = j match {
     case JString(s) => s
     case JLong(l) => l.toString
     case JInt(i) => i.toString
+    case JDouble(x) => x.toString
+    case JDecimal(x) => x.toString
     case other => throw new IllegalArgumentException(s"bad eid $other")
   }
   /** Canonical doc form: sorted keys, so content hashes are stable

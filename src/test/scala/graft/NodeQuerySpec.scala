@@ -265,6 +265,16 @@ class NodeQuerySpec extends AnyFunSuite {
   private val slowEdn =
     """{:find [f sf] :where [[e :l_returnflag f] [(slow-ident f) sf]]"""
 
+  test("int and long ids are one key, floating ids keep the point (tx_test.clj:1202, #1043)") {
+    val node = newNode()
+    node.submitTx(List(put(("crux.db/id" -> 10) ~ ("name" -> "foo"))))
+    node.submitTx(List(put(("crux.db/id" -> 10L) ~ ("name" -> "foo2"))))
+    node.submitTx(List(put(("crux.db/id" -> 1.1) ~ ("name" -> "quux"))))
+    // the second put CORRECTED entity 10 (same key), it didn't fork a twin
+    assert(q(node, """{:find [e n] :where [[e :name n]]}""") ==
+      Set(Seq("10", "foo2"), Seq("1.1", "quux")))
+  }
+
   test("empty tx commits and advances the log (tx_test.clj:1327, #1519)") {
     val node = newNode()
     val info = node.submitTx(Nil)
