@@ -129,4 +129,30 @@ class SpaceTutorialSpec extends AnyFunSuite {
       Some(Json.render(JObject(upgraded.sortBy(_._1)))))
     assert(node.currentVersions.count() == before + 1) // new version row, same content hash
   }
+
+  test("oumuamua: evict removes one person, the rest keep their docs (space_tutorial:501)") {
+    val node = newNode()
+    def person(id: String, name: String, planet: String, tag: String): JObject =
+      ("crux.db/id" -> id) ~ ("full-name" -> name) ~
+        ("origin-planet" -> planet) ~ ("identity-tag" -> tag)
+    assert(node.submitTx(List(
+      put(person(":person/kaarlang", "Kaarlang", "Mars", ":KA01299242093")),
+      put(person(":person/ilex", "Ilex Jefferson", "Venus", ":IJ01222212454")),
+      put(person(":person/thadd", "Thad Christover", "Titan", ":IJ01222212454")),
+      put(person(":person/johanna", "Johanna", "Earth", ":JA012992129120")))).committed)
+    def names(): Set[Any] =
+      node.queryAt("""{:find [n] :where [[e :full-name n]]}""")
+        .collect().map(_.get(0)).toSet
+    assert(names() == Set("Kaarlang", "Ilex Jefferson", "Thad Christover", "Johanna"))
+    assert(node.submitTx(List(
+      JArray(List(JString("evict"), JString(":person/kaarlang"))))).committed)
+    assert(names() == Set("Ilex Jefferson", "Thad Christover", "Johanna"))
+    // evicted: doc and history gone; the others keep theirs
+    assert(docAt(node, ":person/kaarlang").isEmpty)
+    assert(node.entityHistory(":person/kaarlang", sortAsc = false,
+      withCorrections = false, withDocs = false, None, None).isEmpty)
+    assert(!node.entityHistory(":person/ilex", sortAsc = false,
+      withCorrections = false, withDocs = false, None, None).isEmpty)
+    assert(docAt(node, ":person/thadd").nonEmpty)
+  }
 }
