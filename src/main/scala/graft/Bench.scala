@@ -37,13 +37,17 @@ object Bench {
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
     }
-    val results = selected.map { case (name, fn) =>
-      def once(): Double = {
+    // a throwing query is reported as "err:<Exception>" — NEVER as a
+    // (fast) time: a broken query must look broken in BENCH json, not fast
+    val results: Seq[(String, Either[String, Double])] = selected.map { case (name, fn) =>
+      def once(): Either[String, Double] = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable => Left(s"err:${e.getClass.getSimpleName}") }
       }
-      name -> Seq(once(), once(), once()).min
+      val runs = Seq(once(), once(), once())
+      val oks = runs.collect { case Right(t) => t }
+      name -> (if (oks.isEmpty) runs.head else Right(oks.min))
     }
     // 2-phase ingest bench: phase 2 applies the same tx volume on top of
     // phase 1's accumulated state — near-equal times demonstrate per-batch
@@ -70,10 +74,14 @@ object Bench {
       val p2 = (System.nanoTime() - t2) / 1e9
       Seq("ingest_phase1" -> p1, "ingest_phase2" -> p2)
     } catch { case _: Throwable => Nil }
-    val qs = (results ++ ingest).map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = (results ++ ingest.map { case (k, v) => k -> Right(v) })
+      .map {
+        case (k, Right(v)) => s"\"" + k + "\":" + v
+        case (k, Left(e)) => s"\"" + k + "\":\"" + e + "\""
+      }.mkString("{", ",", "}")
+    val total = results.collect { case (_, Right(v)) => v }.sum
+    val nErr = results.count(_._2.isLeft)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","errors":$nErr,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

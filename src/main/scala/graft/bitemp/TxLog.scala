@@ -77,7 +77,14 @@ object TxLog {
   def applyTxParts(state: DataFrame, ops: DataFrame, txId: Long,
       txTime: java.time.LocalDateTime): (DataFrame, DataFrame, Boolean) = {
     val txTs = lit(txTime)
-    val resolved = resolvedHistory(state).cache()
+    // Only this tx's entities ever matter: every consumer of `resolved`
+    // below joins on the tx's own eids, so restrict the resolve to the
+    // touched entities (left_semi, same shape as the fold path's :327) —
+    // untouched history never shuffles, keeping per-tx cost O(touched)
+    // instead of O(total state) (tx.clj applies per-entity too).
+    val touchedEids = ops.select(col("eid")).distinct()
+    val resolved = resolvedHistory(
+      state.join(broadcast(touchedEids), Seq("eid"), "left_semi")).cache()
     try {
       // --- match / cas precondition: resolved hash at basis must equal
       // expected (null-safe; nil==nil matches), tx.clj:100-130. Ops apply
@@ -369,7 +376,12 @@ object TxLog {
       txTime: java.time.LocalDateTime, fns: Map[String, TxFn],
       maxFnDepth: Int = 10): (DataFrame, Boolean) = {
     var current = ops
-    var depth = 0
+    // per-op NESTING depth (not a global round counter): a fn may legally
+    // emit any breadth of fn ops at its own depth+1 — the reference guards
+    // recursion depth only, so a wide fan-out must not exhaust the budget
+    // (each round consumes one fn op and emissions strictly deepen, so
+    // termination is the depth cap itself)
+    var depthOf: Map[Long, Int] = Map.empty.withDefaultValue(0)
     try {
       def remainingFnOps() = current.filter(col("op") === "fn")
         .select(col("eid"), col("content_hash"), col("seq")).collect()
@@ -377,8 +389,6 @@ object TxLog {
       var fnOps = remainingFnOps()
       if (fnOps.isEmpty) return applyTx(state, current, txId, txTime)
       val txTs = lit(txTime)
-      // rounds: one per fn op, plus maxFnDepth headroom for nesting
-      val maxRounds = fnOps.length + maxFnDepth
       // in-flight state visible to the fn at `beforeSeq`: pre-tx history
       // plus earlier same-tx content rows (the same start-vt candidate
       // model the match precondition uses)
@@ -395,7 +405,6 @@ object TxLog {
         Bitemp.asOfTime(resolvedHistory(state.unionByName(writes)), txTs, txTs)
       }
       while (fnOps.nonEmpty) {
-        if (depth >= maxRounds) return (state, true) // runaway nesting: abort
         // evaluate the LOWEST-seq fn only, so later fns (and this fn's
         // emitted ops) see its effects next round; splice emitted ops at
         // the fn's position, sub-ordered by their own seq, then DENSELY
@@ -403,6 +412,8 @@ object TxLog {
         // multiplicative scaling (which overflows Long at nesting depth
         // ≥ 3 and corrupts last-op-wins ordering)
         val r = fnOps.head
+        if (depthOf(r.getLong(2)) >= maxFnDepth)
+          return (state, true) // runaway RECURSION: abort
         val expanded = {
           val fnName = r.getString(0); val arg = r.getString(1); val seq = r.getLong(2)
           val fn = fns.getOrElse(fnName,
@@ -424,15 +435,21 @@ object TxLog {
         val schema = combined.schema
         val oIdx = schema.fieldIndex("_outer"); val iIdx = schema.fieldIndex("_inner")
         val sIdx = schema.fieldIndex("seq")
-        val renumbered = combined.collect()
+        val sorted = combined.collect()
           .sortBy(r => (r.getLong(oIdx), r.getLong(iIdx)))
-          .zipWithIndex.map { case (r, i) =>
+        // re-key per-op depths to the new dense seqs: a spliced (emitted)
+        // row inherits its emitter's depth + 1, a direct row keeps its own
+        depthOf = sorted.zipWithIndex.map { case (r, i) =>
+          val emitted = r.getLong(iIdx) != Long.MinValue
+          val oldDepth = depthOf(r.getLong(if (emitted) oIdx else sIdx))
+          (i + 1).toLong -> (if (emitted) oldDepth + 1 else oldDepth)
+        }.toMap.withDefaultValue(0)
+        val renumbered = sorted.zipWithIndex.map { case (r, i) =>
             org.apache.spark.sql.Row.fromSeq(r.toSeq.updated(sIdx, (i + 1).toLong))
           }
         current = combined.sparkSession
           .createDataFrame(java.util.Arrays.asList(renumbered: _*), schema)
           .drop("_outer", "_inner")
-        depth += 1
         fnOps = remainingFnOps()
       }
       applyTx(state, current, txId, txTime)

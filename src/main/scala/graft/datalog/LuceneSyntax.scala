@@ -24,9 +24,9 @@ import org.apache.spark.sql.functions._
   *     unfielded term there parses against the empty default field and
   *     matches nothing, multi_field_test.clj "firstname Fred")
   *   - `\` escapes (`person\/surname:Smith`)
-  *   - fuzzy `term~` / `term~N` (r4: Levenshtein ≤ N, AUTO edits from
-  *     term length like FuzzyQuery; transpositions count as two edits —
-  *     documented deviation from Damerau-Levenshtein)
+  *   - fuzzy `term~` / `term~N` (r5: Damerau-Levenshtein ≤ N — an
+  *     adjacent transposition counts as ONE edit, matching Lucene's
+  *     FuzzyQuery; AUTO edits from term length)
   *   - ranges `[a TO b]` / `{a TO b}` (r4: lexicographic over analyzed
   *     tokens, `*` endpoints open; constant-score like Lucene's default
   *     TermRangeQuery rewrite)
@@ -58,9 +58,10 @@ object LuceneSyntax {
   final case class TermQ(field: Option[String], text: String) extends Node
   final case class PhraseQ(field: Option[String], words: Seq[String]) extends Node
   final case class BoolQ(clauses: Seq[(Occur, Node)]) extends Node
-  /** `term~` / `term~N` (r4): Levenshtein distance ≤ maxEdits. Like
-    * Lucene's FuzzyQuery AUTO mode, a bare `~` maps the edit budget to
-    * the term length (0 for <3 chars, 1 for 3-5, 2 beyond). */
+  /** `term~` / `term~N` (r5): Damerau-Levenshtein distance ≤ maxEdits
+    * (transposition = 1 edit, like FuzzyQuery). Like Lucene's AUTO mode,
+    * a bare `~` maps the edit budget to the term length (0 for <3 chars,
+    * 1 for 3-5, 2 beyond). */
   final case class FuzzyQ(field: Option[String], text: String, maxEdits: Int) extends Node
   /** `field:[a TO b]` / `{a TO b}` (r4): lexicographic token range;
     * `*` as an endpoint means open. */
@@ -116,9 +117,13 @@ object LuceneSyntax {
         i = end + 1
       } else if (c == '[' || c == '{') {
         // range query `[a TO b]` / `{a TO b}` (endpoints analyzed; * = open)
+        // NEAREST closing char of either style ends this range — ranges of
+        // both styles may coexist in one query (`a:[1 TO 3] AND b:{x TO y}`)
+        // and the inclusivity char is whichever actually closes this one
         val close = if (c == '[') ']' else '}'
-        val endIdx = math.max(q.indexOf(']', i + 1), q.indexOf('}', i + 1))
-        if (endIdx < 0) fail(q, "unterminated range")
+        val closeCands = Seq(q.indexOf(']', i + 1), q.indexOf('}', i + 1)).filter(_ >= 0)
+        if (closeCands.isEmpty) fail(q, "unterminated range")
+        val endIdx = closeCands.min
         val incLo = c == '['
         val incHi = q.charAt(endIdx) == ']'
         val body = q.substring(i + 1, endIdx).trim.split("\\s+TO\\s+")
@@ -319,17 +324,22 @@ object LuceneSyntax {
   }
 
   /** Lucene BM25Similarity: idf * tf / (tf + k1*(1 - b + b*dl/avgdl)).
-    * A leaf with no df stat falls back to df=0 — this only happens when
+    * Public column form — the join-based bound text search computes the
+    * same score with per-token df columns instead of a stats map. */
+  def bm25Score(tf: Column, dl: Column, df: Column,
+      ndocs: Column, avgdl: Column): Column = {
+    val idf = log(lit(1.0) +
+      (ndocs.cast("double") - df.cast("double") + lit(0.5)) /
+        (df.cast("double") + lit(0.5)))
+    val ad = greatest(coalesce(avgdl.cast("double"), lit(1.0)), lit(1e-9))
+    idf * tf / (tf + lit(K1) * (lit(1.0 - B) + lit(B) * dl.cast("double") / ad))
+  }
+
+  /** A leaf with no df stat falls back to df=0 — this only happens when
     * the caller skipped the stats pass because the score is unbound, so
     * the expression is never evaluated. */
-  private def bm25(key: String, tf: Column, dl: Column, stats: Bm25Stats): Column = {
-    val df = stats.df.getOrElse(key, lit(0L))
-    val idf = log(lit(1.0) +
-      (stats.ndocs.cast("double") - df.cast("double") + lit(0.5)) /
-        (df.cast("double") + lit(0.5)))
-    val avgdl = greatest(coalesce(stats.avgdl.cast("double"), lit(1.0)), lit(1e-9))
-    idf * tf / (tf + lit(K1) * (lit(1.0 - B) + lit(B) * dl.cast("double") / avgdl))
-  }
+  private def bm25(key: String, tf: Column, dl: Column, stats: Bm25Stats): Column =
+    bm25Score(tf, dl, stats.df.getOrElse(key, lit(0L)), stats.ndocs, stats.avgdl)
 
   private[graft] def wildcardRegex(t: String): String = {
     val sb = new StringBuilder("^")
@@ -391,9 +401,15 @@ object LuceneSyntax {
       Compiled(m, lit(1.0))
     case FuzzyQ(_, t, maxEdits) =>
       // constant score, like every MultiTermQuery under constant-score
-      // rewrite; plain Levenshtein (Lucene counts transpositions as one
-      // edit — documented deviation)
-      Compiled(exists(toks, tok => levenshtein(tok, lit(t)) <= maxEdits), lit(1.0))
+      // rewrite; Damerau-Levenshtein (transposition = 1 edit) matching
+      // Lucene FuzzyQuery — native expression, see FuzzyTokenMatch
+      if (maxEdits == 0) Compiled(array_contains(toks, t), lit(1.0))
+      else {
+        graft.functions.GraftFunctions.register(
+          org.apache.spark.sql.SparkSession.active) // idempotent
+        Compiled(call_function("fuzzy_token_match", toks, lit(t), lit(maxEdits)),
+          lit(1.0))
+      }
     case RangeQ(_, lo, hi, incLo, incHi) =>
       val inRange = (tok: Column) => {
         val loOk = lo.map(l => if (incLo) tok >= lit(l) else tok > lit(l))

@@ -1897,16 +1897,40 @@ private final class Planner(spark: SparkSession, source: FactSource,
     * (lucene_test.clj:395-405 binds the query string per tuple): evaluate
     * the constraint once per DISTINCT binding of the arg vars — the
     * reference's per-tuple re-execution, dedup'd — union the per-binding
-    * relations tagged with their binding values, and join back. Driver
-    * loop bounded by the distinct query-string domain, which is small by
-    * construction (it is a human-written search-pattern column). */
+    * relations tagged with their binding values, and join back.
+    *
+    * Scale split (r5): for `text-search` with a var query string, PLAIN
+    * single-token patterns (no Lucene operators — the overwhelmingly
+    * common shape when the pattern is a data column) run as ONE
+    * tokenize-both-sides equi-join with no driver collect and an
+    * UNBOUNDED binding domain; only syntax-carrying patterns take the
+    * per-binding driver loop, which stays capped at 1000 with a loud
+    * error (matching the reference's per-tuple re-execution model). */
   private def applyPredConstraintPerBinding(current: Rel, p: Pred): Rel = {
     val argVars = p.args.collect { case V(n) => n }.distinct
     val outNames = constraintBindingNames(p)
-    val combos = current.df.select(argVars.map(col): _*).distinct().collect()
+    val relDf = (p.fn, p.args) match {
+      case ("text-search", List(C(Edn.Kw(attr)), V(qv)))
+          if current.df.schema(qv).dataType == StringType &&
+            !outNames.contains(qv) =>
+        boundTextSearchDf(current, attr, qv, outNames)
+      case _ =>
+        perBindingLoopDf(current, p, argVars, outNames,
+          current.df.select(argVars.map(col): _*).distinct().collect().toSeq)
+    }
+    val rel = Rel(relDf, distinctSure = false)
+    val shared = (rel.vars & current.vars).toSeq
+    if (shared.isEmpty) Rel(current.df.crossJoin(rel.df), distinctSure = false)
+    else Rel(current.df.join(rel.df, shared, "inner"), distinctSure = false)
+  }
+
+  /** The per-distinct-binding driver loop (cap 1000): one constraint
+    * evaluation per combo, tagged with its binding values and unioned. */
+  private def perBindingLoopDf(current: Rel, p: Pred, argVars: List[String],
+      outNames: List[String], combos: Seq[Row]): DataFrame = {
     require(combos.length <= 1000,
       s"${p.fn}: more than 1000 distinct bindings for args $argVars")
-    val frames = combos.toSeq.map { row =>
+    val frames = combos.map { row =>
       val sub = argVars.zip(row.toSeq.map(norm)).toMap
       val substArgs = p.args.map {
         case V(n) => C(Planner.ednOf(sub(n)).getOrElse(
@@ -1918,16 +1942,77 @@ private final class Planner(spark: SparkSession, source: FactSource,
       argVars.foreach { n => df = df.withColumn(n, lit(sub(n))) }
       df
     }
-    val rel =
-      if (frames.isEmpty) {
-        // outer relation is empty: empty result, null-typed binding cols
-        var df = current.df.limit(0).select(argVars.map(col): _*)
-        outNames.foreach { n => df = df.withColumn(n, lit(null)) }
-        Rel(df, distinctSure = true)
-      } else Rel(frames.reduce(_ unionByName _), distinctSure = false)
-    val shared = (rel.vars & current.vars).toSeq
-    if (shared.isEmpty) Rel(current.df.crossJoin(rel.df), distinctSure = false)
-    else Rel(current.df.join(rel.df, shared, "inner"), distinctSure = false)
+    if (frames.isEmpty) {
+      // outer relation is empty: empty result, null-typed binding cols
+      var df = current.df.limit(0).select(argVars.map(col): _*)
+      outNames.foreach { n => df = df.withColumn(n, lit(null)) }
+      df
+    } else frames.reduce(_ unionByName _)
+  }
+
+  /** `text-search` with a clause-bound query string: plain patterns (one
+    * analyzer token, no operator chars, not AND/OR/NOT — for which
+    * QueryParser yields a single TermQ) become a distributed equi-join:
+    * explode the attribute corpus to (doc, token, tf, dl) rows once, join
+    * tokens to the lowercased bound patterns, and recompute BM25 from
+    * per-token df columns — identical scores to the per-binding path's
+    * stats pass, one shuffle, no driver collect of the pattern domain.
+    * Patterns carrying real Lucene syntax still take the driver loop. */
+  private def boundTextSearchDf(current: Rel, attr: String, qv: String,
+      outNames: List[String]): DataFrame = {
+    require(outNames.nonEmpty && outNames.size <= 3,
+      "text-search binds a prefix of [[?e ?v ?score]]")
+    val needScore = outNames.size == 3
+    val bound = current.df.select(col(qv)).distinct()
+    val plainCol = col(qv).rlike("^[\\p{L}\\p{N}]+$") &&
+      !upper(col(qv)).isin("AND", "OR", "NOT")
+    // syntax-ful patterns: rare by construction — driver loop, capped
+    val p = Pred("text-search", List(C(Edn.Kw(attr)), V(qv)),
+      Some(BindRel(outNames.map(V(_)))))
+    val loopDf = {
+      val combos = bound.filter(!coalesce(plainCol, lit(false))).collect().toSeq
+      if (combos.isEmpty) None
+      else Some(perBindingLoopDf(current, p, List(qv), outNames, combos))
+    }
+    val joinDf = {
+      val terms = bound.filter(plainCol).select(col(qv), lower(col(qv)).as("__tok"))
+      stringValues(source, attr) match {
+        case None =>
+          var df = terms.limit(0).select(col(qv))
+          outNames.zip(textRelTypes(outNames, withAttr = false)).foreach {
+            case (n, (_, t)) => df = df.withColumn(n, lit(null).cast(t)) }
+          df
+        case Some(base) =>
+          val withT = base.withColumn("__toks", LuceneSyntax.tokens(col("value")))
+          // one row per (doc, token): tf + dl ride along for scoring
+          val docToks = withT
+            .select(col("eid"), col("value"), size(col("__toks")).as("__dl"),
+              explode(col("__toks")).as("__tok"))
+            .groupBy(col("eid"), col("value"), col("__tok"))
+            .agg(count(lit(1)).as("__tf"), first(col("__dl")).as("__dl"))
+          if (!needScore) {
+            val hits = terms.join(docToks, Seq("__tok"))
+            val avail = Seq(col("eid"), col("value"))
+            hits.select(col(qv) +: outNames.zip(avail).map { case (n, c) => c.as(n) }: _*)
+          } else {
+            val stats = withT.agg(count(lit(1)).as("__n"),
+              avg(size(col("__toks"))).as("__avgdl"))
+            val dfPerTok = docToks.groupBy(col("__tok"))
+              .agg(count(lit(1)).as("__df"))
+            val hits = terms.join(docToks, Seq("__tok"))
+              .join(dfPerTok, Seq("__tok"))
+              .crossJoin(broadcast(stats))
+            val score = LuceneSyntax.bm25Score(col("__tf").cast("double"),
+              col("__dl"), col("__df"), col("__n"), col("__avgdl"))
+            val avail = Seq(col("eid"), col("value"), score)
+            hits.select(col(qv) +: outNames.zip(avail).map { case (n, c) => c.as(n) }: _*)
+          }
+      }
+    }
+    loopDf match {
+      case Some(l) => joinDf.unionByName(l.select(joinDf.columns.map(col): _*))
+      case None => joinDf
+    }
   }
 
   // ----------------------------------------------------------------- not/or

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
 
 /** Native Catalyst expression for cosine similarity over double arrays —
   * the "(b) custom Catalyst `Expression`" extension point (SURVEY §7.3):
@@ -82,6 +82,12 @@ object GraftFunctions {
       (children: Seq[Expression]) => {
         require(children.size == 2, "cosine_sim takes exactly 2 arguments")
         CosineSimilarity(castToDoubleArray(children.head), castToDoubleArray(children(1)))
+      }),
+    (FunctionIdentifier("fuzzy_token_match"),
+      new ExpressionInfo(classOf[FuzzyTokenMatch].getName, "fuzzy_token_match"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3, "fuzzy_token_match takes exactly 3 arguments")
+        FuzzyTokenMatch(children.head, children(1), Cast(children(2), IntegerType))
       }))
 
   private def castToDoubleArray(e: Expression): Expression =

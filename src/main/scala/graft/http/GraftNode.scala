@@ -275,6 +275,12 @@ final class GraftNode(val spark: SparkSession, val source: FactSource,
 
   // ------------------------------------------------- eager q + lifecycle
   private val jobGroup = s"graft-node-${GraftNode.nodeIds.incrementAndGet()}"
+  // one Spark job group PER q() invocation (suffixing the node group):
+  // a query hitting its :timeout must cancel only its own jobs, not every
+  // concurrent query on the node — only close() kills them all
+  private val qCounter = new java.util.concurrent.atomic.AtomicLong(0)
+  private val liveQueryGroups =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   @volatile private var closed = false
 
   /** Eager `api/q` analogue: plans via [[query]], runs the collect inside
@@ -295,13 +301,19 @@ final class GraftNode(val spark: SparkSession, val source: FactSource,
     val timeoutMs = graft.datalog.Ast.parse(edn).timeoutMs
     val df = query(edn, args)
     val sc = spark.sparkContext
+    val group = s"$jobGroup-q-${qCounter.incrementAndGet()}"
+    liveQueryGroups.add(group)
+    // close() may have raced between the `closed` check above and the
+    // registration — re-check so the group can't outlive the node
+    if (closed) { liveQueryGroups.remove(group)
+      throw new IllegalStateException("node is closed") }
     val done = new java.util.concurrent.CompletableFuture[Array[Row]]()
     val t = new Thread(() => {
-      sc.setJobGroup(jobGroup, s"graft q", interruptOnCancel = true)
+      sc.setJobGroup(group, s"graft q", interruptOnCancel = true)
       try done.complete(df.collect())
       catch { case e: Throwable => done.completeExceptionally(e) }
       finally sc.clearJobGroup()
-    }, s"$jobGroup-q")
+    }, group)
     t.setDaemon(true)
     t.start()
     try timeoutMs match {
@@ -309,13 +321,13 @@ final class GraftNode(val spark: SparkSession, val source: FactSource,
       case None => done.get()
     } catch {
       case _: java.util.concurrent.TimeoutException =>
-        sc.cancelJobGroup(jobGroup)
+        sc.cancelJobGroup(group)
         throw new java.util.concurrent.TimeoutException(
           s"query timed out after ${timeoutMs.get} ms")
       case e: java.util.concurrent.ExecutionException =>
         if (closed) throw new InterruptedException("node closed during query")
         throw e.getCause
-    }
+    } finally liveQueryGroups.remove(group)
   }
 
   /** Close the node: reject new queries and cancel this node's in-flight
@@ -325,8 +337,12 @@ final class GraftNode(val spark: SparkSession, val source: FactSource,
   def close(): Unit = {
     closed = true
     // ...AndFutureJobs: a query between planning and its first job
-    // submission must still die, not sneak in after close
+    // submission must still die, not sneak in after close. Every q() runs
+    // in its own per-invocation group (so :timeout stays per-query);
+    // close cancels each live one plus the node-level group.
     spark.sparkContext.cancelJobGroupAndFutureJobs(jobGroup)
+    liveQueryGroups.forEach(g =>
+      spark.sparkContext.cancelJobGroupAndFutureJobs(g))
   }
 
   /** Datalog source over this node's OWN document store at a bitemporal

@@ -70,18 +70,6 @@ final class HttpServer(node: GraftNode, port: Int = 0) {
           ("crux.tx/tx-time" -> node.latestCompletedTx.map(_.txTime.toString)) ~
           ("crux.tx/tx-id" -> node.latestCompletedTx.map(_.txId))))
 
-      case "/_crux/entity" if qp.get("history").contains("true") =>
-        val eid = qp.getOrElse("eid", return (400, json, err("eid required")))
-        val sortAsc = !qp.get("sort-order").contains("desc")
-        val df = node.entityHistory(eid,
-          sortAsc = sortAsc,
-          withCorrections = qp.get("with-corrections").contains("true"),
-          withDocs = qp.get("with-docs").contains("true"),
-          startVt = qp.get("start-valid-time").map(java.time.LocalDateTime.parse),
-          endVt = qp.get("end-valid-time").map(java.time.LocalDateTime.parse))
-        val rows = df.collect().toList.map(Json.toJValue)
-        (200, json, Json.render("entity-history" -> JArray(rows)))
-
       case "/_crux/entity" =>
         val eid = qp.getOrElse("eid", return (400, json, err("eid required")))
         node.entityDoc(eid, qp.get("valid-time").map(java.time.LocalDateTime.parse),
@@ -203,6 +191,35 @@ final class HttpServer(node: GraftNode, port: Int = 0) {
     case graft.datalog.Edn.Inst(t) => t
     case graft.datalog.Edn.Vec(items) => items.map(ednToArg)
     case other => throw new IllegalArgumentException(s"unsupported in-arg $other")
+  }
+
+  /** Entity history streams row-by-row the same way the query endpoints
+    * do — a pathological million-version entity never buffers on the
+    * driver (the reference's open-entity-history cursor). */
+  private def handleEntityHistory(ex: HttpExchange, qp: Map[String, String]): Unit = {
+    val eid = qp.getOrElse("eid",
+      return respond(ex, 400, "application/json", err("eid required")))
+    val df = node.entityHistory(eid,
+      sortAsc = !qp.get("sort-order").contains("desc"),
+      withCorrections = qp.get("with-corrections").contains("true"),
+      withDocs = qp.get("with-docs").contains("true"),
+      startVt = qp.get("start-valid-time").map(java.time.LocalDateTime.parse),
+      endVt = qp.get("end-valid-time").map(java.time.LocalDateTime.parse))
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(200, 0L) // chunked
+    val out = new java.io.BufferedWriter(
+      new java.io.OutputStreamWriter(ex.getResponseBody, UTF_8))
+    try {
+      out.write("{\"entity-history\":[")
+      val it = df.toLocalIterator()
+      var first = true
+      while (it.hasNext) {
+        if (!first) out.write(",")
+        out.write(Json.render(Json.toJValue(it.next())))
+        first = false
+      }
+      out.write("]}")
+    } finally { out.close(); ex.close() }
   }
 
   /** `/query` paths stream the result set row-by-row over a chunked
@@ -333,12 +350,18 @@ final class HttpServer(node: GraftNode, port: Int = 0) {
     } finally active.remove(qinfo)
   }
 
+  /** Strings that round-trip as EDN keywords: `:name` or `:ns/name` over
+    * the symbol alphabet only. Anything else — e.g. a genuine string value
+    * ":not(a)keyword" — must stay quoted or the wire emits invalid EDN. */
+  private val keywordRe =
+    "^:[A-Za-z0-9*+!_?<>=.-]+(/[A-Za-z0-9*+!_?<>=.-]+)?$".r
+
   /** EDN rendering of a result cell. Canonical ":kw" strings render back
     * as keywords (the inverse of this engine's keyword encoding,
     * SURVEY §1.2); timestamps as #inst; arrays/structs as vectors. */
   private def ednStr(v: Any): String = v match {
     case null => "nil"
-    case s: String if s.startsWith(":") && s.length > 1 && !s.exists(_.isWhitespace) => s
+    case s: String if keywordRe.matches(s) => s
     case s: String =>
       "\"" + s.flatMap {
         case '"' => "\\\""
@@ -380,6 +403,8 @@ final class HttpServer(node: GraftNode, port: Int = 0) {
       if (path == "/_crux/query" || path == "/_crux/query.csv" || path == "/_crux/query.tsv" ||
           path == "/_crux/sql" || path == "/_crux/sql.csv" || path == "/_crux/sql.tsv")
         handleQuery(path, ex, qp)
+      else if (path == "/_crux/entity" && qp.get("history").contains("true"))
+        handleEntityHistory(ex, qp)
       else {
         val (status, ctype, body) = route(path, ex, qp)
         respond(ex, status, ctype, body)

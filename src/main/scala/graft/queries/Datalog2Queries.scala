@@ -87,11 +87,15 @@ object Datalog2Queries {
        :where [[?p1 :p_partkey 1] [?p1 :p_type ?pt]
                [(text-search :p_type ?pt) [[?p2 ?pt2]]]]}""") _,
 
-    // fuzzy syntax (r4): Levenshtein <= 1 against analyzed tokens
+    // fuzzy syntax (r5): Damerau-Levenshtein <= 1 against analyzed tokens.
+    // `prmoo~1` is a TRANSPOSITION away from `promo` — one edit to Lucene's
+    // FuzzyQuery (and duckdb's damerau_levenshtein, which the oracle now
+    // asserts), two to plain Levenshtein — so this gate fails on the r4
+    // plain-Levenshtein implementation and pins the reference semantics
     "dl_lucene_fuzzy" -> dl("""
       {:find [?pk ?v]
        :keys [p_partkey p_type]
-       :where [[(text-search :p_type "promo~1") [[?p ?v]]]
+       :where [[(text-search :p_type "prmoo~1") [[?p ?v]]]
                [?p :p_partkey ?pk]]}""") _,
 
     // range syntax (r4): lexicographic token range, constant-score
@@ -313,7 +317,7 @@ object Datalog2Sql {
           list_filter(string_split_regex(lower(p_type), '[^a-z0-9]+'), t -> t <> '') AS ts
         FROM part)
       SELECT DISTINCT p_partkey, p_type FROM toks
-      WHERE len(list_filter(ts, t -> levenshtein(t, 'promo') <= 1)) > 0""",
+      WHERE len(list_filter(ts, t -> damerau_levenshtein(t, 'prmoo') <= 1)) > 0""",
 
     "dl_lucene_range" -> """
       WITH toks AS (

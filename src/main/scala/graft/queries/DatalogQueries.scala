@@ -41,12 +41,15 @@ object DatalogQueries {
        :keys [l_returnflag sum_qty avg_qty median_qty n_orders min_qty max_qty]
        :where [[?l :l_returnflag ?rf] [?l :l_quantity ?q] [?l :l_orderkey ?ok]]}""") _,
 
-    // not-join (anti): BUILDING customers with no orders
+    // not-join (anti): BUILDING customers with no 'P'-status orders.
+    // The status literal keeps the gate NON-vacuous: the synthetic fixture
+    // gives every customer at least one order, so the r3/r4 "no orders at
+    // all" shape matched on emptiness only (11 rows at sf0.01, 1 at sf0.001).
     "dl_not_join" -> dl("""
       {:find [?ck]
        :keys [c_custkey]
        :where [[?c :c_custkey ?ck] [?c :c_mktsegment "BUILDING"]
-               (not-join [?ck] [?o :o_custkey ?ck])]}""") _,
+               (not-join [?ck] [?o :o_custkey ?ck] [?o :o_orderstatus "P"])]}""") _,
 
     // or (union) + grouping
     "dl_or_types" -> dl("""
@@ -286,7 +289,8 @@ object DatalogSql {
       SELECT DISTINCT c_custkey
       FROM customer
       WHERE c_mktsegment = 'BUILDING'
-        AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+        AND NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey AND o_orderstatus = 'P')""",
 
     "dl_or_types" -> """
       SELECT p_brand, COUNT(*) AS n

@@ -292,6 +292,21 @@ class LuceneSpec extends AnyFunSuite {
     // bob~ is 3 chars => 1 edit, no 1-edit neighbours here except itself
     assert(run(src, """[:find ?e :where [[(text-search :name "bob~") [[?e]]]]]""") ==
       Set(Seq("bob")))
+    // TRANSPOSITION = one edit (Lucene FuzzyQuery / Damerau semantics, r5):
+    // ivna~1 reaches ivan with a single adjacent swap (plain Levenshtein
+    // would need 2 edits and miss it)
+    assert(run(src, """[:find ?e :where [[(text-search :name "ivna~1") [[?e]]]]]""") ==
+      Set(Seq("ivan")))
+    // unrestricted Damerau (matches duckdb damerau_levenshtein): the
+    // transposed pair may be edited again — ca~2 reaches abc
+    assert(graft.functions.FuzzyOps.within("ca", "abc", 2))
+    assert(!graft.functions.FuzzyOps.within("ca", "abc", 1))
+    assert(graft.functions.FuzzyOps.within("a cat", "an act", 2))
+    // both range bracket styles in ONE query lex independently (the r4
+    // lexer took the farthest closing char and mis-sliced this)
+    assert(run(src,
+      """[:find ?e :where [[(text-search :name "[bob TO dmitri] OR {i TO j}") [[?e]]]]]""") ==
+      Set(Seq("bob"), Seq("dmitri"), Seq("ivan"), Seq("ivon")))
     // lexicographic range over analyzed tokens, inclusive/exclusive ends
     assert(run(src, """[:find ?e :where [[(text-search :name "[bob TO ivan]") [[?e]]]]]""") ==
       Set(Seq("bob"), Seq("dmitri"), Seq("ivan")))
@@ -309,6 +324,42 @@ class LuceneSpec extends AnyFunSuite {
       """[:find ?e ?s :where [[(text-search :name "ivan^5 bob") [[?e ?v ?s]]]]]""")
       .map { case Seq(e, s) => e.toString -> s.asInstanceOf[Double] }.toMap
     assert(both("ivan") > both("bob"))
+  }
+
+  test("bound text search: >1000 distinct plain patterns run as a join (r5)") {
+    // r4's per-binding driver loop threw its 1000-combo cap here; plain
+    // single-token patterns now run as one tokenize-both-sides equi-join
+    // with an unbounded domain
+    val facts = (1 to 1200).map(i => (s"e$i", "name", s"tok$i"))
+    val src = quadSource(facts)
+    val got = run(src,
+      """[:find ?e2 :where [[?e1 :name ?n]
+          [(text-search :name ?n) [[?e2]]]]]""")
+    assert(got.size == 1200)
+    // each pattern matches exactly its own entity
+    assert(got == (1 to 1200).map(i => Seq[Any](s"e$i")).toSet)
+  }
+
+  test("bound text search: mixed plain + syntax patterns agree with per-value eval (r5)") {
+    val src = quadSource(Seq(
+      ("ivan", "name", "Ivan"), ("ivona", "name", "Ivona"),
+      ("bob", "name", "Bob"),
+      // the patterns live in their own attribute: one plain, one wildcard
+      ("p1", "pat", "ivan"), ("p2", "pat", "Iv*")))
+    val got = run(src,
+      """[:find ?p ?e :where [[?x :pat ?p]
+          [(text-search :name ?p) [[?e ?v]]]]]""")
+    assert(got == Set(
+      Seq[Any]("ivan", "ivan"),
+      Seq[Any]("Iv*", "ivan"), Seq[Any]("Iv*", "ivona")))
+    // scored: plain patterns through the join path score identically to
+    // the literal-pattern stats path
+    val viaBound = run(src,
+      """[:find ?e ?s :where [[?x :pat ?p] [(= ?p "ivan")]
+          [(text-search :name ?p) [[?e ?v ?s]]]]]""")
+    val viaLit = run(src,
+      """[:find ?e ?s :where [[(text-search :name "ivan") [[?e ?v ?s]]]]]""")
+    assert(viaBound == viaLit)
   }
 
   test("parser rejects dangling operators and unbalanced syntax") {

@@ -70,6 +70,35 @@ class TxLogFoldSpec extends AnyFunSuite {
     }
   }
 
+  test("sequential cas path: cost and result independent of untouched history") {
+    import scala.jdk.CollectionConverters._
+    val rnd = new scala.util.Random(42)
+    val txs = randomTxs(rnd, nTxs = 6, withCas = true)
+    val touched = TxLog.applyBatchSeq(TxLog.emptyState(spark), randomTxs(new scala.util.Random(9), 3, withCas = false))
+      .localCheckpoint(true)
+    // 10×-inflated untouched history: entities the cas txs never reference
+    val bulkRows = (0 until 20000).map { i =>
+      Row(s"bulk-$i", vts(i % vts.size), vts(0), 1L, s"h$i", false)
+    }
+    val bulk = spark.createDataFrame(bulkRows.asJava, TxLog.versionSchema)
+      .localCheckpoint(true)
+    def run(state: org.apache.spark.sql.DataFrame): (Set[Seq[Any]], Long) = {
+      val t0 = System.nanoTime()
+      val out = TxLog.applyBatchSeq(state, txs)
+      val rows = stateRows(out.filter(!org.apache.spark.sql.functions.col("eid").startsWith("bulk-")))
+      (rows, System.nanoTime() - t0)
+    }
+    val (smallRows, smallNs) = run(touched)
+    val (bigRows, bigNs) = run(touched.unionByName(bulk).localCheckpoint(true))
+    assert(bigRows == smallRows, "untouched history changed cas results")
+    // With the touched-eids semi-join the per-tx resolve never shuffles the
+    // bulk rows, so inflating untouched history 10× must not blow up tx
+    // time (generous slack for scheduler noise; without the semi-join the
+    // resolve groupBy's the full state per tx and this fails by a wide margin)
+    assert(bigNs < smallNs * 4 + 4_000_000_000L,
+      s"cas tx time grew with untouched history: ${smallNs / 1e9}s -> ${bigNs / 1e9}s")
+  }
+
   test("fold on existing state: later batch sees earlier batch's corrections") {
     val rnd = new scala.util.Random(7)
     val first = randomTxs(rnd, nTxs = 4, withCas = false)
