@@ -38,10 +38,11 @@ import org.apache.spark.sql.functions._
   * over corpus stats (N, avgdl, per-leaf df) the planner aggregates from
   * the same attribute corpus Lucene would have indexed; wildcard leaves
   * contribute a constant 1.0 (MultiTermQuery constant-score rewrite),
-  * and a BooleanQuery sums its matching positive clauses. Deviation
-  * (SURVEY §2.2): dl is the exact token count — Lucene quantizes it
-  * through a one-byte norm, so absolute values can differ in the third
-  * decimal; rank order agrees.
+  * and a BooleanQuery sums its matching positive clauses. dl is the
+  * byte4-quantized token count (r5, [[quantizeDl]]) exactly as Lucene
+  * stores it in the one-byte norm; the only remaining deviation
+  * (SURVEY §2.2) is double-vs-float arithmetic, sub-ULP at float
+  * precision.
   *
   * Tokenization mirrors StandardAnalyzer on the data this engine targets:
   * lowercase, split on any non-alphanumeric run.
@@ -323,16 +324,33 @@ object LuceneSyntax {
     case _: BoolQ => throw new IllegalArgumentException("leafTf over BoolQ")
   }
 
-  /** Lucene BM25Similarity: idf * tf / (tf + k1*(1 - b + b*dl/avgdl)).
-    * Public column form — the join-based bound text search computes the
-    * same score with per-token df columns instead of a stats map. */
+  /** Lucene's one-byte doc-length norm round trip
+    * (`SmallFloat.byte4ToInt(intToByte4(dl))`, BM25Similarity computes its
+    * norm cache from the DECODED byte) as a closed-form column: lengths
+    * 0..23 ride in the byte's free values exactly; above that `dl - 24`
+    * keeps its top 4 bits (values below 8 are int4-subnormal, also exact
+    * — hence the single `< 32` guard). avgdl stays exact, as in Lucene
+    * (sumTotalTermFreq / docCount from the field stats, not norms). */
+  def quantizeDl(dl: Column): Column = {
+    val d = dl.cast("double")
+    val x = d - lit(24.0)
+    val p = pow(lit(2.0), floor(log2(x)) - lit(3.0))
+    when(d < lit(32.0), d).otherwise(lit(24.0) + floor(x / p) * p)
+  }
+
+  /** Lucene BM25Similarity: idf * tf / (tf + k1*(1 - b + b*dl'/avgdl))
+    * with dl' the byte4-quantized doc length ([[quantizeDl]] — r5 parity;
+    * the remaining deviation vs Lucene is double-vs-float arithmetic,
+    * sub-ULP at float precision). Public column form — the join-based
+    * bound text search computes the same score with per-token df columns
+    * instead of a stats map. */
   def bm25Score(tf: Column, dl: Column, df: Column,
       ndocs: Column, avgdl: Column): Column = {
     val idf = log(lit(1.0) +
       (ndocs.cast("double") - df.cast("double") + lit(0.5)) /
         (df.cast("double") + lit(0.5)))
     val ad = greatest(coalesce(avgdl.cast("double"), lit(1.0)), lit(1e-9))
-    idf * tf / (tf + lit(K1) * (lit(1.0 - B) + lit(B) * dl.cast("double") / ad))
+    idf * tf / (tf + lit(K1) * (lit(1.0 - B) + lit(B) * quantizeDl(dl) / ad))
   }
 
   /** A leaf with no df stat falls back to df=0 — this only happens when

@@ -1309,6 +1309,39 @@ private final class Planner(spark: SparkSession, source: FactSource,
     case o => throw new IllegalArgumentException(s"$what must be a string literal, got $o")
   }
 
+  /** Capture-group count of a literal regex arg, None when the pattern is
+    * a var (group-vector shapes then aren't statically known). */
+  private def literalGroupCount(raw: Seq[Term], i: Int): Option[Int] = raw.lift(i) match {
+    case Some(C(Edn.Str(s))) =>
+      Some(java.util.regex.Pattern.compile(s).matcher("").groupCount())
+    case _ => None
+  }
+
+  /** Clojure's (re-find …) group vector for a LITERAL pattern with n>0
+    * groups: [full g1 … gn], nil when no match. */
+  private def groupVector(s: Column, pattern: String, n: Int): Column =
+    when(regexp_substr(s, lit(pattern)).isNotNull,
+      array((0 to n).map(i => regexp_extract(s, pattern, i)): _*))
+
+  /** Field-name prefix carrying a re-matcher's literal pattern in its
+    * struct TYPE (static, so downstream re-groups stays columnar). */
+  private val reMatcherTag = "__rem:"
+
+  /** (re-groups m) / (re-find m) over a matcher struct: the pattern comes
+    * out of the struct type's tagged field name. */
+  private def matcherGroups(m: Column, t: DataType): Column = t match {
+    case st: StructType =>
+      val p = st.fieldNames.collectFirst {
+        case f if f.startsWith(reMatcherTag) => f.drop(reMatcherTag.length)
+      }.getOrElse(throw new IllegalArgumentException(
+        "re-groups/re-find expects a re-matcher value"))
+      val s = m.getField("s")
+      val n = java.util.regex.Pattern.compile(p).matcher("").groupCount()
+      if (n == 0) regexp_substr(s, lit(p)) else groupVector(s, p, n)
+    case other => throw new IllegalArgumentException(
+      s"re-groups/re-find expects a re-matcher value, got $other")
+  }
+
   /** Literal fn-symbol arg of a higher-order fn — dispatched back through
     * this same registry (the reference's allowlist admits the fn VALUES
     * map/filter/max-key/…, crux-core/resources/query-allowlist.edn; fn
@@ -1498,8 +1531,16 @@ private final class Planner(spark: SparkSession, source: FactSource,
     case "abs" => abs(args.head)
     case "str" => concat(args.map(_.cast(StringType)): _*)
     case "subs" =>
-      if (args.size == 2) args.head.substr(args(1) + 1, length(args.head))
-      else args.head.substr(args(1) + 1, args(2) - args(1))
+      // Clojure subs THROWS on out-of-bounds (StringIndexOutOfBounds) —
+      // matched with a guarded raise_error so a bad index aborts the
+      // query like the reference instead of silently clamping
+      val s = args.head
+      val st = args(1).cast(IntegerType)
+      val en = (if (args.size == 2) length(s) else args(2)).cast(IntegerType)
+      val bad = st < 0 || en > length(s) || st > en
+      when(!bad, s.substr(st + 1, en - st))
+        .otherwise(raise_error(concat(lit("subs: index out of bounds for length "),
+          length(s).cast(StringType))))
     case "count" => types.head match {
       // Clojure count is collection size; on strings it is char count
       // (long-typed, like all Clojure integers)
@@ -1566,11 +1607,36 @@ private final class Planner(spark: SparkSession, source: FactSource,
     case "replace" => replace(args.head, args(1), args(2))
     case "format" => format_string(rawStr(raw, 0, "format pattern"), args.tail: _*)
     // regex as values: patterns are plain strings; re-find returns the
-    // match or nil, re-matches the whole string on a full match
+    // match or nil, re-matches the whole string on a full match. With a
+    // LITERAL pattern carrying capture groups, both return Clojure's
+    // group vector [full g1 … gn] (non-participating groups surface as
+    // "" where Clojure has nil — flat array columns can't mix). A
+    // var-held pattern (via re-pattern) keeps the no-group behavior.
     case "re-pattern" => args.head
-    case "re-find" => regexp_substr(args(1), args.head)
-    case "re-matches" =>
-      when(regexp_like(args(1), concat(lit("^(?:"), args.head, lit(")$"))), args(1))
+    case "re-find" if args.size == 1 => // (re-find matcher): first match
+      matcherGroups(args.head, types.head)
+    case "re-find" => literalGroupCount(raw, 0) match {
+      case Some(n) if n > 0 => groupVector(args(1), rawStr(raw, 0, "re-find pattern"), n)
+      case _ => regexp_substr(args(1), args.head)
+    }
+    case "re-matches" => literalGroupCount(raw, 0) match {
+      case Some(n) if n > 0 =>
+        val p = rawStr(raw, 0, "re-matches pattern")
+        when(regexp_like(args(1), lit("^(?:" + p + ")$")),
+          groupVector(args(1), "^(?:" + p + ")$", n))
+      case _ =>
+        when(regexp_like(args(1), concat(lit("^(?:"), args.head, lit(")$"))), args(1))
+    }
+    // (re-matcher pat s): the matcher is a (target, pattern-in-the-TYPE)
+    // struct — the literal pattern rides in a field NAME so re-groups /
+    // re-find can recover it statically and stay columnar. Matcher STATE
+    // is approximated as the first match (the shape ported corpora use:
+    // re-groups right after construction); stepping a matcher through
+    // successive finds is driver-side Java and stays non-columnar.
+    case "re-matcher" =>
+      val p = rawStr(raw, 0, "re-matcher pattern")
+      struct(args(1).as("s"), lit(true).as(reMatcherTag + p))
+    case "re-groups" => matcherGroups(args.head, types.head)
     case "vector" | "list" => array(args: _*)
     case "sorted-set" | "hash-set" => sort_array(array_distinct(array(args: _*)))
     case "range" =>

@@ -344,7 +344,13 @@ object Datalog2Sql {
         SELECT p_partkey, p_name,
           CAST(len(list_filter(ts, t -> t = 'red')) AS DOUBLE) AS tf_r,
           CAST(len(list_filter(ts, t -> t = 'green')) AS DOUBLE) AS tf_g,
-          CAST(len(ts) AS DOUBLE) AS dl, n, avgdl, df_r, df_g
+          -- Lucene one-byte norm round trip (SmallFloat byte4): 0..31
+          -- exact, above that (dl-24) keeps its top 4 bits (r5 parity)
+          CASE WHEN len(ts) < 32 THEN CAST(len(ts) AS DOUBLE)
+               ELSE 24 + floor((len(ts) - 24)
+                      / power(2, floor(log2(len(ts) - 24)) - 3))
+                    * power(2, floor(log2(len(ts) - 24)) - 3) END AS dl,
+          n, avgdl, df_r, df_g
         FROM toks, stats
         WHERE list_contains(ts, 'red') OR list_contains(ts, 'green')),
       bm AS (

@@ -217,6 +217,33 @@ object DatalogQueries {
         .withColumn("sq", to_json(col("sq")))
     }),
 
+    // registry tail round 5 (VERDICT #6): group-carrying re-find /
+    // re-matches (Clojure's [full g1 … gn] vectors), re-matcher +
+    // re-groups (first-match matcher model), and strict-bounds subs
+    "dl_fns_corpus5" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions.{col, to_json}
+      dl("""
+        {:find [?ck ?gf ?gm ?rg ?rf1 ?nf ?pre ?sfx]
+         :keys [c_custkey gf gm rg rf1 nf pre sfx]
+         :order-by [[?ck :asc]]
+         :limit 200
+         :where [[?c :c_custkey ?ck] [?c :c_name ?nm]
+                 [(< ?ck 100)]
+                 [(re-find "#([0-9]+)" ?nm) ?gf]
+                 [(re-matches "([A-Za-z]+)#([0-9]+)" ?nm) ?gm]
+                 [(re-matcher "([0-9][0-9])" ?nm) ?m]
+                 [(re-groups ?m) ?rg]
+                 [(re-find ?m) ?rf1]
+                 [(re-find "(9[0-9])" ?nm) ?nf]
+                 [(subs ?nm 0 8) ?pre]
+                 [(subs ?nm 9) ?sfx]]}""")(s, dir)
+        .withColumn("gf", to_json(col("gf")))
+        .withColumn("gm", to_json(col("gm")))
+        .withColumn("rg", to_json(col("rg")))
+        .withColumn("rf1", to_json(col("rf1")))
+        .withColumn("nf", to_json(col("nf")))
+    }),
+
     // top-down computational recursion (racket fib, query_test.clj:3181,
     // r4): groundless recursive rules evaluate per binding on the driver;
     // joined against a data clause so the gate exercises the correlated
@@ -409,6 +436,28 @@ object DatalogSql {
         xor(c_custkey, 2) AS bf,
         to_json([CAST(2 AS BIGINT), 3]) AS sq
       FROM mid ORDER BY c_custkey LIMIT 200""",
+
+    "dl_fns_corpus5" -> """
+      SELECT c_custkey,
+        to_json([regexp_extract(c_name, '#([0-9]+)', 0),
+                 regexp_extract(c_name, '#([0-9]+)', 1)]) AS gf,
+        CASE WHEN regexp_full_match(c_name, '([A-Za-z]+)#([0-9]+)')
+             THEN to_json([c_name,
+                           regexp_extract(c_name, '([A-Za-z]+)#([0-9]+)', 1),
+                           regexp_extract(c_name, '([A-Za-z]+)#([0-9]+)', 2)])
+        END AS gm,
+        to_json([regexp_extract(c_name, '([0-9][0-9])', 0),
+                 regexp_extract(c_name, '([0-9][0-9])', 1)]) AS rg,
+        to_json([regexp_extract(c_name, '([0-9][0-9])', 0),
+                 regexp_extract(c_name, '([0-9][0-9])', 1)]) AS rf1,
+        CASE WHEN regexp_matches(c_name, '(9[0-9])')
+             THEN to_json([regexp_extract(c_name, '(9[0-9])', 0),
+                           regexp_extract(c_name, '(9[0-9])', 1)])
+        END AS nf,
+        substring(c_name, 1, 8) AS pre,
+        substring(c_name, 10) AS sfx
+      FROM customer WHERE c_custkey < 100
+      ORDER BY c_custkey LIMIT 200""",
 
     "dl_fns_corpus3" -> """
       WITH base AS (

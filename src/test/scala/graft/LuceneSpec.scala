@@ -13,8 +13,9 @@ import graft.datalog.{LuceneSyntax, Planner, QuadSource}
   * Scores (r4): term/phrase leaves use Lucene's BM25 formula over corpus
   * stats aggregated from the attribute corpus; wildcard leaves stay a
   * constant 1.0 (constant-score rewrite, exactly 1.0 in lucene_test.clj
-  * "Scores"). dl is exact rather than norm-quantized, so BM25 rank-order
-  * properties are asserted instead of Lucene's absolute values.
+  * "Scores"). r5: dl round-trips through the one-byte SmallFloat norm
+  * exactly as Lucene stores it, so absolute scores match to float
+  * precision (the remaining delta is double-vs-float arithmetic).
   */
 class LuceneSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
@@ -113,6 +114,21 @@ class LuceneSpec extends AnyFunSuite {
     val expected = math.log(1.0 + (2 - 1 + 0.5) / (1 + 0.5)) *
       1.0 / (1.0 + 1.2 * (0.25 + 0.75 * 2.0 / 2.0))
     assert(rows == Set(Seq("a", expected)))
+  }
+
+  test("doc length quantizes through the one-byte norm like Lucene (r5)") {
+    // 41 tokens: SmallFloat byte4 round trip gives 24 + ((41-24) >> 1 << 1)
+    // = 40 — the score must use 40, not the exact 41
+    val longText = "hello " + (0 until 40).map(i => s"w$i").mkString(" ")
+    val src = quadSource(Seq(("long", "t", longText), ("b", "t", "other text")))
+    val rows = run(src,
+      """[:find ?e ?score :where [[(text-search :t "hello") [[?e ?v ?score]]]]]""")
+    val avgdl = (41.0 + 2.0) / 2.0 // avgdl stays EXACT (field stats, not norms)
+    val expected = math.log(1.0 + (2 - 1 + 0.5) / (1 + 0.5)) *
+      1.0 / (1.0 + 1.2 * (0.25 + 0.75 * 40.0 / avgdl))
+    assert(rows == Set(Seq("long", expected)))
+    // short docs (< 32 tokens) ride in the byte's exact range: unchanged
+    assert(LuceneSyntax.analyze("hello world").size == 2)
   }
 
   test("cardinality many (lucene_test.clj:98-110)") {
