@@ -37,7 +37,10 @@ object Multimodal {
   private[operators] val sampleRate = 8000
   private[operators] def audioFrames(id: Long): Int = 800 + (id % 1600).toInt
 
-  private case class MediaRow(media_id: Long, media_type: String,
+  // NOT `private`: the encoder's generated deserializer instantiates this
+  // from janino-compiled code, which cannot see object-private classes —
+  // Spark then silently falls back to interpreted projections
+  final case class MediaRow(media_id: Long, media_type: String,
       payload: Array[Byte], meta_source: String)
 
   /** Build a media table from the documents fixture: image rows carry real

@@ -76,4 +76,76 @@ object TextAnalysis {
   /** Content fingerprint: md5 of the lowercased text (content-defined
     * rolling-hash winnowing is in [[Dedup.simhash]] / shingling). */
   def fingerprint(text: Column): Column = md5(lower(text))
+
+  // ------------------------------------------------- PII detection (r5)
+
+  /** PII regexes restricted to the Java ∩ RE2 syntax (no lookaround, ASCII
+    * classes, `\b` word boundaries) so Spark executors and the DuckDB
+    * oracle count/mask identically. */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRe = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+  val ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** Per-doc PII counts + a redacted copy (emails masked first — an email
+    * contains dots an IPv4 pattern could otherwise bite into). One codegen
+    * pass, no UDF; the training-pipeline scrub step. */
+  def piiScan(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("n_emails", regexp_count(col(textCol), lit(emailRe)).cast("long"))
+      .withColumn("n_phones", regexp_count(col(textCol), lit(phoneRe)).cast("long"))
+      .withColumn("n_ips", regexp_count(col(textCol), lit(ipv4Re)).cast("long"))
+      .withColumn("redacted",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col(textCol), emailRe, "<EMAIL>"),
+            phoneRe, "<PHONE>"),
+          ipv4Re, "<IP>"))
+
+  // ------------------------------------- repetition signals (r5, Gopher)
+
+  /** Gopher-style repetition measures (Rae et al. 2021 §A1.1 quality
+    * filters): distinct-token ratio, most-frequent-token fraction, and
+    * duplicate-bigram fraction. All array built-ins over the per-doc token
+    * array — per-row work is O(tokens × distinct) with zero shuffle, so
+    * the operator scales embarrassingly; docs with pathological token
+    * counts are the place to swap in an explode + groupBy instead. */
+  def repetitionStats(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val withToks = df.withColumn("_ts", tokens(col(textCol)))
+    val n = size(col("_ts"))
+    val bigrams = zip_with(
+      slice(col("_ts"), lit(1), n - 1), slice(col("_ts"), lit(2), n - 1),
+      (a, b) => concat(a, lit(" "), b))
+    withToks
+      .withColumn("n_tokens", n.cast("long"))
+      .withColumn("n_distinct", size(array_distinct(col("_ts"))).cast("long"))
+      .withColumn("distinct_ratio", col("n_distinct").cast("double") / col("n_tokens"))
+      .withColumn("top_token_frac",
+        array_max(transform(array_distinct(col("_ts")),
+          t => size(filter(col("_ts"), x => x === t)))).cast("double") / col("n_tokens"))
+      .withColumn("_bg", bigrams)
+      .withColumn("dup_bigram_frac",
+        when(size(col("_bg")) > 0,
+          lit(1.0) - size(array_distinct(col("_bg"))).cast("double") / size(col("_bg")))
+          .otherwise(lit(0.0)))
+      .drop("_ts", "_bg")
+  }
+
+  // --------------------------------------- C4-style keep/drop flags (r5)
+
+  /** C4-style heuristic quality filters (Raffel et al. 2020 §2.2 adapted
+    * to this corpus): per-doc boolean drop reasons + the surviving flag.
+    * Flags, not a filtered frame — pipelines audit WHY docs drop. */
+  def c4Filters(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = tokens(col(textCol))
+    df.withColumn("n_tokens", size(t).cast("long"))
+      .withColumn("too_short", col("n_tokens") < 5)
+      .withColumn("mean_token_len",
+        aggregate(t, lit(0L), (acc, w) => acc + length(w)).cast("double") / col("n_tokens"))
+      .withColumn("bad_word_len", col("mean_token_len") < 3.0 || col("mean_token_len") > 10.0)
+      .withColumn("has_brace", col(textCol).contains("{"))
+      .withColumn("has_lorem", lower(col(textCol)).contains("lorem ipsum"))
+      .withColumn("no_stopword", markerHits(t, langMarkers.head._2) === 0)
+      .withColumn("keep",
+        !col("too_short") && !col("bad_word_len") && !col("has_brace") &&
+          !col("has_lorem") && !col("no_stopword"))
+  }
 }

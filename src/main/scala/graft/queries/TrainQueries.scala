@@ -138,6 +138,48 @@ object TrainQueries {
           TextAnalysis.bpeTokenCount(col("_dec")).cast("long").as("bpe_tokens"),
           length(col("_dec")).cast("long").as("n_chars"))),
 
+    // PII scrub (r5): the fixture text carries no PII, so emails/phones/
+    // IPv4s are derived deterministically from doc_id for 3 of every 4
+    // docs (the oracle derives the same text) — counts + redacted copy
+    "text_pii" -> ((s, dir) =>
+      TextAnalysis.piiScan(
+        docs(s, dir).withColumn("text",
+          when(col("doc_id") % 4 === 0, col("text"))
+            .otherwise(concat(col("text"),
+              lit(" contact u"), col("doc_id").cast("string"),
+              lit("@example.com call 415-555-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+              lit(" from 10."), (col("doc_id") % 256).cast("string"),
+              lit(".0."), (col("doc_id") % 250 + 1).cast("string")))))
+        .select(col("doc_id"), col("n_emails"), col("n_phones"),
+          col("n_ips"), col("redacted"))),
+
+    // Gopher repetition signals (r5): distinct-token ratio, top-token
+    // fraction, duplicate-bigram fraction — array built-ins, no shuffle
+    "text_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionStats(docs(s, dir))
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          col("distinct_ratio"), col("top_token_frac"), col("dup_bigram_frac"))),
+
+    // C4-style keep/drop flags (r5): fixture decorated deterministically
+    // so every drop reason fires on some docs (braces / tiny doc / lorem)
+    "text_c4_filters" -> ((s, dir) =>
+      TextAnalysis.c4Filters(
+        docs(s, dir).withColumn("text",
+          when(col("doc_id") % 13 === 0, concat(col("text"), lit(" {code}")))
+            .when(col("doc_id") % 17 === 0, lit("tiny doc"))
+            .when(col("doc_id") % 19 === 0, concat(col("text"), lit(" Lorem Ipsum dolor")))
+            .otherwise(col("text"))))
+        .select(col("doc_id"), col("n_tokens"), col("too_short"),
+          col("mean_token_len"), col("bad_word_len"), col("has_brace"),
+          col("has_lorem"), col("no_stopword"), col("keep"))),
+
+    // streaming exact dedup (r5): dropDuplicates state over a document
+    // file stream, per-source survivor counts — the incremental arm of
+    // the dedup family
+    "stream_dedup" -> ((s, dir) =>
+      graft.streaming.IngestStream.dedupStream(s, s"$dir/documents.parquet")),
+
     // REAL decode (r4): payloads are true PNG/WAV bytes; the oracle
     // recomputes the expected decoded features from media_id arithmetic,
     // so a hash match proves the ImageIO/AudioSystem round trip
@@ -316,6 +358,69 @@ object TrainSql {
           '''(s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+')) AS BIGINT) AS bpe_tokens,
         CAST(length(dtext) AS BIGINT) AS n_chars
       FROM d""",
+
+    "text_pii" -> """
+      WITH d AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 4 = 0 THEN text
+               ELSE text || ' contact u' || CAST(doc_id AS VARCHAR) ||
+                    '@example.com call 415-555-' ||
+                    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+                    ' from 10.' || CAST(doc_id % 256 AS VARCHAR) ||
+                    '.0.' || CAST(doc_id % 250 + 1 AS VARCHAR) END AS t
+        FROM documents)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        CAST(len(regexp_extract_all(t, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b')) AS BIGINT) AS n_phones,
+        CAST(len(regexp_extract_all(t, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g'),
+          '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS redacted
+      FROM d""",
+
+    "text_repetition" -> s"""
+      WITH t AS (SELECT doc_id, $toks AS tk FROM documents)
+      SELECT doc_id,
+        CAST(len(tk) AS BIGINT) AS n_tokens,
+        CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct,
+        CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS distinct_ratio,
+        CAST(list_max(list_transform(list_distinct(tk),
+          d -> len(list_filter(tk, x -> x = d)))) AS DOUBLE) / len(tk) AS top_token_frac,
+        CASE WHEN len(tk) > 1 THEN
+          1.0 - CAST(len(list_distinct(list_transform(range(1, len(tk)),
+                  i -> tk[i] || ' ' || tk[i+1]))) AS DOUBLE) / (len(tk) - 1)
+        ELSE 0.0 END AS dup_bigram_frac
+      FROM t""",
+
+    "text_c4_filters" -> s"""
+      WITH d AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 13 = 0 THEN text || ' {code}'
+               WHEN doc_id % 17 = 0 THEN 'tiny doc'
+               WHEN doc_id % 19 = 0 THEN text || ' Lorem Ipsum dolor'
+               ELSE text END AS text
+        FROM documents),
+      t AS (SELECT doc_id, text, $toks AS tk FROM d),
+      f AS (SELECT doc_id, text, tk,
+        CAST(len(tk) AS BIGINT) AS n_tokens,
+        len(tk) < 5 AS too_short,
+        CAST(list_sum(list_transform(tk, w -> length(w))) AS DOUBLE) / len(tk) AS mean_token_len,
+        contains(text, '{') AS has_brace,
+        contains(lower(text), 'lorem ipsum') AS has_lorem,
+        len(list_filter(tk, x -> list_contains(['the','a','of','and','to','is','in'], x))) = 0 AS no_stopword
+        FROM t)
+      SELECT doc_id, n_tokens, too_short, mean_token_len,
+        (mean_token_len < 3.0 OR mean_token_len > 10.0) AS bad_word_len,
+        has_brace, has_lorem, no_stopword,
+        (NOT too_short AND NOT (mean_token_len < 3.0 OR mean_token_len > 10.0)
+         AND NOT has_brace AND NOT has_lorem AND NOT no_stopword) AS keep
+      FROM f""",
+
+    "stream_dedup" -> """
+      SELECT source, count(DISTINCT md5(lower(text))) AS n_unique
+      FROM documents GROUP BY source""",
 
     "mm_decode" -> """
       SELECT doc_id AS media_id,

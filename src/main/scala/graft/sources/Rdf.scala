@@ -37,10 +37,43 @@ object Rdf {
   private val ObjLit = """^"(.*)"(?:\^\^<([^>]*)>|@[A-Za-z-]+)?\s*$"""
   private val ObjIri = """^<([^>]*)>\s*$"""
 
+  /** Per-(session, path) cache of PERSISTED parsed quads. The regex parse
+    * is the expensive part of an NT load, and a datalog query re-executes
+    * its source once per triple pattern — a 6-clause WatDiv snowflake
+    * re-parsed the corpus six times before this (r5, VERDICT r4 watdiv_f1
+    * profile). Persisting the parse output means one parse, N columnar
+    * cache scans. At real scale the same economics say parse-once →
+    * write parquet → read back; MEMORY_AND_DISK spills rather than OOMs
+    * until then. Dropped on application end, like [[Tables]]. */
+  private val ntCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+  private val hooked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
+
   /** Parse an N-Triples text file/dir into quads
     * (e, a, v_str, v_num, v_dbl): IRIs shortened to their local name
-    * (fragment or last path segment, rdf.clj's keyword mapping). */
+    * (fragment or last path segment, rdf.clj's keyword mapping).
+    * Parsed+persisted once per (session, path) — see [[ntCache]]; a
+    * rewritten file needs [[invalidate]]. */
   def loadNTriples(spark: SparkSession, path: String): DataFrame = {
+    if (hooked.add(spark))
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          ntCache.keySet.removeIf(_._1 eq spark)
+          hooked.remove(spark)
+        }
+      })
+    ntCache.computeIfAbsent((spark, path), _ =>
+      parseNTriples(spark, path).persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
+  /** Unpersist + drop the cached parse for a rewritten file. */
+  def invalidate(spark: SparkSession, path: String): Unit =
+    Option(ntCache.remove((spark, path))).foreach(_.unpersist())
+
+  private def parseNTriples(spark: SparkSession, path: String): DataFrame = {
     val lines = spark.read.text(path)
       .filter(length(trim(col("value"))) > 0 && !col("value").startsWith("#"))
     // subject: IRI or blank node (`_:b0` — vc-db-1.nt style); blank-node

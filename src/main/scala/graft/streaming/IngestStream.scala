@@ -314,6 +314,46 @@ object IngestStream {
       .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("total"))
   }
 
+  /** Streaming exact dedup (r5): the incremental arm of [[graft.operators
+    * .Dedup]] — new documents stream in, `dropDuplicates` keeps the first
+    * arrival per (source, content-fingerprint) in the state store, and the
+    * surviving stream appends to the sink. Per-source survivor counts are
+    * aggregated on the sink table (one stateful op per query — chaining
+    * dedup into a complete-mode agg is a multi-stateful-operator shape
+    * Spark restricts). Keyed on (source, md5(lower(text))) so the output
+    * SET is arrival-order invariant — a cross-source duplicate keeps one
+    * row per source rather than racing on which source arrived first. At
+    * scale the state store shards by key; add a watermark on an event-time
+    * column to expire state when the dedup window is bounded. */
+  def dedupStream(spark: SparkSession, docsPath: String): DataFrame = {
+    val src = new java.io.File(docsPath)
+    val docsDir =
+      if (src.isDirectory) docsPath
+      else {
+        val d = java.nio.file.Files.createTempDirectory("graft_dedup_src")
+        java.nio.file.Files.createSymbolicLink(
+          d.resolve(src.getName), src.toPath.toAbsolutePath)
+        d.toString
+      }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType)))
+    val deduped = spark.readStream.schema(schema).parquet(docsDir)
+      .select(col("source"), md5(lower(col("text"))).as("fp"))
+      .dropDuplicates("source", "fp")
+    val name = "stream_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name).groupBy(col("source")).agg(count(lit(1)).as("n_unique"))
+  }
+
   /** Event-time sessionization with custom state: per-user sessions split
     * at a `gapMinutes` inactivity gap, via `KeyValueGroupedDataset
     * .flatMapGroupsWithState` + event-time timeout — the custom-state

@@ -181,6 +181,83 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r.forall { row => val q = row.getDouble(0); q >= 0.0 && q <= 1.0 })
   }
 
+  test("PII scan counts and masks emails, phones, IPv4s (r5)") {
+    import spark.implicits._
+    val d = Seq(
+      ("write to bob.smith+x@corp.example.org today", 1L, 0L, 0L),
+      ("call 415-555-0042 or 415-555-0043", 0L, 2L, 0L),
+      ("host 10.1.2.3 and 192.168.0.1", 0L, 0L, 2L),
+      ("clean text with no pii at all", 0L, 0L, 0L),
+      // an email must be masked BEFORE the IP regex can bite its dots
+      ("mail a@b.co now", 1L, 0L, 0L)).toDF("text", "em", "ph", "ip")
+    val r = TextAnalysis.piiScan(d).collect()
+    for (row <- r) {
+      assert(row.getAs[Long]("n_emails") == row.getAs[Long]("em"), row.toString)
+      assert(row.getAs[Long]("n_phones") == row.getAs[Long]("ph"), row.toString)
+      assert(row.getAs[Long]("n_ips") == row.getAs[Long]("ip"), row.toString)
+      val red = row.getAs[String]("redacted")
+      assert(!red.contains("@") || red.contains("<EMAIL>"), red)
+    }
+    val masked = TextAnalysis.piiScan(
+      Seq("a@b.co 415-555-0042 10.1.2.3").toDF("text"))
+      .select("redacted").head.getString(0)
+    assert(masked == "<EMAIL> <PHONE> <IP>")
+  }
+
+  test("repetition stats: distinct ratio, top token, dup bigrams (r5)") {
+    import spark.implicits._
+    val d = Seq(
+      ("a a a a", 4L, 1L, 1.0, 1.0), // one token: top frac 1, bigrams all dup
+      ("a b c d", 4L, 4L, 1.0 / 4 * 4, 0.25), // all distinct
+      ("a b a b a", 5L, 2L, 0.4, 3.0 / 5)).toDF("text", "n", "nd", "_", "top")
+    val r = TextAnalysis.repetitionStats(d).collect()
+    for (row <- r) {
+      assert(row.getAs[Long]("n_tokens") == row.getAs[Long]("n"))
+      assert(row.getAs[Long]("n_distinct") == row.getAs[Long]("nd"))
+      assert(row.getAs[Double]("top_token_frac") == row.getAs[Double]("top"))
+    }
+    // "a a a a": bigrams [a a, a a, a a] → dup frac 1 - 1/3
+    val aa = TextAnalysis.repetitionStats(Seq("a a a a").toDF("text"))
+      .select("dup_bigram_frac").head.getDouble(0)
+    assert(math.abs(aa - (1.0 - 1.0 / 3)) < 1e-15)
+    // single-token doc: no bigrams, frac 0 not null
+    val one = TextAnalysis.repetitionStats(Seq("solo").toDF("text"))
+      .select("dup_bigram_frac").head.getDouble(0)
+    assert(one == 0.0)
+  }
+
+  test("C4 filters flag each drop reason independently (r5)") {
+    import spark.implicits._
+    val d = Seq(
+      "the quick brown fox jumps over a lazy dog", // keeps
+      "too short", // < 5 tokens
+      "the code block { x } is here with a brace", // brace
+      "the boilerplate lorem ipsum dolor sit amet here is long", // lorem
+      "zz qq ww ee rr tt yy uu" // no stopword
+    ).toDF("text")
+    val r = TextAnalysis.c4Filters(d).collect()
+    assert(r(0).getAs[Boolean]("keep"))
+    assert(r(1).getAs[Boolean]("too_short") && !r(1).getAs[Boolean]("keep"))
+    assert(r(2).getAs[Boolean]("has_brace") && !r(2).getAs[Boolean]("keep"))
+    assert(r(3).getAs[Boolean]("has_lorem") && !r(3).getAs[Boolean]("keep"))
+    assert(r(4).getAs[Boolean]("no_stopword") && !r(4).getAs[Boolean]("keep"))
+  }
+
+  test("streaming dedup keeps one row per (source, fingerprint) (r5)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sd_spec").toString
+    Seq(
+      (0L, "same text", "en", "s0", 9L),
+      (1L, "SAME TEXT", "en", "s0", 9L), // case-folded dup in s0
+      (2L, "same text", "en", "s1", 9L), // cross-source dup survives per source
+      (3L, "other", "en", "s1", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(dir)
+    val r = graft.streaming.IngestStream.dedupStream(spark, dir)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r == Map("s0" -> 1L, "s1" -> 2L))
+  }
+
   test("multimodal decode reads real PNG and WAV payloads") {
     val media = Multimodal.mediaFromDocuments(spark, docs)
     val d = Multimodal.decode(spark, media).orderBy("media_id").collect()
