@@ -58,25 +58,55 @@ object TxLog {
       .agg(max_by(struct(state.columns.map(col): _*), col("tx_id")).as("_r"))
       .select("_r.*")
 
+  /** One transaction's effect: delta rows, evicted eids (with a
+    * driver-known emptiness flag so consumers can skip the anti-join
+    * entirely), and whether a match/cas precondition aborted it. */
+  final case class TxParts(newRows: DataFrame, evictEids: DataFrame,
+      hasEvict: Boolean, aborted: Boolean)
+
   /** Apply one transaction. Returns (newState, aborted). */
   def applyTx(state: DataFrame, ops: DataFrame, txId: Long,
       txTime: java.time.LocalDateTime): (DataFrame, Boolean) = {
-    val (newRows, evictEids, aborted) = applyTxParts(state, ops, txId, txTime)
-    if (aborted) (state, true)
-    else (state.join(broadcast(evictEids), Seq("eid"), "left_anti")
-      .unionByName(newRows), false)
+    val p = applyTxParts(state, ops, txId, txTime)
+    if (p.aborted) (state, true)
+    else (state.join(broadcast(p.evictEids), Seq("eid"), "left_anti")
+      .unionByName(p.newRows), false)
   }
 
-  /** Like [[applyTx]] but returns the tx's effect as parts instead of a
-    * rebuilt state: (newRows delta, evicted eids, aborted). The state is
+  /** Like [[applyTx]] but returns the tx's effect as [[TxParts]] instead
+    * of a rebuilt state. The state is
     * APPEND-ONLY outside eviction — `resolvedHistory` picks the max-tx_id
     * row per (eid, vt), so appending the delta supersedes without
     * rewriting — which is what lets the streaming indexer commit a delta
     * directory per batch instead of rewriting the whole versions table
     * (crux appends to its KV indexes the same way, tx.clj:266-391). */
-  def applyTxParts(state: DataFrame, ops: DataFrame, txId: Long,
-      txTime: java.time.LocalDateTime): (DataFrame, DataFrame, Boolean) = {
+  def applyTxParts(state: DataFrame, opsPlan: DataFrame, txId: Long,
+      txTime: java.time.LocalDateTime): TxParts = {
     val txTs = lit(txTime)
+    // A transaction's op list is DATA — the reference materializes it in
+    // the tx log before indexing (tx.clj:266-391) — not a lazy view.
+    // Callers often derive ops from snapshot queries (cas over an as-of
+    // read), and the plan below references `ops` from every branch
+    // (precondition check, writes, evict, both range branches), so an
+    // unmaterialized plan would re-run the deriving query once per
+    // consumer. Caching bounds that at O(|tx|) rows; the shape
+    // aggregation just below is the materializing action. (cache, not
+    // localCheckpoint: a checkpoint's LogicalRDD pins origin constraints
+    // that break union constraint rewriting in the range branch.)
+    val ops = opsPlan.cache()
+    // One tiny aggregation over the materialized op list tells the driver
+    // which branches this tx actually needs — a put-only tx then skips
+    // the precondition job, the evict anti-join, and the whole
+    // range-cap/restore subplan (several shuffles each). At local[32]
+    // sequential-tx latency is job-count-bound, so pruning plans matters
+    // more than pruning rows.
+    val shape = ops.agg(
+      count(when(col("op").isin("match", "cas"), 1)),
+      count(when(col("op") === "evict", 1)),
+      count(when(col("op").isin("put", "delete", "cas") &&
+        col("end_vt").isNotNull, 1))).head()
+    val (hasChecks, hasEvict, hasRanged) =
+      (shape.getLong(0) > 0, shape.getLong(1) > 0, shape.getLong(2) > 0)
     // Only this tx's entities ever matter: every consumer of `resolved`
     // below joins on the tx's own eids, so restrict the resolve to the
     // touched entities (left_semi, same shape as the fold path's :327) —
@@ -103,7 +133,7 @@ object TxLog {
       val checks = ops.filter(col("op").isin("match", "cas"))
         .select(col("eid"), coalesce(col("at_vt"), col("start_vt"), txTs).as("basis_vt"),
           col("expected_hash"), col("seq"))
-      val aborted = if (checks.isEmpty) false else {
+      val aborted = if (!hasChecks) false else {
         val txWrites = ops.filter(col("op").isin("put", "delete", "cas"))
           .select(col("eid"),
             when(col("op") === "cas", coalesce(col("at_vt"), col("start_vt"), txTs))
@@ -126,8 +156,9 @@ object TxLog {
         visible.filter(!(col("expected_hash") <=> col("visible_hash"))).limit(1).count() > 0
       }
       if (aborted)
-        return (emptyState(state.sparkSession),
-          emptyState(state.sparkSession).select("eid"), true)
+        return TxParts(emptyState(state.sparkSession),
+          emptyState(state.sparkSession).select("eid"), hasEvict = false,
+          aborted = true)
 
       // --- evict: hard-delete every version of the entity
       // (tx.clj:135-147, index_store.clj:993-1047)
@@ -180,6 +211,15 @@ object TxLog {
       // (space_tutorial_test.clj's neptune corrections exercise this).
       // Caps that would need to read another op's CAP row (cascaded
       // overlapping ranges within one tx) remain unsupported — documented.
+      // The whole end-vt subplan (two joins, a window, a groupBy, an
+      // anti-join) is pruned when the tx carries no range ops — the
+      // overwhelmingly common case, and sequential-tx latency is
+      // stage-count-bound at local concurrency.
+      val assembled: DataFrame = if (!hasRanged)
+        startRowsNoEnd.unionByName(overwriteNoEnd)
+          .select(col("eid"), col("vt"), txTs.as("tt"), lit(txId).as("tx_id"),
+            col("content_hash"), col("content_hash").isNull.as("tombstone"), col("seq"))
+      else {
       val startRowsEnd = withEnd.select(col("eid"), col("start_vt").as("vt"), col("content_hash"), col("seq"))
       val txContentRows = startRowsNoEnd.unionByName(overwriteNoEnd).unionByName(startRowsEnd)
       val restoreCands = resolved
@@ -221,9 +261,11 @@ object TxLog {
       val restRows = restoreEnd
         .select(col("eid"), col("vt"), col("r_tt").as("tt"), col("r_tx").as("tx_id"),
           col("r_hash").as("content_hash"), col("r_tomb").as("tombstone"), col("seq"))
+      curRows.unionByName(restRows)
+      }
 
       // last op in the tx wins per (eid, vt)
-      val newRows = curRows.unionByName(restRows)
+      val newRows = assembled
         .groupBy(col("eid"), col("vt"))
         .agg(max_by(struct(col("tt"), col("tx_id"), col("content_hash"), col("tombstone")), col("seq")).as("_r"))
         .select(col("eid"), col("vt"), col("_r.tt").as("tt"), col("_r.tx_id").as("tx_id"),
@@ -234,8 +276,13 @@ object TxLog {
       // reference's evict drops every version of the eid including ones
       // written by this very tx — even a later re-put, its known #1337
       // wart, which we match)
+      // NOTE: the anti-join stays even when the tx has no evicts — beyond
+      // semantics it acts as a constraint barrier: unioning the bare
+      // Aggregate into the state trips a Catalyst union-constraint
+      // rewrite bug (AttributeMap "key not found" in
+      // UnionBase.rewriteConstraints) on the range branch's nested union.
       val kept = newRows.join(broadcast(evictEids), Seq("eid"), "left_anti")
-      (kept, evictEids, false)
+      TxParts(kept, evictEids, hasEvict, aborted = false)
     } finally resolved.unpersist()
   }
 

@@ -466,6 +466,27 @@ final class GraftNode(val spark: SparkSession, val source: FactSource,
       "SQL module not configured on this node")
   }
 
+  /** SQL with positional `?` parameters — the prepared-statement arm of
+    * the wire surface (crux-sql serves it through Avatica's
+    * PreparedStatement path, crux-sql/src/crux/calcite.clj:495-527). */
+  def sqlPrepared(sqlText: String, args: Array[Any]): DataFrame = sqlDir match {
+    case Some(dir) => graft.sql.SqlSurface.query(spark, dir, sqlText, args)
+    case None => throw new IllegalArgumentException(
+      "SQL module not configured on this node")
+  }
+
+  /** Catalog table names for the wire-metadata requests (getTables). */
+  def sqlTableNames: Seq[String] = sqlDir match {
+    case Some(_) => graft.sources.Tables.all
+    case None => Seq.empty
+  }
+
+  def sqlTableSchema(table: String): org.apache.spark.sql.types.StructType =
+    sqlDir match {
+      case Some(dir) => graft.sources.Tables.load(spark, dir, table).schema
+      case None => new org.apache.spark.sql.types.StructType()
+    }
+
   /** attr → rough count of values indexed, crux.api/attribute-stats
     * (the reference keeps these as index meta; here one aggregation over
     * the source's attribute frames — see operators/Stats for the HLL

@@ -21,7 +21,8 @@ import java.nio.charset.StandardCharsets.UTF_8
   *        /query (+ .csv/.tsv), /sql (+ .csv/.tsv — the SQL-over-wire
   *        surface; the reference serves SQL via Calcite/Avatica JDBC,
   *        crux-sql/src/crux/calcite.clj:495-527)
-  *   POST /query, /sql, /submit-tx
+  *   POST /query, /sql, /submit-tx, /avatica (Avatica JSON RPC — the
+  *        SQL wire protocol, see [[Avatica]])
   *
   * Scale: query results are streamed to the socket via `toLocalIterator`
   * over a chunked response — the open-q cursor (query.clj:1816-1835)
@@ -46,6 +47,10 @@ final class HttpServer(node: GraftNode, port: Int = 0) {
   private val queriesFailed = new java.util.concurrent.atomic.AtomicLong()
   private val queryMsTotal = new java.util.concurrent.atomic.DoubleAdder()
   private val queryMsMax = new java.util.concurrent.atomic.AtomicLong() // ms, rounded up
+
+  /** Avatica JSON RPC state machine behind POST /_crux/avatica — the
+    * SQL wire protocol (the reference's calcite.clj:495-527 server). */
+  private val avatica = new Avatica(this.node)
 
   def boundPort: Int = server.getAddress.getPort
   def start(): HttpServer = { server.start(); this }
@@ -403,6 +408,15 @@ final class HttpServer(node: GraftNode, port: Int = 0) {
       if (path == "/_crux/query" || path == "/_crux/query.csv" || path == "/_crux/query.tsv" ||
           path == "/_crux/sql" || path == "/_crux/sql.csv" || path == "/_crux/sql.tsv")
         handleQuery(path, ex, qp)
+      else if (path == "/_crux/avatica") {
+        if (ex.getRequestMethod != "POST")
+          respond(ex, 405, "application/json", err("POST required"))
+        else {
+          val (status, body) =
+            avatica.handle(new String(ex.getRequestBody.readAllBytes(), UTF_8))
+          respond(ex, status, "application/json", body)
+        }
+      }
       else if (path == "/_crux/entity" && qp.get("history").contains("true"))
         handleEntityHistory(ex, qp)
       else {

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-composition operators for training-data pipelines:
+  * benchmark decontamination, deterministic stratified sampling, and
+  * epoch-weighted mixture upsampling. These are the steps between "the
+  * corpus is deduped" and "the corpus is a training mix" — the reference
+  * has no analogue (it's an OLTP-ish document store); semantics follow
+  * the published training-data recipes (C4/Gopher/GPT-3-style reports).
+  *
+  * Everything is driven by a DETERMINISTIC hash fraction (md5 of a salt +
+  * key → first 32 bits → [0,1)) rather than `rand()`: the same row always
+  * draws the same number, so samples are reproducible across retries,
+  * partitions, and cluster sizes — a hard requirement for resumable
+  * 100 TB pipeline runs (and what makes these gates exactly
+  * oracle-checkable in DuckDB, which computes the identical md5).
+  */
+object Sampling {
+
+  /** Uniform [0,1) draw, deterministic per (salt, key). */
+  def hashFraction(key: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 8), 16, 10)
+      .cast("long") / lit(4294967296.0)
+
+  /** Token n-gram decontamination — flag corpus documents that share any
+    * n-gram with a benchmark/eval set (the GPT-3/PaLM report recipe:
+    * training docs overlapping eval n-grams are dropped or scrubbed).
+    *
+    * Scale: the benchmark side of the join is an eval set — thousands of
+    * docs, not billions — so its distinct n-gram set is broadcast and the
+    * corpus streams through one hash semi-join + partial-agg count; the
+    * corpus is never shuffled on text. `n_hits` counts DISTINCT shared
+    * n-grams (both sides deduped per doc).
+    */
+  def decontaminate(docs: DataFrame, isBenchmark: Column, n: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    val shingled = docs
+      .withColumn("_bench", isBenchmark)
+      .select(col(idCol), col("_bench"),
+        array_distinct(when(size(toks) >= n,
+          transform(sequence(lit(0), size(toks) - n),
+            i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+          .otherwise(array().cast("array<string>"))).as("_sh"))
+    val exploded = shingled.select(col(idCol), col("_bench"),
+      explode(col("_sh")).as("shingle"))
+    val bench = broadcast(
+      exploded.filter(col("_bench")).select(col("shingle")).distinct())
+    val hits = exploded.filter(!col("_bench"))
+      .join(bench, "shingle")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
+    docs.select(col(idCol), isBenchmark.as("is_benchmark"))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("is_benchmark"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0 && !col("is_benchmark"))
+          .as("contaminated"))
+  }
+
+  /** Deterministic stratified sampling: keep a row iff its hash fraction
+    * is below the stratum's rate. One map-side filter — no shuffle, no
+    * state; scales linearly and re-runs identically.
+    */
+  def stratifiedSample(df: DataFrame, keyCol: String, strataCol: String,
+      rates: Map[String, Double], defaultRate: Double = 1.0,
+      salt: String = "strat"): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (s, r)) =>
+      when(col(strataCol) === s, lit(r)).otherwise(acc)
+    }
+    df.filter(hashFraction(col(keyCol), salt) < rate)
+  }
+
+  /** Epoch-weighted mixture: repeat each row `floor(epochs)` times plus
+    * one more with probability `frac(epochs)` (deterministic draw), the
+    * standard way to express "2.7 epochs of Wikipedia, 0.3 of Common
+    * Crawl" as a materialized mix. Output carries `copy_idx` so a
+    * downstream global shuffle can spread copies across the run.
+    *
+    * Scale: `explode(sequence(...))` is partition-preserving — each task
+    * expands its own rows, nothing shuffles; the blow-up factor is the
+    * mean epoch weight, visible and bounded by construction.
+    */
+  def epochMix(df: DataFrame, keyCol: String, sourceCol: String,
+      epochs: Map[String, Double], defaultEpochs: Double = 1.0,
+      salt: String = "mix"): DataFrame = {
+    val e = epochs.foldLeft(lit(defaultEpochs)) { case (acc, (s, w)) =>
+      when(col(sourceCol) === s, lit(w)).otherwise(acc)
+    }
+    val base = floor(e).cast("long")
+    val extra = (hashFraction(col(keyCol), salt) < (e - floor(e))).cast("long")
+    df.withColumn("_n", base + extra)
+      .filter(col("_n") > 0)
+      .withColumn("copy_idx", explode(sequence(lit(0L), col("_n") - 1)))
+      .drop("_n")
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Correctness-gate queries for the training-data pipeline operators
@@ -173,6 +173,28 @@ object TrainQueries {
         .select(col("doc_id"), col("n_tokens"), col("too_short"),
           col("mean_token_len"), col("bad_word_len"), col("has_brace"),
           col("has_lorem"), col("no_stopword"), col("keep"))),
+
+    // benchmark decontamination (r5): docs sharing a token 3-gram with
+    // the "eval set" (doc_id % 97 = 0) are flagged; benchmark n-gram set
+    // broadcast, corpus side never shuffled on text
+    "text_decontam" -> ((s, dir) =>
+      Sampling.decontaminate(docs(s, dir), col("doc_id") % 97 === 0)),
+
+    // deterministic stratified sampling (r5): per-lang keep rates via a
+    // salted md5 hash fraction — reproducible across retries/partitions,
+    // and DuckDB computes the identical md5 so the gate is exact
+    "sample_stratified" -> ((s, dir) =>
+      Sampling.stratifiedSample(docs(s, dir), "doc_id", "lang",
+        Map("en" -> 0.5, "de" -> 0.25, "es" -> 0.1, "fr" -> 0.75, "zh" -> 1.0))
+        .select(col("doc_id"), col("lang"))),
+
+    // epoch-weighted mixture (r5): "2.7 epochs of zh, 0.3 of es" as a
+    // materialized mix — floor(e) copies + one more on a deterministic
+    // fractional draw; partition-preserving explode, no shuffle
+    "sample_mixture" -> ((s, dir) =>
+      Sampling.epochMix(docs(s, dir), "doc_id", "lang",
+        Map("en" -> 2.0, "de" -> 1.5, "es" -> 0.3, "fr" -> 1.0, "zh" -> 2.7))
+        .select(col("doc_id"), col("lang"), col("copy_idx"))),
 
     // streaming exact dedup (r5): dropDuplicates state over a document
     // file stream, per-source survivor counts — the incremental arm of
@@ -421,6 +443,41 @@ object TrainSql {
     "stream_dedup" -> """
       SELECT source, count(DISTINCT md5(lower(text))) AS n_unique
       FROM documents GROUP BY source""",
+
+    "text_decontam" -> s"""
+      WITH docs AS (SELECT doc_id, $toks AS t FROM documents),
+      sh0 AS (SELECT doc_id, unnest(list_transform(range(len(t)-2),
+                i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingle
+              FROM docs WHERE len(t) >= 3),
+      sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+      bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+      hits AS (SELECT s.doc_id, count(*) AS n_hits
+               FROM sh s JOIN bench USING (shingle)
+               WHERE s.doc_id % 97 <> 0 GROUP BY 1)
+      SELECT d.doc_id, (d.doc_id % 97 = 0) AS is_benchmark,
+             CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+             (coalesce(h.n_hits, 0) > 0 AND d.doc_id % 97 <> 0) AS contaminated
+      FROM documents d LEFT JOIN hits h USING (doc_id)""",
+
+    "sample_stratified" -> """
+      SELECT doc_id, lang FROM documents
+      WHERE CAST(('0x' || substr(md5('strat' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+              / 4294967296.0
+            < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
+                        WHEN 'es' THEN 0.1 WHEN 'fr' THEN 0.75 ELSE 1.0 END""",
+
+    "sample_mixture" -> """
+      WITH w AS (SELECT doc_id, lang,
+        CASE lang WHEN 'en' THEN 2.0 WHEN 'de' THEN 1.5 WHEN 'es' THEN 0.3
+                  WHEN 'fr' THEN 1.0 ELSE 2.7 END AS e,
+        CAST(('0x' || substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          / 4294967296.0 AS f
+        FROM documents),
+      n AS (SELECT doc_id, lang,
+              CAST(floor(e) AS BIGINT) +
+                CASE WHEN f < e - floor(e) THEN 1 ELSE 0 END AS n
+            FROM w)
+      SELECT doc_id, lang, unnest(range(n)) AS copy_idx FROM n WHERE n > 0""",
 
     "mm_decode" -> """
       SELECT doc_id AS media_id,

@@ -120,28 +120,31 @@ object IngestStream {
           val current = loadState(sp, stateDir)
           // ops carry their own intra-tx seq (opSchema) — no global-window
           // renumbering; a single unpartitioned sort would serialize at scale
-          val (delta, evictEids, aborted) =
-            TxLog.applyTxParts(current, ops, batchId, txTime(batchId))
+          val parts = TxLog.applyTxParts(current, ops, batchId, txTime(batchId))
+          val delta = parts.newRows
           val next: StateManifest =
-            if (aborted) // advance the tx id over the same data dirs
+            if (parts.aborted) // advance the tx id over the same data dirs
               StateManifest(batchId, cur.flatMap(_.base), cur.toSeq.flatMap(_.deltas))
             else {
-              val evicts = evictEids.cache()
+              // evict emptiness is driver-known (TxParts.hasEvict) — no
+              // extra job to decide compaction
               val mustCompact =
-                !evicts.isEmpty || cur.exists(_.deltas.size + 1 >= compactEvery)
+                parts.hasEvict || cur.exists(_.deltas.size + 1 >= compactEvery)
               if (mustCompact) {
                 // evict is the one destructive op — it (and stack-depth
                 // maintenance) rewrites into a fresh base dir; the old
                 // dirs stay live until the manifest below commits
                 val baseName = s"base-$batchId"
-                val full = current.join(broadcast(evicts), Seq("eid"), "left_anti")
+                val pruned =
+                  if (parts.hasEvict)
+                    current.join(broadcast(parts.evictEids), Seq("eid"), "left_anti")
+                  else current
+                val full = pruned
                   .unionByName(delta)
                   .dropDuplicates("eid", "vt", "tx_id") // restore-row dups
                 full.write.mode("overwrite").parquet(s"$stateDir/$baseName")
-                evicts.unpersist()
                 StateManifest(batchId, Some(baseName), Nil)
               } else {
-                evicts.unpersist()
                 val deltaName = s"delta-$batchId"
                 delta.write.mode("overwrite").parquet(s"$stateDir/$deltaName")
                 StateManifest(batchId, cur.flatMap(_.base),

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Semantics tests for the training-pipeline operators at sf0.001 (value
@@ -256,6 +256,58 @@ class OperatorsSpec extends AnyFunSuite {
     val r = graft.streaming.IngestStream.dedupStream(spark, dir)
       .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
     assert(r == Map("s0" -> 1L, "s1" -> 2L))
+  }
+
+  test("decontamination flags docs sharing a 3-gram with the benchmark (r5)") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "the quick brown fox jumps high", true),   // benchmark
+      (1L, "a lazy dog sleeps", true),                // benchmark
+      (2L, "look the quick brown fox runs", false),   // shares "the quick brown", "quick brown fox"
+      (3L, "totally unrelated words here", false),
+      (4L, "a lazy dog sleeps all day", false),       // shares 2 bench 3-grams
+      (5L, "ab", false)).toDF("doc_id", "text", "bench") // < 3 tokens
+    val r = Sampling.decontaminate(d, col("bench"))
+      .collect().map(x => x.getLong(0) -> (x.getBoolean(1), x.getLong(2), x.getBoolean(3))).toMap
+    assert(r(0L) == ((true, 0L, false)))
+    assert(r(2L) == ((false, 2L, true)))
+    assert(r(3L) == ((false, 0L, false)))
+    assert(r(4L) == ((false, 2L, true)))
+    assert(r(5L) == ((false, 0L, false)))
+  }
+
+  test("stratified sample is deterministic and tracks the stratum rate (r5)") {
+    import spark.implicits._
+    val d = (0L until 2000L).map(i => (i, if (i % 2 == 0) "a" else "b")).toDF("id", "s")
+    val kept = Sampling.stratifiedSample(d, "id", "s", Map("a" -> 0.3, "b" -> 0.9))
+    val again = Sampling.stratifiedSample(d, "id", "s", Map("a" -> 0.3, "b" -> 0.9))
+    val k1 = kept.collect().map(_.getLong(0)).toSet
+    assert(k1 == again.collect().map(_.getLong(0)).toSet) // reproducible
+    val byStratum = kept.groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(byStratum("a") / 1000.0 - 0.3) < 0.06, byStratum.toString)
+    assert(math.abs(byStratum("b") / 1000.0 - 0.9) < 0.06, byStratum.toString)
+    // rate 0 / default keeps nothing / everything
+    assert(Sampling.stratifiedSample(d, "id", "s", Map("a" -> 0.0, "b" -> 0.0)).count() == 0)
+  }
+
+  test("epoch mix repeats rows floor(e) times plus a fractional draw (r5)") {
+    import spark.implicits._
+    val d = (0L until 1000L).map(i => (i, if (i % 2 == 0) "wiki" else "cc")).toDF("id", "src")
+    val mixed = Sampling.epochMix(d, "id", "src", Map("wiki" -> 2.0, "cc" -> 0.5))
+    val counts = mixed.groupBy("id", "src").count().collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    // integral epochs: every wiki row exactly twice, copy_idx 0 and 1
+    assert(counts.filter(_._1._2 == "wiki").values.forall(_ == 2L))
+    val wikiCopies = mixed.filter($"src" === "wiki").groupBy("copy_idx").count().collect()
+    assert(wikiCopies.map(_.getLong(0)).toSet == Set(0L, 1L))
+    // fractional epochs: cc rows appear 0 or 1 times, ~half of them
+    val ccN = mixed.filter($"src" === "cc").count()
+    assert(counts.filter(_._1._2 == "cc").values.forall(_ == 1L))
+    assert(math.abs(ccN / 500.0 - 0.5) < 0.12, ccN.toString)
+    // deterministic
+    assert(Sampling.epochMix(d, "id", "src", Map("wiki" -> 2.0, "cc" -> 0.5))
+      .count() == mixed.count())
   }
 
   test("multimodal decode reads real PNG and WAV payloads") {
