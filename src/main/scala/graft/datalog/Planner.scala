@@ -105,8 +105,34 @@ object Planner {
   def registerFunction(name: String)(impl: Seq[Column] => Column): Unit = {
     customFnsReg.put(name, impl); ()
   }
-  private[datalog] def customFn(name: String): Option[Seq[Column] => Column] =
-    customFnsReg.get(name)
+
+  /** Engine-level `:fn-allow-list` (crux-test/test/crux/
+    * query_fn_allowlist_test.clj; enforcement query.clj:1272-1283): when
+    * configured, a NON-built-in fn resolves only if its full symbol, bare
+    * name, or namespace is listed — built-ins are the default allowlist
+    * and always pass, everything else raises the reference's error. When
+    * not configured the custom registry stays open (registering a fn IS
+    * allowlisting it). Scoped dynamically so concurrent nodes with
+    * different configs don't interfere. */
+  private val fnAllowListVar =
+    new scala.util.DynamicVariable[Option[Set[String]]](None)
+  def withFnAllowList[A](allow: Option[Seq[String]])(f: => A): A =
+    fnAllowListVar.withValue(allow.map(_.toSet))(f)
+  private[datalog] def resolveCustomFn(fullSym: String,
+      bare: String): Option[Seq[Column] => Column] =
+    fnAllowListVar.value match {
+      case None => customFnsReg.get(bare)
+      case Some(allow) =>
+        val ns = fullSym.lastIndexOf('/') match {
+          case -1 => ""
+          case i => fullSym.substring(0, i)
+        }
+        if (allow.contains(fullSym) || allow.contains(bare) ||
+            (ns.nonEmpty && allow.contains(ns)))
+          customFnsReg.get(bare)
+        else throw new IllegalArgumentException(
+          s"Query used a function that was not in the allowlist: $fullSym")
+    }
   private[datalog] def customAgg(fn: String): Option[(Column, Option[Long]) => Column] =
     customAggs.get(fn)
 
@@ -1502,12 +1528,13 @@ private final class Planner(spark: SparkSession, source: FactSource,
     case "bit-test" => // ((x >> n) & 1) == 1
       call_function("shiftright", args.head.cast(LongType), args(1))
         .bitwiseAND(lit(1L)) === 1L
-    case other =>
+    case _ =>
       // value-returning fn in filter position: truthy = not null/false.
       // When the caller can type-probe the expression, a non-boolean
       // result only needs a null check (comparing it to `false` would
-      // insert an ANSI-throwing cast)
-      val c = functionCol(other, args, types, raw)
+      // insert an ANSI-throwing cast). Pass the UN-stripped symbol so
+      // the allowlist check sees its namespace.
+      val c = functionCol(fn0, args, types, raw)
       probe(c) match {
         case Some(dt) => truthy(c, dt)
         case None => c.isNotNull && (c =!= lit(false))
@@ -1937,7 +1964,7 @@ private final class Planner(spark: SparkSession, source: FactSource,
         case f => throw new IllegalArgumentException(
           s"(apply $f …) unsupported — reducible fns: + * max min str concat")
       }
-    case other => Planner.customFn(other) match {
+    case other => Planner.resolveCustomFn(fn0, other) match {
       case Some(impl) => impl(args)
       case None =>
         throw new IllegalArgumentException(s"unsupported function $other")

@@ -28,7 +28,11 @@ import graft.datalog.{FactSource, Planner}
   * `toLocalIterator` in the server (crux's open-q cursor re-expressed).
   */
 final class GraftNode(val spark: SparkSession, val source: FactSource,
-    sqlDir: Option[String] = None) {
+    sqlDir: Option[String] = None,
+    /** Engine `:fn-allow-list` (query_fn_allowlist_test.clj): when set,
+      * non-built-in query fns resolve only if their symbol, bare name or
+      * namespace is listed; None leaves the registry open. */
+    fnAllowList: Option[Seq[String]] = None) {
 
   @volatile private var versions: DataFrame = TxLog.emptyState(spark)
   @volatile private var docs: DataFrame = spark.createDataFrame(
@@ -114,7 +118,7 @@ final class GraftNode(val spark: SparkSession, val source: FactSource,
     var base = versions
     txId.foreach(id => base = base.filter(col("tx_id") <= id))
     txTime.foreach(tt => base = base.filter(col("tt") <= tt))
-    val fork = new GraftNode(spark, source, sqlDir)
+    val fork = new GraftNode(spark, source, sqlDir, fnAllowList)
     fork.loadState(base, docs)
     val info = fork.submitTxAt(ops, validTime)
     if (info.committed) Some(fork) else None
@@ -271,7 +275,9 @@ final class GraftNode(val spark: SparkSession, val source: FactSource,
 
   /** Datalog query → DataFrame (find-var column names preserved). */
   def query(edn: String, args: Seq[Any]): DataFrame =
-    Planner.q(spark, source, edn, args: _*)
+    Planner.withFnAllowList(fnAllowList) {
+      Planner.q(spark, source, edn, args: _*)
+    }
 
   // ------------------------------------------------- eager q + lifecycle
   private val jobGroup = s"graft-node-${GraftNode.nodeIds.incrementAndGet()}"
@@ -451,7 +457,9 @@ final class GraftNode(val spark: SparkSession, val source: FactSource,
       validTime: Option[java.time.LocalDateTime] = None,
       txTime: Option[java.time.LocalDateTime] = None,
       txId: Option[Long] = None): DataFrame =
-    Planner.q(spark, db(validTime, txTime, txId), edn, args: _*)
+    Planner.withFnAllowList(fnAllowList) {
+      Planner.q(spark, db(validTime, txTime, txId), edn, args: _*)
+    }
 
   /** SQL query → DataFrame — the SQL-over-wire surface. The reference
     * serves SQL via crux-sql's Calcite/Avatica JDBC server
