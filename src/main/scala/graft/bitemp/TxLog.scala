@@ -60,17 +60,26 @@ object TxLog {
 
   /** One transaction's effect: delta rows, evicted eids (with a
     * driver-known emptiness flag so consumers can skip the anti-join
-    * entirely), and whether a match/cas precondition aborted it. */
+    * entirely), whether a match/cas precondition aborted it, and a
+    * `cleanup` the consumer MUST call once `newRows` is materialized —
+    * it drops the tx's cached op list from the block manager (per-tx
+    * caches would otherwise accumulate across a long sequential batch). */
   final case class TxParts(newRows: DataFrame, evictEids: DataFrame,
-      hasEvict: Boolean, aborted: Boolean)
+      hasEvict: Boolean, aborted: Boolean, cleanup: () => Unit = () => ())
 
-  /** Apply one transaction. Returns (newState, aborted). */
+  /** Apply one transaction. Returns (newState, aborted). The new state is
+    * EAGERLY localCheckpoint-ed — every sequential consumer checkpoints
+    * per tx anyway (lineage would grow unboundedly otherwise), and doing
+    * it here lets the per-tx ops cache be dropped immediately instead of
+    * accumulating in the block manager for the session's lifetime. */
   def applyTx(state: DataFrame, ops: DataFrame, txId: Long,
       txTime: java.time.LocalDateTime): (DataFrame, Boolean) = {
     val p = applyTxParts(state, ops, txId, txTime)
-    if (p.aborted) (state, true)
-    else (state.join(broadcast(p.evictEids), Seq("eid"), "left_anti")
-      .unionByName(p.newRows), false)
+    try {
+      if (p.aborted) (state, true)
+      else (state.join(broadcast(p.evictEids), Seq("eid"), "left_anti")
+        .unionByName(p.newRows).localCheckpoint(true), false)
+    } finally p.cleanup()
   }
 
   /** Like [[applyTx]] but returns the tx's effect as [[TxParts]] instead
@@ -158,7 +167,7 @@ object TxLog {
       if (aborted)
         return TxParts(emptyState(state.sparkSession),
           emptyState(state.sparkSession).select("eid"), hasEvict = false,
-          aborted = true)
+          aborted = true, cleanup = () => { ops.unpersist(); () })
 
       // --- evict: hard-delete every version of the entity
       // (tx.clj:135-147, index_store.clj:993-1047)
@@ -282,7 +291,8 @@ object TxLog {
       // rewrite bug (AttributeMap "key not found" in
       // UnionBase.rewriteConstraints) on the range branch's nested union.
       val kept = newRows.join(broadcast(evictEids), Seq("eid"), "left_anti")
-      TxParts(kept, evictEids, hasEvict, aborted = false)
+      TxParts(kept, evictEids, hasEvict, aborted = false,
+        cleanup = () => { ops.unpersist(); () })
     } finally resolved.unpersist()
   }
 
@@ -329,8 +339,9 @@ object TxLog {
         i = j
       } else {
         val (txId, txTime, ops) = txs(i)
+        // applyTx checkpoints the new state eagerly — no second checkpoint
         val (next, _) = applyTx(st, ops, txId, txTime)
-        st = next.localCheckpoint(true)
+        st = next
         i += 1
       }
     }
@@ -342,8 +353,7 @@ object TxLog {
   private[graft] def applyBatchSeq(state: DataFrame,
       txs: Seq[(Long, java.time.LocalDateTime, DataFrame)]): DataFrame =
     txs.foldLeft(state) { case (st, (txId, txTime, ops)) =>
-      val (next, _) = applyTx(st, ops, txId, txTime)
-      next.localCheckpoint(true)
+      applyTx(st, ops, txId, txTime)._1 // applyTx checkpoints eagerly
     }
 
   /** Apply a run of put/delete/evict-only txs in ONE distributed pass.

@@ -96,7 +96,7 @@ final class GraftNode(val spark: SparkSession, val source: FactSource,
         .withColumn("at_vt", coalesce(col("at_vt"), lit(vt)))
     }
     val (next, aborted) = TxLog.applyTx(versions, opRows, txId, txTime)
-    if (!aborted) versions = next.localCheckpoint(true)
+    if (!aborted) versions = next // applyTx checkpoints eagerly
     val info = TxInfo(txId, txTime, committed = !aborted)
     txs.add(info)
     txOps.put(txId, JArray(ops))

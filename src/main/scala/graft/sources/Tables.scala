@@ -48,20 +48,44 @@ object Tables {
 
   private def doLoad(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS) which the vectorized reader
-      // rejects; read it as a long and downcast to micro-precision NTZ
-      // (truncation — same as DuckDB's ns→µs cast, keeping oracle parity).
-      // The conf is session-global BY DESIGN: reads are lazy, so a
-      // set/restore scope would race plan execution, and the conf only
-      // changes behavior for TIMESTAMP(NANOS) columns — which Spark
-      // otherwise refuses to read at all.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = spark.read.parquet(s"$sfDir/$name.parquet")
       import org.apache.spark.sql.functions._
-      raw.withColumn("ts",
-        expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)"))
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+      // events.ts has been written both as parquet TIMESTAMP(NANOS) and as
+      // plain timestamp[us] across fixture generations. Dispatch on what the
+      // file actually says — the Spark analogue of the reference codec's
+      // value-type-tag dispatch (crux-core/src/crux/codec.clj:478-503) —
+      // rather than asserting one physical encoding.
+      val raw = readEventsRaw(spark, s"$sfDir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case LongType =>
+          // nanos-as-long: truncate to micro-precision NTZ (same as
+          // DuckDB's ns→µs cast, keeping oracle parity).
+          raw.withColumn("ts",
+            expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)"))
+        case _ =>
+          // already a timestamp (µs): normalize to NTZ (no-op if NTZ;
+          // UTC-instant-preserving under the session's UTC timezone).
+          raw.withColumn("ts", col("ts").cast(TimestampNTZType))
+      }
     } else spark.read.parquet(s"$sfDir/$name.parquet")
   }
+
+  /** Read the events parquet, falling back to nanos-as-long when the file
+    * carries TIMESTAMP(NANOS) — which Spark refuses to read without the
+    * legacy conf. The conf is session-global BY DESIGN: reads are lazy, so
+    * a set/restore scope would race plan execution, and the conf only
+    * changes behavior for TIMESTAMP(NANOS) columns. */
+  private[graft] def readEventsRaw(spark: SparkSession, path: String): DataFrame =
+    try spark.read.parquet(path)
+    catch {
+      case e: Exception if causeChain(e).exists(_.getMessage != null) &&
+          causeChain(e).exists(m => Option(m.getMessage).exists(_.contains("NANOS"))) =>
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.read.parquet(path)
+    }
+
+  private def causeChain(e: Throwable): List[Throwable] =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10).toList
 
   /** Register every table as a temp view (idempotent) and return the dir. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =

@@ -159,6 +159,9 @@ object IngestStream {
           secondarySinks.foreach(sink => sink(ops, batchId))
           commitManifest(stateDir, next, conf)
           pruneStale(fs, stateDir, conf)
+          // delta landed + sinks ran: drop this tx's cached op list so
+          // block-manager entries stay flat across a long-running stream
+          parts.cleanup()
         }
       }
       .start()
@@ -282,8 +285,27 @@ object IngestStream {
   /** Windowed streaming aggregation over the events stream (the stream-
     * query side Spark adds on top of the reference's ingest-only model):
     * tumbling-window counts per event type, complete mode. */
+  /** Batch-probe the events parquet's actual schema — the stream schema must
+    * come from the file, not a hardcoded StructType: in r5 a hardcoded
+    * LongType ts silently read µs timestamps as if they were ns and shrank
+    * every event time 1000×. Probing delegates to [[graft.sources.Tables
+    * .readEventsRaw]] so the nanos-as-long fallback stays in one place. */
+  private def probeEventsSchema(
+      spark: SparkSession, path: String): org.apache.spark.sql.types.StructType =
+    graft.sources.Tables.readEventsRaw(spark, path).schema
+
+  /** ts normalization for the probed schema: a `ts_us` micros-long column
+    * from either physical encoding (long = nanos → DIV 1000; timestamp →
+    * unix_micros under the session's UTC timezone). */
+  private def withTsMicros(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts_us", expr("ts DIV 1000"))
+      case _ =>
+        df.withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+    }
+
   def windowedCounts(spark: SparkSession, eventsPath: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // file streams need a directory source; stage single files via symlink
     val src = new java.io.File(eventsPath)
     val eventsDir =
@@ -294,15 +316,9 @@ object IngestStream {
           d.resolve(src.getName), src.toPath.toAbsolutePath)
         d.toString
       }
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
-      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
-    val stream = spark.readStream.schema(schema).parquet(eventsDir)
-      .withColumn("ts", expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)"))
+    val schema = probeEventsSchema(spark, eventsPath)
+    val stream = withTsMicros(spark.readStream.schema(schema).parquet(eventsDir))
+      .withColumn("ts", expr("CAST(timestamp_micros(ts_us) AS TIMESTAMP_NTZ)"))
     val agg = stream
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,4)")).cast("double").as("total"))
@@ -377,19 +393,28 @@ object IngestStream {
   def sessions(spark: SparkSession, eventsPath: String, gapMinutes: Int = 30,
       statePartitions: Int = 8): DataFrame = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val gapUs = gapMinutes * 60000000L
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+
+    val schema = probeEventsSchema(spark, eventsPath)
+    val tsIsLong = schema("ts").dataType == org.apache.spark.sql.types.LongType
 
     // stage dir: real file first (old mtime), then two sentinel batches
     val d = java.nio.file.Files.createTempDirectory("graft_sessions_src")
     val src = new java.io.File(eventsPath)
     java.nio.file.Files.createSymbolicLink(
       d.resolve("0_" + src.getName), src.toPath.toAbsolutePath)
-    def stageSentinel(name: String, tsNanos: Long, mtime: Long): Unit = {
+    // sentinel ts must match the fixture's physical encoding so one stream
+    // schema reads both
+    def stageSentinel(name: String, tsUs: Long, mtime: Long): Unit = {
       val tmp = d.resolve(name + "_tmp").toString
-      Seq((-1L, tsNanos, -1L, "sentinel", 0.0, ""))
-        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val base = Seq((-1L, -1L, "sentinel", 0.0, ""))
+        .toDF("event_id", "user_id", "event_type", "value", "props")
+      val withTs =
+        if (tsIsLong) base.withColumn("ts", lit(tsUs * 1000L))
+        else base.withColumn("ts",
+          expr(s"CAST(timestamp_micros(${tsUs}L) AS TIMESTAMP_NTZ)"))
+      withTs.select("event_id", "ts", "user_id", "event_type", "value", "props")
         .coalesce(1).write.mode("overwrite").parquet(tmp)
       val part = new java.io.File(tmp).listFiles()
         .filter(_.getName.endsWith(".parquet")).head
@@ -398,23 +423,16 @@ object IngestStream {
       dst.setLastModified(mtime); ()
     }
     val now = System.currentTimeMillis()
-    val farFutureNs = 4102444800L * 1000000000L // 2100-01-01
-    stageSentinel("1_sentinel.parquet", farFutureNs, now)
-    stageSentinel("2_sentinel.parquet", farFutureNs + 3600L * 1000000000L, now + 60000)
+    val farFutureUs = 4102444800L * 1000000L // 2100-01-01
+    stageSentinel("1_sentinel.parquet", farFutureUs, now)
+    stageSentinel("2_sentinel.parquet", farFutureUs + 3600L * 1000000L, now + 60000)
 
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
-      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
-    val stream = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").option("latestFirst", "false")
-      .parquet(d.toString)
-      .withColumn("tst", expr("timestamp_micros(ts DIV 1000)"))
+    val stream = withTsMicros(spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").option("latestFirst", "false")
+        .parquet(d.toString))
+      .withColumn("tst", expr("timestamp_micros(ts_us)"))
       .withWatermark("tst", "0 seconds")
-      .select(col("user_id"), col("tst"), expr("ts DIV 1000").as("ts_us"),
+      .select(col("user_id"), col("tst"), col("ts_us"),
         (col("value").cast("decimal(18,4)") * 10000).cast("long").as("v_scaled"))
       .as[SessionEvent]
 

@@ -99,6 +99,27 @@ class TxLogFoldSpec extends AnyFunSuite {
       s"cas tx time grew with untouched history: ${smallNs / 1e9}s -> ${bigNs / 1e9}s")
   }
 
+  test("per-tx op caches are dropped: cache manager flat across a batch") {
+    // applyTxParts caches each tx's op list (and its resolved history);
+    // both must be unpersisted once the tx's delta is materialized, or a
+    // long sequential batch accumulates one block-manager entry per tx.
+    // (localCheckpoint RDDs are lifecycle-managed by the ContextCleaner;
+    // Dataset .cache() entries live until explicit unpersist — so the
+    // assertion is on the CacheManager, where .cache() registers.)
+    val rnd = new scala.util.Random(77)
+    val txs = randomTxs(rnd, nTxs = 12, withCas = true) // forces sequential path
+    val out = TxLog.applyBatch(TxLog.emptyState(spark), txs)
+    out.count() // materialize the final state
+    // precise, pollution-immune check: none of THIS batch's op plans may
+    // still be registered (other components persist long-lived caches —
+    // e.g. the RDF parse cache — so a global isEmpty would be flaky)
+    val leaked = txs.count { case (_, _, ops) =>
+      spark.sharedState.cacheManager.lookupCachedData(
+        ops.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]).isDefined }
+    assert(leaked == 0,
+      s"$leaked per-tx op caches leaked across applyBatch (ops not unpersisted)")
+  }
+
   test("fold on existing state: later batch sees earlier batch's corrections") {
     val rnd = new scala.util.Random(7)
     val first = randomTxs(rnd, nTxs = 4, withCas = false)
