@@ -125,13 +125,30 @@ final class TableSource(spark: SparkSession, load: String => DataFrame,
 
   def attrs: Set[String] = attrToTable.keySet
 
+  /** Per-table load guarded for the ALL-attribute scan paths only: a
+    * schemaless whole-corpus search over a partially-broken catalog should
+    * degrade (log + skip the table), not die — in r5 `wildcard-text-search`
+    * died collaterally on a table the query never mentioned. Direct access
+    * to a named attribute ([[attr]]/[[entityScan]]) still throws: there the
+    * query asked for that table, and skipping would silently change
+    * semantics. */
+  private def loadableSchema(t: String): Option[org.apache.spark.sql.types.StructType] =
+    try Some(load(t).schema)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        TableSource.log.warn(
+          s"skipping table '$t' in whole-corpus string scan: ${e.getMessage}")
+        None
+    }
+
   override lazy val stringAttrs: Set[String] = tables.keysIterator.flatMap { t =>
-    val schema = load(t).schema
-    tables(t).cols.filter { c =>
-      schema(c).dataType match {
-        case org.apache.spark.sql.types.StringType => true
-        case ArrayType(org.apache.spark.sql.types.StringType, _) => true
-        case _ => false
+    loadableSchema(t).toSeq.flatMap { schema =>
+      tables(t).cols.filter { c =>
+        schema(c).dataType match {
+          case org.apache.spark.sql.types.StringType => true
+          case ArrayType(org.apache.spark.sql.types.StringType, _) => true
+          case _ => false
+        }
       }
     }
   }.toSet
@@ -147,7 +164,7 @@ final class TableSource(spark: SparkSession, load: String => DataFrame,
     * a whole-corpus search touches every table exactly once. */
   override lazy val stringQuads: Option[DataFrame] = {
     val parts = tables.keysIterator.toSeq.sorted.flatMap { t =>
-      val schema = load(t).schema
+      loadableSchema(t).toSeq.flatMap { schema =>
       val strCols = tables(t).cols
         .filter(c => schema(c).dataType == StringType).toSeq.sorted
       val arrCols = tables(t).cols.filter { c =>
@@ -171,6 +188,7 @@ final class TableSource(spark: SparkSession, load: String => DataFrame,
           .select(col("_eid").as("eid"), lit(c).as("a"), explode(col(c)).as("value"))
           .filter(col("value").isNotNull))
         scalar ++ arrays
+      }
       }
     }
     parts.reduceOption(_ unionByName _)
@@ -273,6 +291,8 @@ object QuadSource {
 final case class TableSpec(key: Seq[String], cols: Set[String])
 
 object TableSource {
+  private[datalog] val log = org.slf4j.LoggerFactory.getLogger(classOf[TableSource])
+
   /** Catalog for the driver's TPC-H-ish parquet tables (FIXTURES.md §1). */
   def tpch(spark: SparkSession, dir: String): TableSource = {
     val specs = Map(
