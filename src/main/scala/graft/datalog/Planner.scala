@@ -1659,7 +1659,9 @@ private final class Planner(spark: SparkSession, source: FactSource,
     // re-find can recover it statically and stay columnar. Matcher STATE
     // is approximated as the first match (the shape ported corpora use:
     // re-groups right after construction); stepping a matcher through
-    // successive finds is driver-side Java and stays non-columnar.
+    // successive finds is driver-side Java and stays non-columnar —
+    // ports rewrite the k-th find as (nth (re-seq pat s) k), which
+    // re-seq serves as all-matches group vectors (dl_fns_corpus6).
     case "re-matcher" =>
       val p = rawStr(raw, 0, "re-matcher pattern")
       struct(args(1).as("s"), lit(true).as(reMatcherTag + p))
@@ -1718,9 +1720,26 @@ private final class Planner(spark: SparkSession, source: FactSource,
     case "pop" => slice(args.head, lit(1), greatest(size(args.head) - 1, lit(0)))
     case "index-of" => // clojure.string/index-of: 0-based or nil
       when(instr(args.head, args(1)) > 0, (instr(args.head, args(1)) - 1).cast(LongType))
-    case "re-seq" => // all matches, nil when none (Clojure returns nil, not ())
-      val ms = call_function("regexp_extract_all", args(1), args.head, lit(0))
-      when(size(ms) > 0, ms)
+    case "re-seq" => literalGroupCount(raw, 0) match {
+      // Clojure re-seq with a capture-group pattern yields a group VECTOR
+      // per match ([full g1 … gn]); built columnar by zipping per-group
+      // regexp_extract_all arrays — one pass per group, no UDF. This is
+      // also the documented rewrite for MATCHER STEPPING (successive
+      // (re-find m) advancing a re-matcher): stepping is imperative
+      // driver-side state in the reference too, so ports express "the
+      // k-th find" as (nth (re-seq pat s) k) — all matches once,
+      // index into them (registry tail, VERDICT r5 #2).
+      case Some(n) if n > 0 =>
+        val p = rawStr(raw, 0, "re-seq pattern")
+        val gcols = (0 to n).map(i =>
+          call_function("regexp_extract_all", args(1), lit(p), lit(i)))
+        val ms = transform(sequence(lit(1), size(gcols.head)),
+          j => array(gcols.map(g => element_at(g, j)): _*))
+        when(size(gcols.head) > 0, ms)
+      case _ => // no groups: all full matches, nil when none (Clojure nil, not ())
+        val ms = call_function("regexp_extract_all", args(1), args.head, lit(0))
+        when(size(ms) > 0, ms)
+    }
     case "char" => call_function("char", args.head) // code point → 1-char string
     case "concat" => concat(args: _*) // arrays (or strings) end-to-end
     case "flatten" => // Clojure flatten is deep — unroll by the static type

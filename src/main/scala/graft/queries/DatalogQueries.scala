@@ -244,6 +244,33 @@ object DatalogQueries {
         .withColumn("nf", to_json(col("nf")))
     }),
 
+    // registry tail round 6 (VERDICT r5 #2): matcher STEPPING — Clojure's
+    // successive (re-find m) advancing a re-matcher is imperative
+    // driver-side state in the reference too, so ports rewrite "the k-th
+    // find" as (nth (re-seq pat s) k): re-seq with a capture-group
+    // pattern now yields Clojure's all-matches GROUP VECTORS
+    // ([full g1 g2] per match), and nth indexes the steps
+    "dl_fns_corpus6" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions.{col, to_json}
+      dl("""
+        {:find [?ck ?sq ?m0 ?m1 ?m1g2 ?cnt ?lastm]
+         :keys [c_custkey sq m0 m1 m1g2 n_matches last_m]
+         :order-by [[?ck :asc]]
+         :limit 200
+         :where [[?c :c_custkey ?ck] [?c :c_name ?nm]
+                 [(< ?ck 100)]
+                 [(re-seq "([0-9])([0-9])" ?nm) ?sq]
+                 [(nth ?sq 0) ?m0]
+                 [(nth ?sq 1) ?m1]
+                 [(nth ?m1 2) ?m1g2]
+                 [(count ?sq) ?cnt]
+                 [(last ?sq) ?lastm]]}""")(s, dir)
+        .withColumn("sq", to_json(col("sq")))
+        .withColumn("m0", to_json(col("m0")))
+        .withColumn("m1", to_json(col("m1")))
+        .withColumn("last_m", to_json(col("last_m")))
+    }),
+
     // top-down computational recursion (racket fib, query_test.clj:3181,
     // r4): groundless recursive rules evaluate per binding on the driver;
     // joined against a data clause so the gate exercises the correlated
@@ -458,6 +485,25 @@ object DatalogSql {
         substring(c_name, 10) AS sfx
       FROM customer WHERE c_custkey < 100
       ORDER BY c_custkey LIMIT 200""",
+
+    "dl_fns_corpus6" -> """
+      WITH base AS (
+        SELECT c_custkey, c_name,
+          regexp_extract_all(c_name, '([0-9])([0-9])', 0) AS g0,
+          regexp_extract_all(c_name, '([0-9])([0-9])', 1) AS g1,
+          regexp_extract_all(c_name, '([0-9])([0-9])', 2) AS g2
+        FROM customer WHERE c_custkey < 100),
+      mid AS (
+        SELECT *, list_transform(g0, (x, i) -> [x, g1[i], g2[i]]) AS sq
+        FROM base)
+      SELECT c_custkey,
+        to_json(sq) AS sq,
+        to_json(sq[1]) AS m0,
+        to_json(sq[2]) AS m1,
+        sq[2][3] AS m1g2,
+        CAST(len(sq) AS BIGINT) AS n_matches,
+        to_json(sq[len(sq)]) AS last_m
+      FROM mid ORDER BY c_custkey LIMIT 200""",
 
     "dl_fns_corpus3" -> """
       WITH base AS (

@@ -689,6 +689,29 @@ class DatalogSpec extends AnyFunSuite {
                    [(count ?rel) ?c]]]""") == Set(Seq("anna", 1L)))
   }
 
+  test("re-seq group vectors + nth: the matcher-stepping rewrite") {
+    // Clojure: (re-seq #"([a-z])(\d)" "a1 b2 c3") =>
+    //   (["a1" "a" "1"] ["b2" "b" "2"] ["c3" "c" "3"])
+    // and stepping a re-matcher with successive (re-find m) is rewritten
+    // as (nth (re-seq pat s) k) — here the SECOND find's group 2 is "2"
+    assert(run("""[:find ?full ?g1 ?g2 ?cnt :where [[?e :name "Ivan"]
+                   [(identity "a1 b2 c3") ?s]
+                   [(re-seq "([a-z])([0-9])" ?s) ?ms]
+                   [(nth ?ms 1) ?m1]
+                   [(nth ?m1 0) ?full] [(nth ?m1 1) ?g1] [(nth ?m1 2) ?g2]
+                   [(count ?ms) ?cnt]]]""") ==
+      Set(Seq("b2", "b", "2", 3L)))
+    // group-less pattern keeps the flat all-matches shape
+    assert(run("""[:find ?m0 :where [[?e :name "Ivan"]
+                   [(identity "a1 b2") ?s]
+                   [(re-seq "[a-z][0-9]" ?s) ?ms] [(first ?ms) ?m0]]]""") ==
+      Set(Seq("a1")))
+    // no match still binds nil (Clojure returns nil, not ())
+    assert(run("""[:find ?e :where [[?e :name "Ivan"] [?e :name ?n]
+                   [(re-seq "([0-9])([0-9])" ?n) ?ms] [(nil? ?ms)]]]""") ==
+      Set(Seq("ivan")))
+  }
+
   test("allowlist tranche 3: re-seq / char fns / interpose / split-at") {
     assert(run("""[:find ?m :where [[?e :name "Ivan"]
                    [(re-seq "[aeiou]" ?n) ?vs] [?e :name ?n]
