@@ -75,6 +75,56 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("LUBM snowflake: adaptive final plan broadcasts, no cartesian") {
+    // the r5→r6 watch item: the shared RDF parse cache must feed the
+    // multi-hop join cascade without degrading join strategy. (q8, not
+    // the empty-result q2: AQE collapses an empty cascade to
+    // EmptyRelation and there'd be no join left to pin.)
+    val df = graft.queries.LubmQueries.all("lubm_q8")(spark, dir)
+    df.collect() // materialize so AQE settles the final plan
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("dedup LSH pair generation keeps its pinned partitioning") {
+    // pair output is quadratic per bucket while the key relation is
+    // small; the repartition before the self-join must survive as a
+    // user-specified (REPARTITION_BY_NUM) exchange AQE won't coalesce
+    // to a single task, and the self-join must stay an equi-join
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+    val pairs = graft.operators.Dedup.minhashLshPairs(docs, tau = 0.5)
+    val p = pairs.queryExecution.executedPlan.toString
+    assert(p.contains("REPARTITION_BY_NUM"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
+  test("bitemp asOf resolves in one aggregate pass over one scan") {
+    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.Row
+    import scala.jdk.CollectionConverters._
+    val rows = (0 until 100).map { i =>
+      Row(s"e${i % 20}", java.time.LocalDateTime.parse("2020-01-01T00:00:00")
+        .plusDays(i % 5), java.time.LocalDateTime.parse("2020-02-01T00:00:00"),
+        (i / 20).toLong, s"h$i", false)
+    }
+    val versions = spark.createDataFrame(rows.asJava, graft.bitemp.TxLog.versionSchema)
+      .localCheckpoint(true)
+    val df = graft.bitemp.Bitemp.asOf(versions,
+      lit(java.time.LocalDateTime.parse("2020-01-03T00:00:00")), lit(3L))
+    val p = df.queryExecution.executedPlan.toString
+    // exactly one resolve: one partial+final aggregate pair over ONE scan
+    // of the versions state — a regression to per-consumer re-resolution
+    // (or a window-function rewrite) multiplies these
+    val scans = p.linesIterator.count(l => l.contains("Scan ExistingRDD"))
+    val aggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(scans == 1, s"versions scanned $scans times:\n${p.take(3000)}")
+    assert(aggs <= 2, s"$aggs aggregate nodes (want partial+final):\n${p.take(3000)}")
+    assert(!p.contains("Window"), p.take(3000))
+  }
+
   test("text-search plan carries the contains prefilter before tokenizing") {
     val src = TableSource.tpch(spark, dir)
     val df = Planner.q(spark, src,
