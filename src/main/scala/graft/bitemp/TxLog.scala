@@ -71,12 +71,33 @@ object TxLog {
     * EAGERLY localCheckpoint-ed — every sequential consumer checkpoints
     * per tx anyway (lineage would grow unboundedly otherwise), and doing
     * it here lets the per-tx ops cache be dropped immediately instead of
-    * accumulating in the block manager for the session's lifetime. */
+    * accumulating in the block manager for the session's lifetime.
+    *
+    * NOTE (r6): checkpointing only the DELTA and returning
+    * `state union delta` — O(|tx|) materialization per tx instead of
+    * O(state) — was tried and REVERTED: a localCheckpoint LogicalRDD
+    * pins origin constraints, and once one rides in the state union any
+    * later ranged tx dies in Catalyst's UnionBase.rewriteConstraints
+    * (AttributeMap key-not-found), the same landmine the ops cache
+    * comment below documents. Stripping constraints via
+    * createDataFrame(cp.rdd, schema) works but pays Row↔InternalRow
+    * conversion on every later scan of the delta. The O(state) copy per
+    * SEQUENTIAL tx is acceptable because the high-volume paths don't
+    * take it: put/delete runs fold through [[applyPutDeleteTxs]] (one
+    * pass per run) and the streaming indexer commits O(delta) parquet
+    * manifests; only interactive cas/match txs land here. */
   def applyTx(state: DataFrame, ops: DataFrame, txId: Long,
       txTime: java.time.LocalDateTime): (DataFrame, Boolean) = {
     val p = applyTxParts(state, ops, txId, txTime)
     try {
       if (p.aborted) (state, true)
+      // the anti-join stays even when the tx has no evicts (same
+      // constraint-barrier role as the one inside applyTxParts): a
+      // checkpointed state is a LogicalRDD pinning origin constraints,
+      // and as a BARE union child those constraints hit the same
+      // UnionBase.rewriteConstraints AttributeMap crash on the next
+      // ranged tx — r6 tried skipping it for the driver-known-empty
+      // case and BitempSpec's range suite went red
       else (state.join(broadcast(p.evictEids), Seq("eid"), "left_anti")
         .unionByName(p.newRows).localCheckpoint(true), false)
     } finally p.cleanup()
@@ -108,7 +129,10 @@ object TxLog {
     // the precondition job, the evict anti-join, and the whole
     // range-cap/restore subplan (several shuffles each). At local[32]
     // sequential-tx latency is job-count-bound, so pruning plans matters
-    // more than pruning rows.
+    // more than pruning rows. (Merging this with the precondition into
+    // one cross-joined action was tried in r6 and is SLOWER: the non-equi
+    // precondition join then anchors the whole job, and AQE does not
+    // prune its resolved-state leg for check-free txs.)
     val shape = ops.agg(
       count(when(col("op").isin("match", "cas"), 1)),
       count(when(col("op") === "evict", 1)),

@@ -41,9 +41,8 @@ object RdfSetQueries {
       lit(null).cast("timestamp_ntz").as("at_vt"),
       lit(null).cast("string").as("expected_hash"),
       col("event_id").as("seq"))
-    val (st1, ab1) = TxLog.applyTx(TxLog.emptyState(s), puts, 0L, t0)
-    require(!ab1, "seed tx must commit")
-    val state1 = st1.localCheckpoint(true)
+    val (state1, ab1) = TxLog.applyTx(TxLog.emptyState(s), puts, 0L, t0)
+    require(!ab1, "seed tx must commit") // applyTx checkpoints eagerly
 
     val snap = Bitemp.asOfTime(state1,
       lit(java.time.LocalDateTime.parse("2024-03-01T00:00")),
@@ -57,9 +56,8 @@ object RdfSetQueries {
         lit(null).cast("timestamp_ntz").as("at_vt"),
         col("content_hash").as("expected_hash"),
         col("eid").cast("long").as("seq"))
-    val (st2, ab2) = TxLog.applyTx(state1, casOps, 1L, t0.plusHours(1))
+    val (state2, ab2) = TxLog.applyTx(state1, casOps, 1L, t0.plusHours(1))
     require(!ab2, "cas tx must commit")
-    val state2 = st2.localCheckpoint(true)
 
     // tx 2: wrong match + a put that must be discarded with the abort
     import scala.jdk.CollectionConverters._

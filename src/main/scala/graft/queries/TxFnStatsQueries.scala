@@ -24,8 +24,8 @@ object TxFnStatsQueries {
       lit(null).cast("timestamp_ntz").as("at_vt"),
       lit(null).cast("string").as("expected_hash"),
       col("event_id").as("seq"))
-    val (st1, _) = TxLog.applyTx(TxLog.emptyState(s), puts, 0L, t0)
-    val state1 = st1.localCheckpoint(true)
+    val (state1, _) = TxLog.applyTx(TxLog.emptyState(s), puts, 0L, t0)
+    // applyTx checkpoints eagerly — no second checkpoint
 
     val fns: Map[String, TxLog.TxFn] = Map(
       "bump" -> ((snapshot: DataFrame, arg: String) =>
