@@ -2069,7 +2069,13 @@ private final class Planner(spark: SparkSession, source: FactSource,
     * tokens to the lowercased bound patterns, and recompute BM25 from
     * per-token df columns — identical scores to the per-binding path's
     * stats pass, one shuffle, no driver collect of the pattern domain.
-    * Patterns carrying real Lucene syntax still take the driver loop. */
+    * Single-token WILDCARD patterns (`Iv*n`, `Iv?n` — r6) also join
+    * distributively: the pattern set broadcasts with a derived per-token
+    * regex, and matches score the CONSTANT 1.0 of Lucene's MultiTermQuery
+    * constant-score rewrite (LuceneSyntax:409-413) — so both unbounded-
+    * domain shapes never collect. Only patterns carrying composite Lucene
+    * syntax (boolean/phrase/field/range) still take the capped driver
+    * loop, matching the reference's per-tuple re-execution model. */
   private def boundTextSearchDf(current: Rel, attr: String, qv: String,
       outNames: List[String]): DataFrame = {
     require(outNames.nonEmpty && outNames.size <= 3,
@@ -2078,11 +2084,18 @@ private final class Planner(spark: SparkSession, source: FactSource,
     val bound = current.df.select(col(qv)).distinct()
     val plainCol = col(qv).rlike("^[\\p{L}\\p{N}]+$") &&
       !upper(col(qv)).isin("AND", "OR", "NOT")
-    // syntax-ful patterns: rare by construction — driver loop, capped
+    // single analyzer token with wildcard chars and nothing else — the
+    // restricted alphabet means the regex derivation below needs no
+    // escaping (wildcardRegex's escape set can't occur)
+    val wildCol = col(qv).rlike("^[\\p{L}\\p{N}*?]+$") &&
+      (col(qv).contains("*") || col(qv).contains("?")) &&
+      !upper(col(qv)).isin("AND", "OR", "NOT")
+    // composite-syntax patterns: rare by construction — driver loop, capped
     val p = Pred("text-search", List(C(Edn.Kw(attr)), V(qv)),
       Some(BindRel(outNames.map(V(_)))))
     val loopDf = {
-      val combos = bound.filter(!coalesce(plainCol, lit(false))).collect().toSeq
+      val combos = bound.filter(!coalesce(plainCol || wildCol, lit(false)))
+        .collect().toSeq
       if (combos.isEmpty) None
       else Some(perBindingLoopDf(current, p, List(qv), outNames, combos))
     }
@@ -2102,7 +2115,7 @@ private final class Planner(spark: SparkSession, source: FactSource,
               explode(col("__toks")).as("__tok"))
             .groupBy(col("eid"), col("value"), col("__tok"))
             .agg(count(lit(1)).as("__tf"), first(col("__dl")).as("__dl"))
-          if (!needScore) {
+          val plainHits = if (!needScore) {
             val hits = terms.join(docToks, Seq("__tok"))
             val avail = Seq(col("eid"), col("value"))
             hits.select(col(qv) +: outNames.zip(avail).map { case (n, c) => c.as(n) }: _*)
@@ -2119,6 +2132,19 @@ private final class Planner(spark: SparkSession, source: FactSource,
             val avail = Seq(col("eid"), col("value"), score)
             hits.select(col(qv) +: outNames.zip(avail).map { case (n, c) => c.as(n) }: _*)
           }
+          // wildcard leg: broadcast the (pattern, derived regex) set and
+          // regex-join against the token corpus; multiple matching tokens
+          // in one doc collapse to one row (constant-score rewrite)
+          val wilds = bound.filter(wildCol).select(col(qv),
+            concat(lit("^"),
+              regexp_replace(regexp_replace(lower(col(qv)), "\\*", ".*"), "\\?", "."),
+              lit("$")).as("__re"))
+          val wildRows = docToks.join(broadcast(wilds), expr("__tok RLIKE __re"))
+            .select(col(qv), col("eid"), col("value")).distinct()
+          val wildAvail = Seq(col("eid"), col("value"), lit(1.0))
+          val wildHits = wildRows.select(
+            col(qv) +: outNames.zip(wildAvail).map { case (n, c) => c.as(n) }: _*)
+          plainHits.unionByName(wildHits)
       }
     }
     loopDf match {

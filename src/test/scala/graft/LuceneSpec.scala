@@ -378,6 +378,29 @@ class LuceneSpec extends AnyFunSuite {
     assert(viaBound == viaLit)
   }
 
+  test("bound text search: >1000 distinct wildcard patterns run as a join (r6)") {
+    // single-token wildcard patterns now join distributively too (broadcast
+    // regex join, constant score 1.0) — an unbounded pattern domain no
+    // longer trips the driver-loop cap
+    val facts = (1 to 1200).map(i => (s"e$i", "name", s"tok${i}x")) ++
+      (1 to 1200).map(i => (s"p$i", "pat", s"tok$i?"))
+    val src = quadSource(facts)
+    val got = run(src,
+      """[:find ?p ?e :where [[?x :pat ?p]
+          [(text-search :name ?p) [[?e ?v]]]]]""")
+    assert(got.size == 1200)
+    assert(got.take(3).forall { case Seq(p, e) =>
+      p.toString.startsWith("tok") && e.toString.startsWith("e") })
+    // scored: wildcard matches carry Lucene's constant-score 1.0, same as
+    // the literal-pattern path
+    val scored = run(quadSource(Seq(
+        ("ivan", "name", "Ivan"), ("ivona", "name", "Ivona"),
+        ("p", "pat", "Iv*"))),
+      """[:find ?e ?s :where [[?x :pat ?p]
+          [(text-search :name ?p) [[?e ?v ?s]]]]]""")
+    assert(scored == Set(Seq[Any]("ivan", 1.0), Seq[Any]("ivona", 1.0)))
+  }
+
   test("parser rejects dangling operators and unbalanced syntax") {
     for (bad <- Seq("name AND", "OR x", "(a b", "\"unterminated", "a ~2", "f:"))
       assertThrows[IllegalArgumentException](LuceneSyntax.parse(bad))
