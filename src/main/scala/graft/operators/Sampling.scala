@@ -95,4 +95,34 @@ object Sampling {
       .withColumn("copy_idx", explode(sequence(lit(0L), col("_n") - 1)))
       .drop("_n")
   }
+
+  /** GPT-style concatenate-and-chunk sequence packing: documents are
+    * conceptually concatenated in a deterministic order and sliced into
+    * fixed-`maxTokens` training chunks; each doc is assigned the chunk
+    * range it lands in ([chunk_start, chunk_end] — a doc straddling a
+    * boundary spans several chunks, exactly like pretraining packers
+    * that split documents at block edges).
+    *
+    * Computed as a running token sum over a window PARTITIONED BY
+    * `groupCol` (source) and ordered by `keyCol` — the global-order
+    * variant would funnel everything through one task; per-source packing
+    * shuffles once on the group key and scales with the number of
+    * sources. Skewed sources re-partition by salting the group key
+    * upstream if a single source dominates.
+    */
+  def packSequences(df: DataFrame, maxTokens: Int,
+      keyCol: String = "doc_id", groupCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(keyCol))
+    df.withColumn("n_tokens",
+        graft.operators.TextAnalysis.tokenCount(col(textCol)).cast("long"))
+      .withColumn("_cum", sum(col("n_tokens")).over(w))
+      .withColumn("chunk_start", ((col("_cum") - col("n_tokens")) / maxTokens).cast("long"))
+      .withColumn("chunk_end",
+        greatest((col("_cum") - 1) / maxTokens, (col("_cum") - col("n_tokens")) / maxTokens)
+          .cast("long"))
+      .select(col(keyCol), col(groupCol), col("n_tokens"),
+        col("chunk_start"), col("chunk_end"))
+  }
 }

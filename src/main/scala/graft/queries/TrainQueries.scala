@@ -134,6 +134,12 @@ object TrainQueries {
         (min(col("recall")) >= 0.8).as("min_ok"))
     }),
 
+    // GPT-style concat-and-chunk packing: per-source running token sum →
+    // fixed-2048-token chunk assignment per doc (docs straddling a block
+    // edge span a chunk range, like real pretraining packers)
+    "sample_pack" -> ((s, dir) =>
+      Sampling.packSequences(docs(s, dir), maxTokens = 2048)),
+
     "text_lang_id" -> ((s, dir) =>
       TextAnalysis.langId(docs(s, dir))
         .select(col("doc_id"), col("predicted"), col("lang"),
@@ -392,6 +398,21 @@ object TrainSql {
       SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens,
              md5(lower(text)) AS fingerprint
       FROM documents""",
+
+    "sample_pack" -> s"""
+      WITH t AS (
+        SELECT doc_id, source, CAST(len($toks) AS BIGINT) AS n_tokens
+        FROM documents),
+      c AS (
+        SELECT doc_id, source, n_tokens,
+          SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+        FROM t)
+      SELECT doc_id, source, n_tokens,
+        CAST(FLOOR((cum - n_tokens) / 2048.0) AS BIGINT) AS chunk_start,
+        CAST(GREATEST(FLOOR((cum - 1) / 2048.0),
+                      FLOOR((cum - n_tokens) / 2048.0)) AS BIGINT) AS chunk_end
+      FROM c""",
 
     "text_token_count" -> s"""
       WITH d AS (SELECT doc_id, text,
