@@ -213,25 +213,41 @@ object TxLog {
       // versions identical to the one visible at start-vt
       val startRowsNoEnd = noEnd.select(col("eid"), col("start_vt").as("vt"), col("content_hash"), col("seq"))
 
+      // Single-pass plan (r6): one eid join, then ONE window
+      // partition (op id) ordered by (hvt, htx) carries BOTH the running
+      // "version visible at start-vt" (last_value ignoreNulls over rows
+      // ≤ start) and the running "a differing future version was seen"
+      // flag — so the whole visible-at-start + contiguous-run computation
+      // is one shuffle+sort instead of the previous
+      // groupBy + join-back + second window (4 shuffles, and at local
+      // concurrency each AQE stage is a scheduler round-trip; this
+      // subplan dominated interactive cas-tx latency, BENCH r5→r6).
       val futureNoEnd = noEnd.as("w")
         .join(resolved.as("h"), col("w.eid") === col("h.eid"), "inner")
         .select(col("w.eid").as("eid"), col("w.start_vt").as("start_vt"),
           col("w.content_hash").as("new_hash"), col("w.seq").as("seq"),
           col("h.vt").as("hvt"), col("h.tt").as("htt"), col("h.tx_id").as("htx"),
           col("h.content_hash").as("hhash"))
-      val visibleAtStart = futureNoEnd.filter(col("hvt") <= col("start_vt"))
-        .groupBy(col("eid"), col("start_vt"), col("seq"))
-        .agg(max_by(struct(col("htt"), col("htx"), col("hhash")), struct(col("hvt"), col("htx"))).as("_v"))
-        .select(col("eid"), col("start_vt"), col("seq"),
-          col("_v.htt").as("vtt"), col("_v.htx").as("vtx"), col("_v.hhash").as("vhash"))
-      val overwriteNoEnd = futureNoEnd.filter(col("hvt") > col("start_vt"))
-        .join(visibleAtStart, Seq("eid", "start_vt", "seq"), "inner")
-        .withColumn("_same",
-          col("htt") <=> col("vtt") && col("htx") <=> col("vtx") && col("hhash") <=> col("vhash"))
-        .withColumn("_stop", min(when(!col("_same"), col("hvt")))
-          .over(org.apache.spark.sql.expressions.Window.partitionBy(col("eid"), col("start_vt"), col("seq"))))
-        .filter(col("_same") && (col("_stop").isNull || col("hvt") < col("_stop")))
-        .select(col("eid"), col("hvt").as("vt"), col("new_hash").as("content_hash"), col("seq"))
+      val overwriteNoEnd = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("eid"), col("start_vt"), col("seq"))
+          .orderBy(col("hvt"), col("htx"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        // visible-at-start rides forward to every later row; ties on vt
+        // break by tx_id via the orderBy (same (hvt, htx) order the old
+        // max_by used)
+        val vis = last(when(col("hvt") <= col("start_vt"),
+          struct(col("htt"), col("htx"), col("hhash"))), ignoreNulls = true).over(w)
+        futureNoEnd
+          .withColumn("_vis", vis)
+          .withColumn("_same", col("hvt") > col("start_vt") &&
+            col("_vis.htt") <=> col("htt") && col("_vis.htx") <=> col("htx") &&
+            col("_vis.hhash") <=> col("hhash"))
+          .withColumn("_broken", max(when(col("hvt") > col("start_vt") && !col("_same"), 1)
+            .otherwise(0)).over(w))
+          .filter(col("_same") && col("_broken") === 0)
+          .select(col("eid"), col("hvt").as("vt"), col("new_hash").as("content_hash"), col("seq"))
+      }
 
       // --- rows for ops with end-vt (put-delete-etxs, end branch):
       // new content at start plus every existing vt in (start, end), and a
