@@ -344,4 +344,60 @@ object Dedup {
         coalesce(col("label"), col("doc_id")).as("cluster"))
       .withColumn("is_canonical", col("cluster") === col("doc_id"))
   }
+
+  /** Duplicate-span statistics per document — the sub-document arm of the
+    * dedup family (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better", the ExactSubstr signal at token-n-gram
+    * granularity): for each doc, how many of its tokens sit inside a
+    * `g`-token span that occurs elsewhere in the corpus (or again in the
+    * same doc).
+    *
+    * Output per doc: `n_tokens`, `n_grams` (= max(n_tokens-g+1, 0)),
+    * `n_dup_grams` (start positions whose g-gram has corpus occurrence
+    * count ≥ 2), `dup_tokens` (tokens covered by ≥1 duplicated span) and
+    * `dup_ratio`. A pipeline drops or trims docs above a ratio threshold.
+    *
+    * Scale shape: one explode to (doc, pos, gram) rows, one shuffle to
+    * count gram occurrences (partial-agg map-side), one hash join back on
+    * gram restricted to grams with count ≥ 2 (the duplicated minority —
+    * on a mostly-unique web corpus this side is orders of magnitude
+    * smaller than the gram stream), then a per-doc window pass. Token
+    * coverage is computed EXACTLY without materializing per-token rows:
+    * duplicated g-spans all have length g, so the interval-union size is
+    * Σ min(g, next_start − start) over the sorted duplicate starts — one
+    * `lead` window per doc, no O(n·dups) blowup. The suffix-array
+    * construction in the paper finds arbitrary-length repeats; fixed-g
+    * spans are the standard scalable approximation (their own release
+    * dedups at a fixed 50-token window). */
+  def dupSpanStats(docs: DataFrame, g: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      TextAnalysis.tokens(col(textCol)).as("_tk"))
+    // (doc, pos, gram) stream; docs shorter than g emit nothing
+    val grams = toks
+      .filter(size(col("_tk")) >= g)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), size(col("_tk")) - g),
+          i => concat_ws(" ", slice(col("_tk"), i + 1, lit(g))))))
+      .toDF("doc_id", "pos", "gram")
+      .persist()
+    val dupGrams = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("_n")).filter(col("_n") >= 2).select(col("gram"))
+    val dupStarts = grams.join(dupGrams, Seq("gram")).select(col("doc_id"), col("pos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val perDoc = dupStarts
+      .withColumn("_cover",
+        least(lit(g.toLong), coalesce(lead(col("pos"), 1).over(w) - col("pos"), lit(g.toLong))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_grams"), sum(col("_cover")).as("dup_tokens"))
+    toks.select(col("doc_id"), size(col("_tk")).cast("long").as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        greatest(col("n_tokens") - (g - 1), lit(0L)).as("n_grams"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        (coalesce(col("dup_tokens"), lit(0L)).cast("double") / col("n_tokens"))
+          .as("dup_ratio"))
+  }
 }

@@ -139,6 +139,47 @@ object Multimodal {
     ds.toDF()
   }
 
+  final case class Resized(media_id: Long, width: Long, height: Long,
+      rgb0: Long, n_colors: Long)
+
+  /** REAL image resize (r6): decode PNG → `Graphics2D.drawImage` with
+    * bilinear interpolation to `w`×`h` → re-extract features. Runs the
+    * full decode→transform→featurize loop a vision-data pipeline runs per
+    * image, inside `mapPartitions` with per-partition codec setup. The
+    * fixture images are solid-color, so every resized pixel must equal the
+    * source color exactly regardless of interpolation — which is what
+    * makes the gate oracle-exact: width/height are the target box and
+    * rgb0/n_colors are id-predictable. */
+  def resize(spark: SparkSession, media: DataFrame, w: Int = 3, h: Int = 3): DataFrame = {
+    import spark.implicits._
+    media.filter(col("media_type") === "image")
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        javax.imageio.ImageIO.setUseCache(false)
+        batch.map { case (id, bytes) =>
+          val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          val dst = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = dst.createGraphics()
+          try {
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(src, 0, 0, w, h, null)
+          } finally g.dispose()
+          val colors = scala.collection.mutable.Set.empty[Int]
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { colors += (dst.getRGB(x, y) & 0xFFFFFF); x += 1 }
+            y += 1
+          }
+          Resized(id, w.toLong, h.toLong,
+            (dst.getRGB(0, 0) & 0xFFFFFF).toLong, colors.size.toLong)
+        }
+      }.toDF()
+  }
+
   /** Frame sampling for "video" payloads: fixed-size byte windows exploded
     * to (media_id, frame_idx, frame_bytes) rows — the partition-preserving
     * explode a real frame sampler would use. */

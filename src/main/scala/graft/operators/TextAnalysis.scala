@@ -148,4 +148,95 @@ object TextAnalysis {
         !col("too_short") && !col("bad_word_len") && !col("has_brace") &&
           !col("has_lorem") && !col("no_stopword"))
   }
+
+  // ------------------------------- corpus-level term statistics (r6)
+
+  /** Top-k salient terms per document by TF-IDF, with a RATIONAL idf
+    * `(N+1)/(df+1)` instead of the usual `ln((N+1)/(df+1))`: log is
+    * monotone, so the per-doc ranking is IDENTICAL to the log form, and
+    * exact-rational arithmetic keeps the score bit-equal to the DuckDB
+    * oracle (libm `log` is not guaranteed correctly rounded and differs
+    * across engines). Ties break on term asc — fully deterministic.
+    *
+    * Scale shape: explode to (doc, term) → one shuffle for per-doc term
+    * counts (map-side partial agg) → df is a second agg over the ALREADY
+    * doc-distinct tf relation (so it never re-reads text) → one hash join
+    * tf⋈df on term → per-doc top-k window. The corpus row count N rides
+    * in as a broadcast 1-row aggregate, not a driver-side `.count()`, so
+    * the whole plan stays lazy/distributed. */
+  def tfIdfTopK(docs: DataFrame, k: Int = 5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("_n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        round((col("tf") * (col("_n") + lit(1.0))) / (col("df") + lit(1.0)), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("score"), col("rank"))
+  }
+
+  /** Per-doc mean corpus unigram probability — the CCNet-style LM quality
+    * proxy (Wenzek et al. 2020 rank corpora by LM perplexity; with a
+    * unigram LM, perplexity is monotone in this statistic): docs made of
+    * common tokens score high, rare-token noise scores low.
+    *
+    * All-integer accumulation: Σ corpus-count over the doc's tokens (with
+    * multiplicity) is an exact BIGINT, and the single final division
+    * `Σcount / (n_tokens · total)` is one correctly-rounded double op —
+    * no float summation order to disagree with the oracle about.
+    *
+    * Scale shape: explode → corpus term counts (one shuffle, partial agg)
+    * → hash join token stream ⋈ counts on term → per-doc sum (second
+    * shuffle on doc_id). The corpus total rides in as a broadcast 1-row
+    * aggregate of the counts relation. */
+  /** Hashed-linear-model document classifier — the fastText-style scoring
+    * shape (Joulin et al. 2017: hash token → bucket, sum bucket weights,
+    * threshold) every "quality classifier" pipeline stage runs at corpus
+    * scale (e.g. GPT-3's WebText-vs-Common-Crawl LR filter). The hashing
+    * trick is the real production mechanism; the WEIGHTS here are a
+    * deterministic function of the bucket id (a trained model ships a
+    * weight array instead — swap `weightOf`), which keeps the gate exactly
+    * oracle-checkable. Integer weight accumulation (weights are integers
+    * scaled by 1000) + one final double division — no float sum order.
+    *
+    * Scale shape: one explode + one shuffle (per-doc sum, map-side
+    * partial); the "model" is an expression, so scoring is codegen'd and
+    * embarrassingly parallel — no join at all. */
+  def hashedLinearScore(docs: DataFrame, buckets: Int = 64,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val term = explode(tokens(col(textCol)))
+    val bucket = pmod(
+      conv(substring(md5(col("term")), 1, 8), 16, 10).cast("long"), lit(buckets))
+    val weightOf = (bucket * lit(2654435761L)) % 1001 - 500
+    docs.select(col(idCol).as("doc_id"), term.as("term"))
+      .select(col("doc_id"), weightOf.as("_w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("_w")).as("w_sum"))
+      .select(col("doc_id"), col("n_tokens"), col("w_sum"),
+        (col("w_sum").cast("double") / (col("n_tokens") * lit(1000L))).as("score"),
+        (col("w_sum") > 0).as("label"))
+  }
+
+  def unigramProb(docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tok = docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+    val counts = tok.groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum(col("c")).as("_total"))
+    tok.join(counts, Seq("term"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("c")).as("sum_counts"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("n_tokens"), col("sum_counts"),
+        (col("sum_counts").cast("double") / (col("n_tokens") * col("_total")))
+          .as("mean_prob"))
+  }
 }

@@ -130,6 +130,28 @@ object SqlStreamQueries {
       "VALIDTIME ('2024-01-15T00:00:00') TRANSACTIONID (5000) " +
         "SELECT eid, content_hash AS event_type, value FROM events_current")
 
+  /** SQL window functions over the registered catalog (§2.8 breadth the
+    * Spark engine adds over the reference's Calcite subset): ranking,
+    * offset, and partition aggregates in one pass. Money sums ride
+    * decimals so partition-aggregation order can't perturb doubles. */
+  def sqlWindow(s: SparkSession, dir: String): DataFrame =
+    SqlSurface.query(s, dir, """
+      WITH w AS (
+        SELECT c_custkey, c_nationkey, c_acctbal,
+          row_number() OVER (PARTITION BY c_nationkey
+                             ORDER BY c_acctbal DESC, c_custkey) AS rn,
+          CAST(rank() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_mktsegment) AS BIGINT) AS seg_rank,
+          lag(c_custkey) OVER (PARTITION BY c_nationkey
+                               ORDER BY c_acctbal DESC, c_custkey) AS prev_cust,
+          CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) OVER (
+            PARTITION BY c_nationkey) AS DECIMAL(24,4)) AS DOUBLE) AS nation_total,
+          CAST(COUNT(*) OVER (PARTITION BY c_nationkey) AS BIGINT) AS nation_n
+        FROM customer)
+      SELECT c_custkey, c_nationkey, c_acctbal, rn, seg_rank, prev_cust,
+             nation_total, nation_n
+      FROM w WHERE rn <= 5""")
+
   /** Scalar-function parity (§2.7 string/number set). */
   def sqlScalarFns(s: SparkSession, dir: String): DataFrame =
     SqlSurface.query(s, dir, """
@@ -167,10 +189,13 @@ object SqlStreamQueries {
     "stream_window" -> streamWindow _,
     "stream_sessions" -> ((s: SparkSession, dir: String) =>
       IngestStream.sessions(s, s"$dir/events.parquet", gapMinutes = 30)),
+    "stream_join" -> ((s: SparkSession, dir: String) =>
+      IngestStream.streamJoin(s, s"$dir/events.parquet", windowMinutes = 30)),
     "sql_basic" -> sqlBasic _,
     "sql_temporal" -> sqlTemporal _,
     "sql_txid" -> sqlTxId _,
     "sql_scalar_fns" -> sqlScalarFns _,
+    "sql_window" -> sqlWindow _,
     "sql_date_fns" -> sqlDateFns _)
 }
 
@@ -219,6 +244,15 @@ object SqlStreamSql {
              COUNT(*) AS n_events, CAST(SUM(v) AS DOUBLE) AS total
       FROM s GROUP BY user_id, sid""",
 
+    "stream_join" -> """
+      SELECT a.user_id, a.event_id AS click_id, b.event_id AS purchase_id,
+             CAST(a.ts AS TIMESTAMP) AS click_ts,
+             CAST(b.ts AS TIMESTAMP) AS purchase_ts
+      FROM events a JOIN events b
+        ON a.user_id = b.user_id
+       AND a.event_type = 'click' AND b.event_type = 'purchase'
+       AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE""",
+
     "sql_basic" -> """
       SELECT n_name,
         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4)) * CAST(1 - l_discount AS DECIMAL(8,4))) AS DECIMAL(24,6)) AS DOUBLE) AS revenue,
@@ -264,6 +298,23 @@ object SqlStreamSql {
         CAST(floor(c_acctbal) AS BIGINT) AS fl,
         floor(c_acctbal * 100) / 100 AS trunc2
       FROM customer WHERE c_custkey <= 100""",
+
+    "sql_window" -> """
+      WITH w AS (
+        SELECT c_custkey, c_nationkey, c_acctbal,
+          row_number() OVER (PARTITION BY c_nationkey
+                             ORDER BY c_acctbal DESC, c_custkey) AS rn,
+          CAST(rank() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_mktsegment) AS BIGINT) AS seg_rank,
+          lag(c_custkey) OVER (PARTITION BY c_nationkey
+                               ORDER BY c_acctbal DESC, c_custkey) AS prev_cust,
+          CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) OVER (
+            PARTITION BY c_nationkey) AS DECIMAL(24,4)) AS DOUBLE) AS nation_total,
+          CAST(COUNT(*) OVER (PARTITION BY c_nationkey) AS BIGINT) AS nation_n
+        FROM customer)
+      SELECT c_custkey, c_nationkey, c_acctbal, CAST(rn AS INT) AS rn,
+             seg_rank, prev_cust, nation_total, nation_n
+      FROM w WHERE rn <= 5""",
 
     "sql_date_fns" -> """
       SELECT o_orderkey,

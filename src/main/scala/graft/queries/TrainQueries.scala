@@ -203,6 +203,25 @@ object TrainQueries {
           col("mean_token_len"), col("bad_word_len"), col("has_brace"),
           col("has_lorem"), col("no_stopword"), col("keep"))),
 
+    // duplicate-span statistics (r6, Lee et al. ExactSubstr at fixed-g
+    // granularity): tokens covered by an 8-gram that occurs ≥2 times in
+    // the corpus — interval-union coverage via one lead() window, exact
+    "text_dup_spans" -> ((s, dir) => Dedup.dupSpanStats(docs(s, dir), 8)),
+
+    // top-5 TF-IDF terms per doc (r6): rational idf (N+1)/(df+1) — same
+    // ranking as the log form, bit-exact vs the oracle
+    "text_tfidf" -> ((s, dir) => TextAnalysis.tfIdfTopK(docs(s, dir), 5)),
+
+    // mean corpus unigram probability per doc (r6, CCNet-style LM quality
+    // proxy): all-integer accumulation, single final double division
+    "text_unigram_prob" -> ((s, dir) => TextAnalysis.unigramProb(docs(s, dir))),
+
+    // hashed-linear-model classifier (r6, fastText-style hashing trick):
+    // md5 token → bucket, deterministic integer bucket weights, exact
+    // integer accumulation — the quality-classifier pipeline stage
+    "text_classifier" -> ((s, dir) =>
+      TextAnalysis.hashedLinearScore(docs(s, dir), 64)),
+
     // benchmark decontamination (r5): docs sharing a token 3-gram with
     // the "eval set" (doc_id % 97 = 0) are flagged; benchmark n-gram set
     // broadcast, corpus side never shuffled on text
@@ -236,6 +255,12 @@ object TrainQueries {
     // so a hash match proves the ImageIO/AudioSystem round trip
     "mm_decode" -> ((s, dir) =>
       Multimodal.decode(s, Multimodal.mediaFromDocuments(s, docs(s, dir)))),
+
+    // REAL bilinear resize (r6): solid-color fixtures make the resized
+    // pixels exactly predictable — the oracle derives them from id
+    // arithmetic, so a hash match proves decode→resize→featurize ran
+    "mm_resize" -> ((s, dir) =>
+      Multimodal.resize(s, Multimodal.mediaFromDocuments(s, docs(s, dir)))),
 
     // NOTE: the DuckDB oracle slices frames with char-based substr (DuckDB
     // 1.0 cannot slice BLOBs); byte windows == char windows only because
@@ -488,6 +513,69 @@ object TrainSql {
       SELECT source, count(DISTINCT md5(lower(text))) AS n_unique
       FROM documents GROUP BY source""",
 
+    "text_dup_spans" -> s"""
+      WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+      g AS (SELECT doc_id,
+              unnest(range(len(tk) - 7)) AS pos,
+              unnest(list_transform(range(len(tk) - 7),
+                i -> array_to_string(tk[i+1:i+8], ' '))) AS gram
+            FROM t WHERE len(tk) >= 8),
+      dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+      starts AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+      cov AS (SELECT doc_id, pos,
+                LEAST(8, COALESCE(
+                  lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) - pos,
+                  8)) AS c
+              FROM starts),
+      agg AS (SELECT doc_id, count(*) AS n_dup_grams, sum(c) AS dup_tokens
+              FROM cov GROUP BY 1)
+      SELECT t.doc_id,
+        CAST(len(tk) AS BIGINT) AS n_tokens,
+        CAST(GREATEST(len(tk) - 7, 0) AS BIGINT) AS n_grams,
+        CAST(COALESCE(n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+        CAST(COALESCE(dup_tokens, 0) AS BIGINT) AS dup_tokens,
+        CAST(COALESCE(dup_tokens, 0) AS DOUBLE) / len(tk) AS dup_ratio
+      FROM t LEFT JOIN agg USING (doc_id)""",
+
+    "text_tfidf" -> s"""
+      WITH t AS (SELECT doc_id, unnest($toks) AS term FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+      df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      n AS (SELECT count(*) AS n FROM documents),
+      s AS (SELECT doc_id, term, tf, df,
+              ROUND((tf * (n + 1.0)) / (df + 1.0), 6) AS score
+            FROM tf JOIN df USING (term) CROSS JOIN n),
+      r AS (SELECT *, row_number() OVER (
+              PARTITION BY doc_id ORDER BY score DESC, term) AS rank FROM s)
+      SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+             score, CAST(rank AS INT) AS rank
+      FROM r WHERE rank <= 5""",
+
+    "text_unigram_prob" -> s"""
+      WITH t AS (SELECT doc_id, unnest($toks) AS term FROM documents),
+      c AS (SELECT term, count(*) AS c FROM t GROUP BY 1),
+      tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM c),
+      p AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+              CAST(sum(c) AS BIGINT) AS sum_counts
+            FROM t JOIN c USING (term) GROUP BY 1)
+      SELECT doc_id, n_tokens, sum_counts,
+        CAST(sum_counts AS DOUBLE) / (n_tokens * total) AS mean_prob
+      FROM p CROSS JOIN tot""",
+
+    "text_classifier" -> s"""
+      WITH t AS (SELECT doc_id, unnest($toks) AS term FROM documents),
+      w AS (SELECT doc_id,
+              (CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) % 64)
+                AS bucket
+            FROM t),
+      sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum((bucket * 2654435761) % 1001 - 500) AS BIGINT) AS w_sum
+             FROM w GROUP BY 1)
+      SELECT doc_id, n_tokens, w_sum,
+        CAST(w_sum AS DOUBLE) / (n_tokens * 1000) AS score,
+        (w_sum > 0) AS label
+      FROM sc""",
+
     "text_decontam" -> s"""
       WITH docs AS (SELECT doc_id, $toks AS t FROM documents),
       sh0 AS (SELECT doc_id, unnest(list_transform(range(len(t)-2),
@@ -535,6 +623,13 @@ object TrainSql {
         CASE WHEN doc_id % 3 = 1
              THEN (800 + doc_id % 1600) * 1000.0 / 8000 END AS duration_ms
       FROM documents""",
+
+    "mm_resize" -> """
+      SELECT doc_id AS media_id, CAST(3 AS BIGINT) AS width,
+             CAST(3 AS BIGINT) AS height,
+             (doc_id * 2654435761) & 16777215 AS rgb0,
+             CAST(1 AS BIGINT) AS n_colors
+      FROM documents WHERE doc_id % 3 = 0""",
 
     "mm_frames" -> """
       WITH v AS (

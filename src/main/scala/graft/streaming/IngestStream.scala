@@ -373,6 +373,55 @@ object IngestStream {
     spark.table(name).groupBy(col("source")).agg(count(lit(1)).as("n_unique"))
   }
 
+  /** Stream-stream inner join (r6): clicks joined to same-user purchases
+    * arriving within `windowMinutes` — the attribution-join shape (click →
+    * conversion) that every event pipeline runs, and the one streaming
+    * join Spark executes with BOUNDED state: watermarks on both sides plus
+    * the time-range join condition let the state store evict a click once
+    * the purchase-side watermark passes click_ts + window (and vice
+    * versa), so state is O(events in the window), not O(stream). Inner
+    * rows emit as soon as both sides arrive (append mode) — the watermark
+    * only governs eviction, not emission, so a finite input yields the
+    * complete join without sentinel batches. */
+  def streamJoin(spark: SparkSession, eventsPath: String,
+      windowMinutes: Int = 30): DataFrame = {
+    val src = new java.io.File(eventsPath)
+    val eventsDir =
+      if (src.isDirectory) eventsPath
+      else {
+        val d = java.nio.file.Files.createTempDirectory("graft_sjoin_src")
+        java.nio.file.Files.createSymbolicLink(
+          d.resolve(src.getName), src.toPath.toAbsolutePath)
+        d.toString
+      }
+    val schema = probeEventsSchema(spark, eventsPath)
+    // watermark columns must be TIMESTAMP (not NTZ) — ride micros-longs
+    // through timestamp_micros under the session's UTC timezone and only
+    // cast to NTZ in the final projection
+    def side(tpe: String, prefix: String): DataFrame =
+      withTsMicros(spark.readStream.schema(schema).parquet(eventsDir))
+        .filter(col("event_type") === tpe)
+        .select(col("event_id").as(s"${prefix}_id"),
+          col("user_id").as(s"${prefix}_user"),
+          expr("timestamp_micros(ts_us)").as(s"${prefix}_ts"))
+        .withWatermark(s"${prefix}_ts", "1 hour")
+    val joined = side("click", "click").join(side("purchase", "purchase"),
+      col("click_user") === col("purchase_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
+    val name = "stream_join_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name).select(col("click_user").as("user_id"),
+      col("click_id"), col("purchase_id"),
+      col("click_ts").cast("timestamp_ntz").as("click_ts"),
+      col("purchase_ts").cast("timestamp_ntz").as("purchase_ts"))
+  }
+
   /** Event-time sessionization with custom state: per-user sessions split
     * at a `gapMinutes` inactivity gap, via `KeyValueGroupedDataset
     * .flatMapGroupsWithState` + event-time timeout — the custom-state

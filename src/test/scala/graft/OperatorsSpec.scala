@@ -341,4 +341,81 @@ class OperatorsSpec extends AnyFunSuite {
     assert(perDoc.forall(r => r.getAs[Long]("n") == r.getAs[Long]("nf")))
     assert(perDoc.forall(_.getAs[Long]("nf") <= 5))
   }
+
+  test("dup-span stats: interval-union coverage over overlapping g-spans") {
+    import spark.implicits._
+    // docs 1 and 2 are identical 9-token texts → both 8-grams (starts 0,1)
+    // are corpus-duplicated; interval union = min(8,1) + 8 = 9 tokens.
+    // doc 3 shares no 8-gram with anything → all zeros.
+    val nine = (1 to 9).map(i => s"w$i").mkString(" ")
+    val d = Seq((1L, nine), (2L, nine), (3L, "q1 q2 q3 q4 q5 q6 q7 q8 q9"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dupSpanStats(d, 8).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toMap
+    assert(out(1L) == ((9L, 2L, 2L, 9L, 1.0)))
+    assert(out(2L) == ((9L, 2L, 2L, 9L, 1.0)))
+    assert(out(3L) == ((9L, 2L, 0L, 0L, 0.0)))
+    // non-adjacent dup spans in one doc: doc 4 repeats doc 5's 8-gram at
+    // start 0 AND start 9 (gap) → coverage = 8 + 8 = 16 of 17 tokens
+    val gram = (1 to 8).map(i => s"g$i").mkString(" ")
+    val d2 = Seq((4L, s"$gram filler $gram"), (5L, gram)).toDF("doc_id", "text")
+    val out2 = Dedup.dupSpanStats(d2, 8).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3), r.getLong(4))).toMap
+    assert(out2(4L) == ((17L, 2L, 16L)))
+    assert(out2(5L) == ((8L, 1L, 8L)))
+  }
+
+  test("tf-idf top-k: rational idf ranks like log idf, ties break on term") {
+    import spark.implicits._
+    val d = Seq((1L, "x x y"), (2L, "y z"), (3L, "z z z")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfIdfTopK(d, 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getInt(5)))
+    // doc 1: x tf=2 df=1 → 2*(4/2)=4.0 beats y tf=1 df=2 → 4/3
+    assert(out.find(t => t._1 == 1L && t._6 == 1).get._2 == "x")
+    assert(out.find(t => t._1 == 1L && t._6 == 1).get._5 == 4.0)
+    // doc 3: z tf=3 df=2 → 3*4/3 = 4.0, single term
+    assert(out.filter(_._1 == 3L).map(_._2).toSeq == Seq("z"))
+    assert(out.forall(_._6 <= 2))
+  }
+
+  test("unigram prob: exact integer accumulation, one final division") {
+    import spark.implicits._
+    val d = Seq((1L, "a a b"), (2L, "b")).toDF("doc_id", "text")
+    // counts a=2 b=2, total=4; doc1 Σ=6/(3·4)=0.5, doc2 Σ=2/(1·4)=0.5
+    val out = TextAnalysis.unigramProb(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) == ((3L, 6L, 0.5)))
+    assert(out(2L) == ((1L, 2L, 0.5)))
+  }
+
+  test("hashed linear classifier: deterministic, bucket-stable scoring") {
+    import spark.implicits._
+    val d = Seq((1L, "alpha beta"), (2L, "alpha beta"), (3L, "gamma")).toDF("doc_id", "text")
+    val out = TextAnalysis.hashedLinearScore(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // identical text → identical score (the reproducibility contract)
+    assert(out(1L) == out(2L))
+    // score = w_sum / (n·1000) exactly
+    val (n, w, s) = out(3L)
+    assert(s == w.toDouble / (n * 1000L))
+  }
+
+  test("stream-stream join equals the batch time-range join") {
+    val streamed = graft.streaming.IngestStream
+      .streamJoin(spark, s"$dir/events.parquet", windowMinutes = 30)
+      .select("click_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ev = Tables.load(spark, dir, "events")
+    val batch = ev.as("a").join(ev.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") === "click" && col("b.event_type") === "purchase" &&
+          col("b.ts") >= col("a.ts") &&
+          col("b.ts") <= col("a.ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("a.event_id"), col("b.event_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
 }
