@@ -58,6 +58,14 @@ object TxLog {
       .agg(max_by(struct(state.columns.map(col): _*), col("tx_id")).as("_r"))
       .select("_r.*")
 
+  /** Driver-known op mix of a transaction — whether it carries match/cas
+    * preconditions, evicts, and valid-RANGE writes (non-null end_vt). The
+    * reference's tx-log record names every op's type explicitly
+    * (tx.clj:59-79), so a submitter that built the op list can pass the
+    * mix down and skip the one-row shape-probe job [[applyTxParts]]
+    * otherwise runs; at interactive-tx latency every job counts. */
+  final case class TxShape(hasChecks: Boolean, hasEvict: Boolean, hasRanged: Boolean)
+
   /** One transaction's effect: delta rows, evicted eids (with a
     * driver-known emptiness flag so consumers can skip the anti-join
     * entirely), whether a match/cas precondition aborted it, and a
@@ -87,8 +95,9 @@ object TxLog {
     * pass per run) and the streaming indexer commits O(delta) parquet
     * manifests; only interactive cas/match txs land here. */
   def applyTx(state: DataFrame, ops: DataFrame, txId: Long,
-      txTime: java.time.LocalDateTime): (DataFrame, Boolean) = {
-    val p = applyTxParts(state, ops, txId, txTime)
+      txTime: java.time.LocalDateTime,
+      shapeHint: Option[TxShape] = None): (DataFrame, Boolean) = {
+    val p = applyTxParts(state, ops, txId, txTime, shapeHint)
     try {
       if (p.aborted) (state, true)
       // the anti-join stays even when the tx has no evicts (same
@@ -111,7 +120,8 @@ object TxLog {
     * directory per batch instead of rewriting the whole versions table
     * (crux appends to its KV indexes the same way, tx.clj:266-391). */
   def applyTxParts(state: DataFrame, opsPlan: DataFrame, txId: Long,
-      txTime: java.time.LocalDateTime): TxParts = {
+      txTime: java.time.LocalDateTime,
+      shapeHint: Option[TxShape] = None): TxParts = {
     val txTs = lit(txTime)
     // A transaction's op list is DATA — the reference materializes it in
     // the tx log before indexing (tx.clj:266-391) — not a lazy view.
@@ -119,8 +129,9 @@ object TxLog {
     // read), and the plan below references `ops` from every branch
     // (precondition check, writes, evict, both range branches), so an
     // unmaterialized plan would re-run the deriving query once per
-    // consumer. Caching bounds that at O(|tx|) rows; the shape
-    // aggregation just below is the materializing action. (cache, not
+    // consumer. Caching bounds that at O(|tx|) rows; the shape probe just
+    // below is the materializing action when no shapeHint rides in (with
+    // a hint the first consumer job fills the cache). (cache, not
     // localCheckpoint: a checkpoint's LogicalRDD pins origin constraints
     // that break union constraint rewriting in the range branch.)
     val ops = opsPlan.cache()
@@ -133,13 +144,20 @@ object TxLog {
     // one cross-joined action was tried in r6 and is SLOWER: the non-equi
     // precondition join then anchors the whole job, and AQE does not
     // prune its resolved-state leg for check-free txs.)
-    val shape = ops.agg(
-      count(when(col("op").isin("match", "cas"), 1)),
-      count(when(col("op") === "evict", 1)),
-      count(when(col("op").isin("put", "delete", "cas") &&
-        col("end_vt").isNotNull, 1))).head()
-    val (hasChecks, hasEvict, hasRanged) =
-      (shape.getLong(0) > 0, shape.getLong(1) > 0, shape.getLong(2) > 0)
+    val (hasChecks, hasEvict, hasRanged) = shapeHint match {
+      case Some(h) =>
+        // submitter-declared mix — no probe job; the FIRST consumer's job
+        // fills the ops cache, later branches read it (lazy fill keeps the
+        // O(|tx|) bound, it just moves the compute into an existing job)
+        (h.hasChecks, h.hasEvict, h.hasRanged)
+      case None =>
+        val shape = ops.agg(
+          count(when(col("op").isin("match", "cas"), 1)),
+          count(when(col("op") === "evict", 1)),
+          count(when(col("op").isin("put", "delete", "cas") &&
+            col("end_vt").isNotNull, 1))).head()
+        (shape.getLong(0) > 0, shape.getLong(1) > 0, shape.getLong(2) > 0)
+    }
     // Only this tx's entities ever matter: every consumer of `resolved`
     // below joins on the tx's own eids, so restrict the resolve to the
     // touched entities (left_semi, same shape as the fold path's :327) —
@@ -354,12 +372,19 @@ object TxLog {
     // the union of (txIdx, op), not one job per tx (a 1000-tx batch would
     // otherwise pay 1000 scheduler round-trips before any work)
     val kindPairs = txs.zipWithIndex
-      .map { case ((_, _, ops), i) => ops.select(lit(i).as("i"), col("op")) }
+      .map { case ((_, _, ops), i) => ops.select(lit(i).as("i"), col("op"),
+        (col("op").isin("put", "delete", "cas") && col("end_vt").isNotNull).as("r")) }
       .reduce(_ unionByName _)
-      .distinct().collect().map(r => (r.getInt(0), r.getString(1)))
+      .distinct().collect().map(r => (r.getInt(0), r.getString(1), r.getBoolean(2)))
     val kinds: IndexedSeq[Set[String]] = {
       val grouped = kindPairs.groupBy(_._1)
-      (0 until txs.length).map(i => grouped.getOrElse(i, Array.empty).map(_._2).toSet)
+      (0 until txs.length).map(i =>
+        grouped.getOrElse(i, Array.empty).map(_._2).toSet)
+    }
+    val ranged: IndexedSeq[Boolean] = {
+      val grouped = kindPairs.groupBy(_._1)
+      (0 until txs.length).map(i =>
+        grouped.getOrElse(i, Array.empty).exists(_._3))
     }
     val fast = kinds.map(k => !(k.contains("match") || k.contains("cas")))
     // fold maximal fast runs in one pass each; sequential path otherwise
@@ -379,8 +404,12 @@ object TxLog {
         i = j
       } else {
         val (txId, txTime, ops) = txs(i)
-        // applyTx checkpoints the new state eagerly — no second checkpoint
-        val (next, _) = applyTx(st, ops, txId, txTime)
+        // applyTx checkpoints the new state eagerly — no second checkpoint;
+        // the classify pass above already knows this tx's shape, so the
+        // per-tx probe job is skipped too
+        val (next, _) = applyTx(st, ops, txId, txTime,
+          Some(TxShape(hasChecks = true,
+            hasEvict = kinds(i).contains("evict"), hasRanged = ranged(i))))
         st = next
         i += 1
       }

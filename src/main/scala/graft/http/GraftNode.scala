@@ -95,7 +95,15 @@ final class GraftNode(val spark: SparkSession, val source: FactSource,
         .withColumn("start_vt", coalesce(col("start_vt"), lit(vt)))
         .withColumn("at_vt", coalesce(col("at_vt"), lit(vt)))
     }
-    val (next, aborted) = TxLog.applyTx(versions, opRows, txId, txTime)
+    // the op list is driver-parsed JSON — its kind mix is known without a
+    // cluster probe job (TxLog.TxShape doc)
+    val rows = parsed.map(_._1)
+    val shape = TxLog.TxShape(
+      hasChecks = rows.exists(r => r.getString(0) == "match" || r.getString(0) == "cas"),
+      hasEvict = rows.exists(_.getString(0) == "evict"),
+      hasRanged = rows.exists(r =>
+        Set("put", "delete", "cas")(r.getString(0)) && !r.isNullAt(4)))
+    val (next, aborted) = TxLog.applyTx(versions, opRows, txId, txTime, Some(shape))
     if (!aborted) versions = next // applyTx checkpoints eagerly
     val info = TxInfo(txId, txTime, committed = !aborted)
     txs.add(info)

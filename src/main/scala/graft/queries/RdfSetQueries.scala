@@ -41,7 +41,10 @@ object RdfSetQueries {
       lit(null).cast("timestamp_ntz").as("at_vt"),
       lit(null).cast("string").as("expected_hash"),
       col("event_id").as("seq"))
-    val (state1, ab1) = TxLog.applyTx(TxLog.emptyState(s), puts, 0L, t0)
+    // gate-built op lists have driver-known kind mixes — pass shape hints
+    // so no tx pays the one-row probe job (TxLog.TxShape)
+    val (state1, ab1) = TxLog.applyTx(TxLog.emptyState(s), puts, 0L, t0,
+      Some(TxLog.TxShape(hasChecks = false, hasEvict = false, hasRanged = false)))
     require(!ab1, "seed tx must commit") // applyTx checkpoints eagerly
 
     val snap = Bitemp.asOfTime(state1,
@@ -56,7 +59,8 @@ object RdfSetQueries {
         lit(null).cast("timestamp_ntz").as("at_vt"),
         col("content_hash").as("expected_hash"),
         col("eid").cast("long").as("seq"))
-    val (state2, ab2) = TxLog.applyTx(state1, casOps, 1L, t0.plusHours(1))
+    val (state2, ab2) = TxLog.applyTx(state1, casOps, 1L, t0.plusHours(1),
+      Some(TxLog.TxShape(hasChecks = true, hasEvict = false, hasRanged = false)))
     require(!ab2, "cas tx must commit")
 
     // tx 2: wrong match + a put that must be discarded with the abort
@@ -66,7 +70,8 @@ object RdfSetQueries {
       org.apache.spark.sql.Row("put", "999", "SHOULD_NOT_APPEAR",
         java.sql.Timestamp.valueOf("2024-02-01 00:00:00").toLocalDateTime, null, null, null, 2L)).asJava,
       TxLog.opSchema)
-    val (st3, ab3) = TxLog.applyTx(state2, badTx, 2L, t0.plusHours(2))
+    val (st3, ab3) = TxLog.applyTx(state2, badTx, 2L, t0.plusHours(2),
+      Some(TxLog.TxShape(hasChecks = true, hasEvict = false, hasRanged = false)))
     require(ab3, "match with wrong hash must abort")
 
     Bitemp.asOfTime(st3,

