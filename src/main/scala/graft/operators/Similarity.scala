@@ -235,6 +235,178 @@ object Similarity {
       assignUdf(centroids)(col(vecCol).cast("array<double>")))
   }
 
+  // ---------------------------------------- product quantization (r6)
+
+  /** PQ codebook: `m` subspaces × `ks` centroids × (dims/m) doubles.
+    * Driver-held — m·ks·(dims/m) = dims·ks doubles (8 KB at 64×16),
+    * the same bounded-artifact policy as [[kmeansAssign]]'s centroids. */
+  type PqCodebook = Array[Array[Array[Double]]]
+
+  /** Train a product quantizer (Jégou et al. 2011, "Product Quantization
+    * for Nearest Neighbor Search") — the memory-compressed ANN arm: split
+    * each (normalized) vector into `m` subvectors, run per-subspace
+    * `ks`-centroid Lloyd, return the codebooks. At billion-vector scale
+    * PQ is what makes the corpus fit: 64 floats become m 4-bit codes.
+    *
+    * One shuffle per iteration for ALL subspaces: the assignment UDF
+    * emits (sub, code, subvec) triples, a single groupBy(sub, code)
+    * aggregates per-dim decimal sums ([[graft.functions.Exact]] — order-
+    * independent across partitionings, same determinism contract as
+    * [[kmeansAssign]]). Seeds are the `ks` lowest-id vectors' subvectors;
+    * ties break to the lowest code. */
+  def pqTrain(corpus: DataFrame, m: Int = 8, ks: Int = 16, iters: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      dims: Int = 64): PqCodebook = {
+    require(dims % m == 0, s"dims $dims must split evenly into $m subspaces")
+    val dsub = dims / m
+    val e = corpus.select(col(idCol).as("kid"),
+      col(vecCol).cast("array<double>").as("kv"))
+    val norm = sqrt(dot(col("kv"), col("kv")))
+    val nv = e.withColumn("nv", transform(col("kv"), x => x / norm))
+      .select(col("kid"), col("nv")).persist()
+    var books: PqCodebook = {
+      val seeds = nv.orderBy(col("kid")).limit(ks)
+        .collect().map(_.getSeq[Double](1).toArray)
+      Array.tabulate(m, ks) { (s, c) =>
+        seeds(c % seeds.length).slice(s * dsub, (s + 1) * dsub)
+      }
+    }
+    def codesUdf(bk: PqCodebook) = udf { (v: Seq[Double]) =>
+      val out = new Array[Int](m)
+      var s = 0
+      while (s < m) {
+        val cents = bk(s)
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < cents.length) {
+          val ct = cents(c); var d = 0.0; var i = 0
+          while (i < dsub) {
+            val diff = v(s * dsub + i) - ct(i); d += diff * diff; i += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        out(s) = best
+        s += 1
+      }
+      out
+    }
+    for (_ <- 0 until iters) {
+      val asg = nv.withColumn("codes", codesUdf(books)(col("nv")))
+        .select(col("nv"), posexplode(col("codes")).as(Seq("sub", "code")))
+      val sums = (0 until dsub).map(i =>
+        graft.functions.Exact.dsum(
+          element_at(col("nv"), col("sub") * dsub + i + 1)
+            .cast(org.apache.spark.sql.types.DecimalType(24, 18))).as(s"s$i")) :+
+        count(lit(1)).as("n")
+      val upd = asg.groupBy(col("sub"), col("code")).agg(sums.head, sums.tail: _*).collect()
+      val next = books.map(_.map(_.clone()))
+      upd.foreach { r =>
+        val s = r.getInt(0); val c = r.getInt(1); val n = r.getLong(dsub + 2).toDouble
+        next(s)(c) = (0 until dsub).map(i => r.getDouble(i + 2) / n).toArray
+      }
+      books = next
+    }
+    nv.unpersist()
+    books
+  }
+
+  /** Encode the corpus against a trained codebook: each vector → `m`
+    * small codes (one map pass, broadcast codebook in the UDF closure). */
+  def pqEncode(corpus: DataFrame, books: PqCodebook,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val m = books.length
+    val dsub = books(0)(0).length
+    val enc = udf { (v0: Seq[Double]) =>
+      var nrm = 0.0; var j = 0
+      while (j < v0.length) { nrm += v0(j) * v0(j); j += 1 }
+      nrm = math.sqrt(nrm)
+      val v = if (nrm == 0.0) v0 else v0.map(_ / nrm)
+      val out = new Array[Int](m)
+      var s = 0
+      while (s < m) {
+        val cents = books(s)
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < cents.length) {
+          val ct = cents(c); var d = 0.0; var i = 0
+          while (i < dsub) {
+            val diff = v(s * dsub + i) - ct(i); d += diff * diff; i += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        out(s) = best
+        s += 1
+      }
+      out
+    }
+    corpus.withColumn("pq_codes", enc(col(vecCol).cast("array<double>")))
+  }
+
+  /** PQ-ADC top-k with exact re-rank: per query, ONE lookup-table build
+    * (m·ks subspace dots), then every corpus vector scores in m table
+    * adds — the asymmetric-distance scan that replaces the full-dim dot
+    * at scale — and only the `rerank` best candidates pay an exact cosine
+    * against their true vectors. `rerank >= |corpus|` degenerates to the
+    * exact answer (the ann_pq_exhaustive gate pins this equality).
+    *
+    * Scale shape: queries (with their LUTs) broadcast; the corpus side is
+    * one codes scan + candidate top-N window; only candidate rows join
+    * back to the full vectors. */
+  def pqTopK(encoded: DataFrame, queries: DataFrame, books: PqCodebook,
+      k: Int, rerank: Int = 50,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = encoded.sparkSession
+    val m = books.length
+    val ks = books(0).length
+    val dsub = books(0)(0).length
+    val lutUdf = udf { (q0: Seq[Double]) =>
+      var nrm = 0.0; var j = 0
+      while (j < q0.length) { nrm += q0(j) * q0(j); j += 1 }
+      nrm = math.sqrt(nrm)
+      val q = if (nrm == 0.0) q0 else q0.map(_ / nrm)
+      val lut = new Array[Double](m * ks)
+      var s = 0
+      while (s < m) {
+        var c = 0
+        while (c < ks) {
+          val ct = books(s)(c); var d = 0.0; var i = 0
+          while (i < dsub) { d += q(s * dsub + i) * ct(i); i += 1 }
+          lut(s * ks + c) = d
+          c += 1
+        }
+        s += 1
+      }
+      lut
+    }
+    val adcUdf = udf { (lut: Seq[Double], codes: Seq[Int]) =>
+      var acc = 0.0; var s = 0
+      while (s < m) { acc += lut(s * ks + codes(s)); s += 1 }
+      acc
+    }
+    val q = queries.select(col(idCol).as("qid"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("lut", lutUdf(col("qv")))
+    val cand = encoded.select(col(idCol).as("cid"), col("pq_codes"))
+      .crossJoin(broadcast(q.select(col("qid"), col("lut"))))
+      .filter(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"), adcUdf(col("lut"), col("pq_codes")).as("adc"))
+    val wCand = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("adc").desc, col("cid").asc)
+    val top = cand.withColumn("r", row_number().over(wCand)).filter(col("r") <= rerank)
+      .select(col("qid"), col("cid"))
+    val scored = top
+      .join(encoded.select(col(idCol).as("cid"),
+        col(vecCol).cast("array<double>").as("cv")), Seq("cid"))
+      .join(broadcast(q.select(col("qid"), col("qv"))), Seq("qid"))
+      .select(col("qid"), col("cid"),
+        round(nativeCosine(spark, col("qv"), col("cv")), 6).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** IVF-style search with a provided coarse partition (here: `label`):
     * centroid per cell, probe the query's `nprobe` nearest centroid cells
     * (nprobe=1 is classic coarse-quantizer search; raising it trades one

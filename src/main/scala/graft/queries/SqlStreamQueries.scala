@@ -107,6 +107,21 @@ object SqlStreamQueries {
   def streamWindow(s: SparkSession, dir: String): DataFrame =
     IngestStream.windowedCounts(s, s"$dir/events.parquet")
 
+  /** Partition-pruned scan over the day-partitioned events layout
+    * ([[graft.sources.Layout]]): the `ds` filter prunes to ONE of ~30 day
+    * directories at file listing (PlanSpec pins `PartitionFilters` in the
+    * scan). Oracle recomputes the same day's aggregate from the
+    * unpartitioned source table — a hash match proves the rewrite
+    * relocated every row to its correct partition. */
+  def layoutPrune(s: SparkSession, dir: String): DataFrame = {
+    val path = graft.sources.Layout.dayPartitionedEvents(s, dir)
+    s.read.parquet(path)
+      .filter(col("ds") === "2024-01-15")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("total"))
+  }
+
   /** Plain SQL through the registered catalog. */
   def sqlBasic(s: SparkSession, dir: String): DataFrame =
     SqlSurface.query(s, dir, """
@@ -187,6 +202,7 @@ object SqlStreamQueries {
     "checkpoint_restore" -> checkpointRestore _,
     "ingest_stream" -> ingestStream _,
     "stream_window" -> streamWindow _,
+    "layout_prune" -> layoutPrune _,
     "stream_sessions" -> ((s: SparkSession, dir: String) =>
       IngestStream.sessions(s, s"$dir/events.parquet", gapMinutes = 30)),
     "stream_join" -> ((s: SparkSession, dir: String) =>
@@ -243,6 +259,13 @@ object SqlStreamSql {
       SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
              COUNT(*) AS n_events, CAST(SUM(v) AS DOUBLE) AS total
       FROM s GROUP BY user_id, sid""",
+
+    "layout_prune" -> """
+      SELECT event_type, COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+      FROM events
+      WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+      GROUP BY event_type""",
 
     "stream_join" -> """
       SELECT a.user_id, a.event_id AS click_id, b.event_id AS purchase_id,

@@ -390,6 +390,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(2L) == ((1L, 2L, 0.5)))
   }
 
+  test("PQ: exhaustive rerank equals brute force; rerank-50 recall holds") {
+    val q = emb.filter(col("vec_id") < 5)
+    val books = Similarity.pqTrain(emb, m = 16, ks = 16)
+    val encoded = Similarity.pqEncode(emb, books)
+    val brute = Similarity.bruteForceTopK(emb, q, 10)
+      .select("qid", "cid", "cosine", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val exhaustive = Similarity.pqTopK(encoded, q, books, 10, rerank = Int.MaxValue)
+      .select("qid", "cid", "cosine", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(exhaustive == brute)
+    // production-shaped rerank: recall@10 over the 5 query points
+    val pq = Similarity.pqTopK(encoded, q, books, 10, rerank = 100)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bruteIds = brute.map(t => (t._1, t._2))
+    val perQ = bruteIds.groupBy(_._1).map { case (qid, s) =>
+      s.count(pq.contains).toDouble / s.size }
+    assert(perQ.sum / perQ.size >= 0.9, s"mean recall ${perQ.sum / perQ.size}")
+    assert(perQ.min >= 0.8, s"min recall ${perQ.min}")
+  }
+
   test("hashed linear classifier: deterministic, bucket-stable scoring") {
     import spark.implicits._
     val d = Seq((1L, "alpha beta"), (2L, "alpha beta"), (3L, "gamma")).toDF("doc_id", "text")

@@ -133,4 +133,21 @@ class PlanSpec extends AnyFunSuite {
     // cheap Contains guard present (prefilter), not just the token compare
     assert(p.toLowerCase.contains("contains"), p.take(2000))
   }
+
+  test("day-partitioned layout prunes the scan to one partition") {
+    val path = graft.sources.Layout.dayPartitionedEvents(spark, dir)
+    val df = spark.read.parquet(path)
+      .filter(org.apache.spark.sql.functions.col("ds") === "2024-01-15")
+      .select("event_id")
+    val p = plan(df)
+    // the ds predicate must land in PartitionFilters (pruned at file
+    // listing), NOT as a post-scan Filter over all partitions
+    val scanLine = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("ds"), s"no partition filter on ds:\n${p.take(2000)}")
+    // and the pruned scan reads exactly the one day's rows
+    val oneDay = df.count()
+    val allRows = spark.read.parquet(path).count()
+    assert(oneDay > 0 && oneDay < allRows / 10,
+      s"pruned=$oneDay total=$allRows — filter not selective")
+  }
 }
