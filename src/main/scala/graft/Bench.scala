@@ -74,6 +74,24 @@ object Bench {
       val p2 = (System.nanoTime() - t2) / 1e9
       Seq("ingest_phase1" -> p1, "ingest_phase2" -> p2)
     } catch { case _: Throwable => Nil }
+    // Machine-drift controls: fixed CPU work, independent of any query
+    // code. Round-over-round BENCH deltas on UNCHANGED gates tracked these
+    // controls in r6 (~1.5× between runs on the same box), so per-query
+    // comparisons should be read relative to the controls, not as
+    // absolutes. cpu_control = single-thread integer loop; spark_control =
+    // fixed 32-partition aggregate through the same session.
+    val cpuControl = {
+      val t0 = System.nanoTime()
+      var acc = 0L; var i = 0L
+      while (i < 1500000000L) { acc += i & 7L; i += 1L }
+      if (acc == -1L) print("") // keep the loop live
+      (System.nanoTime() - t0) / 1e9
+    }
+    val sparkControl = {
+      val t0 = System.nanoTime()
+      spark.range(0, 500000000L, 1, 32).selectExpr("sum(id % 7)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
     val qs = (results ++ ingest.map { case (k, v) => k -> Right(v) })
       .map {
         case (k, Right(v)) => s"\"" + k + "\":" + v
@@ -81,7 +99,7 @@ object Bench {
       }.mkString("{", ",", "}")
     val total = results.collect { case (_, Right(v)) => v }.sum
     val nErr = results.count(_._2.isLeft)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","errors":$nErr,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","errors":$nErr,"cpu_control":$cpuControl,"spark_control":$sparkControl,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
