@@ -310,8 +310,24 @@ final class GraftNode(val spark: SparkSession, val source: FactSource,
     * Cancellation is Spark-native (`cancelJobGroup` with
     * interruptOnCancel), so at cluster scale a timed-out query releases
     * its executors instead of running to completion unobserved. */
+  /** Query-state registry (active/recent/slowest — node.clj:190-197); a
+    * low slow-threshold default so the gates exercise the slowest ring. */
+  val queryTracker = new QueryTracker(QueryTracker.Options(
+    slowQueriesMinThreshold = java.time.Duration.ofMillis(100)))
+
   def q(edn: String, args: Any*): Array[Row] = {
     if (closed) throw new IllegalStateException("node is closed")
+    val qid = queryTracker.started(edn)
+    try {
+      val out = q0(edn, args: _*)
+      queryTracker.finished(qid, None)
+      out
+    } catch { case e: Throwable =>
+      queryTracker.finished(qid, Some(e.toString)); throw e
+    }
+  }
+
+  private def q0(edn: String, args: Any*): Array[Row] = {
     val timeoutMs = graft.datalog.Ast.parse(edn).timeoutMs
     val df = query(edn, args)
     val sc = spark.sparkContext
