@@ -47,6 +47,53 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("compaction folds the delta stack and leaves a replayable store") {
+    // compaction_test.clj analogue: a compacted store must restore the
+    // same state the uncompacted fold produces, and a RESTARTED stream
+    // over the same log must skip committed txs and apply only new ones
+    import scala.jdk.CollectionConverters._
+    val base = java.nio.file.Files.createTempDirectory("graft_compact_spec").toString
+    val opsDir = s"$base/ops"; val stateDir = s"$base/state"; val ckDir = s"$base/ck"
+    new java.io.File(opsDir).mkdirs()
+    def opFile(i: Int, eid: String, v: String): Unit = {
+      val stage = s"$base/stage$i"
+      spark.createDataFrame(List(
+        Row("put", eid, v, LocalDateTime.parse("2020-01-01T00:00").plusDays(i.toLong),
+          null, null, null, 0L)).asJava, TxLog.opSchema)
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(s"$opsDir/b$i.parquet"))
+    }
+    (0 until 4).foreach(i => opFile(i, s"e$i", s"v$i"))
+    def run(ck: String): Unit = {
+      val stream = spark.readStream.schema(TxLog.opSchema)
+        .option("maxFilesPerTrigger", "1").parquet(opsDir)
+      IngestStream.start(spark, stream, stateDir, ck,
+        txTime = id => LocalDateTime.parse("2020-02-01T00:00").plusHours(id),
+        compactEvery = 2).awaitTermination()
+    }
+    run(ckDir)
+    // stack depth 2 forces a base rewrite: the live manifest must carry a
+    // base snapshot, not 4 deltas
+    val names = new java.io.File(stateDir).listFiles().map(_.getName)
+    assert(names.exists(_.startsWith("base-")), names.mkString(","))
+    val state = IngestStream.loadState(spark, stateDir)
+      .select("eid", "vt", "content_hash", "tombstone")
+    val expected = (0 until 4).map(i => (s"e$i", s"v$i")).toSet
+    assert(state.collect().map(r => (r.getString(0), r.getString(2))).toSet == expected)
+    // restart with a FRESH checkpoint over the same log: the commit-marker
+    // replay guard must skip all 4 committed txs (no duplicate rows)...
+    run(s"$base/ck2")
+    assert(IngestStream.loadState(spark, stateDir).count() == 4)
+    // ...and a new tx arriving after the restart still applies on top
+    opFile(4, "e4", "v4")
+    run(s"$base/ck3")
+    val after = IngestStream.loadState(spark, stateDir)
+    assert(after.count() == 5)
+    assert(after.filter(org.apache.spark.sql.functions.col("eid") === "e4").count() == 1)
+  }
+
   test("decodeKafkaOps turns Kafka-shaped records into opSchema rows") {
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.types._
