@@ -71,6 +71,34 @@ object BitempQueries {
   /** Content-addressed document fetch (SURVEY §2.1 entity/doc fetch): the
     * docs table is keyed by content hash; the "entity index" maps doc_id →
     * hash; fetching = a join on the hash. */
+  /** Bitemporal box query over the Z-ordered layout: the (vt × tt) box
+    * becomes ≤8 contiguous z-ranges ([[graft.bitemp.Morton.zRanges]]) —
+    * a pruning predicate over the z-sorted parquet — plus the exact
+    * per-row bounds. The oracle recomputes the box from the raw events,
+    * so a hash match proves the range decomposition COVERS the box (a
+    * dropped z-range would lose rows). */
+  def zRangeBox(s: SparkSession, dir: String): DataFrame = {
+    import graft.bitemp.Morton
+    val path = graft.sources.Layout.zOrderedVersions(s, dir)
+    def us(t: String): Long =
+      java.time.LocalDateTime.parse(t).toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
+    val (vt1, vt2) = ("2024-01-10T00:00:00", "2024-01-20T00:00:00")
+    val (tt1, tt2) = ("2024-01-12T00:00:00", "2024-01-18T00:00:00")
+    val ranges = Morton.zRanges(us(vt1), us(vt2), us(tt1), us(tt2), maxRanges = 8)
+    val zPred = ranges.map { case (a, b) =>
+      col("z") >= lit(new java.math.BigDecimal(a.bigInteger)) &&
+        col("z") <= lit(new java.math.BigDecimal(b.bigInteger))
+    }.reduce(_ || _)
+    s.read.parquet(path)
+      .filter(zPred)
+      .filter(col("vt") >= lit(java.time.LocalDateTime.parse(vt1)) &&
+        col("vt") <= lit(java.time.LocalDateTime.parse(vt2)) &&
+        col("tt") >= lit(java.time.LocalDateTime.parse(tt1)) &&
+        col("tt") <= lit(java.time.LocalDateTime.parse(tt2)))
+      .select(col("eid"), col("vt"), col("tt"), col("tx_id"),
+        col("content_hash").as("event_type"), col("value"))
+  }
+
   def docFetch(s: SparkSession, dir: String): DataFrame = {
     val documents = Tables.load(s, dir, "documents")
     val docStore = documents.select(sha2(col("text"), 256).as("content_hash"),
@@ -88,6 +116,7 @@ object BitempQueries {
     "bitemp_history" -> history _,
     "bitemp_speculative" -> speculative _,
     "bitemp_intervals" -> intervals _,
+    "bitemp_zrange" -> zRangeBox _,
     "doc_fetch" -> docFetch _)
 }
 
@@ -144,6 +173,15 @@ object BitempSql {
       SELECT eid, vt, lead(vt) OVER (PARTITION BY eid ORDER BY vt, tx_id) AS vt_end,
              event_type
       FROM versions WHERE CAST(eid AS BIGINT) % 50 = 0""",
+
+    "bitemp_zrange" -> """
+      SELECT CAST(user_id AS VARCHAR) AS eid, CAST(ts AS TIMESTAMP) AS vt,
+             CAST(ts + (user_id % 5) * INTERVAL 1 DAY AS TIMESTAMP) AS tt,
+             event_id AS tx_id, event_type, value
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-10' AND ts <= TIMESTAMP '2024-01-20'
+        AND ts + (user_id % 5) * INTERVAL 1 DAY >= TIMESTAMP '2024-01-12'
+        AND ts + (user_id % 5) * INTERVAL 1 DAY <= TIMESTAMP '2024-01-18'""",
 
     "doc_fetch" -> """
       SELECT sha256(text) AS content_hash, doc_id AS eid, n_chars

@@ -39,4 +39,45 @@ object Layout {
       writeDayPartitioned(Tables.load(spark, sfDir, "events"), "ts", out)
       out
     })
+
+  // --------------------------- Z-ordered bitemporal layout (r6, Morton)
+
+  /** micros-since-epoch for the NTZ timestamps the version log carries. */
+  private val zUdf = udf { (vt: java.time.LocalDateTime, tt: java.time.LocalDateTime) =>
+    def us(t: java.time.LocalDateTime): Long =
+      t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000L
+    graft.bitemp.Morton.interleave(us(vt), us(tt)).toString
+  }
+
+  /** Add a 128-bit Morton `z` column interleaving (vt, tt) micros —
+    * decimal(38,0) holds any interleave of two sub-2^63 micro timestamps
+    * (z < 2^126 < 10^38). */
+  def withZ(df: DataFrame, vtCol: String = "vt", ttCol: String = "tt"): DataFrame =
+    df.withColumn("z", zUdf(col(vtCol), col(ttCol)).cast("decimal(38,0)"))
+
+  /** The bitemporal version log laid out along the Z-order curve
+    * (range-partitioned + sorted on `z`): each parquet file covers a
+    * contiguous curve segment, so the OR-of-BETWEEN predicate from
+    * [[graft.bitemp.Morton.zRanges]] prunes files/row-groups by min-max
+    * stats — the columnar re-expression of the reference's
+    * space-filling-curve index seeks (crux-core/src/crux/morton.clj +
+    * kv/index_store.clj entity-history seeks). tt is derived
+    * deterministically from the events fixture (ts + user_id%5 days) so
+    * the two temporal axes genuinely differ. */
+  def zOrderedVersions(spark: SparkSession, sfDir: String): String =
+    layoutCache.computeIfAbsent((spark, sfDir + "#z"), _ => {
+      val out = java.nio.file.Files.createTempDirectory("graft_layout").toString + "/versions_z"
+      val versions = Tables.load(spark, sfDir, "events").select(
+        col("user_id").cast("string").as("eid"),
+        col("ts").as("vt"),
+        (col("ts") + expr("make_dt_interval(user_id % 5, 0, 0, 0)")).as("tt"),
+        col("event_id").as("tx_id"),
+        col("event_type").as("content_hash"),
+        col("value"))
+      withZ(versions)
+        .repartitionByRange(8, col("z"))
+        .sortWithinPartitions(col("z"))
+        .write.mode("overwrite").parquet(out)
+      out
+    })
 }

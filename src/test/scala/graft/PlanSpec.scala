@@ -134,6 +134,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.toLowerCase.contains("contains"), p.take(2000))
   }
 
+  test("z-ordered layout pushes the z-range predicate into the scan") {
+    val df = graft.queries.BitempQueries.zRangeBox(spark, dir)
+    val p = plan(df)
+    // the OR-of-BETWEEN pruning predicate must reach PushedFilters so
+    // row-group min/max stats on the z-sorted files can skip segments
+    val scanLine = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(scanLine.contains("z"), s"z ranges not pushed:\n${p.take(2500)}")
+  }
+
   test("day-partitioned layout prunes the scan to one partition") {
     val path = graft.sources.Layout.dayPartitionedEvents(spark, dir)
     val df = spark.read.parquet(path)
