@@ -102,7 +102,37 @@ object WatDivQueries {
                [?o :includes ?p]
                ["Retailer0" :offers ?o]
                [?o :price ?price]
-               [(< ?price "02000")]]}""") _)
+               [(< ?price "02000")]]}""") _,
+
+    // F2: snowflake on the user/website axis — user star (role const,
+    // city) + subscription into a website star (url, hits range)
+    "watdiv_f2" -> dl("""
+      {:find [?u ?city ?w ?url ?hits] :keys [u city w url hits]
+       :where [[?u :type "Role2"]
+               [?u :livesIn ?city]
+               [?u :subscribes ?w]
+               [?w :url ?url]
+               [?w :hits ?hits]
+               [(>= ?hits "050000")]]}""") _,
+
+    // L3: 3-hop linear — reviews with a constant rating, their reviewer,
+    // the reviewer's city and its country
+    "watdiv_l3" -> dl("""
+      {:find [?rev ?u ?city ?country] :keys [rev u city country]
+       :where [[?rev :rating "5"]
+               [?rev :reviewer ?u]
+               [?u :livesIn ?city]
+               [?city :parentCountry ?country]]}""") _,
+
+    // C2: two social hops (follows → friendOf) ending in a genre-anchored
+    // product like — the deep-join complex template
+    "watdiv_c2" -> dl("""
+      {:find [?u ?f ?ff ?p] :keys [u f ff p]
+       :where [[?u :follows ?f]
+               [?f :friendOf ?ff]
+               [?ff :likes ?p]
+               [?p :hasGenre "Genre3"]
+               [?u :nationality "Country1"]]}""") _)
 }
 
 /** DuckDB oracles over the same committed .nt bytes, with the same
@@ -168,5 +198,32 @@ object WatDivSql {
       JOIN nt inc ON inc.a='includes' AND inc.v = l.v
       JOIN nt ofr ON ofr.e='Retailer0' AND ofr.a='offers' AND ofr.v = inc.e
       JOIN nt pr  ON pr.e  = inc.e AND pr.a='price' AND pr.v < '02000'
+      WHERE f.a='follows'""",
+
+    "watdiv_f2" -> raw"""$nt
+      SELECT DISTINCT ty.e AS u, li.v AS city, su.v AS w,
+             u2.v AS url, h.v AS hits
+      FROM nt ty
+      JOIN nt li ON li.e = ty.e AND li.a='livesIn'
+      JOIN nt su ON su.e = ty.e AND su.a='subscribes'
+      JOIN nt u2 ON u2.e = su.v AND u2.a='url'
+      JOIN nt h  ON h.e  = su.v AND h.a='hits' AND h.v >= '050000'
+      WHERE ty.a='type' AND ty.v='Role2'""",
+
+    "watdiv_l3" -> raw"""$nt
+      SELECT DISTINCT ra.e AS rev, rw.v AS u, li.v AS city, pc.v AS country
+      FROM nt ra
+      JOIN nt rw ON rw.e = ra.e AND rw.a='reviewer'
+      JOIN nt li ON li.e = rw.v AND li.a='livesIn'
+      JOIN nt pc ON pc.e = li.v AND pc.a='parentCountry'
+      WHERE ra.a='rating' AND ra.v='5'""",
+
+    "watdiv_c2" -> raw"""$nt
+      SELECT DISTINCT f.e AS u, f.v AS f, fr.v AS ff, l.v AS p
+      FROM nt f
+      JOIN nt na ON na.e = f.e AND na.a='nationality' AND na.v='Country1'
+      JOIN nt fr ON fr.e = f.v AND fr.a='friendOf'
+      JOIN nt l  ON l.e  = fr.v AND l.a='likes'
+      JOIN nt hg ON hg.e = l.v AND hg.a='hasGenre' AND hg.v='Genre3'
       WHERE f.a='follows'""")
 }
