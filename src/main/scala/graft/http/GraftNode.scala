@@ -132,6 +132,24 @@ final class GraftNode(val spark: SparkSession, val source: FactSource,
     if (info.committed) Some(fork) else None
   }
 
+  /** Doc-store garbage collection after evicts: drop content rows no live
+    * version references. The reference hard-deletes an evicted entity's
+    * docs from the doc store and replaces them with `:crux.db/evicted?`
+    * markers (tx.clj:135-147, index_store.clj:993-1047 — eviction is the
+    * one op that reaches into the content-addressed store); the columnar
+    * analogue is one semi-join of docs against the distinct referenced
+    * hashes. Returns the number of content rows dropped. Runs as an
+    * explicit maintenance call (crux runs it inside the evict tx; a
+    * 100 TB store wants it batched off the write path). */
+  def gcDocs(): Long = synchronized {
+    val before = docs.count()
+    docs = docs.join(
+        versions.select(col("content_hash")).filter(col("content_hash").isNotNull).distinct(),
+        Seq("content_hash"), "left_semi")
+      .localCheckpoint(true)
+    before - docs.count()
+  }
+
   /** One tx op → (TxLog op row, optional new doc). */
   private def parseOp(op: JValue, seq: Int): (Row, Option[(String, String)]) = {
     def ts(j: JValue): java.time.LocalDateTime = j match {

@@ -234,6 +234,25 @@ class NodeQuerySpec extends AnyFunSuite {
       Set(Seq("an untyped value"), Seq("123")))
   }
 
+  test("gcDocs drops content no live version references after evict") {
+    val node = newNode()
+    node.submitTx(List(
+      put(("crux.db/id" -> ":keep") ~ ("v" -> "a")),
+      put(("crux.db/id" -> ":gone") ~ ("v" -> "b"))))
+    assert(node.currentDocs.count() == 2)
+    node.submitTx(List(JArray(List(JString("evict"), JString(":gone")))))
+    val dropped = node.gcDocs()
+    assert(dropped == 1L, s"dropped $dropped")
+    assert(q(node, """{:find [?e ?v] :where [[?e :v ?v]]}""") ==
+      Set(Seq(":keep", "a")))
+    // superseding :keep adds new content but must NOT free the old one:
+    // the superseded version row still references it (entity history)
+    node.submitTx(List(put(("crux.db/id" -> ":keep") ~ ("v" -> "c"))))
+    assert(node.currentDocs.count() == 2)
+    assert(node.gcDocs() == 0L)
+    node.close()
+  }
+
   test("db with a future tx basis throws (api_test.clj:359, issue 546)") {
     val node = newNode()
     node.submitTx(List(put(("crux.db/id" -> ":foo"): JObject)))
