@@ -383,8 +383,13 @@ object IngestStream {
     * rows emit as soon as both sides arrive (append mode) — the watermark
     * only governs eviction, not emission, so a finite input yields the
     * complete join without sentinel batches. */
+  /** @param statePartitions join state-store partitions — the stateful
+    *   shuffle pays per-partition-per-batch state-file overhead, so size
+    *   to active-key cardinality like [[sessions]] (150 users in the
+    *   fixture; a 100 TB run sizes up). */
   def streamJoin(spark: SparkSession, eventsPath: String,
-      windowMinutes: Int = 30): DataFrame = {
+      windowMinutes: Int = 30, statePartitions: Int = 8): DataFrame = {
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     val src = new java.io.File(eventsPath)
     val eventsDir =
       if (src.isDirectory) eventsPath
@@ -410,12 +415,15 @@ object IngestStream {
         col("purchase_ts") >= col("click_ts") &&
         col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
     val name = "stream_join_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = joined.writeStream.outputMode("append")
-      .format("memory").queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.processAllAvailable()
-    q.stop()
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
+    try {
+      val q = joined.writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     spark.table(name).select(col("click_user").as("user_id"),
       col("click_id"), col("purchase_id"),
       col("click_ts").cast("timestamp_ntz").as("click_ts"),
