@@ -140,17 +140,25 @@ object Dedup {
     sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** LSH candidate pairs from banded minhash signatures. */
-  def lshCandidates(sig: DataFrame, bands: Int = 16, rows: Int = 4): DataFrame = {
+  /** (doc_id, band, key) rows from banded minhash signatures — the
+    * postings a persistent LSH index stores; shared by the batch
+    * candidate join below and the incremental stream
+    * ([[graft.streaming.IngestStream.lshDedupStream]]). */
+  def bandKeyRows(sig: DataFrame, bands: Int = 16, rows: Int = 4): DataFrame = {
     val bandKeys = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         xxhash64((lit(1000 + b) +: (0 until rows).map(r => col(s"m${b * rows + r}"))): _*).as("key"))
     }
+    sig.select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** LSH candidate pairs from banded minhash signatures. */
+  def lshCandidates(sig: DataFrame, bands: Int = 16, rows: Int = 4): DataFrame = {
     // pin the join-key partitioning: pair OUTPUT is quadratic per bucket
     // while the keys relation is small, so AQE would otherwise coalesce
     // the shuffle and single-thread pair generation (see embeddingLshPairs)
-    val exploded = sig.select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val exploded = bandKeyRows(sig, bands, rows)
       .repartition(sig.sparkSession.sparkContext.defaultParallelism,
         col("band"), col("key"))
     exploded.as("a")

@@ -312,6 +312,13 @@ object TrainQueries {
     "stream_dedup" -> ((s, dir) =>
       graft.streaming.IngestStream.dedupStream(s, s"$dir/documents.parquet")),
 
+    // incremental MinHash-LSH near-dup detection (r6): docs arrive in 3
+    // batches, each probes the accumulated band index — the union of
+    // per-batch pair sets must equal the batch operator's exact answer,
+    // so the SAME brute Jaccard oracle applies
+    "stream_dedup_lsh" -> ((s, dir) =>
+      graft.streaming.IngestStream.lshDedupStream(s, s"$dir/documents.parquet", 0.5)),
+
     // REAL decode (r4): payloads are true PNG/WAV bytes; the oracle
     // recomputes the expected decoded features from media_id arithmetic,
     // so a hash match proves the ImageIO/AudioSystem round trip
@@ -381,6 +388,7 @@ object TrainSql {
 
     "dedup_ngram_jaccard" -> jaccardSql,
     "dedup_minhash_lsh" -> jaccardSql,
+    "stream_dedup_lsh" -> jaccardSql,
 
     // transitive closure of the jaccard-pair graph (tiny at oracle scale;
     // the Spark side is iterative min-label propagation instead)

@@ -373,6 +373,86 @@ object IngestStream {
     spark.table(name).groupBy(col("source")).agg(count(lit(1)).as("n_unique"))
   }
 
+  /** Incremental MinHash-LSH near-dup detection over a document stream
+    * (r6) — the streaming arm of [[graft.operators.Dedup.minhashLshPairs]]:
+    * per micro-batch, shingle + sign the ARRIVING docs only, probe the
+    * accumulated band-key index for cross-batch candidates (plus
+    * intra-batch pairs), verify exact Jaccard against the accumulated
+    * shingle postings, then append this batch's keys/shingles to the
+    * index and the verified pairs to the output.
+    *
+    * Scale shape: each batch's work is O(batch × collision rate) — the
+    * corpus is NEVER rescanned (earlier docs participate only through the
+    * band-key index join and the per-candidate posting lookups, both
+    * equi-joins on keys the index is partitioned by). The parquet dirs
+    * are exactly the posting lists a persistent dedup service maintains;
+    * the union over batches provably equals the batch pair set (a pair
+    * is found when its later member arrives).
+    *
+    * Returns the complete verified pair set after draining the stream —
+    * identical to the batch operator's answer on the same corpus. */
+  def lshDedupStream(spark: SparkSession, docsPath: String, tau: Double = 0.5,
+      k: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      nChunks: Int = 3): DataFrame = {
+    import graft.operators.Dedup
+    val base = java.nio.file.Files.createTempDirectory("graft_lsh_stream").toString
+    val inDir = s"$base/in"; val idxDir = s"$base/idx"
+    val shDir = s"$base/sh"; val pairsDir = s"$base/pairs"
+    new java.io.File(inDir).mkdirs()
+    // stage the corpus as nChunks arrival batches (doc_id mod ranges)
+    val docs = spark.read.parquet(docsPath)
+    (0 until nChunks).foreach { i =>
+      val stage = s"$base/stage$i"
+      docs.filter(pmod(col("doc_id"), lit(nChunks)) === i)
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$inDir/b$i.parquet"))
+    }
+    val rowsPerBand = numHashes / bands
+    val q = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+      .writeStream.option("checkpointLocation", s"$base/ck")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sp = batch.sparkSession
+        val shB = Dedup.shingles(batch, k)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val keysB = Dedup.bandKeyRows(
+          Dedup.minhashSignatures(shB, numHashes), bands, rowsPerBand)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val priorKeys =
+            if (new java.io.File(idxDir).isDirectory) sp.read.parquet(idxDir)
+            else keysB.limit(0)
+          // candidates: new keys vs (index ∪ new keys); normalize pair
+          // order so cross-batch pairs compare like the batch operator
+          val allKeys = priorKeys.unionByName(keysB)
+          val cand = keysB.as("a")
+            .join(allKeys.as("b"),
+              col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+                col("a.doc_id") =!= col("b.doc_id"))
+            .select(least(col("a.doc_id"), col("b.doc_id")).as("d1"),
+              greatest(col("a.doc_id"), col("b.doc_id")).as("d2"))
+            .distinct()
+          val shAll =
+            if (new java.io.File(shDir).isDirectory)
+              sp.read.parquet(shDir).unionByName(shB)
+            else shB
+          val pairs = Dedup.jaccardOfPairs(shAll, cand, tau)
+          pairs.write.mode("append").parquet(pairsDir)
+          keysB.write.mode("append").parquet(idxDir)
+          shB.write.mode("append").parquet(shDir)
+        } finally { shB.unpersist(); keysB.unpersist(); () }
+      }
+      .start()
+    q.awaitTermination()
+    // a pair is emitted once, by its later-arriving member's batch;
+    // distinct guards the replayed-batch edge
+    spark.read.parquet(pairsDir).distinct()
+  }
+
   /** Stream-stream inner join (r6): clicks joined to same-user purchases
     * arriving within `windowMinutes` — the attribution-join shape (click →
     * conversion) that every event pipeline runs, and the one streaming

@@ -423,6 +423,16 @@ class OperatorsSpec extends AnyFunSuite {
     assert(s == w.toDouble / (n * 1000L))
   }
 
+  test("incremental LSH dedup stream equals the batch pair set") {
+    val streamed = graft.streaming.IngestStream
+      .lshDedupStream(spark, s"$dir/documents.parquet", 0.5)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = Dedup.minhashLshPairs(docs, 0.5)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("stream-stream join equals the batch time-range join") {
     val streamed = graft.streaming.IngestStream
       .streamJoin(spark, s"$dir/events.parquet", windowMinutes = 30)
