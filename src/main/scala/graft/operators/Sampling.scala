@@ -96,6 +96,62 @@ object Sampling {
       .drop("_n")
   }
 
+  /** DSIR-style hashed-n-gram importance weighting (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * estimate a target and a raw unigram distribution over HASHED token
+    * buckets, and score every document by the log-likelihood ratio of its
+    * tokens under the two — documents that "read like" the target domain
+    * score high and are kept for the training mix.
+    *
+    * `isTarget` marks the rows that define the target distribution (e.g.
+    * a trusted high-quality subset); both distributions use add-one
+    * smoothing over `buckets` hashed bins. The per-bucket log ratio
+    * `ln((t_h+1)/(T+B)) - ln((r_h+1)/(R+B))` is quantized to integer
+    * nanos BEFORE the per-document sum, so the sum is exact integer
+    * arithmetic — associative, reproducible at any partition count, and
+    * bit-identical in the DuckDB oracle (the float only appears in one
+    * final display division).
+    *
+    * Scale: token→bucket hashing is map-side; the two distributions are
+    * one partial-agg shuffle over at most `buckets` rows each and come
+    * back as a broadcast-sized table; the corpus then streams through one
+    * hash join on the bucket id + one partial-agg groupBy(doc). Nothing
+    * ever shuffles on raw text, and the model size is `buckets`, fixed —
+    * the same recipe holds at 100 TB with the distributions computed on a
+    * sample or a separate pass.
+    */
+  def dsirWeights(docs: DataFrame, isTarget: Column, buckets: Int = 4096,
+      idCol: String = "doc_id", textCol: String = "text",
+      salt: String = "dsir"): DataFrame = {
+    val tok = docs.select(col(idCol), isTarget.as("_target"),
+        explode(TextAnalysis.tokens(col(textCol))).as("_w"))
+      .withColumn("_h",
+        pmod(conv(substring(md5(concat(lit(salt), col("_w"))), 1, 8), 16, 10)
+          .cast("long"), lit(buckets)))
+    val counts = tok.groupBy(col("_h")).agg(
+      sum(when(col("_target"), 1L).otherwise(0L)).as("_t"),
+      count(lit(1)).as("_r"))
+    val totals = tok.agg(
+      sum(when(col("_target"), 1L).otherwise(0L)).as("_tt"),
+      count(lit(1)).as("_rt"))
+    // per-bucket log ratio in integer nanos (see scaladoc)
+    val lr = counts.crossJoin(broadcast(totals)).select(col("_h"),
+      round((log((col("_t") + 1).cast("double") / (col("_tt") + buckets)) -
+        log((col("_r") + 1).cast("double") / (col("_rt") + buckets))) * 1e9)
+        .cast("long").as("_lr_nano"))
+    val perDoc = tok.join(broadcast(lr), Seq("_h"))
+      .groupBy(col(idCol)).agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("_lr_nano")).as("weight_nano"))
+    docs.select(col(idCol), isTarget.as("is_target"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("is_target"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("weight_nano"), lit(0L)).as("weight_nano"),
+        (coalesce(col("weight_nano"), lit(0L)) > 0 && !col("is_target"))
+          .as("selected"))
+  }
+
   /** GPT-style concatenate-and-chunk sequence packing: documents are
     * conceptually concatenated in a deterministic order and sliced into
     * fixed-`maxTokens` training chunks; each doc is assigned the chunk

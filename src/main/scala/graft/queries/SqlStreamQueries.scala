@@ -183,6 +183,52 @@ object SqlStreamQueries {
         floor(c_acctbal * 100) / 100 AS trunc2
       FROM customer WHERE c_custkey <= 100""")
 
+  /** Outer-join breadth through the SQL surface (§2.8): LEFT JOIN
+    * preserving order-less customers and FULL OUTER aligning two
+    * aggregates — the join shapes Calcite's converter rules cover that
+    * the other gates don't exercise. */
+  def sqlJoinTypes(s: SparkSession, dir: String): DataFrame =
+    SqlSurface.query(s, dir, """
+      WITH lo AS (
+        SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+        FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        WHERE c.c_custkey <= 200 GROUP BY c.c_custkey),
+      cn AS (SELECT c_nationkey AS k, count(*) AS n_cust FROM customer GROUP BY c_nationkey),
+      sn AS (SELECT s_nationkey AS k, count(*) AS n_supp FROM supplier GROUP BY s_nationkey),
+      fo AS (SELECT coalesce(cn.k, sn.k) AS k, coalesce(n_cust, 0) AS n_cust,
+                    coalesce(n_supp, 0) AS n_supp
+             FROM cn FULL OUTER JOIN sn ON cn.k = sn.k)
+      SELECT 'left' AS kind, CAST(c_custkey AS BIGINT) AS id,
+             n_orders AS a, CAST(NULL AS BIGINT) AS b FROM lo
+      UNION ALL
+      SELECT 'full', CAST(k AS BIGINT), n_cust, n_supp FROM fo""")
+
+  /** Subquery breadth (§2.8): scalar subquery (above-average balance,
+    * kept exact via sum×count decimal cross-multiplication — AVG of
+    * doubles is partition-order-dependent), uncorrelated IN, correlated
+    * EXISTS and NOT EXISTS. */
+  def sqlSubquery(s: SparkSession, dir: String): DataFrame =
+    SqlSurface.query(s, dir, """
+      SELECT c_custkey, c_acctbal
+      FROM customer c
+      WHERE CAST(c_acctbal AS DECIMAL(18,4)) * (SELECT count(*) FROM customer)
+              > (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,4))) FROM customer)
+        AND c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 1)
+        AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'F' AND o.o_totalprice > 300000)""")
+
+  /** Grouping-set breadth (§2.8): ROLLUP with GROUPING() flags — the
+    * subtotal/grand-total shape reporting queries need. */
+  def sqlRollup(s: SparkSession, dir: String): DataFrame =
+    SqlSurface.query(s, dir, """
+      SELECT n_regionkey, c_mktsegment, count(*) AS n,
+        CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(24,4)) AS DOUBLE) AS total,
+        CAST(GROUPING(n_regionkey) AS BIGINT) AS g_region,
+        CAST(GROUPING(c_mktsegment) AS BIGINT) AS g_seg
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY ROLLUP (n_regionkey, c_mktsegment)""")
+
   /** Date/time scalar functions (§2.7 temporal set). Date-typed results
     * are cast back to TIMESTAMP_NTZ: parquet DATE → pandas object vs
     * DuckDB datetime64 dtype-mismatches in the gate's frame compare. */
@@ -212,7 +258,10 @@ object SqlStreamQueries {
     "sql_txid" -> sqlTxId _,
     "sql_scalar_fns" -> sqlScalarFns _,
     "sql_window" -> sqlWindow _,
-    "sql_date_fns" -> sqlDateFns _)
+    "sql_date_fns" -> sqlDateFns _,
+    "sql_join_types" -> sqlJoinTypes _,
+    "sql_subquery" -> sqlSubquery _,
+    "sql_rollup" -> sqlRollup _)
 }
 
 object SqlStreamSql {
@@ -347,5 +396,38 @@ object SqlStreamSql {
         CAST(month(o_orderdate) AS BIGINT) AS m,
         CAST(day(o_orderdate) AS BIGINT) AS dd,
         CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mstart
-      FROM orders WHERE o_orderkey <= 100""")
+      FROM orders WHERE o_orderkey <= 100""",
+
+    "sql_join_types" -> """
+      WITH lo AS (
+        SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+        FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        WHERE c.c_custkey <= 200 GROUP BY c.c_custkey),
+      cn AS (SELECT c_nationkey AS k, count(*) AS n_cust FROM customer GROUP BY c_nationkey),
+      sn AS (SELECT s_nationkey AS k, count(*) AS n_supp FROM supplier GROUP BY s_nationkey),
+      fo AS (SELECT coalesce(cn.k, sn.k) AS k, coalesce(n_cust, 0) AS n_cust,
+                    coalesce(n_supp, 0) AS n_supp
+             FROM cn FULL OUTER JOIN sn ON cn.k = sn.k)
+      SELECT 'left' AS kind, CAST(c_custkey AS BIGINT) AS id,
+             n_orders AS a, CAST(NULL AS BIGINT) AS b FROM lo
+      UNION ALL
+      SELECT 'full', CAST(k AS BIGINT), n_cust, n_supp FROM fo""",
+
+    "sql_subquery" -> """
+      SELECT c_custkey, c_acctbal
+      FROM customer c
+      WHERE CAST(c_acctbal AS DECIMAL(18,4)) * (SELECT count(*) FROM customer)
+              > (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,4))) FROM customer)
+        AND c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 1)
+        AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'F' AND o.o_totalprice > 300000)""",
+
+    "sql_rollup" -> """
+      SELECT n_regionkey, c_mktsegment, count(*) AS n,
+        CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(24,4)) AS DOUBLE) AS total,
+        CAST(GROUPING(n_regionkey) AS BIGINT) AS g_region,
+        CAST(GROUPING(c_mktsegment) AS BIGINT) AS g_seg
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY ROLLUP (n_regionkey, c_mktsegment)""")
 }

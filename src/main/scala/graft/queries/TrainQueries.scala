@@ -306,6 +306,12 @@ object TrainQueries {
         Map("en" -> 2.0, "de" -> 1.5, "es" -> 0.3, "fr" -> 1.0, "zh" -> 2.7))
         .select(col("doc_id"), col("lang"), col("copy_idx"))),
 
+    // DSIR importance weighting (r6): hashed-unigram log-likelihood ratio
+    // vs a target subset (src0 plays "trusted domain"); integer-nano
+    // quantization before the per-doc sum makes the gate hash-exact
+    "sample_dsir" -> ((s, dir) =>
+      Sampling.dsirWeights(docs(s, dir), col("source") === "src0")),
+
     // streaming exact dedup (r5): dropDuplicates state over a document
     // file stream, per-source survivor counts — the incremental arm of
     // the dedup family
@@ -695,6 +701,32 @@ object TrainSql {
                 CASE WHEN f < e - floor(e) THEN 1 ELSE 0 END AS n
             FROM w)
       SELECT doc_id, lang, unnest(range(n)) AS copy_idx FROM n WHERE n > 0""",
+
+    "sample_dsir" -> s"""
+      WITH tok AS (
+        SELECT doc_id, (source = 'src0') AS is_target, unnest($toks) AS w
+        FROM documents),
+      h AS (SELECT doc_id, is_target,
+              CAST(('0x' || substr(md5('dsir' || w), 1, 8)) AS BIGINT) % 4096 AS h
+            FROM tok),
+      counts AS (SELECT h, SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS t,
+                        COUNT(*) AS r
+                 FROM h GROUP BY h),
+      tot AS (SELECT SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS tt,
+                     COUNT(*) AS rt
+              FROM h),
+      lr AS (SELECT h,
+               CAST(round((ln((t + 1.0) / (tt + 4096)) -
+                           ln((r + 1.0) / (rt + 4096))) * 1e9) AS BIGINT) AS lrn
+             FROM counts, tot),
+      perdoc AS (SELECT doc_id, COUNT(*) AS n_tokens,
+                        CAST(SUM(lrn) AS BIGINT) AS weight_nano
+                 FROM h JOIN lr USING (h) GROUP BY doc_id)
+      SELECT d.doc_id, (d.source = 'src0') AS is_target,
+        COALESCE(p.n_tokens, 0) AS n_tokens,
+        COALESCE(p.weight_nano, 0) AS weight_nano,
+        (COALESCE(p.weight_nano, 0) > 0 AND NOT (d.source = 'src0')) AS selected
+      FROM documents d LEFT JOIN perdoc p USING (doc_id)""",
 
     "mm_decode" -> """
       SELECT doc_id AS media_id,

@@ -449,4 +449,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(streamed == batch)
     assert(batch.nonEmpty)
   }
+
+  test("dsirWeights: target-like docs outrank off-target; targets never selected") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "aa bb aa bb", "t"),
+      (2L, "aa bb bb aa", "t"),
+      (3L, "aa bb aa", "r"), // target-like vocabulary
+      (4L, "cc dd cc dd", "r") // disjoint vocabulary
+    ).toDF("doc_id", "text", "grp")
+    val rows = Sampling.dsirWeights(d, col("grp") === "t")
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      .toMap
+    assert(rows(1L)._2 == 4 && rows(3L)._2 == 3) // n_tokens exact
+    assert(rows(3L)._3 > rows(4L)._3) // target-vocab doc outranks off-target
+    assert(!rows(1L)._4 && !rows(2L)._4) // is_target rows never selected
+    // deterministic: a second evaluation is bit-identical
+    val again = Sampling.dsirWeights(d, col("grp") === "t")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(again == rows.map { case (k, v) => k -> v._3 })
+  }
 }
