@@ -72,8 +72,16 @@ object TxLog {
     * `cleanup` the consumer MUST call once `newRows` is materialized —
     * it drops the tx's cached op list from the block manager (per-tx
     * caches would otherwise accumulate across a long sequential batch). */
+  /** `aborted` is authoritative in the default (eager) mode. In FUSED
+    * mode ([[applyTxParts]] `fusePrecondition=true`) the precondition has
+    * not run yet when this returns — `aborted` is false and
+    * `abortedAfterMaterialize` must be consulted AFTER an action has
+    * materialized `newRows` (it reads the cached flag the action filled;
+    * the delta rows and evict list are already flag-gated to empty when
+    * the tx aborts, so the materialized state is correct either way). */
   final case class TxParts(newRows: DataFrame, evictEids: DataFrame,
-      hasEvict: Boolean, aborted: Boolean, cleanup: () => Unit = () => ())
+      hasEvict: Boolean, aborted: Boolean, cleanup: () => Unit = () => (),
+      abortedAfterMaterialize: () => Boolean = () => false)
 
   /** Apply one transaction. Returns (newState, aborted). The new state is
     * EAGERLY localCheckpoint-ed — every sequential consumer checkpoints
@@ -97,9 +105,16 @@ object TxLog {
   def applyTx(state: DataFrame, ops: DataFrame, txId: Long,
       txTime: java.time.LocalDateTime,
       shapeHint: Option[TxShape] = None): (DataFrame, Boolean) = {
+    // Eager precondition (its own small action, early return on abort).
+    // The FUSED alternative — riding the check inside the checkpoint
+    // action as a broadcast flag gating the delta — was built and
+    // measured (tools.ProfileCas): committing txs gained nothing (the
+    // flag's broadcast build serializes before the final stage exactly
+    // like a separate action does) and aborting txs paid a wasted
+    // state materialization. The mechanism stays available for
+    // single-action consumers (fusePrecondition=true).
     val p = applyTxParts(state, ops, txId, txTime, shapeHint)
     try {
-      if (p.aborted) (state, true)
       // the anti-join stays even when the tx has no evicts (same
       // constraint-barrier role as the one inside applyTxParts): a
       // checkpointed state is a LogicalRDD pinning origin constraints,
@@ -107,8 +122,12 @@ object TxLog {
       // UnionBase.rewriteConstraints AttributeMap crash on the next
       // ranged tx — r6 tried skipping it for the driver-known-empty
       // case and BitempSpec's range suite went red
-      else (state.join(broadcast(p.evictEids), Seq("eid"), "left_anti")
-        .unionByName(p.newRows).localCheckpoint(true), false)
+      if (p.aborted) (state, true)
+      else {
+        val newState = state.join(broadcast(p.evictEids), Seq("eid"), "left_anti")
+          .unionByName(p.newRows).localCheckpoint(true)
+        if (p.abortedAfterMaterialize()) (state, true) else (newState, false)
+      }
     } finally p.cleanup()
   }
 
@@ -121,7 +140,8 @@ object TxLog {
     * (crux appends to its KV indexes the same way, tx.clj:266-391). */
   def applyTxParts(state: DataFrame, opsPlan: DataFrame, txId: Long,
       txTime: java.time.LocalDateTime,
-      shapeHint: Option[TxShape] = None): TxParts = {
+      shapeHint: Option[TxShape] = None,
+      fusePrecondition: Boolean = false): TxParts = {
     val txTs = lit(txTime)
     // A transaction's op list is DATA — the reference materializes it in
     // the tx log before indexing (tx.clj:266-391) — not a lazy view.
@@ -184,7 +204,11 @@ object TxLog {
       val checks = ops.filter(col("op").isin("match", "cas"))
         .select(col("eid"), coalesce(col("at_vt"), col("start_vt"), txTs).as("basis_vt"),
           col("expected_hash"), col("seq"))
-      val aborted = if (!hasChecks) false else {
+      // one cached 1-row frame: `_aborted` true iff any precondition fails.
+      // Eager mode reads it here (own action, early return on abort);
+      // fused mode defers the read and instead gates the delta on it, so
+      // the flag is computed inside the consumer's materializing action.
+      val abortFlag: Option[DataFrame] = if (!hasChecks) None else Some {
         val txWrites = ops.filter(col("op").isin("put", "delete", "cas"))
           .select(col("eid"),
             when(col("op") === "cas", coalesce(col("at_vt"), col("start_vt"), txTs))
@@ -204,12 +228,19 @@ object TxLog {
           .agg(max_by(struct(col("h.content_hash").as("ch")),
             struct(col("h.vt"), col("h.tx_id"), col("h.cand_seq"))).as("_v"))
           .select(col("expected_hash"), col("_v.ch").as("visible_hash"))
-        visible.filter(!(col("expected_hash") <=> col("visible_hash"))).limit(1).count() > 0
+        visible.filter(!(col("expected_hash") <=> col("visible_hash"))).limit(1)
+          .agg(count(lit(1)).as("_n")).select((col("_n") > 0).as("_aborted"))
+          .cache()
       }
-      if (aborted)
+      def readAbortFlag(): Boolean = abortFlag.exists(_.head().getBoolean(0))
+      if (!fusePrecondition && readAbortFlag())
         return TxParts(emptyState(state.sparkSession),
           emptyState(state.sparkSession).select("eid"), hasEvict = false,
-          aborted = true, cleanup = () => { ops.unpersist(); () })
+          aborted = true, cleanup = () => {
+            ops.unpersist(); resolved.unpersist()
+            abortFlag.foreach(_.unpersist()); ()
+          },
+          abortedAfterMaterialize = () => true)
 
       // --- evict: hard-delete every version of the entity
       // (tx.clj:135-147, index_store.clj:993-1047)
@@ -349,9 +380,25 @@ object TxLog {
       // rewrite bug (AttributeMap "key not found" in
       // UnionBase.rewriteConstraints) on the range branch's nested union.
       val kept = newRows.join(broadcast(evictEids), Seq("eid"), "left_anti")
-      TxParts(kept, evictEids, hasEvict, aborted = false,
-        cleanup = () => { ops.unpersist(); () })
-    } finally resolved.unpersist()
+      // fused mode: delta and evicts collapse to EMPTY when the tx aborts
+      // — a broadcast of the 1-row flag, evaluated inside whatever action
+      // materializes the new state
+      def gateAbort(df: DataFrame): DataFrame = abortFlag match {
+        case Some(f) if fusePrecondition =>
+          df.crossJoin(broadcast(f)).filter(!col("_aborted")).drop("_aborted")
+        case _ => df
+      }
+      TxParts(gateAbort(kept), gateAbort(evictEids), hasEvict, aborted = false,
+        cleanup = () => {
+          ops.unpersist(); resolved.unpersist()
+          abortFlag.foreach(_.unpersist()); ()
+        },
+        abortedAfterMaterialize = () => readAbortFlag())
+    } catch {
+      case t: Throwable =>
+        ops.unpersist(); resolved.unpersist()
+        throw t
+    }
   }
 
   /** Fold a sequence of txs in order; aborted txs leave state unchanged

@@ -173,6 +173,9 @@ object Ast {
 
   private def parsePredArg(fn: String, i: Int)(v: Edn.Val): Term = v match {
     case s @ Sym(n) if i == 0 && hofFns(fn) && !n.startsWith("?") => C(s)
+    // class symbol in leading position: (instance? String x), (cast Long x)
+    case s @ Sym(n) if i == 0 && !n.startsWith("?") &&
+        (fn.split('/').last == "instance?" || fn.split('/').last == "cast") => C(s)
     // fn-symbol in non-leading position: (subseq coll test key),
     // (update m k f)
     case s @ Sym(n) if !n.startsWith("?") &&

@@ -1383,6 +1383,28 @@ private final class Planner(spark: SparkSession, source: FactSource,
     case _ => NullType
   }
 
+  /** `instance?`/`cast` class symbol → does the STATIC Spark column type
+    * belong to that class's value family (long/double merged families
+    * follow the codec's numeric model, §1.2). Unknown classes throw. */
+  private def classMatches(cls: String, dt: DataType): Boolean = {
+    val simple = cls.substring(cls.lastIndexOf('.') + 1)
+    simple match {
+      case "Object" => true
+      case "String" | "CharSequence" => dt == StringType
+      case "Long" | "Integer" | "Short" | "Byte" | "BigInteger" =>
+        dt == LongType || dt == IntegerType || dt == ShortType || dt == ByteType
+      case "Double" | "Float" | "BigDecimal" =>
+        dt == DoubleType || dt == FloatType || dt.isInstanceOf[DecimalType]
+      case "Number" =>
+        classMatches("Long", dt) || classMatches("Double", dt)
+      case "Boolean" => dt == BooleanType
+      case "Date" | "Instant" | "Timestamp" =>
+        dt == TimestampType || dt == TimestampNTZType || dt == DateType
+      case other => throw new IllegalArgumentException(
+        s"instance?/cast: unsupported class $other")
+    }
+  }
+
   /** Predicate in filter position: false/nil drops the row. */
   private def predicateCol(fn0: String, args: Seq[Column], types: Seq[DataType],
       raw: Seq[Term] = Nil, probe: Column => Option[DataType] = _ => None): Column = normFn(fn0) match {
@@ -1718,6 +1740,39 @@ private final class Planner(spark: SparkSession, source: FactSource,
       slice(args.head, args(1).cast(IntegerType) + 1, end - args(1).cast(IntegerType))
     case "peek" => get(args.head, size(args.head) - 1) // vector semantics
     case "pop" => slice(args.head, lit(1), greatest(size(args.head) - 1, lit(0)))
+    // --- transients (allowlist: transient/persistent!/assoc!/conj!/
+    // dissoc!/pop!): in a pure query expression the transient round-trip
+    // is the identity and every mutating op has the VALUE semantics of
+    // its persistent counterpart — the reference evaluates these on
+    // driver-side Clojure values where the in-place mutation is an
+    // invisible optimization, so the columnar rewrite is exact
+    case "transient" | "persistent!" => args.head
+    case "assoc!" => functionCol("assoc", args, types, raw)
+    case "conj!" => functionCol("conj", args, types, raw)
+    case "dissoc!" => functionCol("dissoc", args, types, raw)
+    case "pop!" => functionCol("pop", args, types, raw)
+    // --- Java-array fns with read/constructor semantics (aset* mutation
+    // stays unsupported — in-place writes have no columnar meaning):
+    // aget is 0-indexed element access (multi-dim indices fold), alength
+    // the length; the coercion constructors are identity on array columns
+    case "aget" =>
+      args.tail.foldLeft(args.head)((a, i) => get(a, i.cast(IntegerType)))
+    case "alength" => size(args.head).cast(LongType)
+    case "into-array" => args.last // (into-array coll) / (into-array type coll)
+    case "to-array-2d" => args.head
+    // --- class-object fns over the static column type (instance?/cast
+    // take a class SYMBOL; Mixed tagged structs are out of scope —
+    // documented with the rest of the Mixed deviations)
+    case "instance?" =>
+      lit(classMatches(rawSym(raw, 0, "instance? class"), types(1)))
+    case "cast" =>
+      if (classMatches(rawSym(raw, 0, "cast class"), types(1))) args(1)
+      else raise_error(concat(lit("cannot cast to "),
+        lit(rawSym(raw, 0, "cast class")), lit(": "), args(1).cast(StringType)))
+    // fresh symbol per row — nondeterministic by contract, like rand
+    case "gensym" =>
+      concat(if (args.isEmpty) lit("G__") else args.head.cast(StringType),
+        regexp_replace(uuid(), "-", ""))
     case "index-of" => // clojure.string/index-of: 0-based or nil
       when(instr(args.head, args(1)) > 0, (instr(args.head, args(1)) - 1).cast(LongType))
     case "re-seq" => literalGroupCount(raw, 0) match {

@@ -271,6 +271,43 @@ object DatalogQueries {
         .withColumn("last_m", to_json(col("last_m")))
     }),
 
+    // registry breadth round 6b: transients (value semantics of the
+    // persistent ops), Java-array read fns (aget/alength/into-array/
+    // to-array-2d) and class-object fns (instance?/cast over the static
+    // column type) — the last allowlist families with columnar meaning
+    "dl_fns_corpus7" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions.{col, to_json}
+      dl("""
+        {:find [?ck ?tm ?cjv ?al ?ag ?m00 ?istr ?inum ?castn]
+         :keys [c_custkey tm cjv al ag m00 is_str is_num cast_n]
+         :order-by [[?ck :asc]]
+         :limit 200
+         :where [[?c :c_custkey ?ck] [?c :c_name ?nm] [?c :c_mktsegment ?seg]
+                 [(< ?ck 100)]
+                 [(hash-map "name" ?nm) ?m0]
+                 [(transient ?m0) ?t0]
+                 [(assoc! ?t0 "seg" ?seg) ?t1]
+                 [(dissoc! ?t1 "name") ?t2]
+                 [(persistent! ?t2) ?tm]
+                 [(vector ?nm ?seg) ?v0]
+                 [(transient ?v0) ?tv0]
+                 [(conj! ?tv0 "Z") ?tv1]
+                 [(pop! ?tv1) ?tv2]
+                 [(persistent! ?tv2) ?cjv]
+                 [(re-seq "[0-9]" ?nm) ?digits]
+                 [(into-array ?digits) ?arr]
+                 [(alength ?arr) ?al]
+                 [(aget ?arr 0) ?ag]
+                 [(re-seq "([0-9])([0-9])" ?nm) ?sq]
+                 [(to-array-2d ?sq) ?a2]
+                 [(aget ?a2 0 0) ?m00]
+                 [(instance? String ?nm) ?istr]
+                 [(instance? Number ?nm) ?inum]
+                 [(cast Number ?ck) ?castn]]}""")(s, dir)
+        .withColumn("tm", to_json(col("tm")))
+        .withColumn("cjv", to_json(col("cjv")))
+    }),
+
     // top-down computational recursion (racket fib, query_test.clj:3181,
     // r4): groundless recursive rules evaluate per binding on the driver;
     // joined against a data clause so the gate exercises the correlated
@@ -463,6 +500,23 @@ object DatalogSql {
         xor(c_custkey, 2) AS bf,
         to_json([CAST(2 AS BIGINT), 3]) AS sq
       FROM mid ORDER BY c_custkey LIMIT 200""",
+
+    "dl_fns_corpus7" -> """
+      WITH base AS (
+        SELECT c_custkey, c_name, c_mktsegment,
+          regexp_extract_all(c_name, '[0-9]', 0) AS digits,
+          regexp_extract_all(c_name, '([0-9])([0-9])', 0) AS g0
+        FROM customer WHERE c_custkey < 100)
+      SELECT c_custkey,
+        to_json(MAP(['seg'], [c_mktsegment])) AS tm,
+        to_json([c_name, c_mktsegment]) AS cjv,
+        CAST(len(digits) AS BIGINT) AS al,
+        digits[1] AS ag,
+        g0[1] AS m00,
+        true AS is_str,
+        false AS is_num,
+        c_custkey AS cast_n
+      FROM base ORDER BY c_custkey LIMIT 200""",
 
     "dl_fns_corpus5" -> """
       SELECT c_custkey,

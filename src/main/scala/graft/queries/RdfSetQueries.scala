@@ -47,11 +47,16 @@ object RdfSetQueries {
       Some(TxLog.TxShape(hasChecks = false, hasEvict = false, hasRanged = false)))
     require(!ab1, "seed tx must commit") // applyTx checkpoints eagerly
 
-    val snap = Bitemp.asOfTime(state1,
+    // eid is asOfTime's grouping key, so filtering BEFORE the resolve is
+    // result-identical and keeps the 140 untouched users' history out of
+    // the snapshot shuffle (the cast blocks Catalyst from pushing the
+    // predicate through the aggregate itself)
+    val snap = Bitemp.asOfTime(
+      state1.filter(col("eid").cast("long") <= 10),
       lit(java.time.LocalDateTime.parse("2024-03-01T00:00")),
       lit(java.time.LocalDateTime.parse("2024-03-01T00:00")))
     // tx 1: self-consistent cas for users 1-10 → commits
-    val casOps = snap.filter(col("eid").cast("long") <= 10)
+    val casOps = snap
       .select(lit("cas").as("op"), col("eid"),
         concat(col("content_hash"), lit("_v2")).as("content_hash"),
         lit(null).cast("timestamp_ntz").as("start_vt"),
