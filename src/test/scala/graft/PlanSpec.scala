@@ -159,4 +159,33 @@ class PlanSpec extends AnyFunSuite {
     assert(oneDay > 0 && oneDay < allRows / 10,
       s"pruned=$oneDay total=$allRows — filter not selective")
   }
+
+  test("asof join is one shuffle + window — no range join, no nested loop") {
+    val df = graft.queries.TemporalJoinQueries.asofJoin(spark, dir)
+    df.collect()
+    val p = plan(df)
+    // the sorted-merge form: a window over the key-partitioned union;
+    // a regression to a range-condition join shows up as a nested loop
+    // (per-key pair scan) or a cartesian
+    assert(p.contains("Window"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("binned range join is an equi-join on (key, bucket)") {
+    val df = graft.queries.TemporalJoinQueries.rangeJoin(spark, dir)
+    df.collect()
+    val p = plan(df)
+    // the bucket must be part of the JOIN KEY (hashed/sort-merge equi
+    // join), leaving the exact range as a residual condition — a plan
+    // that joins on user_id alone degrades to a per-key pair scan
+    assert(p.contains("_bucket"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    val joinLine = p.linesIterator
+      .find(l => l.contains("HashJoin") || l.contains("SortMergeJoin"))
+      .getOrElse("")
+    assert(joinLine.contains("_bucket"), s"bucket not a join key:\n$joinLine")
+  }
 }
