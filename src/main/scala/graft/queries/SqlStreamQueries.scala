@@ -122,6 +122,40 @@ object SqlStreamQueries {
         sum(col("value").cast("decimal(18,4)")).cast("double").as("total"))
   }
 
+  /** Co-located fact⋈fact join over the bucketed layout
+    * ([[graft.sources.Layout.bucketedOrdersLineitem]]): both sides were
+    * bucketed on the join key at write time, so the sort-merge join runs
+    * with NO exchange and NO sort (PlanSpec pins this). The merge hint
+    * keeps the demonstration deterministic — for large-large joins the
+    * exchange-free SMJ is the plan you want; broadcast would re-decide
+    * per size. Oracle recomputes from the unbucketed tables, proving the
+    * layout rewrite relocated every row to its hash bucket. */
+  def bucketJoin(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Layout
+    Layout.bucketedOrdersLineitem(s, dir)
+    s.table("orders_bucketed").hint("merge")
+      .join(s.table("lineitem_bucketed"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("qty"))
+  }
+
+  /** Salted skew join ([[graft.operators.SkewJoin]]): events (the
+    * skewed fact — every row of a hot user lands on one reducer in a
+    * plain equi-join) against the per-user dimension, salt 8. The result
+    * is EXACTLY the plain join's (oracle computes it unsalted). */
+  def skewJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    val dim = Tables.load(s, dir, "customer")
+      .filter(col("c_custkey") <= 150)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    graft.operators.SkewJoin.saltedJoin(ev, dim, Seq("user_id"), 8)
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Plain SQL through the registered catalog. */
   def sqlBasic(s: SparkSession, dir: String): DataFrame =
     SqlSurface.query(s, dir, """
@@ -261,7 +295,9 @@ object SqlStreamQueries {
     "sql_date_fns" -> sqlDateFns _,
     "sql_join_types" -> sqlJoinTypes _,
     "sql_subquery" -> sqlSubquery _,
-    "sql_rollup" -> sqlRollup _)
+    "sql_rollup" -> sqlRollup _,
+    "bucket_join" -> bucketJoin _,
+    "skew_join" -> skewJoin _)
 }
 
 object SqlStreamSql {
@@ -429,5 +465,17 @@ object SqlStreamSql {
         CAST(GROUPING(n_regionkey) AS BIGINT) AS g_region,
         CAST(GROUPING(c_mktsegment) AS BIGINT) AS g_seg
       FROM customer JOIN nation ON c_nationkey = n_nationkey
-      GROUP BY ROLLUP (n_regionkey, c_mktsegment)""")
+      GROUP BY ROLLUP (n_regionkey, c_mktsegment)""",
+
+    "bucket_join" -> """
+      SELECT o_orderpriority, COUNT(*) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY o_orderpriority""",
+
+    "skew_join" -> """
+      SELECT c_mktsegment, event_type, COUNT(*) AS n
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      WHERE c.c_custkey <= 150
+      GROUP BY c_mktsegment, event_type""")
 }

@@ -188,4 +188,47 @@ class PlanSpec extends AnyFunSuite {
       .getOrElse("")
     assert(joinLine.contains("_bucket"), s"bucket not a join key:\n$joinLine")
   }
+
+  test("bucketed fact join runs with no exchange and no sort") {
+    val df = graft.queries.SqlStreamQueries.bucketJoin(spark, dir)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("SortMergeJoin"), p.take(3000))
+    // the join subtree must contain NO Exchange on either key: bucketing
+    // pre-paid the shuffle at write time. (A local per-bucket Sort stays
+    // — Spark ≥3 doesn't propagate bucket sort order by default
+    // [spark.sql.legacy.bucketedTableScan.outputOrdering]; it sorts one
+    // pre-sorted bucket in place, no data movement.)
+    val joinSubtree = p.substring(p.indexOf("SortMergeJoin"))
+    assert(!joinSubtree.contains("Exchange hashpartitioning(o_orderkey"),
+      joinSubtree.take(2500))
+    assert(!joinSubtree.contains("Exchange hashpartitioning(l_orderkey"),
+      joinSubtree.take(2500))
+    assert(joinSubtree.contains("Bucketed: true"), joinSubtree.take(2500))
+  }
+
+  test("salted skew join keys on (user_id, salt) and matches the plain join") {
+    val df = graft.queries.SqlStreamQueries.skewJoin(spark, dir)
+    df.collect()
+    val p = plan(df)
+    val joinLine = p.linesIterator
+      .find(l => l.contains("HashJoin") || l.contains("SortMergeJoin"))
+      .getOrElse("")
+    assert(joinLine.contains("_salt"), s"salt not a join key:\n$joinLine")
+    // exact result parity with the unsalted join
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val ev = graft.sources.Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    val dim = graft.sources.Tables.load(spark, dir, "customer")
+      .filter(col("c_custkey") <= 150)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    val plain = ev.join(dim, "user_id")
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val salted = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(salted == plain)
+    assert(plain.nonEmpty)
+  }
 }
