@@ -155,15 +155,28 @@ object Similarity {
   }
 
   /** LSH-bucketed ANN: candidates share a bucket; rank within candidates.
-    * Recall < 1 by construction (the scale path — bucket join, no cross). */
+    * Recall < 1 by construction (the scale path — bucket join, no cross).
+    *
+    * `probes` > 1 enables MULTIPROBE (Lv et al. 2007): a query also
+    * probes the buckets at Hamming distance 1 from its own (one sign bit
+    * flipped — the buckets a near-neighbor most likely fell into), up to
+    * `probes` buckets total. Candidate volume grows ~linearly with
+    * probes while recall climbs steeply; the corpus side still lands in
+    * ONE bucket each, so the index is unchanged — only the (tiny,
+    * broadcast) query side explodes. */
   def hyperplaneLsh(corpus: DataFrame, queries: DataFrame, k: Int, planes: Int = 8,
-      dims: Int = 64, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      dims: Int = 64, idCol: String = "vec_id", vecCol: String = "embedding",
+      probes: Int = 1): DataFrame = {
     val spark = corpus.sparkSession
     val bucketUdf = bucketUdfFor(spark, planes, dims)
     val c = corpus.select(col(idCol).as("cid"), col(vecCol).cast("array<double>").as("cv"))
       .withColumn("bucket", bucketUdf(col("cv")))
-    val q = queries.select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
-      .withColumn("bucket", bucketUdf(col("qv")))
+    val q0 = queries.select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("_b0", bucketUdf(col("qv")))
+    val probeCols = col("_b0") +:
+      (0 until math.min(math.max(probes - 1, 0), planes))
+        .map(i => col("_b0").bitwiseXOR(lit(1L << i)))
+    val q = q0.withColumn("bucket", explode(array(probeCols: _*))).drop("_b0")
     val scored = c.join(broadcast(q), "bucket")
       .filter(col("cid") =!= col("qid"))
       .select(col("qid"), col("cid"),

@@ -252,6 +252,18 @@ object SqlStreamQueries {
         AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
                         AND o.o_orderstatus = 'F' AND o.o_totalprice > 300000)""")
 
+  /** LATERAL correlated subquery (§2.8): per-customer top-2 orders —
+    * the "top-N per group via join" shape; both engines plan it as a
+    * correlated lateral. */
+  def sqlLateral(s: SparkSession, dir: String): DataFrame =
+    SqlSurface.query(s, dir, """
+      SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+      FROM customer c,
+      LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+               WHERE o_custkey = c.c_custkey
+               ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      WHERE c.c_custkey <= 100""")
+
   /** Grouping-set breadth (§2.8): ROLLUP with GROUPING() flags — the
     * subtotal/grand-total shape reporting queries need. */
   def sqlRollup(s: SparkSession, dir: String): DataFrame =
@@ -297,7 +309,8 @@ object SqlStreamQueries {
     "sql_subquery" -> sqlSubquery _,
     "sql_rollup" -> sqlRollup _,
     "bucket_join" -> bucketJoin _,
-    "skew_join" -> skewJoin _)
+    "skew_join" -> skewJoin _,
+    "sql_lateral" -> sqlLateral _)
 }
 
 object SqlStreamSql {
@@ -477,5 +490,13 @@ object SqlStreamSql {
       SELECT c_mktsegment, event_type, COUNT(*) AS n
       FROM events e JOIN customer c ON e.user_id = c.c_custkey
       WHERE c.c_custkey <= 150
-      GROUP BY c_mktsegment, event_type""")
+      GROUP BY c_mktsegment, event_type""",
+
+    "sql_lateral" -> """
+      SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+      FROM customer c,
+      LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+               WHERE o_custkey = c.c_custkey
+               ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      WHERE c.c_custkey <= 100""")
 }

@@ -178,6 +178,14 @@ object TrainQueries {
     // the honest bounds are mean>=0.9 / per-query>=0.8 (measured 0.96 /
     // 0.9); a clustered real-world corpus sits much higher. The oracle
     // asserts the bounds HOLD — any recall regression hash-mismatches.
+    // NOTE: there is deliberately NO recall gate for the hyperplane-LSH
+    // top-k (`ann_topk_lsh` stays rows-only): a single-table sign-LSH is
+    // a near-duplicate candidate generator (the role the hash-exact
+    // `dedup_embedding_lsh` gate pins), not a general ANN — top-10
+    // neighbors of this near-orthogonal synthetic corpus sit at cosine
+    // ≈0.3-0.5 where sign buckets are ≈random (measured ≤0.08 recall
+    // even at 17 multiprobes, tools.ProfileLsh). IVF and PQ are the
+    // recall-gated top-k paths (≥0.9 / ≥0.94 below).
     "ann_recall_ivf" -> ((s, dir) => {
       val e = emb(s, dir)
       val q = e.filter(col("vec_id") < 5)

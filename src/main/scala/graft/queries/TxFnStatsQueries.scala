@@ -24,7 +24,8 @@ object TxFnStatsQueries {
       lit(null).cast("timestamp_ntz").as("at_vt"),
       lit(null).cast("string").as("expected_hash"),
       col("event_id").as("seq"))
-    val (state1, _) = TxLog.applyTx(TxLog.emptyState(s), puts, 0L, t0)
+    val (state1, _) = TxLog.applyTx(TxLog.emptyState(s), puts, 0L, t0,
+      Some(TxLog.TxShape(hasChecks = false, hasEvict = false, hasRanged = false)))
     // applyTx checkpoints eagerly — no second checkpoint
 
     val fns: Map[String, TxLog.TxFn] = Map(
@@ -58,9 +59,27 @@ object TxFnStatsQueries {
         Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment"))
       .select(col("attr"), col("n_docs"), col("n_distinct"))
 
+  /** Exact interpolated quantiles per group (the distribution-stats pass
+    * a corpus audit runs before choosing filters): Spark `percentile`
+    * and DuckDB `quantile_cont` share the (n-1)·p linear-interpolation
+    * definition, so with a 6-dp round the gate is exact. One shuffle,
+    * partial aggregation map-side. */
+  def statsQuantiles(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(expr("percentile(l_extendedprice, 0.25)"), 6).as("q25"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("q50"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 6).as("q75"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 6).as("q95"),
+        round(min(col("l_extendedprice")), 6).as("lo"),
+        round(max(col("l_extendedprice")), 6).as("hi"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx_fn" -> txFn _,
-    "stats_attrs" -> statsAttrs _)
+    "stats_attrs" -> statsAttrs _,
+    "stats_quantiles" -> statsQuantiles _)
 }
 
 object TxFnStatsSql {
@@ -84,5 +103,15 @@ object TxFnStatsSql {
       UNION ALL
       SELECT 'c_nationkey', COUNT(c_nationkey), COUNT(DISTINCT c_nationkey) FROM customer
       UNION ALL
-      SELECT 'c_mktsegment', COUNT(c_mktsegment), COUNT(DISTINCT c_mktsegment) FROM customer""")
+      SELECT 'c_mktsegment', COUNT(c_mktsegment), COUNT(DISTINCT c_mktsegment) FROM customer""",
+
+    "stats_quantiles" -> """
+      SELECT l_returnflag, COUNT(*) AS n,
+        round(quantile_cont(l_extendedprice, 0.25), 6) AS q25,
+        round(quantile_cont(l_extendedprice, 0.5), 6) AS q50,
+        round(quantile_cont(l_extendedprice, 0.75), 6) AS q75,
+        round(quantile_cont(l_extendedprice, 0.95), 6) AS q95,
+        round(MIN(l_extendedprice), 6) AS lo,
+        round(MAX(l_extendedprice), 6) AS hi
+      FROM lineitem GROUP BY l_returnflag""")
 }

@@ -450,6 +450,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("multiprobe LSH strictly widens the candidate set, never loses pairs") {
+    val e = emb
+    val q = e.filter(col("vec_id") < 20)
+    def pairs(p: Int) = Similarity.hyperplaneLsh(e, q, k = 10, probes = p)
+      .select("qid", "cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = pairs(1)
+    val multi = pairs(9)
+    // every single-probe hit survives (a probe set is a superset of
+    // {own bucket}), and Hamming-1 probing finds strictly more at the
+    // fixture's bucket occupancy
+    val topUnion = single -- multi
+    // multiprobe can displace a single-probe hit out of the top-k only
+    // by finding BETTER candidates — so any dropped pair must be
+    // outranked, meaning multi has >= as many hits per query
+    val perQ = (s: Set[(Long, Long)]) =>
+      s.groupBy(_._1).view.mapValues(_.size).toMap
+    val sp = perQ(single); val mp = perQ(multi)
+    assert(sp.forall { case (qid, n) => mp.getOrElse(qid, 0) >= n },
+      s"multiprobe lost coverage: $topUnion")
+    assert(multi.size > single.size, s"${multi.size} vs ${single.size}")
+  }
+
   test("dsirWeights: target-like docs outrank off-target; targets never selected") {
     import spark.implicits._
     val d = Seq(
