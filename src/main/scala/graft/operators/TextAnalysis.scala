@@ -239,4 +239,57 @@ object TextAnalysis {
         (col("sum_counts").cast("double") / (col("n_tokens") * col("_total")))
           .as("mean_prob"))
   }
+
+  /** Bigram language-model log-probability per document — the n-gram step
+    * up from [[unigramProb]]'s proxy (CCNet scores docs with a KenLM
+    * n-gram model; a corpus-trained add-one bigram is the columnar-exact
+    * analogue). Per-doc score = Σ ln P(w_i | w_{i-1}) with
+    * P = (C(w1,w2)+1) / (C(w1·)+V), C(w1·) = bigram-context count, V =
+    * vocabulary size. Each bigram's log prob quantizes to integer NANOS
+    * before the per-doc sum (same determinism argument as DSIR: integer
+    * addition is associative, double addition is not, and partition order
+    * varies at scale — scores are bit-identical at any parallelism and in
+    * the DuckDB oracle).
+    *
+    * Scale: bigram extraction is map-side (zip each token array with its
+    * own tail); the model is two shuffled counts bounded by corpus
+    * vocabulary; the corpus then streams through one bigram hash-join +
+    * per-doc partial agg. A billion-doc run would train the counts on a
+    * sample or a prior pass — the per-doc scoring path is unchanged.
+    */
+  def bigramLogProb(docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val withToks = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_t"))
+    val bigrams = withToks
+      .filter(size(col("_t")) >= 2)
+      .select(col("doc_id"), explode(
+        zip_with(slice(col("_t"), lit(1), greatest(size(col("_t")) - 1, lit(0))),
+          slice(col("_t"), lit(2), greatest(size(col("_t")) - 1, lit(0))),
+          (a, b) => concat(a, lit(" "), b))).as("_bg"))
+    val bgCounts = bigrams.groupBy(col("_bg")).agg(count(lit(1)).as("_c12"))
+    val ctxCounts = bigrams
+      .groupBy(substring_index(col("_bg"), " ", 1).as("_w1"))
+      .agg(count(lit(1)).as("_c1"))
+    val vocab = docs.select(explode(tokens(col(textCol))).as("_w"))
+      .agg(countDistinct(col("_w")).as("_v"))
+    val lr = bgCounts
+      .withColumn("_w1", substring_index(col("_bg"), " ", 1))
+      .join(ctxCounts, Seq("_w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("_bg"),
+        round(log((col("_c12") + 1).cast("double") / (col("_c1") + col("_v")))
+          * 1e9).cast("long").as("_lp_nano"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(
+        // no broadcast hint: the model is vocabulary-bounded but can
+        // outgrow broadcast at web scale — AQE picks broadcast when it fits
+        bigrams.join(lr, Seq("_bg"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            sum(col("_lp_nano")).as("logprob_nano")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("logprob_nano"), lit(0L)).as("logprob_nano"))
+  }
 }

@@ -264,6 +264,19 @@ object SqlStreamQueries {
                ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
       WHERE c.c_custkey <= 100""")
 
+  /** Semi-structured JSON breadth (§2.7): extract a typed value from the
+    * events `props` JSON column and aggregate — the
+    * schema-on-read path every event pipeline needs. Extraction is
+    * codegen'd (`get_json_object`), no UDF. */
+  def sqlJson(s: SparkSession, dir: String): DataFrame =
+    SqlSurface.query(s, dir, """
+      SELECT event_type, COUNT(*) AS n,
+        SUM(CAST(get_json_object(props, '$.k') AS BIGINT)) AS sum_k,
+        COUNT(DISTINCT CAST(get_json_object(props, '$.k') AS BIGINT)) AS nk,
+        MIN(CAST(get_json_object(props, '$.k') AS BIGINT)) AS min_k,
+        MAX(CAST(get_json_object(props, '$.k') AS BIGINT)) AS max_k
+      FROM events GROUP BY event_type""")
+
   /** Grouping-set breadth (§2.8): ROLLUP with GROUPING() flags — the
     * subtotal/grand-total shape reporting queries need. */
   def sqlRollup(s: SparkSession, dir: String): DataFrame =
@@ -310,7 +323,8 @@ object SqlStreamQueries {
     "sql_rollup" -> sqlRollup _,
     "bucket_join" -> bucketJoin _,
     "skew_join" -> skewJoin _,
-    "sql_lateral" -> sqlLateral _)
+    "sql_lateral" -> sqlLateral _,
+    "sql_json" -> sqlJson _)
 }
 
 object SqlStreamSql {
@@ -498,5 +512,13 @@ object SqlStreamSql {
       LATERAL (SELECT o_orderkey, o_totalprice FROM orders
                WHERE o_custkey = c.c_custkey
                ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
-      WHERE c.c_custkey <= 100""")
+      WHERE c.c_custkey <= 100""",
+
+    "sql_json" -> """
+      SELECT event_type, COUNT(*) AS n,
+        CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS nk,
+        MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      FROM events GROUP BY event_type""")
 }

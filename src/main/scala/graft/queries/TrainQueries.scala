@@ -286,6 +286,10 @@ object TrainQueries {
     // proxy): all-integer accumulation, single final double division
     "text_unigram_prob" -> ((s, dir) => TextAnalysis.unigramProb(docs(s, dir))),
 
+    // bigram LM quality proxy (r6b): add-one bigram log prob, integer-nano
+    // quantization before the per-doc sum (same determinism as sample_dsir)
+    "text_bigram_lm" -> ((s, dir) => TextAnalysis.bigramLogProb(docs(s, dir))),
+
     // hashed-linear-model classifier (r6, fastText-style hashing trick):
     // md5 token → bucket, deterministic integer bucket weights, exact
     // integer accumulation — the quality-classifier pipeline stage
@@ -660,6 +664,28 @@ object TrainSql {
       SELECT doc_id, n_tokens, sum_counts,
         CAST(sum_counts AS DOUBLE) / (n_tokens * total) AS mean_prob
       FROM p CROSS JOIN tot""",
+
+    "text_bigram_lm" -> s"""
+      WITH toks AS (SELECT doc_id, $toks AS t FROM documents),
+      bg AS (SELECT doc_id, unnest(list_transform(range(len(t) - 1),
+               i -> t[i+1] || ' ' || t[i+2])) AS bg
+             FROM toks WHERE len(t) >= 2),
+      c12 AS (SELECT bg, count(*) AS c12 FROM bg GROUP BY bg),
+      c1 AS (SELECT string_split(bg, ' ')[1] AS w1, count(*) AS c1
+             FROM bg GROUP BY 1),
+      v AS (SELECT count(DISTINCT tt) AS v
+            FROM (SELECT unnest(t) AS tt FROM toks)),
+      lr AS (SELECT bg, CAST(round(ln((c12 + 1.0) / (c1 + v)) * 1e9) AS BIGINT)
+               AS lp
+             FROM c12, v
+             JOIN c1 ON string_split(bg, ' ')[1] = c1.w1),
+      p AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+              CAST(sum(lp) AS BIGINT) AS logprob_nano
+            FROM bg JOIN lr USING (bg) GROUP BY doc_id)
+      SELECT d.doc_id,
+        COALESCE(p.n_bigrams, 0) AS n_bigrams,
+        COALESCE(p.logprob_nano, 0) AS logprob_nano
+      FROM documents d LEFT JOIN p USING (doc_id)""",
 
     "text_classifier" -> s"""
       WITH t AS (SELECT doc_id, unnest($toks) AS term FROM documents),

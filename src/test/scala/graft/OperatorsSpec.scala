@@ -473,6 +473,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(multi.size > single.size, s"${multi.size} vs ${single.size}")
   }
 
+  test("bigram LM: corpus-frequent bigrams outrank unseen-context docs") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b a b a b"), // bigrams "a b" ×3 dominate the corpus
+      (2L, "a b a b"),
+      (3L, "c d"), // rare bigram
+      (4L, "x") // no bigram at all
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.bigramLogProb(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows(1L)._1 == 5 && rows(2L)._1 == 3 && rows(4L)._1 == 0)
+    // per-bigram mean log prob: frequent "a b" beats once-seen "c d"
+    assert(rows(1L)._2.toDouble / 5 > rows(3L)._2.toDouble / 1)
+    assert(rows(4L)._2 == 0)
+    // deterministic across evaluations
+    val again = TextAnalysis.bigramLogProb(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(again == rows.map { case (k, v) => k -> v._2 })
+  }
+
   test("dsirWeights: target-like docs outrank off-target; targets never selected") {
     import spark.implicits._
     val d = Seq(
