@@ -103,6 +103,36 @@ object SqlStreamQueries {
         col("content_hash").as("event_type"), col("tombstone"))
   }
 
+  /** Incrementally-maintained materialized view over the ingest stream
+    * ([[IngestStream.maintainTypeCounts]]): per-batch delta maintenance
+    * (resolve touched entities before/after, fold the difference), never
+    * a full recompute. The oracle recomputes the final current-snapshot
+    * counts from raw events — a hash match proves every batch's delta
+    * was exact. */
+  def streamMatview(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_matview").toString
+    val opsDir = s"$base/ops"; val stateDir = s"$base/state"
+    val ckDir = s"$base/ck"; val viewDir = s"$base/view"
+    new java.io.File(opsDir).mkdirs()
+    opsByBucket(s, dir).zipWithIndex.foreach { case (ops, i) =>
+      val stage = s"$base/stage$i"
+      ops.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$opsDir/b$i.parquet"))
+    }
+    val stream = s.readStream.schema(TxLog.opSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(opsDir)
+    val q = IngestStream.start(s, stream, stateDir, ckDir,
+      txTime = id => java.time.LocalDateTime.parse("2024-02-01T00:00").plusHours(id),
+      matViewDir = Some(viewDir))
+    q.awaitTermination()
+    IngestStream.loadTypeCounts(s, viewDir).get
+      .select(col("content_hash").as("event_type"), col("n"))
+  }
+
   /** Windowed streaming aggregation (tumbling day windows, complete mode). */
   def streamWindow(s: SparkSession, dir: String): DataFrame =
     IngestStream.windowedCounts(s, s"$dir/events.parquet")
@@ -324,7 +354,8 @@ object SqlStreamQueries {
     "bucket_join" -> bucketJoin _,
     "skew_join" -> skewJoin _,
     "sql_lateral" -> sqlLateral _,
-    "sql_json" -> sqlJson _)
+    "sql_json" -> sqlJson _,
+    "stream_matview" -> streamMatview _)
 }
 
 object SqlStreamSql {
@@ -520,5 +551,15 @@ object SqlStreamSql {
         COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS nk,
         MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
-      FROM events GROUP BY event_type""")
+      FROM events GROUP BY event_type""",
+
+    "stream_matview" -> """
+      WITH ranked AS (
+        SELECT user_id, event_type, (event_type = 'error') AS tomb,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events)
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM ranked WHERE rn = 1 AND NOT tomb
+      GROUP BY event_type""")
 }

@@ -100,7 +100,8 @@ object IngestStream {
       txTime: Long => java.time.LocalDateTime =
         _ => java.time.LocalDateTime.now(java.time.Clock.systemUTC()),
       secondarySinks: Seq[(DataFrame, Long) => Unit] = Nil,
-      compactEvery: Int = 16): StreamingQuery = {
+      compactEvery: Int = 16,
+      matViewDir: Option[String] = None): StreamingQuery = {
     opsStream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -157,6 +158,13 @@ object IngestStream {
           // reference's secondary-index contract (tx.clj:400-410 indexes
           // secondaries inside the same tx before the tx is marked done)
           secondarySinks.foreach(sink => sink(ops, batchId))
+          if (!parts.aborted) matViewDir.foreach { vd =>
+            val stateAfter =
+              (if (parts.hasEvict)
+                current.join(broadcast(parts.evictEids), Seq("eid"), "left_anti")
+              else current).unionByName(delta)
+            maintainTypeCounts(sp, vd, batchId, ops, current, stateAfter)
+          }
           commitManifest(stateDir, next, conf)
           pruneStale(fs, stateDir, conf)
           // delta landed + sinks ran: drop this tx's cached op list so
@@ -165,6 +173,63 @@ object IngestStream {
         }
       }
       .start()
+  }
+
+  /** Incrementally-maintained materialized view: entity count per
+    * content_hash in the CURRENT snapshot (latest version per eid, at a
+    * far-future basis, tombstones excluded) — the "how many live docs of
+    * each type" dashboard query, answered without touching the version
+    * log.
+    *
+    * Classic delta maintenance: per tx, resolve ONLY the touched
+    * entities before and after, and fold `after − before` into the view.
+    * Cost per batch is O(touched history) — the same bound the tx itself
+    * pays — never O(state); the view table is bounded by the distinct
+    * hash domain. A full recompute per batch would re-resolve the entire
+    * store (the thing that stops scaling first); equivalence of the
+    * maintained view with that recompute is pinned by StreamingSpec and
+    * the `stream_matview` oracle gate.
+    *
+    * Recovery contract: views are versioned `view-<txId>` directories;
+    * the merge reads the latest view with txId < current, so a crashed
+    * attempt's own partial write is never its merge input and replay is
+    * idempotent (same at-least-once slot as `secondarySinks`). */
+  private def maintainTypeCounts(sp: SparkSession, viewDir: String,
+      txId: Long, ops: DataFrame, before: DataFrame, after: DataFrame): Unit = {
+    val basis = lit(java.time.LocalDateTime.parse("2099-01-01T00:00"))
+    val touched = ops.select(col("eid")).distinct()
+    // asOfTime already resolves max (vt, tx_id) per eid and hides
+    // tombstones — no separate resolvedHistory pass needed
+    def counts(state: DataFrame): DataFrame =
+      graft.bitemp.Bitemp.asOfTime(
+          state.join(broadcast(touched), Seq("eid"), "left_semi"),
+          basis, basis)
+        .groupBy(col("content_hash"))
+        .agg(count(lit(1)).as("n"))
+    val deltaCounts = counts(after)
+      .unionByName(counts(before).select(col("content_hash"), (-col("n")).as("n")))
+    val prev = loadTypeCounts(sp, viewDir, beforeTx = Some(txId))
+      .getOrElse(sp.emptyDataFrame
+        .select(lit(null).cast("string").as("content_hash"), lit(0L).as("n"))
+        .limit(0))
+    prev.unionByName(deltaCounts)
+      .groupBy(col("content_hash"))
+      .agg(sum(col("n")).as("n"))
+      .filter(col("n") =!= 0)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$viewDir/view-$txId")
+  }
+
+  /** Latest maintained view (optionally strictly before `beforeTx`). */
+  def loadTypeCounts(sp: SparkSession, viewDir: String,
+      beforeTx: Option[Long] = None): Option[DataFrame] = {
+    val d = new java.io.File(viewDir)
+    val ids = Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("view-"))
+      .map(_.getName.stripPrefix("view-").toLong)
+      .filter(id => beforeTx.forall(id < _))
+    if (ids.isEmpty) None
+    else Some(sp.read.parquet(s"$viewDir/view-${ids.max}"))
   }
 
   /** Write `commit-<tx>` naming the state's dirs; the rename is the

@@ -94,6 +94,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(after.filter(org.apache.spark.sql.functions.col("eid") === "e4").count() == 1)
   }
 
+  test("maintained type-count view equals recompute across put/delete/evict") {
+    import scala.jdk.CollectionConverters._
+    val base = java.nio.file.Files.createTempDirectory("graft_mv_spec").toString
+    val opsDir = s"$base/ops"; val stateDir = s"$base/state"
+    val ckDir = s"$base/ck"; val viewDir = s"$base/view"
+    new java.io.File(opsDir).mkdirs()
+    def opFile(i: Int, rows: List[Row]): Unit = {
+      val stage = s"$base/stage$i"
+      spark.createDataFrame(rows.asJava, TxLog.opSchema)
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(s"$opsDir/b$i.parquet"))
+    }
+    val vt = LocalDateTime.parse("2020-01-01T00:00")
+    // batch 0: three As, one B; batch 1: retype one A→B + delete one A;
+    // batch 2: evict the B from batch 0
+    opFile(0, List(
+      Row("put", "e1", "A", vt, null, null, null, 0L),
+      Row("put", "e2", "A", vt, null, null, null, 1L),
+      Row("put", "e3", "A", vt, null, null, null, 2L),
+      Row("put", "e4", "B", vt, null, null, null, 3L)))
+    opFile(1, List(
+      Row("put", "e1", "B", vt.plusDays(1), null, null, null, 0L),
+      Row("delete", "e2", null, vt.plusDays(1), null, null, null, 1L)))
+    opFile(2, List(Row("evict", "e4", null, null, null, null, null, 0L)))
+    val stream = spark.readStream.schema(TxLog.opSchema)
+      .option("maxFilesPerTrigger", "1").parquet(opsDir)
+    IngestStream.start(spark, stream, stateDir, ckDir,
+      txTime = id => LocalDateTime.parse("2020-02-01T00:00").plusHours(id),
+      matViewDir = Some(viewDir)).awaitTermination()
+    val view = IngestStream.loadTypeCounts(spark, viewDir).get.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // survivors: e1=B, e3=A (e2 deleted, e4 evicted)
+    assert(view == Map("A" -> 1L, "B" -> 1L), view.toString)
+    // equivalence with a full recompute from the final store
+    val recomputed = graft.bitemp.Bitemp.asOfTime(
+        IngestStream.loadState(spark, stateDir),
+        org.apache.spark.sql.functions.lit(LocalDateTime.parse("2099-01-01T00:00")),
+        org.apache.spark.sql.functions.lit(LocalDateTime.parse("2099-01-01T00:00")))
+      .groupBy("content_hash").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(view == recomputed, s"view=$view recomputed=$recomputed")
+  }
+
   test("decodeKafkaOps turns Kafka-shaped records into opSchema rows") {
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.types._
