@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column.
@@ -454,5 +454,35 @@ object Similarity {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Persist a trained PQ index — codebooks + encoded corpus — as plain
+    * parquet: the offline-build / online-serve split a billion-vector
+    * deployment needs. The index is built once in a batch job (the
+    * expensive part: Lloyd over the corpus); any other session loads the
+    * ~KB codebooks to the driver and scans the compact code table. Same
+    * artifact policy as [[graft.sources.Layout]]'s rewrites, but durable
+    * across sessions instead of memoized within one. */
+  def savePqIndex(dir: String, books: PqCodebook, encoded: DataFrame): Unit = {
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    books.zipWithIndex.flatMap { case (sub, s) =>
+      sub.zipWithIndex.map { case (cent, c) => (s, c, cent.toSeq) }
+    }.toSeq.toDF("sub", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/books")
+    encoded.write.mode("overwrite").parquet(s"$dir/encoded")
+  }
+
+  /** Load a [[savePqIndex]] artifact; the returned pair feeds [[pqTopK]]
+    * exactly like the in-session one. */
+  def loadPqIndex(spark: SparkSession, dir: String): (PqCodebook, DataFrame) = {
+    val rows = spark.read.parquet(s"$dir/books").collect()
+    val m = rows.map(_.getInt(0)).max + 1
+    val ks = rows.map(_.getInt(1)).max + 1
+    val books: PqCodebook = Array.ofDim[Array[Double]](m, ks)
+    rows.foreach { r =>
+      books(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
+    }
+    (books, spark.read.parquet(s"$dir/encoded"))
   }
 }

@@ -411,6 +411,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(perQ.min >= 0.8, s"min recall ${perQ.min}")
   }
 
+  test("PQ index round-trips through parquet: load serves identical results") {
+    val q = emb.filter(col("vec_id") < 5)
+    val books = Similarity.pqTrain(emb, m = 16, ks = 16)
+    val encoded = Similarity.pqEncode(emb, books)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_idx").toString
+    Similarity.savePqIndex(dir, books, encoded)
+    val (books2, encoded2) = Similarity.loadPqIndex(spark, dir)
+    assert(books2.length == books.length &&
+      books2(3)(7).toSeq == books(3)(7).toSeq)
+    def res(b: Similarity.PqCodebook, e: org.apache.spark.sql.DataFrame) =
+      Similarity.pqTopK(e, q, b, 10, rerank = 100)
+        .select("qid", "cid", "cosine", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(res(books2, encoded2) == res(books, encoded))
+  }
+
   test("hashed linear classifier: deterministic, bucket-stable scoring") {
     import spark.implicits._
     val d = Seq((1L, "alpha beta"), (2L, "alpha beta"), (3L, "gamma")).toDF("doc_id", "text")
