@@ -133,6 +133,59 @@ object SqlStreamQueries {
       .select(col("content_hash").as("event_type"), col("n"))
   }
 
+  /** PIVOT through the SQL surface (§2.8): per-nation customer counts
+    * spread across market segments. Spark and DuckDB differ in PIVOT
+    * syntax, so the oracle expresses the same pivot with conditional
+    * aggregation — the relational content is identical. */
+  def sqlPivot(s: SparkSession, dir: String): DataFrame =
+    SqlSurface.query(s, dir, """
+      SELECT c_nationkey,
+        coalesce(automobile, 0) AS automobile, coalesce(building, 0) AS building,
+        coalesce(furniture, 0) AS furniture, coalesce(household, 0) AS household,
+        coalesce(machinery, 0) AS machinery
+      FROM (
+        SELECT * FROM (SELECT c_nationkey, c_mktsegment FROM customer)
+        PIVOT (COUNT(*) FOR c_mktsegment IN
+          ('AUTOMOBILE' AS automobile, 'BUILDING' AS building,
+           'FURNITURE' AS furniture, 'HOUSEHOLD' AS household,
+           'MACHINERY' AS machinery)))""")
+
+  /** CSV source round-trip (§2.1 source formats): documents staged as a
+    * quoted CSV, read back with an explicit schema, aggregated. The
+    * oracle computes the same aggregate from the parquet table — a hash
+    * match proves the CSV write/read preserved every row and value. */
+  def srcCsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_csv").toString + "/docs"
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+      .coalesce(1)
+      .write.mode("overwrite").option("header", "true")
+      .option("quoteAll", "true").option("escape", "\"").csv(out)
+    s.read.option("header", "true").option("escape", "\"")
+      .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+      .csv(out)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"),
+        sum(length(col("text"))).as("text_len"))
+  }
+
+  /** JSON-lines source round-trip (§2.1): same contract over
+    * `spark.read.json` with schema inference disabled in favor of an
+    * explicit schema (the production posture — inference is a full extra
+    * pass at 100 TB). */
+  def srcJsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_jsonl").toString + "/docs"
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+      .coalesce(1).write.mode("overwrite").json(out)
+    s.read
+      .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+      .json(out)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"),
+        sum(length(col("text"))).as("text_len"))
+  }
+
   /** Windowed streaming aggregation (tumbling day windows, complete mode). */
   def streamWindow(s: SparkSession, dir: String): DataFrame =
     IngestStream.windowedCounts(s, s"$dir/events.parquet")
@@ -355,6 +408,9 @@ object SqlStreamQueries {
     "skew_join" -> skewJoin _,
     "sql_lateral" -> sqlLateral _,
     "sql_json" -> sqlJson _,
+    "sql_pivot" -> sqlPivot _,
+    "src_csv_roundtrip" -> srcCsvRoundtrip _,
+    "src_jsonl_roundtrip" -> srcJsonlRoundtrip _,
     "stream_matview" -> streamMatview _)
 }
 
@@ -561,5 +617,24 @@ object SqlStreamSql {
         FROM events)
       SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
       FROM ranked WHERE rn = 1 AND NOT tomb
-      GROUP BY event_type""")
+      GROUP BY event_type""",
+
+    "sql_pivot" -> """
+      SELECT c_nationkey,
+        COUNT(*) FILTER (c_mktsegment = 'AUTOMOBILE') AS automobile,
+        COUNT(*) FILTER (c_mktsegment = 'BUILDING') AS building,
+        COUNT(*) FILTER (c_mktsegment = 'FURNITURE') AS furniture,
+        COUNT(*) FILTER (c_mktsegment = 'HOUSEHOLD') AS household,
+        COUNT(*) FILTER (c_mktsegment = 'MACHINERY') AS machinery
+      FROM customer GROUP BY c_nationkey""",
+
+    "src_csv_roundtrip" -> """
+      SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars,
+        CAST(SUM(length(text)) AS BIGINT) AS text_len
+      FROM documents GROUP BY lang""",
+
+    "src_jsonl_roundtrip" -> """
+      SELECT source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars,
+        CAST(SUM(length(text)) AS BIGINT) AS text_len
+      FROM documents GROUP BY source""")
 }
