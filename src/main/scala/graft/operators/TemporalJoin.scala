@@ -53,15 +53,23 @@ object TemporalJoin {
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, rightPrefix: String = "asof_",
-      toleranceSeconds: Option[Long] = None): DataFrame = {
+      toleranceSeconds: Option[Long] = None,
+      direction: String = "backward"): DataFrame = {
     require(keys.nonEmpty, "asofJoin needs at least one key column")
+    require(direction == "backward" || direction == "forward",
+      s"asofJoin direction must be backward|forward, got $direction")
+    val fwd = direction == "forward"
     val lCols = left.columns.toSeq
     val rPayCols = right.columns.toSeq.filterNot(keys.contains)
     // _side orders right rows BEFORE left rows at an equal timestamp, so a
-    // left row at exactly rightTs sees it (>= semantics). Equal right
-    // timestamps within a key tie-break by input order — callers wanting
-    // full determinism there ensure (keys, rightTs) is unique, same as
-    // every as-of implementation.
+    // left row at exactly rightTs sees it (>= / <= semantics include the
+    // same instant). Equal right timestamps within a key tie-break by
+    // input order — callers wanting full determinism there ensure
+    // (keys, rightTs) is unique, same as every as-of implementation.
+    // Forward direction ("earliest right row at or after") is the same
+    // merge with the time axis reversed: sort descending, so the running
+    // last() carries the NEAREST FUTURE right payload down to each left
+    // row.
     val rTag = right.select(
       keys.map(col) ++ Seq(col(rightTs).as("_ts"), lit(0).as("_side"),
         struct(rPayCols.map(col): _*).as("_rpay")): _*)
@@ -70,20 +78,18 @@ object TemporalJoin {
         struct(lCols.map(col): _*).as("_lpay")): _*)
     val u = rTag.unionByName(lTag, allowMissingColumns = true)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("_ts").asc, col("_side").asc)
+      .orderBy(if (fwd) col("_ts").desc else col("_ts").asc, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = u
       .withColumn("_m", last(col("_rpay"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
     val withTol = toleranceSeconds match {
       case Some(sec) =>
-        val dt = left.schema(leftTs).dataType
+        val lUs = epochMicros(col("_ts"), left.schema(leftTs).dataType)
+        val rUs = epochMicros(col("_m")(rightTs), right.schema(rightTs).dataType)
+        val gap = if (fwd) rUs - lUs else lUs - rUs
         matched.withColumn("_m",
-          when(col("_m").isNotNull &&
-            epochMicros(col("_ts"), dt) -
-              epochMicros(col("_m")(rightTs), right.schema(rightTs).dataType) <=
-              sec * 1000000L,
-            col("_m")))
+          when(col("_m").isNotNull && gap <= sec * 1000000L, col("_m")))
       case None => matched
     }
     withTol.select(

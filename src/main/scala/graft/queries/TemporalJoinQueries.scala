@@ -45,8 +45,23 @@ object TemporalJoinQueries {
         col("click_ts"), col("purchase_ts"))
   }
 
+  /** Forward direction: every click picks the user's EARLIEST purchase
+    * at or after it (time-to-conversion analysis shape). */
+  def asofJoinFwd(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    TemporalJoin.asofJoin(clicks, purchases, Seq("user_id"), "ts", "ts",
+        direction = "forward")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("asof_event_id"), col("asof_ts"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "asof_join" -> asofJoin _,
+    "asof_join_fwd" -> asofJoinFwd _,
     "range_join" -> rangeJoin _)
 }
 
@@ -60,6 +75,14 @@ object TemporalJoinSql {
       FROM (SELECT * FROM events WHERE event_type = 'purchase') p
       ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         ON p.user_id = c.user_id AND p.ts >= c.ts""",
+
+    // DuckDB ASOF accepts <= for the forward direction
+    "asof_join_fwd" -> """
+      SELECT c.event_id, c.user_id, CAST(c.ts AS TIMESTAMP) AS ts,
+             p.event_id AS asof_event_id, CAST(p.ts AS TIMESTAMP) AS asof_ts
+      FROM (SELECT * FROM events WHERE event_type = 'click') c
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        ON c.user_id = p.user_id AND c.ts <= p.ts""",
 
     "range_join" -> """
       SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,

@@ -52,6 +52,25 @@ class TemporalJoinSpec extends AnyFunSuite {
       (2L, 50L, None)))
   }
 
+  test("forward asofJoin picks the earliest at-or-after row; tolerance caps it") {
+    import spark.implicits._
+    val left = Seq((1L, 100L), (1L, 200L), (2L, 50L)).toDF("k", "t")
+    val right = Seq((1L, 100L, "a"), (1L, 150L, "b"), (2L, 90L, "c"))
+      .toDF("k", "t", "v")
+    val fwd = TemporalJoin.asofJoin(left, right, Seq("k"), "t", "t",
+        direction = "forward")
+      .select("k", "t", "asof_v").as[(Long, Long, Option[String])].collect().toSet
+    // (1,100)→a (same instant), (1,200)→none (no future row), (2,50)→c
+    assert(fwd == Set((1L, 100L, Some("a")), (1L, 200L, None),
+      (2L, 50L, Some("c"))))
+    val tol = TemporalJoin.asofJoin(left, right, Seq("k"), "t", "t",
+        toleranceSeconds = Some(30L), direction = "forward")
+      .select("k", "t", "asof_v").as[(Long, Long, Option[String])].collect().toSet
+    // (2,50)→c is 40 s ahead — beyond the 30 s tolerance
+    assert(tol == Set((1L, 100L, Some("a")), (1L, 200L, None),
+      (2L, 50L, None)))
+  }
+
   test("rangeJoinBinned equals the naive range-predicate join") {
     val clicks = events.filter(col("event_type") === "click")
       .select(col("user_id"), col("event_id").as("click_id"),
