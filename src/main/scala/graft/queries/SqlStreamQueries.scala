@@ -73,7 +73,9 @@ object SqlStreamQueries {
       .option("maxFilesPerTrigger", "1")
       .parquet(opsDir)
     val q = IngestStream.start(s, stream, stateDir, ckDir,
-      txTime = id => java.time.LocalDateTime.parse("2024-02-01T00:00").plusHours(id))
+      txTime = id => java.time.LocalDateTime.parse("2024-02-01T00:00").plusHours(id),
+      txShape = Some(TxLog.TxShape(hasChecks = false, hasEvict = false,
+        hasRanged = false)))
     q.awaitTermination()
     IngestStream.loadState(s, stateDir)
       .select(col("eid"), col("vt"), col("content_hash").as("event_type"), col("tombstone"))
@@ -127,7 +129,9 @@ object SqlStreamQueries {
       .parquet(opsDir)
     val q = IngestStream.start(s, stream, stateDir, ckDir,
       txTime = id => java.time.LocalDateTime.parse("2024-02-01T00:00").plusHours(id),
-      matViewDir = Some(viewDir))
+      matViewDir = Some(viewDir),
+      txShape = Some(TxLog.TxShape(hasChecks = false, hasEvict = false,
+        hasRanged = false)))
     q.awaitTermination()
     IngestStream.loadTypeCounts(s, viewDir).get
       .select(col("content_hash").as("event_type"), col("n"))

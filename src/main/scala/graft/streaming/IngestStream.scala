@@ -101,7 +101,8 @@ object IngestStream {
         _ => java.time.LocalDateTime.now(java.time.Clock.systemUTC()),
       secondarySinks: Seq[(DataFrame, Long) => Unit] = Nil,
       compactEvery: Int = 16,
-      matViewDir: Option[String] = None): StreamingQuery = {
+      matViewDir: Option[String] = None,
+      txShape: Option[TxLog.TxShape] = None): StreamingQuery = {
     opsStream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -121,7 +122,12 @@ object IngestStream {
           val current = loadState(sp, stateDir)
           // ops carry their own intra-tx seq (opSchema) — no global-window
           // renumbering; a single unpartitioned sort would serialize at scale
-          val parts = TxLog.applyTxParts(current, ops, batchId, txTime(batchId))
+          // a producer whose op mix is fixed (pure put/delete feeds are
+          // the norm) declares it once and every batch skips the
+          // shape-probe job — same contract as TxLog.TxShape for
+          // interactive txs
+          val parts = TxLog.applyTxParts(current, ops, batchId, txTime(batchId),
+            txShape)
           val delta = parts.newRows
           val next: StateManifest =
             if (parts.aborted) // advance the tx id over the same data dirs
@@ -159,10 +165,14 @@ object IngestStream {
           // secondaries inside the same tx before the tx is marked done)
           secondarySinks.foreach(sink => sink(ops, batchId))
           if (!parts.aborted) matViewDir.foreach { vd =>
+            // resolve the AFTER side from the files this batch just wrote
+            // (they exist before the manifest commit): re-deriving
+            // `delta`'s plan here would execute the whole tx subplan a
+            // second time — measured as the dominant matview cost
+            val afterDirs = (next.base.toSeq ++ next.deltas).map(d => s"$stateDir/$d")
             val stateAfter =
-              (if (parts.hasEvict)
-                current.join(broadcast(parts.evictEids), Seq("eid"), "left_anti")
-              else current).unionByName(delta)
+              if (afterDirs.isEmpty) TxLog.emptyState(sp)
+              else sp.read.schema(TxLog.versionSchema).parquet(afterDirs: _*)
             maintainTypeCounts(sp, vd, batchId, ops, current, stateAfter)
           }
           commitManifest(stateDir, next, conf)
