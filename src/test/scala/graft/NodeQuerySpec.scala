@@ -336,4 +336,11 @@ class NodeQuerySpec extends AnyFunSuite {
       node.q("""{:find [n] :where [[e :r_name n]]}""")
     }
   }
+
+  test("Main.parseArgs reads --flag value pairs (cli.clj analogue)") {
+    assert(graft.Main.parseArgs(Array(
+      "--data-dir", "/x", "--port", "0", "--fn-allowlist", "a,b")) ==
+      Map("data-dir" -> "/x", "port" -> "0", "fn-allowlist" -> "a,b"))
+    assert(graft.Main.parseArgs(Array.empty) == Map.empty)
+  }
 }
