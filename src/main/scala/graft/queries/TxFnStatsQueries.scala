@@ -76,10 +76,46 @@ object TxFnStatsQueries {
         round(min(col("l_extendedprice")), 6).as("lo"),
         round(max(col("l_extendedprice")), 6).as("hi"))
 
+  /** Pearson correlation + population covariance per group, computed
+    * from EXACT decimal power sums (Σx, Σy, Σxy, Σx², Σy²) with one
+    * final double expression — unlike the built-in `corr` (a running
+    * merge over doubles whose result depends on partition order), the
+    * decimal sums are associative, so the statistic is bit-identical at
+    * any parallelism and in the DuckDB oracle, which evaluates the same
+    * closed form over the same exact sums. */
+  def statsCorr(s: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity").cast("decimal(18,4)")
+    val y = col("l_extendedprice").cast("decimal(18,4)")
+    Tables.load(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).as("_sx"), sum(y).as("_sy"),
+        sum((x * y).cast("decimal(38,8)")).as("_sxy"),
+        sum((x * x).cast("decimal(38,8)")).as("_sxx"),
+        sum((y * y).cast("decimal(38,8)")).as("_syy"))
+      .select(col("l_returnflag"), col("n"),
+        // exact decimal sums → ONE double expression (identical shape in
+        // the oracle); the 9/6-dp round absorbs the decimal→double cast's
+        // last-ulp freedom
+        {
+          val (nd, sx, sy, sxy, sxx, syy) = (col("n").cast("double"),
+            col("_sx").cast("double"), col("_sy").cast("double"),
+            col("_sxy").cast("double"), col("_sxx").cast("double"),
+            col("_syy").cast("double"))
+          round((nd * sxy - sx * sy) /
+            sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy)), 9).as("corr")
+        },
+        round((col("n").cast("double") * col("_sxy").cast("double") -
+          col("_sx").cast("double") * col("_sy").cast("double")) /
+          (col("n").cast("double") * col("n").cast("double")), 6).as("covar_pop"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx_fn" -> txFn _,
     "stats_attrs" -> statsAttrs _,
-    "stats_quantiles" -> statsQuantiles _)
+    "stats_quantiles" -> statsQuantiles _,
+    "stats_corr" -> statsCorr _)
 }
 
 object TxFnStatsSql {
@@ -104,6 +140,30 @@ object TxFnStatsSql {
       SELECT 'c_nationkey', COUNT(c_nationkey), COUNT(DISTINCT c_nationkey) FROM customer
       UNION ALL
       SELECT 'c_mktsegment', COUNT(c_mktsegment), COUNT(DISTINCT c_mktsegment) FROM customer""",
+
+    "stats_corr" -> """
+      WITH sums AS (
+        SELECT l_returnflag, COUNT(*) AS n,
+          SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sx,
+          SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS sy,
+          SUM(CAST(CAST(l_quantity AS DECIMAL(19,4)) *
+                   CAST(l_extendedprice AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS sxy,
+          SUM(CAST(CAST(l_quantity AS DECIMAL(19,4)) *
+                   CAST(l_quantity AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS sxx,
+          SUM(CAST(CAST(l_extendedprice AS DECIMAL(19,4)) *
+                   CAST(l_extendedprice AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS syy
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, n,
+        round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+          sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+               (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 9) AS corr,
+        round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+              (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS covar_pop
+      FROM sums""",
 
     "stats_quantiles" -> """
       SELECT l_returnflag, COUNT(*) AS n,
