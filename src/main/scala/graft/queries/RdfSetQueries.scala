@@ -85,6 +85,46 @@ object RdfSetQueries {
       .select(col("eid"), col("content_hash"))
   }
 
+  /** All-integer PageRank over the supplier↔part bipartite graph
+    * ([[graft.operators.Graph.pageRank]]): picorank arithmetic makes the
+    * result bit-identical at any parallelism, and the oracle replays the
+    * SAME integer recurrence as unrolled CTEs — a hash match proves
+    * every iteration's join+sum was exact. */
+  def graphPagerank(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val fwd = li.select(concat(lit("s"), col("l_suppkey")).as("src"),
+      concat(lit("p"), col("l_partkey")).as("dst"))
+    val edges = fwd.unionByName(
+      fwd.select(col("dst").as("src"), col("src").as("dst")))
+    graft.operators.Graph.pageRank(edges, iters = 5)
+      .orderBy(col("rank_pico").desc, col("id"))
+      .limit(20)
+  }
+
+  private[queries] def pagerankOracle(iters: Int): String = {
+    val head = """
+      WITH eraw AS (SELECT DISTINCT 's' || l_suppkey AS src,
+                           'p' || l_partkey AS dst FROM lineitem),
+      edges AS (SELECT src, dst FROM eraw UNION SELECT dst, src FROM eraw),
+      nodes AS (SELECT DISTINCT src AS id FROM edges),
+      deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+      nn AS (SELECT COUNT(*) AS n FROM nodes),
+      r0 AS (SELECT id, CAST(1000000000000 // n AS BIGINT) AS r FROM nodes, nn)"""
+    val steps = (1 to iters).map { k =>
+      s""",
+      c$k AS (SELECT e.dst AS id, CAST(SUM(r.r // deg.d) AS BIGINT) AS c
+             FROM edges e JOIN r${k - 1} r ON e.src = r.id
+             JOIN deg ON e.src = deg.src
+             GROUP BY e.dst),
+      r$k AS (SELECT nd.id,
+               CAST(15000000000000 // (100 * nn.n)
+                 + (85 * COALESCE(c.c, 0)) // 100 AS BIGINT) AS r
+             FROM nodes nd CROSS JOIN nn LEFT JOIN c$k c ON nd.id = c.id)"""
+    }.mkString
+    head + steps +
+      s"\n      SELECT id, r AS rank_pico FROM r$iters ORDER BY r DESC, id LIMIT 20"
+  }
+
   def setIntersect(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.load(s, dir, "customer")
       .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
@@ -104,7 +144,8 @@ object RdfSetQueries {
     "rdf_load" -> rdfLoad _,
     "ingest_cas" -> ingestCas _,
     "set_intersect" -> setIntersect _,
-    "set_except" -> setExcept _)
+    "set_except" -> setExcept _,
+    "graph_pagerank" -> graphPagerank _)
 }
 
 object RdfSetSql {
@@ -132,5 +173,7 @@ object RdfSetSql {
     "set_except" -> """
       SELECT c_custkey FROM customer
       EXCEPT
-      SELECT o_custkey FROM orders WHERE o_totalprice > 300000""")
+      SELECT o_custkey FROM orders WHERE o_totalprice > 300000""",
+
+    "graph_pagerank" -> RdfSetQueries.pagerankOracle(5))
 }

@@ -509,6 +509,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(again == rows.map { case (k, v) => k -> v._2 })
   }
 
+  test("integer PageRank: mass conserved-ish, hubs outrank leaves, deterministic") {
+    import spark.implicits._
+    // star: hub h linked symmetrically with 4 leaves, plus an isolated pair
+    val edges = (Seq(("h", "l1"), ("h", "l2"), ("h", "l3"), ("h", "l4")) ++
+      Seq(("l1", "h"), ("l2", "h"), ("l3", "h"), ("l4", "h")) ++
+      Seq(("x", "y"), ("y", "x"))).toDF("src", "dst")
+    val r = graft.operators.Graph.pageRank(edges, iters = 5).collect()
+      .map(row => row.getString(0) -> row.getLong(1)).toMap
+    assert(r.size == 7)
+    // the hub receives 4 leaves' full contribution; each leaf splits the
+    // hub's rank 4 ways
+    assert(r("h") > r("l1") && r("l1") == r("l2"))
+    assert(r("x") == r("y"))
+    // integer floor-division only loses mass, never creates it
+    assert(r.values.sum <= 1000000000000L)
+    assert(r.values.sum > 900000000000L)
+    val again = graft.operators.Graph.pageRank(edges, iters = 5).collect()
+      .map(row => row.getString(0) -> row.getLong(1)).toMap
+    assert(again == r)
+  }
+
   test("dsirWeights: target-like docs outrank off-target; targets never selected") {
     import spark.implicits._
     val d = Seq(
