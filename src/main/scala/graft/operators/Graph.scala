@@ -33,13 +33,17 @@ object Graph {
     *   (no outlinks) simply contribute nothing, the standard simplified
     *   treatment. Returns (id, rank_pico). */
   def pageRank(edges: DataFrame, iters: Int = 5,
-      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+      srcCol: String = "src", dstCol: String = "dst",
+      /** skip the dedup shuffle when the caller's edge artifact is
+        * already distinct (a memoized build — see the gate file) */
+      assumeDistinct: Boolean = false): DataFrame = {
     // one materialization up front: distinct edges WITH the source's
     // out-degree riding along — per-iteration work is then exactly one
     // (broadcastable) rank join + one partial-agg shuffle; leaving the
     // degree table lazy re-aggregates the full edge set every round
     // (measured 10.8 → 4.9 s at sf0.1, 1.2M edges × 5 iters)
-    val eRaw = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+    val eSel = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val eRaw = if (assumeDistinct) eSel else eSel.distinct()
     val deg = eRaw.groupBy(col("src")).agg(count(lit(1)).as("d"))
     val e = eRaw.join(deg, "src").localCheckpoint(true)
     val nodes = e.select(col("src").as("id"))
@@ -60,5 +64,38 @@ object Graph {
         .localCheckpoint(true)
     }
     ranks.select(col("id"), col("r").as("rank_pico"))
+  }
+
+  /** Unweighted single-source shortest path (hop distance), `iters`
+    * rounds of min-propagation — reaches everything within `iters` hops;
+    * unreached nodes are absent from the result. Distances are integers,
+    * so like [[pageRank]] the result is exact at any parallelism and the
+    * oracle replays the identical recurrence unrolled.
+    *
+    * Scale: each round is one equi-join frontier×edges + one min-agg
+    * shuffle; the distance table is bounded by reached nodes. (This is
+    * the bounded-hop form; the Datalog planner's semi-naive fixpoint is
+    * the run-to-convergence reachability path.) */
+  def shortestPaths(edges: DataFrame, sourceId: String, iters: Int = 6,
+      srcCol: String = "src", dstCol: String = "dst",
+      assumeDistinct: Boolean = false): DataFrame = {
+    val eSel = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val e = (if (assumeDistinct) eSel else eSel.distinct())
+      .localCheckpoint(true)
+    var dist = e.sparkSession.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(sourceId, 0L)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("d",
+          org.apache.spark.sql.types.LongType))))
+    for (_ <- 0 until iters) {
+      val stepped = e.join(dist, e("src") === dist("id"))
+        .select(col("dst").as("id"), (col("d") + 1).as("d"))
+      dist = dist.unionByName(stepped)
+        .groupBy(col("id")).agg(min(col("d")).as("d"))
+        .localCheckpoint(true)
+    }
+    dist
   }
 }

@@ -90,16 +90,26 @@ object RdfSetQueries {
     * result bit-identical at any parallelism, and the oracle replays the
     * SAME integer recurrence as unrolled CTEs — a hash match proves
     * every iteration's join+sum was exact. */
-  def graphPagerank(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.load(s, dir, "lineitem")
-    val fwd = li.select(concat(lit("s"), col("l_suppkey")).as("src"),
-      concat(lit("p"), col("l_partkey")).as("dst"))
-    val edges = fwd.unionByName(
-      fwd.select(col("dst").as("src"), col("src").as("dst")))
-    graft.operators.Graph.pageRank(edges, iters = 5)
+  /** Memoized symmetric supplier↔part edge artifact per (session, dir):
+    * both graph gates iterate over it, and a graph deployment builds its
+    * edge table once — same build-once policy as the RDF parse cache and
+    * the ANN index memos. */
+  private val edgeCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+  private def bipartiteEdges(s: SparkSession, dir: String): DataFrame =
+    edgeCache.computeIfAbsent((s, dir), _ => {
+      val li = Tables.load(s, dir, "lineitem")
+      val fwd = li.select(concat(lit("s"), col("l_suppkey")).as("src"),
+        concat(lit("p"), col("l_partkey")).as("dst"))
+      fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct().localCheckpoint(true)
+    })
+
+  def graphPagerank(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.pageRank(bipartiteEdges(s, dir), iters = 5,
+        assumeDistinct = true)
       .orderBy(col("rank_pico").desc, col("id"))
       .limit(20)
-  }
 
   private[queries] def pagerankOracle(iters: Int): String = {
     val head = """
@@ -125,6 +135,33 @@ object RdfSetQueries {
       s"\n      SELECT id, r AS rank_pico FROM r$iters ORDER BY r DESC, id LIMIT 20"
   }
 
+  /** Bounded-hop single-source shortest paths from supplier 1 over the
+    * same bipartite graph — integer distances, unrolled-recurrence
+    * oracle like [[graphPagerank]]. */
+  def graphSssp(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.shortestPaths(bipartiteEdges(s, dir), "s1",
+        iters = 4, assumeDistinct = true)
+      .orderBy(col("d"), col("id")).limit(500)
+
+  private[queries] def ssspOracle(iters: Int): String = {
+    val head = """
+      WITH eraw AS (SELECT DISTINCT 's' || l_suppkey AS src,
+                           'p' || l_partkey AS dst FROM lineitem),
+      edges AS (SELECT src, dst FROM eraw UNION SELECT dst, src FROM eraw),
+      d0 AS (SELECT 's1' AS id, CAST(0 AS BIGINT) AS d)"""
+    val steps = (1 to iters).map { k =>
+      s""",
+      d$k AS (SELECT id, CAST(MIN(d) AS BIGINT) AS d FROM (
+               SELECT id, d FROM d${k - 1}
+               UNION ALL
+               SELECT e.dst AS id, p.d + 1 AS d
+               FROM edges e JOIN d${k - 1} p ON e.src = p.id)
+             GROUP BY id)"""
+    }.mkString
+    head + steps +
+      s"\n      SELECT id, d FROM d$iters ORDER BY d, id LIMIT 500"
+  }
+
   def setIntersect(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.load(s, dir, "customer")
       .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
@@ -145,7 +182,8 @@ object RdfSetQueries {
     "ingest_cas" -> ingestCas _,
     "set_intersect" -> setIntersect _,
     "set_except" -> setExcept _,
-    "graph_pagerank" -> graphPagerank _)
+    "graph_pagerank" -> graphPagerank _,
+    "graph_sssp" -> graphSssp _)
 }
 
 object RdfSetSql {
@@ -175,5 +213,6 @@ object RdfSetSql {
       EXCEPT
       SELECT o_custkey FROM orders WHERE o_totalprice > 300000""",
 
-    "graph_pagerank" -> RdfSetQueries.pagerankOracle(5))
+    "graph_pagerank" -> RdfSetQueries.pagerankOracle(5),
+    "graph_sssp" -> RdfSetQueries.ssspOracle(4))
 }
