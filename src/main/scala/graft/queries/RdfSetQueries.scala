@@ -162,6 +162,26 @@ object RdfSetQueries {
       s"\n      SELECT id, d FROM d$iters ORDER BY d, id LIMIT 500"
   }
 
+  /** Triangle count over the part co-purchase graph (parts appearing in
+    * the same high-value order — ~240k edges over ~20k parts at sf0.1, a
+    * realistically SPARSE graph; a co-supply supplier graph is
+    * near-complete and degenerate for triangle counting): the Spark side
+    * runs the degree-ordered forward algorithm; the oracle counts
+    * naively with an id-ordered 3-join — exact integers, any correct
+    * implementation produces the same number. */
+  def graphTriangles(s: SparkSession, dir: String): DataFrame = {
+    val ho = Tables.load(s, dir, "orders")
+      .filter(col("o_totalprice") > 400000).select(col("o_orderkey"))
+    val lp = Tables.load(s, dir, "lineitem")
+      .join(ho, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val co = lp.as("x").join(lp.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+    graft.operators.Graph.triangleCount(co)
+  }
+
   def setIntersect(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.load(s, dir, "customer")
       .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
@@ -183,7 +203,8 @@ object RdfSetQueries {
     "set_intersect" -> setIntersect _,
     "set_except" -> setExcept _,
     "graph_pagerank" -> graphPagerank _,
-    "graph_sssp" -> graphSssp _)
+    "graph_sssp" -> graphSssp _,
+    "graph_triangles" -> graphTriangles _)
 }
 
 object RdfSetSql {
@@ -214,5 +235,17 @@ object RdfSetSql {
       SELECT o_custkey FROM orders WHERE o_totalprice > 300000""",
 
     "graph_pagerank" -> RdfSetQueries.pagerankOracle(5),
-    "graph_sssp" -> RdfSetQueries.ssspOracle(4))
+    "graph_sssp" -> RdfSetQueries.ssspOracle(4),
+
+    "graph_triangles" -> """
+      WITH ho AS (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000),
+      lp AS (SELECT DISTINCT l_orderkey, l_partkey
+             FROM lineitem JOIN ho ON l_orderkey = o_orderkey),
+      und AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+              FROM lp x JOIN lp y ON x.l_orderkey = y.l_orderkey
+                                 AND x.l_partkey < y.l_partkey)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+      FROM und e1
+      JOIN und e2 ON e1.a = e2.a AND e1.b < e2.b
+      JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b""")
 }

@@ -530,6 +530,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(again == r)
   }
 
+  test("triangle count: K4 has 4, a path has 0, duplicates/reverses ignored") {
+    import spark.implicits._
+    def count(pairs: Seq[(String, String)]): Long =
+      graft.operators.Graph.triangleCount(pairs.toDF("src", "dst"))
+        .head().getLong(0)
+    val k4 = for (a <- Seq("a", "b", "c", "d"); b <- Seq("a", "b", "c", "d")
+      if a != b) yield (a, b) // both directions + no self loops
+    assert(count(k4) == 4)
+    assert(count(Seq(("a", "b"), ("b", "c"), ("c", "d"))) == 0)
+    // duplicate and reversed edges collapse to one undirected edge
+    assert(count(Seq(("a", "b"), ("b", "a"), ("a", "b"),
+      ("b", "c"), ("a", "c"))) == 1)
+  }
+
   test("dsirWeights: target-like docs outrank off-target; targets never selected") {
     import spark.implicits._
     val d = Seq(
