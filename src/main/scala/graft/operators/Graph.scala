@@ -99,6 +99,38 @@ object Graph {
     dist
   }
 
+  /** Bounded-round min-label connected components: every node starts
+    * labelled with its own id and takes the minimum of its neighbours'
+    * labels each round — after `iters` ≥ graph diameter the labels are
+    * the components' minimum ids. Pass a SYMMETRIC edge set for
+    * undirected components (propagation follows edge direction). Exact
+    * by the same argument as [[shortestPaths]]: min over ids is
+    * order-free, so the bounded recurrence replays identically in an
+    * unrolled oracle whether or not it has converged.
+    * ([[graft.operators.Dedup.connectedComponents]] is the
+    * run-to-convergence variant used by the dedup pipeline; this is the
+    * fixed-cost form a scheduled graph job wants — `iters` scans,
+    * known in advance.) */
+  def minLabelComponents(edges: DataFrame, iters: Int = 8,
+      srcCol: String = "src", dstCol: String = "dst",
+      assumeDistinct: Boolean = false): DataFrame = {
+    val eSel = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val e = (if (assumeDistinct) eSel else eSel.distinct())
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(true)
+    var lab = nodes.withColumn("lab", col("id"))
+    for (_ <- 0 until iters) {
+      val incoming = e.join(lab, e("src") === lab("id"))
+        .select(col("dst").as("id"), col("lab"))
+      lab = lab.unionByName(incoming)
+        .groupBy(col("id")).agg(min(col("lab")).as("lab"))
+        .localCheckpoint(true)
+    }
+    lab
+  }
+
   /** Total triangle count over an undirected graph (input edges may
     * carry both directions and duplicates; self-loops are dropped) — the
     * degree-ordered "forward" algorithm (Schank & Wagner 2005): orient

@@ -182,6 +182,53 @@ object RdfSetQueries {
     graft.operators.Graph.triangleCount(co)
   }
 
+  /** Component size distribution of the sparse part co-purchase graph
+    * (the [[graphTriangles]] fixture — the full supplier↔part graph is
+    * one dense component and 6 rounds over its 1.2M edges cost 14 s)
+    * via bounded min-label propagation; unrolled-recurrence oracle. */
+  def graphComponents(s: SparkSession, dir: String): DataFrame = {
+    val ho = Tables.load(s, dir, "orders")
+      .filter(col("o_totalprice") > 400000).select(col("o_orderkey"))
+    val lp = Tables.load(s, dir, "lineitem")
+      .join(ho, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val co = lp.as("x").join(lp.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+    val sym = co.unionByName(co.select(col("dst").as("src"), col("src").as("dst")))
+    graft.operators.Graph.minLabelComponents(sym, iters = 6)
+      .groupBy(col("lab").as("component"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("component")).limit(50)
+  }
+
+  private[queries] def componentsOracle(iters: Int): String = {
+    val head = """
+      WITH ho AS (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000),
+      lp AS (SELECT DISTINCT l_orderkey, l_partkey
+             FROM lineitem JOIN ho ON l_orderkey = o_orderkey),
+      und AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+              FROM lp x JOIN lp y ON x.l_orderkey = y.l_orderkey
+                                 AND x.l_partkey < y.l_partkey),
+      edges AS (SELECT a AS src, b AS dst FROM und
+                UNION SELECT b, a FROM und),
+      nodes AS (SELECT DISTINCT src AS id FROM edges),
+      l0 AS (SELECT id, id AS lab FROM nodes)"""
+    val steps = (1 to iters).map { k =>
+      s""",
+      l$k AS (SELECT id, MIN(lab) AS lab FROM (
+               SELECT id, lab FROM l${k - 1}
+               UNION ALL
+               SELECT e.dst AS id, p.lab
+               FROM edges e JOIN l${k - 1} p ON e.src = p.id)
+             GROUP BY id)"""
+    }.mkString
+    head + steps + s"""
+      SELECT lab AS component, CAST(COUNT(*) AS BIGINT) AS n
+      FROM l$iters GROUP BY lab ORDER BY n DESC, component LIMIT 50"""
+  }
+
   def setIntersect(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.load(s, dir, "customer")
       .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
@@ -204,7 +251,8 @@ object RdfSetQueries {
     "set_except" -> setExcept _,
     "graph_pagerank" -> graphPagerank _,
     "graph_sssp" -> graphSssp _,
-    "graph_triangles" -> graphTriangles _)
+    "graph_triangles" -> graphTriangles _,
+    "graph_components" -> graphComponents _)
 }
 
 object RdfSetSql {
@@ -236,6 +284,7 @@ object RdfSetSql {
 
     "graph_pagerank" -> RdfSetQueries.pagerankOracle(5),
     "graph_sssp" -> RdfSetQueries.ssspOracle(4),
+    "graph_components" -> RdfSetQueries.componentsOracle(6),
 
     "graph_triangles" -> """
       WITH ho AS (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000),

@@ -530,6 +530,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(again == r)
   }
 
+  test("bounded min-label components equal run-to-convergence CC past diameter") {
+    import spark.implicits._
+    // chain (diameter 3), clique, pair, singleton via self-edge-free node
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L),
+      (11L, 12L), (20L, 21L)).toDF("d1", "d2")
+    val sym = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+      .unionByName(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+    val bounded = graft.operators.Graph.minLabelComponents(sym, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val converged = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bounded == converged)
+    // under-iterating is exact-but-unconverged: 1 round can't label the
+    // chain's far end with the minimum
+    val short = graft.operators.Graph.minLabelComponents(sym, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(short(4L) != 1L && bounded(4L) == 1L)
+  }
+
   test("triangle count: K4 has 4, a path has 0, duplicates/reverses ignored") {
     import spark.implicits._
     def count(pairs: Seq[(String, String)]): Long =
