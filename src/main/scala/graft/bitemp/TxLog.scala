@@ -79,9 +79,15 @@ object TxLog {
     * materialized `newRows` (it reads the cached flag the action filled;
     * the delta rows and evict list are already flag-gated to empty when
     * the tx aborts, so the materialized state is correct either way). */
+  /** `resolvedTouched` is the CACHED resolved pre-tx history of the tx's
+    * touched entities (the same frame every internal branch joins
+    * against) — consumers that maintain derived state (the streaming
+    * matviews) read it instead of re-scanning the full store; it is only
+    * valid until `cleanup()` runs. */
   final case class TxParts(newRows: DataFrame, evictEids: DataFrame,
       hasEvict: Boolean, aborted: Boolean, cleanup: () => Unit = () => (),
-      abortedAfterMaterialize: () => Boolean = () => false)
+      abortedAfterMaterialize: () => Boolean = () => false,
+      resolvedTouched: DataFrame = null)
 
   /** Apply one transaction. Returns (newState, aborted). The new state is
     * EAGERLY localCheckpoint-ed — every sequential consumer checkpoints
@@ -186,6 +192,9 @@ object TxLog {
     val touchedEids = ops.select(col("eid")).distinct()
     val resolved = resolvedHistory(
       state.join(broadcast(touchedEids), Seq("eid"), "left_semi")).cache()
+    // visible to the catch below — the abort flag is cached inside the try,
+    // and the exception path must unpersist it too (cache leak otherwise)
+    var abortFlagRef: Option[DataFrame] = None
     try {
       // --- match / cas precondition: resolved hash at basis must equal
       // expected (null-safe; nil==nil matches), tx.clj:100-130. Ops apply
@@ -232,6 +241,7 @@ object TxLog {
           .agg(count(lit(1)).as("_n")).select((col("_n") > 0).as("_aborted"))
           .cache()
       }
+      abortFlagRef = abortFlag
       def readAbortFlag(): Boolean = abortFlag.exists(_.head().getBoolean(0))
       if (!fusePrecondition && readAbortFlag())
         return TxParts(emptyState(state.sparkSession),
@@ -240,7 +250,8 @@ object TxLog {
             ops.unpersist(); resolved.unpersist()
             abortFlag.foreach(_.unpersist()); ()
           },
-          abortedAfterMaterialize = () => true)
+          abortedAfterMaterialize = () => true,
+          resolvedTouched = resolved)
 
       // --- evict: hard-delete every version of the entity
       // (tx.clj:135-147, index_store.clj:993-1047)
@@ -393,10 +404,12 @@ object TxLog {
           ops.unpersist(); resolved.unpersist()
           abortFlag.foreach(_.unpersist()); ()
         },
-        abortedAfterMaterialize = () => readAbortFlag())
+        abortedAfterMaterialize = () => readAbortFlag(),
+        resolvedTouched = resolved)
     } catch {
       case t: Throwable =>
         ops.unpersist(); resolved.unpersist()
+        abortFlagRef.foreach(_.unpersist())
         throw t
     }
   }
@@ -484,8 +497,20 @@ object TxLog {
     * resolved snapshot with last-op-wins per vt, then merged. Per-entity
     * memory is bounded by that entity's version count — the same bound
     * the reference's entity-history index carries (index_store.clj). */
+  /** @param broadcastTouched force a broadcast of the touched-eid list
+    *   into the history semi-join. Leave false on batch paths — AQE picks
+    *   the join side from runtime sizes there, and a million-entity tx
+    *   batch must NOT be forced driver-side. Streaming-rooted plans run
+    *   with AQE off (Spark disables it), so the per-batch indexer passes
+    *   true: one micro-batch's eid list is bounded by the batch size. */
+  /** @param stateIsPruned the caller already restricted `state` to the
+    *   txs' touched entities (e.g. the streaming indexer shares one
+    *   pruned-and-cached history frame between the fold and its matview
+    *   maintenance) — skips the semi-join and its broadcast build. */
   def applyPutDeleteTxs(state: DataFrame,
-      txs: Seq[(Long, java.time.LocalDateTime, DataFrame)]): (DataFrame, DataFrame) = {
+      txs: Seq[(Long, java.time.LocalDateTime, DataFrame)],
+      broadcastTouched: Boolean = false,
+      stateIsPruned: Boolean = false): (DataFrame, DataFrame) = {
     val spark = state.sparkSession
     import spark.implicits._
     val opsAll = txs.map { case (txId, txTime, ops) =>
@@ -503,8 +528,10 @@ object TxLog {
           col("end_vt").as("endVt"),
           col("seq"))
     }.reduce(_ unionByName _)
-    val touched = opsAll.select("eid").distinct()
-    val hist = state.join(touched, Seq("eid"), "left_semi")
+    val touched0 = opsAll.select("eid").distinct()
+    val touched = if (broadcastTouched) broadcast(touched0) else touched0
+    val hist = (if (stateIsPruned) state
+        else state.join(touched, Seq("eid"), "left_semi"))
       .select(col("eid"), lit(0).as("kind"), col("vt"), col("tt"),
         col("tx_id").as("txId"), col("content_hash").as("hash"),
         col("tombstone").as("tomb"), lit("").as("op"),

@@ -1764,11 +1764,18 @@ private final class Planner(spark: SparkSession, source: FactSource,
     // take a class SYMBOL; Mixed tagged structs are out of scope —
     // documented with the rest of the Mixed deviations)
     case "instance?" =>
-      lit(classMatches(rawSym(raw, 0, "instance? class"), types(1)))
+      // nil is an instance of nothing (Clojure returns false for nil even
+      // when the static column type matches) — gate the static answer on null
+      when(args(1).isNotNull,
+        lit(classMatches(rawSym(raw, 0, "instance? class"), types(1))))
+        .otherwise(lit(false))
     case "cast" =>
+      // Class.cast passes nil through regardless of the class — only
+      // non-null values of a mismatched static type raise
       if (classMatches(rawSym(raw, 0, "cast class"), types(1))) args(1)
-      else raise_error(concat(lit("cannot cast to "),
-        lit(rawSym(raw, 0, "cast class")), lit(": "), args(1).cast(StringType)))
+      else when(args(1).isNull, args(1))
+        .otherwise(raise_error(concat(lit("cannot cast to "),
+          lit(rawSym(raw, 0, "cast class")), lit(": "), args(1).cast(StringType))))
     // fresh symbol per row — nondeterministic by contract, like rand
     case "gensym" =>
       concat(if (args.isEmpty) lit("G__") else args.head.cast(StringType),

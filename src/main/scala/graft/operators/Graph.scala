@@ -50,6 +50,7 @@ object Graph {
       .union(e.select(col("dst").as("id"))).distinct()
       .localCheckpoint(true)
     val n = nodes.count()
+    require(n > 0, "pageRank needs a non-empty edge set")
     val base = (15L * 1000000000000L) / (100L * n)
     var ranks = nodes.withColumn("r", lit(1000000000000L / n))
     for (_ <- 0 until iters) {

@@ -37,6 +37,40 @@ object SqlStreamQueries {
       bucket("2024-01-21T00:00", "2099-01-01T00:00"))
   }
 
+  /** One-pass arrival staging for the streaming gates: the same three op
+    * buckets as [[opsByBucket]], written as one job via partitionBy (a
+    * single coalesced task lands one file per bucket) instead of three
+    * filter+write jobs, then laid out as `b0..b2.parquet` so the file
+    * stream picks them up in tx order. Returns the ops dir. */
+  private def stageOpsByBucket(s: SparkSession, dir: String, base: String): String = {
+    val opsDir = s"$base/ops"
+    new java.io.File(opsDir).mkdirs()
+    val ev = Tables.load(s, dir, "events")
+    val bucket = when(col("ts") < lit(java.time.LocalDateTime.parse("2024-01-11T00:00")), 0)
+      .when(col("ts") < lit(java.time.LocalDateTime.parse("2024-01-21T00:00")), 1)
+      .otherwise(2)
+    ev.select(
+        when(col("event_type") === "error", "delete").otherwise("put").as("op"),
+        col("user_id").cast("string").as("eid"),
+        when(col("event_type") === "error", lit(null).cast("string"))
+          .otherwise(col("event_type")).as("content_hash"),
+        col("ts").as("start_vt"),
+        lit(null).cast("timestamp_ntz").as("end_vt"),
+        lit(null).cast("timestamp_ntz").as("at_vt"),
+        lit(null).cast("string").as("expected_hash"),
+        col("event_id").as("seq"),
+        bucket.as("b"))
+      .coalesce(1)
+      .write.partitionBy("b").mode("overwrite").parquet(s"$base/stage")
+    (0 until 3).foreach { i =>
+      val part = new java.io.File(s"$base/stage/b=$i").listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$opsDir/b$i.parquet"))
+    }
+    opsDir
+  }
+
   /** Ordered tx-batch ingest (put/delete/evict) then snapshot. */
   def ingestBatch(s: SparkSession, dir: String): DataFrame = {
     val txs = opsByBucket(s, dir).zipWithIndex.map { case (ops, i) =>
@@ -59,23 +93,16 @@ object SqlStreamQueries {
     * batch-order INVARIANT because buckets carry distinct tx times. */
   def ingestStream(s: SparkSession, dir: String): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory("graft_ingest").toString
-    val opsDir = s"$base/ops"; val stateDir = s"$base/state"; val ckDir = s"$base/ck"
-    new java.io.File(opsDir).mkdirs()
-    opsByBucket(s, dir).zipWithIndex.foreach { case (ops, i) =>
-      val stage = s"$base/stage$i"
-      ops.coalesce(1).write.mode("overwrite").parquet(stage)
-      val part = new java.io.File(stage).listFiles()
-        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
-      java.nio.file.Files.move(part.toPath,
-        java.nio.file.Paths.get(s"$opsDir/b$i.parquet"))
-    }
+    val stateDir = s"$base/state"; val ckDir = s"$base/ck"
+    val opsDir = stageOpsByBucket(s, dir, base)
     val stream = s.readStream.schema(TxLog.opSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(opsDir)
     val q = IngestStream.start(s, stream, stateDir, ckDir,
       txTime = id => java.time.LocalDateTime.parse("2024-02-01T00:00").plusHours(id),
       txShape = Some(TxLog.TxShape(hasChecks = false, hasEvict = false,
-        hasRanged = false)))
+        hasRanged = false)),
+      txPartitions = Some(8))
     q.awaitTermination()
     IngestStream.loadState(s, stateDir)
       .select(col("eid"), col("vt"), col("content_hash").as("event_type"), col("tombstone"))
@@ -111,19 +138,14 @@ object SqlStreamQueries {
     * a full recompute. The oracle recomputes the final current-snapshot
     * counts from raw events — a hash match proves every batch's delta
     * was exact. */
-  def streamMatview(s: SparkSession, dir: String): DataFrame = {
+  /** Stage the matview gates' op buckets as one-file-per-tx arrival dirs
+    * and run the maintained-view ingest; returns the view root. */
+  private def runMatviewStream(s: SparkSession, dir: String,
+      views: Seq[IngestStream.ViewDef]): String = {
     val base = java.nio.file.Files.createTempDirectory("graft_matview").toString
-    val opsDir = s"$base/ops"; val stateDir = s"$base/state"
+    val stateDir = s"$base/state"
     val ckDir = s"$base/ck"; val viewDir = s"$base/view"
-    new java.io.File(opsDir).mkdirs()
-    opsByBucket(s, dir).zipWithIndex.foreach { case (ops, i) =>
-      val stage = s"$base/stage$i"
-      ops.coalesce(1).write.mode("overwrite").parquet(stage)
-      val part = new java.io.File(stage).listFiles()
-        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
-      java.nio.file.Files.move(part.toPath,
-        java.nio.file.Paths.get(s"$opsDir/b$i.parquet"))
-    }
+    val opsDir = stageOpsByBucket(s, dir, base)
     val stream = s.readStream.schema(TxLog.opSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(opsDir)
@@ -131,10 +153,42 @@ object SqlStreamQueries {
       txTime = id => java.time.LocalDateTime.parse("2024-02-01T00:00").plusHours(id),
       matViewDir = Some(viewDir),
       txShape = Some(TxLog.TxShape(hasChecks = false, hasEvict = false,
-        hasRanged = false)))
+        hasRanged = false)),
+      views = views,
+      txPartitions = Some(8))
     q.awaitTermination()
+    viewDir
+  }
+
+  def streamMatview(s: SparkSession, dir: String): DataFrame = {
+    val viewDir = runMatviewStream(s, dir, Seq(IngestStream.typeCountsView))
     IngestStream.loadTypeCounts(s, viewDir).get
       .select(col("content_hash").as("event_type"), col("n"))
+  }
+
+  /** IVM view WITH a join (the shape that separates a real IVM design
+    * from a count-by-key special case): live entity count per
+    * (content_hash, customer market segment), the snapshot joined to the
+    * STATIC customer dimension inside the view's aggregation. The same
+    * touched-eid delta discipline maintains it — only touched eids' rows
+    * change per tx, so the join delta is the row delta joined — while the
+    * default type-count view rides along in the same maintenance pass
+    * (multi-view, one delta resolve). Oracle recomputes the joined counts
+    * from raw events; a hash match proves every batch's joined delta was
+    * exact. */
+  def streamMatviewJoin(s: SparkSession, dir: String): DataFrame = {
+    // static dimension: materialize once, not re-read per micro-batch
+    val dim = Tables.load(s, dir, "customer")
+      .select(col("c_custkey").cast("string").as("eid"), col("c_mktsegment"))
+      .localCheckpoint(true)
+    val segView = IngestStream.ViewDef("seg_counts",
+      snap => snap.join(broadcast(dim), Seq("eid"))
+        .groupBy(col("content_hash"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n")))
+    val viewDir = runMatviewStream(s, dir,
+      Seq(IngestStream.typeCountsView, segView))
+    IngestStream.loadView(s, viewDir, "seg_counts").get
+      .select(col("content_hash").as("event_type"), col("c_mktsegment"), col("n"))
   }
 
   /** PIVOT through the SQL surface (§2.8): per-nation customer counts
@@ -165,7 +219,10 @@ object SqlStreamQueries {
       .coalesce(1)
       .write.mode("overwrite").option("header", "true")
       .option("quoteAll", "true").option("escape", "\"").csv(out)
+    // multiLine: quoted fields may legally contain newlines — without it
+    // any embedded-newline document would split into corrupt rows
     s.read.option("header", "true").option("escape", "\"")
+      .option("multiLine", "true")
       .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
       .csv(out)
       .groupBy(col("lang"))
@@ -415,7 +472,8 @@ object SqlStreamQueries {
     "sql_pivot" -> sqlPivot _,
     "src_csv_roundtrip" -> srcCsvRoundtrip _,
     "src_jsonl_roundtrip" -> srcJsonlRoundtrip _,
-    "stream_matview" -> streamMatview _)
+    "stream_matview" -> streamMatview _,
+    "stream_matview_join" -> streamMatviewJoin _)
 }
 
 object SqlStreamSql {
@@ -622,6 +680,17 @@ object SqlStreamSql {
       SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
       FROM ranked WHERE rn = 1 AND NOT tomb
       GROUP BY event_type""",
+
+    "stream_matview_join" -> """
+      WITH ranked AS (
+        SELECT user_id, event_type, (event_type = 'error') AS tomb,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events)
+      SELECT event_type, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n
+      FROM ranked JOIN customer ON user_id = c_custkey
+      WHERE rn = 1 AND NOT tomb
+      GROUP BY event_type, c_mktsegment""",
 
     "sql_pivot" -> """
       SELECT c_nationkey,

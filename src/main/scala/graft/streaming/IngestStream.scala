@@ -102,13 +102,29 @@ object IngestStream {
       secondarySinks: Seq[(DataFrame, Long) => Unit] = Nil,
       compactEvery: Int = 16,
       matViewDir: Option[String] = None,
-      txShape: Option[TxLog.TxShape] = None): StreamingQuery = {
+      txShape: Option[TxLog.TxShape] = None,
+      views: Seq[ViewDef] = Seq(typeCountsView),
+      txPartitions: Option[Int] = None): StreamingQuery = {
+    // in-memory handle to each view's latest committed parquet dir — skips
+    // the per-batch directory listing + read-back; dies with the query
+    // (recovery falls back to loadView's listing)
+    val viewCache = scala.collection.mutable.Map.empty[String, DataFrame]
     opsStream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (ops: DataFrame, batchId: Long) =>
         val sp = ops.sparkSession
+        // plans rooted at a streaming source run with AQE OFF (Spark
+        // disables it for the query), so shuffles keep the full static
+        // partition count with no runtime coalesce — for interactive-size
+        // tx batches the per-task overhead dominates; callers size
+        // txPartitions to the batch volume like the stateful gates size
+        // their state stores (a 100 TB feed leaves it at the session
+        // default)
+        val prevShuffle = sp.conf.get("spark.sql.shuffle.partitions")
+        txPartitions.foreach(n => sp.conf.set("spark.sql.shuffle.partitions", n))
+        try {
         // all state IO rides the session Hadoop conf (incl. this replay
         // guard) so HDFS/S3 credentials configured on the session apply
         val conf = sp.sessionState.newHadoopConf()
@@ -126,8 +142,33 @@ object IngestStream {
           // the norm) declares it once and every batch skips the
           // shape-probe job — same contract as TxLog.TxShape for
           // interactive txs
-          val parts = TxLog.applyTxParts(current, ops, batchId, txTime(batchId),
-            txShape)
+          // Check-free batches (the declared norm: pure put/delete/evict
+          // feeds) take the ONE-SHUFFLE fold ([[TxLog.applyPutDeleteTxs]],
+          // differential-spec'd against the sequential path) instead of
+          // the join+window tx plan — at micro-batch latency the
+          // scheduler round-trips of the multi-shuffle plan dominate, and
+          // a check-free tx can never abort so the eager precondition
+          // machinery buys nothing. The touched-eid resolve for the
+          // matviews is passed as a LAZY plan: it executes inside the
+          // view write's single action, only when a view is maintained.
+          val parts = txShape match {
+            case Some(sh) if !sh.hasChecks =>
+              // ONE state scan per batch: the touched entities' history is
+              // cached and feeds BOTH the fold (as its pruned state) and
+              // the matviews' before-resolve — the first action (the delta
+              // write) fills the cache, the view write reads it
+              val histTouched = current.join(
+                  broadcast(ops.select(col("eid")).distinct()),
+                  Seq("eid"), "left_semi").cache()
+              val (newRows, evictEids) = TxLog.applyPutDeleteTxs(
+                histTouched, Seq((batchId, txTime(batchId), ops)),
+                stateIsPruned = true)
+              TxLog.TxParts(newRows, evictEids, sh.hasEvict, aborted = false,
+                cleanup = () => { histTouched.unpersist(); () },
+                resolvedTouched = histTouched)
+            case _ =>
+              TxLog.applyTxParts(current, ops, batchId, txTime(batchId), txShape)
+          }
           val delta = parts.newRows
           val next: StateManifest =
             if (parts.aborted) // advance the tx id over the same data dirs
@@ -165,15 +206,16 @@ object IngestStream {
           // secondaries inside the same tx before the tx is marked done)
           secondarySinks.foreach(sink => sink(ops, batchId))
           if (!parts.aborted) matViewDir.foreach { vd =>
-            // resolve the AFTER side from the files this batch just wrote
-            // (they exist before the manifest commit): re-deriving
-            // `delta`'s plan here would execute the whole tx subplan a
-            // second time — measured as the dominant matview cost
-            val afterDirs = (next.base.toSeq ++ next.deltas).map(d => s"$stateDir/$d")
-            val stateAfter =
-              if (afterDirs.isEmpty) TxLog.emptyState(sp)
-              else sp.read.schema(TxLog.versionSchema).parquet(afterDirs: _*)
-            maintainTypeCounts(sp, vd, batchId, ops, current, stateAfter)
+            // the tx's delta rows, O(batch): the delta file this batch just
+            // wrote when one exists (a clean scan with no lineage), else —
+            // compaction path — the delta plan itself, which re-derives
+            // from the still-cached ops/resolved frames
+            val deltaRows =
+              if (next.deltas.lastOption.contains(s"delta-$batchId"))
+                sp.read.schema(TxLog.versionSchema).parquet(s"$stateDir/delta-$batchId")
+              else delta
+            maintainViews(sp, vd, views, batchId, parts.resolvedTouched,
+              parts.evictEids, parts.hasEvict, deltaRows, viewCache)
           }
           commitManifest(stateDir, next, conf)
           pruneStale(fs, stateDir, conf)
@@ -181,66 +223,113 @@ object IngestStream {
           // block-manager entries stay flat across a long-running stream
           parts.cleanup()
         }
+        } finally txPartitions.foreach(_ =>
+          sp.conf.set("spark.sql.shuffle.partitions", prevShuffle))
       }
       .start()
   }
 
-  /** Incrementally-maintained materialized view: entity count per
-    * content_hash in the CURRENT snapshot (latest version per eid, at a
-    * far-future basis, tombstones excluded) — the "how many live docs of
-    * each type" dashboard query, answered without touching the version
-    * log.
+  /** One incrementally-maintained materialized view: `agg` maps the
+    * CURRENT snapshot of the touched entities (resolved version rows:
+    * latest non-tombstone fact per eid) to an aggregate keyed by any
+    * columns plus a count/sum column named `n`. Delta maintenance is
+    * valid for exactly this shape — `agg(after) − agg(before)` folds into
+    * the stored view by summing `n` per key — and `agg` may join the
+    * snapshot to STATIC dimension tables (only touched eids' rows change
+    * per tx, so the join delta is the row delta joined). */
+  final case class ViewDef(name: String, agg: DataFrame => DataFrame)
+
+  /** The default view: live entity count per content_hash — the "how many
+    * docs of each type" dashboard query, answered without the version log. */
+  val typeCountsView: ViewDef = ViewDef("type_counts",
+    snap => snap.groupBy(col("content_hash")).agg(count(lit(1)).as("n")))
+
+  /** Maintain every view for one committed tx.
     *
-    * Classic delta maintenance: per tx, resolve ONLY the touched
-    * entities before and after, and fold `after − before` into the view.
-    * Cost per batch is O(touched history) — the same bound the tx itself
-    * pays — never O(state); the view table is bounded by the distinct
-    * hash domain. A full recompute per batch would re-resolve the entire
-    * store (the thing that stops scaling first); equivalence of the
-    * maintained view with that recompute is pinned by StreamingSpec and
-    * the `stream_matview` oracle gate.
+    * Classic delta maintenance, O(touched) per batch: the before side is
+    * the tx's OWN cached resolved-history frame ([[TxLog.TxParts
+    * .resolvedTouched]] — zero extra store scans), the after side is that
+    * frame minus evicted eids plus the tx's O(batch) delta rows. A full
+    * recompute per batch would re-resolve the entire store — the thing
+    * that stops scaling first; equivalence of the maintained views with
+    * that recompute is pinned by StreamingSpec and the `stream_matview` /
+    * `stream_matview_join` oracle gates.
     *
-    * Recovery contract: views are versioned `view-<txId>` directories;
-    * the merge reads the latest view with txId < current, so a crashed
-    * attempt's own partial write is never its merge input and replay is
-    * idempotent (same at-least-once slot as `secondarySinks`). */
-  private def maintainTypeCounts(sp: SparkSession, viewDir: String,
-      txId: Long, ops: DataFrame, before: DataFrame, after: DataFrame): Unit = {
+    * Recovery contract: each view is a stack of `view-<txId>` dirs under
+    * `viewDir/<name>`; if a replayed batch finds its own `view-<txId>`
+    * already on disk (a crash landed between the view write and the
+    * manifest commit — or between the manifest commit and Spark's
+    * checkpoint commit), maintenance SKIPS the recompute: at replay time
+    * `resolvedTouched` may already reflect the post-tx store, so a
+    * recomputed delta would be ~zero and clobber the correct view. The
+    * merge input is always the latest view with txId < current, never a
+    * crashed attempt's own partial write. Old view dirs are pruned
+    * keep-last-2 after a successful write, mirroring [[pruneStale]]. */
+  private def maintainViews(sp: SparkSession, viewDir: String,
+      views: Seq[ViewDef], txId: Long, resolvedBefore: DataFrame,
+      evictEids: DataFrame, hasEvict: Boolean, deltaRows: DataFrame,
+      cache: scala.collection.mutable.Map[String, DataFrame]): Unit = {
     val basis = lit(java.time.LocalDateTime.parse("2099-01-01T00:00"))
-    val touched = ops.select(col("eid")).distinct()
-    // asOfTime already resolves max (vt, tx_id) per eid and hides
-    // tombstones — no separate resolvedHistory pass needed
-    def counts(state: DataFrame): DataFrame =
-      graft.bitemp.Bitemp.asOfTime(
-          state.join(broadcast(touched), Seq("eid"), "left_semi"),
-          basis, basis)
-        .groupBy(col("content_hash"))
-        .agg(count(lit(1)).as("n"))
-    val deltaCounts = counts(after)
-      .unionByName(counts(before).select(col("content_hash"), (-col("n")).as("n")))
-    val prev = loadTypeCounts(sp, viewDir, beforeTx = Some(txId))
-      .getOrElse(sp.emptyDataFrame
-        .select(lit(null).cast("string").as("content_hash"), lit(0L).as("n"))
-        .limit(0))
-    prev.unionByName(deltaCounts)
-      .groupBy(col("content_hash"))
-      .agg(sum(col("n")).as("n"))
-      .filter(col("n") =!= 0)
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$viewDir/view-$txId")
+    // asOfTime alone resolves the snapshot — its per-eid max_by(vt, tx_id)
+    // picks the same winner a resolvedHistory pre-pass would (the overall
+    // max (vt, tx_id) row IS the winning vt's latest correction), so each
+    // side is ONE shuffle, not two
+    def snap(hist: DataFrame): DataFrame =
+      graft.bitemp.Bitemp.asOfTime(hist, basis, basis)
+    // lazy caches: the FIRST view's write action fills them, further
+    // views read — no extra job when only one view is maintained
+    val beforeSnap = snap(resolvedBefore).cache()
+    val afterBase =
+      if (hasEvict)
+        resolvedBefore.join(broadcast(evictEids), Seq("eid"), "left_anti")
+      else resolvedBefore
+    val afterSnap = snap(afterBase.unionByName(deltaRows)).cache()
+    try views.foreach { v =>
+      val dir = s"$viewDir/${v.name}"
+      val target = new java.io.File(s"$dir/view-$txId")
+      val deltaAgg = v.agg(afterSnap).unionByName(
+        v.agg(beforeSnap).withColumn("n", -col("n")))
+      if (!target.isDirectory) {
+        val keys = deltaAgg.columns.filterNot(_ == "n")
+        val prev = cache.get(dir)
+          .orElse(loadView(sp, viewDir, v.name, beforeTx = Some(txId)))
+          .getOrElse(deltaAgg.limit(0))
+        prev.unionByName(deltaAgg)
+          .groupBy(keys.map(col): _*)
+          .agg(sum(col("n")).as("n"))
+          .filter(col("n") =!= 0)
+          .coalesce(1)
+          .write.mode("overwrite").parquet(target.toString)
+      }
+      // the committed dir is the clean merge input for the next batch —
+      // schema supplied, so no footer-probe job per batch
+      cache(dir) = sp.read.schema(deltaAgg.schema).parquet(target.toString)
+      // keep-last-2: this view + its predecessor (the replay merge basis)
+      Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("view-"))
+        .sortBy(_.getName.stripPrefix("view-").toLong)
+        .dropRight(2)
+        .foreach(stale => org.apache.commons.io.FileUtils.deleteDirectory(stale))
+    } finally { beforeSnap.unpersist(); afterSnap.unpersist(); () }
   }
 
-  /** Latest maintained view (optionally strictly before `beforeTx`). */
-  def loadTypeCounts(sp: SparkSession, viewDir: String,
+  /** Latest committed state of a maintained view (optionally strictly
+    * before `beforeTx`). */
+  def loadView(sp: SparkSession, viewDir: String, name: String,
       beforeTx: Option[Long] = None): Option[DataFrame] = {
-    val d = new java.io.File(viewDir)
+    val d = new java.io.File(s"$viewDir/$name")
     val ids = Option(d.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("view-"))
       .map(_.getName.stripPrefix("view-").toLong)
       .filter(id => beforeTx.forall(id < _))
     if (ids.isEmpty) None
-    else Some(sp.read.parquet(s"$viewDir/view-${ids.max}"))
+    else Some(sp.read.parquet(s"$viewDir/$name/view-${ids.max}"))
   }
+
+  /** Latest [[typeCountsView]] state (back-compat name). */
+  def loadTypeCounts(sp: SparkSession, viewDir: String,
+      beforeTx: Option[Long] = None): Option[DataFrame] =
+    loadView(sp, viewDir, "type_counts", beforeTx)
 
   /** Write `commit-<tx>` naming the state's dirs; the rename is the
     * atomic commit point (data dirs already landed; old manifests and

@@ -139,6 +139,101 @@ class StreamingSpec extends AnyFunSuite {
     assert(view == recomputed, s"view=$view recomputed=$recomputed")
   }
 
+  test("view dirs are pruned keep-last-2; a pre-existing view-<tx> is not clobbered") {
+    import scala.jdk.CollectionConverters._
+    val base = java.nio.file.Files.createTempDirectory("graft_mv_prune").toString
+    val opsDir = s"$base/ops"; val stateDir = s"$base/state"
+    val ckDir = s"$base/ck"; val viewDir = s"$base/view"
+    new java.io.File(opsDir).mkdirs()
+    val vt = LocalDateTime.parse("2020-01-01T00:00")
+    (0 until 10).foreach { i =>
+      val stage = s"$base/stage$i"
+      spark.createDataFrame(List(
+        Row("put", s"e$i", "T", vt.plusDays(i.toLong), null, null, null, 0L)).asJava,
+        TxLog.opSchema)
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(s"$opsDir/b$i.parquet"))
+    }
+    // replay-idempotency guard: a crashed prior attempt left view-0 on
+    // disk; maintenance must trust it (skip the recompute), never clobber
+    val preSeeded = spark.createDataFrame(
+      List(Row("T", 1L)).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("content_hash",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType))))
+    preSeeded.coalesce(1).write.parquet(s"$viewDir/type_counts/view-0")
+    val stream = spark.readStream.schema(TxLog.opSchema)
+      .option("maxFilesPerTrigger", "1").parquet(opsDir)
+    IngestStream.start(spark, stream, stateDir, ckDir,
+      txTime = id => LocalDateTime.parse("2020-02-01T00:00").plusHours(id),
+      matViewDir = Some(viewDir),
+      txShape = Some(TxLog.TxShape(hasChecks = false, hasEvict = false,
+        hasRanged = false))).awaitTermination()
+    // keep-last-2 after a 10-tx run
+    val dirs = new java.io.File(s"$viewDir/type_counts").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("view-")).map(_.getName).sorted
+    assert(dirs.length == 2, dirs.mkString(","))
+    assert(dirs.toSet == Set("view-8", "view-9"), dirs.mkString(","))
+    // ...and the maintained counts (seeded view-0 = {T:1} + txs 1..9's
+    // deltas) survive: 10 live entities of type T
+    val view = IngestStream.loadTypeCounts(spark, viewDir).get.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(view == Map("T" -> 10L), view.toString)
+  }
+
+  test("join-shape matview (snapshot x static dim) equals recompute") {
+    import scala.jdk.CollectionConverters._
+    val base = java.nio.file.Files.createTempDirectory("graft_mv_join").toString
+    val opsDir = s"$base/ops"; val stateDir = s"$base/state"
+    val ckDir = s"$base/ck"; val viewDir = s"$base/view"
+    new java.io.File(opsDir).mkdirs()
+    val vt = LocalDateTime.parse("2020-01-01T00:00")
+    def opFile(i: Int, rows: List[Row]): Unit = {
+      val stage = s"$base/stage$i"
+      spark.createDataFrame(rows.asJava, TxLog.opSchema)
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(s"$opsDir/b$i.parquet"))
+    }
+    opFile(0, List(
+      Row("put", "e1", "A", vt, null, null, null, 0L),
+      Row("put", "e2", "A", vt, null, null, null, 1L),
+      Row("put", "e3", "B", vt, null, null, null, 2L)))
+    opFile(1, List(
+      Row("put", "e1", "B", vt.plusDays(1), null, null, null, 0L),
+      Row("delete", "e3", null, vt.plusDays(1), null, null, null, 1L)))
+    import org.apache.spark.sql.functions.{broadcast, col, count, lit}
+    val dim = spark.createDataFrame(List(
+      Row("e1", "gold"), Row("e2", "silver"), Row("e3", "gold")).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("eid",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("tier",
+          org.apache.spark.sql.types.StringType)))).localCheckpoint(true)
+    val tierView = IngestStream.ViewDef("tier_counts",
+      snap => snap.join(broadcast(dim), Seq("eid"))
+        .groupBy(col("content_hash"), col("tier")).agg(count(lit(1)).as("n")))
+    val stream = spark.readStream.schema(TxLog.opSchema)
+      .option("maxFilesPerTrigger", "1").parquet(opsDir)
+    IngestStream.start(spark, stream, stateDir, ckDir,
+      txTime = id => LocalDateTime.parse("2020-02-01T00:00").plusHours(id),
+      matViewDir = Some(viewDir),
+      views = Seq(IngestStream.typeCountsView, tierView)).awaitTermination()
+    // survivors: e1=B(gold), e2=A(silver); e3 deleted
+    val got = IngestStream.loadView(spark, viewDir, "tier_counts").get.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(("B", "gold") -> 1L, ("A", "silver") -> 1L), got.toString)
+    // the default view rode along in the same maintenance pass
+    val types = IngestStream.loadTypeCounts(spark, viewDir).get.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(types == Map("A" -> 1L, "B" -> 1L), types.toString)
+  }
+
   test("decodeKafkaOps turns Kafka-shaped records into opSchema rows") {
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.types._
