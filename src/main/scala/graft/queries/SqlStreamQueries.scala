@@ -108,6 +108,27 @@ object SqlStreamQueries {
       .select(col("eid"), col("vt"), col("content_hash").as("event_type"), col("tombstone"))
   }
 
+  /** JDBC-backed tx log ([[graft.sources.JdbcLog]], the crux-jdbc
+    * analogue over Derby embedded): the same three op buckets + the evict
+    * tx submitted as rows of the `tx_events` table (tx id = the RDBMS
+    * auto-increment offset), the log read back as a PARTITIONED Spark
+    * JDBC scan, decoded, and folded through the same [[TxLog.applyBatch]]
+    * every other transport uses. The resolved state must match the
+    * `ingest_batch` oracle (tx ids shifted to the DB's 1-based offsets) —
+    * proving an RDBMS is a drop-in tx-log backend. */
+  def ingestJdbc(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.JdbcLog
+    val db = java.nio.file.Files.createTempDirectory("graft_jdbc").toString + "/txdb"
+    val url = JdbcLog.derbyUrl(db)
+    JdbcLog.setupSchema(url)
+    opsByBucket(s, dir).foreach(ops => JdbcLog.submitTx(url, JdbcLog.opsToJson(ops)))
+    JdbcLog.submitTx(url,
+      """[{"op":"evict","eid":"11","seq":1},{"op":"evict","eid":"12","seq":2}]""")
+    val state = JdbcLog.replay(s, url, TxLog.emptyState(s))
+    state.select(col("eid"), col("vt"), col("tx_id"),
+      col("content_hash").as("event_type"), col("tombstone"))
+  }
+
   /** Checkpoint sink round-trip (SURVEY §2.1, checkpoint.clj semantics):
     * ingest, save two snapshots with keep=1 (older pruned), restore the
     * latest and emit the same projection as `ingest_batch` — proving a
@@ -448,6 +469,7 @@ object SqlStreamQueries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ingest_batch" -> ingestBatch _,
+    "ingest_jdbc" -> ingestJdbc _,
     "checkpoint_restore" -> checkpointRestore _,
     "ingest_stream" -> ingestStream _,
     "stream_window" -> streamWindow _,
@@ -482,6 +504,15 @@ object SqlStreamSql {
       SELECT CAST(user_id AS VARCHAR) AS eid, CAST(ts AS TIMESTAMP) AS vt,
         CASE WHEN ts < TIMESTAMP '2024-01-11' THEN 0
              WHEN ts < TIMESTAMP '2024-01-21' THEN 1 ELSE 2 END AS tx_id,
+        CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS event_type,
+        (event_type = 'error') AS tombstone
+      FROM events
+      WHERE user_id NOT IN (11, 12)""",
+
+    "ingest_jdbc" -> """
+      SELECT CAST(user_id AS VARCHAR) AS eid, CAST(ts AS TIMESTAMP) AS vt,
+        CASE WHEN ts < TIMESTAMP '2024-01-11' THEN 1
+             WHEN ts < TIMESTAMP '2024-01-21' THEN 2 ELSE 3 END AS tx_id,
         CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS event_type,
         (event_type = 'error') AS tombstone
       FROM events
