@@ -45,7 +45,12 @@ object SqlStreamQueries {
   private def stageOpsByBucket(s: SparkSession, dir: String, base: String): String = {
     val opsDir = s"$base/ops"
     new java.io.File(opsDir).mkdirs()
+    // same [2024-01-01, 2099-01-01) bounds as opsByBucket — without them
+    // bucket 0 would silently absorb any pre-2024 event and the streaming
+    // op set would diverge from the batch path's
     val ev = Tables.load(s, dir, "events")
+      .filter(col("ts") >= lit(java.time.LocalDateTime.parse("2024-01-01T00:00")) &&
+        col("ts") < lit(java.time.LocalDateTime.parse("2099-01-01T00:00")))
     val bucket = when(col("ts") < lit(java.time.LocalDateTime.parse("2024-01-11T00:00")), 0)
       .when(col("ts") < lit(java.time.LocalDateTime.parse("2024-01-21T00:00")), 1)
       .otherwise(2)
@@ -62,11 +67,20 @@ object SqlStreamQueries {
         bucket.as("b"))
       .coalesce(1)
       .write.partitionBy("b").mode("overwrite").parquet(s"$base/stage")
+    // FileStreamSource orders by mtime: the single coalesced write can
+    // stamp all three buckets identically, so set strictly increasing
+    // mtimes to make "picked up in tx order" hold by timestamp, not by
+    // listing-order tie-break
+    val now = System.currentTimeMillis()
     (0 until 3).foreach { i =>
-      val part = new java.io.File(s"$base/stage/b=$i").listFiles()
-        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
-      java.nio.file.Files.move(part.toPath,
-        java.nio.file.Paths.get(s"$opsDir/b$i.parquet"))
+      val part = Option(new java.io.File(s"$base/stage/b=$i").listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(
+          s"stageOpsByBucket: bucket $i is empty — events fixture ts span drifted"))
+      val dst = new java.io.File(s"$opsDir/b$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(now + i * 1000L); ()
     }
     opsDir
   }
@@ -210,6 +224,23 @@ object SqlStreamQueries {
       Seq(IngestStream.typeCountsView, segView))
     IngestStream.loadView(s, viewDir, "seg_counts").get
       .select(col("content_hash").as("event_type"), col("c_mktsegment"), col("n"))
+  }
+
+  /** Sum-shaped IVM view (r8): beyond `count`, any SUM-decomposable
+    * aggregate folds by the identical delta-with-negation discipline —
+    * here live-entity count AND sum-of-entity-id per type, with `avg` as
+    * sum÷count at read time. The oracle recomputes count/sum/avg from raw
+    * events; a hash match proves every batch's signed measure deltas were
+    * exact through put/delete alike. */
+  def streamMatviewSum(s: SparkSession, dir: String): DataFrame = {
+    val sumView = IngestStream.ViewDef("type_sums",
+      snap => snap.groupBy(col("content_hash"))
+        .agg(count(lit(1)).as("n"), sum(col("eid").cast("long")).as("total")),
+      measures = Seq("n", "total"))
+    val viewDir = runMatviewStream(s, dir, Seq(sumView))
+    IngestStream.loadView(s, viewDir, "type_sums").get
+      .select(col("content_hash").as("event_type"), col("n"), col("total"),
+        (col("total").cast("double") / col("n")).as("avg_uid"))
   }
 
   /** PIVOT through the SQL surface (§2.8): per-nation customer counts
@@ -495,7 +526,8 @@ object SqlStreamQueries {
     "src_csv_roundtrip" -> srcCsvRoundtrip _,
     "src_jsonl_roundtrip" -> srcJsonlRoundtrip _,
     "stream_matview" -> streamMatview _,
-    "stream_matview_join" -> streamMatviewJoin _)
+    "stream_matview_join" -> streamMatviewJoin _,
+    "stream_matview_sum" -> streamMatviewSum _)
 }
 
 object SqlStreamSql {
@@ -722,6 +754,18 @@ object SqlStreamSql {
       FROM ranked JOIN customer ON user_id = c_custkey
       WHERE rn = 1 AND NOT tomb
       GROUP BY event_type, c_mktsegment""",
+
+    "stream_matview_sum" -> """
+      WITH ranked AS (
+        SELECT user_id, event_type, (event_type = 'error') AS tomb,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events)
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(user_id) AS BIGINT) AS total,
+             CAST(SUM(user_id) AS DOUBLE) / COUNT(*) AS avg_uid
+      FROM ranked WHERE rn = 1 AND NOT tomb
+      GROUP BY event_type""",
 
     "sql_pivot" -> """
       SELECT c_nationkey,

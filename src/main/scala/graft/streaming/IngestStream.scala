@@ -104,11 +104,8 @@ object IngestStream {
       matViewDir: Option[String] = None,
       txShape: Option[TxLog.TxShape] = None,
       views: Seq[ViewDef] = Seq(typeCountsView),
-      txPartitions: Option[Int] = None): StreamingQuery = {
-    // in-memory handle to each view's latest committed parquet dir — skips
-    // the per-batch directory listing + read-back; dies with the query
-    // (recovery falls back to loadView's listing)
-    val viewCache = scala.collection.mutable.Map.empty[String, DataFrame]
+      txPartitions: Option[Int] = None,
+      viewCompactEvery: Int = 8): StreamingQuery = {
     opsStream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -124,7 +121,31 @@ object IngestStream {
         // default)
         val prevShuffle = sp.conf.get("spark.sql.shuffle.partitions")
         txPartitions.foreach(n => sp.conf.set("spark.sql.shuffle.partitions", n))
-        try {
+        try applyToStore(sp, ops, batchId, stateDir, txTime(batchId),
+          secondarySinks, compactEvery, matViewDir, txShape, views,
+          viewCompactEvery)
+        finally txPartitions.foreach(_ =>
+          sp.conf.set("spark.sql.shuffle.partitions", prevShuffle))
+      }
+      .start()
+  }
+
+  /** Apply ONE transaction's ops to the state store: replay guard, fold,
+    * delta/base write, secondary sinks, matview maintenance, manifest
+    * commit, prune. This is the foreachBatch body of [[start]], factored
+    * out so non-Spark-source transports — the JDBC polling subscription
+    * ([[graft.sources.JdbcLog.subscribe]]), the reference's
+    * handle-polling-subscription shape (crux-jdbc/src/crux/jdbc.clj:
+    * 152-154) — drive the SAME sequential indexer. Idempotent per txId
+    * (the commit manifest is the replay guard). */
+  def applyToStore(sp: SparkSession, ops: DataFrame, batchId: Long,
+      stateDir: String, txTimeOfBatch: java.time.LocalDateTime,
+      secondarySinks: Seq[(DataFrame, Long) => Unit] = Nil,
+      compactEvery: Int = 16,
+      matViewDir: Option[String] = None,
+      txShape: Option[TxLog.TxShape] = None,
+      views: Seq[ViewDef] = Seq(typeCountsView),
+      viewCompactEvery: Int = 8): Unit = {
         // all state IO rides the session Hadoop conf (incl. this replay
         // guard) so HDFS/S3 credentials configured on the session apply
         val conf = sp.sessionState.newHadoopConf()
@@ -161,13 +182,13 @@ object IngestStream {
                   broadcast(ops.select(col("eid")).distinct()),
                   Seq("eid"), "left_semi").cache()
               val (newRows, evictEids) = TxLog.applyPutDeleteTxs(
-                histTouched, Seq((batchId, txTime(batchId), ops)),
+                histTouched, Seq((batchId, txTimeOfBatch, ops)),
                 stateIsPruned = true)
               TxLog.TxParts(newRows, evictEids, sh.hasEvict, aborted = false,
                 cleanup = () => { histTouched.unpersist(); () },
                 resolvedTouched = histTouched)
             case _ =>
-              TxLog.applyTxParts(current, ops, batchId, txTime(batchId), txShape)
+              TxLog.applyTxParts(current, ops, batchId, txTimeOfBatch, txShape)
           }
           val delta = parts.newRows
           val next: StateManifest =
@@ -215,7 +236,7 @@ object IngestStream {
                 sp.read.schema(TxLog.versionSchema).parquet(s"$stateDir/delta-$batchId")
               else delta
             maintainViews(sp, vd, views, batchId, parts.resolvedTouched,
-              parts.evictEids, parts.hasEvict, deltaRows, viewCache)
+              parts.evictEids, parts.hasEvict, deltaRows, viewCompactEvery)
           }
           commitManifest(stateDir, next, conf)
           pruneStale(fs, stateDir, conf)
@@ -223,21 +244,24 @@ object IngestStream {
           // block-manager entries stay flat across a long-running stream
           parts.cleanup()
         }
-        } finally txPartitions.foreach(_ =>
-          sp.conf.set("spark.sql.shuffle.partitions", prevShuffle))
-      }
-      .start()
   }
 
   /** One incrementally-maintained materialized view: `agg` maps the
     * CURRENT snapshot of the touched entities (resolved version rows:
     * latest non-tombstone fact per eid) to an aggregate keyed by any
-    * columns plus a count/sum column named `n`. Delta maintenance is
-    * valid for exactly this shape — `agg(after) − agg(before)` folds into
-    * the stored view by summing `n` per key — and `agg` may join the
-    * snapshot to STATIC dimension tables (only touched eids' rows change
-    * per tx, so the join delta is the row delta joined). */
-  final case class ViewDef(name: String, agg: DataFrame => DataFrame)
+    * columns plus the `measures` columns, each of which must be a SUM-
+    * decomposable aggregate (count/sum — and therefore avg as sum÷count
+    * at read time). A count(*) column named `n` is required: it is the
+    * liveness witness (a key whose `n` folds to 0 has left the view).
+    * Delta maintenance is valid for exactly this shape —
+    * `agg(after) − agg(before)` folds into the stored view by summing
+    * each measure per key — and `agg` may join the snapshot to STATIC
+    * dimension tables (only touched eids' rows change per tx, so the
+    * join delta is the row delta joined). */
+  final case class ViewDef(name: String, agg: DataFrame => DataFrame,
+      measures: Seq[String] = Seq("n")) {
+    require(measures.contains("n"), s"view $name: measures must include the count column 'n'")
+  }
 
   /** The default view: live entity count per content_hash — the "how many
     * docs of each type" dashboard query, answered without the version log. */
@@ -253,22 +277,35 @@ object IngestStream {
     * recompute per batch would re-resolve the entire store — the thing
     * that stops scaling first; equivalence of the maintained views with
     * that recompute is pinned by StreamingSpec and the `stream_matview` /
-    * `stream_matview_join` oracle gates.
+    * `stream_matview_join` / `stream_matview_sum` oracle gates.
     *
-    * Recovery contract: each view is a stack of `view-<txId>` dirs under
-    * `viewDir/<name>`; if a replayed batch finds its own `view-<txId>`
-    * already on disk (a crash landed between the view write and the
-    * manifest commit — or between the manifest commit and Spark's
-    * checkpoint commit), maintenance SKIPS the recompute: at replay time
-    * `resolvedTouched` may already reflect the post-tx store, so a
-    * recomputed delta would be ~zero and clobber the correct view. The
-    * merge input is always the latest view with txId < current, never a
-    * crashed attempt's own partial write. Old view dirs are pruned
-    * keep-last-2 after a successful write, mirroring [[pruneStale]]. */
+    * Storage is a per-view DELTA LOG mirroring the state store's own
+    * base/delta discipline: each tx appends only `vdelta-<txId>` — its
+    * O(touched keys) signed delta aggregate, ONE write action per view
+    * per tx, never a merged-view rewrite — and every `compactEvery`
+    * deltas the stack folds into a `vbase-<txId>` snapshot (deltas the
+    * base subsumes are pruned; the 2 newest bases are kept, mirroring
+    * [[pruneStale]]). [[loadView]] merges base + trailing deltas at read
+    * time — O(view keys + compactEvery × touched keys), independent of
+    * history length.
+    *
+    * Crash safety: a dir counts as committed only when the parquet
+    * committer's `_SUCCESS` marker is present; a torn dir (crash mid-
+    * write) is deleted and recomputed. If a replayed batch finds its own
+    * COMMITTED `vdelta-<txId>` (a crash landed between the view write
+    * and the manifest commit — or between the manifest commit and
+    * Spark's checkpoint commit), maintenance SKIPS the recompute: at
+    * replay time `resolvedTouched` may already reflect the post-tx
+    * store, so a recomputed delta would be ~zero. All view IO rides the
+    * same Hadoop `FileSystem` as the state manifests, so `viewDir` may
+    * live on HDFS/S3/local alike. */
   private def maintainViews(sp: SparkSession, viewDir: String,
       views: Seq[ViewDef], txId: Long, resolvedBefore: DataFrame,
       evictEids: DataFrame, hasEvict: Boolean, deltaRows: DataFrame,
-      cache: scala.collection.mutable.Map[String, DataFrame]): Unit = {
+      compactEvery: Int): Unit = {
+    import org.apache.hadoop.fs.Path
+    val conf = sp.sessionState.newHadoopConf()
+    val fs = hfs(viewDir, conf)
     val basis = lit(java.time.LocalDateTime.parse("2099-01-01T00:00"))
     // asOfTime alone resolves the snapshot — its per-eid max_by(vt, tx_id)
     // picks the same winner a resolvedHistory pre-pass would (the overall
@@ -286,44 +323,110 @@ object IngestStream {
     val afterSnap = snap(afterBase.unionByName(deltaRows)).cache()
     try views.foreach { v =>
       val dir = s"$viewDir/${v.name}"
-      val target = new java.io.File(s"$dir/view-$txId")
-      val deltaAgg = v.agg(afterSnap).unionByName(
-        v.agg(beforeSnap).withColumn("n", -col("n")))
-      if (!target.isDirectory) {
-        val keys = deltaAgg.columns.filterNot(_ == "n")
-        val prev = cache.get(dir)
-          .orElse(loadView(sp, viewDir, v.name, beforeTx = Some(txId)))
-          .getOrElse(deltaAgg.limit(0))
-        prev.unionByName(deltaAgg)
-          .groupBy(keys.map(col): _*)
-          .agg(sum(col("n")).as("n"))
-          .filter(col("n") =!= 0)
-          .coalesce(1)
-          .write.mode("overwrite").parquet(target.toString)
+      val target = new Path(s"$dir/vdelta-$txId")
+      val negate = v.measures.foldLeft(v.agg(beforeSnap))(
+        (d, m) => d.withColumn(m, -col(m)))
+      val deltaAgg = v.agg(afterSnap).unionByName(negate)
+      val alreadyCommitted = committedDir(fs, target)
+      if (!alreadyCommitted) {
+        // a dir without _SUCCESS is a torn write from a crash — the guard
+        // must NOT trust it as this tx's delta (ADVICE r7)
+        if (fs.exists(target)) fs.delete(target, true)
+        writeViewMeta(fs, new Path(dir), v.measures)
+        deltaAgg.coalesce(1).write.mode("overwrite").parquet(target.toString)
       }
-      // the committed dir is the clean merge input for the next batch —
-      // schema supplied, so no footer-probe job per batch
-      cache(dir) = sp.read.schema(deltaAgg.schema).parquet(target.toString)
-      // keep-last-2: this view + its predecessor (the replay merge basis)
-      Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isDirectory && f.getName.startsWith("view-"))
-        .sortBy(_.getName.stripPrefix("view-").toLong)
-        .dropRight(2)
-        .foreach(stale => org.apache.commons.io.FileUtils.deleteDirectory(stale))
+      // compaction: fold the committed delta stack into a fresh base once
+      // it is compactEvery deep (read-side merge fanout knob, not a
+      // correctness one — loadView unions whatever stack exists)
+      val deltaIds = listCommitted(fs, dir, "vdelta-")
+      if (deltaIds.size >= compactEvery) {
+        val basePath = new Path(s"$dir/vbase-$txId")
+        if (fs.exists(basePath)) fs.delete(basePath, true) // torn compaction
+        loadView(sp, viewDir, v.name, beforeTx = Some(txId + 1)).foreach {
+          merged =>
+            merged.coalesce(1).write.mode("overwrite").parquet(basePath.toString)
+            // base committed: deltas it subsumes go; 2 newest bases stay
+            // (the older is a concurrent reader's grace window)
+            deltaIds.filter(_ <= txId).foreach(id =>
+              fs.delete(new Path(s"$dir/vdelta-$id"), true))
+            listCommitted(fs, dir, "vbase-").sorted.dropRight(2).foreach(id =>
+              fs.delete(new Path(s"$dir/vbase-$id"), true))
+        }
+      }
     } finally { beforeSnap.unpersist(); afterSnap.unpersist(); () }
   }
 
-  /** Latest committed state of a maintained view (optionally strictly
-    * before `beforeTx`). */
+  /** `true` iff the dir's parquet write committed (its `_SUCCESS` marker
+    * landed) — a bare-existence probe would trust torn writes. */
+  private def committedDir(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Boolean =
+    fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+
+  /** Ids of committed `<prefix><id>` dirs under `dir`. */
+  private def listCommitted(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+      prefix: String): Seq[Long] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(dir)
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+      .map(_.getPath)
+      .filter(p => committedDir(fs, p))
+      .map(_.getName.stripPrefix(prefix).toLong)
+  }
+
+  /** The view's measure columns, persisted once per view as a `_viewmeta`
+    * sidecar so the read path can fold the delta log without the ViewDef. */
+  private def writeViewMeta(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path, measures: Seq[String]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir, "_viewmeta")
+    if (!fs.exists(p)) {
+      fs.mkdirs(dir)
+      val out = fs.create(p, true)
+      try out.write(s"measures=${measures.mkString(",")}\n".getBytes("UTF-8"))
+      finally out.close()
+    }
+  }
+
+  private def readViewMeta(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir, "_viewmeta")
+    if (!fs.exists(p)) Seq("n")
+    else {
+      val in = fs.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      text.linesIterator.collectFirst {
+        case l if l.startsWith("measures=") =>
+          l.stripPrefix("measures=").split(",").toSeq.filter(_.nonEmpty)
+      }.getOrElse(Seq("n"))
+    }
+  }
+
+  /** Latest committed state of a maintained view (optionally as of
+    * strictly before `beforeTx`): the newest base + the trailing deltas
+    * folded by summing each measure per key, dead keys (`n` = 0)
+    * dropped. One scan over O(view + compactEvery × touched) rows. */
   def loadView(sp: SparkSession, viewDir: String, name: String,
       beforeTx: Option[Long] = None): Option[DataFrame] = {
-    val d = new java.io.File(s"$viewDir/$name")
-    val ids = Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("view-"))
-      .map(_.getName.stripPrefix("view-").toLong)
-      .filter(id => beforeTx.forall(id < _))
-    if (ids.isEmpty) None
-    else Some(sp.read.parquet(s"$viewDir/$name/view-${ids.max}"))
+    import org.apache.hadoop.fs.Path
+    val fs = hfs(viewDir, sp.sessionState.newHadoopConf())
+    val dir = s"$viewDir/$name"
+    def keep(ids: Seq[Long]) = ids.filter(id => beforeTx.forall(id < _))
+    val baseId = keep(listCommitted(fs, dir, "vbase-")).sorted.lastOption
+    val deltaIds = keep(listCommitted(fs, dir, "vdelta-"))
+      .filter(id => baseId.forall(id > _)).sorted
+    val dirs = baseId.map(b => s"$dir/vbase-$b").toSeq ++
+      deltaIds.map(d => s"$dir/vdelta-$d")
+    if (dirs.isEmpty) return None
+    val measures = readViewMeta(fs, new Path(dir))
+    val stack = sp.read.parquet(dirs: _*)
+    val keys = stack.columns.filterNot(measures.contains)
+    Some(stack
+      .groupBy(keys.map(col): _*)
+      .agg(measures.map(m => sum(col(m)).as(m)).head,
+        measures.map(m => sum(col(m)).as(m)).tail: _*)
+      .filter(col("n") =!= 0))
   }
 
   /** Latest [[typeCountsView]] state (back-compat name). */
@@ -548,16 +651,23 @@ object IngestStream {
     * Scale shape: each batch's work is O(batch × collision rate) — the
     * corpus is NEVER rescanned (earlier docs participate only through the
     * band-key index join and the per-candidate posting lookups, both
-    * equi-joins on keys the index is partitioned by). The parquet dirs
-    * are exactly the posting lists a persistent dedup service maintains;
-    * the union over batches provably equals the batch pair set (a pair
-    * is found when its later member arrives).
+    * equi-joins on keys the index is partitioned by). The band index and
+    * shingle postings live as CACHED frames across batches — each batch
+    * unions its own persisted delta in and leaves it cached, so the probe
+    * joins read the accumulated index from executor memory, never from a
+    * per-batch parquet round-trip (the r6/r7 constant). The parquet dirs
+    * remain the durable posting lists a persistent dedup service keeps:
+    * appends are O(batch), and a restart reseeds the cache from them
+    * once. Every `checkpointEvery` batches the accumulated frames are
+    * localCheckpoint'd so lineage depth stays bounded on a long-running
+    * stream. The union over batches provably equals the batch pair set
+    * (a pair is found when its later member arrives).
     *
     * Returns the complete verified pair set after draining the stream —
     * identical to the batch operator's answer on the same corpus. */
   def lshDedupStream(spark: SparkSession, docsPath: String, tau: Double = 0.5,
       k: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      nChunks: Int = 3): DataFrame = {
+      nChunks: Int = 3, checkpointEvery: Int = 8): DataFrame = {
     import graft.operators.Dedup
     val base = java.nio.file.Files.createTempDirectory("graft_lsh_stream").toString
     val inDir = s"$base/in"; val idxDir = s"$base/idx"
@@ -575,46 +685,62 @@ object IngestStream {
         java.nio.file.Paths.get(s"$inDir/b$i.parquet"))
     }
     val rowsPerBand = numHashes / bands
+    // accumulated index state, held on the driver between batches; the
+    // delta frames it unions stay persisted (their blocks ARE the index),
+    // tracked in `pinned` so the drain can release every block at the end
+    var idxCache: Option[DataFrame] = None
+    var shCache: Option[DataFrame] = None
+    val pinned = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val q = spark.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", "1").parquet(inDir)
       .writeStream.option("checkpointLocation", s"$base/ck")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val sp = batch.sparkSession
-        val shB = Dedup.shingles(batch, k)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val shB = Dedup.shingles(batch, k).persist(lvl)
         val keysB = Dedup.bandKeyRows(
           Dedup.minhashSignatures(shB, numHashes), bands, rowsPerBand)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          val priorKeys =
-            if (new java.io.File(idxDir).isDirectory) sp.read.parquet(idxDir)
-            else keysB.limit(0)
-          // candidates: new keys vs (index ∪ new keys); normalize pair
-          // order so cross-batch pairs compare like the batch operator
-          val allKeys = priorKeys.unionByName(keysB)
-          val cand = keysB.as("a")
-            .join(allKeys.as("b"),
-              col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-                col("a.doc_id") =!= col("b.doc_id"))
-            .select(least(col("a.doc_id"), col("b.doc_id")).as("d1"),
-              greatest(col("a.doc_id"), col("b.doc_id")).as("d2"))
-            .distinct()
-          val shAll =
-            if (new java.io.File(shDir).isDirectory)
-              sp.read.parquet(shDir).unionByName(shB)
-            else shB
-          val pairs = Dedup.jaccardOfPairs(shAll, cand, tau)
-          pairs.write.mode("append").parquet(pairsDir)
-          keysB.write.mode("append").parquet(idxDir)
-          shB.write.mode("append").parquet(shDir)
-        } finally { shB.unpersist(); keysB.unpersist(); () }
+          .persist(lvl)
+        pinned += shB; pinned += keysB
+        // restart reseed: cache empty but durable postings exist (a prior
+        // run's appends) — one read, then cached for the rest of the run
+        if (idxCache.isEmpty && new java.io.File(idxDir).isDirectory) {
+          idxCache = Some(sp.read.parquet(idxDir).persist(lvl))
+          shCache = Some(sp.read.parquet(shDir).persist(lvl))
+          pinned ++= idxCache; pinned ++= shCache
+        }
+        // candidates: new keys vs (index ∪ new keys); normalize pair
+        // order so cross-batch pairs compare like the batch operator
+        val allKeys = idxCache.map(_.unionByName(keysB)).getOrElse(keysB)
+        val cand = keysB.as("a")
+          .join(allKeys.as("b"),
+            col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+              col("a.doc_id") =!= col("b.doc_id"))
+          .select(least(col("a.doc_id"), col("b.doc_id")).as("d1"),
+            greatest(col("a.doc_id"), col("b.doc_id")).as("d2"))
+          .distinct()
+        val shAll = shCache.map(_.unionByName(shB)).getOrElse(shB)
+        val pairs = Dedup.jaccardOfPairs(shAll, cand, tau)
+        pairs.write.mode("append").parquet(pairsDir)
+        // durable O(batch) appends — never read back within this run
+        keysB.write.mode("append").parquet(idxDir)
+        shB.write.mode("append").parquet(shDir)
+        // fold the batch's (still-persisted) delta into the live index
+        idxCache = Some(allKeys); shCache = Some(shAll)
+        if (batchId % checkpointEvery == (checkpointEvery - 1)) {
+          idxCache = idxCache.map(_.localCheckpoint())
+          shCache = shCache.map(_.localCheckpoint())
+        }
       }
       .start()
     q.awaitTermination()
     // a pair is emitted once, by its later-arriving member's batch;
-    // distinct guards the replayed-batch edge
-    spark.read.parquet(pairsDir).distinct()
+    // distinct guards the replayed-batch edge; localCheckpoint pins the
+    // result so every index block can be released below
+    val result = spark.read.parquet(pairsDir).distinct().localCheckpoint()
+    pinned.foreach(_.unpersist())
+    result
   }
 
   /** Stream-stream inner join (r6): clicks joined to same-user purchases

@@ -139,14 +139,14 @@ class StreamingSpec extends AnyFunSuite {
     assert(view == recomputed, s"view=$view recomputed=$recomputed")
   }
 
-  test("view dirs are pruned keep-last-2; a pre-existing view-<tx> is not clobbered") {
+  test("view delta log compacts into bases (keep-last-2) and a committed vdelta is not clobbered") {
     import scala.jdk.CollectionConverters._
     val base = java.nio.file.Files.createTempDirectory("graft_mv_prune").toString
     val opsDir = s"$base/ops"; val stateDir = s"$base/state"
     val ckDir = s"$base/ck"; val viewDir = s"$base/view"
     new java.io.File(opsDir).mkdirs()
     val vt = LocalDateTime.parse("2020-01-01T00:00")
-    (0 until 10).foreach { i =>
+    (0 until 6).foreach { i =>
       val stage = s"$base/stage$i"
       spark.createDataFrame(List(
         Row("put", s"e$i", "T", vt.plusDays(i.toLong), null, null, null, 0L)).asJava,
@@ -156,16 +156,70 @@ class StreamingSpec extends AnyFunSuite {
         .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
       java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(s"$opsDir/b$i.parquet"))
     }
-    // replay-idempotency guard: a crashed prior attempt left view-0 on
-    // disk; maintenance must trust it (skip the recompute), never clobber
+    // replay-idempotency guard: a crashed prior attempt COMMITTED tx 0's
+    // view delta (parquet _SUCCESS present); maintenance must trust it
+    // (skip the recompute), never clobber — the marker key X proves it
+    // survived every later compaction
     val preSeeded = spark.createDataFrame(
-      List(Row("T", 1L)).asJava,
+      List(Row("T", 1L), Row("X", 1L)).asJava,
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("content_hash",
           org.apache.spark.sql.types.StringType),
         org.apache.spark.sql.types.StructField("n",
           org.apache.spark.sql.types.LongType))))
-    preSeeded.coalesce(1).write.parquet(s"$viewDir/type_counts/view-0")
+    preSeeded.coalesce(1).write.parquet(s"$viewDir/type_counts/vdelta-0")
+    val stream = spark.readStream.schema(TxLog.opSchema)
+      .option("maxFilesPerTrigger", "1").parquet(opsDir)
+    IngestStream.start(spark, stream, stateDir, ckDir,
+      txTime = id => LocalDateTime.parse("2020-02-01T00:00").plusHours(id),
+      matViewDir = Some(viewDir),
+      txShape = Some(TxLog.TxShape(hasChecks = false, hasEvict = false,
+        hasRanged = false)),
+      viewCompactEvery = 2).awaitTermination()
+    // compactions at tx 1/3/5 → bases vbase-1/3/5; keep-last-2 keeps 3 and
+    // 5, every subsumed delta is gone
+    val dirs = new java.io.File(s"$viewDir/type_counts").listFiles()
+      .filter(f => f.isDirectory && (f.getName.startsWith("vdelta-") ||
+        f.getName.startsWith("vbase-"))).map(_.getName).sorted
+    assert(dirs.toSet == Set("vbase-3", "vbase-5"), dirs.mkString(","))
+    // ...and the maintained counts (seeded vdelta-0 = {T:1, X:1} + txs
+    // 1..5's deltas) survive: 6 live T entities + the marker
+    val view = IngestStream.loadTypeCounts(spark, viewDir).get.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(view == Map("T" -> 6L, "X" -> 1L), view.toString)
+  }
+
+  test("a torn vdelta (no _SUCCESS) is deleted and recomputed; view IO rides the Hadoop FileSystem") {
+    import scala.jdk.CollectionConverters._
+    val base = java.nio.file.Files.createTempDirectory("graft_mv_torn").toString
+    val opsDir = s"$base/ops"; val stateDir = s"$base/state"
+    val ckDir = s"$base/ck"
+    // file:-scheme URI pins the Hadoop FileSystem route — java.io.File IO
+    // would fail to resolve it (the r7 deployment-correctness flaw)
+    val viewDir = s"file:$base/view"
+    new java.io.File(opsDir).mkdirs()
+    val vt = LocalDateTime.parse("2020-01-01T00:00")
+    (0 until 2).foreach { i =>
+      val stage = s"$base/stage$i"
+      spark.createDataFrame(List(
+        Row("put", s"e$i", "T", vt.plusDays(i.toLong), null, null, null, 0L)).asJava,
+        TxLog.opSchema)
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(s"$opsDir/b$i.parquet"))
+    }
+    // a crash DURING tx 0's delta write left a torn dir: parquet data but
+    // no _SUCCESS — the guard must DELETE it and recompute, not trust it
+    val poison = spark.createDataFrame(
+      List(Row("X", 99L)).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("content_hash",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType))))
+    poison.coalesce(1).write.parquet(s"$base/view/type_counts/vdelta-0")
+    assert(new java.io.File(s"$base/view/type_counts/vdelta-0/_SUCCESS").delete())
     val stream = spark.readStream.schema(TxLog.opSchema)
       .option("maxFilesPerTrigger", "1").parquet(opsDir)
     IngestStream.start(spark, stream, stateDir, ckDir,
@@ -173,16 +227,9 @@ class StreamingSpec extends AnyFunSuite {
       matViewDir = Some(viewDir),
       txShape = Some(TxLog.TxShape(hasChecks = false, hasEvict = false,
         hasRanged = false))).awaitTermination()
-    // keep-last-2 after a 10-tx run
-    val dirs = new java.io.File(s"$viewDir/type_counts").listFiles()
-      .filter(f => f.isDirectory && f.getName.startsWith("view-")).map(_.getName).sorted
-    assert(dirs.length == 2, dirs.mkString(","))
-    assert(dirs.toSet == Set("view-8", "view-9"), dirs.mkString(","))
-    // ...and the maintained counts (seeded view-0 = {T:1} + txs 1..9's
-    // deltas) survive: 10 live entities of type T
     val view = IngestStream.loadTypeCounts(spark, viewDir).get.collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(view == Map("T" -> 10L), view.toString)
+    assert(view == Map("T" -> 2L), view.toString)
   }
 
   test("join-shape matview (snapshot x static dim) equals recompute") {
