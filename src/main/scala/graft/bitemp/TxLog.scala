@@ -511,8 +511,6 @@ object TxLog {
       txs: Seq[(Long, java.time.LocalDateTime, DataFrame)],
       broadcastTouched: Boolean = false,
       stateIsPruned: Boolean = false): (DataFrame, DataFrame) = {
-    val spark = state.sparkSession
-    import spark.implicits._
     val opsAll = txs.map { case (txId, txTime, ops) =>
       ops.filter(col("op").isin("put", "delete", "evict"))
         .select(
@@ -528,6 +526,38 @@ object TxLog {
           col("end_vt").as("endVt"),
           col("seq"))
     }.reduce(_ unionByName _)
+    foldOps(state, opsAll, broadcastTouched, stateIsPruned)
+  }
+
+  /** [[applyPutDeleteTxs]] with tx id/time taken from `tx_id`/`tx_time`
+    * COLUMNS of one ops frame instead of a Seq of per-tx frames — the
+    * log-replay shape: a thousand-tx catch-up is one scan feeding one
+    * fold, not a thousand-branch union plan (each branch re-filtering the
+    * log). Fold semantics are identical: [[TxLogFold.foldEntity]] orders
+    * by (txId, seq) per entity either way. */
+  def applyPutDeleteTxsFrame(state: DataFrame, opsWithTx: DataFrame,
+      broadcastTouched: Boolean = false): (DataFrame, DataFrame) = {
+    val opsAll = opsWithTx.filter(col("op").isin("put", "delete", "evict"))
+      .select(
+        col("eid"), lit(1).as("kind"),
+        when(col("op") === "evict", lit(null).cast(TimestampNTZType))
+          .otherwise(coalesce(col("start_vt"),
+            col("tx_time").cast(TimestampNTZType))).as("vt"),
+        col("tx_time").cast(TimestampNTZType).as("tt"),
+        col("tx_id").as("txId"),
+        when(col("op") === "delete", lit(null: String))
+          .otherwise(col("content_hash")).as("hash"),
+        lit(false).as("tomb"),
+        col("op"),
+        col("end_vt").as("endVt"),
+        col("seq"))
+    foldOps(state, opsAll, broadcastTouched, stateIsPruned = false)
+  }
+
+  private def foldOps(state: DataFrame, opsAll: DataFrame,
+      broadcastTouched: Boolean, stateIsPruned: Boolean): (DataFrame, DataFrame) = {
+    val spark = state.sparkSession
+    import spark.implicits._
     val touched0 = opsAll.select("eid").distinct()
     val touched = if (broadcastTouched) broadcast(touched0) else touched0
     val hist = (if (stateIsPruned) state

@@ -239,23 +239,126 @@ object JdbcLog {
     parts.mkString("[", ",", "]")
   }
 
-  /** Replay the log through the same fold every other transport uses
-    * ([[TxLog.applyBatch]]): the resolved state after all txs >
-    * `afterTxId`, starting from `state`. */
+  /** Replay the log through the same fold semantics every other transport
+    * uses: the resolved state after all txs > `afterTxId`, starting from
+    * `state`.
+    *
+    * Scale shape (the r7 ADVICE item): the partitioned JDBC scan runs
+    * ONCE and is materialized; maximal runs of check-free txs (the norm —
+    * match/cas are rare) fold in ONE distributed pass via
+    * [[TxLog.applyPutDeleteTxsFrame]] with tx id/time read from columns,
+    * so an N-tx catch-up costs O(runs) Spark jobs, not O(N) per-tx
+    * filter plans over the cached log. Only txs carrying match/cas (whose
+    * abort decision is sequential by contract) take the per-tx path. */
   def replay(spark: SparkSession, url: String,
       state: DataFrame, afterTxId: Long = 0): DataFrame = {
-    val log = openTxLog(spark, url, afterTxId).cache()
-    try {
-      val txMeta = log.select(col("tx_id"), col("tx_time")).distinct()
-        .collect()
-        .map(r => (r.getLong(0), r.getAs[java.time.LocalDateTime](1)))
-        .sortBy(_._1)
-      val txs = txMeta.toSeq.map { case (txId, txTime) =>
-        (txId, txTime,
-          log.filter(col("tx_id") === txId)
-            .select(TxLog.opSchema.fieldNames.map(col): _*))
+    val log = openTxLog(spark, url, afterTxId).localCheckpoint(true)
+    // ONE classify job: tx kinds + ranged flags, same discipline as
+    // TxLog.applyBatch's union-classify (TxLog.scala applyBatch)
+    val kindRows = log.select(col("tx_id"), col("op"),
+        (col("op").isin("put", "delete", "cas") && col("end_vt").isNotNull).as("r"))
+      .distinct().collect()
+    if (kindRows.isEmpty) return state
+    val txIds = kindRows.map(_.getLong(0)).distinct.sorted
+    val kinds: Map[Long, Set[String]] =
+      kindRows.groupBy(_.getLong(0)).map { case (id, rs) => id -> rs.map(_.getString(1)).toSet }
+    val ranged: Map[Long, Boolean] =
+      kindRows.groupBy(_.getLong(0)).map { case (id, rs) => id -> rs.exists(_.getBoolean(2)) }
+    val needsSeq = (id: Long) => kinds(id).contains("match") || kinds(id).contains("cas")
+    val seqTimes: Map[Long, java.time.LocalDateTime] = {
+      val ids = txIds.filter(needsSeq)
+      if (ids.isEmpty) Map.empty
+      else log.filter(col("tx_id").isInCollection(ids))
+        .select(col("tx_id"), col("tx_time")).distinct().collect()
+        .map(r => r.getLong(0) -> r.getAs[java.time.LocalDateTime](1)).toMap
+    }
+    var st = state
+    var i = 0
+    while (i < txIds.length) {
+      if (!needsSeq(txIds(i))) {
+        var j = i
+        while (j < txIds.length && !needsSeq(txIds(j))) j += 1
+        val (lo, hi) = (txIds(i), txIds(j - 1))
+        val (newRows, evictEids) = TxLog.applyPutDeleteTxsFrame(st,
+          log.filter(col("tx_id") >= lo && col("tx_id") <= hi))
+        val hasEvict = (i until j).exists(k => kinds(txIds(k)).contains("evict"))
+        val kept =
+          if (hasEvict) st.join(broadcast(evictEids), Seq("eid"), "left_anti")
+          else st
+        st = kept.unionByName(newRows).localCheckpoint(true)
+        i = j
+      } else {
+        val id = txIds(i)
+        val ops = log.filter(col("tx_id") === id)
+          .select(TxLog.opSchema.fieldNames.map(col): _*)
+        st = TxLog.applyTx(st, ops, id, seqTimes(id),
+          Some(TxLog.TxShape(hasChecks = true,
+            hasEvict = kinds(id).contains("evict"), hasRanged = ranged(id))))._1
+        i += 1
       }
-      TxLog.applyBatch(state, txs)
-    } finally { log.unpersist(); () }
+    }
+    st
+  }
+
+  /** A cancellable polling subscription; [[cancel]] stops the loop,
+    * waits for the drain thread, and rethrows any failure it hit. */
+  final class Subscription private[JdbcLog] (thread: Thread,
+      stop: java.util.concurrent.atomic.AtomicBoolean,
+      failure: java.util.concurrent.atomic.AtomicReference[Throwable]) {
+    def cancel(): Unit = {
+      stop.set(true)
+      thread.join()
+      Option(failure.get).foreach(throw _)
+    }
+  }
+
+  /** Tail the JDBC log into a state store — the reference's polling
+    * subscription (crux-jdbc/src/crux/jdbc.clj:152-154 delegates to
+    * tx/handle-polling-subscription with its default 100 ms poll): every
+    * `pollMs` the subscriber asks the database for txs after the store's
+    * last committed id and drives each through the SAME sequential fold
+    * as the streaming indexer ([[graft.streaming.IngestStream
+    * .applyToStore]] — manifests, matviews, secondary sinks, replay
+    * guard all included), so `IngestStream.awaitTx` works over the JDBC
+    * transport exactly as over the file/Kafka ones. An idle tick costs
+    * one MAX(event_offset) point query — no Spark job. A long catch-up
+    * belongs to [[replay]]; the subscription is the live tail. */
+  def subscribe(spark: SparkSession, url: String, stateDir: String,
+      pollMs: Long = 100,
+      secondarySinks: Seq[(DataFrame, Long) => Unit] = Nil,
+      compactEvery: Int = 16,
+      matViewDir: Option[String] = None,
+      txShape: Option[TxLog.TxShape] = None): Subscription = {
+    import graft.streaming.IngestStream
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val conf = spark.sessionState.newHadoopConf()
+    val t = new Thread(() => {
+      try {
+        while (!stop.get()) {
+          val after = IngestStream.committedTx(stateDir, conf).getOrElse(0L)
+          if (latestSubmittedTx(url).exists(_ > after)) {
+            // one partitioned scan for the tick's increment, then per-tx
+            // application in offset order (the single-writer contract)
+            val log = openTxLog(spark, url, after).localCheckpoint(true)
+            val metas = log.select(col("tx_id"), col("tx_time")).distinct()
+              .collect()
+              .map(r => (r.getLong(0), r.getAs[java.time.LocalDateTime](1)))
+              .sortBy(_._1)
+            metas.foreach { case (txId, txTime) =>
+              if (!stop.get()) {
+                val ops = log.filter(col("tx_id") === txId)
+                  .select(TxLog.opSchema.fieldNames.map(col): _*)
+                IngestStream.applyToStore(spark, ops, txId, stateDir, txTime,
+                  secondarySinks, compactEvery, matViewDir, txShape)
+              }
+            }
+          } else Thread.sleep(pollMs)
+        }
+      } catch { case e: Throwable => failure.set(e) }
+    }, "graft-jdbc-log-subscriber")
+    t.setDaemon(true)
+    t.start()
+    new Subscription(t, stop, failure)
   }
 }

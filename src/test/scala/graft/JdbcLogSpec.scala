@@ -112,6 +112,76 @@ class JdbcLogSpec extends AnyFunSuite {
     assert(viaJdbc.map(_.head).forall(_ == "a"))
   }
 
+  test("replay with interleaved cas txs matches applyBatch (sequential branch)") {
+    // the frame-fold fast path must break at check txs: put-run, then a
+    // cas that succeeds, then a match that FAILS (tx aborts wholesale),
+    // then another put-run — replay == applyBatch on the same schedule
+    val url = freshUrl()
+    import scala.jdk.CollectionConverters._
+    def opsDf(rows: List[org.apache.spark.sql.Row]) =
+      spark.createDataFrame(rows.asJava, TxLog.opSchema)
+    val vt = java.time.LocalDateTime.parse("2020-01-01T00:00")
+    val tx1 = opsDf(List(
+      org.apache.spark.sql.Row("put", "a", "v1", vt, null, null, null, 1L)))
+    val tx2 = opsDf(List(
+      org.apache.spark.sql.Row("cas", "a", "v2", vt.plusDays(1), null, null, "v1", 1L)))
+    val tx3 = opsDf(List(
+      org.apache.spark.sql.Row("match", "a", null, null, null, vt.plusDays(1), "WRONG", 1L),
+      org.apache.spark.sql.Row("put", "b", "never", vt.plusDays(2), null, null, null, 2L)))
+    val tx4 = opsDf(List(
+      org.apache.spark.sql.Row("put", "c", "v4", vt.plusDays(3), null, null, null, 1L)))
+    val txs = Seq(tx1, tx2, tx3, tx4)
+    txs.foreach(ops => JdbcLog.submitTx(url, JdbcLog.opsToJson(ops)))
+    val viaJdbc = JdbcLog.replay(spark, url, TxLog.emptyState(spark))
+      .select("eid", "vt", "content_hash", "tombstone")
+      .collect().map(_.toSeq).toSet
+    val times = JdbcLog.openTxLog(spark, url)
+      .select("tx_id", "tx_time").distinct().collect()
+      .map(r => r.getLong(0) -> r.getAs[java.time.LocalDateTime](1)).toMap
+    val direct = TxLog.applyBatch(TxLog.emptyState(spark),
+      txs.zipWithIndex.map { case (ops, i) => ((i + 1).toLong, times((i + 1).toLong), ops) })
+      .select("eid", "vt", "content_hash", "tombstone")
+      .collect().map(_.toSeq).toSet
+    assert(viaJdbc == direct)
+    // the cas applied (a → v2), the aborted match tx left no 'b'
+    val hashes = viaJdbc.map(s => (s.head, s(2)))
+    assert(hashes.contains(("a", "v2")), viaJdbc.toString)
+    assert(!hashes.exists(_._1 == "b"), viaJdbc.toString)
+    assert(hashes.contains(("c", "v4")), viaJdbc.toString)
+  }
+
+  test("subscribe drains submits into the state store; awaitTx works over JDBC") {
+    val url = freshUrl()
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_jdbc_sub").toString + "/state"
+    val sub = JdbcLog.subscribe(spark, url, stateDir, pollMs = 25,
+      txShape = Some(TxLog.TxShape(hasChecks = false, hasEvict = false,
+        hasRanged = false)))
+    try {
+      // submit WHILE the subscriber is live — half before a drain window,
+      // half after, so at least one poll tick sees a partial log
+      val lastId = (1 to 6).map { i =>
+        val (id, _) = JdbcLog.submitTx(url,
+          s"""[{"op":"put","eid":"d${i % 3}","content_hash":"v$i","start_vt":"2020-01-0${i}T00:00:00.000000","seq":1}]""")
+        if (i == 3) Thread.sleep(300)
+        id
+      }.last
+      // await-tx over the JDBC transport: the subscriber's manifest
+      // commits are the progress marker
+      val latest = graft.streaming.IngestStream.awaitTx(stateDir, lastId,
+        timeoutMs = 120000)
+      assert(latest >= lastId)
+      val folded = graft.streaming.IngestStream.loadState(spark, stateDir)
+        .select("eid", "vt", "content_hash", "tombstone")
+        .collect().map(_.toSeq).toSet
+      val replayed = JdbcLog.replay(spark, url, TxLog.emptyState(spark))
+        .select("eid", "vt", "content_hash", "tombstone")
+        .collect().map(_.toSeq).toSet
+      assert(folded == replayed)
+      assert(folded.nonEmpty)
+    } finally sub.cancel()
+  }
+
   test("partitioned log scan reads every op exactly once") {
     val url = freshUrl()
     (1 to 10).foreach { i =>
