@@ -133,6 +133,27 @@ object Dedup {
     jaccardFromCounts(sh, counts, tau)
   }
 
+  /** [[jaccardOfPairs]] for SMALL posting sets (the incremental stream's
+    * per-batch verify: postings pre-filtered to candidate docs): every
+    * join side is broadcast-hinted, so the whole verify is map-side —
+    * foreachBatch plans run with AQE off, and unhinted these tiny joins
+    * each pay a full sort-merge shuffle round. Same schema and values as
+    * [[jaccardOfPairs]] (the stream's hash gate pins the equivalence). */
+  def jaccardOfPairsSmall(sh: DataFrame, candidates: DataFrame, tau: Double): DataFrame = {
+    val counts = broadcast(candidates)
+      .join(sh.select(col("doc_id").as("d1"), col("shingle")), Seq("d1"))
+      .join(broadcast(sh.select(col("doc_id").as("d2"), col("shingle"))),
+        Seq("d2", "shingle"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("c"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    counts
+      .join(broadcast(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1"))), Seq("d1"))
+      .join(broadcast(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2"))), Seq("d2"))
+      .withColumn("jaccard", col("c").cast("double") / (col("sz1") + col("sz2") - col("c")))
+      .filter(col("jaccard") >= tau)
+      .select(col("d1"), col("d2"), col("jaccard"))
+  }
+
   /** MinHash signatures: numHashes seeded xxhash64 minima over shingles —
     * one aggregation, partial-agg friendly. */
   def minhashSignatures(sh: DataFrame, numHashes: Int = 64): DataFrame = {

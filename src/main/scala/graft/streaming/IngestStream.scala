@@ -667,22 +667,29 @@ object IngestStream {
     * identical to the batch operator's answer on the same corpus. */
   def lshDedupStream(spark: SparkSession, docsPath: String, tau: Double = 0.5,
       k: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      nChunks: Int = 3, checkpointEvery: Int = 8): DataFrame = {
+      nChunks: Int = 3, checkpointEvery: Int = 8,
+      maxCandidatesPerBatch: Int = 1000000): DataFrame = {
     import graft.operators.Dedup
     val base = java.nio.file.Files.createTempDirectory("graft_lsh_stream").toString
     val inDir = s"$base/in"; val idxDir = s"$base/idx"
     val shDir = s"$base/sh"; val pairsDir = s"$base/pairs"
     new java.io.File(inDir).mkdirs()
-    // stage the corpus as nChunks arrival batches (doc_id mod ranges)
+    // stage the corpus as nChunks arrival batches (doc_id mod ranges) in
+    // ONE scan+write (partitionBy), not one filtered pass per chunk;
+    // strictly increasing mtimes pin FileStreamSource's arrival order
     val docs = spark.read.parquet(docsPath)
+    docs.withColumn("b", pmod(col("doc_id"), lit(nChunks)))
+      .coalesce(1).write.partitionBy("b").mode("overwrite")
+      .parquet(s"$base/stage")
+    val now = System.currentTimeMillis()
     (0 until nChunks).foreach { i =>
-      val stage = s"$base/stage$i"
-      docs.filter(pmod(col("doc_id"), lit(nChunks)) === i)
-        .coalesce(1).write.mode("overwrite").parquet(stage)
-      val part = new java.io.File(stage).listFiles()
-        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
-      java.nio.file.Files.move(part.toPath,
-        java.nio.file.Paths.get(s"$inDir/b$i.parquet"))
+      val part = Option(new java.io.File(s"$base/stage/b=$i").listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"lshDedupStream: staged chunk $i is empty"))
+      val dst = new java.io.File(s"$inDir/b$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(now + i * 1000L); ()
     }
     val rowsPerBand = numHashes / bands
     // accumulated index state, held on the driver between batches; the
@@ -711,21 +718,58 @@ object IngestStream {
           pinned ++= idxCache; pinned ++= shCache
         }
         // candidates: new keys vs (index ∪ new keys); normalize pair
-        // order so cross-batch pairs compare like the batch operator
+        // order so cross-batch pairs compare like the batch operator.
+        // foreachBatch plans run with AQE OFF, so every join here is
+        // hinted explicitly — without the hints the probe and verify
+        // sort-merge-shuffle the ENTIRE accumulated index/postings per
+        // batch (the r6/r7 5 s constant); with them each batch is ONE
+        // pass over the cached index. The distinct pair set is pulled to
+        // the driver as a LocalRelation: it is bounded by the banding
+        // collision rate (the quantity every LSH design keeps small — a
+        // batch whose candidates exceed the cap means the banding params
+        // are wrong for the corpus, and the loud error beats an
+        // invisible quadratic verify), and a local pair list makes every
+        // verify-side broadcast free (no per-join build jobs)
         val allKeys = idxCache.map(_.unionByName(keysB)).getOrElse(keysB)
-        val cand = keysB.as("a")
+        val candRows = broadcast(keysB.as("a"))
           .join(allKeys.as("b"),
             col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
               col("a.doc_id") =!= col("b.doc_id"))
           .select(least(col("a.doc_id"), col("b.doc_id")).as("d1"),
             greatest(col("a.doc_id"), col("b.doc_id")).as("d2"))
           .distinct()
+          .limit(maxCandidatesPerBatch + 1)
+          .collect()
+        require(candRows.length <= maxCandidatesPerBatch,
+          s"lshDedupStream: batch $batchId produced > $maxCandidatesPerBatch candidate pairs; " +
+            "banding parameters admit too many collisions for this corpus")
+        val cand = {
+          import sp.implicits._
+          candRows.map(r => (r.getLong(0), r.getLong(1))).toSeq.toDF("d1", "d2")
+        }
         val shAll = shCache.map(_.unionByName(shB)).getOrElse(shB)
-        val pairs = Dedup.jaccardOfPairs(shAll, cand, tau)
-        pairs.write.mode("append").parquet(pairsDir)
-        // durable O(batch) appends — never read back within this run
-        keysB.write.mode("append").parquet(idxDir)
-        shB.write.mode("append").parquet(shDir)
+        // exact-Jaccard verify touches only candidate docs' postings:
+        // semi-filter the accumulated shingles by the (small) candidate
+        // doc set ONCE and materialize the result, so the verify's three
+        // consumers (two posting joins + the size aggregation) scan the
+        // tiny filtered frame, not the growing corpus postings
+        val candDocs = cand.select(col("d1").as("doc_id"))
+          .unionByName(cand.select(col("d2").as("doc_id")))
+        val shCand = shAll.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+          .localCheckpoint(true)
+        val pairs = Dedup.jaccardOfPairsSmall(shCand, cand, tau)
+        // the three writes are independent — run them concurrently (all
+        // complete before foreachBatch returns, so the engine's offset
+        // commit still implies the batch's postings are durable); the
+        // keysB/shB appends are the O(batch) durable postings a restart
+        // reseeds from, never read back within this run
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        Await.result(Future.sequence(Seq(
+          Future(pairs.write.mode("append").parquet(pairsDir)),
+          Future(keysB.write.mode("append").parquet(idxDir)),
+          Future(shB.write.mode("append").parquet(shDir)))), Duration.Inf)
         // fold the batch's (still-persisted) delta into the live index
         idxCache = Some(allKeys); shCache = Some(shAll)
         if (batchId % checkpointEvery == (checkpointEvery - 1)) {
@@ -736,11 +780,11 @@ object IngestStream {
       .start()
     q.awaitTermination()
     // a pair is emitted once, by its later-arriving member's batch;
-    // distinct guards the replayed-batch edge; localCheckpoint pins the
-    // result so every index block can be released below
-    val result = spark.read.parquet(pairsDir).distinct().localCheckpoint()
+    // distinct guards the replayed-batch edge. The result reads the
+    // durable pairs parquet, so it does NOT depend on the index blocks —
+    // release them before returning
     pinned.foreach(_.unpersist())
-    result
+    spark.read.parquet(pairsDir).distinct()
   }
 
   /** Stream-stream inner join (r6): clicks joined to same-user purchases
