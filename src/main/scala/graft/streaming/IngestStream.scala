@@ -180,7 +180,7 @@ object IngestStream {
               // write) fills the cache, the view write reads it
               val histTouched = current.join(
                   broadcast(ops.select(col("eid")).distinct()),
-                  Seq("eid"), "left_semi").cache()
+                  Seq("eid"), "left_semi").localCheckpoint(true)
               val (newRows, evictEids) = TxLog.applyPutDeleteTxs(
                 histTouched, Seq((batchId, txTimeOfBatch, ops)),
                 stateIsPruned = true)
@@ -307,21 +307,39 @@ object IngestStream {
     val conf = sp.sessionState.newHadoopConf()
     val fs = hfs(viewDir, conf)
     val basis = lit(java.time.LocalDateTime.parse("2099-01-01T00:00"))
-    // asOfTime alone resolves the snapshot — its per-eid max_by(vt, tx_id)
-    // picks the same winner a resolvedHistory pre-pass would (the overall
-    // max (vt, tx_id) row IS the winning vt's latest correction), so each
-    // side is ONE shuffle, not two
-    def snap(hist: DataFrame): DataFrame =
-      graft.bitemp.Bitemp.asOfTime(hist, basis, basis)
-    // lazy caches: the FIRST view's write action fills them, further
-    // views read — no extra job when only one view is maintained
-    val beforeSnap = snap(resolvedBefore).cache()
-    val afterBase =
+    // DUAL-WINNER resolve: the before- and after-tx snapshots come out of
+    // ONE aggregation pass — each touched entity's history rows are
+    // tagged with before/after membership (delta rows are after-only;
+    // evicted eids' rows before-only) and a single groupBy picks both
+    // max_by(vt, tx_id) winners, exactly [[graft.bitemp.Bitemp
+    // .asOfTime]]'s resolution per side (max_by ignores rows whose
+    // membership-masked ordering is null). The winners frame is O(touched
+    // entities) — localCheckpoint severs it so every view's delta agg
+    // runs over the tiny materialized rows instead of re-resolving.
+    val payload = resolvedBefore.columns.toSeq
+    val beforeTagged =
       if (hasEvict)
-        resolvedBefore.join(broadcast(evictEids), Seq("eid"), "left_anti")
-      else resolvedBefore
-    val afterSnap = snap(afterBase.unionByName(deltaRows)).cache()
-    try views.foreach { v =>
+        resolvedBefore.join(broadcast(evictEids.withColumn("_ev", lit(true))),
+            Seq("eid"), "left")
+          .withColumn("_b", lit(true)).withColumn("_a", col("_ev").isNull)
+          .drop("_ev")
+      else resolvedBefore.withColumn("_b", lit(true)).withColumn("_a", lit(true))
+    val tagged = beforeTagged.unionByName(
+        deltaRows.withColumn("_b", lit(false)).withColumn("_a", lit(true)))
+      .filter(col("vt") <= basis && col("tt") <= basis)
+    val stc = struct(payload.map(col): _*)
+    val ord = struct(col("vt"), col("tx_id"))
+    val winners = tagged.groupBy(col("eid")).agg(
+        max_by(when(col("_b"), stc), when(col("_b"), ord)).as("_before"),
+        max_by(when(col("_a"), stc), when(col("_a"), ord)).as("_after"))
+      .localCheckpoint(true)
+    val beforeSnap = winners
+      .filter(col("_before").isNotNull && !col("_before.tombstone"))
+      .select("_before.*")
+    val afterSnap = winners
+      .filter(col("_after").isNotNull && !col("_after.tombstone"))
+      .select("_after.*")
+    views.foreach { v =>
       val dir = s"$viewDir/${v.name}"
       val target = new Path(s"$dir/vdelta-$txId")
       val negate = v.measures.foldLeft(v.agg(beforeSnap))(
@@ -353,7 +371,7 @@ object IngestStream {
               fs.delete(new Path(s"$dir/vbase-$id"), true))
         }
       }
-    } finally { beforeSnap.unpersist(); afterSnap.unpersist(); () }
+    }
   }
 
   /** `true` iff the dir's parquet write committed (its `_SUCCESS` marker
