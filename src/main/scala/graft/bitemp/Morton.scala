@@ -73,6 +73,19 @@ object Morton {
   private def unsignedBig(x: Long): BigInt =
     BigInt(java.lang.Long.toUnsignedString(x))
 
+  /** [[interleave]] of two micros-since-epoch longs as a Spark
+    * `Decimal(38,0)` — the per-row hot-path entry the codegen'd
+    * [[graft.functions.MortonZ]] expression calls (a z of two sub-2^63
+    * micros is < 2^126 < 10^38, so the precision always holds). Built
+    * from the two interleaved halves directly, no BigInt string hop. */
+  def zDecimal(d1: Long, d2: Long): org.apache.spark.sql.types.Decimal = {
+    val lower = interleaveInts(d1, d2)
+    val upper = interleaveInts(d1 >>> 32, d2 >>> 32)
+    val bi = java.math.BigInteger.valueOf(upper).shiftLeft(64)
+      .add(new java.math.BigInteger(java.lang.Long.toUnsignedString(lower)))
+    org.apache.spark.sql.types.Decimal(new java.math.BigDecimal(bi), 38, 0)
+  }
+
   /** morton.clj:81-91 morton-number-within-range?: per-dimension mask
     * compare — no decode needed, no false positives. */
   def withinRange(min: BigInt, max: BigInt, z: BigInt): Boolean =

@@ -88,6 +88,12 @@ object GraftFunctions {
       (children: Seq[Expression]) => {
         require(children.size == 3, "fuzzy_token_match takes exactly 3 arguments")
         FuzzyTokenMatch(children.head, children(1), Cast(children(2), IntegerType))
+      }),
+    (FunctionIdentifier("morton_z"),
+      new ExpressionInfo(classOf[MortonZ].getName, "morton_z"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "morton_z takes exactly 2 arguments")
+        MortonZ(children.head, children(1))
       }))
 
   private def castToDoubleArray(e: Expression): Expression =

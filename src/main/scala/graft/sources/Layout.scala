@@ -42,18 +42,16 @@ object Layout {
 
   // --------------------------- Z-ordered bitemporal layout (r6, Morton)
 
-  /** micros-since-epoch for the NTZ timestamps the version log carries. */
-  private val zUdf = udf { (vt: java.time.LocalDateTime, tt: java.time.LocalDateTime) =>
-    def us(t: java.time.LocalDateTime): Long =
-      t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000L
-    graft.bitemp.Morton.interleave(us(vt), us(tt)).toString
-  }
-
   /** Add a 128-bit Morton `z` column interleaving (vt, tt) micros —
     * decimal(38,0) holds any interleave of two sub-2^63 micro timestamps
-    * (z < 2^126 < 10^38). */
-  def withZ(df: DataFrame, vtCol: String = "vt", ttCol: String = "tt"): DataFrame =
-    df.withColumn("z", zUdf(col(vtCol), col(ttCol)).cast("decimal(38,0)"))
+    * (z < 2^126 < 10^38). The interleave is the codegen'd
+    * [[graft.functions.MortonZ]] Catalyst expression (TIMESTAMP_NTZ's
+    * internal long IS the micros value), so a 100 TB z-layout rewrite
+    * stays UDF-free inside whole-stage codegen. */
+  def withZ(df: DataFrame, vtCol: String = "vt", ttCol: String = "tt"): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.withColumn("z", call_function("morton_z", col(vtCol), col(ttCol)))
+  }
 
   /** The bitemporal version log laid out along the Z-order curve
     * (range-partitioned + sorted on `z`): each parquet file covers a

@@ -30,6 +30,31 @@ class FunctionsSpec extends AnyFunSuite {
     assert(df.collect().length == 2) // would throw on Janino redeclaration
   }
 
+  test("morton_z matches Morton.interleave on ntz timestamps and stays in codegen") {
+    GraftFunctions.register(spark)
+    val df = spark.range(64)
+      .selectExpr(
+        "CAST(timestamp_micros(id * 1000003 + 17) AS TIMESTAMP_NTZ) AS vt",
+        "CAST(timestamp_micros(id * 999983 + 3) AS TIMESTAMP_NTZ) AS tt")
+      .selectExpr("vt", "tt", "morton_z(vt, tt) AS z")
+    val wsc = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(wsc.nonEmpty, df.queryExecution.executedPlan.toString)
+    df.collect().foreach { r =>
+      def us(t: java.time.LocalDateTime): Long =
+        t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000L
+      val expect = graft.bitemp.Morton.interleave(
+        us(r.getAs[java.time.LocalDateTime]("vt")),
+        us(r.getAs[java.time.LocalDateTime]("tt")))
+      assert(BigInt(r.getDecimal(2).toBigInteger) == expect, r.toString)
+    }
+    // raw micros longs are accepted too (the other physical encoding)
+    val viaLong = spark.sql("SELECT morton_z(5L, 9L) AS z").collect().head
+    assert(BigInt(viaLong.getDecimal(0).toBigInteger) ==
+      graft.bitemp.Morton.interleave(5L, 9L))
+  }
+
   test("cosine_sim stays inside whole-stage codegen") {
     GraftFunctions.register(spark)
     // non-local source so the expression isn't constant-folded away
