@@ -160,6 +160,31 @@ class PlanSpec extends AnyFunSuite {
       s"pruned=$oneDay total=$allRows — filter not selective")
   }
 
+  test("ts-devices current resolve is one aggregate pass with a broadcast dim") {
+    val df = graft.queries.TsQueries.devicesBusiest(spark, dir)
+    df.collect()
+    val p = plan(df)
+    // latest-reading-per-device = partial-agg resolve, never a window
+    // sort over every reading; the 1500-row device dim broadcasts
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("ts hourly rollup pushes its vt range into the readings scan") {
+    val df = graft.queries.TsQueries.devicesHourly(spark, dir)
+    df.collect()
+    val p = plan(df)
+    // the [2024-01-01, 2024-01-02) bounds must reach the parquet scan as
+    // PushedFilters on ts — at 100 TB that range is the difference
+    // between reading one day and reading the year
+    val scanLine = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(scanLine.contains("ts"), s"no pushed ts filter:\n${p.take(3000)}")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      p.take(3000)) // dim semi-join broadcasts
+  }
+
   test("asof join is one shuffle + window — no range join, no nested loop") {
     val df = graft.queries.TemporalJoinQueries.asofJoin(spark, dir)
     df.collect()
