@@ -590,7 +590,22 @@ object IngestStream {
         df.withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
     }
 
-  def windowedCounts(spark: SparkSession, eventsPath: String): DataFrame = {
+  /** Run `f` with `spark.sql.shuffle.partitions` temporarily set to
+    * `statePartitions`: a stateful streaming query's state store shards by
+    * the shuffle partition count, and every partition pays per-batch
+    * state-file commit overhead regardless of row volume — so stateful
+    * gates size it to active-key cardinality, not to the session's
+    * scan-side parallelism (a 100 TB run sizes it up with the key space). */
+  private def withStatePartitions[A](spark: SparkSession, statePartitions: Int)(f: => A): A = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
+    try f finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  /** @param statePartitions aggregation-state partitions — see
+    *   [[withStatePartitions]] (the fixture has ~30 day×type windows). */
+  def windowedCounts(spark: SparkSession, eventsPath: String,
+      statePartitions: Int = 8): DataFrame = {
     // file streams need a directory source; stage single files via symlink
     val src = new java.io.File(eventsPath)
     val eventsDir =
@@ -608,12 +623,14 @@ object IngestStream {
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,4)")).cast("double").as("total"))
     val name = "windowed_counts_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = agg.writeStream.outputMode("complete")
-      .format("memory").queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.processAllAvailable()
-    q.stop()
+    withStatePartitions(spark, statePartitions) {
+      val q = agg.writeStream.outputMode("complete")
+        .format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
     spark.table(name)
       .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("total"))
   }
@@ -629,7 +646,10 @@ object IngestStream {
     * row per source rather than racing on which source arrived first. At
     * scale the state store shards by key; add a watermark on an event-time
     * column to expire state when the dedup window is bounded. */
-  def dedupStream(spark: SparkSession, docsPath: String): DataFrame = {
+  /** @param statePartitions dedup-state partitions — see
+    *   [[withStatePartitions]] (the fixture dedups ~5k fingerprints). */
+  def dedupStream(spark: SparkSession, docsPath: String,
+      statePartitions: Int = 8): DataFrame = {
     val src = new java.io.File(docsPath)
     val docsDir =
       if (src.isDirectory) docsPath
@@ -649,12 +669,14 @@ object IngestStream {
       .select(col("source"), md5(lower(col("text"))).as("fp"))
       .dropDuplicates("source", "fp")
     val name = "stream_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = deduped.writeStream.outputMode("append")
-      .format("memory").queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.processAllAvailable()
-    q.stop()
+    withStatePartitions(spark, statePartitions) {
+      val q = deduped.writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
     spark.table(name).groupBy(col("source")).agg(count(lit(1)).as("n_unique"))
   }
 
@@ -847,7 +869,14 @@ object IngestStream {
         col("purchase_ts") >= col("click_ts") &&
         col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
     val name = "stream_join_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    // inner-join rows emit in the batch where both sides arrive; the
+    // trailing NO-DATA micro-batch only applies the advanced watermark to
+    // EVICT state — it contributes no output rows, and on a drained finite
+    // input the state is dropped with the query anyway, so skip it (a
+    // full extra state-store load/commit round per partition per store)
+    val prevNoData = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
     spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try {
       val q = joined.writeStream.outputMode("append")
         .format("memory").queryName(name)
@@ -855,7 +884,10 @@ object IngestStream {
         .start()
       q.processAllAvailable()
       q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+    }
     spark.table(name).select(col("click_user").as("user_id"),
       col("click_id"), col("purchase_id"),
       col("click_ts").cast("timestamp_ntz").as("click_ts"),

@@ -1,0 +1,72 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQueryListener
+
+/** Scratch: wall-time + engine-reported per-batch duration breakdown for
+  * the streaming gates, to attribute their fixed constants (state-store
+  * commits vs WAL vs planning vs the actual batch work). */
+object ProfileStreams {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val gates = if (args.length > 1) args.drop(1).toSet
+      else Set("stream_dedup", "stream_join", "stream_sessions", "stream_matview")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      private val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val desc = Option(j.properties).map(_.getProperty("spark.job.description", "")).getOrElse("")
+        val site = Option(j.properties).map(_.getProperty("callSite.short", "")).getOrElse("")
+        starts.put(j.jobId, (System.nanoTime(), s"$desc $site"))
+      }
+      override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        Option(starts.remove(j.jobId)).foreach { case (t0, d) =>
+          val ms = (System.nanoTime() - t0) / 1e6
+          if (ms > 30) println(f"    job=${j.jobId}%-4d ${ms}%7.0f ms  $d")
+        }
+      }
+    })
+    spark.streams.addListener(new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+        val p = e.progress
+        import scala.jdk.CollectionConverters._
+        val dur = p.durationMs.asScala.map { case (k, v) => s"$k=$v" }.mkString(" ")
+        val st = Option(p.stateOperators).toSeq.flatten.map { so =>
+          s"[op=${so.operatorName} rows=${so.numRowsTotal} commit=${so.commitTimeMs}ms]"
+        }.mkString(" ")
+        println(s"  batch=${p.batchId} rows=${p.numInputRows} $dur $st")
+      }
+    })
+    def time(name: String)(f: => Long): Unit = {
+      // run 1: warm-up at sf0.001; runs 2-3 timed at target dir
+      val warm = "/root/testdata/sf0.001"
+      print(s"== $name warm\n"); f // discard; caller binds dir itself
+      val _ = warm
+      (1 to 2).foreach { i =>
+        val t0 = System.nanoTime()
+        val n = f
+        println(f"== $name run$i  ${(System.nanoTime() - t0) / 1e9}%.3f s  rows=$n")
+      }
+    }
+    import graft.streaming.IngestStream
+    if (gates("stream_dedup"))
+      time("stream_dedup")(IngestStream.dedupStream(spark, s"$dir/documents.parquet").count())
+    if (gates("stream_join"))
+      time("stream_join")(IngestStream.streamJoin(spark, s"$dir/events.parquet", 30).count())
+    if (gates("stream_sessions"))
+      time("stream_sessions")(IngestStream.sessions(spark, s"$dir/events.parquet", 30).count())
+    if (gates("stream_matview"))
+      time("stream_matview")(graft.queries.SqlStreamQueries.all("stream_matview")(spark, dir).count())
+    if (gates("stream_matview_join"))
+      time("stream_matview_join")(graft.queries.SqlStreamQueries.all("stream_matview_join")(spark, dir).count())
+    if (gates("stream_dedup_lsh"))
+      time("stream_dedup_lsh")(IngestStream.lshDedupStream(spark, s"$dir/documents.parquet").count())
+    spark.stop()
+  }
+}
