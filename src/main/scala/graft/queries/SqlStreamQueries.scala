@@ -217,9 +217,8 @@ object SqlStreamQueries {
       .select(col("c_custkey").cast("string").as("eid"), col("c_mktsegment"))
       .localCheckpoint(true)
     val segView = IngestStream.ViewDef("seg_counts",
-      snap => snap.join(broadcast(dim), Seq("eid"))
-        .groupBy(col("content_hash"), col("c_mktsegment"))
-        .agg(count(lit(1)).as("n")))
+      keys = Seq("content_hash", "c_mktsegment"),
+      rows = snap => snap.join(broadcast(dim), Seq("eid")))
     val viewDir = runMatviewStream(s, dir,
       Seq(IngestStream.typeCountsView, segView))
     IngestStream.loadView(s, viewDir, "seg_counts").get
@@ -234,9 +233,8 @@ object SqlStreamQueries {
     * exact through put/delete alike. */
   def streamMatviewSum(s: SparkSession, dir: String): DataFrame = {
     val sumView = IngestStream.ViewDef("type_sums",
-      snap => snap.groupBy(col("content_hash"))
-        .agg(count(lit(1)).as("n"), sum(col("eid").cast("long")).as("total")),
-      measures = Seq("n", "total"))
+      keys = Seq("content_hash"),
+      measures = Seq("n" -> lit(1L), "total" -> col("eid").cast("long")))
     val viewDir = runMatviewStream(s, dir, Seq(sumView))
     IngestStream.loadView(s, viewDir, "type_sums").get
       .select(col("content_hash").as("event_type"), col("n"), col("total"),

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import graft.bitemp.TxLog
@@ -112,20 +112,27 @@ object IngestStream {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (ops: DataFrame, batchId: Long) =>
         val sp = ops.sparkSession
-        // plans rooted at a streaming source run with AQE OFF (Spark
-        // disables it for the query), so shuffles keep the full static
-        // partition count with no runtime coalesce — for interactive-size
-        // tx batches the per-task overhead dominates; callers size
-        // txPartitions to the batch volume like the stateful gates size
-        // their state stores (a 100 TB feed leaves it at the session
-        // default)
+        // declaring txPartitions asserts the feed is interactive-sized:
+        // shuffles get the declared static partition count AND adaptive
+        // execution turns OFF for the batch body — AQE runs inside
+        // foreachBatch (the engine only disables it for the streaming
+        // plan itself), and its per-query-stage jobs + replanning
+        // dominate a small tx's wall time. A 100 TB feed leaves
+        // txPartitions unset and keeps the session defaults (AQE
+        // coalesce/skew handling earn their keep at that size).
         val prevShuffle = sp.conf.get("spark.sql.shuffle.partitions")
-        txPartitions.foreach(n => sp.conf.set("spark.sql.shuffle.partitions", n))
+        val prevAqe = sp.conf.get("spark.sql.adaptive.enabled")
+        txPartitions.foreach { n =>
+          sp.conf.set("spark.sql.shuffle.partitions", n)
+          sp.conf.set("spark.sql.adaptive.enabled", "false")
+        }
         try applyToStore(sp, ops, batchId, stateDir, txTime(batchId),
           secondarySinks, compactEvery, matViewDir, txShape, views,
           viewCompactEvery)
-        finally txPartitions.foreach(_ =>
-          sp.conf.set("spark.sql.shuffle.partitions", prevShuffle))
+        finally txPartitions.foreach { _ =>
+          sp.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+          sp.conf.set("spark.sql.adaptive.enabled", prevAqe)
+        }
       }
       .start()
   }
@@ -175,12 +182,17 @@ object IngestStream {
           val parts = txShape match {
             case Some(sh) if !sh.hasChecks =>
               // ONE state scan per batch: the touched entities' history is
-              // cached and feeds BOTH the fold (as its pruned state) and
-              // the matviews' before-resolve — the first action (the delta
-              // write) fills the cache, the view write reads it
+              // cached LAZILY and feeds BOTH the fold (as its pruned
+              // state) and the matviews' before-resolve — the first
+              // action (the delta write) fills the cache as a side
+              // effect, the view write reads the cached rows. (An eager
+              // localCheckpoint here would spend a whole extra job per tx
+              // just materializing; persist on the SAME DataFrame object
+              // is a guaranteed cache hit for every later consumer.)
               val histTouched = current.join(
                   broadcast(ops.select(col("eid")).distinct()),
-                  Seq("eid"), "left_semi").localCheckpoint(true)
+                  Seq("eid"), "left_semi")
+                .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
               val (newRows, evictEids) = TxLog.applyPutDeleteTxs(
                 histTouched, Seq((batchId, txTimeOfBatch, ops)),
                 stateIsPruned = true)
@@ -191,6 +203,17 @@ object IngestStream {
               TxLog.applyTxParts(current, ops, batchId, txTimeOfBatch, txShape)
           }
           val delta = parts.newRows
+          // label the per-tx jobs (Spark UI / profiling attribution)
+          def labeled[A](what: String)(f: => A): A = {
+            sp.sparkContext.setJobDescription(s"graft-tx-$batchId $what")
+            val t0 = System.nanoTime()
+            try f finally {
+              sp.sparkContext.setJobDescription(null)
+              if (java.lang.Boolean.getBoolean("graft.debug.plan"))
+                // scalastyle:off println
+                println(f"    [phase] tx-$batchId $what%-22s ${(System.nanoTime() - t0) / 1e6}%7.0f ms")
+            }
+          }
           val next: StateManifest =
             if (parts.aborted) // advance the tx id over the same data dirs
               StateManifest(batchId, cur.flatMap(_.base), cur.toSeq.flatMap(_.deltas))
@@ -211,11 +234,13 @@ object IngestStream {
                 val full = pruned
                   .unionByName(delta)
                   .dropDuplicates("eid", "vt", "tx_id") // restore-row dups
-                full.write.mode("overwrite").parquet(s"$stateDir/$baseName")
+                labeled("state compact+fold")(
+                  full.write.mode("overwrite").parquet(s"$stateDir/$baseName"))
                 StateManifest(batchId, Some(baseName), Nil)
               } else {
                 val deltaName = s"delta-$batchId"
-                delta.write.mode("overwrite").parquet(s"$stateDir/$deltaName")
+                labeled("delta fold+write")(
+                  delta.write.mode("overwrite").parquet(s"$stateDir/$deltaName"))
                 StateManifest(batchId, cur.flatMap(_.base),
                   cur.toSeq.flatMap(_.deltas) :+ deltaName)
               }
@@ -235,8 +260,9 @@ object IngestStream {
               if (next.deltas.lastOption.contains(s"delta-$batchId"))
                 sp.read.schema(TxLog.versionSchema).parquet(s"$stateDir/delta-$batchId")
               else delta
-            maintainViews(sp, vd, views, batchId, parts.resolvedTouched,
-              parts.evictEids, parts.hasEvict, deltaRows, viewCompactEvery)
+            labeled("view maintenance")(
+              maintainViews(sp, vd, views, batchId, parts.resolvedTouched,
+                parts.evictEids, parts.hasEvict, deltaRows, viewCompactEvery))
           }
           commitManifest(stateDir, next, conf)
           pruneStale(fs, stateDir, conf)
@@ -246,27 +272,45 @@ object IngestStream {
         }
   }
 
-  /** One incrementally-maintained materialized view: `agg` maps the
-    * CURRENT snapshot of the touched entities (resolved version rows:
-    * latest non-tombstone fact per eid) to an aggregate keyed by any
-    * columns plus the `measures` columns, each of which must be a SUM-
-    * decomposable aggregate (count/sum — and therefore avg as sum÷count
-    * at read time). A count(*) column named `n` is required: it is the
-    * liveness witness (a key whose `n` folds to 0 has left the view).
-    * Delta maintenance is valid for exactly this shape —
-    * `agg(after) − agg(before)` folds into the stored view by summing
-    * each measure per key — and `agg` may join the snapshot to STATIC
-    * dimension tables (only touched eids' rows change per tx, so the
-    * join delta is the row delta joined). */
-  final case class ViewDef(name: String, agg: DataFrame => DataFrame,
-      measures: Seq[String] = Seq("n")) {
-    require(measures.contains("n"), s"view $name: measures must include the count column 'n'")
+  /** One incrementally-maintained materialized view over the CURRENT
+    * snapshot (resolved version rows: latest non-tombstone fact per eid),
+    * declared in the signed-delta (weighted multiset) normal form classic
+    * IVM uses: `rows` is a ROW-LEVEL transform of snapshot rows (it may
+    * join STATIC dimension tables, derive columns, or filter — anything
+    * that maps each input row independently and preserves every column it
+    * doesn't touch), `keys` are the view's grouping columns, and each
+    * measure is an expression summed per key, with the required count
+    * measure `n` (expression `lit(1L)`) as the liveness witness — a key
+    * whose `n` folds to 0 has left the view.
+    *
+    * Structuring views this way is what makes maintenance a SINGLE
+    * aggregation pass: each touched entity's before-image flows through
+    * `rows` with weight −1 and its after-image with weight +1, and
+    * `sum(weight × measure)` per key IS the view delta — algebraically
+    * identical to `agg(after) − agg(before)` for count/sum (and avg as
+    * sum÷count at read time), without computing two aggregates whose
+    * shared resolve the optimizer can't dedup (column pruning
+    * specializes each branch's copy, defeating exchange reuse).
+    *
+    * `rows` must keep the `_sign` weight column intact (a join or
+    * withColumn does so naturally; a select must carry it through). */
+  final case class ViewDef(name: String, keys: Seq[String],
+      measures: Seq[(String, Column)] = Seq("n" -> lit(1L)),
+      rows: DataFrame => DataFrame = identity) {
+    require(measures.map(_._1).contains("n"),
+      s"view $name: measures must include the count measure 'n'")
+  }
+
+  /** Apply a view definition to a full snapshot — the recompute the
+    * incremental maintenance must agree with (spec'd + oracle-gated). */
+  def computeView(v: ViewDef, snapshot: DataFrame): DataFrame = {
+    val aggs = v.measures.map { case (m, e) => sum(e).as(m) }
+    v.rows(snapshot).groupBy(v.keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
   /** The default view: live entity count per content_hash — the "how many
     * docs of each type" dashboard query, answered without the version log. */
-  val typeCountsView: ViewDef = ViewDef("type_counts",
-    snap => snap.groupBy(col("content_hash")).agg(count(lit(1)).as("n")))
+  val typeCountsView: ViewDef = ViewDef("type_counts", keys = Seq("content_hash"))
 
   /** Maintain every view for one committed tx.
     *
@@ -329,28 +373,51 @@ object IngestStream {
       .filter(col("vt") <= basis && col("tt") <= basis)
     val stc = struct(payload.map(col): _*)
     val ord = struct(col("vt"), col("tx_id"))
-    val winners = tagged.groupBy(col("eid")).agg(
+    val winners0 = tagged.groupBy(col("eid")).agg(
         max_by(when(col("_b"), stc), when(col("_b"), ord)).as("_before"),
         max_by(when(col("_a"), stc), when(col("_a"), ord)).as("_after"))
-      .localCheckpoint(true)
-    val beforeSnap = winners
-      .filter(col("_before").isNotNull && !col("_before.tombstone"))
-      .select("_before.*")
-    val afterSnap = winners
-      .filter(col("_after").isNotNull && !col("_after.tombstone"))
-      .select("_after.*")
-    views.foreach { v =>
+    // single view: the winners resolve runs INSIDE the view's own write
+    // job (no extra materialization job per tx). Multiple views:
+    // materialize once so each view's write reads the tiny winner rows
+    // instead of re-resolving the touched history per view.
+    val winners = if (views.size > 1) winners0.localCheckpoint(true) else winners0
+    // SIGNED delta rows (the weighted-multiset form of classic IVM):
+    // each winner explodes into its after-image at weight +1 and its
+    // before-image at weight −1 (dead/evicted/tombstone sides drop out),
+    // so every view folds its delta in ONE aggregation pass —
+    // sum(_sign × measure) per key ≡ agg(after) − agg(before). This is
+    // deliberately NOT expressed as a union of two aggregates: column
+    // pruning specializes each branch's copy of the winners subplan
+    // (before-only vs after-only columns), the branches' exchanges stop
+    // being equal, and exchange reuse can't dedup the resolve — the
+    // touched history would be resolved twice per view per tx.
+    val signed = winners
+      .select(explode(array(
+          struct(lit(1L).as("_sign"), col("_after").as("_p")),
+          struct(lit(-1L).as("_sign"), col("_before").as("_p")))).as("sp"))
+      .filter(col("sp._p").isNotNull && !col("sp._p.tombstone"))
+      .select(col("sp._sign").as("_sign") +:
+        payload.map(c => col("sp._p").getField(c).as(c)): _*)
+    // each view's delta write (and occasional compaction) touches only its
+    // own directory and reads only the shared materialized winners — the
+    // per-view work is independent, so multi-view maintenance runs the
+    // writes concurrently (same discipline as the LSH stream's durable
+    // appends: all complete before this tx's manifest commits)
+    def maintainOne(v: ViewDef): Unit = {
       val dir = s"$viewDir/${v.name}"
       val target = new Path(s"$dir/vdelta-$txId")
-      val negate = v.measures.foldLeft(v.agg(beforeSnap))(
-        (d, m) => d.withColumn(m, -col(m)))
-      val deltaAgg = v.agg(afterSnap).unionByName(negate)
+      val aggs = v.measures.map { case (m, e) => sum(col("_sign") * e).as(m) }
+      val deltaAgg = v.rows(signed)
+        .groupBy(v.keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
       val alreadyCommitted = committedDir(fs, target)
       if (!alreadyCommitted) {
         // a dir without _SUCCESS is a torn write from a crash — the guard
         // must NOT trust it as this tx's delta (ADVICE r7)
         if (fs.exists(target)) fs.delete(target, true)
-        writeViewMeta(fs, new Path(dir), v.measures)
+        writeViewMeta(fs, new Path(dir), v.measures.map(_._1))
+        if (java.lang.Boolean.getBoolean("graft.debug.plan"))
+          // scalastyle:off println
+          println(deltaAgg.queryExecution.executedPlan.toString.take(6000))
         deltaAgg.coalesce(1).write.mode("overwrite").parquet(target.toString)
       }
       // compaction: fold the committed delta stack into a fresh base once
@@ -371,6 +438,15 @@ object IngestStream {
               fs.delete(new Path(s"$dir/vbase-$id"), true))
         }
       }
+    }
+    if (views.size <= 1) views.foreach(maintainOne)
+    else {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      Await.result(
+        Future.sequence(views.map(v => Future(maintainOne(v)))), Duration.Inf)
+      ()
     }
   }
 
@@ -705,10 +781,16 @@ object IngestStream {
     *
     * Returns the complete verified pair set after draining the stream —
     * identical to the batch operator's answer on the same corpus. */
+  /** @param batchPartitions per-batch shuffle/task parallelism — the
+    *   arriving micro-batch is orders of magnitude smaller than the
+    *   session's scan-side parallelism, so its shingle kernel, minhash
+    *   aggregation and probe distinct size their stages to the batch
+    *   (a 100 TB feed sizes up with its batch volume). */
   def lshDedupStream(spark: SparkSession, docsPath: String, tau: Double = 0.5,
       k: Int = 3, numHashes: Int = 64, bands: Int = 16,
       nChunks: Int = 3, checkpointEvery: Int = 8,
-      maxCandidatesPerBatch: Int = 1000000): DataFrame = {
+      maxCandidatesPerBatch: Int = 1000000,
+      batchPartitions: Int = 8): DataFrame = {
     import graft.operators.Dedup
     val base = java.nio.file.Files.createTempDirectory("graft_lsh_stream").toString
     val inDir = s"$base/in"; val idxDir = s"$base/idx"
@@ -745,7 +827,24 @@ object IngestStream {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val sp = batch.sparkSession
-        val shB = Dedup.shingles(batch, k).persist(lvl)
+        def lbl[A](what: String)(f: => A): A = {
+          sp.sparkContext.setJobDescription(s"graft-lsh-$batchId $what")
+          try f finally sp.sparkContext.setJobDescription(null)
+        }
+        // batch-sized execution: AQE stays ON inside foreachBatch (the
+        // engine only disables it for the streaming plan itself), and for
+        // these hand-hinted micro-batch plans its stage-by-stage
+        // execution turns every action into a chain of per-stage jobs
+        // with replanning between them — pure scheduling latency at this
+        // size. Joins are already broadcast-hinted and partition counts
+        // hand-sized, so switch it off for the batch body.
+        val prevShuffle = sp.conf.get("spark.sql.shuffle.partitions")
+        val prevAqe = sp.conf.get("spark.sql.adaptive.enabled")
+        sp.conf.set("spark.sql.shuffle.partitions", batchPartitions)
+        sp.conf.set("spark.sql.adaptive.enabled", "false")
+        try {
+        val shB = Dedup.shingles(batch, k, numPartitions = Some(batchPartitions))
+          .persist(lvl)
         val keysB = Dedup.bandKeyRows(
           Dedup.minhashSignatures(shB, numHashes), bands, rowsPerBand)
           .persist(lvl)
@@ -771,33 +870,58 @@ object IngestStream {
         // invisible quadratic verify), and a local pair list makes every
         // verify-side broadcast free (no per-join build jobs)
         val allKeys = idxCache.map(_.unionByName(keysB)).getOrElse(keysB)
-        val candRows = broadcast(keysB.as("a"))
+        val candRows = lbl("probe")(broadcast(keysB.as("a"))
           .join(allKeys.as("b"),
             col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
               col("a.doc_id") =!= col("b.doc_id"))
           .select(least(col("a.doc_id"), col("b.doc_id")).as("d1"),
             greatest(col("a.doc_id"), col("b.doc_id")).as("d2"))
           .distinct()
-          .limit(maxCandidatesPerBatch + 1)
-          .collect()
+          .collect())
         require(candRows.length <= maxCandidatesPerBatch,
           s"lshDedupStream: batch $batchId produced > $maxCandidatesPerBatch candidate pairs; " +
             "banding parameters admit too many collisions for this corpus")
-        val cand = {
-          import sp.implicits._
-          candRows.map(r => (r.getLong(0), r.getLong(1))).toSeq.toDF("d1", "d2")
-        }
         val shAll = shCache.map(_.unionByName(shB)).getOrElse(shB)
-        // exact-Jaccard verify touches only candidate docs' postings:
-        // semi-filter the accumulated shingles by the (small) candidate
-        // doc set ONCE and materialize the result, so the verify's three
-        // consumers (two posting joins + the size aggregation) scan the
-        // tiny filtered frame, not the growing corpus postings
-        val candDocs = cand.select(col("d1").as("doc_id"))
-          .unionByName(cand.select(col("d2").as("doc_id")))
-        val shCand = shAll.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
-          .localCheckpoint(true)
-        val pairs = Dedup.jaccardOfPairsSmall(shCand, cand, tau)
+        // exact-Jaccard verify ON THE DRIVER: the candidate pair list is
+        // already driver-local (the LocalRelation design above — bounded
+        // by maxCandidatesPerBatch with a loud failure), so the per-pair
+        // set intersections are O(candidates × doc-shingles) driver CPU,
+        // and the only cluster work left is ONE semi-join collect of the
+        // candidate docs' postings. The Spark-side verify
+        // ([[graft.operators.Dedup.jaccardOfPairsSmall]]) remains the
+        // batch/uncapped path; at stream batch sizes it costs 4-6 extra
+        // jobs per batch (broadcast builds + posting joins + the size
+        // aggregation) to produce the same numbers this loop computes
+        // from the identical collected rows.
+        val pairs = {
+          import sp.implicits._
+          val candDocIds: Seq[Long] = candRows.iterator
+            .flatMap(r => Iterator(r.getLong(0), r.getLong(1)))
+            .toSet.toSeq
+          val candDocs = candDocIds.toDF("doc_id")
+          val postings = new scala.collection.mutable.HashMap[Long, scala.collection.mutable.HashSet[String]]
+          lbl("postings collect")(
+            shAll.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+              .select(col("doc_id"), col("shingle")).collect())
+            .foreach { r =>
+              postings.getOrElseUpdate(r.getLong(0),
+                new scala.collection.mutable.HashSet[String]) += r.getString(1)
+            }
+          val verified = candRows.iterator.flatMap { r =>
+            val (d1, d2) = (r.getLong(0), r.getLong(1))
+            val (s1, s2) = (postings.get(d1), postings.get(d2))
+            if (s1.isEmpty || s2.isEmpty) Iterator.empty
+            else {
+              val (a, b) = (s1.get, s2.get)
+              val (small, big) = if (a.size <= b.size) (a, b) else (b, a)
+              val c = small.count(big)
+              // same arithmetic as jaccardOfPairsSmall: |∩| / (sz1+sz2−|∩|)
+              val j = c.toDouble / (a.size + b.size - c)
+              if (c > 0 && j >= tau) Iterator((d1, d2, j)) else Iterator.empty
+            }
+          }.toSeq
+          verified.toDF("d1", "d2", "jaccard")
+        }
         // the three writes are independent — run them concurrently (all
         // complete before foreachBatch returns, so the engine's offset
         // commit still implies the batch's postings are durable); the
@@ -807,14 +931,21 @@ object IngestStream {
         import scala.concurrent.ExecutionContext.Implicits.global
         import scala.concurrent.duration.Duration
         Await.result(Future.sequence(Seq(
-          Future(pairs.write.mode("append").parquet(pairsDir)),
-          Future(keysB.write.mode("append").parquet(idxDir)),
-          Future(shB.write.mode("append").parquet(shDir)))), Duration.Inf)
+          Future(lbl("pairs write")(
+            pairs.coalesce(1).write.mode("append").parquet(pairsDir))),
+          Future(lbl("keys append")(
+            keysB.coalesce(1).write.mode("append").parquet(idxDir))),
+          Future(lbl("sh append")(
+            shB.coalesce(1).write.mode("append").parquet(shDir))))), Duration.Inf)
         // fold the batch's (still-persisted) delta into the live index
         idxCache = Some(allKeys); shCache = Some(shAll)
         if (batchId % checkpointEvery == (checkpointEvery - 1)) {
           idxCache = idxCache.map(_.localCheckpoint())
           shCache = shCache.map(_.localCheckpoint())
+        }
+        } finally {
+          sp.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+          sp.conf.set("spark.sql.adaptive.enabled", prevAqe)
         }
       }
       .start()

@@ -11,6 +11,7 @@ object ProfileStreams {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val gates = if (args.length > 1) args.drop(1).toSet
       else Set("stream_dedup", "stream_join", "stream_sessions", "stream_matview")
+    sys.env.get("GRAFT_DEBUG_PLAN").foreach(v => System.setProperty("graft.debug.plan", v))
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -20,13 +21,15 @@ object ProfileStreams {
       private val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
       override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
         val desc = Option(j.properties).map(_.getProperty("spark.job.description", "")).getOrElse("")
-        val site = Option(j.properties).map(_.getProperty("callSite.short", "")).getOrElse("")
-        starts.put(j.jobId, (System.nanoTime(), s"$desc $site"))
+        val site = Option(j.properties).map(_.getProperty("callSite.long", "")).getOrElse("")
+          .linesIterator.toSeq.headOption.getOrElse("")
+        val stages = j.stageInfos.map(si => s"(${si.numTasks})").mkString("<")
+        starts.put(j.jobId, (System.nanoTime(), s"$desc | $stages | ${site.take(90)}"))
       }
       override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
         Option(starts.remove(j.jobId)).foreach { case (t0, d) =>
           val ms = (System.nanoTime() - t0) / 1e6
-          if (ms > 30) println(f"    job=${j.jobId}%-4d ${ms}%7.0f ms  $d")
+          if (ms > 5) println(f"    job=${j.jobId}%-4d ${ms}%7.0f ms  $d")
         }
       }
     })

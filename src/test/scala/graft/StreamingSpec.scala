@@ -263,8 +263,8 @@ class StreamingSpec extends AnyFunSuite {
         org.apache.spark.sql.types.StructField("tier",
           org.apache.spark.sql.types.StringType)))).localCheckpoint(true)
     val tierView = IngestStream.ViewDef("tier_counts",
-      snap => snap.join(broadcast(dim), Seq("eid"))
-        .groupBy(col("content_hash"), col("tier")).agg(count(lit(1)).as("n")))
+      keys = Seq("content_hash", "tier"),
+      rows = snap => snap.join(broadcast(dim), Seq("eid")))
     val stream = spark.readStream.schema(TxLog.opSchema)
       .option("maxFilesPerTrigger", "1").parquet(opsDir)
     IngestStream.start(spark, stream, stateDir, ckDir,
