@@ -214,7 +214,22 @@ object IngestStream {
                 println(f"    [phase] tx-$batchId $what%-22s ${(System.nanoTime() - t0) / 1e6}%7.0f ms")
             }
           }
-          val next: StateManifest =
+          // When views are maintained, the tx's two actions — the state
+          // delta write and the view maintenance — are INDEPENDENT given
+          // the shared cached fold (both derive from histTouched + ops),
+          // so they run concurrently: the fold rows are persisted once and
+          // the block manager's per-block locks guarantee each partition
+          // computes exactly once even with both jobs racing for it. The
+          // per-tx wall drops from write+views to max(write, views). Both
+          // complete before the manifest commits, so crash semantics are
+          // unchanged (a committed vdelta with an uncommitted manifest is
+          // already handled by maintainViews' replay skip).
+          val wantViews = !parts.aborted && matViewDir.isDefined
+          val deltaCached =
+            if (wantViews)
+              delta.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            else delta
+          def writeState(): StateManifest =
             if (parts.aborted) // advance the tx id over the same data dirs
               StateManifest(batchId, cur.flatMap(_.base), cur.toSeq.flatMap(_.deltas))
             else {
@@ -232,38 +247,47 @@ object IngestStream {
                     current.join(broadcast(parts.evictEids), Seq("eid"), "left_anti")
                   else current
                 val full = pruned
-                  .unionByName(delta)
+                  .unionByName(deltaCached)
                   .dropDuplicates("eid", "vt", "tx_id") // restore-row dups
                 labeled("state compact+fold")(
                   full.write.mode("overwrite").parquet(s"$stateDir/$baseName"))
                 StateManifest(batchId, Some(baseName), Nil)
               } else {
                 val deltaName = s"delta-$batchId"
+                // the fold shuffle keeps its declared parallelism for
+                // compute; the WRITE coalesces the cached rows so the
+                // delta lands as few files — every later tx's state scan
+                // opens the whole delta stack, so file fanout is the
+                // read-side constant that compounds
                 labeled("delta fold+write")(
-                  delta.write.mode("overwrite").parquet(s"$stateDir/$deltaName"))
+                  deltaCached.write.mode("overwrite").parquet(s"$stateDir/$deltaName"))
                 StateManifest(batchId, cur.flatMap(_.base),
                   cur.toSeq.flatMap(_.deltas) :+ deltaName)
               }
             }
+          def writeViews(): Unit = matViewDir.foreach { vd =>
+            labeled("view maintenance")(
+              maintainViews(sp, vd, views, batchId, parts.resolvedTouched,
+                parts.evictEids, parts.hasEvict, deltaCached, viewCompactEvery))
+          }
+          val next: StateManifest =
+            if (wantViews) {
+              import scala.concurrent.{Await, Future}
+              import scala.concurrent.ExecutionContext.Implicits.global
+              import scala.concurrent.duration.Duration
+              val stateF = Future(writeState())
+              val viewF = Future(writeViews())
+              val m = Await.result(stateF, Duration.Inf)
+              Await.result(viewF, Duration.Inf)
+              m
+            } else writeState()
           // sinks run BEFORE the manifest commit: the commit marker is the
           // replay guard, so a crash between the two replays the batch into
           // the (idempotent) sinks — at-least-once delivery, matching the
           // reference's secondary-index contract (tx.clj:400-410 indexes
           // secondaries inside the same tx before the tx is marked done)
           secondarySinks.foreach(sink => sink(ops, batchId))
-          if (!parts.aborted) matViewDir.foreach { vd =>
-            // the tx's delta rows, O(batch): the delta file this batch just
-            // wrote when one exists (a clean scan with no lineage), else —
-            // compaction path — the delta plan itself, which re-derives
-            // from the still-cached ops/resolved frames
-            val deltaRows =
-              if (next.deltas.lastOption.contains(s"delta-$batchId"))
-                sp.read.schema(TxLog.versionSchema).parquet(s"$stateDir/delta-$batchId")
-              else delta
-            labeled("view maintenance")(
-              maintainViews(sp, vd, views, batchId, parts.resolvedTouched,
-                parts.evictEids, parts.hasEvict, deltaRows, viewCompactEvery))
-          }
+          if (wantViews) deltaCached.unpersist()
           commitManifest(stateDir, next, conf)
           pruneStale(fs, stateDir, conf)
           // delta landed + sinks ran: drop this tx's cached op list so
@@ -343,6 +367,12 @@ object IngestStream {
     * store, so a recomputed delta would be ~zero. All view IO rides the
     * same Hadoop `FileSystem` as the state manifests, so `viewDir` may
     * live on HDFS/S3/local alike. */
+  /** Above this many views per store, the dual-winner resolve is
+    * materialized once (an extra eager job) instead of re-run inside each
+    * view's write — the crossover where duplicated resolve CPU outweighs
+    * the serialization the materialization job adds. */
+  private val materializeWinnersAbove = 4
+
   private def maintainViews(sp: SparkSession, viewDir: String,
       views: Seq[ViewDef], txId: Long, resolvedBefore: DataFrame,
       evictEids: DataFrame, hasEvict: Boolean, deltaRows: DataFrame,
@@ -376,11 +406,16 @@ object IngestStream {
     val winners0 = tagged.groupBy(col("eid")).agg(
         max_by(when(col("_b"), stc), when(col("_b"), ord)).as("_before"),
         max_by(when(col("_a"), stc), when(col("_a"), ord)).as("_after"))
-    // single view: the winners resolve runs INSIDE the view's own write
-    // job (no extra materialization job per tx). Multiple views:
-    // materialize once so each view's write reads the tiny winner rows
-    // instead of re-resolving the touched history per view.
-    val winners = if (views.size > 1) winners0.localCheckpoint(true) else winners0
+    // the winners resolve runs INSIDE each view's own write job — its
+    // inputs (the touched history and the tx delta) are both cached by
+    // the caller, so a re-resolve per view is one groupBy over hot
+    // in-memory rows, and the concurrent per-view writes overlap it in
+    // wall time. An eager materialization job here would serialize the
+    // batch on a checkpoint no view can start before (measured slower at
+    // micro-batch size; at many-view scale flip MATERIALIZE_WINNERS).
+    val winners =
+      if (views.size > materializeWinnersAbove) winners0.localCheckpoint(true)
+      else winners0
     // SIGNED delta rows (the weighted-multiset form of classic IVM):
     // each winner explodes into its after-image at weight +1 and its
     // before-image at weight −1 (dead/evicted/tombstone sides drop out),
@@ -843,8 +878,11 @@ object IngestStream {
         sp.conf.set("spark.sql.shuffle.partitions", batchPartitions)
         sp.conf.set("spark.sql.adaptive.enabled", "false")
         try {
-        val shB = Dedup.shingles(batch, k, numPartitions = Some(batchPartitions))
-          .persist(lvl)
+        // the shingle/minhash kernel is the batch's CPU (64 hash evals per
+        // shingle row, computed in the partial agg = map side): spread it
+        // across ALL cores; only the downstream shuffles/joins are sized
+        // to the batch via batchPartitions
+        val shB = Dedup.shingles(batch, k).persist(lvl)
         val keysB = Dedup.bandKeyRows(
           Dedup.minhashSignatures(shB, numHashes), bands, rowsPerBand)
           .persist(lvl)
