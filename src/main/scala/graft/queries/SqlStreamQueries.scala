@@ -176,7 +176,7 @@ object SqlStreamQueries {
   /** Stage the matview gates' op buckets as one-file-per-tx arrival dirs
     * and run the maintained-view ingest; returns the view root. */
   private def runMatviewStream(s: SparkSession, dir: String,
-      views: Seq[IngestStream.ViewDef]): String = {
+      views: Seq[IngestStream.ViewDef]): (String, String) = {
     val base = java.nio.file.Files.createTempDirectory("graft_matview").toString
     val stateDir = s"$base/state"
     val ckDir = s"$base/ck"; val viewDir = s"$base/view"
@@ -190,14 +190,19 @@ object SqlStreamQueries {
       txShape = Some(TxLog.TxShape(hasChecks = false, hasEvict = false,
         hasRanged = false)),
       views = views,
-      txPartitions = Some(8))
+      txPartitions = Some(8),
+      // group-committed maintenance: flush every 2nd tx, readers stay
+      // exact through loadView's journal catch-up (the scale knob —
+      // per-tx view writes are the IVM family's dominant constant)
+      viewFlushEvery = 2)
     q.awaitTermination()
-    viewDir
+    (viewDir, stateDir)
   }
 
   def streamMatview(s: SparkSession, dir: String): DataFrame = {
-    val viewDir = runMatviewStream(s, dir, Seq(IngestStream.typeCountsView))
-    IngestStream.loadTypeCounts(s, viewDir).get
+    val (viewDir, stateDir) = runMatviewStream(s, dir, Seq(IngestStream.typeCountsView))
+    IngestStream.loadView(s, viewDir, "type_counts",
+        catchUp = Some((stateDir, IngestStream.typeCountsView))).get
       .select(col("content_hash").as("event_type"), col("n"))
   }
 
@@ -219,9 +224,10 @@ object SqlStreamQueries {
     val segView = IngestStream.ViewDef("seg_counts",
       keys = Seq("content_hash", "c_mktsegment"),
       rows = snap => snap.join(broadcast(dim), Seq("eid")))
-    val viewDir = runMatviewStream(s, dir,
+    val (viewDir, stateDir) = runMatviewStream(s, dir,
       Seq(IngestStream.typeCountsView, segView))
-    IngestStream.loadView(s, viewDir, "seg_counts").get
+    IngestStream.loadView(s, viewDir, "seg_counts",
+        catchUp = Some((stateDir, segView))).get
       .select(col("content_hash").as("event_type"), col("c_mktsegment"), col("n"))
   }
 
@@ -235,8 +241,9 @@ object SqlStreamQueries {
     val sumView = IngestStream.ViewDef("type_sums",
       keys = Seq("content_hash"),
       measures = Seq("n" -> lit(1L), "total" -> col("eid").cast("long")))
-    val viewDir = runMatviewStream(s, dir, Seq(sumView))
-    IngestStream.loadView(s, viewDir, "type_sums").get
+    val (viewDir, stateDir) = runMatviewStream(s, dir, Seq(sumView))
+    IngestStream.loadView(s, viewDir, "type_sums",
+        catchUp = Some((stateDir, sumView))).get
       .select(col("content_hash").as("event_type"), col("n"), col("total"),
         (col("total").cast("double") / col("n")).as("avg_uid"))
   }

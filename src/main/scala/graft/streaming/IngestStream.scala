@@ -105,7 +105,8 @@ object IngestStream {
       txShape: Option[TxLog.TxShape] = None,
       views: Seq[ViewDef] = Seq(typeCountsView),
       txPartitions: Option[Int] = None,
-      viewCompactEvery: Int = 8): StreamingQuery = {
+      viewCompactEvery: Int = 8,
+      viewFlushEvery: Int = 1): StreamingQuery = {
     opsStream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -128,7 +129,7 @@ object IngestStream {
         }
         try applyToStore(sp, ops, batchId, stateDir, txTime(batchId),
           secondarySinks, compactEvery, matViewDir, txShape, views,
-          viewCompactEvery)
+          viewCompactEvery, viewFlushEvery)
         finally txPartitions.foreach { _ =>
           sp.conf.set("spark.sql.shuffle.partitions", prevShuffle)
           sp.conf.set("spark.sql.adaptive.enabled", prevAqe)
@@ -152,7 +153,8 @@ object IngestStream {
       matViewDir: Option[String] = None,
       txShape: Option[TxLog.TxShape] = None,
       views: Seq[ViewDef] = Seq(typeCountsView),
-      viewCompactEvery: Int = 8): Unit = {
+      viewCompactEvery: Int = 8,
+      viewFlushEvery: Int = 1): Unit = {
         // all state IO rides the session Hadoop conf (incl. this replay
         // guard) so HDFS/S3 credentials configured on the session apply
         val conf = sp.sessionState.newHadoopConf()
@@ -214,7 +216,20 @@ object IngestStream {
                 println(f"    [phase] tx-$batchId $what%-22s ${(System.nanoTime() - t0) / 1e6}%7.0f ms")
             }
           }
-          // When views are maintained, the tx's two actions — the state
+          // GROUP COMMIT for the views: flush only when a view's span
+          // since its last committed flush reaches viewFlushEvery txs, or
+          // the tx evicts (evict destroys journal rows a later flush
+          // would need — flush before destroying). Skipped flushes lose
+          // nothing: the state journal re-derives any span's delta at the
+          // next flush, and [[loadView]]'s catch-up keeps readers exact
+          // in between. viewFlushEvery trades per-tx write constants
+          // against catch-up span size — at 1 (default) every tx flushes.
+          val flushViews = !parts.aborted && matViewDir.exists { vd =>
+            parts.hasEvict || viewFlushEvery <= 1 ||
+              views.exists(v => batchId + 1 -
+                viewHighWater(hfs(vd, conf), s"$vd/${v.name}") > viewFlushEvery)
+          }
+          // When views flush this tx, the tx's two actions — the state
           // delta write and the view maintenance — are INDEPENDENT given
           // the shared cached fold (both derive from histTouched + ops),
           // so they run concurrently: the fold rows are persisted once and
@@ -224,7 +239,7 @@ object IngestStream {
           // complete before the manifest commits, so crash semantics are
           // unchanged (a committed vdelta with an uncommitted manifest is
           // already handled by maintainViews' replay skip).
-          val wantViews = !parts.aborted && matViewDir.isDefined
+          val wantViews = flushViews
           val deltaCached =
             if (wantViews)
               delta.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -266,9 +281,21 @@ object IngestStream {
               }
             }
           def writeViews(): Unit = matViewDir.foreach { vd =>
-            labeled("view maintenance")(
-              maintainViews(sp, vd, views, batchId, parts.resolvedTouched,
-                parts.evictEids, parts.hasEvict, deltaCached, viewCompactEvery))
+            labeled("view maintenance") {
+              // per-view span source: a view whose high-water is exactly
+              // the previous tx rides the tx's own cached frames (zero
+              // extra store scans); a lagging view (group-committed span,
+              // or a crash between two views' writes) rebuilds its span
+              // from the journal
+              val signedFor: Long => DataFrame = fromTx =>
+                if (fromTx == batchId - 1)
+                  signedFromFrames(parts.resolvedTouched, deltaCached,
+                    parts.evictEids, parts.hasEvict)
+                else
+                  signedFromJournal(current.unionByName(deltaCached), fromTx,
+                    parts.evictEids, parts.hasEvict)
+              maintainViews(sp, vd, views, batchId, signedFor, viewCompactEvery)
+            }
           }
           val next: StateManifest =
             if (wantViews) {
@@ -336,60 +363,44 @@ object IngestStream {
     * docs of each type" dashboard query, answered without the version log. */
   val typeCountsView: ViewDef = ViewDef("type_counts", keys = Seq("content_hash"))
 
-  /** Maintain every view for one committed tx.
-    *
-    * Classic delta maintenance, O(touched) per batch: the before side is
-    * the tx's OWN cached resolved-history frame ([[TxLog.TxParts
-    * .resolvedTouched]] — zero extra store scans), the after side is that
-    * frame minus evicted eids plus the tx's O(batch) delta rows. A full
-    * recompute per batch would re-resolve the entire store — the thing
-    * that stops scaling first; equivalence of the maintained views with
-    * that recompute is pinned by StreamingSpec and the `stream_matview` /
-    * `stream_matview_join` / `stream_matview_sum` oracle gates.
-    *
-    * Storage is a per-view DELTA LOG mirroring the state store's own
-    * base/delta discipline: each tx appends only `vdelta-<txId>` — its
-    * O(touched keys) signed delta aggregate, ONE write action per view
-    * per tx, never a merged-view rewrite — and every `compactEvery`
-    * deltas the stack folds into a `vbase-<txId>` snapshot (deltas the
-    * base subsumes are pruned; the 2 newest bases are kept, mirroring
-    * [[pruneStale]]). [[loadView]] merges base + trailing deltas at read
-    * time — O(view keys + compactEvery × touched keys), independent of
-    * history length.
-    *
-    * Crash safety: a dir counts as committed only when the parquet
-    * committer's `_SUCCESS` marker is present; a torn dir (crash mid-
-    * write) is deleted and recomputed. If a replayed batch finds its own
-    * COMMITTED `vdelta-<txId>` (a crash landed between the view write
-    * and the manifest commit — or between the manifest commit and
-    * Spark's checkpoint commit), maintenance SKIPS the recompute: at
-    * replay time `resolvedTouched` may already reflect the post-tx
-    * store, so a recomputed delta would be ~zero. All view IO rides the
-    * same Hadoop `FileSystem` as the state manifests, so `viewDir` may
-    * live on HDFS/S3/local alike. */
-  /** Above this many views per store, the dual-winner resolve is
-    * materialized once (an extra eager job) instead of re-run inside each
-    * view's write — the crossover where duplicated resolve CPU outweighs
-    * the serialization the materialization job adds. */
-  private val materializeWinnersAbove = 4
-
-  private def maintainViews(sp: SparkSession, viewDir: String,
-      views: Seq[ViewDef], txId: Long, resolvedBefore: DataFrame,
-      evictEids: DataFrame, hasEvict: Boolean, deltaRows: DataFrame,
-      compactEvery: Int): Unit = {
-    import org.apache.hadoop.fs.Path
-    val conf = sp.sessionState.newHadoopConf()
-    val fs = hfs(viewDir, conf)
+  /** DUAL-WINNER resolve → SIGNED delta rows, from membership-tagged
+    * version rows: one groupBy picks each touched entity's before- and
+    * after-winner (`max_by(vt, tx_id)` per side, exactly
+    * [[graft.bitemp.Bitemp.asOfTime]]'s resolution — max_by ignores rows
+    * whose membership-masked ordering is null), then each winner explodes
+    * into its after-image at weight +1 and its before-image at weight −1
+    * (dead/evicted/tombstone sides drop out). Every view folds its delta
+    * in ONE aggregation pass — sum(_sign × measure) per key ≡
+    * agg(after) − agg(before). This is deliberately NOT a union of two
+    * aggregates: column pruning would specialize each branch's copy of
+    * the winners subplan (before-only vs after-only columns), the
+    * branches' exchanges stop being equal, and exchange reuse can't dedup
+    * the resolve. */
+  private def winnersToSigned(tagged: DataFrame, payload: Seq[String]): DataFrame = {
     val basis = lit(java.time.LocalDateTime.parse("2099-01-01T00:00"))
-    // DUAL-WINNER resolve: the before- and after-tx snapshots come out of
-    // ONE aggregation pass — each touched entity's history rows are
-    // tagged with before/after membership (delta rows are after-only;
-    // evicted eids' rows before-only) and a single groupBy picks both
-    // max_by(vt, tx_id) winners, exactly [[graft.bitemp.Bitemp
-    // .asOfTime]]'s resolution per side (max_by ignores rows whose
-    // membership-masked ordering is null). The winners frame is O(touched
-    // entities) — localCheckpoint severs it so every view's delta agg
-    // runs over the tiny materialized rows instead of re-resolving.
+    val stc = struct(payload.map(col): _*)
+    val ord = struct(col("vt"), col("tx_id"))
+    val winners = tagged
+      .filter(col("vt") <= basis && col("tt") <= basis)
+      .groupBy(col("eid")).agg(
+        max_by(when(col("_b"), stc), when(col("_b"), ord)).as("_before"),
+        max_by(when(col("_a"), stc), when(col("_a"), ord)).as("_after"))
+    winners
+      .select(explode(array(
+          struct(lit(1L).as("_sign"), col("_after").as("_p")),
+          struct(lit(-1L).as("_sign"), col("_before").as("_p")))).as("sp"))
+      .filter(col("sp._p").isNotNull && !col("sp._p.tombstone"))
+      .select(col("sp._sign").as("_sign") +:
+        payload.map(c => col("sp._p").getField(c).as(c)): _*)
+  }
+
+  /** Signed span delta (fromTx, now] built from explicit before/after
+    * FRAMES — the single-tx fast path: `resolvedBefore` is the tx's own
+    * cached touched-history resolve (zero extra store scans), `deltaRows`
+    * the tx's cached fold output. Valid only when the view's high-water
+    * is exactly the previous tx. */
+  private def signedFromFrames(resolvedBefore: DataFrame, deltaRows: DataFrame,
+      evictEids: DataFrame, hasEvict: Boolean): DataFrame = {
     val payload = resolvedBefore.columns.toSeq
     val beforeTagged =
       if (hasEvict)
@@ -399,53 +410,108 @@ object IngestStream {
           .drop("_ev")
       else resolvedBefore.withColumn("_b", lit(true)).withColumn("_a", lit(true))
     val tagged = beforeTagged.unionByName(
-        deltaRows.withColumn("_b", lit(false)).withColumn("_a", lit(true)))
-      .filter(col("vt") <= basis && col("tt") <= basis)
-    val stc = struct(payload.map(col): _*)
-    val ord = struct(col("vt"), col("tx_id"))
-    val winners0 = tagged.groupBy(col("eid")).agg(
-        max_by(when(col("_b"), stc), when(col("_b"), ord)).as("_before"),
-        max_by(when(col("_a"), stc), when(col("_a"), ord)).as("_after"))
-    // the winners resolve runs INSIDE each view's own write job — its
-    // inputs (the touched history and the tx delta) are both cached by
-    // the caller, so a re-resolve per view is one groupBy over hot
-    // in-memory rows, and the concurrent per-view writes overlap it in
-    // wall time. An eager materialization job here would serialize the
-    // batch on a checkpoint no view can start before (measured slower at
-    // micro-batch size; at many-view scale flip MATERIALIZE_WINNERS).
-    val winners =
-      if (views.size > materializeWinnersAbove) winners0.localCheckpoint(true)
-      else winners0
-    // SIGNED delta rows (the weighted-multiset form of classic IVM):
-    // each winner explodes into its after-image at weight +1 and its
-    // before-image at weight −1 (dead/evicted/tombstone sides drop out),
-    // so every view folds its delta in ONE aggregation pass —
-    // sum(_sign × measure) per key ≡ agg(after) − agg(before). This is
-    // deliberately NOT expressed as a union of two aggregates: column
-    // pruning specializes each branch's copy of the winners subplan
-    // (before-only vs after-only columns), the branches' exchanges stop
-    // being equal, and exchange reuse can't dedup the resolve — the
-    // touched history would be resolved twice per view per tx.
-    val signed = winners
-      .select(explode(array(
-          struct(lit(1L).as("_sign"), col("_after").as("_p")),
-          struct(lit(-1L).as("_sign"), col("_before").as("_p")))).as("sp"))
-      .filter(col("sp._p").isNotNull && !col("sp._p.tombstone"))
-      .select(col("sp._sign").as("_sign") +:
-        payload.map(c => col("sp._p").getField(c).as(c)): _*)
-    // each view's delta write (and occasional compaction) touches only its
-    // own directory and reads only the shared materialized winners — the
-    // per-view work is independent, so multi-view maintenance runs the
-    // writes concurrently (same discipline as the LSH stream's durable
-    // appends: all complete before this tx's manifest commits)
+      deltaRows.withColumn("_b", lit(false)).withColumn("_a", lit(true)))
+    winnersToSigned(tagged, payload)
+  }
+
+  /** Signed span delta (fromTx, now] built from the state JOURNAL — the
+    * version stack is a complete log (every row carries its `tx_id`), so
+    * any view delta over any tx span is recomputable from it: touched
+    * entities are those with a row in the span, before-membership is
+    * `tx_id <= fromTx`, after-membership everything surviving `evictEids`.
+    * This is what makes GROUP-COMMIT view maintenance safe: skipped
+    * flushes lose no information, a later flush (or a read-time catch-up)
+    * derives the span's exact delta from the journal. Evict is the one
+    * destructive exception — it removes journal rows — so evict txs force
+    * a flush and a catch-up span never crosses one. */
+  private def signedFromJournal(stack: DataFrame, fromTx: Long,
+      evictEids: DataFrame, hasEvict: Boolean): DataFrame = {
+    val payload = stack.columns.toSeq
+    // evicted eids may have NO journal row in the span (evict removes
+    // rows, it doesn't write them) — they are touched all the same, their
+    // before-image must flow out at weight −1
+    val spanEids = stack.filter(col("tx_id") > fromTx).select("eid")
+    val touched = (if (hasEvict) spanEids.unionByName(evictEids.select("eid"))
+      else spanEids).distinct()
+    val hist = stack.join(broadcast(touched), Seq("eid"), "left_semi")
+    val tagged =
+      if (hasEvict)
+        hist.join(broadcast(evictEids.withColumn("_ev", lit(true))),
+            Seq("eid"), "left")
+          .withColumn("_b", col("tx_id") <= fromTx)
+          .withColumn("_a", col("_ev").isNull)
+          .drop("_ev")
+      else hist.withColumn("_b", col("tx_id") <= fromTx)
+        .withColumn("_a", lit(true))
+    winnersToSigned(tagged, payload)
+  }
+
+  /** The view's committed high-water tx: the newest committed
+    * vbase-/vdelta- id, −1 if the view was never flushed. */
+  private def viewHighWater(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Long =
+    (listCommitted(fs, dir, "vdelta-") ++ listCommitted(fs, dir, "vbase-"))
+      .foldLeft(-1L)(math.max)
+
+  /** One view's delta aggregate over a signed span. */
+  private def viewDelta(v: ViewDef, signed: DataFrame): DataFrame = {
+    val aggs = v.measures.map { case (m, e) => sum(col("_sign") * e).as(m) }
+    v.rows(signed).groupBy(v.keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Flush every view's span delta up to `txId`.
+    *
+    * O(span touched) per flush, not O(store): `signedFor(fromTx)` hands
+    * each view the signed weighted rows of its span (fromTx, txId] — the
+    * caller picks the cached single-tx fast path or the journal rebuild.
+    * A full recompute per flush would re-resolve the entire store — the
+    * thing that stops scaling first; equivalence of the maintained views
+    * with that recompute is pinned by StreamingSpec and the
+    * `stream_matview` / `stream_matview_join` / `stream_matview_sum`
+    * oracle gates.
+    *
+    * Storage is a per-view DELTA LOG mirroring the state store's own
+    * base/delta discipline: each flush appends only `vdelta-<txId>` — its
+    * O(span touched keys) signed delta aggregate, ONE write action per
+    * view, never a merged-view rewrite — and every `compactEvery` deltas
+    * the stack folds into a `vbase-<txId>` snapshot (deltas the base
+    * subsumes are pruned; the 2 newest bases are kept, mirroring
+    * [[pruneStale]]). [[loadView]] merges base + trailing deltas at read
+    * time — O(view keys + compactEvery × span touched keys), independent
+    * of history length.
+    *
+    * Crash safety: a dir counts as committed only when the parquet
+    * committer's `_SUCCESS` marker is present; a torn dir (crash mid-
+    * write) is deleted and recomputed. If a replayed batch finds its own
+    * COMMITTED `vdelta-<txId>` (a crash landed between the view write
+    * and the manifest commit — or between the manifest commit and
+    * Spark's checkpoint commit), maintenance SKIPS the recompute: at
+    * replay time the store may already reflect the post-tx state, so a
+    * recomputed delta would be ~zero. All view IO rides the same Hadoop
+    * `FileSystem` as the state manifests, so `viewDir` may live on
+    * HDFS/S3/local alike. */
+  private def maintainViews(sp: SparkSession, viewDir: String,
+      views: Seq[ViewDef], txId: Long, signedFor: Long => DataFrame,
+      compactEvery: Int): Unit = {
+    import org.apache.hadoop.fs.Path
+    val conf = sp.sessionState.newHadoopConf()
+    val fs = hfs(viewDir, conf)
+    // each view's delta write (and occasional compaction) touches only
+    // its own directory and resolves its own span from shared CACHED
+    // inputs — the per-view work is independent, so multi-view
+    // maintenance runs the writes concurrently (same discipline as the
+    // LSH stream's durable appends: all complete before this tx's
+    // manifest commits)
     def maintainOne(v: ViewDef): Unit = {
       val dir = s"$viewDir/${v.name}"
       val target = new Path(s"$dir/vdelta-$txId")
-      val aggs = v.measures.map { case (m, e) => sum(col("_sign") * e).as(m) }
-      val deltaAgg = v.rows(signed)
-        .groupBy(v.keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
       val alreadyCommitted = committedDir(fs, target)
       if (!alreadyCommitted) {
+        // per-view span: each view's delta covers (its OWN high-water,
+        // txId] — views normally move in lockstep, but a crash between
+        // two views' writes leaves one behind, and its next flush must
+        // cover the wider span (the journal builder makes that exact)
+        val deltaAgg = viewDelta(v, signedFor(viewHighWater(fs, dir)))
         // a dir without _SUCCESS is a torn write from a crash — the guard
         // must NOT trust it as this tx's delta (ADVICE r7)
         if (fs.exists(target)) fs.delete(target, true)
@@ -535,9 +601,18 @@ object IngestStream {
   /** Latest committed state of a maintained view (optionally as of
     * strictly before `beforeTx`): the newest base + the trailing deltas
     * folded by summing each measure per key, dead keys (`n` = 0)
-    * dropped. One scan over O(view + compactEvery × touched) rows. */
+    * dropped. One scan over O(view + compactEvery × touched) rows.
+    *
+    * With `catchUp = Some((stateDir, viewDef))` the read is exact even
+    * under group-committed maintenance (`viewFlushEvery` > 1): if the
+    * state store's committed tx is past the view's flushed high-water,
+    * the unflushed span's delta is derived from the state journal
+    * ([[signedFromJournal]] — O(span touched), bounded by
+    * viewFlushEvery) and folded in. Evict txs always flush, so a
+    * catch-up span never crosses one. */
   def loadView(sp: SparkSession, viewDir: String, name: String,
-      beforeTx: Option[Long] = None): Option[DataFrame] = {
+      beforeTx: Option[Long] = None,
+      catchUp: Option[(String, ViewDef)] = None): Option[DataFrame] = {
     import org.apache.hadoop.fs.Path
     val fs = hfs(viewDir, sp.sessionState.newHadoopConf())
     val dir = s"$viewDir/$name"
@@ -547,10 +622,32 @@ object IngestStream {
       .filter(id => baseId.forall(id > _)).sorted
     val dirs = baseId.map(b => s"$dir/vbase-$b").toSeq ++
       deltaIds.map(d => s"$dir/vdelta-$d")
-    if (dirs.isEmpty) return None
-    val measures = readViewMeta(fs, new Path(dir))
-    val stack = sp.read.parquet(dirs: _*)
-    val keys = stack.columns.filterNot(measures.contains)
+    val hw = (baseId.toSeq ++ deltaIds).foldLeft(-1L)(math.max)
+    val tail: Option[DataFrame] = catchUp.flatMap { case (stateDir, v) =>
+      val conf = sp.sessionState.newHadoopConf()
+      committedTx(stateDir, conf)
+        .map(t => beforeTx.map(b => math.min(t, b - 1)).getOrElse(t))
+        .filter(_ > hw)
+        .map { bound =>
+          val stack0 = loadState(sp, stateDir)
+          val stack = if (beforeTx.isDefined)
+            stack0.filter(col("tx_id") <= bound) else stack0
+          viewDelta(v, signedFromJournal(stack, hw,
+            stack.select("eid").limit(0), hasEvict = false))
+        }
+    }
+    if (dirs.isEmpty && tail.isEmpty) return None
+    val measures = catchUp.map(_._2.measures.map(_._1))
+      .getOrElse(readViewMeta(fs, new Path(dir)))
+    val stored =
+      if (dirs.isEmpty) None else Some(sp.read.parquet(dirs: _*))
+    val stack = (stored, tail) match {
+      case (Some(s), Some(t)) => s.unionByName(t)
+      case (Some(s), None) => s
+      case (None, Some(t)) => t
+      case _ => return None
+    }
+    val keys = stack.columns.filterNot(c => measures.contains(c))
     Some(stack
       .groupBy(keys.map(col): _*)
       .agg(measures.map(m => sum(col(m)).as(m)).head,

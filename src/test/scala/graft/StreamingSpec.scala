@@ -189,6 +189,82 @@ class StreamingSpec extends AnyFunSuite {
     assert(view == Map("T" -> 6L, "X" -> 1L), view.toString)
   }
 
+  test("group-committed views: skipped flushes re-derive from the journal; reads catch up; evict forces a flush") {
+    import scala.jdk.CollectionConverters._
+    def stageOps(base: String, batches: List[List[Row]]): String = {
+      val opsDir = s"$base/ops"
+      new java.io.File(opsDir).mkdirs()
+      batches.zipWithIndex.foreach { case (rows, i) =>
+        val stage = s"$base/stage$i"
+        spark.createDataFrame(rows.asJava, TxLog.opSchema)
+          .coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(s"$opsDir/b$i.parquet"))
+      }
+      opsDir
+    }
+    def vdeltas(viewDir: String): Set[String] =
+      new java.io.File(s"$viewDir/type_counts").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("vdelta-"))
+        .map(_.getName).toSet
+    def counts(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val vt = LocalDateTime.parse("2020-01-01T00:00")
+
+    // A: flushEvery=3 over 4 txs → one flush (tx 2, a multi-tx journal
+    // span); tx 3 stays unflushed and the READ catches it up exactly
+    val baseA = java.nio.file.Files.createTempDirectory("graft_mv_gc_a").toString
+    val opsA = stageOps(baseA, List(
+      List(Row("put", "e1", "A", vt, null, null, null, 0L),
+        Row("put", "e2", "A", vt, null, null, null, 1L),
+        Row("put", "e3", "A", vt, null, null, null, 2L),
+        Row("put", "e4", "B", vt, null, null, null, 3L)),
+      List(Row("put", "e1", "B", vt.plusDays(1), null, null, null, 0L),
+        Row("delete", "e2", null, vt.plusDays(1), null, null, null, 1L)),
+      List(Row("put", "e5", "C", vt, null, null, null, 0L)),
+      List(Row("put", "e6", "C", vt, null, null, null, 0L))))
+    IngestStream.start(spark,
+      spark.readStream.schema(TxLog.opSchema)
+        .option("maxFilesPerTrigger", "1").parquet(opsA),
+      s"$baseA/state", s"$baseA/ck",
+      txTime = id => LocalDateTime.parse("2020-02-01T00:00").plusHours(id),
+      matViewDir = Some(s"$baseA/view"),
+      txShape = Some(TxLog.TxShape(hasChecks = false, hasEvict = false,
+        hasRanged = false)),
+      viewFlushEvery = 3).awaitTermination()
+    assert(vdeltas(s"$baseA/view") == Set("vdelta-2"),
+      vdeltas(s"$baseA/view").mkString(","))
+    // without catch-up the stored view is stale (missing tx 3's e6)
+    val stale = counts(IngestStream.loadTypeCounts(spark, s"$baseA/view").get)
+    assert(stale == Map("A" -> 1L, "B" -> 2L, "C" -> 1L), stale.toString)
+    val caught = counts(IngestStream.loadView(spark, s"$baseA/view",
+      "type_counts", catchUp = Some((s"$baseA/state", IngestStream.typeCountsView))).get)
+    assert(caught == Map("A" -> 1L, "B" -> 2L, "C" -> 2L), caught.toString)
+
+    // B: an evict tx flushes REGARDLESS of the cadence (its journal rows
+    // vanish; flush-before-destroy), via the journal span builder
+    val baseB = java.nio.file.Files.createTempDirectory("graft_mv_gc_b").toString
+    val opsB = stageOps(baseB, List(
+      List(Row("put", "e1", "A", vt, null, null, null, 0L),
+        Row("put", "e2", "A", vt, null, null, null, 1L),
+        Row("put", "e3", "A", vt, null, null, null, 2L),
+        Row("put", "e4", "B", vt, null, null, null, 3L)),
+      List(Row("evict", "e4", null, null, null, null, null, 0L))))
+    IngestStream.start(spark,
+      spark.readStream.schema(TxLog.opSchema)
+        .option("maxFilesPerTrigger", "1").parquet(opsB),
+      s"$baseB/state", s"$baseB/ck",
+      txTime = id => LocalDateTime.parse("2020-02-01T00:00").plusHours(id),
+      matViewDir = Some(s"$baseB/view"),
+      viewFlushEvery = 10).awaitTermination()
+    assert(vdeltas(s"$baseB/view") == Set("vdelta-1"),
+      vdeltas(s"$baseB/view").mkString(","))
+    val afterEvict = counts(IngestStream.loadView(spark, s"$baseB/view",
+      "type_counts", catchUp = Some((s"$baseB/state", IngestStream.typeCountsView))).get)
+    assert(afterEvict == Map("A" -> 3L), afterEvict.toString)
+  }
+
   test("a torn vdelta (no _SUCCESS) is deleted and recomputed; view IO rides the Hadoop FileSystem") {
     import scala.jdk.CollectionConverters._
     val base = java.nio.file.Files.createTempDirectory("graft_mv_torn").toString
