@@ -35,11 +35,8 @@ object Dedup {
     * shingle explode dominates every dedup pipeline. Semantics are
     * byte-identical to the DuckDB oracle's CTE (lowercase, split on \s+,
     * drop empties, k-grams joined by ' ', distinct). */
-  /** @param numPartitions parallelism for the shingle kernel — defaults
-    *   to the cluster's defaultParallelism; interactive micro-batch
-    *   callers size it to the batch like their state stores. */
   def shingles(docs: DataFrame, k: Int = 3, idCol: String = "doc_id",
-      textCol: String = "text", numPartitions: Option[Int] = None): DataFrame = {
+      textCol: String = "text"): DataFrame = {
     val shingleUdf = udf { (text: String) =>
       // Locale.ROOT: must lowercase exactly like Spark's lower() / the
       // DuckDB oracle regardless of the JVM default locale (tr/az dotless-i)
@@ -66,8 +63,7 @@ object Dedup {
     // tokenize/shingle kernel evaluates in parallel (on a real 100 TB
     // layout the scan is already many-partition and this is ~free)
     val spread = docs.repartition(
-      numPartitions.getOrElse(docs.sparkSession.sparkContext.defaultParallelism),
-      col(idCol))
+      docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
     spread.select(col(idCol).as("doc_id"),
         explode(shingleUdf(col(textCol))).as("shingle"))
   }

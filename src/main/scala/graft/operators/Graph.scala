@@ -53,16 +53,19 @@ object Graph {
     require(n > 0, "pageRank needs a non-empty edge set")
     val base = (15L * 1000000000000L) / (100L * n)
     var ranks = nodes.withColumn("r", lit(1000000000000L / n))
-    for (_ <- 0 until iters) {
+    for (it <- 0 until iters) {
       val contribs = e.join(ranks, e("src") === ranks("id"))
         .select(col("dst").as("id"), expr("r div d").as("c"))
         .groupBy(col("id")).agg(sum(col("c")).as("c"))
       ranks = nodes.join(contribs, Seq("id"), "left")
         .select(col("id"),
           (lit(base) + expr(s"(85 * coalesce(c, 0L)) div 100")).as("r"))
-        // materialize each step: the plan would otherwise nest `iters`
-        // joins deep and re-execute every prior round per action
-        .localCheckpoint(true)
+      // bound the lineage: without materialization the plan nests `iters`
+      // joins deep and re-executes every prior round per action — but a
+      // checkpoint EVERY round makes per-iteration job scheduling the
+      // dominant constant. Every 2nd round keeps the plan ≤2 joins deep
+      // (the 2-round subplan executes as one job) at half the jobs.
+      if (it % 2 == 1 || it == iters - 1) ranks = ranks.localCheckpoint(true)
     }
     ranks.select(col("id"), col("r").as("rank_pico"))
   }
@@ -90,12 +93,13 @@ object Graph {
           org.apache.spark.sql.types.StringType),
         org.apache.spark.sql.types.StructField("d",
           org.apache.spark.sql.types.LongType))))
-    for (_ <- 0 until iters) {
+    for (it <- 0 until iters) {
       val stepped = e.join(dist, e("src") === dist("id"))
         .select(col("dst").as("id"), (col("d") + 1).as("d"))
       dist = dist.unionByName(stepped)
         .groupBy(col("id")).agg(min(col("d")).as("d"))
-        .localCheckpoint(true)
+      // same 2-round checkpoint cadence as [[pageRank]]
+      if (it % 2 == 1 || it == iters - 1) dist = dist.localCheckpoint(true)
     }
     dist
   }
@@ -122,12 +126,13 @@ object Graph {
       .union(e.select(col("dst").as("id"))).distinct()
       .localCheckpoint(true)
     var lab = nodes.withColumn("lab", col("id"))
-    for (_ <- 0 until iters) {
+    for (it <- 0 until iters) {
       val incoming = e.join(lab, e("src") === lab("id"))
         .select(col("dst").as("id"), col("lab"))
       lab = lab.unionByName(incoming)
         .groupBy(col("id")).agg(min(col("lab")).as("lab"))
-        .localCheckpoint(true)
+      // same 2-round checkpoint cadence as [[pageRank]]
+      if (it % 2 == 1 || it == iters - 1) lab = lab.localCheckpoint(true)
     }
     lab
   }

@@ -27,10 +27,13 @@ object Similarity {
     * interpreted per element (no codegen), which measured ~20× slower on
     * the 12.5M-pair brute-force ANN at sf0.1. The UDF does the identical
     * left-to-right double fold, so engine-reproducibility (and DuckDB
-    * oracle parity) is unchanged.
+    * oracle parity) is unchanged. `Array[Double]` parameters (here and in
+    * every kernel UDF below) bind Spark's primitive-array encoder — one
+    * `toDoubleArray` copy per call instead of a boxed element view, worth
+    * ~2× on the encode/ADC hot loops (r8 VERDICT #5).
     */
   private val dotUdf = org.apache.spark.sql.functions.udf {
-    (a: Seq[Double], b: Seq[Double]) =>
+    (a: Array[Double], b: Array[Double]) =>
       val n = math.min(a.length, b.length)
       var acc = 0.0
       var i = 0
@@ -108,7 +111,7 @@ object Similarity {
   private def bucketUdfFor(spark: org.apache.spark.sql.SparkSession,
       planes: Int, dims: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
     val mat = planeMatrix(spark, planes, dims)
-    udf { (v: Seq[Double]) =>
+    udf { (v: Array[Double]) =>
       var b = 0L
       var p = 0
       while (p < mat.length) {
@@ -132,7 +135,7 @@ object Similarity {
   private[operators] def bandKeysUdf(spark: org.apache.spark.sql.SparkSession,
       bands: Int, rowsPerBand: Int, dims: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
     val mat = planeMatrix(spark, bands * rowsPerBand, dims)
-    udf { (v: Seq[Double]) =>
+    udf { (v: Array[Double]) =>
       val out = new Array[Long](bands)
       var t = 0
       while (t < bands) {
@@ -217,7 +220,7 @@ object Similarity {
     }
     var centroids: Array[Array[Double]] = nv.orderBy(col("kid")).limit(nlist)
       .collect().map(_.getSeq[Double](1).toArray).map(renorm)
-    def assignUdf(cents: Array[Array[Double]]) = udf { (v: Seq[Double]) =>
+    def assignUdf(cents: Array[Array[Double]]) = udf { (v: Array[Double]) =>
       var best = 0; var bestDot = Double.NegativeInfinity
       var c = 0
       while (c < cents.length) {
@@ -284,7 +287,7 @@ object Similarity {
         seeds(c % seeds.length).slice(s * dsub, (s + 1) * dsub)
       }
     }
-    def codesUdf(bk: PqCodebook) = udf { (v: Seq[Double]) =>
+    def codesUdf(bk: PqCodebook) = udf { (v: Array[Double]) =>
       val out = new Array[Int](m)
       var s = 0
       while (s < m) {
@@ -330,7 +333,7 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val m = books.length
     val dsub = books(0)(0).length
-    val enc = udf { (v0: Seq[Double]) =>
+    val enc = udf { (v0: Array[Double]) =>
       var nrm = 0.0; var j = 0
       while (j < v0.length) { nrm += v0(j) * v0(j); j += 1 }
       nrm = math.sqrt(nrm)
@@ -374,7 +377,7 @@ object Similarity {
     val m = books.length
     val ks = books(0).length
     val dsub = books(0)(0).length
-    val lutUdf = udf { (q0: Seq[Double]) =>
+    val lutUdf = udf { (q0: Array[Double]) =>
       var nrm = 0.0; var j = 0
       while (j < q0.length) { nrm += q0(j) * q0(j); j += 1 }
       nrm = math.sqrt(nrm)
@@ -393,7 +396,7 @@ object Similarity {
       }
       lut
     }
-    val adcUdf = udf { (lut: Seq[Double], codes: Seq[Int]) =>
+    val adcUdf = udf { (lut: Array[Double], codes: Array[Int]) =>
       var acc = 0.0; var s = 0
       while (s < m) { acc += lut(s * ks + codes(s)); s += 1 }
       acc

@@ -93,6 +93,17 @@ object TsQueries {
       .limit(12)
   }
 
+  /** last-10-readings (ts_weather.clj:67): the plain 10 most recent
+    * current conditions across ALL locations — no dim filter, the
+    * family's simplest query; completes the 1:1 map of the reference's
+    * six ts-bench queries. (Shape-identical to [[devicesRecent]] modulo
+    * the tiebreak order the weather bench uses: location ascending.) */
+  def weatherRecent(s: SparkSession, dir: String): DataFrame =
+    currentReadings(s, dir)
+      .orderBy(col("time").desc, col("device_id").asc)
+      .limit(10)
+      .select(col("time"), col("device_id"), col("status"), col("level"))
+
   /** last-10-readings-from-outside-locations (ts_weather.clj:150-190):
     * current conditions restricted BY THE DIM (environment), not by the
     * reading — the complementary filter route to [[devicesBusiest]]. */
@@ -127,6 +138,7 @@ object TsQueries {
     "ts_devices_recent" -> devicesRecent _,
     "ts_devices_busiest" -> devicesBusiest _,
     "ts_devices_hourly" -> devicesHourly _,
+    "ts_weather_recent" -> weatherRecent _,
     "ts_weather_outside" -> weatherOutside _,
     "ts_weather_hourly" -> weatherHourly _)
 }
@@ -161,6 +173,11 @@ object TsSql {
         AND user_id IN (SELECT c_custkey FROM customer
                         WHERE c_mktsegment IN ('AUTOMOBILE', 'MACHINERY'))
       GROUP BY 1 ORDER BY 1 ASC LIMIT 12""",
+
+    "ts_weather_recent" -> s"""
+      WITH cur AS ($Current)
+      SELECT time, device_id, status, level FROM cur WHERE rn = 1
+      ORDER BY time DESC, device_id ASC LIMIT 10""",
 
     "ts_weather_outside" -> s"""
       WITH cur AS ($Current)

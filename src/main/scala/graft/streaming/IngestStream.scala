@@ -191,8 +191,12 @@ object IngestStream {
               // localCheckpoint here would spend a whole extra job per tx
               // just materializing; persist on the SAME DataFrame object
               // is a guaranteed cache hit for every later consumer.)
+              // no .distinct() on the broadcast side: a left_semi probe
+              // tolerates duplicate build rows, and the distinct was one
+              // whole shuffle+job per tx just to shrink an already-tiny
+              // broadcast
               val histTouched = current.join(
-                  broadcast(ops.select(col("eid")).distinct()),
+                  broadcast(ops.select(col("eid"))),
                   Seq("eid"), "left_semi")
                 .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
               val (newRows, evictEids) = TxLog.applyPutDeleteTxs(
@@ -228,6 +232,16 @@ object IngestStream {
             parts.hasEvict || viewFlushEvery <= 1 ||
               views.exists(v => batchId + 1 -
                 viewHighWater(hfs(vd, conf), s"$vd/${v.name}") > viewFlushEvery)
+          }
+          // _viewmeta (measures + owning state dir) exists from the FIRST
+          // tx, not the first flush — a group-committed stream may run
+          // many txs before any flush, and readers need the sidecar to
+          // detect (or auto-resolve) the unflushed tail; no-op once written
+          matViewDir.foreach { vd =>
+            val vfs = hfs(vd, conf)
+            views.foreach(v => writeViewMeta(vfs,
+              new org.apache.hadoop.fs.Path(s"$vd/${v.name}"),
+              v.measures.map(_._1), stateDir))
           }
           // When views flush this tx, the tx's two actions — the state
           // delta write and the view maintenance — are INDEPENDENT given
@@ -294,7 +308,8 @@ object IngestStream {
                 else
                   signedFromJournal(current.unionByName(deltaCached), fromTx,
                     parts.evictEids, parts.hasEvict)
-              maintainViews(sp, vd, views, batchId, signedFor, viewCompactEvery)
+              maintainViews(sp, vd, views, batchId, signedFor, viewCompactEvery,
+                stateDir)
             }
           }
           val next: StateManifest =
@@ -429,11 +444,18 @@ object IngestStream {
     val payload = stack.columns.toSeq
     // evicted eids may have NO journal row in the span (evict removes
     // rows, it doesn't write them) — they are touched all the same, their
-    // before-image must flow out at weight −1
-    val spanEids = stack.filter(col("tx_id") > fromTx).select("eid")
-    val touched = (if (hasEvict) spanEids.unionByName(evictEids.select("eid"))
-      else spanEids).distinct()
-    val hist = stack.join(broadcast(touched), Seq("eid"), "left_semi")
+    // before-image must flow out at weight −1. A span from the journal's
+    // origin (fromTx < 0, e.g. a never-flushed view's read-time catch-up)
+    // touches every entity by definition, so the prune would be a
+    // pass-through costing a distinct + broadcast join — skip it.
+    val hist =
+      if (fromTx < 0 && !hasEvict) stack
+      else {
+        val spanEids = stack.filter(col("tx_id") > fromTx).select("eid")
+        val touched = (if (hasEvict) spanEids.unionByName(evictEids.select("eid"))
+          else spanEids).distinct()
+        stack.join(broadcast(touched), Seq("eid"), "left_semi")
+      }
     val tagged =
       if (hasEvict)
         hist.join(broadcast(evictEids.withColumn("_ev", lit(true))),
@@ -492,7 +514,7 @@ object IngestStream {
     * HDFS/S3/local alike. */
   private def maintainViews(sp: SparkSession, viewDir: String,
       views: Seq[ViewDef], txId: Long, signedFor: Long => DataFrame,
-      compactEvery: Int): Unit = {
+      compactEvery: Int, stateDir: String): Unit = {
     import org.apache.hadoop.fs.Path
     val conf = sp.sessionState.newHadoopConf()
     val fs = hfs(viewDir, conf)
@@ -515,7 +537,7 @@ object IngestStream {
         // a dir without _SUCCESS is a torn write from a crash — the guard
         // must NOT trust it as this tx's delta (ADVICE r7)
         if (fs.exists(target)) fs.delete(target, true)
-        writeViewMeta(fs, new Path(dir), v.measures.map(_._1))
+        writeViewMeta(fs, new Path(dir), v.measures.map(_._1), stateDir)
         if (java.lang.Boolean.getBoolean("graft.debug.plan"))
           // scalastyle:off println
           println(deltaAgg.queryExecution.executedPlan.toString.take(6000))
@@ -570,31 +592,44 @@ object IngestStream {
       .map(_.getName.stripPrefix(prefix).toLong)
   }
 
-  /** The view's measure columns, persisted once per view as a `_viewmeta`
-    * sidecar so the read path can fold the delta log without the ViewDef. */
+  /** The view's measure columns AND its owning state dir, persisted once
+    * per view as a `_viewmeta` sidecar: measures let the read path fold
+    * the delta log without the ViewDef, and the state dir is what lets a
+    * reader DETECT a group-committed view's unflushed tail (compare the
+    * view's flushed high-water against the store's committed tx) —
+    * without it a `loadView` call missing `catchUp` would silently return
+    * a stale view under `viewFlushEvery` > 1 (r8 ADVICE). Written at
+    * stream start (first tx), not first flush, so the staleness probe
+    * exists even before any flush has happened. */
   private def writeViewMeta(fs: org.apache.hadoop.fs.FileSystem,
-      dir: org.apache.hadoop.fs.Path, measures: Seq[String]): Unit = {
+      dir: org.apache.hadoop.fs.Path, measures: Seq[String],
+      stateDir: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(dir, "_viewmeta")
     if (!fs.exists(p)) {
       fs.mkdirs(dir)
       val out = fs.create(p, true)
-      try out.write(s"measures=${measures.mkString(",")}\n".getBytes("UTF-8"))
+      try out.write(
+        s"measures=${measures.mkString(",")}\nstate_dir=$stateDir\n"
+          .getBytes("UTF-8"))
       finally out.close()
     }
   }
 
+  /** (measure columns, owning state dir if recorded). */
   private def readViewMeta(fs: org.apache.hadoop.fs.FileSystem,
-      dir: org.apache.hadoop.fs.Path): Seq[String] = {
+      dir: org.apache.hadoop.fs.Path): (Seq[String], Option[String]) = {
     val p = new org.apache.hadoop.fs.Path(dir, "_viewmeta")
-    if (!fs.exists(p)) Seq("n")
+    if (!fs.exists(p)) (Seq("n"), None)
     else {
       val in = fs.open(p)
       val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
-      text.linesIterator.collectFirst {
-        case l if l.startsWith("measures=") =>
-          l.stripPrefix("measures=").split(",").toSeq.filter(_.nonEmpty)
-      }.getOrElse(Seq("n"))
+      val kv = text.linesIterator.flatMap(_.split("=", 2) match {
+        case Array(k, v) => Some(k -> v); case _ => None
+      }).toMap
+      (kv.get("measures").map(_.split(",").toSeq.filter(_.nonEmpty))
+          .getOrElse(Seq("n")),
+        kv.get("state_dir").filter(_.nonEmpty))
     }
   }
 
@@ -623,6 +658,7 @@ object IngestStream {
     val dirs = baseId.map(b => s"$dir/vbase-$b").toSeq ++
       deltaIds.map(d => s"$dir/vdelta-$d")
     val hw = (baseId.toSeq ++ deltaIds).foldLeft(-1L)(math.max)
+    val (metaMeasures, metaStateDir) = readViewMeta(fs, new Path(dir))
     val tail: Option[DataFrame] = catchUp.flatMap { case (stateDir, v) =>
       val conf = sp.sessionState.newHadoopConf()
       committedTx(stateDir, conf)
@@ -636,9 +672,27 @@ object IngestStream {
             stack.select("eid").limit(0), hasEvict = false))
         }
     }
+    // staleness guard (r8 ADVICE): a reader that asked for the view
+    // WITHOUT catchUp under group-committed maintenance gets a result
+    // missing the unflushed tail — the _viewmeta's owning state dir makes
+    // that detectable, so say it loudly instead of silently serving stale
+    if (catchUp.isEmpty) metaStateDir.foreach { sd =>
+      committedTx(sd, sp.sessionState.newHadoopConf())
+        .map(t => beforeTx.map(b => math.min(t, b - 1)).getOrElse(t))
+        .filter(_ > hw)
+        .foreach { t =>
+          // scalastyle:off println
+          Console.err.println(
+            s"loadView($name): flushed through tx $hw but the owning store " +
+              s"($sd) has committed tx $t - the result is missing the " +
+              "unflushed tail; pass catchUp = Some((stateDir, viewDef)) " +
+              "for an exact read")
+          // scalastyle:on println
+        }
+    }
     if (dirs.isEmpty && tail.isEmpty) return None
     val measures = catchUp.map(_._2.measures.map(_._1))
-      .getOrElse(readViewMeta(fs, new Path(dir)))
+      .getOrElse(metaMeasures)
     val stored =
       if (dirs.isEmpty) None else Some(sp.read.parquet(dirs: _*))
     val stack = (stored, tail) match {
@@ -655,10 +709,22 @@ object IngestStream {
       .filter(col("n") =!= 0))
   }
 
-  /** Latest [[typeCountsView]] state (back-compat name). */
+  /** Latest [[typeCountsView]] state (back-compat name). Unlike the
+    * generic [[loadView]] — which cannot reconstruct an arbitrary
+    * ViewDef's `rows` transform, so it can only WARN about an unflushed
+    * tail — the type-counts view's definition is statically known, so
+    * this read catches up AUTOMATICALLY: the owning state dir comes from
+    * the explicit argument or the `_viewmeta` sidecar, and the journal
+    * rebuild makes the read exact under any `viewFlushEvery`. */
   def loadTypeCounts(sp: SparkSession, viewDir: String,
-      beforeTx: Option[Long] = None): Option[DataFrame] =
-    loadView(sp, viewDir, "type_counts", beforeTx)
+      beforeTx: Option[Long] = None,
+      catchUpStateDir: Option[String] = None): Option[DataFrame] = {
+    val fs = hfs(viewDir, sp.sessionState.newHadoopConf())
+    val metaDir = readViewMeta(fs,
+      new org.apache.hadoop.fs.Path(s"$viewDir/type_counts"))._2
+    loadView(sp, viewDir, "type_counts", beforeTx,
+      catchUp = catchUpStateDir.orElse(metaDir).map(d => (d, typeCountsView)))
+  }
 
   /** Write `commit-<tx>` naming the state's dirs; the rename is the
     * atomic commit point (data dirs already landed; old manifests and
@@ -775,9 +841,6 @@ object IngestStream {
       case None => TxLog.emptyState(spark)
     }
 
-  /** Windowed streaming aggregation over the events stream (the stream-
-    * query side Spark adds on top of the reference's ingest-only model):
-    * tumbling-window counts per event type, complete mode. */
   /** Batch-probe the events parquet's actual schema — the stream schema must
     * come from the file, not a hardcoded StructType: in r5 a hardcoded
     * LongType ts silently read µs timestamps as if they were ns and shrank
@@ -810,7 +873,11 @@ object IngestStream {
     try f finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
-  /** @param statePartitions aggregation-state partitions — see
+  /** Windowed streaming aggregation over the events stream (the stream-
+    * query side Spark adds on top of the reference's ingest-only model):
+    * tumbling-window counts per event type, complete mode.
+    *
+    * @param statePartitions aggregation-state partitions — see
     *   [[withStatePartitions]] (the fixture has ~30 day×type windows). */
   def windowedCounts(spark: SparkSession, eventsPath: String,
       statePartitions: Int = 8): DataFrame = {
@@ -853,8 +920,9 @@ object IngestStream {
     * SET is arrival-order invariant — a cross-source duplicate keeps one
     * row per source rather than racing on which source arrived first. At
     * scale the state store shards by key; add a watermark on an event-time
-    * column to expire state when the dedup window is bounded. */
-  /** @param statePartitions dedup-state partitions — see
+    * column to expire state when the dedup window is bounded.
+    *
+    * @param statePartitions dedup-state partitions — see
     *   [[withStatePartitions]] (the fixture dedups ~5k fingerprints). */
   def dedupStream(spark: SparkSession, docsPath: String,
       statePartitions: Int = 8): DataFrame = {
@@ -912,8 +980,9 @@ object IngestStream {
     * (a pair is found when its later member arrives).
     *
     * Returns the complete verified pair set after draining the stream —
-    * identical to the batch operator's answer on the same corpus. */
-  /** @param batchPartitions per-batch shuffle/task parallelism — the
+    * identical to the batch operator's answer on the same corpus.
+    *
+    * @param batchPartitions per-batch shuffle/task parallelism — the
     *   arriving micro-batch is orders of magnitude smaller than the
     *   session's scan-side parallelism, so its shingle kernel, minhash
     *   aggregation and probe distinct size their stages to the batch
@@ -1005,30 +1074,41 @@ object IngestStream {
         // invisible quadratic verify), and a local pair list makes every
         // verify-side broadcast free (no per-join build jobs)
         val allKeys = idxCache.map(_.unionByName(keysB)).getOrElse(keysB)
-        val candRows = lbl("probe")(broadcast(keysB.as("a"))
+        val candDf = broadcast(keysB.as("a"))
           .join(allKeys.as("b"),
             col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
               col("a.doc_id") =!= col("b.doc_id"))
           .select(least(col("a.doc_id"), col("b.doc_id")).as("d1"),
             greatest(col("a.doc_id"), col("b.doc_id")).as("d2"))
           .distinct()
-          .collect())
-        require(candRows.length <= maxCandidatesPerBatch,
-          s"lshDedupStream: batch $batchId produced > $maxCandidatesPerBatch candidate pairs; " +
-            "banding parameters admit too many collisions for this corpus")
+        // the limit bounds DRIVER MEMORY, not just the cap check: without
+        // it a banding blow-up pulls the full quadratic pair set into the
+        // driver before the over-cap test can see it (r8 ADVICE)
+        val candRows = lbl("probe")(
+          candDf.limit(maxCandidatesPerBatch + 1).collect())
         val shAll = shCache.map(_.unionByName(shB)).getOrElse(shB)
         // exact-Jaccard verify ON THE DRIVER: the candidate pair list is
         // already driver-local (the LocalRelation design above — bounded
-        // by maxCandidatesPerBatch with a loud failure), so the per-pair
-        // set intersections are O(candidates × doc-shingles) driver CPU,
-        // and the only cluster work left is ONE semi-join collect of the
-        // candidate docs' postings. The Spark-side verify
-        // ([[graft.operators.Dedup.jaccardOfPairsSmall]]) remains the
-        // batch/uncapped path; at stream batch sizes it costs 4-6 extra
-        // jobs per batch (broadcast builds + posting joins + the size
-        // aggregation) to produce the same numbers this loop computes
-        // from the identical collected rows.
-        val pairs = {
+        // by maxCandidatesPerBatch with a graceful spillover), so the
+        // per-pair set intersections are O(candidates × doc-shingles)
+        // driver CPU, and the only cluster work left is ONE semi-join
+        // collect of the candidate docs' postings. A batch whose
+        // candidates EXCEED the cap (banding collisions too hot for a
+        // driver verify — the first thing a 100 TB corpus with long docs
+        // would trip) routes through the distributed exact-Jaccard verify
+        // instead ([[graft.operators.Dedup.jaccardOfPairs]] — shuffle-
+        // shaped, no broadcast of the oversized candidate set): same
+        // pairs, same arithmetic, ~5 extra jobs — a cost, not a crash.
+        val pairs = if (candRows.length > maxCandidatesPerBatch) {
+          // scalastyle:off println
+          Console.err.println(
+            s"lshDedupStream: batch $batchId exceeded $maxCandidatesPerBatch candidate " +
+              "pairs - spilling verify to the distributed exact-Jaccard path " +
+              "(check banding parameters for this corpus)")
+          // scalastyle:on println
+          lbl("verify spill")(
+            graft.operators.Dedup.jaccardOfPairs(shAll, candDf, tau))
+        } else {
           import sp.implicits._
           val candDocIds: Seq[Long] = candRows.iterator
             .flatMap(r => Iterator(r.getLong(0), r.getLong(1)))
@@ -1050,7 +1130,7 @@ object IngestStream {
               val (a, b) = (s1.get, s2.get)
               val (small, big) = if (a.size <= b.size) (a, b) else (b, a)
               val c = small.count(big)
-              // same arithmetic as jaccardOfPairsSmall: |∩| / (sz1+sz2−|∩|)
+              // same arithmetic as jaccardOfPairs: |∩| / (sz1+sz2−|∩|)
               val j = c.toDouble / (a.size + b.size - c)
               if (c > 0 && j >= tau) Iterator((d1, d2, j)) else Iterator.empty
             }
@@ -1102,8 +1182,9 @@ object IngestStream {
     * versa), so state is O(events in the window), not O(stream). Inner
     * rows emit as soon as both sides arrive (append mode) — the watermark
     * only governs eviction, not emission, so a finite input yields the
-    * complete join without sentinel batches. */
-  /** @param statePartitions join state-store partitions — the stateful
+    * complete join without sentinel batches.
+    *
+    * @param statePartitions join state-store partitions — the stateful
     *   shuffle pays per-partition-per-batch state-file overhead, so size
     *   to active-key cardinality like [[sessions]] (150 users in the
     *   fixture; a 100 TB run sizes up). */
@@ -1168,12 +1249,17 @@ object IngestStream {
     *
     * Mechanics: the watermark (0s delay) advances per micro-batch; open
     * sessions set a timeout at session-end + gap and flush when the
-    * watermark passes it. Two far-future sentinel files are staged after
-    * the real data (one file per micro-batch) so a finite input drains
-    * every open session deterministically. Money-style sums ride scaled
+    * watermark passes it. ONE far-future sentinel row is staged alongside
+    * the real data — the whole finite input lands in a single data batch
+    * (watermark 0 during it drops nothing), the watermark then jumps to
+    * the sentinel's event time, and the engine's single trailing NO-DATA
+    * micro-batch fires every open session's timeout. Two micro-batches
+    * total; the r8 shape (one file per batch + two sentinel batches) paid
+    * two extra full state-store load/commit rounds for the same output
+    * (the r8→r9 stream_sessions regression). Money-style sums ride scaled
     * longs (decimal(18,4) × 10⁴) so results are exact and order-free.
-    */
-  /** @param statePartitions number of state-store partitions for the
+    *
+    * @param statePartitions number of state-store partitions for the
     *   stateful query — size to active-key cardinality (the state store
     *   pays per-partition-per-batch file overhead; 8 suits the test
     *   corpus's 150 users, a 100 TB run sizes up). */
@@ -1186,36 +1272,31 @@ object IngestStream {
     val schema = probeEventsSchema(spark, eventsPath)
     val tsIsLong = schema("ts").dataType == org.apache.spark.sql.types.LongType
 
-    // stage dir: real file first (old mtime), then two sentinel batches
+    // stage dir: the real file + one far-future sentinel (same physical ts
+    // encoding as the fixture so one stream schema reads both)
     val d = java.nio.file.Files.createTempDirectory("graft_sessions_src")
     val src = new java.io.File(eventsPath)
     java.nio.file.Files.createSymbolicLink(
       d.resolve("0_" + src.getName), src.toPath.toAbsolutePath)
-    // sentinel ts must match the fixture's physical encoding so one stream
-    // schema reads both
-    def stageSentinel(name: String, tsUs: Long, mtime: Long): Unit = {
-      val tmp = d.resolve(name + "_tmp").toString
+    val farFutureUs = 4102444800L * 1000000L // 2100-01-01
+    locally {
+      val tmp = d.resolve("sentinel_tmp").toString
       val base = Seq((-1L, -1L, "sentinel", 0.0, ""))
         .toDF("event_id", "user_id", "event_type", "value", "props")
       val withTs =
-        if (tsIsLong) base.withColumn("ts", lit(tsUs * 1000L))
+        if (tsIsLong) base.withColumn("ts", lit(farFutureUs * 1000L))
         else base.withColumn("ts",
-          expr(s"CAST(timestamp_micros(${tsUs}L) AS TIMESTAMP_NTZ)"))
+          expr(s"CAST(timestamp_micros(${farFutureUs}L) AS TIMESTAMP_NTZ)"))
       withTs.select("event_id", "ts", "user_id", "event_type", "value", "props")
         .coalesce(1).write.mode("overwrite").parquet(tmp)
       val part = new java.io.File(tmp).listFiles()
         .filter(_.getName.endsWith(".parquet")).head
-      val dst = new java.io.File(d.toFile, name)
-      java.nio.file.Files.move(part.toPath, dst.toPath)
-      dst.setLastModified(mtime); ()
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(d.toFile, "1_sentinel.parquet").toPath)
+      ()
     }
-    val now = System.currentTimeMillis()
-    val farFutureUs = 4102444800L * 1000000L // 2100-01-01
-    stageSentinel("1_sentinel.parquet", farFutureUs, now)
-    stageSentinel("2_sentinel.parquet", farFutureUs + 3600L * 1000000L, now + 60000)
 
     val stream = withTsMicros(spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").option("latestFirst", "false")
         .parquet(d.toString))
       .withColumn("tst", expr("timestamp_micros(ts_us)"))
       .withWatermark("tst", "0 seconds")
@@ -1255,7 +1336,11 @@ object IngestStream {
       }
 
     val name = "sessions_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    // the trailing no-data batch IS the drain mechanism here — force it on
+    // (streamJoin and friends turn it off; this query needs exactly one)
+    val prevNoData = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
     spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     try {
       val q = out.writeStream.outputMode("append")
         .format("memory").queryName(name)
@@ -1263,7 +1348,10 @@ object IngestStream {
         .start()
       q.processAllAvailable()
       q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+    }
     spark.table(name).filter(col("user_id") >= 0)
       .select(col("user_id"),
         expr("CAST(timestamp_micros(start_us) AS TIMESTAMP_NTZ)").as("session_start"),

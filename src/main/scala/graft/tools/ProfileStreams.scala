@@ -46,30 +46,31 @@ object ProfileStreams {
         println(s"  batch=${p.batchId} rows=${p.numInputRows} $dur $st")
       }
     })
-    def time(name: String)(f: => Long): Unit = {
-      // run 1: warm-up at sf0.001; runs 2-3 timed at target dir
-      val warm = "/root/testdata/sf0.001"
-      print(s"== $name warm\n"); f // discard; caller binds dir itself
-      val _ = warm
+    def time(name: String)(f: String => Long): Unit = {
+      // run 1: warm-up at sf0.001 (JIT + codegen caches, not target IO);
+      // runs 2-3 timed at the target dir
+      print(s"== $name warm\n"); f("/root/testdata/sf0.001")
       (1 to 2).foreach { i =>
         val t0 = System.nanoTime()
-        val n = f
+        val n = f(dir)
         println(f"== $name run$i  ${(System.nanoTime() - t0) / 1e9}%.3f s  rows=$n")
       }
     }
     import graft.streaming.IngestStream
     if (gates("stream_dedup"))
-      time("stream_dedup")(IngestStream.dedupStream(spark, s"$dir/documents.parquet").count())
+      time("stream_dedup")(d => IngestStream.dedupStream(spark, s"$d/documents.parquet").count())
     if (gates("stream_join"))
-      time("stream_join")(IngestStream.streamJoin(spark, s"$dir/events.parquet", 30).count())
+      time("stream_join")(d => IngestStream.streamJoin(spark, s"$d/events.parquet", 30).count())
     if (gates("stream_sessions"))
-      time("stream_sessions")(IngestStream.sessions(spark, s"$dir/events.parquet", 30).count())
+      time("stream_sessions")(d => IngestStream.sessions(spark, s"$d/events.parquet", 30).count())
     if (gates("stream_matview"))
-      time("stream_matview")(graft.queries.SqlStreamQueries.all("stream_matview")(spark, dir).count())
+      time("stream_matview")(d => graft.queries.SqlStreamQueries.all("stream_matview")(spark, d).count())
     if (gates("stream_matview_join"))
-      time("stream_matview_join")(graft.queries.SqlStreamQueries.all("stream_matview_join")(spark, dir).count())
+      time("stream_matview_join")(d => graft.queries.SqlStreamQueries.all("stream_matview_join")(spark, d).count())
+    if (gates("stream_matview_sum"))
+      time("stream_matview_sum")(d => graft.queries.SqlStreamQueries.all("stream_matview_sum")(spark, d).count())
     if (gates("stream_dedup_lsh"))
-      time("stream_dedup_lsh")(IngestStream.lshDedupStream(spark, s"$dir/documents.parquet").count())
+      time("stream_dedup_lsh")(d => IngestStream.lshDedupStream(spark, s"$d/documents.parquet").count())
     spark.stop()
   }
 }

@@ -150,6 +150,38 @@ class JdbcLogSpec extends AnyFunSuite {
     assert(hashes.contains(("c", "v4")), viaJdbc.toString)
   }
 
+  test("paged replay (multi-chunk catch-up) equals the unpaged fold") {
+    // driver-memory paging must be invisible to semantics: the same
+    // put/cas/failed-match/put schedule replayed at chunkTxs small enough
+    // to page (including a boundary that splits a check-free run AND one
+    // that isolates every tx) matches the one-page answer exactly
+    val url = freshUrl()
+    import scala.jdk.CollectionConverters._
+    def opsDf(rows: List[org.apache.spark.sql.Row]) =
+      spark.createDataFrame(rows.asJava, TxLog.opSchema)
+    val vt = java.time.LocalDateTime.parse("2020-01-01T00:00")
+    val txs = Seq(
+      opsDf(List(org.apache.spark.sql.Row("put", "a", "v1", vt, null, null, null, 1L))),
+      opsDf(List(org.apache.spark.sql.Row("put", "b", "v2", vt, null, null, null, 1L))),
+      opsDf(List(org.apache.spark.sql.Row("cas", "a", "v2", vt.plusDays(1), null, null, "v1", 1L))),
+      opsDf(List(
+        org.apache.spark.sql.Row("match", "a", null, null, null, vt.plusDays(1), "WRONG", 1L),
+        org.apache.spark.sql.Row("put", "x", "never", vt.plusDays(2), null, null, null, 2L))),
+      opsDf(List(org.apache.spark.sql.Row("put", "c", "v4", vt.plusDays(3), null, null, null, 1L))),
+      opsDf(List(org.apache.spark.sql.Row("evict", "b", null, null, null, null, null, 1L))))
+    txs.foreach(ops => JdbcLog.submitTx(url, JdbcLog.opsToJson(ops)))
+    def resolved(chunk: Long) =
+      JdbcLog.replay(spark, url, TxLog.emptyState(spark), chunkTxs = chunk)
+        .select("eid", "vt", "content_hash", "tombstone")
+        .collect().map(_.toSeq).toSet
+    val onePage = resolved(chunk = 100L)
+    assert(resolved(chunk = 1L) == onePage)  // every tx its own page
+    assert(resolved(chunk = 4L) == onePage)  // boundary splits the tail run
+    val hashes = onePage.map(s => (s.head, s(2)))
+    assert(hashes.contains(("a", "v2")), onePage.toString)
+    assert(!hashes.exists(h => h._1 == "b" || h._1 == "x"), onePage.toString)
+  }
+
   test("subscribe drains submits into the state store; awaitTx works over JDBC") {
     val url = freshUrl()
     val stateDir = java.nio.file.Files

@@ -449,6 +449,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("LSH dedup stream over the candidate cap spills to the distributed verify, same pairs") {
+    // cap of 1 forces EVERY batch with >1 candidate pair over the limit:
+    // the stream must not fail (r8: require-crash) — it routes those
+    // batches' verify through the shuffle-shaped exact Jaccard and the
+    // result is still identical to the batch operator
+    val streamed = graft.streaming.IngestStream
+      .lshDedupStream(spark, s"$dir/documents.parquet", 0.5,
+        maxCandidatesPerBatch = 1)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = Dedup.minhashLshPairs(docs, 0.5)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("stream-stream join equals the batch time-range join") {
     val streamed = graft.streaming.IngestStream
       .streamJoin(spark, s"$dir/events.parquet", windowMinutes = 30)

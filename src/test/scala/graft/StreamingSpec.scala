@@ -235,9 +235,16 @@ class StreamingSpec extends AnyFunSuite {
       viewFlushEvery = 3).awaitTermination()
     assert(vdeltas(s"$baseA/view") == Set("vdelta-2"),
       vdeltas(s"$baseA/view").mkString(","))
-    // without catch-up the stored view is stale (missing tx 3's e6)
-    val stale = counts(IngestStream.loadTypeCounts(spark, s"$baseA/view").get)
+    // generic loadView without catchUp serves the stored view — stale
+    // (missing tx 3's e6) but now DETECTABLY so (the _viewmeta staleness
+    // probe warns; it cannot rebuild an arbitrary ViewDef's rows)
+    val stale = counts(IngestStream.loadView(spark, s"$baseA/view",
+      "type_counts").get)
     assert(stale == Map("A" -> 1L, "B" -> 2L, "C" -> 1L), stale.toString)
+    // loadTypeCounts' ViewDef is statically known: it auto-catches-up
+    // from the _viewmeta's owning state dir — exact with no arguments
+    val auto = counts(IngestStream.loadTypeCounts(spark, s"$baseA/view").get)
+    assert(auto == Map("A" -> 1L, "B" -> 2L, "C" -> 2L), auto.toString)
     val caught = counts(IngestStream.loadView(spark, s"$baseA/view",
       "type_counts", catchUp = Some((s"$baseA/state", IngestStream.typeCountsView))).get)
     assert(caught == Map("A" -> 1L, "B" -> 2L, "C" -> 2L), caught.toString)
