@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Iterative graph analytics on DataFrames. The reference has no graph
   * module; recursive Datalog rules cover reachability-style queries
@@ -23,11 +24,62 @@ import org.apache.spark.sql.functions._
   * (stable ordering, reproducible runs) is exactly what the integer form
   * guarantees.
   *
-  * Scale: one equi-join + one partial-agg shuffle per iteration, both on
-  * node ids; degree and rank tables are node-bounded. `iters` is a fixed
-  * unroll — the usual 5-20 for ranking features.
+  * EXECUTION, size-routed (the GraphX lesson — iterative fixpoints don't
+  * fit per-round Catalyst planning): while the NODE-bounded iteration
+  * state (ranks / frontier / labels) fits the driver, each round is ONE
+  * RDD job — edges stream through a `mapPartitions` lookup against the
+  * broadcast state and a `reduceByKey` whose node-sized result returns to
+  * the driver. No per-round query planning, codegen, or checkpoint
+  * bookkeeping; the edge set itself never moves or collects (the same
+  * bounded-driver-artifact policy as [[Similarity.kmeansAssign]]'s
+  * centroids). Above [[DriverNodeLimit]] nodes the rounds run as
+  * DataFrame shuffle joins against the hash(src)-partitioned edge table —
+  * the web-scale plan, where even the node state is cluster-resident.
+  * Both paths compute the identical integer recurrence (spec-pinned).
   */
 object Graph {
+
+  /** Keep the node-bounded iteration state on the driver below this many
+    * nodes: ~2M (id, long) entries ≈ tens to low hundreds of MB —
+    * the same bounded-artifact budget as a broadcast join's build side.
+    * Above it, rounds run as cluster-side shuffle joins. */
+  private val DriverNodeLimit = 2000000L
+
+  /** One fixpoint round, driver-state form: stream the cached (src, dst)
+    * edge RDD against a broadcast per-source emission map (the driver
+    * precomputes emissions — rank÷deg, dist+1, label — per round;
+    * node-bounded work), partial-aggregate per destination (`reduceByKey`
+    * — integer ops only, so partitioning-order free), and collect the
+    * node-bounded result. Exactly one Spark job per round. */
+  private def propagate(edges: org.apache.spark.rdd.RDD[(Any, Any)],
+      emitBySrc: scala.collection.Map[Any, Long],
+      combine: (Long, Long) => Long): Array[(Any, Long)] = {
+    val sc = edges.sparkContext
+    val bc = sc.broadcast(emitBySrc)
+    try edges.mapPartitions { it =>
+        val m = bc.value
+        it.flatMap { case (s, t) => m.get(s) match {
+          case Some(v) => Iterator((t, v))
+          case None => Iterator.empty
+        } }
+      }.reduceByKey(combine).collect()
+    finally bc.destroy()
+  }
+
+  /** The cached (src, dst) tuple RDD the driver-state rounds scan: the
+    * TUPLES are persisted, not just the DataFrame — otherwise every round
+    * re-pays the InternalRow→Row conversion over the full edge table
+    * (measured ~200 ms/round at 1.2M edges, most of a round). */
+  private def edgeTupleRdd(e: DataFrame): org.apache.spark.rdd.RDD[(Any, Any)] =
+    e.rdd.map(r => (r.get(0), r.get(1)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** Distinct node ids, bounded: ONE shuffle job over the tuple RDD
+    * (which it also primes into the cache); `take` stops materializing on
+    * the driver once the limit+1'th id proves the graph is large. */
+  private def boundedNodeIds(eRdd: org.apache.spark.rdd.RDD[(Any, Any)]): Array[Any] =
+    eRdd.flatMap { case (s, t) => Iterator(s, t) }
+      .distinct().take((DriverNodeLimit + 1).toInt)
 
   /** @param edges directed edges (`srcCol`, `dstCol`); dangling nodes
     *   (no outlinks) simply contribute nothing, the standard simplified
@@ -37,37 +89,68 @@ object Graph {
       /** skip the dedup shuffle when the caller's edge artifact is
         * already distinct (a memoized build — see the gate file) */
       assumeDistinct: Boolean = false): DataFrame = {
-    // one materialization up front: distinct edges WITH the source's
-    // out-degree riding along — per-iteration work is then exactly one
-    // (broadcastable) rank join + one partial-agg shuffle; leaving the
-    // degree table lazy re-aggregates the full edge set every round
-    // (measured 10.8 → 4.9 s at sf0.1, 1.2M edges × 5 iters)
+    val spark = edges.sparkSession
     val eSel = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val eRaw = if (assumeDistinct) eSel else eSel.distinct()
-    val deg = eRaw.groupBy(col("src")).agg(count(lit(1)).as("d"))
-    val e = eRaw.join(deg, "src").localCheckpoint(true)
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct()
-      .localCheckpoint(true)
-    val n = nodes.count()
-    require(n > 0, "pageRank needs a non-empty edge set")
-    val base = (15L * 1000000000000L) / (100L * n)
-    var ranks = nodes.withColumn("r", lit(1000000000000L / n))
-    for (it <- 0 until iters) {
-      val contribs = e.join(ranks, e("src") === ranks("id"))
-        .select(col("dst").as("id"), expr("r div d").as("c"))
-        .groupBy(col("id")).agg(sum(col("c")).as("c"))
-      ranks = nodes.join(contribs, Seq("id"), "left")
-        .select(col("id"),
-          (lit(base) + expr(s"(85 * coalesce(c, 0L)) div 100")).as("r"))
-      // bound the lineage: without materialization the plan nests `iters`
-      // joins deep and re-executes every prior round per action — but a
-      // checkpoint EVERY round makes per-iteration job scheduling the
-      // dominant constant. Every 2nd round keeps the plan ≤2 joins deep
-      // (the 2-round subplan executes as one job) at half the jobs.
-      if (it % 2 == 1 || it == iters - 1) ranks = ranks.localCheckpoint(true)
+    // hash(src) layout: the RDD path spreads its per-round scan across
+    // the cluster (an AQE-coalesced checkpoint would freeze 2-3
+    // partitions), and the shuffle-join path reuses it every round
+    val par = spark.sparkContext.defaultParallelism
+    val e = eRaw.repartition(par, col("src")).localCheckpoint(true)
+    val idType = e.schema("src").dataType
+    val eRdd = edgeTupleRdd(e)
+    val nodeIds = boundedNodeIds(eRdd)
+    require(nodeIds.nonEmpty, "pageRank needs a non-empty edge set")
+    if (nodeIds.length <= DriverNodeLimit) {
+      val n = nodeIds.length.toLong
+      val base = (15L * 1000000000000L) / (100L * n)
+      val init = 1000000000000L / n
+      // out-degree is node-bounded: one reduceByKey job, kept driver-side
+      // so the cached edge tuples stay bare (src, dst)
+      val deg: scala.collection.Map[Any, Long] =
+        eRdd.mapPartitions(_.map { case (s, _) => (s, 1L) })
+          .reduceByKey(_ + _).collectAsMap()
+      var ranks: scala.collection.Map[Any, Long] =
+        nodeIds.iterator.map(_ -> init).toMap
+      for (_ <- 0 until iters) {
+        // emission = rank(src) div outdeg(src), precomputed per source
+        val emit = deg.map { case (s, d) => s -> ranks(s) / d }
+        val contribs = propagate(eRdd, emit, _ + _).toMap
+        ranks = nodeIds.iterator
+          .map(id => id -> (base + 85L * contribs.getOrElse(id, 0L) / 100L))
+          .toMap
+      }
+      eRdd.unpersist(blocking = false)
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(
+        nodeIds.map(id => Row(id, ranks(id))).toList.asJava,
+        StructType(Seq(StructField("id", idType), StructField("rank_pico", LongType))))
+    } else {
+      eRdd.unpersist(blocking = false)
+      // web-scale path: per-round DataFrame shuffle joins; the degree
+      // rides the materialized edge table so each round is one
+      // edge-stream pass + a node-keyed aggregate
+      val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      val eDeg = e.join(deg, "src").localCheckpoint(true)
+      val nodesDf = e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id"))).distinct()
+        .localCheckpoint(true)
+      val n = nodesDf.count()
+      val base = (15L * 1000000000000L) / (100L * n)
+      var ranks = nodesDf.withColumn("r", lit(1000000000000L / n))
+      for (_ <- 0 until iters) {
+        val contribs = eDeg.join(ranks, eDeg("src") === ranks("id"))
+          .select(col("dst").as("id"), expr("r div d").as("c"))
+          .groupBy(col("id")).agg(sum(col("c")).as("c"))
+        ranks = nodesDf.join(contribs, Seq("id"), "left")
+          .select(col("id"),
+            (lit(base) + expr(s"(85 * coalesce(c, 0L)) div 100")).as("r"))
+          // materialize each round: the plan would otherwise nest `iters`
+          // joins deep and re-execute every prior round per action
+          .localCheckpoint(true)
+      }
+      ranks.select(col("id"), col("r").as("rank_pico"))
     }
-    ranks.select(col("id"), col("r").as("rank_pico"))
   }
 
   /** Unweighted single-source shortest path (hop distance), `iters`
@@ -76,32 +159,65 @@ object Graph {
     * so like [[pageRank]] the result is exact at any parallelism and the
     * oracle replays the identical recurrence unrolled.
     *
-    * Scale: each round is one equi-join frontier×edges + one min-agg
-    * shuffle; the distance table is bounded by reached nodes. (This is
+    * Size-routed like [[pageRank]]: the distance table is bounded by
+    * reached nodes ≤ edges + 1, so a bounded existence probe picks the
+    * driver-state rounds vs the DataFrame shuffle-join rounds. (This is
     * the bounded-hop form; the Datalog planner's semi-naive fixpoint is
     * the run-to-convergence reachability path.) */
   def shortestPaths(edges: DataFrame, sourceId: String, iters: Int = 6,
       srcCol: String = "src", dstCol: String = "dst",
       assumeDistinct: Boolean = false): DataFrame = {
+    val spark = edges.sparkSession
     val eSel = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val e = (if (assumeDistinct) eSel else eSel.distinct())
+      .repartition(spark.sparkContext.defaultParallelism, col("src"))
       .localCheckpoint(true)
-    var dist = e.sparkSession.createDataFrame(
-      java.util.List.of(org.apache.spark.sql.Row(sourceId, 0L)),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("id",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("d",
-          org.apache.spark.sql.types.LongType))))
-    for (it <- 0 until iters) {
-      val stepped = e.join(dist, e("src") === dist("id"))
-        .select(col("dst").as("id"), (col("d") + 1).as("d"))
-      dist = dist.unionByName(stepped)
-        .groupBy(col("id")).agg(min(col("d")).as("d"))
-      // same 2-round checkpoint cadence as [[pageRank]]
-      if (it % 2 == 1 || it == iters - 1) dist = dist.localCheckpoint(true)
+    val distSchema = StructType(Seq(
+      StructField("id", org.apache.spark.sql.types.StringType),
+      StructField("d", LongType)))
+    // the distance table is bounded by reached nodes ≤ 2×edges: a bounded
+    // existence probe routes small graphs to the driver-state rounds
+    val small =
+      e.limit((DriverNodeLimit + 1).toInt).count() <= DriverNodeLimit
+    if (small) {
+      val eRdd = edgeTupleRdd(e)
+      var dist: scala.collection.Map[Any, Long] = Map(sourceId -> 0L)
+      for (_ <- 0 until iters) {
+        // emission = dist(src) + 1, precomputed per source
+        val stepped = propagate(eRdd, dist.map { case (s, d) => s -> (d + 1L) },
+          math.min)
+        val next = scala.collection.mutable.HashMap[Any, Long](dist.toSeq: _*)
+        stepped.foreach { case (id, d2) =>
+          next(id) = math.min(next.getOrElse(id, Long.MaxValue), d2)
+        }
+        dist = next
+      }
+      eRdd.unpersist(blocking = false)
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(
+        dist.toList.map { case (id, d) => Row(id, d) }.asJava, distSchema)
+    } else {
+      var dist = spark.createDataFrame(
+        java.util.List.of(Row(sourceId, 0L)), distSchema)
+      for (_ <- 0 until iters) {
+        val stepped = e.join(dist, e("src") === dist("id"))
+          .select(col("dst").as("id"), (col("d") + 1).as("d"))
+        dist = dist.unionByName(stepped)
+          .groupBy(col("id")).agg(min(col("d")).as("d"))
+          .localCheckpoint(true)
+      }
+      dist
     }
-    dist
+  }
+
+  /** Total order on node ids for the driver-state min-label rounds; only
+    * the standard id types qualify — anything else takes the DataFrame
+    * path, whose `min` carries Spark's own ordering. */
+  private def idOrdering(sample: Any): Option[Ordering[Any]] = sample match {
+    case _: String => Some(Ordering.by(_.asInstanceOf[String]))
+    case _: java.lang.Long => Some(Ordering.by(_.asInstanceOf[java.lang.Long].longValue()))
+    case _: java.lang.Integer => Some(Ordering.by(_.asInstanceOf[java.lang.Integer].intValue()))
+    case _ => None
   }
 
   /** Bounded-round min-label connected components: every node starts
@@ -115,26 +231,58 @@ object Graph {
     * ([[graft.operators.Dedup.connectedComponents]] is the
     * run-to-convergence variant used by the dedup pipeline; this is the
     * fixed-cost form a scheduled graph job wants — `iters` scans,
-    * known in advance.) */
+    * known in advance.) Size-routed like [[pageRank]], with the extra
+    * constraint that labels ARE ids: the driver-state rounds need a
+    * driver-side id ordering, so exotic id types stay on the DataFrame
+    * path. Driver-state labels ride a dense index (id → position in the
+    * sorted node array) so the propagate kernel stays (Any, Long). */
   def minLabelComponents(edges: DataFrame, iters: Int = 8,
       srcCol: String = "src", dstCol: String = "dst",
       assumeDistinct: Boolean = false): DataFrame = {
+    val spark = edges.sparkSession
     val eSel = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val e = (if (assumeDistinct) eSel else eSel.distinct())
+      .repartition(spark.sparkContext.defaultParallelism, col("src"))
       .localCheckpoint(true)
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct()
-      .localCheckpoint(true)
-    var lab = nodes.withColumn("lab", col("id"))
-    for (it <- 0 until iters) {
-      val incoming = e.join(lab, e("src") === lab("id"))
-        .select(col("dst").as("id"), col("lab"))
-      lab = lab.unionByName(incoming)
-        .groupBy(col("id")).agg(min(col("lab")).as("lab"))
-      // same 2-round checkpoint cadence as [[pageRank]]
-      if (it % 2 == 1 || it == iters - 1) lab = lab.localCheckpoint(true)
+    val idType = e.schema("src").dataType
+    val eRdd = edgeTupleRdd(e)
+    val nodeIds0 = boundedNodeIds(eRdd)
+    val ord = nodeIds0.headOption.flatMap(idOrdering)
+    if (nodeIds0.nonEmpty && nodeIds0.length <= DriverNodeLimit && ord.isDefined) {
+      // dense relabel: node ids sorted once; label = index of the
+      // component's minimum id, so min-combining stays pure Long
+      val nodeIds = nodeIds0.sorted(ord.get)
+      val index: Map[Any, Long] =
+        nodeIds.iterator.zipWithIndex.map { case (id, i) => id -> i.toLong }.toMap
+      var lab: scala.collection.Map[Any, Long] = index
+      for (_ <- 0 until iters) {
+        val incoming = propagate(eRdd, lab, math.min)
+        val next = scala.collection.mutable.HashMap[Any, Long](lab.toSeq: _*)
+        incoming.foreach { case (id, l2) =>
+          next(id) = math.min(next(id), l2)
+        }
+        lab = next
+      }
+      eRdd.unpersist(blocking = false)
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(
+        nodeIds.map(id => Row(id, nodeIds(lab(id).toInt))).toList.asJava,
+        StructType(Seq(StructField("id", idType), StructField("lab", idType))))
+    } else {
+      eRdd.unpersist(blocking = false)
+      val nodesDf = e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id"))).distinct()
+        .localCheckpoint(true)
+      var lab = nodesDf.withColumn("lab", col("id"))
+      for (_ <- 0 until iters) {
+        val incoming = e.join(lab, e("src") === lab("id"))
+          .select(col("dst").as("id"), col("lab"))
+        lab = lab.unionByName(incoming)
+          .groupBy(col("id")).agg(min(col("lab")).as("lab"))
+          .localCheckpoint(true)
+      }
+      lab
     }
-    lab
   }
 
   /** Total triangle count over an undirected graph (input edges may
