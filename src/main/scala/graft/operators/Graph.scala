@@ -56,14 +56,19 @@ object Graph {
       combine: (Long, Long) => Long): Array[(Any, Long)] = {
     val sc = edges.sparkContext
     val bc = sc.broadcast(emitBySrc)
+    // reduce side: map-side combining already shrinks each partition to
+    // ≤ nodes entries, so a handful of reduce tasks suffice — the map
+    // side keeps the edge table's own partitioning
+    val reduceParts = math.min(edges.getNumPartitions, 8)
     try edges.mapPartitions { it =>
         val m = bc.value
         it.flatMap { case (s, t) => m.get(s) match {
           case Some(v) => Iterator((t, v))
           case None => Iterator.empty
         } }
-      }.reduceByKey(combine).collect()
-    finally bc.destroy()
+      }.reduceByKey(combine, reduceParts).collect()
+    // non-blocking release: destroy() waits on the remove RPC per round
+    finally bc.unpersist(blocking = false)
   }
 
   /** The cached (src, dst) tuple RDD the driver-state rounds scan: the
@@ -99,17 +104,20 @@ object Graph {
     val e = eRaw.repartition(par, col("src")).localCheckpoint(true)
     val idType = e.schema("src").dataType
     val eRdd = edgeTupleRdd(e)
-    val nodeIds = boundedNodeIds(eRdd)
-    require(nodeIds.nonEmpty, "pageRank needs a non-empty edge set")
-    if (nodeIds.length <= DriverNodeLimit) {
+    // node ids AND out-degrees in ONE bounded pass (dst-only nodes land
+    // with degree 0), which also primes the tuple cache; `take` stops
+    // driver materialization once the limit+1'th node proves the graph
+    // belongs on the cluster-side path
+    val degAll: Array[(Any, Long)] = eRdd
+      .flatMap { case (s, t) => Iterator((s, 1L), (t, 0L)) }
+      .reduceByKey(_ + _).take((DriverNodeLimit + 1).toInt)
+    require(degAll.nonEmpty, "pageRank needs a non-empty edge set")
+    if (degAll.length <= DriverNodeLimit) {
+      val nodeIds: Array[Any] = degAll.map(_._1)
+      val deg: Map[Any, Long] = degAll.iterator.filter(_._2 > 0L).toMap
       val n = nodeIds.length.toLong
       val base = (15L * 1000000000000L) / (100L * n)
       val init = 1000000000000L / n
-      // out-degree is node-bounded: one reduceByKey job, kept driver-side
-      // so the cached edge tuples stay bare (src, dst)
-      val deg: scala.collection.Map[Any, Long] =
-        eRdd.mapPartitions(_.map { case (s, _) => (s, 1L) })
-          .reduceByKey(_ + _).collectAsMap()
       var ranks: scala.collection.Map[Any, Long] =
         nodeIds.iterator.map(_ -> init).toMap
       for (_ <- 0 until iters) {
