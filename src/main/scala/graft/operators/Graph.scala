@@ -45,6 +45,12 @@ object Graph {
     * Above it, rounds run as cluster-side shuffle joins. */
   private val DriverNodeLimit = 2000000L
 
+  /** Size-routing override for the fixpoints below: tests pass 0 to
+    * force the cluster-side DataFrame path on small fixtures (the
+    * differential spec pins driver-path ≡ cluster-path); production
+    * callers leave the default. */
+  private[graft] val DefaultDriverNodeLimit: Long = DriverNodeLimit
+
   /** One fixpoint round, driver-state form: stream the cached (src, dst)
     * edge RDD against a broadcast per-source emission map (the driver
     * precomputes emissions — rank÷deg, dist+1, label — per round;
@@ -82,9 +88,14 @@ object Graph {
   /** Distinct node ids, bounded: ONE shuffle job over the tuple RDD
     * (which it also primes into the cache); `take` stops materializing on
     * the driver once the limit+1'th id proves the graph is large. */
-  private def boundedNodeIds(eRdd: org.apache.spark.rdd.RDD[(Any, Any)]): Array[Any] =
+  private def boundedNodeIds(eRdd: org.apache.spark.rdd.RDD[(Any, Any)],
+      limit: Long): Array[Any] =
     eRdd.flatMap { case (s, t) => Iterator(s, t) }
-      .distinct().take((DriverNodeLimit + 1).toInt)
+      .distinct().take(boundedTake(limit))
+
+  /** limit+1 as a take() count, floor 1 so a 0 limit (test override for
+    * the cluster path) still yields a legal take. */
+  private def boundedTake(limit: Long): Int = math.max(1L, limit + 1L).toInt
 
   /** @param edges directed edges (`srcCol`, `dstCol`); dangling nodes
     *   (no outlinks) simply contribute nothing, the standard simplified
@@ -93,7 +104,8 @@ object Graph {
       srcCol: String = "src", dstCol: String = "dst",
       /** skip the dedup shuffle when the caller's edge artifact is
         * already distinct (a memoized build — see the gate file) */
-      assumeDistinct: Boolean = false): DataFrame = {
+      assumeDistinct: Boolean = false,
+      driverNodeLimit: Long = DefaultDriverNodeLimit): DataFrame = {
     val spark = edges.sparkSession
     val eSel = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val eRaw = if (assumeDistinct) eSel else eSel.distinct()
@@ -110,9 +122,9 @@ object Graph {
     // belongs on the cluster-side path
     val degAll: Array[(Any, Long)] = eRdd
       .flatMap { case (s, t) => Iterator((s, 1L), (t, 0L)) }
-      .reduceByKey(_ + _).take((DriverNodeLimit + 1).toInt)
+      .reduceByKey(_ + _).take(boundedTake(driverNodeLimit))
     require(degAll.nonEmpty, "pageRank needs a non-empty edge set")
-    if (degAll.length <= DriverNodeLimit) {
+    if (degAll.length <= driverNodeLimit) {
       val nodeIds: Array[Any] = degAll.map(_._1)
       val deg: Map[Any, Long] = degAll.iterator.filter(_._2 > 0L).toMap
       val n = nodeIds.length.toLong
@@ -174,7 +186,8 @@ object Graph {
     * the run-to-convergence reachability path.) */
   def shortestPaths(edges: DataFrame, sourceId: String, iters: Int = 6,
       srcCol: String = "src", dstCol: String = "dst",
-      assumeDistinct: Boolean = false): DataFrame = {
+      assumeDistinct: Boolean = false,
+      driverNodeLimit: Long = DefaultDriverNodeLimit): DataFrame = {
     val spark = edges.sparkSession
     val eSel = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val e = (if (assumeDistinct) eSel else eSel.distinct())
@@ -186,7 +199,7 @@ object Graph {
     // the distance table is bounded by reached nodes ≤ 2×edges: a bounded
     // existence probe routes small graphs to the driver-state rounds
     val small =
-      e.limit((DriverNodeLimit + 1).toInt).count() <= DriverNodeLimit
+      e.limit(boundedTake(driverNodeLimit)).count() <= driverNodeLimit
     if (small) {
       val eRdd = edgeTupleRdd(e)
       var dist: scala.collection.Map[Any, Long] = Map(sourceId -> 0L)
@@ -246,7 +259,8 @@ object Graph {
     * sorted node array) so the propagate kernel stays (Any, Long). */
   def minLabelComponents(edges: DataFrame, iters: Int = 8,
       srcCol: String = "src", dstCol: String = "dst",
-      assumeDistinct: Boolean = false): DataFrame = {
+      assumeDistinct: Boolean = false,
+      driverNodeLimit: Long = DefaultDriverNodeLimit): DataFrame = {
     val spark = edges.sparkSession
     val eSel = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val e = (if (assumeDistinct) eSel else eSel.distinct())
@@ -254,9 +268,9 @@ object Graph {
       .localCheckpoint(true)
     val idType = e.schema("src").dataType
     val eRdd = edgeTupleRdd(e)
-    val nodeIds0 = boundedNodeIds(eRdd)
+    val nodeIds0 = boundedNodeIds(eRdd, driverNodeLimit)
     val ord = nodeIds0.headOption.flatMap(idOrdering)
-    if (nodeIds0.nonEmpty && nodeIds0.length <= DriverNodeLimit && ord.isDefined) {
+    if (nodeIds0.nonEmpty && nodeIds0.length <= driverNodeLimit && ord.isDefined) {
       // dense relabel: node ids sorted once; label = index of the
       // component's minimum id, so min-combining stays pure Long
       val nodeIds = nodeIds0.sorted(ord.get)

@@ -564,6 +564,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(short(4L) != 1L && bounded(4L) == 1L)
   }
 
+  test("graph fixpoints: driver-state path equals the cluster-side DataFrame path") {
+    import spark.implicits._
+    // driverNodeLimit = 0 forces the web-scale shuffle-join rounds on the
+    // same fixture the default routes to the driver-state rounds — the
+    // two paths must produce the identical integer recurrence
+    val edges = (Seq(("h", "l1"), ("h", "l2"), ("h", "l3"), ("h", "l4")) ++
+      Seq(("l1", "h"), ("l2", "h"), ("l3", "h"), ("l4", "h")) ++
+      Seq(("x", "y"), ("y", "x"), ("y", "z"))).toDF("src", "dst")
+    def prMap(limit: Long) =
+      graft.operators.Graph.pageRank(edges, iters = 4, driverNodeLimit = limit)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(prMap(0L) == prMap(graft.operators.Graph.DefaultDriverNodeLimit))
+    def spMap(limit: Long) =
+      graft.operators.Graph.shortestPaths(edges, "h", iters = 3, driverNodeLimit = limit)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(spMap(0L) == spMap(graft.operators.Graph.DefaultDriverNodeLimit))
+    def ccMap(limit: Long) =
+      graft.operators.Graph.minLabelComponents(edges, iters = 4, driverNodeLimit = limit)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(ccMap(0L) == ccMap(graft.operators.Graph.DefaultDriverNodeLimit))
+    assert(ccMap(0L)("z") == "x")
+  }
+
   test("triangle count: K4 has 4, a path has 0, duplicates/reverses ignored") {
     import spark.implicits._
     def count(pairs: Seq[(String, String)]): Long =
