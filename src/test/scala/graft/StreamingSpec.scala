@@ -236,11 +236,16 @@ class StreamingSpec extends AnyFunSuite {
     assert(vdeltas(s"$baseA/view") == Set("vdelta-2"),
       vdeltas(s"$baseA/view").mkString(","))
     // generic loadView without catchUp serves the stored view — stale
-    // (missing tx 3's e6) but now DETECTABLY so (the _viewmeta staleness
-    // probe warns; it cannot rebuild an arbitrary ViewDef's rows)
-    val stale = counts(IngestStream.loadView(spark, s"$baseA/view",
-      "type_counts").get)
+    // (missing tx 3's e6) but now DETECTABLY so: the _viewmeta records
+    // the owning state dir and the read WARNS about the unflushed tail
+    // (it cannot rebuild an arbitrary ViewDef's rows)
+    val warnBuf = new java.io.ByteArrayOutputStream()
+    val stale = Console.withErr(warnBuf) {
+      counts(IngestStream.loadView(spark, s"$baseA/view", "type_counts").get)
+    }
     assert(stale == Map("A" -> 1L, "B" -> 2L, "C" -> 1L), stale.toString)
+    assert(warnBuf.toString("UTF-8").contains("unflushed tail"),
+      s"expected a staleness warning, got: ${warnBuf.toString("UTF-8")}")
     // loadTypeCounts' ViewDef is statically known: it auto-catches-up
     // from the _viewmeta's owning state dir — exact with no arguments
     val auto = counts(IngestStream.loadTypeCounts(spark, s"$baseA/view").get)
