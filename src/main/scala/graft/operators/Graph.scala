@@ -59,20 +59,39 @@ object Graph {
     * node-bounded result. Exactly one Spark job per round. */
   private def propagate(edges: org.apache.spark.rdd.RDD[(Any, Any)],
       emitBySrc: scala.collection.Map[Any, Long],
-      combine: (Long, Long) => Long): Array[(Any, Long)] = {
+      combine: (Long, Long) => Long): scala.collection.mutable.HashMap[Any, Long] = {
     val sc = edges.sparkContext
     val bc = sc.broadcast(emitBySrc)
-    // reduce side: map-side combining already shrinks each partition to
-    // ≤ nodes entries, so a handful of reduce tasks suffice — the map
-    // side keeps the edge table's own partitioning
-    val reduceParts = math.min(edges.getNumPartitions, 8)
+    // SINGLE-stage round: each partition combines locally into a
+    // node-bounded map and `reduce` merges the partials ON ARRIVAL at the
+    // driver (Spark's mergeResult is incremental, so driver memory is
+    // O(nodes + one partial), not O(partitions × nodes)). A reduceByKey
+    // shuffle here moved ~P×nodes boxed tuples through the
+    // Java-serializing RDD shuffle every round — measured as most of the
+    // round's wall at 1.2M edges.
+    def merge(a: scala.collection.mutable.HashMap[Any, Long],
+        b: scala.collection.mutable.HashMap[Any, Long]): scala.collection.mutable.HashMap[Any, Long] = {
+      val (big, small) = if (a.size >= b.size) (a, b) else (b, a)
+      small.foreach { case (k, v) =>
+        big.get(k) match {
+          case Some(o) => big.update(k, combine(o, v))
+          case None => big.update(k, v)
+        }
+      }
+      big
+    }
     try edges.mapPartitions { it =>
         val m = bc.value
-        it.flatMap { case (s, t) => m.get(s) match {
-          case Some(v) => Iterator((t, v))
-          case None => Iterator.empty
+        val acc = new scala.collection.mutable.HashMap[Any, Long]
+        it.foreach { case (s, t) => m.get(s) match {
+          case Some(v) => acc.get(t) match {
+            case Some(o) => acc.update(t, combine(o, v))
+            case None => acc.update(t, v)
+          }
+          case None => ()
         } }
-      }.reduceByKey(combine, reduceParts).collect()
+        Iterator.single(acc)
+      }.reduce(merge)
     // non-blocking release: destroy() waits on the remove RPC per round
     finally bc.unpersist(blocking = false)
   }
@@ -80,10 +99,16 @@ object Graph {
   /** The cached (src, dst) tuple RDD the driver-state rounds scan: the
     * TUPLES are persisted, not just the DataFrame — otherwise every round
     * re-pays the InternalRow→Row conversion over the full edge table
-    * (measured ~200 ms/round at 1.2M edges, most of a round). */
-  private def edgeTupleRdd(e: DataFrame): org.apache.spark.rdd.RDD[(Any, Any)] =
-    e.rdd.map(r => (r.get(0), r.get(1)))
+    * (measured ~200 ms/round at 1.2M edges, most of a round). Cached at
+    * a quarter of the source parallelism (floor 8): the per-round kernel
+    * (map lookup + emit) is far lighter than a task's fixed overhead, so
+    * coarser waves cut round wall while the count still scales with the
+    * cluster. */
+  private def edgeTupleRdd(e: DataFrame): org.apache.spark.rdd.RDD[(Any, Any)] = {
+    val parts = math.max(8, e.rdd.getNumPartitions / 4)
+    e.rdd.map(r => (r.get(0), r.get(1))).coalesce(parts)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
 
   /** Distinct node ids, bounded: ONE shuffle job over the tuple RDD
     * (which it also primes into the cache); `take` stops materializing on
