@@ -982,11 +982,17 @@ object IngestStream {
     * Returns the complete verified pair set after draining the stream —
     * identical to the batch operator's answer on the same corpus.
     *
+    * @param maxCandidatesPerBatch cap on the RAW band-collision rows a
+    *   batch may pull to the driver for the in-process verify (a pair
+    *   counts once per colliding band, so this trips up to `bands`×
+    *   earlier than a distinct-pair cap would); a batch over the cap
+    *   spills its verify to the distributed exact-Jaccard path instead
+    *   of failing.
     * @param batchPartitions per-batch shuffle/task parallelism — the
     *   arriving micro-batch is orders of magnitude smaller than the
     *   session's scan-side parallelism, so its shingle kernel, minhash
-    *   aggregation and probe distinct size their stages to the batch
-    *   (a 100 TB feed sizes up with its batch volume). */
+    *   aggregation and verify-spill shuffles size their stages to the
+    *   batch (a 100 TB feed sizes up with its batch volume). */
   def lshDedupStream(spark: SparkSession, docsPath: String, tau: Double = 0.5,
       k: Int = 3, numHashes: Int = 64, bands: Int = 16,
       nChunks: Int = 3, checkpointEvery: Int = 8,
@@ -1060,32 +1066,61 @@ object IngestStream {
           shCache = Some(sp.read.parquet(shDir).persist(lvl))
           pinned ++= idxCache; pinned ++= shCache
         }
+        // the keys/shingle postings appends depend only on this batch's
+        // kernels, not on the probe — launch them now so the write wall
+        // overlaps the probe/verify phases (job descriptions are
+        // thread-local, so each future keeps its own label; the cache
+        // lock makes a racing first materialization compute-once). Both
+        // complete before foreachBatch returns (await below), so the
+        // engine's offset commit still implies durable postings.
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        val appendKeys = Future(lbl("keys append")(
+          keysB.coalesce(4).write.mode("append").parquet(idxDir)))
+        val appendSh = Future(lbl("sh append")(
+          shB.coalesce(4).write.mode("append").parquet(shDir)))
         // candidates: new keys vs (index ∪ new keys); normalize pair
         // order so cross-batch pairs compare like the batch operator.
         // foreachBatch plans run with AQE OFF, so every join here is
         // hinted explicitly — without the hints the probe and verify
         // sort-merge-shuffle the ENTIRE accumulated index/postings per
         // batch (the r6/r7 5 s constant); with them each batch is ONE
-        // pass over the cached index. The distinct pair set is pulled to
-        // the driver as a LocalRelation: it is bounded by the banding
-        // collision rate (the quantity every LSH design keeps small — a
-        // batch whose candidates exceed the cap means the banding params
-        // are wrong for the corpus, and the loud error beats an
-        // invisible quadratic verify), and a local pair list makes every
-        // verify-side broadcast free (no per-join build jobs)
+        // pass over the cached index. The RAW collision rows (a pair
+        // appears once per colliding band) are pulled to the driver and
+        // deduped into a HashSet there: a per-batch `.distinct()` would
+        // cost a shuffle plus a multi-job incremental CollectLimit every
+        // batch, while the raw pull keeps the probe ONE narrow job over
+        // the cached index — and the drain's final `.distinct()` (replay
+        // guard) already owns cross-batch dedup. Raw rows are bounded by
+        // the banding collision rate × bands (the quantity every LSH
+        // design keeps small — a batch over the cap means the banding
+        // params are wrong for the corpus), and a local pair list makes
+        // every verify-side broadcast free (no per-join build jobs)
         val allKeys = idxCache.map(_.unionByName(keysB)).getOrElse(keysB)
-        val candDf = broadcast(keysB.as("a"))
+        val candRawDf = broadcast(keysB.as("a"))
           .join(allKeys.as("b"),
             col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
               col("a.doc_id") =!= col("b.doc_id"))
           .select(least(col("a.doc_id"), col("b.doc_id")).as("d1"),
             greatest(col("a.doc_id"), col("b.doc_id")).as("d2"))
-          .distinct()
         // the limit bounds DRIVER MEMORY, not just the cap check: without
         // it a banding blow-up pulls the full quadratic pair set into the
-        // driver before the over-cap test can see it (r8 ADVICE)
-        val candRows = lbl("probe")(
-          candDf.limit(maxCandidatesPerBatch + 1).collect())
+        // driver before the over-cap test can see it (r8 ADVICE). The cap
+        // now applies to raw (band-duplicated) rows, so it trips up to
+        // `bands`× earlier than the old distinct-pair cap — a conservative
+        // shift: the over-cap route is the distributed verify, which is
+        // correct either way. One wave over every cached partition (each
+        // locally limited) beats the default 1→4→16 incremental collect's
+        // scheduling waves at micro-batch sizes.
+        val prevInitParts = sp.conf.getOption("spark.sql.limit.initialNumPartitions")
+        sp.conf.set("spark.sql.limit.initialNumPartitions", "1000000")
+        val candRows =
+          try lbl("probe")(candRawDf.limit(maxCandidatesPerBatch + 1).collect())
+          finally prevInitParts match {
+            case Some(v) => sp.conf.set("spark.sql.limit.initialNumPartitions", v)
+            case None => sp.conf.unset("spark.sql.limit.initialNumPartitions")
+          }
         val shAll = shCache.map(_.unionByName(shB)).getOrElse(shB)
         // exact-Jaccard verify ON THE DRIVER: the candidate pair list is
         // already driver-local (the LocalRelation design above — bounded
@@ -1107,11 +1142,16 @@ object IngestStream {
               "(check banding parameters for this corpus)")
           // scalastyle:on println
           lbl("verify spill")(
-            graft.operators.Dedup.jaccardOfPairs(shAll, candDf, tau))
+            graft.operators.Dedup.jaccardOfPairs(shAll, candRawDf.distinct(), tau))
         } else {
           import sp.implicits._
-          val candDocIds: Seq[Long] = candRows.iterator
-            .flatMap(r => Iterator(r.getLong(0), r.getLong(1)))
+          // driver-side dedupe of the raw band-collision rows (the per-
+          // batch .distinct() shuffle this replaces): each unique pair is
+          // verified once
+          val candPairs: Seq[(Long, Long)] = candRows.iterator
+            .map(r => (r.getLong(0), r.getLong(1))).toSet.toSeq
+          val candDocIds: Seq[Long] = candPairs.iterator
+            .flatMap(p => Iterator(p._1, p._2))
             .toSet.toSeq
           val candDocs = candDocIds.toDF("doc_id")
           val postings = new scala.collection.mutable.HashMap[Long, scala.collection.mutable.HashSet[String]]
@@ -1122,8 +1162,7 @@ object IngestStream {
               postings.getOrElseUpdate(r.getLong(0),
                 new scala.collection.mutable.HashSet[String]) += r.getString(1)
             }
-          val verified = candRows.iterator.flatMap { r =>
-            val (d1, d2) = (r.getLong(0), r.getLong(1))
+          val verified = candPairs.iterator.flatMap { case (d1, d2) =>
             val (s1, s2) = (postings.get(d1), postings.get(d2))
             if (s1.isEmpty || s2.isEmpty) Iterator.empty
             else {
@@ -1137,21 +1176,15 @@ object IngestStream {
           }.toSeq
           verified.toDF("d1", "d2", "jaccard")
         }
-        // the three writes are independent — run them concurrently (all
-        // complete before foreachBatch returns, so the engine's offset
-        // commit still implies the batch's postings are durable); the
-        // keysB/shB appends are the O(batch) durable postings a restart
-        // reseeds from, never read back within this run
-        import scala.concurrent.{Await, Future}
-        import scala.concurrent.ExecutionContext.Implicits.global
-        import scala.concurrent.duration.Duration
+        // pairs are driver-local (tiny) — one file; the keys/shingle
+        // postings appends (4 writer tasks each — a single task would
+        // serialize the batch's whole parquet encode) were launched
+        // before the probe and have been overlapping it; await all three
+        // so the offset commit implies durability
         Await.result(Future.sequence(Seq(
           Future(lbl("pairs write")(
             pairs.coalesce(1).write.mode("append").parquet(pairsDir))),
-          Future(lbl("keys append")(
-            keysB.coalesce(1).write.mode("append").parquet(idxDir))),
-          Future(lbl("sh append")(
-            shB.coalesce(1).write.mode("append").parquet(shDir))))), Duration.Inf)
+          appendKeys, appendSh)), Duration.Inf)
         // fold the batch's (still-persisted) delta into the live index
         idxCache = Some(allKeys); shCache = Some(shAll)
         if (batchId % checkpointEvery == (checkpointEvery - 1)) {
