@@ -26,6 +26,15 @@ import Ast._
   */
 object Planner {
 
+  /** Keep a recursive rule component's semi-naive rounds on the driver
+    * while every accumulated relation stays under this many rows — the
+    * same bounded-driver-artifact budget as [[graft.operators.Graph]]'s
+    * node limit (a broadcast build side's size class). Above it the
+    * fixpoint reruns with cluster-resident DataFrames. Override per
+    * session with `graft.rules.driverRowLimit` (0 forces the DataFrame
+    * path — the differential spec uses that to pin path equivalence). */
+  val DefaultRuleDriverRowLimit: Int = 1000000
+
   final case class Rel(df: DataFrame, distinctSure: Boolean) {
     def vars: Set[String] = df.columns.toSet
   }
@@ -2765,45 +2774,141 @@ private final class Planner(spark: SparkSession, source: FactSource,
       Rel(body.df.select(argNames.map(col): _*), distinctSure = false)
     }
 
-    val acc = scala.collection.mutable.Map[String, DataFrame]()
-    var delta = Map[String, DataFrame]()
-    var changed = true
-    while (changed) {
-      changed = false
-      val newDelta = scala.collection.mutable.Map[String, DataFrame]()
-      comp.toSeq.sorted.foreach { rn =>
-        val parts = scala.collection.mutable.ListBuffer[DataFrame]()
-        defsOf(rn).foreach { d =>
-          val calls = compCallNames(d)
-          if (calls.isEmpty) {
-            if (!acc.contains(rn)) parts += planBranch(rn, d, _ => null).df // base, once
-          } else if (calls.forall(acc.contains) && calls.exists(delta.contains)) {
-            calls.zipWithIndex.foreach { case (cn, i) =>
-              if (delta.contains(cn))
-                parts += planBranch(rn, d,
-                  j => if (j == i) delta(calls(j)) else acc(calls(j))).df
+    /** Driver-state semi-naive rounds (size-routed, the [[graft.operators
+      * .Graph]] discipline): recursive rule components derive row sets
+      * that are usually tiny relative to the fact tables (a hierarchy
+      * closure, a reachable set), yet the DataFrame fixpoint pays per
+      * round and per rule a distinct shuffle + an except shuffle + two
+      * eager localCheckpoint materializations + a count — scheduling and
+      * planning, not data. While every accumulated relation stays under
+      * `ruleDriverRowLimit`, hold acc/delta as driver row sets instead:
+      * each round plans the SAME branch bodies but seeds the recursive
+      * calls with LocalRelations (Catalyst broadcasts them against the
+      * fact scans — statistics are exact), and ONE collect per derivable
+      * rule replaces the shuffle/checkpoint chain; dedup and set
+      * difference are driver HashSet operations on normalized tuples
+      * (arrays/seqs → Vector so equality is structural). The limit+1'th
+      * collected row proves the component is too big for the driver:
+      * return None and the caller reruns the DataFrame fixpoint from
+      * scratch (the web-scale path — at most `limit` wasted rows). Same
+      * recurrence on both paths; PlanSpec pins path equivalence. */
+    def driverFixpoint(rowLimit: Int): Option[Rel] = {
+      import scala.jdk.CollectionConverters._
+      def normVal(v: Any): Any = v match {
+        case a: Array[_] => a.iterator.map(normVal).toVector
+        case s: scala.collection.Seq[_] => s.iterator.map(normVal).toVector
+        case r: org.apache.spark.sql.Row => r.toSeq.iterator.map(normVal).toVector
+        case x => x
+      }
+      def key(r: org.apache.spark.sql.Row): Vector[Any] =
+        r.toSeq.iterator.map(normVal).toVector
+      val schemaOf = scala.collection.mutable.Map[String, org.apache.spark.sql.types.StructType]()
+      val accKeys = scala.collection.mutable.Map[String, scala.collection.mutable.HashSet[Vector[Any]]]()
+      val accRows = scala.collection.mutable.Map[String, scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]]()
+      var deltaRows = Map[String, Seq[org.apache.spark.sql.Row]]()
+      def frameOf(rn: String, rows: Seq[org.apache.spark.sql.Row]): DataFrame =
+        spark.createDataFrame(rows.asJava, schemaOf(rn))
+      var changed = true
+      while (changed) {
+        changed = false
+        val newDelta = scala.collection.mutable.Map[String, Seq[org.apache.spark.sql.Row]]()
+        var overflow = false
+        comp.toSeq.sorted.foreach { rn =>
+          if (!overflow) {
+            val parts = scala.collection.mutable.ListBuffer[DataFrame]()
+            defsOf(rn).foreach { d =>
+              val calls = compCallNames(d)
+              if (calls.isEmpty) {
+                if (!accRows.contains(rn)) parts += planBranch(rn, d, _ => null).df
+              } else if (calls.forall(accRows.contains) && calls.exists(deltaRows.contains)) {
+                calls.zipWithIndex.foreach { case (cn, i) =>
+                  if (deltaRows.contains(cn))
+                    parts += planBranch(rn, d, j =>
+                      if (j == i) frameOf(calls(j), deltaRows(calls(j)))
+                      else frameOf(calls(j), accRows(calls(j)).toSeq)).df
+                }
+              }
+            }
+            if (parts.nonEmpty) {
+              val derived = parts.reduce(_ unionByName _)
+              schemaOf.getOrElseUpdate(rn, derived.schema)
+              val collected = derived.limit(rowLimit + 1).collect()
+              if (collected.length > rowLimit) overflow = true
+              else {
+                val ks = accKeys.getOrElseUpdate(rn, scala.collection.mutable.HashSet())
+                val rs = accRows.getOrElseUpdate(rn, scala.collection.mutable.ArrayBuffer())
+                val fresh = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+                collected.foreach { r =>
+                  val k = key(r)
+                  if (ks.add(k)) { rs += r; fresh += r }
+                }
+                // the accumulator too must stay a broadcastable seed
+                if (rs.length > rowLimit) overflow = true
+                else if (fresh.nonEmpty) { newDelta(rn) = fresh.toSeq; changed = true }
+              }
             }
           }
         }
-        if (parts.nonEmpty) {
-          val derived = parts.reduce(_ unionByName _).distinct()
-          val fresh = acc.get(rn).map(derived.except).getOrElse(derived)
-            .localCheckpoint(true)
-          if (fresh.count() > 0) {
-            newDelta(rn) = fresh
-            acc(rn) = acc.get(rn)
-              .map(_.unionByName(fresh).localCheckpoint(true)).getOrElse(fresh)
-            changed = true
-          } else if (!acc.contains(rn)) acc(rn) = fresh // derivable but empty
-        }
+        if (overflow) return None
+        deltaRows = newDelta.toMap
       }
-      delta = newDelta.toMap
+      require(accRows.contains(name),
+        s"rule $name never became derivable (no reachable non-recursive branch)")
+      comp.foreach(rn => accRows.get(rn).foreach { rs =>
+        ruleCache.update(rn, Rel(frameOf(rn, rs.toSeq), distinctSure = true))
+      })
+      Some(Rel(frameOf(name, accRows(name).toSeq), distinctSure = true))
     }
-    require(acc.contains(name),
-      s"rule $name never became derivable (no reachable non-recursive branch)")
-    comp.foreach(rn => acc.get(rn).foreach(df =>
-      ruleCache.update(rn, Rel(df, distinctSure = true))))
-    Rel(acc(name), distinctSure = true)
+
+    /** The web-scale path: acc/delta stay cluster-resident DataFrames,
+      * rounds pay distinct + except shuffles and eager localCheckpoints
+      * (lineage stays bounded at any round count). */
+    def dataFrameFixpoint(): Rel = {
+      val acc = scala.collection.mutable.Map[String, DataFrame]()
+      var delta = Map[String, DataFrame]()
+      var changed = true
+      while (changed) {
+        changed = false
+        val newDelta = scala.collection.mutable.Map[String, DataFrame]()
+        comp.toSeq.sorted.foreach { rn =>
+          val parts = scala.collection.mutable.ListBuffer[DataFrame]()
+          defsOf(rn).foreach { d =>
+            val calls = compCallNames(d)
+            if (calls.isEmpty) {
+              if (!acc.contains(rn)) parts += planBranch(rn, d, _ => null).df // base, once
+            } else if (calls.forall(acc.contains) && calls.exists(delta.contains)) {
+              calls.zipWithIndex.foreach { case (cn, i) =>
+                if (delta.contains(cn))
+                  parts += planBranch(rn, d,
+                    j => if (j == i) delta(calls(j)) else acc(calls(j))).df
+              }
+            }
+          }
+          if (parts.nonEmpty) {
+            val derived = parts.reduce(_ unionByName _).distinct()
+            val fresh = acc.get(rn).map(derived.except).getOrElse(derived)
+              .localCheckpoint(true)
+            if (fresh.count() > 0) {
+              newDelta(rn) = fresh
+              acc(rn) = acc.get(rn)
+                .map(_.unionByName(fresh).localCheckpoint(true)).getOrElse(fresh)
+              changed = true
+            } else if (!acc.contains(rn)) acc(rn) = fresh // derivable but empty
+          }
+        }
+        delta = newDelta.toMap
+      }
+      require(acc.contains(name),
+        s"rule $name never became derivable (no reachable non-recursive branch)")
+      comp.foreach(rn => acc.get(rn).foreach(df =>
+        ruleCache.update(rn, Rel(df, distinctSure = true))))
+      Rel(acc(name), distinctSure = true)
+    }
+
+    val rowLimit = spark.conf.getOption("graft.rules.driverRowLimit")
+      .map(_.toInt).getOrElse(Planner.DefaultRuleDriverRowLimit)
+    (if (rowLimit > 0) driverFixpoint(rowLimit) else None)
+      .getOrElse(dataFrameFixpoint())
   }
 
   // -------------------------------------------------------------- finalize

@@ -261,6 +261,57 @@ class RulesSpec extends AnyFunSuite {
       Set(Seq(1L), Seq(2L), Seq(3L)))
   }
 
+  // ------------- driver-state vs DataFrame fixpoint equivalence (r9)
+
+  /** Re-run `q` with `graft.rules.driverRowLimit` pinned to `limit`
+    * (0 = force the cluster-resident DataFrame fixpoint; a tiny
+    * positive value forces mid-fixpoint overflow and the rerun-from-
+    * scratch fallback), restoring the session default afterwards. */
+  private def runAt(limit: Int, src: QuadSource, q: String, args: Any*): Set[Seq[Any]] = {
+    spark.conf.set("graft.rules.driverRowLimit", limit.toString)
+    try run(src, q, args: _*)
+    finally spark.conf.unset("graft.rules.driverRowLimit")
+  }
+
+  test("driver-state and DataFrame fixpoints agree (single recursive rule)") {
+    val q = """[:find x y :where [(path x y)]
+         :rules [[(path x y) [x :edge y]]
+                 [(path x y) (path x z) [z :edge y]]]]"""
+    val src = quadSource(
+      Seq((1L, "edge", 2L), (2L, "edge", 3L), (3L, "edge", 4L), (4L, "edge", 1L)),
+      Map("edge" -> "v_num"))
+    val expected = (for (a <- 1L to 4L; b <- 1L to 4L) yield Seq[Any](a, b)).toSet
+    assert(run(src, q) == expected)          // default: driver path (tiny)
+    assert(runAt(0, src, q) == expected)     // forced DataFrame path
+  }
+
+  test("driver-state and DataFrame fixpoints agree (mutual recursion)") {
+    val src = quadSource(
+      Seq((0L, "f1", 1L), (1L, "f2", 2L), (2L, "f1", 3L),
+        (3L, "f2", 4L), (4L, "f1", 5L), (5L, "f2", 6L)),
+      Map("f1" -> "v_num", "f2" -> "v_num"))
+    val q = """[:find ?e1 ?e2 :where [(f1 ?e1 ?e2)]
+         :rules [[(f1 ?e1 ?e2) [?e1 :f1 ?e2]]
+                 [(f1 ?e1 ?e2) [?t :f1 ?e2] (f2 ?e1 ?t)]
+                 [(f2 ?e1 ?e2) [?e1 :f2 ?e2]]
+                 [(f2 ?e1 ?e2) [?t :f2 ?e2] (f1 ?e1 ?t)]]]"""
+    assert(run(src, q) == runAt(0, src, q))
+  }
+
+  test("mid-fixpoint overflow falls back to the DataFrame path, same rows") {
+    // 4-cycle closure has 16 rows; limit 3 overflows during the rounds
+    // (after partial driver-side progress), so the result must come from
+    // the from-scratch DataFrame rerun
+    val src = quadSource(
+      Seq((1L, "edge", 2L), (2L, "edge", 3L), (3L, "edge", 4L), (4L, "edge", 1L)),
+      Map("edge" -> "v_num"))
+    val q = """[:find x y :where [(path x y)]
+         :rules [[(path x y) [x :edge y]]
+                 [(path x y) (path x z) [z :edge y]]]]"""
+    assert(runAt(3, src, q) ==
+      (for (a <- 1L to 4L; b <- 1L to 4L) yield Seq[Any](a, b)).toSet)
+  }
+
   test("or-join branch-local vars are renamed before distribution (no capture)") {
     // The or-join branch uses ?x — NOT a join var, so branch-LOCAL by
     // or-join scoping — while ?x is also the rule's head arg. α-renaming
