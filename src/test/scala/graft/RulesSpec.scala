@@ -312,6 +312,37 @@ class RulesSpec extends AnyFunSuite {
       (for (a <- 1L to 4L; b <- 1L to 4L) yield Seq[Any](a, b)).toSet)
   }
 
+  test("randomized differential: closure rule on random graphs, both paths vs driver oracle") {
+    // Random directed graphs; the transitive-closure rule query must
+    // equal an independent driver-side closure (Floyd–Warshall-ish
+    // saturation over the edge set) on BOTH fixpoint paths. Seeded
+    // trials, sizes small enough that each query is one spec-second.
+    val q = """[:find x y :where [(path x y)]
+         :rules [[(path x y) [x :edge y]]
+                 [(path x y) (path x z) [z :edge y]]]]"""
+    (0 until 3).foreach { trial =>
+      val rnd = new scala.util.Random(4100 + trial)
+      val n = 5 + rnd.nextInt(5)
+      val edges = (for {
+        a <- 1L to n; b <- 1L to n
+        if a != b && rnd.nextDouble() < 0.25
+      } yield (a, b)).toSet
+      // driver oracle: saturate pairs until no new (a, c) appears
+      var closure = edges
+      var grew = true
+      while (grew) {
+        val next = closure ++ (for ((a, b) <- closure; (b2, c) <- edges if b == b2) yield (a, c))
+        grew = next.size > closure.size; closure = next
+      }
+      val expected = closure.map { case (a, b) => Seq[Any](a, b) }
+      val src = quadSource(
+        edges.toSeq.sortBy(identity).map { case (a, b) => (a, "edge", b) },
+        Map("edge" -> "v_num"))
+      assert(run(src, q) == expected, s"driver path, trial $trial (n=$n, ${edges.size} edges)")
+      assert(runAt(0, src, q) == expected, s"DataFrame path, trial $trial (n=$n, ${edges.size} edges)")
+    }
+  }
+
   test("or-join branch-local vars are renamed before distribution (no capture)") {
     // The or-join branch uses ?x — NOT a join var, so branch-LOCAL by
     // or-join scoping — while ?x is also the rule's head arg. α-renaming
