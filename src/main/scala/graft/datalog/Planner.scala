@@ -2798,6 +2798,11 @@ private final class Planner(spark: SparkSession, source: FactSource,
         case a: Array[_] => a.iterator.map(normVal).toVector
         case s: scala.collection.Seq[_] => s.iterator.map(normVal).toVector
         case r: org.apache.spark.sql.Row => r.toSeq.iterator.map(normVal).toVector
+        // Spark's distinct/except normalize -0.0 to 0.0 before comparing
+        // (NormalizeFloatingNumbers); the driver HashSet must dedup the
+        // same way or the two fixpoint paths diverge on signed zeros
+        case d: java.lang.Double if d.doubleValue() == 0.0 => 0.0d
+        case f: java.lang.Float if f.floatValue() == 0.0f => 0.0f
         case x => x
       }
       def key(r: org.apache.spark.sql.Row): Vector[Any] =
@@ -2832,7 +2837,10 @@ private final class Planner(spark: SparkSession, source: FactSource,
             if (parts.nonEmpty) {
               val derived = parts.reduce(_ unionByName _)
               schemaOf.getOrElseUpdate(rn, derived.schema)
-              val collected = derived.limit(rowLimit + 1).collect()
+              // saturating +1: a caller pinning Int.MaxValue means
+              // "never fall back", not a negative-limit crash
+              val takeN = if (rowLimit >= Int.MaxValue) Int.MaxValue else rowLimit + 1
+              val collected = derived.limit(takeN).collect()
               if (collected.length > rowLimit) overflow = true
               else {
                 val ks = accKeys.getOrElseUpdate(rn, scala.collection.mutable.HashSet())
@@ -2906,7 +2914,10 @@ private final class Planner(spark: SparkSession, source: FactSource,
     }
 
     val rowLimit = spark.conf.getOption("graft.rules.driverRowLimit")
-      .map(_.toInt).getOrElse(Planner.DefaultRuleDriverRowLimit)
+      .map(s => try s.trim.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"graft.rules.driverRowLimit must be an integer row count (got '$s')")
+      }).getOrElse(Planner.DefaultRuleDriverRowLimit)
     (if (rowLimit > 0) driverFixpoint(rowLimit) else None)
       .getOrElse(dataFrameFixpoint())
   }

@@ -119,8 +119,12 @@ object Graph {
       .distinct().take(boundedTake(limit))
 
   /** limit+1 as a take() count, floor 1 so a 0 limit (test override for
-    * the cluster path) still yields a legal take. */
-  private def boundedTake(limit: Long): Int = math.max(1L, limit + 1L).toInt
+    * the cluster path) still yields a legal take; saturates at
+    * Int.MaxValue so a caller pinning Long.MaxValue ("always driver")
+    * doesn't wrap into a 1-row take that silently mis-routes. */
+  private def boundedTake(limit: Long): Int =
+    if (limit >= Int.MaxValue) Int.MaxValue
+    else math.max(1L, limit + 1L).toInt
 
   /** @param edges directed edges (`srcCol`, `dstCol`); dangling nodes
     *   (no outlinks) simply contribute nothing, the standard simplified
@@ -218,16 +222,29 @@ object Graph {
     val e = (if (assumeDistinct) eSel else eSel.distinct())
       .repartition(spark.sparkContext.defaultParallelism, col("src"))
       .localCheckpoint(true)
+    // coerce the source id to the edge column's JVM type: the driver
+    // path's map lookups use Java equality (a String "5" key never
+    // matches java.lang.Long edge endpoints — it would silently return
+    // only the source row), and typing the seed row by idType keeps the
+    // cluster path's join/union free of implicit casts too
+    val idType = e.schema("src").dataType
+    val source: Any = idType match {
+      case org.apache.spark.sql.types.StringType => sourceId
+      case LongType => java.lang.Long.valueOf(sourceId.trim)
+      case org.apache.spark.sql.types.IntegerType => java.lang.Integer.valueOf(sourceId.trim)
+      case org.apache.spark.sql.types.ShortType => java.lang.Short.valueOf(sourceId.trim)
+      case other => throw new IllegalArgumentException(
+        s"shortestPaths: unsupported node id type $other for sourceId '$sourceId'")
+    }
     val distSchema = StructType(Seq(
-      StructField("id", org.apache.spark.sql.types.StringType),
-      StructField("d", LongType)))
+      StructField("id", idType), StructField("d", LongType)))
     // the distance table is bounded by reached nodes ≤ 2×edges: a bounded
     // existence probe routes small graphs to the driver-state rounds
     val small =
       e.limit(boundedTake(driverNodeLimit)).count() <= driverNodeLimit
     if (small) {
       val eRdd = edgeTupleRdd(e)
-      var dist: scala.collection.Map[Any, Long] = Map(sourceId -> 0L)
+      var dist: scala.collection.Map[Any, Long] = Map(source -> 0L)
       for (_ <- 0 until iters) {
         // emission = dist(src) + 1, precomputed per source
         val stepped = propagate(eRdd, dist.map { case (s, d) => s -> (d + 1L) },
@@ -244,7 +261,7 @@ object Graph {
         dist.toList.map { case (id, d) => Row(id, d) }.asJava, distSchema)
     } else {
       var dist = spark.createDataFrame(
-        java.util.List.of(Row(sourceId, 0L)), distSchema)
+        java.util.List.of(Row(source, 0L)), distSchema)
       for (_ <- 0 until iters) {
         val stepped = e.join(dist, e("src") === dist("id"))
           .select(col("dst").as("id"), (col("d") + 1).as("d"))
@@ -260,7 +277,15 @@ object Graph {
     * the standard id types qualify — anything else takes the DataFrame
     * path, whose `min` carries Spark's own ordering. */
   private def idOrdering(sample: Any): Option[Ordering[Any]] = sample match {
-    case _: String => Some(Ordering.by(_.asInstanceOf[String]))
+    // UTF-8 BYTE order, not String's UTF-16 compareTo: Spark's min() on
+    // StringType compares UTF8String bytes, and the two differ for
+    // non-BMP code points (surrogates sort below U+E000..U+FFFF in
+    // UTF-16 but above them in UTF-8) — the driver and cluster paths
+    // must pick the same component representative
+    case _: String => Some(Ordering.comparatorToOrdering(
+      (x: Any, y: Any) => java.util.Arrays.compareUnsigned(
+        x.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        y.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8))))
     case _: java.lang.Long => Some(Ordering.by(_.asInstanceOf[java.lang.Long].longValue()))
     case _: java.lang.Integer => Some(Ordering.by(_.asInstanceOf[java.lang.Integer].intValue()))
     case _ => None
@@ -343,8 +368,15 @@ object Graph {
     * exact integers, so any implementation (the oracle uses the naive
     * id-ordered 3-join) must produce the identical number. */
   def triangleCount(edges: DataFrame,
-      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
-    val und = edges
+      srcCol: String = "src", dstCol: String = "dst",
+      /** input is already distinct, self-loop-free and oriented
+        * srcCol < dstCol (the memoized gate artifact's invariant) —
+        * skips the canonicalize shuffle + checkpoint, the same contract
+        * as the siblings' assumeDistinct */
+      assumeCanonical: Boolean = false): DataFrame = {
+    val und = if (assumeCanonical)
+      edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+    else edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b")).distinct()

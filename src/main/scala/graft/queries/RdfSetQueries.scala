@@ -94,16 +94,16 @@ object RdfSetQueries {
     * both graph gates iterate over it, and a graph deployment builds its
     * edge table once — same build-once policy as the RDF parse cache and
     * the ANN index memos. */
-  private val edgeCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), DataFrame]()
+  private val edgeCache =
+    new graft.sources.SessionCache[(SparkSession, String), DataFrame]
   private def bipartiteEdges(s: SparkSession, dir: String): DataFrame =
-    edgeCache.computeIfAbsent((s, dir), _ => {
+    edgeCache.getOrBuild((s, dir)) {
       val li = Tables.load(s, dir, "lineitem")
       val fwd = li.select(concat(lit("s"), col("l_suppkey")).as("src"),
         concat(lit("p"), col("l_partkey")).as("dst"))
       fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
         .distinct().localCheckpoint(true)
-    })
+    }
 
   def graphPagerank(s: SparkSession, dir: String): DataFrame =
     graft.operators.Graph.pageRank(bipartiteEdges(s, dir), iters = 5,
@@ -173,10 +173,10 @@ object RdfSetQueries {
     * the triangle and the components gate iterate over it — the same
     * build-once policy as [[bipartiteEdges]]. Kept distinct (one
     * canonical direction); components symmetrizes on top. */
-  private val coPurchaseCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), DataFrame]()
+  private val coPurchaseCache =
+    new graft.sources.SessionCache[(SparkSession, String), DataFrame]
   private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame =
-    coPurchaseCache.computeIfAbsent((s, dir), _ => {
+    coPurchaseCache.getOrBuild((s, dir)) {
       val ho = Tables.load(s, dir, "orders")
         .filter(col("o_totalprice") > 400000).select(col("o_orderkey"))
       val lp = Tables.load(s, dir, "lineitem")
@@ -187,10 +187,13 @@ object RdfSetQueries {
             col("x.l_partkey") < col("y.l_partkey"))
         .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
         .distinct().localCheckpoint(true)
-    })
+    }
 
   def graphTriangles(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Graph.triangleCount(coPurchaseEdges(s, dir))
+    // the memoized artifact is distinct with src < dst and no self-loops
+    // (see coPurchaseEdges) — triangleCount can skip its canonicalize pass
+    graft.operators.Graph.triangleCount(coPurchaseEdges(s, dir),
+      assumeCanonical = true)
 
   /** Component size distribution of the sparse part co-purchase graph
     * (the [[graphTriangles]] fixture — the full supplier↔part graph is

@@ -49,13 +49,13 @@ object SqlStreamQueries {
     * conversion), so repeated runs share one staging — the same
     * build-once policy as the graph gates' edge artifact. Each run keeps
     * its own state/checkpoint dirs; only the read-only ops dir is shared. */
-  private val stageCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), String]()
+  private val stageCache =
+    new graft.sources.SessionCache[(SparkSession, String), String]
   private def stageOpsByBucket(s: SparkSession, dir: String): String =
-    stageCache.computeIfAbsent((s, dir), _ => {
+    stageCache.getOrBuild((s, dir)) {
       val base = java.nio.file.Files.createTempDirectory("graft_ops_stage").toString
       stageOpsUncached(s, dir, base)
-    })
+    }
   private def stageOpsUncached(s: SparkSession, dir: String, base: String): String = {
     val opsDir = s"$base/ops"
     new java.io.File(opsDir).mkdirs()

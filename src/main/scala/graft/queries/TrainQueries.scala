@@ -23,36 +23,37 @@ object TrainQueries {
     * (corpus, nlist, iters) index; rebuilding 5 Lloyd barriers per query
     * would be like re-training the quantizer per search. Materialized via
     * localCheckpoint (the single-node analogue of persisting the index);
-    * entries die with their session (same policy as Tables/Rdf memos). */
-  private val ivfIndexCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, Int, Int), DataFrame]()
+    * entries die with their session ([[graft.sources.SessionCache]],
+    * same policy as the Tables/Rdf memos). */
+  private val ivfIndexCache =
+    new graft.sources.SessionCache[(SparkSession, String, Int, Int), DataFrame]
   private def ivfIndex(s: SparkSession, dir: String,
       nlist: Int = 8, iters: Int = 5): DataFrame =
-    ivfIndexCache.computeIfAbsent((s, dir, nlist, iters), _ =>
+    ivfIndexCache.getOrBuild((s, dir, nlist, iters))(
       Similarity.kmeansAssign(emb(s, dir), nlist, iters).localCheckpoint(true))
 
   /** PQ index artifact — codebook (driver-held, dims·ks doubles) + encoded
     * corpus — built once per (session, dir), the offline "train + encode"
     * step of a production PQ deployment. */
-  private val pqCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), (Similarity.PqCodebook, DataFrame)]()
+  private val pqCache =
+    new graft.sources.SessionCache[(SparkSession, String), (Similarity.PqCodebook, DataFrame)]
   private def pqIndex(s: SparkSession, dir: String): (Similarity.PqCodebook, DataFrame) =
-    pqCache.computeIfAbsent((s, dir), _ => {
+    pqCache.getOrBuild((s, dir)) {
       // m=16 (4-dim subspaces) × ks=16: measured recall@10 with rerank=100
       // vs brute ≥0.94 mean / ≥0.90 min on every sf dir (near-uniform
       // synthetic vectors — real clustered corpora sit higher)
       val books = Similarity.pqTrain(emb(s, dir), m = 16, ks = 16)
       (books, Similarity.pqEncode(emb(s, dir), books).localCheckpoint(true))
-    })
+    }
 
   /** Same build-once policy for the MinHash-LSH verified pair set: the
     * near-dup pair relation is the artifact a dedup pipeline materializes
     * and then consumes repeatedly (pair listing, cluster assignment,
     * canonical-doc choice). */
-  private val lshPairsCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), DataFrame]()
+  private val lshPairsCache =
+    new graft.sources.SessionCache[(SparkSession, String), DataFrame]
   private def lshPairs(s: SparkSession, dir: String): DataFrame =
-    lshPairsCache.computeIfAbsent((s, dir), _ =>
+    lshPairsCache.getOrBuild((s, dir))(
       Dedup.minhashLshPairs(docs(s, dir), 0.5).localCheckpoint(true))
 
   /** Same policy for the other pair-set artifacts (exact n-gram Jaccard,
@@ -61,11 +62,11 @@ object TrainQueries {
     * explode + self-join per query would be re-running the index build.
     * localCheckpoint also caps the blocks at one copy per (session, dir)
     * instead of one leaked persist per invocation. */
-  private val pairSetCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, String), DataFrame]()
+  private val pairSetCache =
+    new graft.sources.SessionCache[(SparkSession, String, String), DataFrame]
   private def pairSet(s: SparkSession, dir: String, kind: String)
       (build: => DataFrame): DataFrame =
-    pairSetCache.computeIfAbsent((s, dir, kind), _ => build.localCheckpoint(true))
+    pairSetCache.getOrBuild((s, dir, kind))(build.localCheckpoint(true))
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),

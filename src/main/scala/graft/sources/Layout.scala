@@ -30,15 +30,14 @@ object Layout {
     * the rewrite is an offline compaction artifact — built once, probed by
     * every subsequent pruned read (same build-once policy as the IVF/PQ
     * index caches). */
-  private val layoutCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), String]()
+  private val layoutCache = new SessionCache[(SparkSession, String), String]
 
   def dayPartitionedEvents(spark: SparkSession, sfDir: String): String =
-    layoutCache.computeIfAbsent((spark, sfDir), _ => {
+    layoutCache.getOrBuild((spark, sfDir)) {
       val out = java.nio.file.Files.createTempDirectory("graft_layout").toString + "/events_by_day"
       writeDayPartitioned(Tables.load(spark, sfDir, "events"), "ts", out)
       out
-    })
+    }
 
   // --------------------------- Z-ordered bitemporal layout (r6, Morton)
 
@@ -63,7 +62,7 @@ object Layout {
     * deterministically from the events fixture (ts + user_id%5 days) so
     * the two temporal axes genuinely differ. */
   def zOrderedVersions(spark: SparkSession, sfDir: String): String =
-    layoutCache.computeIfAbsent((spark, sfDir + "#z"), _ => {
+    layoutCache.getOrBuild((spark, sfDir + "#z")) {
       val out = java.nio.file.Files.createTempDirectory("graft_layout").toString + "/versions_z"
       val versions = Tables.load(spark, sfDir, "events").select(
         col("user_id").cast("string").as("eid"),
@@ -77,7 +76,7 @@ object Layout {
         .sortWithinPartitions(col("z"))
         .write.mode("overwrite").parquet(out)
       out
-    })
+    }
 
   // --------------------------- bucketed co-located join layout (r6b)
 
@@ -96,7 +95,7 @@ object Layout {
     * for a different dir overwrites them.
     */
   def bucketedOrdersLineitem(spark: SparkSession, sfDir: String): Unit = {
-    layoutCache.computeIfAbsent((spark, sfDir + "#buckets"), _ => {
+    layoutCache.getOrBuild((spark, sfDir + "#buckets")) {
       val base = java.nio.file.Files.createTempDirectory("graft_buckets").toString
       Tables.load(spark, sfDir, "orders")
         .repartition(8, col("o_orderkey"))
@@ -109,7 +108,7 @@ object Layout {
         .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
         .saveAsTable("lineitem_bucketed")
       base
-    })
+    }
     ()
   }
 }

@@ -45,33 +45,21 @@ object Rdf {
     * cache scans. At real scale the same economics say parse-once →
     * write parquet → read back; MEMORY_AND_DISK spills rather than OOMs
     * until then. Dropped on application end, like [[Tables]]. */
-  private val ntCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), DataFrame]()
-  private val hooked =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
+  private val ntCache = new SessionCache[(SparkSession, String), DataFrame]
 
   /** Parse an N-Triples text file/dir into quads
     * (e, a, v_str, v_num, v_dbl): IRIs shortened to their local name
     * (fragment or last path segment, rdf.clj's keyword mapping).
     * Parsed+persisted once per (session, path) — see [[ntCache]]; a
     * rewritten file needs [[invalidate]]. */
-  def loadNTriples(spark: SparkSession, path: String): DataFrame = {
-    if (hooked.add(spark))
-      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-        override def onApplicationEnd(
-            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
-          ntCache.keySet.removeIf(_._1 eq spark)
-          hooked.remove(spark)
-        }
-      })
-    ntCache.computeIfAbsent((spark, path), _ =>
+  def loadNTriples(spark: SparkSession, path: String): DataFrame =
+    ntCache.getOrBuild((spark, path))(
       parseNTriples(spark, path).persist(
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-  }
 
   /** Unpersist + drop the cached parse for a rewritten file. */
   def invalidate(spark: SparkSession, path: String): Unit =
-    Option(ntCache.remove((spark, path))).foreach(_.unpersist())
+    ntCache.remove((spark, path)).foreach(_.unpersist())
 
   private def parseNTriples(spark: SparkSession, path: String): DataFrame = {
     val lines = spark.read.text(path)

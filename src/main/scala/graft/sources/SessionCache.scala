@@ -1,0 +1,45 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+
+/** Build-once memo for session-scoped artifacts (loaded tables, staged
+  * fixtures, checkpointed index/edge builds), keyed by a tuple whose
+  * FIRST element is the owning [[SparkSession]].
+  *
+  * Two policies every such cache in the repo shares (they were fixed
+  * piecemeal across rounds — this is the one implementation):
+  *
+  *  - '''Dead-session sweep''': an entry keyed by a stopped session can
+  *    never be hit again (sessions don't restart), so every access drops
+  *    keys whose SparkContext has stopped. The sweep is O(live entries)
+  *    — a handful of artifacts per session — and replaces the
+  *    per-cache `onApplicationEnd` listeners some sites had and others
+  *    (contrary to their comments) lacked.
+  *  - '''Build outside the lock''': `computeIfAbsent` would hold the
+  *    map's bucket lock across a multi-second Spark job, blocking
+  *    unrelated keys that hash to the same bucket. Build first, then
+  *    `putIfAbsent`; a racing duplicate build is benign — the first put
+  *    wins and the loser's value is dropped (same rows either way).
+  */
+final class SessionCache[K <: Product, V] {
+  private val m = new java.util.concurrent.ConcurrentHashMap[K, V]()
+
+  private def sessionOf(k: K): SparkSession =
+    k.productElement(0).asInstanceOf[SparkSession]
+
+  def getOrBuild(k: K)(build: => V): V = {
+    m.keySet.removeIf(kk => sessionOf(kk).sparkContext.isStopped)
+    Option(m.get(k)).getOrElse {
+      val v = build
+      Option(m.putIfAbsent(k, v)).getOrElse(v)
+    }
+  }
+
+  /** Drop entries matching `p` (e.g. a data dir whose files were
+    * rewritten under a live session). */
+  def invalidateIf(p: K => Boolean): Unit = { m.keySet.removeIf(k => p(k)); () }
+
+  /** Drop one entry, returning its value (so callers can unpersist a
+    * cached frame's blocks in a still-live session). */
+  def remove(k: K): Option[V] = Option(m.remove(k))
+}

@@ -22,29 +22,16 @@ object Tables {
   /** Memo of analyzed frames per (session, dir, table): a DataFrame is an
     * immutable logical plan, and re-reading costs a parquet footer/schema
     * round trip per call — which every gate pays several times over.
-    * Entries are dropped when their session's SparkContext ends (listener
-    * below), so stopped sessions' plans are never pinned; data rewritten
-    * under a live session's sfDir needs [[invalidate]]. */
-  private val cache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, String), DataFrame]()
-  private val hooked =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
+    * Stopped sessions' entries are swept on access ([[SessionCache]]);
+    * data rewritten under a live session's sfDir needs [[invalidate]]. */
+  private val cache = new SessionCache[(SparkSession, String, String), DataFrame]
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    if (hooked.add(spark))
-      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-        override def onApplicationEnd(
-            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
-          cache.keySet.removeIf(_._1 eq spark)
-          hooked.remove(spark)
-        }
-      })
-    cache.computeIfAbsent((spark, sfDir, name), _ => doLoad(spark, sfDir, name))
-  }
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    cache.getOrBuild((spark, sfDir, name))(doLoad(spark, sfDir, name))
 
   /** Drop cached plans for a dir whose parquet files were rewritten. */
   def invalidate(spark: SparkSession, sfDir: String): Unit =
-    cache.keySet.removeIf(k => (k._1 eq spark) && k._2 == sfDir)
+    cache.invalidateIf(k => (k._1 eq spark) && k._2 == sfDir)
 
   private def doLoad(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {

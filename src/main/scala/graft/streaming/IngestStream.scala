@@ -601,18 +601,34 @@ object IngestStream {
     * a stale view under `viewFlushEvery` > 1 (r8 ADVICE). Written at
     * stream start (first tx), not first flush, so the staleness probe
     * exists even before any flush has happened. */
+  /** View dirs whose `_viewmeta` this JVM has already written or seen:
+    * the sidecar is write-once but its guard runs per TX, and paying a
+    * filesystem exists() round-trip (a metadata RPC on HDFS/S3) per view
+    * per tx forever is pure overhead after the first. Keyed by dir
+    * string; bounded by the number of distinct views a driver serves. */
+  private val viewMetaSeen: java.util.Set[String] =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   private def writeViewMeta(fs: org.apache.hadoop.fs.FileSystem,
       dir: org.apache.hadoop.fs.Path, measures: Seq[String],
       stateDir: String): Unit = {
+    if (viewMetaSeen.contains(dir.toString)) return
     val p = new org.apache.hadoop.fs.Path(dir, "_viewmeta")
     if (!fs.exists(p)) {
       fs.mkdirs(dir)
-      val out = fs.create(p, true)
+      // write-then-rename: readers consult the sidecar on every load, so
+      // a racing reader must see either no file (defaults) or the whole
+      // file — never a partial one it would silently parse as "no
+      // measures, no state_dir" and mis-fold a sum-shaped view
+      val tmp = new org.apache.hadoop.fs.Path(dir, "._viewmeta.tmp")
+      val out = fs.create(tmp, true)
       try out.write(
         s"measures=${measures.mkString(",")}\nstate_dir=$stateDir\n"
           .getBytes("UTF-8"))
       finally out.close()
+      if (!fs.rename(tmp, p)) fs.delete(tmp, false) // lost a benign race
     }
+    viewMetaSeen.add(dir.toString); ()
   }
 
   /** (measure columns, owning state dir if recorded). */
@@ -1080,6 +1096,18 @@ object IngestStream {
           keysB.coalesce(4).write.mode("append").parquet(idxDir)))
         val appendSh = Future(lbl("sh append")(
           shB.coalesce(4).write.mode("append").parquet(shDir)))
+        // if the probe/verify below fails, don't leave the two detached
+        // append jobs racing the query's teardown — drain them (their own
+        // failure is secondary to the primary exception) before rethrow
+        def drainAppendsOn[A](body: => A): A =
+          try body catch {
+            case t: Throwable =>
+              try Await.ready(Future.sequence(Seq(appendKeys, appendSh)),
+                Duration.Inf)
+              catch { case _: Throwable => () }
+              throw t
+          }
+        drainAppendsOn {
         // candidates: new keys vs (index ∪ new keys); normalize pair
         // order so cross-batch pairs compare like the batch operator.
         // foreachBatch plans run with AQE OFF, so every join here is
@@ -1190,6 +1218,7 @@ object IngestStream {
         if (batchId % checkpointEvery == (checkpointEvery - 1)) {
           idxCache = idxCache.map(_.localCheckpoint())
           shCache = shCache.map(_.localCheckpoint())
+        }
         }
         } finally {
           sp.conf.set("spark.sql.shuffle.partitions", prevShuffle)

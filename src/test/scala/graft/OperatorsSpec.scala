@@ -587,6 +587,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ccMap(0L)("z") == "x")
   }
 
+  test("shortestPaths coerces sourceId to the edge id type on both paths") {
+    import spark.implicits._
+    // Long-typed node ids with a String sourceId: the driver-state path's
+    // map lookups use Java equality, so without coercion "5" would never
+    // match 5L and the result would silently be just the source row
+    val edges = Seq((5L, 6L), (6L, 7L), (7L, 8L)).toDF("src", "dst")
+    def dists(limit: Long) =
+      graft.operators.Graph.shortestPaths(edges, "5", iters = 3,
+        driverNodeLimit = limit).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = Map(5L -> 0L, 6L -> 1L, 7L -> 2L, 8L -> 3L)
+    assert(dists(graft.operators.Graph.DefaultDriverNodeLimit) == expected)
+    assert(dists(0L) == expected) // forced cluster path agrees, same types
+  }
+
+  test("triangleCount assumeCanonical equals the canonicalizing path") {
+    import spark.implicits._
+    val canon = Seq(("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+      ("b", "d"), ("c", "d")).toDF("src", "dst") // K4, already a < b
+    val viaCanon = graft.operators.Graph
+      .triangleCount(canon, assumeCanonical = true).head().getLong(0)
+    assert(viaCanon == 4L)
+    assert(viaCanon == graft.operators.Graph.triangleCount(canon).head().getLong(0))
+  }
+
   test("triangle count: K4 has 4, a path has 0, duplicates/reverses ignored") {
     import spark.implicits._
     def count(pairs: Seq[(String, String)]): Long =
