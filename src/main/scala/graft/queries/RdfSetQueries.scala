@@ -30,7 +30,7 @@ object RdfSetQueries {
     * first-bucket events; tx 1 cas-bumps users 1-10 (expected hash taken
     * from the resolved snapshot, so it matches); tx 2 carries a wrong
     * match and must abort atomically, discarding its piggybacked put. */
-  def ingestCas(s: SparkSession, dir: String): DataFrame = {
+  def ingestCas(s: SparkSession, dir: String): DataFrame = Interactive.txScale(s) {
     val t0 = java.time.LocalDateTime.parse("2024-02-01T00:00")
     val ev = Tables.load(s, dir, "events")
       .filter(col("ts") < lit(java.time.LocalDateTime.parse("2024-01-11T00:00")))

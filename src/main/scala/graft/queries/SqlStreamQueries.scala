@@ -100,7 +100,7 @@ object SqlStreamQueries {
   }
 
   /** Ordered tx-batch ingest (put/delete/evict) then snapshot. */
-  def ingestBatch(s: SparkSession, dir: String): DataFrame = {
+  def ingestBatch(s: SparkSession, dir: String): DataFrame = Interactive.txScale(s) {
     val txs = opsByBucket(s, dir).zipWithIndex.map { case (ops, i) =>
       (i.toLong, java.time.LocalDateTime.parse("2024-02-01T00:00").plusHours(i.toLong), ops)
     }
@@ -144,7 +144,7 @@ object SqlStreamQueries {
     * every other transport uses. The resolved state must match the
     * `ingest_batch` oracle (tx ids shifted to the DB's 1-based offsets) —
     * proving an RDBMS is a drop-in tx-log backend. */
-  def ingestJdbc(s: SparkSession, dir: String): DataFrame = {
+  def ingestJdbc(s: SparkSession, dir: String): DataFrame = Interactive.txScale(s) {
     import graft.sources.JdbcLog
     val db = java.nio.file.Files.createTempDirectory("graft_jdbc").toString + "/txdb"
     val url = JdbcLog.derbyUrl(db)
@@ -161,7 +161,7 @@ object SqlStreamQueries {
     * ingest, save two snapshots with keep=1 (older pruned), restore the
     * latest and emit the same projection as `ingest_batch` — proving a
     * node could start from the snapshot instead of replaying the log. */
-  def checkpointRestore(s: SparkSession, dir: String): DataFrame = {
+  def checkpointRestore(s: SparkSession, dir: String): DataFrame = Interactive.txScale(s) {
     import graft.bitemp.Checkpoint
     val txs = opsByBucket(s, dir).zipWithIndex.map { case (ops, i) =>
       (i.toLong, java.time.LocalDateTime.parse("2024-02-01T00:00").plusHours(i.toLong), ops)

@@ -13,7 +13,7 @@ object TxFnStatsQueries {
   /** tx function: seed events as puts, then one fn op whose closure reads
     * the in-flight snapshot and emits suffix-bump puts for users 1-8 —
     * all committed atomically with the enclosing tx (tx.clj:149-227). */
-  def txFn(s: SparkSession, dir: String): DataFrame = {
+  def txFn(s: SparkSession, dir: String): DataFrame = Interactive.txScale(s) {
     val t0 = java.time.LocalDateTime.parse("2024-02-01T00:00")
     val ev = Tables.load(s, dir, "events")
       .filter(col("ts") < lit(java.time.LocalDateTime.parse("2024-01-11T00:00")))
