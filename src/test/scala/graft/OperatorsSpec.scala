@@ -587,6 +587,42 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ccMap(0L)("z") == "x")
   }
 
+  test("randomized differential: graph fixpoints agree across paths on random digraphs") {
+    import spark.implicits._
+    (0 until 2).foreach { trial =>
+      val rnd = new scala.util.Random(8200 + trial)
+      val n = 8 + rnd.nextInt(6)
+      val edges = (for {
+        a <- 1 to n; b <- 1 to n
+        if a != b && rnd.nextDouble() < 0.2
+      } yield (s"v$a", s"v$b")).toDF("src", "dst")
+      def pr(limit: Long) = graft.operators.Graph.pageRank(edges, iters = 3,
+        driverNodeLimit = limit).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      def cc(limit: Long) = graft.operators.Graph.minLabelComponents(edges, iters = 5,
+        driverNodeLimit = limit).collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      def sp(limit: Long) = graft.operators.Graph.shortestPaths(edges, "v1", iters = 4,
+        driverNodeLimit = limit).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(pr(0L) == pr(graft.operators.Graph.DefaultDriverNodeLimit), s"pageRank trial $trial")
+      assert(cc(0L) == cc(graft.operators.Graph.DefaultDriverNodeLimit), s"components trial $trial")
+      assert(sp(0L) == sp(graft.operators.Graph.DefaultDriverNodeLimit), s"sssp trial $trial")
+    }
+  }
+
+  test("minLabelComponents picks the same label on both paths for non-BMP ids") {
+    import spark.implicits._
+    // U+FFFF sorts BELOW U+10000 in UTF-8 bytes (Spark's min) but ABOVE
+    // it in UTF-16 compareTo — the driver path must use the byte order
+    val hi = "￿"; val supp = "𐀀" // U+10000
+    val edges = Seq((hi, supp), (supp, hi)).toDF("src", "dst")
+    def lab(limit: Long) = graft.operators.Graph.minLabelComponents(edges,
+      iters = 2, driverNodeLimit = limit).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val driver = lab(graft.operators.Graph.DefaultDriverNodeLimit)
+    val cluster = lab(0L)
+    assert(driver == cluster)
+    assert(driver.values.toSet == Set(hi)) // UTF-8 byte order: U+FFFF wins
+  }
+
   test("shortestPaths coerces sourceId to the edge id type on both paths") {
     import spark.implicits._
     // Long-typed node ids with a String sourceId: the driver-state path's
