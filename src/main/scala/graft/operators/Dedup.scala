@@ -334,9 +334,70 @@ object Dedup {
     * convergence probe is a `limit(1).count()` on changed labels — O(1)
     * result rows regardless of corpus size. This is the assignment step a
     * pairwise dedup output needs before canonical-doc selection at 100 TB
-    * (pairs alone don't tell you which docs to keep). */
+    * (pairs alone don't tell you which docs to keep).
+    *
+    * Size-routed like [[graft.operators.Graph]]'s fixpoints: the PAIR
+    * list is the near-dup relation — tiny relative to the corpus by the
+    * premise of deduplication — so while it fits `driverPairLimit` (the
+    * broadcast-size class; 0 forces the cluster path, the differential
+    * spec's knob) the components come from ONE collect + a driver
+    * union-find (min-id representative — identical labels to the
+    * propagation fixpoint) instead of up to `maxIter` shuffle + checkpoint
+    * + convergence-count rounds. A pair list past the limit takes the
+    * cluster-resident hash-min rounds above. */
   def connectedComponents(pairs: DataFrame, aCol: String = "d1",
-      bCol: String = "d2", maxIter: Int = 30): DataFrame = {
+      bCol: String = "d2", maxIter: Int = 30,
+      driverPairLimit: Long = 2000000L): DataFrame = {
+    val spark = pairs.sparkSession
+    if (driverPairLimit > 0) {
+      val takeN = if (driverPairLimit >= Int.MaxValue) Int.MaxValue
+        else (driverPairLimit + 1L).toInt
+      val collected = pairs.select(col(aCol), col(bCol)).limit(takeN).collect()
+      if (collected.length <= driverPairLimit) {
+        // union-find with min-id per root resolved afterwards
+        val parent = scala.collection.mutable.HashMap[Any, Any]()
+        def find(x: Any): Any = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x // path compression
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        collected.foreach { r =>
+          val (a, b) = (r.get(0), r.get(1))
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(ra) = rb
+        }
+        val nodes = parent.keys.toSeq
+        // min id per component, ordering by the SAME comparator Spark's
+        // min() would use (Long/Int natural; String by UTF-8 bytes)
+        def lt(x: Any, y: Any): Boolean = (x, y) match {
+          case (a: java.lang.Long, b: java.lang.Long) => a < b
+          case (a: java.lang.Integer, b: java.lang.Integer) => a < b
+          case (a: String, b: String) => java.util.Arrays.compareUnsigned(
+            a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+          case _ => throw new IllegalArgumentException(
+            s"connectedComponents driver path: unsupported id type ${x.getClass}")
+        }
+        val minOf = scala.collection.mutable.HashMap[Any, Any]()
+        nodes.foreach { id =>
+          val r = find(id)
+          minOf.get(r) match {
+            case Some(m) => if (lt(id, m)) minOf(r) = id
+            case None => minOf(r) = id
+          }
+        }
+        import scala.jdk.CollectionConverters._
+        val idType = pairs.schema(aCol).dataType
+        return spark.createDataFrame(
+          nodes.map(id => org.apache.spark.sql.Row(id, minOf(find(id)))).asJava,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("id", idType),
+            org.apache.spark.sql.types.StructField("label", idType))))
+      }
+    }
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().persist()

@@ -33,6 +33,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(assigned.length == 10)
   }
 
+  test("connectedComponents: driver union-find equals the hash-min rounds (randomized)") {
+    import spark.implicits._
+    (0 until 3).foreach { trial =>
+      val rnd = new scala.util.Random(6300 + trial)
+      val n = 20 + rnd.nextInt(20)
+      val pairs = (0 until n).map(_ =>
+        (rnd.nextInt(15).toLong, rnd.nextInt(15).toLong))
+        .filter { case (a, b) => a != b }.distinct.toDF("d1", "d2")
+      def lab(limit: Long) = Dedup.connectedComponents(pairs,
+        driverPairLimit = limit).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(lab(2000000L) == lab(0L), s"trial $trial") // driver ≡ cluster rounds
+    }
+    // mid-collect overflow (limit smaller than the pair count) must also
+    // fall back to the cluster rounds, same answer
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("d1", "d2")
+    def lab(limit: Long) = Dedup.connectedComponents(pairs, driverPairLimit = limit)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lab(2L) == lab(0L))
+  }
+
   test("minhash LSH finds exactly the exact-jaccard pairs on planted dups") {
     val exact = Dedup.ngramJaccardPairs(docs, 0.5).select("d1", "d2").collect().toSet
     val lsh = Dedup.minhashLshPairs(docs, 0.5).select("d1", "d2").collect().toSet
