@@ -29,6 +29,32 @@ class RdfSpec extends AnyFunSuite {
     assert(nums == Map("1" -> 10L, "2" -> 20L, "3" -> 30L))
   }
 
+  test("artists graph: entity count, ref navigation, blank-node doc (rdf_test.clj:9-28)") {
+    import org.apache.spark.sql.functions.col
+    val quads = Rdf.loadNTriples(spark,
+      "/root/reference/labs/crux-rdf/test-resources/crux/example-data-artists.nt")
+    // 7 entities: 2 artists, 4 paintings, Picasso's blank-node address
+    assert(quads.select("e").distinct().count() == 7)
+    def one(e: String, a: String): String =
+      quads.filter(col("e") === e && col("a") === a)
+        .select(org.apache.spark.sql.functions.coalesce(col("v_str"), col("e")))
+        .collect().map(_.getString(0)).head
+    // artist --creatorOf--> painting --technique--> literal
+    val painting = quads.filter(col("e") === "Picasso" && col("a") === "creatorOf")
+      .select("v_str").head().getString(0)
+    assert(painting == "guernica")
+    assert(one("guernica", "technique") == "oil on canvas")
+    // the home address is a blank-node entity with its own attributes
+    val addr = quads.filter(col("e") === "Picasso" && col("a") === "homeAddress")
+      .select("v_str").head().getString(0)
+    assert(addr.startsWith("_:"))
+    assert(Seq("street", "city", "country").map(one(addr, _)) ==
+      Seq("31 Art Gallery", "Madrid", "Spain"))
+    // multi-valued refs stay distinct facts (VanGogh's three paintings)
+    assert(quads.filter(col("e") === "VanGogh" && col("a") === "creatorOf")
+      .count() == 3)
+  }
+
   test("dbpedia entities load and query (dbpedia_test.clj:13-30)") {
     import org.apache.spark.sql.functions.col
     val quads = Rdf.loadNTriples(spark,
