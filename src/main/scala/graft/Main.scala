@@ -23,6 +23,8 @@ import graft.http.{GraftNode, HttpServer}
   *   --port N         HTTP port (default 0 = ephemeral)
   *   --master M       Spark master (default local[*])
   *   --fn-allowlist a,b,c   engine :fn-allow-list (default open)
+  *   --read-only true  serve queries only; submit-tx returns 403
+  *                     (the reference's read-only node)
   */
 object Main {
   def main(args: Array[String]): Unit = {
@@ -40,7 +42,8 @@ object Main {
     val allow = opts.get("fn-allowlist").map(_.split(",").toSeq.map(_.trim))
     val node = new GraftNode(spark, TableSource.tpch(spark, dir),
       sqlDir = Some(dir), fnAllowList = allow)
-    val server = new HttpServer(node, opts.getOrElse("port", "0").toInt).start()
+    val server = new HttpServer(node, opts.getOrElse("port", "0").toInt,
+      readOnly = opts.get("read-only").exists(_ != "false")).start()
     println(s"graft node listening on http://127.0.0.1:${server.boundPort} (data: $dir)")
     sys.addShutdownHook { server.stop(); spark.stop() }
     // block like the reference's main: the server threads keep running

@@ -28,7 +28,11 @@ import java.nio.charset.StandardCharsets.UTF_8
   * over a chunked response — the open-q cursor (query.clj:1816-1835)
   * re-expressed; the driver never holds the whole result set.
   */
-final class HttpServer(node: GraftNode, port: Int = 0) {
+final class HttpServer(node: GraftNode, port: Int = 0,
+    /** reject writes — the reference's read-only node
+      * (http_server_test.clj:11 `test-read-only-node`: submit-tx throws
+      * "read-only"); queries and every GET surface stay served */
+    readOnly: Boolean = false) {
 
   private val server = JdkHttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   private val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
@@ -119,6 +123,7 @@ final class HttpServer(node: GraftNode, port: Int = 0) {
 
       case "/_crux/submit-tx" =>
         if (ex.getRequestMethod != "POST") return (405, json, err("POST required"))
+        if (readOnly) return (403, json, err("read-only node: submit-tx rejected"))
         val body = Json.parse(new String(ex.getRequestBody.readAllBytes(), UTF_8))
         val ops = body \ "tx-ops" match {
           case JArray(xs) => xs

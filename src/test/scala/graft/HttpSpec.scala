@@ -62,6 +62,34 @@ class HttpSpec extends AnyFunSuite {
       (j \ "crux.tx/tx-time").asInstanceOf[JString].s)
   }
 
+  test("evict over HTTP erases the entity at every basis (http_server_test.clj:189)") {
+    withNode { (_, port) =>
+      submit(port, """[["put", {"crux.db/id": ":gone", "name": "Eva"}, "2020-01-01T00:00:00"]]""")
+      val (c1, b1) = get(port, s"/_crux/entity?eid=${enc(":gone")}")
+      assert(c1 == 200, b1)
+      submit(port, """[["evict", ":gone"]]""")
+      assert(get(port, s"/_crux/entity?eid=${enc(":gone")}")._1 == 404)
+      assert(get(port,
+        s"/_crux/entity?eid=${enc(":gone")}&valid-time=${enc("2020-06-01T00:00:00")}")._1 == 404)
+    }
+  }
+
+  test("read-only node rejects submit-tx, still serves queries (http_server_test.clj:11)") {
+    val node = new GraftNode(spark, TableSource.tpch(spark, dir))
+    val server = new HttpServer(node, readOnly = true).start()
+    try {
+      val port = server.boundPort
+      val (code, body) = post(port, "/_crux/submit-tx",
+        """{"tx-ops": [["put", {"crux.db/id": ":foo"}]]}""")
+      assert(code == 403 && body.contains("read-only"), body)
+      // reads are unaffected
+      assert(get(port, "/_crux/status")._1 == 200)
+      val (qc, _) = get(port,
+        s"/_crux/query?query-edn=${enc("""{:find [n] :where [[e :n_name n] [e :n_nationkey 1]]}""")}")
+      assert(qc == 200)
+    } finally server.stop()
+  }
+
   test("submit-tx → await-tx → entity/entity-tx/history/tx-log round-trip") {
     withNode { (_, port) =>
       // tx1: ivan v1 at 2020, petr; tx2: ivan v2 at 2021
