@@ -2954,7 +2954,13 @@ private final class Planner(spark: SparkSession, source: FactSource,
         case Triple(V(n), a, _) if n == v.name => a
       }.getOrElse(throw new IllegalArgumentException(s"pull var ?${v.name} not bound by a triple"))
       pulls.map { p =>
-        val table = source.tableOf(attrOfVar(p.v)).get
+        val anchor = attrOfVar(p.v)
+        // a clear error beats the bare Option.get's "None.get" — the
+        // typical trigger is a catalog (table) source queried with a
+        // doc-store attribute (the HTTP route needs db=docs for those)
+        val table = source.tableOf(anchor).getOrElse(
+          throw new IllegalArgumentException(
+            s"pull: attribute :$anchor resolves to no table in this source"))
         val pdf = graft.pull.Pull.pullSpecs(cat, table,
             graft.pull.Pull.patternFromEdn(p.pattern))
           .select(col("_id").cast("string").as(p.v.name), col("pulled").as(outName(p)))

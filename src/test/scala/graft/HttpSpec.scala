@@ -62,6 +62,21 @@ class HttpSpec extends AnyFunSuite {
       (j \ "crux.tx/tx-time").asInstanceOf[JString].s)
   }
 
+  test("pull projection renders as a nested JSON doc over the wire (json_test.clj:87)") {
+    withNode { (_, port) =>
+      submit(port, """[["put", {"crux.db/id": ":sal", "firstName": "Sally", "lastName": "Example"}]]""")
+      val edn = """{:find [(pull ?e [:firstName :lastName])]
+                    :where [[?e :firstName "Sally"]]}"""
+      val (code, body) = get(port, s"/_crux/query?db=docs&query-edn=${enc(edn)}")
+      assert(code == 200, body)
+      val results = (Json.parse(body) \ "results").asInstanceOf[JArray].arr
+      assert(results.size == 1)
+      val doc = results.head.asInstanceOf[JArray].arr.head
+      assert((doc \ "firstName") == JString("Sally"), body)
+      assert((doc \ "lastName") == JString("Example"), body)
+    }
+  }
+
   test("evict over HTTP erases the entity at every basis (http_server_test.clj:189)") {
     withNode { (_, port) =>
       submit(port, """[["put", {"crux.db/id": ":gone", "name": "Eva"}, "2020-01-01T00:00:00"]]""")
