@@ -50,8 +50,21 @@ object Main {
     Thread.currentThread().join()
   }
 
-  private[graft] def parseArgs(args: Array[String]): Map[String, String] =
-    args.sliding(2, 2).collect {
-      case Array(k, v) if k.startsWith("--") => k.stripPrefix("--") -> v
-    }.toMap
+  /** `--key value` pairs; a `--flag` followed by another `--` token (or
+    * nothing) is a bare boolean flag = "true". Anything that isn't a
+    * `--`-led token where one is expected fails LOUDLY — the old strict
+    * sliding-pairs parse silently dropped a dangling `--read-only`,
+    * which reads as a security setting that didn't take effect. */
+  private[graft] def parseArgs(args: Array[String]): Map[String, String] = {
+    val out = scala.collection.mutable.Map[String, String]()
+    var i = 0
+    while (i < args.length) {
+      val k = args(i)
+      require(k.startsWith("--"), s"expected --option, got '$k'")
+      if (i + 1 < args.length && !args(i + 1).startsWith("--")) {
+        out(k.stripPrefix("--")) = args(i + 1); i += 2
+      } else { out(k.stripPrefix("--")) = "true"; i += 1 }
+    }
+    out.toMap
+  }
 }

@@ -349,11 +349,25 @@ object Dedup {
       bCol: String = "d2", maxIter: Int = 30,
       driverPairLimit: Long = 2000000L): DataFrame = {
     val spark = pairs.sparkSession
-    if (driverPairLimit > 0) {
+    // the driver path needs a driver-side analogue of Spark's min() over
+    // the id type (and non-null ids for the HashMap keys) — anything else
+    // keeps the cluster rounds, which handle any joinable type
+    val idTypeSupported = pairs.schema(aCol).dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.StringType => true
+      case _ => false
+    }
+    if (driverPairLimit > 0 && idTypeSupported) {
       val takeN = if (driverPairLimit >= Int.MaxValue) Int.MaxValue
         else (driverPairLimit + 1L).toInt
       val collected = pairs.select(col(aCol), col(bCol)).limit(takeN).collect()
-      if (collected.length <= driverPairLimit) {
+      // `length < takeN` (not just <= limit): a clamped takeN means an
+      // exactly-takeN collect may be TRUNCATED — fall back rather than
+      // label components from a partial pair list; null ids likewise
+      // take the cluster path (its join/groupBy null semantics)
+      if (collected.length <= driverPairLimit && collected.length < takeN &&
+          !collected.exists(r => r.isNullAt(0) || r.isNullAt(1))) {
         // union-find with min-id per root resolved afterwards
         val parent = scala.collection.mutable.HashMap[Any, Any]()
         def find(x: Any): Any = {

@@ -15,20 +15,13 @@ import org.apache.spark.sql.SparkSession
   * + AQE off). A 100 TB feed takes the other branch of the policy: it
   * leaves the session defaults alone and lets AQE coalesce/skew-handle.
   *
-  * Restores the previous settings on exit. Plans RETURNED by `body` and
-  * executed later (a gate's final projection) run under the restored
-  * session defaults — only the eager per-tx actions inside pay the
-  * declared shape, which is where the job count lives.
+  * Restores the previous settings on exit ([[graft.sources.SessionConf]]
+  * — see its scaladoc for the session-global/threading contract). Plans
+  * RETURNED by `body` and executed later (a gate's final projection) run
+  * under the restored session defaults — only the eager per-tx actions
+  * inside pay the declared shape, which is where the job count lives.
   */
 object Interactive {
-  def txScale[A](s: SparkSession, partitions: Int = 4)(body: => A): A = {
-    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
-    s.conf.set("spark.sql.shuffle.partitions", partitions)
-    s.conf.set("spark.sql.adaptive.enabled", "false")
-    try body finally {
-      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      s.conf.set("spark.sql.adaptive.enabled", prevAqe)
-    }
-  }
+  def txScale[A](s: SparkSession, partitions: Int = 4)(body: => A): A =
+    graft.sources.SessionConf.withBatchScale(s, partitions)(body)
 }

@@ -121,18 +121,12 @@ object IngestStream {
         // dominate a small tx's wall time. A 100 TB feed leaves
         // txPartitions unset and keeps the session defaults (AQE
         // coalesce/skew handling earn their keep at that size).
-        val prevShuffle = sp.conf.get("spark.sql.shuffle.partitions")
-        val prevAqe = sp.conf.get("spark.sql.adaptive.enabled")
-        txPartitions.foreach { n =>
-          sp.conf.set("spark.sql.shuffle.partitions", n)
-          sp.conf.set("spark.sql.adaptive.enabled", "false")
-        }
-        try applyToStore(sp, ops, batchId, stateDir, txTime(batchId),
-          secondarySinks, compactEvery, matViewDir, txShape, views,
-          viewCompactEvery, viewFlushEvery)
-        finally txPartitions.foreach { _ =>
-          sp.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-          sp.conf.set("spark.sql.adaptive.enabled", prevAqe)
+        def run(): Unit = applyToStore(sp, ops, batchId, stateDir,
+          txTime(batchId), secondarySinks, compactEvery, matViewDir,
+          txShape, views, viewCompactEvery, viewFlushEvery)
+        txPartitions match {
+          case Some(n) => graft.sources.SessionConf.withBatchScale(sp, n)(run())
+          case None => run()
         }
       }
       .start()
@@ -883,11 +877,9 @@ object IngestStream {
     * state-file commit overhead regardless of row volume — so stateful
     * gates size it to active-key cardinality, not to the session's
     * scan-side parallelism (a 100 TB run sizes it up with the key space). */
-  private def withStatePartitions[A](spark: SparkSession, statePartitions: Int)(f: => A): A = {
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
-    try f finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-  }
+  private def withStatePartitions[A](spark: SparkSession, statePartitions: Int)(f: => A): A =
+    graft.sources.SessionConf.withConf(spark,
+      "spark.sql.shuffle.partitions" -> statePartitions.toString)(f)
 
   /** Windowed streaming aggregation over the events stream (the stream-
     * query side Spark adds on top of the reference's ingest-only model):
@@ -1019,6 +1011,13 @@ object IngestStream {
   private val lshStageCache =
     new graft.sources.SessionCache[(SparkSession, String, Int), String]
 
+  /** Drop the staged chunks for a corpus whose parquet was rewritten in
+    * place under a live session — the same hazard hook as
+    * [[graft.sources.Tables.invalidate]]; without it a re-run would
+    * silently stream the OLD corpus from the memoized staging. */
+  def invalidateStagedChunks(spark: SparkSession, docsPath: String): Unit =
+    lshStageCache.invalidateIf(k => (k._1 eq spark) && k._2 == docsPath)
+
   private def lshStageChunks(spark: SparkSession, docsPath: String,
       nChunks: Int): String =
     lshStageCache.getOrBuild((spark, docsPath, nChunks)) {
@@ -1081,11 +1080,7 @@ object IngestStream {
         // with replanning between them — pure scheduling latency at this
         // size. Joins are already broadcast-hinted and partition counts
         // hand-sized, so switch it off for the batch body.
-        val prevShuffle = sp.conf.get("spark.sql.shuffle.partitions")
-        val prevAqe = sp.conf.get("spark.sql.adaptive.enabled")
-        sp.conf.set("spark.sql.shuffle.partitions", batchPartitions)
-        sp.conf.set("spark.sql.adaptive.enabled", "false")
-        try {
+        graft.sources.SessionConf.withBatchScale(sp, batchPartitions) {
         // the shingle/minhash kernel is the batch's CPU (64 hash evals per
         // shingle row, computed in the partial agg = map side): spread it
         // across ALL cores; only the downstream shuffles/joins are sized
@@ -1240,9 +1235,6 @@ object IngestStream {
           shCache = shCache.map(_.localCheckpoint())
         }
         }
-        } finally {
-          sp.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-          sp.conf.set("spark.sql.adaptive.enabled", prevAqe)
         }
       }
       .start()
@@ -1272,7 +1264,6 @@ object IngestStream {
     *   fixture; a 100 TB run sizes up). */
   def streamJoin(spark: SparkSession, eventsPath: String,
       windowMinutes: Int = 30, statePartitions: Int = 8): DataFrame = {
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     val src = new java.io.File(eventsPath)
     val eventsDir =
       if (src.isDirectory) eventsPath
@@ -1303,19 +1294,15 @@ object IngestStream {
     // EVICT state — it contributes no output rows, and on a drained finite
     // input the state is dropped with the query anyway, so skip it (a
     // full extra state-store load/commit round per partition per store)
-    val prevNoData = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
-    spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
-    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-    try {
+    graft.sources.SessionConf.withConf(spark,
+      "spark.sql.shuffle.partitions" -> statePartitions.toString,
+      "spark.sql.streaming.noDataMicroBatches.enabled" -> "false") {
       val q = joined.writeStream.outputMode("append")
         .format("memory").queryName(name)
         .trigger(Trigger.AvailableNow())
         .start()
       q.processAllAvailable()
       q.stop()
-    } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
     }
     spark.table(name).select(col("click_user").as("user_id"),
       col("click_id"), col("purchase_id"),
@@ -1349,7 +1336,6 @@ object IngestStream {
       statePartitions: Int = 8): DataFrame = {
     import spark.implicits._
     val gapUs = gapMinutes * 60000000L
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
 
     val schema = probeEventsSchema(spark, eventsPath)
     val tsIsLong = schema("ts").dataType == org.apache.spark.sql.types.LongType
@@ -1420,19 +1406,15 @@ object IngestStream {
     val name = "sessions_" + java.util.UUID.randomUUID().toString.replace("-", "")
     // the trailing no-data batch IS the drain mechanism here — force it on
     // (streamJoin and friends turn it off; this query needs exactly one)
-    val prevNoData = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
-    spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
-    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
-    try {
+    graft.sources.SessionConf.withConf(spark,
+      "spark.sql.shuffle.partitions" -> statePartitions.toString,
+      "spark.sql.streaming.noDataMicroBatches.enabled" -> "true") {
       val q = out.writeStream.outputMode("append")
         .format("memory").queryName(name)
         .trigger(Trigger.AvailableNow())
         .start()
       q.processAllAvailable()
       q.stop()
-    } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
     }
     spark.table(name).filter(col("user_id") >= 0)
       .select(col("user_id"),

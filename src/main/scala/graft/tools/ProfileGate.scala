@@ -53,11 +53,16 @@ object ProfileGate {
     val t0 = System.nanoTime()
     val n = fn(spark, dir).count()
     val wall = (System.nanoTime() - t0) / 1e9
+    // listener-bus delivery is async: give trailing onJobEnd events time
+    // to drain before reading, or the "remainder" line (the quantity
+    // this tool exists to measure) is inflated by dropped jobs
+    Thread.sleep(1000)
     spark.sparkContext.removeSparkListener(listener)
 
     println(f"== $gate $dir rows=$n wall=$wall%.3f s")
-    val jobTotal = agg.values.map(_._2).sum
-    agg.toSeq.sortBy(-_._2._2).foreach { case (desc, (cnt, tot)) =>
+    val snapshot = agg.synchronized(agg.toSeq)
+    val jobTotal = snapshot.map(_._2._2).sum
+    snapshot.sortBy(-_._2._2).foreach { case (desc, (cnt, tot)) =>
       println(f"  $tot%7.3f s  ($cnt%3d jobs)  $desc")
     }
     println(f"  ${wall - jobTotal}%7.3f s  (driver/engine remainder)")

@@ -342,5 +342,15 @@ class NodeQuerySpec extends AnyFunSuite {
       "--data-dir", "/x", "--port", "0", "--fn-allowlist", "a,b")) ==
       Map("data-dir" -> "/x", "port" -> "0", "fn-allowlist" -> "a,b"))
     assert(graft.Main.parseArgs(Array.empty) == Map.empty)
+    // bare boolean flags — trailing or followed by another option — are
+    // "true", never silently dropped (a dangling --read-only that doesn't
+    // take effect is a security-shaped failure)
+    assert(graft.Main.parseArgs(Array("--data-dir", "/x", "--read-only")) ==
+      Map("data-dir" -> "/x", "read-only" -> "true"))
+    assert(graft.Main.parseArgs(Array("--read-only", "--port", "8080")) ==
+      Map("read-only" -> "true", "port" -> "8080"))
+    // a stray non-option token fails loudly
+    intercept[IllegalArgumentException](
+      graft.Main.parseArgs(Array("stray", "--port", "1")))
   }
 }
