@@ -79,19 +79,26 @@ object Bench {
     // controls in r6 (~1.5× between runs on the same box), so per-query
     // comparisons should be read relative to the controls, not as
     // absolutes. cpu_control = single-thread integer loop; spark_control =
-    // fixed 32-partition aggregate through the same session.
-    val cpuControl = {
-      val t0 = System.nanoTime()
+    // fixed 32-partition aggregate through the same session. The legacy
+    // keys stay SINGLE-SHOT (the first run) so they compare 1:1 with
+    // every earlier round's BENCH json; the `_min` keys are min-of-3 like
+    // the queries themselves — a single-shot control is one bad
+    // scheduling moment away from reading 2-3x high (observed r9), so
+    // drift-normalize against the _min keys when both rounds carry them.
+    def runs3(f: => Unit): Seq[Double] = (1 to 3).map { _ =>
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val cpuRuns = runs3 {
       var acc = 0L; var i = 0L
       while (i < 1500000000L) { acc += i & 7L; i += 1L }
       if (acc == -1L) print("") // keep the loop live
-      (System.nanoTime() - t0) / 1e9
     }
-    val sparkControl = {
-      val t0 = System.nanoTime()
+    val sparkRuns = runs3 {
       spark.range(0, 500000000L, 1, 32).selectExpr("sum(id % 7)").collect()
-      (System.nanoTime() - t0) / 1e9
+      ()
     }
+    val (cpuControl, sparkControl) = (cpuRuns.head, sparkRuns.head)
+    val (cpuMin, sparkMin) = (cpuRuns.min, sparkRuns.min)
     val qs = (results ++ ingest.map { case (k, v) => k -> Right(v) })
       .map {
         case (k, Right(v)) => s"\"" + k + "\":" + v
@@ -99,7 +106,7 @@ object Bench {
       }.mkString("{", ",", "}")
     val total = results.collect { case (_, Right(v)) => v }.sum
     val nErr = results.count(_._2.isLeft)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","errors":$nErr,"cpu_control":$cpuControl,"spark_control":$sparkControl,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","errors":$nErr,"cpu_control":$cpuControl,"spark_control":$sparkControl,"cpu_control_min":$cpuMin,"spark_control_min":$sparkMin,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
