@@ -718,17 +718,6 @@ private[graft] object TxLogFold {
 
   private implicit val ldtOrd: Ordering[LocalDateTime] = _ compareTo _
 
-  /** Row kinds within an in-flight tx: CONTENT rows (start rows and
-    * no-end run overwrites) are visible to later ops of the same tx —
-    * a range ending where an earlier op's range starts restores that
-    * op's doc (sequential op semantics, tx.clj:59-227;
-    * space_tutorial_test.clj neptune). Range-overwrite and cap rows are
-    * provenance copies, NOT new writes — later ops never read them
-    * (mirrored by `restoreCands` in [[TxLog.applyTxParts]]). */
-  private final val KContent = 0
-  private final val KRangeOverwrite = 1
-  private final val KCap = 2
-
   /** Replay one entity's ops (all txs of a put/delete/evict segment) over
     * its resolved history, in memory. Semantics mirror
     * [[TxLog.applyTxParts]] exactly — per tx: op rows are computed
@@ -758,26 +747,20 @@ private[graft] object TxLogFold {
       val txOps = ops.slice(i, j)
       i = j
       var evicted = false
-      // this tx's rows keyed by vt with their kind; processing in seq
-      // order = last-op-wins
-      val rowsByVt = scala.collection.mutable.LinkedHashMap.empty[LocalDateTime, (FoldOut, Int)]
+      // Mirrors applyTxParts' candidate model EXACTLY: emissions are a
+      // seq-tagged LIST (the sequential path's `assembled` union) with
+      // last-op-wins per vt resolved at tx end, and ranged ops read an
+      // IMMUTABLE candidate set — pre-tx resolved history (cand_seq -1)
+      // plus earlier same-tx CONTENT rows (start rows + no-end overwrite
+      // runs; `txContentRows`). Range-overwrite and cap rows are
+      // provenance copies, NOT candidates — the earlier keyed-map form
+      // let a later op's cap/overwrite DESTROY an earlier op's content
+      // row as a candidate, diverging from the sequential oracle on
+      // overlapping same-tx ranges (r9 review).
+      val txEmits = scala.collection.mutable.ArrayBuffer.empty[(FoldOut, Long)]
+      val txCands = scala.collection.mutable.ArrayBuffer.empty[(LocalDateTime, Ver)]
       def preAt(v: LocalDateTime): Option[Ver] =
         resolved.rangeTo(v).lastOption.map(_._2)
-      /** version a cap at `v` restores: pre-tx history overlaid with this
-        * tx's CONTENT rows (same-vt tie → the tx's row wins). */
-      def capVisibleAt(v: LocalDateTime): Option[Ver] = {
-        val cur = rowsByVt.iterator
-          .filter { case (vt, (_, k)) => k == KContent && vt.compareTo(v) <= 0 }
-          .map(_._1).maxOption
-          .map(vt => rowsByVt(vt)._1)
-        (resolved.rangeTo(v).lastOption, cur) match {
-          case (Some((pvt, p)), Some(c)) =>
-            if (c.vt.compareTo(pvt) >= 0) Some(Ver(c.tt, c.txId, c.hash, c.tomb))
-            else Some(p)
-          case (None, Some(c)) => Some(Ver(c.tt, c.txId, c.hash, c.tomb))
-          case (p, None) => p.map(_._2)
-        }
-      }
       txOps.foreach { o =>
         o.op match {
           case "evict" => evicted = true
@@ -785,59 +768,70 @@ private[graft] object TxLogFold {
             val s = o.vt.get
             val txTt = o.tt.get
             val h = o.hash
+            val curVer = Ver(txTt, txId, h, h.isEmpty)
             o.endVt match {
               case None =>
                 // start row + overwrite of the contiguous future run of
-                // versions identical to the one visible at start
-                rowsByVt(s) = (FoldOut(eid, s, txTt, txId, h, h.isEmpty), KContent)
+                // versions identical to the one visible at start (pre-tx
+                // history only — futureNoEnd joins `resolved`, not the
+                // tx's own rows)
+                txEmits += ((FoldOut(eid, s, txTt, txId, h, h.isEmpty), o.seq))
+                txCands += ((s, curVer))
                 preAt(s).foreach { vis =>
                   var stop = false
                   resolved.rangeFrom(s).iterator
                     .filter(_._1.compareTo(s) > 0)
                     .foreach { case (hvt, hv) =>
                       if (!stop) {
-                        if (hv.tt == vis.tt && hv.txId == vis.txId && hv.hash == vis.hash)
-                          rowsByVt(hvt) = (FoldOut(eid, hvt, txTt, txId, h, h.isEmpty), KContent)
-                        else stop = true
+                        if (hv.tt == vis.tt && hv.txId == vis.txId && hv.hash == vis.hash) {
+                          txEmits += ((FoldOut(eid, hvt, txTt, txId, h, h.isEmpty), o.seq))
+                          txCands += ((hvt, curVer))
+                        } else stop = true
                       }
                     }
                 }
               case Some(e) if e != s =>
-                // start row, overwrite of vts in (s, e) — existing history
-                // AND earlier same-tx content rows — and a restore at e
-                // copying the visible version (original provenance).
-                // The cap resolves BEFORE this op's own rows land (crux
-                // reads history once per op, then writes).
-                val capVer = capVisibleAt(e)
-                rowsByVt(s) = (FoldOut(eid, s, txTt, txId, h, h.isEmpty), KContent)
-                resolved.range(s, e).iterator
-                  .filter(_._1.compareTo(s) > 0)
-                  .foreach { case (hvt, _) =>
-                    rowsByVt(hvt) = (FoldOut(eid, hvt, txTt, txId, h, h.isEmpty), KRangeOverwrite)
+                // candidates this op may read: all pre-tx history + the
+                // EARLIER same-tx content rows appended so far (seq order
+                // makes "earlier" implicit). Snapshot BEFORE this op's
+                // own rows land (crux reads once per op, then writes).
+                val cands: Seq[(LocalDateTime, Ver, Long)] =
+                  resolved.iterator.map { case (vt, v) => (vt, v, -1L) }.toSeq ++
+                    txCands.iterator.zipWithIndex.map { case ((vt, v), i) => (vt, v, i.toLong) }
+                // start row, overwrite at every candidate vt in (s, e),
+                // and a restore at e copying the version visible there
+                // (original tt/tx_id/hash preserved — provenance)
+                txEmits += ((FoldOut(eid, s, txTt, txId, h, h.isEmpty), o.seq))
+                txCands += ((s, curVer))
+                cands.iterator.map(_._1)
+                  .filter(vt => vt.compareTo(s) > 0 && vt.compareTo(e) < 0)
+                  .toSet.foreach { vt: LocalDateTime =>
+                    txEmits += ((FoldOut(eid, vt, txTt, txId, h, h.isEmpty), o.seq))
                   }
-                rowsByVt.keys.toArray
-                  .filter(k => k.compareTo(s) > 0 && k.compareTo(e) < 0 &&
-                    rowsByVt(k)._2 == KContent && !resolved.contains(k))
-                  .foreach { k =>
-                    rowsByVt(k) = (FoldOut(eid, k, txTt, txId, h, h.isEmpty), KRangeOverwrite)
-                  }
+                // same-vt tie order as restoreEnd: (vt, tx_id, cand order)
+                val capVer = cands.iterator.filter(_._1.compareTo(e) <= 0)
+                  .maxByOption { case (vt, v, ci) => (vt, v.txId, ci) }
                 capVer match {
-                  case Some(vis) =>
-                    rowsByVt(e) = (FoldOut(eid, e, vis.tt, vis.txId, vis.hash, vis.tomb), KCap)
+                  case Some((_, vis, _)) =>
+                    txEmits += ((FoldOut(eid, e, vis.tt, vis.txId, vis.hash, vis.tomb), o.seq))
                   case None =>
-                    rowsByVt(e) = (FoldOut(eid, e, txTt, txId, None, true), KCap)
+                    txEmits += ((FoldOut(eid, e, txTt, txId, None, true), o.seq))
                 }
               case _ => () // end == start: contributes nothing (applyTx filters it)
             }
           case _ => () // match/cas/fn never reach the fold
         }
       }
-      if (evicted) { emitted.clear(); resolved.clear(); rowsByVt.clear() }
-      rowsByVt.values.foreach { case (r, _) =>
-        emitted += r
-        if (resolved.get(r.vt).forall(_.txId <= r.txId))
-          resolved(r.vt) = Ver(r.tt, r.txId, r.hash, r.tomb)
-      }
+      if (evicted) { emitted.clear(); resolved.clear(); txEmits.clear() }
+      // last op in the tx wins per vt (newRows' max_by(seq)); insertion
+      // order within equal seq can't happen (one op emits distinct vts)
+      txEmits.groupBy(_._1.vt).toSeq.sortBy(_._1)
+        .map { case (_, rs) => rs.maxBy(_._2)._1 }
+        .foreach { r =>
+          emitted += r
+          if (resolved.get(r.vt).forall(_.txId <= r.txId))
+            resolved(r.vt) = Ver(r.tt, r.txId, r.hash, r.tomb)
+        }
     }
     emitted.iterator
   }

@@ -50,6 +50,49 @@ class TxLogFoldSpec extends AnyFunSuite {
     }
   }
 
+  test("overlapping same-tx ranges read earlier ops' ORIGINAL rows (r9 regression)") {
+    import scala.jdk.CollectionConverters._
+    // seq1 put A @05 open; seq2 put B @[03,05); seq3 put C @[02,06).
+    // Sequentially: op3's overwrite rewrites op1's 05 row to C, and its
+    // cap at 06 restores A (op1's ORIGINAL row is still a candidate even
+    // though op2's cap landed at the same vt). The old keyed-map fold
+    // let op2's cap DESTROY op1's row as a candidate → 05=A, 06=B.
+    def d(s: String) = LocalDateTime.parse(s + "T00:00:00")
+    val ops = spark.createDataFrame(List(
+      Row("put", "e", "A", d("2020-01-05"), null, null, null, 1L),
+      Row("put", "e", "B", d("2020-01-03"), d("2020-01-05"), null, null, 2L),
+      Row("put", "e", "C", d("2020-01-02"), d("2020-01-06"), null, null, 3L)
+    ).asJava, TxLog.opSchema)
+    val txs = Seq((0L, d("2024-02-01"), ops))
+    val fast = stateRows(TxLog.applyBatch(TxLog.emptyState(spark), txs))
+    assert(fast == stateRows(TxLog.applyBatchSeq(TxLog.emptyState(spark), txs)))
+    val byVt = fast.map(r => r(1).toString.take(10) -> r(4)).toMap
+    assert(byVt("2020-01-05") == "C" && byVt("2020-01-06") == "A")
+  }
+
+  test("dense single-entity txs (many overlapping ranged ops): fold == sequential") {
+    import scala.jdk.CollectionConverters._
+    // the base generator spreads 1-3 ops over 3 eids, so 3+ same-eid ops
+    // in ONE tx (the shape the r9 regression needed) is rare — force it
+    (1 to 3).foreach { trial =>
+      val rnd = new scala.util.Random(3000 + trial)
+      val txs = (0 until 4).map { txId =>
+        val rows = (0 until 4 + rnd.nextInt(3)).map { s =>
+          val start = vts(rnd.nextInt(vts.size))
+          val end = if (rnd.nextInt(4) == 0) null else vts(rnd.nextInt(vts.size))
+          val hash = if (rnd.nextInt(6) == 0) null else s"v$txId-$s"
+          Row(if (hash == null) "delete" else "put", "e", hash, start, end,
+            null, null, s.toLong)
+        }
+        (txId.toLong, LocalDateTime.parse("2021-01-01T00:00:00").plusHours(txId.toLong),
+          spark.createDataFrame(rows.asJava, TxLog.opSchema))
+      }
+      val fast = TxLog.applyBatch(TxLog.emptyState(spark), txs)
+      val seq = TxLog.applyBatchSeq(TxLog.emptyState(spark), txs)
+      assert(stateRows(fast) == stateRows(seq), s"dense trial $trial diverged")
+    }
+  }
+
   test("randomized put/delete/evict programs: one-pass fold == sequential fold") {
     (1 to 4).foreach { trial =>
       val rnd = new scala.util.Random(1000 + trial)
