@@ -84,14 +84,10 @@ object Bitemp {
     vtEnd.foreach(b => df = df.filter(col("vt") < b))
     ttStart.foreach(b => df = df.filter(col("tt") >= b))
     ttEnd.foreach(b => df = df.filter(col("tt") < b))
-    val corrected = if (withCorrections) df else {
-      // keep only the latest correction per (eid, vt): aggregation, not a
-      // window, for the same partial-agg scale reasons as asOf
-      val payload = df.columns.toSeq
-      df.groupBy(col("eid"), col("vt").as("_vt"))
-        .agg(max_by(struct(payload.map(col): _*), col("tx_id")).as("_r"))
-        .select("_r.*")
-    }
+    // latest correction per (eid, vt) — the ONE resolution implementation
+    // (aggregation, not a window, for the same partial-agg scale reasons
+    // as asOf); a tie-break change must hit snapshot and history alike
+    val corrected = if (withCorrections) df else TxLog.resolvedHistory(df)
     val ord =
       if (sortAsc) Seq(col("eid"), col("vt").asc, col("tx_id").asc)
       else Seq(col("eid"), col("vt").desc, col("tx_id").desc)

@@ -34,14 +34,29 @@ object Checkpoint {
     * `keep` newest completed checkpoints (checkpoint.clj retention,
     * `::cp/keep-count`). Returns the new checkpoint's metadata. */
   def save(state: DataFrame, storeDir: String, txId: Long, keep: Int = 2): Meta = {
+    require(keep >= 1,
+      s"keep must be >= 1 (got $keep) - keep = 0 would delete the checkpoint just written")
     val spark = state.sparkSession
     val millis = System.currentTimeMillis()
     val path = s"$storeDir/checkpoint-$txId-$millis"
     state.write.mode("overwrite").parquet(path)
-    fs(spark, storeDir).createNewFile(new Path(path, "_COMPLETE"))
+    val f = fs(spark, storeDir)
+    f.createNewFile(new Path(path, "_COMPLETE"))
     val all = completed(spark, storeDir).sortBy(m => (m.txId, m.millis))
-    all.dropRight(keep).foreach(m =>
-      fs(spark, storeDir).delete(new Path(m.path), true))
+    all.dropRight(keep).foreach(m => f.delete(new Path(m.path), true))
+    // torn dirs (data landed but the marker write failed — the reference's
+    // cleanup-checkpoint concern, checkpoint.clj:94-113) would otherwise
+    // accumulate forever: every one OLDER than this completed checkpoint
+    // is garbage by the marker ordering (an in-flight concurrent save is
+    // strictly newer by its millis stamp)
+    f.listStatus(new Path(storeDir)).foreach { st =>
+      st.getPath.getName match {
+        case Dir(_, ms) if ms.toLong < millis &&
+            !f.exists(new Path(st.getPath, "_COMPLETE")) =>
+          f.delete(st.getPath, true); ()
+        case _ => ()
+      }
+    }
     Meta(txId, millis, path)
   }
 

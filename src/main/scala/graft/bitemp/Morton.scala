@@ -73,12 +73,32 @@ object Morton {
   private def unsignedBig(x: Long): BigInt =
     BigInt(java.lang.Long.toUnsignedString(x))
 
-  /** [[interleave]] of two micros-since-epoch longs as a Spark
-    * `Decimal(38,0)` — the per-row hot-path entry the codegen'd
-    * [[graft.functions.MortonZ]] expression calls (a z of two sub-2^63
-    * micros is < 2^126 < 10^38, so the precision always holds). Built
-    * from the two interleaved halves directly, no BigInt string hop. */
-  def zDecimal(d1: Long, d2: Long): org.apache.spark.sql.types.Decimal = {
+  /** Epoch bias for the TIME-facing entries ([[zDecimal]], [[zRanges]]):
+    * the curve machinery is UNSIGNED, so a raw negative micros value
+    * (any pre-1970 timestamp) would wrap to the top of the curve —
+    * producing a z the range side can never match (rows silently vanish
+    * from pruned scans) or, with bit 63 set in only one half, a signed/
+    * unsigned mismatch that overflows Decimal(38,0) inside codegen.
+    * Shifting both dimensions by 2^62 keeps the whole supported domain
+    * (±2^62 µs ≈ ±146,000 years) in [0, 2^63) — order-preserving, and
+    * any interleave stays < 2^126 < 10^38. Out-of-domain inputs fail
+    * LOUDLY. Raw [[interleave]]/[[deinterleave]] stay bias-free
+    * (morton.clj parity — MortonSpec pins the unsigned edge values). */
+  val EpochBiasMicros: Long = 1L << 62
+  private def biased(micros: Long, what: String): Long = {
+    require(micros > -EpochBiasMicros && micros < EpochBiasMicros,
+      s"morton $what out of the supported +-2^62-microsecond domain: $micros")
+    micros + EpochBiasMicros
+  }
+
+  /** [[interleave]] of two micros-since-epoch longs (epoch-BIASED, see
+    * [[EpochBiasMicros]]) as a Spark `Decimal(38,0)` — the per-row
+    * hot-path entry the codegen'd [[graft.functions.MortonZ]] expression
+    * calls. Built from the two interleaved halves directly, no BigInt
+    * string hop. */
+  def zDecimal(d1u: Long, d2u: Long): org.apache.spark.sql.types.Decimal = {
+    val d1 = biased(d1u, "dimension 1")
+    val d2 = biased(d2u, "dimension 2")
     val lower = interleaveInts(d1, d2)
     val upper = interleaveInts(d1 >>> 32, d2 >>> 32)
     val bi = java.math.BigInteger.valueOf(upper).shiftLeft(64)
@@ -96,6 +116,11 @@ object Morton {
     * decision tables p.76 of the paper): z values in (litmax, bigmin) are
     * OUTSIDE the query box spanned by (start, end). */
   def nextAddress(start: BigInt, end: BigInt): (BigInt, BigInt) = {
+    // a degenerate single-point segment has no differing bit: the shift
+    // arithmetic below would return a garbage (litmax, bigmin) pair far
+    // outside the segment with no error (r9 review) — callers guard
+    // (zRanges's s >= e check) and so must external consumers
+    require(start != end, s"nextAddress needs start != end (got $start)")
     val firstDifferingBit = 128 - (start ^ end).bitLength
     val splitDimension = firstDifferingBit & 1
     val dimensionInheritMask = if (splitDimension == 0) D2Mask else D1Mask
@@ -136,8 +161,10 @@ object Morton {
     * z-sorted layout. */
   def zRanges(minD1: Long, maxD1: Long, minD2: Long, maxD2: Long,
       maxRanges: Int = 8): Seq[(BigInt, BigInt)] = {
-    val zmin = interleave(minD1, minD2)
-    val zmax = interleave(maxD1, maxD2)
+    // same epoch bias as the z column's [[zDecimal]] kernel — box bounds
+    // and stored z values must live on the SAME unsigned curve
+    val zmin = interleave(biased(minD1, "min d1"), biased(minD2, "min d2"))
+    val zmax = interleave(biased(maxD1, "max d1"), biased(maxD2, "max d2"))
     // worklist of ranges; split the one with the largest removable gap
     var ranges = List((zmin, zmax))
     var n = 1

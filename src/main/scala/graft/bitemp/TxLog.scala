@@ -454,13 +454,20 @@ object TxLog {
       if (fast(i)) {
         var j = i
         while (j < txs.length && fast(j)) j += 1
-        val run = txs.slice(i, j)
-        val (newRows, evictEids) = applyPutDeleteTxs(st, run)
-        val hasEvict = (i until j).exists(k => kinds(k).contains("evict"))
-        val kept =
-          if (hasEvict) st.join(broadcast(evictEids), Seq("eid"), "left_anti")
-          else st
-        st = kept.unionByName(newRows).localCheckpoint(true)
+        // tx op lists are DATA, often derived from queries (the
+        // applyTxParts ops-cache rationale): the fold reads each plan
+        // several times (touched distinct, hist-union input, evict
+        // filter), so cache for the run and release after the eager
+        // checkpoint below has consumed everything
+        val run = txs.slice(i, j).map { case (id, t, ops) => (id, t, ops.cache()) }
+        try {
+          val (newRows, evictEids) = applyPutDeleteTxs(st, run)
+          val hasEvict = (i until j).exists(k => kinds(k).contains("evict"))
+          val kept =
+            if (hasEvict) st.join(broadcast(evictEids), Seq("eid"), "left_anti")
+            else st
+          st = kept.unionByName(newRows).localCheckpoint(true)
+        } finally run.foreach(_._3.unpersist(false))
         i = j
       } else {
         val (txId, txTime, ops) = txs(i)
@@ -759,6 +766,10 @@ private[graft] object TxLogFold {
       // overlapping same-tx ranges (r9 review).
       val txEmits = scala.collection.mutable.ArrayBuffer.empty[(FoldOut, Long)]
       val txCands = scala.collection.mutable.ArrayBuffer.empty[(LocalDateTime, Ver)]
+      // pre-tx history is immutable for the tx's duration (resolved only
+      // updates at the flush below) — snapshot once, not per ranged op
+      lazy val preTxCands: Seq[(LocalDateTime, Ver, Long)] =
+        resolved.iterator.map { case (vt, v) => (vt, v, -1L) }.toSeq
       def preAt(v: LocalDateTime): Option[Ver] =
         resolved.rangeTo(v).lastOption.map(_._2)
       txOps.foreach { o =>
@@ -795,9 +806,8 @@ private[graft] object TxLogFold {
                 // EARLIER same-tx content rows appended so far (seq order
                 // makes "earlier" implicit). Snapshot BEFORE this op's
                 // own rows land (crux reads once per op, then writes).
-                val cands: Seq[(LocalDateTime, Ver, Long)] =
-                  resolved.iterator.map { case (vt, v) => (vt, v, -1L) }.toSeq ++
-                    txCands.iterator.zipWithIndex.map { case ((vt, v), i) => (vt, v, i.toLong) }
+                val cands: Seq[(LocalDateTime, Ver, Long)] = preTxCands ++
+                  txCands.iterator.zipWithIndex.map { case ((vt, v), i) => (vt, v, i.toLong) }
                 // start row, overwrite at every candidate vt in (s, e),
                 // and a restore at e copying the version visible there
                 // (original tt/tx_id/hash preserved — provenance)

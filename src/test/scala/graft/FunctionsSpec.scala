@@ -44,15 +44,25 @@ class FunctionsSpec extends AnyFunSuite {
     df.collect().foreach { r =>
       def us(t: java.time.LocalDateTime): Long =
         t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000L
+      // morton_z rides the epoch-BIASED time kernel (zDecimal); the raw
+      // interleave of the biased micros is the expected curve position
+      val bias = graft.bitemp.Morton.EpochBiasMicros
       val expect = graft.bitemp.Morton.interleave(
-        us(r.getAs[java.time.LocalDateTime]("vt")),
-        us(r.getAs[java.time.LocalDateTime]("tt")))
+        us(r.getAs[java.time.LocalDateTime]("vt")) + bias,
+        us(r.getAs[java.time.LocalDateTime]("tt")) + bias)
       assert(BigInt(r.getDecimal(2).toBigInteger) == expect, r.toString)
     }
     // raw micros longs are accepted too (the other physical encoding)
+    val bias = graft.bitemp.Morton.EpochBiasMicros
     val viaLong = spark.sql("SELECT morton_z(5L, 9L) AS z").collect().head
     assert(BigInt(viaLong.getDecimal(0).toBigInteger) ==
-      graft.bitemp.Morton.interleave(5L, 9L))
+      graft.bitemp.Morton.interleave(5L + bias, 9L + bias))
+    // pre-1970 timestamps are IN the supported domain: the biased curve
+    // keeps them ordered below the epoch instead of wrapping to the top
+    val pre = spark.sql(
+      "SELECT morton_z(CAST('1969-12-31 00:00:00' AS TIMESTAMP_NTZ), 5L) AS z," +
+      "       morton_z(CAST('1970-01-02 00:00:00' AS TIMESTAMP_NTZ), 5L) AS z2").collect().head
+    assert(BigInt(pre.getDecimal(0).toBigInteger) < BigInt(pre.getDecimal(1).toBigInteger))
   }
 
   test("cosine_sim stays inside whole-stage codegen") {

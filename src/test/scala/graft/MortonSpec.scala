@@ -51,14 +51,17 @@ class MortonSpec extends AnyFunSuite {
   }
 
   test("zRanges cover the box and exclude big gaps") {
-    // box d1 in [3,5], d2 in [5,10] (the paper's example box)
+    // box d1 in [3,5], d2 in [5,10] (the paper's example box). zRanges
+    // (like the z column it prunes) lives on the epoch-BIASED curve, so
+    // the oracle biases its points the same way.
+    val b = Morton.EpochBiasMicros
     val ranges = Morton.zRanges(3, 5, 5, 10, maxRanges = 4)
     assert(ranges.nonEmpty && ranges.size <= 4)
-    val zmin = Morton.interleave(3, 5)
-    val zmax = Morton.interleave(5, 10)
+    val zmin = Morton.interleave(3 + b, 5 + b)
+    val zmax = Morton.interleave(5 + b, 10 + b)
     // every in-box point's z is covered by some range
     for (d1 <- 3L to 5L; d2 <- 5L to 10L) {
-      val zv = Morton.interleave(d1, d2)
+      val zv = Morton.interleave(d1 + b, d2 + b)
       assert(ranges.exists { case (s, e) => s <= zv && zv <= e },
         s"($d1,$d2) z=$zv uncovered by $ranges")
     }
