@@ -2950,17 +2950,26 @@ private final class Planner(spark: SparkSession, source: FactSource,
     lazy val pullFrames: Seq[(FindPull, DataFrame)] = {
       val cat = source.pullCatalog.getOrElse(
         throw new IllegalArgumentException("this source does not support pull"))
-      def attrOfVar(v: V): String = query.where.collectFirst {
-        case Triple(V(n), a, _) if n == v.name => a
-      }.getOrElse(throw new IllegalArgumentException(s"pull var ?${v.name} not bound by a triple"))
+      /** table of a pull var: a SUBJECT-position triple binds it to the
+        * attr's owning table; a VALUE-position binding under a ref attr
+        * binds it to that ref's TARGET table ((pull ?p ...) on the target
+        * of [?f :film/bond ?p] — standard reference usage). */
+      def tableOfPullVar(v: V): String = query.where.collectFirst {
+        case Triple(V(n), a, _) if n == v.name =>
+          // a clear error beats the bare Option.get's "None.get" — the
+          // typical trigger is a catalog (table) source queried with a
+          // doc-store attribute (the HTTP route needs db=docs for those)
+          source.tableOf(a).getOrElse(throw new IllegalArgumentException(
+            s"pull: attribute :$a resolves to no table in this source"))
+      }.orElse(query.where.collectFirst {
+        case Triple(_, a, V(n)) if n == v.name =>
+          source.tableOf(a).flatMap(t => cat.tables(t).refs.get(a))
+            .getOrElse(throw new IllegalArgumentException(
+              s"pull var ?${v.name} is bound in value position of :$a, which is not a ref attribute"))
+      }).getOrElse(throw new IllegalArgumentException(
+        s"pull var ?${v.name} not bound by a triple"))
       pulls.map { p =>
-        val anchor = attrOfVar(p.v)
-        // a clear error beats the bare Option.get's "None.get" — the
-        // typical trigger is a catalog (table) source queried with a
-        // doc-store attribute (the HTTP route needs db=docs for those)
-        val table = source.tableOf(anchor).getOrElse(
-          throw new IllegalArgumentException(
-            s"pull: attribute :$anchor resolves to no table in this source"))
+        val table = tableOfPullVar(p.v)
         val pdf = graft.pull.Pull.pullSpecs(cat, table,
             graft.pull.Pull.patternFromEdn(p.pattern))
           .select(col("_id").cast("string").as(p.v.name), col("pulled").as(outName(p)))

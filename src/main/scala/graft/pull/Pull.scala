@@ -87,7 +87,8 @@ object Pull {
   final case class RevJoin(attr: String, as: String, pattern: List[Spec],
       limit: Option[Int]) extends Spec
   /** recursion marker, expanded before compile. */
-  final case class Recur(attr: String, as: String, depth: Int) extends Spec
+  final case class Recur(attr: String, as: String, depth: Int,
+      limit: Option[Int] = None) extends Spec
   /** union pattern `{:attr {:val1 [...], :val2 [...]}}` — the branch
     * whose value matches the entity's `attr` decides which fields pull
     * (pull.clj union semantics, pull_test.clj:170). */
@@ -96,8 +97,15 @@ object Pull {
   def parsePattern(edn: String): List[Spec] = patternFromEdn(Edn.parse(edn))
 
   def patternFromEdn(v: Edn.Val): List[Spec] = v match {
-    case Edn.Vec(items) => items.map(parseSpec)
+    case Edn.Vec(items) => items.flatMap(parseSpecs)
     case other => throw new IllegalArgumentException(s"pull pattern must be a vector, got $other")
+  }
+
+  /** A multi-entry join map `{:a [...] :b [...]}` is legal EDN for
+    * several sibling joins (DataScript grammar) — one spec per entry. */
+  private def parseSpecs(v: Edn.Val): List[Spec] = v match {
+    case Edn.MapV(es) if es.size > 1 => es.map(e => parseSpec(Edn.MapV(List(e))))
+    case o => List(parseSpec(o))
   }
 
   private def optStr(v: Edn.Val): String = v match {
@@ -127,16 +135,16 @@ object Pull {
       pat match {
         case Edn.Vec(items) =>
           reverseOf(attr) match {
-            case Some(fwd) => RevJoin(fwd, as, items.map(parseSpec), limit)
-            case None => FwdJoin(attr, as, items.map(parseSpec), limit)
+            case Some(fwd) => RevJoin(fwd, as, items.flatMap(parseSpecs), limit)
+            case None => FwdJoin(attr, as, items.flatMap(parseSpecs), limit)
           }
         case Edn.MapV(branches) =>
           UnionJoin(attr, branches.map {
-            case (bv, Edn.Vec(items)) => (bv, items.map(parseSpec))
+            case (bv, Edn.Vec(items)) => (bv, items.flatMap(parseSpecs))
             case (bv, o) => throw new IllegalArgumentException(s"bad union branch $bv -> $o")
           })
-        case Edn.Lng(n) => Recur(attr, as, n.toInt)
-        case Edn.Sym("...") => Recur(attr, as, 8)
+        case Edn.Lng(n) => Recur(attr, as, n.toInt, limit)
+        case Edn.Sym("...") => Recur(attr, as, 8, limit)
         case o => throw new IllegalArgumentException(s"bad join pattern $o")
       }
     case other => throw new IllegalArgumentException(s"unsupported pull spec $other")
@@ -170,17 +178,17 @@ object Pull {
     * level keeps only the non-recursive specs. */
   private def expand(pattern: List[Spec]): List[Spec] = {
     def expandIn(specs: List[Spec], whole: List[Spec]): List[Spec] = specs.flatMap {
-      case Recur(attr, as, depth) =>
+      case Recur(attr, as, depth, limit) =>
         if (depth <= 0) Nil
         else {
           val inner = whole.map {
-            case r @ Recur(a2, as2, d2) if a2 == attr => Recur(a2, as2, d2 - 1)
+            case Recur(a2, as2, d2, l2) if a2 == attr => Recur(a2, as2, d2 - 1, l2)
             case s => s
           }
           val sub = expandIn(inner, inner)
           reverseOf(attr) match {
-            case Some(fwd) => List(RevJoin(fwd, as, sub, None))
-            case None => List(FwdJoin(attr, as, sub))
+            case Some(fwd) => List(RevJoin(fwd, as, sub, limit))
+            case None => List(FwdJoin(attr, as, sub, limit))
           }
         }
       case FwdJoin(a, as, p, l) => List(FwdJoin(a, as, expandIn(p, p), l))
@@ -194,7 +202,11 @@ object Pull {
   // --------------------------------------------------------------- compile
 
   private var uniq = 0
-  private def fresh(base: String): String = synchronized { uniq += 1; s"__${base}_$uniq" }
+  /** dots/slashes in attr names would make the generated join-column
+    * names parse as struct paths at the col() sites — sanitize. */
+  private def fresh(base: String): String = synchronized {
+    uniq += 1; s"__${base.replaceAll("[^A-Za-z0-9_]", "_")}_$uniq"
+  }
 
   /** Compile: every row of `table`, with one `pulled` struct column shaped
     * by the pattern. Join `_id` (the pk value) back to your query result. */
@@ -204,7 +216,12 @@ object Pull {
   def pullSpecs(cat: Catalog, table: String, pattern: List[Spec]): DataFrame =
     build(cat, table, expand(pattern))
 
-  private def build(cat: Catalog, table: String, pattern: List[Spec]): DataFrame = {
+  /** @param carry extra (alias, source-table column) pairs projected
+    *   alongside `_id`/`pulled` — lets a reverse join read its fk and
+    *   typed-pk sort key off the SAME built frame instead of re-scanning
+    *   the child table and self-joining on pk. */
+  private def build(cat: Catalog, table: String, pattern: List[Spec],
+      carry: Seq[(String, Column)] = Nil): DataFrame = {
     val spec = cat.tables(table)
     var df = cat.load(table)
 
@@ -214,11 +231,30 @@ object Pull {
     val fields = scala.collection.mutable.ListBuffer[(String, Column)]()
     def emit(as: String, c: Column, guard: Option[Column]): Unit =
       fields += as -> guard.map(g => when(g, c)).getOrElse(c)
+    // field names sibling JOINS emit: the canonical [* {:fk [...]}]
+    // pattern means "everything, with :fk as the joined entity" — the
+    // wildcard must not also emit the raw fk column under the same name
+    // (coalesce over a string and a struct is a type error; reference
+    // semantics is the join wins)
+    val joinNames: Set[String] = pattern.collect {
+      case FwdJoin(_, as, _, _) => as
+      case RevJoin(_, as, _, _) => as
+    }.toSet
     def addSpec(s: Spec, guard: Option[Column]): Unit = s match {
       case Wildcard =>
-        spec.cols.foreach(c => emit(c, fcol(c), guard))
+        spec.cols.filterNot(joinNames).foreach(c => emit(c, fcol(c), guard))
       case Prop(a, as, dflt, limit) =>
-        require(spec.cols.contains(a), s"unknown attribute :$a on $table")
+        if (!spec.cols.contains(a)) {
+          // reference semantics: :default applies precisely when the attr
+          // is ABSENT (pull.clj) — corpus-wide-absent attrs included; an
+          // absent attr without a default stays a loud error (a static
+          // struct schema can't silently omit per-row fields)
+          dflt match {
+            case Some(d) => emit(as, ednLit(d), guard); return
+            case None => throw new IllegalArgumentException(
+              s"unknown attribute :$a on $table (no :default given)")
+          }
+        }
         val base0 = fcol(a)
         // :limit on an array-valued prop slices the (sorted) value array
         // (pull.clj cardinality-many limits; element order here is the
@@ -261,16 +297,23 @@ object Pull {
         require(cat.tables(childTable).refs.get(attr).contains(table),
           s":_$attr does not point at $table")
         val u = fresh(attr)
-        val childSub = build(cat, childTable, pat)
         // sort key = the TYPED pk columns as a struct (numeric order);
         // the string-concat pkCol would order composite keys
-        // lexicographically ("100|1" < "99|1")
+        // lexicographically ("100|1" < "99|1"). Both the fk and the sort
+        // key ride the child build as carry columns — one scan, no
+        // pk self-join.
         val childPk = cat.tables(childTable).pk
-        val keyed = cat.load(childTable)
-          .select(fcol(attr).as(s"${u}_k"),
-            struct(childPk.map(col): _*).as(s"${u}_ck"),
-            cat.pkCol(childTable).as(s"${u}_cid"))
-          .join(childSub, col(s"${u}_cid") === col("_id"))
+        val childSub = build(cat, childTable, pat, carry = Seq(
+          s"${u}_k0" -> fcol(attr),
+          s"${u}_ck" -> struct(childPk.map(fcol): _*)))
+        // a cardinality-many fk reverses by MEMBERSHIP: explode the array
+        val keyed =
+          if (childSub.schema(s"${u}_k0").dataType
+              .isInstanceOf[org.apache.spark.sql.types.ArrayType])
+            childSub.select(col("pulled"), col(s"${u}_ck"),
+              explode(col(s"${u}_k0")).as(s"${u}_k"))
+          else childSub.select(col("pulled"), col(s"${u}_ck"),
+            col(s"${u}_k0").as(s"${u}_k"))
         // deterministic child order: sort by child pk, then strip the key
         val grouped = keyed.groupBy(col(s"${u}_k"))
           .agg(sort_array(collect_list(struct(col(s"${u}_ck").as("k"),
@@ -301,11 +344,12 @@ object Pull {
     // merge duplicates by first-non-null, keeping first-occurrence order
     val merged = fields.toSeq.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     val ordered = fields.toSeq.map(_._1).distinct
-    df.select(cat.pkCol(table).as("_id"),
-      struct(ordered.map { n =>
-        val cs = merged(n)
-        (if (cs.size == 1) cs.head else coalesce(cs: _*)).as(n)
-      }: _*).as("pulled"))
+    val pulled = struct(ordered.map { n =>
+      val cs = merged(n)
+      (if (cs.size == 1) cs.head else coalesce(cs: _*)).as(n)
+    }: _*).as("pulled")
+    df.select(cat.pkCol(table).as("_id") +: pulled +:
+      carry.map { case (n, c) => c.as(n) }: _*)
   }
 
   private def ednLit(v: Edn.Val): Column = v match {

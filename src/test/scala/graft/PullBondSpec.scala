@@ -115,6 +115,49 @@ class PullBondSpec extends AnyFunSuite {
       Map("vehicle/brand" -> "Ford", "vehicle/model" -> "Fairlane")))
   }
 
+  test("wildcard combined with a join on the same attribute: join wins (r9)") {
+    // the canonical [* {:fk [...]}] shape — the wildcard must not also
+    // emit the raw fk column (coalesce(string, struct) is a type error)
+    val m = pullOne(
+      """{:find [(pull ?f [* {:film/bond [:person/name]}])]
+         :where [[?f :film/name "Die Another Day"]]}""")
+    assert(m("film/name") == "Die Another Day")
+    assert(m("film/bond") == Map("person/name" -> "Pierce Brosnan"))
+  }
+
+  test("reverse join over a cardinality-many ref (r9)") {
+    // vehicles is array-valued: :film/_vehicles reverses by MEMBERSHIP
+    val m = pullOne(
+      """{:find [(pull ?v [:vehicle/model {:film/_vehicles [:film/name]}])]
+         :where [[?v :vehicle/model "XKR"]]}""")
+    assert(m("vehicle/model") == "XKR")
+    assert(m("film/_vehicles").asInstanceOf[scala.collection.Seq[Any]].toSet ==
+      Set(Map("film/name" -> "Die Another Day")))
+  }
+
+  test("pull var bound in VALUE position of a ref triple (r9)") {
+    val m = pullOne(
+      """{:find [(pull ?p [:person/name])]
+         :where [[?f :film/name "Die Another Day"] [?f :film/bond ?p]]}""")
+    assert(m == Map("person/name" -> "Pierce Brosnan"))
+  }
+
+  test("multi-entry join maps parse as sibling joins (r9)") {
+    val m = pullOne(
+      """{:find [(pull ?f [:film/name {:film/bond [:person/name]
+                                       :film/director [:person/name]}])]
+         :where [[?f :film/name "Die Another Day"]]}""")
+    assert(m("film/bond") == Map("person/name" -> "Pierce Brosnan"))
+    assert(m("film/director") == Map("person/name" -> "Lee Tamahori"))
+  }
+
+  test(":default applies to a corpus-absent attribute (r9)") {
+    val m = pullOne(
+      """{:find [(pull ?f [:film/name (:film/budget {:default "unknown"})])]
+         :where [[?f :film/name "Die Another Day"]]}""")
+    assert(m("film/budget") == "unknown")
+  }
+
   test("reverse joins (pull_test.clj:82)") {
     val m = pullOne(
       """{:find [(pull ?dc [:person/name {:film/_bond [:film/name :film/year]}])]
@@ -175,6 +218,12 @@ class PullBondSpec extends AnyFunSuite {
     assert(kids(rev).map(_("crux.db/id")).toSet == Set(":a", ":b"))
     val a = kids(rev).find(_("crux.db/id") == ":a").get
     assert(kids(a).map(_("crux.db/id")).toSet == Set(":aa", ":ab"))
+    // a :limit on the recursive key applies at EVERY level (it was
+    // silently dropped before r9): one child per node, pk order
+    val lim = one("""{:find [(pull ?root [:crux.db/id {(:_parent {:limit 1}) 2}])]
+                     :where [[?root :crux.db/id :root]]}""")
+    assert(kids(lim).map(_("crux.db/id")) == scala.collection.Seq(":a"))
+    assert(kids(kids(lim).head).map(_("crux.db/id")) == scala.collection.Seq(":aa"))
   }
 
   test("union pattern dispatches fields on the :type value (pull_test.clj:170)") {
