@@ -124,6 +124,86 @@ class SparqlSpec extends AnyFunSuite {
       Seq("Becky Smith", Sparql.OptionalMarker)))
   }
 
+  test("trailing dot glued to a variable still terminates the triple (r9)") {
+    // `?givenName.` with no space — standard SPARQL formatting; gluing
+    // the dot onto the token minted a DIFFERENT var and cross-joined
+    assert(run("""
+      SELECT ?givenName
+      WHERE
+        { ?y  <http://www.w3.org/2001/vcard-rdf/3.0#Family>  "Smith".
+          ?y  <http://www.w3.org/2001/vcard-rdf/3.0#Given>  ?givenName.
+        }""") == Set(Seq("John"), Seq("Rebecca")))
+  }
+
+  test("a var bound by an earlier OPTIONAL is a join key for the next (r9)") {
+    assert(run("""
+      PREFIX info:    <http://somewhere/peopleInfo#>
+      PREFIX vcard:   <http://www.w3.org/2001/vcard-rdf/3.0#>
+      SELECT ?name ?age
+      WHERE
+      {
+          ?person vcard:FN  ?name .
+          OPTIONAL { ?person info:age ?age }
+          OPTIONAL { ?person info:age ?age }
+      }""") == Set(
+      Seq("Becky Smith", 23L), Seq("Sarah Jones", Sparql.OptionalMarker),
+      Seq("John Smith", 25L), Seq("Matt Jones", Sparql.OptionalMarker)))
+  }
+
+  test("top-level FILTER over an OPTIONAL-bound var applies post-join (r9)") {
+    // SPARQL semantics: rows where ?age is unbound error out of the
+    // filter and are removed; bound rows compare normally
+    assert(run("""
+      PREFIX info:    <http://somewhere/peopleInfo#>
+      PREFIX vcard:   <http://www.w3.org/2001/vcard-rdf/3.0#>
+      SELECT ?name ?age
+      WHERE
+      {
+          ?person vcard:FN  ?name .
+          OPTIONAL { ?person info:age ?age }
+          FILTER ( ?age > 24 )
+      }""") == Set(Seq("John Smith", 25L)))
+  }
+
+  test("ORDER BY a non-projected var (r9)") {
+    val rows = Sparql.query(spark, source, """
+      PREFIX info:    <http://somewhere/peopleInfo#>
+      PREFIX vcard:   <http://www.w3.org/2001/vcard-rdf/3.0#>
+      SELECT ?name
+      WHERE { ?person vcard:FN ?name . ?person info:age ?age }
+      ORDER BY DESC(?age)""").collect().map(_.getString(0)).toSeq
+    assert(rows == Seq("John Smith", "Becky Smith"))
+  }
+
+  test("typed literals in object position and filter lexical-value traps (r9)") {
+    // "25"^^xsd:integer in OBJECT position strips to the number
+    assert(run("""
+      PREFIX info: <http://somewhere/peopleInfo#>
+      SELECT ?p
+      WHERE { ?p info:age "25"^^<http://www.w3.org/2001/XMLSchema#integer> }""")
+      .map(_.head) == Set("JohnSmith"))
+    // a STRING-typed literal whose lexical value contains "int" stays a
+    // string (the datatype decides, not the whole token)
+    assert(run("""
+      PREFIX vcard: <http://www.w3.org/2001/vcard-rdf/3.0#>
+      SELECT ?x
+      WHERE { ?x vcard:FN ?n . FILTER (?n = "John Smith"^^<http://www.w3.org/2001/XMLSchema#string>) }""")
+      == Set(Seq("JohnSmith")))
+  }
+
+  test("regex with empty flags and language-tagged literals (r9)") {
+    assert(run("""
+      PREFIX vcard: <http://www.w3.org/2001/vcard-rdf/3.0#>
+      SELECT ?g
+      WHERE { ?y vcard:Given ?g . FILTER regex(?g, "^Joh", "") }""")
+      == Set(Seq("John")))
+    // @lang is consumed and ignored (the loader stores the bare lexeme)
+    assert(run("""
+      SELECT ?x
+      WHERE { ?x <http://www.w3.org/2001/vcard-rdf/3.0#FN> "John Smith"@en }""")
+      == Set(Seq("JohnSmith")))
+  }
+
   test("ORDER BY / LIMIT / OFFSET") {
     val df = Sparql.query(spark, source, """
       PREFIX vcard: <http://www.w3.org/2001/vcard-rdf/3.0#>
