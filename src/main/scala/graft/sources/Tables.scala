@@ -29,9 +29,12 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     cache.getOrBuild((spark, sfDir, name))(doLoad(spark, sfDir, name))
 
-  /** Drop cached plans for a dir whose parquet files were rewritten. */
-  def invalidate(spark: SparkSession, sfDir: String): Unit =
+  /** Drop cached plans for a dir whose parquet files were rewritten
+    * (and the registration memo — the temp views hold the old plans). */
+  def invalidate(spark: SparkSession, sfDir: String): Unit = {
     cache.invalidateIf(k => (k._1 eq spark) && k._2 == sfDir)
+    registeredDir.remove(spark, sfDir); ()
+  }
 
   private def doLoad(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
@@ -75,6 +78,18 @@ object Tables {
     Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10).toList
 
   /** Register every table as a temp view (idempotent) and return the dir. */
-  def registerAll(spark: SparkSession, sfDir: String): Unit =
-    all.foreach { n => load(spark, sfDir, n).createOrReplaceTempView(n) }
+  /** Last dir registered per session: registration is idempotent for a
+    * given dir (the views are name-stable), so repeated SQL calls skip
+    * the 10 catalog round-trips; a DIFFERENT dir re-registers (the view
+    * names are shared). */
+  private val registeredDir =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+
+  def registerAll(spark: SparkSession, sfDir: String): Unit = {
+    registeredDir.keySet.removeIf(_.sparkContext.isStopped)
+    if (registeredDir.get(spark) != sfDir) {
+      all.foreach { n => load(spark, sfDir, n).createOrReplaceTempView(n) }
+      registeredDir.put(spark, sfDir); ()
+    }
+  }
 }

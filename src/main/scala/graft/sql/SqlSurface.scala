@@ -23,13 +23,40 @@ object SqlSurface {
   private val PrefixToken =
     """(?is)^\s*(VALIDTIME|TRANSACTIONTIME|TRANSACTIONID)\s*\(\s*(?:'([^']*)'|(\d+))\s*\)\s*(.*)$""".r
 
+  /** Prefix timestamp literal, reference-tolerant (prepare-sql reads
+    * RFC3339): `2016-12-01`, `2016-12-01 10:13:30`, `2016-12-01T10:13:30`
+    * and a trailing `Z` all parse; anything else fails with the offending
+    * keyword named. Basis values are UTC instants like the NTZ columns
+    * they compare against. */
+  private def parseTs(kw: String, s: String): java.time.LocalDateTime = {
+    if (s == null || s.isEmpty) throw new IllegalArgumentException(
+      s"$kw needs a quoted timestamp literal")
+    val t0 = s.trim.stripSuffix("Z")
+    val t = if (t0.contains("T") || t0.contains(" ")) t0.replace(" ", "T")
+      else t0 + "T00:00:00"
+    try java.time.LocalDateTime.parse(t)
+    catch { case e: java.time.format.DateTimeParseException =>
+      throw new IllegalArgumentException(s"$kw: cannot parse timestamp '$s'", e) }
+  }
+
+  private def utcNow(): java.time.LocalDateTime =
+    java.time.LocalDateTime.now(java.time.ZoneOffset.UTC)
+
   /** Register all parquet tables plus the bitemporal `events_current` view
     * resolved at (vt, tt | tx-id), then run the SQL. Like the reference's
     * prepare-sql (calcite.clj:51-72), the prefix keywords `VALIDTIME ('…')`
     * / `TRANSACTIONTIME ('…')` / `TRANSACTIONID (n)` are parsed in a loop:
-    * any order, any subset. The no-prefix default basis is the CURRENT
-    * time on both axes (future-valid-dated facts are not visible by
-    * default, matching the reference). */
+    * any order, any subset (TRANSACTIONTIME and TRANSACTIONID compose by
+    * intersecting — both restrict the visible versions). The no-prefix
+    * default basis is the current UTC time on both axes (the NTZ columns
+    * hold UTC instants; future-valid-dated facts are not visible by
+    * default, matching the reference).
+    *
+    * The snapshot registers under a PER-QUERY view name and the SQL text's
+    * `events_current` references rewrite to it — concurrent queries on one
+    * session (the HTTP pool) must not see each other's basis through a
+    * shared view name. Analysis is eager, so the view drops after
+    * `spark.sql` returns. */
   /** @param args positional `?` parameters — the JDBC prepared-statement
     *   surface (crux-sql/test/crux/calcite_test.clj:422-427); Spark's
     *   parameterized-SQL binding does the substitution. */
@@ -44,26 +71,48 @@ object SqlSurface {
     while (more) rest match {
       case PrefixToken(kw, str, num, tail) =>
         kw.toUpperCase(java.util.Locale.ROOT) match {
-          case "VALIDTIME" => vt = Some(java.time.LocalDateTime.parse(str))
-          case "TRANSACTIONTIME" => tt = Some(java.time.LocalDateTime.parse(str))
-          case "TRANSACTIONID" => txId = Some(Option(num).getOrElse(str).toLong)
+          case "VALIDTIME" => vt = Some(parseTs("VALIDTIME", str))
+          case "TRANSACTIONTIME" => tt = Some(parseTs("TRANSACTIONTIME", str))
+          case "TRANSACTIONID" =>
+            val operand = Option(num).orElse(Option(str).filter(_.nonEmpty))
+              .getOrElse(throw new IllegalArgumentException(
+                "TRANSACTIONID needs a numeric transaction id"))
+            txId = Some(try operand.toLong catch {
+              case _: NumberFormatException => throw new IllegalArgumentException(
+                s"TRANSACTIONID: not a transaction id: '$operand'")
+            })
         }
         rest = tail
       case _ => more = false
     }
-    registerCurrent(spark, dir, vt.getOrElse(java.time.LocalDateTime.now()), tt, txId)
-    if (args.isEmpty) spark.sql(rest) else spark.sql(rest, args)
+    val hasPrefix = vt.isDefined || tt.isDefined || txId.isDefined
+    val refsCurrent = "(?i)\\bevents_current\\b".r.findFirstIn(rest).isDefined
+    if (!hasPrefix && !refsCurrent)
+      return if (args.isEmpty) spark.sql(rest) else spark.sql(rest, args)
+    val viewName = "events_current_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    registerCurrent(spark, dir, viewName, vt.getOrElse(utcNow()), tt, txId)
+    val rewritten = rest.replaceAll("(?i)\\bevents_current\\b", viewName)
+    try if (args.isEmpty) spark.sql(rewritten) else spark.sql(rewritten, args)
+    finally { spark.catalog.dropTempView(viewName); () }
   }
 
   private def registerCurrent(spark: SparkSession, dir: String,
-      vt: java.time.LocalDateTime, tt: Option[java.time.LocalDateTime],
-      txId: Option[Long]): Unit = {
-    val versions = graft.queries.BitempQueries.versionsFromEvents(spark, dir)
-    val snap = txId match {
-      case Some(id) => Bitemp.asOf(versions, lit(vt), lit(id))
-      case None => Bitemp.asOfTime(versions, lit(vt),
-        lit(tt.getOrElse(java.time.LocalDateTime.now())))
+      viewName: String, vt: java.time.LocalDateTime,
+      tt: Option[java.time.LocalDateTime], txId: Option[Long]): Unit = {
+    val versions0 = graft.queries.BitempQueries.versionsFromEvents(spark, dir)
+    // tt and txId COMPOSE: each is a restriction of the visible versions
+    // on the transaction axis (a tt basis alongside a tx-id basis was
+    // silently dropped before r9)
+    val versions = tt match {
+      case Some(t) if txId.isDefined => versions0.filter(col("tt") <= lit(t))
+      case _ => versions0
     }
-    snap.createOrReplaceTempView("events_current")
+    val snap = (txId, tt) match {
+      case (Some(id), _) => Bitemp.asOf(versions, lit(vt), lit(id))
+      case (None, t) => Bitemp.asOfTime(versions, lit(vt),
+        lit(t.getOrElse(utcNow())))
+    }
+    snap.createOrReplaceTempView(viewName)
   }
 }

@@ -268,4 +268,37 @@ class SqlSpec extends AnyFunSuite {
       "SELECT COUNT(*) AS n FROM events_current WHERE tx_id > ?", Array(0))
     assert(r.collect().length == 1)
   }
+
+  test("temporal prefix literal forms and error contract (r9)") {
+    def n(sql: String): Long = q(sql).collect().head.getLong(0)
+    val base = n("VALIDTIME ('2024-01-15T00:00:00') SELECT COUNT(*) AS n FROM events_current")
+    // reference-tolerant forms (prepare-sql reads RFC3339): space
+    // separator, date-only, trailing Z — all the same basis
+    assert(n("VALIDTIME ('2024-01-15 00:00:00') SELECT COUNT(*) AS n FROM events_current") == base)
+    assert(n("VALIDTIME ('2024-01-15') SELECT COUNT(*) AS n FROM events_current") == base)
+    assert(n("VALIDTIME ('2024-01-15T00:00:00Z') SELECT COUNT(*) AS n FROM events_current") == base)
+    // malformed prefixes name the keyword instead of NPE/raw parse errors
+    val e1 = intercept[IllegalArgumentException](q("VALIDTIME (2024) SELECT 1"))
+    assert(e1.getMessage.contains("VALIDTIME"))
+    val e2 = intercept[IllegalArgumentException](q("TRANSACTIONID ('') SELECT 1"))
+    assert(e2.getMessage.contains("TRANSACTIONID"))
+  }
+
+  test("TRANSACTIONTIME and TRANSACTIONID compose by intersecting (r9)") {
+    def n(sql: String): Long = q(sql).collect().head.getLong(0)
+    val vt = "VALIDTIME ('2024-03-01T00:00:00') "
+    val byId = n(vt + "TRANSACTIONID (800) SELECT COUNT(*) AS n FROM events_current")
+    // an early tt basis must RESTRICT the id-based snapshot (it was
+    // silently dropped when both were given)
+    val both = n(vt + "TRANSACTIONTIME ('2024-01-05T00:00:00') TRANSACTIONID (800) " +
+      "SELECT COUNT(*) AS n FROM events_current")
+    assert(both < byId, s"tt+txId ($both) must restrict txId-only ($byId)")
+  }
+
+  test("per-query snapshot views do not leak into the catalog (r9)") {
+    q("VALIDTIME ('2024-01-15T00:00:00') SELECT COUNT(*) AS n FROM events_current").collect()
+    val leaked = spark.catalog.listTables().collect()
+      .filter(_.name.startsWith("events_current_"))
+    assert(leaked.isEmpty, leaked.map(_.name).mkString(","))
+  }
 }
