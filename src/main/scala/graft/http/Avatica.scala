@@ -123,9 +123,20 @@ final class Avatica(node: GraftNode, serverAddress: String = "127.0.0.1") {
           metaResult(req, Seq("TABLE_CAT", "TABLE_SCHEM", "TABLE_NAME", "TABLE_TYPE"),
             node.sqlTableNames.map(t => Seq("graft", "crux", t, "TABLE")))
         case "getColumns" =>
+          // tableNamePattern is a JDBC SQL LIKE pattern (% = any run,
+          // _ = any char) — introspection tools send partial wildcards
+          // like "tx%"; exact-or-"%" matching returned empty column sets
           val wantTable = str(req \ "tableNamePattern")
+          def likeMatches(pattern: String, t: String): Boolean = {
+            val rx = pattern.flatMap {
+              case '%' => ".*"
+              case '_' => "."
+              case c => java.util.regex.Pattern.quote(c.toString)
+            }
+            t.matches(rx)
+          }
           val rows = for {
-            t <- node.sqlTableNames if wantTable.forall(p => p == "%" || p == t)
+            t <- node.sqlTableNames if wantTable.forall(likeMatches(_, t))
             (f, i) <- node.sqlTableSchema(t).fields.zipWithIndex
           } yield Seq("graft", "crux", t, f.name,
             typeId(f.dataType).toString, typeName(f.dataType), (i + 1).toString)

@@ -154,12 +154,14 @@ final class GraftHttpClient(baseUrl: String,
         withCorrections: Boolean = false, withDocs: Boolean = false,
         startValidTime: Option[LocalDateTime] = None,
         endValidTime: Option[LocalDateTime] = None): Seq[Map[String, Any]] = {
+      // basisQs: the db's tx basis restricts history to versions KNOWN
+      // at that point (api_test.clj:292) — it was silently dropped
       val qs = (Seq("eid=" + enc(eid), "history=true",
         "sort-order=" + (if (sortAsc) "asc" else "desc")) ++
         (if (withCorrections) Seq("with-corrections=true") else Nil) ++
         (if (withDocs) Seq("with-docs=true") else Nil) ++
         startValidTime.map("start-valid-time=" + _) ++
-        endValidTime.map("end-valid-time=" + _)).mkString("&")
+        endValidTime.map("end-valid-time=" + _) ++ basisQs).mkString("&")
       getJson("/_crux/entity?" + qs) \ "entity-history" match {
         case JArray(xs) => xs.map(objMap)
         case _ => Nil
@@ -246,10 +248,17 @@ final class GraftHttpClient(baseUrl: String,
 
   private def enc(s: String): String = URLEncoder.encode(s, UTF_8)
 
+  /** Strings that round-trip as EDN keywords — the SAME alphabet the
+    * server's keywordRe accepts; any other ':'-led string is a genuine
+    * string value and must stay quoted (':not a keyword' would otherwise
+    * serialize as invalid EDN and bind garbage). */
+  private val keywordRe =
+    "^:[A-Za-z0-9*+!_?<>=.-]+(/[A-Za-z0-9*+!_?<>=.-]+)?$".r
+
   /** EDN text for an `in-args-edn` value (the literal subset the server's
     * parseInArgs reads back). */
   private def ednArg(v: Any): String = v match {
-    case s: String if s.startsWith(":") => s
+    case s: String if keywordRe.matches(s) => s
     case s: String => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     case t: LocalDateTime => "#inst \"" + t + "\""
     case seq: Seq[_] => seq.map(ednArg).mkString("[", " ", "]")

@@ -345,9 +345,15 @@ final class GraftNode(val spark: SparkSession, val source: FactSource,
     }
   }
 
-  private def q0(edn: String, args: Any*): Array[Row] = {
-    val timeoutMs = graft.datalog.Ast.parse(edn).timeoutMs
-    val df = query(edn, args)
+  private def q0(edn: String, args: Any*): Array[Row] =
+    collectWithGroup(query(edn, args), graft.datalog.Ast.parse(edn).timeoutMs)
+
+  /** Collect `df` under this node's cancellable job-group discipline,
+    * honoring an optional timeout — the `:timeout` machinery, shared by
+    * the eager [[q]] path and the HTTP wire (which otherwise streams
+    * lazily and would never consult the timeout at all). */
+  private[http] def collectWithGroup(df: DataFrame,
+      timeoutMs: Option[Long]): Array[Row] = {
     val sc = spark.sparkContext
     val group = s"$jobGroup-q-${qCounter.incrementAndGet()}"
     liveQueryGroups.add(group)

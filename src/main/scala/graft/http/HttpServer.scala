@@ -38,12 +38,18 @@ final class HttpServer(node: GraftNode, port: Int = 0,
   private val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
   server.setExecutor(pool)
 
-  /** Query monitoring ring buffers (crux.query tracks these through bus
-    * events, crux-core/src/crux/query.clj:2000-2031; same data here). */
-  private val active = java.util.concurrent.ConcurrentHashMap.newKeySet[JValue]()
-  private val recent = new java.util.concurrent.ConcurrentLinkedDeque[JValue]()
-  private val slowest = new java.util.concurrent.atomic.AtomicReference[List[(Double, JValue)]](Nil)
-  private val maxRecent = 20
+  /** Query monitoring rides the NODE's [[QueryTracker]] (active/recent/
+    * slowest with the reference's cleaning policies — max-age expiry,
+    * slow-query threshold, ring caps, node.clj:190-197); the server adds
+    * only counters. One registry: queries over the wire and via
+    * node.q() land in the same rings. */
+  private def trackerJson(q: QueryTracker.QueryState): JValue =
+    ("query-id" -> q.queryId) ~ ("query" -> q.query) ~
+      ("started-at" -> q.startedAt.toString) ~
+      ("finished-at" -> q.finishedAt.map(_.toString)) ~
+      ("took-ms" -> q.finishedAt.map(f =>
+        JDouble((f.toEpochMilli - q.startedAt.toEpochMilli).toDouble)).getOrElse(JNull: JValue)) ~
+      ("status" -> q.status) ~ ("error" -> q.error)
   /** Node-level counters — the crux-metrics analogue (crux-metrics/src/
     * crux/metrics/query.clj gauges + indexer meters), exported on
     * /_crux/metrics instead of dropwizard registries. */
@@ -55,6 +61,20 @@ final class HttpServer(node: GraftNode, port: Int = 0,
   /** Avatica JSON RPC state machine behind POST /_crux/avatica — the
     * SQL wire protocol (the reference's calcite.clj:495-527 server). */
   private val avatica = new Avatica(this.node)
+
+  /** /status "size": a full count job per health poll would compete with
+    * real queries — cache the count keyed by the latest tx id (the only
+    * thing that changes it) and recount only after a new tx lands. */
+  private val sizeCache = new java.util.concurrent.atomic.AtomicReference[(Long, Long)](null)
+  private def cachedSize(): Long = {
+    val txId = node.latestCompletedTx.map(_.txId).getOrElse(-1L)
+    val cur = sizeCache.get()
+    if (cur != null && cur._1 == txId) cur._2
+    else {
+      val n = node.currentVersions.count()
+      sizeCache.set((txId, n)); n
+    }
+  }
 
   def boundPort: Int = server.getAddress.getPort
   def start(): HttpServer = { server.start(); this }
@@ -70,7 +90,7 @@ final class HttpServer(node: GraftNode, port: Int = 0,
           ("crux.version/version" -> "graft-spark") ~
           ("crux.index/index-version" -> 1) ~
           ("crux.tx-log/consumer-state" -> JNull) ~
-          ("size" -> node.currentVersions.count())))
+          ("size" -> cachedSize())))
 
       case "/_crux/db" =>
         val vt = qp.get("valid-time").getOrElse(java.time.LocalDateTime.now(java.time.ZoneOffset.UTC).toString)
@@ -144,13 +164,11 @@ final class HttpServer(node: GraftNode, port: Int = 0,
       case "/_crux/latest-submitted-tx" => txInfo(node.latestSubmittedTx, "No latest-submitted-tx found.")
 
       case "/_crux/active-queries" =>
-        (200, json, Json.render(JArray(
-          scala.jdk.CollectionConverters.SetHasAsScala(active).asScala.toList)))
+        (200, json, Json.render(JArray(node.queryTracker.active().map(trackerJson).toList)))
       case "/_crux/recent-queries" =>
-        (200, json, Json.render(JArray(
-          scala.jdk.CollectionConverters.IteratorHasAsScala(recent.iterator()).asScala.toList)))
+        (200, json, Json.render(JArray(node.queryTracker.recent().map(trackerJson).toList)))
       case "/_crux/slowest-queries" =>
-        (200, json, Json.render(JArray(slowest.get().map(_._2))))
+        (200, json, Json.render(JArray(node.queryTracker.slowestQueries().map(trackerJson).toList)))
 
       case "/_crux/metrics" =>
         // crux-metrics analogue: query gauges/timers + indexer meters
@@ -160,7 +178,7 @@ final class HttpServer(node: GraftNode, port: Int = 0,
         val totalMs = queryMsTotal.sum()
         val txs = node.txLogEntries
         (200, json, Json.render(
-          ("crux.metrics.query/active" -> JLong(active.size().toLong)) ~
+          ("crux.metrics.query/active" -> JLong(node.queryTracker.active().size.toLong)) ~
           ("crux.metrics.query/completed" -> JLong(completed)) ~
           ("crux.metrics.query/failed" -> JLong(queriesFailed.get())) ~
           ("crux.metrics.query/total-ms" -> JDouble(totalMs)) ~
@@ -214,7 +232,11 @@ final class HttpServer(node: GraftNode, port: Int = 0,
       withCorrections = qp.get("with-corrections").contains("true"),
       withDocs = qp.get("with-docs").contains("true"),
       startVt = qp.get("start-valid-time").map(java.time.LocalDateTime.parse),
-      endVt = qp.get("end-valid-time").map(java.time.LocalDateTime.parse))
+      endVt = qp.get("end-valid-time").map(java.time.LocalDateTime.parse),
+      // the tx basis restricts history to versions KNOWN at that point
+      // (api_test.clj:292) — it was silently dropped on the wire path
+      txTime = qp.get("tx-time").map(java.time.LocalDateTime.parse),
+      txId = qp.get("tx-id").map(_.toLong))
     ex.getResponseHeaders.set("Content-Type", "application/json")
     ex.sendResponseHeaders(200, 0L) // chunked
     val out = new java.io.BufferedWriter(
@@ -258,9 +280,8 @@ final class HttpServer(node: GraftNode, port: Int = 0,
         qp.get("in-args-edn").map(parseInArgs).getOrElse(Nil))
 
     val started = System.nanoTime()
-    val qinfo: JObject = ("query" -> edn) ~
-      ("started-at" -> java.time.Instant.now().toString)
-    active.add(qinfo)
+    val qid = node.queryTracker.started(edn)
+    var finished = false
     // once 200 + chunked headers are on the wire we can no longer send an
     // error status; a mid-stream failure then only gets a truncated body
     var headersSent = false
@@ -279,6 +300,13 @@ final class HttpServer(node: GraftNode, port: Int = 0,
           txId = qp.get("tx-id").map(_.toLong))
         else node.query(edn, inArgs)
       val cols = df.columns.toList
+      // :timeout over the wire: a query declaring one collects EAGERLY
+      // under the node's cancellable job group (GraftNode.collectWithGroup
+      // — lazy streaming would never consult the timeout; a bounded query
+      // is small by declaration), then streams from the array
+      val timeoutMs = if (isSql) None else graft.datalog.Ast.parse(edn).timeoutMs
+      val preCollected: Option[Array[org.apache.spark.sql.Row]] =
+        timeoutMs.map(_ => node.collectWithGroup(df, timeoutMs))
       // EDN wire format (the reference's native content type, muuntaja-
       // negotiated in crux-http-server): ?as=edn or Accept: application/edn
       val wantsEdn = qp.get("as").contains("edn") ||
@@ -294,7 +322,10 @@ final class HttpServer(node: GraftNode, port: Int = 0,
       ex.sendResponseHeaders(200, 0L) // 0 ⇒ chunked transfer encoding
       headersSent = true
       val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(ex.getResponseBody, UTF_8))
-      val it = df.toLocalIterator()
+      val it = preCollected match {
+        case Some(rows) => java.util.Arrays.asList(rows: _*).iterator()
+        case None => df.toLocalIterator()
+      }
       path match {
         case "/_crux/query.csv" | "/_crux/query.tsv" | "/_crux/sql.csv" | "/_crux/sql.tsv" =>
           val d = if (path.endsWith(".csv")) "," else "\t"
@@ -336,11 +367,7 @@ final class HttpServer(node: GraftNode, port: Int = 0,
       out.flush()
       ex.close()
       val tookMs = (System.nanoTime() - started) / 1e6
-      val done: JObject = qinfo ~ ("finished-at" -> java.time.Instant.now().toString) ~
-        ("took-ms" -> tookMs) ~ ("status" -> "completed")
-      recent.addFirst(done)
-      while (recent.size > maxRecent) recent.removeLast()
-      slowest.updateAndGet(l => ((tookMs, done) :: l).sortBy(-_._1).take(maxRecent))
+      node.queryTracker.finished(qid, None); finished = true
       queriesCompleted.incrementAndGet()
       queryMsTotal.add(tookMs)
       queryMsMax.updateAndGet(m => math.max(m, math.ceil(tookMs).toLong))
@@ -348,16 +375,16 @@ final class HttpServer(node: GraftNode, port: Int = 0,
       case scala.util.control.NonFatal(e) =>
         val status = e match {
           case _: IllegalArgumentException => 400
+          case _: java.util.concurrent.TimeoutException => 408
           case _ => 500
         }
         val msg = Option(e.getMessage).getOrElse(e.toString)
         if (!headersSent) respond(ex, status, "application/json", err(msg))
         else ex.close() // truncated chunked body signals the failure to the client
-        val done: JObject = qinfo ~ ("status" -> "failed") ~ ("error" -> msg)
-        recent.addFirst(done)
-        while (recent.size > maxRecent) recent.removeLast()
+        node.queryTracker.finished(qid, Some(msg)); finished = true
         queriesFailed.incrementAndGet()
-    } finally active.remove(qinfo)
+    } finally if (!finished) node.queryTracker.finished(qid,
+      Some("aborted")) // fatal error path — never leave an in-progress ghost
   }
 
   /** Strings that round-trip as EDN keywords: `:name` or `:ns/name` over
@@ -430,6 +457,10 @@ final class HttpServer(node: GraftNode, port: Int = 0,
       }
     } catch {
       case e: IllegalArgumentException => respond(ex, 400, "application/json", err(e.getMessage))
+      // malformed temporal params are CLIENT errors like bad tx-ids
+      // (NumberFormatException IS an IAE; DateTimeParseException is not)
+      case e: java.time.format.DateTimeParseException =>
+        respond(ex, 400, "application/json", err(e.getMessage))
       case scala.util.control.NonFatal(e) => respond(ex, 500, "application/json", err(e.toString))
     }
   })

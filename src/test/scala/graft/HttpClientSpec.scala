@@ -85,6 +85,12 @@ class HttpClientSpec extends AnyFunSuite {
       val arg = c.db.query("""[:find ?k :in [?name] :where [[?r :r_name ?name] [?r :r_regionkey ?k]]]""",
         Seq("ASIA"))
       assert(arg.rows == Seq(Seq(2L)))
+      // a ':'-led STRING that is not a legal keyword must stay quoted on
+      // the wire (the old startsWith-":" heuristic emitted invalid EDN)
+      val notKw = c.db.query(
+        """[:find ?k :in [?name] :where [[?r :r_name ?name] [?r :r_regionkey ?k]]]""",
+        Seq(":not a keyword"))
+      assert(notKw.rows.isEmpty) // binds the literal string; matches nothing
 
       // entity / entityTx / history
       assert(c.db().entity("ivan").exists(_("name") == "Ivan 2"))

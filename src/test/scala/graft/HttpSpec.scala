@@ -77,6 +77,32 @@ class HttpSpec extends AnyFunSuite {
     }
   }
 
+  test("entity-history honors the tx basis over the wire (r9)") {
+    withNode { (_, port) =>
+      val (tx1, _) = submit(port, """[["put", {"crux.db/id": ":h", "v": 1}, "2020-01-01T00:00:00"]]""")
+      submit(port, """[["put", {"crux.db/id": ":h", "v": 2}, "2020-02-01T00:00:00"]]""")
+      val (c, body) = get(port, s"/_crux/entity?eid=${enc(":h")}&history=true&tx-id=$tx1")
+      assert(c == 200, body)
+      val hist = (Json.parse(body) \ "entity-history").asInstanceOf[JArray].arr
+      // the tx-2 version must be invisible at the tx-1 basis
+      assert(hist.size == 1, body)
+      val (cAll, bodyAll) = get(port, s"/_crux/entity?eid=${enc(":h")}&history=true")
+      assert(cAll == 200)
+      assert((Json.parse(bodyAll) \ "entity-history").asInstanceOf[JArray].arr.size == 2)
+    }
+  }
+
+  test("malformed temporal params are 400s; :timeout surfaces as 408 (r9)") {
+    withNode { (_, port) =>
+      assert(get(port, s"/_crux/entity?eid=${enc(":x")}&valid-time=garbage")._1 == 400)
+      // :timeout 0 can never satisfy a real Spark job — the wire path
+      // must collect under the cancellable group and map to 408
+      val edn = enc("""{:find [?c ?n] :timeout 0
+                       :where [[?c :c_nationkey ?nk] [?n :n_nationkey ?nk]]}""")
+      assert(get(port, s"/_crux/query?query-edn=$edn")._1 == 408)
+    }
+  }
+
   test("evict over HTTP erases the entity at every basis (http_server_test.clj:189)") {
     withNode { (_, port) =>
       submit(port, """[["put", {"crux.db/id": ":gone", "name": "Eva"}, "2020-01-01T00:00:00"]]""")
