@@ -130,8 +130,12 @@ object JdbcLog {
           try rs.next() finally rs.close()
         } finally probe.close()
         if (exists) {
+          // only live rows update: a compacted (evicted) row must keep
+          // its tombstone — a resubmit after evict INSERTS a new row, and
+          // rewriting the old one would put live bytes behind the
+          // compacted flag any compliance scan relies on
           val up = c.prepareStatement(
-            "UPDATE tx_events SET v = ? WHERE topic = 'docs' AND event_key = ?")
+            "UPDATE tx_events SET v = ? WHERE topic = 'docs' AND event_key = ? AND compacted = 0")
           try { up.setBytes(1, json.getBytes("UTF-8")); up.setString(2, key); up.executeUpdate(); () }
           finally up.close()
         } else {
@@ -358,8 +362,13 @@ object JdbcLog {
     val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
     val conf = spark.sessionState.newHadoopConf()
     val t = new Thread(() => {
+      // transient poll errors (a momentary connection/Spark hiccup) must
+      // not kill the tail silently — awaitTx would block forever with no
+      // error. Retry with backoff; only REPEATED consecutive failures
+      // set the terminal failure the caller's cancel() rethrows.
+      var consecutiveFailures = 0
       try {
-        while (!stop.get()) {
+        while (!stop.get()) try {
           val after = IngestStream.committedTx(stateDir, conf).getOrElse(0L)
           if (latestSubmittedTx(url).exists(_ > after)) {
             // one partitioned scan for the tick's increment, then per-tx
@@ -378,6 +387,15 @@ object JdbcLog {
               }
             }
           } else Thread.sleep(pollMs)
+          consecutiveFailures = 0
+        } catch {
+          case e: InterruptedException => throw e
+          case e: Throwable =>
+            consecutiveFailures += 1
+            if (consecutiveFailures >= 5) throw e
+            Console.err.println(
+              s"jdbc subscriber: poll failed ($consecutiveFailures/5), retrying: $e")
+            Thread.sleep(pollMs * consecutiveFailures)
         }
       } catch { case e: Throwable => failure.set(e) }
     }, "graft-jdbc-log-subscriber")

@@ -94,8 +94,17 @@ object Layout {
     * layout rewrites; the catalog table names are stable, so a rebuild
     * for a different dir overwrites them.
     */
+  /** The bucketed CATALOG TABLE NAMES are shared per session, so the
+    * memo must track which dir currently backs them — returning to a
+    * previously-built dir after building for another would otherwise
+    * skip the rebuild and silently serve the other dir's rows. */
+  private val bucketedDir =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+
   def bucketedOrdersLineitem(spark: SparkSession, sfDir: String): Unit = {
-    layoutCache.getOrBuild((spark, sfDir + "#buckets")) {
+    bucketedDir.keySet.removeIf(_.sparkContext.isStopped)
+    if (bucketedDir.get(spark) == sfDir) return
+    locally {
       val base = java.nio.file.Files.createTempDirectory("graft_buckets").toString
       Tables.load(spark, sfDir, "orders")
         .repartition(8, col("o_orderkey"))
@@ -109,6 +118,7 @@ object Layout {
         .saveAsTable("lineitem_bucketed")
       base
     }
+    bucketedDir.put(spark, sfDir)
     ()
   }
 }

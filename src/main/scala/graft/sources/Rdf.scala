@@ -26,15 +26,40 @@ object Rdf {
   }
 
   private def unescapeLit(c: org.apache.spark.sql.Column) = {
-    val u1 = regexp_replace(c, "\\\\n", "\n")
-    val u2 = regexp_replace(u1, "\\\\r", "\r")
-    val u3 = regexp_replace(u2, "\\\\t", "\t")
-    val u4 = regexp_replace(u3, "\\\\\"", "\"")
-    regexp_replace(u4, "\\\\\\\\", "\\\\")
+    // ONE left-to-right pass: sequential per-escape replaces corrupt a
+    // round-trip like "C:\\nodes" (escaped backslash + literal 'n'),
+    // because a later pass re-reads the surviving backslash as the start
+    // of an escape. No regexp_replace chain can consume pairs once
+    // (\\n must yield a newline but \\\\n a backslash+n), so this is a
+    // UDF — acceptable HERE because it runs once per corpus inside the
+    // persisted parse, never in a query hot path.
+    import org.apache.spark.sql.functions.udf
+    val un = udf { (s: String) =>
+      if (s == null || !s.contains("\\")) s
+      else {
+        val sb = new java.lang.StringBuilder(s.length)
+        var i = 0
+        while (i < s.length) {
+          val ch = s.charAt(i)
+          if (ch == '\\' && i + 1 < s.length) {
+            s.charAt(i + 1) match {
+              case 'n' => sb.append('\n'); i += 2
+              case 'r' => sb.append('\r'); i += 2
+              case 't' => sb.append('\t'); i += 2
+              case '"' => sb.append('"'); i += 2
+              case '\\' => sb.append('\\'); i += 2
+              case o => sb.append(ch); sb.append(o); i += 2
+            }
+          } else { sb.append(ch); i += 1 }
+        }
+        sb.toString
+      }
+    }
+    un(c)
   }
 
   /** literal or IRI object term, with optional ^^datatype / @lang. */
-  private val ObjLit = """^"(.*)"(?:\^\^<([^>]*)>|@[A-Za-z-]+)?\s*$"""
+  private val ObjLit = """^"(.*)"(?:\^\^<([^>]*)>|@[A-Za-z0-9-]+)?\s*$"""
   private val ObjIri = """^<([^>]*)>\s*$"""
 
   /** Per-(session, path) cache of PERSISTED parsed quads. The regex parse
@@ -112,6 +137,12 @@ object Rdf {
       df.filter(col(c).isNotNull).select(concat(
         lit(s"<$ns/e/"), col(idCol).cast("string"), lit(s"> <$ns/$c> "), obj, lit(" .")).as("value"))
     }
-    lines.reduce(_ unionByName _)
+    if (lines.isEmpty)
+      df.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("value",
+            org.apache.spark.sql.types.StringType))))
+    else lines.reduce(_ unionByName _)
   }
 }

@@ -31,7 +31,20 @@ final class SessionCache[K <: Product, V] {
     m.keySet.removeIf(kk => sessionOf(kk).sparkContext.isStopped)
     Option(m.get(k)).getOrElse {
       val v = build
-      Option(m.putIfAbsent(k, v)).getOrElse(v)
+      Option(m.putIfAbsent(k, v)) match {
+        case None => v
+        case Some(winner) =>
+          // racing duplicate build lost: a PLAN is free to drop, but a
+          // persisted/cached frame would pin block-manager storage for
+          // the session's lifetime with no handle left — release it
+          v match {
+            case df: org.apache.spark.sql.DataFrame
+                if df.storageLevel != org.apache.spark.storage.StorageLevel.NONE =>
+              df.unpersist(blocking = false); ()
+            case _ => ()
+          }
+          winner
+      }
     }
   }
 

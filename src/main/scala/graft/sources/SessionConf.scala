@@ -17,9 +17,15 @@ import org.apache.spark.sql.SparkSession
   * concurrent queries. */
 object SessionConf {
   def withConf[A](sp: SparkSession, kvs: (String, String)*)(body: => A): A = {
-    val prev = kvs.map { case (k, _) => k -> sp.conf.get(k) }
+    // getOption, not get: a key with no session value and no built-in
+    // default would throw at the save step, and a previously-UNSET key
+    // must restore to unset (not to an explicit value)
+    val prev = kvs.map { case (k, _) => k -> sp.conf.getOption(k) }
     kvs.foreach { case (k, v) => sp.conf.set(k, v) }
-    try body finally prev.foreach { case (k, v) => sp.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => sp.conf.set(k, v)
+      case (k, None) => sp.conf.unset(k)
+    }
   }
 
   /** The interactive/micro-batch sizing pair: static small shuffle

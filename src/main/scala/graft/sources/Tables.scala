@@ -68,8 +68,8 @@ object Tables {
   private[graft] def readEventsRaw(spark: SparkSession, path: String): DataFrame =
     try spark.read.parquet(path)
     catch {
-      case e: Exception if causeChain(e).exists(_.getMessage != null) &&
-          causeChain(e).exists(m => Option(m.getMessage).exists(_.contains("NANOS"))) =>
+      case e: Exception if causeChain(e)
+          .exists(m => Option(m.getMessage).exists(_.contains("NANOS"))) =>
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.read.parquet(path)
     }

@@ -117,8 +117,8 @@ object WatDivGen {
     val path = if (args.nonEmpty) args(0) else defaultPath
     val p = Paths.get(path)
     Option(p.getParent).foreach(Files.createDirectories(_))
-    Files.write(p, triples().mkString("", "\n", "\n")
-      .getBytes(StandardCharsets.UTF_8))
-    println(s"wrote ${triples().size} triples to $path")
+    val ts = triples()
+    Files.write(p, ts.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    println(s"wrote ${ts.size} triples to $path")
   }
 }

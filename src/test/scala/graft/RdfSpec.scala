@@ -12,10 +12,13 @@ class RdfSpec extends AnyFunSuite {
     val df = Seq(
       (1L, "say \"hi\" twice", 10L),
       (2L, "back\\slash and\ttab", 20L),
-      (3L, "line one\nline two", 30L)).toDF("id", "note", "n")
+      (3L, "line one\nline two", 30L),
+      // escaped backslash followed by a letter that LOOKS like an escape:
+      // sequential per-escape unescaping turned "C:\nodes" into a newline
+      (4L, "C:\\nodes and D:\\tmp and E:\\\\double", 40L)).toDF("id", "note", "n")
     val lines = Rdf.toNTriples(df, "http://g", "id")
     // every triple is exactly one physical line
-    assert(lines.count() == 6)
+    assert(lines.count() == 8)
     val dir = java.nio.file.Files.createTempDirectory("graft_rdf_spec").toString + "/nt"
     lines.coalesce(1).write.text(dir)
     val back = Rdf.loadNTriples(spark, dir)
@@ -24,9 +27,10 @@ class RdfSpec extends AnyFunSuite {
     assert(notes("1") == "say \"hi\" twice")
     assert(notes("2") == "back\\slash and\ttab")
     assert(notes("3") == "line one\nline two")
+    assert(notes("4") == "C:\\nodes and D:\\tmp and E:\\\\double")
     val nums = back.filter($"a" === "n").select($"e", $"v_num").collect()
       .map(r => (r.getString(0), r.getLong(1))).toMap
-    assert(nums == Map("1" -> 10L, "2" -> 20L, "3" -> 30L))
+    assert(nums == Map("1" -> 10L, "2" -> 20L, "3" -> 30L, "4" -> 40L))
   }
 
   test("artists graph: entity count, ref navigation, blank-node doc (rdf_test.clj:9-28)") {
