@@ -23,6 +23,19 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Materialize a one-shot operator's (small) RESULT with one eager
+    * localCheckpoint and release the corpus-sized persisted intermediates
+    * — a lazily returned plan left them pinned on the executors for the
+    * session's lifetime (orders of magnitude larger than the pair sets
+    * they produce). Every consumer of these operators collects or
+    * checkpoints immediately anyway. */
+  private def materializeAndRelease(result: DataFrame,
+      cached: DataFrame*): DataFrame = {
+    val out = result.localCheckpoint(true)
+    cached.foreach(_.unpersist(false))
+    out
+  }
+
   /** Exact duplicates: canonical (min) id + count per content hash. */
   def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs.groupBy(md5(lower(col(textCol))).as("content_hash"))
@@ -111,7 +124,7 @@ object Dedup {
     val counts = cRare.join(cHot, Seq("d1", "d2"), "left")
       .select(col("d1"), col("d2"),
         (col("c_rare") + coalesce(col("c_hot"), lit(0L))).as("c"))
-    jaccardFromCounts(sh, counts, tau)
+    materializeAndRelease(jaccardFromCounts(sh, counts, tau), sh)
   }
 
   private def jaccardFromCounts(sh: DataFrame, counts: DataFrame, tau: Double): DataFrame = {
@@ -195,9 +208,15 @@ object Dedup {
     * shingle explode dominates otherwise. */
   def minhashLshPairs(docs: DataFrame, tau: Double, k: Int = 3,
       numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    // bands must tile the signature exactly: bands > numHashes makes
+    // rowsPerBand = 0 (every band key constant -> the O(n^2) cross join
+    // the design exists to avoid) and a non-divisor silently drops the
+    // trailing hashes, changing the 1-(1-J^r)^b recall guarantee
+    require(bands > 0 && numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
     val sh = shingles(docs, k).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = lshCandidates(minhashSignatures(sh, numHashes), bands, numHashes / bands)
-    jaccardOfPairs(sh, cand, tau)
+    materializeAndRelease(jaccardOfPairs(sh, cand, tau), sh)
   }
 
   /** 60-bit SimHash per doc from md5-derived token hashes (md5 so the
@@ -258,7 +277,10 @@ object Dedup {
     // cosine — while at the old 200k default the brute path cost
     // ~2×10¹⁰ kernels, minutes slower than LSH for no accuracy gain
     // (VERDICT r2 "What's wrong" #4)
-    val small = e.limit((bruteMaxRows + 1).toInt).count() <= bruteMaxRows
+    val probeN = if (bruteMaxRows >= Int.MaxValue) Int.MaxValue
+      else (bruteMaxRows + 1L).toInt // saturate: a Long.MaxValue "always
+      // brute" pin must not wrap into a negative limit
+    val small = e.limit(probeN).count() <= bruteMaxRows
     if (!small) return embeddingLshPairs(emb, tau, idCol = idCol, vecCol = vecCol)
     // small-file inputs arrive as few partitions; spread the stream side
     // so the O(N²) scoring loop parallelizes. Unconditional: at ≤25k rows
@@ -313,12 +335,12 @@ object Dedup {
     val cand = keys.as("a")
       .join(keys.as("b"), col("a.bk") === col("b.bk") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2")).distinct()
-    cand
+    materializeAndRelease(cand
       .join(e.select(col("vec_id").as("v1"), col("v").as("va")), Seq("v1"))
       .join(e.select(col("vec_id").as("v2"), col("v").as("vb")), Seq("v2"))
       .select(col("v1"), col("v2"),
         round(Similarity.nativeCosine(spark, col("va"), col("vb")), 6).as("cosine"))
-      .filter(col("cosine") >= tau)
+      .filter(col("cosine") >= tau), e)
   }
 
   /** Connected components over a near-dup pair list → (id, cluster), where
@@ -495,13 +517,16 @@ object Dedup {
         least(lit(g.toLong), coalesce(lead(col("pos"), 1).over(w) - col("pos"), lit(g.toLong))))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_dup_grams"), sum(col("_cover")).as("dup_tokens"))
-    toks.select(col("doc_id"), size(col("_tk")).cast("long").as("n_tokens"))
-      .join(perDoc, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_tokens"),
-        greatest(col("n_tokens") - (g - 1), lit(0L)).as("n_grams"),
-        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
-        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
-        (coalesce(col("dup_tokens"), lit(0L)).cast("double") / col("n_tokens"))
-          .as("dup_ratio"))
+    materializeAndRelease(
+      toks.select(col("doc_id"), size(col("_tk")).cast("long").as("n_tokens"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          greatest(col("n_tokens") - (g - 1), lit(0L)).as("n_grams"),
+          coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+          coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+          when(col("n_tokens") > 0,
+            coalesce(col("dup_tokens"), lit(0L)).cast("double") / col("n_tokens"))
+            .otherwise(lit(0.0)).as("dup_ratio")),
+      grams)
   }
 }

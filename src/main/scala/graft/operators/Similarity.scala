@@ -437,8 +437,13 @@ object Similarity {
       col(vecCol).cast("array<double>").as("cv"))
     // centroid per cell: element-wise mean — sums and count in ONE
     // aggregation pass (a second groupBy + join would shuffle the corpus
-    // twice for the same nlist-row result)
-    val sums = (0 until dims).map(i => sum(element_at(col("cv"), i + 1)).as(s"s$i")) :+
+    // twice for the same nlist-row result). DECIMAL sums (Exact.dsum,
+    // the kmeansAssign discipline): a raw double sum is partition-order
+    // dependent, and a near-tie cdist could flip the probe's cell choice
+    // between runs — the determinism the module header promises
+    val sums = (0 until dims).map(i =>
+      graft.functions.Exact.dsum(element_at(col("cv"), i + 1)
+        .cast(org.apache.spark.sql.types.DecimalType(24, 18))).as(s"s$i")) :+
       count(lit(1)).as("n")
     val cent = c.groupBy(col("cell")).agg(sums.head, sums.tail: _*)
       .select(col("cell"), array((0 until dims).map(i => col(s"s$i") / col("n")): _*).as("centroid"))

@@ -52,10 +52,14 @@ object TextAnalysis {
     }
     val scores = langMarkers.map { case (l, _) => col(s"score_$l") }
     val best = greatest(scores: _*)
-    // WHEN chain in declaration order = fixed tie-break priority
-    val pred = langMarkers.reverse.foldLeft(lit("unknown")) {
+    // WHEN chain in declaration order = fixed tie-break priority; zero
+    // hits across every language is genuinely UNKNOWN — without the
+    // best-=== 0 gate the first branch always matched and Russian/
+    // Japanese/code/gibberish text silently labeled "en"
+    val pred0 = langMarkers.reverse.foldLeft(lit("unknown")) {
       case (elseCol, (lang, _)) => when(col(s"score_$lang") === best, lit(lang)).otherwise(elseCol)
     }
+    val pred = when(best === 0, lit("unknown")).otherwise(pred0)
     scored.withColumn("predicted", pred).drop("_toks")
   }
 
@@ -65,9 +69,15 @@ object TextAnalysis {
     val t = tokens(col(textCol))
     df.withColumn("n_tokens", size(t).cast("long"))
       .withColumn("n_alpha", length(regexp_replace(col(textCol), "\\s", "")).cast("long"))
-      .withColumn("avg_token_len", col("n_alpha").cast("double") / col("n_tokens"))
+      // zero-token docs are routine in web corpora and score 0, not
+      // DIVIDE_BY_ZERO (Spark 4 runs ANSI by default)
+      .withColumn("avg_token_len",
+        when(col("n_tokens") > 0, col("n_alpha").cast("double") / col("n_tokens"))
+          .otherwise(lit(0.0)))
       .withColumn("stop_hits", markerHits(t, langMarkers.head._2).cast("long"))
-      .withColumn("stop_ratio", col("stop_hits").cast("double") / col("n_tokens"))
+      .withColumn("stop_ratio",
+        when(col("n_tokens") > 0, col("stop_hits").cast("double") / col("n_tokens"))
+          .otherwise(lit(0.0)))
       .withColumn("quality",
         least(col("n_tokens").cast("double") / 100.0, lit(1.0)) * 0.5 +
           least(col("stop_ratio") * 5.0, lit(1.0)) * 0.5)
@@ -89,16 +99,17 @@ object TextAnalysis {
   /** Per-doc PII counts + a redacted copy (emails masked first — an email
     * contains dots an IPv4 pattern could otherwise bite into). One codegen
     * pass, no UDF; the training-pipeline scrub step. */
-  def piiScan(df: DataFrame, textCol: String = "text"): DataFrame =
+  def piiScan(df: DataFrame, textCol: String = "text"): DataFrame = {
+    // counts follow the SAME precedence as the redaction (emails consume
+    // their spans first): counting phones/ips on the raw text would
+    // double-count digits inside an address the redaction masks <EMAIL>
+    val afterEmail = regexp_replace(col(textCol), emailRe, "<EMAIL>")
+    val afterPhone = regexp_replace(afterEmail, phoneRe, "<PHONE>")
     df.withColumn("n_emails", regexp_count(col(textCol), lit(emailRe)).cast("long"))
-      .withColumn("n_phones", regexp_count(col(textCol), lit(phoneRe)).cast("long"))
-      .withColumn("n_ips", regexp_count(col(textCol), lit(ipv4Re)).cast("long"))
-      .withColumn("redacted",
-        regexp_replace(
-          regexp_replace(
-            regexp_replace(col(textCol), emailRe, "<EMAIL>"),
-            phoneRe, "<PHONE>"),
-          ipv4Re, "<IP>"))
+      .withColumn("n_phones", regexp_count(afterEmail, lit(phoneRe)).cast("long"))
+      .withColumn("n_ips", regexp_count(afterPhone, lit(ipv4Re)).cast("long"))
+      .withColumn("redacted", regexp_replace(afterPhone, ipv4Re, "<IP>"))
+  }
 
   // ------------------------------------- repetition signals (r5, Gopher)
 
@@ -111,16 +122,24 @@ object TextAnalysis {
   def repetitionStats(df: DataFrame, textCol: String = "text"): DataFrame = {
     val withToks = df.withColumn("_ts", tokens(col(textCol)))
     val n = size(col("_ts"))
+    // slice length floors at 0 and the ratios guard n_tokens = 0: an
+    // empty/whitespace-only doc (routine in web corpora) must score as
+    // fully-repetitive-free, not crash slice(-1)/DIVIDE_BY_ZERO (ANSI)
     val bigrams = zip_with(
-      slice(col("_ts"), lit(1), n - 1), slice(col("_ts"), lit(2), n - 1),
+      slice(col("_ts"), lit(1), greatest(n - 1, lit(0))),
+      slice(col("_ts"), lit(2), greatest(n - 1, lit(0))),
       (a, b) => concat(a, lit(" "), b))
     withToks
       .withColumn("n_tokens", n.cast("long"))
       .withColumn("n_distinct", size(array_distinct(col("_ts"))).cast("long"))
-      .withColumn("distinct_ratio", col("n_distinct").cast("double") / col("n_tokens"))
+      .withColumn("distinct_ratio",
+        when(col("n_tokens") > 0, col("n_distinct").cast("double") / col("n_tokens"))
+          .otherwise(lit(0.0)))
       .withColumn("top_token_frac",
-        array_max(transform(array_distinct(col("_ts")),
-          t => size(filter(col("_ts"), x => x === t)))).cast("double") / col("n_tokens"))
+        when(col("n_tokens") > 0,
+          array_max(transform(array_distinct(col("_ts")),
+            t => size(filter(col("_ts"), x => x === t)))).cast("double") / col("n_tokens"))
+          .otherwise(lit(0.0)))
       .withColumn("_bg", bigrams)
       .withColumn("dup_bigram_frac",
         when(size(col("_bg")) > 0,
@@ -139,7 +158,9 @@ object TextAnalysis {
     df.withColumn("n_tokens", size(t).cast("long"))
       .withColumn("too_short", col("n_tokens") < 5)
       .withColumn("mean_token_len",
-        aggregate(t, lit(0L), (acc, w) => acc + length(w)).cast("double") / col("n_tokens"))
+        when(col("n_tokens") > 0,
+          aggregate(t, lit(0L), (acc, w) => acc + length(w)).cast("double") / col("n_tokens"))
+          .otherwise(lit(0.0)))
       .withColumn("bad_word_len", col("mean_token_len") < 3.0 || col("mean_token_len") > 10.0)
       .withColumn("has_brace", col(textCol).contains("{"))
       .withColumn("has_lorem", lower(col(textCol)).contains("lorem ipsum"))

@@ -564,16 +564,23 @@ object TrainSql {
                     ' from 10.' || CAST(doc_id % 256 AS VARCHAR) ||
                     '.0.' || CAST(doc_id % 250 + 1 AS VARCHAR) END AS t
         FROM documents)
+      , staged AS (
+        -- counts follow the redaction precedence: phones count after
+        -- emails are masked, ips after both (piiScan's contract)
+        SELECT doc_id, t,
+          regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS after_email
+        FROM d)
+      , staged2 AS (
+        SELECT doc_id, t, after_email,
+          regexp_replace(after_email, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g') AS after_phone
+        FROM staged)
       SELECT doc_id,
         CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
-        CAST(len(regexp_extract_all(t, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b')) AS BIGINT) AS n_phones,
-        CAST(len(regexp_extract_all(t, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
-        regexp_replace(
-          regexp_replace(
-            regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-            '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g'),
+        CAST(len(regexp_extract_all(after_email, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b')) AS BIGINT) AS n_phones,
+        CAST(len(regexp_extract_all(after_phone, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+        regexp_replace(after_phone,
           '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS redacted
-      FROM d""",
+      FROM staged2""",
 
     "text_repetition" -> s"""
       WITH t AS (SELECT doc_id, $toks AS tk FROM documents)
