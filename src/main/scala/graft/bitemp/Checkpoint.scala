@@ -25,6 +25,11 @@ object Checkpoint {
 
   final case class Meta(txId: Long, millis: Long, path: String)
 
+  /** How long an unmarked checkpoint dir must be older than the current
+    * save before torn-dir GC may delete it. Generous: covers a slow
+    * concurrent snapshot write plus multi-node clock skew. Test-visible. */
+  private[graft] var TornDirGraceMillis: Long = 60L * 60 * 1000
+
   private val Dir = "checkpoint-(-?\\d+)-(\\d+)".r
 
   private def fs(spark: SparkSession, dir: String): FileSystem =
@@ -46,12 +51,15 @@ object Checkpoint {
     all.dropRight(keep).foreach(m => f.delete(new Path(m.path), true))
     // torn dirs (data landed but the marker write failed — the reference's
     // cleanup-checkpoint concern, checkpoint.clj:94-113) would otherwise
-    // accumulate forever: every one OLDER than this completed checkpoint
-    // is garbage by the marker ordering (an in-flight concurrent save is
-    // strictly newer by its millis stamp)
+    // accumulate forever. Only collect unmarked dirs a generous grace
+    // window older than this save: a concurrent saver that stamped its
+    // millis just before ours may still be writing parquet (multi-node
+    // shared stores; clock skew widens the window) — deleting its
+    // in-flight dir would let its later _COMPLETE mark a gutted snapshot
+    // as restorable. Torn dirs linger at most one grace window.
     f.listStatus(new Path(storeDir)).foreach { st =>
       st.getPath.getName match {
-        case Dir(_, ms) if ms.toLong < millis &&
+        case Dir(_, ms) if ms.toLong < millis - TornDirGraceMillis &&
             !f.exists(new Path(st.getPath, "_COMPLETE")) =>
           f.delete(st.getPath, true); ()
         case _ => ()

@@ -95,7 +95,10 @@ object Dedup {
     * result is exact whenever maxShingleDf ≥ the corpus max df (true for
     * the gate corpus, max df = 7), and misses only pairs whose overlap is
     * exclusively hot shingles — the pairs a dedup pipeline deliberately
-    * does not want (boilerplate-only overlap). */
+    * does not want (boilerplate-only overlap).
+    *
+    * EAGER: computes on call and releases its corpus-sized shingle cache;
+    * the returned DataFrame is a checkpointed result, not a lazy plan. */
   def ngramJaccardPairs(docs: DataFrame, tau: Double, k: Int = 3,
       maxShingleDf: Int = 1000): DataFrame = {
     // persist: the tokenize/shingle explode feeds the df agg, both
@@ -202,12 +205,14 @@ object Dedup {
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
   }
 
-  /** MinHash+LSH near-dup pairs, exact-Jaccard verified (≥ tau).
-    * The shingle relation is cached: it feeds signature computation AND
-    * candidate verification (3 consumers), and recomputing the tokenize/
-    * shingle explode dominates otherwise. */
-  def minhashLshPairs(docs: DataFrame, tau: Double, k: Int = 3,
-      numHashes: Int = 64, bands: Int = 16): DataFrame = {
+  /** Pre-checkpoint (lazy) plan for [[minhashLshPairs]] plus the caches it
+    * pins. Exists so PlanSpec can assert the partitioning discipline
+    * (REPARTITION_BY_NUM, no cartesian) on the real pair plan — the public
+    * API eagerly checkpoints, which replaces the logical plan with a
+    * `Scan ExistingRDD` and would hide those properties. Callers of this
+    * builder own unpersisting the returned caches. */
+  private[graft] def minhashLshPairsLazy(docs: DataFrame, tau: Double, k: Int = 3,
+      numHashes: Int = 64, bands: Int = 16): (DataFrame, Seq[DataFrame]) = {
     // bands must tile the signature exactly: bands > numHashes makes
     // rowsPerBand = 0 (every band key constant -> the O(n^2) cross join
     // the design exists to avoid) and a non-divisor silently drops the
@@ -216,7 +221,21 @@ object Dedup {
       s"bands ($bands) must divide numHashes ($numHashes)")
     val sh = shingles(docs, k).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = lshCandidates(minhashSignatures(sh, numHashes), bands, numHashes / bands)
-    materializeAndRelease(jaccardOfPairs(sh, cand, tau), sh)
+    (jaccardOfPairs(sh, cand, tau), Seq(sh))
+  }
+
+  /** MinHash+LSH near-dup pairs, exact-Jaccard verified (≥ tau).
+    * The shingle relation is cached: it feeds signature computation AND
+    * candidate verification (3 consumers), and recomputing the tokenize/
+    * shingle explode dominates otherwise.
+    *
+    * EAGER: computes on call and releases its corpus-sized caches; the
+    * returned DataFrame is a checkpointed result, not a lazy plan
+    * (see [[materializeAndRelease]]; plan pins use [[minhashLshPairsLazy]]). */
+  def minhashLshPairs(docs: DataFrame, tau: Double, k: Int = 3,
+      numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val (pairs, caches) = minhashLshPairsLazy(docs, tau, k, numHashes, bands)
+    materializeAndRelease(pairs, caches: _*)
   }
 
   /** 60-bit SimHash per doc from md5-derived token hashes (md5 so the
@@ -314,7 +333,10 @@ object Dedup {
     * missing a pair at exactly cosine = tau is ≤ 1e-7 (higher-cosine
     * pairs miss even less), so the exact brute-force oracle applies on
     * any realistic corpus. Every stage is an equi-join / aggregation —
-    * survives a 1000-executor 100 TB layout. */
+    * survives a 1000-executor 100 TB layout.
+    *
+    * EAGER: computes on call and releases its persisted vector relation;
+    * the returned DataFrame is a checkpointed result, not a lazy plan. */
   def embeddingLshPairs(emb: DataFrame, tau: Double, rowsPerBand: Int = 3,
       bandsOverride: Int = 0, dims: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -494,7 +516,10 @@ object Dedup {
     * `lead` window per doc, no O(n·dups) blowup. The suffix-array
     * construction in the paper finds arbitrary-length repeats; fixed-g
     * spans are the standard scalable approximation (their own release
-    * dedups at a fixed 50-token window). */
+    * dedups at a fixed 50-token window).
+    *
+    * EAGER: computes on call and releases its corpus-sized gram cache;
+    * the returned DataFrame is a checkpointed result, not a lazy plan. */
   def dupSpanStats(docs: DataFrame, g: Int = 8,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),

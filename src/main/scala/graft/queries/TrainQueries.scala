@@ -68,6 +68,20 @@ object TrainQueries {
       (build: => DataFrame): DataFrame =
     pairSetCache.getOrBuild((s, dir, kind))(build.localCheckpoint(true))
 
+  /** Degenerate-doc decoration (r10): empty, whitespace-only and
+    * marker-free docs are routine in web corpora but absent from the
+    * synthetic fixture, so the zero-token ANSI guards in qualityScore/
+    * repetitionStats/c4Filters/dupSpanStats and langId's zero-hit
+    * "unknown" branch were unit-spec'd yet never oracle-checked. The five
+    * text gates below run over this decorated frame; the oracle mirrors it
+    * in [[TrainSql.degenDocs]]. */
+  private def withDegenerateDocs(d: DataFrame): DataFrame =
+    d.withColumn("text",
+      when(col("doc_id") % 23 === 1, lit(""))
+        .when(col("doc_id") % 23 === 2, lit("   "))
+        .when(col("doc_id") % 23 === 3, lit("zzz9 qqq7 zzz9 qqq7 xxw4"))
+        .otherwise(col("text")))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
 
@@ -211,12 +225,12 @@ object TrainQueries {
       Sampling.packSequences(docs(s, dir), maxTokens = 2048)),
 
     "text_lang_id" -> ((s, dir) =>
-      TextAnalysis.langId(docs(s, dir))
+      TextAnalysis.langId(withDegenerateDocs(docs(s, dir)))
         .select(col("doc_id"), col("predicted"), col("lang"),
           col("score_en"), col("score_de"), col("score_es"), col("score_fr"))),
 
     "text_quality" -> ((s, dir) =>
-      TextAnalysis.qualityScore(docs(s, dir))
+      TextAnalysis.qualityScore(withDegenerateDocs(docs(s, dir)))
         .select(col("doc_id"), col("n_tokens"), col("n_alpha"),
           col("avg_token_len"), col("stop_ratio"), col("quality"))),
 
@@ -256,7 +270,7 @@ object TrainQueries {
     // Gopher repetition signals (r5): distinct-token ratio, top-token
     // fraction, duplicate-bigram fraction — array built-ins, no shuffle
     "text_repetition" -> ((s, dir) =>
-      TextAnalysis.repetitionStats(docs(s, dir))
+      TextAnalysis.repetitionStats(withDegenerateDocs(docs(s, dir)))
         .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
           col("distinct_ratio"), col("top_token_frac"), col("dup_bigram_frac"))),
 
@@ -264,7 +278,7 @@ object TrainQueries {
     // so every drop reason fires on some docs (braces / tiny doc / lorem)
     "text_c4_filters" -> ((s, dir) =>
       TextAnalysis.c4Filters(
-        docs(s, dir).withColumn("text",
+        withDegenerateDocs(docs(s, dir)).withColumn("text",
           when(col("doc_id") % 13 === 0, concat(col("text"), lit(" {code}")))
             .when(col("doc_id") % 17 === 0, lit("tiny doc"))
             .when(col("doc_id") % 19 === 0, concat(col("text"), lit(" Lorem Ipsum dolor")))
@@ -277,7 +291,8 @@ object TrainQueries {
     // granularity): tokens covered by an 8-gram that occurs ≥2 times in
     // the corpus — interval-union coverage via one lead() window, exact
     "text_dup_spans" -> ((s, dir) =>
-      pairSet(s, dir, "dup_spans")(Dedup.dupSpanStats(docs(s, dir), 8))),
+      pairSet(s, dir, "dup_spans")(
+        Dedup.dupSpanStats(withDegenerateDocs(docs(s, dir)), 8))),
 
     // top-5 TF-IDF terms per doc (r6): rational idf (N+1)/(df+1) — same
     // ranking as the log form, bit-exact vs the oracle
@@ -360,6 +375,17 @@ object TrainQueries {
 object TrainSql {
   private val toks =
     "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+
+  /** Oracle mirror of [[TrainQueries.withDegenerateDocs]]: a CTE that
+    * overrides `text` for the degenerate-doc family (empty / whitespace /
+    * marker-free-with-repeats) so the five text gates exercise the
+    * zero-token guards bit-for-bit. */
+  private val degenDocs = """
+    degen AS (SELECT * REPLACE (
+      CASE WHEN doc_id % 23 = 1 THEN ''
+           WHEN doc_id % 23 = 2 THEN '   '
+           WHEN doc_id % 23 = 3 THEN 'zzz9 qqq7 zzz9 qqq7 xxw4'
+           ELSE text END AS text) FROM documents)"""
 
   private val shingleCtes = s"""
     docs AS (SELECT doc_id, $toks AS t FROM documents),
@@ -492,7 +518,8 @@ object TrainSql {
       ORDER BY cos DESC, e.vec_id LIMIT 20""",
 
     "text_lang_id" -> s"""
-      WITH t AS (SELECT doc_id, lang, $toks AS tk FROM documents),
+      WITH $degenDocs,
+      t AS (SELECT doc_id, lang, $toks AS tk FROM degen),
       scored AS (SELECT doc_id, lang,
         len(list_filter(tk, x -> list_contains(['the','a','of','and','to','is','in'], x))) AS score_en,
         len(list_filter(tk, x -> list_contains(['der','die','und','ist','das','ein'], x))) AS score_de,
@@ -501,7 +528,8 @@ object TrainSql {
         len(list_filter(tk, x -> list_contains(['的','是','在','了'], x))) AS score_zh
         FROM t)
       SELECT doc_id,
-        CASE WHEN score_en = GREATEST(score_en, score_de, score_es, score_fr, score_zh) THEN 'en'
+        CASE WHEN GREATEST(score_en, score_de, score_es, score_fr, score_zh) = 0 THEN 'unknown'
+             WHEN score_en = GREATEST(score_en, score_de, score_es, score_fr, score_zh) THEN 'en'
              WHEN score_de = GREATEST(score_en, score_de, score_es, score_fr, score_zh) THEN 'de'
              WHEN score_es = GREATEST(score_en, score_de, score_es, score_fr, score_zh) THEN 'es'
              WHEN score_fr = GREATEST(score_en, score_de, score_es, score_fr, score_zh) THEN 'fr'
@@ -511,17 +539,19 @@ object TrainSql {
       FROM scored""",
 
     "text_quality" -> s"""
-      WITH t AS (SELECT doc_id, text, $toks AS tk FROM documents)
-      SELECT doc_id,
+      WITH $degenDocs,
+      t AS (SELECT doc_id, text, $toks AS tk FROM degen),
+      g AS (SELECT doc_id,
         CAST(len(tk) AS BIGINT) AS n_tokens,
         CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS n_alpha,
-        CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / len(tk) AS avg_token_len,
-        CAST(len(list_filter(tk, x -> list_contains(['the','a','of','and','to','is','in'], x))) AS DOUBLE)
-          / len(tk) AS stop_ratio,
-        LEAST(CAST(len(tk) AS DOUBLE) / 100.0, 1.0) * 0.5 +
-          LEAST(CAST(len(list_filter(tk, x -> list_contains(['the','a','of','and','to','is','in'], x))) AS DOUBLE)
-            / len(tk) * 5.0, 1.0) * 0.5 AS quality
-      FROM t""",
+        CAST(len(list_filter(tk, x -> list_contains(['the','a','of','and','to','is','in'], x))) AS BIGINT) AS stop_hits
+        FROM t)
+      SELECT doc_id, n_tokens, n_alpha,
+        CASE WHEN n_tokens > 0 THEN CAST(n_alpha AS DOUBLE) / n_tokens ELSE 0.0 END AS avg_token_len,
+        CASE WHEN n_tokens > 0 THEN CAST(stop_hits AS DOUBLE) / n_tokens ELSE 0.0 END AS stop_ratio,
+        LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5 +
+          LEAST(CASE WHEN n_tokens > 0 THEN CAST(stop_hits AS DOUBLE) / n_tokens ELSE 0.0 END * 5.0, 1.0) * 0.5 AS quality
+      FROM g""",
 
     "text_fingerprint" -> s"""
       SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens,
@@ -583,13 +613,17 @@ object TrainSql {
       FROM staged2""",
 
     "text_repetition" -> s"""
-      WITH t AS (SELECT doc_id, $toks AS tk FROM documents)
+      WITH $degenDocs,
+      t AS (SELECT doc_id, $toks AS tk FROM degen)
       SELECT doc_id,
         CAST(len(tk) AS BIGINT) AS n_tokens,
         CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct,
-        CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS distinct_ratio,
-        CAST(list_max(list_transform(list_distinct(tk),
-          d -> len(list_filter(tk, x -> x = d)))) AS DOUBLE) / len(tk) AS top_token_frac,
+        CASE WHEN len(tk) > 0 THEN
+          CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) ELSE 0.0 END AS distinct_ratio,
+        CASE WHEN len(tk) > 0 THEN
+          CAST(list_max(list_transform(list_distinct(tk),
+            d -> len(list_filter(tk, x -> x = d)))) AS DOUBLE) / len(tk)
+        ELSE 0.0 END AS top_token_frac,
         CASE WHEN len(tk) > 1 THEN
           1.0 - CAST(len(list_distinct(list_transform(range(1, len(tk)),
                   i -> tk[i] || ' ' || tk[i+1]))) AS DOUBLE) / (len(tk) - 1)
@@ -597,18 +631,21 @@ object TrainSql {
       FROM t""",
 
     "text_c4_filters" -> s"""
-      WITH d AS (
+      WITH $degenDocs,
+      d AS (
         SELECT doc_id,
           CASE WHEN doc_id % 13 = 0 THEN text || ' {code}'
                WHEN doc_id % 17 = 0 THEN 'tiny doc'
                WHEN doc_id % 19 = 0 THEN text || ' Lorem Ipsum dolor'
                ELSE text END AS text
-        FROM documents),
+        FROM degen),
       t AS (SELECT doc_id, text, $toks AS tk FROM d),
       f AS (SELECT doc_id, text, tk,
         CAST(len(tk) AS BIGINT) AS n_tokens,
         len(tk) < 5 AS too_short,
-        CAST(list_sum(list_transform(tk, w -> length(w))) AS DOUBLE) / len(tk) AS mean_token_len,
+        CASE WHEN len(tk) > 0 THEN
+          CAST(list_sum(list_transform(tk, w -> length(w))) AS DOUBLE) / len(tk)
+        ELSE 0.0 END AS mean_token_len,
         contains(text, '{') AS has_brace,
         contains(lower(text), 'lorem ipsum') AS has_lorem,
         len(list_filter(tk, x -> list_contains(['the','a','of','and','to','is','in'], x))) = 0 AS no_stopword
@@ -625,7 +662,8 @@ object TrainSql {
       FROM documents GROUP BY source""",
 
     "text_dup_spans" -> s"""
-      WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+      WITH $degenDocs,
+      t AS (SELECT doc_id, $toks AS tk FROM degen),
       g AS (SELECT doc_id,
               unnest(range(len(tk) - 7)) AS pos,
               unnest(list_transform(range(len(tk) - 7),
@@ -645,7 +683,8 @@ object TrainSql {
         CAST(GREATEST(len(tk) - 7, 0) AS BIGINT) AS n_grams,
         CAST(COALESCE(n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
         CAST(COALESCE(dup_tokens, 0) AS BIGINT) AS dup_tokens,
-        CAST(COALESCE(dup_tokens, 0) AS DOUBLE) / len(tk) AS dup_ratio
+        CASE WHEN len(tk) > 0 THEN
+          CAST(COALESCE(dup_tokens, 0) AS DOUBLE) / len(tk) ELSE 0.0 END AS dup_ratio
       FROM t LEFT JOIN agg USING (doc_id)""",
 
     "text_tfidf" -> s"""

@@ -36,13 +36,11 @@ final class SessionCache[K <: Product, V] {
         case Some(winner) =>
           // racing duplicate build lost: a PLAN is free to drop, but a
           // persisted/cached frame would pin block-manager storage for
-          // the session's lifetime with no handle left — release it
-          v match {
-            case df: org.apache.spark.sql.DataFrame
-                if df.storageLevel != org.apache.spark.storage.StorageLevel.NONE =>
-              df.unpersist(blocking = false); ()
-            case _ => ()
-          }
+          // the session's lifetime with no handle left — release it.
+          // Values may be tuple/case-class shaped (e.g. (PqCodebook,
+          // DataFrame)), so scan Products recursively; a bare-DataFrame
+          // match leaked the loser's blocks for tuple entries (r9 advice)
+          SessionCache.releaseLoser(v)
           winner
       }
     }
@@ -55,4 +53,32 @@ final class SessionCache[K <: Product, V] {
   /** Drop one entry, returning its value (so callers can unpersist a
     * cached frame's blocks in a still-live session). */
   def remove(k: K): Option[V] = Option(m.remove(k))
+}
+
+object SessionCache {
+  /** Release every DataFrame reachable from a race-loser value: bare
+    * frames, and frames nested in tuples/case classes/collections (depth
+    * capped — values are small artifact records, not deep trees). Covers
+    * both cache-manager persistence (`unpersist`) and eager
+    * `localCheckpoint` results, whose blocks live on the checkpoint RDD
+    * the cache manager never sees. */
+  private[sources] def releaseLoser(v: Any, depth: Int = 0): Unit = {
+    if (depth > 4) return
+    v match {
+      case df: org.apache.spark.sql.DataFrame =>
+        if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+          df.unpersist(blocking = false)
+        df.queryExecution.logical match {
+          case lr: org.apache.spark.sql.execution.LogicalRDD
+              if lr.rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE =>
+            lr.rdd.unpersist(blocking = false); ()
+          case _ => ()
+        }
+      case p: Product =>
+        p.productIterator.foreach(releaseLoser(_, depth + 1))
+      case it: Iterable[_] =>
+        it.foreach(releaseLoser(_, depth + 1))
+      case _ => ()
+    }
+  }
 }

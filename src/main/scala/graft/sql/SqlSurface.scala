@@ -86,15 +86,73 @@ object SqlSurface {
       case _ => more = false
     }
     val hasPrefix = vt.isDefined || tt.isDefined || txId.isDefined
-    val refsCurrent = "(?i)\\bevents_current\\b".r.findFirstIn(rest).isDefined
-    if (!hasPrefix && !refsCurrent)
-      return if (args.isEmpty) spark.sql(rest) else spark.sql(rest, args)
     val viewName = "events_current_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
+    val (rewritten, refsCurrent) = rewriteTableRefs(rest, "events_current", viewName)
+    if (!hasPrefix && !refsCurrent)
+      return if (args.isEmpty) spark.sql(rest) else spark.sql(rest, args)
     registerCurrent(spark, dir, viewName, vt.getOrElse(utcNow()), tt, txId)
-    val rewritten = rest.replaceAll("(?i)\\bevents_current\\b", viewName)
     try if (args.isEmpty) spark.sql(rewritten) else spark.sql(rewritten, args)
     finally { spark.catalog.dropTempView(viewName); () }
+  }
+
+  /** Rewrite whole-word, case-insensitive occurrences of identifier `table`
+    * to `replacement`, skipping regions where the name is DATA, not a table
+    * reference: single-quoted string literals ('' escapes), double-quoted
+    * literals, `--` line comments and bracketed comments. Backtick-quoted
+    * identifiers ARE references and are rewritten. A blanket
+    * `replaceAll("\\bevents_current\\b")` silently changed literal values
+    * inside the query text (r9 advice). Returns (rewritten, foundRef). */
+  private[graft] def rewriteTableRefs(sql: String, table: String,
+      replacement: String): (String, Boolean) = {
+    val out = new java.lang.StringBuilder(sql.length + 32)
+    val n = sql.length
+    var i = 0
+    var found = false
+    def isWord(c: Char) = c == '_' || Character.isLetterOrDigit(c)
+    while (i < n) {
+      sql.charAt(i) match {
+        case '\'' => // string literal; '' is an escaped quote, not a close
+          var k = i + 1
+          var closed = false
+          while (k < n && !closed) {
+            if (sql.charAt(k) == '\'') {
+              if (k + 1 < n && sql.charAt(k + 1) == '\'') k += 2
+              else { closed = true; k += 1 }
+            } else k += 1
+          }
+          out.append(sql, i, k); i = k
+        case '"' => // double-quoted literal (Spark default: string, not ident)
+          var k = i + 1
+          while (k < n && sql.charAt(k) != '"') k += 1
+          val j = math.min(k + 1, n)
+          out.append(sql, i, j); i = j
+        case '-' if i + 1 < n && sql.charAt(i + 1) == '-' => // line comment
+          var k = i + 2
+          while (k < n && sql.charAt(k) != '\n') k += 1
+          out.append(sql, i, k); i = k
+        case '/' if i + 1 < n && sql.charAt(i + 1) == '*' => // block comment
+          val close = sql.indexOf("*/", i + 2)
+          val j = if (close < 0) n else close + 2
+          out.append(sql, i, j); i = j
+        case '`' => // backtick-quoted identifier: a real table reference
+          var k = i + 1
+          while (k < n && sql.charAt(k) != '`') k += 1
+          val inner = sql.substring(i + 1, math.min(k, n))
+          if (inner.equalsIgnoreCase(table)) { out.append('`').append(replacement).append('`'); found = true }
+          else out.append(sql, i, math.min(k + 1, n))
+          i = math.min(k + 1, n)
+        case c if isWord(c) => // consume a whole identifier/word atomically
+          var k = i
+          while (k < n && isWord(sql.charAt(k))) k += 1
+          val word = sql.substring(i, k)
+          if (word.equalsIgnoreCase(table)) { out.append(replacement); found = true }
+          else out.append(word)
+          i = k
+        case c => out.append(c); i += 1
+      }
+    }
+    (out.toString, found)
   }
 
   private def registerCurrent(spark: SparkSession, dir: String,

@@ -387,6 +387,26 @@ class BitempSpec extends AnyFunSuite {
     assert(restored.collect().toSet == st.collect().toSet)
   }
 
+  test("checkpoint torn-dir GC: fresh in-flight dirs survive, stale torn dirs go") {
+    import graft.bitemp.Checkpoint
+    val st = runScenario(Seq((Some("v1"), "2019-11-25", None)))
+    val store = java.nio.file.Files.createTempDirectory("graft_ckpt_gc").toString
+    val now = System.currentTimeMillis()
+    // a concurrent save still writing parquet: stamped 10s before this
+    // save, no _COMPLETE yet — must NOT be deleted (the r9 race: deleting
+    // it would let its later _COMPLETE mark a gutted dir restorable)
+    val inflight = new java.io.File(s"$store/checkpoint-7-${now - 10000}")
+    inflight.mkdirs()
+    // a genuinely torn dir from a crash a grace-window-plus ago: garbage
+    val stale = new java.io.File(
+      s"$store/checkpoint-5-${now - Checkpoint.TornDirGraceMillis - 60000}")
+    stale.mkdirs()
+    Checkpoint.save(st, store, txId = 10L, keep = 2)
+    assert(inflight.exists(), "in-flight concurrent save dir was GC'd")
+    assert(!stale.exists(), "stale torn dir survived GC")
+    assert(Checkpoint.latest(spark, store).get.txId == 10L)
+  }
+
   test("speculative rows are visible only through the forked basis") {
     import scala.jdk.CollectionConverters._
     val st = runScenario(Seq((Some("v1"), "2019-11-25", None)))

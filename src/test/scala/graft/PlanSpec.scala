@@ -94,11 +94,21 @@ class PlanSpec extends AnyFunSuite {
     // user-specified (REPARTITION_BY_NUM) exchange AQE won't coalesce
     // to a single task, and the self-join must stay an equi-join
     val docs = graft.sources.Tables.load(spark, dir, "documents")
-    val pairs = graft.operators.Dedup.minhashLshPairs(docs, tau = 0.5)
-    val p = pairs.queryExecution.executedPlan.toString
-    assert(p.contains("REPARTITION_BY_NUM"), p.take(3000))
-    assert(!p.contains("CartesianProduct"), p.take(3000))
-    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    // pin the PRE-checkpoint plan: the public minhashLshPairs eagerly
+    // localCheckpoints (returns Scan ExistingRDD), which would hide the
+    // partitioning; the lazy builder is the plan that actually executes
+    val (pairs, caches) = graft.operators.Dedup.minhashLshPairsLazy(docs, tau = 0.5)
+    try {
+      val p = pairs.queryExecution.executedPlan.toString
+      assert(p.contains("REPARTITION_BY_NUM"), p.take(3000))
+      assert(!p.contains("CartesianProduct"), p.take(3000))
+      assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    } finally caches.foreach(_.unpersist(false))
+    // and the public API keeps its eager-materialization contract: the
+    // returned frame is a checkpointed result, not a lazy plan
+    val pub = graft.operators.Dedup.minhashLshPairs(docs, tau = 0.5)
+    assert(pub.queryExecution.optimizedPlan.toString.contains("LogicalRDD"),
+      pub.queryExecution.optimizedPlan.toString.take(1000))
   }
 
   test("bitemp asOf resolves in one aggregate pass over one scan") {

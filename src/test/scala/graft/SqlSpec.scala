@@ -295,6 +295,28 @@ class SqlSpec extends AnyFunSuite {
     assert(both < byId, s"tt+txId ($both) must restrict txId-only ($byId)")
   }
 
+  test("view rewrite leaves string literals and comments untouched (r10)") {
+    // the r9 regex rewrite changed 'events_current' occurrences INSIDE
+    // string literals/comments; the scanner must rewrite only references
+    val row = q("""VALIDTIME ('2024-01-15T00:00:00')
+      SELECT 'events_current' AS lit, COUNT(*) AS n -- events_current comment
+      FROM events_current /* refs events_current */""").collect().head
+    assert(row.getString(0) == "events_current", row.getString(0))
+    assert(row.getLong(1) > 0)
+    // scanner unit surface: literals skipped (incl. '' escape), backtick
+    // identifiers rewritten, words containing the name untouched
+    import graft.sql.SqlSurface.rewriteTableRefs
+    assert(rewriteTableRefs("SELECT 'events_current' FROM t", "events_current", "V")._1
+      == "SELECT 'events_current' FROM t")
+    assert(rewriteTableRefs("SELECT 'it''s events_current' FROM events_current",
+      "events_current", "V")._1 == "SELECT 'it''s events_current' FROM V")
+    assert(rewriteTableRefs("SELECT * FROM `events_current`", "events_current", "V")._1
+      == "SELECT * FROM `V`")
+    assert(rewriteTableRefs("SELECT events_current_old FROM events_current_old",
+      "events_current", "V") == ("SELECT events_current_old FROM events_current_old", false))
+    assert(rewriteTableRefs("SELECT \"events_current\" FROM t", "events_current", "V")._2 == false)
+  }
+
   test("per-query snapshot views do not leak into the catalog (r9)") {
     q("VALIDTIME ('2024-01-15T00:00:00') SELECT COUNT(*) AS n FROM events_current").collect()
     val leaked = spark.catalog.listTables().collect()
