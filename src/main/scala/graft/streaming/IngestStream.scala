@@ -981,8 +981,9 @@ object IngestStream {
     * joins read the accumulated index from executor memory, never from a
     * per-batch parquet round-trip (the r6/r7 constant). The parquet dirs
     * remain the durable posting lists a persistent dedup service keeps:
-    * appends are O(batch), and a restart reseeds the cache from them
-    * once. Every `checkpointEvery` batches the accumulated frames are
+    * appends are O(batch) and share one job per batch (band-key and
+    * shingle rows in one merged dir, r10), and a restart reseeds the
+    * cache from them once. Every `checkpointEvery` batches the accumulated frames are
     * localCheckpoint'd so lineage depth stays bounded on a long-running
     * stream. The union over batches provably equals the batch pair set
     * (a pair is found when its later member arrives).
@@ -1000,7 +1001,15 @@ object IngestStream {
     *   arriving micro-batch is orders of magnitude smaller than the
     *   session's scan-side parallelism, so its shingle kernel, minhash
     *   aggregation and verify-spill shuffles size their stages to the
-    *   batch (a 100 TB feed sizes up with its batch volume). */
+    *   batch (a 100 TB feed sizes up with its batch volume).
+    * @param maxDriverKeyRows size route for the PROBE: while the
+    *   accumulated band-key rows (docs × bands — orders smaller than the
+    *   postings) fit this cap, the index lives in a driver hash map and
+    *   candidate generation is one tiny collect + driver lookups; above
+    *   it (or after a restart reseed) the probe is the distributed
+    *   broadcast join over the executor-cached index, which both modes
+    *   maintain. 0 forces the distributed path (the differential spec's
+    *   lever). */
   /** Memoized arrival staging per (session, corpus path, chunking): the
     * staged chunk files are the stream's read-only INPUT artifact (a
     * production feed arrives already chunked — the operator under test
@@ -1048,12 +1057,17 @@ object IngestStream {
       k: Int = 3, numHashes: Int = 64, bands: Int = 16,
       nChunks: Int = 3, checkpointEvery: Int = 8,
       maxCandidatesPerBatch: Int = 1000000,
-      batchPartitions: Int = 8): DataFrame = {
+      batchPartitions: Int = 8,
+      maxDriverKeyRows: Long = 2000000L): DataFrame = {
     import graft.operators.Dedup
     val base = java.nio.file.Files.createTempDirectory("graft_lsh_stream").toString
     val inDir = lshStageChunks(spark, docsPath, nChunks)
-    val idxDir = s"$base/idx"
-    val shDir = s"$base/sh"; val pairsDir = s"$base/pairs"
+    // band-key rows and shingle postings share ONE durable append dir
+    // (r10): they are written per batch for the same reason at the same
+    // point, and separate dirs cost a second parquet job wall + commit
+    // per micro-batch. Key rows carry shingle=null, shingle rows carry
+    // band/key=null; the restart reseed splits them with two filters.
+    val postDir = s"$base/post"; val pairsDir = s"$base/pairs"
     val docs = spark.read.parquet(docsPath)
     val rowsPerBand = numHashes / bands
     // accumulated index state, held on the driver between batches; the
@@ -1061,6 +1075,20 @@ object IngestStream {
     // tracked in `pinned` so the drain can release every block at the end
     var idxCache: Option[DataFrame] = None
     var shCache: Option[DataFrame] = None
+    // size-routed probe (r10, the graph/rules/union-find discipline): the
+    // band-key relation is docs × bands rows — ~6 orders smaller than the
+    // shingle postings — so while its accumulated size fits
+    // maxDriverKeyRows the index lives in a driver hash map and each
+    // batch's candidate generation is pure driver CPU over ONE collected
+    // key delta (replacing the broadcast-build + limit-collect job pair
+    // per batch). Crossing the cap, or a restart reseed, switches to the
+    // distributed broadcast-join probe over the executor-cached index —
+    // which both modes maintain, so the switch is a flag flip, not a
+    // rebuild. Verify is IDENTICAL in both modes (same driver exact-
+    // Jaccard, same spill); a differential spec pins path equality.
+    val driverIdx = new java.util.HashMap[(Int, Long), java.util.ArrayList[Long]]()
+    var driverKeyRows = 0L
+    var driverMode = maxDriverKeyRows > 0
     val pinned = scala.collection.mutable.ListBuffer.empty[DataFrame]
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val q = spark.readStream.schema(docs.schema)
@@ -1091,11 +1119,17 @@ object IngestStream {
           .persist(lvl)
         pinned += shB; pinned += keysB
         // restart reseed: cache empty but durable postings exist (a prior
-        // run's appends) — one read, then cached for the rest of the run
-        if (idxCache.isEmpty && new java.io.File(idxDir).isDirectory) {
-          idxCache = Some(sp.read.parquet(idxDir).persist(lvl))
-          shCache = Some(sp.read.parquet(shDir).persist(lvl))
+        // run's appends) — one read, then cached for the rest of the run.
+        // The driver band-key map does not survive a restart; the reseeded
+        // run probes distributed (conservative — correct at any size).
+        if (idxCache.isEmpty && new java.io.File(postDir).isDirectory) {
+          val post = sp.read.parquet(postDir)
+          idxCache = Some(post.filter(col("shingle").isNull)
+            .select(col("doc_id"), col("band"), col("key")).persist(lvl))
+          shCache = Some(post.filter(col("shingle").isNotNull)
+            .select(col("doc_id"), col("shingle")).persist(lvl))
           pinned ++= idxCache; pinned ++= shCache
+          driverMode = false; driverIdx.clear()
         }
         // the keys/shingle postings appends depend only on this batch's
         // kernels, not on the probe — launch them now so the write wall
@@ -1107,64 +1141,102 @@ object IngestStream {
         import scala.concurrent.{Await, Future}
         import scala.concurrent.ExecutionContext.Implicits.global
         import scala.concurrent.duration.Duration
-        val appendKeys = Future(lbl("keys append")(
-          keysB.coalesce(4).write.mode("append").parquet(idxDir)))
-        val appendSh = Future(lbl("sh append")(
-          shB.coalesce(4).write.mode("append").parquet(shDir)))
-        // if the probe/verify below fails, don't leave the two detached
-        // append jobs racing the query's teardown — drain them (their own
+        val appendPost = Future(lbl("postings append")(
+          keysB.select(col("doc_id"), col("band"), col("key"),
+              lit(null).cast("string").as("shingle"))
+            .unionByName(shB.select(col("doc_id"),
+              lit(null).cast("int").as("band"),
+              lit(null).cast("long").as("key"), col("shingle")))
+            .coalesce(4).write.mode("append").parquet(postDir)))
+        // if the probe/verify below fails, don't leave the detached
+        // append job racing the query's teardown — drain it (its own
         // failure is secondary to the primary exception) before rethrow
         def drainAppendsOn[A](body: => A): A =
           try body catch {
             case t: Throwable =>
-              try Await.ready(Future.sequence(Seq(appendKeys, appendSh)),
-                Duration.Inf)
+              try Await.ready(appendPost, Duration.Inf)
               catch { case _: Throwable => () }
               throw t
           }
         drainAppendsOn {
         // candidates: new keys vs (index ∪ new keys); normalize pair
         // order so cross-batch pairs compare like the batch operator.
-        // foreachBatch plans run with AQE OFF, so every join here is
-        // hinted explicitly — without the hints the probe and verify
-        // sort-merge-shuffle the ENTIRE accumulated index/postings per
-        // batch (the r6/r7 5 s constant); with them each batch is ONE
-        // pass over the cached index. The RAW collision rows (a pair
-        // appears once per colliding band) are pulled to the driver and
-        // deduped into a HashSet there: a per-batch `.distinct()` would
-        // cost a shuffle plus a multi-job incremental CollectLimit every
-        // batch, while the raw pull keeps the probe ONE narrow job over
-        // the cached index — and the drain's final `.distinct()` (replay
-        // guard) already owns cross-batch dedup. Raw rows are bounded by
-        // the banding collision rate × bands (the quantity every LSH
-        // design keeps small — a batch over the cap means the banding
-        // params are wrong for the corpus), and a local pair list makes
-        // every verify-side broadcast free (no per-join build jobs)
+        // Size-routed (r10): while the accumulated band-key rows fit
+        // maxDriverKeyRows, the index is a driver hash map and candidate
+        // generation is ONE collect of this batch's (tiny) key delta +
+        // driver lookups — no broadcast-build job, no probe-join job.
+        // Above the cap (or after a restart reseed) the probe is the
+        // distributed broadcast join over the executor-cached index.
+        // Left = over-cap candidate DF routed to the distributed verify;
+        // Right = distinct driver-resident candidate pairs.
         val allKeys = idxCache.map(_.unionByName(keysB)).getOrElse(keysB)
-        val candRawDf = broadcast(keysB.as("a"))
-          .join(allKeys.as("b"),
-            col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-              col("a.doc_id") =!= col("b.doc_id"))
-          .select(least(col("a.doc_id"), col("b.doc_id")).as("d1"),
-            greatest(col("a.doc_id"), col("b.doc_id")).as("d2"))
-        // the limit bounds DRIVER MEMORY, not just the cap check: without
-        // it a banding blow-up pulls the full quadratic pair set into the
-        // driver before the over-cap test can see it (r8 ADVICE). The cap
-        // now applies to raw (band-duplicated) rows, so it trips up to
-        // `bands`× earlier than the old distinct-pair cap — a conservative
-        // shift: the over-cap route is the distributed verify, which is
-        // correct either way. One wave over every cached partition (each
-        // locally limited) beats the default 1→4→16 incremental collect's
-        // scheduling waves at micro-batch sizes.
-        val prevInitParts = sp.conf.getOption("spark.sql.limit.initialNumPartitions")
-        sp.conf.set("spark.sql.limit.initialNumPartitions", "1000000")
-        val candRows =
-          try lbl("probe")(candRawDf.limit(maxCandidatesPerBatch + 1).collect())
-          finally prevInitParts match {
-            case Some(v) => sp.conf.set("spark.sql.limit.initialNumPartitions", v)
-            case None => sp.conf.unset("spark.sql.limit.initialNumPartitions")
-          }
         val shAll = shCache.map(_.unionByName(shB)).getOrElse(shB)
+        val cand: Either[DataFrame, Seq[(Long, Long)]] = if (driverMode) {
+          val keyRows = lbl("keys collect")(keysB.collect())
+          driverKeyRows += keyRows.length
+          // insert the batch's keys FIRST so lookups see the accumulated
+          // index AND intra-batch colliders; the HashSet dedupes the
+          // double discovery (a pair found from both ends)
+          keyRows.foreach { r =>
+            driverIdx.computeIfAbsent((r.getInt(1), r.getLong(2)),
+              _ => new java.util.ArrayList[Long]()).add(r.getLong(0))
+          }
+          val set = new java.util.HashSet[(Long, Long)]()
+          keyRows.foreach { r =>
+            val d = r.getLong(0)
+            val ds = driverIdx.get((r.getInt(1), r.getLong(2)))
+            var i = 0
+            while (i < ds.size()) {
+              val o = ds.get(i)
+              if (o != d) { set.add(if (o < d) (o, d) else (d, o)); () }
+              i += 1
+            }
+          }
+          if (driverKeyRows > maxDriverKeyRows) {
+            // crossing the cap: the executor-cached index (allKeys) is
+            // already current — the switch is a flag flip + map release
+            driverMode = false; driverIdx.clear()
+          }
+          import scala.jdk.CollectionConverters._
+          Right(set.asScala.toSeq)
+        } else {
+          // foreachBatch plans run with AQE OFF, so every join here is
+          // hinted explicitly — without the hints the probe and verify
+          // sort-merge-shuffle the ENTIRE accumulated index/postings per
+          // batch (the r6/r7 5 s constant); with them each batch is ONE
+          // pass over the cached index. The RAW collision rows (a pair
+          // appears once per colliding band) are pulled to the driver and
+          // deduped into a HashSet there: a per-batch `.distinct()` would
+          // cost a shuffle plus a multi-job incremental CollectLimit every
+          // batch — and the drain's final `.distinct()` (replay guard)
+          // already owns cross-batch dedup.
+          val candRawDf = broadcast(keysB.as("a"))
+            .join(allKeys.as("b"),
+              col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+                col("a.doc_id") =!= col("b.doc_id"))
+            .select(least(col("a.doc_id"), col("b.doc_id")).as("d1"),
+              greatest(col("a.doc_id"), col("b.doc_id")).as("d2"))
+          // the limit bounds DRIVER MEMORY, not just the cap check: without
+          // it a banding blow-up pulls the full quadratic pair set into the
+          // driver before the over-cap test can see it (r8 ADVICE). The cap
+          // applies to raw (band-duplicated) rows, so it trips up to
+          // `bands`× earlier than a distinct-pair cap — a conservative
+          // shift: the over-cap route is the distributed verify, which is
+          // correct either way. One wave over every cached partition (each
+          // locally limited) beats the default 1→4→16 incremental collect's
+          // scheduling waves at micro-batch sizes.
+          val prevInitParts = sp.conf.getOption("spark.sql.limit.initialNumPartitions")
+          sp.conf.set("spark.sql.limit.initialNumPartitions", "1000000")
+          val candRows =
+            try lbl("probe")(candRawDf.limit(maxCandidatesPerBatch + 1).collect())
+            finally prevInitParts match {
+              case Some(v) => sp.conf.set("spark.sql.limit.initialNumPartitions", v)
+              case None => sp.conf.unset("spark.sql.limit.initialNumPartitions")
+            }
+          if (candRows.length > maxCandidatesPerBatch) Left(candRawDf.distinct())
+          else Right(candRows.iterator
+            .map(r => (r.getLong(0), r.getLong(1))).toSet.toSeq)
+        }
         // exact-Jaccard verify ON THE DRIVER: the candidate pair list is
         // already driver-local (the LocalRelation design above — bounded
         // by maxCandidatesPerBatch with a graceful spillover), so the
@@ -1177,22 +1249,30 @@ object IngestStream {
         // instead ([[graft.operators.Dedup.jaccardOfPairs]] — shuffle-
         // shaped, no broadcast of the oversized candidate set): same
         // pairs, same arithmetic, ~5 extra jobs — a cost, not a crash.
-        val pairs = if (candRows.length > maxCandidatesPerBatch) {
+        def overCapMsg(): Unit = {
           // scalastyle:off println
           Console.err.println(
             s"lshDedupStream: batch $batchId exceeded $maxCandidatesPerBatch candidate " +
               "pairs - spilling verify to the distributed exact-Jaccard path " +
               "(check banding parameters for this corpus)")
           // scalastyle:on println
-          lbl("verify spill")(
-            graft.operators.Dedup.jaccardOfPairs(shAll, candRawDf.distinct(), tau))
-        } else {
+        }
+        val pairs = cand match {
+          case Left(candDf) =>
+            overCapMsg()
+            lbl("verify spill")(
+              graft.operators.Dedup.jaccardOfPairs(shAll, candDf, tau))
+          case Right(cp) if cp.length > maxCandidatesPerBatch =>
+            // driver-mode over-cap: the pairs are already driver-resident
+            // (the key delta was tiny even if its collision set is not) —
+            // route the VERIFY distributed all the same, the postings
+            // collect below would be the oversized pull
+            import sp.implicits._
+            overCapMsg()
+            lbl("verify spill")(graft.operators.Dedup.jaccardOfPairs(
+              shAll, cp.toDF("d1", "d2"), tau))
+          case Right(candPairs) =>
           import sp.implicits._
-          // driver-side dedupe of the raw band-collision rows (the per-
-          // batch .distinct() shuffle this replaces): each unique pair is
-          // verified once
-          val candPairs: Seq[(Long, Long)] = candRows.iterator
-            .map(r => (r.getLong(0), r.getLong(1))).toSet.toSeq
           val candDocIds: Seq[Long] = candPairs.iterator
             .flatMap(p => Iterator(p._1, p._2))
             .toSet.toSeq
@@ -1219,15 +1299,15 @@ object IngestStream {
           }.toSeq
           verified.toDF("d1", "d2", "jaccard")
         }
-        // pairs are driver-local (tiny) — one file; the keys/shingle
-        // postings appends (4 writer tasks each — a single task would
-        // serialize the batch's whole parquet encode) were launched
-        // before the probe and have been overlapping it; await all three
-        // so the offset commit implies durability
+        // pairs are driver-local (tiny) — one file; the merged postings
+        // append (4 writer tasks — a single task would serialize the
+        // batch's whole parquet encode) was launched before the probe and
+        // has been overlapping it; await both so the offset commit
+        // implies durability
         Await.result(Future.sequence(Seq(
           Future(lbl("pairs write")(
             pairs.coalesce(1).write.mode("append").parquet(pairsDir))),
-          appendKeys, appendSh)), Duration.Inf)
+          appendPost)), Duration.Inf)
         // fold the batch's (still-persisted) delta into the live index
         idxCache = Some(allKeys); shCache = Some(shAll)
         if (batchId % checkpointEvery == (checkpointEvery - 1)) {

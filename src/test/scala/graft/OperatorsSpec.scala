@@ -470,6 +470,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("LSH dedup stream: driver-index, distributed, and mid-stream-switch probes agree") {
+    // size-routed probe differential (r10): default = driver band-key
+    // map all the way; 0 = distributed broadcast-join probe from batch 0;
+    // a tiny cap = driver mode for batch 0 then a mid-stream flag flip to
+    // the distributed path. All three must equal the batch operator.
+    def run(cap: Long) = graft.streaming.IngestStream
+      .lshDedupStream(spark, s"$dir/documents.parquet", 0.5,
+        maxDriverKeyRows = cap)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = Dedup.minhashLshPairs(docs, 0.5)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty)
+    assert(run(0L) == batch, "distributed-probe path diverged")
+    assert(run(1L) == batch, "mid-stream switch path diverged")
+  }
+
   test("LSH dedup stream over the candidate cap spills to the distributed verify, same pairs") {
     // cap of 1 forces EVERY batch with >1 candidate pair over the limit:
     // the stream must not fail (r8: require-crash) — it routes those
