@@ -74,10 +74,13 @@ object SessionCache {
             lr.rdd.unpersist(blocking = false); ()
           case _ => ()
         }
-      case p: Product =>
-        p.productIterator.foreach(releaseLoser(_, depth + 1))
+      // Iterable BEFORE Product: a List is both, and walking its ::
+      // cons cells through the Product branch burns one depth level per
+      // element — frames past position 4 would silently leak
       case it: Iterable[_] =>
         it.foreach(releaseLoser(_, depth + 1))
+      case p: Product =>
+        p.productIterator.foreach(releaseLoser(_, depth + 1))
       case _ => ()
     }
   }

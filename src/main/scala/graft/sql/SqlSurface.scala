@@ -112,29 +112,34 @@ object SqlSurface {
     def isWord(c: Char) = c == '_' || Character.isLetterOrDigit(c)
     while (i < n) {
       sql.charAt(i) match {
-        case '\'' => // string literal; '' is an escaped quote, not a close
+        case q @ ('\'' | '"') => // string literal (Spark lexes both as
+          // strings by default); '' doubling AND backslash both escape
           var k = i + 1
           var closed = false
           while (k < n && !closed) {
-            if (sql.charAt(k) == '\'') {
-              if (k + 1 < n && sql.charAt(k + 1) == '\'') k += 2
+            val c = sql.charAt(k)
+            if (c == '\\' && k + 1 < n) k += 2
+            else if (c == q) {
+              if (k + 1 < n && sql.charAt(k + 1) == q) k += 2
               else { closed = true; k += 1 }
             } else k += 1
           }
           out.append(sql, i, k); i = k
-        case '"' => // double-quoted literal (Spark default: string, not ident)
-          var k = i + 1
-          while (k < n && sql.charAt(k) != '"') k += 1
-          val j = math.min(k + 1, n)
-          out.append(sql, i, j); i = j
         case '-' if i + 1 < n && sql.charAt(i + 1) == '-' => // line comment
           var k = i + 2
           while (k < n && sql.charAt(k) != '\n') k += 1
           out.append(sql, i, k); i = k
-        case '/' if i + 1 < n && sql.charAt(i + 1) == '*' => // block comment
-          val close = sql.indexOf("*/", i + 2)
-          val j = if (close < 0) n else close + 2
-          out.append(sql, i, j); i = j
+        case '/' if i + 1 < n && sql.charAt(i + 1) == '*' =>
+          // bracketed comment — Spark supports NESTING (SPARK-28880),
+          // so track depth instead of jumping to the first */
+          var k = i + 2
+          var depth = 1
+          while (k < n && depth > 0) {
+            if (k + 1 < n && sql.charAt(k) == '/' && sql.charAt(k + 1) == '*') { depth += 1; k += 2 }
+            else if (k + 1 < n && sql.charAt(k) == '*' && sql.charAt(k + 1) == '/') { depth -= 1; k += 2 }
+            else k += 1
+          }
+          out.append(sql, i, k); i = k
         case '`' => // backtick-quoted identifier: a real table reference
           var k = i + 1
           while (k < n && sql.charAt(k) != '`') k += 1

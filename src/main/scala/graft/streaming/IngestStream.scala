@@ -1181,14 +1181,23 @@ object IngestStream {
             driverIdx.computeIfAbsent((r.getInt(1), r.getLong(2)),
               _ => new java.util.ArrayList[Long]()).add(r.getLong(0))
           }
+          // the candidate set is capped DURING generation: a too-hot
+          // bucket must route to the distributed verify after at most
+          // cap+1 insertions, not OOM the driver building the full
+          // quadratic set first (the same bound the distributed branch's
+          // .limit(cap+1) enforces — r8 ADVICE class)
           val set = new java.util.HashSet[(Long, Long)]()
-          keyRows.foreach { r =>
+          var overCap = false
+          val it = keyRows.iterator
+          while (it.hasNext && !overCap) {
+            val r = it.next()
             val d = r.getLong(0)
             val ds = driverIdx.get((r.getInt(1), r.getLong(2)))
             var i = 0
-            while (i < ds.size()) {
+            while (i < ds.size() && !overCap) {
               val o = ds.get(i)
               if (o != d) { set.add(if (o < d) (o, d) else (d, o)); () }
+              if (set.size() > maxCandidatesPerBatch) overCap = true
               i += 1
             }
           }
@@ -1197,8 +1206,17 @@ object IngestStream {
             // already current — the switch is a flag flip + map release
             driverMode = false; driverIdx.clear()
           }
-          import scala.jdk.CollectionConverters._
-          Right(set.asScala.toSeq)
+          if (overCap) Left(broadcast(keysB.as("a"))
+            .join(allKeys.as("b"),
+              col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+                col("a.doc_id") =!= col("b.doc_id"))
+            .select(least(col("a.doc_id"), col("b.doc_id")).as("d1"),
+              greatest(col("a.doc_id"), col("b.doc_id")).as("d2"))
+            .distinct())
+          else {
+            import scala.jdk.CollectionConverters._
+            Right(set.asScala.toSeq)
+          }
         } else {
           // foreachBatch plans run with AQE OFF, so every join here is
           // hinted explicitly — without the hints the probe and verify

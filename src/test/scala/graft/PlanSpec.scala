@@ -105,10 +105,16 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
     } finally caches.foreach(_.unpersist(false))
     // and the public API keeps its eager-materialization contract: the
-    // returned frame is a checkpointed result, not a lazy plan
-    val pub = graft.operators.Dedup.minhashLshPairs(docs, tau = 0.5)
+    // returned frame is a checkpointed result, not a lazy plan (2-doc
+    // stub — the contract is about plan shape, not data; and release the
+    // checkpoint blocks so the pin doesn't pin storage)
+    val pub = graft.operators.Dedup.minhashLshPairs(docs.limit(2), tau = 0.5)
     assert(pub.queryExecution.optimizedPlan.toString.contains("LogicalRDD"),
       pub.queryExecution.optimizedPlan.toString.take(1000))
+    pub.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false); ()
+      case _ => ()
+    }
   }
 
   test("bitemp asOf resolves in one aggregate pass over one scan") {

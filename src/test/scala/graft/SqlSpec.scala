@@ -315,6 +315,13 @@ class SqlSpec extends AnyFunSuite {
     assert(rewriteTableRefs("SELECT events_current_old FROM events_current_old",
       "events_current", "V") == ("SELECT events_current_old FROM events_current_old", false))
     assert(rewriteTableRefs("SELECT \"events_current\" FROM t", "events_current", "V")._2 == false)
+    // backslash-escaped quote inside a literal must not desync the scan
+    assert(rewriteTableRefs("SELECT 'a\\'b events_current' FROM events_current",
+      "events_current", "V")._1 == "SELECT 'a\\'b events_current' FROM V")
+    // nested bracketed comments (SPARK-28880): the scanner must not exit
+    // at the inner close and lex the outer tail as code
+    assert(rewriteTableRefs("/* o /* i */ don't */ SELECT * FROM events_current",
+      "events_current", "V")._1 == "/* o /* i */ don't */ SELECT * FROM V")
   }
 
   test("per-query snapshot views do not leak into the catalog (r9)") {

@@ -37,6 +37,17 @@ class SessionCacheSpec extends AnyFunSuite {
     assert(ckptLevel(ck) == StorageLevel.NONE)
   }
 
+  test("releaseLoser releases every element of a List (cons cells must not burn depth)") {
+    import spark.implicits._
+    val frames = (1 to 6).map(i =>
+      Seq(i).toDF("x").persist(StorageLevel.MEMORY_AND_DISK)).toList
+    frames.foreach(_.count())
+    SessionCache.releaseLoser(frames)
+    frames.zipWithIndex.foreach { case (df, i) =>
+      assert(df.storageLevel == StorageLevel.NONE, s"frame $i leaked")
+    }
+  }
+
   test("getOrBuild returns winner and sweeps nothing on a live session") {
     val cache = new SessionCache[(org.apache.spark.sql.SparkSession, String), Int]
     assert(cache.getOrBuild((spark, "k"))(41) == 41)
