@@ -328,15 +328,15 @@ final class GraftNode(val spark: SparkSession, val source: FactSource,
     * Cancellation is Spark-native (`cancelJobGroup` with
     * interruptOnCancel), so at cluster scale a timed-out query releases
     * its executors instead of running to completion unobserved. */
-  /** Query-state registry (active/recent/slowest — node.clj:190-197).
-    * Slow-threshold default is 1 ns — every real query exceeds it, so
-    * the slowest ring deterministically reflects completed queries
-    * (ranked longest-first, capped). The old 100 ms default made
-    * nonEmpty-after-a-query WARMTH-dependent: a cached 5-row query in a
-    * hot JVM finishes under 100 ms and the monitoring specs flaked.
-    * The threshold mechanism itself is spec'd in CurrentQueriesSpec. */
+  /** Query-state registry (active/recent/slowest — node.clj:190-197); a
+    * low slow-threshold default (vs the reference's 1 min) so realistic
+    * interactive queries register, keeping the threshold-GATED semantics
+    * an operator expects from the slowest ring. Specs that assert ring
+    * membership must issue a deliberately slow query (a sleeping scalar
+    * fn), not rely on JVM warmth — a hot cached query finishes under any
+    * meaningful threshold. */
   val queryTracker = new QueryTracker(QueryTracker.Options(
-    slowQueriesMinThreshold = java.time.Duration.ofNanos(1)))
+    slowQueriesMinThreshold = java.time.Duration.ofMillis(100)))
 
   def q(edn: String, args: Any*): Array[Row] = {
     if (closed) throw new IllegalStateException("node is closed")

@@ -79,6 +79,8 @@ object SessionCache {
       // element — frames past position 4 would silently leak
       case it: Iterable[_] =>
         it.foreach(releaseLoser(_, depth + 1))
+      case a: Array[_] =>
+        a.foreach(releaseLoser(_, depth + 1))
       case p: Product =>
         p.productIterator.foreach(releaseLoser(_, depth + 1))
       case _ => ()

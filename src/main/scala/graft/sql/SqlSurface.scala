@@ -129,6 +129,19 @@ object SqlSurface {
           var k = i + 2
           while (k < n && sql.charAt(k) != '\n') k += 1
           out.append(sql, i, k); i = k
+        case '/' if i + 2 < n && sql.charAt(i + 1) == '*' && sql.charAt(i + 2) == '+' =>
+          // optimizer HINT block: /*+ BROADCAST(events_current) */ names
+          // relations semantically — its references must be rewritten
+          // along with the FROM clause or Spark drops the hint as
+          // unresolved (hints don't nest)
+          val close = sql.indexOf("*/", i + 3)
+          val k = if (close < 0) n else close + 2
+          val inner = sql.substring(i + 3, if (close < 0) n else close)
+          val (rewrittenInner, f) = rewriteTableRefs(inner, table, replacement)
+          if (f) found = true
+          out.append("/*+").append(rewrittenInner)
+          if (close >= 0) out.append("*/")
+          i = k
         case '/' if i + 1 < n && sql.charAt(i + 1) == '*' =>
           // bracketed comment — Spark supports NESTING (SPARK-28880),
           // so track depth instead of jumping to the first */

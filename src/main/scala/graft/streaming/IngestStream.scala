@@ -1171,89 +1171,97 @@ object IngestStream {
         // Right = distinct driver-resident candidate pairs.
         val allKeys = idxCache.map(_.unionByName(keysB)).getOrElse(keysB)
         val shAll = shCache.map(_.unionByName(shB)).getOrElse(shB)
-        val cand: Either[DataFrame, Seq[(Long, Long)]] = if (driverMode) {
-          val keyRows = lbl("keys collect")(keysB.collect())
-          driverKeyRows += keyRows.length
-          // insert the batch's keys FIRST so lookups see the accumulated
-          // index AND intra-batch colliders; the HashSet dedupes the
-          // double discovery (a pair found from both ends)
-          keyRows.foreach { r =>
-            driverIdx.computeIfAbsent((r.getInt(1), r.getLong(2)),
-              _ => new java.util.ArrayList[Long]()).add(r.getLong(0))
-          }
-          // the candidate set is capped DURING generation: a too-hot
-          // bucket must route to the distributed verify after at most
-          // cap+1 insertions, not OOM the driver building the full
-          // quadratic set first (the same bound the distributed branch's
-          // .limit(cap+1) enforces — r8 ADVICE class)
-          val set = new java.util.HashSet[(Long, Long)]()
-          var overCap = false
-          val it = keyRows.iterator
-          while (it.hasNext && !overCap) {
-            val r = it.next()
-            val d = r.getLong(0)
-            val ds = driverIdx.get((r.getInt(1), r.getLong(2)))
-            var i = 0
-            while (i < ds.size() && !overCap) {
-              val o = ds.get(i)
-              if (o != d) { set.add(if (o < d) (o, d) else (d, o)); () }
-              if (set.size() > maxCandidatesPerBatch) overCap = true
-              i += 1
-            }
-          }
-          if (driverKeyRows > maxDriverKeyRows) {
-            // crossing the cap: the executor-cached index (allKeys) is
-            // already current — the switch is a flag flip + map release
-            driverMode = false; driverIdx.clear()
-          }
-          if (overCap) Left(broadcast(keysB.as("a"))
-            .join(allKeys.as("b"),
-              col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-                col("a.doc_id") =!= col("b.doc_id"))
-            .select(least(col("a.doc_id"), col("b.doc_id")).as("d1"),
-              greatest(col("a.doc_id"), col("b.doc_id")).as("d2"))
-            .distinct())
-          else {
-            import scala.jdk.CollectionConverters._
-            Right(set.asScala.toSeq)
-          }
-        } else {
-          // foreachBatch plans run with AQE OFF, so every join here is
-          // hinted explicitly — without the hints the probe and verify
-          // sort-merge-shuffle the ENTIRE accumulated index/postings per
-          // batch (the r6/r7 5 s constant); with them each batch is ONE
-          // pass over the cached index. The RAW collision rows (a pair
-          // appears once per colliding band) are pulled to the driver and
-          // deduped into a HashSet there: a per-batch `.distinct()` would
-          // cost a shuffle plus a multi-job incremental CollectLimit every
-          // batch — and the drain's final `.distinct()` (replay guard)
-          // already owns cross-batch dedup.
-          val candRawDf = broadcast(keysB.as("a"))
-            .join(allKeys.as("b"),
-              col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-                col("a.doc_id") =!= col("b.doc_id"))
-            .select(least(col("a.doc_id"), col("b.doc_id")).as("d1"),
-              greatest(col("a.doc_id"), col("b.doc_id")).as("d2"))
-          // the limit bounds DRIVER MEMORY, not just the cap check: without
-          // it a banding blow-up pulls the full quadratic pair set into the
-          // driver before the over-cap test can see it (r8 ADVICE). The cap
-          // applies to raw (band-duplicated) rows, so it trips up to
-          // `bands`× earlier than a distinct-pair cap — a conservative
-          // shift: the over-cap route is the distributed verify, which is
-          // correct either way. One wave over every cached partition (each
-          // locally limited) beats the default 1→4→16 incremental collect's
-          // scheduling waves at micro-batch sizes.
+        // one-wave bounded collect: every driver pull in this operator
+        // rides a limit (driver memory bounded by construction — r8
+        // ADVICE class), and one wave over every cached partition (each
+        // locally limited) beats the default 1→4→16 incremental
+        // collect's scheduling waves at micro-batch sizes
+        def limitCollect(df: DataFrame, n: Int, what: String): Array[org.apache.spark.sql.Row] = {
           val prevInitParts = sp.conf.getOption("spark.sql.limit.initialNumPartitions")
           sp.conf.set("spark.sql.limit.initialNumPartitions", "1000000")
-          val candRows =
-            try lbl("probe")(candRawDf.limit(maxCandidatesPerBatch + 1).collect())
-            finally prevInitParts match {
-              case Some(v) => sp.conf.set("spark.sql.limit.initialNumPartitions", v)
-              case None => sp.conf.unset("spark.sql.limit.initialNumPartitions")
-            }
-          if (candRows.length > maxCandidatesPerBatch) Left(candRawDf.distinct())
+          try lbl(what)(df.limit(n).collect())
+          finally prevInitParts match {
+            case Some(v) => sp.conf.set("spark.sql.limit.initialNumPartitions", v)
+            case None => sp.conf.unset("spark.sql.limit.initialNumPartitions")
+          }
+        }
+        // foreachBatch plans run with AQE OFF, so every join here is
+        // hinted explicitly — without the hints the probe and verify
+        // sort-merge-shuffle the ENTIRE accumulated index/postings per
+        // batch (the r6/r7 5 s constant); with them each batch is ONE
+        // pass over the cached index. The RAW collision rows (a pair
+        // appears once per colliding band) are pulled to the driver and
+        // deduped into a HashSet there: a per-batch `.distinct()` would
+        // cost a shuffle plus a multi-job incremental CollectLimit every
+        // batch — and the drain's final `.distinct()` (replay guard)
+        // already owns cross-batch dedup. The cap applies to raw
+        // (band-duplicated) rows, so it trips up to `bands`× earlier than
+        // a distinct-pair cap — conservative: the over-cap route is the
+        // distributed verify, which is correct either way.
+        def candRawDf(): DataFrame = broadcast(keysB.as("a"))
+          .join(allKeys.as("b"),
+            col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+              col("a.doc_id") =!= col("b.doc_id"))
+          .select(least(col("a.doc_id"), col("b.doc_id")).as("d1"),
+            greatest(col("a.doc_id"), col("b.doc_id")).as("d2"))
+        def distributedProbe(): Either[DataFrame, Seq[(Long, Long)]] = {
+          val df = candRawDf()
+          val candRows = limitCollect(df, maxCandidatesPerBatch + 1, "probe")
+          if (candRows.length > maxCandidatesPerBatch) Left(df.distinct())
           else Right(candRows.iterator
             .map(r => (r.getLong(0), r.getLong(1))).toSet.toSeq)
+        }
+        val cand: Either[DataFrame, Seq[(Long, Long)]] = if (!driverMode) distributedProbe() else {
+          // the key-delta pull is limit-bounded too: a batch whose key
+          // rows exceed the remaining driver budget must flip to the
+          // distributed probe WITHOUT first materializing an unbounded
+          // Row array on the driver (the cap check used to run after an
+          // uncapped collect)
+          val remaining = math.min(maxDriverKeyRows - driverKeyRows,
+            Int.MaxValue - 1L).toInt
+          val keyRows = limitCollect(keysB, remaining + 1, "keys collect")
+          if (keyRows.length > remaining) {
+            // over budget: discard the partial pull; the executor-cached
+            // index (allKeys) is already current, so the switch is a
+            // flag flip + map release
+            driverMode = false; driverIdx.clear()
+            distributedProbe()
+          } else {
+            driverKeyRows += keyRows.length
+            // insert the batch's keys FIRST so lookups see the accumulated
+            // index AND intra-batch colliders; the HashSet dedupes the
+            // double discovery (a pair found from both ends)
+            keyRows.foreach { r =>
+              driverIdx.computeIfAbsent((r.getInt(1), r.getLong(2)),
+                _ => new java.util.ArrayList[Long]()).add(r.getLong(0))
+            }
+            // the candidate set is capped DURING generation: a too-hot
+            // bucket must route to the distributed verify after at most
+            // cap+1 insertions, not OOM the driver building the full
+            // quadratic set first
+            val set = new java.util.HashSet[(Long, Long)]()
+            var overCap = false
+            val it = keyRows.iterator
+            while (it.hasNext && !overCap) {
+              val r = it.next()
+              val d = r.getLong(0)
+              val ds = driverIdx.get((r.getInt(1), r.getLong(2)))
+              var i = 0
+              while (i < ds.size() && !overCap) {
+                val o = ds.get(i)
+                if (o != d) { set.add(if (o < d) (o, d) else (d, o)); () }
+                if (set.size() > maxCandidatesPerBatch) overCap = true
+                i += 1
+              }
+            }
+            // over-cap: the driver set already proved it — go straight
+            // to the distributed candidate DF, no re-collect
+            if (overCap) Left(candRawDf().distinct())
+            else {
+              import scala.jdk.CollectionConverters._
+              Right(set.asScala.toSeq)
+            }
+          }
         }
         // exact-Jaccard verify ON THE DRIVER: the candidate pair list is
         // already driver-local (the LocalRelation design above — bounded
@@ -1267,28 +1275,18 @@ object IngestStream {
         // instead ([[graft.operators.Dedup.jaccardOfPairs]] — shuffle-
         // shaped, no broadcast of the oversized candidate set): same
         // pairs, same arithmetic, ~5 extra jobs — a cost, not a crash.
-        def overCapMsg(): Unit = {
-          // scalastyle:off println
-          Console.err.println(
-            s"lshDedupStream: batch $batchId exceeded $maxCandidatesPerBatch candidate " +
-              "pairs - spilling verify to the distributed exact-Jaccard path " +
-              "(check banding parameters for this corpus)")
-          // scalastyle:on println
-        }
         val pairs = cand match {
           case Left(candDf) =>
-            overCapMsg()
+            // scalastyle:off println
+            Console.err.println(
+              s"lshDedupStream: batch $batchId exceeded $maxCandidatesPerBatch candidate " +
+                "pairs - spilling verify to the distributed exact-Jaccard path " +
+                "(check banding parameters for this corpus)")
+            // scalastyle:on println
             lbl("verify spill")(
               graft.operators.Dedup.jaccardOfPairs(shAll, candDf, tau))
-          case Right(cp) if cp.length > maxCandidatesPerBatch =>
-            // driver-mode over-cap: the pairs are already driver-resident
-            // (the key delta was tiny even if its collision set is not) —
-            // route the VERIFY distributed all the same, the postings
-            // collect below would be the oversized pull
-            import sp.implicits._
-            overCapMsg()
-            lbl("verify spill")(graft.operators.Dedup.jaccardOfPairs(
-              shAll, cp.toDF("d1", "d2"), tau))
+          // a Right never exceeds the cap: both probe modes route an
+          // over-cap candidate set to Left during generation
           case Right(candPairs) =>
           import sp.implicits._
           val candDocIds: Seq[Long] = candPairs.iterator

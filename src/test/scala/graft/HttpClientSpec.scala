@@ -129,6 +129,16 @@ class HttpClientSpec extends AnyFunSuite {
     withClient { (c, _) =>
       c.db.query("""[:find ?n :where [[?r :r_name ?n]]]""")
       assert(c.recentQueries().nonEmpty)
+      // the slowest ring is threshold-gated (100 ms): membership needs a
+      // DELIBERATELY slow query — a warm cached query finishes under the
+      // threshold and asserting on it flaked with JVM warmth
+      graft.datalog.Planner.registerFunction("slow-ident-cli") { args =>
+        val f = org.apache.spark.sql.functions.udf { (x: String) =>
+          Thread.sleep(150); x
+        }
+        f(args.head)
+      }
+      c.db.query("""[:find ?sn :where [[?r :r_name ?n] [(slow-ident-cli ?n) ?sn]]]""")
       assert(c.slowestQueries().nonEmpty)
       val m = c.metrics()
       assert(m("crux.metrics.query/completed").toString.toLong >= 1L)

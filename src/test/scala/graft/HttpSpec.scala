@@ -246,11 +246,22 @@ class HttpSpec extends AnyFunSuite {
         .map(r => (r.getString(0), r.getLong(1))).toSet
       assert(got == want && got.nonEmpty)
 
-      // monitoring: the query shows up in recent + slowest
+      // monitoring: the query shows up in recent; the slowest ring is
+      // threshold-gated (100 ms), so membership needs a DELIBERATELY
+      // slow query — a warm cached query finishes under the threshold
+      // and asserting on it flaked with JVM warmth
       val (rc, rbody) = get(port, "/_crux/recent-queries")
       assert(rc == 200)
       val recent = Json.parse(rbody).asInstanceOf[JArray].arr
       assert(recent.exists(q => (q \ "status") == JString("completed")))
+      graft.datalog.Planner.registerFunction("slow-ident-http") { args =>
+        val f = org.apache.spark.sql.functions.udf { (x: String) =>
+          Thread.sleep(150); x
+        }
+        f(args.head)
+      }
+      val slowEdn = """{:find [?sn] :where [[?r :r_name ?n] [(slow-ident-http ?n) ?sn]]}"""
+      assert(get(port, s"/_crux/query?query-edn=${enc(slowEdn)}")._1 == 200)
       val (sc, sbody) = get(port, "/_crux/slowest-queries")
       assert(sc == 200 && Json.parse(sbody).asInstanceOf[JArray].arr.nonEmpty)
     }

@@ -322,6 +322,11 @@ class SqlSpec extends AnyFunSuite {
     // at the inner close and lex the outer tail as code
     assert(rewriteTableRefs("/* o /* i */ don't */ SELECT * FROM events_current",
       "events_current", "V")._1 == "/* o /* i */ don't */ SELECT * FROM V")
+    // optimizer hints name relations semantically — their references are
+    // rewritten with the FROM clause or Spark drops the hint unresolved
+    assert(rewriteTableRefs(
+      "SELECT /*+ BROADCAST(events_current) */ * FROM events_current",
+      "events_current", "V")._1 == "SELECT /*+ BROADCAST(V) */ * FROM V")
   }
 
   test("per-query snapshot views do not leak into the catalog (r9)") {

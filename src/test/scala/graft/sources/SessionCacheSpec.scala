@@ -48,6 +48,15 @@ class SessionCacheSpec extends AnyFunSuite {
     }
   }
 
+  test("releaseLoser reaches frames inside Arrays") {
+    import spark.implicits._
+    val frames = Array.tabulate(3)(i =>
+      Seq(i).toDF("x").persist(StorageLevel.MEMORY_AND_DISK))
+    frames.foreach(_.count())
+    SessionCache.releaseLoser(("tag", frames))
+    frames.foreach(df => assert(df.storageLevel == StorageLevel.NONE))
+  }
+
   test("getOrBuild returns winner and sweeps nothing on a live session") {
     val cache = new SessionCache[(org.apache.spark.sql.SparkSession, String), Int]
     assert(cache.getOrBuild((spark, "k"))(41) == 41)
