@@ -96,6 +96,40 @@ object Sampling {
       .drop("_n")
   }
 
+  /** Data-mixing weights per source (r10) — the planning step of every
+    * multi-corpus pretraining run (GPT-3 §2.2, The Pile §1, LLaMA §2
+    * all publish exactly this table): per-source document and token
+    * counts, the source's share of corpus tokens, and the resampling
+    * weight that would flatten the mixture to a uniform target
+    * (`weight = total_tokens / (n_sources × source_tokens)` — >1 means
+    * upsample, <1 downsample). A pipeline feeds these weights straight
+    * into [[epochMix]]'s per-source epoch map.
+    *
+    * All counting is integer; the two published ratios are single IEEE
+    * double divisions of exact integers, so the DuckDB oracle matches
+    * bit-for-bit. Scale: one partial-agg groupBy(source) + one
+    * sources-sized cross join with the grand total — nothing else
+    * touches the corpus, and the result is sources-sized. */
+  def mixWeights(docs: DataFrame, sourceCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val perSource = docs
+      .groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(graft.operators.TextAnalysis.tokenCount(col(textCol)).cast("long"))
+          .as("n_tokens"))
+    val totals = perSource.agg(
+      sum(col("n_tokens")).as("_total"), count(lit(1)).as("_s"))
+    perSource.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        // zero guards (ANSI): an all-empty source or corpus reports 0.0
+        when(col("_total") > 0,
+          col("n_tokens").cast("double") / col("_total"))
+          .otherwise(lit(0.0)).as("token_share"),
+        when(col("n_tokens") > 0,
+          col("_total").cast("double") / (col("_s") * col("n_tokens")))
+          .otherwise(lit(0.0)).as("uniform_weight"))
+  }
+
   /** DSIR-style hashed-n-gram importance weighting (Xie et al. 2023,
     * "Data Selection for Language Models via Importance Resampling"):
     * estimate a target and a raw unigram distribution over HASHED token

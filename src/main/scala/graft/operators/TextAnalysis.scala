@@ -170,6 +170,35 @@ object TextAnalysis {
           !col("has_lorem") && !col("no_stopword"))
   }
 
+  /** Token-length histogram per source over fixed power-of-two bins
+    * (r10) — the corpus-QA report a pipeline runs before and after every
+    * filter stage (truncation spikes, boilerplate floods and chunking
+    * bugs all show up as bin-mass shifts). `bin` is ⌊log2(n_tokens)⌋
+    * capped at `maxBin` (bin 0 holds 0- and 1-token docs), computed as an
+    * exact integer comparison chain — no floating log, so the DuckDB
+    * oracle matches exactly.
+    *
+    * Scale: one map-side token count + one partial-agg groupBy over
+    * (source, bin) — output is sources × bins rows, nothing shuffles on
+    * text. */
+  def lengthHistogram(df: DataFrame, sourceCol: String = "source",
+      textCol: String = "text", maxBin: Int = 20): DataFrame = {
+    val n = tokenCount(col(textCol)).cast("long")
+    // floor(log2(n)) as an explicit comparison chain — floating log2 is
+    // NOT safe here (floor(log2(2^k)) can evaluate to k-1 when libm
+    // rounds a hair low, and the two engines' libms differ); maxBin
+    // integer comparisons are exact and codegen'd. foldLeft nests the
+    // LAST iteration outermost, so iterate maxBin→1 to get the smallest
+    // threshold checked first.
+    val binned = when(n <= 1, lit(0)).otherwise(
+      (maxBin to 1 by -1).foldLeft(lit(maxBin)) { case (acc, b) =>
+        when(n < (1L << (b + 1)), lit(b)).otherwise(acc)
+      })
+    df.groupBy(col(sourceCol).as("source"), binned.as("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(n).as("n_tokens"),
+        min(n).as("min_tokens"), max(n).as("max_tokens"))
+  }
+
   // ------------------------------- corpus-level term statistics (r6)
 
   /** Top-k salient terms per document by TF-IDF, with a RATIONAL idf

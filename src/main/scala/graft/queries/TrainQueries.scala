@@ -318,6 +318,17 @@ object TrainQueries {
     "text_decontam" -> ((s, dir) =>
       Sampling.decontaminate(docs(s, dir), col("doc_id") % 97 === 0)),
 
+    // data-mixing weight table (r10): per-source token shares + the
+    // uniform-target resampling weight — the planning step feeding
+    // epochMix; exact integer counts, two IEEE divisions
+    "sample_mix_weights" -> ((s, dir) => Sampling.mixWeights(docs(s, dir))),
+
+    // token-length histogram over power-of-two bins (r10): corpus-QA
+    // report per source; bin = floor(log2(n_tokens)) via an exact
+    // integer comparison chain (degenerate docs land in bin 0)
+    "text_len_hist" -> ((s, dir) =>
+      TextAnalysis.lengthHistogram(withDegenerateDocs(docs(s, dir)))),
+
     // deterministic stratified sampling (r5): per-lang keep rates via a
     // salted md5 hash fraction — reproducible across retries/partitions,
     // and DuckDB computes the identical md5 so the gate is exact
@@ -660,6 +671,36 @@ object TrainSql {
     "stream_dedup" -> """
       SELECT source, count(DISTINCT md5(lower(text))) AS n_unique
       FROM documents GROUP BY source""",
+
+    "sample_mix_weights" -> s"""
+      WITH per AS (SELECT source, count(*) AS n_docs,
+                     SUM(len($toks)) AS n_tokens
+                   FROM documents GROUP BY source),
+      tot AS (SELECT SUM(n_tokens) AS total, COUNT(*) AS s FROM per)
+      SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+        CAST(n_tokens AS BIGINT) AS n_tokens,
+        CASE WHEN total > 0 THEN CAST(n_tokens AS DOUBLE) / total
+             ELSE 0.0 END AS token_share,
+        CASE WHEN n_tokens > 0 THEN CAST(total AS DOUBLE) / (s * n_tokens)
+             ELSE 0.0 END AS uniform_weight
+      FROM per, tot""",
+
+    "text_len_hist" -> {
+      val chain = (1 to 20).map(b =>
+        s"WHEN n < ${1L << (b + 1)} THEN $b").mkString(" ")
+      s"""
+      WITH $degenDocs,
+      t AS (SELECT source, len($toks) AS n FROM degen),
+      b AS (SELECT source,
+              CASE WHEN n <= 1 THEN 0 $chain ELSE 20 END AS bin, n
+            FROM t)
+      SELECT source, CAST(bin AS INT) AS bin,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(SUM(n) AS BIGINT) AS n_tokens,
+        CAST(MIN(n) AS BIGINT) AS min_tokens,
+        CAST(MAX(n) AS BIGINT) AS max_tokens
+      FROM b GROUP BY 1, 2"""
+    },
 
     "text_dup_spans" -> s"""
       WITH $degenDocs,

@@ -518,6 +518,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("mixWeights: shares sum to 1, uniform weights rebalance, zero-token source guarded") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "one two three four", "web"), (2L, "a b", "web"),
+      (3L, "x y z", "books"), (4L, "", "empty"), (5L, "   ", "empty"))
+      .toDF("doc_id", "text", "source")
+    val w = Sampling.mixWeights(d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    assert(w("web") == ((2L, 6L, 6.0 / 9, 9.0 / (3 * 6))))
+    assert(w("books") == ((1L, 3L, 3.0 / 9, 9.0 / (3 * 3))))
+    assert(w("empty") == ((2L, 0L, 0.0, 0.0))) // ANSI guard, not crash
+    assert(math.abs(w.values.map(_._3).sum - 1.0) < 1e-12)
+  }
+
+  test("lengthHistogram bins are exact floor(log2) incl. powers of two and the cap") {
+    import spark.implicits._
+    def doc(id: Long, n: Int) = (id, Seq.fill(n)("w").mkString(" "), "s")
+    val d = Seq(doc(1, 0), doc(2, 1), doc(3, 2), doc(4, 3), doc(5, 4),
+      doc(6, 7), doc(7, 8), doc(8, 1024), doc(9, 3000000))
+      .toDF("doc_id", "text", "source")
+    val bins = TextAnalysis.lengthHistogram(d).collect()
+      .flatMap(r => Seq.fill(r.getLong(2).toInt)(r.getInt(1))).sorted.toSeq
+    // 0,1→bin0; 2,3→bin1; 4,7→bin2; 8→bin3; 1024→bin10; 3M→capped at 20
+    assert(bins == Seq(0, 0, 1, 1, 2, 2, 3, 10, 20))
+  }
+
   test("multiprobe LSH strictly widens the candidate set, never loses pairs") {
     val e = emb
     val q = e.filter(col("vec_id") < 20)
