@@ -313,6 +313,100 @@ object Dedup {
       .filter(col("cosine") >= tau)
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): k-means-cluster the
+    * embedding space, restrict near-dup search to WITHIN-cluster pairs
+    * (exact cosine ≥ tau), connect the qualifying pairs into duplicate
+    * groups, and keep ONE representative per group — the member with the
+    * LOWEST cosine to its cluster centroid (the paper's keep-the-outlier
+    * rule, §3; ties break to the lowest id). Output: one row per vector
+    * with (vec_id, cell, centroid_cos, group, keep).
+    *
+    * Scale shape — the reason SemDeDup works at web scale: the quadratic
+    * pair search never crosses cluster boundaries, so pair work is
+    * Σ n_c² over cells instead of n² (the paper runs k=50k clusters over
+    * 5B embeddings). Here: one bounded Lloyd train
+    * ([[Similarity.kmeansCentroids]] — driver artifact is nlist×dims
+    * doubles), one map pass for (cell, centroid_cos), one equi-join on
+    * cell for pairs, then [[connectedComponents]] (size-routed) and a
+    * group-min keep choice (one partial-agg shuffle on group). With
+    * nlist = 1 the clustering degenerates and the pair set provably
+    * equals [[embeddingCosinePairs]] — the hash-exact oracle gate;
+    * production nlist keeps within-cluster semantics and is bounds-gated
+    * in-engine. */
+  def semDedup(emb: DataFrame, tau: Double, nlist: Int = 8, iters: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      dims: Int = 64): DataFrame = {
+    val spark = emb.sparkSession
+    val cents = Similarity.kmeansCentroids(emb, nlist, iters, idCol, vecCol, dims)
+    val centroidCos = udf { (v: Array[Double], cell: Int) =>
+      val ct = cents(cell)
+      var d = 0.0; var nn = 0.0; var i = 0
+      val n = math.min(ct.length, v.length)
+      while (i < v.length) { nn += v(i) * v(i); i += 1 }
+      i = 0
+      while (i < n) { d += ct(i) * v(i); i += 1 }
+      if (nn == 0.0) 0.0 else d / math.sqrt(nn) // cents are unit-norm
+    }
+    val par = spark.sparkContext.defaultParallelism
+    val assigned = emb
+      .select(col(idCol).cast("long").as("vec_id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("cell", Similarity.assignCellUdf(cents)(col("v")))
+      .withColumn("centroid_cos", round(centroidCos(col("v"), col("cell")), 6))
+      // spread before the self-join: small parquet inputs arrive as one
+      // partition and the per-cell pair scoring would single-thread
+      .repartition(par, col("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"),
+        round(Similarity.nativeCosine(spark, col("a.v"), col("b.v")), 6).as("cosine"))
+      .filter(col("cosine") >= tau)
+    val cc = connectedComponents(pairs.select(col("d1"), col("d2")))
+    val grouped = assigned.select(col("vec_id"), col("cell"), col("centroid_cos"))
+      .join(cc, assigned("vec_id") === cc("id"), "left")
+      .select(col("vec_id"), col("cell"), col("centroid_cos"),
+        coalesce(col("label"), col("vec_id")).as("group"))
+    // keep-the-outlier: per group the LOWEST centroid cosine wins, ties
+    // to the lowest vec_id — min over a (cos, id) struct is exactly that
+    val keepPick = grouped.groupBy(col("group"))
+      .agg(min(struct(col("centroid_cos"), col("vec_id"))).as("_k"))
+      .select(col("group"), col("_k.vec_id").as("_keep_id"))
+    val out = grouped.join(keepPick, Seq("group"))
+      .select(col("vec_id"), col("cell"), col("centroid_cos"), col("group"),
+        (col("vec_id") === col("_keep_id")).as("keep"))
+      .localCheckpoint(true)
+    assigned.unpersist(false)
+    out
+  }
+
+  /** [[semDedup]]'s qualifying pair set alone (d1, d2, cosine) — the
+    * hash-exact gate surface: with nlist = 1 it provably equals
+    * [[embeddingCosinePairs]]. EAGER like the other pair operators. */
+  def semDedupPairs(emb: DataFrame, tau: Double, nlist: Int = 8,
+      iters: Int = 5, idCol: String = "vec_id", vecCol: String = "embedding",
+      dims: Int = 64): DataFrame = {
+    val spark = emb.sparkSession
+    val cents = Similarity.kmeansCentroids(emb, nlist, iters, idCol, vecCol, dims)
+    val par = spark.sparkContext.defaultParallelism
+    val assigned = emb
+      .select(col(idCol).cast("long").as("vec_id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("cell", Similarity.assignCellUdf(cents)(col("v")))
+      .repartition(par, col("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    materializeAndRelease(
+      assigned.as("a")
+        .join(assigned.as("b"),
+          col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
+          round(Similarity.nativeCosine(spark, col("a.v"), col("b.v")), 6).as("cosine"))
+        .filter(col("cosine") >= tau),
+      assigned)
+  }
+
   /** Bands b such that a qualifying pair's miss probability (1-p^r)^b ≤
     * `miss`, where p = 1-acos(tau)/π is the per-hyperplane collision
     * probability at cosine = tau (Charikar's sign-LSH bound). */

@@ -189,9 +189,27 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** Deterministic distributed Lloyd (k-means) coarse quantizer: returns
-    * the corpus with a `cell` column assigning each vector to its nearest
-    * of `nlist` centroids by cosine, for [[ivfTopK]]'s `cellCol`.
+  /** Best-dot cell assignment against a driver-held centroid table —
+    * shared by [[kmeansAssign]]'s Lloyd loop, the final assignment, and
+    * [[graft.operators.Dedup.semDedup]]'s clustering step. */
+  private[graft] def assignCellUdf(cents: Array[Array[Double]]) =
+    udf { (v: Array[Double]) =>
+      var best = 0; var bestDot = Double.NegativeInfinity
+      var c = 0
+      while (c < cents.length) {
+        val ct = cents(c); var d = 0.0; var i = 0
+        val n = math.min(ct.length, v.length)
+        while (i < n) { d += ct(i) * v(i); i += 1 }
+        if (d > bestDot) { bestDot = d; best = c }
+        c += 1
+      }
+      best
+    }
+
+  /** Deterministic distributed Lloyd (k-means): train and return the
+    * (normalized) centroids — the bounded driver artifact behind
+    * [[kmeansAssign]], exposed for consumers that also need per-vector
+    * centroid similarity ([[graft.operators.Dedup.semDedup]]'s keep rule).
     *
     * Shape per iteration (the standard scalable k-means loop, e.g. Spark
     * MLlib's KMeans): centroids live on the driver (nlist×dims doubles —
@@ -203,9 +221,9 @@ object Similarity {
     * update sums per-dimension in decimal ([[graft.functions.Exact]] —
     * order-independent across partitionings); argmax ties break to the
     * lowest cell id. Same data in ⇒ same cells out, on any cluster. */
-  def kmeansAssign(corpus: DataFrame, nlist: Int = 8, iters: Int = 5,
+  def kmeansCentroids(corpus: DataFrame, nlist: Int = 8, iters: Int = 5,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      dims: Int = 64): DataFrame = {
+      dims: Int = 64): Array[Array[Double]] = {
     val e = corpus.select(col(idCol).as("kid"),
       col(vecCol).cast("array<double>").as("kv"))
     val norm = sqrt(dot(col("kv"), col("kv")))
@@ -220,20 +238,8 @@ object Similarity {
     }
     var centroids: Array[Array[Double]] = nv.orderBy(col("kid")).limit(nlist)
       .collect().map(_.getSeq[Double](1).toArray).map(renorm)
-    def assignUdf(cents: Array[Array[Double]]) = udf { (v: Array[Double]) =>
-      var best = 0; var bestDot = Double.NegativeInfinity
-      var c = 0
-      while (c < cents.length) {
-        val ct = cents(c); var d = 0.0; var i = 0
-        val n = math.min(ct.length, v.length)
-        while (i < n) { d += ct(i) * v(i); i += 1 }
-        if (d > bestDot) { bestDot = d; best = c }
-        c += 1
-      }
-      best
-    }
     for (_ <- 0 until iters) {
-      val asg = nv.withColumn("cell", assignUdf(centroids)(col("nv")))
+      val asg = nv.withColumn("cell", assignCellUdf(centroids)(col("nv")))
       val sums = (0 until dims).map(i =>
         graft.functions.Exact.dsum(
           element_at(col("nv"), i + 1).cast(org.apache.spark.sql.types.DecimalType(24, 18))
@@ -247,9 +253,18 @@ object Similarity {
       centroids = next
     }
     nv.unpersist()
-    corpus.withColumn("cell",
-      assignUdf(centroids)(col(vecCol).cast("array<double>")))
+    centroids
   }
+
+  /** The corpus with a `cell` column assigning each vector to its
+    * nearest of `nlist` trained centroids by cosine, for [[ivfTopK]]'s
+    * `cellCol` (see [[kmeansCentroids]] for the training shape). */
+  def kmeansAssign(corpus: DataFrame, nlist: Int = 8, iters: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      dims: Int = 64): DataFrame =
+    corpus.withColumn("cell",
+      assignCellUdf(kmeansCentroids(corpus, nlist, iters, idCol, vecCol, dims))(
+        col(vecCol).cast("array<double>")))
 
   // ---------------------------------------- product quantization (r6)
 

@@ -110,6 +110,29 @@ object TrainQueries {
     "dedup_embedding_lsh" -> ((s, dir) =>
       pairSet(s, dir, "emb_lsh")(Dedup.embeddingLshPairs(emb(s, dir), 0.45))),
 
+    // SemDeDup pair surface at nlist=1 (r10): the clustering degenerates
+    // to one cell, so the within-cluster pair set provably equals the
+    // exact all-pairs answer — the brute oracle hash-checks the full
+    // cluster/pair code path
+    "semdedup_pairs" -> ((s, dir) =>
+      pairSet(s, dir, "semdedup")(
+        Dedup.semDedupPairs(emb(s, dir), 0.45, nlist = 1, iters = 1))),
+
+    // production-shaped SemDeDup (nlist=8): keep-rule invariants computed
+    // in-engine (clustering is engine-internal, so the oracle asserts the
+    // invariant booleans + corpus count — the ann_recall gate shape)
+    "semdedup_keep" -> ((s, dir) => {
+      val r = Dedup.semDedup(emb(s, dir), 0.45, nlist = 8, iters = 5)
+      val perGroup = r.groupBy(col("group")).agg(
+        sum(when(col("keep"), 1L).otherwise(0L)).as("nk"),
+        min(struct(col("centroid_cos"), col("vec_id"))).as("mn"),
+        min(when(col("keep"), struct(col("centroid_cos"), col("vec_id")))).as("kmn"))
+      val checks = perGroup.agg(
+        (sum(when(col("nk") === 1, 0L).otherwise(1L)) === 0).as("one_keep_per_group"),
+        (sum(when(col("mn") === col("kmn"), 0L).otherwise(1L)) === 0).as("keep_is_min_centroid"))
+      r.agg(count(lit(1)).as("n_vecs")).crossJoin(checks)
+    }),
+
     "ann_topk_brute" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5), 10)
@@ -476,6 +499,18 @@ object TrainSql {
              ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine
       FROM e a JOIN e b ON a.vec_id < b.vec_id
       WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.45""",
+
+    // nlist=1 SemDeDup = exact all-pairs: same brute oracle
+    "semdedup_pairs" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      SELECT a.vec_id AS v1, b.vec_id AS v2,
+             ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.45""",
+
+    "semdedup_keep" -> """
+      SELECT (SELECT count(*) FROM embeddings) AS n_vecs,
+             TRUE AS one_keep_per_group, TRUE AS keep_is_min_centroid""",
 
     "ann_topk_brute" -> """
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -518,6 +518,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("semDedup: nlist=1 pairs equal exact brute pairs; keep rule is one-outlier-per-group") {
+    // differential: one cell degenerates the clustering, so the pair set
+    // must equal the exhaustive cosine pairs bit-for-bit
+    val brute = Dedup.embeddingCosinePairs(emb, 0.45)
+      .select("v1", "v2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sem = Dedup.semDedupPairs(emb, 0.45, nlist = 1, iters = 1)
+      .select("v1", "v2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sem == brute && brute.nonEmpty)
+    // production shape: exactly one keep per duplicate group, and the
+    // kept member has the group's LOWEST (centroid_cos, vec_id) — the
+    // paper's keep-the-outlier rule
+    val r = Dedup.semDedup(emb, 0.45, nlist = 4, iters = 3).collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getDouble(2), x.getLong(3), x.getBoolean(4)))
+    val byGroup = r.groupBy(_._4)
+    assert(byGroup.nonEmpty && byGroup.exists(_._2.size > 1)) // real dups on the fixture
+    byGroup.foreach { case (g, members) =>
+      val keeps = members.filter(_._5)
+      assert(keeps.size == 1, s"group $g has ${keeps.size} keeps")
+      val want = members.map(m => (m._3, m._1)).min
+      assert((keeps.head._3, keeps.head._1) == want, s"group $g kept a non-outlier")
+    }
+    assert(r.length == emb.count())
+  }
+
   test("mixWeights: shares sum to 1, uniform weights rebalance, zero-token source guarded") {
     import spark.implicits._
     val d = Seq(
