@@ -329,6 +329,47 @@ class SqlSpec extends AnyFunSuite {
       "events_current", "V")._1 == "SELECT /*+ BROADCAST(V) */ * FROM V")
   }
 
+  test("view rewrite: randomized segment programs rewrite exactly the references (r10)") {
+    // constructive differential: each program is assembled from typed
+    // segments whose expected rewrite is known BY CONSTRUCTION, so the
+    // scanner is checked against ground truth rather than itself —
+    // literals ('' and backslash escapes), double-quoted literals, line
+    // and (nested) block comments, backtick identifiers, hint blocks,
+    // reference words, decoy words containing the name as a substring
+    import graft.sql.SqlSurface.rewriteTableRefs
+    val T = "events_current"; val R = "v_12345"
+    (0 until 200).foreach { trial =>
+      val rnd = new scala.util.Random(7100 + trial)
+      val segs = Seq.newBuilder[(String, String, Boolean)] // (in, want, isRef)
+      val nSegs = 1 + rnd.nextInt(12)
+      (0 until nSegs).foreach { _ =>
+        rnd.nextInt(9) match {
+          case 0 => segs += ((T, R, true))                       // bare reference
+          case 1 => segs += ((s"${T}_old", s"${T}_old", false))  // substring decoy
+          case 2 =>                                              // single-quoted literal
+            val body = Seq(s"x $T y", s"it''s $T", s"a\\' $T")(rnd.nextInt(3))
+            segs += ((s"'$body'", s"'$body'", false))
+          case 3 => segs += ((s""""d $T q"""", s""""d $T q"""", false))
+          case 4 =>                                              // line comment (ends the line)
+            segs += ((s"-- c $T tail\n", s"-- c $T tail\n", false))
+          case 5 =>                                              // block comment, maybe nested
+            val inner = if (rnd.nextBoolean()) s"/* $T */" else T
+            segs += ((s"/* o $inner t */", s"/* o $inner t */", false))
+          case 6 =>                                              // hint block: refs rewritten
+            segs += ((s"/*+ BROADCAST($T) */", s"/*+ BROADCAST($R) */", true))
+          case 7 => segs += ((s"`$T`", s"`$R`", true))           // backtick identifier
+          case 8 => segs += (("FROM tbl WHERE x < 3", "FROM tbl WHERE x < 3", false))
+        }
+      }
+      val built = segs.result()
+      val in = built.map(_._1).mkString(" ")
+      val want = built.map(_._2).mkString(" ")
+      val wantFound = built.exists(_._3)
+      assert(rewriteTableRefs(in, T, R) == ((want, wantFound)),
+        s"trial $trial\nin:   $in\ngot:  ${rewriteTableRefs(in, T, R)}\nwant: ($want, $wantFound)")
+    }
+  }
+
   test("per-query snapshot views do not leak into the catalog (r9)") {
     q("VALIDTIME ('2024-01-15T00:00:00') SELECT COUNT(*) AS n FROM events_current").collect()
     val leaked = spark.catalog.listTables().collect()
