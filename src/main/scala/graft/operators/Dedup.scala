@@ -313,6 +313,49 @@ object Dedup {
       .filter(col("cosine") >= tau)
   }
 
+  /** Line-level exact dedup (the C4 §2.2 / RefinedWeb line-dedup stage:
+    * a line that occurs more than once in the CORPUS is kept only at its
+    * first occurrence and dropped everywhere else — boilerplate
+    * navigation, cookie banners and signatures disappear corpus-wide
+    * while each survives once). "First" is the minimal (doc, position)
+    * pair — deterministic at any parallelism. Blank/whitespace-only
+    * lines are always kept: deduping them would splice unrelated
+    * paragraphs together.
+    *
+    * Output per doc: the deduplicated text plus line bookkeeping
+    * (`n_lines`, `n_kept`). Scale shape: one posexplode to (doc, pos,
+    * line), one partial-agg groupBy on the line hash for the keeper
+    * choice (min-struct — the duplicated minority stays small), one hash
+    * join back, and an array_sort rebuild per doc — nothing quadratic,
+    * nothing driver-side. */
+  def lineDedup(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val lines = docs.select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("_blank", trim(col("line")) === "")
+    // keeper per distinct non-blank line: minimal (doc_id, pos)
+    val keepers = lines.filter(!col("_blank"))
+      .groupBy(col("line").as("kline"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("_first"))
+      .select(col("kline"),
+        col("_first.doc_id").as("kdoc"), col("_first.pos").as("kpos"))
+    val kept = lines
+      .join(keepers, lines("line") === keepers("kline"), "left")
+      .filter(col("_blank") || (col("doc_id") === col("kdoc") && col("pos") === col("kpos")))
+      .select(col("doc_id"), col("pos"), col("line"))
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_sort(collect_list(struct(col("pos"), col("line")))).as("_ls"))
+      .select(col("doc_id"), col("n_kept"),
+        concat_ws("\n", transform(col("_ls"), s => s.getField("line"))).as("text_dedup"))
+    docs.select(col(idCol).as("doc_id"),
+        (size(split(col(textCol), "\n"))).cast("long").as("n_lines"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+  }
+
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication"): k-means-cluster the
     * embedding space, restrict near-dup search to WITHIN-cluster pairs

@@ -110,6 +110,15 @@ object TrainQueries {
     "dedup_embedding_lsh" -> ((s, dir) =>
       pairSet(s, dir, "emb_lsh")(Dedup.embeddingLshPairs(emb(s, dir), 0.45))),
 
+    // C4/RefinedWeb line-level dedup (r10): a line occurring >1 time in
+    // the corpus survives only at its first (doc, pos) occurrence; the
+    // single-line fixture is decorated with shared boilerplate lines +
+    // a unique tail so cross-doc line collapse actually fires
+    "text_line_dedup" -> ((s, dir) =>
+      Dedup.lineDedup(docs(s, dir).withColumn("text",
+        concat(lit("Subscribe to our newsletter\n"), col("text"),
+          lit("\n(c) 2024 Example Corp\ntail "), col("doc_id").cast("string"))))),
+
     // SemDeDup pair surface at nlist=1 (r10): the clustering degenerates
     // to one cell, so the within-cluster pair set provably equals the
     // exact all-pairs answer — the brute oracle hash-checks the full
@@ -503,6 +512,30 @@ object TrainSql {
              ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine
       FROM e a JOIN e b ON a.vec_id < b.vec_id
       WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.45""",
+
+    "text_line_dedup" -> """
+      WITH d AS (SELECT doc_id,
+        'Subscribe to our newsletter' || chr(10) || text || chr(10) ||
+        '(c) 2024 Example Corp' || chr(10) || 'tail ' || CAST(doc_id AS VARCHAR) AS t
+        FROM documents),
+      l AS (SELECT doc_id,
+              CAST(unnest(range(len(ls))) AS INT) AS pos,
+              unnest(ls) AS line
+            FROM (SELECT doc_id, string_split(t, chr(10)) AS ls FROM d)),
+      kept AS (
+        SELECT doc_id, pos, line FROM (
+          SELECT doc_id, pos, line,
+            row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn,
+            trim(line) = '' AS blank
+          FROM l) WHERE blank OR rn = 1),
+      r AS (SELECT doc_id, count(*) AS n_kept,
+              string_agg(line, chr(10) ORDER BY pos) AS text_dedup
+            FROM kept GROUP BY doc_id)
+      SELECT d.doc_id,
+        CAST(len(string_split(d.t, chr(10))) AS BIGINT) AS n_lines,
+        CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept,
+        COALESCE(text_dedup, '') AS text_dedup
+      FROM d LEFT JOIN r USING (doc_id)""",
 
     // nlist=1 SemDeDup = exact all-pairs: same brute oracle
     "semdedup_pairs" -> """

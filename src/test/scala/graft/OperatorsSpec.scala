@@ -518,6 +518,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("lineDedup: corpus-wide first occurrence wins, blanks always survive") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "keep me\nBOILER\n\nunique one"),
+      (2L, "BOILER\nkeep me too\n\nunique two"),
+      (3L, "BOILER\nBOILER\nunique three"))
+      .toDF("doc_id", "text")
+    val r = Dedup.lineDedup(d).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getString(3)))).toMap
+    // BOILER first occurs at (doc 1, pos 1): every later copy drops,
+    // including the SAME-doc repeat in doc 3; blank lines always survive
+    assert(r(1L) == ((4L, 4L, "keep me\nBOILER\n\nunique one")))
+    assert(r(2L) == ((4L, 3L, "keep me too\n\nunique two")))
+    assert(r(3L) == ((3L, 1L, "unique three")))
+  }
+
   test("semDedup: nlist=1 pairs equal exact brute pairs; keep rule is one-outlier-per-group") {
     // differential: one cell degenerates the clustering, so the pair set
     // must equal the exhaustive cosine pairs bit-for-bit
