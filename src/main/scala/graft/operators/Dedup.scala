@@ -324,24 +324,32 @@ object Dedup {
     *
     * Output per doc: the deduplicated text plus line bookkeeping
     * (`n_lines`, `n_kept`). Scale shape: one posexplode to (doc, pos,
-    * line), one partial-agg groupBy on the line hash for the keeper
-    * choice (min-struct — the duplicated minority stays small), one hash
-    * join back, and an array_sort rebuild per doc — nothing quadratic,
-    * nothing driver-side. */
+    * line), one partial-agg groupBy for the keeper choice, one hash join
+    * back against ONLY the duplicated minority (count > 1 — a mostly-
+    * unique corpus keeps its unique lines through a null-keeper check,
+    * never joining them), and an array_sort rebuild per doc — nothing
+    * quadratic, nothing driver-side. At trillion-line scale the shuffle
+    * key would be xxhash64(line) rather than the text (8-byte keys; C4's
+    * own implementation hashes) at the cost of a theoretical collision —
+    * here the raw line keeps the oracle differential exact. */
   def lineDedup(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val lines = docs.select(col(idCol).as("doc_id"),
         posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
       .withColumn("_blank", trim(col("line")) === "")
-    // keeper per distinct non-blank line: minimal (doc_id, pos)
+    // keepers restricted to DUPLICATED non-blank lines: minimal
+    // (doc_id, pos) per line; unique lines never enter the join side
     val keepers = lines.filter(!col("_blank"))
       .groupBy(col("line").as("kline"))
-      .agg(min(struct(col("doc_id"), col("pos"))).as("_first"))
+      .agg(count(lit(1)).as("_n"),
+        min(struct(col("doc_id"), col("pos"))).as("_first"))
+      .filter(col("_n") > 1)
       .select(col("kline"),
         col("_first.doc_id").as("kdoc"), col("_first.pos").as("kpos"))
     val kept = lines
       .join(keepers, lines("line") === keepers("kline"), "left")
-      .filter(col("_blank") || (col("doc_id") === col("kdoc") && col("pos") === col("kpos")))
+      .filter(col("_blank") || col("kdoc").isNull ||
+        (col("doc_id") === col("kdoc") && col("pos") === col("kpos")))
       .select(col("doc_id"), col("pos"), col("line"))
     val rebuilt = kept.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_kept"),
@@ -377,9 +385,18 @@ object Dedup {
     * equals [[embeddingCosinePairs]] — the hash-exact oracle gate;
     * production nlist keeps within-cluster semantics and is bounds-gated
     * in-engine. */
-  def semDedup(emb: DataFrame, tau: Double, nlist: Int = 8, iters: Int = 5,
-      idCol: String = "vec_id", vecCol: String = "embedding",
-      dims: Int = 64): DataFrame = {
+  /** Shared SemDeDup front half: train centroids, assign cells +
+    * centroid cosine, and produce the within-cell qualifying pairs.
+    * Returns (assigned [persisted — caller releases], pairs). The pair
+    * join is size-routed on cell count: with nlist ≥ the session
+    * parallelism the cell-partitioned self-join spreads naturally (the
+    * paper's regime — k in the tens of thousands); with FEW cells that
+    * shuffle would single-thread each cell's O(n_c²) scoring, so the
+    * stream side spreads round-robin against a broadcast build instead
+    * (few cells ⇒ the operator is only tractable on a broadcastable
+    * corpus anyway — same reasoning as [[embeddingCosinePairs]]). */
+  private def semAssignedPairs(emb: DataFrame, tau: Double, nlist: Int,
+      iters: Int, idCol: String, vecCol: String, dims: Int): (DataFrame, DataFrame) = {
     val spark = emb.sparkSession
     val cents = Similarity.kmeansCentroids(emb, nlist, iters, idCol, vecCol, dims)
     val centroidCos = udf { (v: Array[Double], cell: Int) =>
@@ -392,21 +409,31 @@ object Dedup {
       if (nn == 0.0) 0.0 else d / math.sqrt(nn) // cents are unit-norm
     }
     val par = spark.sparkContext.defaultParallelism
-    val assigned = emb
+    val manyCells = nlist >= par
+    val spread = emb
       .select(col(idCol).cast("long").as("vec_id"),
         col(vecCol).cast("array<double>").as("v"))
       .withColumn("cell", Similarity.assignCellUdf(cents)(col("v")))
       .withColumn("centroid_cos", round(centroidCos(col("v"), col("cell")), 6))
-      // spread before the self-join: small parquet inputs arrive as one
-      // partition and the per-cell pair scoring would single-thread
-      .repartition(par, col("cell"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val assigned =
+      (if (manyCells) spread.repartition(par, col("cell"))
+       else spread.repartition(par))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val buildSide = if (manyCells) assigned.as("b") else broadcast(assigned.as("b"))
     val pairs = assigned.as("a")
-      .join(assigned.as("b"),
+      .join(buildSide,
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"),
         round(Similarity.nativeCosine(spark, col("a.v"), col("b.v")), 6).as("cosine"))
       .filter(col("cosine") >= tau)
+    (assigned, pairs)
+  }
+
+  def semDedup(emb: DataFrame, tau: Double, nlist: Int = 8, iters: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      dims: Int = 64): DataFrame = {
+    val (assigned, pairs) =
+      semAssignedPairs(emb, tau, nlist, iters, idCol, vecCol, dims)
     val cc = connectedComponents(pairs.select(col("d1"), col("d2")))
     val grouped = assigned.select(col("vec_id"), col("cell"), col("centroid_cos"))
       .join(cc, assigned("vec_id") === cc("id"), "left")
@@ -425,28 +452,18 @@ object Dedup {
     out
   }
 
-  /** [[semDedup]]'s qualifying pair set alone (d1, d2, cosine) — the
+  /** [[semDedup]]'s qualifying pair set alone (v1, v2, cosine) — the
     * hash-exact gate surface: with nlist = 1 it provably equals
-    * [[embeddingCosinePairs]]. EAGER like the other pair operators. */
+    * [[embeddingCosinePairs]] (SAME pair construction via the shared
+    * [[semAssignedPairs]], so the oracle gate also covers [[semDedup]]'s
+    * own pairs). EAGER like the other pair operators. */
   def semDedupPairs(emb: DataFrame, tau: Double, nlist: Int = 8,
       iters: Int = 5, idCol: String = "vec_id", vecCol: String = "embedding",
       dims: Int = 64): DataFrame = {
-    val spark = emb.sparkSession
-    val cents = Similarity.kmeansCentroids(emb, nlist, iters, idCol, vecCol, dims)
-    val par = spark.sparkContext.defaultParallelism
-    val assigned = emb
-      .select(col(idCol).cast("long").as("vec_id"),
-        col(vecCol).cast("array<double>").as("v"))
-      .withColumn("cell", Similarity.assignCellUdf(cents)(col("v")))
-      .repartition(par, col("cell"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (assigned, pairs) =
+      semAssignedPairs(emb, tau, nlist, iters, idCol, vecCol, dims)
     materializeAndRelease(
-      assigned.as("a")
-        .join(assigned.as("b"),
-          col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
-          round(Similarity.nativeCosine(spark, col("a.v"), col("b.v")), 6).as("cosine"))
-        .filter(col("cosine") >= tau),
+      pairs.select(col("d1").as("v1"), col("d2").as("v2"), col("cosine")),
       assigned)
   }
 

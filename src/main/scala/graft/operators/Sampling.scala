@@ -101,9 +101,13 @@ object Sampling {
     * all publish exactly this table): per-source document and token
     * counts, the source's share of corpus tokens, and the resampling
     * weight that would flatten the mixture to a uniform target
-    * (`weight = total_tokens / (n_sources × source_tokens)` — >1 means
-    * upsample, <1 downsample). A pipeline feeds these weights straight
-    * into [[epochMix]]'s per-source epoch map.
+    * (`weight = total_tokens / (n_contributing_sources × source_tokens)`
+    * — >1 means upsample, <1 downsample; the divisor counts only
+    * sources WITH tokens, so the reweighted mixture is exactly uniform
+    * over the sources that can contribute — an all-empty source gets
+    * weight 0 and must not dilute everyone else's target share). A
+    * pipeline feeds these weights straight into [[epochMix]]'s
+    * per-source epoch map.
     *
     * All counting is integer; the two published ratios are single IEEE
     * double divisions of exact integers, so the DuckDB oracle matches
@@ -118,7 +122,8 @@ object Sampling {
         sum(graft.operators.TextAnalysis.tokenCount(col(textCol)).cast("long"))
           .as("n_tokens"))
     val totals = perSource.agg(
-      sum(col("n_tokens")).as("_total"), count(lit(1)).as("_s"))
+      sum(col("n_tokens")).as("_total"),
+      count(when(col("n_tokens") > 0, 1)).as("_s"))
     perSource.crossJoin(broadcast(totals))
       .select(col("source"), col("n_docs"), col("n_tokens"),
         // zero guards (ANSI): an all-empty source or corpus reports 0.0

@@ -748,7 +748,8 @@ object TrainSql {
       WITH per AS (SELECT source, count(*) AS n_docs,
                      SUM(len($toks)) AS n_tokens
                    FROM documents GROUP BY source),
-      tot AS (SELECT SUM(n_tokens) AS total, COUNT(*) AS s FROM per)
+      tot AS (SELECT SUM(n_tokens) AS total,
+                     COUNT(CASE WHEN n_tokens > 0 THEN 1 END) AS s FROM per)
       SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
         CAST(n_tokens AS BIGINT) AS n_tokens,
         CASE WHEN total > 0 THEN CAST(n_tokens AS DOUBLE) / total

@@ -567,10 +567,15 @@ class OperatorsSpec extends AnyFunSuite {
     val w = Sampling.mixWeights(d).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
         r.getDouble(3), r.getDouble(4))).toMap
-    assert(w("web") == ((2L, 6L, 6.0 / 9, 9.0 / (3 * 6))))
-    assert(w("books") == ((1L, 3L, 3.0 / 9, 9.0 / (3 * 3))))
+    // divisor counts CONTRIBUTING sources only (2, not 3): reweighted
+    // masses 6×0.75 and 3×1.5 are both 4.5 — exactly uniform over the
+    // sources that can contribute; counting 'empty' would under-weight
+    // both and the mixture would miss the uniform target
+    assert(w("web") == ((2L, 6L, 6.0 / 9, 9.0 / (2 * 6))))
+    assert(w("books") == ((1L, 3L, 3.0 / 9, 9.0 / (2 * 3))))
     assert(w("empty") == ((2L, 0L, 0.0, 0.0))) // ANSI guard, not crash
     assert(math.abs(w.values.map(_._3).sum - 1.0) < 1e-12)
+    assert(w("web")._2 * w("web")._4 == w("books")._2 * w("books")._4)
   }
 
   test("lengthHistogram bins are exact floor(log2) incl. powers of two and the cap") {

@@ -17,9 +17,9 @@ stamp() { date -u +%Y-%m-%dT%H:%M:%SZ; }
 
 echo "gate: sbt test start $(stamp)"
 sbt -batch test > "$OUT/sbt_test.log" 2>&1 || {
-  grep -E "Tests:|FAILED|Failed tests" "$OUT/sbt_test.log" | tail -10
+  grep -E "Tests:|FAILED|Failed tests" "$OUT/sbt_test.log" | tail -10 || true
   echo "gate: sbt test RED"; exit 1; }
-grep -E "Tests: succeeded" "$OUT/sbt_test.log" | tail -1
+grep -E "Tests: succeeded" "$OUT/sbt_test.log" | tail -1 || true
 echo "gate: sbt test end $(stamp)"
 
 echo "gate: verify start $(stamp)"
@@ -34,6 +34,19 @@ echo "gate: verify end $(stamp)"
 
 echo "gate: bench start $(stamp)"
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS="${BENCH_CPUS:-32}" \
-  sbt -batch 'runMain graft.Bench' 2> "$OUT/bench.err" | grep -F '"metric"' | tee "$OUT/bench.json"
+  sbt -batch 'runMain graft.Bench' 2> "$OUT/bench.err" \
+  | { grep -F '"metric"' || true; } | tee "$OUT/bench.json"
+# Bench catches per-query Throwables and reports them in the JSON
+# ("errors":N) while exiting 0 — a red bench must fail the gate, and a
+# bench that printed no metric line at all is equally red
+python3 - "$OUT/bench.json" <<'PY' || { echo "gate: bench RED"; exit 1; }
+import json, sys
+raw = open(sys.argv[1]).read()
+i = raw.find('{')
+assert i >= 0, "no bench JSON line"
+b = json.loads(raw[i:])
+assert b.get("errors") == 0, f"bench errors: {b.get('errors')} " + str(
+    [k for k, v in b.get("queries", {}).items() if isinstance(v, str)])
+PY
 echo "gate: bench end $(stamp)"
 echo "gate: ALL GREEN"
