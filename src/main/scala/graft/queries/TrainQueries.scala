@@ -53,8 +53,10 @@ object TrainQueries {
   private val lshPairsCache =
     new graft.sources.SessionCache[(SparkSession, String), DataFrame]
   private def lshPairs(s: SparkSession, dir: String): DataFrame =
-    lshPairsCache.getOrBuild((s, dir))(
-      Dedup.minhashLshPairs(docs(s, dir), 0.5).localCheckpoint(true))
+    // minhashLshPairs is EAGER (already a localCheckpoint result): cache
+    // it as-is — checkpointing AGAIN would orphan the inner checkpoint's
+    // blocks for the session lifetime (r10 ADVICE)
+    lshPairsCache.getOrBuild((s, dir))(Dedup.minhashLshPairs(docs(s, dir), 0.5))
 
   /** Same policy for the other pair-set artifacts (exact n-gram Jaccard,
     * SimHash, embedding LSH): a dedup pipeline materializes its pair
@@ -66,7 +68,17 @@ object TrainQueries {
     new graft.sources.SessionCache[(SparkSession, String, String), DataFrame]
   private def pairSet(s: SparkSession, dir: String, kind: String)
       (build: => DataFrame): DataFrame =
-    pairSetCache.getOrBuild((s, dir, kind))(build.localCheckpoint(true))
+    pairSetCache.getOrBuild((s, dir, kind)) {
+      val b = build
+      // operators documented EAGER already return a localCheckpoint
+      // result (a LogicalRDD plan): store the frame directly —
+      // re-checkpointing would leave the INNER checkpoint RDD's blocks
+      // persisted with no handle for the session lifetime (r10 ADVICE,
+      // the same orphan class SessionCache.releaseLoser closes)
+      if (b.queryExecution.logical
+          .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]) b
+      else b.localCheckpoint(true)
+    }
 
   /** Degenerate-doc decoration (r10): empty, whitespace-only and
     * marker-free docs are routine in web corpora but absent from the
@@ -145,6 +157,19 @@ object TrainQueries {
         (sum(when(col("mn") === col("kmn"), 0L).otherwise(1L)) === 0).as("keep_is_min_centroid"))
       r.agg(count(lit(1)).as("n_vecs")).crossJoin(checks)
     }),
+
+    // full SemDeDup output at nlist=1 (r11, VERDICT r10 #1): the
+    // clustering degenerates, so groups are the connected components of
+    // the BRUTE pair graph and the centroid is the renormalized mean of
+    // the normalized corpus — both independently recomputable in DuckDB
+    // (recursive-CTE components like dedup_clusters; decimal(24,18)
+    // element sums replaying kmeansCentroids' exact accumulation). The
+    // oracle re-derives (vec_id, group, keep) from scratch — the
+    // hash-exact keep gate the nlist=8 invariant row can't be
+    "semdedup_keep_exact" -> ((s, dir) =>
+      pairSet(s, dir, "semdedup_exact")(
+        Dedup.semDedup(emb(s, dir), 0.45, nlist = 1, iters = 1))
+        .select(col("vec_id"), col("group"), col("keep"))),
 
     "ann_topk_brute" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -548,6 +573,48 @@ object TrainSql {
     "semdedup_keep" -> """
       SELECT (SELECT count(*) FROM embeddings) AS n_vecs,
              TRUE AS one_keep_per_group, TRUE AS keep_is_min_centroid""",
+
+    // full independent recomputation of semDedup at nlist=1 (r11):
+    // groups = connected components of the brute round-6 cosine pair
+    // graph (the dedup_clusters recursive-CTE pattern); the single Lloyd
+    // centroid = renorm(mean of normalized vectors) with the SAME exact
+    // decimal(24,18)-sum / decimal(24,6) rescale as kmeansCentroids'
+    // Exact.dsum accumulation; keep = argmin (round-6 centroid cosine,
+    // vec_id) per component — the paper's keep-the-outlier rule
+    "semdedup_keep_exact" -> """
+      WITH RECURSIVE
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      nv AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS nv
+             FROM (SELECT vec_id, v,
+                     sqrt(list_sum(list_transform(v, y -> y * y))) AS nrm
+                   FROM e)),
+      el AS (SELECT unnest(nv) AS x, generate_subscripts(nv, 1) AS i FROM nv),
+      m AS (SELECT i,
+              CAST(CAST(SUM(CAST(x AS DECIMAL(24,18))) AS DECIMAL(24,6)) AS DOUBLE)
+                / (SELECT count(*) FROM e) AS mi
+            FROM el GROUP BY i),
+      mc AS (SELECT list(mi ORDER BY i) AS c FROM m),
+      ct AS (SELECT list_transform(c,
+               x -> x / sqrt(list_sum(list_transform(c, y -> y * y)))) AS ct
+             FROM mc),
+      cc AS (SELECT vec_id,
+               ROUND(list_inner_product(ct, v) / sqrt(list_inner_product(v, v)), 6) AS ccos
+             FROM e, ct),
+      p AS (SELECT a.vec_id AS v1, b.vec_id AS v2
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.45),
+      edges AS (SELECT v1 AS a, v2 AS b FROM p UNION SELECT v2, v1 FROM p),
+      reach(src, dst) AS (
+        SELECT vec_id, vec_id FROM e
+        UNION
+        SELECT r.src, ed.b FROM reach r JOIN edges ed ON r.dst = ed.a),
+      grp AS (SELECT src AS vec_id, min(dst) AS g FROM reach GROUP BY src),
+      ranked AS (SELECT grp.vec_id, grp.g,
+                   row_number() OVER (PARTITION BY grp.g
+                     ORDER BY cc.ccos, grp.vec_id) AS rn
+                 FROM grp JOIN cc ON grp.vec_id = cc.vec_id)
+      SELECT vec_id, CAST(g AS BIGINT) AS "group", (rn = 1) AS keep
+      FROM ranked""",
 
     "ann_topk_brute" -> """
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
