@@ -1053,14 +1053,29 @@ object IngestStream {
       inDir
     }
 
+  /** @param maxDriverPostingRows bound on the driver verify's postings
+    *   pull (candidate docs' shingle rows): a batch whose candidate set
+    *   is cap-sized but whose member docs are pathologically long could
+    *   otherwise pressure driver heap through the verify collect even
+    *   though every other pull is bounded (r10 VERDICT #2). Over the
+    *   bound, the batch's verify spills to the distributed exact-Jaccard
+    *   over the candidate-filtered postings — same pairs, one extra
+    *   shuffle round.
+    * @param stateDir durable-state root (postings/pairs/stream
+    *   checkpoint). Any Hadoop-FS scheme (HDFS/S3/local/mock) — all
+    *   state IO resolves its FileSystem from the path; null (default)
+    *   = a fresh local temp dir. */
   def lshDedupStream(spark: SparkSession, docsPath: String, tau: Double = 0.5,
       k: Int = 3, numHashes: Int = 64, bands: Int = 16,
       nChunks: Int = 3, checkpointEvery: Int = 8,
       maxCandidatesPerBatch: Int = 1000000,
       batchPartitions: Int = 8,
-      maxDriverKeyRows: Long = 2000000L): DataFrame = {
+      maxDriverKeyRows: Long = 2000000L,
+      maxDriverPostingRows: Long = 10000000L,
+      stateDir: String = null): DataFrame = {
     import graft.operators.Dedup
-    val base = java.nio.file.Files.createTempDirectory("graft_lsh_stream").toString
+    val base = Option(stateDir).getOrElse(
+      java.nio.file.Files.createTempDirectory("graft_lsh_stream").toString)
     val inDir = lshStageChunks(spark, docsPath, nChunks)
     // band-key rows and shingle postings share ONE durable append dir
     // (r10): they are written per batch for the same reason at the same
@@ -1122,8 +1137,21 @@ object IngestStream {
         // run's appends) — one read, then cached for the rest of the run.
         // The driver band-key map does not survive a restart; the reseeded
         // run probes distributed (conservative — correct at any size).
-        if (idxCache.isEmpty && new java.io.File(postDir).isDirectory) {
-          val post = sp.read.parquet(postDir)
+        // The existence probe rides the Hadoop FileSystem resolved from
+        // the path like every other state IO here — a java.io.File probe
+        // was the one local-FS assumption on a state path (r10 VERDICT
+        // #7; SchemeFsSpec pins the mock:// round trip).
+        val postPath = new org.apache.hadoop.fs.Path(postDir)
+        if (idxCache.isEmpty &&
+            postPath.getFileSystem(sp.sessionState.newHadoopConf()).exists(postPath)) {
+          // only batches STRICTLY BEFORE the current one are committed:
+          // the engine replays the first uncommitted batch, and its
+          // pre-crash append may have landed — reseeding it would put the
+          // replayed batch's postings in the index TWICE (the batch body
+          // unions its own delta), silently skewing the shuffle-verify's
+          // intersection counts. batch_id is stamped on every append
+          // exactly for this filter (r11).
+          val post = sp.read.parquet(postDir).filter(col("batch_id") < batchId)
           idxCache = Some(post.filter(col("shingle").isNull)
             .select(col("doc_id"), col("band"), col("key")).persist(lvl))
           shCache = Some(post.filter(col("shingle").isNotNull)
@@ -1147,6 +1175,9 @@ object IngestStream {
             .unionByName(shB.select(col("doc_id"),
               lit(null).cast("int").as("band"),
               lit(null).cast("long").as("key"), col("shingle")))
+            // batch_id makes a torn append from a crashed-then-replayed
+            // batch excludable at reseed (see the reseed filter above)
+            .withColumn("batch_id", lit(batchId))
             .coalesce(4).write.mode("append").parquet(postDir)))
         // if the probe/verify below fails, don't leave the detached
         // append job racing the query's teardown — drain it (its own
@@ -1293,11 +1324,33 @@ object IngestStream {
             .flatMap(p => Iterator(p._1, p._2))
             .toSet.toSeq
           val candDocs = candDocIds.toDF("doc_id")
+          // candidate docs' postings, pre-filtered on the executors (ONE
+          // broadcast semi-join pass over the cached postings)
+          val shCandDf = shAll.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+            .select(col("doc_id"), col("shingle"))
+          // the postings pull is limit-bounded like every other driver
+          // pull here (r10 VERDICT #2): the candidate COUNT cap doesn't
+          // bound per-doc shingle volume, so a batch of cap-sized
+          // candidates over mega-docs could still blow the driver heap.
+          // Over the bound, verify spills to the distributed exact
+          // Jaccard over the already-filtered postings — same pairs.
+          val postCap = math.min(math.max(maxDriverPostingRows, 0L),
+            Int.MaxValue - 2L).toInt
+          val postRows = limitCollect(shCandDf, postCap + 1, "postings collect")
+          if (postRows.length > postCap) {
+            // scalastyle:off println
+            Console.err.println(
+              s"lshDedupStream: batch $batchId candidate postings exceeded " +
+                s"$maxDriverPostingRows rows - spilling verify to the " +
+                "distributed exact-Jaccard path")
+            // scalastyle:on println
+            // shuffle-shaped verify (NOT jaccardOfPairsSmall — that
+            // broadcasts the postings side, which just proved oversized)
+            lbl("verify spill (postings)")(
+              Dedup.jaccardOfPairs(shCandDf, candPairs.toDF("d1", "d2"), tau))
+          } else {
           val postings = new scala.collection.mutable.HashMap[Long, scala.collection.mutable.HashSet[String]]
-          lbl("postings collect")(
-            shAll.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
-              .select(col("doc_id"), col("shingle")).collect())
-            .foreach { r =>
+          postRows.foreach { r =>
               postings.getOrElseUpdate(r.getLong(0),
                 new scala.collection.mutable.HashSet[String]) += r.getString(1)
             }
@@ -1314,6 +1367,7 @@ object IngestStream {
             }
           }.toSeq
           verified.toDF("d1", "d2", "jaccard")
+          }
         }
         // pairs are driver-local (tiny) — one file; the merged postings
         // append (4 writer tasks — a single task would serialize the

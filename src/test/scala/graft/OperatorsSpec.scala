@@ -473,8 +473,12 @@ class OperatorsSpec extends AnyFunSuite {
   test("LSH dedup stream: driver-index, distributed, and mid-stream-switch probes agree") {
     // size-routed probe differential (r10): default = driver band-key
     // map all the way; 0 = distributed broadcast-join probe from batch 0;
-    // a tiny cap = driver mode for batch 0 then a mid-stream flag flip to
-    // the distributed path. All three must equal the batch operator.
+    // a cap sized BETWEEN batch 0's band-key rows and the total = batch 0
+    // served by the driver index, then a later batch's key pull exceeds
+    // the remaining budget and flips mid-stream, discarding a POPULATED
+    // driver index (r10 ADVICE: cap=1 flipped during batch 0's pull, so
+    // the genuine driver-probed-then-flipped transition never ran). All
+    // three must equal the batch operator.
     def run(cap: Long) = graft.streaming.IngestStream
       .lshDedupStream(spark, s"$dir/documents.parquet", 0.5,
         maxDriverKeyRows = cap)
@@ -483,7 +487,26 @@ class OperatorsSpec extends AnyFunSuite {
       .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(batch.nonEmpty)
     assert(run(0L) == batch, "distributed-probe path diverged")
-    assert(run(1L) == batch, "mid-stream switch path diverged")
+    // batch 0 = the doc_id % nChunks == 0 staging chunk; 16 bands/doc
+    val chunk0Keys = docs.filter(pmod(col("doc_id"), lit(3)) === 0).count() * 16
+    val total = docs.count() * 16
+    assert(chunk0Keys + 1 < total, "fixture too small for a mid-stream flip")
+    assert(run(chunk0Keys + 1) == batch, "mid-stream switch path diverged")
+  }
+
+  test("LSH dedup stream: postings pull over the driver bound spills verify, same pairs") {
+    // cap of 1 forces EVERY batch's candidate-postings pull over the
+    // bound (r10 VERDICT #2): the verify must route through the
+    // distributed exact Jaccard over the candidate-filtered postings and
+    // still match the batch operator exactly
+    val streamed = graft.streaming.IngestStream
+      .lshDedupStream(spark, s"$dir/documents.parquet", 0.5,
+        maxDriverPostingRows = 1)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = Dedup.minhashLshPairs(docs, 0.5)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
   }
 
   test("LSH dedup stream over the candidate cap spills to the distributed verify, same pairs") {
