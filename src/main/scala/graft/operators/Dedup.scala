@@ -328,26 +328,38 @@ object Dedup {
     * back against ONLY the duplicated minority (count > 1 — a mostly-
     * unique corpus keeps its unique lines through a null-keeper check,
     * never joining them), and an array_sort rebuild per doc — nothing
-    * quadratic, nothing driver-side. At trillion-line scale the shuffle
-    * key would be xxhash64(line) rather than the text (8-byte keys; C4's
-    * own implementation hashes) at the cost of a theoretical collision —
-    * here the raw line keeps the oracle differential exact. */
+    * quadratic, nothing driver-side.
+    *
+    * `hashKeys = true` is the trillion-line mode (C4's own recipe): the
+    * keeper agg and join-back shuffle on `xxhash64(line)` — 8-byte keys
+    * instead of arbitrary-length line text — at the cost of a
+    * theoretical 64-bit collision (which would merge two distinct
+    * lines' keeper choices; P ≈ n²/2⁶⁵). The raw-key default keeps the
+    * DuckDB oracle differential exact; OperatorsSpec pins both forms
+    * equal on the gate corpus.
+    *
+    * `sep = "\n\n"` gives the paragraph-granularity twin (RefinedWeb
+    * §G dedups boilerplate at both granularities); `sep` is treated as
+    * a literal, not a regex. */
   def lineDedup(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", sep: String = "\n",
+      hashKeys: Boolean = false): DataFrame = {
+    val sepRe = java.util.regex.Pattern.quote(sep)
+    def keyOf(c: Column): Column = if (hashKeys) xxhash64(c) else c
     val lines = docs.select(col(idCol).as("doc_id"),
-        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+        posexplode(split(col(textCol), sepRe)).as(Seq("pos", "line")))
       .withColumn("_blank", trim(col("line")) === "")
     // keepers restricted to DUPLICATED non-blank lines: minimal
     // (doc_id, pos) per line; unique lines never enter the join side
     val keepers = lines.filter(!col("_blank"))
-      .groupBy(col("line").as("kline"))
+      .groupBy(keyOf(col("line")).as("kline"))
       .agg(count(lit(1)).as("_n"),
         min(struct(col("doc_id"), col("pos"))).as("_first"))
       .filter(col("_n") > 1)
       .select(col("kline"),
         col("_first.doc_id").as("kdoc"), col("_first.pos").as("kpos"))
     val kept = lines
-      .join(keepers, lines("line") === keepers("kline"), "left")
+      .join(keepers, keyOf(lines("line")) === keepers("kline"), "left")
       .filter(col("_blank") || col("kdoc").isNull ||
         (col("doc_id") === col("kdoc") && col("pos") === col("kpos")))
       .select(col("doc_id"), col("pos"), col("line"))
@@ -355,9 +367,9 @@ object Dedup {
       .agg(count(lit(1)).as("n_kept"),
         array_sort(collect_list(struct(col("pos"), col("line")))).as("_ls"))
       .select(col("doc_id"), col("n_kept"),
-        concat_ws("\n", transform(col("_ls"), s => s.getField("line"))).as("text_dedup"))
+        concat_ws(sep, transform(col("_ls"), s => s.getField("line"))).as("text_dedup"))
     docs.select(col(idCol).as("doc_id"),
-        (size(split(col(textCol), "\n"))).cast("long").as("n_lines"))
+        (size(split(col(textCol), sepRe))).cast("long").as("n_lines"))
       .join(rebuilt, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_lines"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),

@@ -131,6 +131,17 @@ object TrainQueries {
         concat(lit("Subscribe to our newsletter\n"), col("text"),
           lit("\n(c) 2024 Example Corp\ntail "), col("doc_id").cast("string"))))),
 
+    // paragraph-granularity twin (r11, RefinedWeb §G): same corpus-wide
+    // first-occurrence rule over "\n\n"-separated paragraphs; the fixture
+    // is decorated with a shared intro + footer paragraph and a unique
+    // tail so cross-doc paragraph collapse fires (duplicate BODIES also
+    // collapse — the fixture plants exact-dup docs)
+    "text_para_dedup" -> ((s, dir) =>
+      Dedup.lineDedup(docs(s, dir).withColumn("text",
+        concat(lit("Shared intro paragraph\n\n"), col("text"),
+          lit("\n\ntail "), col("doc_id").cast("string"),
+          lit("\n\nShared footer paragraph"))), sep = "\n\n")),
+
     // SemDeDup pair surface at nlist=1 (r10): the clustering degenerates
     // to one cell, so the within-cluster pair set provably equals the
     // exact all-pairs answer — the brute oracle hash-checks the full
@@ -558,6 +569,31 @@ object TrainSql {
             FROM kept GROUP BY doc_id)
       SELECT d.doc_id,
         CAST(len(string_split(d.t, chr(10))) AS BIGINT) AS n_lines,
+        CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept,
+        COALESCE(text_dedup, '') AS text_dedup
+      FROM d LEFT JOIN r USING (doc_id)""",
+
+    "text_para_dedup" -> """
+      WITH d AS (SELECT doc_id,
+        'Shared intro paragraph' || chr(10) || chr(10) || text || chr(10) || chr(10) ||
+        'tail ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10) ||
+        'Shared footer paragraph' AS t
+        FROM documents),
+      l AS (SELECT doc_id,
+              CAST(unnest(range(len(ls))) AS INT) AS pos,
+              unnest(ls) AS line
+            FROM (SELECT doc_id, string_split(t, chr(10) || chr(10)) AS ls FROM d)),
+      kept AS (
+        SELECT doc_id, pos, line FROM (
+          SELECT doc_id, pos, line,
+            row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn,
+            trim(line) = '' AS blank
+          FROM l) WHERE blank OR rn = 1),
+      r AS (SELECT doc_id, count(*) AS n_kept,
+              string_agg(line, chr(10) || chr(10) ORDER BY pos) AS text_dedup
+            FROM kept GROUP BY doc_id)
+      SELECT d.doc_id,
+        CAST(len(string_split(d.t, chr(10) || chr(10))) AS BIGINT) AS n_lines,
         CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept,
         COALESCE(text_dedup, '') AS text_dedup
       FROM d LEFT JOIN r USING (doc_id)""",

@@ -557,6 +557,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r(3L) == ((3L, 1L, "unique three")))
   }
 
+  test("lineDedup hashKeys (8-byte shuffle keys) equals the raw-key form on the gate corpus") {
+    // the trillion-line mode shuffles on xxhash64(line) instead of the
+    // line text; same decoration as the text_line_dedup gate so the
+    // cross-doc collapse actually fires
+    val decorated = docs.withColumn("text",
+      concat(lit("Subscribe to our newsletter\n"), col("text"),
+        lit("\n(c) 2024 Example Corp\ntail "), col("doc_id").cast("string")))
+    def res(hashed: Boolean) = Dedup.lineDedup(decorated, hashKeys = hashed)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    val raw = res(false)
+    assert(res(true) == raw)
+    // the boilerplate really collapsed somewhere (non-vacuous corpus)
+    assert(raw.exists(t => t._3 < t._2))
+  }
+
+  test("lineDedup paragraph mode: separator is literal, first paragraph occurrence wins") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "SHARED PARA\n\nbody one\nwith lines"),
+      (2L, "body two\n\nSHARED PARA"),
+      (3L, "SHARED PARA")).toDF("doc_id", "text")
+    val r = Dedup.lineDedup(d, sep = "\n\n").collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getString(3)))).toMap
+    // SHARED PARA first occurs at (doc 1, pos 0); inner single newlines
+    // are NOT split points
+    assert(r(1L) == ((2L, 2L, "SHARED PARA\n\nbody one\nwith lines")))
+    assert(r(2L) == ((2L, 1L, "body two")))
+    assert(r(3L) == ((1L, 0L, "")))
+  }
+
   test("semDedup: nlist=1 pairs equal exact brute pairs; keep rule is one-outlier-per-group") {
     // differential: one cell degenerates the clustering, so the pair set
     // must equal the exhaustive cosine pairs bit-for-bit
