@@ -686,6 +686,72 @@ object Dedup {
     *
     * EAGER: computes on call and releases its corpus-sized gram cache;
     * the returned DataFrame is a checkpointed result, not a lazy plan. */
+  /** The (doc, g, pos, gram) stream behind [[dupSpanStatsMulti]],
+    * package-private so PlanSpec can pin the one-pass shape: ALL
+    * granularities come out of a SINGLE Generate (the per-g gram arrays
+    * are built side by side from the same token array and flattened
+    * before the one explode), over a single scan of the corpus. */
+  private[graft] def dupSpanGramsMulti(toks: DataFrame, gs: Seq[Int]): DataFrame = {
+    val structT = "array<struct<g:int,pos:int,gram:string>>"
+    val gramArr = flatten(array(gs.map { g =>
+      when(size(col("_tk")) >= g,
+        transform(sequence(lit(0), size(col("_tk")) - g),
+          i => struct(lit(g).as("g"), i.as("pos"),
+            concat_ws(" ", slice(col("_tk"), i + 1, lit(g))).as("gram"))))
+        .otherwise(array().cast(structT))
+    }: _*))
+    toks.select(col("doc_id"), explode(gramArr).as("e"))
+      .select(col("doc_id"), col("e.g").as("g"),
+        col("e.pos").as("pos"), col("e.gram").as("gram"))
+  }
+
+  /** Multi-granularity [[dupSpanStats]]: the SAME duplicate-span signal
+    * at several window sizes (Lee et al.'s release picks one fixed
+    * window; corpus QA wants the profile across e.g. {8, 16, 32} — short
+    * windows catch phrase-level boilerplate, long ones whole-passage
+    * copies) computed in ONE pass: the tokenize happens once, every g's
+    * gram array is built from that shared token array, and a single
+    * explode/count/join-back/window pipeline carries (g, gram) composite
+    * keys. Cost vs one g is the extra gram rows, NOT extra corpus scans
+    * (PlanSpec pins one Generate over one scan).
+    *
+    * Output per (doc, g): same columns as [[dupSpanStats]] plus `g`.
+    * EAGER like the single-g form. */
+  def dupSpanStatsMulti(docs: DataFrame, gs: Seq[Int] = Seq(8, 16, 32),
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(gs.nonEmpty && gs.forall(_ >= 1) && gs.distinct == gs,
+      s"gs must be non-empty distinct positive window sizes (got $gs)")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      TextAnalysis.tokens(col(textCol)).as("_tk"))
+    val grams = dupSpanGramsMulti(toks, gs).persist()
+    val dupGrams = grams.groupBy(col("g"), col("gram"))
+      .agg(count(lit(1)).as("_n")).filter(col("_n") >= 2)
+      .select(col("g"), col("gram"))
+    val dupStarts = grams.join(dupGrams, Seq("g", "gram"))
+      .select(col("doc_id"), col("g"), col("pos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"), col("g")).orderBy(col("pos"))
+    val perDoc = dupStarts
+      .withColumn("_cover",
+        least(col("g").cast("long"),
+          coalesce(lead(col("pos"), 1).over(w) - col("pos"), col("g").cast("long"))))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("n_dup_grams"), sum(col("_cover")).as("dup_tokens"))
+    val base = toks
+      .select(col("doc_id"), size(col("_tk")).cast("long").as("n_tokens"))
+      .withColumn("g", explode(array(gs.map(lit(_)): _*)))
+    materializeAndRelease(
+      base.join(perDoc, Seq("doc_id", "g"), "left")
+        .select(col("doc_id"), col("g"), col("n_tokens"),
+          greatest(col("n_tokens") - (col("g").cast("long") - 1L), lit(0L)).as("n_grams"),
+          coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+          coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+          when(col("n_tokens") > 0,
+            coalesce(col("dup_tokens"), lit(0L)).cast("double") / col("n_tokens"))
+            .otherwise(lit(0.0)).as("dup_ratio")),
+      grams)
+  }
+
   def dupSpanStats(docs: DataFrame, g: Int = 8,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),

@@ -366,6 +366,13 @@ object TrainQueries {
       pairSet(s, dir, "dup_spans")(
         Dedup.dupSpanStats(withDegenerateDocs(docs(s, dir)), 8))),
 
+    // multi-granularity duplicate spans (r11): {8, 16, 32}-token windows
+    // in ONE pass over a shared token explode (PlanSpec pins one
+    // Generate); per-g rows against the same per-g oracle pattern
+    "text_dup_spans_multi" -> ((s, dir) =>
+      pairSet(s, dir, "dup_spans_multi")(
+        Dedup.dupSpanStatsMulti(withDegenerateDocs(docs(s, dir)), Seq(8, 16, 32)))),
+
     // top-5 TF-IDF terms per doc (r6): rational idf (N+1)/(df+1) — same
     // ranking as the log form, bit-exact vs the oracle
     "text_tfidf" -> ((s, dir) => TextAnalysis.tfIdfTopK(docs(s, dir), 5)),
@@ -903,6 +910,38 @@ object TrainSql {
         CASE WHEN len(tk) > 0 THEN
           CAST(COALESCE(dup_tokens, 0) AS DOUBLE) / len(tk) ELSE 0.0 END AS dup_ratio
       FROM t LEFT JOIN agg USING (doc_id)""",
+
+    // per-g mirror of the text_dup_spans oracle, UNION ALL over the gate's
+    // window sizes (the Spark side computes all three from one pass; the
+    // oracle recomputes each independently)
+    "text_dup_spans_multi" -> Seq(8, 16, 32).map { g =>
+      s"""
+      SELECT * FROM (
+      WITH $degenDocs,
+      t AS (SELECT doc_id, $toks AS tk FROM degen),
+      g AS (SELECT doc_id,
+              unnest(range(len(tk) - ${g - 1})) AS pos,
+              unnest(list_transform(range(len(tk) - ${g - 1}),
+                i -> array_to_string(tk[i+1:i+$g], ' '))) AS gram
+            FROM t WHERE len(tk) >= $g),
+      dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+      starts AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+      cov AS (SELECT doc_id, pos,
+                LEAST($g, COALESCE(
+                  lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) - pos,
+                  $g)) AS c
+              FROM starts),
+      agg AS (SELECT doc_id, count(*) AS n_dup_grams, sum(c) AS dup_tokens
+              FROM cov GROUP BY 1)
+      SELECT t.doc_id, CAST($g AS INT) AS g,
+        CAST(len(tk) AS BIGINT) AS n_tokens,
+        CAST(GREATEST(len(tk) - ${g - 1}, 0) AS BIGINT) AS n_grams,
+        CAST(COALESCE(n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+        CAST(COALESCE(dup_tokens, 0) AS BIGINT) AS dup_tokens,
+        CASE WHEN len(tk) > 0 THEN
+          CAST(COALESCE(dup_tokens, 0) AS DOUBLE) / len(tk) ELSE 0.0 END AS dup_ratio
+      FROM t LEFT JOIN agg USING (doc_id))"""
+    }.mkString("", "\n      UNION ALL\n", ""),
 
     "text_tfidf" -> s"""
       WITH t AS (SELECT doc_id, unnest($toks) AS term FROM documents),

@@ -557,6 +557,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r(3L) == ((3L, 1L, "unique three")))
   }
 
+  test("dupSpanStatsMulti at a single g equals dupSpanStats") {
+    val single = Dedup.dupSpanStats(docs, 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSet
+    val multi = Dedup.dupSpanStatsMulti(docs, Seq(8, 16))
+      .filter(col("g") === 8)
+      .select("doc_id", "n_tokens", "n_grams", "n_dup_grams", "dup_tokens", "dup_ratio")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSet
+    assert(multi == single)
+    assert(single.exists(_._4 > 0), "fixture has no duplicate spans at g=8")
+  }
+
   test("lineDedup hashKeys (8-byte shuffle keys) equals the raw-key form on the gate corpus") {
     // the trillion-line mode shuffles on xxhash64(line) instead of the
     // line text; same decoration as the text_line_dedup gate so the

@@ -117,6 +117,24 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-g duplicate-span gram stream is ONE explode over one corpus scan") {
+    // the whole point of dupSpanStatsMulti: adding granularities must not
+    // add corpus passes — all g values share one token explode (a second
+    // Generate or a second relation scan means the one-pass contract broke)
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+    val toks = docs.select(org.apache.spark.sql.functions.col("doc_id"),
+      graft.operators.TextAnalysis.tokens(
+        org.apache.spark.sql.functions.col("text")).as("_tk"))
+    val grams = graft.operators.Dedup.dupSpanGramsMulti(toks, Seq(8, 16, 32))
+    val opt = grams.queryExecution.optimizedPlan
+    val nGenerate = opt.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g }.size
+    assert(nGenerate == 1, s"expected 1 Generate, got $nGenerate:\n${opt.toString.take(2000)}")
+    val nScans = opt.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r }.size
+    assert(nScans == 1, s"expected 1 relation scan, got $nScans")
+  }
+
   test("bitemp asOf resolves in one aggregate pass over one scan") {
     import org.apache.spark.sql.functions.lit
     import org.apache.spark.sql.Row
