@@ -87,6 +87,68 @@ object TextAnalysis {
     * rolling-hash winnowing is in [[Dedup.simhash]] / shingling). */
   def fingerprint(text: Column): Column = md5(lower(text))
 
+  // ------------------------------------- URL canonicalization (r11)
+
+  /** URL canonicalization — the WebText/CCNet front step before URL- or
+    * host-level dedup (two pages differing only in tracking params or
+    * host case are the same document; deduping RAW urls misses them).
+    * Rules, in order:
+    *
+    *  1. strip the `#fragment`;
+    *  2. lowercase scheme and host (path/query case is significant and
+    *     preserved);
+    *  3. drop a default port (`:80` for http, `:443` for https; other
+    *     ports survive);
+    *  4. remove tracking query params (`utm_*`, `fbclid`, `gclid`) and
+    *     normalize the separators they leave behind;
+    *  5. strip one trailing `/`.
+    *
+    * Pure codegen'd built-ins (regexp_extract/replace in the Java ∩ RE2
+    * subset — no lookaround, so the DuckDB oracle replays every rule);
+    * no UDF, no driver work. Scale: a per-row map — partition-parallel
+    * anywhere. Non-URL input degrades gracefully (no scheme ⇒ rules 2-3
+    * no-op on empty matches). */
+  def urlCanonicalize(url: Column): Column = {
+    val u1 = regexp_replace(trim(url), "#.*$", "")
+    val scheme = lower(regexp_extract(u1, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostport = lower(regexp_extract(u1, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val host = regexp_replace(hostport, ":[0-9]+$", "")
+    val port = regexp_extract(hostport, ":([0-9]+)$", 1)
+    val rest = u1.substr(length(scheme) + lit(3) + length(hostport) + lit(1), lit(1000000))
+    val keepPort = port =!= "" &&
+      !((scheme === "http" && port === "80") || (scheme === "https" && port === "443"))
+    val hostc = when(keepPort, concat(host, lit(":"), port)).otherwise(host)
+    val r1 = regexp_replace(rest,
+      "([?&])(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&]*", "$1")
+    val r2 = regexp_replace(r1, "\\?&+", "?")
+    val r3 = regexp_replace(r2, "&&+", "&")
+    val r4 = regexp_replace(r3, "[?&]+$", "")
+    val r5 = regexp_replace(r4, "/$", "")
+    when(scheme === "", regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(u1, "([?&])(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&]*", "$1"),
+        "\\?&+", "?"), "&&+", "&"), "[?&]+$", ""))
+      .otherwise(concat(scheme, lit("://"), hostc, r5))
+  }
+
+  /** Host-level dedup key: the canonical host (lowercased, default port
+    * gone) minus a leading `www.` — the grouping key for host-frequency
+    * caps and per-host canonical-doc picks (CCNet groups its corpus by
+    * this before sampling). */
+  def urlHostKey(url: Column): Column = {
+    val u1 = regexp_replace(trim(url), "#.*$", "")
+    val hostport = lower(regexp_extract(u1, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    regexp_replace(regexp_replace(hostport, ":[0-9]+$", ""), "^www\\.", "")
+  }
+
+  /** Per-doc URL keys: canonical URL + host key (one map pass), the
+    * input to exact URL dedup (groupBy url_canon) and host-level
+    * grouping (groupBy host_key). */
+  def urlKeys(docs: DataFrame, idCol: String = "doc_id",
+      urlCol: String = "url"): DataFrame =
+    docs.select(col(idCol).as("doc_id"), col(urlCol).as("url"),
+      urlCanonicalize(col(urlCol)).as("url_canon"),
+      urlHostKey(col(urlCol)).as("host_key"))
+
   // ------------------------------------------------- PII detection (r5)
 
   /** PII regexes restricted to the Java ∩ RE2 syntax (no lookaround, ASCII

@@ -94,8 +94,42 @@ object TrainQueries {
         .when(col("doc_id") % 23 === 3, lit("zzz9 qqq7 zzz9 qqq7 xxw4"))
         .otherwise(col("text")))
 
+  /** Deterministic URL decoration (r11): the fixture has no url column,
+    * so derive one from doc_id exercising every canonicalization rule —
+    * host/scheme case, default and non-default ports, tracking params in
+    * leading/trailing positions, fragments, trailing slash, www prefix.
+    * The oracle mirrors it in [[TrainSql]]. */
+  private def withUrls(d: DataFrame): DataFrame = {
+    val h = (col("doc_id") % 50).cast("string")
+    val id = col("doc_id").cast("string")
+    d.withColumn("url",
+      when(col("doc_id") % 4 === 0,
+        concat(lit("http://WWW.A"), h, lit(".Example.COM:80/p/"), id,
+          lit("/?utm_source=x&id="), id, lit("#f")))
+      .when(col("doc_id") % 4 === 1,
+        concat(lit("HTTPS://B"), h, lit(".Example.COM:443/Path/"), id,
+          lit("?id="), id, lit("&utm_medium=m&gclid=g")))
+      .when(col("doc_id") % 4 === 2,
+        concat(lit("https://www.C"), h, lit(".example.com/p/"), id, lit("/")))
+      .otherwise(concat(lit("http://D"), h, lit(".example.com:8080"))))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
+
+    // URL canonicalization (r11, the WebText/CCNet front step): per-doc
+    // canonical URL + host dedup key, every rule oracle-replayed
+    "text_url_canon" -> ((s, dir) =>
+      TextAnalysis.urlKeys(withUrls(docs(s, dir)))),
+
+    // host-level grouping over the canonical keys: per-host doc count,
+    // canonical doc (min id), distinct canonical URLs — the host-
+    // frequency-cap / per-host-sampling planning table
+    "dedup_url_host" -> ((s, dir) =>
+      TextAnalysis.urlKeys(withUrls(docs(s, dir)))
+        .groupBy(col("host_key"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"),
+          countDistinct(col("url_canon")).as("n_urls"))),
 
     "dedup_ngram_jaccard" -> ((s, dir) =>
       pairSet(s, dir, "jaccard")(Dedup.ngramJaccardPairs(docs(s, dir), 0.5))),
@@ -488,6 +522,43 @@ object TrainSql {
               FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
               GROUP BY 1, 2)"""
 
+  /** Oracle mirror of [[TrainQueries.withUrls]]. */
+  private val urlDocs = """
+      d AS (SELECT doc_id,
+        CASE WHEN doc_id % 4 = 0 THEN
+               'http://WWW.A' || CAST(doc_id % 50 AS VARCHAR) || '.Example.COM:80/p/' ||
+               CAST(doc_id AS VARCHAR) || '/?utm_source=x&id=' || CAST(doc_id AS VARCHAR) || '#f'
+             WHEN doc_id % 4 = 1 THEN
+               'HTTPS://B' || CAST(doc_id % 50 AS VARCHAR) || '.Example.COM:443/Path/' ||
+               CAST(doc_id AS VARCHAR) || '?id=' || CAST(doc_id AS VARCHAR) || '&utm_medium=m&gclid=g'
+             WHEN doc_id % 4 = 2 THEN
+               'https://www.C' || CAST(doc_id % 50 AS VARCHAR) || '.example.com/p/' ||
+               CAST(doc_id AS VARCHAR) || '/'
+             ELSE 'http://D' || CAST(doc_id % 50 AS VARCHAR) || '.example.com:8080' END AS url
+        FROM documents)"""
+
+  /** Independent SQL replay of every [[TextAnalysis.urlCanonicalize]]
+    * rule (DuckDB regexp_replace needs the explicit 'g' flag where Spark
+    * replaces all matches; backreferences are \\1 vs Spark's $1). */
+  private val urlParts = """
+      s1 AS (SELECT doc_id, url, regexp_replace(trim(url), '#.*$', '') AS u1 FROM d),
+      parts AS (SELECT doc_id, url, u1,
+          lower(regexp_extract(u1, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+          lower(regexp_extract(u1, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport
+        FROM s1),
+      p2 AS (SELECT *, regexp_replace(hostport, ':[0-9]+$', '') AS host,
+          regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+          substr(u1, length(scheme) + 3 + length(hostport) + 1) AS rest
+        FROM parts),
+      p3 AS (SELECT *,
+          CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
+                                     OR (scheme = 'https' AND port = '443'))
+               THEN host || ':' || port ELSE host END AS hostc,
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+            rest, '([?&])(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&]*', '\1', 'g'),
+            '\?&+', '?', 'g'), '&&+', '&', 'g'), '[?&]+$', '', 'g'), '/$', '', 'g') AS r
+        FROM p2)"""
+
   private val jaccardSql = s"""
     WITH $shingleCtes
     SELECT d1, d2, CAST(c AS DOUBLE) / (s1.sz + s2.sz - c) AS jaccard
@@ -524,6 +595,21 @@ object TrainSql {
     "dedup_ngram_jaccard" -> jaccardSql,
     "dedup_minhash_lsh" -> jaccardSql,
     "stream_dedup_lsh" -> jaccardSql,
+
+    "text_url_canon" -> s"""
+      WITH $urlDocs,
+      $urlParts
+      SELECT doc_id, url, scheme || '://' || hostc || r AS url_canon,
+        regexp_replace(host, '^www\\.', '') AS host_key
+      FROM p3""",
+
+    "dedup_url_host" -> s"""
+      WITH $urlDocs,
+      $urlParts
+      SELECT regexp_replace(host, '^www\\.', '') AS host_key,
+        count(*) AS n_docs, min(doc_id) AS keep_id,
+        count(DISTINCT scheme || '://' || hostc || r) AS n_urls
+      FROM p3 GROUP BY 1""",
 
     // transitive closure of the jaccard-pair graph (tiny at oracle scale;
     // the Spark side is iterative min-label propagation instead)

@@ -557,6 +557,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r(3L) == ((3L, 1L, "unique three")))
   }
 
+  test("urlCanonicalize: every rule fires; non-URL input degrades gracefully") {
+    import spark.implicits._
+    val in = Seq(
+      ("http://WWW.Ex.COM:80/A/b/?utm_source=x&id=1&utm_c=y#frag", 1L),
+      ("HTTPS://Ex.COM:443/p?id=2&gclid=g&fbclid=f", 2L),
+      ("https://ex.com:8080/p/", 3L),
+      ("http://ex.com/?utm_only=1", 4L),
+      ("not a url at all", 5L),
+      ("  http://ex.com/x  ", 6L)).toDF("url", "doc_id")
+    val out = TextAnalysis.urlKeys(in).collect()
+      .map(r => r.getLong(0) -> ((r.getString(2), r.getString(3)))).toMap
+    // case, default port, tracking params, fragment, trailing slash
+    assert(out(1L) == (("http://www.ex.com/A/b/?id=1", "ex.com")))
+    // params removed from trailing positions, separators normalized
+    assert(out(2L) == (("https://ex.com/p?id=2", "ex.com")))
+    // non-default port survives; trailing slash stripped
+    assert(out(3L) == (("https://ex.com:8080/p", "ex.com")))
+    // all params removed -> bare host (the '?' goes too, then the '/')
+    assert(out(4L) == (("http://ex.com", "ex.com")))
+    // no scheme: canonicalization no-ops except param scrub; empty host key
+    assert(out(5L) == (("not a url at all", "")))
+    // surrounding whitespace trimmed
+    assert(out(6L) == (("http://ex.com/x", "ex.com")))
+  }
+
   test("dupSpanStatsMulti at a single g equals dupSpanStats") {
     val single = Dedup.dupSpanStats(docs, 8).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
