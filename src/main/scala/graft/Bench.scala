@@ -106,7 +106,16 @@ object Bench {
       }.mkString("{", ",", "}")
     val total = results.collect { case (_, Right(v)) => v }.sum
     val nErr = results.count(_._2.isLeft)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","errors":$nErr,"cpu_control":$cpuControl,"spark_control":$sparkControl,"cpu_control_min":$cpuMin,"spark_control_min":$sparkMin,"queries":$qs,"sf":"$sfDir"}""")
+    // Machine-normalized headline (r10 VERDICT #6): SCALE.md's hand
+    // discipline — scale the board total by refCpuControlMin /
+    // cpu_control_min so cross-round totals compare mechanically even
+    // when boxes drift. The reference control is the r9 judge box's
+    // cpu_control_min (the anchor every round since has been normalized
+    // against); per-query numbers stay raw — normalize those by hand the
+    // same way when comparing.
+    val refCpuControlMin = 0.540
+    val totalNorm = total * refCpuControlMin / cpuMin
+    println(s"""{"metric":"total","value":$total,"unit":"sec","errors":$nErr,"total_normalized":$totalNorm,"cpu_control":$cpuControl,"spark_control":$sparkControl,"cpu_control_min":$cpuMin,"spark_control_min":$sparkMin,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

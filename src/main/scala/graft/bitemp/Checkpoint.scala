@@ -27,13 +27,50 @@ object Checkpoint {
 
   /** How long an unmarked checkpoint dir must be older than the current
     * save before torn-dir GC may delete it. Generous: covers a slow
-    * concurrent snapshot write plus multi-node clock skew. Test-visible. */
-  private[graft] var TornDirGraceMillis: Long = 60L * 60 * 1000
+    * concurrent snapshot write plus multi-node clock skew. Test-visible.
+    * Volatile: test code and a saver thread may race on it. */
+  @volatile private[graft] var TornDirGraceMillis: Long = 60L * 60 * 1000
 
   private val Dir = "checkpoint-(-?\\d+)-(\\d+)".r
+  private val Marker = "_COMPLETE"
 
   private def fs(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** A snapshot is restorable only if its `_COMPLETE` manifest (file name
+    * + length per data file, written after the parquet lands) still
+    * matches the directory contents. The grace window narrows the
+    * torn-dir GC race but cannot close it — a saver slower than the
+    * window (or clock skew beyond it) can still have its in-flight dir
+    * deleted, after which its own marker write would bless a gutted
+    * snapshot; validating the manifest on READ detects that instead of
+    * trusting it (r10 advice). An EMPTY marker (pre-r11 layout) is
+    * trusted for backward compatibility. */
+  private def isValid(f: FileSystem, dir: Path): Boolean = {
+    val marker = new Path(dir, Marker)
+    val mst = try f.getFileStatus(marker) catch {
+      case _: java.io.FileNotFoundException => return false
+    }
+    if (mst.getLen == 0) return true // legacy empty marker
+    val manifest = {
+      val in = f.open(marker)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](4096)
+        var r = in.read(chunk)
+        while (r >= 0) { buf.write(chunk, 0, r); r = in.read(chunk) }
+        new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+      } finally in.close()
+    }
+    val actual = f.listStatus(dir)
+      .filter(s => s.isFile && s.getPath.getName != Marker)
+      .map(s => s.getPath.getName -> s.getLen).toMap
+    manifest.split("\n").filter(_.nonEmpty).forall { line =>
+      val sep = line.lastIndexOf('\t')
+      sep > 0 && actual.get(line.substring(0, sep))
+        .contains(line.substring(sep + 1).toLong)
+    }
+  }
 
   /** Write a completed checkpoint of `state` at `txId`; prune to the
     * `keep` newest completed checkpoints (checkpoint.clj retention,
@@ -46,21 +83,32 @@ object Checkpoint {
     val path = s"$storeDir/checkpoint-$txId-$millis"
     state.write.mode("overwrite").parquet(path)
     val f = fs(spark, storeDir)
-    f.createNewFile(new Path(path, "_COMPLETE"))
+    // the marker IS the manifest (see isValid): written only after the
+    // data lands, mirroring the reference's upload-then-write-metadata
+    // ordering (checkpoint.clj:94-113)
+    val manifest = f.listStatus(new Path(path))
+      .filter(st => st.isFile && st.getPath.getName != Marker)
+      .sortBy(_.getPath.getName)
+      .map(st => s"${st.getPath.getName}\t${st.getLen}")
+      .mkString("\n")
+    val os = f.create(new Path(path, Marker), true)
+    try os.write(manifest.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally os.close()
     val all = completed(spark, storeDir).sortBy(m => (m.txId, m.millis))
     all.dropRight(keep).foreach(m => f.delete(new Path(m.path), true))
     // torn dirs (data landed but the marker write failed — the reference's
     // cleanup-checkpoint concern, checkpoint.clj:94-113) would otherwise
-    // accumulate forever. Only collect unmarked dirs a generous grace
+    // accumulate forever. Only collect invalid dirs a generous grace
     // window older than this save: a concurrent saver that stamped its
     // millis just before ours may still be writing parquet (multi-node
     // shared stores; clock skew widens the window) — deleting its
-    // in-flight dir would let its later _COMPLETE mark a gutted snapshot
-    // as restorable. Torn dirs linger at most one grace window.
+    // in-flight dir would bless-then-gut its snapshot (restore would
+    // still reject it via the manifest, but the work is wasted). Torn
+    // and gutted-but-marked dirs linger at most one grace window.
     f.listStatus(new Path(storeDir)).foreach { st =>
       st.getPath.getName match {
         case Dir(_, ms) if ms.toLong < millis - TornDirGraceMillis &&
-            !f.exists(new Path(st.getPath, "_COMPLETE")) =>
+            !isValid(f, st.getPath) =>
           f.delete(st.getPath, true); ()
         case _ => ()
       }
@@ -68,14 +116,15 @@ object Checkpoint {
     Meta(txId, millis, path)
   }
 
-  /** All completed checkpoints (unmarked dirs are in-flight or torn). */
+  /** All completed checkpoints (unmarked or manifest-invalid dirs are
+    * in-flight, torn, or gutted — never restorable). */
   def completed(spark: SparkSession, storeDir: String): Seq[Meta] = {
     val f = fs(spark, storeDir)
     val root = new Path(storeDir)
     if (!f.exists(root)) return Nil
     f.listStatus(root).toSeq.flatMap { st =>
       st.getPath.getName match {
-        case Dir(tx, ms) if f.exists(new Path(st.getPath, "_COMPLETE")) =>
+        case Dir(tx, ms) if isValid(f, st.getPath) =>
           Some(Meta(tx.toLong, ms.toLong, st.getPath.toString))
         case _ => None
       }

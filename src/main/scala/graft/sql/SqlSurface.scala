@@ -88,7 +88,16 @@ object SqlSurface {
     val hasPrefix = vt.isDefined || tt.isDefined || txId.isDefined
     val viewName = "events_current_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    val (rewritten, refsCurrent) = rewriteTableRefs(rest, "events_current", viewName)
+    // double-quoted sections lex as STRING LITERALS under Spark's default
+    // config but as IDENTIFIERS under ANSI doubleQuotedIdentifiers — the
+    // rewriter must follow the session's lexing or a "events_current"
+    // reference would be skipped (unresolved relation) in ANSI-ident mode
+    def confBool(k: String) =
+      spark.conf.get(k, "false").equalsIgnoreCase("true")
+    val dqIdents = confBool("spark.sql.ansi.enabled") &&
+      confBool("spark.sql.ansi.doubleQuotedIdentifiers")
+    val (rewritten, refsCurrent) =
+      rewriteTableRefs(rest, "events_current", viewName, dqIdents)
     if (!hasPrefix && !refsCurrent)
       return if (args.isEmpty) spark.sql(rest) else spark.sql(rest, args)
     registerCurrent(spark, dir, viewName, vt.getOrElse(utcNow()), tt, txId)
@@ -99,19 +108,44 @@ object SqlSurface {
   /** Rewrite whole-word, case-insensitive occurrences of identifier `table`
     * to `replacement`, skipping regions where the name is DATA, not a table
     * reference: single-quoted string literals ('' escapes), double-quoted
-    * literals, `--` line comments and bracketed comments. Backtick-quoted
-    * identifiers ARE references and are rewritten. A blanket
-    * `replaceAll("\\bevents_current\\b")` silently changed literal values
-    * inside the query text (r9 advice). Returns (rewritten, foundRef). */
+    * LITERALS (Spark's default lexing; pass `dqIdentifiers = true` to
+    * follow ANSI doubleQuotedIdentifiers mode, where they are references),
+    * `--` line comments and bracketed comments. Backtick-quoted
+    * identifiers ARE references and are rewritten, with doubled-backtick
+    * escapes honored (`ab``cd` is the identifier ab`cd — closing at the
+    * first backtick of the pair desynced the scanner, r10 advice). A
+    * blanket `replaceAll("\\bevents_current\\b")` silently changed literal
+    * values inside the query text (r9 advice). Returns (rewritten,
+    * foundRef). */
   private[graft] def rewriteTableRefs(sql: String, table: String,
-      replacement: String): (String, Boolean) = {
+      replacement: String, dqIdentifiers: Boolean = false): (String, Boolean) = {
     val out = new java.lang.StringBuilder(sql.length + 32)
     val n = sql.length
     var i = 0
     var found = false
     def isWord(c: Char) = c == '_' || Character.isLetterOrDigit(c)
+    // quoted identifier: doubled quote chars escape; compare the
+    // UNESCAPED inner text, emit the original region verbatim on a
+    // non-match (qc = '`' always, '"' in ANSI-ident mode)
+    def quotedIdent(qc: Char): Unit = {
+      var k = i + 1
+      val inner = new java.lang.StringBuilder()
+      var closed = false
+      while (k < n && !closed) {
+        val c = sql.charAt(k)
+        if (c == qc) {
+          if (k + 1 < n && sql.charAt(k + 1) == qc) { inner.append(qc); k += 2 }
+          else { closed = true; k += 1 }
+        } else { inner.append(c); k += 1 }
+      }
+      if (inner.toString.equalsIgnoreCase(table)) {
+        out.append(qc).append(replacement).append(qc); found = true
+      } else out.append(sql, i, k)
+      i = k
+    }
     while (i < n) {
       sql.charAt(i) match {
+        case '"' if dqIdentifiers => quotedIdent('"')
         case q @ ('\'' | '"') => // string literal (Spark lexes both as
           // strings by default); '' doubling AND backslash both escape
           var k = i + 1
@@ -137,7 +171,8 @@ object SqlSurface {
           val close = sql.indexOf("*/", i + 3)
           val k = if (close < 0) n else close + 2
           val inner = sql.substring(i + 3, if (close < 0) n else close)
-          val (rewrittenInner, f) = rewriteTableRefs(inner, table, replacement)
+          val (rewrittenInner, f) =
+            rewriteTableRefs(inner, table, replacement, dqIdentifiers)
           if (f) found = true
           out.append("/*+").append(rewrittenInner)
           if (close >= 0) out.append("*/")
@@ -153,13 +188,7 @@ object SqlSurface {
             else k += 1
           }
           out.append(sql, i, k); i = k
-        case '`' => // backtick-quoted identifier: a real table reference
-          var k = i + 1
-          while (k < n && sql.charAt(k) != '`') k += 1
-          val inner = sql.substring(i + 1, math.min(k, n))
-          if (inner.equalsIgnoreCase(table)) { out.append('`').append(replacement).append('`'); found = true }
-          else out.append(sql, i, math.min(k + 1, n))
-          i = math.min(k + 1, n)
+        case '`' => quotedIdent('`') // backtick ident: a real table ref
         case c if isWord(c) => // consume a whole identifier/word atomically
           var k = i
           while (k < n && isWord(sql.charAt(k))) k += 1

@@ -387,6 +387,32 @@ class BitempSpec extends AnyFunSuite {
     assert(restored.collect().toSet == st.collect().toSet)
   }
 
+  test("checkpoint restore validates the manifest: a gutted-but-marked snapshot is rejected") {
+    import graft.bitemp.Checkpoint
+    val st = runScenario(Seq((Some("v1"), "2019-11-25", None)))
+    val store = java.nio.file.Files.createTempDirectory("graft_ckpt_gut").toString
+    Checkpoint.save(st, store, txId = 1L, keep = 2)
+    val m2 = Checkpoint.save(st, store, txId = 2L, keep = 2)
+    // gut the newest snapshot AFTER its _COMPLETE landed (the torn-dir GC
+    // race the grace window can't fully close: a concurrent cleaner
+    // deleted its data, then the marker write went through) — restore
+    // must fall back to the older VALID snapshot, not trust the marker
+    val gutted = new java.io.File(m2.path.stripPrefix("file:"))
+    val part = gutted.listFiles().find(_.getName.endsWith(".parquet")).get
+    assert(part.delete())
+    assert(Checkpoint.latest(spark, store).get.txId == 1L,
+      "gutted snapshot was trusted")
+    val restored = Checkpoint.restore(spark, store).get
+    assert(restored.collect().toSet == st.collect().toSet)
+    // truncation (same name, different length) is caught too
+    val m3 = Checkpoint.save(st, store, txId = 3L, keep = 3)
+    val d3 = new java.io.File(m3.path.stripPrefix("file:"))
+    val p3 = d3.listFiles().find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.write(p3.toPath, Array[Byte](1, 2, 3))
+    assert(Checkpoint.latest(spark, store).get.txId == 1L,
+      "truncated snapshot was trusted")
+  }
+
   test("checkpoint torn-dir GC: fresh in-flight dirs survive, stale torn dirs go") {
     import graft.bitemp.Checkpoint
     val st = runScenario(Seq((Some("v1"), "2019-11-25", None)))

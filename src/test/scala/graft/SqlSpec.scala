@@ -343,7 +343,7 @@ class SqlSpec extends AnyFunSuite {
       val segs = Seq.newBuilder[(String, String, Boolean)] // (in, want, isRef)
       val nSegs = 1 + rnd.nextInt(12)
       (0 until nSegs).foreach { _ =>
-        rnd.nextInt(9) match {
+        rnd.nextInt(10) match {
           case 0 => segs += ((T, R, true))                       // bare reference
           case 1 => segs += ((s"${T}_old", s"${T}_old", false))  // substring decoy
           case 2 =>                                              // single-quoted literal
@@ -359,6 +359,10 @@ class SqlSpec extends AnyFunSuite {
             segs += ((s"/*+ BROADCAST($T) */", s"/*+ BROADCAST($R) */", true))
           case 7 => segs += ((s"`$T`", s"`$R`", true))           // backtick identifier
           case 8 => segs += (("FROM tbl WHERE x < 3", "FROM tbl WHERE x < 3", false))
+          case 9 =>                                              // doubled-backtick escape:
+            // `ab``<T>``cd` is ONE identifier (ab`<T>`cd ≠ T) — the r10
+            // scanner closed at the escape's first backtick and desynced
+            segs += ((s"`ab``$T``cd`", s"`ab``$T``cd`", false))
         }
       }
       val built = segs.result()
@@ -368,6 +372,29 @@ class SqlSpec extends AnyFunSuite {
       assert(rewriteTableRefs(in, T, R) == ((want, wantFound)),
         s"trial $trial\nin:   $in\ngot:  ${rewriteTableRefs(in, T, R)}\nwant: ($want, $wantFound)")
     }
+  }
+
+  test("view rewrite: doubled-backtick escapes and ANSI double-quoted identifiers (r11)") {
+    import graft.sql.SqlSurface.rewriteTableRefs
+    val T = "events_current"; val R = "V"
+    // escape pair inside a quoted identifier must not desync the scanner:
+    // everything AFTER the escaped identifier still rewrites correctly
+    assert(rewriteTableRefs(s"SELECT * FROM `ab``cd` JOIN $T", T, R) ==
+      ((s"SELECT * FROM `ab``cd` JOIN $R", true)))
+    // an escaped identifier that UNESCAPES to the table name is a match
+    assert(rewriteTableRefs("SELECT * FROM `x``y`", "x`y", R) ==
+      ((s"SELECT * FROM `$R`", true)))
+    // default lexing: double quotes are string literals, never references
+    assert(rewriteTableRefs(s"""SELECT * FROM "$T"""", T, R) ==
+      ((s"""SELECT * FROM "$T"""", false)))
+    // ANSI doubleQuotedIdentifiers mode: they ARE references ("" escapes)
+    assert(rewriteTableRefs(s"""SELECT * FROM "$T"""", T, R,
+      dqIdentifiers = true) == ((s"""SELECT * FROM "$R"""", true)))
+    assert(rewriteTableRefs(s"""SELECT * FROM "ab""cd" JOIN $T""", T, R,
+      dqIdentifiers = true) == ((s"""SELECT * FROM "ab""cd" JOIN $R""", true)))
+    // single-quoted literals stay literals in both modes
+    assert(rewriteTableRefs(s"SELECT '$T' FROM t", T, R,
+      dqIdentifiers = true) == ((s"SELECT '$T' FROM t", false)))
   }
 
   test("per-query snapshot views do not leak into the catalog (r9)") {
