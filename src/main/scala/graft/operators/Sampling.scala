@@ -96,6 +96,63 @@ object Sampling {
       .drop("_n")
   }
 
+  /** Host-frequency cap (r11) — CCNet/RefinedWeb's guard against a
+    * single domain dominating the corpus: per canonical host
+    * ([[TextAnalysis.urlHostKey]]), keep at most `maxPerHost` documents,
+    * picked by a DETERMINISTIC salted-hash priority (ties to the lowest
+    * id) so the sample is reproducible across retries and cluster sizes
+    * — a seeded random-N-per-host, not "first N by id" (which would bias
+    * toward crawl order). Output keeps every doc with its `host_rank`
+    * and `kept` flag so the caller can also audit what the cap dropped.
+    *
+    * Scale: one window over host_key — a single shuffle on the host key;
+    * rank state is a counter per host. A pathological mega-host skews
+    * one partition's window; the standard mitigation (pre-aggregate a
+    * per-host count and only window the over-cap minority) applies but
+    * is unnecessary below ~10⁸ docs/host. */
+  def hostCap(docs: DataFrame, maxPerHost: Int, idCol: String = "doc_id",
+      urlCol: String = "url", salt: String = "hostcap"): DataFrame = {
+    require(maxPerHost >= 1, s"maxPerHost must be >= 1 (got $maxPerHost)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("host_key")).orderBy(col("_f"), col("doc_id"))
+    docs.select(col(idCol).as("doc_id"),
+        TextAnalysis.urlHostKey(col(urlCol)).as("host_key"))
+      .withColumn("_f", hashFraction(col("doc_id"), salt))
+      .withColumn("host_rank", row_number().over(w))
+      .select(col("doc_id"), col("host_key"), col("host_rank"),
+        (col("host_rank") <= maxPerHost).as("kept"))
+  }
+
+  /** Perplexity buckets (r11) — CCNet §4.4's quality split: per
+    * language, rank documents by language-model score and cut into
+    * `buckets` equal groups (head = bucket 1 = best-scoring). CCNet
+    * keeps/weights buckets differently downstream; this emits the
+    * assignment. The LM is the repo's add-one bigram model
+    * ([[TextAnalysis.bigramLogProb]] — integer-nano quantized, so the
+    * per-doc mean is ONE IEEE division of exact integers and the DuckDB
+    * oracle ranks identically); ordering ties break to the lowest
+    * doc_id, and docs with no bigrams land in bucket 0 (unscorable).
+    *
+    * Scale: the LM scoring dominates (see bigramLogProb); the bucket
+    * assignment adds one window shuffle on lang. NTILE follows standard
+    * SQL semantics (earlier buckets take the remainder) in both engines. */
+  def perplexityBuckets(docs: DataFrame, buckets: Int = 3,
+      idCol: String = "doc_id", langCol: String = "lang",
+      textCol: String = "text"): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1 (got $buckets)")
+    val lm = TextAnalysis.bigramLogProb(docs, idCol, textCol)
+    val scored = docs.select(col(idCol).as("doc_id"), col(langCol).as("lang"))
+      .join(lm, Seq("doc_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy((col("logprob_nano").cast("double") / col("n_bigrams")).desc,
+        col("doc_id"))
+    scored.filter(col("n_bigrams") > 0)
+      .withColumn("ppl_bucket", ntile(buckets).over(w))
+      .unionByName(scored.filter(col("n_bigrams") === 0)
+        .withColumn("ppl_bucket", lit(0)))
+  }
+
   /** Data-mixing weights per source (r10) — the planning step of every
     * multi-corpus pretraining run (GPT-3 §2.2, The Pile §1, LLaMA §2
     * all publish exactly this table): per-source document and token

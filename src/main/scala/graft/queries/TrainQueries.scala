@@ -431,6 +431,18 @@ object TrainQueries {
     "text_decontam" -> ((s, dir) =>
       Sampling.decontaminate(docs(s, dir), col("doc_id") % 97 === 0)),
 
+    // host-frequency cap (r11, CCNet-style): at most 2 docs per
+    // canonical host, picked by a deterministic salted-hash priority;
+    // every doc emitted with its rank + kept flag
+    "sample_host_cap" -> ((s, dir) =>
+      Sampling.hostCap(withUrls(docs(s, dir)), maxPerHost = 2)),
+
+    // CCNet perplexity buckets (r11): per-lang head/middle/tail split by
+    // the bigram-LM score; degenerate docs exercise the unscorable
+    // bucket-0 branch
+    "sample_ppl_buckets" -> ((s, dir) =>
+      Sampling.perplexityBuckets(withDegenerateDocs(docs(s, dir)))),
+
     // data-mixing weight table (r10): per-source token shares + the
     // uniform-target resampling weight — the planning step feeding
     // epochMix; exact integer counts, two IEEE divisions
@@ -939,6 +951,51 @@ object TrainSql {
     "stream_dedup" -> """
       SELECT source, count(DISTINCT md5(lower(text))) AS n_unique
       FROM documents GROUP BY source""",
+
+    "sample_host_cap" -> s"""
+      WITH $urlDocs,
+      $urlParts
+      SELECT doc_id, host_key, CAST(rn AS INT) AS host_rank,
+        (rn <= 2) AS kept
+      FROM (SELECT doc_id,
+              regexp_replace(host, '^www\\.', '') AS host_key,
+              row_number() OVER (
+                PARTITION BY regexp_replace(host, '^www\\.', '')
+                ORDER BY CAST(('0x' || substr(md5('hostcap' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                           / 4294967296.0,
+                         doc_id) AS rn
+            FROM p3)""",
+
+    // independent LM retrain + per-lang NTILE over the SCORABLE rows only
+    // (the zero-bigram rows sit in their own window partition and are
+    // overridden to bucket 0, matching the engine's filtered window)
+    "sample_ppl_buckets" -> s"""
+      WITH $degenDocs,
+      tk AS (SELECT doc_id, lang, $toks AS t FROM degen),
+      bg AS (SELECT doc_id, unnest(list_transform(range(len(t) - 1),
+               i -> t[i+1] || ' ' || t[i+2])) AS bg
+             FROM tk WHERE len(t) >= 2),
+      c12 AS (SELECT bg, count(*) AS c12 FROM bg GROUP BY bg),
+      c1 AS (SELECT string_split(bg, ' ')[1] AS w1, count(*) AS c1
+             FROM bg GROUP BY 1),
+      v AS (SELECT count(DISTINCT tt) AS v
+            FROM (SELECT unnest(t) AS tt FROM tk)),
+      lr AS (SELECT bg, CAST(round(ln((c12 + 1.0) / (c1 + v)) * 1e9) AS BIGINT) AS lp
+             FROM c12, v JOIN c1 ON string_split(bg, ' ')[1] = c1.w1),
+      p AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+              CAST(sum(lp) AS BIGINT) AS logprob_nano
+            FROM bg JOIN lr USING (bg) GROUP BY doc_id),
+      perdoc AS (SELECT tk.doc_id, tk.lang,
+                   COALESCE(p.n_bigrams, 0) AS n_bigrams,
+                   COALESCE(p.logprob_nano, 0) AS logprob_nano
+                 FROM tk LEFT JOIN p USING (doc_id))
+      SELECT doc_id, lang, n_bigrams, logprob_nano,
+        CAST(CASE WHEN n_bigrams = 0 THEN 0 ELSE
+          ntile(3) OVER (PARTITION BY lang, (n_bigrams = 0)
+            ORDER BY CASE WHEN n_bigrams > 0
+                       THEN CAST(logprob_nano AS DOUBLE) / n_bigrams END DESC,
+                     doc_id) END AS INT) AS ppl_bucket
+      FROM perdoc""",
 
     "sample_mix_weights" -> s"""
       WITH per AS (SELECT source, count(*) AS n_docs,
