@@ -66,9 +66,11 @@ object Checkpoint {
       .filter(s => s.isFile && s.getPath.getName != Marker)
       .map(s => s.getPath.getName -> s.getLen).toMap
     manifest.split("\n").filter(_.nonEmpty).forall { line =>
+      // a malformed line (the marker write itself tore) means INVALID,
+      // not an exception — one bad manifest must not brick the store
       val sep = line.lastIndexOf('\t')
-      sep > 0 && actual.get(line.substring(0, sep))
-        .contains(line.substring(sep + 1).toLong)
+      sep > 0 && scala.util.Try(line.substring(sep + 1).toLong).toOption
+        .exists(len => actual.get(line.substring(0, sep)).contains(len))
     }
   }
 

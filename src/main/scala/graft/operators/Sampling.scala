@@ -143,14 +143,18 @@ object Sampling {
     val lm = TextAnalysis.bigramLogProb(docs, idCol, textCol)
     val scored = docs.select(col(idCol).as("doc_id"), col(langCol).as("lang"))
       .join(lm, Seq("doc_id"))
+    // ONE window, zero-bigram rows isolated in their own partition and
+    // overridden to bucket 0 — a filter+union form would plant the
+    // (dominant) LM subtree twice in the plan
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("lang"))
-      .orderBy((col("logprob_nano").cast("double") / col("n_bigrams")).desc,
+      .partitionBy(col("lang"), col("n_bigrams") === 0)
+      .orderBy( // guarded: the zero-bigram partition would ANSI-throw on
+        // the division; its ordering is irrelevant (bucket overridden)
+        when(col("n_bigrams") > 0,
+          col("logprob_nano").cast("double") / col("n_bigrams")).desc,
         col("doc_id"))
-    scored.filter(col("n_bigrams") > 0)
-      .withColumn("ppl_bucket", ntile(buckets).over(w))
-      .unionByName(scored.filter(col("n_bigrams") === 0)
-        .withColumn("ppl_bucket", lit(0)))
+    scored.withColumn("ppl_bucket",
+      when(col("n_bigrams") === 0, lit(0)).otherwise(ntile(buckets).over(w)))
   }
 
   /** Data-mixing weights per source (r10) — the planning step of every

@@ -118,16 +118,15 @@ object TextAnalysis {
     val keepPort = port =!= "" &&
       !((scheme === "http" && port === "80") || (scheme === "https" && port === "443"))
     val hostc = when(keepPort, concat(host, lit(":"), port)).otherwise(host)
-    val r1 = regexp_replace(rest,
-      "([?&])(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&]*", "$1")
-    val r2 = regexp_replace(r1, "\\?&+", "?")
-    val r3 = regexp_replace(r2, "&&+", "&")
-    val r4 = regexp_replace(r3, "[?&]+$", "")
-    val r5 = regexp_replace(r4, "/$", "")
-    when(scheme === "", regexp_replace(regexp_replace(regexp_replace(
-        regexp_replace(u1, "([?&])(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&]*", "$1"),
-        "\\?&+", "?"), "&&+", "&"), "[?&]+$", ""))
-      .otherwise(concat(scheme, lit("://"), hostc, r5))
+    // rules 4-5 apply to the path?query remainder — and, for schemeless
+    // input, to the whole string (rules 2-3 no-op there; one shared
+    // chain so the two branches cannot drift)
+    def scrub(c: Column): Column =
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        c, "([?&])(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&]*", "$1"),
+        "\\?&+", "?"), "&&+", "&"), "[?&]+$", ""), "/$", "")
+    when(scheme === "", scrub(u1))
+      .otherwise(concat(scheme, lit("://"), hostc, scrub(rest)))
   }
 
   /** Host-level dedup key: the canonical host (lowercased, default port

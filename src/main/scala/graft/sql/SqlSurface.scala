@@ -88,12 +88,15 @@ object SqlSurface {
     val hasPrefix = vt.isDefined || tt.isDefined || txId.isDefined
     val viewName = "events_current_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    // double-quoted sections lex as STRING LITERALS under Spark's default
-    // config but as IDENTIFIERS under ANSI doubleQuotedIdentifiers — the
+    // double-quoted sections lex as STRING LITERALS when ANSI-ident mode
+    // is off but as IDENTIFIERS under ANSI doubleQuotedIdentifiers — the
     // rewriter must follow the session's lexing or a "events_current"
-    // reference would be skipped (unresolved relation) in ANSI-ident mode
+    // reference would be skipped (unresolved relation) in ANSI-ident
+    // mode. Read the EFFECTIVE conf value (no fallback): a "false"
+    // fallback would shadow Spark 4's built-in ansi.enabled=true default
     def confBool(k: String) =
-      spark.conf.get(k, "false").equalsIgnoreCase("true")
+      (try spark.conf.get(k) catch { case _: Exception => "false" })
+        .equalsIgnoreCase("true")
     val dqIdents = confBool("spark.sql.ansi.enabled") &&
       confBool("spark.sql.ansi.doubleQuotedIdentifiers")
     val (rewritten, refsCurrent) =

@@ -1029,29 +1029,45 @@ object IngestStream {
 
   private def lshStageChunks(spark: SparkSession, docsPath: String,
       nChunks: Int): String =
-    lshStageCache.getOrBuild((spark, docsPath, nChunks)) {
-      val base = java.nio.file.Files.createTempDirectory("graft_lsh_stage").toString
-      val inDir = s"$base/in"
-      new java.io.File(inDir).mkdirs()
-      // stage the corpus as nChunks arrival batches (doc_id mod ranges) in
-      // ONE scan+write (partitionBy), not one filtered pass per chunk;
-      // strictly increasing mtimes pin FileStreamSource's arrival order
-      spark.read.parquet(docsPath)
-        .withColumn("b", pmod(col("doc_id"), lit(nChunks)))
-        .coalesce(1).write.partitionBy("b").mode("overwrite")
-        .parquet(s"$base/stage")
-      val now = System.currentTimeMillis()
-      (0 until nChunks).foreach { i =>
-        val part = Option(new java.io.File(s"$base/stage/b=$i").listFiles())
-          .getOrElse(Array.empty[java.io.File])
-          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-          .getOrElse(sys.error(s"lshDedupStream: staged chunk $i is empty"))
-        val dst = new java.io.File(s"$inDir/b$i.parquet")
-        java.nio.file.Files.move(part.toPath, dst.toPath)
-        dst.setLastModified(now + i * 1000L); ()
-      }
-      inDir
+    lshStageCache.getOrBuild((spark, docsPath, nChunks))(
+      stageChunksInto(spark, docsPath, nChunks,
+        java.nio.file.Files.createTempDirectory("graft_lsh_stage").toString))
+
+  /** Stage the corpus as `nChunks` arrival batches under `base/in` —
+    * all IO through the Hadoop FileSystem resolved from the path, so a
+    * durable `stateDir` staging target may live on any scheme. One
+    * scan+write (partitionBy), not one filtered pass per chunk; strictly
+    * increasing mtimes pin FileStreamSource's arrival order. IDEMPOTENT:
+    * if `base/in` already holds all chunk files (a restarted process
+    * reusing a durable stateDir), it is returned as-is — the stream
+    * checkpoint under the same stateDir references exactly these file
+    * paths, so re-staging would orphan the checkpoint. */
+  private def stageChunksInto(spark: SparkSession, docsPath: String,
+      nChunks: Int, base: String): String = {
+    import org.apache.hadoop.fs.Path
+    val inDir = s"$base/in"
+    val fs = new Path(inDir).getFileSystem(spark.sessionState.newHadoopConf())
+    val chunkPaths = (0 until nChunks).map(i => new Path(s"$inDir/b$i.parquet"))
+    if (chunkPaths.forall(fs.exists)) return inDir
+    fs.mkdirs(new Path(inDir))
+    spark.read.parquet(docsPath)
+      .withColumn("b", pmod(col("doc_id"), lit(nChunks)))
+      .coalesce(1).write.partitionBy("b").mode("overwrite")
+      .parquet(s"$base/stage")
+    val now = System.currentTimeMillis()
+    (0 until nChunks).foreach { i =>
+      val part = fs.listStatus(new Path(s"$base/stage/b=$i"))
+        .map(_.getPath)
+        .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"lshDedupStream: staged chunk $i is empty"))
+      val dst = chunkPaths(i)
+      if (fs.exists(dst)) fs.delete(dst, false) // torn prior staging
+      if (!fs.rename(part, dst)) sys.error(s"staging rename failed: $part -> $dst")
+      fs.setTimes(dst, now + i * 1000L, -1)
     }
+    fs.delete(new Path(s"$base/stage"), true)
+    inDir
+  }
 
   /** @param maxDriverPostingRows bound on the driver verify's postings
     *   pull (candidate docs' shingle rows): a batch whose candidate set
@@ -1062,9 +1078,11 @@ object IngestStream {
     *   over the candidate-filtered postings — same pairs, one extra
     *   shuffle round.
     * @param stateDir durable-state root (postings/pairs/stream
-    *   checkpoint). Any Hadoop-FS scheme (HDFS/S3/local/mock) — all
-    *   state IO resolves its FileSystem from the path; null (default)
-    *   = a fresh local temp dir. */
+    *   checkpoint AND the staged arrival chunks, so a restarted PROCESS
+    *   reusing the same stateDir finds the exact file paths its stream
+    *   checkpoint references). Any Hadoop-FS scheme (HDFS/S3/local/mock)
+    *   — all state IO resolves its FileSystem from the path; null
+    *   (default) = a fresh local temp dir (session-scoped staging). */
   def lshDedupStream(spark: SparkSession, docsPath: String, tau: Double = 0.5,
       k: Int = 3, numHashes: Int = 64, bands: Int = 16,
       nChunks: Int = 3, checkpointEvery: Int = 8,
@@ -1076,7 +1094,12 @@ object IngestStream {
     import graft.operators.Dedup
     val base = Option(stateDir).getOrElse(
       java.nio.file.Files.createTempDirectory("graft_lsh_stream").toString)
-    val inDir = lshStageChunks(spark, docsPath, nChunks)
+    // durable state ⇒ durable staging: the chunks live under stateDir
+    // (idempotently reused on restart — the checkpoint references these
+    // exact paths); temp-state runs keep the session-memoized staging
+    val inDir =
+      if (stateDir == null) lshStageChunks(spark, docsPath, nChunks)
+      else stageChunksInto(spark, docsPath, nChunks, base)
     // band-key rows and shingle postings share ONE durable append dir
     // (r10): they are written per batch for the same reason at the same
     // point, and separate dirs cost a second parquet job wall + commit
@@ -1152,10 +1175,15 @@ object IngestStream {
           // intersection counts. batch_id is stamped on every append
           // exactly for this filter (r11).
           val post = sp.read.parquet(postDir).filter(col("batch_id") < batchId)
+          // distinct AFTER dropping batch_id: a batch that crashed and
+          // replayed in an EARLIER cycle left its append twice under the
+          // same batch_id, which a later reseed's < filter alone would
+          // keep both of (rows within one append are unique, so distinct
+          // exactly removes the replay copies)
           idxCache = Some(post.filter(col("shingle").isNull)
-            .select(col("doc_id"), col("band"), col("key")).persist(lvl))
+            .select(col("doc_id"), col("band"), col("key")).distinct().persist(lvl))
           shCache = Some(post.filter(col("shingle").isNotNull)
-            .select(col("doc_id"), col("shingle")).persist(lvl))
+            .select(col("doc_id"), col("shingle")).distinct().persist(lvl))
           pinned ++= idxCache; pinned ++= shCache
           driverMode = false; driverIdx.clear()
         }

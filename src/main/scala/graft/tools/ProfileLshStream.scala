@@ -44,10 +44,9 @@ object ProfileLshStream {
     }
     spark.streams.addListener(listener)
     def run(name: String, cap: Long, state: String = null): Set[(Long, Long)] = {
-      // staged chunks are memoized per (session, path): every run shares
-      // the same arrival dir (and the replay run MUST — its checkpoint
-      // references those file paths); fresh-state runs get a fresh ck so
-      // they re-process all files regardless
+      // temp-state runs share the session-memoized staging; the durable
+      // runs stage under their stateDir (idempotently reused, so the
+      // replay run finds the exact file paths its checkpoint references)
       batchDurs.clear()
       val t0 = System.nanoTime()
       val pairs = graft.streaming.IngestStream

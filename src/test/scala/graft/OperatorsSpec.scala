@@ -565,7 +565,8 @@ class OperatorsSpec extends AnyFunSuite {
       ("https://ex.com:8080/p/", 3L),
       ("http://ex.com/?utm_only=1", 4L),
       ("not a url at all", 5L),
-      ("  http://ex.com/x  ", 6L)).toDF("url", "doc_id")
+      ("  http://ex.com/x  ", 6L),
+      ("ex.com/path/?utm_x=1", 7L)).toDF("url", "doc_id")
     val out = TextAnalysis.urlKeys(in).collect()
       .map(r => r.getLong(0) -> ((r.getString(2), r.getString(3)))).toMap
     // case, default port, tracking params, fragment, trailing slash
@@ -580,6 +581,8 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(5L) == (("not a url at all", "")))
     // surrounding whitespace trimmed
     assert(out(6L) == (("http://ex.com/x", "ex.com")))
+    // schemeless input still gets the param scrub AND trailing-slash strip
+    assert(out(7L) == (("ex.com/path", "")))
   }
 
   test("dupSpanStatsMulti at a single g equals dupSpanStats") {
