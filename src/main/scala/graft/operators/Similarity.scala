@@ -385,14 +385,11 @@ object Similarity {
     * Scale shape: queries (with their LUTs) broadcast; the corpus side is
     * one codes scan + candidate top-N window; only candidate rows join
     * back to the full vectors. */
-  def pqTopK(encoded: DataFrame, queries: DataFrame, books: PqCodebook,
-      k: Int, rerank: Int = 50,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val spark = encoded.sparkSession
-    val m = books.length
-    val ks = books(0).length
-    val dsub = books(0)(0).length
-    val lutUdf = udf { (q0: Array[Double]) =>
+  /** Per-query ADC lookup table: m·ks subspace dot products against the
+    * normalized query. Shared by [[pqTopK]] and [[ivfPqTopK]]. */
+  private def pqLutUdf(books: PqCodebook) = {
+    val m = books.length; val ks = books(0).length; val dsub = books(0)(0).length
+    udf { (q0: Array[Double]) =>
       var nrm = 0.0; var j = 0
       while (j < q0.length) { nrm += q0(j) * q0(j); j += 1 }
       nrm = math.sqrt(nrm)
@@ -411,11 +408,24 @@ object Similarity {
       }
       lut
     }
-    val adcUdf = udf { (lut: Array[Double], codes: Array[Int]) =>
+  }
+
+  /** ADC score: m table adds per corpus row. */
+  private def pqAdcUdf(books: PqCodebook) = {
+    val m = books.length; val ks = books(0).length
+    udf { (lut: Array[Double], codes: Array[Int]) =>
       var acc = 0.0; var s = 0
       while (s < m) { acc += lut(s * ks + codes(s)); s += 1 }
       acc
     }
+  }
+
+  def pqTopK(encoded: DataFrame, queries: DataFrame, books: PqCodebook,
+      k: Int, rerank: Int = 50,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = encoded.sparkSession
+    val lutUdf = pqLutUdf(books)
+    val adcUdf = pqAdcUdf(books)
     val q = queries.select(col(idCol).as("qid"),
         col(vecCol).cast("array<double>").as("qv"))
       .withColumn("lut", lutUdf(col("qv")))
@@ -445,35 +455,92 @@ object Similarity {
     * recall knob). Cells are disjoint so probed candidates never repeat;
     * the candidate set stays ~nprobe/cells of the corpus and the big side
     * still only shuffles on the cell key. */
+  /** Centroid per cell: element-wise mean — sums and count in ONE
+    * aggregation pass (a second groupBy + join would shuffle the corpus
+    * twice for the same nlist-row result). DECIMAL sums (Exact.dsum,
+    * the kmeansAssign discipline): a raw double sum is partition-order
+    * dependent, and a near-tie cdist could flip the probe's cell choice
+    * between runs — the determinism the module header promises. Input
+    * columns (cid, cell, cv); output (cell, centroid). */
+  private def cellCentroids(c: DataFrame, dims: Int): DataFrame = {
+    val sums = (0 until dims).map(i =>
+      graft.functions.Exact.dsum(element_at(col("cv"), i + 1)
+        .cast(org.apache.spark.sql.types.DecimalType(24, 18))).as(s"s$i")) :+
+      count(lit(1)).as("n")
+    c.groupBy(col("cell")).agg(sums.head, sums.tail: _*)
+      .select(col("cell"),
+        array((0 until dims).map(i => col(s"s$i") / col("n")): _*).as("centroid"))
+  }
+
+  /** Per-query probe set: the `nprobe` nearest cell centroids by cosine.
+    * Output (qid, qv, cell). */
+  private def probeCells(queries: DataFrame, cent: DataFrame, nprobe: Int,
+      idCol: String, vecCol: String): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
+    val probe = q.crossJoin(broadcast(cent))
+      .withColumn("cdist", cosine(col("qv"), col("centroid")))
+    val w0 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cdist").desc, col("cell").asc)
+    probe.withColumn("r", row_number().over(w0)).filter(col("r") <= nprobe)
+      .select(col("qid"), col("qv"), col("cell"))
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       cellCol: String = "label", idCol: String = "vec_id", vecCol: String = "embedding",
       dims: Int = 64, nprobe: Int = 1): DataFrame = {
     val c = corpus.select(col(idCol).as("cid"), col(cellCol).as("cell"),
       col(vecCol).cast("array<double>").as("cv"))
-    // centroid per cell: element-wise mean — sums and count in ONE
-    // aggregation pass (a second groupBy + join would shuffle the corpus
-    // twice for the same nlist-row result). DECIMAL sums (Exact.dsum,
-    // the kmeansAssign discipline): a raw double sum is partition-order
-    // dependent, and a near-tie cdist could flip the probe's cell choice
-    // between runs — the determinism the module header promises
-    val sums = (0 until dims).map(i =>
-      graft.functions.Exact.dsum(element_at(col("cv"), i + 1)
-        .cast(org.apache.spark.sql.types.DecimalType(24, 18))).as(s"s$i")) :+
-      count(lit(1)).as("n")
-    val cent = c.groupBy(col("cell")).agg(sums.head, sums.tail: _*)
-      .select(col("cell"), array((0 until dims).map(i => col(s"s$i") / col("n")): _*).as("centroid"))
-    val q = queries.select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
-    // probe: nearest centroid per query
-    val probe = q.crossJoin(broadcast(cent))
-      .withColumn("cdist", cosine(col("qv"), col("centroid")))
-    val w0 = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("qid")).orderBy(col("cdist").desc, col("cell").asc)
-    val best = probe.withColumn("r", row_number().over(w0)).filter(col("r") <= nprobe)
-      .select(col("qid"), col("qv"), col("cell"))
+    val cent = cellCentroids(c, dims)
+    val best = probeCells(queries, cent, nprobe, idCol, vecCol)
     val scored = c.join(broadcast(best), "cell")
       .filter(col("cid") =!= col("qid"))
       .select(col("qid"), col("cid"),
         round(nativeCosine(corpus.sparkSession, col("qv"), col("cv")), 6).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** IVF-PQ composite ANN (Jégou et al. 2011 §IV "IVFADC" — the FAISS
+    * billion-vector default): the coarse quantizer restricts each query
+    * to its `nprobe` nearest cells, the ADC code scan ranks ONLY those
+    * cells' rows (m table adds per row instead of a full-dim dot), and
+    * the `rerank` best ADC candidates pay an exact cosine. Composes the
+    * two index artifacts this module already builds offline: a cell
+    * column ([[kmeansAssign]]) and PQ codes ([[pqEncode]]) on the same
+    * corpus frame.
+    *
+    * Why this is THE 100 TB ANN shape: the scan cost is
+    * (nprobe/nlist) × corpus × m adds — both factors tunable — and the
+    * corpus side shuffles on nothing (the probed queries + their KB-size
+    * LUTs broadcast; candidate rows alone join back to full vectors).
+    * With nprobe = nlist and rerank ≥ |corpus| it provably degenerates
+    * to exact brute force (the `ann_ivfpq_exhaustive` gate pins that
+    * equality through the whole composite path: quantizer, probe
+    * ranking, per-cell ADC, LUT, rerank). */
+  def ivfPqTopK(encoded: DataFrame, queries: DataFrame, books: PqCodebook,
+      k: Int, cellCol: String = "cell", nprobe: Int = 2, rerank: Int = 50,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      dims: Int = 64): DataFrame = {
+    val spark = encoded.sparkSession
+    val c = encoded.select(col(idCol).as("cid"), col(cellCol).as("cell"),
+      col(vecCol).cast("array<double>").as("cv"), col("pq_codes"))
+    val cent = cellCentroids(c.select(col("cid"), col("cell"), col("cv")), dims)
+    val qprobe = probeCells(queries, cent, nprobe, idCol, vecCol)
+      .withColumn("lut", pqLutUdf(books)(col("qv")))
+    val cand = c.join(broadcast(qprobe.select(col("qid"), col("cell"), col("lut"))), "cell")
+      .filter(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"),
+        pqAdcUdf(books)(col("lut"), col("pq_codes")).as("adc"))
+    val wCand = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("adc").desc, col("cid").asc)
+    val top = cand.withColumn("r", row_number().over(wCand)).filter(col("r") <= rerank)
+      .select(col("qid"), col("cid"))
+    val scored = top
+      .join(c.select(col("cid"), col("cv")), Seq("cid"))
+      .join(broadcast(qprobe.select(col("qid"), col("qv")).distinct()), Seq("qid"))
+      .select(col("qid"), col("cid"),
+        round(nativeCosine(spark, col("qv"), col("cv")), 6).as("cosine"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

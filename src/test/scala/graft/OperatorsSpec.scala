@@ -432,6 +432,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(perQ.min >= 0.8, s"min recall ${perQ.min}")
   }
 
+  test("IVF-PQ: all-cells + exhaustive rerank equals brute; production config recall bounds") {
+    val q = emb.filter(col("vec_id") < 5)
+    val books = Similarity.pqTrain(emb, m = 16, ks = 16)
+    val enc = Similarity.pqEncode(Similarity.kmeansAssign(emb, 8, 5), books)
+      .localCheckpoint(true)
+    val brute = Similarity.bruteForceTopK(emb, q, 10)
+      .select("qid", "cid", "cosine", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val exhaustive = Similarity.ivfPqTopK(enc, q, books, 10,
+        nprobe = 8, rerank = Int.MaxValue)
+      .select("qid", "cid", "cosine", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(exhaustive == brute)
+    // production shape: nprobe 6/8, rerank 100 — compound recall@10
+    val prod = Similarity.ivfPqTopK(enc, q, books, 10, nprobe = 6, rerank = 100)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bruteIds = brute.map(t => (t._1, t._2))
+    val perQ = bruteIds.groupBy(_._1).map { case (_, s) =>
+      s.count(prod.contains).toDouble / s.size }
+    info(f"ivfpq recall@10: mean ${perQ.sum / perQ.size}%.3f min ${perQ.min}%.2f")
+    assert(perQ.sum / perQ.size >= 0.85, s"mean recall ${perQ.sum / perQ.size}")
+    assert(perQ.min >= 0.8, s"min recall ${perQ.min}")
+  }
+
   test("PQ index round-trips through parquet: load serves identical results") {
     val q = emb.filter(col("vec_id") < 5)
     val books = Similarity.pqTrain(emb, m = 16, ks = 16)
