@@ -1174,16 +1174,27 @@ object IngestStream {
           // unions its own delta), silently skewing the shuffle-verify's
           // intersection counts. batch_id is stamped on every append
           // exactly for this filter (r11).
-          val post = sp.read.parquet(postDir).filter(col("batch_id") < batchId)
-          // distinct AFTER dropping batch_id: a batch that crashed and
-          // replayed in an EARLIER cycle left its append twice under the
-          // same batch_id, which a later reseed's < filter alone would
-          // keep both of (rows within one append are unique, so distinct
-          // exactly removes the replay copies)
+          val post0 = sp.read.parquet(postDir).filter(col("batch_id") < batchId)
+          // one append per batch: a batch that crashed and replayed in an
+          // EARLIER cycle left its (deterministic, identical) append
+          // twice under the same batch_id — keep the attempt with the
+          // most rows (a torn attempt, possible only in the committer's
+          // narrow partial-commit window, is a strict subset of the
+          // complete one; ties are identical). One map-side-combined agg
+          // + a broadcast semi-join — NOT a full-row distinct, which
+          // would shuffle the entire accumulated postings on restart.
+          val pickW = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("batch_id")).orderBy(col("_n").desc, col("attempt"))
+          val bestAttempt = post0.groupBy(col("batch_id"), col("attempt"))
+            .agg(count(lit(1)).as("_n"))
+            .withColumn("_r", row_number().over(pickW))
+            .filter(col("_r") === 1).select(col("batch_id"), col("attempt"))
+          val post = post0.join(broadcast(bestAttempt), Seq("batch_id", "attempt"),
+            "left_semi")
           idxCache = Some(post.filter(col("shingle").isNull)
-            .select(col("doc_id"), col("band"), col("key")).distinct().persist(lvl))
+            .select(col("doc_id"), col("band"), col("key")).persist(lvl))
           shCache = Some(post.filter(col("shingle").isNotNull)
-            .select(col("doc_id"), col("shingle")).distinct().persist(lvl))
+            .select(col("doc_id"), col("shingle")).persist(lvl))
           pinned ++= idxCache; pinned ++= shCache
           driverMode = false; driverIdx.clear()
         }
@@ -1203,9 +1214,13 @@ object IngestStream {
             .unionByName(shB.select(col("doc_id"),
               lit(null).cast("int").as("band"),
               lit(null).cast("long").as("key"), col("shingle")))
-            // batch_id makes a torn append from a crashed-then-replayed
-            // batch excludable at reseed (see the reseed filter above)
+            // batch_id + attempt make a crashed-then-replayed batch's
+            // duplicate (or torn) append excludable at reseed (see the
+            // reseed filter above); the attempt id is one UUID per
+            // append invocation
             .withColumn("batch_id", lit(batchId))
+            .withColumn("attempt",
+              lit(java.util.UUID.randomUUID().toString))
             .coalesce(4).write.mode("append").parquet(postDir)))
         // if the probe/verify below fails, don't leave the detached
         // append job racing the query's teardown — drain it (its own
