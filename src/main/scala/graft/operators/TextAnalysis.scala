@@ -87,6 +87,82 @@ object TextAnalysis {
     * rolling-hash winnowing is in [[Dedup.simhash]] / shingling). */
   def fingerprint(text: Column): Column = md5(lower(text))
 
+  /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken 2003,
+    * "Winnowing: Local Algorithms for Document Fingerprinting" — the
+    * MOSS algorithm): hash every token `k`-gram, slide a window of `w`
+    * consecutive gram hashes, and select each window's RIGHTMOST minimal
+    * hash. Guarantees: any shared substring of ≥ w+k-1 tokens between
+    * two documents shares a fingerprint (the matching property), and
+    * selection density is ~2/(w+1) — the fingerprint set is a compact,
+    * position-aware sketch for plagiarism/near-dup detection that exact
+    * line/doc hashing misses.
+    *
+    * Implementation is pure relational: the rightmost-min tie rule packs
+    * into ONE orderable key — `hash · 2²⁰ + (2²⁰−1−pos)` (decimal: both
+    * engines compare exactly) — so each window's selection is a plain
+    * `min` over a `ROWS BETWEEN CURRENT AND w-1 FOLLOWING` frame, and
+    * the selected keys join back to their gram rows. One explode, one
+    * doc-partitioned window pass, one distinct, one join — no UDF.
+    * Positions pack into 20 bits (docs up to ~1M grams; widen the
+    * packing for longer docs). Docs with fewer than w grams emit no
+    * fingerprints (below the guarantee's match length). The md5-derived
+    * 60-bit gram hash is the [[simhash]] recipe — oracle-replayable. */
+  def winnowFingerprints(docs: DataFrame, k: Int = 4, w: Int = 4,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k >= 1 && w >= 1, s"k and w must be >= 1 (got k=$k w=$w)")
+    val toks = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_tk"))
+    val grams = toks.filter(size(col("_tk")) >= k)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), size(col("_tk")) - k),
+          i => concat_ws(" ", slice(col("_tk"), i + 1, lit(k))))))
+      .toDF("doc_id", "pos", "gram")
+      .withColumn("h", conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long"))
+      .withColumn("key",
+        col("h").cast(org.apache.spark.sql.types.DecimalType(38, 0)) * 1048576 +
+          (lit(1048575) - col("pos")))
+    val wf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, w - 1)
+    val cw = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val sel = grams
+      .withColumn("_wmin", min(col("key")).over(wf))
+      .withColumn("_n", count(lit(1)).over(cw))
+      .filter(col("pos") <= col("_n") - w) // full windows only
+      .select(col("doc_id"), col("_wmin").as("key")).distinct()
+    sel.join(grams.select(col("doc_id"), col("key"), col("pos"), col("h")),
+        Seq("doc_id", "key"))
+      .select(col("doc_id"), col("pos"), col("h").as("fp"))
+  }
+
+  // ------------------------------------- script detection (r11)
+
+  /** Unicode-script character statistics + dominant script per doc —
+    * the mC4/CCNet front-line signal for routing text to the right
+    * language pipeline (a "zh"-labeled doc that is 90% Latin is
+    * mislabeled or transliterated; mixed-script docs are spam-prone).
+    * Counts are single regexp passes per class (codegen'd, no explode).
+    *
+    * NOTE on the oracle: Java spells script classes `\p{IsHan}` where
+    * RE2 spells `\p{Han}` — the SEMANTICS (Unicode script property) are
+    * identical, so each side uses its own spelling; this is the one
+    * place the shared-regex-subset discipline is dialect-split. */
+  def scriptStats(df: DataFrame, textCol: String = "text"): DataFrame = {
+    def cnt(cls: String) = regexp_count(col(textCol), lit(s"\\p{Is$cls}"))
+    val nonWs = length(regexp_replace(col(textCol), "\\s", ""))
+    df.withColumn("n_latin", cnt("Latin").cast("long"))
+      .withColumn("n_han", cnt("Han").cast("long"))
+      .withColumn("n_cyrillic", cnt("Cyrillic").cast("long"))
+      .withColumn("n_digit", regexp_count(col(textCol), lit("[0-9]")).cast("long"))
+      .withColumn("n_other",
+        (nonWs.cast("long") - col("n_latin") - col("n_han")
+          - col("n_cyrillic") - col("n_digit")))
+      .withColumn("script",
+        when(greatest(col("n_latin"), col("n_han"), col("n_cyrillic")) === 0, "none")
+          .when(col("n_latin") >= greatest(col("n_han"), col("n_cyrillic")), "latin")
+          .when(col("n_han") >= col("n_cyrillic"), "han")
+          .otherwise("cyrillic"))
+  }
+
   // ------------------------------------- URL canonicalization (r11)
 
   /** URL canonicalization — the WebText/CCNet front step before URL- or

@@ -454,6 +454,25 @@ object TrainQueries {
       pairSet(s, dir, "dup_spans_multi")(
         Dedup.dupSpanStatsMulti(withDegenerateDocs(docs(s, dir)), Seq(8, 16, 32)))),
 
+    // winnowing fingerprints (r11, Schleimer et al. 2003 / MOSS): each
+    // w-window's rightmost-minimal k-gram hash, selected relationally
+    // via the packed (hash, -pos) key — position-aware near-dup sketch
+    "text_winnow" -> ((s, dir) =>
+      pairSet(s, dir, "winnow")(
+        TextAnalysis.winnowFingerprints(docs(s, dir)).localCheckpoint(true))),
+
+    // unicode-script stats (r11): the fixture is ASCII, so decorate with
+    // doc_id-derived Han/Cyrillic/digit runs so every class counts >0 on
+    // some docs and the dominant-script chooser exercises each branch
+    "text_script" -> ((s, dir) =>
+      TextAnalysis.scriptStats(docs(s, dir).withColumn("text",
+        concat(col("text"), lit(" "),
+          expr("repeat('漢', CAST(doc_id % 5 AS INT))"),
+          expr("repeat('Ж', CAST(doc_id % 3 AS INT))"),
+          expr("repeat('9', CAST(doc_id % 2 AS INT))"))))
+        .select(col("doc_id"), col("n_latin"), col("n_han"),
+          col("n_cyrillic"), col("n_digit"), col("n_other"), col("script"))),
+
     // top-5 TF-IDF terms per doc (r6): rational idf (N+1)/(df+1) — same
     // ranking as the log form, bit-exact vs the oracle
     "text_tfidf" -> ((s, dir) => TextAnalysis.tfIdfTopK(docs(s, dir), 5)),
@@ -1147,6 +1166,49 @@ object TrainSql {
           CAST(COALESCE(dup_tokens, 0) AS DOUBLE) / len(tk) ELSE 0.0 END AS dup_ratio
       FROM t LEFT JOIN agg USING (doc_id))"""
     }.mkString("", "\n      UNION ALL\n", ""),
+
+    "text_winnow" -> s"""
+      WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+      g AS (SELECT doc_id, unnest(range(len(tk) - 3)) AS pos,
+              unnest(list_transform(range(len(tk) - 3),
+                i -> array_to_string(tk[i+1:i+4], ' '))) AS gram
+            FROM t WHERE len(tk) >= 4),
+      h0 AS (SELECT doc_id, pos,
+               CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) AS h
+             FROM g),
+      kd AS (SELECT doc_id, pos, h,
+               CAST(h AS HUGEINT) * 1048576 + (1048575 - pos) AS key,
+               count(*) OVER (PARTITION BY doc_id) AS n,
+               min(CAST(h AS HUGEINT) * 1048576 + (1048575 - pos)) OVER (
+                 PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+             FROM h0),
+      sel AS (SELECT DISTINCT doc_id, wmin AS key FROM kd WHERE pos <= n - 4)
+      SELECT kd.doc_id, CAST(kd.pos AS INT) AS pos, kd.h AS fp
+      FROM sel JOIN kd ON sel.doc_id = kd.doc_id AND sel.key = kd.key""",
+
+    // RE2 spells script classes \p{Han} where Java spells \p{IsHan} —
+    // identical Unicode script property, dialect-split spelling
+    "text_script" -> """
+      WITH d AS (SELECT doc_id,
+        text || ' ' || repeat('漢', CAST(doc_id % 5 AS INT))
+             || repeat('Ж', CAST(doc_id % 3 AS INT))
+             || repeat('9', CAST(doc_id % 2 AS INT)) AS t
+        FROM documents),
+      c AS (SELECT doc_id,
+        CAST(len(regexp_extract_all(t, '\p{Latin}')) AS BIGINT) AS n_latin,
+        CAST(len(regexp_extract_all(t, '\p{Han}')) AS BIGINT) AS n_han,
+        CAST(len(regexp_extract_all(t, '\p{Cyrillic}')) AS BIGINT) AS n_cyrillic,
+        CAST(len(regexp_extract_all(t, '[0-9]')) AS BIGINT) AS n_digit,
+        CAST(length(regexp_replace(t, '\s', '', 'g')) AS BIGINT) AS n_nonws
+        FROM d)
+      SELECT doc_id, n_latin, n_han, n_cyrillic, n_digit,
+        n_nonws - n_latin - n_han - n_cyrillic - n_digit AS n_other,
+        CASE WHEN GREATEST(n_latin, n_han, n_cyrillic) = 0 THEN 'none'
+             WHEN n_latin >= GREATEST(n_han, n_cyrillic) THEN 'latin'
+             WHEN n_han >= n_cyrillic THEN 'han'
+             ELSE 'cyrillic' END AS script
+      FROM c""",
 
     "text_tfidf" -> s"""
       WITH t AS (SELECT doc_id, unnest($toks) AS term FROM documents),

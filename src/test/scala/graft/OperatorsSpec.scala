@@ -581,6 +581,65 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r(3L) == ((3L, 1L, "unique three")))
   }
 
+  test("winnowing equals a direct reference implementation; density + match guarantees hold") {
+    // reference: literal Schleimer et al. §4 loop (rightmost-min per
+    // window) over the same md5-derived gram hashes
+    def reference(text: String, k: Int, w: Int): Set[(Int, Long)] = {
+      val tk = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (tk.length < k) return Set.empty
+      val hs = (0 to tk.length - k).map { i =>
+        val gram = tk.slice(i, i + k).mkString(" ")
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(gram.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(md.take(15), 16)
+      }
+      if (hs.length < w) return Set.empty
+      (0 to hs.length - w).map { p =>
+        // rightmost minimal hash in [p, p+w-1]
+        val j = (p until p + w).minBy(j => (hs(j), -j))
+        (j, hs(j))
+      }.toSet
+    }
+    val sample = docs.limit(30).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val got = TextAnalysis.winnowFingerprints(docs.limit(30)).collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getLong(2))))
+      .groupBy(_._1).map { case (d, a) => d -> a.map(_._2).toSet }
+    sample.foreach { case (d, text) =>
+      assert(got.getOrElse(d, Set.empty) == reference(text, 4, 4), s"doc $d")
+    }
+    // density guarantee: consecutive selected positions gap <= w
+    got.values.foreach { fps =>
+      val ps = fps.map(_._1).toSeq.sorted
+      ps.zip(ps.drop(1)).foreach { case (a, b) => assert(b - a <= 4) }
+    }
+    // matching property: two docs sharing a >= w+k-1 token run share a fp
+    import spark.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val two = Seq((1L, s"one two three $shared x y z"),
+      (2L, s"$shared p q r s t u v w")).toDF("doc_id", "text")
+    val fp2 = TextAnalysis.winnowFingerprints(two).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .map { case (d, a) => d -> a.map(_._2).toSet }
+    assert(fp2(1L).intersect(fp2(2L)).nonEmpty)
+  }
+
+  test("scriptStats: every dominance branch and the none case") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "hello world 12"), (2L, "漢字漢字漢 ab"), (3L, "ЖЖЖ z9"),
+      (4L, "!!! ...")).toDF("doc_id", "text")
+    val r = TextAnalysis.scriptStats(d).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_latin"), x.getAs[Long]("n_han"),
+          x.getAs[Long]("n_cyrillic"), x.getAs[Long]("n_digit"),
+          x.getAs[Long]("n_other"), x.getAs[String]("script")))).toMap
+    assert(r(1L) == ((10L, 0L, 0L, 2L, 0L, "latin")))
+    assert(r(2L) == ((2L, 5L, 0L, 0L, 0L, "han")))
+    assert(r(3L) == ((1L, 0L, 3L, 1L, 0L, "cyrillic")))
+    assert(r(4L) == ((0L, 0L, 0L, 0L, 6L, "none")))
+  }
+
   test("urlCanonicalize: every rule fires; non-URL input degrades gracefully") {
     import spark.implicits._
     val in = Seq(
