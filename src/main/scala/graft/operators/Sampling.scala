@@ -96,6 +96,44 @@ object Sampling {
       .drop("_n")
   }
 
+  /** Token-budget cut per source (r11) — the step that turns a mixture
+    * plan into an actual N-token corpus ("200B tokens of web, 30B of
+    * code"): within each source, docs are ordered by a DETERMINISTIC
+    * salted-hash draw (reproducible shuffle — not crawl order) and kept
+    * while the running token total still fits the source's budget. The
+    * doc that STRADDLES the boundary is kept with `truncate_to` set
+    * (GPT-style packers keep and truncate it; a caller preferring a
+    * hard cut drops `truncate_to > 0` rows). Output carries every doc
+    * with (n_tokens, cum_tokens, kept, truncate_to) so the cut is
+    * auditable.
+    *
+    * Scale: one window over source (single shuffle on the mixture key —
+    * the same partitioning [[mixWeights]]'s plan produces); the running
+    * sum is streaming window state, no second pass. */
+  def takeTokens(docs: DataFrame, budgets: Map[String, Long],
+      defaultBudget: Long = Long.MaxValue, salt: String = "budget",
+      idCol: String = "doc_id", sourceCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val budget = budgets.foldLeft(lit(defaultBudget)) { case (acc, (s, b)) =>
+      when(col(sourceCol) === s, lit(b)).otherwise(acc)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol))
+      .orderBy(hashFraction(col(idCol), salt), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs.select(col(idCol).as("doc_id"), col(sourceCol).as("source"),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("_budget", budget)
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"),
+        (col("cum_tokens") - col("n_tokens") < col("_budget")).as("kept"),
+        when(col("cum_tokens") - col("n_tokens") < col("_budget") &&
+            col("cum_tokens") > col("_budget"),
+          col("_budget") - (col("cum_tokens") - col("n_tokens")))
+          .otherwise(lit(0L)).as("truncate_to"))
+  }
+
   /** Host-frequency cap (r11) — CCNet/RefinedWeb's guard against a
     * single domain dominating the corpus: per canonical host
     * ([[TextAnalysis.urlHostKey]]), keep at most `maxPerHost` documents,

@@ -509,6 +509,13 @@ object TrainQueries {
     "sample_ppl_buckets" -> ((s, dir) =>
       Sampling.perplexityBuckets(withDegenerateDocs(docs(s, dir)))),
 
+    // token-budget cut (r11): within-source deterministic-shuffle order,
+    // keep while the running token sum fits; the straddler carries its
+    // truncate_to remainder — completes mixWeights -> epochMix -> cut
+    "sample_token_budget" -> ((s, dir) =>
+      Sampling.takeTokens(docs(s, dir),
+        Map("src0" -> 2000L, "src1" -> 5000L), defaultBudget = 3000L)),
+
     // data-mixing weight table (r10): per-source token shares + the
     // uniform-target resampling weight — the planning step feeding
     // epochMix; exact integer counts, two IEEE divisions
@@ -1077,6 +1084,27 @@ object TrainSql {
                        THEN CAST(logprob_nano AS DOUBLE) / n_bigrams END DESC,
                      doc_id) END AS INT) AS ppl_bucket
       FROM perdoc""",
+
+    "sample_token_budget" -> s"""
+      WITH t AS (SELECT doc_id, source,
+                   CAST(len($toks) AS BIGINT) AS n_tokens
+                 FROM documents),
+      b AS (SELECT *, CASE source WHEN 'src0' THEN 2000
+                                  WHEN 'src1' THEN 5000
+                                  ELSE 3000 END AS budget,
+              SUM(n_tokens) OVER (
+                PARTITION BY source
+                ORDER BY CAST(('0x' || substr(md5('budget' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                           / 4294967296.0,
+                         doc_id
+                ROWS UNBOUNDED PRECEDING) AS cum_tokens
+            FROM t)
+      SELECT doc_id, source, n_tokens,
+        CAST(cum_tokens AS BIGINT) AS cum_tokens,
+        (cum_tokens - n_tokens < budget) AS kept,
+        CAST(CASE WHEN cum_tokens - n_tokens < budget AND cum_tokens > budget
+             THEN budget - (cum_tokens - n_tokens) ELSE 0 END AS BIGINT) AS truncate_to
+      FROM b""",
 
     "sample_mix_weights" -> s"""
       WITH per AS (SELECT source, count(*) AS n_docs,
