@@ -114,12 +114,15 @@ object Sampling {
       defaultBudget: Long = Long.MaxValue, salt: String = "budget",
       idCol: String = "doc_id", sourceCol: String = "source",
       textCol: String = "text"): DataFrame = {
+    // budget/window reference the RENAMED columns: building them from
+    // idCol/sourceCol would fail to resolve for any non-default names
+    // (the select below has already renamed them away)
     val budget = budgets.foldLeft(lit(defaultBudget)) { case (acc, (s, b)) =>
-      when(col(sourceCol) === s, lit(b)).otherwise(acc)
+      when(col("source") === s, lit(b)).otherwise(acc)
     }
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(sourceCol))
-      .orderBy(hashFraction(col(idCol), salt), col(idCol))
+      .partitionBy(col("source"))
+      .orderBy(hashFraction(col("doc_id"), salt), col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
     docs.select(col(idCol).as("doc_id"), col(sourceCol).as("source"),

@@ -526,9 +526,16 @@ object Similarity {
     val c = encoded.select(col(idCol).as("cid"), col(cellCol).as("cell"),
       col(vecCol).cast("array<double>").as("cv"), col("pq_codes"))
     val cent = cellCentroids(c.select(col("cid"), col("cell"), col("cv")), dims)
-    val qprobe = probeCells(queries, cent, nprobe, idCol, vecCol)
-      .withColumn("lut", pqLutUdf(books)(col("qv")))
-    val cand = c.join(broadcast(qprobe.select(col("qid"), col("cell"), col("lut"))), "cell")
+    // one LUT per QUERY, broadcast once — attaching it to the probe set
+    // would evaluate the UDF and carry the m·ks doubles once per probed
+    // CELL (nprobe× the broadcast bytes for identical content)
+    val q = queries.select(col(idCol).as("qid"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val qlut = q.withColumn("lut", pqLutUdf(books)(col("qv")))
+    val probes = probeCells(queries, cent, nprobe, idCol, vecCol)
+      .select(col("qid"), col("cell"))
+    val cand = c.join(broadcast(probes), "cell")
+      .join(broadcast(qlut.select(col("qid"), col("lut"))), Seq("qid"))
       .filter(col("cid") =!= col("qid"))
       .select(col("qid"), col("cid"),
         pqAdcUdf(books)(col("lut"), col("pq_codes")).as("adc"))
@@ -538,7 +545,7 @@ object Similarity {
       .select(col("qid"), col("cid"))
     val scored = top
       .join(c.select(col("cid"), col("cv")), Seq("cid"))
-      .join(broadcast(qprobe.select(col("qid"), col("qv")).distinct()), Seq("qid"))
+      .join(broadcast(q), Seq("qid"))
       .select(col("qid"), col("cid"),
         round(nativeCosine(spark, col("qv"), col("cv")), 6).as("cosine"))
     val w = org.apache.spark.sql.expressions.Window

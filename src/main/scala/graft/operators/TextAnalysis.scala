@@ -103,8 +103,9 @@ object TextAnalysis {
     * `min` over a `ROWS BETWEEN CURRENT AND w-1 FOLLOWING` frame, and
     * the selected keys join back to their gram rows. One explode, one
     * doc-partitioned window pass, one distinct, one join — no UDF.
-    * Positions pack into 20 bits (docs up to ~1M grams; widen the
-    * packing for longer docs). Docs with fewer than w grams emit no
+    * Positions pack into 31 bits — every possible position (posexplode
+    * yields Int) fits by construction, so no document length can
+    * silently corrupt the tie rule. Docs with fewer than w grams emit no
     * fingerprints (below the guarantee's match length). The md5-derived
     * 60-bit gram hash is the [[simhash]] recipe — oracle-replayable. */
   def winnowFingerprints(docs: DataFrame, k: Int = 4, w: Int = 4,
@@ -118,8 +119,8 @@ object TextAnalysis {
       .toDF("doc_id", "pos", "gram")
       .withColumn("h", conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long"))
       .withColumn("key",
-        col("h").cast(org.apache.spark.sql.types.DecimalType(38, 0)) * 1048576 +
-          (lit(1048575) - col("pos")))
+        col("h").cast(org.apache.spark.sql.types.DecimalType(38, 0)) * 2147483648L +
+          (lit(2147483647L) - col("pos")))
     val wf = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, w - 1)
@@ -148,7 +149,10 @@ object TextAnalysis {
     * place the shared-regex-subset discipline is dialect-split. */
   def scriptStats(df: DataFrame, textCol: String = "text"): DataFrame = {
     def cnt(cls: String) = regexp_count(col(textCol), lit(s"\\p{Is$cls}"))
-    val nonWs = length(regexp_replace(col(textCol), "\\s", ""))
+    // explicit whitespace class: Java \s includes \x0B where RE2's does
+    // not — the one dialect split here should stay the documented \p{IsX}
+    // spelling, not a silent \s semantic gap
+    val nonWs = length(regexp_replace(col(textCol), "[ \\t\\n\\x0B\\f\\r]", ""))
     df.withColumn("n_latin", cnt("Latin").cast("long"))
       .withColumn("n_han", cnt("Han").cast("long"))
       .withColumn("n_cyrillic", cnt("Cyrillic").cast("long"))

@@ -1205,9 +1205,9 @@ object TrainSql {
                CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) AS h
              FROM g),
       kd AS (SELECT doc_id, pos, h,
-               CAST(h AS HUGEINT) * 1048576 + (1048575 - pos) AS key,
+               CAST(h AS HUGEINT) * 2147483648 + (2147483647 - pos) AS key,
                count(*) OVER (PARTITION BY doc_id) AS n,
-               min(CAST(h AS HUGEINT) * 1048576 + (1048575 - pos)) OVER (
+               min(CAST(h AS HUGEINT) * 2147483648 + (2147483647 - pos)) OVER (
                  PARTITION BY doc_id ORDER BY pos
                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
              FROM h0),
@@ -1228,7 +1228,7 @@ object TrainSql {
         CAST(len(regexp_extract_all(t, '\p{Han}')) AS BIGINT) AS n_han,
         CAST(len(regexp_extract_all(t, '\p{Cyrillic}')) AS BIGINT) AS n_cyrillic,
         CAST(len(regexp_extract_all(t, '[0-9]')) AS BIGINT) AS n_digit,
-        CAST(length(regexp_replace(t, '\s', '', 'g')) AS BIGINT) AS n_nonws
+        CAST(length(regexp_replace(t, '[ \t\n\x0B\f\r]', '', 'g')) AS BIGINT) AS n_nonws
         FROM d)
       SELECT doc_id, n_latin, n_han, n_cyrillic, n_digit,
         n_nonws - n_latin - n_han - n_cyrillic - n_digit AS n_other,

@@ -1048,7 +1048,27 @@ object IngestStream {
     val inDir = s"$base/in"
     val fs = new Path(inDir).getFileSystem(spark.sessionState.newHadoopConf())
     val chunkPaths = (0 until nChunks).map(i => new Path(s"$inDir/b$i.parquet"))
-    if (chunkPaths.forall(fs.exists)) return inDir
+    // the marker records WHAT was staged: silently reusing chunks staged
+    // from a different corpus or chunking against an existing stream
+    // checkpoint would process wrong (or no) data — mismatches must be
+    // loud, and a marker-less partial staging is re-staged from scratch
+    val marker = new Path(inDir, "_staged")
+    val stamp = s"$docsPath\t$nChunks"
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val seen = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](4096)
+        var r = in.read(chunk)
+        while (r >= 0) { buf.write(chunk, 0, r); r = in.read(chunk) }
+        new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+      } finally in.close()
+      if (seen != stamp) sys.error(
+        s"lshDedupStream: state dir was staged for '$seen' but this run wants " +
+          s"'$stamp' - a stream checkpoint only replays the paths it saw; " +
+          "use a fresh stateDir for a different corpus or chunking")
+      if (chunkPaths.forall(fs.exists)) return inDir
+    }
     fs.mkdirs(new Path(inDir))
     spark.read.parquet(docsPath)
       .withColumn("b", pmod(col("doc_id"), lit(nChunks)))
@@ -1056,16 +1076,23 @@ object IngestStream {
       .parquet(s"$base/stage")
     val now = System.currentTimeMillis()
     (0 until nChunks).foreach { i =>
-      val part = fs.listStatus(new Path(s"$base/stage/b=$i"))
-        .map(_.getPath)
+      val stagedDir = new Path(s"$base/stage/b=$i")
+      val part = (try fs.listStatus(stagedDir) catch {
+        case _: java.io.FileNotFoundException =>
+          Array.empty[org.apache.hadoop.fs.FileStatus]
+      }).map(_.getPath)
         .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
-        .getOrElse(sys.error(s"lshDedupStream: staged chunk $i is empty"))
+        .getOrElse(sys.error(s"lshDedupStream: staged chunk $i is empty " +
+          s"(no doc_id has residue $i mod $nChunks)"))
       val dst = chunkPaths(i)
       if (fs.exists(dst)) fs.delete(dst, false) // torn prior staging
       if (!fs.rename(part, dst)) sys.error(s"staging rename failed: $part -> $dst")
       fs.setTimes(dst, now + i * 1000L, -1)
     }
     fs.delete(new Path(s"$base/stage"), true)
+    val os = fs.create(marker, true)
+    try os.write(stamp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally os.close()
     inDir
   }
 
@@ -1174,7 +1201,15 @@ object IngestStream {
           // unions its own delta), silently skewing the shuffle-verify's
           // intersection counts. batch_id is stamped on every append
           // exactly for this filter (r11).
-          val post0 = sp.read.parquet(postDir).filter(col("batch_id") < batchId)
+          // schema tolerance: a postings dir written before the attempt
+          // column existed (or with mixed files) reads attempt as
+          // missing/null — treat those rows as one shared attempt rather
+          // than crashing or null-dropping them through the semi-join
+          val post0raw = sp.read.parquet(postDir)
+          val post0 = (if (post0raw.columns.contains("attempt"))
+              post0raw.withColumn("attempt", coalesce(col("attempt"), lit("")))
+            else post0raw.withColumn("attempt", lit("")))
+            .filter(col("batch_id") < batchId)
           // one append per batch: a batch that crashed and replayed in an
           // EARLIER cycle left its (deterministic, identical) append
           // twice under the same batch_id — keep the attempt with the
