@@ -624,6 +624,44 @@ class OperatorsSpec extends AnyFunSuite {
     assert(fp2(1L).intersect(fp2(2L)).nonEmpty)
   }
 
+  test("winnowing: randomized (k, w, text) differentials against the reference loop") {
+    // constructive ground truth over random token streams with planted
+    // repeats (small vocab forces shared grams), random window/gram sizes
+    import spark.implicits._
+    def reference(text: String, k: Int, w: Int): Set[(Int, Long)] = {
+      val tk = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (tk.length < k) return Set.empty
+      val hs = (0 to tk.length - k).map { i =>
+        val gram = tk.slice(i, i + k).mkString(" ")
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(gram.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(md.take(15), 16)
+      }
+      if (hs.length < w) return Set.empty
+      (0 to hs.length - w).map { p =>
+        val j = (p until p + w).minBy(j => (hs(j), -j))
+        (j, hs(j))
+      }.toSet
+    }
+    (0 until 12).foreach { trial =>
+      val rnd = new scala.util.Random(4200 + trial)
+      val k = 1 + rnd.nextInt(5)
+      val w = 1 + rnd.nextInt(6)
+      val vocab = Array("ax", "by", "cz", "dw", "ev")
+      val rows = (0 until 8).map { d =>
+        val n = rnd.nextInt(30) // includes shorter-than-k/w docs
+        (d.toLong, (0 until n).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      }
+      val got = TextAnalysis.winnowFingerprints(rows.toDF("doc_id", "text"), k, w)
+        .collect().map(r => (r.getLong(0), (r.getInt(1), r.getLong(2))))
+        .groupBy(_._1).map { case (d, a) => d -> a.map(_._2).toSet }
+      rows.foreach { case (d, text) =>
+        assert(got.getOrElse(d, Set.empty) == reference(text, k, w),
+          s"trial $trial k=$k w=$w doc $d text='$text'")
+      }
+    }
+  }
+
   test("scriptStats: every dominance branch and the none case") {
     import spark.implicits._
     val d = Seq(
