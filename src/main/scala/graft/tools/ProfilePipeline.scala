@@ -1,0 +1,114 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Sampling, TextAnalysis}
+
+/** Scratch: END-TO-END corpus-prep pipeline throughput at 10× sf0.1 —
+  * the operators the gates pin individually, composed the way a real
+  * training-data run chains them, with per-stage wall time and doc/token
+  * survival counts. Evidence that the stages compose without
+  * rematerialization pathologies (each stage consumes the previous
+  * stage's checkpointed frame; nothing re-derives upstream work).
+  *
+  * Chain (the C4/CCNet/RefinedWeb order): URL canonicalization +
+  * host-frequency cap → line-level dedup → quality/C4 filters → exact
+  * dedup → MinHash-LSH near-dup clustering (keep canonical) → mixture
+  * weights → per-source token-budget cut.
+  */
+object ProfilePipeline {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.filterNot(_.startsWith("--"))
+      .getOrElse("/root/testdata/sf0.1")
+    val factor = args.dropWhile(_ != "--factor").drop(1).headOption
+      .flatMap(a => scala.util.Try(a.toInt).toOption).getOrElse(10)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // inflate: copy c keeps per-copy dup structure, copies are not
+    // near-dups of each other (unique token prefix); decorate with URLs
+    // (doc_id-derived hosts) and shared boilerplate lines so the URL and
+    // line stages have real work
+    val docs0 = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val inflated = (0 until factor).map { c =>
+      val d = docs0.select((col("doc_id") * factor + c).as("doc_id"),
+        col("text"), col("lang"), col("source"))
+      if (c == 0) d
+      // mutate only tokens >= 4 chars: stopwords (all <= 3 chars) survive,
+      // so the quality/C4 stage sees realistic text, while most 3-gram
+      // shingles contain >= 1 mutated token and copies stay below the
+      // near-dup threshold against each other
+      else d.withColumn("text", regexp_replace(col("text"), "(\\S{4,})", s"c${c}q$$1"))
+    }.reduce(_ unionByName _)
+      .withColumn("url", concat(lit("https://WWW.Host"),
+        (col("doc_id") % 500).cast("string"), lit(".Example.COM:443/d/"),
+        col("doc_id").cast("string"), lit("?utm_source=crawl&id="),
+        col("doc_id").cast("string")))
+      .withColumn("text", concat(lit("Subscribe to our newsletter\n"),
+        col("text"), lit("\n(c) 2024 Example Corp")))
+    val path = java.nio.file.Files.createTempDirectory("graft_pipe").toString + "/docs.parquet"
+    inflated.coalesce(8).write.parquet(path)
+    val corpus = spark.read.parquet(path)
+    println(s"corpus: ${corpus.count()} docs (factor $factor over $dir)")
+
+    var totalSec = 0.0
+    def stage(name: String)(f: => DataFrame): DataFrame = {
+      val t0 = System.nanoTime()
+      val out = f.localCheckpoint(true)
+      val n = out.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      totalSec += sec
+      println(f"  $name%-34s ${sec}%7.2f s  -> $n%8d rows")
+      out
+    }
+
+    // 1. URL keys + host cap (≤ factor×avg docs/host keeps ~all; cap at
+    //    80 bites on the 500-host decoration)
+    val capped = stage("url canon + host cap (80/host)") {
+      val keys = Sampling.hostCap(corpus, maxPerHost = 80)
+      corpus.join(keys.filter(col("kept")).select(col("doc_id")), Seq("doc_id"))
+    }
+    // 2. corpus-wide line dedup (boilerplate collapses to first occurrence)
+    val lineDeduped = stage("line-level dedup") {
+      capped.join(Dedup.lineDedup(capped)
+          .select(col("doc_id"), col("text_dedup")), Seq("doc_id"))
+        .drop("text").withColumnRenamed("text_dedup", "text")
+    }
+    // 3. quality + C4 keep flags
+    val filtered = stage("quality + C4 filters") {
+      val q = TextAnalysis.qualityScore(lineDeduped)
+        .select(col("doc_id"), col("quality"))
+      val c4 = TextAnalysis.c4Filters(lineDeduped)
+        .select(col("doc_id"), col("keep"))
+      lineDeduped.join(q, Seq("doc_id")).join(c4, Seq("doc_id"))
+        .filter(col("keep") && col("quality") > 0.2)
+        .drop("keep", "quality")
+    }
+    // 4. exact dedup (keep the canonical copy of byte-identical docs)
+    val exactDeduped = stage("exact dedup") {
+      filtered.join(Dedup.exact(filtered)
+          .select(col("keep_id").as("doc_id")), Seq("doc_id"))
+    }
+    // 5. near-dup clustering, keep canonical per cluster
+    val nearDeduped = stage("minhash-LSH near-dup + canonical") {
+      val pairs = Dedup.minhashLshPairs(exactDeduped, 0.5)
+      exactDeduped.join(
+        Dedup.clusterAssign(exactDeduped, pairs)
+          .filter(col("is_canonical")).select(col("doc_id")), Seq("doc_id"))
+    }
+    // 6. mixture weights + token-budget cut per source
+    val cut = stage("mix weights + token budget") {
+      val budgets = Sampling.mixWeights(nearDeduped).collect()
+        .map(r => r.getString(0) -> math.max(r.getLong(2) / 2, 1L)).toMap
+      Sampling.takeTokens(nearDeduped, budgets, defaultBudget = Long.MaxValue)
+        .filter(col("kept"))
+    }
+    val tokens = cut.agg(sum(col("n_tokens"))).collect()(0).getLong(0)
+    println(f"pipeline total ${totalSec}%.2f s; final corpus ${cut.count()} docs, $tokens tokens")
+    spark.stop()
+  }
+}
