@@ -81,6 +81,38 @@ object Dedup {
         explode(shingleUdf(col(textCol))).as("shingle"))
   }
 
+  /** Distinct CHARACTER k-shingles per doc — the dedup unit for
+    * unsegmented scripts (Chinese/Japanese/Thai have no whitespace
+    * tokens, so word shingling sees one giant token and [[shingles]]
+    * emits nothing; char n-grams are the standard substitute — e.g.
+    * CCNet and BigScience dedup CJK at the character level). Whitespace
+    * runs collapse to one space before shingling (layout must not change
+    * identity), text lowercases like the word path. Same kernel-UDF
+    * rationale and spread as [[shingles]]. */
+  def charShingles(docs: DataFrame, k: Int = 8, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val shingleUdf = udf { (text: String) =>
+      if (text == null) Array.empty[String]
+      else {
+        val s = text.toLowerCase(java.util.Locale.ROOT)
+          .replaceAll("\\s+", " ").trim
+        if (s.length < k) Array.empty[String]
+        else {
+          val seen = new java.util.LinkedHashSet[String]()
+          var i = 0
+          while (i + k <= s.length) { seen.add(s.substring(i, i + k)); i += 1 }
+          val out = new Array[String](seen.size)
+          seen.toArray(out)
+          out
+        }
+      }
+    }
+    val spread = docs.repartition(
+      docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
+    spread.select(col(idCol).as("doc_id"),
+      explode(shingleUdf(col(textCol))).as("shingle"))
+  }
+
   /** N-gram Jaccard pairs ≥ tau, skew-safe: candidate pairs come from a
     * self-join restricted to shingles with document frequency ≤
     * `maxShingleDf` (PPJoin-style frequency filtering), then the exact
@@ -99,11 +131,14 @@ object Dedup {
     *
     * EAGER: computes on call and releases its corpus-sized shingle cache;
     * the returned DataFrame is a checkpointed result, not a lazy plan. */
+  /** @param chars shingle on characters ([[charShingles]]) instead of
+    *   word k-grams — the unsegmented-script (CJK) mode; k then counts
+    *   characters. */
   def ngramJaccardPairs(docs: DataFrame, tau: Double, k: Int = 3,
-      maxShingleDf: Int = 1000): DataFrame = {
+      maxShingleDf: Int = 1000, chars: Boolean = false): DataFrame = {
     // persist: the tokenize/shingle explode feeds the df agg, both
     // candidate sides, and verification (same reasoning as minhashLshPairs)
-    val sh = shingles(docs, k).persist()
+    val sh = (if (chars) charShingles(docs, k) else shingles(docs, k)).persist()
     val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     val tagged = sh.join(dfreq, Seq("shingle"))
     val rare = tagged.filter(col("df") <= maxShingleDf).select(col("doc_id"), col("shingle"))

@@ -147,6 +147,22 @@ object TrainQueries {
     "dedup_ngram_jaccard" -> ((s, dir) =>
       pairSet(s, dir, "jaccard")(Dedup.ngramJaccardPairs(docs(s, dir), 0.5))),
 
+    // character-shingle Jaccard (r11): the unsegmented-script (CJK) dedup
+    // mode — word shingling sees one giant token in whitespace-free text
+    // and emits NOTHING, so these docs are invisible to the word-level
+    // gates by construction. The fixture family (doc_id % 29 = 4) shares
+    // a CJK base phrase with per-variant tails; BMP-only, so Java UTF-16
+    // substrings and DuckDB character substr agree
+    "dedup_char_jaccard" -> ((s, dir) =>
+      pairSet(s, dir, "char_jaccard")(
+        Dedup.ngramJaccardPairs(
+          docs(s, dir).filter(col("doc_id") % 29 === 4).withColumn("text",
+            concat(lit("深度学习模型的大规模预训练需要海量高质量语料数据去重与过滤流程"),
+              when(col("doc_id") % 3 === 0, lit("零号版本"))
+                .when(col("doc_id") % 3 === 1, lit("一号变体"))
+                .otherwise(lit("完全不同的结尾内容在此处出现")))),
+          0.5, k = 8, chars = true))),
+
     // LSH + exact verification: equals the exhaustive answer w.p.
     // 1-(1-J^4)^16 (J≈0.99 on the planted dups ⇒ miss < 1e-20), so the
     // brute-force oracle applies
@@ -680,6 +696,28 @@ object TrainSql {
     "dedup_ngram_jaccard" -> jaccardSql,
     "dedup_minhash_lsh" -> jaccardSql,
     "stream_dedup_lsh" -> jaccardSql,
+
+    "dedup_char_jaccard" -> """
+      WITH cj AS (SELECT doc_id,
+          '深度学习模型的大规模预训练需要海量高质量语料数据去重与过滤流程' ||
+          CASE WHEN doc_id % 3 = 0 THEN '零号版本'
+               WHEN doc_id % 3 = 1 THEN '一号变体'
+               ELSE '完全不同的结尾内容在此处出现' END AS text
+        FROM documents WHERE doc_id % 29 = 4),
+      norm AS (SELECT doc_id,
+                 trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS s
+               FROM cj),
+      sh0 AS (SELECT doc_id, unnest(list_transform(range(length(s) - 7),
+                i -> substr(s, CAST(i + 1 AS BIGINT), 8))) AS shingle
+              FROM norm WHERE length(s) >= 8),
+      sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+      sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+      SELECT d1, d2, CAST(c AS DOUBLE) / (s1.sz + s2.sz - c) AS jaccard
+      FROM pairs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+      WHERE CAST(c AS DOUBLE) / (s1.sz + s2.sz - c) >= 0.5""",
 
     "text_url_canon" -> s"""
       WITH $urlDocs,

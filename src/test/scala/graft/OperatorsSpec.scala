@@ -581,6 +581,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r(3L) == ((3L, 1L, "unique three")))
   }
 
+  test("char shingles make unsegmented text dedupable where word shingles see nothing") {
+    import spark.implicits._
+    val cjk = Seq(
+      (1L, "深度学习模型需要大规模语料库去重流程与质量过滤"),
+      (2L, "深度学习模型需要大规模语料库去重流程与质量过滤完"),
+      (3L, "完全无关的另一段短文本")).toDF("doc_id", "text")
+    // the word-level path emits NOTHING for whitespace-free docs (one
+    // giant token < k-gram length) — this is the gap charShingles closes
+    assert(Dedup.ngramJaccardPairs(cjk, 0.1, k = 3).count() == 0)
+    val pairs = Dedup.ngramJaccardPairs(cjk, 0.5, k = 8, chars = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+    assert(pairs.head._3 > 0.8) // one-char suffix diff on a 23-char doc
+    // whitespace runs collapse before shingling: layout is not identity
+    val sp2 = Seq((1L, "alpha beta gamma delta"), (2L, "alpha  beta\tgamma\n delta"))
+      .toDF("doc_id", "text")
+    val j = Dedup.ngramJaccardPairs(sp2, 0.9, k = 8, chars = true).collect()
+    assert(j.length == 1 && j.head.getDouble(2) == 1.0)
+  }
+
   test("winnowing equals a direct reference implementation; density + match guarantees hold") {
     // reference: literal Schleimer et al. §4 loop (rightmost-min per
     // window) over the same md5-derived gram hashes
