@@ -87,20 +87,34 @@ object Dedup {
     * emits nothing; char n-grams are the standard substitute — e.g.
     * CCNet and BigScience dedup CJK at the character level). Whitespace
     * runs collapse to one space before shingling (layout must not change
-    * identity), text lowercases like the word path. Same kernel-UDF
+    * identity), text lowercases like the word path. `k` counts Unicode
+    * CODE POINTS — shingling UTF-16 code units would split surrogate
+    * pairs on non-BMP ideographs (CJK Extension B, emoji) and diverge
+    * from the oracle's character substr. The whitespace class is the
+    * explicit ASCII set shared with the RE2/DuckDB side (Java `\s`
+    * includes `\x0B`; Java `trim` strips all of ≤ U+0020 — both would
+    * silently desync the oracle on unsanitized text). Same kernel-UDF
     * rationale and spread as [[shingles]]. */
   def charShingles(docs: DataFrame, k: Int = 8, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    val ws = java.util.regex.Pattern.compile("[ \t\n\f\r]+") // hoisted:
+    // one compile per closure, not a replaceAll compile per document
     val shingleUdf = udf { (text: String) =>
       if (text == null) Array.empty[String]
       else {
-        val s = text.toLowerCase(java.util.Locale.ROOT)
-          .replaceAll("\\s+", " ").trim
-        if (s.length < k) Array.empty[String]
+        var s = ws.matcher(text.toLowerCase(java.util.Locale.ROOT))
+          .replaceAll(" ")
+        // strip SPACES only (post-collapse edges are single spaces),
+        // matching SQL trim — not Java trim's <= U+0020 sweep
+        if (s.startsWith(" ")) s = s.substring(1)
+        if (s.endsWith(" ")) s = s.substring(0, s.length - 1)
+        val cps = s.codePoints().toArray
+        if (cps.length < k) Array.empty[String]
         else {
           val seen = new java.util.LinkedHashSet[String]()
           var i = 0
-          while (i + k <= s.length) { seen.add(s.substring(i, i + k)); i += 1 }
+          while (i + k <= cps.length) { seen.add(new String(cps, i, k)); i += 1 }
           val out = new Array[String](seen.size)
           seen.toArray(out)
           out
@@ -130,10 +144,11 @@ object Dedup {
     * does not want (boilerplate-only overlap).
     *
     * EAGER: computes on call and releases its corpus-sized shingle cache;
-    * the returned DataFrame is a checkpointed result, not a lazy plan. */
-  /** @param chars shingle on characters ([[charShingles]]) instead of
+    * the returned DataFrame is a checkpointed result, not a lazy plan.
+    *
+    * @param chars shingle on characters ([[charShingles]]) instead of
     *   word k-grams — the unsegmented-script (CJK) mode; k then counts
-    *   characters. */
+    *   code points. */
   def ngramJaccardPairs(docs: DataFrame, tau: Double, k: Int = 3,
       maxShingleDf: Int = 1000, chars: Boolean = false): DataFrame = {
     // persist: the tokenize/shingle explode feeds the df agg, both

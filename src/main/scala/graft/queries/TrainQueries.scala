@@ -151,8 +151,13 @@ object TrainQueries {
     // mode — word shingling sees one giant token in whitespace-free text
     // and emits NOTHING, so these docs are invisible to the word-level
     // gates by construction. The fixture family (doc_id % 29 = 4) shares
-    // a CJK base phrase with per-variant tails; BMP-only, so Java UTF-16
-    // substrings and DuckDB character substr agree
+    // a CJK base phrase with per-variant tails (code-point shingling, so
+    // non-BMP text would also agree with the oracle's character substr).
+    // maxShingleDf is UNCAPPED here: the family's base-phrase shingles
+    // have df = |family| (they're the overlap the gate exists to find),
+    // and at sf >= ~0.6 they would cross the default 1000 cap and drop
+    // cross-tail pairs the cap-less oracle keeps — the cap is the
+    // boilerplate-overlap production knob, not part of this semantics
     "dedup_char_jaccard" -> ((s, dir) =>
       pairSet(s, dir, "char_jaccard")(
         Dedup.ngramJaccardPairs(
@@ -161,7 +166,7 @@ object TrainQueries {
               when(col("doc_id") % 3 === 0, lit("零号版本"))
                 .when(col("doc_id") % 3 === 1, lit("一号变体"))
                 .otherwise(lit("完全不同的结尾内容在此处出现")))),
-          0.5, k = 8, chars = true))),
+          0.5, k = 8, maxShingleDf = Int.MaxValue, chars = true))),
 
     // LSH + exact verification: equals the exhaustive answer w.p.
     // 1-(1-J^4)^16 (J≈0.99 on the planted dups ⇒ miss < 1e-20), so the
@@ -612,16 +617,26 @@ object TrainSql {
            WHEN doc_id % 23 = 3 THEN 'zzz9 qqq7 zzz9 qqq7 xxw4'
            ELSE text END AS text) FROM documents)"""
 
-  private val shingleCtes = s"""
-    docs AS (SELECT doc_id, $toks AS t FROM documents),
-    sh0 AS (SELECT doc_id, unnest(list_transform(range(len(t)-2),
-              i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingle
-            FROM docs WHERE len(t) >= 3),
+  /** DISTINCT-shingle → sizes → shared-count scaffold + the Jaccard
+    * select, shared by the word and char oracles (the Jaccard math must
+    * live once — callers provide the `sh0` producer CTEs). */
+  private val jaccardScaffold = """
     sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
     sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
     pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
               FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
               GROUP BY 1, 2)"""
+  private val jaccardSelect = """
+    SELECT d1, d2, CAST(c AS DOUBLE) / (s1.sz + s2.sz - c) AS jaccard
+    FROM pairs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+    WHERE CAST(c AS DOUBLE) / (s1.sz + s2.sz - c) >= 0.5"""
+
+  private val shingleCtes = s"""
+    docs AS (SELECT doc_id, $toks AS t FROM documents),
+    sh0 AS (SELECT doc_id, unnest(list_transform(range(len(t)-2),
+              i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingle
+            FROM docs WHERE len(t) >= 3),
+    $jaccardScaffold"""
 
   /** Oracle mirror of [[TrainQueries.withUrls]]. */
   private val urlDocs = """
@@ -662,9 +677,7 @@ object TrainSql {
 
   private val jaccardSql = s"""
     WITH $shingleCtes
-    SELECT d1, d2, CAST(c AS DOUBLE) / (s1.sz + s2.sz - c) AS jaccard
-    FROM pairs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
-    WHERE CAST(c AS DOUBLE) / (s1.sz + s2.sz - c) >= 0.5"""
+    $jaccardSelect"""
 
   private val simhashSql: String = {
     val bits = 60
@@ -697,7 +710,10 @@ object TrainSql {
     "dedup_minhash_lsh" -> jaccardSql,
     "stream_dedup_lsh" -> jaccardSql,
 
-    "dedup_char_jaccard" -> """
+    // whitespace class is the explicit ASCII set the Spark kernel uses;
+    // trim strips spaces only (both sides — Java trim's <= U+0020 sweep
+    // and Java \s's \x0B would silently desync)
+    "dedup_char_jaccard" -> s"""
       WITH cj AS (SELECT doc_id,
           '深度学习模型的大规模预训练需要海量高质量语料数据去重与过滤流程' ||
           CASE WHEN doc_id % 3 = 0 THEN '零号版本'
@@ -705,19 +721,13 @@ object TrainSql {
                ELSE '完全不同的结尾内容在此处出现' END AS text
         FROM documents WHERE doc_id % 29 = 4),
       norm AS (SELECT doc_id,
-                 trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS s
+                 trim(regexp_replace(lower(text), '[ \\t\\n\\f\\r]+', ' ', 'g'), ' ') AS s
                FROM cj),
       sh0 AS (SELECT doc_id, unnest(list_transform(range(length(s) - 7),
                 i -> substr(s, CAST(i + 1 AS BIGINT), 8))) AS shingle
               FROM norm WHERE length(s) >= 8),
-      sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
-      sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-      pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
-                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-                GROUP BY 1, 2)
-      SELECT d1, d2, CAST(c AS DOUBLE) / (s1.sz + s2.sz - c) AS jaccard
-      FROM pairs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
-      WHERE CAST(c AS DOUBLE) / (s1.sz + s2.sz - c) >= 0.5""",
+      $jaccardScaffold
+      $jaccardSelect""",
 
     "text_url_canon" -> s"""
       WITH $urlDocs,

@@ -103,12 +103,18 @@ object ProfilePipeline {
     // 6. mixture weights + token-budget cut per source
     val cut = stage("mix weights + token budget") {
       val budgets = Sampling.mixWeights(nearDeduped).collect()
-        .map(r => r.getString(0) -> math.max(r.getLong(2) / 2, 1L)).toMap
+        .map(r => r.getAs[String]("source") ->
+          math.max(r.getAs[Long]("n_tokens") / 2, 1L)).toMap
       Sampling.takeTokens(nearDeduped, budgets, defaultBudget = Long.MaxValue)
         .filter(col("kept"))
     }
-    val tokens = cut.agg(sum(col("n_tokens"))).collect()(0).getLong(0)
-    println(f"pipeline total ${totalSec}%.2f s; final corpus ${cut.count()} docs, $tokens tokens")
+    // budget-true total: the straddler doc counts at its truncate_to,
+    // not its full length — summing raw n_tokens would overstate the
+    // budgeted corpus by up to one doc per source
+    val tokens = cut.agg(sum(
+      when(col("truncate_to") > 0, col("truncate_to")).otherwise(col("n_tokens"))))
+      .collect()(0).getLong(0)
+    println(f"pipeline total ${totalSec}%.2f s; final corpus ${cut.count()} docs, $tokens budgeted tokens")
     spark.stop()
   }
 }
