@@ -114,7 +114,11 @@ object Bench {
     // against); per-query numbers stay raw — normalize those by hand the
     // same way when comparing.
     val refCpuControlMin = 0.540
-    val totalNorm = total * refCpuControlMin / cpuMin
+    // guard (r11 advice): a failed/zero CPU control would emit Infinity or
+    // NaN — invalid JSON; report null instead so parsers stay happy
+    val totalNorm =
+      if (cpuMin > 0 && !cpuMin.isNaN) (total * refCpuControlMin / cpuMin).toString
+      else "null"
     println(s"""{"metric":"total","value":$total,"unit":"sec","errors":$nErr,"total_normalized":$totalNorm,"cpu_control":$cpuControl,"spark_control":$sparkControl,"cpu_control_min":$cpuMin,"spark_control_min":$sparkMin,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -52,25 +52,32 @@ object Checkpoint {
       case _: java.io.FileNotFoundException => return false
     }
     if (mst.getLen == 0) return true // legacy empty marker
-    val manifest = {
-      val in = f.open(marker)
-      try {
-        val buf = new java.io.ByteArrayOutputStream()
-        val chunk = new Array[Byte](4096)
-        var r = in.read(chunk)
-        while (r >= 0) { buf.write(chunk, 0, r); r = in.read(chunk) }
-        new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
-      } finally in.close()
-    }
-    val actual = f.listStatus(dir)
-      .filter(s => s.isFile && s.getPath.getName != Marker)
-      .map(s => s.getPath.getName -> s.getLen).toMap
-    manifest.split("\n").filter(_.nonEmpty).forall { line =>
-      // a malformed line (the marker write itself tore) means INVALID,
-      // not an exception — one bad manifest must not brick the store
-      val sep = line.lastIndexOf('\t')
-      sep > 0 && scala.util.Try(line.substring(sep + 1).toLong).toOption
-        .exists(len => actual.get(line.substring(0, sep)).contains(len))
+    // TOCTOU (r11 advice): a concurrent saver's prune can delete the dir
+    // between the getFileStatus above and the reads below — a vanished
+    // marker/dir means "not restorable", not an exception
+    try {
+      val manifest = {
+        val in = f.open(marker)
+        try {
+          val buf = new java.io.ByteArrayOutputStream()
+          val chunk = new Array[Byte](4096)
+          var r = in.read(chunk)
+          while (r >= 0) { buf.write(chunk, 0, r); r = in.read(chunk) }
+          new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+        } finally in.close()
+      }
+      val actual = f.listStatus(dir)
+        .filter(s => s.isFile && s.getPath.getName != Marker)
+        .map(s => s.getPath.getName -> s.getLen).toMap
+      manifest.split("\n").filter(_.nonEmpty).forall { line =>
+        // a malformed line (the marker write itself tore) means INVALID,
+        // not an exception — one bad manifest must not brick the store
+        val sep = line.lastIndexOf('\t')
+        sep > 0 && scala.util.Try(line.substring(sep + 1).toLong).toOption
+          .exists(len => actual.get(line.substring(0, sep)).contains(len))
+      }
+    } catch {
+      case _: java.io.FileNotFoundException => false
     }
   }
 

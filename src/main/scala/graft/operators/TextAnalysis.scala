@@ -98,7 +98,7 @@ object TextAnalysis {
     * line/doc hashing misses.
     *
     * Implementation is pure relational: the rightmost-min tie rule packs
-    * into ONE orderable key — `hash · 2²⁰ + (2²⁰−1−pos)` (decimal: both
+    * into ONE orderable key — `hash · 2³¹ + (2³¹−1−pos)` (decimal: both
     * engines compare exactly) — so each window's selection is a plain
     * `min` over a `ROWS BETWEEN CURRENT AND w-1 FOLLOWING` frame, and
     * the selected keys join back to their gram rows. One explode, one

@@ -520,9 +520,14 @@ object TrainQueries {
 
     // host-frequency cap (r11, CCNet-style): at most 2 docs per
     // canonical host, picked by a deterministic salted-hash priority;
-    // every doc emitted with its rank + kept flag
+    // every doc emitted with its rank + kept flag. r12: some urls made
+    // null / schemeless to exercise the empty-host-key cap EXEMPTION
+    // (each unparseable doc is its own singleton group, kept)
     "sample_host_cap" -> ((s, dir) =>
-      Sampling.hostCap(withUrls(docs(s, dir)), maxPerHost = 2)),
+      Sampling.hostCap(withUrls(docs(s, dir)).withColumn("url",
+        when(col("doc_id") % 31 === 5, lit(null).cast("string"))
+          .when(col("doc_id") % 7 === 3, lit("example.com/no-scheme"))
+          .otherwise(col("url"))), maxPerHost = 2)),
 
     // CCNet perplexity buckets (r11): per-lang head/middle/tail split by
     // the bigram-LM score; degenerate docs exercise the unscorable
@@ -1088,19 +1093,34 @@ object TrainSql {
       SELECT source, count(DISTINCT md5(lower(text))) AS n_unique
       FROM documents GROUP BY source""",
 
+    // the decoration nulls some urls / drops some schemes, and the
+    // replay mirrors the engine's empty-host EXEMPTION: unparseable
+    // docs rank in per-doc singleton groups ('doc <id>' — a space, so
+    // no collision with canonical hosts) instead of one pooled cap
     "sample_host_cap" -> s"""
       WITH $urlDocs,
-      $urlParts
+      du AS (SELECT doc_id,
+               CASE WHEN doc_id % 31 = 5 THEN NULL
+                    WHEN doc_id % 7 = 3 THEN 'example.com/no-scheme'
+                    ELSE url END AS url
+             FROM d),
+      hk AS (SELECT doc_id,
+               regexp_replace(regexp_replace(
+                 lower(regexp_extract(regexp_replace(trim(url), '#.*$$', ''),
+                   '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+                 ':[0-9]+$$', ''), '^www\\.', '') AS host_key
+             FROM du)
       SELECT doc_id, host_key, CAST(rn AS INT) AS host_rank,
         (rn <= 2) AS kept
-      FROM (SELECT doc_id,
-              regexp_replace(host, '^www\\.', '') AS host_key,
+      FROM (SELECT doc_id, host_key,
               row_number() OVER (
-                PARTITION BY regexp_replace(host, '^www\\.', '')
+                PARTITION BY CASE WHEN host_key IS NULL OR host_key = ''
+                                  THEN 'doc ' || CAST(doc_id AS VARCHAR)
+                                  ELSE host_key END
                 ORDER BY CAST(('0x' || substr(md5('hostcap' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
                            / 4294967296.0,
                          doc_id) AS rn
-            FROM p3)""",
+            FROM hk)""",
 
     // independent LM retrain + per-lang NTILE over the SCORABLE rows only
     // (the zero-bigram rows sit in their own window partition and are

@@ -2,7 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Sampling, TextAnalysis}
+import graft.operators.{Dedup, Sampling, Similarity, TextAnalysis}
 
 /** Scratch: END-TO-END corpus-prep pipeline throughput at 10× sf0.1 —
   * the operators the gates pin individually, composed the way a real
@@ -14,7 +14,12 @@ import graft.operators.{Dedup, Sampling, TextAnalysis}
   * Chain (the C4/CCNet/RefinedWeb order): URL canonicalization +
   * host-frequency cap → line-level dedup → quality/C4 filters → exact
   * dedup → MinHash-LSH near-dup clustering (keep canonical) → mixture
-  * weights → per-source token-budget cut.
+  * weights → per-source token-budget cut; then the SEMANTIC leg (r12)
+  * at the same 10× volume: embedding inflation → SemDeDup
+  * (keep-the-outlier) → IVF-PQ decontamination-style probe of an eval
+  * set against the deduped corpus. Also prints the r12 one-source A/B:
+  * the two-pass prefix sum vs the r11 single-window form, the
+  * measurement behind clearing the `weak` scale marks.
   */
 object ProfilePipeline {
   def main(args: Array[String]): Unit = {
@@ -114,7 +119,76 @@ object ProfilePipeline {
     val tokens = cut.agg(sum(
       when(col("truncate_to") > 0, col("truncate_to")).otherwise(col("n_tokens"))))
       .collect()(0).getLong(0)
-    println(f"pipeline total ${totalSec}%.2f s; final corpus ${cut.count()} docs, $tokens budgeted tokens")
+
+    // ---- semantic leg (r12): embeddings at the same 10× volume ----
+    // copies c>0 nudge ONE dimension by a copy-dependent delta: each
+    // original spawns a cluster of near-identical copies (real SemDeDup
+    // work) while distinct originals stay apart (the fixture's vectors
+    // are near-uniform, pairwise cosine well below the threshold)
+    val emb0 = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val embInflated = (0 until factor).map { c =>
+      val d = emb0.select((col("vec_id") * factor + c).as("vec_id"), col("embedding"))
+      if (c == 0) d
+      else d.withColumn("embedding",
+        transform(col("embedding"), (x, i) =>
+          when(i === 0, x + lit(c * 1e-3)).otherwise(x)))
+    }.reduce(_ unionByName _)
+    val epath = java.nio.file.Files.createTempDirectory("graft_pipe_emb").toString + "/emb.parquet"
+    embInflated.coalesce(8).write.parquet(epath)
+    val embCorpus = spark.read.parquet(epath)
+    println(s"embedding corpus: ${embCorpus.count()} vectors (factor $factor)")
+    // 7. SemDeDup: cluster, drop all but the outlier per near-dup group
+    val semKept = stage("semDedup (keep outliers)") {
+      val flags = Dedup.semDedup(embCorpus, tau = 0.97, nlist = 32, iters = 3)
+      embCorpus.join(flags.filter(col("keep")).select(col("vec_id")), Seq("vec_id"))
+    }
+    // 8. IVF-PQ decontamination-style probe: the eval set (the first 20
+    //    originals) searches the deduped corpus; hits at cosine ≥ 0.95
+    //    are the "too close to eval" rows a pipeline would scrub
+    val contam = stage("IVF-PQ decontamination probe") {
+      val queries = embCorpus
+        .filter(col("vec_id") < 20L * factor && col("vec_id") % factor === 0)
+      val cells = Similarity.kmeansAssign(semKept, nlist = 32, iters = 3)
+      val books = Similarity.pqTrain(semKept, m = 16, ks = 16, iters = 3)
+      val enc = Similarity.pqEncode(cells, books)
+      Similarity.ivfPqTopK(enc, queries, books, k = 10, nprobe = 4, rerank = 100)
+        .filter(col("cosine") >= 0.95)
+    }
+    println(f"pipeline total ${totalSec}%.2f s; final corpus ${cut.count()} docs, " +
+      f"$tokens budgeted tokens; semantic leg kept ${semKept.count()} vectors, " +
+      f"${contam.count()} contamination hits")
+
+    // ---- mixture-stage scaling A/B (r12): two-pass prefix sum vs the
+    // r11 single-window form on a ONE-SOURCE corpus — the window form
+    // funnels every row into one task's sort; the two-pass spreads the
+    // same exact computation across the session's shuffle partitions
+    {
+      val one = nearDeduped.withColumn("source", lit("all"))
+        .select(col("doc_id"), col("source"), col("text"))
+      def time(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val twoPassSec = time {
+        Sampling.takeTokens(one, Map.empty, defaultBudget = Long.MaxValue)
+          .agg(sum(col("cum_tokens"))).collect()
+        ()
+      }
+      val W = org.apache.spark.sql.expressions.Window
+      val w = W.partitionBy(col("source"))
+        .orderBy(Sampling.hashFraction(col("doc_id"), "budget"), col("doc_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      val windowSec = time {
+        one.select(col("doc_id"), col("source"),
+            TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+          .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+          .agg(sum(col("cum_tokens"))).collect()
+        ()
+      }
+      println(f"one-source token-budget A/B: two-pass ${twoPassSec}%.2f s " +
+        f"(${spark.sessionState.conf.numShufflePartitions} slices) vs " +
+        f"single-window ${windowSec}%.2f s (1 task)")
+    }
     spark.stop()
   }
 }

@@ -856,4 +856,18 @@ class DatalogSpec extends AnyFunSuite {
     assert(run("""[:find ?n :where [[?e :name "Ivan"] [(range 6) ?r]
                    [(shuffle ?r) ?s] [(count ?s) ?n]]]""") == Set(Seq(6L)))
   }
+
+  test("driver-bound domains enforce the cap BEFORE the pull (r12)") {
+    val df = spark.range(0, 50).toDF("x")
+    // over-cap: loud error, and the pull itself was LIMIT-bounded — the
+    // plan pin below shows the collect materializes cap+1 rows, not 50
+    val ex = intercept[IllegalArgumentException] {
+      Planner.boundedDomain(df, 10, "too many bindings")
+    }
+    assert(ex.getMessage.contains("too many bindings"))
+    val p = Planner.boundedPlan(df, 10).queryExecution.executedPlan.toString
+    assert(p.contains("CollectLimit") || p.contains("GlobalLimit"), p.take(2000))
+    // under-cap: the full domain comes back
+    assert(Planner.boundedDomain(df, 50, "no").length == 50)
+  }
 }

@@ -331,6 +331,98 @@ class OperatorsSpec extends AnyFunSuite {
       .count() == mixed.count())
   }
 
+  test("hostCap exempts empty/null host keys into singleton groups (r12)") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "https://a.com/x"), (2L, "https://a.com/y"), (3L, "https://a.com/z"),
+      (10L, "no-scheme-1"), (11L, "no-scheme-2"), (12L, "no-scheme-3"),
+      (20L, null.asInstanceOf[String])).toDF("doc_id", "url")
+    val r = Sampling.hostCap(d, maxPerHost = 1).collect()
+      .map(x => x.getLong(0) -> ((x.getString(1), x.getInt(2), x.getBoolean(3))))
+      .toMap
+    // the real host is capped: exactly one of the three kept
+    assert(Seq(1L, 2L, 3L).count(i => r(i)._3) == 1)
+    // unparseable urls: ALL kept at rank 1, real (empty/null) key visible
+    for (i <- Seq(10L, 11L, 12L)) assert(r(i) == (("", 1, true)), r(i).toString)
+    assert(r(20L)._1 == null && r(20L)._2 == 1 && r(20L)._3)
+  }
+
+  test("distributedCumSum ≡ the single-window running sum, bit-identical (r12)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(12)
+    // few keys (incl. null) over many rows — exactly the shape where the
+    // window form degrades to one task per key and the two-pass must not
+    val rows = (0L until 3000L).map { i =>
+      val key = rnd.nextInt(4) match {
+        case 0 => null
+        case 1 => "web"
+        case 2 => "code"
+        case _ => "wiki"
+      }
+      (i, key, rnd.nextInt(500).toLong)
+    }
+    val d = rows.toDF("id", "src", "v")
+    val w = Window.partitionBy($"src").orderBy($"id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = d.withColumn("cum", sum($"v").over(w))
+      .select($"id", $"cum").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Sampling.distributedCumSum(d, Seq("src"), Seq(col("id")),
+      col("v"), "cum", totalName = Some("tot"), slices = 7)
+    assert(got.collect().map(r =>
+      r.getAs[Long]("id") -> r.getAs[Long]("cum")).toMap == expected)
+    // key grand totals (incl. the null key's) ride along correctly
+    val expTot = d.groupBy($"src").agg(sum($"v").as("t")).collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(got.select($"src", $"tot").distinct().collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap == expTot)
+    // more slices than rows degenerates safely
+    val tiny = Seq((1L, "a", 5L), (2L, "a", 7L)).toDF("id", "src", "v")
+    assert(Sampling.distributedCumSum(tiny, Seq("src"), Seq(col("id")),
+      col("v"), "cum", slices = 16).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cum")).toMap ==
+      Map(1L -> 5L, 2L -> 12L))
+  }
+
+  test("two-pass rank + ntileOf ≡ Spark's NTILE for every remainder shape (r12)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // group sizes that hit n<b, n=b, n%b=0 and both remainder branches
+    val d = (for (n <- Seq(1, 2, 3, 4, 9, 10, 17); i <- 1 to n)
+      yield (s"g$n", i.toLong)).toDF("g", "id")
+    for (b <- Seq(1, 3, 4)) {
+      val w = Window.partitionBy($"g").orderBy($"id")
+      val expected = d.withColumn("t", ntile(b).over(w))
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+      val got = Sampling.distributedCumSum(d, Seq("g"), Seq(col("id")),
+          lit(1L), "rk", totalName = Some("n"), slices = 5)
+        .select($"g", $"id",
+          Sampling.ntileOf(col("rk"), col("n"), b).as("t"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+      assert(got == expected, s"buckets=$b")
+    }
+  }
+
+  test("perplexityBuckets two-pass ≡ the single-window NTILE form (r12)") {
+    import org.apache.spark.sql.expressions.Window
+    val lm = TextAnalysis.bigramLogProb(docs, "doc_id", "text")
+    val scored = docs.select(col("doc_id"), col("lang")).join(lm, Seq("doc_id"))
+    val w = Window.partitionBy(col("lang"), col("n_bigrams") === 0)
+      .orderBy(when(col("n_bigrams") > 0,
+        col("logprob_nano").cast("double") / col("n_bigrams")).desc,
+        col("doc_id"))
+    val expected = scored.withColumn("b",
+        when(col("n_bigrams") === 0, lit(0)).otherwise(ntile(3).over(w)))
+      .select(col("doc_id"), col("b")).collect()
+      .map(r => r.get(0) -> r.getInt(1)).toMap
+    val got = Sampling.perplexityBuckets(docs)
+      .select(col("doc_id"), col("ppl_bucket")).collect()
+      .map(r => r.get(0) -> r.getInt(1)).toMap
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
   test("multimodal decode reads real PNG and WAV payloads") {
     val media = Multimodal.mediaFromDocuments(spark, docs)
     val d = Multimodal.decode(spark, media).orderBy("media_id").collect()

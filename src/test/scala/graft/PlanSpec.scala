@@ -290,4 +290,24 @@ class PlanSpec extends AnyFunSuite {
     assert(salted == plain)
     assert(plain.nonEmpty)
   }
+
+  test("shingle kernels do not re-shuffle an already-wide input (r12)") {
+    import org.apache.spark.sql.functions.col
+    val par = spark.sparkContext.defaultParallelism
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    // wide input (>= defaultParallelism partitions): the only Exchange in
+    // the plan is the test's own round-robin — shingles must add none
+    val wide = base.repartition(par)
+    for (p <- Seq(plan(graft.operators.Dedup.shingles(wide)),
+                  plan(graft.operators.Dedup.charShingles(wide)))) {
+      assert(!p.contains("Exchange hashpartitioning(doc_id"), p.take(3000))
+    }
+    // narrow input (single partition): the spread must still kick in
+    val narrow = base.coalesce(1)
+    for (p <- Seq(plan(graft.operators.Dedup.shingles(narrow)),
+                  plan(graft.operators.Dedup.charShingles(narrow)))) {
+      assert(p.contains("Exchange hashpartitioning(doc_id"), p.take(3000))
+    }
+  }
 }
