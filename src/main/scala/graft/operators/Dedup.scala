@@ -811,6 +811,112 @@ object Dedup {
       grams)
   }
 
+  // ------------------------------------- ExactSubstr (r12, true SA form)
+
+  /** Per-position longest duplicate match via distributed suffix ranks —
+    * the TRUE suffix-array form of ExactSubstr (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better" §4.1),
+    * upgrading [[dupSpanStatsMulti]]'s fixed-g window approximation to
+    * EXACT longest-duplicate-span lengths, capped at `maxLen`.
+    *
+    * Shape (all shuffles key on high-cardinality (doc, pos) or rank
+    * values — nothing funnels into one task):
+    *
+    *   1. prefix doubling (Manber–Myers): log₂(maxLen) rounds; per round
+    *      one self-join pairs each position's rank with the rank 2^k
+    *      ahead (sentinel −1 past the doc end), then a global two-pass
+    *      row_number ([[Sampling.distributedCumSum]] with NO key — the
+    *      r12 slice machinery, so the global sort is never one task) and
+    *      a groupBy(pair)+join so equal pairs share the block-min rank
+    *      (order-preserving by induction, so rank_K order IS the order
+    *      of the first maxLen tokens);
+    *   2. suffix-array adjacency: neighbors at sa_rn ± 1 — the classic
+    *      fact that each position's maximum LCP over ALL other suffixes
+    *      is attained at a sort-adjacent one;
+    *   3. rank-descent LCP per adjacent pair: for k = K..0, probe
+    *      (doc, pos+len) ranks on both sides (one bounded equi-join per
+    *      side per k) and add 2^k on rank equality; clamp by the
+    *      remaining doc lengths (a fully-equal short suffix pair's
+    *      sentinel padding would otherwise overcount) and by `maxLen`.
+    *
+    * Output: (doc_id, pos, match_len) for match_len ≥ minLen — the token
+    * span [pos, pos+match_len) occurs at least twice in the corpus
+    * (cross-doc or within-doc, overlapping allowed), and match_len is
+    * exact below the cap. The DuckDB oracle recomputes it brute-force
+    * from a capped-suffix sort; per-position results are order-invariant
+    * across tie orders, so both engines agree bit-for-bit. */
+  def exactDupSpans(docs: DataFrame, minLen: Int, maxLen: Int = 128,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(minLen >= 1, s"minLen must be >= 1 (got $minLen)")
+    require(maxLen >= 2 && (maxLen & (maxLen - 1)) == 0,
+      s"maxLen must be a power of two >= 2 (got $maxLen)")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      graft.operators.TextAnalysis.tokens(col(textCol)).as("_tk"))
+    val base = toks.filter(size(col("_tk")) >= 1)
+      .select(col("doc_id"), posexplode(col("_tk"))).toDF("doc_id", "pos", "tok")
+    // equal sort keys share the block-min global row number (any
+    // injective order-preserving id works; min is tie-order-invariant)
+    def rerank(df: DataFrame, byCols: Seq[String], out: String): DataFrame = {
+      val rn = Sampling.distributedCumSum(df, Seq.empty,
+        byCols.map(col), lit(1L), "_rn")
+      rn.join(rn.groupBy(byCols.map(col): _*).agg(min(col("_rn")).as(out)),
+        byCols).drop("_rn")
+    }
+    val K = java.lang.Integer.numberOfTrailingZeros(maxLen) // 2^K = maxLen
+    val rounds = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    var cur = rerank(base, Seq("tok"), "r")
+      .select(col("doc_id"), col("pos"), col("r")).persist()
+    rounds += cur
+    for (k <- 1 to K) {
+      val d = 1 << (k - 1)
+      val shifted = cur.select(col("doc_id"), (col("pos") - d).as("pos"),
+        col("r").as("_r2"))
+      val paired = cur.join(shifted, Seq("doc_id", "pos"), "left")
+        .withColumn("_r2", coalesce(col("_r2"), lit(-1L)))
+      cur = rerank(paired, Seq("r", "_r2"), "_rk")
+        .select(col("doc_id"), col("pos"), col("_rk").as("r")).persist()
+      rounds += cur
+    }
+    // SA adjacency on the final ranks (ties broken by (doc, pos) — the
+    // per-position max below is invariant to the tie order)
+    val sa = Sampling.distributedCumSum(rounds.last, Seq.empty,
+      Seq(col("r"), col("doc_id"), col("pos")), lit(1L), "_sa")
+    var pairs = sa.select(col("_sa"), col("doc_id").as("da"), col("pos").as("pa"))
+      .join(sa.select((col("_sa") - 1).as("_sa"), col("doc_id").as("db"),
+        col("pos").as("pb")), Seq("_sa"))
+      .select(col("da"), col("pa"), col("db"), col("pb"))
+      .withColumn("len", lit(0L))
+    for (k <- K to 0 by -1) {
+      val rk = rounds(k)
+      pairs = pairs
+        .join(rk.select(col("doc_id").as("_dA"), col("pos").as("_pA"),
+          col("r").as("_ra")),
+          col("da") === col("_dA") && col("pa") + col("len") === col("_pA"),
+          "left")
+        .join(rk.select(col("doc_id").as("_dB"), col("pos").as("_pB"),
+          col("r").as("_rb")),
+          col("db") === col("_dB") && col("pb") + col("len") === col("_pB"),
+          "left")
+        .withColumn("len", when(col("_ra").isNotNull && col("_rb").isNotNull &&
+          col("_ra") === col("_rb"), col("len") + (1L << k)).otherwise(col("len")))
+        .drop("_dA", "_pA", "_ra", "_dB", "_pB", "_rb")
+    }
+    val doclens = toks.select(col("doc_id"), size(col("_tk")).cast("long").as("_dl"))
+    val clamped = pairs
+      .join(doclens.select(col("doc_id").as("da"), col("_dl").as("_dlA")), Seq("da"))
+      .join(doclens.select(col("doc_id").as("db"), col("_dl").as("_dlB")), Seq("db"))
+      .withColumn("match_len", least(col("len"), col("_dlA") - col("pa"),
+        col("_dlB") - col("pb"), lit(maxLen.toLong)))
+    val both = clamped.select(col("da").as("doc_id"), col("pa").as("pos"),
+        col("match_len"))
+      .unionByName(clamped.select(col("db").as("doc_id"), col("pb").as("pos"),
+        col("match_len")))
+    val out = both.groupBy(col("doc_id"), col("pos"))
+      .agg(max(col("match_len")).as("match_len"))
+      .filter(col("match_len") >= minLen)
+    materializeAndRelease(out, rounds.toSeq: _*)
+  }
+
   def dupSpanStats(docs: DataFrame, g: Int = 8,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** Corpus-composition operators for training-data pipelines:
@@ -29,31 +29,41 @@ object Sampling {
     * #1). A Spark window puts EVERY row of a partition key into ONE
     * task; with low-cardinality mixture keys (source, lang) that is a
     * single task sorting a whole source — tens of GB of state — at
-    * 100 TB. Here the rows are RANGE-partitioned on (keys ++ order), so
-    * every task holds a contiguous SLICE of each key's global order, and
-    * the running sum decomposes exactly:
+    * 100 TB. Here the rows are RANGE-partitioned AND sorted on
+    * (keys ++ order), so every task holds a contiguous, ordered SLICE of
+    * each key's global order, and the running sum decomposes exactly:
     *
     *   pass 1 — per (slice, key) partial sums: one tiny aggregate
-    *     (≤ slices × keys rows); its running total over the slice index
-    *     is each slice's starting offset, broadcast back;
-    *   pass 2 — a window over (slice, key): every window group is at
-    *     most ONE SLICE of one key, never a whole key, plus the
-    *     broadcast map-side offset add.
+    *     (≤ slices × keys rows, LIMIT-bounded on the driver pull); the
+    *     running total over the slice index is each slice's starting
+    *     offset, broadcast back as a plain map;
+    *   pass 2 — ONE linear scan per partition (`mapPartitions` over the
+    *     already-sorted cache): local running sum, reset to the
+    *     broadcast offset at each key change — the "map-side add". No
+    *     second shuffle, no window operator.
     *
     * Parallelism therefore scales with `slices` (default: the session's
     * shuffle partitions), not with the number of distinct keys. Output
-    * is bit-identical to the single-window form: longs add exactly and
-    * `order` must be a total order within each key (callers tie-break on
-    * a unique id), so every row's prefix set — and thus its sum — is
-    * identical (OperatorsSpec pins the differential).
+    * is bit-identical to the single-window form: long values add exactly
+    * and `order` must be a total order within each key (callers
+    * tie-break on a unique id), so every row's prefix set — and thus its
+    * sum — is identical (OperatorsSpec pins the differential). `value`
+    * is cast to long; a null value counts as 0.
     *
     * The slice id must mean the same thing in both passes, so the ranged
     * projection is persisted with `_slice` MATERIALIZED INTO the cache
-    * and the result is checkpointed eagerly before release ([[Dedup]]'s
-    * materializeAndRelease discipline) — a slice id never leaks into a
-    * lazy plan. Callers pass SLIM projections (id, keys, value, order
-    * inputs — never text), so the materialization is the audit-table
-    * size, not the corpus size.
+    * (the slim input too — the range exchange SAMPLES its child for
+    * boundaries, which would otherwise re-evaluate the upstream token
+    * counts / LM scores) and the result is checkpointed eagerly before
+    * release ([[Dedup]]'s materializeAndRelease discipline) — a slice id
+    * never leaks into a lazy plan. Callers pass SLIM projections (id,
+    * keys, value, materialized order draws — never text), so the
+    * materialization is the audit-table size, not the corpus size.
+    *
+    * This helper is for LOW-cardinality keys (the mixture shape): the
+    * driver-held offset map is O(slices + distinct keys) and a loud
+    * error fires past 2²⁰ entries — a high-cardinality key doesn't have
+    * the one-task problem in the first place; use a plain window there.
     *
     * @param totalName also emit each key's grand total under this name
     *   (from pass 1 — no extra shuffle); rank callers need it for NTILE
@@ -61,47 +71,78 @@ object Sampling {
   def distributedCumSum(df: DataFrame, keys: Seq[String], order: Seq[Column],
       value: Column, cumName: String, totalName: Option[String] = None,
       slices: Int = 0): DataFrame = {
-    val W = org.apache.spark.sql.expressions.Window
-    val reserved = Set("_slice", "_lcum", "_offset", "_ktotal")
-    require(df.columns.forall(c => !reserved.contains(c) && !c.startsWith("_o_")),
+    val reserved = Set("_slice", "_v")
+    require(df.columns.forall(c => !reserved.contains(c)),
       s"distributedCumSum: input columns collide with internals: ${df.columns.mkString(",")}")
+    val spark = df.sparkSession
     val n = if (slices > 0) slices
-      else df.sparkSession.sessionState.conf.numShufflePartitions
-    val ranged = df
+      else spark.sessionState.conf.numShufflePartitions
+    val in = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ranged = in
+      .withColumn("_v", value.cast("long"))
       .repartitionByRange(n, (keys.map(col) ++ order): _*)
+      .sortWithinPartitions((keys.map(col) ++ order): _*)
       .withColumn("_slice", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // pass 1: tiny (slice, key) partials, bounded BEFORE the pull
+    val cap = 1 << 20
     val partials = ranged
       .groupBy(col("_slice") +: keys.map(col): _*)
-      .agg(sum(value).as("_psum"))
-    val wOff = W.partitionBy(keys.map(col): _*).orderBy(col("_slice"))
-      .rowsBetween(W.unboundedPreceding, W.currentRow)
-    val wTot = W.partitionBy(keys.map(col): _*)
-      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-    val offsets = partials
-      .withColumn("_offset", sum(col("_psum")).over(wOff) - col("_psum"))
-      .withColumn("_ktotal", sum(col("_psum")).over(wTot))
-      .select(col("_slice").as("_o_slice") +:
-        keys.map(k => col(k).as(s"_o_$k")) :+
-        col("_offset") :+ col("_ktotal"): _*)
-    // null-safe on the keys (a null mixture key is one more group, like
-    // the window form treats it) — plain === would drop its rows
-    val joinCond = keys.map(k => col(k) <=> col(s"_o_$k"))
-      .foldLeft(col("_slice") === col("_o_slice"))(_ && _)
-    val wLoc = W.partitionBy(col("_slice") +: keys.map(col): _*)
-      .orderBy(order: _*)
-      .rowsBetween(W.unboundedPreceding, W.currentRow)
-    val out = ranged
-      .withColumn("_lcum", sum(value).over(wLoc))
-      .join(broadcast(offsets), joinCond)
-      .withColumn(cumName, col("_lcum") + col("_offset"))
-    val withTotal = totalName.fold(out)(t => out.withColumn(t, col("_ktotal")))
-    val cleaned = withTotal.drop(
-      Seq("_slice", "_o_slice", "_lcum", "_offset", "_ktotal") ++
-        keys.map(k => s"_o_$k"): _*)
-    val result = cleaned.localCheckpoint(true)
+      .agg(sum(col("_v")).as("_psum"))
+      .limit(cap + 1).collect()
+    require(partials.length <= cap,
+      s"distributedCumSum: more than $cap (slice, key) partials — this " +
+        "helper is for low-cardinality mixture keys; a high-cardinality " +
+        "key has no one-task problem, use a plain window")
+    val keyOf: Row => List[Any] = r => keys.map(k => r.getAs[Any](k)).toList
+    val offsets = new scala.collection.mutable.HashMap[(Int, List[Any]), Long]
+    val totals = new scala.collection.mutable.HashMap[List[Any], Long]
+    partials.groupBy(keyOf).foreach { case (k, rows) =>
+      var acc = 0L
+      rows.sortBy(_.getAs[Int]("_slice")).foreach { r =>
+        val s = r.getAs[Int]("_slice")
+        offsets((s, k)) = acc
+        acc += (if (r.isNullAt(r.fieldIndex("_psum"))) 0L
+          else r.getAs[Long]("_psum"))
+      }
+      totals(k) = acc
+    }
+    val bcOff = spark.sparkContext.broadcast(offsets.toMap)
+    val bcTot = spark.sparkContext.broadcast(totals.toMap)
+    // pass 2: linear scan per (cached, sorted) partition — map-side add
+    val dfWidth = df.schema.length
+    val rangedSchema = ranged.schema
+    val vIdx = rangedSchema.fieldIndex("_v")
+    val sliceIdx = rangedSchema.fieldIndex("_slice")
+    val keyIdxs = keys.map(rangedSchema.fieldIndex)
+    val withTotal = totalName.isDefined
+    val outSchema = org.apache.spark.sql.types.StructType(
+      df.schema.fields.toSeq ++
+        (Seq(org.apache.spark.sql.types.StructField(cumName,
+          org.apache.spark.sql.types.LongType, nullable = false)) ++
+          totalName.map(t => org.apache.spark.sql.types.StructField(t,
+            org.apache.spark.sql.types.LongType, nullable = false))))
+    val result = ranged.mapPartitions { it =>
+      var curKey: List[Any] = null
+      var started = false
+      var acc = 0L
+      it.map { r =>
+        val k = keyIdxs.map(i => r.get(i)).toList
+        if (!started || k != curKey) {
+          started = true
+          curKey = k
+          acc = bcOff.value.getOrElse((r.getInt(sliceIdx), k), 0L)
+        }
+        acc += (if (r.isNullAt(vIdx)) 0L else r.getLong(vIdx))
+        val base = Seq.tabulate(dfWidth)(r.get)
+        Row.fromSeq(base ++
+          (Seq(acc) ++ (if (withTotal) Seq(bcTot.value.getOrElse(k, 0L)) else Nil)))
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+    val out = result.localCheckpoint(true)
     ranged.unpersist(false)
-    result
+    in.unpersist(false)
+    out
   }
 
   /** Standard-SQL NTILE from a (1-based) rank and the group's row count:
@@ -216,10 +257,14 @@ object Sampling {
     val budget = budgets.foldLeft(lit(defaultBudget)) { case (acc, (s, b)) =>
       when(col("source") === s, lit(b)).otherwise(acc)
     }
+    // the draw is MATERIALIZED into the slim cache: the range exchange
+    // and the slice-local sort both order by it, and an md5 per
+    // evaluation is the dominant per-row cost
     val slim = docs.select(col(idCol).as("doc_id"), col(sourceCol).as("source"),
-      TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"),
+      hashFraction(col(idCol), salt).as("_draw"))
     distributedCumSum(slim, Seq("source"),
-        Seq(hashFraction(col("doc_id"), salt), col("doc_id")),
+        Seq(col("_draw"), col("doc_id")),
         col("n_tokens"), "cum_tokens")
       .withColumn("_budget", budget)
       .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"),
@@ -297,18 +342,19 @@ object Sampling {
     // bucket overridden to 0) — a filter+union form would plant the
     // (dominant) LM subtree twice in the plan
     val ranked = distributedCumSum(
-      scored.withColumn("_zero", col("n_bigrams") === 0),
+      scored.withColumn("_zero", col("n_bigrams") === 0)
+        // guarded: the zero-bigram group would ANSI-throw on the
+        // division; its ordering is irrelevant (bucket overridden).
+        // Materialized so the range sampling reuses it from the cache.
+        .withColumn("_score", when(col("n_bigrams") > 0,
+          col("logprob_nano").cast("double") / col("n_bigrams"))),
       Seq("lang", "_zero"),
-      Seq( // guarded: the zero-bigram group would ANSI-throw on the
-        // division; its ordering is irrelevant (bucket overridden)
-        when(col("n_bigrams") > 0,
-          col("logprob_nano").cast("double") / col("n_bigrams")).desc,
-        col("doc_id")),
+      Seq(col("_score").desc, col("doc_id")),
       lit(1L), "_rank", totalName = Some("_n"))
     ranked.withColumn("ppl_bucket",
         when(col("_zero"), lit(0))
           .otherwise(ntileOf(col("_rank"), col("_n"), buckets)))
-      .drop("_zero", "_rank", "_n")
+      .drop("_zero", "_score", "_rank", "_n")
   }
 
   /** Data-mixing weights per source (r10) — the planning step of every

@@ -87,6 +87,141 @@ object TextAnalysis {
     * rolling-hash winnowing is in [[Dedup.simhash]] / shingling). */
   def fingerprint(text: Column): Column = md5(lower(text))
 
+  // ------------------------------------------- BPE merge training (r12)
+
+  /** One round of BPE pair merging over a spaced segmentation: greedy
+    * left-to-right non-overlapping replacement of adjacent (l, r) with
+    * the concatenation — exactly learn_bpe's `re.sub` with token-boundary
+    * lookarounds (runs of an identical symbol merge floor(k/2) pairs).
+    * Kernel UDF like [[Dedup.shingles]]: a linear scan per word; the
+    * relational spellings either mis-handle `l == r` runs (plain
+    * `replace` consumes the shared separator) or need lookbehind, which
+    * the RE2 oracle side lacks. The DuckDB oracle replays the EXACT same
+    * semantics by iterated leftmost single-splice (equivalent: a merge
+    * never creates a new match of the same pair at or before its own
+    * position, so iterating leftmost consumes the same disjoint
+    * occurrence set the scan does). */
+  private val mergePairUdf = udf { (spaced: String, l: String, r: String) =>
+    val syms = spaced.trim.split(" ")
+    val out = new StringBuilder(spaced.length + 2)
+    out.append(' ')
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out.append(l).append(r); i += 2
+      } else { out.append(syms(i)); i += 1 }
+      out.append(' ')
+    }
+    out.toString
+  }
+
+  /** BPE merge-table training (Sennrich, Haddow, Birch 2016, "Neural
+    * Machine Translation of Rare Words with Subword Units" — learn_bpe):
+    * learn `numMerges` subword merges by repeatedly merging the corpus's
+    * most frequent adjacent symbol pair (ties: highest count, then
+    * lexicographically smallest left, then right symbol). Completes
+    * tokenizer CONSTRUCTION from corpus statistics — [[bpePattern]] is
+    * the pre-tokenizer; this learns the merges over its words.
+    *
+    * Distributed shape (the 100 TB path): the corpus collapses ONCE to a
+    * (word, freq) vocabulary — one partial-agg groupBy whose result is
+    * vocabulary-sized (millions of distinct words), not corpus-sized
+    * (billions of documents); every merge round is then (a) one
+    * explode + partial-agg groupBy over the vocab's adjacent pairs
+    * (overlapping occurrences counted, like get_stats), (b) a ONE-ROW
+    * argmax collect (k-sized driver pull), and (c) a map-side merge pass
+    * over the persisted vocab. Nothing corpus-sized is ever touched
+    * after the first aggregate, and each round's shuffle carries at most
+    * |vocab| × avg-word-length pair rows.
+    *
+    * Words are restricted to `wordPattern` (default lowercase ASCII — the
+    * engine-portable char-split subset); `endMarker` is appended as the
+    * word-final symbol (the classic `</w>`, distinguishing "low·" from
+    * "low" mid-word). The segmentation is carried as a SPACED string
+    * (" l o w </w> " — symbols never contain spaces), the learn_bpe
+    * vocabulary encoding.
+    *
+    * Returns the merge table (rank, pair_left, pair_right, merged, cnt)
+    * — rank 1 = first merge. May return fewer than `numMerges` rows if
+    * the vocabulary runs out of pairs. */
+  def bpeTrain(docs: DataFrame, numMerges: Int, textCol: String = "text",
+      wordPattern: String = "^[a-z]+$", endMarker: String = "</w>"): DataFrame = {
+    require(numMerges >= 1, s"numMerges must be >= 1 (got $numMerges)")
+    require(endMarker.nonEmpty && !endMarker.contains(" "),
+      s"endMarker must be a non-empty space-free symbol (got '$endMarker')")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocab0 = docs
+      .select(explode(tokens(col(textCol))).as("word"))
+      .filter(col("word").rlike(wordPattern))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(col("freq"), concat(lit(" "),
+        regexp_replace(col("word"), "(.)", "$1 "), lit(endMarker + " "))
+        .as("spaced"))
+      .persist()
+    var vocab = vocab0
+    val merges = scala.collection.mutable.ListBuffer[(Int, String, String, String, Long)]()
+    var round = 1
+    var done = false
+    while (round <= numMerges && !done) {
+      val pairCounts = vocab
+        .withColumn("syms", split(trim(col("spaced")), " "))
+        .withColumn("pr", explode(when(size(col("syms")) >= 2,
+          transform(sequence(lit(0), size(col("syms")) - 2),
+            i => struct(element_at(col("syms"), i + 1).as("l"),
+              element_at(col("syms"), i + 2).as("r"))))
+          .otherwise(array().cast("array<struct<l:string,r:string>>"))))
+        .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+      val best = pairCounts.orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (best.isEmpty) done = true
+      else {
+        val (l, r, cnt) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((round, l, r, l + r, cnt))
+        val next = vocab.select(col("freq"),
+          mergePairUdf(col("spaced"), lit(l), lit(r)).as("spaced")).persist()
+        next.count() // materialize before dropping the previous round
+        vocab.unpersist(false)
+        vocab = next
+        round += 1
+      }
+    }
+    vocab.unpersist(false)
+    merges.toSeq.toDF("rank", "pair_left", "pair_right", "merged", "cnt")
+  }
+
+  /** Apply a learned BPE merge table — Sennrich's apply_bpe for merges
+    * learned on this corpus with [[bpeTrain]]: segment every corpus word
+    * into its BPE pieces by replaying the merges in rank order, each via
+    * the same greedy left-to-right scan as training.
+    *
+    * The vocabulary trick makes this scale: merges apply once per
+    * DISTINCT word (vocabulary-sized work), never per corpus token; the
+    * returned (word, pieces, n_pieces) table joins back to the token
+    * stream for per-doc piece counts. `merges` is the trained table in
+    * rank order — driver-held by the same bounded-artifact policy as the
+    * ANN codebooks (a merge table is KBs). */
+  def bpeSegment(docs: DataFrame, merges: Seq[(String, String)],
+      textCol: String = "text", wordPattern: String = "^[a-z]+$",
+      endMarker: String = "</w>"): DataFrame = {
+    require(endMarker.nonEmpty && !endMarker.contains(" "),
+      s"endMarker must be a non-empty space-free symbol (got '$endMarker')")
+    val words = docs
+      .select(explode(tokens(col(textCol))).as("word"))
+      .filter(col("word").rlike(wordPattern))
+      .distinct()
+      .withColumn("spaced", concat(lit(" "),
+        regexp_replace(col("word"), "(.)", "$1 "), lit(endMarker + " ")))
+    val segmented = merges.foldLeft(words) { case (df, (l, r)) =>
+      df.withColumn("spaced", mergePairUdf(col("spaced"), lit(l), lit(r)))
+    }
+    segmented.select(col("word"),
+      split(trim(col("spaced")), " ").as("pieces"),
+      size(split(trim(col("spaced")), " ")).cast("long").as("n_pieces"))
+  }
+
   /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken 2003,
     * "Winnowing: Local Algorithms for Document Fingerprinting" — the
     * MOSS algorithm): hash every token `k`-gram, slide a window of `w`

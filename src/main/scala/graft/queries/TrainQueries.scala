@@ -413,6 +413,44 @@ object TrainQueries {
         TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
         TextAnalysis.fingerprint(col("text")).as("fingerprint"))),
 
+    // ExactSubstr, true suffix-array form (r12): exact longest-duplicate
+    // match length per token position via prefix-doubling suffix ranks,
+    // on a doc subset decorated with a repeated boilerplate sentence
+    // (cross-doc AND within-doc repeats); the oracle recomputes it
+    // brute-force from a capped-suffix sort + adjacent char-LCP
+    "text_exact_substr" -> ((s, dir) =>
+      Dedup.exactDupSpans(
+        docs(s, dir).filter(col("doc_id") % 17 === 0)
+          .withColumn("text", when(col("doc_id") % 3 === 0,
+            concat(col("text"), lit(" the quick brown fox jumps over" +
+              " and the quick brown fox jumps over")))
+            .otherwise(col("text"))),
+        minLen = 5, maxLen = 16)),
+
+    // BPE merge-table training (r12): 4 most-frequent-pair merge rounds
+    // over the corpus vocabulary (Sennrich learn_bpe); the oracle replays
+    // every round in SQL — pair counts, argmax with the same tie-break,
+    // and the merge application via iterated leftmost splice (≡ the
+    // engine's greedy left-to-right scan)
+    "text_bpe_train" -> ((s, dir) =>
+      TextAnalysis.bpeTrain(docs(s, dir), numMerges = 4)),
+
+    // BPE encoding (r12): apply the learned merges (vocabulary trick —
+    // once per distinct word) and count per-doc subword pieces; the
+    // oracle's final vocab state after the same 4 replayed rounds IS the
+    // segmentation, joined back to the token stream
+    "text_bpe_encode" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val merges = TextAnalysis.bpeTrain(d, numMerges = 4).orderBy("rank")
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      val seg = TextAnalysis.bpeSegment(d, merges)
+      d.select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("word"))
+        .filter(col("word").rlike("^[a-z]+$"))
+        .join(seg.select(col("word"), col("n_pieces")), Seq("word"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"), sum(col("n_pieces")).as("n_pieces"))
+    }),
+
     // whitespace vs BPE-ish token counts; the fixture text is plain
     // space-separated words, so decorate it deterministically with
     // contractions / digits / punctuation to exercise every pattern branch
@@ -621,6 +659,71 @@ object TrainSql {
            WHEN doc_id % 23 = 2 THEN '   '
            WHEN doc_id % 23 = 3 THEN 'zzz9 qqq7 zzz9 qqq7 xxw4'
            ELSE text END AS text) FROM documents)"""
+
+  /** Unrolled N-round replay of [[graft.operators.TextAnalysis.bpeTrain]]
+    * (r12): per round, pair counts over the spaced vocabulary (overlap
+    * counted, like get_stats), the (cnt desc, l, r) argmax, and the merge
+    * applied by a RECURSIVE leftmost single-splice — equivalent to the
+    * engine's greedy left-to-right scan because a merge never creates a
+    * new match of the same pair at or before its own position. */
+  private def bpeCtes(n: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s"""
+      WITH RECURSIVE w0 AS (
+        SELECT word, count(*) AS freq FROM (
+          SELECT unnest($toks) AS word FROM documents)
+        WHERE regexp_matches(word, '^[a-z]+$$') GROUP BY word),
+      v0 AS (SELECT word, freq,
+        ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') || '</w> ' AS spaced
+        FROM w0)""")
+    for (i <- 1 to n) {
+      val prev = s"v${i - 1}"
+      sb.append(s""",
+      p$i AS (SELECT pr.l AS l, pr.r AS r, SUM(freq) AS cnt FROM (
+          SELECT freq, unnest(list_transform(range(len(syms) - 1),
+            j -> struct_pack(l := syms[j+1], r := syms[j+2]))) AS pr
+          FROM (SELECT freq, string_split(trim(spaced), ' ') AS syms FROM $prev))
+        GROUP BY 1, 2),
+      b$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
+      m$i AS (
+        SELECT word, freq, spaced FROM $prev
+        UNION ALL
+        SELECT word, freq,
+          substr(spaced, 1, strpos(spaced, ' ' || b.l || ' ' || b.r || ' ') - 1)
+            || ' ' || b.l || b.r || ' '
+            || substr(spaced, strpos(spaced, ' ' || b.l || ' ' || b.r || ' ')
+                        + len(' ' || b.l || ' ' || b.r || ' '))
+        FROM m$i, b$i b WHERE strpos(spaced, ' ' || b.l || ' ' || b.r || ' ') > 0),
+      v$i AS (SELECT word, freq, spaced FROM m$i m, b$i b
+        WHERE strpos(m.spaced, ' ' || b.l || ' ' || b.r || ' ') = 0)""")
+    }
+    sb.toString
+  }
+
+  private def bpeTrainSql(n: Int): String = {
+    val sb = new StringBuilder(bpeCtes(n))
+    sb.append("\n      SELECT * FROM (")
+    sb.append((1 to n).map(i =>
+      s"""SELECT $i AS rank, l AS pair_left, r AS pair_right,
+          l || r AS merged, CAST(cnt AS BIGINT) AS cnt FROM b$i""")
+      .mkString("\n      UNION ALL "))
+    sb.append(")")
+    sb.toString
+  }
+
+  /** apply_bpe replay: the final vocab state v_n IS the segmentation the
+    * engine's [[graft.operators.TextAnalysis.bpeSegment]] produces, so
+    * per-doc piece counts are one join from the token stream. */
+  private def bpeEncodeSql(n: Int): String =
+    bpeCtes(n) + s""",
+      seg AS (SELECT word,
+        CAST(len(string_split(trim(spaced), ' ')) AS BIGINT) AS n_pieces
+        FROM v$n),
+      wd AS (SELECT doc_id, unnest($toks) AS word FROM documents)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        CAST(sum(n_pieces) AS BIGINT) AS n_pieces
+      FROM wd JOIN seg USING (word)
+      GROUP BY doc_id"""
 
   /** DISTINCT-shingle → sizes → shared-count scaffold + the Jaccard
     * select, shared by the word and char oracles (the Jaccard math must
@@ -1004,6 +1107,51 @@ object TrainSql {
         CAST(GREATEST(FLOOR((cum - 1) / 2048.0),
                       FLOOR((cum - n_tokens) / 2048.0)) AS BIGINT) AS chunk_end
       FROM c""",
+
+    "text_bpe_train" -> bpeTrainSql(4),
+    "text_bpe_encode" -> bpeEncodeSql(4),
+
+    // brute-force ExactSubstr replay: suffixes capped at maxLen=16
+    // tokens (a trailing space sentinel makes token boundaries
+    // unambiguous), sorted; char-LCP of sort-adjacent suffixes via a
+    // correlated max-prefix probe; token-LCP = spaces inside the common
+    // char prefix; per-position match = max over its adjacent pairs —
+    // order-invariant, so it equals the engine's rank-order adjacency
+    "text_exact_substr" -> s"""
+      WITH t0 AS (SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+                  THEN text || ' the quick brown fox jumps over and the quick brown fox jumps over'
+                  ELSE text END AS text
+           FROM documents WHERE doc_id % 17 = 0),
+      t AS (SELECT doc_id, $toks AS tk FROM t0),
+      p0 AS (SELECT doc_id, unnest(range(len(tk))) AS pos, tk FROM t),
+      p1 AS (SELECT doc_id, CAST(pos AS INT) AS pos,
+               array_to_string(tk[pos+1:least(pos+16, len(tk))], ' ') || ' ' AS suf
+             FROM p0),
+      sa AS (SELECT doc_id, pos, suf,
+               row_number() OVER (ORDER BY suf, doc_id, pos) AS rn FROM p1),
+      adj AS (SELECT a.doc_id AS da, a.pos AS pa, a.suf AS sufa,
+                     b.doc_id AS db, b.pos AS pb, b.suf AS sufb
+              FROM sa a JOIN sa b ON b.rn = a.rn + 1),
+      l AS (SELECT da, pa, db, pb, sufa,
+              -- NULLIF: list_position yields 0 (not NULL) when no char
+              -- mismatches, i.e. the suffixes are fully equal
+              COALESCE(NULLIF(list_position(list_transform(
+                  range(1, least(len(sufa), len(sufb)) + 1),
+                  i -> substr(sufa, CAST(i AS INT), 1) = substr(sufb, CAST(i AS INT), 1)),
+                false), 0) - 1,
+                least(len(sufa), len(sufb))) AS clcp
+            FROM adj),
+      tl AS (SELECT da, pa, db, pb,
+               len(substr(sufa, 1, CAST(clcp AS INT))) -
+               len(replace(substr(sufa, 1, CAST(clcp AS INT)), ' ', '')) AS tlcp
+             FROM l),
+      b2 AS (SELECT da AS doc_id, pa AS pos, tlcp FROM tl
+             UNION ALL SELECT db AS doc_id, pb AS pos, tlcp FROM tl),
+      m AS (SELECT doc_id, pos, LEAST(MAX(tlcp), 16) AS match_len
+            FROM b2 GROUP BY doc_id, pos)
+      SELECT doc_id, pos, CAST(match_len AS BIGINT) AS match_len
+      FROM m WHERE match_len >= 5""",
 
     "text_token_count" -> s"""
       WITH d AS (SELECT doc_id, text,

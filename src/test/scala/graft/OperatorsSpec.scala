@@ -331,6 +331,84 @@ class OperatorsSpec extends AnyFunSuite {
       .count() == mixed.count())
   }
 
+  test("exactDupSpans ≡ brute-force longest-duplicate-match reference (r12)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // tiny alphabet → dense repeats, incl. within-doc and overlapping
+    // matches and runs of one token (the doubling-overcount trap)
+    val docsL = (0L until 12L).map { i =>
+      (i, Seq.fill(5 + rnd.nextInt(40))("abc"(rnd.nextInt(3)).toString).mkString(" "))
+    }
+    val d = docsL.toDF("doc_id", "text")
+    val (minLen, maxLen) = (2, 8)
+    val got = Dedup.exactDupSpans(d, minLen, maxLen).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // literal brute force: token LCP of every position pair, capped
+    val toksL = docsL.map { case (i, t) => i -> t.split(" ").toVector }.toMap
+    val allPos = for ((doc, tk) <- toksL.toSeq; p <- tk.indices) yield (doc, p)
+    def lcp(a: (Long, Int), b: (Long, Int)): Int = {
+      val (ta, tb) = (toksL(a._1), toksL(b._1))
+      var n = 0
+      while (a._2 + n < ta.length && b._2 + n < tb.length &&
+        ta(a._2 + n) == tb(b._2 + n)) n += 1
+      n
+    }
+    val expected = allPos.map { p =>
+      p -> allPos.filter(_ != p).map(q => lcp(p, q)).max.min(maxLen)
+    }.filter(_._2 >= minLen)
+      .map { case (p, l) => p -> l.toLong }.toMap
+    assert(expected.nonEmpty)
+    assert(got == expected)
+  }
+
+  test("bpeTrain ≡ a literal Sennrich learn_bpe reference (r12)") {
+    import spark.implicits._
+    import java.util.regex.{Matcher, Pattern}
+    val rnd = new scala.util.Random(7)
+    // tiny alphabet → dense pair collisions, runs of identical chars (the
+    // plain-replace trap: 'aaaa' must merge (a,a) TWICE per round), ties
+    val words = Seq.fill(300)(
+      Seq.fill(1 + rnd.nextInt(6))("ab"(rnd.nextInt(2)).toString).mkString)
+    val d = words.grouped(10).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text")
+    val n = 6
+    val got = TextAnalysis.bpeTrain(d, n).orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    // literal learn_bpe: get_stats + re.sub with token-boundary
+    // lookarounds over the space-joined vocabulary
+    var vocab: Map[String, Long] = words.groupBy(identity).map { case (w, ws) =>
+      (w.map(_.toString) :+ "</w>").mkString(" ") -> ws.size.toLong
+    }
+    val expected = scala.collection.mutable.ListBuffer[(Int, String, String, String, Long)]()
+    for (r <- 1 to n) {
+      val stats = scala.collection.mutable.Map[(String, String), Long]().withDefaultValue(0L)
+      for ((s, f) <- vocab; pair <- s.split(" ").sliding(2) if pair.length == 2)
+        stats((pair(0), pair(1))) += f
+      if (stats.nonEmpty) {
+        val ((l, rr), cnt) = stats.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+        expected += ((r, l, rr, l + rr, cnt))
+        val pat = Pattern.compile(
+          "(?<!\\S)" + Pattern.quote(l + " " + rr) + "(?!\\S)")
+        vocab = vocab.toSeq.map { case (s, f) =>
+          pat.matcher(s).replaceAll(Matcher.quoteReplacement(l + rr)) -> f
+        }.groupBy(_._1).map { case (s, sf) => s -> sf.map(_._2).sum }
+      }
+    }
+    assert(got == expected.toList)
+    assert(got.length == n)
+    // apply_bpe: bpeSegment's pieces must equal the reference's final
+    // vocabulary state for every distinct word
+    val segGot = TextAnalysis.bpeSegment(d, got.map(m => (m._2, m._3)))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    val segExp = vocab.keys.map { s =>
+      val pieces = s.split(" ").toList
+      (pieces.mkString.dropRight("</w>".length), pieces)
+    }.toMap
+    assert(segGot == segExp)
+  }
+
   test("hostCap exempts empty/null host keys into singleton groups (r12)") {
     import spark.implicits._
     val d = Seq(
