@@ -824,12 +824,17 @@ object Dedup {
     *
     *   1. prefix doubling (Manber–Myers): log₂(maxLen) rounds; per round
     *      one self-join pairs each position's rank with the rank 2^k
-    *      ahead (sentinel −1 past the doc end), then a global two-pass
-    *      row_number ([[Sampling.distributedCumSum]] with NO key — the
-    *      r12 slice machinery, so the global sort is never one task) and
-    *      a groupBy(pair)+join so equal pairs share the block-min rank
-    *      (order-preserving by induction, so rank_K order IS the order
-    *      of the first maxLen tokens);
+    *      ahead (sentinel −1 past the doc end), then a re-rank so equal
+    *      pairs share an order-preserving rank (order-preserving by
+    *      induction, so rank_K order IS the order of the first maxLen
+    *      tokens). The re-rank is SIZE-ROUTED like the repo's other
+    *      small/large splits (OperatorsSpec pins both paths identical):
+    *      at or under `smallCorpusRows` positions it is one global
+    *      dense_rank window (a single modest sort task, ~10× fewer
+    *      jobs); above, a global two-pass row_number
+    *      ([[Sampling.distributedCumSum]] with NO key — the r12 slice
+    *      machinery, so the global sort is never one task) plus a
+    *      groupBy(pair)+join to the block-min rank;
     *   2. suffix-array adjacency: neighbors at sa_rn ± 1 — the classic
     *      fact that each position's maximum LCP over ALL other suffixes
     *      is attained at a sort-adjacent one;
@@ -846,7 +851,8 @@ object Dedup {
     * from a capped-suffix sort; per-position results are order-invariant
     * across tie orders, so both engines agree bit-for-bit. */
   def exactDupSpans(docs: DataFrame, minLen: Int, maxLen: Int = 128,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      smallCorpusRows: Int = 10000000): DataFrame = {
     require(minLen >= 1, s"minLen must be >= 1 (got $minLen)")
     require(maxLen >= 2 && (maxLen & (maxLen - 1)) == 0,
       s"maxLen must be a power of two >= 2 (got $maxLen)")
@@ -854,18 +860,36 @@ object Dedup {
       graft.operators.TextAnalysis.tokens(col(textCol)).as("_tk"))
     val base = toks.filter(size(col("_tk")) >= 1)
       .select(col("doc_id"), posexplode(col("_tk"))).toDF("doc_id", "pos", "tok")
-    // equal sort keys share the block-min global row number (any
-    // injective order-preserving id works; min is tie-order-invariant)
-    def rerank(df: DataFrame, byCols: Seq[String], out: String): DataFrame = {
-      val rn = Sampling.distributedCumSum(df, Seq.empty,
-        byCols.map(col), lit(1L), "_rn")
-      rn.join(rn.groupBy(byCols.map(col): _*).agg(min(col("_rn")).as(out)),
-        byCols).drop("_rn")
-    }
+    // size route (the repo's usual split, differential-spec'd): below the
+    // bound a GLOBAL window is one modest-sized sort task and ~10× fewer
+    // jobs; above it every rank pass rides the two-pass slice machinery
+    // so no stage ever sorts the corpus in one task
+    val small = base.limit(smallCorpusRows + 1).count() <= smallCorpusRows
+    // equal sort keys share an order-preserving rank (dense_rank small /
+    // block-min global row number large — min is tie-order-invariant)
+    def rerank(df: DataFrame, byCols: Seq[String], out: String): DataFrame =
+      if (small)
+        df.withColumn(out, dense_rank().over(org.apache.spark.sql.expressions
+          .Window.orderBy(byCols.map(col): _*)).cast("long"))
+      else {
+        val rn = Sampling.distributedCumSum(df, Seq.empty,
+          byCols.map(col), lit(1L), "_rn")
+        rn.join(rn.groupBy(byCols.map(col): _*).agg(min(col("_rn")).as(out)),
+          byCols).drop("_rn")
+      }
+    def rowNumber(df: DataFrame, byCols: Seq[Column], out: String): DataFrame =
+      if (small)
+        df.withColumn(out, row_number().over(org.apache.spark.sql.expressions
+          .Window.orderBy(byCols: _*)).cast("long"))
+      else Sampling.distributedCumSum(df, Seq.empty, byCols, lit(1L), out)
     val K = java.lang.Integer.numberOfTrailingZeros(maxLen) // 2^K = maxLen
     val rounds = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    // each round is CHECKPOINTED, not lazily persisted: a round's plan
+    // references the previous round twice (self-join with the shifted
+    // copy), so lazy lineage doubles per round — 2^K leaves of analysis
+    // work by round K; a leaf per round keeps plans linear
     var cur = rerank(base, Seq("tok"), "r")
-      .select(col("doc_id"), col("pos"), col("r")).persist()
+      .select(col("doc_id"), col("pos"), col("r")).localCheckpoint(true)
     rounds += cur
     for (k <- 1 to K) {
       val d = 1 << (k - 1)
@@ -874,13 +898,14 @@ object Dedup {
       val paired = cur.join(shifted, Seq("doc_id", "pos"), "left")
         .withColumn("_r2", coalesce(col("_r2"), lit(-1L)))
       cur = rerank(paired, Seq("r", "_r2"), "_rk")
-        .select(col("doc_id"), col("pos"), col("_rk").as("r")).persist()
+        .select(col("doc_id"), col("pos"), col("_rk").as("r"))
+        .localCheckpoint(true)
       rounds += cur
     }
     // SA adjacency on the final ranks (ties broken by (doc, pos) — the
     // per-position max below is invariant to the tie order)
-    val sa = Sampling.distributedCumSum(rounds.last, Seq.empty,
-      Seq(col("r"), col("doc_id"), col("pos")), lit(1L), "_sa")
+    val sa = rowNumber(rounds.last,
+      Seq(col("r"), col("doc_id"), col("pos")), "_sa")
     var pairs = sa.select(col("_sa"), col("doc_id").as("da"), col("pos").as("pa"))
       .join(sa.select((col("_sa") - 1).as("_sa"), col("doc_id").as("db"),
         col("pos").as("pb")), Seq("_sa"))

@@ -71,6 +71,16 @@ object TrainQueries {
     // blocks for the session lifetime (r10 ADVICE)
     lshPairsCache.getOrBuild((s, dir))(Dedup.minhashLshPairs(docs(s, dir), 0.5))
 
+  /** BPE merge-table artifact (r12) — trained once per (session, dir)
+    * like the ANN index artifacts: a tokenizer is trained once and then
+    * applied everywhere, so the train gate and the encode gate read the
+    * same learned table. */
+  private val bpeCache =
+    new graft.sources.SessionCache[(SparkSession, String), DataFrame]
+  private def bpeMerges(s: SparkSession, dir: String): DataFrame =
+    bpeCache.getOrBuild((s, dir))(
+      TextAnalysis.bpeTrain(docs(s, dir), numMerges = 4).localCheckpoint(true))
+
   /** Same policy for the other pair-set artifacts (exact n-gram Jaccard,
     * SimHash, embedding LSH): a dedup pipeline materializes its pair
     * relation once and consumes it repeatedly; re-deriving the shingle
@@ -432,8 +442,7 @@ object TrainQueries {
     // every round in SQL — pair counts, argmax with the same tie-break,
     // and the merge application via iterated leftmost splice (≡ the
     // engine's greedy left-to-right scan)
-    "text_bpe_train" -> ((s, dir) =>
-      TextAnalysis.bpeTrain(docs(s, dir), numMerges = 4)),
+    "text_bpe_train" -> ((s, dir) => bpeMerges(s, dir)),
 
     // BPE encoding (r12): apply the learned merges (vocabulary trick —
     // once per distinct word) and count per-doc subword pieces; the
@@ -441,7 +450,7 @@ object TrainQueries {
     // segmentation, joined back to the token stream
     "text_bpe_encode" -> ((s, dir) => {
       val d = docs(s, dir)
-      val merges = TextAnalysis.bpeTrain(d, numMerges = 4).orderBy("rank")
+      val merges = bpeMerges(s, dir).orderBy("rank")
         .collect().map(r => (r.getString(1), r.getString(2))).toSeq
       val seg = TextAnalysis.bpeSegment(d, merges)
       d.select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("word"))

@@ -359,6 +359,12 @@ class OperatorsSpec extends AnyFunSuite {
       .map { case (p, l) => p -> l.toLong }.toMap
     assert(expected.nonEmpty)
     assert(got == expected)
+    // size-route differential: force the distributed rank path
+    // (smallCorpusRows = 0) — must match the window path bit-for-bit
+    val gotDist = Dedup.exactDupSpans(d, minLen, maxLen,
+        smallCorpusRows = 0).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(gotDist == expected)
   }
 
   test("bpeTrain ≡ a literal Sennrich learn_bpe reference (r12)") {
