@@ -942,6 +942,58 @@ object Dedup {
     materializeAndRelease(out, rounds.toSeq: _*)
   }
 
+  /** ExactSubstr dedup as the TEXT TRANSFORMATION (Lee et al. 2022
+    * §4.1's actual edit): remove every token covered by a duplicated
+    * span of ≥ minLen tokens ([[exactDupSpans]]' positions, interval-
+    * unioned per doc). Like the released deduplicate-text-datasets tool,
+    * ALL occurrences of a duplicated range are cut — the duplication
+    * itself is the signal; a keep-one-canonical variant composes this
+    * with a canonical pick the way [[clusterAssign]] does for whole-doc
+    * dedup. Output rows: (doc_id, n_tokens, n_removed, text_dedup) —
+    * text_dedup is the surviving NORMALIZED token stream (the suffix
+    * array is built over [[TextAnalysis.tokens]], i.e. lowercased
+    * whitespace tokens, so the rebuilt text is in that normal form).
+    *
+    * Scale: everything corpus-sized rides [[exactDupSpans]]' machinery;
+    * the additions here are one doc-partitioned interval-union window
+    * (per-DOC state, high-cardinality key), a covered-position explode
+    * bounded by corpus token count, one anti-join, and a per-doc
+    * ordered rebuild (sort_array over the doc's own kept tokens). */
+  def cutDupSpans(docs: DataFrame, minLen: Int, maxLen: Int = 128,
+      idCol: String = "doc_id", textCol: String = "text",
+      smallCorpusRows: Int = 10000000): DataFrame = {
+    val spans = exactDupSpans(docs, minLen, maxLen, idCol, textCol,
+      smallCorpusRows)
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val merged = spans
+      .withColumn("_end", col("pos") + col("match_len"))
+      .withColumn("_prevEnd",
+        max(col("_end")).over(w.rowsBetween(W.unboundedPreceding, -1)))
+      .withColumn("_newGrp",
+        (col("_prevEnd").isNull || col("pos") > col("_prevEnd")).cast("int"))
+      .withColumn("_grp", sum(col("_newGrp")).over(w))
+      .groupBy(col("doc_id"), col("_grp"))
+      .agg(min(col("pos")).as("_start"), max(col("_end")).as("_e"))
+    val covered = merged.select(col("doc_id"),
+      explode(sequence(col("_start"), col("_e") - 1)).as("pos"))
+    val toks = docs.select(col(idCol).as("doc_id"),
+      graft.operators.TextAnalysis.tokens(col(textCol)).as("_tk"))
+    val toksPos = toks.select(col("doc_id"), posexplode(col("_tk")))
+      .toDF("doc_id", "pos", "tok")
+    val rebuilt = toksPos.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("_n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok"))).as("_text"))
+    toks.select(col("doc_id"), size(col("_tk")).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("_n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("_text"), lit("")).as("text_dedup"))
+  }
+
   def dupSpanStats(docs: DataFrame, g: Int = 8,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),

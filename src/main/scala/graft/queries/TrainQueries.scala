@@ -117,6 +117,16 @@ object TrainQueries {
         .when(col("doc_id") % 23 === 3, lit("zzz9 qqq7 zzz9 qqq7 xxw4"))
         .otherwise(col("text")))
 
+  /** ExactSubstr gate input (r12): a doc subset decorated with a
+    * repeated boilerplate sentence — cross-doc (every decorated doc
+    * shares it) AND within-doc (it appears twice per doc) repeats. */
+  private def exactSubstrDocs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).filter(col("doc_id") % 17 === 0)
+      .withColumn("text", when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit(" the quick brown fox jumps over" +
+          " and the quick brown fox jumps over")))
+        .otherwise(col("text")))
+
   /** Deterministic URL decoration (r11): the fixture has no url column,
     * so derive one from doc_id exercising every canonicalization rule —
     * host/scheme case, default and non-default ports, tracking params in
@@ -429,13 +439,13 @@ object TrainQueries {
     // (cross-doc AND within-doc repeats); the oracle recomputes it
     // brute-force from a capped-suffix sort + adjacent char-LCP
     "text_exact_substr" -> ((s, dir) =>
-      Dedup.exactDupSpans(
-        docs(s, dir).filter(col("doc_id") % 17 === 0)
-          .withColumn("text", when(col("doc_id") % 3 === 0,
-            concat(col("text"), lit(" the quick brown fox jumps over" +
-              " and the quick brown fox jumps over")))
-            .otherwise(col("text"))),
-        minLen = 5, maxLen = 16)),
+      Dedup.exactDupSpans(exactSubstrDocs(s, dir), minLen = 5, maxLen = 16)),
+
+    // the cut step (r12): remove every token covered by a ≥5-token
+    // duplicated span — ExactSubstr as the actual text edit, same
+    // subset/decoration/oracle scaffold as text_exact_substr
+    "text_cut_dup_spans" -> ((s, dir) =>
+      Dedup.cutDupSpans(exactSubstrDocs(s, dir), minLen = 5, maxLen = 16)),
 
     // BPE merge-table training (r12): 4 most-frequent-pair merge rounds
     // over the corpus vocabulary (Sennrich learn_bpe); the oracle replays
@@ -733,6 +743,44 @@ object TrainSql {
         CAST(sum(n_pieces) AS BIGINT) AS n_pieces
       FROM wd JOIN seg USING (word)
       GROUP BY doc_id"""
+
+  /** Shared ExactSubstr replay scaffold (r12): the decorated subset, its
+    * token/suffix tables, the capped-suffix sort, adjacent char-LCP
+    * (NULLIF: list_position yields 0 — not NULL — when no char
+    * mismatches, i.e. the suffixes are fully equal), and the
+    * per-position match table `m`. `text_exact_substr` selects from it;
+    * `text_cut_dup_spans` continues with the covered-token cut. */
+  private val exactSubstrCtes = s"""
+      WITH t0 AS (SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+                  THEN text || ' the quick brown fox jumps over and the quick brown fox jumps over'
+                  ELSE text END AS text
+           FROM documents WHERE doc_id % 17 = 0),
+      t AS (SELECT doc_id, $toks AS tk FROM t0),
+      p0 AS (SELECT doc_id, unnest(range(len(tk))) AS pos, tk FROM t),
+      p1 AS (SELECT doc_id, CAST(pos AS INT) AS pos,
+               array_to_string(tk[pos+1:least(pos+16, len(tk))], ' ') || ' ' AS suf
+             FROM p0),
+      sa AS (SELECT doc_id, pos, suf,
+               row_number() OVER (ORDER BY suf, doc_id, pos) AS rn FROM p1),
+      adj AS (SELECT a.doc_id AS da, a.pos AS pa, a.suf AS sufa,
+                     b.doc_id AS db, b.pos AS pb, b.suf AS sufb
+              FROM sa a JOIN sa b ON b.rn = a.rn + 1),
+      l AS (SELECT da, pa, db, pb, sufa,
+              COALESCE(NULLIF(list_position(list_transform(
+                  range(1, least(len(sufa), len(sufb)) + 1),
+                  i -> substr(sufa, CAST(i AS INT), 1) = substr(sufb, CAST(i AS INT), 1)),
+                false), 0) - 1,
+                least(len(sufa), len(sufb))) AS clcp
+            FROM adj),
+      tl AS (SELECT da, pa, db, pb,
+               len(substr(sufa, 1, CAST(clcp AS INT))) -
+               len(replace(substr(sufa, 1, CAST(clcp AS INT)), ' ', '')) AS tlcp
+             FROM l),
+      b2 AS (SELECT da AS doc_id, pa AS pos, tlcp FROM tl
+             UNION ALL SELECT db AS doc_id, pb AS pos, tlcp FROM tl),
+      m AS (SELECT doc_id, pos, LEAST(MAX(tlcp), 16) AS match_len
+            FROM b2 GROUP BY doc_id, pos)"""
 
   /** DISTINCT-shingle → sizes → shared-count scaffold + the Jaccard
     * select, shared by the word and char oracles (the Jaccard math must
@@ -1122,45 +1170,36 @@ object TrainSql {
 
     // brute-force ExactSubstr replay: suffixes capped at maxLen=16
     // tokens (a trailing space sentinel makes token boundaries
-    // unambiguous), sorted; char-LCP of sort-adjacent suffixes via a
-    // correlated max-prefix probe; token-LCP = spaces inside the common
-    // char prefix; per-position match = max over its adjacent pairs —
-    // order-invariant, so it equals the engine's rank-order adjacency
-    "text_exact_substr" -> s"""
-      WITH t0 AS (SELECT doc_id,
-             CASE WHEN doc_id % 3 = 0
-                  THEN text || ' the quick brown fox jumps over and the quick brown fox jumps over'
-                  ELSE text END AS text
-           FROM documents WHERE doc_id % 17 = 0),
-      t AS (SELECT doc_id, $toks AS tk FROM t0),
-      p0 AS (SELECT doc_id, unnest(range(len(tk))) AS pos, tk FROM t),
-      p1 AS (SELECT doc_id, CAST(pos AS INT) AS pos,
-               array_to_string(tk[pos+1:least(pos+16, len(tk))], ' ') || ' ' AS suf
-             FROM p0),
-      sa AS (SELECT doc_id, pos, suf,
-               row_number() OVER (ORDER BY suf, doc_id, pos) AS rn FROM p1),
-      adj AS (SELECT a.doc_id AS da, a.pos AS pa, a.suf AS sufa,
-                     b.doc_id AS db, b.pos AS pb, b.suf AS sufb
-              FROM sa a JOIN sa b ON b.rn = a.rn + 1),
-      l AS (SELECT da, pa, db, pb, sufa,
-              -- NULLIF: list_position yields 0 (not NULL) when no char
-              -- mismatches, i.e. the suffixes are fully equal
-              COALESCE(NULLIF(list_position(list_transform(
-                  range(1, least(len(sufa), len(sufb)) + 1),
-                  i -> substr(sufa, CAST(i AS INT), 1) = substr(sufb, CAST(i AS INT), 1)),
-                false), 0) - 1,
-                least(len(sufa), len(sufb))) AS clcp
-            FROM adj),
-      tl AS (SELECT da, pa, db, pb,
-               len(substr(sufa, 1, CAST(clcp AS INT))) -
-               len(replace(substr(sufa, 1, CAST(clcp AS INT)), ' ', '')) AS tlcp
-             FROM l),
-      b2 AS (SELECT da AS doc_id, pa AS pos, tlcp FROM tl
-             UNION ALL SELECT db AS doc_id, pb AS pos, tlcp FROM tl),
-      m AS (SELECT doc_id, pos, LEAST(MAX(tlcp), 16) AS match_len
-            FROM b2 GROUP BY doc_id, pos)
+    // unambiguous), sorted; char-LCP of sort-adjacent suffixes; token-
+    // LCP = spaces inside the common char prefix; per-position match =
+    // max over its adjacent pairs — order-invariant, so it equals the
+    // engine's rank-order adjacency
+    "text_exact_substr" -> s"""$exactSubstrCtes
       SELECT doc_id, pos, CAST(match_len AS BIGINT) AS match_len
       FROM m WHERE match_len >= 5""",
+
+    // the cut step on the same match table: covered positions from the
+    // span ranges (DISTINCT merges overlaps), anti-joined from the token
+    // stream, per-doc ordered rebuild
+    "text_cut_dup_spans" -> s"""$exactSubstrCtes,
+      spans AS (SELECT doc_id, pos, pos + match_len AS e
+                FROM m WHERE match_len >= 5),
+      cov AS (SELECT DISTINCT doc_id, cpos FROM (
+                SELECT doc_id, unnest(range(pos, e)) AS cpos FROM spans)),
+      tokp AS (SELECT doc_id, CAST(pos AS INT) AS pos,
+                 tk[CAST(pos AS INT) + 1] AS tok
+               FROM p0),
+      kept AS (SELECT t.doc_id, t.pos, t.tok FROM tokp t
+               LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.cpos
+               WHERE c.cpos IS NULL),
+      reb AS (SELECT doc_id, count(*) AS n_kept,
+                string_agg(tok, ' ' ORDER BY pos) AS text_dedup
+              FROM kept GROUP BY doc_id),
+      dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens FROM t)
+      SELECT doc_id, n_tokens,
+        CAST(n_tokens - COALESCE(n_kept, 0) AS BIGINT) AS n_removed,
+        COALESCE(text_dedup, '') AS text_dedup
+      FROM dl LEFT JOIN reb USING (doc_id)""",
 
     "text_token_count" -> s"""
       WITH d AS (SELECT doc_id, text,

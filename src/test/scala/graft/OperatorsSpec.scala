@@ -365,6 +365,24 @@ class OperatorsSpec extends AnyFunSuite {
         smallCorpusRows = 0).collect()
       .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
     assert(gotDist == expected)
+    // the cut transformation vs a brute rebuild (covered tokens removed,
+    // all occurrences — the Lee et al. tool contract)
+    val matchAll = allPos.map { p =>
+      p -> allPos.filter(_ != p).map(q => lcp(p, q)).max.min(maxLen)
+    }.toMap
+    val expCut = toksL.map { case (doc, tk) =>
+      val cov = Array.fill(tk.length)(false)
+      for (p <- tk.indices; l = matchAll((doc, p)); if l >= minLen;
+           i <- p until (p + l)) cov(i) = true
+      val keptToks = tk.indices.filterNot(cov).map(tk)
+      doc -> ((tk.length.toLong, (tk.length - keptToks.length).toLong,
+        keptToks.mkString(" ")))
+    }
+    val gotCut = Dedup.cutDupSpans(d, minLen, maxLen).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(gotCut == expCut)
+    assert(gotCut.values.exists(_._2 > 0)) // something was actually cut
   }
 
   test("bpeTrain ≡ a literal Sennrich learn_bpe reference (r12)") {
