@@ -911,6 +911,23 @@ object Dedup {
         col("pos").as("pb")), Seq("_sa"))
       .select(col("da"), col("pa"), col("db"), col("pb"))
       .withColumn("len", lit(0L))
+    // minLen pre-filter: LCP ≥ minLen forces rank_{⌊log₂ minLen⌋}
+    // equality at offset 0, and a pair that disagrees there has
+    // LCP < 2^⌊log₂ minLen⌋ ≤ minLen — it can never survive the final
+    // filter, so it drops BEFORE the descent. The cascade's join cost
+    // becomes proportional to the duplicated minority, not the corpus.
+    val j0 = math.min(
+      63 - java.lang.Long.numberOfLeadingZeros(minLen.toLong), K.toLong).toInt
+    val rj = rounds(j0)
+    pairs = pairs
+      .join(rj.select(col("doc_id").as("_dA"), col("pos").as("_pA"),
+        col("r").as("_ra")),
+        col("da") === col("_dA") && col("pa") === col("_pA"))
+      .join(rj.select(col("doc_id").as("_dB"), col("pos").as("_pB"),
+        col("r").as("_rb")),
+        col("db") === col("_dB") && col("pb") === col("_pB"))
+      .filter(col("_ra") === col("_rb"))
+      .drop("_dA", "_pA", "_ra", "_dB", "_pB", "_rb")
     for (k <- K to 0 by -1) {
       val rk = rounds(k)
       pairs = pairs
@@ -979,7 +996,12 @@ object Dedup {
       explode(sequence(col("_start"), col("_e") - 1)).as("pos"))
     val toks = docs.select(col(idCol).as("doc_id"),
       graft.operators.TextAnalysis.tokens(col(textCol)).as("_tk"))
-    val toksPos = toks.select(col("doc_id"), posexplode(col("_tk")))
+    // only TOUCHED docs pay the explode + anti-join + ordered rebuild;
+    // the (typically dominant) untouched majority passes through as a
+    // cheap map — array_join of its own token array
+    val touched = covered.select(col("doc_id")).distinct()
+    val toksPos = toks.join(touched, Seq("doc_id"))
+      .select(col("doc_id"), posexplode(col("_tk")))
       .toDF("doc_id", "pos", "tok")
     val rebuilt = toksPos.join(covered, Seq("doc_id", "pos"), "left_anti")
       .groupBy(col("doc_id"))
@@ -987,11 +1009,17 @@ object Dedup {
         concat_ws(" ", transform(
           array_sort(collect_list(struct(col("pos"), col("tok")))),
           x => x.getField("tok"))).as("_text"))
-    toks.select(col("doc_id"), size(col("_tk")).cast("long").as("n_tokens"))
+    val touchedOut = toks.join(touched, Seq("doc_id"))
+      .select(col("doc_id"), size(col("_tk")).cast("long").as("n_tokens"))
       .join(rebuilt, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
         (col("n_tokens") - coalesce(col("_n_kept"), lit(0L))).as("n_removed"),
         coalesce(col("_text"), lit("")).as("text_dedup"))
+    val untouchedOut = toks.join(touched, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), size(col("_tk")).cast("long").as("n_tokens"),
+        lit(0L).as("n_removed"),
+        concat_ws(" ", col("_tk")).as("text_dedup"))
+    touchedOut.unionByName(untouchedOut)
   }
 
   def dupSpanStats(docs: DataFrame, g: Int = 8,

@@ -13,8 +13,10 @@ import graft.operators.{Dedup, Sampling, Similarity, TextAnalysis}
   *
   * Chain (the C4/CCNet/RefinedWeb order): URL canonicalization +
   * host-frequency cap → line-level dedup → quality/C4 filters → exact
-  * dedup → MinHash-LSH near-dup clustering (keep canonical) → mixture
-  * weights → per-source token-budget cut; then the SEMANTIC leg (r12)
+  * dedup → ExactSubstr span cut (suffix-array pass, r12 — before
+  * MinHash so universal boilerplate can't skew near-dup similarity) →
+  * MinHash-LSH near-dup clustering (keep canonical) → mixture weights →
+  * per-source token-budget cut; then the SEMANTIC leg (r12)
   * at the same 10× volume: embedding inflation → SemDeDup
   * (keep-the-outlier) → IVF-PQ decontamination-style probe of an eval
   * set against the deduped corpus. Also prints the r12 one-source A/B:
@@ -54,7 +56,15 @@ object ProfilePipeline {
         col("doc_id").cast("string"), lit("?utm_source=crawl&id="),
         col("doc_id").cast("string")))
       .withColumn("text", concat(lit("Subscribe to our newsletter\n"),
-        col("text"), lit("\n(c) 2024 Example Corp")))
+        col("text"),
+        // in-LINE boilerplate: the line is unique per doc (id prefix), so
+        // line-level dedup cannot remove it — only the ExactSubstr pass
+        // catches the repeated 20-token span inside it
+        lit("\nRead doc "), col("doc_id").cast("string"),
+        lit(" disclaimer: this content is provided as is without warranty" +
+          " of any kind either express or implied including fitness for" +
+          " a particular purpose"),
+        lit("\n(c) 2024 Example Corp")))
     val path = java.nio.file.Files.createTempDirectory("graft_pipe").toString + "/docs.parquet"
     inflated.coalesce(8).write.parquet(path)
     val corpus = spark.read.parquet(path)
@@ -98,11 +108,28 @@ object ProfilePipeline {
       filtered.join(Dedup.exact(filtered)
           .select(col("keep_id").as("doc_id")), Seq("doc_id"))
     }
+    // 4b. ExactSubstr cut (r12): remove tokens covered by ≥16-token
+    //     duplicated spans — the suffix-array pass over the full 10×
+    //     token stream (~2M positions through 5 doubling rounds). Runs
+    //     BEFORE MinHash on purpose: the decoration's in-line
+    //     boilerplate (unique line prefix, so line dedup cannot touch
+    //     it) dominates every doc's shingle set and blows the LSH
+    //     candidate generation up quadratically (measured 145 s vs
+    //     ~15 s at this volume) — cutting universal spans first is what
+    //     keeps near-dup similarity about content, not boilerplate.
+    val spanCut = stage("ExactSubstr cut (>=16-token spans)") {
+      val cut = Dedup.cutDupSpans(exactDeduped, minLen = 16, maxLen = 16)
+      exactDeduped.drop("text")
+        .join(cut.select(col("doc_id"), col("text_dedup").as("text"),
+          col("n_removed")), Seq("doc_id"))
+    }
+    println(s"    (docs with spans cut: ${spanCut.filter(col("n_removed") > 0).count()})")
+    val afterCut = spanCut.drop("n_removed")
     // 5. near-dup clustering, keep canonical per cluster
     val nearDeduped = stage("minhash-LSH near-dup + canonical") {
-      val pairs = Dedup.minhashLshPairs(exactDeduped, 0.5)
-      exactDeduped.join(
-        Dedup.clusterAssign(exactDeduped, pairs)
+      val pairs = Dedup.minhashLshPairs(afterCut, 0.5)
+      afterCut.join(
+        Dedup.clusterAssign(afterCut, pairs)
           .filter(col("is_canonical")).select(col("doc_id")), Seq("doc_id"))
     }
     // 6. mixture weights + token-budget cut per source
