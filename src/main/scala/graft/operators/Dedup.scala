@@ -850,14 +850,16 @@ object Dedup {
     * exact below the cap. The DuckDB oracle recomputes it brute-force
     * from a capped-suffix sort; per-position results are order-invariant
     * across tie orders, so both engines agree bit-for-bit. */
-  def exactDupSpans(docs: DataFrame, minLen: Int, maxLen: Int = 128,
-      idCol: String = "doc_id", textCol: String = "text",
-      smallCorpusRows: Int = 10000000): DataFrame = {
-    require(minLen >= 1, s"minLen must be >= 1 (got $minLen)")
-    require(maxLen >= 2 && (maxLen & (maxLen - 1)) == 0,
-      s"maxLen must be a power of two >= 2 (got $maxLen)")
-    val toks = docs.select(col(idCol).as("doc_id"),
-      graft.operators.TextAnalysis.tokens(col(textCol)).as("_tk"))
+  /** Shared suffix-rank machinery for the ExactSubstr family:
+    * prefix-doubling rank rounds, the suffix-array row number, and doc
+    * token lengths. `release()` drops the checkpointed round frames. */
+  private case class SuffixIndex(rounds: Seq[DataFrame], sa: DataFrame,
+      doclens: DataFrame, k: Int) {
+    def release(): Unit = rounds.foreach(_.unpersist(false))
+  }
+
+  private def buildSuffixIndex(toks: DataFrame, maxLen: Int,
+      smallCorpusRows: Int): SuffixIndex = {
     val base = toks.filter(size(col("_tk")) >= 1)
       .select(col("doc_id"), posexplode(col("_tk"))).toDF("doc_id", "pos", "tok")
     // size route (the repo's usual split, differential-spec'd): below the
@@ -902,24 +904,33 @@ object Dedup {
         .localCheckpoint(true)
       rounds += cur
     }
-    // SA adjacency on the final ranks (ties broken by (doc, pos) — the
-    // per-position max below is invariant to the tie order)
-    val sa = rowNumber(rounds.last,
+    // SA order on the final ranks (ties broken by (doc, pos) — the
+    // per-position maxima downstream are invariant to the tie order).
+    // The large path's cumsum is already a checkpoint leaf; the small
+    // path's window is checkpointed here so multi-consumer callers
+    // don't re-sort per use.
+    val sa0 = rowNumber(rounds.last,
       Seq(col("r"), col("doc_id"), col("pos")), "_sa")
-    var pairs = sa.select(col("_sa"), col("doc_id").as("da"), col("pos").as("pa"))
-      .join(sa.select((col("_sa") - 1).as("_sa"), col("doc_id").as("db"),
-        col("pos").as("pb")), Seq("_sa"))
-      .select(col("da"), col("pa"), col("db"), col("pb"))
-      .withColumn("len", lit(0L))
-    // minLen pre-filter: LCP ≥ minLen forces rank_{⌊log₂ minLen⌋}
-    // equality at offset 0, and a pair that disagrees there has
-    // LCP < 2^⌊log₂ minLen⌋ ≤ minLen — it can never survive the final
-    // filter, so it drops BEFORE the descent. The cascade's join cost
-    // becomes proportional to the duplicated minority, not the corpus.
+    val sa = if (small) sa0.localCheckpoint(true) else sa0
+    val doclens = toks.select(col("doc_id"),
+      size(col("_tk")).cast("long").as("_dl"))
+    SuffixIndex(rounds.toSeq, sa, doclens, K)
+  }
+
+  /** Rank-descent LCP for candidate pairs (da, pa, db, pb), clamped by
+    * remaining doc lengths and `maxLen` → + `match_len`. Applies the
+    * minLen PRE-FILTER first: LCP ≥ minLen forces rank_{⌊log₂ minLen⌋}
+    * equality at offset 0, and a pair that disagrees there has
+    * LCP < 2^⌊log₂ minLen⌋ ≤ minLen — it can never survive the caller's
+    * final filter, so it drops BEFORE the descent and the cascade's
+    * join cost tracks the duplicated minority, not the corpus. */
+  private def lcpDescent(pairs0: DataFrame, idx: SuffixIndex,
+      minLen: Int, maxLen: Int): DataFrame = {
     val j0 = math.min(
-      63 - java.lang.Long.numberOfLeadingZeros(minLen.toLong), K.toLong).toInt
-    val rj = rounds(j0)
-    pairs = pairs
+      63 - java.lang.Long.numberOfLeadingZeros(minLen.toLong),
+      idx.k.toLong).toInt
+    val rj = idx.rounds(j0)
+    var pairs = pairs0.withColumn("len", lit(0L))
       .join(rj.select(col("doc_id").as("_dA"), col("pos").as("_pA"),
         col("r").as("_ra")),
         col("da") === col("_dA") && col("pa") === col("_pA"))
@@ -928,8 +939,8 @@ object Dedup {
         col("db") === col("_dB") && col("pb") === col("_pB"))
       .filter(col("_ra") === col("_rb"))
       .drop("_dA", "_pA", "_ra", "_dB", "_pB", "_rb")
-    for (k <- K to 0 by -1) {
-      val rk = rounds(k)
+    for (k <- idx.k to 0 by -1) {
+      val rk = idx.rounds(k)
       pairs = pairs
         .join(rk.select(col("doc_id").as("_dA"), col("pos").as("_pA"),
           col("r").as("_ra")),
@@ -943,12 +954,32 @@ object Dedup {
           col("_ra") === col("_rb"), col("len") + (1L << k)).otherwise(col("len")))
         .drop("_dA", "_pA", "_ra", "_dB", "_pB", "_rb")
     }
-    val doclens = toks.select(col("doc_id"), size(col("_tk")).cast("long").as("_dl"))
-    val clamped = pairs
-      .join(doclens.select(col("doc_id").as("da"), col("_dl").as("_dlA")), Seq("da"))
-      .join(doclens.select(col("doc_id").as("db"), col("_dl").as("_dlB")), Seq("db"))
+    pairs
+      .join(idx.doclens.select(col("doc_id").as("da"), col("_dl").as("_dlA")),
+        Seq("da"))
+      .join(idx.doclens.select(col("doc_id").as("db"), col("_dl").as("_dlB")),
+        Seq("db"))
       .withColumn("match_len", least(col("len"), col("_dlA") - col("pa"),
         col("_dlB") - col("pb"), lit(maxLen.toLong)))
+      .drop("len", "_dlA", "_dlB")
+  }
+
+  def exactDupSpans(docs: DataFrame, minLen: Int, maxLen: Int = 128,
+      idCol: String = "doc_id", textCol: String = "text",
+      smallCorpusRows: Int = 10000000): DataFrame = {
+    require(minLen >= 1, s"minLen must be >= 1 (got $minLen)")
+    require(maxLen >= 2 && (maxLen & (maxLen - 1)) == 0,
+      s"maxLen must be a power of two >= 2 (got $maxLen)")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      graft.operators.TextAnalysis.tokens(col(textCol)).as("_tk"))
+    val idx = buildSuffixIndex(toks, maxLen, smallCorpusRows)
+    val sa = idx.sa
+    val adjacent = sa.select(col("_sa"), col("doc_id").as("da"),
+        col("pos").as("pa"))
+      .join(sa.select((col("_sa") - 1).as("_sa"), col("doc_id").as("db"),
+        col("pos").as("pb")), Seq("_sa"))
+      .select(col("da"), col("pa"), col("db"), col("pb"))
+    val clamped = lcpDescent(adjacent, idx, minLen, maxLen)
     val both = clamped.select(col("da").as("doc_id"), col("pa").as("pos"),
         col("match_len"))
       .unionByName(clamped.select(col("db").as("doc_id"), col("pb").as("pos"),
@@ -956,7 +987,96 @@ object Dedup {
     val out = both.groupBy(col("doc_id"), col("pos"))
       .agg(max(col("match_len")).as("match_len"))
       .filter(col("match_len") >= minLen)
-    materializeAndRelease(out, rounds.toSeq: _*)
+    materializeAndRelease(out, idx.rounds :+ idx.sa: _*)
+  }
+
+  /** Substring-level benchmark decontamination (Lee et al. 2022 §6.2 —
+    * the same suffix array drives decontamination): for every corpus
+    * doc, the longest token span it shares with ANY benchmark doc, and
+    * a contaminated flag at ≥ minLen — the suffix-array sharpening of
+    * [[Sampling.decontaminate]]'s fixed-n overlap (an n-gram test can't
+    * report match LENGTH and treats a 50-token verbatim leak the same
+    * as a single shared trigram).
+    *
+    * Shape: ONE suffix index over corpus ∪ benchmark
+    * ([[buildSuffixIndex]]). The benchmark's SA row numbers are pulled
+    * SORTED to the driver — an eval set, bounded by `maxBenchPositions`
+    * with a LIMIT-bounded pull and a loud error — and broadcast; each
+    * corpus position finds its nearest benchmark suffix above and below
+    * by binary search (the max LCP against any member of a set is
+    * attained at a sort-adjacent member of that set — the same
+    * contiguous-block argument as [[exactDupSpans]]' adjacency), and
+    * only those ≤ 2 candidate pairs per position enter the rank-descent
+    * LCP with its minLen pre-filter. The corpus side never collects and
+    * never shuffles on text.
+    *
+    * Output: one row per input doc — (doc_id, is_benchmark,
+    * n_hit_positions, max_match, contaminated); benchmark rows report
+    * 0/false like [[Sampling.decontaminate]]'s. n_hit_positions counts
+    * corpus token positions whose benchmark match is ≥ minLen;
+    * max_match is capped at maxLen. */
+  def decontaminateSubstr(docs: DataFrame, isBenchmark: Column, minLen: Int,
+      maxLen: Int = 128, idCol: String = "doc_id", textCol: String = "text",
+      smallCorpusRows: Int = 10000000,
+      maxBenchPositions: Int = 1 << 22): DataFrame = {
+    require(minLen >= 1, s"minLen must be >= 1 (got $minLen)")
+    require(maxLen >= 2 && (maxLen & (maxLen - 1)) == 0,
+      s"maxLen must be a power of two >= 2 (got $maxLen)")
+    val toks = docs.select(col(idCol).as("doc_id"), isBenchmark.as("_bench"),
+      graft.operators.TextAnalysis.tokens(col(textCol)).as("_tk"))
+    val idx = buildSuffixIndex(toks.select(col("doc_id"), col("_tk")),
+      maxLen, smallCorpusRows)
+    val benchDocs = toks.filter(col("_bench")).select(col("doc_id"))
+    val benchRns: Array[Long] = {
+      val rows = idx.sa.join(benchDocs, Seq("doc_id")).select(col("_sa"))
+        .limit(maxBenchPositions + 1).collect()
+      require(rows.length <= maxBenchPositions,
+        s"decontaminateSubstr: more than $maxBenchPositions benchmark token " +
+          "positions — the benchmark side must be an eval-set-sized corpus")
+      rows.map(_.getLong(0)).sorted
+    }
+    val bc = docs.sparkSession.sparkContext.broadcast(benchRns)
+    val neighborsUdf = udf { (rn: Long) =>
+      val a = bc.value
+      if (a.isEmpty) Array.empty[Long]
+      else {
+        // insertion point: a(lo-1) <= rn < a(lo)
+        var lo = 0
+        var hi = a.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (a(mid) <= rn) lo = mid + 1 else hi = mid
+        }
+        val out = new scala.collection.mutable.ArrayBuffer[Long](2)
+        if (lo - 1 >= 0) out += a(lo - 1)
+        if (lo < a.length) out += a(lo)
+        out.toArray
+      }
+    }
+    val corpusPos = idx.sa.join(benchDocs, Seq("doc_id"), "left_anti")
+    val pairs = corpusPos
+      .withColumn("_nb", explode(neighborsUdf(col("_sa"))))
+      .select(col("doc_id").as("da"), col("pos").as("pa"),
+        col("_nb").as("_sa"))
+      .join(idx.sa.select(col("_sa"), col("doc_id").as("db"),
+        col("pos").as("pb")), Seq("_sa"))
+      .select(col("da"), col("pa"), col("db"), col("pb"))
+    val perPos = lcpDescent(pairs, idx, minLen, maxLen)
+      .groupBy(col("da"), col("pa"))
+      .agg(max(col("match_len")).as("_m"))
+      .filter(col("_m") >= minLen)
+    val perDoc = perPos.groupBy(col("da").as("doc_id"))
+      .agg(count(lit(1)).as("_nh"), max(col("_m")).as("_mm"))
+    val out = toks.select(col("doc_id"), col("_bench").as("is_benchmark"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("is_benchmark"),
+        when(col("is_benchmark"), lit(0L))
+          .otherwise(coalesce(col("_nh"), lit(0L))).as("n_hit_positions"),
+        when(col("is_benchmark"), lit(0L))
+          .otherwise(coalesce(col("_mm"), lit(0L))).as("max_match"),
+        (!col("is_benchmark") && coalesce(col("_nh"), lit(0L)) > 0)
+          .as("contaminated"))
+    materializeAndRelease(out, idx.rounds :+ idx.sa: _*)
   }
 
   /** ExactSubstr dedup as the TEXT TRANSFORMATION (Lee et al. 2022

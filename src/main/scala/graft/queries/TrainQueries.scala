@@ -127,6 +127,22 @@ object TrainQueries {
           " and the quick brown fox jumps over")))
         .otherwise(col("text")))
 
+  /** Substring-decontamination gate input (r12): subset % 17; benchmark
+    * = % 85 (every 5th subset doc). Sentence S lands on all docs
+    * ≡0 (mod 3) — benchmark and corpus alike; sentence T only on
+    * NON-benchmark docs ≡1 (mod 3), so T overlap is corpus-internal
+    * and must not count as contamination. */
+  private def decontamSubstrDocs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).filter(col("doc_id") % 17 === 0)
+      .withColumn("text",
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"),
+            lit(" the quick brown fox jumps over the lazy dog again")))
+        .when(col("doc_id") % 3 === 1 && col("doc_id") % 85 =!= 0,
+          concat(col("text"),
+            lit(" many hands make light work when the day is long")))
+        .otherwise(col("text")))
+
   /** Deterministic URL decoration (r11): the fixture has no url column,
     * so derive one from doc_id exercising every canonicalization rule —
     * host/scheme case, default and non-default ports, tracking params in
@@ -446,6 +462,16 @@ object TrainQueries {
     // subset/decoration/oracle scaffold as text_exact_substr
     "text_cut_dup_spans" -> ((s, dir) =>
       Dedup.cutDupSpans(exactSubstrDocs(s, dir), minLen = 5, maxLen = 16)),
+
+    // substring-level decontamination (r12): longest span each corpus
+    // doc shares with the benchmark set via the same suffix index. The
+    // decoration plants sentence S on docs ≡0 (mod 3) — bench AND
+    // corpus, so S-corpus docs are contaminated — and sentence T on
+    // non-bench docs ≡1 (mod 3): corpus-corpus overlap that must NOT
+    // flag (the discriminating case vs plain duplicate detection)
+    "text_decontam_substr" -> ((s, dir) =>
+      Dedup.decontaminateSubstr(decontamSubstrDocs(s, dir),
+        col("doc_id") % 85 === 0, minLen = 5, maxLen = 16)),
 
     // BPE merge-table training (r12): 4 most-frequent-pair merge rounds
     // over the corpus vocabulary (Sennrich learn_bpe); the oracle replays
@@ -1200,6 +1226,50 @@ object TrainSql {
         CAST(n_tokens - COALESCE(n_kept, 0) AS BIGINT) AS n_removed,
         COALESCE(text_dedup, '') AS text_dedup
       FROM dl LEFT JOIN reb USING (doc_id)""",
+
+    // brute substring-decontamination replay: corpus×benchmark position
+    // pairs pruned by first-token equality (LCP ≥ 1 needs it — exact for
+    // the ≥ minLen output), capped-suffix char-LCP, token-LCP = spaces
+    // in the common prefix, per-position max vs BENCH only, per-doc agg
+    "text_decontam_substr" -> s"""
+      WITH t0 AS (SELECT doc_id, (doc_id % 85 = 0) AS is_benchmark,
+             CASE WHEN doc_id % 3 = 0
+                  THEN text || ' the quick brown fox jumps over the lazy dog again'
+                  WHEN doc_id % 3 = 1 AND doc_id % 85 <> 0
+                  THEN text || ' many hands make light work when the day is long'
+                  ELSE text END AS text
+           FROM documents WHERE doc_id % 17 = 0),
+      t AS (SELECT doc_id, is_benchmark, $toks AS tk FROM t0),
+      p0 AS (SELECT doc_id, is_benchmark, unnest(range(len(tk))) AS pos, tk FROM t),
+      p1 AS (SELECT doc_id, is_benchmark, CAST(pos AS INT) AS pos,
+               tk[CAST(pos AS INT) + 1] AS tok1,
+               array_to_string(tk[pos+1:least(pos+16, len(tk))], ' ') || ' ' AS suf
+             FROM p0),
+      pr AS (SELECT c.doc_id AS da, c.pos AS pa, c.suf AS sufa, b.suf AS sufb
+             FROM (SELECT * FROM p1 WHERE NOT is_benchmark) c
+             JOIN (SELECT * FROM p1 WHERE is_benchmark) b ON c.tok1 = b.tok1),
+      l AS (SELECT da, pa, sufa,
+              COALESCE(NULLIF(list_position(list_transform(
+                  range(1, least(len(sufa), len(sufb)) + 1),
+                  i -> substr(sufa, CAST(i AS INT), 1) = substr(sufb, CAST(i AS INT), 1)),
+                false), 0) - 1,
+                least(len(sufa), len(sufb))) AS clcp
+            FROM pr),
+      tl AS (SELECT da, pa,
+               len(substr(sufa, 1, CAST(clcp AS INT))) -
+               len(replace(substr(sufa, 1, CAST(clcp AS INT)), ' ', '')) AS tlcp
+             FROM l),
+      perpos AS (SELECT da, pa, LEAST(MAX(tlcp), 16) AS m
+                 FROM tl GROUP BY da, pa),
+      hits AS (SELECT da AS doc_id, count(*) AS n_hit, MAX(m) AS max_m
+               FROM perpos WHERE m >= 5 GROUP BY da)
+      SELECT t.doc_id, t.is_benchmark,
+        CAST(CASE WHEN t.is_benchmark THEN 0
+                  ELSE COALESCE(h.n_hit, 0) END AS BIGINT) AS n_hit_positions,
+        CAST(CASE WHEN t.is_benchmark THEN 0
+                  ELSE COALESCE(h.max_m, 0) END AS BIGINT) AS max_match,
+        (NOT t.is_benchmark AND COALESCE(h.n_hit, 0) > 0) AS contaminated
+      FROM t LEFT JOIN hits h USING (doc_id)""",
 
     "text_token_count" -> s"""
       WITH d AS (SELECT doc_id, text,

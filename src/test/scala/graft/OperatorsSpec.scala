@@ -385,6 +385,48 @@ class OperatorsSpec extends AnyFunSuite {
     assert(gotCut.values.exists(_._2 > 0)) // something was actually cut
   }
 
+  test("decontaminateSubstr ≡ brute-force max-LCP-vs-benchmark (r12)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // 5-letter alphabet + minLen 5: dense enough that some corpus docs
+    // share a ≥5-token span with the benchmark, sparse enough that
+    // others stay clean (the sanity asserts below pin both exist)
+    val docsL = (0L until 16L).map { i =>
+      (i, Seq.fill(5 + rnd.nextInt(40))("abcde"(rnd.nextInt(5)).toString).mkString(" "))
+    }
+    val d = docsL.toDF("doc_id", "text")
+    val (minLen, maxLen) = (5, 8)
+    val isBench: Long => Boolean = _ % 4 == 0
+    val got = Dedup.decontaminateSubstr(d, col("doc_id") % 4 === 0,
+        minLen, maxLen).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    // brute: per corpus position, max token-LCP against BENCH positions
+    val toksL = docsL.map { case (i, t) => i -> t.split(" ").toVector }.toMap
+    val allPos = for ((doc, tk) <- toksL.toSeq; p <- tk.indices) yield (doc, p)
+    val benchPos = allPos.filter(p => isBench(p._1))
+    def lcp(a: (Long, Int), b: (Long, Int)): Int = {
+      val (ta, tb) = (toksL(a._1), toksL(b._1))
+      var n = 0
+      while (a._2 + n < ta.length && b._2 + n < tb.length &&
+        ta(a._2 + n) == tb(b._2 + n)) n += 1
+      n
+    }
+    val expected = toksL.map { case (doc, tk) =>
+      if (isBench(doc)) doc -> ((true, 0L, 0L, false))
+      else {
+        val ms = tk.indices
+          .map(p => benchPos.map(q => lcp((doc, p), q)).max.min(maxLen))
+          .filter(_ >= minLen)
+        doc -> ((false, ms.length.toLong,
+          (if (ms.isEmpty) 0L else ms.max.toLong), ms.nonEmpty))
+      }
+    }
+    assert(got == expected)
+    assert(expected.values.exists(_._4)) // something is contaminated
+    assert(expected.values.exists(v => !v._1 && !v._4)) // and something clean
+  }
+
   test("bpeTrain ≡ a literal Sennrich learn_bpe reference (r12)") {
     import spark.implicits._
     import java.util.regex.{Matcher, Pattern}
