@@ -852,11 +852,10 @@ object Dedup {
     * across tie orders, so both engines agree bit-for-bit. */
   /** Shared suffix-rank machinery for the ExactSubstr family:
     * prefix-doubling rank rounds, the suffix-array row number, and doc
-    * token lengths. `release()` drops the checkpointed round frames. */
+    * token lengths — every frame a checkpoint leaf; consumers release
+    * them via [[materializeAndRelease]] (rounds :+ sa). */
   private case class SuffixIndex(rounds: Seq[DataFrame], sa: DataFrame,
-      doclens: DataFrame, k: Int) {
-    def release(): Unit = rounds.foreach(_.unpersist(false))
-  }
+      doclens: DataFrame, k: Int)
 
   private def buildSuffixIndex(toks: DataFrame, maxLen: Int,
       smallCorpusRows: Int): SuffixIndex = {
