@@ -446,6 +446,43 @@ object TextAnalysis {
           !col("has_lorem") && !col("no_stopword"))
   }
 
+  /** Gopher line-level quality signals (Rae et al. 2021, Appendix A1.1):
+    * per doc, the fraction of non-empty lines starting with a bullet
+    * marker and ending with an ellipsis — Gopher DROPS documents with
+    * > 90% bullet lines or > 30% ellipsis lines, the two line-shape
+    * rules the token-level filters ([[c4Filters]], [[repetitionStats]])
+    * can't see. Bullets are the common plain-text markers (`- `, `* `,
+    * `•`); ellipses `...` and `…`. All counting is exact integers and
+    * the two ratios are single IEEE divisions, so the DuckDB oracle
+    * matches bit-for-bit; everything is one codegen'd map pass (split
+    * on newline + two filtered size() passes — no explode, nothing
+    * shuffles). Zero-line docs keep (ratios 0.0), like the other
+    * degenerate-doc guards. */
+  def lineStats(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val lines = filter(split(col(textCol), "\n"), l => trim(l) =!= "")
+    val bulletOf = (l: Column) => {
+      val t = trim(l)
+      t.startsWith("- ") || t.startsWith("* ") || t.startsWith("•")
+    }
+    val ellipsisOf = (l: Column) =>
+      trim(l).endsWith("...") || trim(l).endsWith("…")
+    df.withColumn("n_lines", size(lines).cast("long"))
+      .withColumn("n_bullet_lines",
+        size(filter(lines, bulletOf)).cast("long"))
+      .withColumn("n_ellipsis_lines",
+        size(filter(lines, ellipsisOf)).cast("long"))
+      .withColumn("bullet_ratio",
+        when(col("n_lines") > 0,
+          col("n_bullet_lines").cast("double") / col("n_lines"))
+          .otherwise(lit(0.0)))
+      .withColumn("ellipsis_ratio",
+        when(col("n_lines") > 0,
+          col("n_ellipsis_lines").cast("double") / col("n_lines"))
+          .otherwise(lit(0.0)))
+      .withColumn("keep",
+        !(col("bullet_ratio") > 0.9 || col("ellipsis_ratio") > 0.3))
+  }
+
   /** Token-length histogram per source over fixed power-of-two bins
     * (r10) — the corpus-QA report a pipeline runs before and after every
     * filter stage (truncation spikes, boilerplate floods and chunking

@@ -473,6 +473,22 @@ object TrainQueries {
       Dedup.decontaminateSubstr(decontamSubstrDocs(s, dir),
         col("doc_id") % 85 === 0, minLen = 5, maxLen = 16)),
 
+    // Gopher line-shape signals (r12): bullet-line and ellipsis-line
+    // ratios + the drop rule; the fixture is single-line, so decorate
+    // deterministically — %11 docs become bullet-dominated (10/11 > 0.9,
+    // dropped), %7 docs ellipsis-heavy (3/4 > 0.3, dropped), the rest
+    // get one bullet + one plain line (kept)
+    "text_line_stats" -> ((s, dir) =>
+      TextAnalysis.lineStats(docs(s, dir).withColumn("text",
+        when(col("doc_id") % 11 === 0,
+          lit("- a\n- b\n- c\n- d\n- e\n- f\n- g\n- h\n- i\n- j\nreal text"))
+        .when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit("\nthis trails...\nmore…\nand this...")))
+        .otherwise(concat(col("text"), lit("\n- one bullet\nplain line.")))))
+        .select(col("doc_id"), col("n_lines"), col("n_bullet_lines"),
+          col("n_ellipsis_lines"), col("bullet_ratio"),
+          col("ellipsis_ratio"), col("keep"))),
+
     // BPE merge-table training (r12): 4 most-frequent-pair merge rounds
     // over the corpus vocabulary (Sennrich learn_bpe); the oracle replays
     // every round in SQL — pair counts, argmax with the same tie-break,
@@ -1193,6 +1209,44 @@ object TrainSql {
 
     "text_bpe_train" -> bpeTrainSql(4),
     "text_bpe_encode" -> bpeEncodeSql(4),
+
+    "text_line_stats" -> s"""
+      WITH d AS (SELECT doc_id,
+             CASE WHEN doc_id % 11 = 0 THEN
+                    '- a' || chr(10) || '- b' || chr(10) || '- c' || chr(10) ||
+                    '- d' || chr(10) || '- e' || chr(10) || '- f' || chr(10) ||
+                    '- g' || chr(10) || '- h' || chr(10) || '- i' || chr(10) ||
+                    '- j' || chr(10) || 'real text'
+                  WHEN doc_id % 7 = 0 THEN
+                    text || chr(10) || 'this trails...' || chr(10) ||
+                    'more' || chr(8230) || chr(10) || 'and this...'
+                  ELSE text || chr(10) || '- one bullet' || chr(10) || 'plain line.'
+             END AS text
+           FROM documents),
+      ln AS (SELECT doc_id,
+               list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS ls
+             FROM d),
+      c AS (SELECT doc_id,
+              CAST(len(ls) AS BIGINT) AS n_lines,
+              CAST(len(list_filter(ls, x -> starts_with(trim(x), '- ')
+                OR starts_with(trim(x), '* ')
+                OR starts_with(trim(x), chr(8226)))) AS BIGINT) AS n_bullet_lines,
+              CAST(len(list_filter(ls, x -> ends_with(trim(x), '...')
+                OR ends_with(trim(x), chr(8230)))) AS BIGINT) AS n_ellipsis_lines
+            FROM ln)
+      SELECT doc_id, n_lines, n_bullet_lines, n_ellipsis_lines,
+        CASE WHEN n_lines > 0
+             THEN CAST(n_bullet_lines AS DOUBLE) / n_lines ELSE 0.0
+        END AS bullet_ratio,
+        CASE WHEN n_lines > 0
+             THEN CAST(n_ellipsis_lines AS DOUBLE) / n_lines ELSE 0.0
+        END AS ellipsis_ratio,
+        NOT (CASE WHEN n_lines > 0
+                  THEN CAST(n_bullet_lines AS DOUBLE) / n_lines ELSE 0.0 END > 0.9
+          OR CASE WHEN n_lines > 0
+                  THEN CAST(n_ellipsis_lines AS DOUBLE) / n_lines ELSE 0.0 END > 0.3)
+          AS keep
+      FROM c""",
 
     // brute-force ExactSubstr replay: suffixes capped at maxLen=16
     // tokens (a trailing space sentinel makes token boundaries

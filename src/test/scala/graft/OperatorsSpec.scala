@@ -385,6 +385,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(gotCut.values.exists(_._2 > 0)) // something was actually cut
   }
 
+  test("lineStats: Gopher bullet/ellipsis line rules (r12)") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "- a\n- b\n- c\n- d\n- e\n- f\n- g\n- h\n- i\n- j\nplain"), // 10/11 > 0.9
+      (2L, "text\nends here...\nand more…\nthird..."),                 // 3/4 > 0.3
+      (3L, "* item\nnormal line\n  \nanother"),                        // kept; blank dropped
+      (4L, ""),                                                        // zero lines keep
+      (5L, "•bullet\ntail... ")                                        // trimmed ellipsis
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.lineStats(d).collect().map(x =>
+      x.getAs[Long]("doc_id") -> ((x.getAs[Long]("n_lines"),
+        x.getAs[Long]("n_bullet_lines"), x.getAs[Long]("n_ellipsis_lines"),
+        x.getAs[Boolean]("keep")))).toMap
+    assert(r(1L) == ((11L, 10L, 0L, false)))
+    assert(r(2L) == ((4L, 0L, 3L, false)))
+    assert(r(3L) == ((3L, 1L, 0L, true)))
+    assert(r(4L) == ((0L, 0L, 0L, true)))
+    assert(r(5L) == ((2L, 1L, 1L, false))) // 1/2 ellipsis > 0.3
+  }
+
   test("decontaminateSubstr ≡ brute-force max-LCP-vs-benchmark (r12)") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
