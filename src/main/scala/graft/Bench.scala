@@ -119,7 +119,11 @@ object Bench {
     val totalNorm =
       if (cpuMin > 0 && !cpuMin.isNaN) (total * refCpuControlMin / cpuMin).toString
       else "null"
-    println(s"""{"metric":"total","value":$total,"unit":"sec","errors":$nErr,"total_normalized":$totalNorm,"cpu_control":$cpuControl,"spark_control":$sparkControl,"cpu_control_min":$cpuMin,"spark_control_min":$sparkMin,"queries":$qs,"sf":"$sfDir"}""")
+    // same null fallback for every control value (r12 ADVICE): a NaN or
+    // Infinity interpolated as a bare token is invalid JSON — exactly
+    // the failure mode the totalNorm guard exists to prevent
+    def num(d: Double): String = if (d.isNaN || d.isInfinite) "null" else d.toString
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","errors":$nErr,"total_normalized":$totalNorm,"cpu_control":${num(cpuControl)},"spark_control":${num(sparkControl)},"cpu_control_min":${num(cpuMin)},"spark_control_min":${num(sparkMin)},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -87,8 +87,56 @@ object Dedup {
     * untouched (PlanSpec pins the no-Exchange shape). */
   private def spreadIfNarrow(docs: DataFrame, idCol: String): DataFrame = {
     val par = docs.sparkSession.sparkContext.defaultParallelism
-    if (docs.rdd.getNumPartitions >= par) docs
-    else docs.repartition(par, col(idCol))
+    probePartitions(docs) match {
+      case Some(n) if n < par => docs.repartition(par, col(idCol))
+      case _ => docs
+    }
+  }
+
+  /** Partition count of `docs` WITHOUT forcing physical planning (r12
+    * ADVICE: the previous `.rdd.getNumPartitions` probe planned and
+    * RDD-converted the whole upstream plan at operator-CONSTRUCTION time
+    * — paid again at execution). Walks the analyzed logical plan through
+    * the narrow wrappers call sites actually produce (Project / Filter /
+    * alias / repartition) to the leaf: a checkpointed LogicalRDD's count
+    * is a field read, a file scan's is estimated with Spark's own
+    * file-split arithmetic (maxPartitionBytes / openCostInBytes /
+    * bytes-per-core, the FilePartition.maxSplitBytes formula). None
+    * (unknown leaf, multi-leaf plan) means "don't spread": an upstream
+    * join/aggregate already shuffled at the session's parallelism, and a
+    * 100 TB layout is never narrow — the spread is strictly a
+    * small-file-input optimization, so unknown defaults to no-exchange. */
+  private def probePartitions(docs: DataFrame): Option[Int] = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val spark = docs.sparkSession
+    def walk(p: LogicalPlan): Option[Int] = p match {
+      case Project(_, c) => walk(c)
+      case Filter(_, c) => walk(c)
+      case SubqueryAlias(_, c) => walk(c)
+      case r: Repartition => Some(r.numPartitions)
+      case r: RepartitionByExpression =>
+        Some(r.optNumPartitions.getOrElse(
+          spark.sessionState.conf.numShufflePartitions))
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        Some(lr.rdd.getNumPartitions)
+      case _: LocalRelation => Some(1)
+      case rel: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        rel.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            val conf = spark.sessionState.conf
+            val open = conf.filesOpenCostInBytes
+            val total = fs.location.sizeInBytes +
+              open * fs.location.inputFiles.length
+            val perCore = total / math.max(1, conf.filesMinPartitionNum
+              .getOrElse(spark.sparkContext.defaultParallelism))
+            val maxSplit = math.min(conf.filesMaxPartitionBytes,
+              math.max(open, perCore))
+            Some(math.max(1, math.ceil(total.toDouble / maxSplit).toInt))
+          case _ => None
+        }
+      case _ => None
+    }
+    walk(docs.queryExecution.analyzed)
   }
 
   /** Distinct CHARACTER k-shingles per doc — the dedup unit for

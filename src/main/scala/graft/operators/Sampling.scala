@@ -74,6 +74,12 @@ object Sampling {
     val reserved = Set("_slice", "_v")
     require(df.columns.forall(c => !reserved.contains(c)),
       s"distributedCumSum: input columns collide with internals: ${df.columns.mkString(",")}")
+    // output names too (r12 ADVICE): an input already carrying cumName/
+    // totalName would silently produce duplicate column names and fail
+    // downstream with ambiguity errors instead of a clear message here
+    require(!df.columns.contains(cumName) && !totalName.exists(df.columns.contains),
+      s"distributedCumSum: output column name collides with input: " +
+        s"$cumName${totalName.fold("")("/" + _)} vs ${df.columns.mkString(",")}")
     val spark = df.sparkSession
     val n = if (slices > 0) slices
       else spark.sessionState.conf.numShufflePartitions
@@ -140,6 +146,13 @@ object Sampling {
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
     val out = result.localCheckpoint(true)
+    // the eager checkpoint just materialized every output partition, and a
+    // localCheckpoint can never be recomputed (lost blocks fail the job),
+    // so nothing can re-read the offset/total broadcasts — destroy them
+    // now instead of pinning 2 broadcasts per call until GC (r12 ADVICE;
+    // buildSuffixIndex's large path calls this once per doubling round)
+    bcOff.destroy()
+    bcTot.destroy()
     ranged.unpersist(false)
     in.unpersist(false)
     out

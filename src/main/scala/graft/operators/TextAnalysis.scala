@@ -456,10 +456,15 @@ object TextAnalysis {
     * the two ratios are single IEEE divisions, so the DuckDB oracle
     * matches bit-for-bit; everything is one codegen'd map pass (split
     * on newline + two filtered size() passes — no explode, nothing
-    * shuffles). Zero-line docs keep (ratios 0.0), like the other
-    * degenerate-doc guards. */
+    * shuffles). Zero-line docs keep (counts 0, ratios 0.0), like the
+    * other degenerate-doc guards — including NULL text (r12 ADVICE:
+    * split(NULL) is NULL and size(NULL) is NULL since Spark 3, so
+    * without the coalesce a null-text doc reported null counts while
+    * the documented contract says zeros). */
   def lineStats(df: DataFrame, textCol: String = "text"): DataFrame = {
-    val lines = filter(split(col(textCol), "\n"), l => trim(l) =!= "")
+    val lines = coalesce(
+      filter(split(col(textCol), "\n"), l => trim(l) =!= ""),
+      array().cast("array<string>"))
     val bulletOf = (l: Column) => {
       val t = trim(l)
       t.startsWith("- ") || t.startsWith("* ") || t.startsWith("•")

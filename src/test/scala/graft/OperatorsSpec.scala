@@ -392,7 +392,8 @@ class OperatorsSpec extends AnyFunSuite {
       (2L, "text\nends here...\nand more…\nthird..."),                 // 3/4 > 0.3
       (3L, "* item\nnormal line\n  \nanother"),                        // kept; blank dropped
       (4L, ""),                                                        // zero lines keep
-      (5L, "•bullet\ntail... ")                                        // trimmed ellipsis
+      (5L, "•bullet\ntail... "),                                       // trimmed ellipsis
+      (6L, null)                                                       // NULL text == zero lines (r12 ADVICE)
     ).toDF("doc_id", "text")
     val r = TextAnalysis.lineStats(d).collect().map(x =>
       x.getAs[Long]("doc_id") -> ((x.getAs[Long]("n_lines"),
@@ -403,6 +404,7 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r(3L) == ((3L, 1L, 0L, true)))
     assert(r(4L) == ((0L, 0L, 0L, true)))
     assert(r(5L) == ((2L, 1L, 1L, false))) // 1/2 ellipsis > 0.3
+    assert(r(6L) == ((0L, 0L, 0L, true))) // null text: zero counts, not null
   }
 
   test("decontaminateSubstr ≡ brute-force max-LCP-vs-benchmark (r12)") {
@@ -547,6 +549,17 @@ class OperatorsSpec extends AnyFunSuite {
       col("v"), "cum", slices = 16).collect()
       .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cum")).toMap ==
       Map(1L -> 5L, 2L -> 12L))
+    // output-name collisions fail loudly (r12 ADVICE), not with a
+    // duplicate-column frame that breaks downstream with ambiguity errors
+    for (bad <- Seq("id", "src", "v"))
+      intercept[IllegalArgumentException] {
+        Sampling.distributedCumSum(tiny, Seq("src"), Seq(col("id")),
+          col("v"), bad)
+      }
+    intercept[IllegalArgumentException] {
+      Sampling.distributedCumSum(tiny, Seq("src"), Seq(col("id")),
+        col("v"), "cum", totalName = Some("v"))
+    }
   }
 
   test("two-pass rank + ntileOf ≡ Spark's NTILE for every remainder shape (r12)") {
