@@ -56,12 +56,20 @@ final class SessionCache[K <: Product, V] {
 }
 
 object SessionCache {
-  /** Release every DataFrame reachable from a race-loser value: bare
-    * frames, and frames nested in tuples/case classes/collections (depth
-    * capped — values are small artifact records, not deep trees). Covers
-    * both cache-manager persistence (`unpersist`) and eager
-    * `localCheckpoint` results, whose blocks live on the checkpoint RDD
-    * the cache manager never sees. */
+  /** Release every DataFrame reachable from `v`: bare frames, and frames
+    * nested in tuples/case classes/collections (depth capped — values are
+    * small artifact records, not deep trees). Covers both cache-manager
+    * persistence (`unpersist`) and eager `localCheckpoint` results, whose
+    * blocks live on the CHECKPOINT RDD the cache manager never sees — for
+    * those, `DataFrame.unpersist` alone is a silent no-op and the blocks
+    * stay pinned until driver GC (the r12 release defect: every
+    * suffix-index build left ~K+2 corpus-position-sized block sets
+    * behind). This is the one release entry point for one-shot
+    * checkpointed intermediates; after the call the frame must NOT be
+    * used again — a localCheckpoint has no lineage left to recompute
+    * from, so a lost-block read fails instead of rebuilding. */
+  def release(v: Any): Unit = releaseLoser(v)
+
   private[sources] def releaseLoser(v: Any, depth: Int = 0): Unit = {
     if (depth > 4) return
     v match {

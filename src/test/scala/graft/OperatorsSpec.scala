@@ -407,6 +407,43 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r(6L) == ((0L, 0L, 0L, true))) // null text: zero counts, not null
   }
 
+  test("suffix index + cluster labels release their checkpoint blocks (r13)") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    def persisted = sc.getPersistentRDDs.keySet
+    def resultRddId(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.logical match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+        case p => fail(s"expected a checkpointed result, got ${p.nodeName}")
+      }
+    val rnd = new scala.util.Random(7)
+    val d = (0L until 24L).map { i =>
+      (i, Seq.fill(10 + rnd.nextInt(30))("abcde"(rnd.nextInt(5)).toString).mkString(" "))
+    }.toDF("doc_id", "text")
+
+    // exactDupSpans: every suffix-index round's checkpoint must be gone
+    // after the call — only the result's own checkpoint may survive (the
+    // r12 release defect: DataFrame.unpersist goes through the
+    // CacheManager, which never saw the checkpoint RDD blocks)
+    val before = persisted
+    val spans = Dedup.exactDupSpans(d, minLen = 3, maxLen = 8)
+    val leaked = (persisted -- before) - resultRddId(spans)
+    assert(leaked.isEmpty, s"suffix-index blocks leaked: $leaked")
+    assert(spans.count() > 0)
+    graft.sources.SessionCache.release(spans)
+    assert(!persisted.contains(resultRddId(spans)))
+
+    // connectedComponents cluster path: superseded label rounds + the
+    // edge cache released; only the final labels frame's blocks survive
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("d1", "d2")
+    val b2 = persisted
+    val cc = Dedup.connectedComponents(pairs, driverPairLimit = 0L)
+    val leaked2 = (persisted -- b2) - resultRddId(cc)
+    assert(leaked2.isEmpty, s"label-round blocks leaked: $leaked2")
+    graft.sources.SessionCache.release(cc)
+    assert(!persisted.contains(resultRddId(cc)))
+  }
+
   test("decontaminateSubstr ≡ brute-force max-LCP-vs-benchmark (r12)") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
