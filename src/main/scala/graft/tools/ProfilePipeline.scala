@@ -108,23 +108,52 @@ object ProfilePipeline {
       filtered.join(Dedup.exact(filtered)
           .select(col("keep_id").as("doc_id")), Seq("doc_id"))
     }
-    // 4b. ExactSubstr cut (r12): remove tokens covered by ≥16-token
-    //     duplicated spans — the suffix-array pass over the full 10×
-    //     token stream (~2M positions through 5 doubling rounds). Runs
-    //     BEFORE MinHash on purpose: the decoration's in-line
-    //     boilerplate (unique line prefix, so line dedup cannot touch
-    //     it) dominates every doc's shingle set and blows the LSH
-    //     candidate generation up quadratically (measured 145 s vs
-    //     ~15 s at this volume) — cutting universal spans first is what
-    //     keeps near-dup similarity about content, not boilerplate.
+    // 4b. SHARED suffix index (r13): ONE prefix-doubling build over
+    //     corpus ∪ benchmark feeds BOTH the ExactSubstr cut and the
+    //     substring decontamination — r12 paid the dominant index build
+    //     once per consumer. The synthetic benchmark is ~1/500 of the
+    //     corpus with verbatim corpus text inside (guaranteed
+    //     contamination hits) under fresh ids.
+    // the synthetic eval set strips the universal disclaimer decoration:
+    // a real benchmark is clean prose, and a ≥16-token span present in
+    // EVERY corpus doc would (correctly!) flag the whole corpus
+    val benchDocs = exactDeduped.filter(col("doc_id") % 499 === 0)
+      .select((col("doc_id") + 1000000000L).as("doc_id"),
+        concat(lit("eval question: "), regexp_replace(col("text"),
+          "disclaimer: this content is provided as is without warranty" +
+            " of any kind either express or implied including fitness for" +
+            " a particular purpose", "")).as("text"))
+    val allDocs = exactDeduped.select(col("doc_id"), col("text"))
+      .unionByName(benchDocs)
+    val tIdx = System.nanoTime()
+    val idx = Dedup.buildSuffixIndex(allDocs, maxLen = 16)
+    val idxSec = (System.nanoTime() - tIdx) / 1e9
+    totalSec += idxSec
+    println(f"  ${"suffix index build (corpus+bench)"}%-34s ${idxSec}%7.2f s  -> shared artifact")
+    // ExactSubstr cut (r12): remove tokens covered by ≥16-token spans
+    // duplicated WITHIN the corpus (restrictToDocs — benchmark text must
+    // not count as corpus duplication). Runs BEFORE MinHash on purpose:
+    // the decoration's in-line boilerplate (unique line prefix, so line
+    // dedup cannot touch it) dominates every doc's shingle set and blows
+    // the LSH candidate generation up quadratically (measured 145 s vs
+    // ~15 s at this volume) — cutting universal spans first is what
+    // keeps near-dup similarity about content, not boilerplate.
     val spanCut = stage("ExactSubstr cut (>=16-token spans)") {
-      val cut = Dedup.cutDupSpans(exactDeduped, minLen = 16, maxLen = 16)
+      val cut = idx.cut(exactDeduped, minLen = 16, restrictToDocs = true)
       exactDeduped.drop("text")
         .join(cut.select(col("doc_id"), col("text_dedup").as("text"),
           col("n_removed")), Seq("doc_id"))
     }
     println(s"    (docs with spans cut: ${spanCut.filter(col("n_removed") > 0).count()})")
+    // substring decontamination from the SAME index — the second
+    // consumer that previously triggered a full rebuild
+    val decon = stage("substr decontamination (shared idx)") {
+      idx.decontaminate(allDocs, col("doc_id") >= 1000000000L, minLen = 16)
+        .filter(col("contaminated"))
+    }
+    idx.release()
     val afterCut = spanCut.drop("n_removed")
+      .join(decon.select(col("doc_id")), Seq("doc_id"), "left_anti")
     // 5. near-dup clustering, keep canonical per cluster
     val nearDeduped = stage("minhash-LSH near-dup + canonical") {
       val pairs = Dedup.minhashLshPairs(afterCut, 0.5)
