@@ -1,0 +1,74 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis
+
+/** Scratch: BPE training throughput at 10× sf0.1 — the r13 size-route
+  * measurement (judge ask #3). A real tokenizer is 32k merges; r12 ran
+  * one Spark job cycle per merge, so merge count — not corpus size —
+  * dominated. The driver route amortizes the corpus to one vocabulary
+  * collect and then runs learn_bpe's incremental loop; this prints
+  * merges/second for a ≥100-merge run plus the distributed route's
+  * per-merge cost for contrast (same corpus, 4 merges).
+  */
+object ProfileBpe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.filterNot(_.startsWith("--"))
+      .getOrElse("/root/testdata/sf0.1")
+    val factor = args.dropWhile(_ != "--factor").drop(1).headOption
+      .flatMap(a => scala.util.Try(a.toInt).toOption).getOrElse(10)
+    val merges = args.dropWhile(_ != "--merges").drop(1).headOption
+      .flatMap(a => scala.util.Try(a.toInt).toOption).getOrElse(200)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // inflate for volume AND vocabulary: the fixture's lexicon is ~31
+    // words, so each doc's words get a per-doc LOWERCASE prefix (two
+    // letters from doc_id — 676 variants × base lexicon ≈ 20k distinct
+    // words, all passing the ^[a-z]+$ word filter) — the shape a real
+    // learn_bpe run sees, where vocab size drives the merge loop
+    val docs0 = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val alpha = lit("abcdefghijklmnopqrstuvwxyz")
+    val corpus = (0 until factor).map { c =>
+      docs0.select((col("doc_id") * factor + c).as("doc_id"), col("text"))
+    }.reduce(_ unionByName _)
+      .withColumn("text", regexp_replace(col("text"), lit("(\\S{2,})"),
+        concat(lit("q"),
+          alpha.substr((pmod(col("doc_id"), lit(26)) + 1).cast("int"), lit(1)),
+          alpha.substr((pmod(floor(col("doc_id") / 26), lit(26)) + 1).cast("int"),
+            lit(1)),
+          lit("$1"))))
+      .localCheckpoint(true)
+    val nDocs = corpus.count()
+    val vocabSize = corpus.select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .filter(col("w").rlike("^[a-z]+$")).distinct().count()
+    println(s"corpus: $nDocs docs (factor $factor over $dir), vocab $vocabSize words")
+
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    // driver route: one vocabulary collect + in-driver incremental rounds
+    var nGot = 0L
+    val driverSec = time {
+      nGot = TextAnalysis.bpeTrain(corpus, numMerges = merges).count()
+    }
+    println(f"driver route:      $nGot%4d merges in ${driverSec}%7.2f s " +
+      f"(${nGot / driverSec}%.0f merges/s incl. the one-off vocab collect)")
+    // distributed route (forced): one job cycle per merge — the r12 cost
+    val distMerges = 4
+    val distSec = time {
+      TextAnalysis.bpeTrain(corpus, numMerges = distMerges,
+        driverVocabRows = 0).count()
+    }
+    println(f"distributed route: $distMerges%4d merges in ${distSec}%7.2f s " +
+      f"(${distSec / distMerges}%.2f s/merge -> ${merges} merges would be " +
+      f"~${distSec / distMerges * merges}%.0f s, 32k would be " +
+      f"~${distSec / distMerges * 32768 / 3600}%.1f h)")
+    spark.stop()
+  }
+}

@@ -600,6 +600,15 @@ class OperatorsSpec extends AnyFunSuite {
     }
     assert(got == expected.toList)
     assert(got.length == n)
+    // size-route differential (r13): the distributed rounds (forced via
+    // driverVocabRows = 0) ≡ the in-driver incremental learner (the
+    // default here — this vocab is far below the bound), incl. ties and
+    // identical-symbol runs
+    val gotDist = TextAnalysis.bpeTrain(d, n, driverVocabRows = 0)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(gotDist == got)
     // apply_bpe: bpeSegment's pieces must equal the reference's final
     // vocabulary state for every distinct word
     val segGot = TextAnalysis.bpeSegment(d, got.map(m => (m._2, m._3)))
