@@ -90,6 +90,19 @@ object TrainQueries {
     suffixIdxCache.getOrBuild((s, dir, "decontam"))(
       Dedup.buildSuffixIndex(decontamSubstrDocs(s, dir), maxLen = 16))
 
+  /** Trained-classifier weight artifact (r13 judge ask #5) — fit once
+    * per (session, dir), scored everywhere: the classifierTrain result
+    * is a buckets-sized LOCAL frame (the exact normal-equation solve
+    * runs on the driver), so the cache stores it as-is. Label: "long
+    * doc" (length > 300 chars, ~the corpus median) — deterministic and
+    * genuinely learnable from hashed token counts. */
+  private val clfCache =
+    new graft.sources.SessionCache[(SparkSession, String), DataFrame]
+  private def clfWeights(s: SparkSession, dir: String): DataFrame =
+    clfCache.getOrBuild((s, dir))(
+      TextAnalysis.classifierTrain(docs(s, dir),
+        length(col("text")) > 300, buckets = 3, lambda = 1L))
+
   /** BPE merge-table artifact (r12) — trained once per (session, dir)
     * like the ANN index artifacts: a tokenizer is trained once and then
     * applied everywhere, so the train gate and the encode gate read the
@@ -533,6 +546,18 @@ object TrainQueries {
         .agg(count(lit(1)).as("n_words"), sum(col("n_pieces")).as("n_pieces"))
     }),
 
+    // trained quality classifier (r13): exact ridge regression over
+    // hashed token counts — the oracle replays the normal equations and
+    // the 3×3 Cramer solve in HUGEINT, so the LEARNED weights (and the
+    // integer-nano corpus scores) are hash-exact, not just plausible
+    "text_classifier_train" -> ((s, dir) => clfWeights(s, dir)),
+
+    "text_classifier_score" -> ((s, dir) => {
+      val w = clfWeights(s, dir).collect()
+        .map(r => (r.getInt(0), r.getLong(1))).toSeq
+      TextAnalysis.classifierScore(docs(s, dir), w, buckets = 3)
+    }),
+
     // whitespace vs BPE-ish token counts; the fixture text is plain
     // space-separated words, so decorate it deterministically with
     // contractions / digits / punctuation to exercise every pattern branch
@@ -928,7 +953,62 @@ object TrainSql {
     FROM cand WHERE bit_count(xor(h1, h2)) <= 3"""
   }
 
+  /** Trained-classifier replay (r13): hashed bucket counts, the normal
+    * equations XᵀX + λI / Xᵀy accumulated in HUGEINT (exact), and the
+    * 3×3 Cramer solve as literal determinant formulas — the same exact
+    * rationals the engine's Bareiss elimination produces, quantized to
+    * integer nanos with the identical non-negative-operand
+    * round-half-away division (`//` on positive HUGEINTs == truncate ==
+    * floor, so the engines cannot disagree). */
+  private val clfCtes = s"""
+    tok AS (SELECT doc_id, unnest($toks) AS w FROM documents),
+    hh AS (SELECT doc_id,
+             CAST(CAST(('0x' || substr(md5('clf' || w), 1, 8)) AS BIGINT) % 3 AS INT) AS h
+           FROM tok),
+    cc AS (SELECT doc_id, h, count(*) AS c FROM hh GROUP BY 1, 2),
+    cv AS (SELECT d.doc_id,
+            CAST(COALESCE(MAX(CASE WHEN h = 0 THEN c END), 0) AS HUGEINT) AS c0,
+            CAST(COALESCE(MAX(CASE WHEN h = 1 THEN c END), 0) AS HUGEINT) AS c1,
+            CAST(COALESCE(MAX(CASE WHEN h = 2 THEN c END), 0) AS HUGEINT) AS c2,
+            CAST(CASE WHEN length(d.text) > 300 THEN 1 ELSE 0 END AS HUGEINT) AS y
+          FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id
+          GROUP BY d.doc_id, d.text),
+    m AS (SELECT
+            SUM(c0*c0) + 1 AS a00, SUM(c0*c1) AS a01, SUM(c0*c2) AS a02,
+            SUM(c1*c0) AS a10, SUM(c1*c1) + 1 AS a11, SUM(c1*c2) AS a12,
+            SUM(c2*c0) AS a20, SUM(c2*c1) AS a21, SUM(c2*c2) + 1 AS a22,
+            SUM(c0*y) AS b0, SUM(c1*y) AS b1, SUM(c2*y) AS b2
+          FROM cv),
+    dets AS (SELECT
+        a00*(a11*a22 - a12*a21) - a01*(a10*a22 - a12*a20) + a02*(a10*a21 - a11*a20) AS den,
+        b0 *(a11*a22 - a12*a21) - a01*(b1*a22 - a12*b2)   + a02*(b1*a21 - a11*b2)   AS n0,
+        a00*(b1*a22 - a12*b2)   - b0 *(a10*a22 - a12*a20) + a02*(a10*b2 - b1*a20)   AS n1,
+        a00*(a11*b2 - b1*a21)   - a01*(a10*b2 - b1*a20)   + b0 *(a10*a21 - a11*a20) AS n2
+      FROM m),
+    wt AS (SELECT CAST(bucket AS INT) AS bucket,
+        CAST(((2*abs(num)*1000000000 + abs(den)) // (2*abs(den)))
+          * (CASE WHEN (num < 0) <> (den < 0) THEN -1 ELSE 1 END) AS BIGINT) AS weight_nano
+      FROM (SELECT 0 AS bucket, n0 AS num, den FROM dets
+            UNION ALL SELECT 1, n1, den FROM dets
+            UNION ALL SELECT 2, n2, den FROM dets))"""
+
   val all: Map[String, String] = Map(
+    "text_classifier_train" -> s"""
+      WITH $clfCtes
+      SELECT bucket, weight_nano FROM wt""",
+
+    "text_classifier_score" -> s"""
+      WITH $clfCtes,
+      scored AS (SELECT hh.doc_id, count(*) AS n_tokens,
+                   SUM(wt.weight_nano) AS score_nano
+                 FROM hh JOIN wt ON hh.h = wt.bucket GROUP BY 1)
+      SELECT d.doc_id,
+        CAST(COALESCE(n_tokens, 0) AS BIGINT) AS n_tokens,
+        CAST(COALESCE(score_nano, 0) AS BIGINT) AS score_nano,
+        CAST(COALESCE(score_nano, 0) AS DOUBLE) / 1e9 AS score,
+        COALESCE(score_nano, 0) > 0 AS predicted
+      FROM documents d LEFT JOIN scored ON d.doc_id = scored.doc_id""",
+
     "dedup_exact" -> """
       SELECT md5(lower(text)) AS content_hash, MIN(doc_id) AS keep_id,
              COUNT(*) AS n_copies

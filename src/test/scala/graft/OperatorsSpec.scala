@@ -620,6 +620,86 @@ class OperatorsSpec extends AnyFunSuite {
     assert(segGot == segExp)
   }
 
+  test("classifierTrain ≡ a literal normal-equations reference; scores exact (r13)") {
+    import spark.implicits._
+    import java.math.BigInteger
+    val rnd = new scala.util.Random(41)
+    // separable synthetic corpus: label-1 docs are built from the "good"
+    // lexicon, label-0 docs from the "bad" one (some overlap via "mid")
+    val good = Seq("alpha", "beta", "gamma", "mid")
+    val bad = Seq("zog", "quux", "blorp", "mid")
+    val docsL = (0L until 40L).map { i =>
+      val lex = if (i % 2 == 0) good else bad
+      (i, Seq.fill(5 + rnd.nextInt(10))(lex(rnd.nextInt(lex.size))).mkString(" "),
+        (i % 2 == 0))
+    }
+    val d = docsL.map(t => (t._1, t._2)).toDF("doc_id", "text")
+    val (buckets, lambda, salt) = (4, 3L, "spec")
+    val got = TextAnalysis.classifierTrain(d, col("doc_id") % 2 === 0,
+        buckets, lambda, salt = salt).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // literal reference: same md5 bucket, plain-integer normal equations,
+    // Cramer via cofactor-expansion determinants over BigInteger
+    def bucketOf(w: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest((salt + w).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      (java.lang.Long.parseLong(hex, 16) % buckets).toInt
+    }
+    val feats = docsL.map { case (_, text, lab) =>
+      val c = new Array[Long](buckets)
+      text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        .foreach(w => c(bucketOf(w)) += 1)
+      (c, if (lab) 1L else 0L)
+    }
+    val a = Array.tabulate(buckets, buckets) { (i, j) =>
+      BigInteger.valueOf(
+        feats.map(f => f._1(i) * f._1(j)).sum + (if (i == j) lambda else 0L))
+    }
+    val b = Array.tabulate(buckets)(i =>
+      BigInteger.valueOf(feats.map(f => f._1(i) * f._2).sum))
+    def detRef(m: Array[Array[BigInteger]]): BigInteger =
+      if (m.length == 1) m(0)(0)
+      else m.indices.map { j =>
+        val minor = m.drop(1).map(row =>
+          row.indices.filter(_ != j).map(row).toArray)
+        val c = m(0)(j).multiply(detRef(minor))
+        if (j % 2 == 0) c else c.negate
+      }.reduce(_ add _)
+    val den = detRef(a)
+    val expected = (0 until buckets).map { j =>
+      val aj = a.map(_.clone)
+      (0 until buckets).foreach(i => aj(i)(j) = b(i))
+      val num = detRef(aj)
+      val mag = num.abs.multiply(BigInteger.TWO)
+        .multiply(BigInteger.valueOf(1000000000L)).add(den.abs)
+        .divide(den.abs.multiply(BigInteger.TWO))
+      j -> mag.longValueExact * (num.signum * den.signum)
+    }.toMap
+    assert(got == expected)
+    // scoring: exact integer dot product, and the learned model actually
+    // separates the synthetic classes
+    val w = got.toSeq
+    val scores = TextAnalysis.classifierScore(d, w, buckets, salt = salt,
+        thresholdNano = 500000000L).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("score_nano"), r.getAs[Boolean]("predicted")))).toMap
+    docsL.foreach { case (i, text, lab) =>
+      val c = new Array[Long](buckets)
+      text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        .foreach(ww => c(bucketOf(ww)) += 1)
+      val sn = (0 until buckets).map(j => c(j) * got(j)).sum
+      assert(scores(i)._1 == sn, s"doc $i")
+    }
+    val acc = docsL.count { case (i, _, lab) => scores(i)._2 == lab }
+    assert(acc >= 32, s"trained model should separate the classes, got $acc/40")
+    // singularity fails loudly instead of emitting garbage weights
+    intercept[IllegalArgumentException] {
+      TextAnalysis.classifierTrain(d.limit(0), col("doc_id") % 2 === 0,
+        buckets, lambda = 0L, salt = salt)
+    }
+  }
+
   test("hostCap exempts empty/null host keys into singleton groups (r12)") {
     import spark.implicits._
     val d = Seq(
