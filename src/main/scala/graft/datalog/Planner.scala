@@ -2892,6 +2892,12 @@ private final class Planner(spark: SparkSession, source: FactSource,
       val acc = scala.collection.mutable.Map[String, DataFrame]()
       var delta = Map[String, DataFrame]()
       var changed = true
+      // superseded acc checkpoints, released at end-of-round (r13
+      // uniformity with the dedup/graph fixpoints): a retired frame may
+      // still be aliased as the CURRENT round's delta (acc(rn) = fresh
+      // when the rule first derived), so release only frames that are,
+      // by reference, neither a live acc value nor a next-round delta
+      val retired = scala.collection.mutable.ListBuffer[DataFrame]()
       while (changed) {
         changed = false
         val newDelta = scala.collection.mutable.Map[String, DataFrame]()
@@ -2916,11 +2922,21 @@ private final class Planner(spark: SparkSession, source: FactSource,
             if (fresh.count() > 0) {
               newDelta(rn) = fresh
               acc(rn) = acc.get(rn)
-                .map(_.unionByName(fresh).localCheckpoint(true)).getOrElse(fresh)
+                .map { old =>
+                  retired += old
+                  old.unionByName(fresh).localCheckpoint(true)
+                }.getOrElse(fresh)
               changed = true
             } else if (!acc.contains(rn)) acc(rn) = fresh // derivable but empty
           }
         }
+        val live = (acc.values ++ newDelta.values)
+          .map(System.identityHashCode).toSet
+        (delta.values ++ retired).foreach { f =>
+          if (!live.contains(System.identityHashCode(f)))
+            graft.sources.SessionCache.release(f)
+        }
+        retired.clear()
         delta = newDelta.toMap
       }
       require(acc.contains(name),

@@ -1070,8 +1070,8 @@ object Dedup {
     * pre-filtered pairs are pulled through ONE LIMIT-bounded collect,
     * and while they fit `driverPairRows` the descent goes
     * DRIVER-RESIDENT — the minority pairs live on the driver (the same
-    * bounded-driver size route as [[connectedComponents]]' union-find;
-    * ~50 MB at the 2²⁰ default) and
+    * bounded-driver size route as [[connectedComponents]]' union-find)
+    * and
     * each round runs exactly ONE distributed probe: the round's needed
     * (doc, pos) keys broadcast into an inner hash join against the
     * cached rank frame ([[probeRanks]] — OperatorsSpec pins the plan:
@@ -1087,7 +1087,14 @@ object Dedup {
     * materializes — the caller owns them). */
   private[graft] def lcpDescent(pairs0: DataFrame, idx: SuffixIndex,
       minLen: Int, maxLen: Int,
-      driverPairRows: Long = 1L << 20): (DataFrame, Seq[DataFrame]) = {
+      // 2¹⁷ by construction, not 2²⁰: the driver route wins on per-job
+      // overhead while the per-round probe key set stays broadcast-cheap
+      // (≤ ~2·2¹⁷ keys ≈ a few MB); at ~10⁶ pairs the measured crossover
+      // flips — the per-round key broadcast + rank collect outweigh the
+      // shuffled cascade's exchanges (10× ProfilePipeline table in
+      // SCALE.md), so a duplication-heavy corpus routes to the shuffled
+      // form well before driver memory is at risk
+      driverPairRows: Long = 1L << 17): (DataFrame, Seq[DataFrame]) = {
     val j0 = math.min(
       63 - java.lang.Long.numberOfLeadingZeros(minLen.toLong),
       idx.k.toLong).toInt
@@ -1114,6 +1121,77 @@ object Dedup {
       val preCk = pre.localCheckpoint(true)
       (lcpDescentShuffled(preCk, idx, maxLen), Seq(preCk))
     }
+  }
+
+  /** Consecutive-pair extraction over a (sparse) SUBSET of suffix rows
+    * in global `_sa` order — the subset-adjacency primitive behind
+    * `onlyDocs`: the max LCP within a subset is attained at a
+    * subset-sort-adjacent position, and the subset's sort order is just
+    * the global `_sa` order filtered. ONE range exchange + sorted
+    * per-partition scans: each partition emits its internal consecutive
+    * pairs, and the per-partition first/last rows (≤1 row per partition,
+    * a bounded driver pull) bridge each partition's last row to the next
+    * non-empty partition's first. No global window task, no renumbering
+    * pass (r13: the first cut of this restriction renumbered the whole
+    * subset through one sort task — gratuitous at 10× volume). Returns
+    * (pairs, frames to release once the consumer materializes). */
+  private def adjacentInOrder(sub: DataFrame): (DataFrame, Seq[DataFrame]) = {
+    import scala.jdk.CollectionConverters._
+    val spark = sub.sparkSession
+    val n = spark.sessionState.conf.numShufflePartitions
+    val slim = sub.select(col("doc_id"), col("pos"), col("_sa"))
+    val ranged = slim.repartitionByRange(n, col("_sa"))
+      .sortWithinPartitions(col("_sa"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val idType = slim.schema("doc_id").dataType
+    val pairSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("da", idType),
+      org.apache.spark.sql.types.StructField("pa",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("db", idType),
+      org.apache.spark.sql.types.StructField("pb",
+        org.apache.spark.sql.types.IntegerType)))
+    val inner = ranged.mapPartitions { it =>
+      var has = false
+      var pd: Any = null
+      var pp = 0
+      it.flatMap { r =>
+        val d = r.get(0)
+        val p = r.getInt(1)
+        val out = if (has) Iterator(Row(pd, pp, d, p)) else Iterator.empty
+        pd = d; pp = p; has = true
+        out
+      }
+    }(org.apache.spark.sql.Encoders.row(pairSchema))
+    val edgeSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("pid",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("fd", idType),
+      org.apache.spark.sql.types.StructField("fp",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("ld", idType),
+      org.apache.spark.sql.types.StructField("lp",
+        org.apache.spark.sql.types.IntegerType)))
+    val bounds = ranged.mapPartitions { it =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val f = it.next()
+        val fd = f.get(0)
+        val fp = f.getInt(1)
+        var ld = fd
+        var lp = fp
+        while (it.hasNext) { val r = it.next(); ld = r.get(0); lp = r.getInt(1) }
+        Iterator(Row(pid, fd, fp, ld, lp))
+      }
+    }(org.apache.spark.sql.Encoders.row(edgeSchema)).collect()
+    // range partition index order IS _sa order: bridge each non-empty
+    // partition's last row to the next non-empty partition's first
+    val bridge = bounds.sortBy(_.getInt(0)).sliding(2).collect {
+      case Array(a, b) => Row(a.get(3), a.getInt(4), b.get(1), b.getInt(2))
+    }.toSeq
+    val bridgeDf = spark.createDataFrame(bridge.asJava, pairSchema)
+    (inner.unionByName(bridgeDf), Seq(ranged))
   }
 
   /** One descent probe: the (tiny) key set builds, the corpus-sized rank
@@ -1234,25 +1312,24 @@ object Dedup {
   private def exactDupSpansFromIndex(idx: SuffixIndex, minLen: Int,
       onlyDocs: Option[DataFrame]): DataFrame = {
     require(minLen >= 1, s"minLen must be >= 1 (got $minLen)")
-    val (sa, extra) = onlyDocs match {
-      case None => (idx.sa, Nil)
+    val (adjacent, extra) = onlyDocs match {
+      case None =>
+        // the full index's row numbers are contiguous — adjacency is a
+        // plain _sa-1 equi-join on the checkpointed SA
+        (idx.sa.select(col("_sa"), col("doc_id").as("da"),
+            col("pos").as("pa"))
+          .join(idx.sa.select((col("_sa") - 1).as("_sa"),
+            col("doc_id").as("db"), col("pos").as("pb")), Seq("_sa"))
+          .select(col("da"), col("pa"), col("db"), col("pb")), Nil)
       case Some(ids) =>
+        // subset adjacency WITHOUT renumbering: consecutive subset rows
+        // in global suffix order via one range exchange + per-partition
+        // sorted scans (no global window task, no renumber checkpoint);
+        // cross-partition neighbors bridge through a ≤1-row-per-
+        // partition driver pull
         val keep = ids.select(col(ids.columns.head).as("doc_id")).distinct()
-        val sub = idx.sa.join(keep, Seq("doc_id"), "left_semi")
-        val numbered = rowNumberBy(sub.select(col("doc_id"), col("pos"),
-          col("_sa").as("_sag")), Seq(col("_sag")), "_san", idx.small)
-        val ren = numbered.select(col("doc_id"), col("pos"),
-          col("_san").as("_sa")).localCheckpoint(true)
-        // no-op for the small route's lazy window; frees the large
-        // route's two-pass checkpoint
-        graft.sources.SessionCache.release(numbered)
-        (ren, Seq(ren))
+        adjacentInOrder(idx.sa.join(keep, Seq("doc_id"), "left_semi"))
     }
-    val adjacent = sa.select(col("_sa"), col("doc_id").as("da"),
-        col("pos").as("pa"))
-      .join(sa.select((col("_sa") - 1).as("_sa"), col("doc_id").as("db"),
-        col("pos").as("pb")), Seq("_sa"))
-      .select(col("da"), col("pa"), col("db"), col("pb"))
     val (clamped, rel) = lcpDescent(adjacent, idx, minLen, idx.maxLen)
     val both = clamped.select(col("da").as("doc_id"), col("pa").as("pos"),
         col("match_len"))

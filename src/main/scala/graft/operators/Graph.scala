@@ -170,6 +170,7 @@ object Graph {
           .toMap
       }
       eRdd.unpersist(blocking = false)
+      graft.sources.SessionCache.release(e)
       import scala.jdk.CollectionConverters._
       spark.createDataFrame(
         nodeIds.map(id => Row(id, ranks(id))).toList.asJava,
@@ -191,14 +192,21 @@ object Graph {
         val contribs = eDeg.join(ranks, eDeg("src") === ranks("id"))
           .select(col("dst").as("id"), expr("r div d").as("c"))
           .groupBy(col("id")).agg(sum(col("c")).as("c"))
-        ranks = nodesDf.join(contribs, Seq("id"), "left")
+        val next = nodesDf.join(contribs, Seq("id"), "left")
           .select(col("id"),
             (lit(base) + expr(s"(85 * coalesce(c, 0L)) div 100")).as("r"))
           // materialize each round: the plan would otherwise nest `iters`
           // joins deep and re-execute every prior round per action
           .localCheckpoint(true)
+        // the superseded round's checkpoint blocks are dead (r13
+        // uniformity: release, not unpersist — checkpoint RDD blocks);
+        // round 1's predecessor is a lazy plan, for which this is a no-op
+        graft.sources.SessionCache.release(ranks)
+        ranks = next
       }
-      ranks.select(col("id"), col("r").as("rank_pico"))
+      val out = ranks.select(col("id"), col("r").as("rank_pico"))
+      graft.sources.SessionCache.release(Seq(eDeg, nodesDf, e))
+      out
     }
   }
 
@@ -256,6 +264,7 @@ object Graph {
         dist = next
       }
       eRdd.unpersist(blocking = false)
+      graft.sources.SessionCache.release(e)
       import scala.jdk.CollectionConverters._
       spark.createDataFrame(
         dist.toList.map { case (id, d) => Row(id, d) }.asJava, distSchema)
@@ -265,10 +274,13 @@ object Graph {
       for (_ <- 0 until iters) {
         val stepped = e.join(dist, e("src") === dist("id"))
           .select(col("dst").as("id"), (col("d") + 1).as("d"))
-        dist = dist.unionByName(stepped)
+        val next = dist.unionByName(stepped)
           .groupBy(col("id")).agg(min(col("d")).as("d"))
           .localCheckpoint(true)
+        graft.sources.SessionCache.release(dist) // superseded round (r13)
+        dist = next
       }
+      graft.sources.SessionCache.release(e)
       dist
     }
   }
@@ -336,6 +348,7 @@ object Graph {
         lab = next
       }
       eRdd.unpersist(blocking = false)
+      graft.sources.SessionCache.release(e)
       import scala.jdk.CollectionConverters._
       spark.createDataFrame(
         nodeIds.map(id => Row(id, nodeIds(lab(id).toInt))).toList.asJava,
@@ -349,10 +362,13 @@ object Graph {
       for (_ <- 0 until iters) {
         val incoming = e.join(lab, e("src") === lab("id"))
           .select(col("dst").as("id"), col("lab"))
-        lab = lab.unionByName(incoming)
+        val next = lab.unionByName(incoming)
           .groupBy(col("id")).agg(min(col("lab")).as("lab"))
           .localCheckpoint(true)
+        graft.sources.SessionCache.release(lab) // superseded round (r13)
+        lab = next
       }
+      graft.sources.SessionCache.release(Seq(nodesDf, e))
       lab
     }
   }

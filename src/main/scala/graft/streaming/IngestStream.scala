@@ -1461,6 +1461,10 @@ object IngestStream {
         if (batchId % checkpointEvery == (checkpointEvery - 1)) {
           idxCache = idxCache.map(_.localCheckpoint())
           shCache = shCache.map(_.localCheckpoint())
+          // checkpoint blocks live on the checkpoint RDD, which plain
+          // unpersist never reaches — track them so the end-of-drain
+          // release (SessionCache.release) can free them too (r13)
+          pinned ++= idxCache; pinned ++= shCache; ()
         }
         }
         }
@@ -1470,8 +1474,9 @@ object IngestStream {
     // a pair is emitted once, by its later-arriving member's batch;
     // distinct guards the replayed-batch edge. The result reads the
     // durable pairs parquet, so it does NOT depend on the index blocks —
-    // release them before returning
-    pinned.foreach(_.unpersist())
+    // release them before returning (SessionCache.release: covers both
+    // the persisted deltas and the localCheckpoint'd fold frames, r13)
+    pinned.foreach(graft.sources.SessionCache.release)
     spark.read.parquet(pairsDir).distinct()
   }
 
