@@ -332,6 +332,58 @@ object TextAnalysis {
       size(split(trim(col("spaced")), " ")).cast("long").as("n_pieces"))
   }
 
+  /** Apply a merge table of ANY size in ONE projection per distinct word
+    * — Sennrich's actual apply_bpe loop (find the lowest-RANK pair
+    * present in the word, merge all its occurrences with the same greedy
+    * scan, repeat until none applies). Equivalent to [[bpeSegment]]'s
+    * rank-order replay: a merge only creates pairs that contain its own
+    * output symbol, and any pair containing that symbol was necessarily
+    * learned LATER (the symbol had to exist in the training vocabulary
+    * first), so the applicable-rank sequence is nondecreasing and each
+    * rank is exhausted exactly when the sequential replay would have
+    * exhausted it (OperatorsSpec pins the differential on trained
+    * merges). The plan is ONE UDF with the rank map in its closure —
+    * [[bpeSegment]]'s fold builds a merge-count-deep expression chain,
+    * fine at the gate's 4 merges and plan-explosive at a real
+    * tokenizer's 32k; this is the production encode path to pair with
+    * the size-routed [[bpeTrain]]. */
+  def bpeSegmentAll(docs: DataFrame, merges: Seq[(String, String)],
+      textCol: String = "text", wordPattern: String = "^[a-z]+$",
+      endMarker: String = "</w>"): DataFrame = {
+    require(endMarker.nonEmpty && !endMarker.contains(" "),
+      s"endMarker must be a non-empty space-free symbol (got '$endMarker')")
+    val mergeArr = merges.toArray
+    val rank: Map[(String, String), Int] =
+      mergeArr.iterator.zipWithIndex.map { case (p, i) => p -> i }.toMap
+    val segUdf = udf { (spaced: String) =>
+      var syms = spaced.trim.split(" ")
+      var done = syms.length < 2
+      while (!done) {
+        var best = Int.MaxValue
+        var i = 0
+        while (i + 1 < syms.length) {
+          val r = rank.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+          if (r < best) best = r
+          i += 1
+        }
+        if (best == Int.MaxValue) done = true
+        else {
+          val (l, r) = mergeArr(best)
+          syms = mergeSymsGreedy(syms, l, r)
+          if (syms.length < 2) done = true
+        }
+      }
+      syms
+    }
+    docs.select(explode(tokens(col(textCol))).as("word"))
+      .filter(col("word").rlike(wordPattern))
+      .distinct()
+      .withColumn("pieces", segUdf(concat(lit(" "),
+        regexp_replace(col("word"), "(.)", "$1 "), lit(endMarker + " "))))
+      .select(col("word"), col("pieces"),
+        size(col("pieces")).cast("long").as("n_pieces"))
+  }
+
   /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken 2003,
     * "Winnowing: Local Algorithms for Document Fingerprinting" — the
     * MOSS algorithm): hash every token `k`-gram, slide a window of `w`

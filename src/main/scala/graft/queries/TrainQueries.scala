@@ -530,7 +530,9 @@ object TrainQueries {
     // engine's greedy left-to-right scan)
     "text_bpe_train" -> ((s, dir) => bpeMerges(s, dir)),
 
-    // BPE encoding (r12): apply the learned merges (vocabulary trick —
+    // BPE encoding (r12; r13: the one-pass bpeSegmentAll — lowest-rank
+    // loop, one UDF for any merge count — differential-spec'd ≡ the
+    // per-merge replay): apply the learned merges (vocabulary trick —
     // once per distinct word) and count per-doc subword pieces; the
     // oracle's final vocab state after the same 4 replayed rounds IS the
     // segmentation, joined back to the token stream
@@ -538,7 +540,7 @@ object TrainQueries {
       val d = docs(s, dir)
       val merges = bpeMerges(s, dir).orderBy("rank")
         .collect().map(r => (r.getString(1), r.getString(2))).toSeq
-      val seg = TextAnalysis.bpeSegment(d, merges)
+      val seg = TextAnalysis.bpeSegmentAll(d, merges)
       d.select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("word"))
         .filter(col("word").rlike("^[a-z]+$"))
         .join(seg.select(col("word"), col("n_pieces")), Seq("word"))

@@ -54,11 +54,28 @@ object ProfileBpe {
     }
     // driver route: one vocabulary collect + in-driver incremental rounds
     var nGot = 0L
+    var trained: Array[(String, String)] = Array.empty
     val driverSec = time {
-      nGot = TextAnalysis.bpeTrain(corpus, numMerges = merges).count()
+      val t = TextAnalysis.bpeTrain(corpus, numMerges = merges)
+        .orderBy("rank").collect()
+      trained = t.map(r => (r.getString(1), r.getString(2)))
+      nGot = t.length.toLong
     }
     println(f"driver route:      $nGot%4d merges in ${driverSec}%7.2f s " +
       f"(${nGot / driverSec}%.0f merges/s incl. the one-off vocab collect)")
+    // encode with the learned table: the one-pass lowest-rank loop vs
+    // the per-merge replay chain (one UDF projection per merge — the
+    // plan itself grows with the merge count)
+    val onePassSec = time {
+      TextAnalysis.bpeSegmentAll(corpus, trained.toSeq)
+        .agg(sum(col("n_pieces"))).collect(); ()
+    }
+    val chainSec = time {
+      TextAnalysis.bpeSegment(corpus, trained.toSeq)
+        .agg(sum(col("n_pieces"))).collect(); ()
+    }
+    println(f"encode ${nGot}%4d merges: one-pass ${onePassSec}%.2f s vs " +
+      f"per-merge UDF chain ${chainSec}%.2f s")
     // distributed route (forced): one job cycle per merge — the r12 cost
     val distMerges = 4
     val distSec = time {

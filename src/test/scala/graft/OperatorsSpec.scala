@@ -618,6 +618,11 @@ class OperatorsSpec extends AnyFunSuite {
       (pieces.mkString.dropRight("</w>".length), pieces)
     }.toMap
     assert(segGot == segExp)
+    // one-pass apply (r13): bpeSegmentAll (lowest-rank-pair loop, one
+    // UDF for ANY merge count) ≡ the per-merge replay for every word
+    val segAll = TextAnalysis.bpeSegmentAll(d, got.map(m => (m._2, m._3)))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    assert(segAll == segGot)
   }
 
   test("classifierTrain ≡ a literal normal-equations reference; scores exact (r13)") {
