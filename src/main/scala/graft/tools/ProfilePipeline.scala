@@ -103,6 +103,28 @@ object ProfilePipeline {
         .filter(col("keep") && col("quality") > 0.2)
         .drop("keep", "quality")
     }
+    // 3b. trained quality classifier at 10× (r13) — the GPT-3 recipe:
+    //     heuristic labels → exact-ridge hashed linear model → score the
+    //     whole corpus; reported as fit+score wall and label agreement
+    //     (report-only: the pipeline's row flow stays the heuristic
+    //     filter so stage numbers compare across rounds)
+    locally {
+      val t0 = System.nanoTime()
+      val lab = TextAnalysis.qualityScore(lineDeduped)
+        .select(col("doc_id"), (col("quality") > 0.2).as("lab"))
+      val labeled = lineDeduped.select(col("doc_id"), col("text"))
+        .join(lab, Seq("doc_id"))
+      val w = TextAnalysis.classifierTrain(labeled, col("lab"), buckets = 16)
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+      val scored = TextAnalysis.classifierScore(labeled, w, buckets = 16,
+        thresholdNano = 500000000L)
+      val agree = scored.join(lab, Seq("doc_id"))
+        .filter(col("predicted") === col("lab")).count()
+      val n = lab.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val label = "trained classifier (fit + score)"
+      println(f"  $label%-34s ${sec}%7.2f s  -> agreement $agree/$n")
+    }
     // 4. exact dedup (keep the canonical copy of byte-identical docs)
     val exactDeduped = stage("exact dedup") {
       filtered.join(Dedup.exact(filtered)
