@@ -1123,6 +1123,43 @@ object Dedup {
     }
   }
 
+  /** Persist a [[SuffixIndex]] as parquet — the offline "build once,
+    * serve many" artifact lifecycle ([[Similarity.savePqIndex]]'s
+    * pattern): a large corpus builds its suffix index in one batch job
+    * and every later cut/decontamination/analysis run LOADS it instead
+    * of re-paying the dominant prefix-doubling build. Scheme-agnostic
+    * (plain spark.write — `s3a://`/`abfs://`/`gs://` work wherever a
+    * local path does). */
+  def saveSuffixIndex(idx: SuffixIndex, dir: String): Unit = {
+    val spark = idx.sa.sparkSession
+    import spark.implicits._
+    Seq((idx.k, idx.maxLen, idx.small)).toDF("k", "max_len", "small")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    idx.rounds.zipWithIndex.foreach { case (r, i) =>
+      r.write.mode("overwrite").parquet(s"$dir/round_$i")
+    }
+    idx.sa.write.mode("overwrite").parquet(s"$dir/sa")
+    idx.doclens.write.mode("overwrite").parquet(s"$dir/doclens")
+  }
+
+  /** Load a [[saveSuffixIndex]] artifact. The loaded frames are plain
+    * parquet scans — nothing is pinned (release() is a no-op) and every
+    * consumer works identically: the descent probes stream the
+    * parquet-backed rank frames the way they stream checkpoint blocks.
+    * A serving deployment that probes repeatedly caches the hot rounds
+    * itself (persist is the caller's lifecycle decision here, unlike
+    * the in-session build). */
+  def loadSuffixIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): SuffixIndex = {
+    val m = spark.read.parquet(s"$dir/meta").collect()(0)
+    val k = m.getInt(0)
+    SuffixIndex(
+      (0 to k).map(i => spark.read.parquet(s"$dir/round_$i")),
+      spark.read.parquet(s"$dir/sa"),
+      spark.read.parquet(s"$dir/doclens"),
+      k, m.getInt(1), m.getBoolean(2))
+  }
+
   /** Consecutive-pair extraction over a (sparse) SUBSET of suffix rows
     * in global `_sa` order — the subset-adjacency primitive behind
     * `onlyDocs`: the max LCP within a subset is attained at a

@@ -448,6 +448,19 @@ class OperatorsSpec extends AnyFunSuite {
     // sanity: the bench copies DID contaminate some corpus docs, and the
     // corpus-restricted spans must NOT include corpus-vs-bench-only matches
     assert(dedicatedDecon.exists(t => !t._2 && t._5))
+    // persistence round trip (r13): a saved+loaded index serves the
+    // identical spans and decontamination — the build-offline/serve-many
+    // lifecycle (the PQ-index pattern)
+    val idx2 = Dedup.buildSuffixIndex(all, maxLen)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_sufidx").toString
+    Dedup.saveSuffixIndex(idx2, dir2)
+    idx2.release()
+    val loaded = Dedup.loadSuffixIndex(spark, dir2)
+    assert(spanSet(loaded.dupSpans(minLen,
+      Some(corpus.select(col("doc_id"))))) == dedicated)
+    assert(loaded.decontaminate(all, col("doc_id") >= 100L, minLen).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSet == dedicatedDecon)
   }
 
   test("LCP descent: broadcast probe route ≡ shuffled route, zero exchanges (r13)") {
