@@ -808,9 +808,13 @@ object TextAnalysis {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val tok = docs.select(col(idCol).as("doc_id"),
       explode(tokens(col(textCol))).as("_w"))
+    // persisted: the Gram self-join references this aggregation twice
+    // and X^T y a third time — without the cache the corpus explode +
+    // count would run three times (released after the bounded pulls)
     val counts = tok
       .select(col("doc_id"), clfBucket(col("_w"), buckets, salt).as("_h"))
       .groupBy(col("doc_id"), col("_h")).agg(count(lit(1)).as("_c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lab = docs.select(col(idCol).as("doc_id"),
       coalesce(label.cast("long"), lit(0L)).as("_y"))
     val gram = counts.select(col("doc_id"), col("_h").as("_i"), col("_c").as("_ci"))
@@ -822,6 +826,7 @@ object TextAnalysis {
     val xty = counts.join(lab, Seq("doc_id"))
       .groupBy(col("_h")).agg(sum((col("_c") * col("_y")).cast(dec)).as("_b"))
       .collect() // bounded: ≤ buckets rows
+    graft.sources.SessionCache.release(counts)
     val a = Array.fill(buckets, buckets)(BigInteger.ZERO)
     gram.foreach { r =>
       a(r.getInt(0))(r.getInt(1)) = r.getDecimal(2).toBigInteger
