@@ -127,6 +127,9 @@ object Dedup {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         Some(lr.rdd.getNumPartitions)
       case _: LocalRelation => Some(1)
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union =>
+        val kids = u.children.map(walk)
+        if (kids.forall(_.isDefined)) Some(kids.flatten.sum) else None
       case rel: org.apache.spark.sql.execution.datasources.LogicalRelation =>
         rel.relation match {
           case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
@@ -139,7 +142,11 @@ object Dedup {
             val maxSplit = math.min(conf.filesMaxPartitionBytes,
               math.max(open, perCore))
             Some(math.max(1, math.ceil(total.toDouble / maxSplit).toInt))
-          case _ => None
+          // non-file relations (e.g. JDBC, often 1 partition — exactly
+          // the input that NEEDS the spread): a bare scan's physical
+          // planning is cheap, so pay the exact probe here rather than
+          // mis-guess "wide" (review catch)
+          case _ => Some(docs.rdd.getNumPartitions)
         }
       case _ => None
     }
@@ -975,7 +982,8 @@ object Dedup {
 
     /** Free the index's checkpoint blocks. The handle must not be used
       * afterwards (a localCheckpoint has no lineage to recompute from). */
-    def release(): Unit = graft.sources.SessionCache.release(rounds :+ sa)
+    def release(): Unit =
+      graft.sources.SessionCache.release(rounds :+ sa :+ doclens)
   }
 
   /** Build a [[SuffixIndex]] over `docs` — the shared offline artifact
@@ -1014,7 +1022,12 @@ object Dedup {
     // so no stage ever sorts the corpus in one task
     val small = base.limit(smallCorpusRows + 1).count() <= smallCorpusRows
     // equal sort keys share an order-preserving rank (dense_rank small /
-    // block-min global row number large — min is tie-order-invariant)
+    // block-min global row number large — min is tie-order-invariant).
+    // The large path's intermediate cumsum checkpoint (corpus-position-
+    // sized) is parked in `pending` and released as soon as the ROUND's
+    // own checkpoint materializes (review catch: it leaked K+1 block
+    // sets per large build — the defect class this round eliminates)
+    val pending = scala.collection.mutable.ListBuffer[DataFrame]()
     def rerank(df: DataFrame, byCols: Seq[String], out: String): DataFrame =
       if (small)
         df.withColumn(out, dense_rank().over(org.apache.spark.sql.expressions
@@ -1022,9 +1035,14 @@ object Dedup {
       else {
         val rn = Sampling.distributedCumSum(df, Seq.empty,
           byCols.map(col), lit(1L), "_rn")
+        pending += rn
         rn.join(rn.groupBy(byCols.map(col): _*).agg(min(col("_rn")).as(out)),
           byCols).drop("_rn")
       }
+    def flushPending(): Unit = {
+      pending.foreach(graft.sources.SessionCache.release)
+      pending.clear()
+    }
     val K = java.lang.Integer.numberOfTrailingZeros(maxLen) // 2^K = maxLen
     val rounds = scala.collection.mutable.ArrayBuffer[DataFrame]()
     // each round is CHECKPOINTED, not lazily persisted: a round's plan
@@ -1033,6 +1051,7 @@ object Dedup {
     // work by round K; a leaf per round keeps plans linear
     var cur = rerank(base, Seq("tok"), "r")
       .select(col("doc_id"), col("pos"), col("r")).localCheckpoint(true)
+    flushPending()
     rounds += cur
     for (k <- 1 to K) {
       val d = 1 << (k - 1)
@@ -1043,6 +1062,7 @@ object Dedup {
       cur = rerank(paired, Seq("r", "_r2"), "_rk")
         .select(col("doc_id"), col("pos"), col("_rk").as("r"))
         .localCheckpoint(true)
+      flushPending()
       rounds += cur
     }
     // SA order on the final ranks (ties broken by (doc, pos) — the
@@ -1053,8 +1073,12 @@ object Dedup {
     val sa0 = rowNumberBy(rounds.last,
       Seq(col("r"), col("doc_id"), col("pos")), "_sa", small)
     val sa = if (small) sa0.localCheckpoint(true) else sa0
+    // doclens is doc-count-sized but was a LAZY plan over the full
+    // corpus tokenization — every consumer of the build-once artifact
+    // re-paid a corpus scan for it (review catch); checkpoint it with
+    // the index and release it with the handle
     val doclens = toks.select(col("doc_id"),
-      size(col("_tk")).cast("long").as("_dl"))
+      size(col("_tk")).cast("long").as("_dl")).localCheckpoint(true)
     SuffixIndex(rounds.toSeq, sa, doclens, K, maxLen, small)
   }
 

@@ -205,7 +205,12 @@ object Graph {
         ranks = next
       }
       val out = ranks.select(col("id"), col("r").as("rank_pico"))
-      graft.sources.SessionCache.release(Seq(eDeg, nodesDf, e))
+      // nodesDf stays alive at iters = 0: the returned frame is then the
+      // lazy init plan OVER the nodesDf checkpoint, which has no lineage
+      // to recompute from (review catch — releasing it made the result
+      // throw 'Checkpoint block not found' on first action)
+      graft.sources.SessionCache.release(
+        if (iters > 0) Seq(eDeg, nodesDf, e) else Seq(eDeg, e))
       out
     }
   }
@@ -368,7 +373,10 @@ object Graph {
         graft.sources.SessionCache.release(lab) // superseded round (r13)
         lab = next
       }
-      graft.sources.SessionCache.release(Seq(nodesDf, e))
+      // same iters = 0 guard as pageRank: the init labels plan is lazy
+      // over the nodesDf checkpoint
+      graft.sources.SessionCache.release(
+        if (iters > 0) Seq(nodesDf, e) else Seq(e))
       lab
     }
   }

@@ -897,13 +897,18 @@ object TextAnalysis {
       buckets: Int = 8, idCol: String = "doc_id", textCol: String = "text",
       salt: String = "clf", thresholdNano: Long = 0L): DataFrame = {
     val wMap = weights.toMap
-    val tok = docs.select(col(idCol).as("doc_id"),
-      explode(tokens(col(textCol))).as("_w"))
-    val bucketCol = clfBucket(col("_w"), buckets, salt)
+    // bucket PROJECTED once, the weight CASE chain folds over the small
+    // int column — folding the md5/conv/pmod subtree into every WHEN
+    // branch risks up to `buckets` hash evaluations per token if
+    // subexpression elimination doesn't collapse the conditionals
+    // (review catch)
+    val perTok = docs.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("_w"))
+      .select(col("doc_id"), clfBucket(col("_w"), buckets, salt).as("_b"))
     val wOf = (0 until buckets).foldLeft(lit(0L)) { case (acc, j) =>
-      when(bucketCol === j, lit(wMap.getOrElse(j, 0L))).otherwise(acc)
+      when(col("_b") === j, lit(wMap.getOrElse(j, 0L))).otherwise(acc)
     }
-    val perDoc = tok.select(col("doc_id"), wOf.as("_wn"))
+    val perDoc = perTok.select(col("doc_id"), wOf.as("_wn"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"), sum(col("_wn")).as("score_nano"))
     docs.select(col(idCol).as("doc_id"))

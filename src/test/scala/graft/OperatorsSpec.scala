@@ -523,6 +523,16 @@ class OperatorsSpec extends AnyFunSuite {
     graft.sources.SessionCache.release(spans)
     assert(!persisted.contains(resultRddId(spans)))
 
+    // the LARGE route too (smallCorpusRows = 0 → every rank pass rides
+    // the two-pass machinery): the per-round cumsum checkpoints must
+    // flush as each round materializes, not leak K+1 block sets
+    val b3 = persisted
+    val spans2 = Dedup.exactDupSpans(d, minLen = 3, maxLen = 8,
+      smallCorpusRows = 0)
+    val leaked3 = (persisted -- b3) - resultRddId(spans2)
+    assert(leaked3.isEmpty, s"large-route blocks leaked: $leaked3")
+    graft.sources.SessionCache.release(spans2)
+
     // connectedComponents cluster path: superseded label rounds + the
     // edge cache released; only the final labels frame's blocks survive
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("d1", "d2")
@@ -532,6 +542,15 @@ class OperatorsSpec extends AnyFunSuite {
     assert(leaked2.isEmpty, s"label-round blocks leaked: $leaked2")
     graft.sources.SessionCache.release(cc)
     assert(!persisted.contains(resultRddId(cc)))
+
+    // iters = 0 on the graph cluster paths must return a USABLE frame:
+    // the init plan rides the nodesDf checkpoint, which must NOT be
+    // released in that case (review catch)
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    assert(graft.operators.Graph.pageRank(edges, iters = 0,
+      driverNodeLimit = 0L).count() == 3)
+    assert(graft.operators.Graph.minLabelComponents(edges, iters = 0,
+      driverNodeLimit = 0L).count() == 3)
   }
 
   test("decontaminateSubstr ≡ brute-force max-LCP-vs-benchmark (r12)") {
