@@ -448,6 +448,21 @@ class OperatorsSpec extends AnyFunSuite {
     // sanity: the bench copies DID contaminate some corpus docs, and the
     // corpus-restricted spans must NOT include corpus-vs-bench-only matches
     assert(dedicatedDecon.exists(t => !t._2 && t._5))
+    // SPARSE restriction (r13 review hardening): a subset small enough
+    // that most range partitions of the adjacency pass are EMPTY — the
+    // cross-partition bridge must skip empties, and within-doc repeats
+    // must still pair across them; differential vs a dedicated index
+    val sparseIds = Seq(0L, 9L)
+    val sparse = corpusL.filter(t => sparseIds.contains(t._1)).toDF("doc_id", "text")
+    locally {
+      val jointIdx = Dedup.buildSuffixIndex(all, maxLen)
+      assert(spanSet(jointIdx.dupSpans(minLen, Some(sparse.select(col("doc_id"))))) ==
+        spanSet(Dedup.exactDupSpans(sparse, minLen, maxLen)))
+      // empty restriction: no pairs, no crash, empty result
+      assert(jointIdx.dupSpans(minLen,
+        Some(Seq.empty[Long].toDF("doc_id"))).count() == 0)
+      jointIdx.release()
+    }
     // persistence round trip (r13): a saved+loaded index serves the
     // identical spans and decontamination — the build-offline/serve-many
     // lifecycle (the PQ-index pattern)
