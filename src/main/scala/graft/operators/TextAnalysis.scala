@@ -817,14 +817,17 @@ object TextAnalysis {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lab = docs.select(col(idCol).as("doc_id"),
       coalesce(label.cast("long"), lit(0L)).as("_y"))
+    // cast BEFORE the product (r13 ADVICE): the oracle multiplies in
+    // HUGEINT, so a Long×Long product here would silently overflow at
+    // per-doc bucket counts ~3e9 and diverge instead of failing
     val gram = counts.select(col("doc_id"), col("_h").as("_i"), col("_c").as("_ci"))
       .join(counts.select(col("doc_id"), col("_h").as("_j"), col("_c").as("_cj")),
         Seq("doc_id"))
       .groupBy(col("_i"), col("_j"))
-      .agg(sum((col("_ci") * col("_cj")).cast(dec)).as("_a"))
+      .agg(sum(col("_ci").cast(dec) * col("_cj").cast(dec)).as("_a"))
       .collect() // bounded: ≤ buckets² rows
     val xty = counts.join(lab, Seq("doc_id"))
-      .groupBy(col("_h")).agg(sum((col("_c") * col("_y")).cast(dec)).as("_b"))
+      .groupBy(col("_h")).agg(sum(col("_c").cast(dec) * col("_y").cast(dec)).as("_b"))
       .collect() // bounded: ≤ buckets rows
     graft.sources.SessionCache.release(counts)
     val a = Array.fill(buckets, buckets)(BigInteger.ZERO)
