@@ -89,6 +89,14 @@ object TrainQueries {
   private def decontamIdx(s: SparkSession, dir: String): Dedup.SuffixIndex =
     suffixIdxCache.getOrBuild((s, dir, "decontam"))(
       Dedup.buildSuffixIndex(decontamSubstrDocs(s, dir), maxLen = 16))
+  /** CORPUS-ONLY index for the external-pattern gate (r14): the
+    * benchmark docs are deliberately absent from the build — the gate
+    * exercises the benchmark-refresh serving path. */
+  private def decontamExtIdx(s: SparkSession, dir: String): Dedup.SuffixIndex =
+    suffixIdxCache.getOrBuild((s, dir, "decontam_ext"))(
+      Dedup.buildSuffixIndex(
+        decontamSubstrDocs(s, dir).filter(col("doc_id") % 85 =!= 0),
+        maxLen = 16))
 
   /** Trained-classifier weight artifact (r13 judge ask #5) — fit once
     * per (session, dir), scored everywhere: the classifierTrain result
@@ -506,6 +514,19 @@ object TrainQueries {
     "text_decontam_substr" -> ((s, dir) =>
       decontamIdx(s, dir).decontaminate(decontamSubstrDocs(s, dir),
         col("doc_id") % 85 === 0, minLen = 5)),
+
+    // EXTERNAL-pattern decontamination (r14): the benchmark is NOT in
+    // the index — the corpus-only suffix index serves a benchmark that
+    // arrived after the build (rank-space fingerprint probes + the
+    // prefilter-as-pairing scan), so a benchmark refresh costs a
+    // bench-driven query instead of a corpus index rebuild. Same doc
+    // decorations as text_decontam_substr; the oracle is the same brute
+    // max-LCP replay restricted to corpus rows, so external ≡ joint is
+    // ALSO pinned hash-exactly at the gate level
+    "text_decontam_external" -> ((s, dir) =>
+      decontamExtIdx(s, dir).decontaminateExternal(
+        decontamSubstrDocs(s, dir).filter(col("doc_id") % 85 === 0),
+        minLen = 5)),
 
     // Gopher line-shape signals (r12): bullet-line and ellipsis-line
     // ratios + the drop rule; the fixture is single-line, so decorate
@@ -1427,6 +1448,50 @@ object TrainSql {
                   ELSE COALESCE(h.max_m, 0) END AS BIGINT) AS max_match,
         (NOT t.is_benchmark AND COALESCE(h.n_hit, 0) > 0) AS contaminated
       FROM t LEFT JOIN hits h USING (doc_id)""",
+
+    // external-pattern variant (r14): the SAME brute corpus×benchmark
+    // max-LCP replay — the oracle does not care whether the engine had
+    // the benchmark in its index, which is exactly the point: the
+    // index-free external query must reproduce the joint-build answer
+    // on corpus rows, bit for bit
+    "text_decontam_external" -> s"""
+      WITH t0 AS (SELECT doc_id, (doc_id % 85 = 0) AS is_benchmark,
+             CASE WHEN doc_id % 3 = 0
+                  THEN text || ' the quick brown fox jumps over the lazy dog again'
+                  WHEN doc_id % 3 = 1 AND doc_id % 85 <> 0
+                  THEN text || ' many hands make light work when the day is long'
+                  ELSE text END AS text
+           FROM documents WHERE doc_id % 17 = 0),
+      t AS (SELECT doc_id, is_benchmark, $toks AS tk FROM t0),
+      p0 AS (SELECT doc_id, is_benchmark, unnest(range(len(tk))) AS pos, tk FROM t),
+      p1 AS (SELECT doc_id, is_benchmark, CAST(pos AS INT) AS pos,
+               tk[CAST(pos AS INT) + 1] AS tok1,
+               array_to_string(tk[pos+1:least(pos+16, len(tk))], ' ') || ' ' AS suf
+             FROM p0),
+      pr AS (SELECT c.doc_id AS da, c.pos AS pa, c.suf AS sufa, b.suf AS sufb
+             FROM (SELECT * FROM p1 WHERE NOT is_benchmark) c
+             JOIN (SELECT * FROM p1 WHERE is_benchmark) b ON c.tok1 = b.tok1),
+      l AS (SELECT da, pa, sufa,
+              COALESCE(NULLIF(list_position(list_transform(
+                  range(1, least(len(sufa), len(sufb)) + 1),
+                  i -> substr(sufa, CAST(i AS INT), 1) = substr(sufb, CAST(i AS INT), 1)),
+                false), 0) - 1,
+                least(len(sufa), len(sufb))) AS clcp
+            FROM pr),
+      tl AS (SELECT da, pa,
+               len(substr(sufa, 1, CAST(clcp AS INT))) -
+               len(replace(substr(sufa, 1, CAST(clcp AS INT)), ' ', '')) AS tlcp
+             FROM l),
+      perpos AS (SELECT da, pa, LEAST(MAX(tlcp), 16) AS m
+                 FROM tl GROUP BY da, pa),
+      hits AS (SELECT da AS doc_id, count(*) AS n_hit, MAX(m) AS max_m
+               FROM perpos WHERE m >= 5 GROUP BY da)
+      SELECT t.doc_id,
+        CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit_positions,
+        CAST(COALESCE(h.max_m, 0) AS BIGINT) AS max_match,
+        (COALESCE(h.n_hit, 0) > 0) AS contaminated
+      FROM (SELECT doc_id FROM t WHERE NOT is_benchmark) t
+      LEFT JOIN hits h USING (doc_id)""",
 
     "text_token_count" -> s"""
       WITH d AS (SELECT doc_id, text,
