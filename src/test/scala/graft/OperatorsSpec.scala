@@ -838,6 +838,56 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("wide classifier: CG route ≈ exact route, bit-reproducible, separates (r14)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(47)
+    val good = Seq("alpha", "beta", "gamma", "delta", "mid")
+    val bad = Seq("zog", "quux", "blorp", "wibble", "mid")
+    val docsL = (0L until 60L).map { i =>
+      val lex = if (i % 2 == 0) good else bad
+      (i, Seq.fill(6 + rnd.nextInt(12))(lex(rnd.nextInt(lex.size))).mkString(" "))
+    }
+    val d = docsL.toDF("doc_id", "text")
+    val lab = col("doc_id") % 2 === 0
+    // differential on a small system: CG converges to the exact ridge
+    // solution (SPD system, iterations > dimension) — weight_nanos agree
+    // to ≤ 2 nano (the two paths quantize differently: half-away exact
+    // integer vs rint on the converged double)
+    val exact = TextAnalysis.classifierTrain(d, lab, buckets = 8,
+        lambda = 3L, salt = "w", solver = "exact").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val cg = TextAnalysis.classifierTrain(d, lab, buckets = 8,
+        lambda = 3L, salt = "w", solver = "cg").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(exact.keySet == cg.keySet)
+    exact.foreach { case (j, w) =>
+      assert(math.abs(w - cg(j)) <= 2L, s"bucket $j: exact $w vs cg ${cg(j)}")
+    }
+    // the determinism contract at production width: retraining the SAME
+    // corpus under a different partitioning reproduces every weight BIT
+    // FOR BIT (exact-integer Gram + sorted assembly + fixed-order
+    // driver arithmetic)
+    val W = 4096
+    val w1 = TextAnalysis.classifierTrain(d, lab, buckets = W, lambda = 1L)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val w2 = TextAnalysis.classifierTrain(d.repartition(13, col("doc_id")),
+        lab, buckets = W, lambda = 1L)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    assert(w1.sameElements(w2))
+    // ...and the wide model separates the classes through the size-routed
+    // broadcast-join scorer (the CASE chain is capped at 64)
+    val scores = TextAnalysis.classifierScore(d, w1.toSeq, buckets = W,
+        thresholdNano = 500000000L).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("predicted")).toMap
+    val acc = docsL.count { case (i, _) => scores(i) == (i % 2 == 0) }
+    assert(acc >= 54, s"wide model should separate the classes, got $acc/60")
+    // solver guard rails: unknown solver + exact past its width both loud
+    intercept[IllegalArgumentException](
+      TextAnalysis.classifierTrain(d, lab, buckets = 8, solver = "nope"))
+    intercept[IllegalArgumentException](
+      TextAnalysis.classifierTrain(d, lab, buckets = 65, solver = "exact"))
+  }
+
   test("hostCap exempts empty/null host keys into singleton groups (r12)") {
     import spark.implicits._
     val d = Seq(
