@@ -1346,10 +1346,14 @@ object Dedup {
     * Query cost is bench-driven: K+1 bounded map probes + one streamed
     * narrow scan of round j0 + descent over the matched minority —
     * against the joint rebuild's K+1 corpus rank rounds + global sort
-    * (SCALE.md measures the refresh-cost gap at 10×). Output: one row
-    * per INDEXED doc — (doc_id, n_hit_positions, max_match,
-    * contaminated), the corpus-arm schema of [[decontaminateSubstr]];
-    * OperatorsSpec pins external ≡ joint-build on the same data. */
+    * (SCALE.md measures the refresh-cost gap at 10×). Driver footprint:
+    * the fingerprint levels hold (K+2)·8 bytes per benchmark position —
+    * ~240 MB at the default 2²² cap with maxLen 128 — the same
+    * eval-set-bounded-driver contract as the joint build's sorted
+    * row-number pull. Output: one row per INDEXED doc — (doc_id,
+    * n_hit_positions, max_match, contaminated), the corpus-arm schema
+    * of [[decontaminateSubstr]]; OperatorsSpec pins external ≡
+    * joint-build on the same data. */
   def decontaminateExternal(idx: SuffixIndex, bench: DataFrame, minLen: Int,
       benchIdCol: String = "doc_id", benchTextCol: String = "text",
       maxBenchPositions: Int = 1 << 22,
