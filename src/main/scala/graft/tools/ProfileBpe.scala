@@ -70,12 +70,22 @@ object ProfileBpe {
       TextAnalysis.bpeSegmentAll(corpus, trained.toSeq)
         .agg(sum(col("n_pieces"))).collect(); ()
     }
-    val chainSec = time {
-      TextAnalysis.bpeSegment(corpus, trained.toSeq)
-        .agg(sum(col("n_pieces"))).collect(); ()
-    }
-    println(f"encode ${nGot}%4d merges: one-pass ${onePassSec}%.2f s vs " +
-      f"per-merge UDF chain ${chainSec}%.2f s")
+    println(f"encode ${nGot}%5d merges: one-pass ${onePassSec}%.2f s")
+    // the per-merge chain contrast only at widths its plan survives: the
+    // fold builds a merge-count-deep expression tree — Catalyst's
+    // recursive transforms StackOverflow around a few thousand levels
+    // (measured at 21k merges), which IS the r13 finding the one-pass
+    // path exists for; measure the contrast where it can run at all
+    if (nGot <= 512) {
+      val chainSec = time {
+        TextAnalysis.bpeSegment(corpus, trained.toSeq)
+          .agg(sum(col("n_pieces"))).collect(); ()
+      }
+      println(f"encode ${nGot}%5d merges: per-merge UDF chain ${chainSec}%.2f s")
+    } else
+      println(f"encode ${nGot}%5d merges: per-merge UDF chain SKIPPED — " +
+        "the merge-count-deep plan StackOverflows Catalyst's recursive " +
+        "transforms at this width (the failure mode bpeSegmentAll removes)")
     // distributed route (forced): one job cycle per merge — the r12 cost
     val distMerges = 4
     val distSec = time {

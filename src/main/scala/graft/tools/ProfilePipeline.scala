@@ -12,11 +12,14 @@ import graft.operators.{Dedup, Sampling, Similarity, TextAnalysis}
   * stage's checkpointed frame; nothing re-derives upstream work).
   *
   * Chain (the C4/CCNet/RefinedWeb order): URL canonicalization +
-  * host-frequency cap → line-level dedup → quality/C4 filters → exact
-  * dedup → ExactSubstr span cut (suffix-array pass, r12 — before
+  * host-frequency cap → line-level dedup → quality/C4 filters →
+  * classifier fit on a takeTokens-budgeted label sample + corpus score
+  * + filter (4096-bucket CG, r14 — train→score→cut as one chain) →
+  * exact dedup → ExactSubstr span cut (suffix-array pass, r12 — before
   * MinHash so universal boilerplate can't skew near-dup similarity) →
-  * MinHash-LSH near-dup clustering (keep canonical) → mixture weights →
-  * per-source token-budget cut; then the SEMANTIC leg (r12)
+  * benchmark-refresh A/B (r14: external query over the saved artifact
+  * vs joint rebuild) → MinHash-LSH near-dup clustering (keep canonical)
+  * → mixture weights → per-source token-budget cut; then the SEMANTIC leg (r12)
   * at the same 10× volume: embedding inflation → SemDeDup
   * (keep-the-outlier) → IVF-PQ decontamination-style probe of an eval
   * set against the deduped corpus. Also prints the r12 one-source A/B:
@@ -103,31 +106,53 @@ object ProfilePipeline {
         .filter(col("keep") && col("quality") > 0.2)
         .drop("keep", "quality")
     }
-    // 3b. trained quality classifier at 10× (r13) — the GPT-3 recipe:
-    //     heuristic labels → exact-ridge hashed linear model → score the
-    //     whole corpus; reported as fit+score wall and label agreement
-    //     (report-only: the pipeline's row flow stays the heuristic
-    //     filter so stage numbers compare across rounds)
+    // 3b. trained quality classifier at 10× — r14: PRODUCTION width
+    //     (4096 hashed features through the size-routed CG solve) and IN
+    //     the chain (r13 ask #6): the LABEL SOURCE is a token-budgeted
+    //     sample drawn through takeTokens (real pipelines label a small
+    //     budgeted subset, not the corpus), the fit runs on that sample,
+    //     the model scores the full filtered corpus, and its predictions
+    //     gate what flows into dedup and the final budget cut —
+    //     train → score → cut as one chain. Labels: top-half quality
+    //     (median split → genuinely mixed classes).
+    val tClf = System.nanoTime()
+    val labelSample = Sampling.takeTokens(
+        lineDeduped.withColumn("source", lit("all")),
+        Map("all" -> 400000L))
+      .filter(col("kept")).select(col("doc_id"))
+      .join(lineDeduped.select(col("doc_id"), col("text")), Seq("doc_id"))
+    val qScores = TextAnalysis.qualityScore(labelSample)
+      .select(col("doc_id"), col("quality"))
+    val qMed = qScores.stat.approxQuantile("quality", Array(0.5), 0.001)(0)
+    val clfLab = qScores.select(col("doc_id"), (col("quality") > qMed).as("lab"))
+    val clfLabeled = labelSample.join(clfLab, Seq("doc_id"))
+    val clfW = TextAnalysis.classifierTrain(clfLabeled, col("lab"),
+        buckets = 4096)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val clfFitSec = (System.nanoTime() - tClf) / 1e9
+    totalSec += clfFitSec
     locally {
-      val t0 = System.nanoTime()
-      val lab = TextAnalysis.qualityScore(lineDeduped)
-        .select(col("doc_id"), (col("quality") > 0.2).as("lab"))
-      val labeled = lineDeduped.select(col("doc_id"), col("text"))
-        .join(lab, Seq("doc_id"))
-      val w = TextAnalysis.classifierTrain(labeled, col("lab"), buckets = 16)
-        .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
-      val scored = TextAnalysis.classifierScore(labeled, w, buckets = 16,
-        thresholdNano = 500000000L)
-      val agree = scored.join(lab, Seq("doc_id"))
+      val agree = TextAnalysis.classifierScore(clfLabeled, clfW,
+          buckets = 4096, thresholdNano = 500000000L)
+        .join(clfLab, Seq("doc_id"))
         .filter(col("predicted") === col("lab")).count()
-      val n = lab.count()
-      val sec = (System.nanoTime() - t0) / 1e9
-      val label = "trained classifier (fit + score)"
-      println(f"  $label%-34s ${sec}%7.2f s  -> agreement $agree/$n")
+      val n = clfLab.count()
+      val label = "classifier fit (4096, budget sample)"
+      println(f"  $label%-36s ${clfFitSec}%7.2f s  -> sample agreement $agree/$n")
+    }
+    // 3c. the trained model scores the FULL filtered corpus (same raw-
+    //     text distribution it was fit on — scoring precedes the span
+    //     cut, the GPT-3 order) and its predictions gate the rest of
+    //     the pipeline
+    val clfKept = stage("classifier score + filter (4096)") {
+      filtered.join(
+        TextAnalysis.classifierScore(filtered, clfW, buckets = 4096,
+            thresholdNano = 500000000L)
+          .filter(col("predicted")).select(col("doc_id")), Seq("doc_id"))
     }
     // 4. exact dedup (keep the canonical copy of byte-identical docs)
     val exactDeduped = stage("exact dedup") {
-      filtered.join(Dedup.exact(filtered)
+      clfKept.join(Dedup.exact(clfKept)
           .select(col("keep_id").as("doc_id")), Seq("doc_id"))
     }
     // 4b. SHARED suffix index (r13): ONE prefix-doubling build over
@@ -174,6 +199,51 @@ object ProfilePipeline {
         .filter(col("contaminated"))
     }
     idx.release()
+    // ---- benchmark-refresh A/B (r14 ask #1): a NEW eval set arrives
+    // AFTER the corpus index was built. Option A re-pays the joint
+    // corpus∪bench build (the only r13 path); option B queries the SAVED
+    // corpus-only artifact with decontaminateExternal. The artifact's
+    // one-time cost (build + save incl. vocab/pairmap derivation) is
+    // printed separately — it amortizes over every later refresh AND
+    // every other index consumer.
+    locally {
+      def time(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val disclaimer = "disclaimer: this content is provided as is without" +
+        " warranty of any kind either express or implied including fitness" +
+        " for a particular purpose"
+      val bench2 = exactDeduped.filter(col("doc_id") % 503 === 0)
+        .select((col("doc_id") + 2000000000L).as("doc_id"),
+          concat(lit("fresh eval: "),
+            regexp_replace(col("text"), disclaimer, "")).as("text"))
+      val corpusOnly = exactDeduped.select(col("doc_id"), col("text"))
+      var idxC: Dedup.SuffixIndex = null
+      val buildSec = time { idxC = Dedup.buildSuffixIndex(corpusOnly, maxLen = 16) }
+      val saveDir = java.nio.file.Files
+        .createTempDirectory("graft_sufidx10x").toString
+      val saveSec = time { Dedup.saveSuffixIndex(idxC, saveDir) }
+      idxC.release()
+      var extN = 0L
+      val extSec = time {
+        val loaded = Dedup.loadSuffixIndex(spark, saveDir)
+        extN = loaded.decontaminateExternal(bench2, minLen = 16)
+          .filter(col("contaminated")).count()
+      }
+      var jointN = 0L
+      val jointSec = time {
+        val all2 = corpusOnly.unionByName(bench2)
+        val j = Dedup.buildSuffixIndex(all2, maxLen = 16)
+        jointN = j.decontaminate(all2, col("doc_id") >= 2000000000L,
+          minLen = 16).filter(col("contaminated")).count()
+        j.release()
+      }
+      println(f"  benchmark-refresh A/B: artifact one-time ${buildSec}%.2f s" +
+        f" build + ${saveSec}%.2f s save; refresh = external query" +
+        f" ${extSec}%.2f s vs joint rebuild ${jointSec}%.2f s" +
+        f" ($extN vs $jointN contaminated" +
+        (if (extN == jointN) ", identical)" else ", MISMATCH)"))
+    }
     val afterCut = spanCut.drop("n_removed")
       .join(decon.select(col("doc_id")), Seq("doc_id"), "left_anti")
     // 5. near-dup clustering, keep canonical per cluster
@@ -194,9 +264,10 @@ object ProfilePipeline {
     // budget-true total: the straddler doc counts at its truncate_to,
     // not its full length — summing raw n_tokens would overstate the
     // budgeted corpus by up to one doc per source
-    val tokens = cut.agg(sum(
+    val tokensRow = cut.agg(sum(
       when(col("truncate_to") > 0, col("truncate_to")).otherwise(col("n_tokens"))))
-      .collect()(0).getLong(0)
+      .collect()(0)
+    val tokens = if (tokensRow.isNullAt(0)) 0L else tokensRow.getLong(0)
 
     // ---- semantic leg (r12): embeddings at the same 10× volume ----
     // copies c>0 nudge ONE dimension by a copy-dependent delta: each
