@@ -1031,6 +1031,16 @@ object Dedup {
       Dedup.decontaminateExternal(this, bench, minLen, benchIdCol,
         benchTextCol, maxBenchPositions)
 
+    /** [[Dedup.cutExternal]] over this index: REMOVE the ≥ minLen
+      * benchmark-matching spans from the indexed corpus (the edit form
+      * of external decontamination). Does not release. */
+    def cutExternal(docs: DataFrame, bench: DataFrame, minLen: Int,
+        idCol: String = "doc_id", textCol: String = "text",
+        benchIdCol: String = "doc_id", benchTextCol: String = "text",
+        maxBenchPositions: Int = 1 << 22): DataFrame =
+      Dedup.cutExternal(this, docs, bench, minLen, idCol, textCol,
+        benchIdCol, benchTextCol, maxBenchPositions)
+
     /** Free the index's checkpoint blocks. The handle must not be used
       * afterwards (a localCheckpoint has no lineage to recompute from). */
     def release(): Unit =
@@ -1358,6 +1368,54 @@ object Dedup {
       benchIdCol: String = "doc_id", benchTextCol: String = "text",
       maxBenchPositions: Int = 1 << 22,
       driverPairRows: Long = 1L << 17): DataFrame = {
+    val spans = externalMatchSpans(idx, bench, minLen, benchIdCol,
+      benchTextCol, maxBenchPositions, driverPairRows)
+    val perDoc = spans
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("_nh"), max(col("match_len")).as("_mm"))
+    val out = idx.doclens.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("_nh"), lit(0L)).as("n_hit_positions"),
+        coalesce(col("_mm"), lit(0L)).as("max_match"),
+        (coalesce(col("_nh"), lit(0L)) > 0).as("contaminated"))
+    materializeAndRelease(out, spans)
+  }
+
+  /** Decontamination as the TEXT EDIT (Lee et al. §6.2 applied the way
+    * their released tool applies §4.1): REMOVE every corpus token span
+    * that matches the external benchmark for ≥ minLen tokens, instead
+    * of only flagging the doc — the surgical alternative to dropping a
+    * 10k-token document over one leaked eval sentence. Spans come from
+    * the same rank-space external query as [[decontaminateExternal]]
+    * (benchmark NOT in the index); the rebuild is [[cutDupSpans]]'
+    * interval-union + touched-docs-only machinery. `docs` must be the
+    * indexed corpus (same loud doc-count guard as [[SuffixIndex.cut]]).
+    * Output: (doc_id, n_tokens, n_removed, text_dedup) — text_dedup in
+    * the tokenizer's normal form, one row per corpus doc. */
+  def cutExternal(idx: SuffixIndex, docs: DataFrame, bench: DataFrame,
+      minLen: Int, idCol: String = "doc_id", textCol: String = "text",
+      benchIdCol: String = "doc_id", benchTextCol: String = "text",
+      maxBenchPositions: Int = 1 << 22): DataFrame = {
+    val n = docs.select(col(idCol)).distinct().count()
+    require(n == idx.nDocs,
+      s"cutExternal: the index was built over ${idx.nDocs} docs but `docs` " +
+        s"has $n — pass exactly the indexed corpus")
+    val spans = externalMatchSpans(idx, bench, minLen, benchIdCol,
+      benchTextCol, maxBenchPositions)
+    val out = cutWithSpans(docs, spans, idCol, textCol)
+    materializeAndRelease(out, spans)
+  }
+
+  /** The external query's core: per corpus position, the max LCP
+    * against any benchmark position, kept at ≥ minLen — (doc_id, pos,
+    * match_len), a checkpoint the caller releases. Shared by the flag
+    * aggregation ([[decontaminateExternal]]) and the edit
+    * ([[cutExternal]]). */
+  private def externalMatchSpans(idx: SuffixIndex, bench: DataFrame,
+      minLen: Int, benchIdCol: String = "doc_id",
+      benchTextCol: String = "text", maxBenchPositions: Int = 1 << 22,
+      driverPairRows: Long = 1L << 17): DataFrame = {
     import scala.jdk.CollectionConverters._
     require(minLen >= 1 && minLen <= idx.maxLen,
       s"minLen must be in [1, ${idx.maxLen}] (got $minLen)")
@@ -1573,20 +1631,24 @@ object Dedup {
           .select(col("da"), col("pa"), col("match_len"))
         (out, Seq(preCk))
       }
-    val allIds = idx.doclens.select(col("doc_id"))
-    if (clamped == null)
-      return allIds.select(col("doc_id"), lit(0L).as("n_hit_positions"),
-        lit(0L).as("max_match"), lit(false).as("contaminated"))
-    val perDoc = clamped
-      .groupBy(col("da"), col("pa")).agg(max(col("match_len")).as("_m"))
-      .filter(col("_m") >= minLen)
-      .groupBy(col("da").as("doc_id"))
-      .agg(count(lit(1)).as("_nh"), max(col("_m")).as("_mm"))
-    val out = allIds.join(perDoc, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("_nh"), lit(0L)).as("n_hit_positions"),
-        coalesce(col("_mm"), lit(0L)).as("max_match"),
-        (coalesce(col("_nh"), lit(0L)) > 0).as("contaminated"))
+    if (clamped == null) {
+      // empty/unmatchable benchmark: a (doc_id, pos, match_len)-shaped
+      // empty frame so every consumer aggregates/joins uniformly
+      val emptySchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          idx.doclens.schema("doc_id").dataType),
+        org.apache.spark.sql.types.StructField("pos",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("match_len",
+          org.apache.spark.sql.types.LongType)))
+      return spark.createDataFrame(
+        java.util.Collections.emptyList[Row](), emptySchema)
+        .localCheckpoint(true)
+    }
+    val out = clamped
+      .groupBy(col("da").as("doc_id"), col("pa").as("pos"))
+      .agg(max(col("match_len")).as("match_len"))
+      .filter(col("match_len") >= minLen)
     materializeAndRelease(out, rel: _*)
   }
 

@@ -528,6 +528,18 @@ object TrainQueries {
         decontamSubstrDocs(s, dir).filter(col("doc_id") % 85 === 0),
         minLen = 5)),
 
+    // external decontamination as the TEXT EDIT (r14): remove every
+    // ≥5-token benchmark-matching span from the corpus — the surgical
+    // alternative to dropping whole contaminated docs; same corpus-only
+    // index and external benchmark as text_decontam_external, oracle =
+    // the same brute spans feeding the cut replay's interval-union +
+    // ordered rebuild
+    "text_cut_external" -> ((s, dir) =>
+      decontamExtIdx(s, dir).cutExternal(
+        decontamSubstrDocs(s, dir).filter(col("doc_id") % 85 =!= 0),
+        decontamSubstrDocs(s, dir).filter(col("doc_id") % 85 === 0),
+        minLen = 5)),
+
     // Gopher line-shape signals (r12): bullet-line and ellipsis-line
     // ratios + the drop rule; the fixture is single-line, so decorate
     // deterministically — %11 docs become bullet-dominated (10/11 > 0.9,
@@ -1530,6 +1542,59 @@ object TrainSql {
         (COALESCE(h.n_hit, 0) > 0) AS contaminated
       FROM (SELECT doc_id FROM t WHERE NOT is_benchmark) t
       LEFT JOIN hits h USING (doc_id)""",
+
+    // the EDIT form: the same brute external spans (per-position max
+    // token-LCP vs bench, capped at 16) feed the cut replay — interval
+    // union by covered-position DISTINCT, anti-join, ordered rebuild
+    "text_cut_external" -> s"""
+      WITH t0 AS (SELECT doc_id, (doc_id % 85 = 0) AS is_benchmark,
+             CASE WHEN doc_id % 3 = 0
+                  THEN text || ' the quick brown fox jumps over the lazy dog again'
+                  WHEN doc_id % 3 = 1 AND doc_id % 85 <> 0
+                  THEN text || ' many hands make light work when the day is long'
+                  ELSE text END AS text
+           FROM documents WHERE doc_id % 17 = 0),
+      t AS (SELECT doc_id, is_benchmark, $toks AS tk FROM t0),
+      p0 AS (SELECT doc_id, is_benchmark, unnest(range(len(tk))) AS pos, tk FROM t),
+      p1 AS (SELECT doc_id, is_benchmark, CAST(pos AS INT) AS pos,
+               tk[CAST(pos AS INT) + 1] AS tok1,
+               array_to_string(tk[pos+1:least(pos+16, len(tk))], ' ') || ' ' AS suf
+             FROM p0),
+      pr AS (SELECT c.doc_id AS da, c.pos AS pa, c.suf AS sufa, b.suf AS sufb
+             FROM (SELECT * FROM p1 WHERE NOT is_benchmark) c
+             JOIN (SELECT * FROM p1 WHERE is_benchmark) b ON c.tok1 = b.tok1),
+      l AS (SELECT da, pa, sufa,
+              COALESCE(NULLIF(list_position(list_transform(
+                  range(1, least(len(sufa), len(sufb)) + 1),
+                  i -> substr(sufa, CAST(i AS INT), 1) = substr(sufb, CAST(i AS INT), 1)),
+                false), 0) - 1,
+                least(len(sufa), len(sufb))) AS clcp
+            FROM pr),
+      tl AS (SELECT da, pa,
+               len(substr(sufa, 1, CAST(clcp AS INT))) -
+               len(replace(substr(sufa, 1, CAST(clcp AS INT)), ' ', '')) AS tlcp
+             FROM l),
+      perpos AS (SELECT da, pa, LEAST(MAX(tlcp), 16) AS m
+                 FROM tl GROUP BY da, pa),
+      spans AS (SELECT da AS doc_id, pa AS pos, pa + m AS e
+                FROM perpos WHERE m >= 5),
+      cov AS (SELECT DISTINCT doc_id, cpos FROM (
+                SELECT doc_id, unnest(range(pos, e)) AS cpos FROM spans)),
+      tokp AS (SELECT doc_id, CAST(pos AS INT) AS pos,
+                 tk[CAST(pos AS INT) + 1] AS tok
+               FROM p0 WHERE NOT is_benchmark),
+      kept AS (SELECT t.doc_id, t.pos, t.tok FROM tokp t
+               LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.cpos
+               WHERE c.cpos IS NULL),
+      reb AS (SELECT doc_id, count(*) AS n_kept,
+                string_agg(tok, ' ' ORDER BY pos) AS text_dedup
+              FROM kept GROUP BY doc_id),
+      dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens
+             FROM t WHERE NOT is_benchmark)
+      SELECT doc_id, n_tokens,
+        CAST(n_tokens - COALESCE(n_kept, 0) AS BIGINT) AS n_removed,
+        COALESCE(text_dedup, '') AS text_dedup
+      FROM dl LEFT JOIN reb USING (doc_id)""",
 
     "text_token_count" -> s"""
       WITH d AS (SELECT doc_id, text,

@@ -668,6 +668,45 @@ class OperatorsSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](
       loaded.decontaminateExternal(bench, minLen, maxBenchPositions = 3))
     assert(e.getMessage.contains("token positions"))
+    // the EDIT form (cutExternal): remove every ≥minLen benchmark-
+    // matching span from the corpus — brute reference recomputes each
+    // position's max LCP vs the bench, interval-unions the covered
+    // ranges (match capped at maxLen, the descent clamp), and rebuilds
+    // the kept token stream
+    def toksOf(t: String): Vector[String] =
+      t.toLowerCase.split("\\s+").filter(_.nonEmpty).toVector
+    val corpusToks = corpusL.map { case (i, t) => i -> toksOf(t) }.toMap
+    val benchToks = benchL.map(t => toksOf(t._2))
+    def lcp(ta: Vector[String], pa: Int, tb: Vector[String], pb: Int): Int = {
+      var n = 0
+      while (pa + n < ta.length && pb + n < tb.length &&
+        ta(pa + n) == tb(pb + n)) n += 1
+      n
+    }
+    val expectedCut = corpusToks.map { case (doc, tk) =>
+      val covered = scala.collection.mutable.Set[Int]()
+      tk.indices.foreach { p =>
+        val m = math.min(maxLen,
+          benchToks.iterator.flatMap(bt => bt.indices.map(q => lcp(tk, p, bt, q)))
+            .foldLeft(0)(math.max))
+        if (m >= minLen) (p until p + m).foreach(covered += _)
+      }
+      val kept = tk.indices.filterNot(covered).map(tk)
+      doc -> ((tk.length.toLong, (tk.length - kept.length).toLong,
+        kept.mkString(" ")))
+    }
+    val gotCut = loaded.cutExternal(corpus, bench, minLen).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(gotCut == expectedCut)
+    // the fixture must exercise a PARTIAL cut (edit, not doc drop) and
+    // untouched docs
+    assert(expectedCut.values.exists(v => v._2 > 0 && v._2 < v._1))
+    assert(expectedCut.values.exists(v => v._2 == 0))
+    // corpus-mismatch guard
+    val e2 = intercept[IllegalArgumentException](
+      loaded.cutExternal(corpus.limit(3), bench, minLen))
+    assert(e2.getMessage.contains("indexed corpus"))
   }
 
   test("shared-index misuse fails loudly: unrestricted cut/decontaminate on a superset build (r14)") {
