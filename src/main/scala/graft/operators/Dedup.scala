@@ -1511,11 +1511,8 @@ object Dedup {
     val empty = candRows.isEmpty
     val pre =
       if (empty) null
-      else idx.rounds(j0)
-        .join(broadcast(spark.createDataFrame(candRows.asJava, candSchema)),
-          col("r") === col("_fr"))
-        .select(col("doc_id").as("da"), col("pos").as("pa"),
-          col("_bid").as("db"), col("_bp").as("pb"))
+      else pairExternal(idx.rounds(j0),
+        spark.createDataFrame(candRows.asJava, candSchema))
     val benchLen: Map[Any, Int] =
       benchIds.iterator.zip(toksOf.iterator.map(_.length)).toMap
     def fAt(bi2: Int, p: Int, k: Int): Long =
@@ -1730,6 +1727,17 @@ object Dedup {
     rk.join(broadcast(keyDf),
         col("doc_id") === col("_kd") && col("pos") === col("_kp"))
       .select(col("doc_id"), col("pos"), col("r"))
+
+  /** The external query's prefilter-as-pairing scan: the (bench-sized)
+    * fingerprint candidate table builds, round j0 streams — each
+    * surviving corpus position comes out paired with its candidate
+    * bench positions in the same pass. Package-private so the spec can
+    * pin the plan (BroadcastHashJoin, zero Exchange, zero sort — a
+    * Catalyst mis-estimate must not shuffle the corpus rank frame). */
+  private[graft] def pairExternal(rj0: DataFrame, candDf: DataFrame): DataFrame =
+    rj0.join(broadcast(candDf), col("r") === col("_fr"))
+      .select(col("doc_id").as("da"), col("pos").as("pa"),
+        col("_bid").as("db"), col("_bp").as("pb"))
 
   /** Driver-resident descent for the bounded minority (see
     * [[lcpDescent]]). Rank lookups stay fully distributed — only the

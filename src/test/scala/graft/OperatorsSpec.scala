@@ -707,6 +707,18 @@ class OperatorsSpec extends AnyFunSuite {
     val e2 = intercept[IllegalArgumentException](
       loaded.cutExternal(corpus.limit(3), bench, minLen))
     assert(e2.getMessage.contains("indexed corpus"))
+    // THE PIN (the probeRanks discipline applied to the pairing scan):
+    // the bench fingerprint table broadcasts, the corpus rank frame
+    // STREAMS — one BroadcastHashJoin, no shuffle exchange, no sort, so
+    // a Catalyst mis-estimate cannot shuffle round j0
+    val candDf = Seq((1L, 100L, 0)).toDF("_fr", "_bid", "_bp")
+    val pp = Dedup.pairExternal(loaded.rounds(2), candDf)
+      .queryExecution.executedPlan.toString
+    assert(pp.contains("BroadcastHashJoin"), pp.take(3000))
+    assert(!pp.contains("Exchange hashpartitioning"), pp.take(3000))
+    assert(!pp.contains("ShuffleExchange"), pp.take(3000))
+    assert(!pp.contains("SortMergeJoin"), pp.take(3000))
+    assert(!pp.contains("Sort "), pp.take(3000))
   }
 
   test("shared-index misuse fails loudly: unrestricted cut/decontaminate on a superset build (r14)") {
@@ -915,11 +927,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(w1.sameElements(w2))
     // ...and the wide model separates the classes through the size-routed
     // broadcast-join scorer (the CASE chain is capped at 64)
-    val scores = TextAnalysis.classifierScore(d, w1.toSeq, buckets = W,
-        thresholdNano = 500000000L).collect()
+    val wideScore = TextAnalysis.classifierScore(d, w1.toSeq, buckets = W,
+      thresholdNano = 500000000L)
+    val scores = wideScore.collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("predicted")).toMap
     val acc = docsL.count { case (i, _) => scores(i) == (i % 2 == 0) }
     assert(acc >= 54, s"wide model should separate the classes, got $acc/60")
+    // plan pin: past 64 buckets the weight table rides a broadcast hash
+    // join (a 4096-branch CASE chain is a plan-sized expression). AQE's
+    // string keeps the pre-conversion "Initial Plan" section — pin the
+    // FINAL section only
+    val sp = wideScore.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(sp.contains("BroadcastHashJoin"), sp.take(3000))
+    assert(!sp.contains("SortMergeJoin"), sp.take(3000))
     // solver guard rails: unknown solver + exact past its width both loud
     intercept[IllegalArgumentException](
       TextAnalysis.classifierTrain(d, lab, buckets = 8, solver = "nope"))
