@@ -8,7 +8,13 @@ object Bench {
     * → empty map → defense off). Package-private for the spec. */
   private[graft] def parseRef(txt: String): Map[String, Double] =
     """"([A-Za-z0-9_]+)"\s*:\s*([0-9][0-9.eE+-]*)""".r.findAllMatchIn(txt)
-      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      // a hand-edit typo like `"q1": 1.2.3` matches the token regex but
+      // not toDouble — drop it (defense-off for that gate), never crash
+      // the bench (r14 review catch: the try around file IO didn't
+      // cover parsing)
+      .flatMap(m => scala.util.Try(m.group(2).toDouble).toOption
+        .map(m.group(1) -> _))
+      .toMap
 
   /** The re-run trigger: a measured time more than 3× its reference.
     * No reference, or a zero/negative one, never triggers. */

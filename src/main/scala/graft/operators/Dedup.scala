@@ -991,18 +991,34 @@ object Dedup {
       * distinct count on the cut target — noise next to the cut. */
     def cut(docs: DataFrame, minLen: Int, idCol: String = "doc_id",
         textCol: String = "text", restrictToDocs: Boolean = false): DataFrame = {
-      if (!restrictToDocs) {
-        val n = docs.select(col(idCol)).distinct().count()
-        require(n == nDocs,
-          s"SuffixIndex.cut: the index was built over $nDocs docs but the " +
-            s"cut target has $n — an unrestricted cut would count " +
-            "duplication against docs OUTSIDE the target (e.g. a shared " +
-            "corpus∪benchmark build). Pass restrictToDocs = true to count " +
-            "only duplication among the target docs.")
-      }
+      if (!restrictToDocs)
+        requireBuildDocSet(docs, idCol, "SuffixIndex.cut",
+          "an unrestricted cut would count duplication against docs " +
+            "OUTSIDE the target (e.g. a shared corpus∪benchmark build); " +
+            "pass restrictToDocs = true to count only duplication among " +
+            "the target docs, or pass the exact build corpus")
       val only = if (restrictToDocs) Some(docs.select(col(idCol))) else None
       cutWithSpans(docs, exactDupSpansFromIndex(this, minLen, only),
         idCol, textCol)
+    }
+
+    /** Loud build-set guard: equal distinct COUNT and no id outside the
+      * build set — count alone passes a same-sized WRONG corpus
+      * (version skew, the r14 review catch). Two doc-level jobs, noise
+      * next to any guarded operator. */
+    private[operators] def requireBuildDocSet(docs: DataFrame, idCol: String,
+        op: String, fix: String): Unit = {
+      val ids = docs.select(col(idCol).as("doc_id")).distinct()
+      val n = ids.count()
+      require(n == nDocs,
+        s"$op: the index was built over $nDocs docs but the target has " +
+          s"$n — $fix")
+      val alien = ids.join(doclens.select(col("doc_id")), Seq("doc_id"),
+        "left_anti").limit(1).count()
+      require(alien == 0,
+        s"$op: the target contains doc ids NOT in the index's build set " +
+          s"(equal counts, different sets — e.g. a different corpus " +
+          s"version) — $fix")
     }
 
     /** [[Dedup.decontaminateSubstr]] over this index (built over
@@ -1012,12 +1028,10 @@ object Dedup {
       * [[Dedup.decontaminateExternal]] over a saved artifact instead. */
     def decontaminate(docs: DataFrame, isBenchmark: Column, minLen: Int,
         idCol: String = "doc_id", maxBenchPositions: Int = 1 << 22): DataFrame = {
-      val n = docs.select(col(idCol)).distinct().count()
-      require(n == nDocs,
-        s"SuffixIndex.decontaminate: the index was built over $nDocs docs " +
-          s"but `docs` has $n — the joint-build decontamination requires " +
-          "the exact build doc set (corpus AND benchmark). For a benchmark " +
-          "outside the build, use Dedup.decontaminateExternal.")
+      requireBuildDocSet(docs, idCol, "SuffixIndex.decontaminate",
+        "the joint-build decontamination requires the exact build doc " +
+          "set (corpus AND benchmark); for a benchmark outside the " +
+          "build, use Dedup.decontaminateExternal")
       decontaminateSubstrFromIndex(this, docs, isBenchmark, minLen, idCol,
         maxBenchPositions)
     }
@@ -1296,7 +1310,15 @@ object Dedup {
     * the in-session build). */
   def loadSuffixIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): SuffixIndex = {
-    val m = spark.read.parquet(s"$dir/meta")
+    val metaDf = spark.read.parquet(s"$dir/meta")
+    // artifacts saved before the r14 serving extension lack n_docs /
+    // vocab / pairmap_* — a cryptic AnalysisException would send the
+    // user debugging Spark instead of rebuilding (review catch)
+    require(metaDf.columns.contains("n_docs"),
+      s"loadSuffixIndex: '$dir' is a pre-external-serving artifact " +
+        "(no n_docs/vocab/pairmaps) — rebuild with buildSuffixIndex " +
+        "and saveSuffixIndex to upgrade it")
+    val m = metaDf
       .select(col("k"), col("max_len"), col("small"), col("n_docs"))
       .collect()(0)
     val k = m.getInt(0)
@@ -1397,10 +1419,8 @@ object Dedup {
       minLen: Int, idCol: String = "doc_id", textCol: String = "text",
       benchIdCol: String = "doc_id", benchTextCol: String = "text",
       maxBenchPositions: Int = 1 << 22): DataFrame = {
-    val n = docs.select(col(idCol)).distinct().count()
-    require(n == idx.nDocs,
-      s"cutExternal: the index was built over ${idx.nDocs} docs but `docs` " +
-        s"has $n — pass exactly the indexed corpus")
+    idx.requireBuildDocSet(docs, idCol, "cutExternal",
+      "pass exactly the indexed corpus")
     val spans = externalMatchSpans(idx, bench, minLen, benchIdCol,
       benchTextCol, maxBenchPositions)
     val out = cutWithSpans(docs, spans, idCol, textCol)
@@ -1411,7 +1431,18 @@ object Dedup {
     * against any benchmark position, kept at ≥ minLen — (doc_id, pos,
     * match_len), a checkpoint the caller releases. Shared by the flag
     * aggregation ([[decontaminateExternal]]) and the edit
-    * ([[cutExternal]]). */
+    * ([[cutExternal]]).
+    *
+    * MAINTENANCE: the descent below deliberately parallels
+    * [[lcpDescentDriver]]/[[lcpDescentShuffled]] rather than sharing
+    * them — the bench side differs at three injection points (probe-key
+    * collection, rank resolution, the final length clamp), and
+    * threading a B-side strategy through the joint path would
+    * complicate the oracle-pinned hot code for two call sites. The
+    * price is a parallel copy: change the joint descent's semantics
+    * (missing-rank handling, clamps) and change this one WITH it — the
+    * OperatorsSpec external ≡ joint-build differential is the tripwire
+    * that catches drift. */
   private def externalMatchSpans(idx: SuffixIndex, bench: DataFrame,
       minLen: Int, benchIdCol: String = "doc_id",
       benchTextCol: String = "text", maxBenchPositions: Int = 1 << 22,
@@ -1423,9 +1454,13 @@ object Dedup {
     val UNDEF = Long.MinValue
     // bench pull: an eval set by contract, capped loudly like the
     // joint build's benchmark arm (count first so a mis-passed corpus
-    // fails before the driver ever holds it)
+    // fails before the driver ever holds it). Null/empty-text rows are
+    // dropped up front — they carry no positions, and the joint build
+    // likewise indexes nothing for them (r14 review catch: a null token
+    // array NPE'd the driver pull)
     val benchTok = bench.select(col(benchIdCol).as("_bid"),
-      TextAnalysis.tokens(col(benchTextCol)).as("_tk"))
+        TextAnalysis.tokens(col(benchTextCol)).as("_tk"))
+      .filter(col("_tk").isNotNull && size(col("_tk")) >= 1)
     val total = benchTok.agg(sum(size(col("_tk")))).first()
     val totalPos = if (total.isNullAt(0)) 0L else total.getLong(0)
     require(totalPos <= maxBenchPositions,
@@ -1434,6 +1469,14 @@ object Dedup {
         "eval-set-sized corpus")
     val benchRows = benchTok.collect()
     val benchIds: Array[Any] = benchRows.map(_.get(0))
+    // the fingerprint arrays and length/id maps key by bench id — a
+    // duplicated id would silently resolve the descent against the
+    // LAST row's text (r14 review catch); dirty eval dumps do ship
+    // duplicate ids, so fail loudly instead
+    require(benchIds.distinct.length == benchIds.length,
+      "decontaminateExternal: benchmark doc ids must be unique — " +
+        "dedupe the eval set (duplicate ids would score against the " +
+        "wrong text)")
     val toksOf: Array[Array[String]] =
       benchRows.map(_.getSeq[String](1).toArray)
     val nb = benchIds.length

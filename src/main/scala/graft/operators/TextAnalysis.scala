@@ -825,9 +825,14 @@ object TextAnalysis {
         s"O(buckets^4) BigInteger solve is driver-side (got $buckets); " +
         "the size-routed CG path (solver=auto picks it above 64) serves " +
         "production widths")
-    require(buckets.toLong * buckets <= maxGramNnz,
-      s"buckets² = ${buckets.toLong * buckets} exceeds maxGramNnz " +
-        s"$maxGramNnz — the Gram pull is driver-resident")
+    // the CG vectors are buckets-sized driver arrays; the Gram pull is
+    // bounded by its ACTUAL nonzero count below (LIMIT-bounded collect),
+    // not by the worst-case buckets² — a 65536-bucket model over a
+    // sparse corpus is exactly the advertised production width (r14
+    // review catch: the a-priori buckets² guard rejected it)
+    require(buckets <= (1 << 20),
+      s"buckets must be <= ${1 << 20} (driver-resident solve vectors; " +
+        s"got $buckets)")
     import java.math.BigInteger
     val spark = docs.sparkSession
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
@@ -845,12 +850,23 @@ object TextAnalysis {
     // cast BEFORE the product (r13 ADVICE): the oracle multiplies in
     // HUGEINT, so a Long×Long product here would silently overflow at
     // per-doc bucket counts ~3e9 and diverge instead of failing
+    // LIMIT-bounded pull (the repo's boundedDomain discipline): the
+    // driver holds nnz(Gram) ≤ min(buckets², Σ_d |buckets(d)|²) triplets
+    // — cap the ACTUAL count loudly rather than rejecting wide-but-
+    // sparse models up front
+    val gramTakeN = if (maxGramNnz >= Int.MaxValue - 1) Int.MaxValue
+      else (maxGramNnz + 1L).toInt
     val gram = counts.select(col("doc_id"), col("_h").as("_i"), col("_c").as("_ci"))
       .join(counts.select(col("doc_id"), col("_h").as("_j"), col("_c").as("_cj")),
         Seq("doc_id"))
       .groupBy(col("_i"), col("_j"))
       .agg(sum(col("_ci").cast(dec) * col("_cj").cast(dec)).as("_a"))
-      .collect() // bounded: ≤ buckets² rows
+      .limit(gramTakeN)
+      .collect()
+    require(gram.length <= maxGramNnz,
+      s"classifierTrain: the Gram matrix exceeds maxGramNnz=$maxGramNnz " +
+        "nonzeros — the driver-resident solve needs a bounded pull " +
+        "(raise maxGramNnz consciously or reduce buckets)")
     val xty = counts.join(lab, Seq("doc_id"))
       .groupBy(col("_h")).agg(sum(col("_c").cast(dec) * col("_y").cast(dec)).as("_b"))
       .collect() // bounded: ≤ buckets rows

@@ -26,6 +26,10 @@ class BenchDefenseSpec extends AnyFunSuite {
     // defense degrades to OFF, never to a crash
     assert(Bench.parseRef("").isEmpty)
     assert(Bench.parseRef("not json at all").isEmpty)
+    // a hand-edit typo that MATCHES the token regex but not toDouble
+    // drops that entry only — the rest of the board stays live
+    val typo = Bench.parseRef("""{"q1": 1.2.3, "q2": 0.5}""")
+    assert(!typo.contains("q1") && typo("q2") == 0.5)
     // the committed reference board itself parses and is all-positive
     val committed = Bench.parseRef(
       scala.io.Source.fromFile("tools/bench_ref.json").mkString)

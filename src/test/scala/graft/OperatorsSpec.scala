@@ -668,6 +668,30 @@ class OperatorsSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](
       loaded.decontaminateExternal(bench, minLen, maxBenchPositions = 3))
     assert(e.getMessage.contains("token positions"))
+    // null/whitespace bench text carries no positions — dropped, not an
+    // NPE (r14 review catch); result unchanged
+    val benchDirty = benchL.map(t => (t._1, t._2: Any)) ++
+      Seq((900L, null: Any), (901L, "   ": Any))
+    assert(outSet(loaded.decontaminateExternal(
+      benchDirty.map { case (i, t) => (i, t.asInstanceOf[String]) }
+        .toDF("doc_id", "text"), minLen)) == joint)
+    // duplicate bench ids would score against the wrong text — loud
+    val eDup = intercept[IllegalArgumentException](
+      loaded.decontaminateExternal(
+        (benchL ++ Seq((100L, "totally different text"))).toDF("doc_id", "text"),
+        minLen))
+    assert(eDup.getMessage.contains("unique"))
+    // a pre-r14 artifact (meta without n_docs, no vocab/pairmaps) must
+    // fail with the rebuild message, not an AnalysisException
+    locally {
+      val oldDir = java.nio.file.Files
+        .createTempDirectory("graft_oldidx").toString
+      Seq((loaded.maxLen, true)).toDF("max_len", "small")
+        .write.mode("overwrite").parquet(s"$oldDir/meta")
+      val eOld = intercept[IllegalArgumentException](
+        Dedup.loadSuffixIndex(spark, oldDir))
+      assert(eOld.getMessage.contains("rebuild"))
+    }
     // the EDIT form (cutExternal): remove every ≥minLen benchmark-
     // matching span from the corpus — brute reference recomputes each
     // position's max LCP vs the bench, interval-unions the covered
@@ -740,6 +764,13 @@ class OperatorsSpec extends AnyFunSuite {
     val e2 = intercept[IllegalArgumentException](
       idx.decontaminate(corpus, col("doc_id") >= 100L, minLen = 3).count())
     assert(e2.getMessage.contains("decontaminateExternal"))
+    // equal COUNT but a different doc set must ALSO fail — count alone
+    // passes a same-sized wrong corpus (version skew; r14 review catch)
+    val skewed = (corpusL.drop(1) ++ Seq((999L, corpusL.head._2)) ++ benchL)
+      .toDF("doc_id", "text")
+    val e3 = intercept[IllegalArgumentException](
+      idx.decontaminate(skewed, col("doc_id") >= 100L, minLen = 3).count())
+    assert(e3.getMessage.contains("NOT in the index"))
     // the legitimate calls still work: restricted cut, full-set decontam
     assert(idx.cut(corpus, minLen = 3, restrictToDocs = true).count() == 8)
     assert(idx.decontaminate(all, col("doc_id") >= 100L, minLen = 3)
@@ -946,6 +977,15 @@ class OperatorsSpec extends AnyFunSuite {
       TextAnalysis.classifierTrain(d, lab, buckets = 8, solver = "nope"))
     intercept[IllegalArgumentException](
       TextAnalysis.classifierTrain(d, lab, buckets = 65, solver = "exact"))
+    // a WIDE-but-sparse model trains fine: the Gram pull is bounded by
+    // its actual nonzero count, not the worst-case buckets² (r14 review
+    // catch — the a-priori guard rejected the advertised widths); the
+    // nnz cap itself still fires loudly when the ACTUAL Gram exceeds it
+    assert(TextAnalysis.classifierTrain(d, lab, buckets = 65536)
+      .count() == 65536)
+    val eNnz = intercept[IllegalArgumentException](
+      TextAnalysis.classifierTrain(d, lab, buckets = 4096, maxGramNnz = 2L))
+    assert(eNnz.getMessage.contains("maxGramNnz"))
   }
 
   test("hostCap exempts empty/null host keys into singleton groups (r12)") {
