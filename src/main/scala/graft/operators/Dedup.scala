@@ -1284,6 +1284,20 @@ object Dedup {
     * round: the same left-join to the 2^{k-1}-shifted copy with -1 for
     * past-doc-end, and min over the equal-key group (equal (rA, rB)
     * keys share the order-preserving rank_k, so min IS the rank). */
+  /** Derive and PIN the per-round pair maps on an in-session handle —
+    * the in-memory analogue of [[saveSuffixIndex]]'s persisted maps:
+    * pay the K derivation joins ONCE, then every later external query
+    * ([[decontaminateExternal]] / [[cutExternal]]) streams checkpoint
+    * leaves instead of re-running the joins per call (measured: the two
+    * external gates each re-paid ~2K shuffle joins per run without
+    * this). Returns a handle whose release() also frees the maps; no-op
+    * when maps are already present (loaded artifacts). */
+  def withPairmaps(idx: SuffixIndex): SuffixIndex =
+    if (idx.pairmaps.nonEmpty) idx
+    else new SuffixIndex(idx.rounds, idx.sa, idx.doclens, idx.vocab, idx.k,
+      idx.maxLen, idx.small, idx.nDocs,
+      Some((1 to idx.k).map(kk => pairmapK(idx, kk).localCheckpoint(true))))
+
   private[graft] def pairmapK(idx: SuffixIndex, k: Int): DataFrame =
     idx.pairmaps match {
       case Some(pm) => pm(k - 1)

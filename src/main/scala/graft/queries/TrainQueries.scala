@@ -89,14 +89,17 @@ object TrainQueries {
   private def decontamIdx(s: SparkSession, dir: String): Dedup.SuffixIndex =
     suffixIdxCache.getOrBuild((s, dir, "decontam"))(
       Dedup.buildSuffixIndex(decontamSubstrDocs(s, dir), maxLen = 16))
-  /** CORPUS-ONLY index for the external-pattern gate (r14): the
-    * benchmark docs are deliberately absent from the build — the gate
-    * exercises the benchmark-refresh serving path. */
+  /** CORPUS-ONLY index for the external-pattern gates (r14): the
+    * benchmark docs are deliberately absent from the build — the gates
+    * exercise the benchmark-refresh serving path. Pair maps are derived
+    * and pinned ONCE with the handle (withPairmaps — the in-session
+    * analogue of the saved artifact's persisted maps), so the two
+    * external gates don't each re-pay the per-round derivation joins. */
   private def decontamExtIdx(s: SparkSession, dir: String): Dedup.SuffixIndex =
     suffixIdxCache.getOrBuild((s, dir, "decontam_ext"))(
-      Dedup.buildSuffixIndex(
+      Dedup.withPairmaps(Dedup.buildSuffixIndex(
         decontamSubstrDocs(s, dir).filter(col("doc_id") % 85 =!= 0),
-        maxLen = 16))
+        maxLen = 16)))
 
   /** Trained-classifier weight artifact (r13 judge ask #5) — fit once
     * per (session, dir), scored everywhere: the classifierTrain result

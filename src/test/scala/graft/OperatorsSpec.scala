@@ -646,6 +646,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(outSet(idx.decontaminateExternal(bench, minLen)) == joint)
     assert(outSet(Dedup.decontaminateExternal(idx, bench, minLen,
       driverPairRows = 0L)) == joint)
+    // in-session PINNED pair maps (withPairmaps — the in-memory
+    // analogue of the saved artifact): identical results, no-op when
+    // maps are present, and release() frees every pinned block
+    locally {
+      val sc = spark.sparkContext
+      val before = sc.getPersistentRDDs.keySet
+      val idxPm = Dedup.withPairmaps(Dedup.buildSuffixIndex(corpus, maxLen))
+      assert(idxPm.pairmaps.nonEmpty && idxPm.pairmaps.get.length == 3)
+      assert(Dedup.withPairmaps(idxPm) eq idxPm)
+      val res = idxPm.decontaminateExternal(bench, minLen)
+      assert(outSet(res) == joint)
+      idxPm.release()
+      graft.sources.SessionCache.release(res)
+      val leaked = sc.getPersistentRDDs.keySet -- before
+      assert(leaked.isEmpty, s"pinned pairmap blocks leaked: $leaked")
+    }
     // empty and all-unseen benchmarks: all-zero rows for every corpus doc
     val zeros = corpusL.map(t => (t._1, 0L, 0L, false)).toSet
     assert(outSet(idx.decontaminateExternal(
