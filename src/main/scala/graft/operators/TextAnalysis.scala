@@ -183,8 +183,7 @@ object TextAnalysis {
         regexp_replace(col("word"), "(.)", "$1 "), lit(endMarker + " "))
         .as("spaced"))
     // LIMIT-bounded route probe: the pull IS the driver path's input
-    val takeN = if (driverVocabRows >= Int.MaxValue - 1) Int.MaxValue
-      else driverVocabRows + 1
+    val takeN = Dedup.boundedTakeN(driverVocabRows)
     val vrows = vocabPlan.limit(takeN).collect()
     val merges =
       if (vrows.length < takeN)
@@ -854,8 +853,7 @@ object TextAnalysis {
     // driver holds nnz(Gram) ≤ min(buckets², Σ_d |buckets(d)|²) triplets
     // — cap the ACTUAL count loudly rather than rejecting wide-but-
     // sparse models up front
-    val gramTakeN = if (maxGramNnz >= Int.MaxValue - 1) Int.MaxValue
-      else (maxGramNnz + 1L).toInt
+    val gramTakeN = Dedup.boundedTakeN(maxGramNnz)
     val gram = counts.select(col("doc_id"), col("_h").as("_i"), col("_c").as("_ci"))
       .join(counts.select(col("doc_id"), col("_h").as("_j"), col("_c").as("_cj")),
         Seq("doc_id"))
@@ -863,14 +861,18 @@ object TextAnalysis {
       .agg(sum(col("_ci").cast(dec) * col("_cj").cast(dec)).as("_a"))
       .limit(gramTakeN)
       .collect()
+    val xty = counts.join(lab, Seq("doc_id"))
+      .groupBy(col("_h")).agg(sum(col("_c").cast(dec) * col("_y").cast(dec)).as("_b"))
+      .collect() // bounded: ≤ buckets rows
+    // release BEFORE the cap check: an over-cap throw between persist
+    // and release would pin the corpus-sized counts blocks for the
+    // session lifetime — the r12 leak class (r14 review catch); the xty
+    // pull above is buckets-bounded, cheap even on the failure path
+    graft.sources.SessionCache.release(counts)
     require(gram.length <= maxGramNnz,
       s"classifierTrain: the Gram matrix exceeds maxGramNnz=$maxGramNnz " +
         "nonzeros — the driver-resident solve needs a bounded pull " +
         "(raise maxGramNnz consciously or reduce buckets)")
-    val xty = counts.join(lab, Seq("doc_id"))
-      .groupBy(col("_h")).agg(sum(col("_c").cast(dec) * col("_y").cast(dec)).as("_b"))
-      .collect() // bounded: ≤ buckets rows
-    graft.sources.SessionCache.release(counts)
     val weights: Seq[(Int, Long)] = if (useExact) {
       val a = Array.fill(buckets, buckets)(BigInteger.ZERO)
       gram.foreach { r =>
