@@ -100,6 +100,19 @@ object TrainQueries {
       Dedup.withPairmaps(Dedup.buildSuffixIndex(
         decontamSubstrDocs(s, dir).filter(col("doc_id") % 85 =!= 0),
         maxLen = 16)))
+  /** SHARDED federation over the SAME corpus as [[decontamExtIdx]]
+    * (r15): three hash-split shards, each its own complete artifact
+    * with pinned pair maps — the gate pins sharded ≡ single-index
+    * hash-exactly through the shared oracle replay. */
+  private val shardedIdxCache =
+    new graft.sources.SessionCache[(SparkSession, String),
+      Dedup.ShardedSuffixIndex]
+  private def decontamShardedIdx(s: SparkSession,
+      dir: String): Dedup.ShardedSuffixIndex =
+    shardedIdxCache.getOrBuild((s, dir))(
+      Dedup.buildShardedSuffixIndex(
+        decontamSubstrDocs(s, dir).filter(col("doc_id") % 85 =!= 0),
+        nShards = 3, maxLen = 16).withPinnedPairmaps)
 
   /** Trained-classifier weight artifact (r13 judge ask #5) — fit once
     * per (session, dir), scored everywhere: the classifierTrain result
@@ -531,6 +544,19 @@ object TrainQueries {
         decontamSubstrDocs(s, dir).filter(col("doc_id") % 85 === 0),
         minLen = 5)),
 
+    // SHARDED federation (r15): the same corpus split into 3 hash
+    // shards, each with its own complete index; the external query runs
+    // per shard and unions per-doc outputs — exact because a corpus
+    // position lives in exactly one shard. The oracle is the SAME brute
+    // replay as text_decontam_external, so sharded ≡ single-index is
+    // pinned hash-exactly at gate level (and corpus APPEND = one
+    // delta-shard build, the point of the federation — measured in
+    // SCALE.md)
+    "text_decontam_sharded" -> ((s, dir) =>
+      decontamShardedIdx(s, dir).decontaminateExternal(
+        decontamSubstrDocs(s, dir).filter(col("doc_id") % 85 === 0),
+        minLen = 5)),
+
     // external decontamination as the TEXT EDIT (r14): remove every
     // ≥5-token benchmark-matching span from the corpus — the surgical
     // alternative to dropping whole contaminated docs; same corpus-only
@@ -823,6 +849,51 @@ object TrainQueries {
 object TrainSql {
   private val toks =
     "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+
+  /** Brute external-decontamination replay (r14): corpus×benchmark
+    * position pairs pruned by first-token equality, capped-suffix
+    * char-LCP → token-LCP, per-position max vs BENCH, per-doc agg over
+    * corpus rows. Shared verbatim by `text_decontam_external` AND the
+    * r15 `text_decontam_sharded` gate — the recompute is shard-blind by
+    * construction, which pins sharded ≡ single-index at gate level. */
+  private lazy val decontamExternalOracle: String = s"""
+      WITH t0 AS (SELECT doc_id, (doc_id % 85 = 0) AS is_benchmark,
+             CASE WHEN doc_id % 3 = 0
+                  THEN text || ' the quick brown fox jumps over the lazy dog again'
+                  WHEN doc_id % 3 = 1 AND doc_id % 85 <> 0
+                  THEN text || ' many hands make light work when the day is long'
+                  ELSE text END AS text
+           FROM documents WHERE doc_id % 17 = 0),
+      t AS (SELECT doc_id, is_benchmark, $toks AS tk FROM t0),
+      p0 AS (SELECT doc_id, is_benchmark, unnest(range(len(tk))) AS pos, tk FROM t),
+      p1 AS (SELECT doc_id, is_benchmark, CAST(pos AS INT) AS pos,
+               tk[CAST(pos AS INT) + 1] AS tok1,
+               array_to_string(tk[pos+1:least(pos+16, len(tk))], ' ') || ' ' AS suf
+             FROM p0),
+      pr AS (SELECT c.doc_id AS da, c.pos AS pa, c.suf AS sufa, b.suf AS sufb
+             FROM (SELECT * FROM p1 WHERE NOT is_benchmark) c
+             JOIN (SELECT * FROM p1 WHERE is_benchmark) b ON c.tok1 = b.tok1),
+      l AS (SELECT da, pa, sufa,
+              COALESCE(NULLIF(list_position(list_transform(
+                  range(1, least(len(sufa), len(sufb)) + 1),
+                  i -> substr(sufa, CAST(i AS INT), 1) = substr(sufb, CAST(i AS INT), 1)),
+                false), 0) - 1,
+                least(len(sufa), len(sufb))) AS clcp
+            FROM pr),
+      tl AS (SELECT da, pa,
+               len(substr(sufa, 1, CAST(clcp AS INT))) -
+               len(replace(substr(sufa, 1, CAST(clcp AS INT)), ' ', '')) AS tlcp
+             FROM l),
+      perpos AS (SELECT da, pa, LEAST(MAX(tlcp), 16) AS m
+                 FROM tl GROUP BY da, pa),
+      hits AS (SELECT da AS doc_id, count(*) AS n_hit, MAX(m) AS max_m
+               FROM perpos WHERE m >= 5 GROUP BY da)
+      SELECT t.doc_id,
+        CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit_positions,
+        CAST(COALESCE(h.max_m, 0) AS BIGINT) AS max_match,
+        (COALESCE(h.n_hit, 0) > 0) AS contaminated
+      FROM (SELECT doc_id FROM t WHERE NOT is_benchmark) t
+      LEFT JOIN hits h USING (doc_id)"""
 
   /** Oracle mirror of [[TrainQueries.withDegenerateDocs]]: a CTE that
     * overrides `text` for the degenerate-doc family (empty / whitespace /
@@ -1507,44 +1578,13 @@ object TrainSql {
     // the benchmark in its index, which is exactly the point: the
     // index-free external query must reproduce the joint-build answer
     // on corpus rows, bit for bit
-    "text_decontam_external" -> s"""
-      WITH t0 AS (SELECT doc_id, (doc_id % 85 = 0) AS is_benchmark,
-             CASE WHEN doc_id % 3 = 0
-                  THEN text || ' the quick brown fox jumps over the lazy dog again'
-                  WHEN doc_id % 3 = 1 AND doc_id % 85 <> 0
-                  THEN text || ' many hands make light work when the day is long'
-                  ELSE text END AS text
-           FROM documents WHERE doc_id % 17 = 0),
-      t AS (SELECT doc_id, is_benchmark, $toks AS tk FROM t0),
-      p0 AS (SELECT doc_id, is_benchmark, unnest(range(len(tk))) AS pos, tk FROM t),
-      p1 AS (SELECT doc_id, is_benchmark, CAST(pos AS INT) AS pos,
-               tk[CAST(pos AS INT) + 1] AS tok1,
-               array_to_string(tk[pos+1:least(pos+16, len(tk))], ' ') || ' ' AS suf
-             FROM p0),
-      pr AS (SELECT c.doc_id AS da, c.pos AS pa, c.suf AS sufa, b.suf AS sufb
-             FROM (SELECT * FROM p1 WHERE NOT is_benchmark) c
-             JOIN (SELECT * FROM p1 WHERE is_benchmark) b ON c.tok1 = b.tok1),
-      l AS (SELECT da, pa, sufa,
-              COALESCE(NULLIF(list_position(list_transform(
-                  range(1, least(len(sufa), len(sufb)) + 1),
-                  i -> substr(sufa, CAST(i AS INT), 1) = substr(sufb, CAST(i AS INT), 1)),
-                false), 0) - 1,
-                least(len(sufa), len(sufb))) AS clcp
-            FROM pr),
-      tl AS (SELECT da, pa,
-               len(substr(sufa, 1, CAST(clcp AS INT))) -
-               len(replace(substr(sufa, 1, CAST(clcp AS INT)), ' ', '')) AS tlcp
-             FROM l),
-      perpos AS (SELECT da, pa, LEAST(MAX(tlcp), 16) AS m
-                 FROM tl GROUP BY da, pa),
-      hits AS (SELECT da AS doc_id, count(*) AS n_hit, MAX(m) AS max_m
-               FROM perpos WHERE m >= 5 GROUP BY da)
-      SELECT t.doc_id,
-        CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit_positions,
-        CAST(COALESCE(h.max_m, 0) AS BIGINT) AS max_match,
-        (COALESCE(h.n_hit, 0) > 0) AS contaminated
-      FROM (SELECT doc_id FROM t WHERE NOT is_benchmark) t
-      LEFT JOIN hits h USING (doc_id)""",
+    "text_decontam_external" -> decontamExternalOracle,
+
+    // sharded federation (r15): the oracle is IDENTICAL to the
+    // single-index external replay — the brute recompute does not care
+    // how the engine shards, which is the point: per-shard queries
+    // unioned must reproduce the single-index answer bit for bit
+    "text_decontam_sharded" -> decontamExternalOracle,
 
     // the EDIT form: the same brute external spans (per-position max
     // token-LCP vs bench, capped at 16) feed the cut replay — interval

@@ -123,7 +123,14 @@ object ProfilePipeline {
       .join(lineDeduped.select(col("doc_id"), col("text")), Seq("doc_id"))
     val qScores = TextAnalysis.qualityScore(labelSample)
       .select(col("doc_id"), col("quality"))
-    val qMed = qScores.stat.approxQuantile("quality", Array(0.5), 0.001)(0)
+    // empty-sample guard (r14 ADVICE): a tiny input dir or an all-filtered
+    // corpus makes approxQuantile return an empty array — fail with a
+    // message naming the cause instead of an IndexOutOfBoundsException
+    val qMedArr = qScores.stat.approxQuantile("quality", Array(0.5), 0.001)
+    require(qMedArr.nonEmpty,
+      "classifier stage: the token-budgeted label sample is empty " +
+        "(input dir too small or every doc filtered) — nothing to train on")
+    val qMed = qMedArr(0)
     val clfLab = qScores.select(col("doc_id"), (col("quality") > qMed).as("lab"))
     val clfLabeled = labelSample.join(clfLab, Seq("doc_id"))
     val clfW = TextAnalysis.classifierTrain(clfLabeled, col("lab"),
