@@ -1486,9 +1486,10 @@ object Dedup {
       * unioned — exact because every corpus doc lives in one shard. */
     def decontaminateExternal(bench: DataFrame, minLen: Int,
         benchIdCol: String = "doc_id", benchTextCol: String = "text",
-        maxBenchPositions: Int = 1 << 22): DataFrame = {
+        maxBenchPositions: Int = 1 << 22,
+        driverPairRows: Long = 1L << 17): DataFrame = {
       val parts = shards.map(sh => Dedup.decontaminateExternal(sh, bench,
-        minLen, benchIdCol, benchTextCol, maxBenchPositions))
+        minLen, benchIdCol, benchTextCol, maxBenchPositions, driverPairRows))
       materializeAndRelease(parts.reduce(_ unionByName _), parts: _*)
     }
 

@@ -761,6 +761,148 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!pp.contains("Sort "), pp.take(3000))
   }
 
+  test("sharded suffix federation ≡ single index (both routes); append = one delta shard (r15)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(47)
+    val corpusL = (0L until 18L).map { i =>
+      (i, Seq.fill(5 + rnd.nextInt(40))("abcde"(rnd.nextInt(5)).toString).mkString(" "))
+    }
+    val benchL = Seq(
+      (100L, corpusL(0)._2 + " e d c"),
+      (101L, corpusL(7)._2),
+      (102L, "qq rr ss tt uu vv"))
+    val corpus = corpusL.toDF("doc_id", "text")
+    val bench = benchL.toDF("doc_id", "text")
+    val (minLen, maxLen) = (5, 8)
+    def outSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSet
+    def cutMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    // single-index reference answers
+    val single = Dedup.buildSuffixIndex(corpus, maxLen)
+    val ref = outSet(single.decontaminateExternal(bench, minLen))
+    val refCut = cutMap(single.cutExternal(corpus, bench, minLen))
+    single.release()
+    assert(ref.exists(_._4) && ref.exists(t => !t._4)) // both classes live
+    // 3-shard hash-split federation: per-shard queries unioned must
+    // equal the single index on BOTH descent routes
+    val fed = Dedup.buildShardedSuffixIndex(corpus, nShards = 3, maxLen = maxLen)
+    assert(fed.shards.length == 3 && fed.shards.forall(_.nDocs > 0))
+    assert(fed.nDocs == 18L)
+    assert(outSet(fed.decontaminateExternal(bench, minLen)) == ref)
+    assert(outSet(fed.decontaminateExternal(bench, minLen,
+      driverPairRows = 0L)) == ref)
+    assert(cutMap(fed.cutExternal(corpus, bench, minLen)) == refCut)
+    // pinned pair maps: same answers, maps present on every shard
+    val fedPm = fed.withPinnedPairmaps
+    assert(fedPm.shards.forall(_.pairmaps.nonEmpty))
+    assert(outSet(fedPm.decontaminateExternal(bench, minLen)) == ref)
+    // federated doc-set guard: a subset and an alien-id set both fail
+    val eSub = intercept[IllegalArgumentException](
+      fed.cutExternal(corpus.limit(5), bench, minLen))
+    assert(eSub.getMessage.contains("union of the shard corpora"))
+    val skewed = (corpusL.drop(1) ++ Seq((999L, corpusL.head._2)))
+      .toDF("doc_id", "text")
+    val eAlien = intercept[IllegalArgumentException](
+      fed.cutExternal(skewed, bench, minLen))
+    assert(eAlien.getMessage.contains("NO shard"))
+    // APPEND lifecycle: federation over docs 0..11, then ONE delta-shard
+    // build for docs 12..17 — the grown federation must equal the
+    // single index over all 18 docs exactly
+    val fedA = Dedup.buildShardedSuffixIndex(
+      corpusL.take(12).toDF("doc_id", "text"), nShards = 2, maxLen = maxLen)
+    val grown = Dedup.appendSuffixShard(fedA,
+      corpusL.drop(12).toDF("doc_id", "text"))
+    assert(grown.shards.length == 3)
+    assert(outSet(grown.decontaminateExternal(bench, minLen)) == ref)
+    assert(cutMap(grown.cutExternal(corpus, bench, minLen)) == refCut)
+    // appending an id that already lives in a shard is a loud error
+    val eDup = intercept[IllegalArgumentException](
+      Dedup.appendSuffixShard(grown, corpusL.take(1).toDF("doc_id", "text")))
+    assert(eDup.getMessage.contains("already in an existing shard"))
+    // federation validation: overlapping shards / mismatched maxLen
+    val shA = Dedup.buildSuffixIndex(corpusL.take(6).toDF("doc_id", "text"), maxLen)
+    val shB = Dedup.buildSuffixIndex(corpusL.slice(4, 10).toDF("doc_id", "text"), maxLen)
+    val eOv = intercept[IllegalArgumentException](
+      Dedup.federateSuffixIndexes(Seq(shA, shB)))
+    assert(eOv.getMessage.contains("overlap"))
+    val shC = Dedup.buildSuffixIndex(
+      corpusL.slice(6, 10).toDF("doc_id", "text"), maxLen = 16)
+    val eMl = intercept[IllegalArgumentException](
+      Dedup.federateSuffixIndexes(Seq(shA, shC)))
+    assert(eMl.getMessage.contains("maxLen"))
+    // save/load round trip: each shard manifest-validated, root marker
+    // certifies the shard count; loaded federation serves identically
+    val dir = java.nio.file.Files.createTempDirectory("graft_shardidx").toString
+    Dedup.saveShardedSuffixIndex(grown, dir)
+    val loadedFed = Dedup.loadShardedSuffixIndex(spark, dir)
+    assert(loadedFed.shards.length == 3)
+    assert(outSet(loadedFed.decontaminateExternal(bench, minLen)) == ref)
+    // a torn federation save (no root marker) fails loudly
+    val rootMarker = new java.io.File(dir, "_COMPLETE")
+    assert(rootMarker.delete())
+    val eTorn = intercept[IllegalArgumentException](
+      Dedup.loadShardedSuffixIndex(spark, dir))
+    assert(eTorn.getMessage.contains("torn/crashed federation save"))
+    Seq(fed, fedPm, fedA, grown).foreach(_.release())
+    Seq(shA, shB, shC).foreach(_.release())
+  }
+
+  test("suffix artifact manifest: torn or doctored artifacts fail loudly (r15)") {
+    import spark.implicits._
+    def corpus(n: Int, seed: Int) = {
+      val r = new scala.util.Random(seed)
+      (0L until n.toLong).map { i =>
+        (i, Seq.fill(8 + r.nextInt(20))("abc"(r.nextInt(3)).toString).mkString(" "))
+      }.toDF("doc_id", "text")
+    }
+    val idx = Dedup.buildSuffixIndex(corpus(10, 1), maxLen = 8)
+    val dirA = java.nio.file.Files.createTempDirectory("graft_mana").toString
+    Dedup.saveSuffixIndex(idx, dirA)
+    // clean load works and serves
+    assert(Dedup.loadSuffixIndex(spark, dirA).doclens.count() == 10)
+    // doctor 1: a whole dir missing (the crashed-overwrite shape) —
+    // the manifest lists files that no longer exist
+    def rmRf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmRf)
+      f.delete(); ()
+    }
+    val dirB = java.nio.file.Files.createTempDirectory("graft_manb").toString
+    Dedup.saveSuffixIndex(idx, dirB)
+    rmRf(new java.io.File(dirB, "pairmap_1"))
+    val eMissing = intercept[IllegalStateException](
+      Dedup.loadSuffixIndex(spark, dirB))
+    assert(eMissing.getMessage.contains("does not match its _COMPLETE"))
+    // doctor 2: one dir swapped in from an OLDER save of a different
+    // index (the mixed-vintage shape): content differs → lengths differ
+    val idxOld = Dedup.buildSuffixIndex(corpus(23, 9), maxLen = 8)
+    val dirOld = java.nio.file.Files.createTempDirectory("graft_manold").toString
+    Dedup.saveSuffixIndex(idxOld, dirOld)
+    val dirC = java.nio.file.Files.createTempDirectory("graft_manc").toString
+    Dedup.saveSuffixIndex(idx, dirC)
+    rmRf(new java.io.File(dirC, "round_1"))
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(dirOld, "round_1"),
+      java.nio.file.Paths.get(dirC, "round_1"))
+    val eMixed = intercept[IllegalStateException](
+      Dedup.loadSuffixIndex(spark, dirC))
+    assert(eMixed.getMessage.contains("does not match its _COMPLETE"))
+    // doctor 3: marker deleted (torn save) — the pre-manifest/torn path
+    val dirD = java.nio.file.Files.createTempDirectory("graft_mand").toString
+    Dedup.saveSuffixIndex(idx, dirD)
+    assert(new java.io.File(dirD, "_COMPLETE").delete())
+    val eTorn = intercept[IllegalArgumentException](
+      Dedup.loadSuffixIndex(spark, dirD))
+    assert(eTorn.getMessage.contains("no _COMPLETE manifest"))
+    // a RE-SAVE over a doctored dir heals it: the manifest is rewritten
+    // last over freshly-written dirs
+    Dedup.saveSuffixIndex(idx, dirC)
+    assert(Dedup.loadSuffixIndex(spark, dirC).doclens.count() == 10)
+    idx.release(); idxOld.release()
+  }
+
   test("shared-index misuse fails loudly: unrestricted cut/decontaminate on a superset build (r14)") {
     import spark.implicits._
     val rnd = new scala.util.Random(43)
