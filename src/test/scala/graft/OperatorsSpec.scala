@@ -680,10 +680,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(outSet(loaded.decontaminateExternal(bench, minLen)) == joint)
     assert(outSet(Dedup.decontaminateExternal(loaded, bench, minLen,
       driverPairRows = 0L)) == joint)
-    // cap guard: a corpus-sized "benchmark" must fail loudly
+    // cap behavior is CHUNKING, not failure (r15): a benchmark larger
+    // than maxBenchPositions greedy-packs into doc-granularity chunks,
+    // each run through the same query, per-position spans max-merged —
+    // must equal the single-chunk answer exactly. cap=60 forces ≥2
+    // chunks on this fixture (docs are ≤ ~48 tokens each)
+    assert(outSet(loaded.decontaminateExternal(bench, minLen,
+      maxBenchPositions = 60)) == joint)
+    assert(outSet(Dedup.decontaminateExternal(loaded, bench, minLen,
+      maxBenchPositions = 60, driverPairRows = 0L)) == joint)
+    // a SINGLE doc above the cap still fails loudly (splitting a doc
+    // would corrupt its remaining-length clamp)
     val e = intercept[IllegalArgumentException](
-      loaded.decontaminateExternal(bench, minLen, maxBenchPositions = 3))
-    assert(e.getMessage.contains("token positions"))
+      loaded.decontaminateExternal(bench, minLen, maxBenchPositions = 10))
+    assert(e.getMessage.contains("token positions") &&
+      e.getMessage.contains("alone"))
     // null/whitespace bench text carries no positions — dropped, not an
     // NPE (r14 review catch); result unchanged
     val benchDirty = benchL.map(t => (t._1, t._2: Any)) ++
@@ -739,6 +750,12 @@ class OperatorsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) ->
         ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
     assert(gotCut == expectedCut)
+    // the EDIT form through the chunked path (r15): identical rebuild
+    val gotCutChunked = loaded.cutExternal(corpus, bench, minLen,
+        maxBenchPositions = 60).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(gotCutChunked == expectedCut)
     // the fixture must exercise a PARTIAL cut (edit, not doc drop) and
     // untouched docs
     assert(expectedCut.values.exists(v => v._2 > 0 && v._2 < v._1))
