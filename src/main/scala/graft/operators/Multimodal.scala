@@ -180,6 +180,161 @@ object Multimodal {
       }.toDF()
   }
 
+  /** Deterministic STRUCTURED grayscale pixel value for the perceptual-
+    * dedup fixtures (the solid-color images above hash to all-zero
+    * gradients — useless for dHash). Groups of 7: ids ≡0 (mod 3) carry
+    * the group's base gradient verbatim (exact-duplicate class), ≡1 the
+    * base plus a handful of id-salted +60 bumps (near-duplicate class —
+    * a few hash bits flip), ≡2 a transposed-coefficient gradient (a
+    * genuinely different image). Pure integer arithmetic on
+    * (id, x, y) — the DuckDB oracle replays it bit for bit
+    * (TrainSql.mm_phash_dedup). */
+  private[operators] def grayVal(id: Long, x: Int, y: Int): Int = {
+    val g = (id % 7).toInt
+    val base =
+      if (id % 3 == 2) (g * 37 + 11 + x * 29 + y * 13) % 180
+      else (g * 37 + x * 13 + y * 29) % 180
+    val noise =
+      if (id % 3 == 1 && (x * 31 + y * 17 + id) % 89 == 0) 60 else 0
+    base + noise
+  }
+
+  private[operators] val grayW = 18
+  private[operators] val grayH = 16
+
+  /** Gray-gradient media table for perceptual dedup: every doc becomes
+    * one real 18×16 PNG whose pixels are [[grayVal]] (r = g = b). Same
+    * per-partition codec discipline as [[mediaFromDocuments]]. */
+  def grayMediaFromDocuments(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { batch =>
+      javax.imageio.ImageIO.setUseCache(false)
+      batch.map { id =>
+        val img = new java.awt.image.BufferedImage(
+          grayW, grayH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < grayH) {
+          var x = 0
+          while (x < grayW) {
+            val v = grayVal(id, x, y)
+            img.setRGB(x, y, v * 0x010101)
+            x += 1
+          }
+          y += 1
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", out)
+        MediaRow(id, "image", out.toByteArray, "docs")
+      }
+    }.toDF()
+  }
+
+  final case class Hashed(media_id: Long, width: Long, height: Long,
+      dhash: Option[Long])
+
+  /** 64-bit difference hash (dHash) per image — the standard perceptual
+    * fingerprint (Krawetz's "kind of like that" recipe): decode, reduce
+    * to a 9×8 grid of integer box-average luma cells, emit bit
+    * cy·8+cx = 1 iff cell(cx+1, cy) > cell(cx, cy). Integer arithmetic
+    * end to end (per-pixel floor luma (299r+587g+114b)/1000, floor box
+    * mean over the floor-boundary grid ⌊cx·W/9⌋..⌊(cx+1)·W/9⌋) so the
+    * hash is engine-reproducible and oracle-replayable — no float
+    * resize kernel in the contract. Images under 9×8 get a null hash
+    * (no grid; they drop out of pairing). Runs in `mapPartitions` like
+    * [[decode]] — per-partition codec setup, no driver collect; the
+    * hash is 8 bytes/image, the shape a billion-image dedup ships
+    * around instead of pixels. */
+  def dHash(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.filter(col("media_type") === "image")
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        javax.imageio.ImageIO.setUseCache(false)
+        batch.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          val (w, h) = (img.getWidth, img.getHeight)
+          if (w < 9 || h < 8) Hashed(id, w.toLong, h.toLong, None)
+          else {
+            val cells = Array.ofDim[Long](8, 9)
+            var cy = 0
+            while (cy < 8) {
+              val y0 = cy * h / 8; val y1 = (cy + 1) * h / 8
+              var cx = 0
+              while (cx < 9) {
+                val x0 = cx * w / 9; val x1 = (cx + 1) * w / 9
+                var sum = 0L
+                var y = y0
+                while (y < y1) {
+                  var x = x0
+                  while (x < x1) {
+                    val rgb = img.getRGB(x, y)
+                    sum += (299L * ((rgb >> 16) & 0xFF) +
+                      587L * ((rgb >> 8) & 0xFF) + 114L * (rgb & 0xFF)) / 1000L
+                    x += 1
+                  }
+                  y += 1
+                }
+                cells(cy)(cx) = sum / ((y1 - y0).toLong * (x1 - x0))
+                cx += 1
+              }
+              cy += 1
+            }
+            var hash = 0L
+            var b = 0
+            while (b < 64) {
+              if (cells(b / 8)(b % 8 + 1) > cells(b / 8)(b % 8))
+                hash |= (1L << b)
+              b += 1
+            }
+            Hashed(id, w.toLong, h.toLong, Some(hash))
+          }
+        }
+      }.toDF()
+  }
+
+  /** Perceptual near-duplicate pairs over [[dHash]] output — the image
+    * analogue of [[Dedup.minhashLshPairs]]' banded inverted index: the
+    * 64-bit hash splits into `bands` equal slices, images equi-join on
+    * (band index, band value) — candidates are band collisions, NEVER
+    * all pairs — and an exact popcount-of-xor Hamming filter keeps
+    * pairs ≤ `maxHamming`. EXACT by pigeonhole while
+    * `maxHamming < bands`: ≤ maxHamming differing bits cannot touch
+    * every band, so some band matches verbatim and the pair IS a
+    * candidate (the same argument as MinHash banding, but exact rather
+    * than probabilistic — Hamming balls are band-coverable). Null
+    * hashes (undersized images) drop out. Output: (media_a, media_b,
+    * hamming), a < b. Scale: one shuffle on the band keys; collision
+    * fan-out is bounded by duplicate-group sizes exactly like the text
+    * LSH family. */
+  def phashPairs(hashes: DataFrame, maxHamming: Int = 3, bands: Int = 4,
+      idCol: String = "media_id", hashCol: String = "dhash"): DataFrame = {
+    require(bands >= 1 && 64 % bands == 0,
+      s"bands must divide 64 (got $bands)")
+    require(maxHamming >= 0 && maxHamming < bands,
+      s"maxHamming ($maxHamming) must be < bands ($bands) — the " +
+        "pigeonhole exactness guarantee needs one untouched band")
+    val bw = 64 / bands
+    val mask = if (bw == 64) -1L else (1L << bw) - 1L
+    val banded = hashes.filter(col(hashCol).isNotNull)
+      .select(col(idCol).as("_id"), col(hashCol).as("_h"),
+        posexplode(array((0 until bands).map(b =>
+          shiftrightunsigned(col(hashCol), b * bw)
+            .bitwiseAND(lit(mask))): _*)))
+      .toDF("_id", "_h", "_band", "_bv")
+    banded.select(col("_id").as("media_a"), col("_h").as("_ha"),
+        col("_band"), col("_bv"))
+      .join(banded.select(col("_id").as("media_b"), col("_h").as("_hb"),
+        col("_band"), col("_bv")), Seq("_band", "_bv"))
+      .filter(col("media_a") < col("media_b"))
+      .select(col("media_a"), col("media_b"),
+        bit_count(col("_ha").bitwiseXOR(col("_hb"))).cast("long")
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Frame sampling for "video" payloads: fixed-size byte windows exploded
     * to (media_id, frame_idx, frame_bytes) rows — the partition-preserving
     * explode a real frame sampler would use. */

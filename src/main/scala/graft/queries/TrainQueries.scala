@@ -843,7 +843,20 @@ object TrainQueries {
     // 1.0 cannot slice BLOBs); byte windows == char windows only because
     // the documents fixture is pure ASCII. The Spark side is byte-correct.
     "mm_frames" -> ((s, dir) =>
-      Multimodal.frameSample(Multimodal.mediaFromDocuments(s, docs(s, dir)))))
+      Multimodal.frameSample(Multimodal.mediaFromDocuments(s, docs(s, dir)))),
+
+    // Perceptual image dedup (r15): structured gray-gradient PNGs
+    // (exact-dup / near-dup / distinct classes per 7-group), REAL
+    // decode → integer 9×8 box-average dHash → banded Hamming pairing
+    // (4 bands, r=3 < bands ⇒ exact by pigeonhole). The oracle
+    // recomputes every pixel from id arithmetic, re-derives each
+    // image's 64 hash bits, and brute-forces all-pairs Hamming — a
+    // hash match proves decode→downsample→hash→band-join end to end
+    "mm_phash_dedup" -> ((s, dir) =>
+      Multimodal.phashPairs(
+        Multimodal.dHash(s, Multimodal.grayMediaFromDocuments(s,
+          docs(s, dir).filter(col("doc_id") % 5 === 0))),
+        maxHamming = 3)))
 }
 
 object TrainSql {
@@ -2089,5 +2102,35 @@ object TrainSql {
         FROM documents WHERE doc_id % 3 = 2)
       SELECT media_id, unnest(range(n_frames)) AS frame_idx, n_frames,
              md5(substr(text, CAST(unnest(range(n_frames)) * 256 + 1 AS BIGINT), 256)) AS frame_md5
-      FROM v""")
+      FROM v""",
+
+    // perceptual image dedup (r15): replay Multimodal.grayVal per pixel,
+    // 2x2 integer box means (the 18x16 fixture's exact 9x8 grid), the 64
+    // dHash bit comparisons, then brute all-pairs Hamming <= 3 — the
+    // engine's banded join must produce exactly this set (pigeonhole:
+    // 3 differing bits cannot touch all 4 bands)
+    "mm_phash_dedup" -> """
+      WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id % 5 = 0),
+      px AS (SELECT id, x, y,
+               (CASE WHEN id % 3 = 2
+                     THEN ((id % 7) * 37 + 11 + x * 29 + y * 13) % 180
+                     ELSE ((id % 7) * 37 + x * 13 + y * 29) % 180 END
+                + CASE WHEN id % 3 = 1 AND (x * 31 + y * 17 + id) % 89 = 0
+                       THEN 60 ELSE 0 END) AS v
+             FROM ids,
+                  (SELECT unnest(range(18)) AS x),
+                  (SELECT unnest(range(16)) AS y)),
+      cells AS (SELECT id, x // 2 AS cx, y // 2 AS cy,
+                       CAST(SUM(v) // 4 AS BIGINT) AS cell
+                FROM px GROUP BY id, x // 2, y // 2),
+      bits AS (SELECT a.id, a.cy * 8 + a.cx AS b,
+                      CASE WHEN n.cell > a.cell THEN 1 ELSE 0 END AS bit
+               FROM cells a
+               JOIN cells n ON n.id = a.id AND n.cy = a.cy AND n.cx = a.cx + 1
+               WHERE a.cx < 8)
+      SELECT a.id AS media_a, b.id AS media_b,
+             CAST(SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+      FROM bits a JOIN bits b ON a.b = b.b AND a.id < b.id
+      GROUP BY a.id, b.id
+      HAVING SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) <= 3""")
 }

@@ -920,6 +920,85 @@ class OperatorsSpec extends AnyFunSuite {
     idx.release(); idxOld.release()
   }
 
+  test("dHash ≡ literal pixel reference; banded Hamming pairing exact (r15)") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    // hand-built pixel images (NOT the fixture generator): a 40×30
+    // gradient base, a near-duplicate with a patch of bumped pixels, an
+    // unrelated image, and an undersized one (no 9×8 grid possible)
+    def px(id: Long, w: Int, h: Int): Array[Array[Int]] =
+      Array.tabulate(h, w) { (y, x) =>
+        id match {
+          case 1L | 2L =>
+            val base = (x * 11 + y * 23) % 170
+            // id 2's patch saturates exactly grid cell (cy=2, cx=4) of
+            // the 40×30 image (x 17..21, y 7..10) — flips that cell's
+            // two neighbor comparisons and nothing else
+            if (id == 2L && x >= 17 && x < 22 && y >= 7 && y < 11) 255
+            else base
+          case _ => (x * 29 + y * 5 + 90) % 200
+        }
+      }
+    def pngOf(pix: Array[Array[Int]]): Array[Byte] = {
+      val (h, w) = (pix.length, pix(0).length)
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, pix(y)(x) * 0x010101)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    // literal dHash reference straight off the pixel arrays (floor
+    // luma per pixel = the value itself for gray, floor-boundary grid,
+    // floor box mean, bit cy*8+cx = right cell > left cell)
+    def refHash(pix: Array[Array[Int]]): Long = {
+      val (h, w) = (pix.length, pix(0).length)
+      val cells = Array.tabulate(8, 9) { (cy, cx) =>
+        val (y0, y1) = (cy * h / 8, (cy + 1) * h / 8)
+        val (x0, x1) = (cx * w / 9, (cx + 1) * w / 9)
+        val vals = for (y <- y0 until y1; x <- x0 until x1) yield pix(y)(x).toLong
+        vals.sum / vals.length
+      }
+      (0 until 64).foldLeft(0L) { (acc, b) =>
+        if (cells(b / 8)(b % 8 + 1) > cells(b / 8)(b % 8)) acc | (1L << b) else acc
+      }
+    }
+    val sizes = Map(1L -> ((40, 30)), 2L -> ((40, 30)), 3L -> ((13, 11)),
+      4L -> ((5, 5)))
+    val media = sizes.toSeq.sortBy(_._1).map { case (id, (w, h)) =>
+      (id, "image", pngOf(px(id, w, h)), "spec")
+    }.toDF("media_id", "media_type", "payload", "meta_source")
+    val got = Multimodal.dHash(spark, media).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    val expected = sizes.map { case (id, (w, h)) =>
+      id -> (if (w < 9 || h < 8) None else Some(refHash(px(id, w, h))))
+    }
+    assert(got == expected)
+    assert(got(4L).isEmpty) // undersized → null hash
+    // near-dup vs base: small positive Hamming; unrelated: far
+    def hd(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val d12 = hd(got(1L).get, got(2L).get)
+    assert(d12 > 0 && d12 <= 3, s"near-dup distance $d12")
+    assert(hd(got(1L).get, got(3L).get) > 3)
+    // banding exactness: banded pairs ≡ brute all-pairs Hamming ≤ r
+    // (pigeonhole: r < bands); undersized image excluded
+    val hashes = Multimodal.dHash(spark, media)
+    val pairs = Multimodal.phashPairs(hashes, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val defined = got.collect { case (id, Some(hh)) => id -> hh }.toSeq
+    val brute = (for {
+      (ia, ha) <- defined; (ib, hb) <- defined
+      if ia < ib && hd(ha, hb) <= 3
+    } yield (ia, ib, hd(ha, hb).toLong)).toSet
+    assert(pairs == brute && pairs.contains((1L, 2L, d12.toLong)))
+    // misuse guards: r >= bands breaks the pigeonhole guarantee
+    val e = intercept[IllegalArgumentException](
+      Multimodal.phashPairs(hashes, maxHamming = 4, bands = 4))
+    assert(e.getMessage.contains("pigeonhole"))
+  }
+
   test("shared-index misuse fails loudly: unrestricted cut/decontaminate on a superset build (r14)") {
     import spark.implicits._
     val rnd = new scala.util.Random(43)
