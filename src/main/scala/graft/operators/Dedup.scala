@@ -1480,6 +1480,20 @@ object Dedup {
     val nDocs: Long = shards.map(_.nDocs).sum
     def maxLen: Int = shards.head.maxLen
 
+    /** Per-shard queries are independent (own rank space, own frames),
+      * so they run CONCURRENTLY — Spark schedules the jobs side by
+      * side and the federated wall-clock tracks the slowest shard, not
+      * the shard count (measured 2.2× at 4 shards sequential; SCALE.md
+      * has the A/B). The driver-side work per shard (bounded collects,
+      * fingerprint arrays) is per-thread state. */
+    private def inParallel[T](work: Seq[() => T]): Seq[T] = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Await.result(
+        Future.sequence(work.map(w => Future(w()))),
+        scala.concurrent.duration.Duration.Inf)
+    }
+
     /** [[Dedup.decontaminateExternal]] federated: one bench-driven query
       * per shard (each shard has its own rank space, so the fingerprint
       * probes run against its own vocab/pair maps), per-doc outputs
@@ -1488,8 +1502,9 @@ object Dedup {
         benchIdCol: String = "doc_id", benchTextCol: String = "text",
         maxBenchPositions: Int = 1 << 22,
         driverPairRows: Long = 1L << 17): DataFrame = {
-      val parts = shards.map(sh => Dedup.decontaminateExternal(sh, bench,
-        minLen, benchIdCol, benchTextCol, maxBenchPositions, driverPairRows))
+      val parts = inParallel(shards.map(sh =>
+        () => Dedup.decontaminateExternal(sh, bench, minLen, benchIdCol,
+          benchTextCol, maxBenchPositions, driverPairRows)))
       materializeAndRelease(parts.reduce(_ unionByName _), parts: _*)
     }
 
@@ -1501,12 +1516,15 @@ object Dedup {
         benchIdCol: String = "doc_id", benchTextCol: String = "text",
         maxBenchPositions: Int = 1 << 22): DataFrame = {
       requireFederatedDocSet(docs, idCol, "ShardedSuffixIndex.cutExternal")
-      val parts = shards.map { sh =>
-        val shardDocs = docs.join(
-          sh.doclens.select(col("doc_id").as(idCol)), Seq(idCol), "left_semi")
-        Dedup.cutExternal(sh, shardDocs, bench, minLen, idCol, textCol,
-          benchIdCol, benchTextCol, maxBenchPositions)
-      }
+      val parts = inParallel(shards.map { sh =>
+        () => {
+          val shardDocs = docs.join(
+            sh.doclens.select(col("doc_id").as(idCol)), Seq(idCol),
+            "left_semi")
+          Dedup.cutExternal(sh, shardDocs, bench, minLen, idCol, textCol,
+            benchIdCol, benchTextCol, maxBenchPositions)
+        }
+      })
       materializeAndRelease(parts.reduce(_ unionByName _), parts: _*)
     }
 

