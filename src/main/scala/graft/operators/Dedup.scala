@@ -1309,6 +1309,17 @@ object Dedup {
         .sortWithinPartitions(col("_ra"), col("_rb"))
         .write.mode("overwrite").parquet(s"$dir/pairmap_$kk")
     }
+    // overwriting an artifact with a SMALLER k would leave the old
+    // save's extra round_/pairmap_ dirs beside the new ones — unread
+    // (meta's k bounds the load) but blessed by the manifest forever;
+    // drop root entries this save did not write (r15 review catch)
+    val expected: Set[String] = (Set("meta", "sa", "doclens", "vocab") ++
+      (0 to idx.k).map(i => s"round_$i") ++
+      (1 to idx.k).map(i => s"pairmap_$i")) + ArtifactMarker
+    afs.listStatus(rootPath).foreach { st =>
+      if (!expected.contains(st.getPath.getName))
+        afs.delete(st.getPath, true)
+    }
     // the manifest is the LAST write: its presence certifies every dir
     // above belongs to THIS save
     val manifest = listArtifactFiles(afs, rootPath)
@@ -1632,6 +1643,15 @@ object Dedup {
     fed.shards.zipWithIndex.foreach { case (sh, i) =>
       saveSuffixIndex(sh, s"$dir/shard_$i")
     }
+    // a shrunk federation must not leave a previous save's extra
+    // shard_N dirs beside the new ones (same stale-entry discipline as
+    // the single-artifact save)
+    val expected = (0 until fed.shards.size).map(i => s"shard_$i").toSet +
+      ArtifactMarker
+    afs.listStatus(rootPath).foreach { st =>
+      if (!expected.contains(st.getPath.getName))
+        afs.delete(st.getPath, true)
+    }
     val os = afs.create(marker, true)
     try os.write(s"n_shards\t${fed.shards.size}"
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -1662,7 +1682,13 @@ object Dedup {
         new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
       } finally in.close()
     }
-    val n = txt.trim.stripPrefix("n_shards\t").toInt
+    // a torn marker write leaves garbage — name the cause, don't throw
+    // a bare NumberFormatException
+    val n = scala.util.Try(txt.trim.stripPrefix("n_shards\t").toInt)
+      .getOrElse(throw new IllegalStateException(
+        s"loadShardedSuffixIndex: '$dir' has a malformed root marker " +
+          s"('${txt.take(40)}') — the marker write itself tore; re-run " +
+          "the federation save"))
     federateSuffixIndexes(
       (0 until n).map(i => loadSuffixIndex(spark, s"$dir/shard_$i")))
   }

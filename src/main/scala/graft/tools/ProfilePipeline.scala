@@ -54,8 +54,14 @@ object ProfilePipeline {
       // near-dup threshold against each other
       else d.withColumn("text", regexp_replace(col("text"), "(\\S{4,})", s"c${c}q$$1"))
     }.reduce(_ unionByName _)
+      // hosts scale WITH the corpus (500·factor hosts ⇒ ~100 docs/host
+      // at any factor): a fixed 500-host decoration made hostCap(80)
+      // clamp every factor to the same 40k survivors, silently turning
+      // the "100×" chain into a 40k-doc run (r15 catch — exactly the
+      // silent-cap class the no-silent-caps rule exists for)
       .withColumn("url", concat(lit("https://WWW.Host"),
-        (col("doc_id") % 500).cast("string"), lit(".Example.COM:443/d/"),
+        (col("doc_id") % (500 * factor)).cast("string"),
+        lit(".Example.COM:443/d/"),
         col("doc_id").cast("string"), lit("?utm_source=crawl&id="),
         col("doc_id").cast("string")))
       .withColumn("text", concat(lit("Subscribe to our newsletter\n"),

@@ -917,7 +917,15 @@ class OperatorsSpec extends AnyFunSuite {
     // last over freshly-written dirs
     Dedup.saveSuffixIndex(idx, dirC)
     assert(Dedup.loadSuffixIndex(spark, dirC).doclens.count() == 10)
-    idx.release(); idxOld.release()
+    // overwriting with a SMALLER index (k drops 3 → 2) must clean the
+    // old save's extra round_3/pairmap_3 dirs — not bless them in the
+    // new manifest forever
+    val idxSmall = Dedup.buildSuffixIndex(corpus(10, 1), maxLen = 4)
+    Dedup.saveSuffixIndex(idxSmall, dirA)
+    assert(!new java.io.File(dirA, "round_3").exists())
+    assert(!new java.io.File(dirA, "pairmap_3").exists())
+    assert(Dedup.loadSuffixIndex(spark, dirA).maxLen == 4)
+    idx.release(); idxOld.release(); idxSmall.release()
   }
 
   test("dHash ≡ literal pixel reference; banded Hamming pairing exact (r15)") {
