@@ -1495,14 +1495,24 @@ object Dedup {
       * so they run CONCURRENTLY — Spark schedules the jobs side by
       * side and the federated wall-clock tracks the slowest shard, not
       * the shard count (measured 2.2× at 4 shards sequential; SCALE.md
-      * has the A/B). The driver-side work per shard (bounded collects,
-      * fingerprint arrays) is per-thread state. */
-    private def inParallel[T](work: Seq[() => T]): Seq[T] = {
+      * has the A/B). Concurrency is BOUNDED: each in-flight shard
+      * query holds its own bench fingerprint set on the driver
+      * ((K+2)·8 B per position — ~240 MB at the 2²² cap), so a
+      * many-shard federation running all shards at once would multiply
+      * that by the shard count; four concurrent shards caps the
+      * transient footprint at ~1 GB worst-case while still hiding the
+      * per-shard probe latency. */
+    private def inParallel[T](work: Seq[() => T],
+        maxConcurrent: Int = 4): Seq[T] = {
       import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
-      Await.result(
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.max(1, math.min(maxConcurrent, work.size)))
+      implicit val ec =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      try Await.result(
         Future.sequence(work.map(w => Future(w()))),
         scala.concurrent.duration.Duration.Inf)
+      finally pool.shutdown()
     }
 
     /** [[Dedup.decontaminateExternal]] federated: one bench-driven query

@@ -89,6 +89,11 @@ object ProfilePipeline {
       println(f"  $name%-34s ${sec}%7.2f s  -> $n%8d rows")
       out
     }
+    // release-as-you-go (r15: the 100× run OOM'd an 8 GB driver because
+    // the chain held EVERY stage's checkpoint blocks to the end — a real
+    // pipeline drops a stage's input once the next stage materializes)
+    def drop(dfs: DataFrame*): Unit =
+      dfs.foreach(graft.sources.SessionCache.release)
 
     // 1. URL keys + host cap (≤ factor×avg docs/host keeps ~all; cap at
     //    80 bites on the 500-host decoration)
@@ -102,6 +107,7 @@ object ProfilePipeline {
           .select(col("doc_id"), col("text_dedup")), Seq("doc_id"))
         .drop("text").withColumnRenamed("text_dedup", "text")
     }
+    drop(capped)
     // 3. quality + C4 keep flags
     val filtered = stage("quality + C4 filters") {
       val q = TextAnalysis.qualityScore(lineDeduped)
@@ -153,6 +159,7 @@ object ProfilePipeline {
       val label = "classifier fit (4096, budget sample)"
       println(f"  $label%-36s ${clfFitSec}%7.2f s  -> sample agreement $agree/$n")
     }
+    drop(lineDeduped)
     // 3c. the trained model scores the FULL filtered corpus (same raw-
     //     text distribution it was fit on — scoring precedes the span
     //     cut, the GPT-3 order) and its predictions gate the rest of
@@ -163,11 +170,13 @@ object ProfilePipeline {
             thresholdNano = 500000000L)
           .filter(col("predicted")).select(col("doc_id")), Seq("doc_id"))
     }
+    drop(filtered)
     // 4. exact dedup (keep the canonical copy of byte-identical docs)
     val exactDeduped = stage("exact dedup") {
       clfKept.join(Dedup.exact(clfKept)
           .select(col("keep_id").as("doc_id")), Seq("doc_id"))
     }
+    drop(clfKept)
     // 4b. SHARED suffix index (r13): ONE prefix-doubling build over
     //     corpus ∪ benchmark feeds BOTH the ExactSubstr cut and the
     //     substring decontamination — r12 paid the dominant index build
@@ -283,6 +292,7 @@ object ProfilePipeline {
         f" ${extSec}%.2f s ($fedN vs $extN contaminated" +
         (if (fedN == extN) ", identical)" else ", MISMATCH)"))
     }
+    drop(exactDeduped)
     val afterCut = spanCut.drop("n_removed")
       .join(decon.select(col("doc_id")), Seq("doc_id"), "left_anti")
     // 5. near-dup clustering, keep canonical per cluster
@@ -292,6 +302,7 @@ object ProfilePipeline {
         Dedup.clusterAssign(afterCut, pairs)
           .filter(col("is_canonical")).select(col("doc_id")), Seq("doc_id"))
     }
+    drop(spanCut, decon)
     // 6. mixture weights + token-budget cut per source
     val cut = stage("mix weights + token budget") {
       val budgets = Sampling.mixWeights(nearDeduped).collect()
@@ -300,6 +311,7 @@ object ProfilePipeline {
       Sampling.takeTokens(nearDeduped, budgets, defaultBudget = Long.MaxValue)
         .filter(col("kept"))
     }
+    drop(nearDeduped)
     // budget-true total: the straddler doc counts at its truncate_to,
     // not its full length — summing raw n_tokens would overstate the
     // budgeted corpus by up to one doc per source
