@@ -80,15 +80,21 @@ object Multimodal {
   }
 
   private def wavBytes(id: Long): Array[Byte] = {
-    import javax.sound.sampled._
     val n = audioFrames(id)
     val pcm = new Array[Byte](n)
     var i = 0
     while (i < n) { pcm(i) = (((id + i) * 31) & 0xFF).toByte; i += 1 }
+    wavFromPcm(pcm)
+  }
+
+  /** Encode unsigned-8-bit mono PCM as a real WAV container (lossless —
+    * the decode side reads the identical sample bytes back). */
+  private def wavFromPcm(pcm: Array[Byte]): Array[Byte] = {
+    import javax.sound.sampled._
     val fmt = new AudioFormat(AudioFormat.Encoding.PCM_UNSIGNED,
       sampleRate.toFloat, 8, 1, 1, sampleRate.toFloat, false)
     val stream = new AudioInputStream(
-      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      new java.io.ByteArrayInputStream(pcm), fmt, pcm.length.toLong)
     val out = new java.io.ByteArrayOutputStream()
     AudioSystem.write(stream, AudioFileFormat.Type.WAVE, out)
     out.toByteArray
@@ -333,6 +339,103 @@ object Multimodal {
           .as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Deterministic STRUCTURED amplitude for the audio-dedup fixtures —
+    * the 1-D analogue of [[grayVal]] (the constant-byte [[wavBytes]]
+    * clips hash to degenerate energy profiles). Groups of 7: ids ≡0
+    * (mod 3) carry the group's base amplitude pattern verbatim
+    * (exact-duplicate class), ≡1 the base plus rare id-salted +40
+    * bumps (near-duplicate class — a handful of energy windows shift,
+    * flipping a few hash bits), ≡2 a different-coefficient pattern (a
+    * genuinely different clip). Pure integer arithmetic on (id, i);
+    * the DuckDB oracle replays it bit for bit (TrainSql
+    * `mm_ahash_dedup`). Amplitude stays < 120, so the unsigned sample
+    * 128+m never clips. */
+  private[operators] def toneAmp(id: Long, i: Int): Int = {
+    val g = (id % 7).toInt
+    val base =
+      if (id % 3 == 2) (g * 37 + 11 + i * 29) % 80
+      else (g * 37 + i * 13) % 80
+    val bump = if (id % 3 == 1 && (i * 31 + id) % 997 == 0) 40 else 0
+    base + bump
+  }
+
+  /** 65 energy windows of exactly [[toneWin]] samples each — the fixture
+    * length divides evenly so the oracle's window grouping is `i // 24`. */
+  private[operators] val toneWin = 24
+  private[operators] val toneFrames = 65 * toneWin
+
+  /** Audio fixture for perceptual dedup: every doc becomes one real WAV
+    * clip of [[toneFrames]] unsigned-8-bit samples `128 + toneAmp(id, i)`.
+    * Same per-partition batch discipline as [[mediaFromDocuments]]. */
+  def toneMediaFromDocuments(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { batch =>
+      batch.map { id =>
+        val pcm = new Array[Byte](toneFrames)
+        var i = 0
+        while (i < toneFrames) {
+          pcm(i) = (128 + toneAmp(id, i)).toByte
+          i += 1
+        }
+        MediaRow(id, "audio", wavFromPcm(pcm), "docs")
+      }
+    }.toDF()
+  }
+
+  final case class AudioHashed(media_id: Long, n_frames: Long,
+      ahash: Option[Long])
+
+  /** 64-bit audio fingerprint per clip — the temporal-energy difference
+    * hash (the sign-of-band-energy-difference recipe of Haitsma &
+    * Kalker's robust audio fingerprint, reduced to one band over time
+    * and integer arithmetic so the hash is engine-reproducible and
+    * oracle-replayable): decode the WAV, split the clip into 65 equal
+    * time windows (floor boundaries ⌊j·n/65⌋, like [[dHash]]'s grid),
+    * per-window integer mean absolute deviation from the 8-bit midpoint
+    * e_j = ⌊Σ|s−128| / len⌋, emit bit j = 1 iff e_{j+1} > e_j. Clips
+    * under 65 samples get a null hash and drop out of pairing. Runs in
+    * `mapPartitions` — per-partition codec use, no driver collect; 8
+    * bytes/clip is what a billion-clip dedup ships, not waveforms.
+    * Pairing reuses [[phashPairs]] (`hashCol = "ahash"`) — the banded
+    * Hamming join is modality-blind. */
+  def aHash(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.filter(col("media_type") === "audio")
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, bytes) =>
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val pcm = try in.readAllBytes() finally in.close()
+          val n = pcm.length
+          if (n < 65) AudioHashed(id, n.toLong, None)
+          else {
+            val e = new Array[Long](65)
+            var j = 0
+            while (j < 65) {
+              val i0 = j * n / 65; val i1 = (j + 1) * n / 65
+              var sum = 0L
+              var i = i0
+              while (i < i1) {
+                sum += math.abs((pcm(i) & 0xFF) - 128).toLong
+                i += 1
+              }
+              e(j) = sum / (i1 - i0)
+              j += 1
+            }
+            var hash = 0L
+            var b = 0
+            while (b < 64) {
+              if (e(b + 1) > e(b)) hash |= (1L << b)
+              b += 1
+            }
+            AudioHashed(id, n.toLong, Some(hash))
+          }
+        }
+      }.toDF()
   }
 
   /** Frame sampling for "video" payloads: fixed-size byte windows exploded

@@ -856,7 +856,21 @@ object TrainQueries {
       Multimodal.phashPairs(
         Multimodal.dHash(s, Multimodal.grayMediaFromDocuments(s,
           docs(s, dir).filter(col("doc_id") % 5 === 0))),
-        maxHamming = 3)))
+        maxHamming = 3)),
+
+    // Perceptual audio dedup (r15): structured amplitude-pattern WAV
+    // clips (exact-dup / near-dup / distinct classes per 7-group), REAL
+    // decode → integer temporal-energy difference hash (Haitsma–Kalker
+    // sign-of-energy-differences, one band over 65 time windows) → the
+    // SAME banded Hamming pairing as images (the join is modality-
+    // blind). The oracle recomputes every sample from id arithmetic,
+    // re-derives each clip's 64 bits, and brute-forces all-pairs
+    // Hamming — a hash match proves encode→decode→window→hash→band-join
+    "mm_ahash_dedup" -> ((s, dir) =>
+      Multimodal.phashPairs(
+        Multimodal.aHash(s, Multimodal.toneMediaFromDocuments(s,
+          docs(s, dir).filter(col("doc_id") % 5 === 0))),
+        maxHamming = 3, hashCol = "ahash")))
 }
 
 object TrainSql {
@@ -2128,6 +2142,33 @@ object TrainSql {
                FROM cells a
                JOIN cells n ON n.id = a.id AND n.cy = a.cy AND n.cx = a.cx + 1
                WHERE a.cx < 8)
+      SELECT a.id AS media_a, b.id AS media_b,
+             CAST(SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+      FROM bits a JOIN bits b ON a.b = b.b AND a.id < b.id
+      GROUP BY a.id, b.id
+      HAVING SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) <= 3""",
+
+    // perceptual audio dedup (r15): replay Multimodal.toneAmp per sample
+    // (1560 = 65 windows x 24), integer window energies (mean |s-128| =
+    // mean amplitude, floor), the 64 energy-difference bit comparisons,
+    // then brute all-pairs Hamming <= 3 — the engine's banded join must
+    // produce exactly this set (pigeonhole: 3 differing bits cannot
+    // touch all 4 bands)
+    "mm_ahash_dedup" -> """
+      WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id % 5 = 0),
+      sm AS (SELECT id, i,
+               (CASE WHEN id % 3 = 2
+                     THEN ((id % 7) * 37 + 11 + i * 29) % 80
+                     ELSE ((id % 7) * 37 + i * 13) % 80 END
+                + CASE WHEN id % 3 = 1 AND (i * 31 + id) % 997 = 0
+                       THEN 40 ELSE 0 END) AS m
+             FROM ids, (SELECT unnest(range(1560)) AS i)),
+      wins AS (SELECT id, i // 24 AS w, CAST(SUM(m) // 24 AS BIGINT) AS e
+               FROM sm GROUP BY id, i // 24),
+      bits AS (SELECT a.id, a.w AS b,
+                      CASE WHEN n.e > a.e THEN 1 ELSE 0 END AS bit
+               FROM wins a JOIN wins n ON n.id = a.id AND n.w = a.w + 1
+               WHERE a.w < 64)
       SELECT a.id AS media_a, b.id AS media_b,
              CAST(SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS BIGINT) AS hamming
       FROM bits a JOIN bits b ON a.b = b.b AND a.id < b.id

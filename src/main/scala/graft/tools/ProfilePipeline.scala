@@ -311,6 +311,39 @@ object ProfilePipeline {
       Sampling.takeTokens(nearDeduped, budgets, defaultBudget = Long.MaxValue)
         .filter(col("kept"))
     }
+    // ---- mixture-stage scaling A/B (r12): two-pass prefix sum vs the
+    // r11 single-window form on a ONE-SOURCE corpus — the window form
+    // funnels every row into one task's sort; the two-pass spreads the
+    // same exact computation across the session's shuffle partitions.
+    // Runs HERE (before nearDeduped's blocks are released — a released
+    // localCheckpoint has no lineage to recompute from, so the r15
+    // release-as-you-go pass made the old end-of-run placement a
+    // use-after-release crash); the result line prints with the other
+    // A/Bs at the end.
+    val (twoPassSec, windowSec) = locally {
+      val one = nearDeduped.withColumn("source", lit("all"))
+        .select(col("doc_id"), col("source"), col("text"))
+      def time(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val tp = time {
+        Sampling.takeTokens(one, Map.empty, defaultBudget = Long.MaxValue)
+          .agg(sum(col("cum_tokens"))).collect()
+        ()
+      }
+      val W = org.apache.spark.sql.expressions.Window
+      val w = W.partitionBy(col("source"))
+        .orderBy(Sampling.hashFraction(col("doc_id"), "budget"), col("doc_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      val ws = time {
+        one.select(col("doc_id"), col("source"),
+            TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+          .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+          .agg(sum(col("cum_tokens"))).collect()
+        ()
+      }
+      (tp, ws)
+    }
     drop(nearDeduped)
     // budget-true total: the straddler doc counts at its truncate_to,
     // not its full length — summing raw n_tokens would overstate the
@@ -359,36 +392,9 @@ object ProfilePipeline {
       f"$tokens budgeted tokens; semantic leg kept ${semKept.count()} vectors, " +
       f"${contam.count()} contamination hits")
 
-    // ---- mixture-stage scaling A/B (r12): two-pass prefix sum vs the
-    // r11 single-window form on a ONE-SOURCE corpus — the window form
-    // funnels every row into one task's sort; the two-pass spreads the
-    // same exact computation across the session's shuffle partitions
-    {
-      val one = nearDeduped.withColumn("source", lit("all"))
-        .select(col("doc_id"), col("source"), col("text"))
-      def time(f: => Unit): Double = {
-        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-      }
-      val twoPassSec = time {
-        Sampling.takeTokens(one, Map.empty, defaultBudget = Long.MaxValue)
-          .agg(sum(col("cum_tokens"))).collect()
-        ()
-      }
-      val W = org.apache.spark.sql.expressions.Window
-      val w = W.partitionBy(col("source"))
-        .orderBy(Sampling.hashFraction(col("doc_id"), "budget"), col("doc_id"))
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-      val windowSec = time {
-        one.select(col("doc_id"), col("source"),
-            TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
-          .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
-          .agg(sum(col("cum_tokens"))).collect()
-        ()
-      }
-      println(f"one-source token-budget A/B: two-pass ${twoPassSec}%.2f s " +
-        f"(${spark.sessionState.conf.numShufflePartitions} slices) vs " +
-        f"single-window ${windowSec}%.2f s (1 task)")
-    }
+    println(f"one-source token-budget A/B: two-pass ${twoPassSec}%.2f s " +
+      f"(${spark.sessionState.conf.numShufflePartitions} slices) vs " +
+      f"single-window ${windowSec}%.2f s (1 task)")
     spark.stop()
   }
 }

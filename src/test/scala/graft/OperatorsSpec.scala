@@ -1007,6 +1007,102 @@ class OperatorsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("pigeonhole"))
   }
 
+  test("aHash ≡ literal sample reference; audio banded pairing exact (r15)") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    // hand-built PCM clips (NOT the fixture generator): a 1300-sample
+    // amplitude pattern (1300/65 = 20 — exercises general floor
+    // boundaries, not the fixture's exact-multiple 1560), a
+    // near-duplicate with one bumped region, an unrelated clip on the
+    // NEGATIVE side of the 8-bit midpoint (exercises the |s-128|), and
+    // an undersized clip (no 65-window split possible)
+    def amps(id: Long, n: Int): Array[Int] = Array.tabulate(n) { i =>
+      id match {
+        case 1L | 2L =>
+          val base = (i * 7) % 90
+          // id 2's bump covers samples 600..639 = windows 30..31 of the
+          // 1300-sample clip exactly — shifts two window energies and
+          // flips at most 3 neighbor comparisons
+          if (id == 2L && i >= 600 && i < 640) base + 37 else base
+        case _ => (i * 13 + 37) % 110
+      }
+    }
+    def pcmOf(id: Long, n: Int): Array[Byte] = {
+      val a = amps(id, n)
+      // id 3 sits below the midpoint: s = 128 - amp; the hash contract
+      // is mean |s - 128|, so its reference energies are the same amps
+      Array.tabulate(n)(i =>
+        (if (id == 3L) 128 - a(i) else 128 + a(i)).toByte)
+    }
+    // literal reference straight off the amplitude arrays: floor
+    // window boundaries ⌊j·n/65⌋, floor mean, bit j = e(j+1) > e(j)
+    def refHash(a: Array[Int]): Long = {
+      val n = a.length
+      val e = Array.tabulate(65) { j =>
+        val (i0, i1) = (j * n / 65, (j + 1) * n / 65)
+        (i0 until i1).map(a(_).toLong).sum / (i1 - i0)
+      }
+      (0 until 64).foldLeft(0L) { (acc, b) =>
+        if (e(b + 1) > e(b)) acc | (1L << b) else acc
+      }
+    }
+    val sizes = Map(1L -> 1300, 2L -> 1300, 3L -> 1300, 4L -> 50)
+    val media = sizes.toSeq.sortBy(_._1).map { case (id, n) =>
+      (id, "audio", {
+        import javax.sound.sampled._
+        val pcm = pcmOf(id, n)
+        val fmt = new AudioFormat(AudioFormat.Encoding.PCM_UNSIGNED,
+          8000f, 8, 1, 1, 8000f, false)
+        val out = new java.io.ByteArrayOutputStream()
+        AudioSystem.write(new AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, pcm.length.toLong),
+          AudioFileFormat.Type.WAVE, out)
+        out.toByteArray
+      }, "spec")
+    }.toDF("media_id", "media_type", "payload", "meta_source")
+    val got = Multimodal.aHash(spark, media).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    val expected = sizes.map { case (id, n) =>
+      id -> (if (n < 65) None else Some(refHash(amps(id, n))))
+    }
+    assert(got == expected)
+    assert(got(4L).isEmpty) // undersized → null hash
+    def hd(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val d12 = hd(got(1L).get, got(2L).get)
+    assert(d12 > 0 && d12 <= 3, s"near-dup distance $d12")
+    assert(hd(got(1L).get, got(3L).get) > 3)
+    // the banded join is modality-blind: banded ≡ brute on ahash
+    val hashes = Multimodal.aHash(spark, media)
+    val pairs = Multimodal.phashPairs(hashes, maxHamming = 3,
+        hashCol = "ahash").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val defined = got.collect { case (id, Some(hh)) => id -> hh }.toSeq
+    val brute = (for {
+      (ia, ha) <- defined; (ib, hb) <- defined
+      if ia < ib && hd(ha, hb) <= 3
+    } yield (ia, ib, hd(ha, hb).toLong)).toSet
+    assert(pairs == brute && pairs.contains((1L, 2L, d12.toLong)))
+    // fixture round trip: the WAV codec is lossless, so aHash over the
+    // generated clips equals the hash computed from a LITERAL replica
+    // of the toneAmp formula (the same replica the DuckDB oracle uses)
+    def toneAmpRef(id: Long, i: Int): Int = {
+      val g = (id % 7).toInt
+      val base =
+        if (id % 3 == 2) (g * 37 + 11 + i * 29) % 80
+        else (g * 37 + i * 13) % 80
+      base + (if (id % 3 == 1 && (i * 31 + id) % 997 == 0) 40 else 0)
+    }
+    val docs = Seq(10L, 11L, 12L, 16L).toDF("doc_id")
+    val fixture = Multimodal.aHash(spark,
+        Multimodal.toneMediaFromDocuments(spark, docs)).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val fixtureRef = Seq(10L, 11L, 12L, 16L).map { id =>
+      id -> refHash(Array.tabulate(65 * 24)(toneAmpRef(id, _)))
+    }.toMap
+    assert(fixture == fixtureRef)
+  }
+
   test("shared-index misuse fails loudly: unrestricted cut/decontaminate on a superset build (r14)") {
     import spark.implicits._
     val rnd = new scala.util.Random(43)
