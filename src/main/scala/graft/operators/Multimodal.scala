@@ -438,6 +438,76 @@ object Multimodal {
       }.toDF()
   }
 
+  /** Deterministic segment text for the video-dedup fixtures — the clip
+    * analogue of [[grayVal]]/[[toneAmp]]. Groups of 7, five 256-byte
+    * frames per clip: ids ≡0 (mod 3) carry the group's five base frames
+    * verbatim (exact-duplicate class, Jaccard 1 within the class), ≡1
+    * share four base frames but replace frame 2 with an id-unique one
+    * (near-duplicate class — Jaccard 4/6 vs the base and vs each
+    * other), ≡2 five id-unique frames (a genuinely different clip,
+    * Jaccard 0 vs everything). Pure ASCII string arithmetic on (id, s);
+    * the DuckDB oracle replays it byte for byte (TrainSql
+    * `mm_video_dedup`). */
+  private[operators] def clipSegment(id: Long, s: Int): String = {
+    val base =
+      if (id % 3 == 2) s"d${id}x$s"
+      else if (id % 3 == 1 && s == 2) s"a$id"
+      else s"g${id % 7}s$s"
+    "q" * (256 - base.length) + base
+  }
+
+  /** Video fixture for frame-set dedup: every doc becomes one "video"
+    * payload of five 256-byte [[clipSegment]] frames — the frame
+    * boundaries line up with [[frameSample]]'s fixed windows. */
+  def clipMediaFromDocuments(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { batch =>
+      batch.map { id =>
+        val payload = (0 until 5).map(clipSegment(id, _)).mkString
+          .getBytes("UTF-8")
+        MediaRow(id, "video", payload, "docs")
+      }
+    }.toDF()
+  }
+
+  /** Video near-duplicate pairs by frame-fingerprint-set Jaccard — the
+    * video analogue of the text family's n-gram Jaccard, over
+    * [[frameSample]] output (or any (id, frame-hash) table): two clips
+    * are near-dups when their DISTINCT frame-hash sets overlap by
+    * ≥ `minJaccard`. EXACT, not approximate: candidates come from an
+    * inverted-index equi-join on the frame hash — a pair sharing zero
+    * frames has Jaccard 0 < minJaccard (hence the > 0 guard) and is
+    * correctly never considered, so the join enumerates exactly the
+    * pairs that can pass. Scale: one shuffle on frame hashes;
+    * candidate fan-out is bounded by per-frame duplication-group
+    * sizes (the LSH-family contract — a frame shared by k clips costs
+    * k², never |clips|²). Output: (media_a, media_b, n_common,
+    * jaccard), a < b; jaccard is an exactly-rounded binary64 ratio of
+    * two small integers, so engines agree bit-for-bit. */
+  def videoDupPairs(frames: DataFrame, minJaccard: Double = 0.6,
+      idCol: String = "media_id", hashCol: String = "frame_md5"): DataFrame = {
+    require(minJaccard > 0,
+      s"minJaccard ($minJaccard) must be > 0 — the inverted-index join " +
+        "only sees pairs sharing at least one frame (Jaccard > 0)")
+    val fr = frames.select(col(idCol).as("_id"), col(hashCol).as("_h"))
+      .distinct()
+    val sz = fr.groupBy(col("_id")).agg(count(lit(1)).as("_n"))
+    fr.select(col("_id").as("media_a"), col("_h"))
+      .join(fr.select(col("_id").as("media_b"), col("_h")), Seq("_h"))
+      .filter(col("media_a") < col("media_b"))
+      .groupBy(col("media_a"), col("media_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(sz.select(col("_id").as("media_a"), col("_n").as("_na")),
+        Seq("media_a"))
+      .join(sz.select(col("_id").as("media_b"), col("_n").as("_nb")),
+        Seq("media_b"))
+      .withColumn("jaccard", col("n_common").cast("double") /
+        (col("_na") + col("_nb") - col("n_common")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("media_a"), col("media_b"), col("n_common"),
+        col("jaccard"))
+  }
+
   /** Frame sampling for "video" payloads: fixed-size byte windows exploded
     * to (media_id, frame_idx, frame_bytes) rows — the partition-preserving
     * explode a real frame sampler would use. */

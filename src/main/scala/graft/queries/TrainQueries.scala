@@ -870,7 +870,20 @@ object TrainQueries {
       Multimodal.phashPairs(
         Multimodal.aHash(s, Multimodal.toneMediaFromDocuments(s,
           docs(s, dir).filter(col("doc_id") % 5 === 0))),
-        maxHamming = 3, hashCol = "ahash")))
+        maxHamming = 3, hashCol = "ahash")),
+
+    // Video frame-set dedup (r15): structured five-frame clips
+    // (exact-dup / near-dup / distinct classes per 7-group) → frame
+    // sampler → DISTINCT frame-md5 sets → exact Jaccard via an
+    // inverted-index join on the frame hash (pairs sharing zero frames
+    // have Jaccard 0 and are correctly never candidates). The oracle
+    // replays every frame string from id arithmetic, re-hashes, and
+    // recomputes set Jaccard with plain SQL joins
+    "mm_video_dedup" -> ((s, dir) =>
+      Multimodal.videoDupPairs(
+        Multimodal.frameSample(Multimodal.clipMediaFromDocuments(s,
+          docs(s, dir).filter(col("doc_id") % 5 === 0))),
+        minJaccard = 0.6)))
 }
 
 object TrainSql {
@@ -2173,5 +2186,31 @@ object TrainSql {
              CAST(SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS BIGINT) AS hamming
       FROM bits a JOIN bits b ON a.b = b.b AND a.id < b.id
       GROUP BY a.id, b.id
-      HAVING SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) <= 3""")
+      HAVING SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) <= 3""",
+
+    // video frame-set dedup (r15): replay Multimodal.clipSegment per
+    // (id, frame) — 'q'-left-padded 256-char ASCII frames, so DuckDB's
+    // char-based md5/lpad equals Spark's byte-based hashing — then
+    // distinct frame-hash sets, intersection counts via a hash join,
+    // and the exact Jaccard ratio (binary64 division of two small
+    // integers is exactly rounded — engines agree bit-for-bit)
+    "mm_video_dedup" -> """
+      WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id % 5 = 0),
+      seg AS (SELECT id, s,
+               lpad(CASE WHEN id % 3 = 2 THEN 'd' || id || 'x' || s
+                         WHEN id % 3 = 1 AND s = 2 THEN 'a' || id
+                         ELSE 'g' || (id % 7) || 's' || s END,
+                    256, 'q') AS ftext
+             FROM ids, (SELECT unnest(range(5)) AS s)),
+      fr AS (SELECT DISTINCT id, md5(ftext) AS h FROM seg),
+      sz AS (SELECT id, COUNT(*) AS n FROM fr GROUP BY id),
+      inter AS (SELECT a.id AS ia, b.id AS ib, COUNT(*) AS c
+                FROM fr a JOIN fr b ON a.h = b.h AND a.id < b.id
+                GROUP BY a.id, b.id)
+      SELECT ia AS media_a, ib AS media_b, c AS n_common,
+             CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+      FROM inter
+      JOIN sz sa ON sa.id = ia
+      JOIN sz sb ON sb.id = ib
+      WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.6""")
 }

@@ -1103,6 +1103,70 @@ class OperatorsSpec extends AnyFunSuite {
     assert(fixture == fixtureRef)
   }
 
+  test("videoDupPairs ≡ brute frame-set Jaccard; inverted-index exactness (r15)") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    // hand-built frame tables (NOT the fixture generator): clip 1 and 2
+    // share 3 of their 4/5 distinct frames (J = 3/6 = 0.5), clip 3
+    // shares one frame with clip 1 (J = 1/8 — below threshold), clip 4
+    // is disjoint; clip 1 repeats a frame (distinct-set semantics:
+    // the repeat must not inflate |A| or the intersection)
+    val frames = Seq(
+      (1L, "f1"), (1L, "f2"), (1L, "f3"), (1L, "f4"), (1L, "f1"),
+      (2L, "f1"), (2L, "f2"), (2L, "f3"), (2L, "g1"), (2L, "g2"),
+      (3L, "f4"), (3L, "h1"), (3L, "h2"), (3L, "h3"), (3L, "h4"),
+      (4L, "z1"), (4L, "z2")).toDF("media_id", "frame_md5")
+    def brute(tau: Double): Set[(Long, Long, Long, Double)] = {
+      val sets = frames.collect().map(r => (r.getLong(0), r.getString(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      (for {
+        a <- sets.keys; b <- sets.keys if a < b
+        c = (sets(a) & sets(b)).size
+        j = c.toDouble / (sets(a).size + sets(b).size - c)
+        if j >= tau
+      } yield (a, b, c.toLong, j)).toSet
+    }
+    def got(tau: Double): Set[(Long, Long, Long, Double)] =
+      Multimodal.videoDupPairs(frames, minJaccard = tau).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+    assert(got(0.5) == brute(0.5) && got(0.5) == Set((1L, 2L, 3L, 0.5)))
+    // a sub-threshold tau surfaces the weak 1/8 overlap too — and the
+    // disjoint clip 4 never pairs (no shared frame, no candidate)
+    assert(got(0.1) == brute(0.1))
+    assert(!got(0.1).exists(p => p._1 == 4L || p._2 == 4L))
+    val e = intercept[IllegalArgumentException](
+      Multimodal.videoDupPairs(frames, minJaccard = 0.0))
+    assert(e.getMessage.contains("inverted-index"))
+    // fixture round trip: operator over the sampled fixture frames ≡
+    // brute Jaccard over a LITERAL replica of clipSegment (the same
+    // replica the DuckDB oracle uses)
+    def segRef(id: Long, s: Int): String = {
+      val base =
+        if (id % 3 == 2) s"d${id}x$s"
+        else if (id % 3 == 1 && s == 2) s"a$id"
+        else s"g${id % 7}s$s"
+      "q" * (256 - base.length) + base
+    }
+    val ids = (0L until 40L).toSeq
+    val fixture = Multimodal.videoDupPairs(
+        Multimodal.frameSample(Multimodal.clipMediaFromDocuments(spark,
+          ids.toDF("doc_id"))), minJaccard = 0.6).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val refSets = ids.map(id =>
+      id -> (0 until 5).map(segRef(id, _)).toSet).toMap
+    val fixtureRef = (for {
+      a <- ids; b <- ids if a < b
+      c = (refSets(a) & refSets(b)).size
+      j = c.toDouble / (refSets(a).size + refSets(b).size - c)
+      if j >= 0.6
+    } yield (a, b, c.toLong, j)).toSet
+    assert(fixture == fixtureRef && fixture.nonEmpty)
+    // the class structure holds: exact-dup pairs at 1.0, near-dup at 2/3
+    assert(fixture.exists(_._4 == 1.0) && fixture.exists(_._4 == 2.0 / 3))
+  }
+
   test("shared-index misuse fails loudly: unrestricted cut/decontaminate on a superset build (r14)") {
     import spark.implicits._
     val rnd = new scala.util.Random(43)
