@@ -388,6 +388,43 @@ object ProfilePipeline {
       Similarity.ivfPqTopK(enc, queries, books, k = 10, nprobe = 4, rerank = 100)
         .filter(col("cosine") >= 0.95)
     }
+    // ---- multimodal leg (r15): perceptual dedup at corpus scale ----
+    // decode+hash throughput on the REAL codecs at full volume (one PNG
+    // + one WAV per final-corpus doc), then pairing on PLANTED hash
+    // fixtures: the gate fixtures' 21-class generators are deliberately
+    // tiny-keyed (oracle-replayable) and would make pair output
+    // quadratic at this volume, so the scale leg plants bounded dup
+    // groups instead — every odd id reuses its even neighbor's hash
+    // with ≤ 3 bits flipped (group size 2, pairs ≈ n/2), the shape a
+    // real corpus has. Same for video: clip id's frame set {id..id+4}
+    // overlaps its +1 neighbor in 4 of 6 distinct frames (J = 2/3).
+    import graft.operators.Multimodal
+    val mmIds = cut.select(col("doc_id"))
+    val mmHashed = stage("mm decode+hash (PNG+WAV per doc)") {
+      Multimodal.dHash(spark, Multimodal.grayMediaFromDocuments(spark, mmIds))
+        .select(col("media_id"), col("dhash").as("h"))
+        .unionByName(
+          Multimodal.aHash(spark, Multimodal.toneMediaFromDocuments(spark, mmIds))
+            .select(col("media_id"), col("ahash").as("h")))
+    }
+    drop(mmHashed)
+    val planted = mmIds.select(col("doc_id").as("media_id"),
+      xxhash64(col("doc_id") - pmod(col("doc_id"), lit(2)))
+        .bitwiseXOR(when(pmod(col("doc_id"), lit(2)) === 1,
+          pmod(col("doc_id"), lit(7))).otherwise(lit(0L)))
+        .as("dhash"))
+    val imgPairs = stage("banded Hamming pairing (planted dups)") {
+      Multimodal.phashPairs(planted, maxHamming = 3)
+    }
+    drop(imgPairs)
+    val vframes = mmIds.select(col("doc_id").as("media_id"),
+      explode(sequence(col("doc_id"), col("doc_id") + 4)).as("fkey"))
+      .select(col("media_id"), md5(col("fkey").cast("string")).as("frame_md5"))
+    val vidPairs = stage("video frame-set Jaccard (planted)") {
+      Multimodal.videoDupPairs(vframes, minJaccard = 0.6)
+    }
+    drop(vidPairs)
+
     println(f"pipeline total ${totalSec}%.2f s; final corpus ${cut.count()} docs, " +
       f"$tokens budgeted tokens; semantic leg kept ${semKept.count()} vectors, " +
       f"${contam.count()} contamination hits")
