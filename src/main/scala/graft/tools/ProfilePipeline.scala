@@ -376,6 +376,27 @@ object ProfilePipeline {
       val flags = Dedup.semDedup(embCorpus, tau = 0.97, nlist = 32, iters = 3)
       embCorpus.join(flags.filter(col("keep")).select(col("vec_id")), Seq("vec_id"))
     }
+    // 7b. nlist∝n A/B: the 100× run surfaced semDedup's Σn_c² wall at
+    //     FIXED nlist (cells hold factor× more vectors, pair work grows
+    //     ~factor²). The published recipe scales cluster count with
+    //     corpus size (constant expected cell occupancy) — same tau,
+    //     same keep-the-outlier semantics, near-dup groups still fall
+    //     inside one cell (near-identical copies k-means together
+    //     regardless of nlist), so the dedup decision is materially the
+    //     same while pair work returns to ~linear. Measured against
+    //     stage 7's fixed-nlist time; kept counts printed for the
+    //     sameness check.
+    locally {
+      val t0 = System.nanoTime()
+      val flags2 = Dedup.semDedup(embCorpus, tau = 0.97,
+        nlist = math.max(32, 32 * factor / 10), iters = 3)
+      val kept2 = flags2.filter(col("keep")).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      totalSec += sec
+      drop(flags2)
+      val label = "semDedup (nlist scaled ~n) A/B"
+      println(f"  $label%-36s ${sec}%7.2f s  -> kept $kept2 (vs fixed-nlist ${semKept.count()})")
+    }
     // 8. IVF-PQ decontamination-style probe: the eval set (the first 20
     //    originals) searches the deduped corpus; hits at cosine ≥ 0.95
     //    are the "too close to eval" rows a pipeline would scrub
