@@ -28,3 +28,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Local A/B hook: extra forked-JVM flags (e.g. -Dspark.* conf overrides)
+// for measurement experiments; unset in normal/driver runs.
+javaOptions ++= sys.env.get("SPARK_EXTRA_OPTS").toSeq
+  .flatMap(_.split("\\s+").filter(_.nonEmpty))
