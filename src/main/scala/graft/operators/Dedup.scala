@@ -31,6 +31,179 @@ object Dedup {
   private[operators] def boundedTakeN(cap: Long): Int =
     if (cap >= Int.MaxValue - 1) Int.MaxValue else (cap + 1L).toInt
 
+  /** Default position bound for [[SuffixIndex.driverProbe]] — see the
+    * field scaladoc. 2¹⁷ positions keeps every snapshot structure
+    * (rank arrays, lazy pair maps, the round-j0 inverted index) in the
+    * tens of MB; ranks are dense ≤ positions, so two of them pack into
+    * one Long key with room to spare. */
+  private[operators] val DefaultDriverProbeMax: Long = 1L << 17
+
+  /** Driver-resident snapshot of a small [[SuffixIndex]] (r15): the
+    * rank rounds, suffix order, doc lengths and vocab collected ONCE so
+    * probe-shaped steps run as in-memory lookups instead of one Spark
+    * job each. Every lookup replicates the corresponding distributed
+    * plan's join semantics exactly (a (doc, pos) outside [0, doclen)
+    * is ABSENT, matching the inner/left-join null handling); the
+    * OperatorsSpec route differentials pin snapshot ≡ distributed on
+    * every consumer. */
+  private[operators] final class DriverProbe(
+      val idType: org.apache.spark.sql.types.DataType,
+      /** per round k: doc → pos-indexed rank array (dense, len = doclen) */
+      val ranks: Array[java.util.HashMap[Any, Array[Long]]],
+      /** suffix order: saDoc(i), saPos(i) is the _sa = i+1 entry */
+      val saDoc: Array[Any],
+      val saPos: Array[Int],
+      val doclen: java.util.HashMap[Any, java.lang.Long],
+      val vocab: java.util.HashMap[String, java.lang.Long],
+      val k: Int) {
+    /** Sentinel for "no rank at this (doc, pos)" — distinct from every
+      * real rank (ranks are ≥ 1) and from the -1 past-doc-end shift. */
+    val UNDEF: Long = Long.MinValue
+
+    def rankAt(level: Int, doc: Any, pos: Int): Long = {
+      val a = ranks(level).get(doc)
+      if (a == null || pos < 0 || pos >= a.length) UNDEF else a(pos)
+    }
+
+    def doclenOf(doc: Any): Long = {
+      val l = doclen.get(doc)
+      require(l != null, s"DriverProbe: unknown doc id $doc")
+      l.longValue()
+    }
+
+    /** (ra, rb) packed for the pair-map keys: ranks are dense ≤ the
+      * probe bound < 2³⁰, rb ∈ {-1} ∪ [1, bound]. */
+    private def packKey(ra: Long, rb: Long): Long = (ra << 32) | (rb + 2L)
+
+    /** Lazy per-level (rank_{k-1}, shifted) → rank_k maps — the driver
+      * analogue of [[Dedup.pairmapK]], derived from the rank arrays by
+      * the same recurrence (-1 past the doc end; equal pairs share the
+      * order-preserving rank, so first-write wins ≡ the distributed
+      * min). */
+    private val pairMaps =
+      new Array[scala.collection.mutable.LongMap[Long]](k + 1)
+    def pairMap(level: Int): scala.collection.mutable.LongMap[Long] =
+      synchronized {
+        if (pairMaps(level) == null) {
+          val m = new scala.collection.mutable.LongMap[Long]()
+          val d = 1 << (level - 1)
+          val prev = ranks(level - 1)
+          val curm = ranks(level)
+          val it = prev.entrySet().iterator()
+          while (it.hasNext) {
+            val e = it.next()
+            val pa = e.getValue
+            val ca = curm.get(e.getKey)
+            var p = 0
+            while (p < pa.length) {
+              val rb = if (p + d < pa.length) pa(p + d) else -1L
+              val key = packKey(pa(p), rb)
+              if (!m.contains(key)) m.update(key, ca(p))
+              p += 1
+            }
+          }
+          pairMaps(level) = m
+        }
+        pairMaps(level)
+      }
+    def pairLookup(level: Int, ra: Long, rb: Long): Long =
+      pairMap(level).getOrElse(packKey(ra, rb), UNDEF)
+
+    /** Lazy rank → positions inverted index per level — the driver
+      * analogue of [[Dedup.pairExternal]]'s stream-the-rank-frame join
+      * (all (doc, pos) whose round-`level` rank equals the probe). */
+    private val invIdx = new Array[
+      java.util.HashMap[java.lang.Long, java.util.ArrayList[AnyRef]]](k + 1)
+    def positionsOfRank(level: Int, r: Long): java.util.ArrayList[AnyRef] =
+      synchronized {
+        if (invIdx(level) == null) {
+          val m = new java.util.HashMap[java.lang.Long,
+            java.util.ArrayList[AnyRef]]()
+          val it = ranks(level).entrySet().iterator()
+          while (it.hasNext) {
+            val e = it.next()
+            val a = e.getValue
+            var p = 0
+            while (p < a.length) {
+              m.computeIfAbsent(java.lang.Long.valueOf(a(p)),
+                _ => new java.util.ArrayList[AnyRef]())
+                .add((e.getKey, p))
+              p += 1
+            }
+          }
+          invIdx(level) = m
+        }
+        invIdx(level).get(java.lang.Long.valueOf(r))
+      }
+
+    /** The rank descent over driver-resident pairs: for k = K..0, add
+      * 2^k when both sides' ranks at offset `len` are present and
+      * equal — the A side from [[rankAt]], the B side from `bRank`
+      * (corpus [[rankAt]] for the joint form, the lifted fingerprints
+      * for the external form). Identical missing-rank semantics to
+      * [[Dedup.lcpDescentDriver]] / the shuffled cascade. */
+    def descend(n: Int, aDoc: Int => Any, aPos: Int => Int,
+        bRank: (Int, Int, Int) => Long): Array[Long] = {
+      val lens = new Array[Long](n)
+      var level = k
+      while (level >= 0) {
+        var i = 0
+        while (i < n) {
+          val off = lens(i).toInt
+          val ra = rankAt(level, aDoc(i), aPos(i) + off)
+          if (ra != UNDEF) {
+            val rb = bRank(i, level, off)
+            if (rb != UNDEF && ra == rb) lens(i) += (1L << level)
+          }
+          i += 1
+        }
+        level -= 1
+      }
+      lens
+    }
+  }
+
+  private[operators] object DriverProbe {
+    /** Decide the route and build the snapshot — None when the index's
+      * total positions exceed its bound (or the bound is 0). The
+      * decision costs one doc-level collect; the snapshot K+3 more. */
+    def build(idx: SuffixIndex): Option[DriverProbe] = {
+      if (idx.driverProbeMax <= 0 || idx.nDocs > idx.driverProbeMax)
+        return None
+      val takeN = boundedTakeN(idx.nDocs + 1)
+      val dlRows = idx.doclens.limit(takeN).collect()
+      val totalPos = dlRows.iterator.map(_.getLong(1)).sum
+      // the second clause keeps packKey sound (two dense ranks in one
+      // Long) even under a hand-raised bound
+      if (totalPos > idx.driverProbeMax || totalPos >= (1L << 30)) return None
+      val doclen = new java.util.HashMap[Any, java.lang.Long](dlRows.length * 2)
+      dlRows.foreach(r => doclen.put(r.get(0), java.lang.Long.valueOf(r.getLong(1))))
+      val ranks = Array.tabulate(idx.k + 1) { level =>
+        val m = new java.util.HashMap[Any, Array[Long]](dlRows.length * 2)
+        idx.rounds(level).collect().foreach { r =>
+          val doc = r.get(0)
+          var a = m.get(doc)
+          if (a == null) {
+            a = new Array[Long](doclen.get(doc).intValue())
+            m.put(doc, a)
+          }
+          a(r.getInt(1)) = r.getLong(2)
+        }
+        m
+      }
+      val saRows = idx.sa
+        .select(col("doc_id"), col("pos"), col("_sa")).collect()
+        .sortBy(_.getLong(2))
+      val saDoc = saRows.map(_.get(0))
+      val saPos = saRows.map(_.getInt(1))
+      val vocab = new java.util.HashMap[String, java.lang.Long]()
+      idx.vocab.collect().foreach(r =>
+        vocab.put(r.getString(0), java.lang.Long.valueOf(r.getLong(1))))
+      Some(new DriverProbe(idx.doclens.schema("doc_id").dataType, ranks,
+        saDoc, saPos, doclen, vocab, idx.k))
+    }
+  }
+
   /** Materialize a one-shot operator's (small) RESULT with one eager
     * localCheckpoint and release the corpus-sized intermediates — a
     * lazily returned plan left them pinned on the executors for the
@@ -977,7 +1150,41 @@ object Dedup {
         * are derived and persisted at [[saveSuffixIndex]] time); None on
         * in-session builds, where [[decontaminateExternal]] derives them
         * lazily from the checkpointed rounds. */
-      private[graft] val pairmaps: Option[Seq[DataFrame]] = None) {
+      private[graft] val pairmaps: Option[Seq[DataFrame]] = None,
+      /** Position bound for the driver-resident probe route (r15
+        * optimization): an index whose TOTAL token positions fit this
+        * bound keeps a one-time driver snapshot of its rank rounds, and
+        * every probe-shaped step (rank lookups, pair-map lifts, the
+        * pairing scan, adjacency, descent) runs as driver lookups
+        * instead of one Spark job each — at eval/interactive corpus
+        * sizes those jobs are pure scheduling+planning latency
+        * (measured: the six suffix gates ran 24–102 jobs each over a
+        * 17k-position corpus). Memory is bounded by construction:
+        * (K+2)·8 B per position ≈ 10 MB at the default 2¹⁷ cap. 0
+        * disables the route (the differential specs force the
+        * distributed probes this way); a 100 TB corpus is over the
+        * bound and takes the distributed route unchanged. */
+      private[graft] val driverProbeMax: Long = Dedup.DefaultDriverProbeMax) {
+    /** Lazily built driver snapshot — None once known over-bound. The
+      * decision costs ONE doc-level collect (doclens) the first time;
+      * the snapshot itself costs K+3 bounded collects, paid once per
+      * session-cached handle. */
+    @transient private val dpCache =
+      new java.util.concurrent.atomic.AtomicReference[Option[Option[DriverProbe]]](None)
+    private[operators] def driverProbe(): Option[DriverProbe] = {
+      val cached = dpCache.get()
+      if (cached.isDefined) cached.get
+      else {
+        val built = DriverProbe.build(this)
+        dpCache.compareAndSet(None, Some(built))
+        dpCache.get().get
+      }
+    }
+    /** Route-forcing copy for the differential specs (0 = always
+      * distributed). */
+    private[graft] def withDriverProbeMax(n: Long): SuffixIndex =
+      new SuffixIndex(rounds, sa, doclens, vocab, k, maxLen, small, nDocs,
+        pairmaps, n)
     /** [[Dedup.exactDupSpans]] over this index — does not release it.
       * `onlyDocs` (one column: the doc id) restricts the search to a doc
       * subset: spans are reported for those docs and only duplication
@@ -1018,16 +1225,34 @@ object Dedup {
     private[operators] def requireBuildDocSet(docs: DataFrame, idCol: String,
         op: String, fix: String): Unit = {
       val ids = docs.select(col(idCol).as("doc_id")).distinct()
-      val n = ids.count()
-      require(n == nDocs,
-        s"$op: the index was built over $nDocs docs but the target has " +
-          s"$n — $fix")
-      val alien = ids.join(doclens.select(col("doc_id")), Seq("doc_id"),
-        "left_anti").limit(1).count()
-      require(alien == 0,
-        s"$op: the target contains doc ids NOT in the index's build set " +
-          s"(equal counts, different sets — e.g. a different corpus " +
-          s"version) — $fix")
+      driverProbe() match {
+        case Some(dp) =>
+          // snapshot route: ONE bounded collect answers both checks
+          // (count equality + no alien id) against the in-hand build
+          // set — same loud messages as the two-job distributed form
+          val takeN = boundedTakeN(nDocs + 1)
+          val rows = ids.limit(takeN).collect()
+          val n: Any = if (rows.length >= takeN) s"more than $nDocs"
+            else rows.length.toLong
+          require(rows.length < takeN && rows.length.toLong == nDocs,
+            s"$op: the index was built over $nDocs docs but the target has " +
+              s"$n — $fix")
+          require(rows.forall(r => dp.doclen.containsKey(r.get(0))),
+            s"$op: the target contains doc ids NOT in the index's build set " +
+              s"(equal counts, different sets — e.g. a different corpus " +
+              s"version) — $fix")
+        case None =>
+          val n = ids.count()
+          require(n == nDocs,
+            s"$op: the index was built over $nDocs docs but the target has " +
+              s"$n — $fix")
+          val alien = ids.join(doclens.select(col("doc_id")), Seq("doc_id"),
+            "left_anti").limit(1).count()
+          require(alien == 0,
+            s"$op: the target contains doc ids NOT in the index's build set " +
+              s"(equal counts, different sets — e.g. a different corpus " +
+              s"version) — $fix")
+      }
     }
 
     /** [[Dedup.decontaminateSubstr]] over this index (built over
@@ -1370,7 +1595,8 @@ object Dedup {
     if (idx.pairmaps.nonEmpty) idx
     else new SuffixIndex(idx.rounds, idx.sa, idx.doclens, idx.vocab, idx.k,
       idx.maxLen, idx.small, idx.nDocs,
-      Some((1 to idx.k).map(kk => pairmapK(idx, kk).localCheckpoint(true))))
+      Some((1 to idx.k).map(kk => pairmapK(idx, kk).localCheckpoint(true))),
+      idx.driverProbeMax)
 
   private[graft] def pairmapK(idx: SuffixIndex, k: Int): DataFrame =
     idx.pairmaps match {
@@ -1767,6 +1993,41 @@ object Dedup {
       driverPairRows: Long = 1L << 17): DataFrame = {
     val spans = externalMatchSpans(idx, bench, minLen, benchIdCol,
       benchTextCol, maxBenchPositions, driverPairRows)
+    idx.driverProbe() match {
+      case Some(dp) =>
+        // driver tail (r15): spans under the snapshot route are a
+        // LocalRelation bounded by the corpus positions — the per-doc
+        // aggregation and the all-docs left join run in memory and the
+        // result is emitted directly (no shuffle, no checkpoint job)
+        import scala.jdk.CollectionConverters._
+        val takeN = boundedTakeN(idx.driverProbeMax)
+        val spanRows = spans.limit(takeN).collect()
+        if (spanRows.length < takeN) {
+          val agg = new java.util.HashMap[Any, Array[Long]]()
+          spanRows.foreach { r =>
+            val acc = agg.computeIfAbsent(r.get(0), _ => new Array[Long](2))
+            acc(0) += 1L
+            val ml = r.getLong(2)
+            if (ml > acc(1)) acc(1) = ml
+          }
+          val outSchema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_id", dp.idType),
+            org.apache.spark.sql.types.StructField("n_hit_positions",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("max_match",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("contaminated",
+              org.apache.spark.sql.types.BooleanType)))
+          val rows = dp.doclen.keySet().iterator().asScala.map { doc =>
+            val acc = agg.get(doc)
+            val nh = if (acc == null) 0L else acc(0)
+            Row(doc, nh, if (acc == null) 0L else acc(1), nh > 0)
+          }.toSeq
+          graft.sources.SessionCache.release(spans)
+          return spans.sparkSession.createDataFrame(rows.asJava, outSchema)
+        }
+      case None => ()
+    }
     val perDoc = spans
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("_nh"), max(col("match_len")).as("_mm"))
@@ -1912,30 +2173,43 @@ object Dedup {
     import scala.jdk.CollectionConverters._
     val spark = idx.sa.sparkSession
     val UNDEF = Long.MinValue
-    val total = benchTok.agg(sum(size(col("_tk")))).first()
-    val totalPos = if (total.isNullAt(0)) 0L else total.getLong(0)
-    require(totalPos <= maxBenchPositions,
-      s"external benchmark query: chunk has $totalPos token positions " +
-        s"(cap $maxBenchPositions) — chunk planning violated its own " +
-        "invariant (bug)")
+    // the chunk-cap invariant is re-checked from the collected rows —
+    // the collect is unconditional anyway, so a separate agg job would
+    // only re-derive what the rows in hand already say (r15)
     val benchRows = benchTok.collect()
     val benchIds: Array[Any] = benchRows.map(_.get(0))
     val toksOf: Array[Array[String]] =
       benchRows.map(_.getSeq[String](1).toArray)
+    val totalPos = toksOf.iterator.map(_.length.toLong).sum
+    require(totalPos <= maxBenchPositions,
+      s"external benchmark query: chunk has $totalPos token positions " +
+        s"(cap $maxBenchPositions) — chunk planning violated its own " +
+        "invariant (bug)")
     val nb = benchIds.length
     val benchIdType = benchTok.schema("_bid").dataType
+    // driver snapshot route (r15): vocab/pair-map lifts and the pairing
+    // scan become in-memory lookups — zero probe jobs per level
+    val dpOpt = idx.driverProbe()
     // f(k)(bi)(p): bench fingerprints in corpus rank space
     val f = Array.ofDim[Array[Array[Long]]](idx.k + 1)
     val vKeys = toksOf.iterator.flatten
       .to(scala.collection.mutable.LinkedHashSet)
-    val vKeyDf = spark.createDataFrame(
-      vKeys.iterator.map(t => Row(t)).toSeq.asJava,
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("_kt",
-          org.apache.spark.sql.types.StringType))))
-    val vMap = idx.vocab.join(broadcast(vKeyDf), col("tok") === col("_kt"))
-      .select(col("tok"), col("r")).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val vMap: Map[String, Long] = dpOpt match {
+      case Some(dp) =>
+        vKeys.iterator.flatMap { t =>
+          val r = dp.vocab.get(t)
+          if (r == null) None else Some(t -> r.longValue())
+        }.toMap
+      case None =>
+        val vKeyDf = spark.createDataFrame(
+          vKeys.iterator.map(t => Row(t)).toSeq.asJava,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("_kt",
+              org.apache.spark.sql.types.StringType))))
+        idx.vocab.join(broadcast(vKeyDf), col("tok") === col("_kt"))
+          .select(col("tok"), col("r")).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
     f(0) = toksOf.map(_.map(t => vMap.getOrElse(t, UNDEF)))
     val pairKeySchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("_ka",
@@ -1957,15 +2231,22 @@ object Dedup {
         }
         bi += 1
       }
-      val pmMap: Map[(Long, Long), Long] = if (keys.isEmpty) Map.empty else {
-        val keyDf = spark.createDataFrame(
-          keys.iterator.map { case (a, b) => Row(a, b) }.toSeq.asJava,
-          pairKeySchema)
-        pairmapK(idx, k)
-          .join(broadcast(keyDf),
-            col("_ra") === col("_ka") && col("_rb") === col("_kb"))
-          .select(col("_ra"), col("_rb"), col("_rk")).collect()
-          .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val pmMap: Map[(Long, Long), Long] = if (keys.isEmpty) Map.empty
+      else dpOpt match {
+        case Some(dp) =>
+          keys.iterator.flatMap { case (a, b) =>
+            val v = dp.pairLookup(k, a, b)
+            if (v == dp.UNDEF) None else Some((a, b) -> v)
+          }.toMap
+        case None =>
+          val keyDf = spark.createDataFrame(
+            keys.iterator.map { case (a, b) => Row(a, b) }.toSeq.asJava,
+            pairKeySchema)
+          pairmapK(idx, k)
+            .join(broadcast(keyDf),
+              col("_ra") === col("_ka") && col("_rb") === col("_kb"))
+            .select(col("_ra"), col("_rb"), col("_rk")).collect()
+            .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
       }
       f(k) = (0 until nb).toArray.map { bi2 =>
         val fa = f(k - 1)(bi2)
@@ -1995,15 +2276,74 @@ object Dedup {
         .map(p => Row(fj(p), benchIds(bi2), p))
     }.toSeq
     val empty = candRows.isEmpty
-    val pre =
-      if (empty) null
-      else pairExternal(idx.rounds(j0),
-        spark.createDataFrame(candRows.asJava, candSchema))
     val benchLen: Map[Any, Int] =
       benchIds.iterator.zip(toksOf.iterator.map(_.length)).toMap
     def fAt(bi2: Int, p: Int, k: Int): Long =
       if (p >= toksOf(bi2).length) UNDEF else f(k)(bi2)(p)
     val biOf: Map[Any, Int] = benchIds.iterator.zipWithIndex.toMap
+    // driver snapshot shortcut (r15): within `driverPairRows`, the
+    // rank-block pairing ([[pairExternal]]'s stream join) and the whole
+    // descent + clamp + per-position max run in memory — the spans
+    // LocalRelation is the only frame created. Past the pair bound the
+    // distributed forms below run unchanged (the same bound that routes
+    // them to the shuffled cascade).
+    if (!empty && dpOpt.isDefined) {
+      val dp = dpOpt.get
+      val pDoc = new scala.collection.mutable.ArrayBuffer[Any]()
+      val pPos = new scala.collection.mutable.ArrayBuffer[Int]()
+      val pBi = new scala.collection.mutable.ArrayBuffer[Int]()
+      val pBp = new scala.collection.mutable.ArrayBuffer[Int]()
+      var over = false
+      val candIt = candRows.iterator
+      while (candIt.hasNext && !over) {
+        val c = candIt.next()
+        val lst = dp.positionsOfRank(j0, c.getLong(0))
+        if (lst != null) {
+          val bi2 = biOf(c.get(1))
+          val bp = c.getInt(2)
+          var li = 0
+          while (li < lst.size() && !over) {
+            val (doc, pos) = lst.get(li).asInstanceOf[(Any, Int)]
+            pDoc += doc; pPos += pos; pBi += bi2; pBp += bp
+            if (pDoc.length > driverPairRows) over = true
+            li += 1
+          }
+        }
+      }
+      if (!over) {
+        val n = pDoc.length
+        val lens = dp.descend(n, pDoc(_), pPos(_),
+          (i2, level, off) => fAt(pBi(i2), pBp(i2) + off, level))
+        val best = new java.util.HashMap[(Any, Int), java.lang.Long]()
+        var i = 0
+        while (i < n) {
+          val ml = Seq(lens(i), dp.doclenOf(pDoc(i)) - pPos(i),
+            (benchLen(benchIds(pBi(i))) - pBp(i)).toLong,
+            idx.maxLen.toLong).min
+          if (ml >= minLen) {
+            val key = (pDoc(i), pPos(i))
+            val cur = best.get(key)
+            if (cur == null || cur.longValue() < ml)
+              best.put(key, java.lang.Long.valueOf(ml))
+          }
+          i += 1
+        }
+        val outSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id", dp.idType),
+          org.apache.spark.sql.types.StructField("pos",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("match_len",
+            org.apache.spark.sql.types.LongType)))
+        val spanRows = best.entrySet().iterator().asScala
+          .map(e => Row(e.getKey._1, e.getKey._2, e.getValue.longValue()))
+          .toSeq
+        return spark.createDataFrame(spanRows.asJava, outSchema)
+      }
+    }
+    val pre =
+      if (empty) null
+      else pairExternal(idx.rounds(j0),
+        spark.createDataFrame(candRows.asJava, candSchema))
     // size-routed descent, the lcpDescent discipline: one LIMIT-bounded
     // pull decides the route and feeds the driver path in the same job
     val takeN = boundedTakeN(driverPairRows)
@@ -2334,9 +2674,95 @@ object Dedup {
     * subset-sort-adjacent position, the same contiguous-block argument
     * as the full-corpus adjacency, and the subset's sort order is just
     * the global suffix order filtered. */
+  /** [[exactDupSpansFromIndex]] on the driver snapshot: adjacency,
+    * the j0 pre-filter, the descent, the clamps and the per-position
+    * max all run in memory — zero probe jobs (one bounded collect when
+    * `onlyDocs` restricts the search). Pair-for-pair the same
+    * computation as the distributed form: consecutive `_sa` entries
+    * (globally, or filtered to the subset), rank-equality pre-filter at
+    * j0, [[DriverProbe.descend]], min(len, remaining lengths, maxLen),
+    * max over both sides per position, ≥ minLen. */
+  private def exactDupSpansDriver(idx: SuffixIndex, dp: DriverProbe,
+      minLen: Int, onlyDocIds: Option[java.util.HashSet[Any]]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val spark = idx.sa.sparkSession
+    val keep: Array[Int] = onlyDocIds match {
+      case None => Array.range(0, dp.saDoc.length)
+      case Some(set) =>
+        dp.saDoc.indices.iterator.filter(i => set.contains(dp.saDoc(i))).toArray
+    }
+    val nPairs = math.max(0, keep.length - 1)
+    val aIdx = new Array[Int](nPairs)
+    val bIdx = new Array[Int](nPairs)
+    var i = 0
+    val j0 = math.min(
+      63 - java.lang.Long.numberOfLeadingZeros(minLen.toLong),
+      dp.k.toLong).toInt
+    var n = 0
+    while (i < nPairs) {
+      val a = keep(i); val b = keep(i + 1)
+      // minLen pre-filter: rank disagreement at j0 means LCP < minLen
+      val ra = dp.rankAt(j0, dp.saDoc(a), dp.saPos(a))
+      val rb = dp.rankAt(j0, dp.saDoc(b), dp.saPos(b))
+      if (ra != dp.UNDEF && ra == rb) { aIdx(n) = a; bIdx(n) = b; n += 1 }
+      i += 1
+    }
+    val lens = dp.descend(n, i2 => dp.saDoc(aIdx(i2)), i2 => dp.saPos(aIdx(i2)),
+      (i2, level, off) => dp.rankAt(level, dp.saDoc(bIdx(i2)),
+        dp.saPos(bIdx(i2)) + off))
+    val best = new java.util.HashMap[(Any, Int), java.lang.Long]()
+    def bump(doc: Any, pos: Int, len: Long): Unit = {
+      val key = (doc, pos)
+      val cur = best.get(key)
+      if (cur == null || cur.longValue() < len)
+        best.put(key, java.lang.Long.valueOf(len)); ()
+    }
+    i = 0
+    while (i < n) {
+      val (da, pa) = (dp.saDoc(aIdx(i)), dp.saPos(aIdx(i)))
+      val (db, pb) = (dp.saDoc(bIdx(i)), dp.saPos(bIdx(i)))
+      val ml = Seq(lens(i), dp.doclenOf(da) - pa, dp.doclenOf(db) - pb,
+        idx.maxLen.toLong).min
+      if (ml >= minLen) { bump(da, pa, ml); bump(db, pb, ml) }
+      i += 1
+    }
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", dp.idType),
+      org.apache.spark.sql.types.StructField("pos",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("match_len",
+        org.apache.spark.sql.types.LongType)))
+    val rows = best.entrySet().iterator().asScala
+      .map(e => Row(e.getKey._1, e.getKey._2, e.getValue.longValue()))
+      .toSeq
+    spark.createDataFrame(rows.asJava, outSchema)
+  }
+
   private def exactDupSpansFromIndex(idx: SuffixIndex, minLen: Int,
       onlyDocs: Option[DataFrame]): DataFrame = {
     require(minLen >= 1, s"minLen must be >= 1 (got $minLen)")
+    idx.driverProbe() match {
+      case Some(dp) =>
+        val onlyIds: Option[Option[java.util.HashSet[Any]]] = onlyDocs match {
+          case None => Some(None)
+          case Some(ids) =>
+            val takeN = boundedTakeN(idx.driverProbeMax)
+            val rows = ids.select(col(ids.columns.head).as("doc_id"))
+              .distinct().limit(takeN).collect()
+            if (rows.length >= takeN) None // unbounded subset: distributed
+            else {
+              val set = new java.util.HashSet[Any](rows.length * 2)
+              rows.foreach(r => set.add(r.get(0)))
+              Some(Some(set))
+            }
+        }
+        onlyIds match {
+          case Some(restrict) =>
+            return exactDupSpansDriver(idx, dp, minLen, restrict)
+          case None => () // fall through to the distributed form
+        }
+      case None => ()
+    }
     val (adjacent, extra) = onlyDocs match {
       case None =>
         // the full index's row numbers are contiguous — adjacency is a
@@ -2405,10 +2831,134 @@ object Dedup {
   /** [[SuffixIndex.decontaminate]]'s implementation — the pipeline shape
     * is ONE [[buildSuffixIndex]] over corpus + benchmark feeding both
     * the [[SuffixIndex.cut]] corpus arm and this decontamination arm. */
+  /** [[decontaminateSubstrFromIndex]] on the driver snapshot: the
+    * benchmark row numbers, the ≤2-neighbor pairing, the descent and
+    * the per-doc aggregation all run in memory; the one Spark job is
+    * the bounded collect of the caller's (doc_id, is_benchmark) flags
+    * (which the route also needs for the output rows). Three-valued
+    * `is_benchmark` NULL semantics replicate the distributed column
+    * expressions bit for bit. */
+  private def decontamSubstrDriver(idx: SuffixIndex, dp: DriverProbe,
+      flagRows: Array[Row], minLen: Int, maxBenchPositions: Int): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val spark = idx.sa.sparkSession
+    val benchSet = new java.util.HashSet[Any]()
+    flagRows.foreach { r =>
+      if (!r.isNullAt(1) && r.getBoolean(1)) benchSet.add(r.get(0)); ()
+    }
+    // benchmark suffix rows in _sa order (indices into the sa arrays)
+    val benchRns = dp.saDoc.indices.iterator
+      .filter(i => benchSet.contains(dp.saDoc(i))).toArray
+    require(benchRns.length <= maxBenchPositions,
+      s"decontaminateSubstr: more than $maxBenchPositions benchmark token " +
+        "positions — the benchmark side must be an eval-set-sized corpus")
+    val j0 = math.min(
+      63 - java.lang.Long.numberOfLeadingZeros(minLen.toLong),
+      dp.k.toLong).toInt
+    // each corpus position pairs with its nearest benchmark suffix above
+    // and below in suffix order; the j0 rank pre-filter applies as in
+    // [[lcpDescent]]
+    val aIdx = new scala.collection.mutable.ArrayBuffer[Int]()
+    val bIdx = new scala.collection.mutable.ArrayBuffer[Int]()
+    var i = 0
+    while (i < dp.saDoc.length) {
+      if (!benchSet.contains(dp.saDoc(i))) {
+        // insertion point: benchRns(lo-1) <= i < benchRns(lo)
+        var lo = 0
+        var hi = benchRns.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (benchRns(mid) <= i) lo = mid + 1 else hi = mid
+        }
+        val ra = dp.rankAt(j0, dp.saDoc(i), dp.saPos(i))
+        def tryPair(bj: Int): Unit = {
+          val rb = dp.rankAt(j0, dp.saDoc(bj), dp.saPos(bj))
+          if (ra != dp.UNDEF && ra == rb) { aIdx += i; bIdx += bj }; ()
+        }
+        if (lo - 1 >= 0) tryPair(benchRns(lo - 1))
+        if (lo < benchRns.length) tryPair(benchRns(lo))
+      }
+      i += 1
+    }
+    val n = aIdx.length
+    val lens = dp.descend(n, i2 => dp.saDoc(aIdx(i2)), i2 => dp.saPos(aIdx(i2)),
+      (i2, level, off) => dp.rankAt(level, dp.saDoc(bIdx(i2)),
+        dp.saPos(bIdx(i2)) + off))
+    // per corpus position: max match over its ≤2 pairs, kept at >= minLen
+    val perPos = new java.util.HashMap[(Any, Int), java.lang.Long]()
+    i = 0
+    while (i < n) {
+      val (da, pa) = (dp.saDoc(aIdx(i)), dp.saPos(aIdx(i)))
+      val (db, pb) = (dp.saDoc(bIdx(i)), dp.saPos(bIdx(i)))
+      val ml = Seq(lens(i), dp.doclenOf(da) - pa, dp.doclenOf(db) - pb,
+        idx.maxLen.toLong).min
+      val key = (da, pa)
+      val cur = perPos.get(key)
+      if (cur == null || cur.longValue() < ml)
+        perPos.put(key, java.lang.Long.valueOf(ml))
+      i += 1
+    }
+    // per doc: hit count + max over positions with match >= minLen
+    val nh = new java.util.HashMap[Any, Array[Long]]() // doc -> (count, max)
+    perPos.entrySet().iterator().asScala.foreach { e =>
+      val ml = e.getValue.longValue()
+      if (ml >= minLen) {
+        val acc = nh.computeIfAbsent(e.getKey._1, _ => new Array[Long](2))
+        acc(0) += 1L
+        if (ml > acc(1)) acc(1) = ml
+      }
+    }
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", dp.idType),
+      org.apache.spark.sql.types.StructField("is_benchmark",
+        org.apache.spark.sql.types.BooleanType),
+      org.apache.spark.sql.types.StructField("n_hit_positions",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("max_match",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("contaminated",
+        org.apache.spark.sql.types.BooleanType)))
+    val rows = flagRows.iterator.map { r =>
+      val doc = r.get(0)
+      val benchNull = r.isNullAt(1)
+      val bench = !benchNull && r.getBoolean(1)
+      val acc = nh.get(doc)
+      val hits = if (acc == null) 0L else acc(0)
+      val mm = if (acc == null) 0L else acc(1)
+      // when(is_benchmark, 0).otherwise(x): NULL takes the otherwise arm
+      val hitsOut = if (bench) 0L else hits
+      val mmOut = if (bench) 0L else mm
+      // (!is_benchmark && hits > 0) under SQL three-valued logic
+      val contaminated: java.lang.Boolean =
+        if (bench) java.lang.Boolean.FALSE
+        else if (!benchNull) java.lang.Boolean.valueOf(hits > 0)
+        else if (hits > 0) null
+        else java.lang.Boolean.FALSE
+      Row(doc,
+        if (benchNull) null else java.lang.Boolean.valueOf(bench),
+        hitsOut, mmOut, contaminated)
+    }.toSeq
+    spark.createDataFrame(rows.asJava, outSchema)
+  }
+
   private def decontaminateSubstrFromIndex(idx: SuffixIndex, docs: DataFrame,
       isBenchmark: Column, minLen: Int, idCol: String,
       maxBenchPositions: Int): DataFrame = {
     require(minLen >= 1, s"minLen must be >= 1 (got $minLen)")
+    idx.driverProbe() match {
+      case Some(dp) =>
+        // one bounded collect serves pairing AND the output rows; a
+        // caller with pathological duplicate-row volume falls through
+        // to the distributed form
+        val takeN = boundedTakeN(math.max(idx.nDocs * 2L, 64L))
+        val flagRows = docs
+          .select(col(idCol).as("doc_id"), isBenchmark.as("_bench"))
+          .limit(takeN).collect()
+        if (flagRows.length < takeN)
+          return decontamSubstrDriver(idx, dp, flagRows, minLen,
+            maxBenchPositions)
+      case None => ()
+    }
     val flags = docs.select(col(idCol).as("doc_id"), isBenchmark.as("_bench"))
     val benchDocs = flags.filter(col("_bench")).select(col("doc_id"))
     val benchRns: Array[Long] = {
@@ -2494,19 +3044,53 @@ object Dedup {
 
   private def cutWithSpans(docs: DataFrame, spans: DataFrame,
       idCol: String, textCol: String): DataFrame = {
-    val W = org.apache.spark.sql.expressions.Window
-    val w = W.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val merged = spans
-      .withColumn("_end", col("pos") + col("match_len"))
-      .withColumn("_prevEnd",
-        max(col("_end")).over(w.rowsBetween(W.unboundedPreceding, -1)))
-      .withColumn("_newGrp",
-        (col("_prevEnd").isNull || col("pos") > col("_prevEnd")).cast("int"))
-      .withColumn("_grp", sum(col("_newGrp")).over(w))
-      .groupBy(col("doc_id"), col("_grp"))
-      .agg(min(col("pos")).as("_start"), max(col("_end")).as("_e"))
-    val covered = merged.select(col("doc_id"),
-      explode(sequence(col("_start"), col("_e") - 1)).as("pos"))
+    // driver interval merge (r15): spans produced by the snapshot route
+    // are a LocalRelation bounded by the corpus positions — the window
+    // + group machinery below collapses to an in-memory merge emitting
+    // the same covered-position rows (same touching-intervals-merge
+    // semantics: a span starting AT the running end joins the group)
+    val coveredDriver: Option[DataFrame] = spans.queryExecution.analyzed match {
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        import scala.jdk.CollectionConverters._
+        val byDoc = spans.collect().groupBy(_.get(0))
+        val outSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            spans.schema("doc_id").dataType),
+          org.apache.spark.sql.types.StructField("pos",
+            org.apache.spark.sql.types.IntegerType)))
+        val rows = byDoc.iterator.flatMap { case (doc, ss) =>
+          val sorted = ss.map(r => (r.getInt(1), r.getInt(1) + r.getLong(2)))
+            .sortBy(_._1)
+          val out = new scala.collection.mutable.ArrayBuffer[(Int, Long)]()
+          var start = sorted.head._1
+          var end = sorted.head._2
+          sorted.iterator.drop(1).foreach { case (p, e) =>
+            if (p > end) { out += ((start, end)); start = p; end = e }
+            else if (e > end) end = e
+          }
+          out += ((start, end))
+          out.iterator.flatMap { case (s, e) =>
+            (s until e.toInt).iterator.map(p => Row(doc, p))
+          }
+        }.toSeq
+        Some(spans.sparkSession.createDataFrame(rows.asJava, outSchema))
+      case _ => None
+    }
+    val covered = coveredDriver.getOrElse {
+      val W = org.apache.spark.sql.expressions.Window
+      val w = W.partitionBy(col("doc_id")).orderBy(col("pos"))
+      spans
+        .withColumn("_end", col("pos") + col("match_len"))
+        .withColumn("_prevEnd",
+          max(col("_end")).over(w.rowsBetween(W.unboundedPreceding, -1)))
+        .withColumn("_newGrp",
+          (col("_prevEnd").isNull || col("pos") > col("_prevEnd")).cast("int"))
+        .withColumn("_grp", sum(col("_newGrp")).over(w))
+        .groupBy(col("doc_id"), col("_grp"))
+        .agg(min(col("pos")).as("_start"), max(col("_end")).as("_e"))
+        .select(col("doc_id"),
+          explode(sequence(col("_start"), col("_e") - 1)).as("pos"))
+    }
     val toks = docs.select(col(idCol).as("doc_id"),
       graft.operators.TextAnalysis.tokens(col(textCol)).as("_tk"))
     // only TOUCHED docs pay the explode + anti-join + ordered rebuild;

@@ -527,23 +527,29 @@ class OperatorsSpec extends AnyFunSuite {
     }.toDF("doc_id", "text")
 
     // exactDupSpans: every suffix-index round's checkpoint must be gone
-    // after the call — only the result's own checkpoint may survive (the
-    // r12 release defect: DataFrame.unpersist goes through the
-    // CacheManager, which never saw the checkpoint RDD blocks)
+    // after the call (the r12 release defect: DataFrame.unpersist goes
+    // through the CacheManager, which never saw the checkpoint RDD
+    // blocks). Under the r15 driver-probe route the RESULT itself is a
+    // LocalRelation with no blocks at all, so NOTHING may survive.
     val before = persisted
     val spans = Dedup.exactDupSpans(d, minLen = 3, maxLen = 8)
-    val leaked = (persisted -- before) - resultRddId(spans)
+    assert(spans.queryExecution.analyzed
+      .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation],
+      "small index should take the driver-probe route")
+    val leaked = persisted -- before
     assert(leaked.isEmpty, s"suffix-index blocks leaked: $leaked")
     assert(spans.count() > 0)
-    graft.sources.SessionCache.release(spans)
-    assert(!persisted.contains(resultRddId(spans)))
 
     // the LARGE route too (smallCorpusRows = 0 → every rank pass rides
-    // the two-pass machinery): the per-round cumsum checkpoints must
-    // flush as each round materializes, not leak K+1 block sets
+    // the two-pass machinery, driverProbeMax = 0 → distributed descent):
+    // per-round cumsum checkpoints must flush as each round
+    // materializes, not leak K+1 block sets; only the result's own
+    // checkpoint may survive
     val b3 = persisted
-    val spans2 = Dedup.exactDupSpans(d, minLen = 3, maxLen = 8,
-      smallCorpusRows = 0)
+    val idxL = Dedup.buildSuffixIndex(d, maxLen = 8, smallCorpusRows = 0)
+      .withDriverProbeMax(0L)
+    val spans2 = idxL.dupSpans(minLen = 3)
+    idxL.release()
     val leaked3 = (persisted -- b3) - resultRddId(spans2)
     assert(leaked3.isEmpty, s"large-route blocks leaked: $leaked3")
     graft.sources.SessionCache.release(spans2)
@@ -566,6 +572,48 @@ class OperatorsSpec extends AnyFunSuite {
       driverNodeLimit = 0L).count() == 3)
     assert(graft.operators.Graph.minLabelComponents(edges, iters = 0,
       driverNodeLimit = 0L).count() == 3)
+  }
+
+  test("driver-probe route ≡ distributed probes on every suffix consumer (r15)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    // dense 4-letter alphabet: plenty of real ≥3-token duplication both
+    // within the corpus and across the corpus/benchmark split
+    val docsL = (0L until 22L).map { i =>
+      (i, Seq.fill(8 + rnd.nextInt(30))("abcd"(rnd.nextInt(4)).toString).mkString(" "))
+    }
+    val d = docsL.toDF("doc_id", "text")
+    val corpus = d.filter(col("doc_id") % 4 =!= 0)
+    val bench = d.filter(col("doc_id") % 4 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.mkString("|")).toSet
+
+    // joint index over all docs: dupSpans (full + subset), cut,
+    // decontaminate — driver-probe (default at this size) vs forced
+    // distributed (withDriverProbeMax(0))
+    val jDp = Dedup.buildSuffixIndex(d, maxLen = 8)
+    val jDist = Dedup.buildSuffixIndex(d, maxLen = 8).withDriverProbeMax(0L)
+    assert(jDp.dupSpans(3).queryExecution.analyzed
+      .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation],
+      "expected the driver-probe route at this corpus size")
+    assert(rows(jDp.dupSpans(3)) == rows(jDist.dupSpans(3)))
+    val only = d.filter(col("doc_id") % 2 === 0).select(col("doc_id"))
+    assert(rows(jDp.dupSpans(3, Some(only))) == rows(jDist.dupSpans(3, Some(only))))
+    assert(rows(jDp.cut(d, 3)) == rows(jDist.cut(d, 3)))
+    assert(rows(jDp.decontaminate(d, col("doc_id") % 4 === 0, 3)) ==
+      rows(jDist.decontaminate(d, col("doc_id") % 4 === 0, 3)))
+
+    // corpus-only index: the external query family, both tails
+    val eDp = Dedup.buildSuffixIndex(corpus, maxLen = 8)
+    val eDist = Dedup.buildSuffixIndex(corpus, maxLen = 8).withDriverProbeMax(0L)
+    assert(rows(eDp.decontaminateExternal(bench, 3)) ==
+      rows(eDist.decontaminateExternal(bench, 3)))
+    assert(rows(eDp.cutExternal(corpus, bench, 3)) ==
+      rows(eDist.cutExternal(corpus, bench, 3)))
+    // and vs the fully-shuffled descent (pair bound 0) on the dp handle
+    assert(rows(eDp.decontaminateExternal(bench, 3)) ==
+      rows(Dedup.decontaminateExternal(eDp, bench, 3, driverPairRows = 0L)))
+    Seq(jDp, jDist, eDp, eDist).foreach(_.release())
   }
 
   test("decontaminateSubstr ≡ brute-force max-LCP-vs-benchmark (r12)") {
