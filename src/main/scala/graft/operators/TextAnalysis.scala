@@ -1091,6 +1091,11 @@ object TextAnalysis {
   def bigramLogProb(docs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val withToks = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_t"))
+    // NOT persisted (r15 A/B): the exploded stream feeds the model
+    // counts and the scoring join, but a persist+release here measured
+    // SLOWER at bench scale (2.1 s vs 0.3 s on the lm gate) — the
+    // materialization barriers serialize what the lazy plan overlaps,
+    // and the duplicated tokenize passes are cheap codegen'd maps
     val bigrams = withToks
       .filter(size(col("_t")) >= 2)
       .select(col("doc_id"), explode(
@@ -1098,9 +1103,12 @@ object TextAnalysis {
           slice(col("_t"), lit(2), greatest(size(col("_t")) - 1, lit(0))),
           (a, b) => concat(a, lit(" "), b))).as("_bg"))
     val bgCounts = bigrams.groupBy(col("_bg")).agg(count(lit(1)).as("_c12"))
-    val ctxCounts = bigrams
+    // context counts fold over the (distinct-bigram-sized) count table,
+    // not the corpus stream: sum of _c12 per first word IS the first-word
+    // occurrence count — one corpus pass saved, exact integers either way
+    val ctxCounts = bgCounts
       .groupBy(substring_index(col("_bg"), " ", 1).as("_w1"))
-      .agg(count(lit(1)).as("_c1"))
+      .agg(sum(col("_c12")).as("_c1"))
     val vocab = docs.select(explode(tokens(col(textCol))).as("_w"))
       .agg(countDistinct(col("_w")).as("_v"))
     val lr = bgCounts
