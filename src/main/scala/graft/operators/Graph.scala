@@ -51,6 +51,75 @@ object Graph {
     * callers leave the default. */
   private[graft] val DefaultDriverNodeLimit: Long = DriverNodeLimit
 
+  /** Innermost route (r15): when the EDGE set itself fits the driver
+    * (≤ 4M (int, int) pairs after dense id indexing ≈ tens of MB — the
+    * same bounded-artifact budget as the node state), the rounds run as
+    * plain array loops with ZERO jobs per round. The per-round
+    * single-job propagate was still paying one task wave + broadcast
+    * build + collect per round — pure scheduling latency at
+    * interactive graph sizes (measured: 5 rounds ≈ 1.2 s of the
+    * pagerank gate's 1.9 s at 1.2M edges). All three routes compute the
+    * identical integer recurrence (differential-spec-pinned); tests
+    * pass 0 to force the outer routes. */
+  private[graft] val DefaultDriverEdgeLimit: Long = 1L << 22
+
+  /** Dense-indexed driver copy of an edge frame: first-seen node order,
+    * id → index, and int edge endpoint arrays. */
+  private[operators] final class DriverGraph(
+      val nodeIds: Array[Any],
+      val index: java.util.HashMap[Any, Integer],
+      val srcA: Array[Int],
+      val dstA: Array[Int])
+
+  /** Memo of driver snapshots per (session, canonicalized edge plan):
+    * the gates' memoized edge artifacts (checkpoint leaves — plan
+    * equality is RDD identity) hit the cache across calls; ad-hoc
+    * frames just rebuild. `None` (over the bound, cached too — the
+    * count answer is a property of the same immutable plan) routes the
+    * caller to the distributed paths. */
+  private val dgCache = new graft.sources.SessionCache[
+    (org.apache.spark.sql.SparkSession,
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan),
+    Option[DriverGraph]]
+
+  /** Bounded driver snapshot of `eRaw` — a parallel count guards a
+    * parallel collect (a `limit(n).collect()` funnels the whole edge
+    * set through ONE GlobalLimit task — measured as most of the gate's
+    * residual wall at 1.2M edges). */
+  private def driverGraph(eRaw: DataFrame, limit: Long): Option[DriverGraph] = {
+    if (limit <= 0) return None
+    val key = (eRaw.sparkSession, eRaw.queryExecution.analyzed.canonicalized)
+    // ad-hoc plans (a fresh checkpoint per call) never repeat as keys —
+    // cap the memo so a long-lived serving session can't accumulate
+    // snapshots; the memoized gate artifacts re-enter on the next call
+    if (dgCache.size > 64) dgCache.invalidateIf(_ => true)
+    dgCache.getOrBuild(key) {
+      if (eRaw.count() > limit) None
+      else {
+        val arr = eRaw.collect()
+        val index = new java.util.LinkedHashMap[Any, Integer]()
+        arr.foreach { r =>
+          if (!index.containsKey(r.get(0))) index.put(r.get(0), index.size())
+          if (!index.containsKey(r.get(1))) index.put(r.get(1), index.size())
+        }
+        import scala.jdk.CollectionConverters._
+        val nodeIds = index.keySet().iterator().asScala.toArray
+        val lookup = new java.util.HashMap[Any, Integer](index)
+        val m = arr.length
+        val srcA = new Array[Int](m)
+        val dstA = new Array[Int](m)
+        var j = 0
+        while (j < m) {
+          srcA(j) = lookup.get(arr(j).get(0)).intValue()
+          dstA(j) = lookup.get(arr(j).get(1)).intValue()
+          j += 1
+        }
+        Some(new DriverGraph(nodeIds, lookup, srcA, dstA))
+      }
+    }
+  }
+
+
   /** One fixpoint round, driver-state form: stream the cached (src, dst)
     * edge RDD against a broadcast per-source emission map (the driver
     * precomputes emissions — rank÷deg, dist+1, label — per round;
@@ -134,10 +203,51 @@ object Graph {
       /** skip the dedup shuffle when the caller's edge artifact is
         * already distinct (a memoized build — see the gate file) */
       assumeDistinct: Boolean = false,
-      driverNodeLimit: Long = DefaultDriverNodeLimit): DataFrame = {
+      driverNodeLimit: Long = DefaultDriverNodeLimit,
+      driverEdgeLimit: Long = DefaultDriverEdgeLimit): DataFrame = {
     val spark = edges.sparkSession
     val eSel = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val eRaw = if (assumeDistinct) eSel else eSel.distinct()
+    val idTypeRaw = eSel.schema("src").dataType
+    // all-driver probe FIRST (r15): one bounded collect straight off the
+    // (memoized) edge artifact replaces the per-call repartition +
+    // checkpoint + degree shuffle the distributed rounds need — those
+    // layout passes were most of the gate's remaining wall once the
+    // rounds themselves ran driver-side. Honors BOTH bounds: nodes are
+    // derived from the rows in hand, so driverNodeLimit routes exactly
+    // as before (tests force 0 to reach the outer paths).
+    driverGraph(eRaw, driverEdgeLimit) match {
+      case Some(dg) if dg.nodeIds.length <= driverNodeLimit =>
+        require(dg.srcA.nonEmpty, "pageRank needs a non-empty edge set")
+        import scala.jdk.CollectionConverters._
+        val nV = dg.nodeIds.length
+        val m = dg.srcA.length
+        val degA = new Array[Long](nV)
+        var j = 0
+        while (j < m) { degA(dg.srcA(j)) += 1L; j += 1 }
+        val base = (15L * 1000000000000L) / (100L * nV)
+        val init = 1000000000000L / nV
+        var ranks = Array.fill(nV)(init)
+        val emit = new Array[Long](nV)
+        val contrib = new Array[Long](nV)
+        for (_ <- 0 until iters) {
+          var v = 0
+          while (v < nV) {
+            emit(v) = if (degA(v) > 0) ranks(v) / degA(v) else 0L
+            contrib(v) = 0L
+            v += 1
+          }
+          j = 0
+          while (j < m) { contrib(dg.dstA(j)) += emit(dg.srcA(j)); j += 1 }
+          ranks = Array.tabulate(nV)(v2 => base + 85L * contrib(v2) / 100L)
+        }
+        return spark.createDataFrame(
+          dg.nodeIds.zipWithIndex.map { case (id, i) => Row(id, ranks(i)) }
+            .toList.asJava,
+          StructType(Seq(StructField("id", idTypeRaw),
+            StructField("rank_pico", LongType))))
+      case _ => ()
+    }
     // hash(src) layout: the RDD path spreads its per-round scan across
     // the cluster (an AQE-coalesced checkpoint would freeze 2-3
     // partitions), and the shuffle-join path reuses it every round
@@ -229,18 +339,17 @@ object Graph {
   def shortestPaths(edges: DataFrame, sourceId: String, iters: Int = 6,
       srcCol: String = "src", dstCol: String = "dst",
       assumeDistinct: Boolean = false,
-      driverNodeLimit: Long = DefaultDriverNodeLimit): DataFrame = {
+      driverNodeLimit: Long = DefaultDriverNodeLimit,
+      driverEdgeLimit: Long = DefaultDriverEdgeLimit): DataFrame = {
     val spark = edges.sparkSession
     val eSel = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-    val e = (if (assumeDistinct) eSel else eSel.distinct())
-      .repartition(spark.sparkContext.defaultParallelism, col("src"))
-      .localCheckpoint(true)
+    val eRaw = if (assumeDistinct) eSel else eSel.distinct()
     // coerce the source id to the edge column's JVM type: the driver
     // path's map lookups use Java equality (a String "5" key never
     // matches java.lang.Long edge endpoints — it would silently return
     // only the source row), and typing the seed row by idType keeps the
     // cluster path's join/union free of implicit casts too
-    val idType = e.schema("src").dataType
+    val idType = eSel.schema("src").dataType
     val source: Any = idType match {
       case org.apache.spark.sql.types.StringType => sourceId
       case LongType => java.lang.Long.valueOf(sourceId.trim)
@@ -251,6 +360,48 @@ object Graph {
     }
     val distSchema = StructType(Seq(
       StructField("id", idType), StructField("d", LongType)))
+    // all-driver probe FIRST (r15): one bounded collect off the raw
+    // artifact replaces the repartition+checkpoint+tuple-cache layout
+    // passes entirely when the edge list fits BOTH bounds (the edge
+    // count is this function's small-route criterion, so honoring
+    // driverNodeLimit keeps the test-forced outer routes reachable)
+    // the edge count is this function's small-route criterion, so the
+    // snapshot must fit BOTH bounds to keep the test-forced outer
+    // routes reachable
+    driverGraph(eRaw, driverEdgeLimit) match {
+      case Some(dg) if driverNodeLimit > 0 && dg.srcA.length <= driverNodeLimit =>
+        import scala.jdk.CollectionConverters._
+        val srcIdx: Integer = dg.index.get(source)
+        val nV = dg.nodeIds.length
+        val dist = new Array[Long](nV)
+        java.util.Arrays.fill(dist, Long.MaxValue)
+        if (srcIdx != null) dist(srcIdx.intValue()) = 0L
+        for (_ <- 0 until iters) {
+          val next = dist.clone()
+          var j = 0
+          while (j < dg.srcA.length) {
+            val ds = dist(dg.srcA(j))
+            if (ds != Long.MaxValue && ds + 1L < next(dg.dstA(j)))
+              next(dg.dstA(j)) = ds + 1L
+            j += 1
+          }
+          System.arraycopy(next, 0, dist, 0, nV)
+        }
+        val rows = scala.collection.mutable.ArrayBuffer[Row]()
+        // the source row is present even when the source is not an edge
+        // endpoint (matching the seeded distance table)
+        if (srcIdx == null) rows += Row(source, 0L)
+        var v = 0
+        while (v < nV) {
+          if (dist(v) != Long.MaxValue) rows += Row(dg.nodeIds(v), dist(v))
+          v += 1
+        }
+        return spark.createDataFrame(rows.toList.asJava, distSchema)
+      case _ => ()
+    }
+    val e = eRaw
+      .repartition(spark.sparkContext.defaultParallelism, col("src"))
+      .localCheckpoint(true)
     // the distance table is bounded by reached nodes ≤ 2×edges: a bounded
     // existence probe routes small graphs to the driver-state rounds
     val small =
@@ -260,8 +411,8 @@ object Graph {
       var dist: scala.collection.Map[Any, Long] = Map(source -> 0L)
       for (_ <- 0 until iters) {
         // emission = dist(src) + 1, precomputed per source
-        val stepped = propagate(eRdd, dist.map { case (s, d) => s -> (d + 1L) },
-          math.min)
+        val stepped = propagate(eRdd,
+          dist.map { case (s, d) => s -> (d + 1L) }, math.min)
         val next = scala.collection.mutable.HashMap[Any, Long](dist.toSeq: _*)
         stepped.foreach { case (id, d2) =>
           next(id) = math.min(next.getOrElse(id, Long.MaxValue), d2)
@@ -327,10 +478,55 @@ object Graph {
   def minLabelComponents(edges: DataFrame, iters: Int = 8,
       srcCol: String = "src", dstCol: String = "dst",
       assumeDistinct: Boolean = false,
-      driverNodeLimit: Long = DefaultDriverNodeLimit): DataFrame = {
+      driverNodeLimit: Long = DefaultDriverNodeLimit,
+      driverEdgeLimit: Long = DefaultDriverEdgeLimit): DataFrame = {
     val spark = edges.sparkSession
     val eSel = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-    val e = (if (assumeDistinct) eSel else eSel.distinct())
+    val eRaw = if (assumeDistinct) eSel else eSel.distinct()
+    val idTypeRaw = eSel.schema("src").dataType
+    // all-driver probe FIRST (r15): one bounded collect off the raw
+    // artifact replaces the repartition+checkpoint+tuple-cache layout
+    // passes when edges fit the bound, nodes fit driverNodeLimit AND
+    // the id type has a driver-side total order (same constraint as
+    // the driver-state rounds)
+    driverGraph(eRaw, driverEdgeLimit) match {
+      case Some(dg) if dg.nodeIds.nonEmpty &&
+          dg.nodeIds.length <= driverNodeLimit &&
+          idOrdering(dg.nodeIds(0)).isDefined =>
+        import scala.jdk.CollectionConverters._
+        // relabel in sorted-id space so "min label" is "min id"
+        val ord = idOrdering(dg.nodeIds(0)).get
+        val nodeIds = dg.nodeIds.sorted(ord)
+        val sortedIdx = new java.util.HashMap[Any, Integer](nodeIds.length * 2)
+        nodeIds.zipWithIndex.foreach { case (id, i) => sortedIdx.put(id, i) }
+        // remap the cached first-seen-indexed endpoints once
+        val remap = new Array[Int](dg.nodeIds.length)
+        var v = 0
+        while (v < dg.nodeIds.length) {
+          remap(v) = sortedIdx.get(dg.nodeIds(v)).intValue()
+          v += 1
+        }
+        val m = dg.srcA.length
+        var lab = Array.tabulate(nodeIds.length)(_.toLong)
+        for (_ <- 0 until iters) {
+          val next = lab.clone()
+          var j = 0
+          while (j < m) {
+            val l = lab(remap(dg.srcA(j)))
+            if (l < next(remap(dg.dstA(j)))) next(remap(dg.dstA(j))) = l
+            j += 1
+          }
+          lab = next
+        }
+        return spark.createDataFrame(
+          nodeIds.zipWithIndex.map { case (id, i) =>
+            Row(id, nodeIds(lab(i).toInt))
+          }.toList.asJava,
+          StructType(Seq(StructField("id", idTypeRaw),
+            StructField("lab", idTypeRaw))))
+      case _ => ()
+    }
+    val e = eRaw
       .repartition(spark.sparkContext.defaultParallelism, col("src"))
       .localCheckpoint(true)
     val idType = e.schema("src").dataType
@@ -397,7 +593,8 @@ object Graph {
         * srcCol < dstCol (the memoized gate artifact's invariant) —
         * skips the canonicalize shuffle + checkpoint, the same contract
         * as the siblings' assumeDistinct */
-      assumeCanonical: Boolean = false): DataFrame = {
+      assumeCanonical: Boolean = false,
+      driverEdgeLimit: Long = DefaultDriverEdgeLimit): DataFrame = {
     val und = if (assumeCanonical)
       edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
     else edges
@@ -405,6 +602,65 @@ object Graph {
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b")).distinct()
       .localCheckpoint(true)
+    // all-driver route (r15): a canonical edge set within the driver
+    // bound counts its triangles with the same degree-ordered forward
+    // algorithm in memory — the count is orientation-invariant, so any
+    // consistent total order (here (degree, dense index)) yields the
+    // identical exact integer. One bounded pull replaces the two-join
+    // wedge plan's shuffles.
+    driverGraph(und, driverEdgeLimit) match {
+      case Some(dg) =>
+        val nV = dg.nodeIds.length
+        val m = dg.srcA.length
+        val ea = dg.srcA
+        val eb = dg.dstA
+        val deg = new Array[Int](nV)
+        var j = 0
+        while (j < m) {
+          deg(ea(j)) += 1; deg(eb(j)) += 1
+          j += 1
+        }
+        // orient low-(deg, idx) → high; build sorted out-adjacency
+        def before(u: Int, v: Int): Boolean =
+          deg(u) < deg(v) || (deg(u) == deg(v) && u < v)
+        val outDeg = new Array[Int](nV)
+        j = 0
+        while (j < m) {
+          if (before(ea(j), eb(j))) outDeg(ea(j)) += 1 else outDeg(eb(j)) += 1
+          j += 1
+        }
+        val adj = Array.tabulate(nV)(v => new Array[Int](outDeg(v)))
+        val fill = new Array[Int](nV)
+        j = 0
+        while (j < m) {
+          val (s, t) = if (before(ea(j), eb(j))) (ea(j), eb(j)) else (eb(j), ea(j))
+          adj(s)(fill(s)) = t; fill(s) += 1
+          j += 1
+        }
+        var v = 0
+        while (v < nV) { java.util.Arrays.sort(adj(v)); v += 1 }
+        var count = 0L
+        j = 0
+        while (j < m) {
+          val (s, t) = if (before(ea(j), eb(j))) (ea(j), eb(j)) else (eb(j), ea(j))
+          val (as, at) = (adj(s), adj(t))
+          var (p, q) = (0, 0)
+          while (p < as.length && q < at.length) {
+            if (as(p) == at(q)) { count += 1L; p += 1; q += 1 }
+            else if (as(p) < at(q)) p += 1
+            else q += 1
+          }
+          j += 1
+        }
+        import scala.jdk.CollectionConverters._
+        // the canonicalize checkpoint (when this call built one) is
+        // consumed — the count is in hand
+        if (!assumeCanonical) graft.sources.SessionCache.release(und)
+        return und.sparkSession.createDataFrame(
+          List(Row(count)).asJava,
+          StructType(Seq(StructField("n_triangles", LongType, nullable = false))))
+      case None => ()
+    }
     val deg = und.select(col("a").as("v")).unionAll(und.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
     // orient a→b iff rank(a) < rank(b), rank = (degree, id)

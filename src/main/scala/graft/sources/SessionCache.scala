@@ -53,6 +53,11 @@ final class SessionCache[K <: Product, V] {
   /** Drop one entry, returning its value (so callers can unpersist a
     * cached frame's blocks in a still-live session). */
   def remove(k: K): Option[V] = Option(m.remove(k))
+
+  /** Live entry count — lets plan-keyed memos cap their growth (ad-hoc
+    * plans never repeat, so such a cache only shrinks via the
+    * dead-session sweep without an explicit cap). */
+  def size: Int = m.size
 }
 
 object SessionCache {

@@ -2171,15 +2171,42 @@ class OperatorsSpec extends AnyFunSuite {
         a <- 1 to n; b <- 1 to n
         if a != b && rnd.nextDouble() < 0.2
       } yield (s"v$a", s"v$b")).toDF("src", "dst")
-      def pr(limit: Long) = graft.operators.Graph.pageRank(edges, iters = 3,
-        driverNodeLimit = limit).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      def cc(limit: Long) = graft.operators.Graph.minLabelComponents(edges, iters = 5,
-        driverNodeLimit = limit).collect().map(r => r.getString(0) -> r.getString(1)).toMap
-      def sp(limit: Long) = graft.operators.Graph.shortestPaths(edges, "v1", iters = 4,
-        driverNodeLimit = limit).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      assert(pr(0L) == pr(graft.operators.Graph.DefaultDriverNodeLimit), s"pageRank trial $trial")
-      assert(cc(0L) == cc(graft.operators.Graph.DefaultDriverNodeLimit), s"components trial $trial")
-      assert(sp(0L) == sp(graft.operators.Graph.DefaultDriverNodeLimit), s"sssp trial $trial")
+      // THREE routes per fixpoint (r15): nodeLimit 0 = cluster shuffle
+      // joins; edgeLimit 0 = driver state + per-round RDD propagate;
+      // defaults = all-driver rounds — all must agree bit-for-bit
+      def pr(nl: Long, el: Long) = graft.operators.Graph.pageRank(edges, iters = 3,
+        driverNodeLimit = nl, driverEdgeLimit = el)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      def cc(nl: Long, el: Long) = graft.operators.Graph.minLabelComponents(edges, iters = 5,
+        driverNodeLimit = nl, driverEdgeLimit = el)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      def sp(nl: Long, el: Long) = graft.operators.Graph.shortestPaths(edges, "v1", iters = 4,
+        driverNodeLimit = nl, driverEdgeLimit = el)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val (nodeDef, edgeDef) = (graft.operators.Graph.DefaultDriverNodeLimit,
+        graft.operators.Graph.DefaultDriverEdgeLimit)
+      assert(pr(0L, edgeDef) == pr(nodeDef, edgeDef), s"pageRank trial $trial")
+      assert(pr(nodeDef, 0L) == pr(nodeDef, edgeDef), s"pageRank rdd-route trial $trial")
+      assert(cc(0L, edgeDef) == cc(nodeDef, edgeDef), s"components trial $trial")
+      assert(cc(nodeDef, 0L) == cc(nodeDef, edgeDef), s"components rdd-route trial $trial")
+      assert(sp(0L, edgeDef) == sp(nodeDef, edgeDef), s"sssp trial $trial")
+      assert(sp(nodeDef, 0L) == sp(nodeDef, edgeDef), s"sssp rdd-route trial $trial")
+    }
+  }
+
+  test("triangleCount: driver route ≡ distributed wedge join (r15)") {
+    import spark.implicits._
+    (0 until 2).foreach { trial =>
+      val rnd = new scala.util.Random(9100 + trial)
+      val n = 8 + rnd.nextInt(6)
+      val edges = (for {
+        a <- 1 to n; b <- 1 to n
+        if a != b && rnd.nextDouble() < 0.3
+      } yield (s"v$a", s"v$b")).toDF("src", "dst")
+      def tc(el: Long) = graft.operators.Graph.triangleCount(edges,
+        driverEdgeLimit = el).head().getLong(0)
+      assert(tc(0L) == tc(graft.operators.Graph.DefaultDriverEdgeLimit),
+        s"triangles trial $trial")
     }
   }
 
