@@ -70,7 +70,15 @@ object Sampling {
     *   arithmetic. */
   def distributedCumSum(df: DataFrame, keys: Seq[String], order: Seq[Column],
       value: Column, cumName: String, totalName: Option[String] = None,
-      slices: Int = 0): DataFrame = {
+      slices: Int = 0,
+      /** small route (r15): at or under this many rows the single-task
+        * window IS the right plan — this helper exists to avoid
+        * one-task sorts of 100 TB mixture keys, not of interactive
+        * frames, and at gate sizes the two-pass machinery (second
+        * persist, partials job, broadcast) is pure latency. Exact by
+        * the total-order contract above. 0 forces the two-pass form
+        * (the differential spec's pin). */
+      smallRows: Long = 1L << 17): DataFrame = {
     val reserved = Set("_slice", "_v")
     require(df.columns.forall(c => !reserved.contains(c)),
       s"distributedCumSum: input columns collide with internals: ${df.columns.mkString(",")}")
@@ -84,6 +92,26 @@ object Sampling {
     val n = if (slices > 0) slices
       else spark.sessionState.conf.numShufflePartitions
     val in = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (smallRows > 0) {
+      val takeN = graft.operators.Dedup.boundedTakeN(smallRows)
+      if (in.limit(takeN).count() < takeN) {
+        val W = org.apache.spark.sql.expressions.Window
+        val part = if (keys.isEmpty) W.partitionBy() else W.partitionBy(keys.map(col): _*)
+        val wCum = part.orderBy(order: _*)
+          .rowsBetween(W.unboundedPreceding, W.currentRow)
+        // coalesce: an all-null-value prefix sums to NULL in the window
+        // form where the two-pass accumulator reads 0
+        var r = in.withColumn("_v", value.cast("long"))
+          .withColumn(cumName, coalesce(sum(col("_v")).over(wCum), lit(0L)))
+        totalName.foreach { t =>
+          r = r.withColumn(t, coalesce(sum(col("_v")).over(part), lit(0L)))
+        }
+        // same materialize-and-release discipline as the two-pass form
+        val out = r.drop("_v").localCheckpoint(true)
+        in.unpersist(false)
+        return out
+      }
+    }
     val ranged = in
       .withColumn("_v", value.cast("long"))
       .repartitionByRange(n, (keys.map(col) ++ order): _*)

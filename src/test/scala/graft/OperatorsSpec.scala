@@ -1495,10 +1495,20 @@ class OperatorsSpec extends AnyFunSuite {
     val expected = d.withColumn("cum", sum($"v").over(w))
       .select($"id", $"cum").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // smallRows = 0 pins the TWO-PASS form against the window reference
+    // (the r15 small route would otherwise also be a window)
     val got = Sampling.distributedCumSum(d, Seq("src"), Seq(col("id")),
-      col("v"), "cum", totalName = Some("tot"), slices = 7)
+      col("v"), "cum", totalName = Some("tot"), slices = 7, smallRows = 0L)
     assert(got.collect().map(r =>
       r.getAs[Long]("id") -> r.getAs[Long]("cum")).toMap == expected)
+    // and the r15 small route (the default at this size) agrees with both
+    val gotSmall = Sampling.distributedCumSum(d, Seq("src"), Seq(col("id")),
+      col("v"), "cum", totalName = Some("tot"), slices = 7)
+    assert(gotSmall.collect().map(r =>
+      r.getAs[Long]("id") -> r.getAs[Long]("cum")).toMap == expected)
+    assert(gotSmall.collect().map(r =>
+      r.getAs[Long]("id") -> r.getAs[Long]("tot")).toMap ==
+      got.collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("tot")).toMap)
     // key grand totals (incl. the null key's) ride along correctly
     val expTot = d.groupBy($"src").agg(sum($"v").as("t")).collect()
       .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
@@ -1533,8 +1543,9 @@ class OperatorsSpec extends AnyFunSuite {
       val w = Window.partitionBy($"g").orderBy($"id")
       val expected = d.withColumn("t", ntile(b).over(w))
         .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+      // smallRows = 0: this test pins the TWO-PASS rank's NTILE parity
       val got = Sampling.distributedCumSum(d, Seq("g"), Seq(col("id")),
-          lit(1L), "rk", totalName = Some("n"), slices = 5)
+          lit(1L), "rk", totalName = Some("n"), slices = 5, smallRows = 0L)
         .select($"g", $"id",
           Sampling.ntileOf(col("rk"), col("n"), b).as("t"))
         .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
