@@ -2060,7 +2060,12 @@ object Dedup {
     val spans = externalMatchSpans(idx, bench, minLen, benchIdCol,
       benchTextCol, maxBenchPositions)
     val out = cutWithSpans(docs, spans, idCol, textCol)
-    materializeAndRelease(out, spans)
+    // driver-probe spans are a LocalRelation: no corpus-sized
+    // intermediates to release, and the rebuilt output is a cheap map
+    // over the docs scan — the checkpoint write would be pure cost
+    if (spans.queryExecution.analyzed
+        .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]) out
+    else materializeAndRelease(out, spans)
   }
 
   /** The external query's core: per corpus position, the max LCP
@@ -3049,34 +3054,64 @@ object Dedup {
     // + group machinery below collapses to an in-memory merge emitting
     // the same covered-position rows (same touching-intervals-merge
     // semantics: a span starting AT the running end joins the group)
-    val coveredDriver: Option[DataFrame] = spans.queryExecution.analyzed match {
-      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+    // doc → covered token positions, merged in memory, when the spans
+    // are a LocalRelation (the driver-probe routes): the window + group
+    // machinery below collapses to the same touching-intervals merge
+    val coveredDriver: Option[Map[Any, java.util.BitSet]] =
+      spans.queryExecution.analyzed match {
+        case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+          val byDoc = spans.collect().groupBy(_.get(0))
+          Some(byDoc.map { case (doc, ss) =>
+            val bits = new java.util.BitSet()
+            ss.foreach(r => bits.set(r.getInt(1), (r.getInt(1) + r.getLong(2)).toInt))
+            doc -> bits
+          })
+        case _ => None
+      }
+    coveredDriver match {
+      case Some(coveredMap) =>
         import scala.jdk.CollectionConverters._
-        val byDoc = spans.collect().groupBy(_.get(0))
+        val spark = docs.sparkSession
+        val idType = docs.schema(idCol).dataType
+        val idsDf = spark.createDataFrame(
+          coveredMap.keysIterator.map(Row(_)).toSeq.asJava,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_id", idType))))
+        // touched docs (usually the small minority): tokens collected in
+        // ONE bounded-by-construction job, the ordered rebuild in memory
+        val touchedToks = docs
+          .select(col(idCol).as("doc_id"),
+            graft.operators.TextAnalysis.tokens(col(textCol)).as("_tk"))
+          .join(broadcast(idsDf), Seq("doc_id"), "left_semi")
+          .collect()
         val outSchema = org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("doc_id",
-            spans.schema("doc_id").dataType),
-          org.apache.spark.sql.types.StructField("pos",
-            org.apache.spark.sql.types.IntegerType)))
-        val rows = byDoc.iterator.flatMap { case (doc, ss) =>
-          val sorted = ss.map(r => (r.getInt(1), r.getInt(1) + r.getLong(2)))
-            .sortBy(_._1)
-          val out = new scala.collection.mutable.ArrayBuffer[(Int, Long)]()
-          var start = sorted.head._1
-          var end = sorted.head._2
-          sorted.iterator.drop(1).foreach { case (p, e) =>
-            if (p > end) { out += ((start, end)); start = p; end = e }
-            else if (e > end) end = e
-          }
-          out += ((start, end))
-          out.iterator.flatMap { case (s, e) =>
-            (s until e.toInt).iterator.map(p => Row(doc, p))
-          }
+          org.apache.spark.sql.types.StructField("doc_id", idType),
+          org.apache.spark.sql.types.StructField("n_tokens",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_removed",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text_dedup",
+            org.apache.spark.sql.types.StringType)))
+        val touchedRows = touchedToks.iterator.map { r =>
+          val doc = r.get(0)
+          val tk = r.getSeq[String](1)
+          val bits = coveredMap(doc)
+          val kept = tk.indices.iterator.filterNot(bits.get).map(tk).toSeq
+          Row(doc, tk.length.toLong, (tk.length - kept.length).toLong,
+            kept.mkString(" "))
         }.toSeq
-        Some(spans.sparkSession.createDataFrame(rows.asJava, outSchema))
-      case _ => None
+        val touchedOut = spark.createDataFrame(touchedRows.asJava, outSchema)
+        val untouchedOut = docs
+          .select(col(idCol).as("doc_id"),
+            graft.operators.TextAnalysis.tokens(col(textCol)).as("_tk"))
+          .join(broadcast(idsDf), Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), size(col("_tk")).cast("long").as("n_tokens"),
+            lit(0L).as("n_removed"),
+            concat_ws(" ", col("_tk")).as("text_dedup"))
+        return touchedOut.unionByName(untouchedOut)
+      case None => ()
     }
-    val covered = coveredDriver.getOrElse {
+    val covered = {
       val W = org.apache.spark.sql.expressions.Window
       val w = W.partitionBy(col("doc_id")).orderBy(col("pos"))
       spans
