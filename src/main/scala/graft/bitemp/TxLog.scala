@@ -111,6 +111,15 @@ object TxLog {
   def applyTx(state: DataFrame, ops: DataFrame, txId: Long,
       txTime: java.time.LocalDateTime,
       shapeHint: Option[TxShape] = None): (DataFrame, Boolean) = {
+    // Bounded all-driver route FIRST (r16, VERDICT #4): while state and
+    // ops both fit spark.graft.txDriverRows, the fold runs in memory
+    // through the SAME TxLogFold.foldEntity the distributed path uses
+    // and the new state is a LocalRelation — the next tx's collects are
+    // then job-free. Over the bound (or conf-disabled): unchanged path.
+    TxDriver.tryApplyTx(state, ops, txId, txTime) match {
+      case Some(res) => return res
+      case None => ()
+    }
     // Eager precondition (its own small action, early return on abort).
     // The FUSED alternative — riding the check inside the checkpoint
     // action as a broadcast flag gating the delta — was built and
@@ -428,6 +437,15 @@ object TxLog {
   def applyBatch(state: DataFrame,
       txs: Seq[(Long, java.time.LocalDateTime, DataFrame)]): DataFrame = {
     if (txs.isEmpty) return state
+    // Bounded all-driver route (r16, VERDICT #4): one tagged-union job
+    // pulls every tx's op list (the same single-job discipline as the
+    // classify pass below), the txs fold sequentially in memory —
+    // semantically applyBatchSeq, the differential oracle itself — and
+    // the state returns as a LocalRelation. Over the bound: unchanged.
+    TxDriver.tryApplyBatch(state, txs) match {
+      case Some(ns) => return ns
+      case None => ()
+    }
     // classify each tx by the op kinds it contains — ONE distinct job over
     // the union of (txIdx, op), not one job per tx (a 1000-tx batch would
     // otherwise pay 1000 scheduler round-trips before any work)

@@ -20,6 +20,10 @@ import org.apache.spark.sql.types.{ArrayType, StringType}
   */
 trait FactSource {
   def attrs: Set[String]
+  /** Stable identity of this source's DATA (e.g. "tpch:<dir>") — the
+    * compiled-query cache key component ([[Planner.q]]). None (default)
+    * = ad-hoc source over computed frames, never cached. */
+  def cacheKey: Option[String] = None
   /** Attributes holding string values — the search space of
     * `wildcard-text-search` (crux-lucene/src/crux/lucene.clj:184-189).
     * Abstract on purpose: defaulting to `attrs` would rlike/union over
@@ -56,7 +60,10 @@ final class QuadSource(df: DataFrame, attrTypes: Map[String, String],
     /** cardinality-many attributes: the entity pivot aggregates these as
       * sorted value ARRAYS (one quad row per element stays the scan/join
       * representation) so pull returns every element, not max-one. */
-    multiAttrs: Set[String] = Set.empty) extends FactSource {
+    multiAttrs: Set[String] = Set.empty,
+    /** see [[FactSource.cacheKey]] — set only for file-backed corpora */
+    key: Option[String] = None) extends FactSource {
+  override def cacheKey: Option[String] = key
   def attrs: Set[String] = attrTypes.keySet
   override def stringAttrs: Set[String] =
     // mixed-family attrs hold string-family rows too — searchable via
@@ -115,7 +122,10 @@ final class QuadSource(df: DataFrame, attrTypes: Map[String, String],
   * type", attribute = column name (unique across tables in TPC-H style). */
 final class TableSource(spark: SparkSession, load: String => DataFrame,
     tables: Map[String, TableSpec],
-    pullCat: Option[graft.pull.Pull.Catalog] = None) extends FactSource {
+    pullCat: Option[graft.pull.Pull.Catalog] = None,
+    /** see [[FactSource.cacheKey]] — set only for dir-backed catalogs */
+    key: Option[String] = None) extends FactSource {
+  override def cacheKey: Option[String] = key
 
   private val attrToTable: Map[String, String] =
     tables.flatMap { case (t, spec) => spec.cols.map(_ -> t) }
@@ -308,6 +318,7 @@ object TableSource {
       "documents" -> TableSpec(Seq("doc_id"), Set("doc_id", "text", "lang", "source", "n_chars")),
       "events" -> TableSpec(Seq("event_id"), Set("event_id", "ts", "user_id", "event_type", "value", "props")))
     new TableSource(spark, name => graft.sources.Tables.load(spark, dir, name), specs,
-      pullCat = Some(graft.pull.Pull.tpch(spark, dir)))
+      pullCat = Some(graft.pull.Pull.tpch(spark, dir)),
+      key = Some(s"tpch:$dir"))
   }
 }

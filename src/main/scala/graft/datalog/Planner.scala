@@ -54,8 +54,90 @@ object Planner {
     def vars: Set[String] = df.columns.toSet
   }
 
-  def q(spark: SparkSession, source: FactSource, query: String, args: Any*): DataFrame =
-    qAst(spark, source, Ast.parse(query), args: _*)
+  /** COMPILED-QUERY CACHE (r16; the reference memoizes query compilation
+    * the same way -- crux-core/src/crux/query.clj keeps an LRU of
+    * conformed/compiled queries because a serving node re-runs the same
+    * Datalog text far more often than it changes it). Entries hold the
+    * compiled DataFrame -- an analyzed/optimized PLAN object over the
+    * source's parquet, never results: every action still scans the
+    * inputs (what IS skipped on a repeat call is Catalyst
+    * analysis/optimization and the planner's own bounded probe jobs,
+    * which dominate interactive Datalog latency -- measured wall at 2-6x
+    * job-wall across the dl gates). Cached only when the SOURCE declares
+    * a stable data identity ([[FactSource.cacheKey]] -- dir-backed
+    * catalogs; ad-hoc sources over computed frames never cache) AND
+    * every arg renders to a stable key (plain values/collections;
+    * DataFrame args never cache). Keyed additionally by the fn/agg
+    * registry epoch so re-registering a function invalidates compiled
+    * plans that may reference it. Session-scoped (dies with the
+    * session); insertion-order cap. `spark.graft.queryCacheSize` tunes
+    * (0 disables -- the spec's lever). */
+  private type QKey = (SparkSession, String, String, String)
+  private val qCache = new graft.sources.SessionCache[QKey, DataFrame]
+  private val qOrder = new java.util.concurrent.ConcurrentLinkedQueue[QKey]()
+  private val registryEpoch = new java.util.concurrent.atomic.AtomicLong()
+
+  private def argKey(x: Any): Option[String] = x match {
+    case null => Some("null")
+    case s: String => Some("s:" + s)
+    case n: java.lang.Number => Some(n.getClass.getSimpleName + ":" + n)
+    case b: java.lang.Boolean => Some("b:" + b)
+    case t: java.time.temporal.Temporal => Some("t:" + t)
+    case d: java.util.Date => Some("d:" + d.getTime)
+    case e: Edn.Val => Some("e:" + e)
+    case it: Iterable[_] =>
+      val parts = it.map(argKey).toSeq
+      if (parts.forall(_.isDefined))
+        Some(parts.flatten.mkString("[", ",", "]"))
+      else None
+    case a: Array[_] => argKey(a.toSeq)
+    case _ => None
+  }
+
+  /** Drop compiled plans whose source key mentions `dirSubstring` (or
+    * everything for the session when None) — the rewritten-fixture hook
+    * [[graft.sources.Tables.invalidate]] calls so a data dir rewritten
+    * under a live session can't be served stale compiled plans. */
+  def invalidateCompiled(spark: SparkSession,
+      dirSubstring: Option[String] = None): Unit =
+    qCache.invalidateIf(k => (k._1 eq spark) &&
+      dirSubstring.forall(d => k._2.contains(d)))
+
+  def q(spark: SparkSession, source: FactSource, query: String, args: Any*): DataFrame = {
+    val cap = graft.sources.SessionConf.boundFromConf(spark,
+      "spark.graft.queryCacheSize", 256L, 256L)
+    val keyOpt: Option[QKey] =
+      if (cap <= 0) None
+      else for {
+        sk <- source.cacheKey
+        aks <- {
+          val ks = args.map(argKey)
+          if (ks.forall(_.isDefined)) Some(ks.flatten.mkString("|"))
+          else None
+        }
+      } yield (spark,
+        // registry epoch + the scoped fn allowlist are part of the plan's
+        // identity: a plan compiled under one allowlist must not serve a
+        // call under another (it would bypass the allowlist check)
+        sk + "@" + registryEpoch.get() +
+          "#" + fnAllowListVar.value.map(_.toSeq.sorted.mkString(",")),
+        query, aks)
+    keyOpt match {
+      case None => qAst(spark, source, Ast.parse(query), args: _*)
+      case Some(key) =>
+        if (qCache.size > cap) {
+          var n = qCache.size / 2 // oldest half, same policy as Graph.dgCache
+          while (n > 0) {
+            Option(qOrder.poll()).foreach(k => qCache.remove(k))
+            n -= 1
+          }
+        }
+        qCache.getOrBuild(key) {
+          qOrder.add(key) // miss only; duplicate adds are benign
+          qAst(spark, source, Ast.parse(query), args: _*)
+        }
+    }
+  }
 
   def qAst(spark: SparkSession, source: FactSource, query: Query, args: Any*): DataFrame = {
     val p = new Planner(spark, source, query.rules.groupBy(_.name))
@@ -116,7 +198,7 @@ object Planner {
   private val customAggs =
     new scala.collection.concurrent.TrieMap[String, (Column, Option[Long]) => Column]()
   def registerAggregate(name: String)(impl: (Column, Option[Long]) => Column): Unit = {
-    customAggs.put(name, impl); ()
+    customAggs.put(name, impl); registryEpoch.incrementAndGet(); ()
   }
 
   /** User scalar-fn registry — the open fn-resolution extension the
@@ -127,7 +209,7 @@ object Planner {
   private val customFnsReg =
     new scala.collection.concurrent.TrieMap[String, Seq[Column] => Column]()
   def registerFunction(name: String)(impl: Seq[Column] => Column): Unit = {
-    customFnsReg.put(name, impl); ()
+    customFnsReg.put(name, impl); registryEpoch.incrementAndGet(); ()
   }
 
   /** Engine-level `:fn-allow-list` (crux-test/test/crux/
@@ -174,7 +256,7 @@ object Planner {
     String, (FactSource, Seq[Term], Seq[String]) => DataFrame]()
   def registerPredConstraint(name: String)(
       impl: (FactSource, Seq[Term], Seq[String]) => DataFrame): Unit = {
-    predConstraints.put(name, impl); ()
+    predConstraints.put(name, impl); registryEpoch.incrementAndGet(); ()
   }
   def hasPredConstraint(name: String): Boolean = predConstraints.contains(name)
   private[datalog] def predConstraint(fn: String): (FactSource, Seq[Term], Seq[String]) => DataFrame =

@@ -31,6 +31,20 @@ object Dedup {
   private[operators] def boundedTakeN(cap: Long): Int =
     if (cap >= Int.MaxValue - 1) Int.MaxValue else (cap + 1L).toInt
 
+  /** Driver hash-map key for a collected doc id: BinaryType collects as
+    * Array[Byte], whose equals/hashCode are IDENTITY — the same id from
+    * two collects (or two rows of one collect) never matches as a key.
+    * Wrap arrays in an immutable ArraySeq (value equality); every other
+    * id type passes through. Insert and lookup sides must BOTH
+    * normalize (r15 ADVICE medium — the DriverProbe route additionally
+    * declines such types outright; these are the bounded driver pulls
+    * of the DISTRIBUTED descent, which must stay correct for any id).
+    */
+  private[operators] def mapKey(v: Any): Any = v match {
+    case b: Array[Byte] => scala.collection.immutable.ArraySeq.unsafeWrapArray(b)
+    case x => x
+  }
+
   /** Default position bound for [[SuffixIndex.driverProbe]] — see the
     * field scaladoc. 2¹⁷ positions keeps every snapshot structure
     * (rank arrays, lazy pair maps, the round-j0 inverted index) in the
@@ -170,6 +184,19 @@ object Dedup {
     def build(idx: SuffixIndex): Option[DriverProbe] = {
       if (idx.driverProbeMax <= 0 || idx.nDocs > idx.driverProbeMax)
         return None
+      // doc ids key JVM HashMaps below, so only types whose collected
+      // representation has VALUE equality may route here (r15 ADVICE
+      // medium: BinaryType collects as Array[Byte], whose equals is
+      // identity — lookups across separate collect()s would miss and the
+      // probe would silently return empty spans). Same whitelist posture
+      // as Graph.idOrdering; anything else takes the distributed route.
+      import org.apache.spark.sql.types._
+      idx.doclens.schema("doc_id").dataType match {
+        case StringType | LongType | IntegerType | ShortType | ByteType |
+             BooleanType | DateType | TimestampType | TimestampNTZType |
+             FloatType | DoubleType | _: DecimalType => ()
+        case _ => return None
+      }
       val takeN = boundedTakeN(idx.nDocs + 1)
       val dlRows = idx.doclens.limit(takeN).collect()
       val totalPos = dlRows.iterator.map(_.getLong(1)).sum
@@ -1316,11 +1343,12 @@ object Dedup {
     * route, the two-pass slice machinery above it (the r12 discipline —
     * no stage ever sorts the corpus in one task). */
   private def rowNumberBy(df: DataFrame, byCols: Seq[Column], out: String,
-      small: Boolean): DataFrame =
+      small: Boolean, cumSmallRows: Long = 1L << 17): DataFrame =
     if (small)
       df.withColumn(out, row_number().over(org.apache.spark.sql.expressions
         .Window.orderBy(byCols: _*)).cast("long"))
-    else Sampling.distributedCumSum(df, Seq.empty, byCols, lit(1L), out)
+    else Sampling.distributedCumSum(df, Seq.empty, byCols, lit(1L), out,
+      smallRows = cumSmallRows)
 
   private def buildSuffixIndexFromToks(toks: DataFrame, maxLen: Int,
       smallCorpusRows: Int): SuffixIndex = {
@@ -1331,6 +1359,13 @@ object Dedup {
     // jobs; above it every rank pass rides the two-pass slice machinery
     // so no stage ever sorts the corpus in one task
     val small = base.limit(smallCorpusRows + 1).count() <= smallCorpusRows
+    // a build FORCED onto the large route (smallCorpusRows below the
+    // cumsum helper's own small bound — the differential/leak specs'
+    // lever) must also force the rank passes' two-pass cumsum machinery,
+    // or the "large route" under test silently rides the window small
+    // route (r15 ADVICE); production builds (10M bound) are unaffected
+    // since any corpus past their bound is past the cumsum bound too
+    val cumSmallRows = math.min(1L << 17, smallCorpusRows.toLong)
     // equal sort keys share an order-preserving rank (dense_rank small /
     // block-min global row number large — min is tie-order-invariant).
     // The large path's intermediate cumsum checkpoint (corpus-position-
@@ -1344,7 +1379,7 @@ object Dedup {
           .Window.orderBy(byCols.map(col): _*)).cast("long"))
       else {
         val rn = Sampling.distributedCumSum(df, Seq.empty,
-          byCols.map(col), lit(1L), "_rn")
+          byCols.map(col), lit(1L), "_rn", smallRows = cumSmallRows)
         pending += rn
         rn.join(rn.groupBy(byCols.map(col): _*).agg(min(col("_rn")).as(out)),
           byCols).drop("_rn")
@@ -1392,7 +1427,7 @@ object Dedup {
     // path's window is checkpointed here so multi-consumer callers
     // don't re-sort per use.
     val sa0 = rowNumberBy(rounds.last,
-      Seq(col("r"), col("doc_id"), col("pos")), "_sa", small)
+      Seq(col("r"), col("doc_id"), col("pos")), "_sa", small, cumSmallRows)
     val sa = if (small) sa0.localCheckpoint(true) else sa0
     // doclens is doc-count-sized but was a LAZY plan over the full
     // corpus tokenization — every consumer of the build-once artifact
@@ -1419,7 +1454,10 @@ object Dedup {
           s"($nRows rows, $nDistinct distinct ids) — (doc, pos) keys " +
           "would collide in the rank passes; dedupe the corpus ids first")
     }
-    SuffixIndex(rounds.toSeq, sa, doclens, vocab, K, maxLen, small, nRows)
+    SuffixIndex(rounds.toSeq, sa, doclens, vocab, K, maxLen, small, nRows,
+      driverProbeMax = graft.sources.SessionConf.boundFromConf(
+        toks.sparkSession, "spark.graft.driverProbeMax",
+        DefaultDriverProbeMax, DefaultDriverProbeMax))
   }
 
   /** Rank-descent LCP for candidate pairs (da, pa, db, pb), clamped by
@@ -1685,7 +1723,10 @@ object Dedup {
       spark.read.parquet(s"$dir/vocab"),
       k, m.getInt(1), m.getBoolean(2), m.getLong(3),
       pairmaps =
-        Some((1 to k).map(i => spark.read.parquet(s"$dir/pairmap_$i"))))
+        Some((1 to k).map(i => spark.read.parquet(s"$dir/pairmap_$i"))),
+      driverProbeMax = graft.sources.SessionConf.boundFromConf(spark,
+        "spark.graft.driverProbeMax", DefaultDriverProbeMax,
+        DefaultDriverProbeMax))
   }
 
   /** Sharded suffix-index FEDERATION (r14 judge ask #1): corpus APPEND
@@ -2376,11 +2417,11 @@ object Dedup {
             keys.iterator.map { case (dd, pp) => Row(dd, pp) }.toSeq.asJava,
             keySchema)
           val rmap = probeRanks(idx.rounds(k), keyDf).collect()
-            .map(r => (r.get(0), r.getInt(1)) -> r.getLong(2)).toMap
+            .map(r => (mapKey(r.get(0)), r.getInt(1)) -> r.getLong(2)).toMap
           i = 0
           while (i < rows.length) {
             val r = rows(i)
-            val ra = rmap.get((r.get(0), r.getInt(1) + lens(i).toInt))
+            val ra = rmap.get((mapKey(r.get(0)), r.getInt(1) + lens(i).toInt))
             val fb = fAt(biOf(r.get(2)), r.getInt(3) + lens(i).toInt, k)
             if (ra.isDefined && fb != UNDEF && ra.get == fb)
               lens(i) += (1L << k)
@@ -2396,7 +2437,7 @@ object Dedup {
         val dlMap = idx.doclens
           .join(broadcast(idDf), col("doc_id") === col("_kd"))
           .select(col("doc_id"), col("_dl")).collect()
-          .map(r => r.get(0) -> r.getLong(1)).toMap
+          .map(r => mapKey(r.get(0)) -> r.getLong(1)).toMap
         val outSchema = org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("da", idType),
           org.apache.spark.sql.types.StructField("pa",
@@ -2404,7 +2445,7 @@ object Dedup {
           org.apache.spark.sql.types.StructField("match_len",
             org.apache.spark.sql.types.LongType)))
         val outRows = rows.zipWithIndex.map { case (r, i) =>
-          val ml = Seq(lens(i), dlMap(r.get(0)) - r.getInt(1),
+          val ml = Seq(lens(i), dlMap(mapKey(r.get(0))) - r.getInt(1),
             (benchLen(r.get(2)) - r.getInt(3)).toLong,
             idx.maxLen.toLong).min
           Row(r.get(0), r.getInt(1), ml)
@@ -2598,12 +2639,12 @@ object Dedup {
       val keyDf = spark.createDataFrame(
         keys.iterator.map { case (d, p) => Row(d, p) }.toSeq.asJava, keySchema)
       val rmap = probeRanks(idx.rounds(k), keyDf).collect()
-        .map(r => (r.get(0), r.getInt(1)) -> r.getLong(2)).toMap
+        .map(r => (mapKey(r.get(0)), r.getInt(1)) -> r.getLong(2)).toMap
       i = 0
       while (i < rows.length) {
         val r = rows(i)
-        val ra = rmap.get((r.get(iDa), r.getInt(iPa) + lens(i).toInt))
-        val rb = rmap.get((r.get(iDb), r.getInt(iPb) + lens(i).toInt))
+        val ra = rmap.get((mapKey(r.get(iDa)), r.getInt(iPa) + lens(i).toInt))
+        val rb = rmap.get((mapKey(r.get(iDb)), r.getInt(iPb) + lens(i).toInt))
         // a missing rank means pos+len ran past the doc end — len stays,
         // exactly the shuffled route's left-join null semantics
         if (ra.isDefined && ra == rb) lens(i) += (1L << k)
@@ -2619,10 +2660,10 @@ object Dedup {
       ids.iterator.map(Row(_)).toSeq.asJava, idSchema)
     val dlMap = idx.doclens.join(broadcast(idDf), col("doc_id") === col("_kd"))
       .select(col("doc_id"), col("_dl")).collect()
-      .map(r => r.get(0) -> r.getLong(1)).toMap
+      .map(r => mapKey(r.get(0)) -> r.getLong(1)).toMap
     val outRows = rows.zipWithIndex.map { case (r, i) =>
-      val ml = Seq(lens(i), dlMap(r.get(iDa)) - r.getInt(iPa),
-        dlMap(r.get(iDb)) - r.getInt(iPb), maxLen.toLong).min
+      val ml = Seq(lens(i), dlMap(mapKey(r.get(iDa))) - r.getInt(iPa),
+        dlMap(mapKey(r.get(iDb))) - r.getInt(iPb), maxLen.toLong).min
       Row(r.get(iDa), r.getInt(iPa), r.get(iDb), r.getInt(iPb), ml)
     }
     val outSchema = org.apache.spark.sql.types.StructType(Seq(

@@ -71,30 +71,57 @@ object Graph {
       val srcA: Array[Int],
       val dstA: Array[Int])
 
-  /** Memo of driver snapshots per (session, canonicalized edge plan):
-    * the gates' memoized edge artifacts (checkpoint leaves — plan
-    * equality is RDD identity) hit the cache across calls; ad-hoc
+  /** Memo of driver snapshots per (session, canonicalized edge plan,
+    * edge limit): the gates' memoized edge artifacts (checkpoint leaves —
+    * plan equality is RDD identity) hit the cache across calls; ad-hoc
     * frames just rebuild. `None` (over the bound, cached too — the
-    * count answer is a property of the same immutable plan) routes the
-    * caller to the distributed paths. */
-  private val dgCache = new graft.sources.SessionCache[
-    (org.apache.spark.sql.SparkSession,
-      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan),
-    Option[DriverGraph]]
+    * answer is a property of the same immutable plan AND limit) routes
+    * the caller to the distributed paths. The limit is part of the key
+    * (r15 ADVICE): a snapshot cached under the default bound must not be
+    * replayed for a caller with a tighter driver-memory bound, nor a
+    * None cached under a tight bound force default-limit calls off the
+    * driver route forever. */
+  private type DgKey = (org.apache.spark.sql.SparkSession,
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long)
+  private val dgCache = new graft.sources.SessionCache[DgKey, Option[DriverGraph]]
+  /** Insertion order of dgCache keys, for the cap eviction below. */
+  private val dgOrder = new java.util.concurrent.ConcurrentLinkedQueue[DgKey]()
 
-  /** Bounded driver snapshot of `eRaw` — a parallel count guards a
-    * parallel collect (a `limit(n).collect()` funnels the whole edge
-    * set through ONE GlobalLimit task — measured as most of the gate's
-    * residual wall at 1.2M edges). */
+  /** Bounded driver snapshot of `eRaw`. The route probe is BOUNDED
+    * (r15 VERDICT #8): each partition counts at most limit+1 rows — an
+    * over-bound plan learns its route after one early-exiting pass, not
+    * a full count scan (at 100 TB the old full count() was one whole
+    * scan just to learn "route distributed"). The parallel collect is
+    * still guarded by that probe (a `limit(n).collect()` would funnel
+    * the whole edge set through ONE GlobalLimit task — measured as most
+    * of the gate's residual wall at 1.2M edges). */
   private def driverGraph(eRaw: DataFrame, limit: Long): Option[DriverGraph] = {
     if (limit <= 0) return None
-    val key = (eRaw.sparkSession, eRaw.queryExecution.analyzed.canonicalized)
+    val key = (eRaw.sparkSession, eRaw.queryExecution.analyzed.canonicalized, limit)
     // ad-hoc plans (a fresh checkpoint per call) never repeat as keys —
     // cap the memo so a long-lived serving session can't accumulate
-    // snapshots; the memoized gate artifacts re-enter on the next call
-    if (dgCache.size > 64) dgCache.invalidateIf(_ => true)
+    // snapshots. Evict the OLDEST half in insertion order, NOT the whole
+    // map (r15 ADVICE: a full clear dropped the hot memoized gate
+    // artifacts along with the ad-hoc entries the cap targets).
+    if (dgCache.size > 64) {
+      var n = dgCache.size / 2
+      while (n > 0) {
+        Option(dgOrder.poll()).foreach(k => dgCache.remove(k))
+        n -= 1
+      }
+    }
     dgCache.getOrBuild(key) {
-      if (eRaw.count() > limit) None
+      dgOrder.add(key) // runs only on a miss (duplicate adds are benign)
+      val overBound = {
+        val cap = boundedTake(limit).toLong
+        val perPart = eRaw.queryExecution.toRdd.mapPartitions { it =>
+          var n = 0L
+          while (it.hasNext && n < cap) { it.next(); n += 1 }
+          Iterator.single(n)
+        }.collect()
+        perPart.sum > limit
+      }
+      if (overBound) None
       else {
         val arr = eRaw.collect()
         val index = new java.util.LinkedHashMap[Any, Integer]()
@@ -209,15 +236,22 @@ object Graph {
     val eSel = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val eRaw = if (assumeDistinct) eSel else eSel.distinct()
     val idTypeRaw = eSel.schema("src").dataType
+    val edgeLimit = graft.sources.SessionConf.boundFromConf(spark,
+      "spark.graft.driverEdgeLimit", driverEdgeLimit, DefaultDriverEdgeLimit)
+    val nodeLimit = graft.sources.SessionConf.boundFromConf(spark,
+      "spark.graft.driverNodeLimit", driverNodeLimit, DefaultDriverNodeLimit)
     // all-driver probe FIRST (r15): one bounded collect straight off the
     // (memoized) edge artifact replaces the per-call repartition +
     // checkpoint + degree shuffle the distributed rounds need — those
     // layout passes were most of the gate's remaining wall once the
     // rounds themselves ran driver-side. Honors BOTH bounds: nodes are
     // derived from the rows in hand, so driverNodeLimit routes exactly
-    // as before (tests force 0 to reach the outer paths).
-    driverGraph(eRaw, driverEdgeLimit) match {
-      case Some(dg) if dg.nodeIds.length <= driverNodeLimit =>
+    // as before (tests force 0 to reach the outer paths). The cheap
+    // disqualifier runs BEFORE the snapshot build (r15 ADVICE: a
+    // caller-lowered node limit must prevent the driver collect, not
+    // just discard its result).
+    (if (nodeLimit <= 0) None else driverGraph(eRaw, edgeLimit)) match {
+      case Some(dg) if dg.nodeIds.length <= nodeLimit =>
         require(dg.srcA.nonEmpty, "pageRank needs a non-empty edge set")
         import scala.jdk.CollectionConverters._
         val nV = dg.nodeIds.length
@@ -261,9 +295,9 @@ object Graph {
     // belongs on the cluster-side path
     val degAll: Array[(Any, Long)] = eRdd
       .flatMap { case (s, t) => Iterator((s, 1L), (t, 0L)) }
-      .reduceByKey(_ + _).take(boundedTake(driverNodeLimit))
+      .reduceByKey(_ + _).take(boundedTake(nodeLimit))
     require(degAll.nonEmpty, "pageRank needs a non-empty edge set")
-    if (degAll.length <= driverNodeLimit) {
+    if (degAll.length <= nodeLimit) {
       val nodeIds: Array[Any] = degAll.map(_._1)
       val deg: Map[Any, Long] = degAll.iterator.filter(_._2 > 0L).toMap
       val n = nodeIds.length.toLong
@@ -360,16 +394,19 @@ object Graph {
     }
     val distSchema = StructType(Seq(
       StructField("id", idType), StructField("d", LongType)))
+    val edgeLimit = graft.sources.SessionConf.boundFromConf(spark,
+      "spark.graft.driverEdgeLimit", driverEdgeLimit, DefaultDriverEdgeLimit)
+    val nodeLimit = graft.sources.SessionConf.boundFromConf(spark,
+      "spark.graft.driverNodeLimit", driverNodeLimit, DefaultDriverNodeLimit)
     // all-driver probe FIRST (r15): one bounded collect off the raw
     // artifact replaces the repartition+checkpoint+tuple-cache layout
     // passes entirely when the edge list fits BOTH bounds (the edge
     // count is this function's small-route criterion, so honoring
-    // driverNodeLimit keeps the test-forced outer routes reachable)
-    // the edge count is this function's small-route criterion, so the
-    // snapshot must fit BOTH bounds to keep the test-forced outer
-    // routes reachable
-    driverGraph(eRaw, driverEdgeLimit) match {
-      case Some(dg) if driverNodeLimit > 0 && dg.srcA.length <= driverNodeLimit =>
+    // the node limit keeps the test-forced outer routes reachable).
+    // The cheap disqualifier runs BEFORE the snapshot build (r15
+    // ADVICE).
+    (if (nodeLimit <= 0) None else driverGraph(eRaw, edgeLimit)) match {
+      case Some(dg) if dg.srcA.length <= nodeLimit =>
         import scala.jdk.CollectionConverters._
         val srcIdx: Integer = dg.index.get(source)
         val nV = dg.nodeIds.length
@@ -405,7 +442,7 @@ object Graph {
     // the distance table is bounded by reached nodes ≤ 2×edges: a bounded
     // existence probe routes small graphs to the driver-state rounds
     val small =
-      e.limit(boundedTake(driverNodeLimit)).count() <= driverNodeLimit
+      e.limit(boundedTake(nodeLimit)).count() <= nodeLimit
     if (small) {
       val eRdd = edgeTupleRdd(e)
       var dist: scala.collection.Map[Any, Long] = Map(source -> 0L)
@@ -484,14 +521,27 @@ object Graph {
     val eSel = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val eRaw = if (assumeDistinct) eSel else eSel.distinct()
     val idTypeRaw = eSel.schema("src").dataType
+    val edgeLimit = graft.sources.SessionConf.boundFromConf(spark,
+      "spark.graft.driverEdgeLimit", driverEdgeLimit, DefaultDriverEdgeLimit)
+    val nodeLimit = graft.sources.SessionConf.boundFromConf(spark,
+      "spark.graft.driverNodeLimit", driverNodeLimit, DefaultDriverNodeLimit)
+    // cheap route-disqualifiers BEFORE the snapshot build (r15 ADVICE):
+    // a zeroed node limit or an id type with no driver-side total order
+    // must prevent the driver collect, not just discard its result
+    val idOrderable = idTypeRaw match {
+      case org.apache.spark.sql.types.StringType | LongType |
+           org.apache.spark.sql.types.IntegerType => true
+      case _ => false
+    }
     // all-driver probe FIRST (r15): one bounded collect off the raw
     // artifact replaces the repartition+checkpoint+tuple-cache layout
-    // passes when edges fit the bound, nodes fit driverNodeLimit AND
+    // passes when edges fit the bound, nodes fit the node limit AND
     // the id type has a driver-side total order (same constraint as
     // the driver-state rounds)
-    driverGraph(eRaw, driverEdgeLimit) match {
+    (if (nodeLimit <= 0 || !idOrderable) None
+     else driverGraph(eRaw, edgeLimit)) match {
       case Some(dg) if dg.nodeIds.nonEmpty &&
-          dg.nodeIds.length <= driverNodeLimit &&
+          dg.nodeIds.length <= nodeLimit &&
           idOrdering(dg.nodeIds(0)).isDefined =>
         import scala.jdk.CollectionConverters._
         // relabel in sorted-id space so "min label" is "min id"
@@ -531,9 +581,9 @@ object Graph {
       .localCheckpoint(true)
     val idType = e.schema("src").dataType
     val eRdd = edgeTupleRdd(e)
-    val nodeIds0 = boundedNodeIds(eRdd, driverNodeLimit)
+    val nodeIds0 = boundedNodeIds(eRdd, nodeLimit)
     val ord = nodeIds0.headOption.flatMap(idOrdering)
-    if (nodeIds0.nonEmpty && nodeIds0.length <= driverNodeLimit && ord.isDefined) {
+    if (nodeIds0.nonEmpty && nodeIds0.length <= nodeLimit && ord.isDefined) {
       // dense relabel: node ids sorted once; label = index of the
       // component's minimum id, so min-combining stays pure Long
       val nodeIds = nodeIds0.sorted(ord.get)
@@ -608,7 +658,9 @@ object Graph {
     // consistent total order (here (degree, dense index)) yields the
     // identical exact integer. One bounded pull replaces the two-join
     // wedge plan's shuffles.
-    driverGraph(und, driverEdgeLimit) match {
+    driverGraph(und, graft.sources.SessionConf.boundFromConf(
+        und.sparkSession, "spark.graft.driverEdgeLimit", driverEdgeLimit,
+        DefaultDriverEdgeLimit)) match {
       case Some(dg) =>
         val nV = dg.nodeIds.length
         val m = dg.srcA.length

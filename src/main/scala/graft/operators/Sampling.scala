@@ -91,9 +91,13 @@ object Sampling {
     val spark = df.sparkSession
     val n = if (slices > 0) slices
       else spark.sessionState.conf.numShufflePartitions
+    // conf-tunable without recompiling (r15 VERDICT #7); an explicit
+    // caller override still wins
+    val smallBound = graft.sources.SessionConf.boundFromConf(spark,
+      "spark.graft.cumSumSmallRows", smallRows, 1L << 17)
     val in = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    if (smallRows > 0) {
-      val takeN = graft.operators.Dedup.boundedTakeN(smallRows)
+    if (smallBound > 0) {
+      val takeN = graft.operators.Dedup.boundedTakeN(smallBound)
       if (in.limit(takeN).count() < takeN) {
         val W = org.apache.spark.sql.expressions.Window
         val part = if (keys.isEmpty) W.partitionBy() else W.partitionBy(keys.map(col): _*)

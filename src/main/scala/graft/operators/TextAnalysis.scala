@@ -854,6 +854,14 @@ object TextAnalysis {
     // — cap the ACTUAL count loudly rather than rejecting wide-but-
     // sparse models up front
     val gramTakeN = Dedup.boundedTakeN(maxGramNnz)
+    // NOTE (r16 A/B, REJECTED): restructuring this self-join as
+    // per-doc collect_list + local double-explode (one exchange fewer,
+    // 22→16 jobs, 213→127 tasks) measured SLOWER at local[32]
+    // (min-of-6: 2.81-3.06 s vs 2.09-2.57 s for this form on
+    // text_classifier_wide) — the quadratic pair stream loses task
+    // parallelism when it no longer rides the join's partitioning, and
+    // collect_list materializes per-doc arrays the join never builds.
+    // Keep the self-join; don't retry without new evidence.
     val gram = counts.select(col("doc_id"), col("_h").as("_i"), col("_c").as("_ci"))
       .join(counts.select(col("doc_id"), col("_h").as("_j"), col("_c").as("_cj")),
         Seq("doc_id"))

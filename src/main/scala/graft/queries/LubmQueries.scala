@@ -35,7 +35,7 @@ object LubmQueries {
 
   private def source(s: SparkSession): QuadSource =
     new QuadSource(Rdf.loadNTriples(s, path).select("e", "a", "v_str"),
-      attrs.map(_ -> "v_str").toMap)
+      attrs.map(_ -> "v_str").toMap, key = Some("lubm:" + path))
 
   private def dl(q: String)(s: SparkSession, dir: String): DataFrame =
     Planner.q(s, source(s), q)

@@ -37,7 +37,7 @@ object WatDivQueries {
 
   private def source(s: SparkSession): QuadSource =
     new QuadSource(Rdf.loadNTriples(s, path).select("e", "a", "v_str"),
-      attrs.map(_ -> "v_str").toMap)
+      attrs.map(_ -> "v_str").toMap, key = Some("watdiv:" + path))
 
   private def dl(q: String)(s: SparkSession, dir: String): DataFrame =
     Planner.q(s, source(s), q)

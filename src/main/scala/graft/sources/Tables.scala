@@ -33,7 +33,10 @@ object Tables {
     * (and the registration memo — the temp views hold the old plans). */
   def invalidate(spark: SparkSession, sfDir: String): Unit = {
     cache.invalidateIf(k => (k._1 eq spark) && k._2 == sfDir)
-    registeredDir.remove(spark, sfDir); ()
+    registeredDir.remove(spark, sfDir)
+    // compiled Datalog plans over this dir hold the OLD table plans (r16
+    // query cache) — same rewrite hazard, same hook
+    graft.datalog.Planner.invalidateCompiled(spark, Some(sfDir)); ()
   }
 
   private def doLoad(spark: SparkSession, sfDir: String, name: String): DataFrame = {

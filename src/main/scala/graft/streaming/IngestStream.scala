@@ -278,12 +278,16 @@ object IngestStream {
               } else {
                 val deltaName = s"delta-$batchId"
                 // the fold shuffle keeps its declared parallelism for
-                // compute; the WRITE coalesces the cached rows so the
-                // delta lands as few files — every later tx's state scan
-                // opens the whole delta stack, so file fanout is the
-                // read-side constant that compounds
+                // compute (coalesce after a shuffle boundary narrows only
+                // the reduce+write side); the WRITE coalesces to ONE file
+                // per delta — every later tx's state scan opens the whole
+                // delta stack, so file fanout is the read-side constant
+                // that compounds (r16: the coalesce this comment already
+                // promised was missing — each tx landed txPartitions
+                // files, and batch N's state scan re-opened N×that many)
                 labeled("delta fold+write")(
-                  deltaCached.write.mode("overwrite").parquet(s"$stateDir/$deltaName"))
+                  deltaCached.coalesce(1).write.mode("overwrite")
+                    .parquet(s"$stateDir/$deltaName"))
                 StateManifest(batchId, cur.flatMap(_.base),
                   cur.toSeq.flatMap(_.deltas) :+ deltaName)
               }

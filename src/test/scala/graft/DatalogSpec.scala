@@ -870,4 +870,40 @@ class DatalogSpec extends AnyFunSuite {
     // under-cap: the full domain comes back
     assert(Planner.boundedDomain(df, 50, "no").length == 50)
   }
+
+  test("compiled-query cache: same plan object on repeat, conf-disable + invalidation (r16)") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val q = """
+      {:find [?rf (count ?l)] :keys [rf n]
+       :where [[?l :l_returnflag ?rf]]}"""
+    def run() = Planner.q(spark, graft.datalog.TableSource.tpch(spark, dir), q)
+    val a = run(); val b = run()
+    // a dir-keyed source + literal query compiles ONCE per session: the
+    // repeat call returns the SAME DataFrame (plan reuse — the reference's
+    // conformed-query cache behavior); results stay oracle-checked by the
+    // dl gates themselves
+    assert(a eq b, "repeat call must hit the compiled-query cache")
+    assert(a.collect().toSet == b.collect().toSet)
+    // conf 0 disables: fresh compile each call
+    val c = graft.sources.SessionConf.withConf(spark,
+      "spark.graft.queryCacheSize" -> "0")(run())
+    assert(!(c eq a))
+    assert(c.collect().toSet == a.collect().toSet)
+    // a rewritten-dir invalidation drops the entry (stale-plan hazard)
+    graft.sources.Tables.invalidate(spark, dir)
+    val d = run()
+    assert(!(d eq a), "invalidate must drop compiled plans over the dir")
+    assert(d.collect().toSet == a.collect().toSet)
+    // ad-hoc sources (no cacheKey) never cache
+    val quads = spark.createDataFrame(
+      java.util.List.of(Row("e1", "k", "v")),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("e", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("a", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("v_str", org.apache.spark.sql.types.StringType))))
+    val src = new QuadSource(quads, Map("k" -> "v_str"))
+    val q2 = """{:find [?e] :where [[?e :k "v"]]}"""
+    assert(!(Planner.q(spark, src, q2) eq Planner.q(spark, src, q2)))
+  }
 }

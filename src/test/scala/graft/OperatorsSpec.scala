@@ -2296,4 +2296,83 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
     assert(again == rows.map { case (k, v) => k -> v._3 })
   }
+
+  test("size-route bounds honor spark.graft.* confs (r16)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(21)
+    val d = (0L until 16L).map { i =>
+      (i, Seq.fill(12 + rnd.nextInt(10))("abcd"(rnd.nextInt(4)).toString).mkString(" "))
+    }.toDF("doc_id", "text")
+    // default: a tiny corpus takes the driver-probe route (LocalRelation)
+    val spans = Dedup.exactDupSpans(d, minLen = 3, maxLen = 8)
+    assert(spans.queryExecution.analyzed
+      .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+    // conf-zeroed probe bound: the SAME call routes distributed without a
+    // recompile (r15 VERDICT #7) — and computes the identical spans
+    val spans2 = graft.sources.SessionConf.withConf(spark,
+      "spark.graft.driverProbeMax" -> "0") {
+      Dedup.exactDupSpans(d, minLen = 3, maxLen = 8)
+    }
+    assert(!spans2.queryExecution.analyzed
+      .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+    def spanSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(spanSet(spans) == spanSet(spans2))
+    graft.sources.SessionCache.release(spans2)
+    // graph bounds through conf: a zeroed edge limit forces the non-driver
+    // routes, result unchanged (the route differential is pinned above —
+    // this pins the CONF plumbing reaches it)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("src", "dst")
+    def prSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val prDefault = prSet(graft.operators.Graph.pageRank(edges, iters = 3))
+    val prConf = graft.sources.SessionConf.withConf(spark,
+      "spark.graft.driverEdgeLimit" -> "0") {
+      prSet(graft.operators.Graph.pageRank(edges, iters = 3))
+    }
+    assert(prDefault == prConf)
+    // cumsum small bound through conf: 0 forces the two-pass form,
+    // bit-identical by the helper's total-order contract
+    val rows = (1L to 60L).map(i => (i, i % 7)).toDF("id", "v")
+    val viaWindow = Sampling.distributedCumSum(rows, Seq.empty,
+      Seq(col("id")), col("v"), "cum")
+    val viaTwoPass = graft.sources.SessionConf.withConf(spark,
+      "spark.graft.cumSumSmallRows" -> "0") {
+      Sampling.distributedCumSum(rows, Seq.empty, Seq(col("id")), col("v"), "cum")
+    }
+    assert(viaWindow.collect().map(_.toSeq).toSet ==
+      viaTwoPass.collect().map(_.toSeq).toSet)
+    graft.sources.SessionCache.release(Seq(viaWindow, viaTwoPass))
+  }
+
+  test("driver probe declines identity-equality doc id types (r16 ADVICE)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val base = (0L until 12L).map { i =>
+      (i, Seq.fill(12 + rnd.nextInt(8))("abcd"(rnd.nextInt(4)).toString).mkString(" "))
+    }.toDF("doc_id", "text")
+    // BinaryType doc ids collect as Array[Byte] — identity equality, so
+    // the driver probe's HashMap lookups would miss across collects and
+    // silently return EMPTY spans; the route must decline and fall back
+    // to the distributed joins (value equality), keeping results intact
+    val bin = base.select(
+      encode(col("doc_id").cast("string"), "UTF-8").as("doc_id"), col("text"))
+    val spansBin = Dedup.exactDupSpans(bin, minLen = 3, maxLen = 8)
+    assert(!spansBin.queryExecution.analyzed
+      .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation],
+      "binary doc ids must not take the driver-probe route")
+    val viaBin = spansBin.collect()
+      .map(r => (new String(r.getAs[Array[Byte]](0),
+        java.nio.charset.StandardCharsets.UTF_8).toLong, r.getInt(1),
+        r.getLong(2))).toSet
+    // same corpus with long ids, distributed route forced: same spans
+    val spansLong = graft.sources.SessionConf.withConf(spark,
+      "spark.graft.driverProbeMax" -> "0") {
+      Dedup.exactDupSpans(base, minLen = 3, maxLen = 8)
+    }
+    val viaLong = spansLong.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(viaBin == viaLong)
+    graft.sources.SessionCache.release(Seq(spansBin, spansLong))
+  }
 }

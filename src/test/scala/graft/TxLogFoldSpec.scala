@@ -14,6 +14,14 @@ import graft.bitemp.TxLog
 class TxLogFoldSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
 
+  /** Force the DISTRIBUTED tx paths: the r16 bounded driver route would
+    * otherwise serve every call here (tiny fixtures), and these tests
+    * exist to pin the distributed fold against the sequential oracle.
+    * TxDriver's own route differential is the r16 test below. */
+  private def dist[A](f: => A): A =
+    graft.sources.SessionConf.withConf(spark,
+      "spark.graft.txDriverRows" -> "0")(f)
+
   private val vts = (1 to 6).map(i => LocalDateTime.parse(f"2020-01-0$i%dT00:00:00"))
 
   private def stateRows(df: DataFrame): Set[Seq[Any]] =
@@ -64,8 +72,8 @@ class TxLogFoldSpec extends AnyFunSuite {
       Row("put", "e", "C", d("2020-01-02"), d("2020-01-06"), null, null, 3L)
     ).asJava, TxLog.opSchema)
     val txs = Seq((0L, d("2024-02-01"), ops))
-    val fast = stateRows(TxLog.applyBatch(TxLog.emptyState(spark), txs))
-    assert(fast == stateRows(TxLog.applyBatchSeq(TxLog.emptyState(spark), txs)))
+    val fast = stateRows(dist(TxLog.applyBatch(TxLog.emptyState(spark), txs)))
+    assert(fast == stateRows(dist(TxLog.applyBatchSeq(TxLog.emptyState(spark), txs))))
     val byVt = fast.map(r => r(1).toString.take(10) -> r(4)).toMap
     assert(byVt("2020-01-05") == "C" && byVt("2020-01-06") == "A")
   }
@@ -87,8 +95,8 @@ class TxLogFoldSpec extends AnyFunSuite {
         (txId.toLong, LocalDateTime.parse("2021-01-01T00:00:00").plusHours(txId.toLong),
           spark.createDataFrame(rows.asJava, TxLog.opSchema))
       }
-      val fast = TxLog.applyBatch(TxLog.emptyState(spark), txs)
-      val seq = TxLog.applyBatchSeq(TxLog.emptyState(spark), txs)
+      val fast = dist(TxLog.applyBatch(TxLog.emptyState(spark), txs))
+      val seq = dist(TxLog.applyBatchSeq(TxLog.emptyState(spark), txs))
       assert(stateRows(fast) == stateRows(seq), s"dense trial $trial diverged")
     }
   }
@@ -97,8 +105,8 @@ class TxLogFoldSpec extends AnyFunSuite {
     (1 to 4).foreach { trial =>
       val rnd = new scala.util.Random(1000 + trial)
       val txs = randomTxs(rnd, nTxs = 8, withCas = false)
-      val fast = TxLog.applyBatch(TxLog.emptyState(spark), txs)
-      val seq = TxLog.applyBatchSeq(TxLog.emptyState(spark), txs)
+      val fast = dist(TxLog.applyBatch(TxLog.emptyState(spark), txs))
+      val seq = dist(TxLog.applyBatchSeq(TxLog.emptyState(spark), txs))
       assert(stateRows(fast) == stateRows(seq), s"trial $trial diverged")
     }
   }
@@ -107,8 +115,8 @@ class TxLogFoldSpec extends AnyFunSuite {
     (1 to 4).foreach { trial =>
       val rnd = new scala.util.Random(2000 + trial)
       val txs = randomTxs(rnd, nTxs = 8, withCas = true)
-      val fast = TxLog.applyBatch(TxLog.emptyState(spark), txs)
-      val seq = TxLog.applyBatchSeq(TxLog.emptyState(spark), txs)
+      val fast = dist(TxLog.applyBatch(TxLog.emptyState(spark), txs))
+      val seq = dist(TxLog.applyBatchSeq(TxLog.emptyState(spark), txs))
       assert(stateRows(fast) == stateRows(seq), s"trial $trial diverged")
     }
   }
@@ -117,7 +125,7 @@ class TxLogFoldSpec extends AnyFunSuite {
     import scala.jdk.CollectionConverters._
     val rnd = new scala.util.Random(42)
     val txs = randomTxs(rnd, nTxs = 6, withCas = true)
-    val touched = TxLog.applyBatchSeq(TxLog.emptyState(spark), randomTxs(new scala.util.Random(9), 3, withCas = false))
+    val touched = dist(TxLog.applyBatchSeq(TxLog.emptyState(spark), randomTxs(new scala.util.Random(9), 3, withCas = false)))
       .localCheckpoint(true)
     // 10×-inflated untouched history: entities the cas txs never reference
     val bulkRows = (0 until 20000).map { i =>
@@ -127,7 +135,7 @@ class TxLogFoldSpec extends AnyFunSuite {
       .localCheckpoint(true)
     def run(state: org.apache.spark.sql.DataFrame): (Set[Seq[Any]], Long) = {
       val t0 = System.nanoTime()
-      val out = TxLog.applyBatchSeq(state, txs)
+      val out = dist(TxLog.applyBatchSeq(state, txs))
       val rows = stateRows(out.filter(!org.apache.spark.sql.functions.col("eid").startsWith("bulk-")))
       (rows, System.nanoTime() - t0)
     }
@@ -151,7 +159,7 @@ class TxLogFoldSpec extends AnyFunSuite {
     // assertion is on the CacheManager, where .cache() registers.)
     val rnd = new scala.util.Random(77)
     val txs = randomTxs(rnd, nTxs = 12, withCas = true) // forces sequential path
-    val out = TxLog.applyBatch(TxLog.emptyState(spark), txs)
+    val out = dist(TxLog.applyBatch(TxLog.emptyState(spark), txs))
     out.count() // materialize the final state
     // precise, pollution-immune check: none of THIS batch's op plans may
     // still be registered (other components persist long-lived caches —
@@ -168,8 +176,43 @@ class TxLogFoldSpec extends AnyFunSuite {
     val first = randomTxs(rnd, nTxs = 4, withCas = false)
     val second = randomTxs(rnd, nTxs = 4, withCas = false)
       .map { case (id, tt, ops) => (id + 4, tt.plusDays(1), ops) }
-    val fast = TxLog.applyBatch(TxLog.applyBatch(TxLog.emptyState(spark), first), second)
-    val seq = TxLog.applyBatchSeq(TxLog.applyBatchSeq(TxLog.emptyState(spark), first), second)
+    val fast = dist(TxLog.applyBatch(TxLog.applyBatch(TxLog.emptyState(spark), first), second))
+    val seq = dist(TxLog.applyBatchSeq(TxLog.applyBatchSeq(TxLog.emptyState(spark), first), second))
     assert(stateRows(fast) == stateRows(seq))
+  }
+
+  test("driver tx route ≡ distributed fold on randomized programs (r16)") {
+    (1 to 4).foreach { trial =>
+      val rnd = new scala.util.Random(4000 + trial)
+      val txs = randomTxs(rnd, nTxs = 8, withCas = trial % 2 == 0)
+      // default conf: the bounded driver route serves these tiny txs and
+      // the state comes back as a LocalRelation (zero-job collects later)
+      val driver = TxLog.applyBatch(TxLog.emptyState(spark), txs)
+      assert(driver.queryExecution.analyzed
+        .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation],
+        "small batch must take the driver route")
+      val viaDist = dist(TxLog.applyBatch(TxLog.emptyState(spark), txs))
+      assert(stateRows(driver) == stateRows(viaDist), s"trial $trial diverged")
+      // the sequential per-tx path too (applyTx is the route's other door)
+      val seqDriver = TxLog.applyBatchSeq(TxLog.emptyState(spark), txs)
+      assert(stateRows(seqDriver) == stateRows(viaDist),
+        s"trial $trial seq diverged")
+    }
+  }
+
+  test("driver tx route declines over-bound inputs via conf (r16)") {
+    val rnd = new scala.util.Random(5000)
+    val txs = randomTxs(rnd, nTxs = 3, withCas = true)
+    // a 1-row bound can fit no real tx: every call must fall back to the
+    // distributed path and still produce the oracle state
+    val tight = graft.sources.SessionConf.withConf(spark,
+      "spark.graft.txDriverRows" -> "1") {
+      TxLog.applyBatch(TxLog.emptyState(spark), txs)
+    }
+    assert(!tight.queryExecution.analyzed
+      .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation],
+      "an over-bound batch must not route driver-side")
+    assert(stateRows(tight) ==
+      stateRows(dist(TxLog.applyBatchSeq(TxLog.emptyState(spark), txs))))
   }
 }
